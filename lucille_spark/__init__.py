@@ -1,0 +1,66 @@
+"""lucille_spark — a PySpark-native full-text engine.
+
+Layer A: a from-scratch Lucene-query-syntax parser / AST / printer
+(pure Python, zero Spark deps) reproducing the grammar of the
+reference parser library (see /root/reference, cozydev-pink/lucille).
+
+Layer B: a distributed inverted-index builder and BM25 top-k query
+executor built Spark-first (DataFrame API + vectorized pandas UDFs).
+"""
+
+from lucille_spark.ast import (
+    And,
+    Boost,
+    Field,
+    Fuzzy,
+    Group,
+    ManyChar,
+    MinimumMatch,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Proximity,
+    Query,
+    SingleChar,
+    Str,
+    Term,
+    TermQuery,
+    TermRange,
+    TermRegex,
+    UnaryMinus,
+    UnaryPlus,
+    WildCard,
+)
+from lucille_spark.parser import ParseError, QueryParser, parse, parse_either
+from lucille_spark.printer import print_query
+
+__all__ = [
+    "And",
+    "Boost",
+    "Field",
+    "Fuzzy",
+    "Group",
+    "ManyChar",
+    "MinimumMatch",
+    "Not",
+    "Or",
+    "ParseError",
+    "Phrase",
+    "Prefix",
+    "Proximity",
+    "Query",
+    "QueryParser",
+    "SingleChar",
+    "Str",
+    "Term",
+    "TermQuery",
+    "TermRange",
+    "TermRegex",
+    "UnaryMinus",
+    "UnaryPlus",
+    "WildCard",
+    "parse",
+    "parse_either",
+    "print_query",
+]

@@ -1,0 +1,323 @@
+"""Query AST: 16 immutable node types + tree transformations.
+
+Semantics mirror the reference AST (reference: core/.../Query.scala:23-312):
+structural equality, >=2-children invariant on And/Or
+(Query.scala:151-158, 184-191), `map_last_term` per-node rules
+(Query.scala:30,54,69-70,135-311) and `traverse_q` leaf traversal
+(Query.scala:40). Pure Python — no Spark imports; this module runs
+driver-side only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Tuple
+
+
+class Query:
+    """Base for all query nodes. Structural equality via dataclasses."""
+
+    __slots__ = ()
+
+    def map_last_term(self, f: Callable[["Term"], "Query"]) -> "Query":
+        """Rewrite only the last Term of the query (search-as-you-type).
+
+        Mirrors reference Query.scala:30 and the per-node rules:
+        Group/Boost/MinimumMatch are no-ops; And/Or descend into the
+        last child; Not/UnaryPlus/UnaryMinus/Field recurse.
+        """
+        raise NotImplementedError
+
+    def traverse_q(self, f: Callable[["TermQuery"], "Query"]) -> "Query":
+        """Rebuild the tree applying `f` to every leaf (TermQuery) node.
+
+        Branch structure is preserved (reference Query.scala:40). The
+        effectful/short-circuiting variant is modeled by letting `f`
+        raise — the exception propagates out unchanged.
+        """
+        raise NotImplementedError
+
+    # fluent builders (reference Query.scala:42-48)
+    def and_(self, q: "Query") -> "Query":
+        return And.of(self, q)
+
+    def or_(self, q: "Query") -> "Query":
+        return Or.of(self, q)
+
+    def not_(self) -> "Query":
+        return Not(self)
+
+    def boost(self, b: float) -> "Query":
+        return Boost(self, float(b))
+
+
+class TermQuery(Query):
+    """Leaf node: contains no child queries (reference Query.scala:52-59)."""
+
+    __slots__ = ()
+
+    def map_last_term(self, f: Callable[["Term"], Query]) -> Query:
+        return self  # no-op for all leaves except Term
+
+    def traverse_q(self, f: Callable[["TermQuery"], Query]) -> Query:
+        return f(self)
+
+
+def _check_nel2(qs: tuple, cls_name: str) -> None:
+    if len(qs) == 0:
+        raise ValueError(f"Cannot create {cls_name} query from empty list")
+    if len(qs) == 1:
+        raise ValueError(f"Cannot create {cls_name} query from single element list")
+
+
+# ---------------------------------------------------------------- leaves
+
+
+@dataclass(frozen=True)
+class Term(TermQuery):
+    """Single term, e.g. 'cat' (reference Query.scala:68-71)."""
+
+    value: str
+
+    def map_last_term(self, f: Callable[["Term"], Query]) -> Query:
+        return f(self)
+
+
+@dataclass(frozen=True)
+class Phrase(TermQuery):
+    """Quoted phrase, stored without quotes (reference Query.scala:78)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
+class Prefix(TermQuery):
+    """Prefix query 'jump*' (reference Query.scala:86)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
+class Proximity(TermQuery):
+    """'"cat jumped"~3' — words within distance (reference Query.scala:95)."""
+
+    value: str
+    num: int
+
+
+@dataclass(frozen=True)
+class Fuzzy(TermQuery):
+    """'cat~' / 'cat~1' — optional edit distance (reference Query.scala:103)."""
+
+    value: str
+    num: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class TermRegex(TermQuery):
+    """'/pat/' — pattern stored WITHOUT slashes (reference Query.scala:111)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
+class TermRange(TermQuery):
+    """'[a TO b]', '{a TO *]'; None bound = unbounded '*'
+    (reference Query.scala:122-127). Bounds are strings even when
+    numeric — comparison is lexicographic over terms.
+    """
+
+    lower: Optional[str]
+    upper: Optional[str]
+    lower_inc: bool
+    upper_inc: bool
+
+
+# wildcard ops (reference Query.scala:294-301)
+
+
+@dataclass(frozen=True)
+class SingleChar:
+    """Wildcard '?'."""
+
+
+@dataclass(frozen=True)
+class ManyChar:
+    """Wildcard '*'."""
+
+
+@dataclass(frozen=True)
+class Str:
+    """Literal run inside a wildcard."""
+
+    value: str
+
+
+WildCardOp = object  # SingleChar | ManyChar | Str
+
+
+@dataclass(frozen=True)
+class WildCard(TermQuery):
+    """'c?tch', '*cat*' — a non-empty run of wildcard ops
+    (reference Query.scala:301)."""
+
+    ops: Tuple[object, ...]
+
+    def __post_init__(self):
+        if len(self.ops) == 0:
+            raise ValueError("WildCard requires at least one op")
+
+    @staticmethod
+    def of(*ops) -> "WildCard":
+        return WildCard(tuple(ops))
+
+
+# ---------------------------------------------------------------- branches
+
+
+def _rewrite_last(qs: Tuple[Query, ...], f) -> Tuple[Query, ...]:
+    # reference Query.scala:303-311
+    return qs[:-1] + (qs[-1].map_last_term(f),)
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    """Union of >=2 queries (reference Query.scala:135-159)."""
+
+    qs: Tuple[Query, ...]
+
+    def __post_init__(self):
+        _check_nel2(self.qs, "Or")
+
+    @staticmethod
+    def of(*qs: Query) -> "Or":
+        return Or(tuple(qs))
+
+    @staticmethod
+    def from_list_unsafe(qs) -> "Or":
+        return Or(tuple(qs))
+
+    def map_last_term(self, f) -> "Or":
+        return Or(_rewrite_last(self.qs, f))
+
+    def traverse_q(self, f) -> "Or":
+        return Or(tuple(q.traverse_q(f) for q in self.qs))
+
+
+@dataclass(frozen=True)
+class And(Query):
+    """Intersection of >=2 queries (reference Query.scala:167-192)."""
+
+    qs: Tuple[Query, ...]
+
+    def __post_init__(self):
+        _check_nel2(self.qs, "And")
+
+    @staticmethod
+    def of(*qs: Query) -> "And":
+        return And(tuple(qs))
+
+    @staticmethod
+    def from_list_unsafe(qs) -> "And":
+        return And(tuple(qs))
+
+    def map_last_term(self, f) -> "And":
+        return And(_rewrite_last(self.qs, f))
+
+    def traverse_q(self, f) -> "And":
+        return And(tuple(q.traverse_q(f) for q in self.qs))
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    """Exclusion, 'NOT cats' (reference Query.scala:200-206)."""
+
+    q: Query
+
+    def map_last_term(self, f) -> "Not":
+        return Not(self.q.map_last_term(f))
+
+    def traverse_q(self, f) -> "Not":
+        return Not(self.q.traverse_q(f))
+
+
+@dataclass(frozen=True)
+class Group(Query):
+    """Parenthesized group, kept explicit (reference Query.scala:214-219)."""
+
+    q: Query
+
+    def map_last_term(self, f) -> "Group":
+        return self  # no-op (reference Query.scala:215)
+
+    def traverse_q(self, f) -> "Group":
+        return Group(self.q.traverse_q(f))
+
+
+@dataclass(frozen=True)
+class UnaryPlus(Query):
+    """'+cat' — must contain (reference Query.scala:227-233)."""
+
+    q: Query
+
+    def map_last_term(self, f) -> "UnaryPlus":
+        return UnaryPlus(self.q.map_last_term(f))
+
+    def traverse_q(self, f) -> "UnaryPlus":
+        return UnaryPlus(self.q.traverse_q(f))
+
+
+@dataclass(frozen=True)
+class UnaryMinus(Query):
+    """'-cat' — must not contain (reference Query.scala:241-247)."""
+
+    q: Query
+
+    def map_last_term(self, f) -> "UnaryMinus":
+        return UnaryMinus(self.q.map_last_term(f))
+
+    def traverse_q(self, f) -> "UnaryMinus":
+        return UnaryMinus(self.q.traverse_q(f))
+
+
+@dataclass(frozen=True)
+class Boost(Query):
+    """'cats^2' — scoring-only multiplier (reference Query.scala:256-261)."""
+
+    q: Query
+    boost: float
+
+    def map_last_term(self, f) -> "Boost":
+        return self  # no-op (reference Query.scala:257)
+
+    def traverse_q(self, f) -> "Boost":
+        return Boost(self.q.traverse_q(f), self.boost)
+
+
+@dataclass(frozen=True)
+class MinimumMatch(Query):
+    """'(one two three)@2' — at least num children must match
+    (reference Query.scala:270-277)."""
+
+    qs: Tuple[Query, ...]
+    num: int
+
+    def map_last_term(self, f) -> "MinimumMatch":
+        return self  # no-op (reference Query.scala:271)
+
+    def traverse_q(self, f) -> "MinimumMatch":
+        return MinimumMatch(tuple(q.traverse_q(f) for q in self.qs), self.num)
+
+
+@dataclass(frozen=True)
+class Field(Query):
+    """'title:(cats AND dogs)' — scope to field (reference Query.scala:286-292)."""
+
+    field: str
+    q: Query
+
+    def map_last_term(self, f) -> "Field":
+        return Field(self.field, self.q.map_last_term(f))
+
+    def traverse_q(self, f) -> "Field":
+        return Field(self.field, self.q.traverse_q(f))

@@ -1,0 +1,780 @@
+"""Lucene query-syntax parser (pure Python, zero Spark deps).
+
+A from-scratch implementation of the grammar of the reference parser
+(reference: core/.../QueryParser.scala:28-326 and internal/Op.scala:34-107).
+The reference is built on the cats-parse combinator library, whose
+committed/epsilon failure semantics are load-bearing for this grammar
+(`soft` products, `repUntil`, ordered `oneOf`). We therefore implement
+a tiny combinator kernel with the same semantics:
+
+- A parser is a callable ``p(s, i) -> (j, value)`` on success, or a
+  ``_Fail(off, committed)`` on failure. ``committed`` is True when
+  input was consumed before failing; alternation (`one_of`) and
+  repetition stop only on *epsilon* (uncommitted) failures.
+- ``soft_seq(a, b)``: like ``seq`` but if ``b`` fails *without
+  consuming*, the whole product fails without consuming (the `.soft`
+  operator in the reference, e.g. QueryParser.scala:55,64,75,232,241).
+- ``rep_until(p, until)``: repeat ``p`` until ``until`` would match
+  (QueryParser.scala:99,108).
+
+Grammar production order and committedness mirror
+QueryParser.scala:135-153 ("termAndWildCardQ should be near last,
+below boostQ") — the ordering is what disambiguates e.g. boosts,
+minimum-match vs groups, and fuzzy vs bare terms.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+from lucille_spark import ast
+from lucille_spark.ast import (
+    And,
+    Boost,
+    Field,
+    Fuzzy,
+    Group,
+    ManyChar,
+    MinimumMatch,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Proximity,
+    Query,
+    SingleChar,
+    Str,
+    Term,
+    TermRange,
+    TermRegex,
+    UnaryMinus,
+    UnaryPlus,
+    WildCard,
+)
+
+
+class ParseError(ValueError):
+    """Raised by :func:`parse` when the input is not a valid query."""
+
+    def __init__(self, message: str, offset: int):
+        super().__init__(message)
+        self.offset = offset
+
+
+# ------------------------------------------------------------------ kernel
+
+
+class _Fail:
+    __slots__ = ("off", "committed")
+
+    def __init__(self, off: int, committed: bool):
+        self.off = off
+        self.committed = committed
+
+
+def _char(c: str):
+    def run(s, i):
+        if i < len(s) and s[i] == c:
+            return (i + 1, c)
+        return _Fail(i, False)
+
+    return run
+
+
+def _char_in(chars):
+    cs = frozenset(chars)
+
+    def run(s, i):
+        if i < len(s) and s[i] in cs:
+            return (i + 1, s[i])
+        return _Fail(i, False)
+
+    return run
+
+
+def _char_where(pred):
+    def run(s, i):
+        if i < len(s) and pred(s[i]):
+            return (i + 1, s[i])
+        return _Fail(i, False)
+
+    return run
+
+
+def _string(txt: str):
+    n = len(txt)
+
+    def run(s, i):
+        if s.startswith(txt, i):
+            return (i + n, txt)
+        # cats-parse P.string fails epsilon unless a strict prefix matched;
+        # for our uses (reserved words inside one_of guarded by soft/not)
+        # epsilon failure is the behavior we need.
+        return (_Fail(i, False))
+
+    return run
+
+
+def _string_in(strs):
+    # longest match, like cats-parse P.stringIn (radix-tree longest match)
+    ordered = sorted(strs, key=len, reverse=True)
+
+    def run(s, i):
+        for t in ordered:
+            if s.startswith(t, i):
+                return (i + len(t), t)
+        return _Fail(i, False)
+
+    return run
+
+
+def _end(s, i):
+    if i == len(s):
+        return (i, None)
+    return _Fail(i, False)
+
+
+def _seq(*ps):
+    def run(s, i):
+        j = i
+        vals = []
+        for p in ps:
+            r = p(s, j)
+            if isinstance(r, _Fail):
+                return _Fail(r.off, r.committed or j > i)
+            j, v = r
+            vals.append(v)
+        return (j, tuple(vals))
+
+    return run
+
+
+def _soft_seq(a, b):
+    """a.soft ~ b: if b fails epsilon, the whole fails epsilon at start."""
+
+    def run(s, i):
+        ra = a(s, i)
+        if isinstance(ra, _Fail):
+            return ra
+        j, va = ra
+        rb = b(s, j)
+        if isinstance(rb, _Fail):
+            if rb.committed:
+                return _Fail(rb.off, True)
+            return _Fail(i, False)  # rewind: uncommitted failure
+        k, vb = rb
+        return (k, (va, vb))
+
+    return run
+
+
+def _left(p):
+    def pick(r):
+        return r[0]
+
+    return _map(p, pick)
+
+
+def _right(p):
+    def pick(r):
+        return r[-1]
+
+    return _map(p, pick)
+
+
+def _map(p, f):
+    def run(s, i):
+        r = p(s, i)
+        if isinstance(r, _Fail):
+            return r
+        j, v = r
+        return (j, f(v))
+
+    return run
+
+
+def _one_of(ps):
+    def run(s, i):
+        for p in ps:
+            r = p(s, i)
+            if isinstance(r, _Fail):
+                if r.committed:
+                    return r
+                continue
+            return r
+        return _Fail(i, False)
+
+    return run
+
+
+def _opt(p):
+    def run(s, i):
+        r = p(s, i)
+        if isinstance(r, _Fail):
+            if r.committed:
+                return r
+            return (i, None)
+        return r
+
+    return run
+
+
+def _rep(p, min_count=1):
+    def run(s, i):
+        j = i
+        out = []
+        while True:
+            r = p(s, j)
+            if isinstance(r, _Fail):
+                if r.committed:
+                    return r
+                break
+            j2, v = r
+            out.append(v)
+            j = j2
+        if len(out) < min_count:
+            return _Fail(i, False)
+        return (j, out)
+
+    return run
+
+
+def _not(p):
+    """P.not: succeed (consuming nothing) iff p fails; always backtracks."""
+
+    def run(s, i):
+        r = p(s, i)
+        if isinstance(r, _Fail):
+            return (i, None)
+        return _Fail(i, False)
+
+    return run
+
+
+def _peek(p):
+    """p.peek: succeed consuming nothing iff p succeeds."""
+
+    def run(s, i):
+        r = p(s, i)
+        if isinstance(r, _Fail):
+            return _Fail(i, False)
+        return (i, None)
+
+    return run
+
+
+def _string_of(p):
+    """p.string — discard value, capture the matched substring."""
+
+    def run(s, i):
+        r = p(s, i)
+        if isinstance(r, _Fail):
+            return r
+        j, _ = r
+        return (j, s[i:j])
+
+    return run
+
+
+def _rep_until(p, until, min_count):
+    """(not(until).with1 *> p).rep — stop when `until` would match or p
+    fails epsilon; propagate committed failures of p."""
+
+    def run(s, i):
+        j = i
+        out = []
+        while True:
+            ru = until(s, j)
+            if not isinstance(ru, _Fail):
+                break
+            r = p(s, j)
+            if isinstance(r, _Fail):
+                if r.committed:
+                    return r
+                break
+            j, v = r
+            out.append(v)
+        if len(out) < min_count:
+            return _Fail(i, False)
+        return (j, out)
+
+    return run
+
+
+def _recursive():
+    cell = [None]
+
+    def run(s, i):
+        return cell[0](s, i)
+
+    return run, cell
+
+
+# ------------------------------------------------------ character classes
+
+# reference QueryParser.scala:204-215
+_LUCENE_SPECIAL = frozenset(
+    "+-!(){}[]^\"~*?:\\/"
+)
+_QUOTES = frozenset('"“”')  # straight + smart quotes (:187)
+_SPECIAL = _LUCENE_SPECIAL | _QUOTES | {" "}
+_PHRASE_ESCAPABLE = _QUOTES | {"\\"}
+_RESERVED = ("OR", "||", "AND", "&&", "NOT", "+", "-", "/")
+
+LUCENE_SPECIAL = _LUCENE_SPECIAL
+PHRASE_ESCAPABLE = _PHRASE_ESCAPABLE
+
+
+def _allowed_pred(c: str) -> bool:
+    return c >= " " and c not in _SPECIAL
+
+
+_wsp = _char_in(" \t")
+_sp = _char(" ")
+_spaces = _rep(_wsp, 1)
+_maybe_space = _opt(_spaces)
+_digit = _char_where(str.isdigit)
+_alpha = _char_where(lambda c: ("a" <= c <= "z") or ("A" <= c <= "Z"))
+
+# int: digits not followed by '.' (QueryParser.scala:190)
+def _int_run(s, i):
+    r = _rep(_digit, 1)(s, i)
+    if isinstance(r, _Fail):
+        return r
+    j, _ = r
+    if j < len(s) and s[j] == ".":
+        return _Fail(j, True)  # digits consumed then '.' forbidden → committed
+    return (j, int(s[i:j]))
+
+
+_int = _int_run
+
+
+def _float_run(s, i):
+    # float: digits (('.' digits)?) (QueryParser.scala:198-202)
+    r = _rep(_digit, 1)(s, i)
+    if isinstance(r, _Fail):
+        return r
+    j, _ = r
+    if j < len(s) and s[j] == ".":
+        r2 = _rep(_digit, 1)(s, j + 1)
+        if isinstance(r2, _Fail):
+            return _Fail(r2.off, True)  # '.' consumed, digits required
+        j, _ = r2
+    return (j, float(s[i:j]))
+
+
+# queryEnd = (wsp | end | ')').peek (QueryParser.scala:215)
+_query_end = _peek(_one_of([_wsp, _end, _char(")")]))
+
+_escaped_token = _right(_seq(_char("\\"), _char_in(_SPECIAL)))
+_allowed_char = _char_where(_allowed_pred)
+
+# term (QueryParser.scala:218-219): reject reserved *prefixes*
+_reserved_prefix = _string_in(_RESERVED)
+_term = _right(
+    _seq(
+        _not(_reserved_prefix),
+        _map(_rep(_one_of([_allowed_char, _escaped_token]), 1), "".join),
+    )
+)
+
+# phrase (QueryParser.scala:221-225)
+_phrase_escape = _right(_seq(_char("\\"), _char_in(_PHRASE_ESCAPABLE)))
+_phrase_char = _char_where(lambda c: c >= " " and c not in _PHRASE_ESCAPABLE)
+_phrase_body = _map(_rep(_one_of([_phrase_char, _phrase_escape]), 1), "".join)
+
+
+def _phrase_run(s, i):
+    r = _seq(_char_in(_QUOTES), _phrase_body, _char_in(_QUOTES))(s, i)
+    if isinstance(r, _Fail):
+        return r
+    j, (_, body, _) = r
+    return (j, body)
+
+
+_phrase = _phrase_run
+
+_phrase_q = _map(_phrase, Phrase)
+
+# proximity: phrase.soft <* '~' then int (QueryParser.scala:232-239)
+_prox_soft = _map(_soft_seq(_phrase, _char("~")), lambda t: t[0])
+_proximity_q = _map(_seq(_prox_soft, _int), lambda t: Proximity(t[0], t[1]))
+
+# fuzzy: term.soft <* '~' then int? (QueryParser.scala:241-248)
+_fuzzy_soft = _map(_soft_seq(_term, _char("~")), lambda t: t[0])
+_fuzzy_t = _map(_seq(_fuzzy_soft, _opt(_int)), lambda t: Fuzzy(t[0], t[1]))
+
+
+def _collapse_wildcard(ops: List[object]) -> Query:
+    # collapse rules (QueryParser.scala:257-261)
+    if len(ops) == 1 and isinstance(ops[0], Str):
+        return Term(ops[0].value)
+    if (
+        len(ops) == 2
+        and isinstance(ops[0], Str)
+        and isinstance(ops[1], ManyChar)
+    ):
+        return Prefix(ops[0].value)
+    return WildCard(tuple(ops))
+
+
+_wc_single = _map(_char("?"), lambda _: SingleChar())
+_wc_many = _map(_char("*"), lambda _: ManyChar())
+_wc_str = _map(_term, Str)
+_term_and_wildcard_q = _map(
+    _rep(_one_of([_wc_single, _wc_many, _wc_str]), 1), _collapse_wildcard
+)
+
+# regex: '/pat/', '\/' escape, slashes stripped (QueryParser.scala:264-273)
+_regex_char = _char_where(lambda c: c >= " " and c not in "\\/")
+_regex_body = _string_of(_rep(_one_of([_regex_char, _seq(_char("\\"), _char("/"))]), 1))
+
+
+def _regex_run(s, i):
+    r = _seq(_char("/"), _regex_body, _char("/"))(s, i)
+    if isinstance(r, _Fail):
+        return r
+    j, (_, body, _) = r
+    return (j, TermRegex(body))
+
+
+_regex_q = _regex_run
+
+
+def _range_run(s, i):
+    # rangeQuery (QueryParser.scala:278-289): '[' / '{' … TO … ']' / '}'
+    # '[' → lower inclusive, ']' → upper inclusive
+    bound_txt = _string_of(_rep(_one_of([_alpha, _digit, _char(".")]), 1))
+    bound = _one_of(
+        [
+            _map(_char("*"), lambda _: None),
+            _right(_seq(_not(_reserved_prefix), _map(bound_txt, lambda t: t))),
+        ]
+    )
+    p = _seq(
+        _char_in("{["),
+        _maybe_space,
+        bound,
+        _spaces,
+        _string("TO"),
+        _spaces,
+        bound,
+        _maybe_space,
+        _char_in("}]"),
+    )
+    r = p(s, i)
+    if isinstance(r, _Fail):
+        return r
+    j, (lo_b, _, lo, _, _, _, hi, _, hi_b) = r
+    return (j, TermRange(lo, hi, lo_b == "[", hi_b == "]"))
+
+
+_range_q = _range_run
+
+# infix ops (QueryParser.scala:291-293)
+_OP_OR = "OR"
+_OP_AND = "AND"
+_infix_op = _one_of(
+    [
+        _map(_one_of([_string("OR"), _string("||")]), lambda _: _OP_OR),
+        _map(_one_of([_string("AND"), _string("&&")]), lambda _: _OP_AND),
+    ]
+)
+
+
+def associate_ops(first: Query, op_qs: List[Tuple[str, Query]]) -> Query:
+    """Fold 'q0 OP q1 OP q2…' honoring AND > OR precedence, flattening
+    same-operator runs into one n-ary node (reference internal/Op.scala:34-107).
+    """
+    if not op_qs:
+        return first
+    (current_op, current_q), remaining = op_qs[0], op_qs[1:]
+    temp: List[Query] = [first]
+    bldr: List[Query] = []
+    for next_op, next_q in remaining:
+        if current_op == next_op:
+            temp.append(current_q)
+        elif next_op == _OP_AND:
+            # OR -> AND: collapse now, new AND island starts with current_q
+            bldr.extend(temp)
+            temp = [current_q]
+        else:
+            # AND -> OR: current_q joins the AND before collapsing
+            temp.append(current_q)
+            bldr.append(And.from_list_unsafe(temp))
+            temp = []
+        current_op, current_q = next_op, next_q
+    temp.append(current_q)
+    if current_op == _OP_AND:
+        bldr.append(And.from_list_unsafe(temp))
+    else:
+        bldr.extend(temp)
+    if len(bldr) == 1:
+        return bldr[0]
+    return Or.from_list_unsafe(bldr)
+
+
+# ------------------------------------------------------------- the parser
+
+
+class QueryParser:
+    """Parser with a configurable default boolean operator
+    (reference QueryParser.scala:28-30, 170-176)."""
+
+    def __init__(self, default_boolean_or: bool = True):
+        self.default_boolean_or = default_boolean_or
+        self._memo = {}
+        self._full = self._build()
+
+    # grammar assembly, mirroring QueryParser.scala productions
+    def _build(self):
+        query, cell = _recursive()
+
+        def not_q(s, i):
+            # (P.string("NOT").soft ~ maybeSpace) *> query (:37-38)
+            r = _soft_seq(_string("NOT"), _maybe_space)(s, i)
+            if isinstance(r, _Fail):
+                return r
+            j, _ = r
+            rq = query(s, j)
+            if isinstance(rq, _Fail):
+                return _Fail(rq.off, True)
+            k, v = rq
+            return (k, Not(v))
+
+        unary_plus = _map(_right(_seq(_char("+"), query)), UnaryPlus)
+        unary_minus = _map(_right(_seq(_char("-"), query)), UnaryMinus)
+
+        # fieldValueSoft = term.soft <* ':' (:55-57)
+        field_value_soft = _map(_soft_seq(_term, _char(":")), lambda t: t[0])
+        field_query = _map(
+            _seq(field_value_soft, query), lambda t: Field(t[0], t[1])
+        )
+
+        def group_q(s, i):
+            # '(' wrappedQueries ')' <* not('@') (:113-118)
+            r = _seq(_char("("), wrapped_queries, _char(")"))(s, i)
+            if isinstance(r, _Fail):
+                return r
+            j, (_, q, _) = r
+            if j < len(s) and s[j] == "@":
+                # '(…)' consumed then the not('@') guard fails → arresting
+                # failure, so MinimumMatch (tried earlier) wins (:116-117)
+                return _Fail(j, True)
+            return (j, Group(q))
+
+        # boostQ (:62-67): limited targets, '^' float queryEnd
+        limited_q = _one_of([field_query, _term_and_wildcard_q, _phrase_q, group_q])
+
+        def boost_suffix_run(s, i):
+            r = _seq(_char("^"), _float_run, _query_end)(s, i)
+            if isinstance(r, _Fail):
+                return r
+            j, (_, f, _) = r
+            return (j, f)
+
+        boost_q = _map(
+            _soft_seq(limited_q, boost_suffix_run), lambda t: Boost(t[0], t[1])
+        )
+
+        # nelQueries (QueryParser.scala:82-100): leading implicit list,
+        # suffix op-chain association, repeated until end-of-list.
+        qs_and_last = _rep(_left(_soft_take_left(query, _maybe_space)), 1)
+        until_suffix = _right(_seq(_maybe_space, _one_of([_end, query])))
+        suffix_ops = _rep_until(
+            _seq(
+                _right(_seq_with1(_maybe_space, _infix_op)),
+                _rep(_sp, 1),
+                query,
+            ),
+            until_suffix,
+            0,
+        )
+
+        def combined(s2, j2):
+            # maybeSpace.with1 *> (qsAndLast ~ suffixOps) (:87)
+            rs = _maybe_space(s2, j2)
+            j3, _ = rs
+            r1 = qs_and_last(s2, j3)
+            if isinstance(r1, _Fail):
+                return _Fail(r1.off, r1.committed or j3 > j2)
+            j4, qlist = r1
+            r2 = suffix_ops(s2, j4)
+            if isinstance(r2, _Fail):
+                return _Fail(r2.off, True)
+            j5, ops = r2
+            ops = [(op, q) for (op, _sp_, q) in ops]
+            init, last = qlist[:-1], qlist[-1]
+            if ops:
+                return (j5, list(init) + [associate_ops(last, ops)])
+            return (j5, list(init) + [last])
+
+        rep_all = _rep_until(combined, _seq(_maybe_space, _end), 1)
+
+        def nel_queries(s, i):
+            # packrat memo: nelQueries at a given position always yields
+            # the same result within one parse; without this, nested
+            # groups are re-parsed once each by minimumMatchQ, boostQ and
+            # groupQ → exponential time on deep nesting. Pure speedup —
+            # identical results.
+            memo = self._memo
+            hit = memo.get(i)
+            if hit is not None:
+                return hit
+            r = rep_all(s, i)
+            if isinstance(r, _Fail):
+                memo[i] = r
+                return r
+            j, chains = r
+            out: List[Query] = []
+            for c in chains:
+                out.extend(c)
+            memo[i] = (j, out)
+            return (j, out)
+
+        def minimum_match_q(s, i):
+            # '(' nelQueries ')' .soft '@' int queryEnd (:72-76)
+            grouped = _seq(_char("("), nel_queries, _char(")"))
+            r = grouped(s, i)
+            if isinstance(r, _Fail):
+                return r
+            j, (_, qs, _) = r
+            rn = _seq(_char("@"), _int, _query_end)(s, j)
+            if isinstance(rn, _Fail):
+                if rn.committed:
+                    return _Fail(rn.off, True)
+                return _Fail(i, False)  # soft rewind
+            k, (_, n, _) = rn
+            return (k, MinimumMatch(tuple(qs), n))
+
+        # order is load-bearing (QueryParser.scala:131-153)
+        cell[0] = _one_of(
+            [
+                unary_plus,
+                unary_minus,
+                not_q,
+                field_query,
+                _proximity_q,
+                _range_q,
+                _fuzzy_t,
+                minimum_match_q,
+                boost_q,
+                _term_and_wildcard_q,
+                _regex_q,
+                _phrase_q,
+                group_q,
+            ]
+        )
+
+        def wrapped_queries(s, i):
+            # wrap multi-query lists in the default boolean (:124-129)
+            r = nel_queries(s, i)
+            if isinstance(r, _Fail):
+                return r
+            j, qs = r
+            if len(qs) == 1:
+                return (j, qs[0])
+            ctor = Or if self.default_boolean_or else And
+            return (j, ctor.from_list_unsafe(qs))
+
+        def full(s, i):
+            r = wrapped_queries(s, i)
+            if isinstance(r, _Fail):
+                return r
+            j, q = r
+            rs = _maybe_space(s, j)
+            j, _ = rs
+            return (j, q)
+
+        self._query = query
+        return full
+
+    def parse(self, input_str: str) -> Query:
+        """Parse a whole string; raises ParseError on failure
+        (reference QueryParser.scala:164-168, parseAll semantics)."""
+        import sys
+
+        # deep nesting costs ~20 Python frames per paren level; give
+        # pathological-but-valid queries headroom, and turn stack
+        # exhaustion into a ParseError instead of a RecursionError
+        old_limit = sys.getrecursionlimit()
+        # ~15 frames per nesting level; cap the raise — deeper inputs
+        # would risk exhausting the C stack, fail them cleanly instead
+        needed = min(2000 + 20 * len(input_str), 60_000)
+        self._memo = {}
+        try:
+            if needed > old_limit:
+                sys.setrecursionlimit(needed)
+            r = self._full(input_str, 0)
+        except RecursionError:
+            raise ParseError("Parse error: query too deeply nested", 0) from None
+        finally:
+            sys.setrecursionlimit(old_limit)
+            self._memo = {}
+        if isinstance(r, _Fail):
+            raise ParseError(
+                f"Parse error at offset {r.off}", r.off
+            )
+        j, q = r
+        if j != len(input_str):
+            raise ParseError(
+                f"Parse error at offset {j}: expected end of input", j
+            )
+        return q
+
+    def parse_either(self, input_str: str):
+        """Either-style result: (None, query) or (error_message, None)."""
+        try:
+            return (None, self.parse(input_str))
+        except ParseError as e:
+            return (str(e), None)
+
+
+def _soft_take_left(a, b):
+    # (query <* maybeSpace) — maybeSpace can't fail so plain seq, take left
+    def run(s, i):
+        ra = a(s, i)
+        if isinstance(ra, _Fail):
+            return ra
+        j, va = ra
+        rb = b(s, j)
+        j2, _ = rb
+        return (j2, (va, None))
+
+    return run
+
+
+def _seq_with1(p0, p1):
+    # maybeSpace.with1 *> p1 — committed if whitespace consumed before fail
+    def run(s, i):
+        r0 = p0(s, i)
+        j, _ = r0
+        r1 = p1(s, j)
+        if isinstance(r1, _Fail):
+            return _Fail(r1.off, r1.committed or j > i)
+        k, v = r1
+        return (k, (None, v))
+
+    return run
+
+
+default_parser = QueryParser(default_boolean_or=True)
+and_parser = QueryParser(default_boolean_or=False)
+
+
+def with_default_operator_or() -> QueryParser:
+    return default_parser
+
+
+def with_default_operator_and() -> QueryParser:
+    return and_parser
+
+
+def parse(input_str: str) -> Query:
+    """Parse with the default-OR parser (reference QueryParser.scala:179-180)."""
+    return default_parser.parse(input_str)
+
+
+def parse_either(input_str: str):
+    return default_parser.parse_either(input_str)

@@ -1,0 +1,166 @@
+"""AST → query-string printer (reference QueryPrinter.scala:23-158).
+
+Preserved reference quirks (documented, demanded by its tests):
+
+1. Range-bracket inversion: the parser maps '[' → lower_inc=True, but
+   the printer emits '{' when lower_inc is True (QueryPrinter.scala:116-120
+   vs QueryParser.scala:279-280) — parse→print does NOT round-trip ranges.
+2. Regex bodies are printed verbatim without re-adding slashes
+   (QueryPrinter.scala:114); parse strips them, so regex does not
+   round-trip either.
+"""
+
+from __future__ import annotations
+
+from lucille_spark.ast import (
+    And,
+    Boost,
+    Field,
+    Fuzzy,
+    Group,
+    ManyChar,
+    MinimumMatch,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Proximity,
+    Query,
+    SingleChar,
+    Str,
+    Term,
+    TermQuery,
+    TermRange,
+    TermRegex,
+    UnaryMinus,
+    UnaryPlus,
+    WildCard,
+)
+from lucille_spark.parser import LUCENE_SPECIAL, PHRASE_ESCAPABLE
+
+
+def print_query(query: Query, precision: int = 2) -> str:
+    """Build the string representation; Boost values rounded to
+    ``precision`` decimals (reference QueryPrinter.scala:37)."""
+    out = []
+
+    def emit(s: str) -> None:
+        out.append(s)
+
+    def escape_str(s: str) -> None:
+        for c in s:
+            if c in LUCENE_SPECIAL:
+                emit("\\")
+            emit(c)
+
+    def escape_phrase(s: str) -> None:
+        for c in s:
+            if c in PHRASE_ESCAPABLE:
+                emit("\\")
+            emit(c)
+
+    def str_term_query(q: TermQuery) -> None:
+        if isinstance(q, Term):
+            escape_str(q.value)
+        elif isinstance(q, Phrase):
+            emit('"')
+            escape_phrase(q.value)
+            emit('"')
+        elif isinstance(q, Prefix):
+            emit(q.value)
+            emit("*")
+        elif isinstance(q, Proximity):
+            emit('"')
+            emit(q.value)
+            emit('"~')
+            emit(str(q.num))
+        elif isinstance(q, Fuzzy):
+            emit(q.value)
+            emit("~")
+            if q.num is not None:
+                emit(str(q.num))
+        elif isinstance(q, TermRegex):
+            emit(q.value)
+        elif isinstance(q, TermRange):
+            # quirk #1: inverted brackets, as in the reference printer
+            emit("{" if q.lower_inc else "[")
+            emit(q.lower if q.lower is not None else "*")
+            emit(" TO ")
+            emit(q.upper if q.upper is not None else "*")
+            emit("}" if q.upper_inc else "]")
+        elif isinstance(q, WildCard):
+            for op in q.ops:
+                if isinstance(op, SingleChar):
+                    emit("?")
+                elif isinstance(op, ManyChar):
+                    emit("*")
+                else:
+                    emit(op.value)
+        else:  # pragma: no cover
+            raise TypeError(f"unknown TermQuery: {q!r}")
+
+    def print_each(qs, sep: str) -> None:
+        for k, q in enumerate(qs):
+            if k:
+                emit(sep)
+            pq(q)
+
+    def print_boost(q: Boost) -> None:
+        boost_str = f"%.{precision}f" % q.boost
+        inner = q.q
+        if isinstance(inner, Group):
+            pq(inner)
+        elif isinstance(inner, (Phrase, Term)):
+            str_term_query(inner)
+        else:
+            emit("(")
+            pq(inner)
+            emit(")")
+        emit("^")
+        emit(boost_str)
+
+    def pq(q: Query) -> None:
+        if isinstance(q, TermQuery):
+            str_term_query(q)
+        elif isinstance(q, Or):
+            print_each(q.qs, " OR ")
+        elif isinstance(q, And):
+            print_each(q.qs, " AND ")
+        elif isinstance(q, Not):
+            emit("NOT ")
+            if isinstance(q.q, (TermQuery, Group, MinimumMatch)):
+                pq(q.q)
+            else:
+                emit("(")
+                pq(q.q)
+                emit(")")
+        elif isinstance(q, Group):
+            emit("(")
+            pq(q.q)
+            emit(")")
+        elif isinstance(q, UnaryPlus):
+            emit("+")
+            pq(q.q)
+        elif isinstance(q, UnaryMinus):
+            emit("-")
+            pq(q.q)
+        elif isinstance(q, MinimumMatch):
+            emit("(")
+            print_each(q.qs, " ")
+            emit(f")@{q.num}")
+        elif isinstance(q, Boost):
+            print_boost(q)
+        elif isinstance(q, Field):
+            emit(q.field)
+            emit(":")
+            if isinstance(q.q, (TermQuery, Group, MinimumMatch)):
+                pq(q.q)
+            else:
+                emit("(")
+                pq(q.q)
+                emit(")")
+        else:  # pragma: no cover
+            raise TypeError(f"unknown Query: {q!r}")
+
+    pq(query)
+    return "".join(out)

@@ -1,0 +1,181 @@
+"""Port of AssociativitySuite.scala:22-160 (14 inputs x OR/AND default),
+DefaultBooleanAndSuite.scala:21-80, and internal/OpSuite.scala:21-82."""
+
+import pytest
+
+from lucille_spark import And, Group, Not, Or, Term
+from lucille_spark.parser import (
+    and_parser,
+    associate_ops,
+    default_parser,
+)
+
+T = Term
+
+# (query, expected_default_or, expected_default_and)
+TABLE = [
+    ("NOT a AND b", And.of(Not(T("a")), T("b")), And.of(Not(T("a")), T("b"))),
+    ("a AND NOT b", And.of(T("a"), Not(T("b"))), And.of(T("a"), Not(T("b")))),
+    (
+        "a AND b OR x",
+        Or.of(And.of(T("a"), T("b")), T("x")),
+        Or.of(And.of(T("a"), T("b")), T("x")),
+    ),
+    (
+        "a AND b OR x AND y",
+        Or.of(And.of(T("a"), T("b")), And.of(T("x"), T("y"))),
+        Or.of(And.of(T("a"), T("b")), And.of(T("x"), T("y"))),
+    ),
+    (
+        "a AND b AND c OR x",
+        Or.of(And.of(T("a"), T("b"), T("c")), T("x")),
+        Or.of(And.of(T("a"), T("b"), T("c")), T("x")),
+    ),
+    (
+        "a b AND c",
+        Or.of(T("a"), And.of(T("b"), T("c"))),
+        And.of(T("a"), And.of(T("b"), T("c"))),
+    ),
+    (
+        "a b AND c d",
+        Or.of(T("a"), And.of(T("b"), T("c")), T("d")),
+        And.of(T("a"), And.of(T("b"), T("c")), T("d")),
+    ),
+    (
+        "a b AND c AND d",
+        Or.of(T("a"), And.of(T("b"), T("c"), T("d"))),
+        And.of(T("a"), And.of(T("b"), T("c"), T("d"))),
+    ),
+    (
+        "a b AND c AND d AND e",
+        Or.of(T("a"), And.of(T("b"), T("c"), T("d"), T("e"))),
+        And.of(T("a"), And.of(T("b"), T("c"), T("d"), T("e"))),
+    ),
+    (
+        "a b AND c AND d OR e",
+        Or.of(T("a"), Or.of(And.of(T("b"), T("c"), T("d")), T("e"))),
+        And.of(T("a"), Or.of(And.of(T("b"), T("c"), T("d")), T("e"))),
+    ),
+    (
+        "a b AND c OR d e",
+        Or.of(T("a"), Or.of(And.of(T("b"), T("c")), T("d")), T("e")),
+        And.of(T("a"), Or.of(And.of(T("b"), T("c")), T("d")), T("e")),
+    ),
+    (
+        "a b AND c OR d AND e",
+        Or.of(T("a"), Or.of(And.of(T("b"), T("c")), And.of(T("d"), T("e")))),
+        And.of(T("a"), Or.of(And.of(T("b"), T("c")), And.of(T("d"), T("e")))),
+    ),
+    (
+        "a b AND c OR d OR e",
+        Or.of(T("a"), Or.of(And.of(T("b"), T("c")), T("d"), T("e"))),
+        And.of(T("a"), Or.of(And.of(T("b"), T("c")), T("d"), T("e"))),
+    ),
+]
+
+
+@pytest.mark.parametrize("query,expected,_", TABLE, ids=[t[0] for t in TABLE])
+def test_default_or(query, expected, _):
+    assert default_parser.parse(query) == expected
+
+
+@pytest.mark.parametrize("query,_,expected", TABLE, ids=[t[0] for t in TABLE])
+def test_default_and(query, _, expected):
+    assert and_parser.parse(query) == expected
+
+
+# DefaultBooleanAndSuite.scala:21-80
+DEFAULT_AND = [
+    ("cats dogs", And.of(T("cats"), T("dogs"))),
+    (
+        "cats dogs fish lizards",
+        And.of(T("cats"), T("dogs"), T("fish"), T("lizards")),
+    ),
+    ("(cats dogs)", Group(And.of(T("cats"), T("dogs")))),
+    ("(cats AND dogs)", Group(And.of(T("cats"), T("dogs")))),
+    ("(cats OR dogs)", Group(Or.of(T("cats"), T("dogs")))),
+    (
+        "derp AND lerp slerp orA OR orB last",
+        And.of(
+            And.of(T("derp"), T("lerp")),
+            T("slerp"),
+            Or.of(T("orA"), T("orB")),
+            T("last"),
+        ),
+    ),
+    (
+        "derp OR lerp slerp andA AND andB last",
+        And.of(
+            Or.of(T("derp"), T("lerp")),
+            T("slerp"),
+            And.of(T("andA"), T("andB")),
+            T("last"),
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("query,expected", DEFAULT_AND, ids=[q for q, _ in DEFAULT_AND])
+def test_default_boolean_and(query, expected):
+    assert and_parser.parse(query) == expected
+
+
+# internal/OpSuite.scala:21-82
+AND_, OR_ = "AND", "OR"
+
+
+def test_associate_one_and_pair():
+    assert associate_ops(T("cats"), [(AND_, T("dogs"))]) == And.of(T("cats"), T("dogs"))
+
+
+def test_associate_two_and_pairs():
+    assert associate_ops(T("cats"), [(AND_, T("dogs")), (AND_, T("fish"))]) == And.of(
+        T("cats"), T("dogs"), T("fish")
+    )
+
+
+def test_associate_one_or_pair():
+    assert associate_ops(T("cats"), [(OR_, T("dogs"))]) == Or.of(T("cats"), T("dogs"))
+
+
+def test_associate_two_or_pairs():
+    assert associate_ops(T("cats"), [(OR_, T("dogs")), (OR_, T("fish"))]) == Or.of(
+        T("cats"), T("dogs"), T("fish")
+    )
+
+
+def test_associate_two_ands_then_or():
+    op_qs = [(AND_, T("ocean")), (AND_, T("ocean2")), (OR_, T("fish"))]
+    expected = Or.of(And.of(T("cat"), T("ocean"), T("ocean2")), T("fish"))
+    assert associate_ops(T("cat"), op_qs) == expected
+
+
+def test_associate_two_ors_then_and():
+    op_qs = [(OR_, T("ocean")), (OR_, T("ocean2")), (AND_, T("fish"))]
+    expected = Or.of(T("cat"), T("ocean"), And.of(T("ocean2"), T("fish")))
+    assert associate_ops(T("cat"), op_qs) == expected
+
+
+def test_associate_one_and_island():
+    op_qs = [
+        (OR_, T("ocean")),
+        (OR_, T("coast")),
+        (AND_, T("island")),
+        (OR_, T("ocean")),
+    ]
+    expected = Or.of(
+        T("cat"), T("ocean"), And.of(T("coast"), T("island")), T("ocean")
+    )
+    assert associate_ops(T("cat"), op_qs) == expected
+
+
+def test_associate_two_and_islands():
+    op_qs = [
+        (OR_, T("ocean")),
+        (OR_, T("coast")),
+        (AND_, T("island")),
+        (OR_, T("ocean")),
+    ]
+    island = [T("ocean"), And.of(T("coast"), T("island")), T("ocean")]
+    expected = Or.from_list_unsafe([T("cat")] + island + island)
+    assert associate_ops(T("cat"), op_qs + op_qs) == expected

@@ -1,0 +1,186 @@
+"""Port of QuerySuite.scala:21-98 (map_last_term + builders) and
+QueryTraverseQSuite.scala:22-121 (traverse_q)."""
+
+import pytest
+
+from lucille_spark import (
+    And,
+    Boost,
+    Field,
+    Group,
+    MinimumMatch,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+    UnaryMinus,
+    UnaryPlus,
+    parse,
+)
+
+T = Term
+
+
+def expand_q(q):
+    if isinstance(q, Term):
+        return Or.of(Term(q.value), Prefix(q.value))
+    return q
+
+
+# --- map_last_term (QuerySuite.scala:31-71)
+
+
+def test_or_map_last_term_maps_last_term():
+    q = Or.of(T("cats"), T("dogs"))
+    expected = Or.of(T("cats"), Or.of(T("dogs"), Prefix("dogs")))
+    assert q.map_last_term(expand_q) == expected
+
+
+def test_and_map_last_term_maps_last_term():
+    q = And.of(T("cats"), T("dogs"))
+    expected = And.of(T("cats"), Or.of(T("dogs"), Prefix("dogs")))
+    assert q.map_last_term(expand_q) == expected
+
+
+def test_or_map_last_term_through_not():
+    q = Or.of(T("cats"), Not(T("dogs")))
+    expected = Or.of(T("cats"), Not(Or.of(T("dogs"), Prefix("dogs"))))
+    assert q.map_last_term(expand_q) == expected
+
+
+def test_and_map_last_term_through_not():
+    q = And.of(T("cats"), Not(T("dogs")))
+    expected = And.of(T("cats"), Not(Or.of(T("dogs"), Prefix("dogs"))))
+    assert q.map_last_term(expand_q) == expected
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "(apple banana orange)@2",  # minimum-match is a no-op
+        "name:[cats TO fs2]",  # range is a leaf no-op
+        "cats AND (dogs OR fish)",  # group is a no-op
+    ],
+)
+def test_map_last_term_noops(qs):
+    q = parse(qs)
+    assert q.map_last_term(expand_q) == q
+
+
+# --- builders (QuerySuite.scala:73-97)
+
+
+def test_and_builder():
+    q1, q2 = T("cats"), Or.of(T("dogs"), T("fish"))
+    assert q1.and_(q2) == And.of(q1, q2)
+
+
+def test_or_builder():
+    q1, q2 = T("dogs"), T("cats")
+    assert q1.or_(q2) == Or.of(q1, q2)
+
+
+def test_not_builder():
+    assert T("cats").not_() == Not(T("cats"))
+
+
+def test_boost_builder():
+    assert T("dogs").boost(100) == Boost(T("dogs"), 100.0)
+
+
+# --- nel invariants (Query.scala:151-158, 184-191)
+
+
+@pytest.mark.parametrize("cls", [Or, And])
+def test_from_list_unsafe_rejects_empty_and_single(cls):
+    with pytest.raises(ValueError):
+        cls.from_list_unsafe([])
+    with pytest.raises(ValueError):
+        cls.from_list_unsafe([T("a")])
+
+
+# --- traverse_q (QueryTraverseQSuite.scala)
+
+
+class Oops(Exception):
+    pass
+
+
+def upper_case_terms(q):
+    if isinstance(q, Term):
+        return Term(q.value.upper())
+    return q
+
+
+def only_cats(q):
+    if q == Term("cats"):
+        return Term("CATS")
+    raise Oops("oops")
+
+
+def term_to_phrase(q):
+    if isinstance(q, Term):
+        return Phrase(q.value)
+    return q
+
+
+def big_tree(term_word="cats", dog_word="dogs"):
+    cat = T(term_word)
+    return And.of(
+        cat,
+        Boost(cat, 2.2),
+        Field("title", cat),
+        Or.of(
+            Not(cat),
+            UnaryPlus(cat),
+            UnaryMinus(cat),
+            Group(And.of(cat, cat)),
+            MinimumMatch((cat, And.of(cat, T(dog_word))), 2),
+        ),
+    )
+
+
+def test_traverse_maps_and_preserves_structure():
+    assert And.of(T("cats"), T("dogs")).traverse_q(upper_case_terms) == And.of(
+        T("CATS"), T("DOGS")
+    )
+    assert Or.of(T("cats"), T("dogs")).traverse_q(upper_case_terms) == Or.of(
+        T("CATS"), T("DOGS")
+    )
+
+
+def test_traverse_short_circuits():
+    with pytest.raises(Oops):
+        And.of(T("cats"), T("dogs")).traverse_q(only_cats)
+    with pytest.raises(Oops):
+        Or.of(T("cats"), T("dogs")).traverse_q(only_cats)
+
+
+def test_traverse_short_circuits_big_tree():
+    with pytest.raises(Oops):
+        big_tree().traverse_q(only_cats)
+
+
+def test_traverse_maps_big_tree():
+    assert big_tree().traverse_q(upper_case_terms) == big_tree("CATS", "DOGS")
+
+
+def test_traverse_changes_leaf_types():
+    q = And.of(T("cats"), Not(T("dogs")))
+    assert q.traverse_q(term_to_phrase) == And.of(Phrase("cats"), Not(Phrase("dogs")))
+
+
+def test_traverse_unaffected_by_branch_flipping_functions():
+    # leaf-only traversal: functions can't flip booleans
+    def flip_booleans(q):
+        if isinstance(q, Or):
+            return And.of(q.qs[1], q.qs[0], *q.qs[2:])
+        if isinstance(q, And):
+            return Or.of(q.qs[1], q.qs[0], *q.qs[2:])
+        if isinstance(q, Not):
+            return q.q
+        return q
+
+    q = Or.of(T("cats"), T("dogs"), And.of(T("cats"), Not(T("dogs"))))
+    assert q.traverse_q(flip_booleans) == q
