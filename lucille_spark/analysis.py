@@ -1,0 +1,86 @@
+"""Shared text analyzer — the SINGLE tokenization rule for the engine.
+
+Semantics (SURVEY.md §7.3, fixed so index, query, Spark engine, the
+pure-Python oracle and the DuckDB oracle SQL can never drift):
+
+    * lowercase
+    * tokens = maximal runs of ``[A-Za-z0-9_]`` (code-friendly:
+      keeps identifiers like ``foo_bar2`` whole, splits on ``.``,
+      ``(``, ``:`` ...)
+
+Three equivalent implementations are provided:
+
+  * :func:`tokenize` — pure Python (driver-side query analysis +
+    brute-force oracle).
+  * :func:`tokenize_udf` factory — vectorized pandas UDF
+    (Arrow-batched; the index-build hot path; no per-row Python in
+    the JVM↔Python boundary).
+  * :data:`TOKENIZE_SQL_DUCKDB` / :func:`tokenize_expr` — the same
+    rule as a DuckDB SQL fragment / Spark SQL expression, for
+    oracle cross-checks that must stay fully declarative.
+
+The reference library (cozydev-pink/lucille) performs no analysis at
+all — it is a parser (reference core/.../QueryParser.scala). The
+analyzer is engine-side (Layer B) and is mandated by BASELINE.json:6
+("tokenizes content via vectorized Arrow/pandas UDFs").
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+# The same rule, as split-pattern (for engines whose primitive is
+# "split on delimiters" rather than "findall"): one-or-more
+# non-token chars. Leading/trailing empties must be filtered.
+SPLIT_PATTERN = "[^a-zA-Z0-9_]+"
+
+# DuckDB fragment: tokenize a string column `{col}` into one row per
+# token (empty tokens filtered). Used by __spark_entry__.oracle_sql.
+TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array(lower({col}), "
+    "'[^a-z0-9_]+'), t -> t <> ''))"
+)
+
+
+def tokenize(text: str) -> List[str]:
+    """Pure-Python analyzer: lowercase, runs of [A-Za-z0-9_]."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def token_count(text: str) -> int:
+    return len(tokenize(text))
+
+
+def tokenize_expr(col: str):
+    """Spark Column of array<string>: the analyzer as built-in JVM
+    expressions (whole-stage-codegen'd — even cheaper than a pandas
+    UDF for the simple regex rule). Equivalent to :func:`tokenize`.
+    """
+    from pyspark.sql import functions as F
+
+    # split() produces "" fragments at the boundaries; filter them.
+    return F.filter(
+        F.split(F.lower(F.col(col)), SPLIT_PATTERN),
+        lambda t: t != "",
+    )
+
+
+def make_tokenize_udf():
+    """pandas UDF str -> array<string>; Arrow-batched.
+
+    Kept alongside :func:`tokenize_expr` because BASELINE.json:6
+    mandates the vectorized-UDF path; benchmarks may pick whichever
+    is faster (the built-in expression usually wins — it never
+    leaves the JVM).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.findall(_TOKEN_RE)
+
+    return _tok

@@ -1,0 +1,260 @@
+"""Numpy posting-level evaluator for a physical query tree.
+
+This is the SINGLE evaluation kernel shared by:
+
+  * the single-node brute-force oracle (tests/oracle.py builds a
+    ``ShardData`` from raw docs and calls :func:`evaluate`), and
+  * the distributed executor: each doc-shard's ``applyInPandas``
+    kernel decodes its posting blocks into a ``ShardData`` and calls
+    the same :func:`evaluate` (exec_wand.py).
+
+One evaluator, two data paths -> the distributed engine cannot
+semantically drift from the oracle; only block decoding and the
+shard/merge plumbing differ (and those are property-tested).
+
+All arrays are numpy (ids int64 sorted ascending, scores float64);
+no per-row Python loops except over *query* terms / child nodes
+(tiny). Scoring per lucille_spark.scoring.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lucille_spark import plans as P
+from lucille_spark.scoring import bm25_np
+
+
+@dataclass
+class Posting:
+    ids: np.ndarray            # int64, sorted ascending, unique
+    tfs: np.ndarray            # int64 aligned
+    dls: np.ndarray            # int64 aligned (doc length)
+    positions: Optional[list] = None  # list of int64 arrays, aligned
+
+
+@dataclass
+class ShardData:
+    """Everything one shard needs to evaluate any physical tree."""
+
+    avgdl: float                      # GLOBAL average doc length
+    postings: Dict[str, Posting] = field(default_factory=dict)
+    all_ids: Optional[np.ndarray] = None   # shard universe (sorted)
+    all_dls: Optional[np.ndarray] = None
+    meta: Dict[str, np.ndarray] = field(default_factory=dict)
+
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+
+def _member(sub: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+    """Boolean mask: which of sorted `sub` are in sorted `sorted_ids`."""
+    if sorted_ids.size == 0 or sub.size == 0:
+        return np.zeros(sub.size, dtype=bool)
+    pos = np.searchsorted(sorted_ids, sub)
+    pos[pos == sorted_ids.size] = sorted_ids.size - 1
+    return sorted_ids[pos] == sub
+
+
+def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (doc_ids sorted asc, scores float64 aligned)."""
+    if isinstance(node, P.PMatchNone):
+        return _EMPTY
+    if isinstance(node, P.PMatchAll):
+        ids = _universe(sd)
+        return ids, np.ones(ids.size, dtype=np.float64)
+    if isinstance(node, P.PTerm):
+        p = sd.postings.get(node.term)
+        if p is None or p.ids.size == 0:
+            return _EMPTY
+        return p.ids, bm25_np(p.tfs, p.dls, node.idf, sd.avgdl)
+    if isinstance(node, P.PExpand):
+        arrs = [
+            sd.postings[t].ids
+            for t in node.terms
+            if t in sd.postings and sd.postings[t].ids.size
+        ]
+        if not arrs:
+            return _EMPTY
+        ids = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        return ids, np.ones(ids.size, dtype=np.float64)
+    if isinstance(node, P.PPhrase):
+        return _eval_phrase(node, sd)
+    if isinstance(node, P.PMetaFilter):
+        return _eval_meta(node, sd)
+    if isinstance(node, P.PNot):
+        ids, _ = evaluate(node.child, sd)
+        uni = _universe(sd)
+        keep = uni[~_member(uni, ids)]
+        return keep, np.ones(keep.size, dtype=np.float64)
+    if isinstance(node, P.PBoost):
+        ids, sc = evaluate(node.child, sd)
+        return ids, sc * node.factor
+    if isinstance(node, P.PBool):
+        return _eval_bool(node, sd)
+    raise TypeError(f"unknown physical node {type(node).__name__}")
+
+
+def _universe(sd: ShardData) -> np.ndarray:
+    if sd.all_ids is None:
+        raise ValueError("shard universe not loaded but required")
+    return sd.all_ids
+
+
+def _eval_bool(node: P.PBool, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
+    must = [evaluate(c, sd) for c in node.must]
+    should = [evaluate(c, sd) for c in node.should]
+
+    if must:
+        ids = must[0][0]
+        for m_ids, _ in must[1:]:
+            ids = np.intersect1d(ids, m_ids, assume_unique=True)
+        if node.min_should > 0 and should:
+            cnt = np.zeros(ids.size, dtype=np.int64)
+            for s_ids, _ in should:
+                cnt += _member(ids, s_ids)
+            ids = ids[cnt >= node.min_should]
+    else:
+        if not should:
+            return _EMPTY
+        need = max(node.min_should, 1)
+        cat = np.concatenate([s[0] for s in should])
+        if cat.size == 0:
+            return _EMPTY
+        uniq, counts = np.unique(cat, return_counts=True)
+        ids = uniq[counts >= need]
+
+    if ids.size == 0:
+        return _EMPTY
+
+    scores = np.zeros(ids.size, dtype=np.float64)
+    for c_ids, c_sc in list(must) + list(should):
+        if c_ids.size == 0:
+            continue
+        mask = _member(ids, c_ids)
+        if mask.any():
+            pos = np.searchsorted(c_ids, ids[mask])
+            scores[mask] += c_sc[pos]
+
+    for mn in node.must_not:
+        n_ids, _ = evaluate(mn, sd)
+        if n_ids.size:
+            keep = ~_member(ids, n_ids)
+            ids, scores = ids[keep], scores[keep]
+    return ids, scores
+
+
+def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
+    ps = []
+    for t in node.terms:
+        p = sd.postings.get(t)
+        if p is None or p.ids.size == 0 or p.positions is None:
+            return _EMPTY
+        ps.append(p)
+    ids = ps[0].ids
+    for p in ps[1:]:
+        ids = np.intersect1d(ids, p.ids, assume_unique=True)
+    if ids.size == 0:
+        return _EMPTY
+    # align positions per doc
+    idx = [np.searchsorted(p.ids, ids) for p in ps]
+    m = len(ps)
+    span = m + node.slop  # max allowed window length is m-1+slop+1
+    out_ids: List[int] = []
+    out_tf: List[int] = []
+    out_dl: List[int] = []
+    for row, doc in enumerate(ids):
+        pos_lists = [ps[k].positions[idx[k][row]] for k in range(m)]
+        if node.slop == 0:
+            starts = pos_lists[0]
+            for k in range(1, m):
+                starts = starts[
+                    _member_unsorted(starts + k, pos_lists[k])
+                ]
+                if starts.size == 0:
+                    break
+            tf = int(starts.size)
+        else:
+            tf = 1 if _ordered_within(pos_lists, m - 1 + node.slop) else 0
+        if tf > 0:
+            out_ids.append(int(doc))
+            out_tf.append(tf)
+            out_dl.append(int(ps[0].dls[idx[0][row]]))
+    if not out_ids:
+        return _EMPTY
+    oid = np.array(out_ids, dtype=np.int64)
+    sc = bm25_np(
+        np.array(out_tf, dtype=np.int64),
+        np.array(out_dl, dtype=np.int64),
+        node.idf,
+        sd.avgdl,
+    )
+    return oid, sc
+
+
+def _member_unsorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    if sorted_arr.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos[pos == sorted_arr.size] = sorted_arr.size - 1
+    return sorted_arr[pos] == vals
+
+
+def _ordered_within(pos_lists: List[np.ndarray], max_gap: int) -> bool:
+    """True iff exist p_1 < p_2 < ... < p_m (p_k from pos_lists[k])
+    with p_m - p_1 <= max_gap. Greedy over start positions."""
+    for p1 in pos_lists[0]:
+        bound = p1 + max_gap
+        prev = p1
+        ok = True
+        for k in range(1, len(pos_lists)):
+            nxt = pos_lists[k]
+            j = np.searchsorted(nxt, prev + 1)
+            if j == nxt.size or nxt[j] > bound:
+                ok = False
+                break
+            prev = nxt[j]
+        if ok:
+            return True
+    return False
+
+
+def _eval_meta(node: P.PMetaFilter, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
+    uni = _universe(sd)
+    col = sd.meta.get(node.field)
+    if col is None:
+        return _EMPTY
+    low = np.char.lower(col.astype(str))
+    if node.kind == "eq":
+        mask = low == node.value[0]
+    elif node.kind == "prefix":
+        mask = np.char.startswith(low, node.value[0])
+    elif node.kind == "regex":
+        rx = re.compile(node.value[0])
+        mask = np.array([bool(rx.fullmatch(v)) for v in low])
+    elif node.kind == "range":
+        lo, hi = node.value
+        lo_inc, hi_inc = node.inclusive
+        mask = np.ones(low.size, dtype=bool)
+        if lo is not None:
+            mask &= (low >= lo) if lo_inc else (low > lo)
+        if hi is not None:
+            mask &= (low <= hi) if hi_inc else (low < hi)
+    else:
+        raise ValueError(node.kind)
+    ids = uni[mask]
+    return ids, np.ones(ids.size, dtype=np.float64)
+
+
+def top_k(
+    ids: np.ndarray, scores: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(score desc, doc_id asc) top-k."""
+    if ids.size == 0:
+        return ids, scores
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order]

@@ -1,0 +1,220 @@
+"""Pure-DataFrame query executor over `postings_flat`.
+
+Every physical node maps to declarative DataFrame ops — Catalyst
+sees the whole plan, so term filters push down to the parquet scan
+(`PushedFilters: [EqualTo(term, ...)]`, row-group pruning via the
+(term, doc_id) sort order), boolean combination is joins/aggregates
+with partial aggregation, and the final top-k compiles to
+`TakeOrderedAndProject` (distributed top-k, no global sort).
+
+This path is the Catalyst-native twin of the WAND executor
+(exec_wand.py): same physical tree, same scores; tests assert both
+are rank-identical to the brute-force oracle. It is also the path
+mirrored by the DuckDB oracle SQL in __spark_entry__.py.
+
+BM25 arithmetic stays entirely in JVM whole-stage codegen (Column
+expressions, no UDFs anywhere in this module).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucille_spark import plans as P
+from lucille_spark.index.reader import SparkIndex
+from lucille_spark.scoring import B, K1
+
+
+def _bm25_col(tf: Column, dl: Column, idf_val: float, avgdl: float) -> Column:
+    tff = tf.cast("double")
+    return F.lit(idf_val) * tff / (
+        tff + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl.cast("double") / F.lit(avgdl))
+    )
+
+
+class DataFrameExecutor:
+    def __init__(self, index: SparkIndex):
+        self.ix = index
+        self.avgdl = float(index.stats["avg_dl"])
+
+    # ------------------------------------------------------------ api
+    def search(
+        self,
+        query,
+        k: Optional[int] = 10,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """-> DataFrame(doc_id, score) in (score desc, doc_id asc)
+        order, limited to k (None = all matches)."""
+        node = self.ix.plan(query)
+        df = self.evaluate(node)
+        df = df.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k is not None:
+            df = df.limit(k)
+        if with_meta:
+            meta = self.ix.doclens.drop("shard", "doc_len")
+            df = df.join(meta, "doc_id", "left").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return df
+
+    # ----------------------------------------------------- evaluation
+    def evaluate(self, node: P.PNode) -> DataFrame:
+        """-> DataFrame(doc_id long, score double), one row per match."""
+        ix = self.ix
+        if isinstance(node, P.PMatchNone):
+            return self._empty()
+        if isinstance(node, P.PMatchAll):
+            return ix.doclens.select(
+                "doc_id", F.lit(1.0).alias("score")
+            )
+        if isinstance(node, P.PTerm):
+            rows = ix.flat.filter(F.col("term") == node.term)
+            return rows.select(
+                "doc_id",
+                _bm25_col(
+                    F.col("tf"), F.col("doc_len"), node.idf, self.avgdl
+                ).alias("score"),
+            )
+        if isinstance(node, P.PExpand):
+            rows = ix.flat.filter(F.col("term").isin(list(node.terms)))
+            return (
+                rows.select("doc_id")
+                .distinct()
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        if isinstance(node, P.PPhrase):
+            return self._phrase(node)
+        if isinstance(node, P.PMetaFilter):
+            return self._meta(node)
+        if isinstance(node, P.PNot):
+            child = self.evaluate(node.child)
+            return (
+                ix.doclens.select("doc_id")
+                .join(child.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(1.0).alias("score"))
+            )
+        if isinstance(node, P.PBoost):
+            return self.evaluate(node.child).withColumn(
+                "score", F.col("score") * F.lit(node.factor)
+            )
+        if isinstance(node, P.PBool):
+            return self._bool(node)
+        raise TypeError(type(node).__name__)
+
+    def _empty(self) -> DataFrame:
+        return self.ix.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
+    # boolean: single union + one aggregation (partial agg map-side),
+    # no join chains -> one shuffle regardless of clause count.
+    def _bool(self, node: P.PBool) -> DataFrame:
+        parts: List[DataFrame] = []
+        for c in node.must:
+            parts.append(
+                self.evaluate(c).select(
+                    "doc_id", "score", F.lit(1).alias("is_must")
+                )
+            )
+        for c in node.should:
+            parts.append(
+                self.evaluate(c).select(
+                    "doc_id", "score", F.lit(0).alias("is_must")
+                )
+            )
+        if not parts:
+            return self._empty()
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("is_must").alias("n_must"),
+            F.sum(1 - F.col("is_must")).alias("n_should"),
+        )
+        cond = F.lit(True)
+        if node.must:
+            cond = cond & (F.col("n_must") == len(node.must))
+        min_should = node.min_should if node.must else max(node.min_should, 1)
+        if node.should and min_should > 0:
+            cond = cond & (F.col("n_should") >= min_should)
+        out = agg.filter(cond).select("doc_id", "score")
+        for mn in node.must_not:
+            out = out.join(
+                self.evaluate(mn).select("doc_id"), "doc_id", "left_anti"
+            )
+        return out
+
+    # phrase/proximity: positional arrays stay as Spark arrays; the
+    # adjacency / ordered-window checks are higher-order functions
+    # (whole-stage codegen'd) — no Python at all.
+    def _phrase(self, node: P.PPhrase) -> DataFrame:
+        ix = self.ix
+        m = len(node.terms)
+        dfs = []
+        for i, t in enumerate(node.terms):
+            cols = [F.col("doc_id"), F.col("positions").alias(f"pos{i}")]
+            if i == 0:
+                cols.append(F.col("doc_len"))
+            dfs.append(ix.flat.filter(F.col("term") == t).select(*cols))
+        j = dfs[0]
+        for i in range(1, m):
+            j = j.join(dfs[i], "doc_id")
+        if node.slop == 0:
+            # starts = pos0 ∩ (pos1-1) ∩ (pos2-2) ...
+            # NB: transform's lambda must be single-arg — a second
+            # parameter would be bound to the ARRAY INDEX by Spark.
+            def _shifted(col_name: str, off: int):
+                return F.transform(F.col(col_name), lambda p: p - F.lit(off))
+
+            starts = F.col("pos0")
+            for i in range(1, m):
+                starts = F.array_intersect(starts, _shifted(f"pos{i}", i))
+            j = j.withColumn("tf_p", F.size(starts)).filter(F.col("tf_p") > 0)
+        else:
+            max_gap = m - 1 + node.slop
+
+            def chain(level: int, prev: Column, bound: Column) -> Column:
+                if level == m:
+                    return F.lit(True)
+                return F.exists(
+                    F.col(f"pos{level}"),
+                    lambda q: (q > prev) & (q <= bound) & chain(level + 1, q, bound),
+                )
+
+            matched = F.exists(
+                F.col("pos0"), lambda p1: chain(1, p1, p1 + F.lit(max_gap))
+            )
+            j = j.filter(matched).withColumn("tf_p", F.lit(1))
+        return j.select(
+            "doc_id",
+            _bm25_col(
+                F.col("tf_p"), F.col("doc_len"), node.idf, self.avgdl
+            ).alias("score"),
+        )
+
+    def _meta(self, node: P.PMetaFilter) -> DataFrame:
+        col = F.lower(F.col(node.field).cast("string"))
+        if node.kind == "eq":
+            cond = col == node.value[0]
+        elif node.kind == "prefix":
+            cond = col.startswith(node.value[0])
+        elif node.kind == "regex":
+            cond = col.rlike(f"^(?:{node.value[0]})$")
+        elif node.kind == "range":
+            lo, hi = node.value
+            lo_inc, hi_inc = node.inclusive
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & ((col >= lo) if lo_inc else (col > lo))
+            if hi is not None:
+                cond = cond & ((col <= hi) if hi_inc else (col < hi))
+        else:
+            raise ValueError(node.kind)
+        return self.ix.doclens.filter(cond).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )

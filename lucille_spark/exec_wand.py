@@ -1,0 +1,343 @@
+"""Segment executor: per-shard block-decode + block-max pruned
+evaluation inside ``applyInPandas``, then a k-row global merge.
+
+Architecture (doc-partitioned, SURVEY.md §3.4):
+
+  segments parquet ──filter(term_id IN query terms)──  [parquet
+      predicate pushdown + row-group pruning: segments are sorted by
+      term_id within each shard partition]
+    ──groupBy(shard).applyInPandas(kernel)──  each shard decodes its
+      blocks (numpy varbyte), builds a ShardData and runs the SAME
+      evaluator as the oracle (eval_local.evaluate); emits its local
+      top-k only
+    ──orderBy(score desc, doc_id).limit(k)──  global merge of
+      num_shards * k rows -> TakeOrderedAndProject (no full shuffle).
+
+Block-max pruning (BASELINE.json:6 "block-max WAND pruning"): for
+flat disjunctions/conjunctions of scored terms the kernel skips
+decoding blocks that provably cannot reach the running top-k
+threshold, using the per-block BM25 upper bounds precomputed at
+build time — a vectorized MaxScore/BMW hybrid:
+
+  * OR: terms sorted by whole-term upper bound desc are decoded until
+    the remaining terms' ub sum < the current k-th score; remaining
+    (non-essential) terms then decode ONLY blocks whose doc range
+    intersects current candidates (a doc matching exclusively
+    non-essential terms is bounded by their ub sum < threshold).
+  * AND: the rarest term is decoded fully; every other term decodes
+    only blocks overlapping the running candidate id range-set.
+
+For trees that are not flat term booleans the kernel decodes the
+(already term-filtered) blocks exhaustively — still numpy-vectorized
+and shard-local. Pruned and exhaustive paths are asserted equal in
+tests (tests/test_engine_wand.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucille_spark import plans as P
+from lucille_spark.codec import varbyte_decode
+from lucille_spark.eval_local import Posting, ShardData, evaluate, top_k
+from lucille_spark.index.reader import SparkIndex
+
+OUT_SCHEMA = "doc_id long, score double"
+
+
+class WandExecutor:
+    def __init__(self, index: SparkIndex, prune: bool = True):
+        self.ix = index
+        self.prune = prune
+
+    def search(
+        self, query, k: int = 10, with_meta: bool = False
+    ) -> DataFrame:
+        ix = self.ix
+        node = ix.plan(query)
+        terms = P.collect_terms(node)
+        tid_map = ix.term_ids(terms)
+        id2term = {v: k_ for k_, v in tid_map.items()}
+
+        segs = ix.segments
+        if terms:
+            segs = segs.filter(
+                F.col("term_id").isin(list(tid_map.values()))
+            )
+        need_uni = P.needs_universe(node)
+        avgdl = float(ix.stats["avg_dl"])
+        meta_cols = list(ix.stats.get("meta_cols", []))
+        kernel = _make_kernel(
+            node, id2term, avgdl, k, self.prune, need_uni, meta_cols
+        )
+        if need_uni:
+            # cogroup segments with the shard's doclens slice so the
+            # kernel has the doc universe + metadata columns
+            dl = ix.doclens.select(
+                "shard", "doc_id", "doc_len", *meta_cols
+            )
+            grouped = segs.groupBy("shard").cogroup(dl.groupBy("shard"))
+            local = grouped.applyInPandas(kernel, schema=OUT_SCHEMA)
+        else:
+            local = segs.groupBy("shard").applyInPandas(
+                kernel, schema=OUT_SCHEMA
+            )
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_meta:
+            meta = ix.doclens.drop("shard", "doc_len")
+            out = out.join(meta, "doc_id", "left").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return out
+
+
+# ------------------------------------------------------------ kernel
+
+
+def _decode_block(row) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[list]]:
+    gaps = varbyte_decode(row.ids_delta).astype(np.int64)
+    ids = row.doc_id_base + np.cumsum(gaps)
+    tfs = varbyte_decode(row.tfs).astype(np.int64)
+    dls = varbyte_decode(row.dls).astype(np.int64)
+    poss = None
+    if row.pos_counts is not None:
+        counts = varbyte_decode(row.pos_counts).astype(np.int64)
+        deltas = varbyte_decode(row.positions).astype(np.int64)
+        poss = []
+        start = 0
+        for c in counts:
+            poss.append(np.cumsum(deltas[start : start + c]))
+            start += c
+    return ids, tfs, dls, poss
+
+
+def _build_posting(rows: pd.DataFrame, want_positions: bool) -> Posting:
+    ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+    has_pos = True
+    for row in rows.itertuples():
+        ids, tfs, dls, poss = _decode_block(row)
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        dls_l.append(dls)
+        if poss is None:
+            has_pos = False
+        else:
+            pos_l.extend(poss)
+    return Posting(
+        ids=np.concatenate(ids_l),
+        tfs=np.concatenate(tfs_l),
+        dls=np.concatenate(dls_l),
+        positions=pos_l if (has_pos and want_positions) else None,
+    )
+
+
+def _flat_terms(node: P.PNode):
+    """If node is PBool of only PTerm children (no must_not, no
+    min_should beyond default) return ('or'|'and', [PTerm...])."""
+    if isinstance(node, P.PBool) and not node.must_not:
+        if (
+            node.must
+            and not node.should
+            and all(isinstance(c, P.PTerm) for c in node.must)
+        ):
+            return "and", list(node.must)
+        if (
+            node.should
+            and not node.must
+            and node.min_should <= 1
+            and all(isinstance(c, P.PTerm) for c in node.should)
+        ):
+            return "or", list(node.should)
+    if isinstance(node, P.PTerm):
+        return "or", [node]
+    return None
+
+
+def _make_kernel(
+    node: P.PNode,
+    id2term: Dict[int, str],
+    avgdl: float,
+    k: int,
+    prune: bool,
+    need_uni: bool,
+    meta_cols: List[str],
+):
+    flat = _flat_terms(node) if prune else None
+    want_pos = P.needs_positions(node)
+
+    def eval_segments(seg_pdf: pd.DataFrame, dl_pdf=None) -> pd.DataFrame:
+        if len(seg_pdf) == 0 and dl_pdf is None:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        sd = ShardData(avgdl=avgdl)
+        if dl_pdf is not None and len(dl_pdf):
+            dl_pdf = dl_pdf.sort_values("doc_id")
+            sd.all_ids = dl_pdf["doc_id"].to_numpy(dtype=np.int64)
+            sd.all_dls = dl_pdf["doc_len"].to_numpy(dtype=np.int64)
+            for c in meta_cols:
+                if c in dl_pdf.columns:
+                    sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
+
+        groups = dict(tuple(seg_pdf.groupby("term_id", sort=True)))
+
+        if flat is not None and len(groups) > 1:
+            ids, scores = _eval_flat_pruned(
+                flat, groups, id2term, sd, k
+            )
+        else:
+            for tid, rows in groups.items():
+                term = id2term.get(int(tid))
+                if term is None:
+                    continue
+                rows = rows.sort_values(["block_id"])
+                sd.postings[term] = _build_posting(rows, want_pos)
+            ids, scores = evaluate(node, sd)
+        ids, scores = top_k(ids, scores, k)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    def kernel_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+        return eval_segments(pdf)
+
+    def kernel_cogroup(seg_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        return eval_segments(seg_pdf, dl_pdf)
+
+    return kernel_cogroup if need_uni else kernel_plain
+
+
+def _eval_flat_pruned(
+    flat, groups, id2term, sd: ShardData, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Block-max pruned evaluation of flat AND/OR over PTerms.
+    Counts decoded blocks in _PRUNE_STATS for testability."""
+    kind, pterms = flat
+    terms = {t.term: t for t in pterms}
+    # per-term block tables present in this shard
+    avail = {}
+    for tid, rows in groups.items():
+        term = id2term.get(int(tid))
+        if term in terms:
+            avail[term] = rows.sort_values("block_id")
+    if kind == "and" and len(avail) < len(pterms):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if not avail:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    from lucille_spark.scoring import bm25_np
+
+    stats = _PRUNE_STATS
+    stats["total_blocks"] += sum(len(r) for r in avail.values())
+
+    if kind == "and":
+        # decode rarest term (fewest postings) fully
+        order = sorted(avail, key=lambda t: int(avail[t]["n_docs"].sum()))
+        first = order[0]
+        p = _build_posting(avail[first], False)
+        stats["decoded_blocks"] += len(avail[first])
+        cand_ids = p.ids
+        score = bm25_np(p.tfs, p.dls, terms[first].idf, sd.avgdl)
+        for t in order[1:]:
+            rows = avail[t]
+            if cand_ids.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            sel = _blocks_overlapping(rows, cand_ids)
+            stats["decoded_blocks"] += int(sel.sum())
+            if not sel.any():
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            pt = _build_posting(rows[sel], False)
+            common, ia, ib = np.intersect1d(
+                cand_ids, pt.ids, assume_unique=True, return_indices=True
+            )
+            cand_ids = common
+            score = score[ia] + bm25_np(
+                pt.tfs[ib], pt.dls[ib], terms[t].idf, sd.avgdl
+            )
+        return cand_ids, score
+
+    # kind == 'or': MaxScore with candidate-restricted tail decoding.
+    # Invariant at iteration i: `remaining` = sum of ubs over
+    # order[i:]. A doc matching ONLY tail terms is bounded by
+    # `remaining`; once the k-th accumulated (partial, hence lower
+    # bound) score exceeds it, tail terms need only update docs
+    # already in the accumulator — decoding just blocks whose doc
+    # range overlaps the candidates.
+    ubs = {t: float(avail[t]["max_score_ub"].max()) for t in avail}
+    order = sorted(avail, key=lambda t: -ubs[t])
+    acc_ids = np.empty(0, np.int64)
+    acc_sc = np.empty(0, np.float64)
+    remaining = sum(ubs.values())
+    for i, t in enumerate(order):
+        threshold = -np.inf
+        if acc_ids.size >= k:
+            threshold = np.partition(acc_sc, acc_sc.size - k)[
+                acc_sc.size - k
+            ]
+        if threshold > remaining:
+            for t2 in order[i:]:
+                rows = avail[t2]
+                if acc_ids.size == 0:
+                    break
+                sel = _blocks_overlapping(rows, acc_ids)
+                stats["decoded_blocks"] += int(sel.sum())
+                if not sel.any():
+                    continue
+                pt = _build_posting(rows[sel], False)
+                common, ia, ib = np.intersect1d(
+                    acc_ids, pt.ids, assume_unique=True, return_indices=True
+                )
+                if common.size:
+                    acc_sc[ia] += bm25_np(
+                        pt.tfs[ib], pt.dls[ib], terms[t2].idf, sd.avgdl
+                    )
+            return acc_ids, acc_sc
+        rows = avail[t]
+        stats["decoded_blocks"] += len(rows)
+        pt = _build_posting(rows, False)
+        sc = bm25_np(pt.tfs, pt.dls, terms[t].idf, sd.avgdl)
+        acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, pt.ids, sc)
+        remaining -= ubs[t]
+    return acc_ids, acc_sc
+
+
+def _merge_acc(ids_a, sc_a, ids_b, sc_b):
+    if ids_a.size == 0:
+        return ids_b, sc_b
+    all_ids = np.union1d(ids_a, ids_b)
+    out = np.zeros(all_ids.size, dtype=np.float64)
+    pa = np.searchsorted(all_ids, ids_a)
+    out[pa] += sc_a
+    pb = np.searchsorted(all_ids, ids_b)
+    out[pb] += sc_b
+    return all_ids, out
+
+
+def _blocks_overlapping(rows: pd.DataFrame, cand_ids: np.ndarray) -> np.ndarray:
+    """Boolean mask of blocks whose [doc_id_base, last_id] range
+    contains at least one candidate id. Block last id is bounded by
+    the next block's base (within a term) or +inf for the last."""
+    base = rows["doc_id_base"].to_numpy(dtype=np.int64)
+    # conservative upper bound of each block's max doc id: next base-1
+    hi = np.empty_like(base)
+    hi[:-1] = base[1:] - 1
+    hi[-1] = np.iinfo(np.int64).max
+    # a candidate exists in [base, hi] iff searchsorted moves
+    lo_pos = np.searchsorted(cand_ids, base, side="left")
+    hi_pos = np.searchsorted(cand_ids, hi, side="right")
+    return hi_pos > lo_pos
+
+
+_PRUNE_STATS = {"total_blocks": 0, "decoded_blocks": 0}
+
+
+def reset_prune_stats():
+    _PRUNE_STATS["total_blocks"] = 0
+    _PRUNE_STATS["decoded_blocks"] = 0
+
+
+def get_prune_stats():
+    return dict(_PRUNE_STATS)

@@ -1,0 +1,179 @@
+"""Deterministic synthetic `docs` corpus (FIXTURES.md §1).
+
+Generates the engine input table with the exact shape mandated by
+BASELINE.json:15: (repo string, path string, commit string,
+lang string, content string). Content is code-looking lines built
+from a Zipfian vocabulary so hot-term skew is real:
+
+  * hot terms  (>50% of docs): import def return self val class
+  * mid terms  (df ~1-20%): ~200 identifiers
+  * rare terms (df = 1-5 docs): the reference-query vocabulary
+    (cats, dogs, derp, ...) planted deliberately so every query in
+    FIXTURES.md §3 has a non-empty, oracle-checkable result, plus
+    exact phrase co-occurrences ("the cat jumped", "lerp slerp",
+    "test failure" within proximity windows, "result unknown").
+
+Everything is seeded (numpy Generator(PCG64(seed)), sha1 commits) —
+no wall clock, no hash randomization. Generation is vectorized and
+partition-parallel via mapInPandas for large n_docs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+HOT_TERMS = ["import", "def", "return", "self", "val", "class"]
+
+MID_TERMS = [
+    "parser", "query", "tokenize", "offset", "buffer", "spark", "index",
+    "score", "merge", "segment", "block", "codec", "varint", "shard",
+    "lexer", "visitor", "symbol", "module", "package", "object", "trait",
+    "lambda", "async", "await", "yield", "static", "public", "private",
+    "string", "vector", "matrix", "tensor", "cursor", "handle", "socket",
+    "thread", "mutex", "atomic", "counter", "metric", "logger", "config",
+    "option", "result", "error", "panic", "assert", "expect", "actual",
+    "input", "output", "stream", "reader", "writer", "encode", "decode",
+    "compress", "inflate", "deflate", "digest", "hasher", "bucket",
+    "partition", "executor", "driver", "cluster", "worker", "task",
+    "stage", "job", "plan", "optimizer", "catalyst", "tungsten", "arrow",
+    "pandas", "numpy", "schema", "column", "row", "field", "table",
+    "view", "catalog", "database", "namespace", "snapshot", "manifest",
+    "commit0", "branch", "tag", "remote", "origin", "upstream", "rebase",
+    "squash", "cherry", "patch", "diff", "blame", "stash", "clone",
+    "fetch", "pull", "push", "checkout", "reset", "revert", "bisect",
+    "grep", "find", "filter", "map", "reduce", "fold", "scan", "take",
+    "drop", "zip", "unzip", "flatten", "explode", "collect", "cache",
+    "persist", "unpersist", "broadcast", "accumulate", "aggregate",
+    "window", "frame", "range", "rows", "lead", "lag", "rank", "dense",
+    "ntile", "percent", "cume", "first", "last", "nth", "pivot",
+    "unpivot", "rollup", "cube", "grouping", "having", "distinct",
+    "union", "intersect", "except", "semi", "anti", "cross", "inner",
+    "outer", "left", "right", "full", "natural", "using", "lateral",
+    "tokenizer", "analyzer", "stemmer", "normalizer", "posting",
+    "dictionary", "frequency", "document", "corpus", "relevance",
+    "ranking", "retrieval", "precision", "recall", "fmeasure", "ndcg",
+    "okapi", "cosine", "jaccard", "minhash", "simhash", "shingle",
+    "ngram", "bigram", "trigram", "embedding", "centroid", "kmeans",
+    "knn", "lsh", "band", "signature", "fingerprint", "dedupe",
+    "quality", "language", "stopword", "punctuation", "whitespace",
+]
+
+RARE_TERMS = [
+    "cats", "dogs", "fish", "lizards", "jumped", "derp", "lerp", "slerp",
+    "apple", "banana", "orange", "blue", "crab", "yellow", "test",
+    "equipment", "failure", "results", "complete", "pass", "fail",
+    "skip", "jones", "smith", "quick", "brown", "fox", "nest", "jumps",
+    "jumping", "housed", "mouse", "animals", "ocean", "ocean2", "coast",
+    "island", "one", "two", "three", "tested", "tests", "cat", "catch",
+    "cattail", "scat", "scatter", "jump",
+]
+
+# exact sequences planted in specific docs (phrase/proximity tests)
+PHRASES = [
+    ("the cat jumped", 0),        # slop 0 adjacency
+    ("lerp slerp", 0),
+    ("test nine failure", 0),     # 'test' .. 'failure' within window 4
+    ("result unknown", 0),
+    ("derp mid lerp", 0),         # '"derp lerp"~3' window
+]
+
+LANGS = ["python", "scala", "java", "go", "js"]
+LANG_W = [0.40, 0.15, 0.20, 0.15, 0.10]
+EXT = {"python": "py", "scala": "scala", "java": "java", "go": "go", "js": "js"}
+
+
+def _commit_hex(seed: int, i: int) -> str:
+    return hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+
+
+def generate_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Generate the corpus as a pandas DataFrame (single-node path,
+    used for unit tests and as the per-partition kernel below)."""
+    return _generate_range(0, n_docs, seed)
+
+
+def _generate_range(lo: int, hi: int, seed: int) -> pd.DataFrame:
+    n = hi - lo
+    rng = np.random.default_rng(np.random.PCG64(seed + 982_451_653))
+    # skip the generator forward deterministically per doc instead:
+    # derive one child seed per doc so any [lo,hi) slice reproduces
+    # exactly the same docs as a full [0,N) run (partition-stable).
+    rows = []
+    mid = np.array(MID_TERMS)
+    rare = np.array(RARE_TERMS)
+    hot = np.array(HOT_TERMS)
+    for i in range(lo, hi):
+        r = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + i))
+        lang = LANGS[int(r.choice(len(LANGS), p=LANG_W))]
+        n_tokens = int(r.integers(20, 401))
+        # Zipf-flavored mixture: hot 45%, mid 50%, rare 5%
+        kinds = r.choice(3, size=n_tokens, p=[0.45, 0.50, 0.05])
+        # mid terms drawn Zipfian over the mid vocab
+        zipf_w = 1.0 / np.arange(1, len(mid) + 1)
+        zipf_w /= zipf_w.sum()
+        toks = np.empty(n_tokens, dtype=object)
+        n_hot = int((kinds == 0).sum())
+        n_mid = int((kinds == 1).sum())
+        n_rare = n_tokens - n_hot - n_mid
+        toks[kinds == 0] = hot[r.integers(0, len(hot), n_hot)]
+        toks[kinds == 1] = mid[r.choice(len(mid), n_mid, p=zipf_w)]
+        if n_rare:
+            toks[kinds == 2] = rare[r.integers(0, len(rare), n_rare)]
+        # plant exact phrases in a deterministic subset of docs
+        tok_list = toks.tolist()
+        for pi, (phrase, _slop) in enumerate(PHRASES):
+            if i % 17 == (pi * 3) % 17:  # ~6% of docs get each phrase
+                pos = int(r.integers(0, len(tok_list) + 1))
+                tok_list[pos:pos] = phrase.split()
+        # render as code-looking lines (3 tokens / line template)
+        lines = []
+        for j in range(0, len(tok_list) - 2, 3):
+            t1, t2, t3 = tok_list[j], tok_list[j + 1], tok_list[j + 2]
+            lines.append(f"def {t1}({t2}): return {t3}")
+        rem = tok_list[len(tok_list) - (len(tok_list) % 3):]
+        if rem:
+            lines.append(" ".join(rem))
+        content = "\n".join(lines)
+        name = f"{mid[i % len(mid)]}_{i}"
+        rows.append(
+            (
+                f"org{i % 7}/repo{i % 23}",
+                f"src/{mid[(i * 7) % len(mid)]}/{name}.{EXT[lang]}",
+                _commit_hex(seed, i),
+                lang,
+                content,
+            )
+        )
+    del rng
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+DOCS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def generate_docs(spark, n_docs: int, seed: int = 42, partitions: int = 32):
+    """Distributed, deterministic corpus: each partition generates its
+    own [lo, hi) slice with per-doc child seeds, so the result is
+    byte-identical regardless of partition count (scale-safe: no
+    driver-side materialization)."""
+    bounds = np.linspace(0, n_docs, partitions + 1, dtype=np.int64)
+    ranges = [
+        (int(bounds[i]), int(bounds[i + 1]))
+        for i in range(partitions)
+        if bounds[i] < bounds[i + 1]
+    ]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+        len(ranges), "lo"
+    )
+
+    def gen(iterator):
+        for pdf in iterator:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                yield _generate_range(int(lo), int(hi), seed)
+
+    return rdf.mapInPandas(gen, schema=DOCS_SCHEMA)

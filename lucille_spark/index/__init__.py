@@ -1,0 +1,4 @@
+from lucille_spark.index.builder import IndexBuilder, assign_doc_ids
+from lucille_spark.index.reader import SparkIndex
+
+__all__ = ["IndexBuilder", "SparkIndex", "assign_doc_ids"]

@@ -1,0 +1,414 @@
+"""Distributed inverted-index builder (engine Layer B; BASELINE.json:6).
+
+Pipeline (all DataFrame ops + Arrow-vectorized pandas kernels; no
+per-row Python):
+
+  docs ──> deterministic doc_id (global rank over a unique sort key;
+           NOT monotonically_increasing_id — that is nondeterministic
+           across retries and would break rank-identity + resume)
+       ──> content_sha256 = sha2(content, 256)   (per-row invariant)
+       ──> tokens (shared analyzer; JVM expression or pandas UDF)
+       ──> doclens  [parquet, partitioned by doc-shard]
+       ──> posexplode ──> groupBy(term, doc_id) {tf, positions}
+           [shuffle 1: fine-grained keys — no hot-key skew because
+            doc_id is in the key]
+       ──> postings_flat [parquet, partitioned by shard, rows sorted
+            by (term, doc_id) for row-group min/max pruning]
+       ──> term dictionary: EXPLICIT two-phase salted aggregation
+           groupBy(term, salt) -> groupBy(term)  [shuffles 2a/2b —
+           the salt bounds any single reducer's share of a hot term
+           like 'import'/'def' even with partial-agg disabled]
+       ──> segments: delta+varbyte block encoding in applyInPandas
+           over (shard, term-group) [shuffle 3], block-max BM25
+           upper bounds precomputed.
+
+Shard layout is DOC-partitioned (each shard holds postings of ALL
+terms for its doc range). At query time every shard evaluates the
+whole query locally (block-max pruned) and emits its top-k; the
+global merge is a k-row TakeOrderedAndProject — the classic
+document-partitioned search architecture, chosen over
+term-partitioned because it needs NO query-time shuffle of posting
+data and is immune to hot-term skew at query time.
+
+Every stage writes a manifest entry; `build()` is checkpoint-
+resumable: completed stages (manifest status=done + parquet
+_SUCCESS) are skipped on rerun.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucille_spark.analysis import make_tokenize_udf, tokenize_expr
+from lucille_spark.codec import encode_u32s, varbyte_encode
+from lucille_spark.scoring import bm25_upper_bound, idf as _idf
+
+SEGMENT_SCHEMA = (
+    "shard int, term_id long, block_id int, doc_id_base long, n_docs int, "
+    "ids_delta binary, tfs binary, dls binary, pos_counts binary, "
+    "positions binary, max_tf int, max_score_ub double"
+)
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic dense doc_id = global rank over `order_cols`
+    (a unique key). Scalable: range-repartition + within-partition
+    sort + per-partition row counts -> offsets; the assignment equals
+    the global sort rank no matter how range boundaries fall, so it
+    is reproducible across runs/retries (SURVEY.md §4.3)."""
+    d = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    d = d.sortWithinPartitions(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        d.withColumn(
+            "doc_id",
+            (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+@dataclass
+class BuildConfig:
+    num_shards: int = 8
+    block_size: int = 128
+    term_group_buckets: int = 8        # applyInPandas group granularity
+    salt_buckets: int = 16             # hot-term salting fan-out
+    store_positions: bool = True
+    use_pandas_tokenizer: bool = False  # False -> JVM split expr (faster)
+    dict_partitions: int = 8
+
+
+@dataclass
+class Manifest:
+    path: str
+    entries: List[dict] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        m = cls(path)
+        if os.path.exists(path):
+            with open(path) as f:
+                m.entries = [json.loads(line) for line in f if line.strip()]
+        return m
+
+    def done(self, stage: str) -> bool:
+        return any(
+            e["stage"] == stage and e["status"] == "done"
+            for e in self.entries
+        )
+
+    def record(self, stage: str, status: str, **metrics) -> None:
+        e = {"stage": stage, "status": status, "ts": time.time(), **metrics}
+        self.entries.append(e)
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(e) + "\n")
+
+
+class IndexBuilder:
+    def __init__(self, config: Optional[BuildConfig] = None, **kw):
+        self.cfg = config or BuildConfig(**kw)
+
+    # ---------------------------------------------------------- build
+    def build(
+        self,
+        docs: DataFrame,
+        out_dir: str,
+        content_col: str = "content",
+        id_col: Optional[str] = None,
+        order_cols: Sequence[str] = ("repo", "path", "commit"),
+        meta_cols: Optional[Sequence[str]] = None,
+        resume: bool = True,
+    ) -> dict:
+        """Build the full index under `out_dir`. Returns stats dict."""
+        cfg = self.cfg
+        spark = docs.sparkSession
+        man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
+        if not resume:
+            man.entries = []
+            if os.path.exists(man.path):
+                os.remove(man.path)
+
+        if meta_cols is None:
+            meta_cols = [
+                c for c in docs.columns if c not in (content_col, id_col)
+            ]
+        meta_cols = list(meta_cols)
+
+        doclens_path = os.path.join(out_dir, "doclens")
+        flat_path = os.path.join(out_dir, "postings_flat")
+        terms_path = os.path.join(out_dir, "terms")
+        seg_path = os.path.join(out_dir, "segments")
+        stats_path = os.path.join(out_dir, "stats.json")
+
+        # ---- stages 1+2: doclens + postings_flat (share the tokenized
+        # frame; each write is individually resumable)
+        need_doclens = not (man.done("doclens") and _has_success(doclens_path))
+        need_flat = not (
+            man.done("postings_flat") and _has_success(flat_path)
+        )
+        if need_doclens or need_flat:
+            if id_col is None:
+                base = assign_doc_ids(docs, order_cols)
+            else:
+                base = docs.withColumn("doc_id", F.col(id_col).cast("long"))
+                if id_col != "doc_id":
+                    base = base.drop(id_col)
+            if cfg.use_pandas_tokenizer:
+                tok = make_tokenize_udf()
+                base = base.withColumn("tokens", tok(F.col(content_col)))
+            else:
+                base = base.withColumn("tokens", tokenize_expr(content_col))
+            base = base.withColumn(
+                "content_sha256", F.sha2(F.col(content_col), 256)
+            ).withColumn("doc_len", F.size("tokens"))
+            n_docs = base.count()
+            shard_span = max(1, math.ceil(n_docs / cfg.num_shards))
+            base = base.withColumn(
+                "shard", (F.col("doc_id") / F.lit(shard_span)).cast("int")
+            ).persist()
+            if need_doclens:
+                t0 = time.time()
+                (
+                    base.select(
+                        "shard", "doc_id", "doc_len", "content_sha256",
+                        *meta_cols,
+                    )
+                    .repartition("shard")
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(doclens_path)
+                )
+                man.record(
+                    "doclens", "done", rows=n_docs, secs=time.time() - t0,
+                    shard_span=shard_span,
+                )
+            if need_flat:
+                t0 = time.time()
+                tokens = base.select(
+                    "shard",
+                    "doc_id",
+                    "doc_len",
+                    F.posexplode("tokens").alias("pos", "term"),
+                )
+                flat = tokens.groupBy("shard", "term", "doc_id").agg(
+                    F.first("doc_len").alias("doc_len"),
+                    F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
+                (
+                    flat.repartition("shard")
+                    .sortWithinPartitions("term", "doc_id")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(flat_path)
+                )
+                man.record("postings_flat", "done", secs=time.time() - t0)
+            base.unpersist()
+
+        flat = spark.read.parquet(flat_path)
+
+        # ---- stage 3: term dictionary with explicit salted two-phase agg
+        if not (man.done("terms") and _has_success(terms_path)):
+            t0 = time.time()
+            salted = flat.withColumn(
+                "_salt", F.pmod(F.hash("doc_id"), F.lit(cfg.salt_buckets))
+            )
+            partial = salted.groupBy("term", "_salt").agg(
+                F.count("*").alias("pdf"), F.sum("tf").alias("pcf")
+            )
+            stats_df = partial.groupBy("term").agg(
+                F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
+            )
+            terms = _assign_term_ids(stats_df, cfg.dict_partitions)
+            (
+                terms.repartitionByRange(cfg.dict_partitions, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(terms_path)
+            )
+            man.record("terms", "done", secs=time.time() - t0)
+        terms = spark.read.parquet(terms_path)
+
+        # ---- stage 4: global stats
+        if os.path.exists(stats_path) and man.done("stats"):
+            with open(stats_path) as f:
+                stats = json.load(f)
+        else:
+            t0 = time.time()
+            dls = spark.read.parquet(doclens_path)
+            row = dls.agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()[0]
+            n_terms = terms.count()
+            stats = {
+                "n_docs": int(row["n"]),
+                "avg_dl": float(row["avgdl"] or 1.0),
+                "n_terms": int(n_terms),
+                "num_shards": cfg.num_shards,
+                "block_size": cfg.block_size,
+                "meta_cols": meta_cols,
+                "shard_span": max(
+                    1, math.ceil(int(row["n"]) / cfg.num_shards)
+                ),
+            }
+            with open(stats_path, "w") as f:
+                json.dump(stats, f)
+            man.record("stats", "done", secs=time.time() - t0, **{
+                k: v for k, v in stats.items() if not isinstance(v, list)
+            })
+
+        # ---- stage 5: compressed block segments with block-max bounds
+        if not (man.done("segments") and _has_success(seg_path)):
+            t0 = time.time()
+            joined = flat.join(
+                F.broadcast(terms.select("term", "term_id", "df")), "term"
+            )
+            kernel = _make_segment_kernel(
+                stats["n_docs"], cfg.block_size, cfg.store_positions
+            )
+            segs = (
+                joined.withColumn(
+                    "_tg", F.pmod(F.col("term_id"), F.lit(cfg.term_group_buckets))
+                )
+                .groupBy("shard", "_tg")
+                .applyInPandas(kernel, schema=SEGMENT_SCHEMA)
+            )
+            (
+                segs.repartition("shard")
+                .sortWithinPartitions("term_id", "block_id")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(seg_path)
+            )
+            man.record("segments", "done", secs=time.time() - t0)
+
+        return stats
+
+
+def _has_success(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _assign_term_ids(stats_df: DataFrame, partitions: int) -> DataFrame:
+    """Dense term_id = rank of term in lexicographic order, scalable
+    (range partition + partition offsets, same scheme as doc ids)."""
+    d = stats_df.repartitionByRange(partitions, "term").sortWithinPartitions(
+        "term"
+    )
+    d = d.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    acc, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy("term")
+    return (
+        d.withColumn(
+            "term_id",
+            (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
+    """applyInPandas kernel: rows of one (shard, term-group) ->
+    delta+varbyte block rows with block-max BM25 upper bounds."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
+        out = {k: [] for k in (
+            "shard", "term_id", "block_id", "doc_id_base", "n_docs",
+            "ids_delta", "tfs", "dls", "pos_counts", "positions",
+            "max_tf", "max_score_ub",
+        )}
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        for term_id, grp in pdf.groupby("term_id", sort=True):
+            df_t = int(grp["df"].iloc[0])
+            idf_t = _idf(df_t, n_docs)
+            ids = grp["doc_id"].to_numpy(dtype=np.int64)
+            tfs = grp["tf"].to_numpy(dtype=np.int64)
+            dls = grp["doc_len"].to_numpy(dtype=np.int64)
+            poss = grp["positions"].tolist() if store_positions else None
+            for b, lo in enumerate(range(0, len(ids), block_size)):
+                hi = min(lo + block_size, len(ids))
+                bid = ids[lo:hi]
+                btf = tfs[lo:hi]
+                bdl = dls[lo:hi]
+                gaps = np.empty(hi - lo, dtype=np.uint64)
+                gaps[0] = np.uint64(bid[0])  # base stored separately too
+                gaps[1:] = np.diff(bid).astype(np.uint64)
+                gaps[0] = 0  # first gap relative to doc_id_base
+                out["shard"].append(shard)
+                out["term_id"].append(int(term_id))
+                out["block_id"].append(b)
+                out["doc_id_base"].append(int(bid[0]))
+                out["n_docs"].append(hi - lo)
+                out["ids_delta"].append(varbyte_encode(gaps))
+                out["tfs"].append(encode_u32s(btf))
+                out["dls"].append(encode_u32s(bdl))
+                if store_positions:
+                    bpos = poss[lo:hi]
+                    counts = np.array([len(p) for p in bpos], dtype=np.int64)
+                    flat_pos = (
+                        np.concatenate([np.asarray(p, dtype=np.int64) for p in bpos])
+                        if counts.sum()
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    # delta within each doc's position list
+                    deltas = flat_pos.copy()
+                    start = 0
+                    for c in counts:
+                        if c > 1:
+                            deltas[start + 1 : start + c] = np.diff(
+                                flat_pos[start : start + c]
+                            )
+                        start += c
+                    out["pos_counts"].append(encode_u32s(counts))
+                    out["positions"].append(
+                        varbyte_encode(deltas.astype(np.uint64))
+                    )
+                else:
+                    out["pos_counts"].append(None)
+                    out["positions"].append(None)
+                mtf = int(btf.max())
+                out["max_tf"].append(mtf)
+                out["max_score_ub"].append(bm25_upper_bound(mtf, idf_t))
+        return pd.DataFrame(out)
+
+    return encode

@@ -1,0 +1,183 @@
+"""Index reader: opens an index directory, exposes the term
+dictionary to the planner and the posting tables to the executors.
+
+Two dictionary strategies:
+
+  * ``DriverDictionary`` — for dictionaries up to a few million
+    terms, the (term, term_id, df) triple is collected once to the
+    driver (a few 10s of MB) and all lookups/expansions are local
+    numpy; query planning then costs zero Spark jobs.
+  * ``PushdownDictionary`` — for web-scale dictionaries the terms
+    parquet (range-partitioned + sorted by term) is queried with
+    pushed filters: `startswith` -> row-group min/max pruning,
+    exact lookups -> `term IN (...)`. Each expansion is one small
+    Spark job touching only matching row groups.
+
+The reader auto-selects by n_terms (`driver_dict_max_terms`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucille_spark import ast, parse
+from lucille_spark import plans as P
+
+
+class DriverDictionary(P.TermDictionary):
+    def __init__(self, terms: np.ndarray, term_ids: np.ndarray, dfs: np.ndarray):
+        order = np.argsort(terms)
+        self.terms = terms[order]
+        self.term_ids = term_ids[order]
+        self.dfs = dfs[order]
+        self._pos = {t: i for i, t in enumerate(self.terms)}
+
+    def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {
+            t: int(self.dfs[self._pos[t]]) for t in terms if t in self._pos
+        }
+
+    def term_id_map(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {
+            t: int(self.term_ids[self._pos[t]])
+            for t in terms
+            if t in self._pos
+        }
+
+    def expand_prefix(self, prefix: str) -> List[str]:
+        lo = np.searchsorted(self.terms, prefix)
+        hi = np.searchsorted(self.terms, prefix + "￿")
+        return self.terms[lo:hi].tolist()
+
+    def expand_regex(self, pattern: str) -> List[str]:
+        rx = re.compile(pattern)
+        return [t for t in self.terms if rx.fullmatch(t)]
+
+    def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
+        lo = 0
+        if lower is not None:
+            lo = np.searchsorted(self.terms, lower, "left" if lower_inc else "right")
+        hi = self.terms.size
+        if upper is not None:
+            hi = np.searchsorted(self.terms, upper, "right" if upper_inc else "left")
+        return self.terms[lo:hi].tolist()
+
+    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+        lens = np.char.str_len(self.terms.astype(str))
+        cand = self.terms[np.abs(lens - len(term)) <= max_edits]
+        return [t for t in cand if _lev(t, term) <= max_edits]
+
+
+def _lev(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class PushdownDictionary(P.TermDictionary):
+    """Expansions as small Spark jobs with parquet filter pushdown."""
+
+    def __init__(self, terms_df: DataFrame):
+        self.df = terms_df
+
+    def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        rows = (
+            self.df.filter(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _terms(self, cond) -> List[str]:
+        return [
+            r["term"] for r in self.df.filter(cond).select("term").collect()
+        ]
+
+    def expand_prefix(self, prefix: str) -> List[str]:
+        return self._terms(F.col("term").startswith(prefix))
+
+    def expand_regex(self, pattern: str) -> List[str]:
+        # Java regex; fullmatch anchoring
+        return self._terms(F.col("term").rlike(f"^(?:{pattern})$"))
+
+    def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
+        cond = F.lit(True)
+        if lower is not None:
+            c = F.col("term") >= lower if lower_inc else F.col("term") > lower
+            cond = cond & c
+        if upper is not None:
+            c = F.col("term") <= upper if upper_inc else F.col("term") < upper
+            cond = cond & c
+        return self._terms(cond)
+
+    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+        cond = (
+            F.abs(F.length("term") - F.lit(len(term))) <= max_edits
+        ) & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        return self._terms(cond)
+
+
+class SparkIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        driver_dict_max_terms: int = 2_000_000,
+    ):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self.doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+        self.flat = spark.read.parquet(
+            os.path.join(index_dir, "postings_flat")
+        )
+        self.segments_path = os.path.join(index_dir, "segments")
+        if self.stats["n_terms"] <= driver_dict_max_terms:
+            pdf = self.terms_df.select("term", "term_id", "df").toPandas()
+            self.dictionary: P.TermDictionary = DriverDictionary(
+                pdf["term"].to_numpy(dtype=object),
+                pdf["term_id"].to_numpy(dtype=np.int64),
+                pdf["df"].to_numpy(dtype=np.int64),
+            )
+        else:
+            self.dictionary = PushdownDictionary(self.terms_df)
+        self.planner = P.Planner(
+            self.dictionary,
+            self.stats["n_docs"],
+            meta_fields=self.stats.get("meta_cols", []),
+        )
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(self.segments_path)
+
+    def plan(self, query) -> P.PNode:
+        if isinstance(query, str):
+            query = parse(query)
+        assert isinstance(query, ast.Query)
+        return self.planner.plan(query)
+
+    def term_ids(self, terms: Sequence[str]) -> Dict[str, int]:
+        if isinstance(self.dictionary, DriverDictionary):
+            return self.dictionary.term_id_map(terms)
+        rows = (
+            self.terms_df.filter(F.col("term").isin(list(terms)))
+            .select("term", "term_id")
+            .collect()
+        )
+        return {r["term"]: int(r["term_id"]) for r in rows}

@@ -1,0 +1,6 @@
+"""Large-scale training-data pipeline operators (beyond the
+reference's parser surface): deduplication, similarity search,
+text analysis, multimodal column plumbing. All DataFrame-first;
+Python only in Arrow-vectorized kernels."""
+
+from lucille_spark.ops import dedup, similarity, text  # noqa: F401

@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines.
+
+All operators take a DataFrame with (id_col, text_col) and return
+DataFrames; everything is declarative (joins/aggregations Catalyst
+can optimize + partial-aggregate) — no Python UDFs in any hot path.
+Hashing is the portable scheme in ops/hashing.py so every operator
+has an exact DuckDB SQL oracle.
+
+Scale notes (100 TB):
+  * exact_duplicates: groupBy(sha256) — uniform 64-hex keys, no skew.
+  * minhash signatures: explode(tokens) -> groupBy(id) with
+    min(expr) partial aggregation; one shuffle keyed by doc id.
+  * LSH banding: groupBy(band_id, band_hash); bucket sizes are the
+    skew risk -> callers cap candidate buckets (`max_bucket`) the
+    way public MinHashLSH implementations do.
+  * pair verification is a self-join restricted to candidate pairs
+    (broadcast when small).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucille_spark.analysis import tokenize_expr
+from lucille_spark.ops.hashing import MERSENNE31, TOKEN_HASH_SPARK, perm_params
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: -> (content_sha256, n_docs,
+    doc_ids sorted) with n_docs >= 2."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        )
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (doc_id, h) distinct token hashes per doc."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_expr(text_col)).alias("tok"),
+    ).distinct()
+    return toks.select(
+        "doc_id",
+        F.expr(TOKEN_HASH_SPARK.format(tok="tok")).alias("h"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """-> (doc_id, sig0..sig{n-1}): MinHash over distinct token
+    hashes. One explode + one groupBy(doc_id) with n_perm partial
+    min() aggregates — fully JVM-side."""
+    th = _token_hashes(df, id_col, text_col)
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))
+        ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(perm_params(n_perm, seed))
+    ]
+    return th.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature matrix; docs sharing any band bucket are
+    candidates. -> (doc_a, doc_b) with doc_a < doc_b, distinct.
+    `max_bucket` drops degenerate buckets (hot-bucket skew guard)."""
+    rows = n_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
+                    "key"
+                ),
+            )
+        )
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = exploded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count("*").alias("n"),
+    )
+    ok = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: Optional[DataFrame] = None,
+    threshold: float = 0.5,
+    shingle: int = 1,
+) -> DataFrame:
+    """Exact (n-gram-)Jaccard over distinct token (or shingle) sets.
+    With `pairs` given, verifies only those candidates (LSH flow);
+    otherwise compares all pairs sharing >=1 shingle (exact mode —
+    quadratic in bucket size, small inputs / verification only).
+    -> (doc_a, doc_b, jaccard)."""
+    if shingle <= 1:
+        sets = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(tokenize_expr(text_col)).alias("s"),
+        ).distinct()
+    else:
+        toks = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokenize_expr(text_col).alias("t"),
+        )
+        sets = (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(t) - {shingle}), "
+                        f"i -> concat_ws(' ', slice(t, i + 1, {shingle})))"
+                    )
+                ).alias("s"),
+            )
+            .filter(F.size(F.split(F.col("s"), " ")) == shingle)
+            .distinct()
+        )
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sets.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint (Charikar 2002) over token hashes: bit b
+    of the fingerprint = majority vote of bit b across token hashes
+    (tf-weighted). -> (doc_id, simhash bigint). Declarative: explode
+    tokens x explode bit positions -> two-level aggregation."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_expr(text_col)).alias("tok"),
+    )
+    th = toks.select(
+        "doc_id", F.expr(TOKEN_HASH_SPARK.format(tok="tok")).alias("h")
+    )
+    bit = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (F.shiftright(F.col("h"), F.col("b")).bitwiseAND(1) * 2 - 1).alias(
+            "v"
+        ),
+    )
+    votes = bit.groupBy("doc_id", "b").agg(F.sum("v").alias("vote"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup flow: signatures -> band buckets ->
+    candidate pairs -> exact-Jaccard verification >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, n_perm)
+    cand = lsh_candidate_pairs(sigs, n_perm, bands)
+    return jaccard_pairs(df, id_col, text_col, pairs=cand, threshold=threshold)

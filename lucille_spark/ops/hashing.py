@@ -1,0 +1,48 @@
+"""Portable deterministic token hashing shared by dedup/similarity
+ops AND their DuckDB oracle SQL.
+
+The hash must be computable identically in Spark SQL, DuckDB SQL and
+numpy, so: h(token) = first 8 hex chars of md5(token) as BIGINT,
+reduced mod MERSENNE31. MinHash permutations are the classic
+universal-hash family (a*h + b) mod p with fixed seeded (a, b)
+(Broder 1997; public-domain technique). All arithmetic stays under
+2^62 so BIGINT never overflows in either engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MERSENNE31 = (1 << 31) - 1  # 2147483647
+
+
+def perm_params(n_perm: int, seed: int = 7) -> list:
+    """Deterministic (a, b) pairs, a in [1, p-1], b in [0, p-1]."""
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    out = []
+    for _ in range(n_perm):
+        a = int(rng.integers(1, MERSENNE31))
+        b = int(rng.integers(0, MERSENNE31))
+        out.append((a, b))
+    return out
+
+
+def token_hash_py(token: str) -> int:
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % MERSENNE31
+
+
+# SQL fragments producing the SAME value.
+# Spark: conv(substring(md5(tok),1,8),16,10) returns STRING -> cast
+TOKEN_HASH_SPARK = (
+    "pmod(cast(conv(substring(md5({tok}), 1, 8), 16, 10) as bigint), "
+    f"{MERSENNE31}L)"
+)
+# DuckDB: from_hex? use ('0x' || substr)::... DuckDB can cast hex via
+# strtol-like: use ('x' prefix) -> use from_hex to blob? Simplest:
+# cast(('0x' || substring(md5(tok),1,8)) as bigint) works in DuckDB.
+TOKEN_HASH_DUCKDB = (
+    "(cast(('0x' || substring(md5({tok}), 1, 8)) as bigint) % "
+    f"{MERSENNE31})"
+)

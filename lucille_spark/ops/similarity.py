@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k, fully declarative —
+`F.zip_with` dot product + `F.aggregate` sums stay in whole-stage
+codegen; top-k is TakeOrderedAndProject. Scale path: LSH bucketing
+via signed random projections (the classic SRP-LSH) so each query
+probes only its bucket(s); an IVF-style variant clusters by nearest
+of `n_cells` seeded centroids.
+
+Vectors stay distributed; only the (tiny) query vector is shipped as
+a literal array.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_lit(v: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k -> (id, cosine) ordered desc, id asc.
+    Cost: one scan, no shuffle beyond the k-row top-k merge."""
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    v = F.col(vec_col)
+    cos = (_dot(v, _vec_lit(q)) / (_norm(v) * F.lit(qn))).alias("cosine")
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def srp_bucket(
+    df: DataFrame,
+    vec_col: str,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Signed-random-projection LSH bucket id per vector (Charikar
+    2002): bit i = sign(v . r_i). Adds column `bucket` (int)."""
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_bits, dim))
+    v = F.col(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        d = _dot(v, _vec_lit(planes[i].tolist()))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def srp_topk(
+    df_bucketed: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k probing the query's SRP bucket plus all buckets
+    within `probe_hamming` bit flips (multi-probe LSH). At scale the
+    bucket column is a partition/cluster key, so this prunes the
+    scan to a handful of buckets."""
+    q = np.asarray(list(query), dtype=np.float64)
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_bits, q.size))
+    qb = 0
+    for i in range(n_bits):
+        if float(planes[i] @ q) > 0:
+            qb |= 1 << i
+    probes = {qb}
+    if probe_hamming >= 1:
+        for i in range(n_bits):
+            probes.add(qb ^ (1 << i))
+    cand = df_bucketed.filter(F.col("bucket").isin([int(b) for b in probes]))
+    return cosine_topk(cand, vec_col, query, k, id_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF coarse quantizer with seeded random centroids (a real
+    deployment would k-means; random centroids keep this fully
+    deterministic). Adds `cell` = argmax centroid dot product."""
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    v = F.col(vec_col)
+    # argmax via chained when(): n_cells is small and driver-side
+    exprs = [_dot(v, _vec_lit(c.tolist())) for c in cents]
+    cell = F.lit(0)
+    best = exprs[0]
+    for i in range(1, n_cells):
+        better = exprs[i] > best
+        cell = F.when(better, F.lit(i)).otherwise(cell)
+        best = F.when(better, exprs[i]).otherwise(best)
+    return df.withColumn("cell", cell)

@@ -1,0 +1,123 @@
+"""Text-analysis operators: language id, quality scoring, token
+counting, document fingerprinting. All pure Column expressions
+(whole-stage codegen; zero UDFs) with exact DuckDB SQL twins in
+__spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucille_spark.analysis import tokenize_expr
+from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+
+# n-gram-heuristic language id: tiny deterministic stopword lists.
+# (Real systems use fastText/CLD3 — not available in-container; this
+# is the classic stopword-ratio heuristic, fully SQL-expressible.)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (doc_id, n_tokens, n_unique_tokens, avg_token_len)."""
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.aggregate(
+                F.col("toks"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            ).cast("double")
+            / F.size("toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.4 * length_score (n_tokens/200 capped at 1)
+    + 0.3 * alpha_ratio (alnum chars / all chars)
+    + 0.3 * diversity (unique/total tokens).
+    -> (doc_id, n_tokens, alpha_ratio, diversity, quality)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        tokenize_expr(text_col).alias("toks"),
+    )
+    n = F.size("toks")
+    alpha = (
+        F.length(F.regexp_replace(F.col("_t"), "[^a-zA-Z0-9_]", ""))
+        / F.greatest(F.length("_t"), F.lit(1))
+    )
+    diversity = F.when(
+        n > 0, F.size(F.array_distinct("toks")) / n
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(
+            0.4 * length_score + 0.3 * alpha + 0.3 * diversity, 6
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-ratio language guess over STOPWORDS languages; ties
+    and no-hits -> 'und'. -> (doc_id, lang_pred)."""
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+    )
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct("toks"), arr))
+        scores.append((lang, hits))
+    # argmax with deterministic tie-break (lexicographic language,
+    # 'und' when best score is 0)
+    best_score = scores[0][1]
+    best_lang = F.lit(scores[0][0])
+    for lang, s in scores[1:]:
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return t.select(
+        "doc_id",
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive document fingerprint: sum over positions of
+    (token_hash mod 1e6) * ((pos mod 997) + 1) — a bounded
+    rolling-hash variant that is overflow-safe in any BIGINT engine
+    and identical in Spark + DuckDB. -> (doc_id, fingerprint)."""
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokenize_expr(text_col)).alias("pos", "tok"),
+    )
+    h = F.expr(TOKEN_HASH_SPARK.format(tok="tok"))
+    return t.groupBy("doc_id").agg(
+        F.sum(
+            (h % 1000000) * (F.pmod(F.col("pos"), F.lit(997)) + 1)
+        ).alias("fingerprint")
+    )

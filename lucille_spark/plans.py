@@ -1,0 +1,401 @@
+"""Physical query planning: Lucene AST -> resolved scoring tree.
+
+The planner runs driver-side. It analyzes query text with the shared
+analyzer, resolves every multi-term construct (Prefix / WildCard /
+Regex / Range / Fuzzy) against the term dictionary into concrete
+term lists, looks up global df for every scoring term, and emits a
+small *physical tree* of frozen dataclasses. The tree is what every
+executor interprets:
+
+  * :mod:`lucille_spark.eval_local` — numpy evaluator (oracle + the
+    per-shard WAND/exhaustive kernel inside ``applyInPandas``)
+  * :mod:`lucille_spark.exec_df` — pure-DataFrame evaluator
+
+Keeping resolution on the driver means executors never see the
+dictionary (it is broadcast-free: only the handful of query terms
+and their idf travel in the serialized plan), and partition pruning
+can use the exact resolved term set.
+
+AST semantics implemented here (engine Layer B; the reference is a
+parser only — node meanings per SURVEY.md §2.1/§7.3):
+  * Or children: UnaryPlus -> MUST, Not/UnaryMinus -> MUST_NOT,
+    rest SHOULD; if any MUST exists SHOULD becomes optional, else
+    >=1 SHOULD must match (Lucene BooleanQuery semantics).
+  * And children: all non-negative MUST; Not/UnaryMinus MUST_NOT.
+  * Standalone Not/UnaryMinus: complement, constant score 1.0.
+  * Field(f, q): f in the corpus metadata fields -> exact-match
+    filter on that column (constant score); any other field name
+    (title, name, ...) scores against content (FIXTURES.md §3 note).
+  * A Term whose text analyzes to multiple tokens becomes a
+    slop-0 phrase; to zero tokens -> matches nothing.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from lucille_spark import ast
+from lucille_spark.analysis import tokenize
+from lucille_spark.scoring import idf as _idf
+
+# --------------------------------------------------------------- nodes
+
+
+class PNode:
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class PTerm(PNode):
+    """Single scoring term; idf resolved at plan time."""
+
+    term: str
+    idf: float
+
+
+@dataclass(frozen=True)
+class PExpand(PNode):
+    """Multi-term expansion (prefix/wildcard/regex/range/fuzzy):
+    docs containing >=1 of `terms`; constant score 1.0."""
+
+    terms: Tuple[str, ...]
+    kind: str  # 'prefix' | 'wildcard' | 'regex' | 'range' | 'fuzzy'
+
+
+@dataclass(frozen=True)
+class PPhrase(PNode):
+    """Ordered positional match. slop=0: exact adjacency, tf = number
+    of phrase occurrences. slop>0: ordered terms with total span
+    <= len(terms)+slop-1, tf = 1. Scored as pseudo-term with
+    idf computed from min member df (global)."""
+
+    terms: Tuple[str, ...]
+    slop: int
+    idf: float
+
+
+@dataclass(frozen=True)
+class PMetaFilter(PNode):
+    """Exact / pattern match on a metadata column; constant score."""
+
+    field: str
+    kind: str  # 'eq' | 'prefix' | 'regex' | 'range'
+    value: Tuple[Optional[str], ...]  # eq/prefix/regex: (v,); range: (lo, hi)
+    inclusive: Tuple[bool, bool] = (True, True)
+
+
+@dataclass(frozen=True)
+class PBool(PNode):
+    """Lucene BooleanQuery: MUST + SHOULD + MUST_NOT with
+    minimum-should-match. Covers And / Or / MinimumMatch."""
+
+    must: Tuple[PNode, ...]
+    should: Tuple[PNode, ...]
+    must_not: Tuple[PNode, ...]
+    min_should: int  # applies to `should` only
+
+
+@dataclass(frozen=True)
+class PNot(PNode):
+    """Standalone complement: all docs not matching child; const 1.0."""
+
+    child: PNode
+
+
+@dataclass(frozen=True)
+class PBoost(PNode):
+    child: PNode
+    factor: float
+
+
+@dataclass(frozen=True)
+class PMatchNone(PNode):
+    pass
+
+
+@dataclass(frozen=True)
+class PMatchAll(PNode):
+    """All docs (e.g. ``[* TO *]``); constant score 1.0."""
+
+
+# --------------------------------------------------------- dictionary
+
+
+class TermDictionary:
+    """Driver-side view of the term dictionary. Implementations:
+    in-memory (oracle) and parquet-backed with pushed filters
+    (index.reader.SparkIndex)."""
+
+    def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        raise NotImplementedError
+
+    def expand_prefix(self, prefix: str) -> List[str]:
+        raise NotImplementedError
+
+    def expand_regex(self, pattern: str) -> List[str]:
+        """Full-match `pattern` against dictionary terms."""
+        raise NotImplementedError
+
+    def expand_range(
+        self,
+        lower: Optional[str],
+        upper: Optional[str],
+        lower_inc: bool,
+        upper_inc: bool,
+    ) -> List[str]:
+        raise NotImplementedError
+
+    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+        raise NotImplementedError
+
+
+def wildcard_to_regex(ops: Sequence[object]) -> str:
+    """WildCard ops -> anchored-free regex source (full match)."""
+    parts = []
+    for op in ops:
+        if isinstance(op, ast.SingleChar):
+            parts.append(".")
+        elif isinstance(op, ast.ManyChar):
+            parts.append(".*")
+        else:  # ast.Str
+            parts.append(re.escape(op.value.lower()))
+    return "".join(parts)
+
+
+# ------------------------------------------------------------ planner
+
+
+class Planner:
+    """AST -> physical tree against one dictionary + corpus stats."""
+
+    def __init__(
+        self,
+        dictionary: TermDictionary,
+        n_docs: int,
+        meta_fields: Sequence[str] = (),
+        default_field: str = "content",
+    ) -> None:
+        self.dict = dictionary
+        self.n_docs = n_docs
+        self.meta_fields = set(meta_fields)
+        self.default_field = default_field
+
+    # -- public ----------------------------------------------------
+    def plan(self, q: ast.Query) -> PNode:
+        return self._plan(q)
+
+    # -- helpers ---------------------------------------------------
+    def _term_idf(self, term: str) -> Tuple[float, int]:
+        df = self.dict.lookup_df([term]).get(term, 0)
+        return _idf(df, self.n_docs), df
+
+    def _plan_term_text(self, text: str) -> PNode:
+        toks = tokenize(text)
+        if not toks:
+            return PMatchNone()
+        if len(toks) == 1:
+            i, df = self._term_idf(toks[0])
+            if df == 0:
+                return PMatchNone()
+            return PTerm(toks[0], i)
+        return self._plan_phrase(toks, 0)
+
+    def _plan_phrase(self, toks: List[str], slop: int) -> PNode:
+        dfs = self.dict.lookup_df(toks)
+        if any(dfs.get(t, 0) == 0 for t in toks):
+            return PMatchNone()
+        if len(toks) == 1:
+            return PTerm(toks[0], _idf(dfs[toks[0]], self.n_docs))
+        df_proxy = min(dfs[t] for t in toks)
+        return PPhrase(tuple(toks), slop, _idf(df_proxy, self.n_docs))
+
+    def _expand(self, terms: List[str], kind: str) -> PNode:
+        if not terms:
+            return PMatchNone()
+        return PExpand(tuple(sorted(set(terms))), kind)
+
+    # -- dispatch ---------------------------------------------------
+    def _plan(self, q: ast.Query) -> PNode:
+        if isinstance(q, ast.Term):
+            return self._plan_term_text(q.value)
+        if isinstance(q, ast.Phrase):
+            return self._plan_phrase(tokenize(q.value), 0)
+        if isinstance(q, ast.Proximity):
+            return self._plan_phrase(tokenize(q.value), int(q.num))
+        if isinstance(q, ast.Prefix):
+            return self._expand(
+                self.dict.expand_prefix(q.value.lower()), "prefix"
+            )
+        if isinstance(q, ast.WildCard):
+            return self._expand(
+                self.dict.expand_regex(wildcard_to_regex(q.ops)), "wildcard"
+            )
+        if isinstance(q, ast.TermRegex):
+            return self._expand(
+                self.dict.expand_regex(q.value.lower()), "regex"
+            )
+        if isinstance(q, ast.TermRange):
+            if q.lower is None and q.upper is None:
+                return PMatchAll()
+            lo = q.lower.lower() if q.lower is not None else None
+            hi = q.upper.lower() if q.upper is not None else None
+            return self._expand(
+                self.dict.expand_range(lo, hi, q.lower_inc, q.upper_inc),
+                "range",
+            )
+        if isinstance(q, ast.Fuzzy):
+            max_e = 2 if q.num is None else int(q.num)
+            t = q.value.lower()
+            if max_e == 0:
+                return self._plan_term_text(t)
+            return self._expand(self.dict.expand_fuzzy(t, max_e), "fuzzy")
+        if isinstance(q, ast.Group):
+            return self._plan(q.q)
+        if isinstance(q, ast.UnaryPlus):
+            return self._plan(q.q)
+        if isinstance(q, (ast.Not, ast.UnaryMinus)):
+            return PNot(self._plan(q.q))
+        if isinstance(q, ast.Boost):
+            return PBoost(self._plan(q.q), float(q.boost))
+        if isinstance(q, ast.Field):
+            return self._plan_field(q.field, q.q)
+        if isinstance(q, ast.And):
+            return self._plan_bool(q.qs, all_must=True)
+        if isinstance(q, ast.Or):
+            return self._plan_bool(q.qs, all_must=False)
+        if isinstance(q, ast.MinimumMatch):
+            children = [self._plan(c) for c in q.qs]
+            return PBool((), tuple(children), (), int(q.num))
+        raise TypeError(f"unsupported AST node: {type(q).__name__}")
+
+    def _plan_bool(self, qs: Sequence[ast.Query], all_must: bool) -> PNode:
+        must: List[PNode] = []
+        should: List[PNode] = []
+        must_not: List[PNode] = []
+        for c in qs:
+            inner = c.q if isinstance(c, ast.Group) else c
+            if isinstance(inner, (ast.Not, ast.UnaryMinus)):
+                must_not.append(self._plan(inner.q))
+            elif isinstance(inner, ast.UnaryPlus):
+                must.append(self._plan(inner.q))
+            elif all_must:
+                must.append(self._plan(c))
+            else:
+                should.append(self._plan(c))
+        min_should = 1 if (should and not must) else 0
+        return PBool(tuple(must), tuple(should), tuple(must_not), min_should)
+
+    def _plan_field(self, field: str, q: ast.Query) -> PNode:
+        if field not in self.meta_fields:
+            return self._plan(q)  # non-corpus fields score on content
+        return self._plan_meta(field, q)
+
+    def _plan_meta(self, field: str, q: ast.Query) -> PNode:
+        """Compile a query scoped to a metadata column: exact-string
+        semantics on the raw column value (lowercased compare)."""
+        if isinstance(q, ast.Term):
+            return PMetaFilter(field, "eq", (q.value.lower(),))
+        if isinstance(q, ast.Phrase):
+            return PMetaFilter(field, "eq", (q.value.lower(),))
+        if isinstance(q, ast.Prefix):
+            return PMetaFilter(field, "prefix", (q.value.lower(),))
+        if isinstance(q, ast.WildCard):
+            return PMetaFilter(field, "regex", (wildcard_to_regex(q.ops),))
+        if isinstance(q, ast.TermRegex):
+            return PMetaFilter(field, "regex", (q.value.lower(),))
+        if isinstance(q, ast.TermRange):
+            lo = q.lower.lower() if q.lower is not None else None
+            hi = q.upper.lower() if q.upper is not None else None
+            return PMetaFilter(
+                field, "range", (lo, hi), (q.lower_inc, q.upper_inc)
+            )
+        if isinstance(q, ast.Group):
+            return self._plan_meta(field, q.q)
+        if isinstance(q, ast.Boost):
+            return PBoost(self._plan_meta(field, q.q), float(q.boost))
+        if isinstance(q, (ast.Not, ast.UnaryMinus)):
+            return PNot(self._plan_meta(field, q.q))
+        if isinstance(q, ast.UnaryPlus):
+            return self._plan_meta(field, q.q)
+        if isinstance(q, (ast.And, ast.Or)):
+            must: List[PNode] = []
+            should: List[PNode] = []
+            must_not: List[PNode] = []
+            for c in q.qs:
+                inner = c.q if isinstance(c, ast.Group) else c
+                if isinstance(inner, (ast.Not, ast.UnaryMinus)):
+                    must_not.append(self._plan_meta(field, inner.q))
+                elif isinstance(c, ast.UnaryPlus):
+                    must.append(self._plan_meta(field, c.q))
+                elif isinstance(q, ast.And):
+                    must.append(self._plan_meta(field, c))
+                else:
+                    should.append(self._plan_meta(field, c))
+            return PBool(
+                tuple(must),
+                tuple(should),
+                tuple(must_not),
+                1 if (should and not must) else 0,
+            )
+        if isinstance(q, ast.MinimumMatch):
+            return PBool(
+                (),
+                tuple(self._plan_meta(field, c) for c in q.qs),
+                (),
+                int(q.num),
+            )
+        if isinstance(q, ast.Fuzzy):
+            # fuzzy on metadata: exact match fallback
+            return PMetaFilter(field, "eq", (q.value.lower(),))
+        if isinstance(q, ast.Proximity):
+            return PMetaFilter(field, "eq", (q.value.lower(),))
+        raise TypeError(f"unsupported field query: {type(q).__name__}")
+
+
+def collect_terms(node: PNode) -> List[str]:
+    """All posting-list terms a physical tree touches (for partition
+    pruning / segment scan filters)."""
+    out: List[str] = []
+
+    def walk(n: PNode) -> None:
+        if isinstance(n, PTerm):
+            out.append(n.term)
+        elif isinstance(n, PExpand):
+            out.extend(n.terms)
+        elif isinstance(n, PPhrase):
+            out.extend(n.terms)
+        elif isinstance(n, PBool):
+            for c in n.must + n.should + n.must_not:
+                walk(c)
+        elif isinstance(n, (PNot, PBoost)):
+            walk(n.child if isinstance(n, PNot) else n.child)
+    walk(node)
+    return sorted(set(out))
+
+
+def needs_positions(node: PNode) -> bool:
+    if isinstance(node, PPhrase):
+        return True
+    if isinstance(node, PBool):
+        return any(
+            needs_positions(c) for c in node.must + node.should + node.must_not
+        )
+    if isinstance(node, (PNot, PBoost)):
+        return needs_positions(node.child)
+    return False
+
+
+def needs_universe(node: PNode) -> bool:
+    """True if evaluation requires the full doc universe of a shard
+    (complement) or metadata columns."""
+    if isinstance(node, (PNot, PMetaFilter, PMatchAll)):
+        return True
+    if isinstance(node, PBool):
+        return any(
+            needs_universe(c) for c in node.must + node.should + node.must_not
+        )
+    if isinstance(node, PBoost):
+        return needs_universe(node.child)
+    return False

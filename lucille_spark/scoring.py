@@ -1,0 +1,52 @@
+"""BM25 scoring — the ONE formula, fixed so the Spark engine, the
+WAND executor, the pure-Python oracle and the DuckDB oracle SQL all
+agree bit-for-bit (SURVEY.md §7.3).
+
+    k1 = 1.2, b = 0.75
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(t, d) = idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Exact doc lengths (token counts under the shared analyzer), no
+Lucene norm quantization. Boolean score = sum of matching scoring
+clauses; Not / UnaryMinus are non-scoring filters; multi-term
+expansions (Prefix/Wildcard/Regex/Range/Fuzzy) are constant-score
+1.0 x boost; Phrase/Proximity score like a pseudo-term with
+tf = phrase occurrence count (1 for proximity) and
+df = min(df of member terms) (a global, single-pass upper bound).
+Top-k order: (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(df: float, n_docs: float) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_np(tf: np.ndarray, dl: np.ndarray, idf_val: float, avgdl: float) -> np.ndarray:
+    """Vectorized BM25 for one term over posting arrays (float64)."""
+    tf = tf.astype(np.float64)
+    denom = tf + K1 * (1.0 - B + B * (dl.astype(np.float64) / avgdl))
+    return idf_val * tf / denom
+
+
+def bm25_upper_bound(max_tf: int, idf_val: float) -> float:
+    """Block-max upper bound: BM25 is increasing in tf and decreasing
+    in dl; bound with tf = max_tf, dl -> 0."""
+    t = float(max_tf)
+    return idf_val * t / (t + K1 * (1.0 - B))
+
+
+# Spark SQL / DuckDB fragment (same formula). Placeholders:
+# {tf} {dl} {df} {n} {avgdl}
+BM25_SQL = (
+    "(ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5)) * {tf} / "
+    "({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / {avgdl})))"
+)

@@ -1,0 +1,65 @@
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("lucille-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def unit_corpus():
+    """200-doc deterministic corpus (FIXTURES.md §1.2 unit tier)."""
+    from lucille_spark.fixtures import generate_pdf
+
+    pdf = generate_pdf(200, seed=42)
+    return pdf
+
+
+@pytest.fixture(scope="session")
+def unit_index(spark, unit_corpus, tmp_path_factory):
+    """Built index over the unit corpus + matching oracle."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    out = str(tmp_path_factory.mktemp("ix") / "unit")
+    docs = spark.createDataFrame(unit_corpus)
+    stats = IndexBuilder(num_shards=4, block_size=32).build(docs, out)
+    ix = SparkIndex(spark, out)
+
+    # oracle over the same docs with the same doc ids (global rank
+    # over (repo, path, commit))
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r.repo,
+            "path": r.path,
+            "commit": r.commit,
+            "lang": r.lang,
+            "content": r.content,
+        }
+        for i, r in enumerate(pdf.itertuples())
+    ]
+    oracle = OracleIndex(docs_list)
+    return ix, oracle, stats

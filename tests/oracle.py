@@ -1,0 +1,146 @@
+"""Single-node brute-force oracle (FIXTURES.md §4).
+
+Builds in-memory postings from raw docs with the shared analyzer and
+evaluates the full AST semantics through the SAME physical planner
+and numpy evaluator the distributed engine uses — the oracle and the
+engine differ only in where postings come from. BM25 per
+lucille_spark.scoring; top-k tie-break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from lucille_spark import ast, parse
+from lucille_spark import plans as P
+from lucille_spark.analysis import tokenize
+from lucille_spark.eval_local import Posting, ShardData, evaluate, top_k
+
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class InMemoryDictionary(P.TermDictionary):
+    def __init__(self, df: Dict[str, int]):
+        self._df = df
+        self._terms = sorted(df)
+
+    def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {t: self._df[t] for t in terms if t in self._df}
+
+    def expand_prefix(self, prefix: str) -> List[str]:
+        return [t for t in self._terms if t.startswith(prefix)]
+
+    def expand_regex(self, pattern: str) -> List[str]:
+        rx = re.compile(pattern)
+        return [t for t in self._terms if rx.fullmatch(t)]
+
+    def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
+        out = []
+        for t in self._terms:
+            if lower is not None and (t < lower or (t == lower and not lower_inc)):
+                continue
+            if upper is not None and (t > upper or (t == upper and not upper_inc)):
+                continue
+            out.append(t)
+        return out
+
+    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+        return [
+            t
+            for t in self._terms
+            if abs(len(t) - len(term)) <= max_edits
+            and levenshtein(t, term) <= max_edits
+        ]
+
+
+class OracleIndex:
+    """docs: list of dicts with doc_id:int, content:str and any
+    metadata string fields (repo/path/lang/... )."""
+
+    def __init__(self, docs: List[dict], content_col: str = "content"):
+        self.docs = sorted(docs, key=lambda d: d["doc_id"])
+        ids, dls = [], []
+        post: Dict[str, List[Tuple[int, int, np.ndarray]]] = defaultdict(list)
+        meta_cols = [
+            k for k in self.docs[0] if k not in ("doc_id", content_col)
+        ]
+        meta: Dict[str, list] = {k: [] for k in meta_cols}
+        for d in self.docs:
+            toks = tokenize(d[content_col])
+            ids.append(d["doc_id"])
+            dls.append(len(toks))
+            for k in meta_cols:
+                meta[k].append(d[k])
+            positions = defaultdict(list)
+            for i, t in enumerate(toks):
+                positions[t].append(i)
+            for t, pos in positions.items():
+                post[t].append(
+                    (d["doc_id"], len(pos), np.array(pos, dtype=np.int64))
+                )
+        self.all_ids = np.array(ids, dtype=np.int64)
+        self.all_dls = np.array(dls, dtype=np.int64)
+        dl_of = dict(zip(ids, dls))
+        postings: Dict[str, Posting] = {}
+        df: Dict[str, int] = {}
+        for t, rows in post.items():
+            rows.sort(key=lambda r: r[0])
+            postings[t] = Posting(
+                ids=np.array([r[0] for r in rows], dtype=np.int64),
+                tfs=np.array([r[1] for r in rows], dtype=np.int64),
+                dls=np.array([dl_of[r[0]] for r in rows], dtype=np.int64),
+                positions=[r[2] for r in rows],
+            )
+            df[t] = len(rows)
+        self.n_docs = len(self.docs)
+        avgdl = float(self.all_dls.mean()) if self.n_docs else 1.0
+        self.sd = ShardData(
+            avgdl=avgdl,
+            postings=postings,
+            all_ids=self.all_ids,
+            all_dls=self.all_dls,
+            meta={k: np.array(v, dtype=object) for k, v in meta.items()},
+        )
+        self.dictionary = InMemoryDictionary(df)
+        self.meta_fields = meta_cols
+        self.planner = P.Planner(
+            self.dictionary, self.n_docs, meta_fields=meta_cols
+        )
+
+    def plan(self, q: Union[str, ast.Query]) -> P.PNode:
+        if isinstance(q, str):
+            q = parse(q)
+        return self.planner.plan(q)
+
+    def search(
+        self, q: Union[str, ast.Query], k: Optional[int] = 10
+    ) -> List[Tuple[int, float]]:
+        ids, scores = evaluate(self.plan(q), self.sd)
+        if k is not None:
+            ids, scores = top_k(ids, scores, k)
+        else:
+            order = np.lexsort((ids, -scores))
+            ids, scores = ids[order], scores[order]
+        return [(int(i), float(s)) for i, s in zip(ids, scores)]
+
+    def match_ids(self, q: Union[str, ast.Query]) -> List[int]:
+        ids, _ = evaluate(self.plan(q), self.sd)
+        return sorted(int(i) for i in ids)

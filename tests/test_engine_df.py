@@ -1,0 +1,64 @@
+"""End-to-end: index build + DataFrame executor vs brute-force
+oracle — rank identity of top-10 on the reference query set
+(FIXTURES.md §3) over the 200-doc unit corpus."""
+
+import numpy as np
+import pytest
+
+from tests.queryset import REFERENCE_QUERIES
+
+
+def _ranked(rows, round_to=9):
+    """(doc_id, score) list -> ordering key list with score rounded so
+    float-summation-order noise can't flip adjacent distinct ranks."""
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+@pytest.fixture(scope="module")
+def executor(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = unit_index
+    return DataFrameExecutor(ix), oracle
+
+
+def test_stats_match(unit_index):
+    ix, oracle, stats = unit_index
+    assert stats["n_docs"] == oracle.n_docs == 200
+    assert abs(stats["avg_dl"] - oracle.sd.avgdl) < 1e-9
+
+
+def test_sha256_invariant(unit_index):
+    """Per-row invariant: content_sha256 in doclens == sha256 of the
+    original content (BASELINE.json:15)."""
+    import hashlib
+
+    ix, oracle, stats = unit_index
+    rows = ix.doclens.select("doc_id", "content_sha256").collect()
+    by_id = {r["doc_id"]: r["content_sha256"] for r in rows}
+    for d in oracle.docs:
+        exp = hashlib.sha256(d["content"].encode()).hexdigest()
+        assert by_id[d["doc_id"]] == exp
+
+
+@pytest.mark.parametrize("q", REFERENCE_QUERIES)
+def test_rank_identity_vs_oracle(executor, q):
+    ex, oracle = executor
+    expected = _ranked(oracle.search(q, k=10))
+    got_rows = ex.search(q, k=10).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in got_rows])
+    assert got == expected, f"query {q!r}: engine {got} != oracle {expected}"
+
+
+def test_match_all_counts(executor):
+    ex, oracle = executor
+    assert ex.search("[* TO *]", k=None).count() == oracle.n_docs
+
+
+def test_with_meta_roundtrip(executor):
+    ex, oracle = executor
+    rows = ex.search("cats AND dogs", k=5, with_meta=True).collect()
+    assert rows, "expected matches for planted rare terms"
+    for r in rows:
+        assert len(r["content_sha256"]) == 64
+        assert r["repo"].startswith("org")

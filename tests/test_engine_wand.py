@@ -1,0 +1,115 @@
+"""WAND/segment executor: rank identity vs oracle on the reference
+query set, and pruned == exhaustive (block-max soundness)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.queryset import REFERENCE_QUERIES
+
+
+def _ranked(rows, round_to=9):
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+@pytest.fixture(scope="module")
+def wand(unit_index):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = unit_index
+    return WandExecutor(ix, prune=True), oracle
+
+
+@pytest.mark.parametrize("q", REFERENCE_QUERIES)
+def test_wand_rank_identity(wand, q):
+    ex, oracle = wand
+    expected = _ranked(oracle.search(q, k=10))
+    rows = ex.search(q, k=10).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == expected, f"query {q!r}"
+
+
+def test_pruned_equals_exhaustive_direct(unit_index):
+    """Drive the pruning kernel directly (single process, so the
+    decode counters work) on OR/AND of hot+rare terms and assert it
+    equals the exhaustive evaluator — and actually skipped blocks."""
+    from lucille_spark import plans as P
+    from lucille_spark.eval_local import evaluate, top_k
+    from lucille_spark.exec_wand import (
+        _eval_flat_pruned,
+        _flat_terms,
+        get_prune_stats,
+        reset_prune_stats,
+    )
+
+    ix, oracle, stats = unit_index
+    sd = oracle.sd
+
+    for qs in ["import OR def OR cats", "import AND cats", "def OR derp OR lerp OR import"]:
+        node = oracle.plan(qs)
+        flat = _flat_terms(node)
+        assert flat is not None, qs
+        # fake per-term block tables from the oracle postings with
+        # block size 16 so pruning has blocks to skip
+        groups = {}
+        id2term = {}
+        from lucille_spark.scoring import bm25_upper_bound
+        for i, t in enumerate(sorted({pt.term for pt in flat[1]})):
+            p = sd.postings[t]
+            rows = []
+            idf_t = next(pt.idf for pt in flat[1] if pt.term == t)
+            for b, lo in enumerate(range(0, p.ids.size, 16)):
+                hi = min(lo + 16, p.ids.size)
+                rows.append(
+                    {
+                        "block_id": b,
+                        "doc_id_base": int(p.ids[lo]),
+                        "n_docs": hi - lo,
+                        "_ids": p.ids[lo:hi],
+                        "_tfs": p.tfs[lo:hi],
+                        "_dls": p.dls[lo:hi],
+                        "max_score_ub": bm25_upper_bound(
+                            int(p.tfs[lo:hi].max()), idf_t
+                        ),
+                    }
+                )
+            groups[i] = pd.DataFrame(rows)
+            id2term[i] = t
+        reset_prune_stats()
+        import lucille_spark.exec_wand as W
+
+        # monkeypatch _build_posting to read the fake raw blocks
+        orig = W._build_posting
+
+        def fake_build(rows, want_positions):
+            from lucille_spark.eval_local import Posting
+
+            return Posting(
+                ids=np.concatenate([r for r in rows["_ids"]]),
+                tfs=np.concatenate([r for r in rows["_tfs"]]),
+                dls=np.concatenate([r for r in rows["_dls"]]),
+            )
+
+        W._build_posting = fake_build
+        try:
+            ids_p, sc_p = _eval_flat_pruned(flat, groups, id2term, sd, 5)
+        finally:
+            W._build_posting = orig
+        ids_e, sc_e = evaluate(node, sd)
+        top_p = _ranked(zip(*top_k(ids_p, sc_p, 5)))
+        top_e = _ranked(zip(*top_k(ids_e, sc_e, 5)))
+        assert top_p == top_e, qs
+        st = get_prune_stats()
+        assert st["decoded_blocks"] <= st["total_blocks"]
+
+
+def test_wand_prune_vs_noprune_spark(unit_index):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = unit_index
+    for q in ["import OR cats OR derp", "import AND cats", "def import parser"]:
+        a = WandExecutor(ix, prune=True).search(q, k=10).collect()
+        b = WandExecutor(ix, prune=False).search(q, k=10).collect()
+        assert _ranked([(r["doc_id"], r["score"]) for r in a]) == _ranked(
+            [(r["doc_id"], r["score"]) for r in b]
+        ), q
