@@ -1,38 +1,594 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: builds the inverted index over the
+sf0.001 `documents` table and runs a boolean BM25 query through the
+block-max WAND executor.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator
+(SURVEY.md §2 Layer B + training-data ops). Each Spark query is
+paired with DuckDB SQL computing the same result (same analyzer rule,
+same BM25 formula, same portable md5 token hashing — see
+lucille_spark/{analysis,scoring,ops/hashing}.py). Scores are rounded
+to 4 decimals AFTER top-k selection on both sides; ordering ties are
+broken by id everywhere.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+M31 = 2147483647
+
+# --------------------------------------------------------------------
+# index cache: one index per sf_dir, built lazily, resumable
+# --------------------------------------------------------------------
+_IX_CACHE: dict = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix", hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        IndexBuilder(num_shards=4, block_size=128).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _search_df(spark, sf_dir, q, k=10):
+    """DataFrame-executor search -> (doc_id, score rounded 4)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix = _index_for(spark, sf_dir)
+    out = DataFrameExecutor(ix).search(q, k=k)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _search_wand(spark, sf_dir, q, k=10):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix = _index_for(spark, sf_dir)
+    out = WandExecutor(ix).search(q, k=k)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index sf0.001 documents, run a boolean BM25 query
+    through the block-max WAND executor, return top-10 with doc
+    metadata + the sha256 invariant column."""
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix = _index_for(spark, "/root/testdata/sf0.001")
+    return WandExecutor(ix).search(
+        "table AND (batch OR window) AND NOT dup", k=10, with_meta=True
+    )
+
+
+# --------------------------------------------------------------------
+# DuckDB oracle SQL building blocks
+# --------------------------------------------------------------------
+
+_TOK = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9_]+'), t -> t <> '')) AS term FROM documents"
+)
+
+_POS = (
+    "SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY rp) - 1 AS p FROM (SELECT doc_id, unnest(arr) AS term, "
+    "unnest(range(1, len(arr) + 1)) AS rp FROM (SELECT doc_id, "
+    "regexp_split_to_array(lower(text), '[^a-z0-9_]+') AS arr FROM "
+    "documents)) WHERE term <> ''"
+)
+
+_DL = (
+    "SELECT d.doc_id, count(t.term) AS dl FROM documents d "
+    "LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id"
+)
+
+_ST = (
+    "SELECT (SELECT count(*) FROM documents) AS n, "
+    "(SELECT avg(dl) FROM dl) AS avgdl"
+)
+
+_HASH = f"(cast(('0x' || substring(md5(term), 1, 8)) as bigint) % {M31})"
+
+
+def _cte(terms) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+st AS ({_ST}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+"""
+
+
+def _const_score_sql(match_subquery: str, k: int = 10) -> str:
+    return (
+        f"WITH tok AS ({_TOK}), m AS ({match_subquery}) "
+        "SELECT doc_id, cast(1.0 as double) AS score FROM m "
+        f"ORDER BY doc_id LIMIT {k}"
+    )
+
+
+# --------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucille_spark.ops import dedup, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {}
+
+    # ---- full-text engine: DataFrame executor --------------------
+    q["ft_term"] = lambda s, d: _search_df(s, d, "spark")
+    q["ft_term_rare"] = lambda s, d: _search_df(s, d, "dup")
+    q["ft_and"] = lambda s, d: _search_df(s, d, "batch AND window AND spark")
+    q["ft_or"] = lambda s, d: _search_df(s, d, "spark batch window")
+    q["ft_and_not"] = lambda s, d: _search_df(s, d, "window AND NOT stream")
+    q["ft_not"] = lambda s, d: _search_df(s, d, "NOT dup")
+    q["ft_must_mustnot"] = lambda s, d: _search_df(s, d, "+spark -stream batch")
+    q["ft_phrase"] = lambda s, d: _search_df(s, d, '"batch window"')
+    q["ft_proximity"] = lambda s, d: _search_df(s, d, '"spark window"~5')
+    q["ft_field"] = lambda s, d: _search_df(s, d, "lang:de AND spark")
+    q["ft_field_prefix"] = lambda s, d: _search_df(s, d, "source:src1*", k=20)
+    q["ft_prefix"] = lambda s, d: _search_df(s, d, "sc*")
+    q["ft_wildcard"] = lambda s, d: _search_df(s, d, "st*am")
+    q["ft_regex"] = lambda s, d: _search_df(s, d, "/s.an/")
+    q["ft_range"] = lambda s, d: _search_df(s, d, "[table TO window]")
+    q["ft_fuzzy"] = lambda s, d: _search_df(s, d, "tble~1")
+    q["ft_minmatch"] = lambda s, d: _search_df(s, d, "(batch window stream)@2")
+    q["ft_boost"] = lambda s, d: _search_df(s, d, "batch^3 OR window^0.5")
+    q["ft_complex"] = lambda s, d: _search_df(
+        s, d, "table AND (batch OR window) AND NOT stream"
+    )
+    # ---- same semantics through the WAND/segment executor --------
+    q["wand_or"] = lambda s, d: _search_wand(s, d, "spark batch window")
+    q["wand_and"] = lambda s, d: _search_wand(
+        s, d, "batch AND window AND spark"
+    )
+
+    # ---- dedup ----------------------------------------------------
+    def exact_dup(s, d):
+        doc = _docs(s, d)
+        doubled = doc.unionAll(
+            doc.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+        )
+        g = dedup.exact_duplicates(doubled, "doc_id", "text")
+        return g.select(
+            "content_sha256",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.array_min("doc_ids").alias("min_id"),
+            F.array_max("doc_ids").alias("max_id"),
+        )
+
+    q["dd_exact"] = exact_dup
+    q["dd_minhash_sig"] = lambda s, d: dedup.minhash_signatures(
+        _docs(s, d).filter(F.col("doc_id") < 50), "doc_id", "text", n_perm=4
+    )
+    q["dd_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(
+            _docs(s, d).filter(F.col("doc_id") < 200), "doc_id", "text", 4
+        ),
+        n_perm=4,
+        bands=2,
+        max_bucket=10**9,
+    )
+    q["dd_jaccard"] = lambda s, d: dedup.jaccard_pairs(
+        _docs(s, d).filter(F.col("doc_id") < 60),
+        "doc_id",
+        "text",
+        threshold=0.8,
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    q["dd_simhash"] = lambda s, d: dedup.simhash(
+        _docs(s, d).filter(F.col("doc_id") < 50), "doc_id", "text", bits=16
+    )
+
+    # ---- text analysis --------------------------------------------
+    q["tx_token_stats"] = lambda s, d: text.token_stats(
+        _docs(s, d), "doc_id", "text"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+    )
+    q["tx_quality"] = lambda s, d: text.quality_score(
+        _docs(s, d), "doc_id", "text"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio",
+        "diversity",
+        "quality",
+    )
+    q["tx_langid"] = lambda s, d: text.language_id(_docs(s, d), "doc_id", "text")
+    q["tx_fingerprint"] = lambda s, d: text.fingerprint(
+        _docs(s, d), "doc_id", "text"
+    ).select("doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
+
+    # ---- similarity -----------------------------------------------
+    def cosine(s, d):
+        e = _emb(s, d)
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        dd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        dot = F.aggregate(
+            F.zip_with(dd, F.array(*[F.lit(v) for v in qv]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = F.sqrt(F.aggregate(dd, F.lit(0.0), lambda acc, x: acc + x * x))
+        qn = sum(v * v for v in qv) ** 0.5
+        cos = (dot / (nrm * F.lit(qn))).alias("c")
+        return (
+            e.select("vec_id", cos)
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(20)
+            .select("vec_id", F.round("c", 4).alias("cosine"))
+        )
+
+    q["sim_cosine_topk"] = cosine
+
+    # ---- rows-only entries (no SQL oracle; driver records rows) ---
+    q["sim_srp_ann"] = lambda s, d: similarity.srp_topk(
+        similarity.srp_bucket(_emb(s, d), "embedding", n_bits=6, dim=64),
+        "embedding",
+        [0.1] * 64,
+        k=10,
+        n_bits=6,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    q["dd_near_dup_flow"] = lambda s, d: dedup.near_duplicates_minhash(
+        _docs(s, d).filter(F.col("doc_id") < 100),
+        "doc_id",
+        "text",
+        n_perm=8,
+        bands=4,
+        threshold=0.6,
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def media_features(s, d):
+        from lucille_spark.ops import multimodal as mm
+
+        media = mm.synthesize_media(s, 48)
+        return mm.extract_features(media).select(
+            "media_id", "kind", "n_bytes", "sha256",
+            F.round("byte_mean", 4).alias("byte_mean"),
+        )
+
+    q["mm_features"] = media_features
+
+    def frame_plan(s, d):
+        from lucille_spark.ops import multimodal as mm
+
+        return mm.frame_sample_plan(mm.synthesize_media(s, 48), 1000)
+
+    q["mm_frame_plan"] = frame_plan
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    def topk_term(term, k=10):
+        return (
+            _cte([term])
+            + f"SELECT doc_id, round(s, 4) AS score FROM sc "
+            f"ORDER BY s DESC, doc_id LIMIT {k}"
+        )
+
+    o["ft_term"] = topk_term("spark")
+    o["ft_term_rare"] = topk_term("dup")
+
+    o["ft_and"] = (
+        _cte(["batch", "window", "spark"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr, count(*) AS m FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg WHERE m = 3
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+    o["wand_and"] = o["ft_and"]
+
+    o["ft_or"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+    o["wand_or"] = o["ft_or"]
+
+    o["ft_and_not"] = (
+        _cte(["window"])
+        + """
+SELECT doc_id, round(s, 4) AS score FROM sc
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    o["ft_not"] = (
+        f"WITH tok AS ({_TOK}) "
+        "SELECT doc_id, cast(1.0 as double) AS score FROM documents "
+        "WHERE doc_id NOT IN "
+        "(SELECT DISTINCT doc_id FROM tok WHERE term = 'dup') "
+        "ORDER BY doc_id LIMIT 10"
+    )
+
+    o["ft_must_mustnot"] = (
+        _cte(["spark", "batch"])
+        + """
+, sp AS (SELECT doc_id, s FROM sc WHERE term = 'spark'),
+ba AS (SELECT doc_id, s FROM sc WHERE term = 'batch')
+SELECT sp.doc_id, round(sp.s + coalesce(ba.s, 0.0), 4) AS score
+FROM sp LEFT JOIN ba USING (doc_id)
+WHERE sp.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+ORDER BY sp.s + coalesce(ba.s, 0.0) DESC, sp.doc_id LIMIT 10"""
+    )
+
+    # phrase: tf = adjacent (batch, window) start positions; pseudo-df
+    # = min of member dfs (plans.PPhrase contract)
+    o["ft_phrase"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+st AS ({_ST}),
+pos AS ({_POS}),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')) AS df),
+ph AS (SELECT a.doc_id, count(DISTINCT a.p) AS tfp
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'batch' AND b.term = 'window' GROUP BY a.doc_id),
+scp AS (SELECT ph.doc_id,
+        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * ph.tfp /
+        (ph.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM scp
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # proximity ~5 ordered: exists window-pos > spark-pos with gap <= 6
+    o["ft_proximity"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+st AS ({_ST}),
+pos AS ({_POS}),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'spark'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')) AS df),
+ph AS (SELECT DISTINCT a.doc_id
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         AND b.p > a.p AND b.p - a.p <= 6
+       WHERE a.term = 'spark' AND b.term = 'window'),
+scp AS (SELECT ph.doc_id,
+        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * 1 /
+        (1 + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM scp
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    o["ft_field"] = (
+        _cte(["spark"])
+        + """
+SELECT doc_id, round(1.0 + s, 4) AS score FROM sc
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lower(lang) = 'de')
+ORDER BY 1.0 + s DESC, doc_id LIMIT 10"""
+    )
+
+    o["ft_field_prefix"] = (
+        "SELECT doc_id, cast(1.0 as double) AS score FROM documents "
+        "WHERE lower(source) LIKE 'src1%' ORDER BY doc_id LIMIT 20"
+    )
+
+    o["ft_prefix"] = _const_score_sql(
+        "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sc%'"
+    )
+    o["ft_wildcard"] = _const_score_sql(
+        "SELECT DISTINCT doc_id FROM tok WHERE "
+        "regexp_full_match(term, 'st.*am')"
+    )
+    o["ft_regex"] = _const_score_sql(
+        "SELECT DISTINCT doc_id FROM tok WHERE regexp_full_match(term, 's.an')"
+    )
+    o["ft_range"] = _const_score_sql(
+        "SELECT DISTINCT doc_id FROM tok WHERE term >= 'table' AND "
+        "term <= 'window'"
+    )
+    o["ft_fuzzy"] = _const_score_sql(
+        "SELECT DISTINCT doc_id FROM tok WHERE "
+        "abs(length(term) - 4) <= 1 AND levenshtein(term, 'tble') <= 1"
+    )
+
+    o["ft_minmatch"] = (
+        _cte(["batch", "window", "stream"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr, count(*) AS m FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg WHERE m >= 2
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+
+    o["ft_boost"] = (
+        _cte(["batch", "window"])
+        + """
+, agg AS (SELECT doc_id,
+  sum(CASE term WHEN 'batch' THEN 3.0 * s ELSE 0.5 * s END) AS sr
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+
+    o["ft_complex"] = (
+        _cte(["table", "batch", "window"])
+        + """
+, ta AS (SELECT doc_id, s FROM sc WHERE term = 'table'),
+bw AS (SELECT doc_id, sum(s) AS s FROM sc WHERE term IN ('batch', 'window')
+       GROUP BY doc_id)
+SELECT ta.doc_id, round(ta.s + bw.s, 4) AS score
+FROM ta JOIN bw USING (doc_id)
+WHERE ta.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+ORDER BY ta.s + bw.s DESC, ta.doc_id LIMIT 10"""
+    )
+
+    # ---- dedup ----------------------------------------------------
+    o["dd_exact"] = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents)
+SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM doubled GROUP BY sha256(text) HAVING count(*) >= 2"""
+
+    # minhash: same (a,b) params as ops.hashing.perm_params(4, seed=7)
+    from lucille_spark.ops.hashing import perm_params
+
+    perms = perm_params(4, seed=7)
+    sig_exprs = ", ".join(
+        f"min(({a} * h + {b}) % {M31}) AS sig{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    o["dd_minhash_sig"] = f"""
+WITH tok AS ({_TOK}),
+th AS (SELECT DISTINCT doc_id, {_HASH} AS h FROM tok WHERE doc_id < 50)
+SELECT doc_id, {sig_exprs} FROM th GROUP BY doc_id"""
+
+    o["dd_lsh_pairs"] = f"""
+WITH tok AS ({_TOK}),
+th AS (SELECT DISTINCT doc_id, {_HASH} AS h FROM tok WHERE doc_id < 200),
+sig AS (SELECT doc_id, {sig_exprs} FROM th GROUP BY doc_id)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
+ ((a.sig0 = b.sig0 AND a.sig1 = b.sig1) OR
+  (a.sig2 = b.sig2 AND a.sig3 = b.sig3))"""
+
+    o["dd_jaccard"] = f"""
+WITH tok AS ({_TOK}),
+s AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < 60),
+sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter / (x.sz + y.sz - inter), 6) AS jaccard
+FROM i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+WHERE inter / (x.sz + y.sz - inter) >= 0.8"""
+
+    o["dd_simhash"] = f"""
+WITH tok AS ({_TOK}),
+th AS (SELECT doc_id, {_HASH} AS h FROM tok WHERE doc_id < 50),
+bits AS (SELECT unnest(range(0, 16)) AS b),
+v AS (SELECT doc_id, b,
+      sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN bits GROUP BY doc_id, b)
+SELECT doc_id,
+  cast(sum(CASE WHEN vote > 0 THEN (cast(1 as bigint) << b) ELSE 0 END)
+       as bigint) AS simhash
+FROM v GROUP BY doc_id"""
+
+    # ---- text analysis ---------------------------------------------
+    o["tx_token_stats"] = f"""
+WITH tok AS ({_TOK})
+SELECT d.doc_id,
+  count(t.term) AS n_tokens,
+  count(DISTINCT t.term) AS n_unique_tokens,
+  round(CASE WHEN count(t.term) > 0
+    THEN sum(length(t.term)) * 1.0 / count(t.term) ELSE 0.0 END, 6)
+    AS avg_token_len
+FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id"""
+
+    o["tx_quality"] = f"""
+WITH tok AS ({_TOK}),
+tc AS (SELECT d.doc_id, count(t.term) AS n,
+       count(DISTINCT t.term) AS u
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id)
+SELECT d.doc_id, tc.n AS n_tokens,
+  round(length(regexp_replace(d.text, '[^a-zA-Z0-9_]', '', 'g')) * 1.0
+        / greatest(length(d.text), 1), 6) AS alpha_ratio,
+  round(CASE WHEN tc.n > 0 THEN tc.u * 1.0 / tc.n ELSE 0.0 END, 6)
+    AS diversity,
+  round(0.4 * least(tc.n / 200.0, 1.0)
+      + 0.3 * (length(regexp_replace(d.text, '[^a-zA-Z0-9_]', '', 'g'))
+               * 1.0 / greatest(length(d.text), 1))
+      + 0.3 * (CASE WHEN tc.n > 0 THEN tc.u * 1.0 / tc.n ELSE 0.0 END), 6)
+    AS quality
+FROM documents d JOIN tc USING (doc_id)"""
+
+    from lucille_spark.ops.text import STOPWORDS
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+    o["tx_langid"] = f"""
+WITH tok AS ({_TOK}),
+h AS (SELECT d.doc_id,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('de')}) THEN t.term END) AS hde,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('en')}) THEN t.term END) AS hen,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('es')}) THEN t.term END) AS hes,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('fr')}) THEN t.term END) AS hfr
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id)
+SELECT doc_id, CASE
+  WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+  WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+  WHEN hen >= hes AND hen >= hfr THEN 'en'
+  WHEN hes >= hfr THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM h"""
+
+    o["tx_fingerprint"] = f"""
+WITH pos AS ({_POS})
+SELECT doc_id, cast(sum((({_HASH}) % 1000000) * ((p % 997) + 1)) as bigint)
+  AS fingerprint
+FROM pos GROUP BY doc_id"""
+
+    # ---- similarity -------------------------------------------------
+    o["sim_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (SELECT e.vec_id,
+      list_dot_product(e.embedding, q.qe) /
+      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+       sqrt(list_dot_product(q.qe, q.qe))) AS cr
+      FROM embeddings e CROSS JOIN q)
+SELECT vec_id, round(cr, 4) AS cosine FROM c
+ORDER BY cr DESC, vec_id LIMIT 20"""
+
+    return o

@@ -1,0 +1,131 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "files_per_sec": ...,
+ "p95_query_ms": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_DOCS          synthetic corpus size for the build-throughput
+                      leg (default 20000; the sf documents table is
+                      small, so build throughput is measured on the
+                      deterministic FIXTURES corpus at this size)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+
+QUERIES = [
+    ("term", "spark", "df"),
+    ("and3", "batch AND window AND spark", "df"),
+    ("or3", "spark batch window", "df"),
+    ("phrase", '"batch window"', "df"),
+    ("complex", "table AND (batch OR window) AND NOT stream", "df"),
+    ("prefix", "sc*", "df"),
+    ("wand_or", "spark batch window", "wand"),
+    ("wand_and", "batch AND window AND spark", "wand"),
+    ("wand_rare", "dup", "wand"),
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    t_start = time.time()
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("lucille-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucille_spark.fixtures import generate_docs
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    out = {}
+
+    # ---- leg 1: index-build throughput on the synthetic corpus ----
+    ix_dir = f"/tmp/lucille_bench_ix_{CPUS}_{BENCH_DOCS}"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    docs = generate_docs(spark, BENCH_DOCS, partitions=max(CPUS, 8))
+    docs = docs.persist()
+    n = docs.count()  # materialize generation outside the timed window
+    t0 = time.time()
+    IndexBuilder(
+        num_shards=max(CPUS // 2, 4), block_size=128
+    ).build(docs, ix_dir, resume=False)
+    build_sec = time.time() - t0
+    docs.unpersist()
+    out["build_sec"] = round(build_sec, 3)
+    out["files_per_sec"] = round(n / build_sec, 1)
+    out["n_docs_built"] = n
+
+    # ---- leg 2: query latency over the sf documents table ---------
+    entry_ix_dir = f"/tmp/lucille_bench_docix_{CPUS}"
+    if not os.path.exists(os.path.join(entry_ix_dir, "stats.json")):
+        d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        IndexBuilder(num_shards=4, block_size=128).build(
+            d, entry_ix_dir, content_col="text", id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, entry_ix_dir)
+    dfe, wde = DataFrameExecutor(ix), WandExecutor(ix)
+
+    qtimes = {}
+    lat = []
+    for name, q, path in QUERIES:
+        ex = dfe if path == "df" else wde
+        ex.search(q, k=10).collect()  # warm (plans, code gen, cache)
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            ex.search(q, k=10).collect()
+            reps.append(time.time() - t0)
+        qtimes[name] = round(sorted(reps)[1], 4)  # median
+        lat.extend(reps)
+    lat.sort()
+    p95 = lat[min(int(len(lat) * 0.95), len(lat) - 1)]
+
+    total = time.time() - t_start
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "index-build files/sec + BM25 top-10 query latency "
+                    "(DataFrame + block-max WAND executors)"
+                ),
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "files_per_sec": out["files_per_sec"],
+                "build_sec": out["build_sec"],
+                "n_docs_built": out["n_docs_built"],
+                "p95_query_ms": round(p95 * 1000, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

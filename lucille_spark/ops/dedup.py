@@ -201,14 +201,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     ).select(
         "doc_id",
         "b",
-        (F.shiftright(F.col("h"), F.col("b")).bitwiseAND(1) * 2 - 1).alias(
-            "v"
-        ),
+        # shiftright's PySpark wrapper takes only int shift amounts;
+        # the SQL function accepts column shifts
+        (F.expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).alias("v"),
     )
     votes = bit.groupBy("doc_id", "b").agg(F.sum("v").alias("vote"))
     return votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(0)
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 

@@ -1,0 +1,74 @@
+"""CLI: build the inverted index over a docs table.
+
+spark-submit --py-files lucille_spark.zip scripts/build_index.py \
+    --input /path/docs.parquet --output /path/index \
+    [--iceberg-table db.docs] [--content-col content] [--id-col doc_id] \
+    [--shards 64] [--block-size 128] [--no-resume]
+
+Input is either a parquet path or an Iceberg table name (the Iceberg
+runtime jar must be on the cluster; the sandbox tests the parquet
+path only — SURVEY.md §7.0). Package with:
+    cd <repo> && zip -r lucille_spark.zip lucille_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input")
+    ap.add_argument("--iceberg-table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--content-col", default="content")
+    ap.add_argument("--id-col", default=None)
+    ap.add_argument("--order-cols", default="repo,path,commit")
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from lucille_spark.index import IndexBuilder
+
+    spark = SparkSession.builder.appName("lucille-build-index").getOrCreate()
+    if args.iceberg_table:
+        docs = spark.read.table(args.iceberg_table)
+    elif args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --iceberg-table required")
+
+    t0 = time.time()
+    stats = IndexBuilder(
+        num_shards=args.shards,
+        block_size=args.block_size,
+        salt_buckets=args.salt_buckets,
+    ).build(
+        docs,
+        args.output,
+        content_col=args.content_col,
+        id_col=args.id_col,
+        order_cols=tuple(args.order_cols.split(",")),
+        resume=not args.no_resume,
+    )
+    secs = time.time() - t0
+    print(
+        json.dumps(
+            {
+                **stats,
+                "build_sec": round(secs, 2),
+                "files_per_sec": round(stats["n_docs"] / secs, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""CLI: run Lucene-syntax queries against a built index.
+
+spark-submit --py-files lucille_spark.zip scripts/query.py \
+    --index /path/index --query 'title:test AND (pass* OR fail*)' \
+    [--k 10] [--executor df|wand] [--meta]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--executor", choices=["df", "wand"], default="wand"
+    )
+    ap.add_argument("--meta", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.reader import SparkIndex
+
+    spark = SparkSession.builder.appName("lucille-query").getOrCreate()
+    ix = SparkIndex(spark, args.index)
+    ex = (
+        DataFrameExecutor(ix)
+        if args.executor == "df"
+        else WandExecutor(ix)
+    )
+    t0 = time.time()
+    rows = ex.search(args.query, k=args.k, with_meta=args.meta).collect()
+    secs = time.time() - t0
+    for r in rows:
+        print(r)
+    print(f"# {len(rows)} rows in {secs:.3f}s")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""Two-cluster-size scaling evidence (BASELINE.json:14).
+
+The north rule requires >=0.8 throughput scaling efficiency between
+N and 4N executors. No real cluster exists in this sandbox, so (per
+the driver instruction) we run the IDENTICAL index-build job at two
+parallelism levels on the same input and report throughput at both:
+
+    efficiency = throughput(local[4N]) / (4 * throughput(local[N]))
+
+Each level runs in its own subprocess (fresh JVM) via bench.py.
+Results are appended to BENCH/BASELINE.md.
+
+Usage: python scripts/scaling.py [n_small] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, n_docs: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_DOCS"] = str(n_docs)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=3600,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    n_big = n_small * 4
+
+    r_small = run_bench(n_small, n_docs)
+    r_big = run_bench(n_big, n_docs)
+    tps_s, tps_b = r_small["files_per_sec"], r_big["files_per_sec"]
+    eff = tps_b / (4.0 * tps_s)
+    report = {
+        "n_docs": n_docs,
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "files_per_sec_small": tps_s,
+        "files_per_sec_big": tps_b,
+        "speedup": round(tps_b / tps_s, 3),
+        "efficiency_Nto4N": round(eff, 3),
+        "p95_query_ms_big": r_big.get("p95_query_ms"),
+        "queries_big": r_big.get("queries"),
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,166 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal
+plumbing — correctness on small deterministic inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the mat",          # exact dup of 0
+                "the cat sat on the red mat",       # near dup
+                "completely different words here",
+                "the dog sat on the mat",           # near dup-ish
+                "zzz qqq",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_duplicates(docs_df):
+    from lucille_spark.ops.dedup import exact_duplicates
+
+    rows = exact_duplicates(docs_df, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_ids"] == [0, 1]
+    assert rows[0]["n_docs"] == 2
+
+
+def test_minhash_identical_docs_equal_sigs(docs_df):
+    from lucille_spark.ops.dedup import minhash_signatures
+
+    sigs = {
+        r["doc_id"]: tuple(r[f"sig{i}"] for i in range(8))
+        for r in minhash_signatures(docs_df, "doc_id", "text", 8).collect()
+    }
+    assert sigs[0] == sigs[1]          # identical docs
+    # near-dup shares most mins
+    same = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert same >= 4
+    assert sigs[0] != sigs[5]
+
+
+def test_lsh_finds_exact_pair(docs_df):
+    from lucille_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_duplicates_minhash,
+    )
+
+    sigs = minhash_signatures(docs_df, "doc_id", "text", 8)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, 8, bands=4).collect()
+    }
+    assert (0, 1) in pairs
+    verified = near_duplicates_minhash(
+        docs_df, "doc_id", "text", n_perm=8, bands=4, threshold=0.99
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in verified} >= {(0, 1)}
+
+
+def test_jaccard_values(docs_df):
+    from lucille_spark.ops.dedup import jaccard_pairs
+
+    rows = jaccard_pairs(
+        docs_df, "doc_id", "text", threshold=0.0
+    ).collect()
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert j[(0, 1)] == 1.0
+    # doc0 {the,cat,sat,on,mat} doc2 {the,cat,sat,on,red,mat}: 5/6
+    assert abs(j[(0, 2)] - 5 / 6) < 1e-9
+
+
+def test_simhash_similarity(docs_df):
+    from lucille_spark.ops.dedup import simhash
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs_df, "doc_id", "text", 32).collect()}
+    assert h[0] == h[1]
+    ham_near = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[5]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_topk(spark):
+    from lucille_spark.ops.similarity import cosine_topk, srp_bucket, srp_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = cosine_topk(df, "embedding", [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1]
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-9
+    b = srp_bucket(df, "embedding", n_bits=4, dim=4)
+    ann = srp_topk(b, "embedding", [1.0, 0.0, 0.0, 0.0], k=2, n_bits=4).collect()
+    assert ann and ann[0]["vec_id"] == 0
+
+
+def test_text_ops(docs_df):
+    from lucille_spark.ops.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+        token_stats,
+    )
+
+    ts = {r["doc_id"]: r for r in token_stats(docs_df, "doc_id", "text").collect()}
+    assert ts[0]["n_tokens"] == 6 and ts[0]["n_unique_tokens"] == 5
+    assert abs(ts[5]["avg_token_len"] - 3.0) < 1e-9
+
+    li = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_df, "doc_id", "text").collect()}
+    assert li[0] == "en"
+    assert li[5] == "und"
+
+    qs = {r["doc_id"]: r for r in quality_score(docs_df, "doc_id", "text").collect()}
+    assert 0 < qs[0]["quality"] < 1
+    assert qs[3]["diversity"] == 1.0
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs_df, "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[4]  # order/content-sensitive
+
+
+def test_fingerprint_matches_pure_python(docs_df):
+    from lucille_spark.ops.text import fingerprint
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.analysis import tokenize
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs_df, "doc_id", "text").collect()}
+    exp = 0
+    for i, t in enumerate(tokenize("the cat sat on the mat")):
+        exp += (token_hash_py(t) % 1000000) * ((i % 997) + 1)
+    assert fp[0] == exp
+
+
+def test_multimodal_features(spark):
+    from lucille_spark.ops.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 12)
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["sha256"]) == 64
+        assert len(r["feat"]) == 8
+        assert abs(sum(r["feat"]) - 1.0) < 1e-5
+    plan = frame_sample_plan(media, 1000)
+    rows = plan.collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len(rows) == sum((v["duration_ms"] + 999) // 1000 for v in vids)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_fn="real")

@@ -1,0 +1,108 @@
+"""Checkpoint/resume + deterministic rebuild + salting tests
+(SURVEY.md §5.2 items 4-5)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    from lucille_spark.fixtures import generate_pdf
+
+    return spark.createDataFrame(generate_pdf(80, seed=7))
+
+
+def _segment_fingerprint(spark, path):
+    """Order-insensitive digest of the segments table content."""
+    df = spark.read.parquet(os.path.join(path, "segments"))
+    rows = df.select(
+        "shard", "term_id", "block_id", "doc_id_base", "n_docs",
+        F.md5(F.base64("ids_delta")).alias("ih"),
+        F.md5(F.base64("tfs")).alias("th"),
+    ).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_resume_skips_completed_stages(spark, small_docs, tmp_path):
+    from lucille_spark.index import IndexBuilder
+
+    out = str(tmp_path / "ix1")
+    b = IndexBuilder(num_shards=3, block_size=16)
+    b.build(small_docs, out)
+    man_path = os.path.join(out, "manifest.jsonl")
+    n_entries = sum(1 for _ in open(man_path))
+    # delete segments only -> rebuild must redo just that stage
+    import shutil
+
+    fp_before = _segment_fingerprint(spark, out)
+    shutil.rmtree(os.path.join(out, "segments"))
+    b.build(small_docs, out)  # resume
+    entries = [json.loads(l) for l in open(man_path)]
+    stages = [e["stage"] for e in entries]
+    # doclens/postings_flat/terms recorded once, segments twice
+    assert stages.count("doclens") == 1
+    assert stages.count("segments") == 2
+    assert _segment_fingerprint(spark, out) == fp_before
+
+
+def test_full_rebuild_is_byte_identical(spark, small_docs, tmp_path):
+    from lucille_spark.index import IndexBuilder
+
+    a, bdir = str(tmp_path / "a"), str(tmp_path / "b")
+    IndexBuilder(num_shards=3, block_size=16).build(small_docs, a)
+    IndexBuilder(num_shards=3, block_size=16).build(small_docs, bdir)
+    assert _segment_fingerprint(spark, a) == _segment_fingerprint(
+        spark, bdir
+    )
+    sa = json.load(open(os.path.join(a, "stats.json")))
+    sb = json.load(open(os.path.join(bdir, "stats.json")))
+    assert sa == sb
+
+
+def test_doc_ids_are_global_rank(spark, small_docs):
+    from lucille_spark.index.builder import assign_doc_ids
+
+    got = (
+        assign_doc_ids(small_docs, ("repo", "path", "commit"), 5)
+        .select("repo", "path", "commit", "doc_id")
+        .collect()
+    )
+    triples = sorted((r["repo"], r["path"], r["commit"]) for r in got)
+    by_id = {r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in got}
+    assert sorted(by_id) == list(range(len(got)))
+    for i, t in enumerate(triples):
+        assert by_id[i] == t
+
+
+def test_salted_term_stats_match_plain_groupby(spark, small_docs, tmp_path):
+    """The explicit two-phase salted aggregation must equal a plain
+    groupBy(term) count/sum — salting changes the shuffle shape, not
+    the result (BASELINE.json:6 hot-term skew handling)."""
+    from lucille_spark.index import IndexBuilder
+
+    out = str(tmp_path / "ix_salt")
+    # salt_buckets=64 >> partitions forces heavy fan-out at tiny scale
+    IndexBuilder(num_shards=2, block_size=16, salt_buckets=64).build(
+        small_docs, out
+    )
+    terms = spark.read.parquet(os.path.join(out, "terms"))
+    flat = spark.read.parquet(os.path.join(out, "postings_flat"))
+    plain = flat.groupBy("term").agg(
+        F.count("*").alias("df2"), F.sum("tf").alias("cf2")
+    )
+    joined = terms.join(plain, "term", "full")
+    bad = joined.filter(
+        (F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2"))
+    ).count()
+    assert bad == 0
+    # hot fixture terms really are hot (df > 50% of docs)
+    hot = {r["term"]: r["df"] for r in terms.filter(
+        F.col("term").isin("import", "def", "return", "self")
+    ).collect()}
+    assert all(v > 40 for v in hot.values())
+    # term_id is the lexicographic rank
+    rows = terms.orderBy("term").collect()
+    assert [r["term_id"] for r in rows] == list(range(len(rows)))
