@@ -50,7 +50,7 @@ def _index_for(spark: SparkSession, sf_dir: str):
             id_col="doc_id",
             meta_cols=["lang", "source"],
         )
-    ix = SparkIndex(spark, out)
+    ix = SparkIndex(spark, out, cache=True)
     _IX_CACHE[key] = ix
     return ix
 

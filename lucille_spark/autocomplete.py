@@ -1,0 +1,26 @@
+"""Search-as-you-type: the engine-side use of ``map_last_term``
+(reference docs/index.md:67-96 — lucille's flagship transformation
+demo, re-expressed against our executors).
+
+The last term of the in-flight query is rewritten to
+``Or(Term(t), Prefix(t))`` so ``"jum"`` matches both the literal
+token and any completion (``jump``, ``jumped`` ...), then evaluated
+on whichever executor is supplied.
+"""
+
+from __future__ import annotations
+
+from lucille_spark import Or, Prefix, Term, parse
+from lucille_spark.ast import Query
+
+
+def expand_last_term(q: Query) -> Query:
+    """Rewrite the last Term t -> Or(Term(t), Prefix(t)); the same
+    per-node recursion rules as the reference (Query.scala:30)."""
+    return q.map_last_term(lambda t: Or.of(Term(t.value), Prefix(t.value)))
+
+
+def search_as_you_type(executor, query_string: str, k: int = 10):
+    """Parse the partial query, expand its last term, run it.
+    `executor` is a DataFrameExecutor or WandExecutor."""
+    return executor.search(expand_last_term(parse(query_string)), k=k)

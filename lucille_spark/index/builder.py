@@ -5,22 +5,30 @@ per-row Python):
 
   docs ──> deterministic doc_id (global rank over a unique sort key;
            NOT monotonically_increasing_id — that is nondeterministic
-           across retries and would break rank-identity + resume)
+           across retries and would break rank-identity + resume).
+           After assignment the frame is RANGE-partitioned by the
+           sort key, i.e. by doc_id — this partitioning is reused by
+           every downstream stage (shards are doc_id ranges).
        ──> content_sha256 = sha2(content, 256)   (per-row invariant)
        ──> tokens (shared analyzer; JVM expression or pandas UDF)
-       ──> doclens  [parquet, partitioned by doc-shard]
-       ──> posexplode ──> groupBy(term, doc_id) {tf, positions}
-           [shuffle 1: fine-grained keys — no hot-key skew because
-            doc_id is in the key]
-       ──> postings_flat [parquet, partitioned by shard, rows sorted
-            by (term, doc_id) for row-group min/max pruning]
+       ──> doclens  [parquet, partitionBy(shard) — NO shuffle: each
+            range partition covers 1-2 shards]
+       ──> postings_flat: per-partition vectorized pandas kernel
+           (numpy lexsort/group-boundary; tokens never leave their
+           partition) -> (term, doc_id, tf, positions, doc_len),
+           local sort by (term, doc_id) for parquet row-group
+           min/max pruning, partitionBy(shard) write.
+           [ZERO shuffle — the classic "local inverted index per
+           split" pattern; at 100 TB this is the difference between
+           shuffling ~2x corpus size and shuffling nothing]
        ──> term dictionary: EXPLICIT two-phase salted aggregation
-           groupBy(term, salt) -> groupBy(term)  [shuffles 2a/2b —
-           the salt bounds any single reducer's share of a hot term
-           like 'import'/'def' even with partial-agg disabled]
+           groupBy(term, salt) -> groupBy(term)  [shuffle 1, tiny
+           rows — the salt bounds any single reducer's share of a
+           hot term like 'import'/'def' even with partial-agg
+           disabled]
        ──> segments: delta+varbyte block encoding in applyInPandas
-           over (shard, term-group) [shuffle 3], block-max BM25
-           upper bounds precomputed.
+           over (shard, term-group) [shuffle 2, the only full-data
+           shuffle], block-max BM25 upper bounds precomputed.
 
 Shard layout is DOC-partitioned (each shard holds postings of ALL
 terms for its doc range). At query time every shard evaluates the
@@ -42,16 +50,20 @@ import math
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lucille_spark.analysis import make_tokenize_udf, tokenize_expr
 from lucille_spark.codec import encode_u32s, varbyte_encode
 from lucille_spark.scoring import bm25_upper_bound, idf as _idf
+
+FLAT_SCHEMA = (
+    "shard int, term string, doc_id long, doc_len int, tf int, "
+    "positions array<int>"
+)
 
 SEGMENT_SCHEMA = (
     "shard int, term_id long, block_id int, doc_id_base long, n_docs int, "
@@ -103,7 +115,6 @@ class BuildConfig:
     term_group_buckets: int = 8        # applyInPandas group granularity
     salt_buckets: int = 16             # hot-term salting fan-out
     store_positions: bool = True
-    use_pandas_tokenizer: bool = False  # False -> JVM split expr (faster)
     dict_partitions: int = 8
 
 
@@ -183,28 +194,44 @@ class IndexBuilder:
                 base = docs.withColumn("doc_id", F.col(id_col).cast("long"))
                 if id_col != "doc_id":
                     base = base.drop(id_col)
-            if cfg.use_pandas_tokenizer:
-                tok = make_tokenize_udf()
-                base = base.withColumn("tokens", tok(F.col(content_col)))
-            else:
-                base = base.withColumn("tokens", tokenize_expr(content_col))
-            base = base.withColumn(
-                "content_sha256", F.sha2(F.col(content_col), 256)
-            ).withColumn("doc_len", F.size("tokens"))
+                # restore the doc_id range partitioning the zero-
+                # shuffle writes below rely on
+                base = base.repartitionByRange(
+                    max(docs.rdd.getNumPartitions(), cfg.num_shards),
+                    "doc_id",
+                )
+            # NB: tokens are never materialized as a Spark column —
+            # caching/shuffling array<string> columns is the dominant
+            # cost at scale. doc_len is a cheap native expression;
+            # full tokenization happens once, inside the postings
+            # kernel (Arrow-vectorized pandas, BASELINE.json:6).
+            base = base.persist()
             n_docs = base.count()
             shard_span = max(1, math.ceil(n_docs / cfg.num_shards))
             base = base.withColumn(
                 "shard", (F.col("doc_id") / F.lit(shard_span)).cast("int")
-            ).persist()
+            )
             if need_doclens:
                 t0 = time.time()
+                dl_schema = (
+                    "shard int, doc_id long, doc_len int, "
+                    "content_sha256 string, "
+                    + ", ".join(f"{c} string" for c in meta_cols)
+                )
                 (
                     base.select(
-                        "shard", "doc_id", "doc_len", "content_sha256",
-                        *meta_cols,
+                        "shard",
+                        "doc_id",
+                        F.col(content_col).alias("content"),
+                        *[
+                            F.col(c).cast("string").alias(c)
+                            for c in meta_cols
+                        ],
                     )
-                    .repartition("shard")
                     .sortWithinPartitions("doc_id")
+                    .mapInPandas(
+                        _make_doclens_kernel(meta_cols), schema=dl_schema
+                    )
                     .write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(doclens_path)
@@ -215,20 +242,11 @@ class IndexBuilder:
                 )
             if need_flat:
                 t0 = time.time()
-                tokens = base.select(
-                    "shard",
-                    "doc_id",
-                    "doc_len",
-                    F.posexplode("tokens").alias("pos", "term"),
-                )
-                flat = tokens.groupBy("shard", "term", "doc_id").agg(
-                    F.first("doc_len").alias("doc_len"),
-                    F.count("*").alias("tf"),
-                    F.sort_array(F.collect_list("pos")).alias("positions"),
-                )
+                flat = base.select(
+                    "shard", "doc_id", F.col(content_col).alias("content")
+                ).mapInPandas(_postings_kernel, schema=FLAT_SCHEMA)
                 (
-                    flat.repartition("shard")
-                    .sortWithinPartitions("term", "doc_id")
+                    flat.sortWithinPartitions("term", "doc_id")
                     .write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(flat_path)
@@ -304,10 +322,11 @@ class IndexBuilder:
                 .groupBy("shard", "_tg")
                 .applyInPandas(kernel, schema=SEGMENT_SCHEMA)
             )
+            # each applyInPandas group is shard-homogeneous and its
+            # kernel emits rows sorted by (term_id, block_id), so the
+            # partitioned write needs no extra repartition/sort
             (
-                segs.repartition("shard")
-                .sortWithinPartitions("term_id", "block_id")
-                .write.mode("overwrite")
+                segs.write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(seg_path)
             )
@@ -344,6 +363,83 @@ def _assign_term_ids(stats_df: DataFrame, partitions: int) -> DataFrame:
         )
         .drop("_pid")
     )
+
+
+def _make_doclens_kernel(meta_cols: Sequence[str]):
+    """mapInPandas kernel for the doclens table: vectorized token
+    count (str.count of the analyzer regex — identical to
+    len(tokenize(content))) + sha256 (hashlib; equals Spark
+    sha2(content, 256) and DuckDB sha256 on the UTF-8 bytes)."""
+    import hashlib
+
+    from lucille_spark.analysis import _TOKEN_RE
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[["shard", "doc_id"]].copy()
+            out["doc_len"] = (
+                pdf["content"].str.count(_TOKEN_RE).astype("int32")
+            )
+            out["content_sha256"] = [
+                hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in pdf["content"]
+            ]
+            for c in meta_cols:
+                out[c] = pdf[c]
+            yield out[
+                ["shard", "doc_id", "doc_len", "content_sha256"]
+                + list(meta_cols)
+            ]
+
+    return kernel
+
+
+def _postings_kernel(batches):
+    """mapInPandas kernel: (shard, doc_id, content) rows -> flat
+    posting rows (shard, term, doc_id, doc_len, tf, positions).
+    Tokenization (vectorized pandas str.findall — the same analyzer
+    rule as analysis.tokenize) + numpy postings: flatten token
+    lists, lexsort by (doc, term), group-boundary detection,
+    np.split for position lists. No shuffle — postings are a
+    per-document computation."""
+    from lucille_spark.analysis import _TOKEN_RE
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        tok_lists = pdf["content"].str.lower().str.findall(_TOKEN_RE).tolist()
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+        )
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        gpos = (np.arange(total) - starts).astype(np.int32)
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+        shards = np.repeat(pdf["shard"].to_numpy(np.int32), lens)
+        doclens = np.repeat(lens, lens).astype(np.int32)
+        codes, uniques = pd.factorize(flat_terms, sort=False)
+        order = np.lexsort((gpos, codes, doc_ids))
+        d2, c2, p2 = doc_ids[order], codes[order], gpos[order]
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1])
+        gidx = np.flatnonzero(change)
+        tf = np.diff(np.append(gidx, total)).astype(np.int32)
+        yield pd.DataFrame(
+            {
+                "shard": shards[order][gidx],
+                "term": np.asarray(uniques, dtype=object)[c2[gidx]],
+                "doc_id": d2[gidx],
+                "doc_len": doclens[order][gidx],
+                "tf": tf,
+                "positions": np.split(p2, gidx[1:]),
+            }
+        )
 
 
 def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):

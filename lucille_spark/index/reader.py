@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -136,7 +136,11 @@ class SparkIndex:
         spark: SparkSession,
         index_dir: str,
         driver_dict_max_terms: int = 2_000_000,
+        cache: bool = False,
     ):
+        """`cache=True` pins the posting tables in Spark's in-memory
+        columnar cache — the right call for query serving (repeated
+        scans); leave False for one-shot batch jobs."""
         self.spark = spark
         self.dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -147,6 +151,13 @@ class SparkIndex:
             os.path.join(index_dir, "postings_flat")
         )
         self.segments_path = os.path.join(index_dir, "segments")
+        self._cached_segments = None
+        if cache:
+            self.flat = self.flat.cache()
+            self.doclens = self.doclens.cache()
+            self._cached_segments = spark.read.parquet(
+                self.segments_path
+            ).cache()
         if self.stats["n_terms"] <= driver_dict_max_terms:
             pdf = self.terms_df.select("term", "term_id", "df").toPandas()
             self.dictionary: P.TermDictionary = DriverDictionary(
@@ -164,6 +175,8 @@ class SparkIndex:
 
     @property
     def segments(self) -> DataFrame:
+        if self._cached_segments is not None:
+            return self._cached_segments
         return self.spark.read.parquet(self.segments_path)
 
     def plan(self, query) -> P.PNode:

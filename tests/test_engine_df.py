@@ -62,3 +62,18 @@ def test_with_meta_roundtrip(executor):
     for r in rows:
         assert len(r["content_sha256"]) == 64
         assert r["repo"].startswith("org")
+
+
+def test_search_as_you_type(executor):
+    """map_last_term engine integration: 'jum' expands to
+    Or(jum, jum*) and matches jump/jumped/jumping docs."""
+    from lucille_spark.autocomplete import expand_last_term, search_as_you_type
+    from lucille_spark import parse
+
+    ex, oracle = executor
+    expanded = expand_last_term(parse("the jum"))
+    expected = _ranked(oracle.search(expanded, k=10))
+    rows = search_as_you_type(ex, "the jum", k=10).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == expected
+    assert got, "prefix expansion should match planted jump* docs"
