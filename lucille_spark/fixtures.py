@@ -156,24 +156,39 @@ DOCS_SCHEMA = (
 )
 
 
-def generate_docs(spark, n_docs: int, seed: int = 42, partitions: int = 32):
+def generate_docs(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int = 32,
+    with_ids: bool = False,
+):
     """Distributed, deterministic corpus: each partition generates its
     own [lo, hi) slice with per-doc child seeds, so the result is
     byte-identical regardless of partition count (scale-safe: no
-    driver-side materialization)."""
+    driver-side materialization).
+
+    ``with_ids=True`` adds ``doc_id`` = the generator's global doc
+    index; the output is then already range-partitioned by doc_id,
+    so the index builder can skip its doc-id assignment shuffle
+    (``id_col='doc_id', assume_partitioned=True``)."""
     bounds = np.linspace(0, n_docs, partitions + 1, dtype=np.int64)
     ranges = [
         (int(bounds[i]), int(bounds[i + 1]))
         for i in range(partitions)
         if bounds[i] < bounds[i + 1]
     ]
-    rdf = spark.createDataFrame(ranges, "lo long, hi long").repartition(
-        len(ranges), "lo"
-    )
+    rdf = spark.createDataFrame(
+        ranges, "lo long, hi long"
+    ).repartitionByRange(len(ranges), "lo")
+    schema = ("doc_id long, " + DOCS_SCHEMA) if with_ids else DOCS_SCHEMA
 
     def gen(iterator):
         for pdf in iterator:
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
-                yield _generate_range(int(lo), int(hi), seed)
+                out = _generate_range(int(lo), int(hi), seed)
+                if with_ids:
+                    out.insert(0, "doc_id", np.arange(lo, hi, dtype=np.int64))
+                yield out
 
-    return rdf.mapInPandas(gen, schema=DOCS_SCHEMA)
+    return rdf.mapInPandas(gen, schema=schema)

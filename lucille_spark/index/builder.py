@@ -159,6 +159,7 @@ class IndexBuilder:
         order_cols: Sequence[str] = ("repo", "path", "commit"),
         meta_cols: Optional[Sequence[str]] = None,
         resume: bool = True,
+        assume_partitioned: bool = False,
     ) -> dict:
         """Build the full index under `out_dir`. Returns stats dict."""
         cfg = self.cfg
@@ -194,12 +195,13 @@ class IndexBuilder:
                 base = docs.withColumn("doc_id", F.col(id_col).cast("long"))
                 if id_col != "doc_id":
                     base = base.drop(id_col)
-                # restore the doc_id range partitioning the zero-
-                # shuffle writes below rely on
-                base = base.repartitionByRange(
-                    max(docs.rdd.getNumPartitions(), cfg.num_shards),
-                    "doc_id",
-                )
+                if not assume_partitioned:
+                    # restore the doc_id range partitioning the zero-
+                    # shuffle writes below rely on
+                    base = base.repartitionByRange(
+                        max(docs.rdd.getNumPartitions(), cfg.num_shards),
+                        "doc_id",
+                    )
             # NB: tokens are never materialized as a Spark column —
             # caching/shuffling array<string> columns is the dominant
             # cost at scale. doc_len is a cheap native expression;
@@ -322,14 +324,24 @@ class IndexBuilder:
                 .groupBy("shard", "_tg")
                 .applyInPandas(kernel, schema=SEGMENT_SCHEMA)
             )
-            # each applyInPandas group is shard-homogeneous and its
-            # kernel emits rows sorted by (term_id, block_id), so the
-            # partitioned write needs no extra repartition/sort
-            (
-                segs.write.mode("overwrite")
-                .partitionBy("shard")
-                .parquet(seg_path)
-            )
+            # AQE's byte-based partition coalescing would collapse the
+            # (shard, term-group) shuffle to a couple of reducers and
+            # serialize the python kernels — this stage needs GROUP
+            # parallelism, not byte balance.
+            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+            prev_coalesce = spark.conf.get(coalesce_key, "true")
+            spark.conf.set(coalesce_key, "false")
+            try:
+                # each applyInPandas group is shard-homogeneous and its
+                # kernel emits rows sorted by (term_id, block_id), so
+                # the partitioned write needs no repartition/sort
+                (
+                    segs.write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(seg_path)
+                )
+            finally:
+                spark.conf.set(coalesce_key, prev_coalesce)
             man.record("segments", "done", secs=time.time() - t0)
 
         return stats
@@ -481,20 +493,21 @@ def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
                 if store_positions:
                     bpos = poss[lo:hi]
                     counts = np.array([len(p) for p in bpos], dtype=np.int64)
-                    flat_pos = (
-                        np.concatenate([np.asarray(p, dtype=np.int64) for p in bpos])
-                        if counts.sum()
-                        else np.empty(0, dtype=np.int64)
-                    )
-                    # delta within each doc's position list
-                    deltas = flat_pos.copy()
-                    start = 0
-                    for c in counts:
-                        if c > 1:
-                            deltas[start + 1 : start + c] = np.diff(
-                                flat_pos[start : start + c]
-                            )
-                        start += c
+                    if counts.sum():
+                        flat_pos = np.concatenate(
+                            [np.asarray(p, dtype=np.int64) for p in bpos]
+                        )
+                        # delta within each doc's position list,
+                        # vectorized: plain diff, then reset each
+                        # doc's first position back to its absolute
+                        # value at the doc boundaries
+                        deltas = np.empty_like(flat_pos)
+                        deltas[0] = flat_pos[0]
+                        deltas[1:] = flat_pos[1:] - flat_pos[:-1]
+                        starts_b = np.cumsum(counts) - counts
+                        deltas[starts_b] = flat_pos[starts_b]
+                    else:
+                        deltas = np.empty(0, dtype=np.int64)
                     out["pos_counts"].append(encode_u32s(counts))
                     out["positions"].append(
                         varbyte_encode(deltas.astype(np.uint64))

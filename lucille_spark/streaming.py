@@ -1,0 +1,245 @@
+"""Incremental indexing via Structured Streaming.
+
+Lambda-style design suited to the doc-sharded layout:
+
+  * **Ingest** (`IncrementalIndexer`): a file-source stream over a
+    docs directory; each micro-batch builds a self-contained *delta
+    index* (doclens + flat postings + terms + stats) under
+    ``index_dir/delta_<batch_id>`` with doc_ids offset past every
+    previous batch (offset persisted in ``ingest_meta.json``;
+    foreachBatch + checkpointLocation give exactly-once batches, and
+    the per-delta build reuses the batch builder's resumable
+    stages).
+  * **Serve** (`open_multi`): a read-only view over all deltas —
+    flat postings / doclens are parquet unions, global stats are the
+    doc-count-weighted merge, the term dictionary is re-aggregated
+    (sum of per-delta dfs). The DataFrame executor works unchanged
+    on this view. (Per-delta term_ids are not comparable, so the
+    WAND/segment path serves single-delta or compacted indexes.)
+  * **Compact** (`compact`): merges all deltas into one ordinary
+    index — re-shards flat/doclens by the global doc space, then
+    runs the batch builder's dictionary/stats/segment stages on the
+    merged postings, producing a fully WAND-capable index.
+
+No watermarks/stateful operators are needed: indexing is
+append-only per batch; dedup/late-data policy belongs to the
+upstream docs pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucille_spark.index.builder import BuildConfig, IndexBuilder, Manifest
+from lucille_spark.index.reader import DriverDictionary, SparkIndex
+
+
+class IncrementalIndexer:
+    def __init__(
+        self,
+        index_dir: str,
+        content_col: str = "content",
+        order_cols: Sequence[str] = ("repo", "path", "commit"),
+        meta_cols: Optional[Sequence[str]] = None,
+        config: Optional[BuildConfig] = None,
+    ):
+        self.index_dir = index_dir
+        self.content_col = content_col
+        self.order_cols = tuple(order_cols)
+        self.meta_cols = meta_cols
+        self.cfg = config or BuildConfig(num_shards=4)
+        self._meta_path = os.path.join(index_dir, "ingest_meta.json")
+
+    # -- offset bookkeeping ---------------------------------------
+    def _load_meta(self) -> dict:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {"next_doc_id": 0, "batches": []}
+
+    def _save_meta(self, meta: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    # -- foreachBatch sink ----------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        meta = self._load_meta()
+        if any(b["batch_id"] == batch_id for b in meta["batches"]):
+            return  # replay after restart: already ingested
+        offset = meta["next_doc_id"]
+        delta_dir = os.path.join(self.index_dir, f"delta_{batch_id:06d}")
+        from lucille_spark.index.builder import assign_doc_ids
+
+        docs = assign_doc_ids(batch_df, self.order_cols).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(offset)
+        )
+        IndexBuilder(self.cfg).build(
+            docs,
+            delta_dir,
+            content_col=self.content_col,
+            id_col="doc_id",
+            meta_cols=self.meta_cols,
+        )
+        meta["next_doc_id"] = offset + n
+        meta["batches"].append(
+            {"batch_id": batch_id, "n_docs": n, "offset": offset}
+        )
+        self._save_meta(meta)
+
+    # -- stream wiring --------------------------------------------
+    def start(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        schema: str,
+        available_now: bool = True,
+    ):
+        """Start the ingest stream over a parquet docs directory.
+        `available_now=True` drains what's there and stops (batch
+        refresh); False runs continuously."""
+        stream = spark.readStream.schema(schema).parquet(input_path)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.index_dir, "_checkpoint"),
+            )
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def delta_dirs(self) -> List[str]:
+        meta = self._load_meta()
+        return [
+            os.path.join(self.index_dir, f"delta_{b['batch_id']:06d}")
+            for b in sorted(meta["batches"], key=lambda b: b["batch_id"])
+        ]
+
+
+class MultiIndex:
+    """Read-only union view over delta indexes; duck-types the parts
+    of SparkIndex the DataFrame executor uses (spark, stats, flat,
+    doclens, dictionary, planner, plan)."""
+
+    def __init__(self, spark: SparkSession, delta_dirs: Sequence[str]):
+        import numpy as np
+
+        from lucille_spark import ast, parse
+        from lucille_spark import plans as P
+
+        assert delta_dirs, "no deltas ingested yet"
+        self.spark = spark
+        stats = []
+        for d in delta_dirs:
+            with open(os.path.join(d, "stats.json")) as f:
+                stats.append(json.load(f))
+        n = sum(s["n_docs"] for s in stats)
+        avgdl = (
+            sum(s["avg_dl"] * s["n_docs"] for s in stats) / n if n else 1.0
+        )
+        self.stats = {
+            "n_docs": n,
+            "avg_dl": avgdl,
+            "meta_cols": stats[0].get("meta_cols", []),
+            "n_terms": None,
+        }
+        self.flat = spark.read.parquet(
+            *[os.path.join(d, "postings_flat") for d in delta_dirs]
+        )
+        self.doclens = spark.read.parquet(
+            *[os.path.join(d, "doclens") for d in delta_dirs]
+        )
+        terms = (
+            spark.read.parquet(*[os.path.join(d, "terms") for d in delta_dirs])
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .orderBy("term")
+        )
+        pdf = terms.toPandas()
+        self.stats["n_terms"] = len(pdf)
+        self.dictionary = DriverDictionary(
+            pdf["term"].to_numpy(dtype=object),
+            np.arange(len(pdf), dtype=np.int64),
+            pdf["df"].to_numpy(dtype=np.int64),
+        )
+        self.planner = P.Planner(
+            self.dictionary,
+            self.stats["n_docs"],
+            meta_fields=self.stats["meta_cols"],
+        )
+        self._parse, self._ast = parse, ast
+
+    def plan(self, query):
+        if isinstance(query, str):
+            query = self._parse(query)
+        return self.planner.plan(query)
+
+
+def open_multi(spark: SparkSession, index_dir: str) -> MultiIndex:
+    ixr = IncrementalIndexer(index_dir)
+    return MultiIndex(spark, ixr.delta_dirs())
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    config: Optional[BuildConfig] = None,
+) -> dict:
+    """Merge all deltas into one ordinary (WAND-capable) index:
+    re-shard flat + doclens over the global doc space, then run the
+    batch builder's terms/stats/segments stages on the merged
+    postings (build() resumes past stages 1-2 because their outputs
+    + manifest entries are in place)."""
+    cfg = config or BuildConfig()
+    ixr = IncrementalIndexer(index_dir)
+    deltas = ixr.delta_dirs()
+    assert deltas, "nothing to compact"
+    dl = spark.read.parquet(*[os.path.join(d, "doclens") for d in deltas])
+    flat = spark.read.parquet(
+        *[os.path.join(d, "postings_flat") for d in deltas]
+    )
+    n_docs = dl.count()
+    span = max(1, math.ceil(n_docs / cfg.num_shards))
+    reshard = (F.col("doc_id") / F.lit(span)).cast("int")
+    (
+        dl.withColumn("shard", reshard)
+        .repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "doclens"))
+    )
+    (
+        flat.withColumn("shard", reshard)
+        .repartition("shard")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "postings_flat"))
+    )
+    man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
+    man.record("doclens", "done", rows=n_docs, shard_span=span,
+               source="compact")
+    man.record("postings_flat", "done", source="compact")
+    meta_cols = [
+        c
+        for c in dl.columns
+        if c not in ("shard", "doc_id", "doc_len", "content_sha256")
+    ]
+    # stages 3-5 run via the ordinary resumable build
+    return IndexBuilder(cfg).build(
+        dl.limit(0), out_dir, id_col="doc_id", meta_cols=meta_cols,
+        resume=True,
+    )

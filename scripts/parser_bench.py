@@ -1,0 +1,68 @@
+"""Parser/printer micro-benchmark — the reference ships a JMH
+harness with these exact workloads but no committed numbers
+(reference benchmarks/.../QueryParserBenchmark.scala:35-50,
+QueryPrinterBenchmark.scala, MapLastTermBenchmark.scala). This
+mirrors the workloads so future regressions are visible.
+
+Usage: python scripts/parser_bench.py  -> one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucille_spark import parse, print_query  # noqa: E402
+from lucille_spark.autocomplete import expand_last_term  # noqa: E402
+
+OR_10 = " OR ".join(f"term{i}" for i in range(10))
+OR_1000 = " OR ".join(f"term{i}" for i in range(1000))
+ASSOC = [
+    "cat",
+    "cat dog fish",
+    "cat AND dog",
+    "cat OR dog",
+    "cat AND dog OR fish",
+    "cat OR dog AND fish",
+    "cat AND dog AND fish OR bird",
+    "cat OR dog OR fish AND bird",
+    "a AND b OR c AND d",
+    "a OR b AND c OR d",
+    "NOT cat AND dog",
+    "x AND y OR NOT z",
+    "p q AND r s",
+]
+
+
+def rate(fn, reps):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return reps / (time.perf_counter() - t0)
+
+
+def main():
+    out = {
+        "parse_or10_per_sec": round(rate(lambda: parse(OR_10), 2000), 1),
+        "parse_or1000_per_sec": round(rate(lambda: parse(OR_1000), 30), 1),
+        "parse_assoc13_per_sec": round(
+            rate(lambda: [parse(q) for q in ASSOC], 500), 1
+        ),
+    }
+    asts = [parse(q) for q in ASSOC] + [parse(OR_10)]
+    out["print_per_sec"] = round(
+        rate(lambda: [print_query(a) for a in asts], 500), 1
+    )
+    out["map_last_term_per_sec"] = round(
+        rate(lambda: [expand_last_term(a) for a in asts], 500), 1
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

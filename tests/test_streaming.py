@@ -1,0 +1,128 @@
+"""Incremental (Structured Streaming) indexing: ingest two batches,
+serve the union through the DataFrame executor, compact, serve via
+WAND — all rank-identical to the oracle over the combined corpus."""
+
+import os
+
+import pytest
+
+from lucille_spark.fixtures import DOCS_SCHEMA, generate_pdf
+
+
+def _ranked(rows, round_to=9):
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+@pytest.fixture(scope="module")
+def incremental(spark, tmp_path_factory):
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.streaming import IncrementalIndexer, open_multi
+
+    root = tmp_path_factory.mktemp("stream")
+    in_dir = str(root / "incoming")
+    ix_dir = str(root / "ix")
+    os.makedirs(in_dir)
+
+    pdf = generate_pdf(120, seed=11)
+    b1, b2 = pdf.iloc[:70], pdf.iloc[70:]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    ixr = IncrementalIndexer(
+        ix_dir, config=BuildConfig(num_shards=2, block_size=32)
+    )
+    q = ixr.start(spark, in_dir, DOCS_SCHEMA, available_now=True)
+    q.awaitTermination(120)
+    spark.createDataFrame(b2).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = ixr.start(spark, in_dir, DOCS_SCHEMA, available_now=True)
+    q2.awaitTermination(120)
+
+    # oracle over the union with the SAME doc ids (per-batch rank +
+    # running offset)
+    from tests.oracle import OracleIndex
+
+    docs_list = []
+    offset = 0
+    for b in (b1, b2):
+        bb = b.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        for i, r in enumerate(bb.itertuples()):
+            docs_list.append(
+                {
+                    "doc_id": offset + i,
+                    "repo": r.repo,
+                    "path": r.path,
+                    "commit": r.commit,
+                    "lang": r.lang,
+                    "content": r.content,
+                }
+            )
+        offset += len(bb)
+    oracle = OracleIndex(docs_list)
+    return ixr, ix_dir, oracle
+
+
+QUERIES = [
+    "import AND parser",
+    "cats dogs",
+    '"the cat jumped"',
+    "tes*",
+    "lang:python AND query",
+    "derp AND NOT lerp",
+]
+
+
+def test_two_batches_ingested(incremental):
+    ixr, ix_dir, oracle = incremental
+    assert len(ixr.delta_dirs()) == 2
+    meta = ixr._load_meta()
+    assert meta["next_doc_id"] == 120
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_multi_index_df_executor(incremental, spark, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.streaming import open_multi
+
+    ixr, ix_dir, oracle = incremental
+    mi = open_multi(spark, ix_dir)
+    assert mi.stats["n_docs"] == 120
+    got = _ranked(
+        [
+            (r["doc_id"], r["score"])
+            for r in DataFrameExecutor(mi).search(q, k=10).collect()
+        ]
+    )
+    assert got == _ranked(oracle.search(q, k=10)), q
+
+
+def test_compact_then_wand(incremental, spark, tmp_path_factory):
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.streaming import compact
+
+    ixr, ix_dir, oracle = incremental
+    out = str(tmp_path_factory.mktemp("compacted") / "full")
+    stats = compact(
+        spark, ix_dir, out, BuildConfig(num_shards=3, block_size=16)
+    )
+    assert stats["n_docs"] == 120
+    ix = SparkIndex(spark, out)
+    ex = WandExecutor(ix)
+    for q in QUERIES:
+        got = _ranked(
+            [(r["doc_id"], r["score"]) for r in ex.search(q, k=10).collect()]
+        )
+        assert got == _ranked(oracle.search(q, k=10)), q
+
+
+def test_restart_does_not_duplicate(incremental, spark):
+    """Replaying an already-processed batch id is a no-op."""
+    ixr, ix_dir, oracle = incremental
+    before = ixr._load_meta()
+    ixr.process_batch(
+        spark.createDataFrame(generate_pdf(10, seed=11)), batch_id=0
+    )
+    assert ixr._load_meta() == before
