@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
 
 QUERIES = [
     ("term", "spark", "df"),
@@ -83,6 +84,23 @@ def main():
     out["n_docs_built"] = n
 
     # ---- leg 2: query latency over the sf documents table ---------
+    if SKIP_QUERIES:
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build files/sec",
+                    "value": round(time.time() - t_start, 3),
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": SF_DIR,
+                    "cpus": CPUS,
+                    "files_per_sec": out["files_per_sec"],
+                    "build_sec": out["build_sec"],
+                    "n_docs_built": out["n_docs_built"],
+                }
+            )
+        )
+        return
     entry_ix_dir = f"/tmp/lucille_bench_docix_{CPUS}"
     if not os.path.exists(os.path.join(entry_ix_dir, "stats.json")):
         d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))

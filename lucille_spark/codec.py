@@ -27,21 +27,25 @@ _CONT = np.uint8(0x80)
 
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array to varbyte bytes (vectorized)."""
+    return varbyte_encode_with_lengths(values)[0]
+
+
+def varbyte_encode_with_lengths(values: np.ndarray):
+    """-> (encoded bytes, per-value byte lengths int64 array). The
+    lengths let callers slice the buffer into sub-ranges (block
+    boundaries) without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
-    # number of 7-bit groups per value (>=1)
-    nbits = np.zeros(n, dtype=np.int64)
+        return b"", np.empty(0, dtype=np.int64)
+    # number of 7-bit groups per value (>=1); bit_length via log2 on
+    # float is unsafe for >2**53, so count with shifts
     tmp = v.copy()
-    nz = tmp > 0
-    # bit_length via log2 on float is unsafe for >2**53; do it with shifts
     lengths = np.ones(n, dtype=np.int64)
     tmp >>= np.uint64(7)
     while tmp.any():
         lengths += (tmp > 0).astype(np.int64)
         tmp >>= np.uint64(7)
-    del nbits, nz
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
     # byte offsets where each value's encoding starts
@@ -58,7 +62,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         cont = (lengths[sel] - 1) > k
         out[idx] = byte | np.where(cont, _CONT, np.uint8(0))
         shifted[sel] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), lengths
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

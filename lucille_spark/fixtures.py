@@ -96,11 +96,9 @@ def generate_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
 
 
 def _generate_range(lo: int, hi: int, seed: int) -> pd.DataFrame:
-    n = hi - lo
-    rng = np.random.default_rng(np.random.PCG64(seed + 982_451_653))
-    # skip the generator forward deterministically per doc instead:
-    # derive one child seed per doc so any [lo,hi) slice reproduces
-    # exactly the same docs as a full [0,N) run (partition-stable).
+    # one child generator per doc, seeded from the doc index, so any
+    # [lo,hi) slice reproduces exactly the same docs as a full [0,N)
+    # run (partition-count independent).
     rows = []
     mid = np.array(MID_TERMS)
     rare = np.array(RARE_TERMS)
@@ -147,7 +145,6 @@ def _generate_range(lo: int, hi: int, seed: int) -> pd.DataFrame:
                 content,
             )
         )
-    del rng
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 

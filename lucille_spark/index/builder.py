@@ -57,7 +57,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lucille_spark.codec import encode_u32s, varbyte_encode
+from lucille_spark.codec import varbyte_encode_with_lengths
 from lucille_spark.scoring import bm25_upper_bound, idf as _idf
 
 FLAT_SCHEMA = (
@@ -314,27 +314,40 @@ class IndexBuilder:
             joined = flat.join(
                 F.broadcast(terms.select("term", "term_id", "df")), "term"
             )
+            n_groups = cfg.num_shards * cfg.term_group_buckets
+            # Shuffle keyed by (shard, term-group) and let Tungsten's
+            # sort-based shuffle order rows by (shard, term_id,
+            # doc_id) — the streaming kernel then detects term
+            # boundaries instead of sorting/grouping in pandas
+            # (pandas mergesort over multi-GB groups dominated this
+            # stage before).
+            pre = (
+                joined.withColumn(
+                    "_tg",
+                    F.pmod(F.col("term_id"), F.lit(cfg.term_group_buckets)),
+                )
+                .repartition(n_groups, "shard", "_tg")
+                .sortWithinPartitions("shard", "term_id", "doc_id")
+                .select(
+                    "shard", "term_id", "doc_id", "doc_len", "tf",
+                    "positions", "df",
+                )
+            )
             kernel = _make_segment_kernel(
                 stats["n_docs"], cfg.block_size, cfg.store_positions
             )
-            segs = (
-                joined.withColumn(
-                    "_tg", F.pmod(F.col("term_id"), F.lit(cfg.term_group_buckets))
-                )
-                .groupBy("shard", "_tg")
-                .applyInPandas(kernel, schema=SEGMENT_SCHEMA)
-            )
+            segs = pre.mapInPandas(kernel, schema=SEGMENT_SCHEMA)
             # AQE's byte-based partition coalescing would collapse the
-            # (shard, term-group) shuffle to a couple of reducers and
-            # serialize the python kernels — this stage needs GROUP
-            # parallelism, not byte balance.
+            # shuffle to a couple of reducers and serialize the python
+            # kernels — this stage needs GROUP parallelism, not byte
+            # balance.
             coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
             prev_coalesce = spark.conf.get(coalesce_key, "true")
             spark.conf.set(coalesce_key, "false")
             try:
-                # each applyInPandas group is shard-homogeneous and its
-                # kernel emits rows sorted by (term_id, block_id), so
-                # the partitioned write needs no repartition/sort
+                # kernel output is sorted by (term_id, block_id)
+                # within each shard, so the partitioned write needs
+                # no repartition/sort
                 (
                     segs.write.mode("overwrite")
                     .partitionBy("shard")
@@ -455,69 +468,135 @@ def _postings_kernel(batches):
 
 
 def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
-    """applyInPandas kernel: rows of one (shard, term-group) ->
-    delta+varbyte block rows with block-max BM25 upper bounds."""
+    """mapInPandas kernel over rows PRE-SORTED by (shard, term_id,
+    doc_id) -> delta+varbyte block rows with block-max BM25 upper
+    bounds.
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
+    Streaming: batches are scanned for (shard, term_id) boundaries;
+    a term's rows (possibly spanning batches) are buffered and
+    encoded once complete — no pandas sort or groupby. Per term,
+    every array (docID gaps, tfs, doc lens, position deltas) is
+    varbyte-encoded ONCE, whole; blocks are byte slices computed
+    from the per-value length arrays."""
+
+    def encode_term(shard: int, term_id: int, grp: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in (
             "shard", "term_id", "block_id", "doc_id_base", "n_docs",
             "ids_delta", "tfs", "dls", "pos_counts", "positions",
             "max_tf", "max_score_ub",
         )}
-        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-        for term_id, grp in pdf.groupby("term_id", sort=True):
-            df_t = int(grp["df"].iloc[0])
-            idf_t = _idf(df_t, n_docs)
-            ids = grp["doc_id"].to_numpy(dtype=np.int64)
-            tfs = grp["tf"].to_numpy(dtype=np.int64)
-            dls = grp["doc_len"].to_numpy(dtype=np.int64)
-            poss = grp["positions"].tolist() if store_positions else None
-            for b, lo in enumerate(range(0, len(ids), block_size)):
-                hi = min(lo + block_size, len(ids))
-                bid = ids[lo:hi]
-                btf = tfs[lo:hi]
-                bdl = dls[lo:hi]
-                gaps = np.empty(hi - lo, dtype=np.uint64)
-                gaps[0] = np.uint64(bid[0])  # base stored separately too
-                gaps[1:] = np.diff(bid).astype(np.uint64)
-                gaps[0] = 0  # first gap relative to doc_id_base
-                out["shard"].append(shard)
-                out["term_id"].append(int(term_id))
-                out["block_id"].append(b)
-                out["doc_id_base"].append(int(bid[0]))
-                out["n_docs"].append(hi - lo)
-                out["ids_delta"].append(varbyte_encode(gaps))
-                out["tfs"].append(encode_u32s(btf))
-                out["dls"].append(encode_u32s(bdl))
-                if store_positions:
-                    bpos = poss[lo:hi]
-                    counts = np.array([len(p) for p in bpos], dtype=np.int64)
-                    if counts.sum():
-                        flat_pos = np.concatenate(
-                            [np.asarray(p, dtype=np.int64) for p in bpos]
-                        )
-                        # delta within each doc's position list,
-                        # vectorized: plain diff, then reset each
-                        # doc's first position back to its absolute
-                        # value at the doc boundaries
-                        deltas = np.empty_like(flat_pos)
-                        deltas[0] = flat_pos[0]
-                        deltas[1:] = flat_pos[1:] - flat_pos[:-1]
-                        starts_b = np.cumsum(counts) - counts
-                        deltas[starts_b] = flat_pos[starts_b]
-                    else:
-                        deltas = np.empty(0, dtype=np.int64)
-                    out["pos_counts"].append(encode_u32s(counts))
-                    out["positions"].append(
-                        varbyte_encode(deltas.astype(np.uint64))
-                    )
-                else:
-                    out["pos_counts"].append(None)
-                    out["positions"].append(None)
-                mtf = int(btf.max())
-                out["max_tf"].append(mtf)
-                out["max_score_ub"].append(bm25_upper_bound(mtf, idf_t))
+        df_t = int(grp["df"].iloc[0])
+        idf_t = _idf(df_t, n_docs)
+        ids = grp["doc_id"].to_numpy(dtype=np.int64)
+        tfs = grp["tf"].to_numpy(dtype=np.int64)
+        dls = grp["doc_len"].to_numpy(dtype=np.int64)
+        n = ids.size
+        bstarts = np.arange(0, n, block_size, dtype=np.int64)
+        bends = np.minimum(bstarts + block_size, n)
+        # docID gaps: diff, reset to 0 at each block start (first
+        # id of a block is carried in doc_id_base)
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = 0
+        gaps[1:] = np.diff(ids).astype(np.uint64)
+        gaps[bstarts] = 0
+        ids_buf, ids_len = varbyte_encode_with_lengths(gaps)
+        tfs_buf, tfs_len = varbyte_encode_with_lengths(
+            tfs.astype(np.uint64)
+        )
+        dls_buf, dls_len = varbyte_encode_with_lengths(
+            dls.astype(np.uint64)
+        )
+        ids_off = _offsets(ids_len, bstarts, bends)
+        tfs_off = _offsets(tfs_len, bstarts, bends)
+        dls_off = _offsets(dls_len, bstarts, bends)
+        max_tfs = np.maximum.reduceat(tfs, bstarts)
+        if store_positions:
+            poss = [
+                np.asarray(p, dtype=np.int64)
+                for p in grp["positions"].tolist()
+            ]
+            counts = np.array([p.size for p in poss], dtype=np.int64)
+            flat_pos = (
+                np.concatenate(poss)
+                if counts.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            deltas = np.empty_like(flat_pos)
+            if flat_pos.size:
+                deltas[0] = flat_pos[0]
+                deltas[1:] = flat_pos[1:] - flat_pos[:-1]
+                doc_starts = np.cumsum(counts) - counts
+                deltas[doc_starts] = flat_pos[doc_starts]
+            pos_buf, pos_len = varbyte_encode_with_lengths(
+                deltas.astype(np.uint64)
+            )
+            cnt_buf, cnt_len = varbyte_encode_with_lengths(
+                counts.astype(np.uint64)
+            )
+            cnt_off = _offsets(cnt_len, bstarts, bends)
+            # position byte ranges per block: doc -> position
+            # index boundaries -> byte boundaries
+            pos_cum = np.concatenate(
+                ([0], np.cumsum(counts))
+            )  # doc idx -> first position idx
+            pos_byte_cum = np.concatenate(([0], np.cumsum(pos_len)))
+            pos_off = [
+                (
+                    int(pos_byte_cum[pos_cum[s]]),
+                    int(pos_byte_cum[pos_cum[e]]),
+                )
+                for s, e in zip(bstarts, bends)
+            ]
+        for b in range(bstarts.size):
+            s, e = int(bstarts[b]), int(bends[b])
+            out["shard"].append(shard)
+            out["term_id"].append(int(term_id))
+            out["block_id"].append(b)
+            out["doc_id_base"].append(int(ids[s]))
+            out["n_docs"].append(e - s)
+            out["ids_delta"].append(ids_buf[slice(*ids_off[b])])
+            out["tfs"].append(tfs_buf[slice(*tfs_off[b])])
+            out["dls"].append(dls_buf[slice(*dls_off[b])])
+            if store_positions:
+                out["pos_counts"].append(cnt_buf[slice(*cnt_off[b])])
+                out["positions"].append(pos_buf[slice(*pos_off[b])])
+            else:
+                out["pos_counts"].append(None)
+                out["positions"].append(None)
+            mtf = int(max_tfs[b])
+            out["max_tf"].append(mtf)
+            out["max_score_ub"].append(bm25_upper_bound(mtf, idf_t))
         return pd.DataFrame(out)
 
-    return encode
+    def kernel(batches):
+        buf: list = []
+        cur = None  # (shard, term_id) being accumulated
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sh = pdf["shard"].to_numpy()
+            tid = pdf["term_id"].to_numpy()
+            change = (
+                np.flatnonzero((sh[1:] != sh[:-1]) | (tid[1:] != tid[:-1]))
+                + 1
+            )
+            bounds = [0] + change.tolist() + [len(pdf)]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                key = (int(sh[a]), int(tid[a]))
+                if cur is not None and key != cur:
+                    grp = buf[0] if len(buf) == 1 else pd.concat(buf)
+                    yield encode_term(cur[0], cur[1], grp)
+                    buf = []
+                cur = key
+                buf.append(pdf.iloc[a:b])
+        if buf:
+            grp = buf[0] if len(buf) == 1 else pd.concat(buf)
+            yield encode_term(cur[0], cur[1], grp)
+
+    return kernel
+
+
+def _offsets(lengths: np.ndarray, bstarts: np.ndarray, bends: np.ndarray):
+    """Byte (start, end) pairs per block from per-value byte lengths."""
+    cum = np.concatenate(([0], np.cumsum(lengths)))
+    return [(int(cum[s]), int(cum[e])) for s, e in zip(bstarts, bends)]

@@ -127,6 +127,17 @@ class IncrementalIndexer:
         ]
 
 
+def _union_parquet(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    """Union of independently-read parquet dirs (each delta has its
+    own shard=N partition tree, so a single multi-path read would
+    trip Spark's partition discovery)."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 class MultiIndex:
     """Read-only union view over delta indexes; duck-types the parts
     of SparkIndex the DataFrame executor uses (spark, stats, flat,
@@ -154,14 +165,16 @@ class MultiIndex:
             "meta_cols": stats[0].get("meta_cols", []),
             "n_terms": None,
         }
-        self.flat = spark.read.parquet(
-            *[os.path.join(d, "postings_flat") for d in delta_dirs]
+        self.flat = _union_parquet(
+            spark, [os.path.join(d, "postings_flat") for d in delta_dirs]
         )
-        self.doclens = spark.read.parquet(
-            *[os.path.join(d, "doclens") for d in delta_dirs]
+        self.doclens = _union_parquet(
+            spark, [os.path.join(d, "doclens") for d in delta_dirs]
         )
         terms = (
-            spark.read.parquet(*[os.path.join(d, "terms") for d in delta_dirs])
+            _union_parquet(
+                spark, [os.path.join(d, "terms") for d in delta_dirs]
+            )
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             .orderBy("term")
@@ -206,9 +219,9 @@ def compact(
     ixr = IncrementalIndexer(index_dir)
     deltas = ixr.delta_dirs()
     assert deltas, "nothing to compact"
-    dl = spark.read.parquet(*[os.path.join(d, "doclens") for d in deltas])
-    flat = spark.read.parquet(
-        *[os.path.join(d, "postings_flat") for d in deltas]
+    dl = _union_parquet(spark, [os.path.join(d, "doclens") for d in deltas])
+    flat = _union_parquet(
+        spark, [os.path.join(d, "postings_flat") for d in deltas]
     )
     n_docs = dl.count()
     span = max(1, math.ceil(n_docs / cfg.num_shards))
