@@ -80,9 +80,28 @@ class DataFrameExecutor:
                 ).alias("score"),
             )
         if isinstance(node, P.PExpand):
-            rows = ix.flat.filter(F.col("term").isin(list(node.terms)))
+            # prefix/range expansions filter by a pushdown-friendly
+            # predicate on the term column (StringStartsWith / range
+            # reach the parquet row-group stats); other kinds use the
+            # resolved term list.
+            if node.source and node.source[0] == "prefix":
+                cond = F.col("term").startswith(node.source[1])
+            elif node.source and node.source[0] == "range":
+                _, lo, hi, lo_inc, hi_inc = node.source
+                cond = F.lit(True)
+                if lo is not None:
+                    cond &= (
+                        F.col("term") >= lo if lo_inc else F.col("term") > lo
+                    )
+                if hi is not None:
+                    cond &= (
+                        F.col("term") <= hi if hi_inc else F.col("term") < hi
+                    )
+            else:
+                cond = F.col("term").isin(list(node.terms))
             return (
-                rows.select("doc_id")
+                ix.flat.filter(cond)
+                .select("doc_id")
                 .distinct()
                 .select("doc_id", F.lit(1.0).alias("score"))
             )

@@ -61,19 +61,15 @@ class WandExecutor:
         ix = self.ix
         node = ix.plan(query)
         terms = P.collect_terms(node)
-        tid_map = ix.term_ids(terms)
-        id2term = {v: k_ for k_, v in tid_map.items()}
 
         segs = ix.segments
         if terms:
-            segs = segs.filter(
-                F.col("term_id").isin(list(tid_map.values()))
-            )
+            segs = segs.filter(_term_filter(node, terms))
         need_uni = P.needs_universe(node)
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
         kernel = _make_kernel(
-            node, id2term, avgdl, k, self.prune, need_uni, meta_cols
+            node, avgdl, k, self.prune, need_uni, meta_cols
         )
         if need_uni:
             # cogroup segments with the shard's doclens slice so the
@@ -94,6 +90,47 @@ class WandExecutor:
                 F.desc("score"), F.asc("doc_id")
             )
         return out
+
+
+def _term_filter(node: P.PNode, all_terms: List[str]):
+    """Segment-scan predicate on the term column. Prefix/range
+    expansions become pushdown-friendly startswith/range predicates
+    (instead of enumerating a potentially huge IN list); everything
+    else contributes its exact terms."""
+    exact: set = set()
+    preds: List = []
+
+    def walk(n: P.PNode) -> None:
+        if isinstance(n, P.PTerm):
+            exact.add(n.term)
+        elif isinstance(n, P.PPhrase):
+            exact.update(n.terms)
+        elif isinstance(n, P.PExpand):
+            if n.source and n.source[0] == "prefix":
+                preds.append(F.col("term").startswith(n.source[1]))
+            elif n.source and n.source[0] == "range":
+                _, lo, hi, lo_inc, hi_inc = n.source
+                c = F.lit(True)
+                if lo is not None:
+                    c &= F.col("term") >= lo if lo_inc else F.col("term") > lo
+                if hi is not None:
+                    c &= F.col("term") <= hi if hi_inc else F.col("term") < hi
+                preds.append(c)
+            else:
+                exact.update(n.terms)
+        elif isinstance(n, P.PBool):
+            for c in n.must + n.should + n.must_not:
+                walk(c)
+        elif isinstance(n, (P.PNot, P.PBoost)):
+            walk(n.child)
+
+    walk(node)
+    cond = F.col("term").isin(sorted(exact)) if exact else None
+    for p in preds:
+        cond = p if cond is None else (cond | p)
+    if cond is None:
+        cond = F.col("term").isin(list(all_terms))
+    return cond
 
 
 # ------------------------------------------------------------ kernel
@@ -128,11 +165,22 @@ def _build_posting(rows: pd.DataFrame, want_positions: bool) -> Posting:
             has_pos = False
         else:
             pos_l.extend(poss)
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    keep_pos = has_pos and want_positions
+    if ids.size > 1 and (np.diff(ids) <= 0).any():
+        # runs from different build partitions may interleave doc
+        # ranges; evaluation requires ascending unique ids
+        order = np.argsort(ids, kind="mergesort")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        if keep_pos:
+            pos_l = [pos_l[i] for i in order]
     return Posting(
-        ids=np.concatenate(ids_l),
-        tfs=np.concatenate(tfs_l),
-        dls=np.concatenate(dls_l),
-        positions=pos_l if (has_pos and want_positions) else None,
+        ids=ids,
+        tfs=tfs,
+        dls=dls,
+        positions=pos_l if keep_pos else None,
     )
 
 
@@ -160,7 +208,6 @@ def _flat_terms(node: P.PNode):
 
 def _make_kernel(
     node: P.PNode,
-    id2term: Dict[int, str],
     avgdl: float,
     k: int,
     prune: bool,
@@ -184,19 +231,17 @@ def _make_kernel(
                 if c in dl_pdf.columns:
                     sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
 
-        groups = dict(tuple(seg_pdf.groupby("term_id", sort=True)))
+        groups = dict(tuple(seg_pdf.groupby("term", sort=True)))
 
         if flat is not None and len(groups) > 1:
-            ids, scores = _eval_flat_pruned(
-                flat, groups, id2term, sd, k
-            )
+            ids, scores = _eval_flat_pruned(flat, groups, sd, k)
         else:
-            for tid, rows in groups.items():
-                term = id2term.get(int(tid))
-                if term is None:
-                    continue
-                rows = rows.sort_values(["block_id"])
-                sd.postings[term] = _build_posting(rows, want_pos)
+            for term, rows in groups.items():
+                # a term may arrive as several disjoint doc-range
+                # runs (file/split boundaries at build); ordering by
+                # doc_id_base restores ascending ids
+                rows = rows.sort_values(["doc_id_base", "block_id"])
+                sd.postings[str(term)] = _build_posting(rows, want_pos)
             ids, scores = evaluate(node, sd)
         ids, scores = top_k(ids, scores, k)
         return pd.DataFrame({"doc_id": ids, "score": scores})
@@ -211,18 +256,20 @@ def _make_kernel(
 
 
 def _eval_flat_pruned(
-    flat, groups, id2term, sd: ShardData, k: int
+    flat, groups, sd: ShardData, k: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max pruned evaluation of flat AND/OR over PTerms.
-    Counts decoded blocks in _PRUNE_STATS for testability."""
+    Counts decoded blocks in _PRUNE_STATS for testability. Block
+    upper bounds are completed here from the stored max_tf and the
+    plan-time idf (bm25_upper_bound)."""
     kind, pterms = flat
     terms = {t.term: t for t in pterms}
     # per-term block tables present in this shard
     avail = {}
-    for tid, rows in groups.items():
-        term = id2term.get(int(tid))
+    for term, rows in groups.items():
+        term = str(term)
         if term in terms:
-            avail[term] = rows.sort_values("block_id")
+            avail[term] = rows.sort_values(["doc_id_base", "block_id"])
     if kind == "and" and len(avail) < len(pterms):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if not avail:
@@ -266,7 +313,12 @@ def _eval_flat_pruned(
     # bound) score exceeds it, tail terms need only update docs
     # already in the accumulator — decoding just blocks whose doc
     # range overlaps the candidates.
-    ubs = {t: float(avail[t]["max_score_ub"].max()) for t in avail}
+    from lucille_spark.scoring import bm25_upper_bound
+
+    ubs = {
+        t: bm25_upper_bound(int(avail[t]["max_tf"].max()), terms[t].idf)
+        for t in avail
+    }
     order = sorted(avail, key=lambda t: -ubs[t])
     acc_ids = np.empty(0, np.int64)
     acc_sc = np.empty(0, np.float64)
@@ -317,14 +369,10 @@ def _merge_acc(ids_a, sc_a, ids_b, sc_b):
 
 
 def _blocks_overlapping(rows: pd.DataFrame, cand_ids: np.ndarray) -> np.ndarray:
-    """Boolean mask of blocks whose [doc_id_base, last_id] range
-    contains at least one candidate id. Block last id is bounded by
-    the next block's base (within a term) or +inf for the last."""
+    """Boolean mask of blocks whose exact [doc_id_base, doc_id_max]
+    range contains at least one candidate id."""
     base = rows["doc_id_base"].to_numpy(dtype=np.int64)
-    # conservative upper bound of each block's max doc id: next base-1
-    hi = np.empty_like(base)
-    hi[:-1] = base[1:] - 1
-    hi[-1] = np.iinfo(np.int64).max
+    hi = rows["doc_id_max"].to_numpy(dtype=np.int64)
     # a candidate exists in [base, hi] iff searchsorted moves
     lo_pos = np.searchsorted(cand_ids, base, side="left")
     hi_pos = np.searchsorted(cand_ids, hi, side="right")

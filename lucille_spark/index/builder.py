@@ -26,9 +26,13 @@ per-row Python):
            rows — the salt bounds any single reducer's share of a
            hot term like 'import'/'def' even with partial-agg
            disabled]
-       ──> segments: delta+varbyte block encoding in applyInPandas
-           over (shard, term-group) [shuffle 2, the only full-data
-           shuffle], block-max BM25 upper bounds precomputed.
+       ──> segments: delta+varbyte block encoding in a SECOND
+           zero-shuffle mapInPandas pass over the term-sorted flat
+           parquet [NO shuffle — the block BM25 bound factors as
+           idf(term) * f(max_tf), and idf is applied at query time,
+           so the encode needs no dictionary join]. The dictionary
+           aggregation is the build's ONLY shuffle, and its rows are
+           (term, partial-count) pairs — bytes, not postings.
 
 Shard layout is DOC-partitioned (each shard holds postings of ALL
 terms for its doc range). At query time every shard evaluates the
@@ -58,7 +62,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucille_spark.codec import varbyte_encode_with_lengths
-from lucille_spark.scoring import bm25_upper_bound, idf as _idf
 
 FLAT_SCHEMA = (
     "shard int, term string, doc_id long, doc_len int, tf int, "
@@ -66,9 +69,10 @@ FLAT_SCHEMA = (
 )
 
 SEGMENT_SCHEMA = (
-    "shard int, term_id long, block_id int, doc_id_base long, n_docs int, "
+    "shard int, term string, block_id int, doc_id_base long, "
+    "doc_id_max long, n_docs int, "
     "ids_delta binary, tfs binary, dls binary, pos_counts binary, "
-    "positions binary, max_tf int, max_score_ub double"
+    "positions binary, max_tf int"
 )
 
 
@@ -247,8 +251,12 @@ class IndexBuilder:
                 flat = base.select(
                     "shard", "doc_id", F.col(content_col).alias("content")
                 ).mapInPandas(_postings_kernel, schema=FLAT_SCHEMA)
+                # sort includes `shard` so the dynamic-partition
+                # writer's required ordering is already satisfied and
+                # the (term, doc_id) file order survives the write —
+                # the segment pass and row-group pruning rely on it
                 (
-                    flat.sortWithinPartitions("term", "doc_id")
+                    flat.sortWithinPartitions("shard", "term", "doc_id")
                     .write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(flat_path)
@@ -308,53 +316,30 @@ class IndexBuilder:
                 k: v for k, v in stats.items() if not isinstance(v, list)
             })
 
-        # ---- stage 5: compressed block segments with block-max bounds
+        # ---- stage 5: compressed block segments with block-max stats.
+        # ZERO-shuffle: a second mapInPandas pass over the flat
+        # parquet. Each scan partition holds whole (term, doc-range)
+        # runs in sorted order (files are written term-sorted;
+        # parquet splits hand out whole row groups), so the streaming
+        # kernel just detects (shard, term) boundaries and encodes.
+        # A term split across files/splits yields multiple block runs
+        # with disjoint doc ranges — the reader orders runs by
+        # doc_id_base, which is also why no dictionary join is
+        # needed: the BM25 block bound factors as
+        # idf(term) * ub(max_tf), and idf is applied at query time.
         if not (man.done("segments") and _has_success(seg_path)):
             t0 = time.time()
-            joined = flat.join(
-                F.broadcast(terms.select("term", "term_id", "df")), "term"
-            )
-            n_groups = cfg.num_shards * cfg.term_group_buckets
-            # Shuffle keyed by (shard, term-group) and let Tungsten's
-            # sort-based shuffle order rows by (shard, term_id,
-            # doc_id) — the streaming kernel then detects term
-            # boundaries instead of sorting/grouping in pandas
-            # (pandas mergesort over multi-GB groups dominated this
-            # stage before).
-            pre = (
-                joined.withColumn(
-                    "_tg",
-                    F.pmod(F.col("term_id"), F.lit(cfg.term_group_buckets)),
-                )
-                .repartition(n_groups, "shard", "_tg")
-                .sortWithinPartitions("shard", "term_id", "doc_id")
-                .select(
-                    "shard", "term_id", "doc_id", "doc_len", "tf",
-                    "positions", "df",
-                )
-            )
             kernel = _make_segment_kernel(
-                stats["n_docs"], cfg.block_size, cfg.store_positions
+                cfg.block_size, cfg.store_positions
             )
-            segs = pre.mapInPandas(kernel, schema=SEGMENT_SCHEMA)
-            # AQE's byte-based partition coalescing would collapse the
-            # shuffle to a couple of reducers and serialize the python
-            # kernels — this stage needs GROUP parallelism, not byte
-            # balance.
-            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-            prev_coalesce = spark.conf.get(coalesce_key, "true")
-            spark.conf.set(coalesce_key, "false")
-            try:
-                # kernel output is sorted by (term_id, block_id)
-                # within each shard, so the partitioned write needs
-                # no repartition/sort
-                (
-                    segs.write.mode("overwrite")
-                    .partitionBy("shard")
-                    .parquet(seg_path)
-                )
-            finally:
-                spark.conf.set(coalesce_key, prev_coalesce)
+            segs = flat.select(
+                "shard", "term", "doc_id", "doc_len", "tf", "positions"
+            ).mapInPandas(kernel, schema=SEGMENT_SCHEMA)
+            (
+                segs.write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(seg_path)
+            )
             man.record("segments", "done", secs=time.time() - t0)
 
         return stats
@@ -467,29 +452,39 @@ def _postings_kernel(batches):
         )
 
 
-def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
-    """mapInPandas kernel over rows PRE-SORTED by (shard, term_id,
-    doc_id) -> delta+varbyte block rows with block-max BM25 upper
-    bounds.
+def _make_segment_kernel(block_size: int, store_positions: bool):
+    """mapInPandas kernel over flat rows in (term, doc_id) order ->
+    delta+varbyte block rows with block-max tf stats (the BM25 block
+    bound idf(term) * max_tf/(max_tf + k1(1-b)) is completed at
+    query time, which is what lets this pass run without the term
+    dictionary and hence without any shuffle).
 
-    Streaming: batches are scanned for (shard, term_id) boundaries;
-    a term's rows (possibly spanning batches) are buffered and
-    encoded once complete — no pandas sort or groupby. Per term,
-    every array (docID gaps, tfs, doc lens, position deltas) is
-    varbyte-encoded ONCE, whole; blocks are byte slices computed
-    from the per-value length arrays."""
+    Streaming: batches are scanned for (shard, term) boundaries; a
+    term's rows (possibly spanning batches) are buffered and encoded
+    once complete — no pandas sort or groupby. Per term, every array
+    (docID gaps, tfs, doc lens, position deltas) is varbyte-encoded
+    ONCE, whole; blocks are byte slices computed from the per-value
+    length arrays."""
 
-    def encode_term(shard: int, term_id: int, grp: pd.DataFrame) -> pd.DataFrame:
+    def encode_term(shard: int, term: str, grp: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in (
-            "shard", "term_id", "block_id", "doc_id_base", "n_docs",
+            "shard", "term", "block_id", "doc_id_base", "doc_id_max",
+            "n_docs",
             "ids_delta", "tfs", "dls", "pos_counts", "positions",
-            "max_tf", "max_score_ub",
+            "max_tf",
         )}
-        df_t = int(grp["df"].iloc[0])
-        idf_t = _idf(df_t, n_docs)
         ids = grp["doc_id"].to_numpy(dtype=np.int64)
         tfs = grp["tf"].to_numpy(dtype=np.int64)
         dls = grp["doc_len"].to_numpy(dtype=np.int64)
+        poss_in = grp["positions"].tolist() if store_positions else None
+        if ids.size > 1 and (np.diff(ids) <= 0).any():
+            # scan partitions are not guaranteed doc-contiguous (AQE
+            # may remap upstream partitioning between jobs) — restore
+            # ascending ids within the run
+            order = np.argsort(ids, kind="mergesort")
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            if store_positions:
+                poss_in = [poss_in[i] for i in order]
         n = ids.size
         bstarts = np.arange(0, n, block_size, dtype=np.int64)
         bends = np.minimum(bstarts + block_size, n)
@@ -511,10 +506,7 @@ def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
         dls_off = _offsets(dls_len, bstarts, bends)
         max_tfs = np.maximum.reduceat(tfs, bstarts)
         if store_positions:
-            poss = [
-                np.asarray(p, dtype=np.int64)
-                for p in grp["positions"].tolist()
-            ]
+            poss = [np.asarray(p, dtype=np.int64) for p in poss_in]
             counts = np.array([p.size for p in poss], dtype=np.int64)
             flat_pos = (
                 np.concatenate(poss)
@@ -550,9 +542,10 @@ def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
         for b in range(bstarts.size):
             s, e = int(bstarts[b]), int(bends[b])
             out["shard"].append(shard)
-            out["term_id"].append(int(term_id))
+            out["term"].append(term)
             out["block_id"].append(b)
             out["doc_id_base"].append(int(ids[s]))
+            out["doc_id_max"].append(int(ids[e - 1]))
             out["n_docs"].append(e - s)
             out["ids_delta"].append(ids_buf[slice(*ids_off[b])])
             out["tfs"].append(tfs_buf[slice(*tfs_off[b])])
@@ -563,26 +556,24 @@ def _make_segment_kernel(n_docs: int, block_size: int, store_positions: bool):
             else:
                 out["pos_counts"].append(None)
                 out["positions"].append(None)
-            mtf = int(max_tfs[b])
-            out["max_tf"].append(mtf)
-            out["max_score_ub"].append(bm25_upper_bound(mtf, idf_t))
+            out["max_tf"].append(int(max_tfs[b]))
         return pd.DataFrame(out)
 
     def kernel(batches):
         buf: list = []
-        cur = None  # (shard, term_id) being accumulated
+        cur = None  # (shard, term) being accumulated
         for pdf in batches:
             if not len(pdf):
                 continue
             sh = pdf["shard"].to_numpy()
-            tid = pdf["term_id"].to_numpy()
+            tid = pdf["term"].to_numpy()
             change = (
                 np.flatnonzero((sh[1:] != sh[:-1]) | (tid[1:] != tid[:-1]))
                 + 1
             )
             bounds = [0] + change.tolist() + [len(pdf)]
             for a, b in zip(bounds[:-1], bounds[1:]):
-                key = (int(sh[a]), int(tid[a]))
+                key = (int(sh[a]), str(tid[a]))
                 if cur is not None and key != cur:
                     grp = buf[0] if len(buf) == 1 else pd.concat(buf)
                     yield encode_term(cur[0], cur[1], grp)

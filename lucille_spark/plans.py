@@ -58,10 +58,19 @@ class PTerm(PNode):
 @dataclass(frozen=True)
 class PExpand(PNode):
     """Multi-term expansion (prefix/wildcard/regex/range/fuzzy):
-    docs containing >=1 of `terms`; constant score 1.0."""
+    docs containing >=1 of `terms`; constant score 1.0.
+
+    `source` carries the original primitive so executors can use a
+    pushdown-friendly predicate instead of an IN-list:
+      ('prefix', p) / ('range', lo, hi, lo_inc, hi_inc) — these match
+      a CONTIGUOUS dictionary interval (term_id is the lexicographic
+      rank), so the segment path filters term_id BETWEEN and the
+      DataFrame path pushes startswith/range on the term column;
+      other kinds fall back to the enumerated term list."""
 
     terms: Tuple[str, ...]
     kind: str  # 'prefix' | 'wildcard' | 'regex' | 'range' | 'fuzzy'
+    source: Tuple = ()
 
 
 @dataclass(frozen=True)
@@ -211,10 +220,12 @@ class Planner:
         df_proxy = min(dfs[t] for t in toks)
         return PPhrase(tuple(toks), slop, _idf(df_proxy, self.n_docs))
 
-    def _expand(self, terms: List[str], kind: str) -> PNode:
+    def _expand(
+        self, terms: List[str], kind: str, source: Tuple = ()
+    ) -> PNode:
         if not terms:
             return PMatchNone()
-        return PExpand(tuple(sorted(set(terms))), kind)
+        return PExpand(tuple(sorted(set(terms))), kind, source)
 
     # -- dispatch ---------------------------------------------------
     def _plan(self, q: ast.Query) -> PNode:
@@ -225,8 +236,9 @@ class Planner:
         if isinstance(q, ast.Proximity):
             return self._plan_phrase(tokenize(q.value), int(q.num))
         if isinstance(q, ast.Prefix):
+            p = q.value.lower()
             return self._expand(
-                self.dict.expand_prefix(q.value.lower()), "prefix"
+                self.dict.expand_prefix(p), "prefix", ("prefix", p)
             )
         if isinstance(q, ast.WildCard):
             return self._expand(
@@ -244,6 +256,7 @@ class Planner:
             return self._expand(
                 self.dict.expand_range(lo, hi, q.lower_inc, q.upper_inc),
                 "range",
+                ("range", lo, hi, q.lower_inc, q.upper_inc),
             )
         if isinstance(q, ast.Fuzzy):
             max_e = 2 if q.num is None else int(q.num)

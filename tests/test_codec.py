@@ -49,3 +49,19 @@ def test_known_values():
     assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
     assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
     assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+
+
+def test_varbyte_lengths_slicing():
+    """Block slicing contract: whole-array encoding sliced at
+    byte offsets from the lengths array == per-block encoding."""
+    from lucille_spark.codec import varbyte_encode_with_lengths
+
+    vals = np.array([0, 1, 127, 128, 300000, 5, 2**40], dtype=np.uint64)
+    buf, lens = varbyte_encode_with_lengths(vals)
+    assert int(lens.sum()) == len(buf)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    for i in range(len(vals)):
+        piece = buf[cum[i]:cum[i + 1]]
+        assert np.array_equal(
+            varbyte_decode(piece), vals[i : i + 1]
+        )

@@ -52,29 +52,24 @@ def test_pruned_equals_exhaustive_direct(unit_index):
         # fake per-term block tables from the oracle postings with
         # block size 16 so pruning has blocks to skip
         groups = {}
-        id2term = {}
-        from lucille_spark.scoring import bm25_upper_bound
-        for i, t in enumerate(sorted({pt.term for pt in flat[1]})):
+        for t in sorted({pt.term for pt in flat[1]}):
             p = sd.postings[t]
             rows = []
-            idf_t = next(pt.idf for pt in flat[1] if pt.term == t)
             for b, lo in enumerate(range(0, p.ids.size, 16)):
                 hi = min(lo + 16, p.ids.size)
                 rows.append(
                     {
                         "block_id": b,
                         "doc_id_base": int(p.ids[lo]),
+                        "doc_id_max": int(p.ids[hi - 1]),
                         "n_docs": hi - lo,
                         "_ids": p.ids[lo:hi],
                         "_tfs": p.tfs[lo:hi],
                         "_dls": p.dls[lo:hi],
-                        "max_score_ub": bm25_upper_bound(
-                            int(p.tfs[lo:hi].max()), idf_t
-                        ),
+                        "max_tf": int(p.tfs[lo:hi].max()),
                     }
                 )
-            groups[i] = pd.DataFrame(rows)
-            id2term[i] = t
+            groups[t] = pd.DataFrame(rows)
         reset_prune_stats()
         import lucille_spark.exec_wand as W
 
@@ -92,7 +87,7 @@ def test_pruned_equals_exhaustive_direct(unit_index):
 
         W._build_posting = fake_build
         try:
-            ids_p, sc_p = _eval_flat_pruned(flat, groups, id2term, sd, 5)
+            ids_p, sc_p = _eval_flat_pruned(flat, groups, sd, 5)
         finally:
             W._build_posting = orig
         ids_e, sc_e = evaluate(node, sd)

@@ -19,7 +19,7 @@ def _segment_fingerprint(spark, path):
     """Order-insensitive digest of the segments table content."""
     df = spark.read.parquet(os.path.join(path, "segments"))
     rows = df.select(
-        "shard", "term_id", "block_id", "doc_id_base", "n_docs",
+        "shard", "term", "block_id", "doc_id_base", "n_docs",
         F.md5(F.base64("ids_delta")).alias("ih"),
         F.md5(F.base64("tfs")).alias("th"),
     ).collect()
