@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
+# index output: tmpfs if available so the benchmark measures the
+# engine, not the sandbox's virtual disk (a real cluster has
+# per-node disks; this box's /tmp is one shared ext4 vda)
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 
 QUERIES = [
     ("term", "spark", "df"),
@@ -51,7 +55,8 @@ def main():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", f"{SCRATCH}/spark_local")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,10 +70,10 @@ def main():
     out = {}
 
     # ---- leg 1: index-build throughput on the synthetic corpus ----
-    ix_dir = f"/tmp/lucille_bench_ix_{CPUS}_{BENCH_DOCS}"
+    ix_dir = f"{SCRATCH}/lucille_bench_ix_{CPUS}_{BENCH_DOCS}"
     shutil.rmtree(ix_dir, ignore_errors=True)
     docs = generate_docs(
-        spark, BENCH_DOCS, partitions=max(32, 2 * CPUS), with_ids=True
+        spark, BENCH_DOCS, partitions=max(64, 4 * CPUS), with_ids=True
     )
     docs = docs.persist()
     n = docs.count()  # materialize generation outside the timed window
@@ -101,7 +106,7 @@ def main():
             )
         )
         return
-    entry_ix_dir = f"/tmp/lucille_bench_docix_{CPUS}"
+    entry_ix_dir = f"{SCRATCH}/lucille_bench_docix_{CPUS}"
     if not os.path.exists(os.path.join(entry_ix_dir, "stats.json")):
         d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         IndexBuilder(num_shards=4, block_size=128).build(

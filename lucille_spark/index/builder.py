@@ -251,14 +251,16 @@ class IndexBuilder:
                 flat = base.select(
                     "shard", "doc_id", F.col(content_col).alias("content")
                 ).mapInPandas(_postings_kernel, schema=FLAT_SCHEMA)
-                # sort includes `shard` so the dynamic-partition
-                # writer's required ordering is already satisfied and
-                # the (term, doc_id) file order survives the write —
-                # the segment pass and row-group pruning rely on it
+                # NOT partitionBy(shard): the dynamic-partition writer
+                # costs ~40% of this stage, and nothing filters flat
+                # by shard — term pushdown uses row-group min/max
+                # stats (each task file is sorted by (shard, term,
+                # doc_id)), and the segment pass only needs sorted
+                # (shard, term) runs per file, which plain task files
+                # provide.
                 (
                     flat.sortWithinPartitions("shard", "term", "doc_id")
                     .write.mode("overwrite")
-                    .partitionBy("shard")
                     .parquet(flat_path)
                 )
                 man.record("postings_flat", "done", secs=time.time() - t0)
