@@ -38,8 +38,11 @@ def _index_for(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key in _IX_CACHE:
         return _IX_CACHE[key]
+    from lucille_spark.index.builder import INDEX_FORMAT
+
     out = os.path.join(
-        "/tmp/lucille_entry_ix", hashlib.md5(key.encode()).hexdigest()[:12]
+        "/tmp/lucille_entry_ix",
+        f"v{INDEX_FORMAT}_" + hashlib.md5(key.encode()).hexdigest()[:12],
     )
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

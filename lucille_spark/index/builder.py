@@ -63,6 +63,8 @@ from pyspark.sql import functions as F
 
 from lucille_spark.codec import varbyte_encode_with_lengths
 
+INDEX_FORMAT = 2  # bump when the on-disk layout changes
+
 FLAT_SCHEMA = (
     "shard int, term string, doc_id long, doc_len int, tf int, "
     "positions array<int>"
@@ -302,6 +304,7 @@ class IndexBuilder:
             ).collect()[0]
             n_terms = terms.count()
             stats = {
+                "format": INDEX_FORMAT,
                 "n_docs": int(row["n"]),
                 "avg_dl": float(row["avgdl"] or 1.0),
                 "n_terms": int(n_terms),
