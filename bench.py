@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))  # 16 outruns 32 on this VM (see BENCH/BASELINE.md)
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
 # index output: tmpfs if available so the benchmark measures the
