@@ -1,0 +1,99 @@
+"""Property test: block-max pruned evaluation == exhaustive
+evaluation on RANDOM posting sets and random flat boolean queries
+(hypothesis; pure numpy — no Spark session needed)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucille_spark import plans as P
+from lucille_spark.eval_local import Posting, ShardData, evaluate, top_k
+from lucille_spark.scoring import idf as _idf
+
+
+def _mk_corpus(rng_seed: int, n_docs: int, n_terms: int):
+    rng = np.random.default_rng(rng_seed)
+    postings = {}
+    dls = rng.integers(5, 200, size=n_docs).astype(np.int64)
+    for t in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(
+            np.int64
+        )
+        tfs = rng.integers(1, 8, size=df).astype(np.int64)
+        postings[f"t{t}"] = Posting(
+            ids=ids, tfs=tfs, dls=dls[ids]
+        )
+    sd = ShardData(avgdl=float(dls.mean()), postings=postings)
+    return sd, n_docs
+
+
+def _blockify(p: Posting, idf_t: float, block: int) -> pd.DataFrame:
+    rows = []
+    for b, lo in enumerate(range(0, p.ids.size, block)):
+        hi = min(lo + block, p.ids.size)
+        rows.append(
+            {
+                "block_id": b,
+                "doc_id_base": int(p.ids[lo]),
+                "doc_id_max": int(p.ids[hi - 1]),
+                "n_docs": hi - lo,
+                "_ids": p.ids[lo:hi],
+                "_tfs": p.tfs[lo:hi],
+                "_dls": p.dls[lo:hi],
+                "max_tf": int(p.tfs[lo:hi].max()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(20, 300),
+    n_terms=st.integers(2, 6),
+    is_and=st.booleans(),
+    k=st.integers(1, 10),
+    block=st.sampled_from([4, 16, 64]),
+)
+@settings(max_examples=60, deadline=None)
+def test_pruned_equals_exhaustive_random(seed, n_docs, n_terms, is_and, k, block):
+    import lucille_spark.exec_wand as W
+
+    sd, n = _mk_corpus(seed, n_docs, n_terms)
+    pterms = [
+        P.PTerm(t, _idf(p.ids.size, n)) for t, p in sd.postings.items()
+    ]
+    if is_and:
+        node = P.PBool(tuple(pterms), (), (), 0)
+        flat = ("and", pterms)
+    else:
+        node = P.PBool((), tuple(pterms), (), 1)
+        flat = ("or", pterms)
+
+    groups = {
+        t: _blockify(p, pt.idf, block)
+        for (t, p), pt in zip(sd.postings.items(), pterms)
+    }
+
+    orig = W._build_posting
+
+    def fake_build(rows, want_positions):
+        return Posting(
+            ids=np.concatenate(list(rows["_ids"])),
+            tfs=np.concatenate(list(rows["_tfs"])),
+            dls=np.concatenate(list(rows["_dls"])),
+        )
+
+    W._build_posting = fake_build
+    try:
+        ids_p, sc_p = W._eval_flat_pruned(flat, groups, sd, k)
+    finally:
+        W._build_posting = orig
+    ids_e, sc_e = evaluate(node, sd)
+
+    tp = list(zip(*[a.tolist() for a in top_k(ids_p, sc_p, k)]))
+    te = list(zip(*[a.tolist() for a in top_k(ids_e, sc_e, k)]))
+    got = [(d, round(s, 9)) for d, s in tp]
+    exp = [(d, round(s, 9)) for d, s in te]
+    assert got == exp
