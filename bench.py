@@ -7,9 +7,10 @@ Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] cores (default 32)
   BENCH_DOCS          synthetic corpus size for the build-throughput
-                      leg (default 20000; the sf documents table is
-                      small, so build throughput is measured on the
-                      deterministic FIXTURES corpus at this size)
+                      leg (default 80000 — large enough that fixed
+                      driver overhead stops dominating; the sf
+                      documents table is small, so build throughput
+                      is measured on the FIXTURES corpus)
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))  # 16 outruns 32 on this VM (see BENCH/BASELINE.md)
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "80000"))
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES", "") == "1"
 # index output: tmpfs if available so the benchmark measures the
 # engine, not the sandbox's virtual disk (a real cluster has
