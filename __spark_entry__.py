@@ -276,7 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_cosine_topk"] = cosine
 
-    # ---- rows-only entries (no SQL oracle; driver records rows) ---
     q["sim_srp_ann"] = lambda s, d: similarity.srp_topk(
         similarity.srp_bucket(_emb(s, d), "embedding", n_bits=6, dim=64),
         "embedding",
@@ -291,7 +290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_perm=8,
         bands=4,
         threshold=0.6,
+        max_bucket=10**9,  # SQL oracle has no hot-bucket cap
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    # ---- rows-only entries (no SQL oracle; driver records rows) ---
 
     def media_features(s, d):
         from lucille_spark.ops import multimodal as mm
@@ -582,6 +584,65 @@ WITH pos AS ({_POS})
 SELECT doc_id, cast(sum((({_HASH}) % 1000000) * ((p % 997) + 1)) as bigint)
   AS fingerprint
 FROM pos GROUP BY doc_id"""
+
+    # near-dup flow: same portable hashing, 8 perms / 4 bands of 2
+    perms8 = perm_params(8, seed=7)
+    sig8 = ", ".join(
+        f"min(({a} * h + {b}) % {M31}) AS sig{i}"
+        for i, (a, b) in enumerate(perms8)
+    )
+    band_conds = " OR ".join(
+        f"(a.sig{2 * b} = b.sig{2 * b} AND a.sig{2 * b + 1} = b.sig{2 * b + 1})"
+        for b in range(4)
+    )
+    o["dd_near_dup_flow"] = f"""
+WITH tok AS ({_TOK}),
+th AS (SELECT DISTINCT doc_id, {_HASH} AS h FROM tok WHERE doc_id < 100),
+sig AS (SELECT doc_id, {sig8} FROM th GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})),
+s AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < 100),
+sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(inter / (x.sz + y.sz - inter), 6) AS jaccard
+FROM i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+JOIN cand USING (doc_a, doc_b)
+WHERE inter / (x.sz + y.sz - inter) >= 0.6"""
+
+    # SRP-LSH ANN: seeded hyperplanes + the query's multi-probe bucket
+    # set embedded as literals (identical to ops/similarity.py)
+    import numpy as _np
+
+    _rng = _np.random.default_rng(_np.random.PCG64(11))
+    _planes = _rng.standard_normal((6, 64))
+    _q = _np.full(64, 0.1)
+    _qb = 0
+    for _i in range(6):
+        if float(_planes[_i] @ _q) > 0:
+            _qb |= 1 << _i
+    _probes = {_qb} | {_qb ^ (1 << _i) for _i in range(6)}
+    _bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, "
+        f"[{', '.join(repr(float(x)) for x in _planes[_i])}]) > 0 "
+        f"THEN {1 << _i} ELSE 0 END)"
+        for _i in range(6)
+    )
+    _qlit = "[" + ", ".join("0.1" for _ in range(64)) + "]"
+    o["sim_srp_ann"] = f"""
+WITH b AS (SELECT vec_id, embedding, ({_bucket_expr}) AS bucket
+           FROM embeddings),
+cand AS (SELECT vec_id, embedding FROM b
+         WHERE bucket IN ({", ".join(str(x) for x in sorted(_probes))})),
+c AS (SELECT vec_id,
+      list_dot_product(embedding, {_qlit}) /
+      (sqrt(list_dot_product(embedding, embedding)) *
+       sqrt(list_dot_product({_qlit}, {_qlit}))) AS cr
+      FROM cand)
+SELECT vec_id, round(cr, 4) AS cosine FROM c
+ORDER BY cr DESC, vec_id LIMIT 10"""
 
     # ---- similarity -------------------------------------------------
     o["sim_cosine_topk"] = """

@@ -223,9 +223,10 @@ def near_duplicates_minhash(
     n_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 50,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup flow: signatures -> band buckets ->
     candidate pairs -> exact-Jaccard verification >= threshold."""
     sigs = minhash_signatures(df, id_col, text_col, n_perm)
-    cand = lsh_candidate_pairs(sigs, n_perm, bands)
+    cand = lsh_candidate_pairs(sigs, n_perm, bands, max_bucket=max_bucket)
     return jaccard_pairs(df, id_col, text_col, pairs=cand, threshold=threshold)
