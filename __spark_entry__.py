@@ -187,9 +187,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "table AND (batch OR window) AND NOT stream"
     )
     # ---- same semantics through the WAND/segment executor --------
+    # every query shape above is re-gated through the block-max
+    # segment path (the 100 TB serving path); oracle SQL is shared
+    # with the ft_* twin, so a pass is rows+schema+hash-identical
+    # across BOTH executors and DuckDB.
     q["wand_or"] = lambda s, d: _search_wand(s, d, "spark batch window")
     q["wand_and"] = lambda s, d: _search_wand(
         s, d, "batch AND window AND spark"
+    )
+    q["wand_term"] = lambda s, d: _search_wand(s, d, "spark")
+    q["wand_term_rare"] = lambda s, d: _search_wand(s, d, "dup")
+    q["wand_and_not"] = lambda s, d: _search_wand(
+        s, d, "window AND NOT stream"
+    )
+    q["wand_not"] = lambda s, d: _search_wand(s, d, "NOT dup")
+    q["wand_must_mustnot"] = lambda s, d: _search_wand(
+        s, d, "+spark -stream batch"
+    )
+    q["wand_phrase"] = lambda s, d: _search_wand(s, d, '"batch window"')
+    q["wand_proximity"] = lambda s, d: _search_wand(s, d, '"spark window"~5')
+    q["wand_field"] = lambda s, d: _search_wand(s, d, "lang:de AND spark")
+    q["wand_field_prefix"] = lambda s, d: _search_wand(
+        s, d, "source:src1*", k=20
+    )
+    q["wand_prefix"] = lambda s, d: _search_wand(s, d, "sc*")
+    q["wand_wildcard"] = lambda s, d: _search_wand(s, d, "st*am")
+    q["wand_regex"] = lambda s, d: _search_wand(s, d, "/s.an/")
+    q["wand_range"] = lambda s, d: _search_wand(s, d, "[table TO window]")
+    q["wand_fuzzy"] = lambda s, d: _search_wand(s, d, "tble~1")
+    q["wand_minmatch"] = lambda s, d: _search_wand(
+        s, d, "(batch window stream)@2"
+    )
+    q["wand_boost"] = lambda s, d: _search_wand(s, d, "batch^3 OR window^0.5")
+    q["wand_complex"] = lambda s, d: _search_wand(
+        s, d, "table AND (batch OR window) AND NOT stream"
     )
 
     # ---- dedup ----------------------------------------------------
@@ -474,6 +505,15 @@ FROM ta JOIN bw USING (doc_id)
 WHERE ta.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
 ORDER BY ta.s + bw.s DESC, ta.doc_id LIMIT 10"""
     )
+
+    # WAND/segment-path twins share the exact oracle of their ft_*
+    # counterparts (same query string, same semantics).
+    for shape in (
+        "term", "term_rare", "and_not", "not", "must_mustnot", "phrase",
+        "proximity", "field", "field_prefix", "prefix", "wildcard",
+        "regex", "range", "fuzzy", "minmatch", "boost", "complex",
+    ):
+        o[f"wand_{shape}"] = o[f"ft_{shape}"]
 
     # ---- dedup ----------------------------------------------------
     o["dd_exact"] = """

@@ -3,9 +3,10 @@ evaluation inside ``applyInPandas``, then a k-row global merge.
 
 Architecture (doc-partitioned, SURVEY.md §3.4):
 
-  segments parquet ──filter(term_id IN query terms)──  [parquet
-      predicate pushdown + row-group pruning: segments are sorted by
-      term_id within each shard partition]
+  segments parquet ──filter(term IN query terms / startswith / range
+      predicates, see _term_filter)──  [parquet predicate pushdown +
+      row-group pruning: segments are sorted by term string within
+      each shard partition]
     ──groupBy(shard).applyInPandas(kernel)──  each shard decodes its
       blocks (numpy varbyte), builds a ShardData and runs the SAME
       evaluator as the oracle (eval_local.evaluate); emits its local
@@ -186,24 +187,33 @@ def _build_posting(rows: pd.DataFrame, want_positions: bool) -> Posting:
 
 def _flat_terms(node: P.PNode):
     """If node is PBool of only PTerm children (no must_not, no
-    min_should beyond default) return ('or'|'and', [PTerm...])."""
+    min_should beyond default) return ('or'|'and', [PTerm...]).
+
+    A repeated term (``import AND import``) must contribute its score
+    once per clause; the pruned kernel keys postings by term string and
+    would collapse the multiplicity (and, for AND, wrongly conclude a
+    term is missing from the shard). Bail to the exhaustive evaluator,
+    which walks the clause list as-is, whenever duplicates exist."""
+    res = None
     if isinstance(node, P.PBool) and not node.must_not:
         if (
             node.must
             and not node.should
             and all(isinstance(c, P.PTerm) for c in node.must)
         ):
-            return "and", list(node.must)
-        if (
+            res = "and", list(node.must)
+        elif (
             node.should
             and not node.must
             and node.min_should <= 1
             and all(isinstance(c, P.PTerm) for c in node.should)
         ):
-            return "or", list(node.should)
-    if isinstance(node, P.PTerm):
-        return "or", [node]
-    return None
+            res = "or", list(node.should)
+    elif isinstance(node, P.PTerm):
+        res = "or", [node]
+    if res is not None and len({t.term for t in res[1]}) != len(res[1]):
+        return None
+    return res
 
 
 def _make_kernel(

@@ -340,8 +340,10 @@ class Planner:
                 inner = c.q if isinstance(c, ast.Group) else c
                 if isinstance(inner, (ast.Not, ast.UnaryMinus)):
                     must_not.append(self._plan_meta(field, inner.q))
-                elif isinstance(c, ast.UnaryPlus):
-                    must.append(self._plan_meta(field, c.q))
+                elif isinstance(inner, ast.UnaryPlus):
+                    # match _plan_bool: detect MUST on the Group-unwrapped
+                    # child, so field:(+a b) keeps +a as MUST
+                    must.append(self._plan_meta(field, inner.q))
                 elif isinstance(q, ast.And):
                     must.append(self._plan_meta(field, c))
                 else:

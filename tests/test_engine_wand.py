@@ -108,3 +108,59 @@ def test_wand_prune_vs_noprune_spark(unit_index):
         assert _ranked([(r["doc_id"], r["score"]) for r in a]) == _ranked(
             [(r["doc_id"], r["score"]) for r in b]
         ), q
+
+
+def test_duplicate_term_queries(unit_index):
+    """A repeated term must score once per clause (Lucene sums every
+    clause). The pruned kernel keys postings by term string, so it
+    must bail to the exhaustive path — previously a flat AND with a
+    duplicate returned ZERO rows and a flat OR underscored."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor, _flat_terms
+
+    ix, oracle, stats = unit_index
+    for q in ["import AND import AND cats", "import import cats"]:
+        node = oracle.plan(q)
+        assert _flat_terms(node) is None, q  # dup -> exhaustive path
+        expected = _ranked(oracle.search(q, k=10))
+        got_w = _ranked(
+            [(r["doc_id"], r["score"])
+             for r in WandExecutor(ix, prune=True).search(q, k=10).collect()]
+        )
+        got_d = _ranked(
+            [(r["doc_id"], r["score"])
+             for r in DataFrameExecutor(ix).search(q, k=10).collect()]
+        )
+        assert got_w == expected, q
+        assert got_d == expected, q
+        assert len(expected) > 0, q
+
+
+def test_pure_negative_bool_matches_nothing(unit_index):
+    """Lucene BooleanQuery with only MUST_NOT clauses matches nothing
+    (standalone `NOT x` is the documented complement deviation, but a
+    pure-negative *list* is empty). All three evaluators agree."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = unit_index
+    q = "-import -cats"
+    node = oracle.plan(q)
+    assert isinstance(node, P.PBool)
+    assert not node.must and not node.should and len(node.must_not) == 2
+    assert oracle.search(q, k=10) == []
+    assert WandExecutor(ix).search(q, k=10).collect() == []
+    assert DataFrameExecutor(ix).search(q, k=10).collect() == []
+
+
+def test_plan_meta_group_unary_plus(unit_index):
+    """field:(+a b) keeps +a as MUST on the metadata path (the
+    Group-unwrapped child is checked, matching _plan_bool)."""
+    from lucille_spark import plans as P
+
+    ix, oracle, stats = unit_index
+    node = oracle.plan("lang:((+python) scala)")
+    assert isinstance(node, P.PBool)
+    assert len(node.must) == 1 and len(node.should) == 1
