@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from lucille_spark import plans as P
 from lucille_spark.index.reader import SparkIndex
+from lucille_spark.pushdown import expand_condition
 from lucille_spark.scoring import B, K1
 
 
@@ -80,27 +81,12 @@ class DataFrameExecutor:
                 ).alias("score"),
             )
         if isinstance(node, P.PExpand):
-            # prefix/range expansions filter by a pushdown-friendly
-            # predicate on the term column (StringStartsWith / range
-            # reach the parquet row-group stats); other kinds use the
-            # resolved term list.
-            if node.source and node.source[0] == "prefix":
-                cond = F.col("term").startswith(node.source[1])
-            elif node.source and node.source[0] == "range":
-                _, lo, hi, lo_inc, hi_inc = node.source
-                cond = F.lit(True)
-                if lo is not None:
-                    cond &= (
-                        F.col("term") >= lo if lo_inc else F.col("term") > lo
-                    )
-                if hi is not None:
-                    cond &= (
-                        F.col("term") <= hi if hi_inc else F.col("term") < hi
-                    )
-            else:
-                cond = F.col("term").isin(list(node.terms))
+            # pushdown-friendly predicate on the term column: exact
+            # IN-list for small expansions (parquet In filter), else
+            # the source primitive as StartsWith/range bound + JVM
+            # residual — plan size stays O(1) in dictionary size.
             return (
-                ix.flat.filter(cond)
+                ix.flat.filter(expand_condition(node))
                 .select("doc_id")
                 .distinct()
                 .select("doc_id", F.lit(1.0).alias("score"))

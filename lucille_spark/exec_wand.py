@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from lucille_spark import plans as P
 from lucille_spark.codec import varbyte_decode
+from lucille_spark.pushdown import expand_condition
 from lucille_spark.eval_local import Posting, ShardData, evaluate, top_k
 from lucille_spark.index.reader import SparkIndex
 
@@ -94,10 +95,10 @@ class WandExecutor:
 
 
 def _term_filter(node: P.PNode, all_terms: List[str]):
-    """Segment-scan predicate on the term column. Prefix/range
-    expansions become pushdown-friendly startswith/range predicates
-    (instead of enumerating a potentially huge IN list); everything
-    else contributes its exact terms."""
+    """Segment-scan predicate on the term column. Expansions use the
+    shared pushdown predicate (exact IN below a threshold, else a
+    StartsWith/range/length-band bound + JVM residual — never a huge
+    enumerated IN list); terms and phrases contribute exact terms."""
     exact: set = set()
     preds: List = []
 
@@ -107,18 +108,7 @@ def _term_filter(node: P.PNode, all_terms: List[str]):
         elif isinstance(n, P.PPhrase):
             exact.update(n.terms)
         elif isinstance(n, P.PExpand):
-            if n.source and n.source[0] == "prefix":
-                preds.append(F.col("term").startswith(n.source[1]))
-            elif n.source and n.source[0] == "range":
-                _, lo, hi, lo_inc, hi_inc = n.source
-                c = F.lit(True)
-                if lo is not None:
-                    c &= F.col("term") >= lo if lo_inc else F.col("term") > lo
-                if hi is not None:
-                    c &= F.col("term") <= hi if hi_inc else F.col("term") < hi
-                preds.append(c)
-            else:
-                exact.update(n.terms)
+            preds.append(expand_condition(n))
         elif isinstance(n, P.PBool):
             for c in n.must + n.should + n.must_not:
                 walk(c)

@@ -57,8 +57,24 @@ class DriverDictionary(P.TermDictionary):
         return self.terms[lo:hi].tolist()
 
     def expand_regex(self, pattern: str) -> List[str]:
-        rx = re.compile(pattern)
-        return [t for t in self.terms if rx.fullmatch(t)]
+        # bound the scan by the pattern's literal prefix (sorted-array
+        # slice), then vectorized fullmatch over the slice only — a
+        # regex with any literal head touches a tiny fraction of the
+        # dictionary instead of a full Python loop over every term.
+        import pandas as pd
+
+        from lucille_spark.plans import regex_literal_prefix
+
+        prefix = regex_literal_prefix(pattern)
+        lo, hi = 0, self.terms.size
+        if prefix:
+            lo = np.searchsorted(self.terms, prefix)
+            hi = np.searchsorted(self.terms, prefix + "￿")
+        sl = self.terms[lo:hi]
+        if sl.size == 0:
+            return []
+        mask = pd.Series(sl).str.fullmatch(pattern).to_numpy()
+        return sl[mask].tolist()
 
     def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
         lo = 0
@@ -72,7 +88,10 @@ class DriverDictionary(P.TermDictionary):
     def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
         lens = np.char.str_len(self.terms.astype(str))
         cand = self.terms[np.abs(lens - len(term)) <= max_edits]
-        return [t for t in cand if _lev(t, term) <= max_edits]
+        if cand.size == 0:
+            return []
+        mask = _lev_batch(cand, term, max_edits)
+        return cand[mask].tolist()
 
 
 def _lev(a: str, b: str) -> int:
@@ -85,6 +104,43 @@ def _lev(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def _lev_batch(cands: np.ndarray, term: str, max_edits: int) -> np.ndarray:
+    """Vectorized Levenshtein over a candidate array: one DP table of
+    shape (n_cand, maxlen+1) advanced a cell-column at a time — the
+    Python loop is O(len(term) * maxlen) regardless of candidate
+    count. -> boolean mask of cands within max_edits."""
+    n = cands.size
+    clens = np.char.str_len(cands.astype(str))
+    maxlen = int(clens.max())
+    # codepoint matrix via the fixed-width-unicode view (no Python
+    # loop over candidates); numpy pads with codepoint 0, a sentinel
+    # no query character equals
+    mat = (
+        cands.astype(f"U{maxlen}")
+        .view(np.uint32)
+        .reshape(n, maxlen)
+        .astype(np.int64)
+    )
+    tcodes = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    prev = np.broadcast_to(
+        np.arange(maxlen + 1, dtype=np.int64), (n, maxlen + 1)
+    ).copy()
+    for i, tc in enumerate(tcodes, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (mat != tc).astype(np.int64)
+        for j in range(maxlen):
+            cur[:, j + 1] = np.minimum(
+                np.minimum(prev[:, j + 1] + 1, cur[:, j] + 1),
+                prev[:, j] + sub[:, j],
+            )
+        prev = cur
+    dist = prev[np.arange(n), clens]
+    return dist <= max_edits
 
 
 class PushdownDictionary(P.TermDictionary):

