@@ -324,15 +324,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_bucket=10**9,  # SQL oracle has no hot-bucket cap
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
-    # ---- rows-only entries (no SQL oracle; driver records rows) ---
+    # ---- multimodal (payload = md5-derived chain; DuckDB oracle
+    # reproduces the exact bytes, so these are hash-gated) ----------
 
     def media_features(s, d):
         from lucille_spark.ops import multimodal as mm
 
         media = mm.synthesize_media(s, 48)
         return mm.extract_features(media).select(
-            "media_id", "kind", "n_bytes", "sha256",
+            "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "sha256",
             F.round("byte_mean", 4).alias("byte_mean"),
+            F.round("byte_std", 4).alias("byte_std"),
         )
 
     q["mm_features"] = media_features
@@ -340,7 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def frame_plan(s, d):
         from lucille_spark.ops import multimodal as mm
 
-        return mm.frame_sample_plan(mm.synthesize_media(s, 48), 1000)
+        return mm.frame_sample_plan(mm.synthesize_media(s, 48), 1000).select(
+            "media_id", F.col("ts_ms").cast("long").alias("ts_ms")
+        )
 
     q["mm_frame_plan"] = frame_plan
     return q
@@ -685,6 +691,37 @@ SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 10"""
 
     # ---- similarity -------------------------------------------------
+    # ---- multimodal -------------------------------------------------
+    # Reproduces ops/multimodal.synthesize_media's md5-derived payload
+    # byte-for-byte: byte j of media i = 32 + md5(i||'-'||j)[:1] % 95
+    # (printable ASCII, so VARCHAR sha256 == python sha256(payload)).
+    _MM_META = """
+meta AS (SELECT media_id,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  256 + (media_id % 5) * 64 AS n_bytes,
+  CASE WHEN media_id % 3 <> 0
+       THEN 1000 * (1 + media_id % 30) END AS duration_ms
+  FROM (SELECT unnest(range(0, 48)) AS media_id))"""
+
+    o["mm_features"] = f"""
+WITH {_MM_META},
+b AS (SELECT media_id, unnest(range(0, n_bytes)) AS j FROM meta),
+bb AS (SELECT media_id, j,
+  32 + cast(('0x' || substring(md5(cast(media_id as varchar) || '-' ||
+  cast(j as varchar)), 1, 2)) as int) % 95 AS byte FROM b)
+SELECT m.media_id, m.kind, m.n_bytes,
+  sha256(string_agg(chr(byte), '' ORDER BY j)) AS sha256,
+  round(avg(byte), 4) AS byte_mean,
+  round(stddev_pop(byte), 4) AS byte_std
+FROM bb JOIN meta m USING (media_id)
+GROUP BY m.media_id, m.kind, m.n_bytes"""
+
+    o["mm_frame_plan"] = f"""
+WITH {_MM_META}
+SELECT media_id, unnest(range(0, duration_ms, 1000)) AS ts_ms
+FROM meta WHERE kind = 'video'"""
+
     o["sim_cosine_topk"] = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 c AS (SELECT e.vec_id,

@@ -37,13 +37,22 @@ FEATURE_SCHEMA = (
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table. Payload byte j of media i is
+    ``32 + md5(f"{i}-{j}")[:1] % 95`` — an md5-derived chain that a SQL
+    oracle reproduces exactly (DuckDB: md5 + chr + string_agg), so the
+    downstream feature extraction is hash-checkable end to end. The
+    `seed` parameter is kept for API stability; the md5 chain ignores
+    it. Bytes land in printable ASCII only so SQL's VARCHAR sha256
+    equals Python's sha256 over the raw payload."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        rng = np.random.default_rng(np.random.PCG64(seed * 7919 + i))
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=256 + (i % 5) * 64, dtype=np.uint8)
+        n_bytes = 256 + (i % 5) * 64
+        payload = bytes(
+            32 + int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:2], 16) % 95
+            for j in range(n_bytes)
+        )
         rows.append(
             (
                 i,
@@ -52,7 +61,7 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 64 + (i % 8) * 16 if kind != "audio" else None,
                 48 + (i % 8) * 16 if kind != "audio" else None,
                 1000 * (1 + i % 30) if kind != "image" else None,
-                bytes(payload.tobytes()),
+                payload,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -91,8 +100,14 @@ def extract_features(
                 out["kind"].append(r.kind)
                 out["n_bytes"].append(len(r.payload))
                 out["sha256"].append(hashlib.sha256(r.payload).hexdigest())
-                out["byte_mean"].append(float(data.mean()) if data.size else 0.0)
-                out["byte_std"].append(float(data.std()) if data.size else 0.0)
+                # float64 accumulation: float32 loses the 4th decimal
+                # vs the SQL oracle's double-precision avg/stddev_pop
+                out["byte_mean"].append(
+                    float(data.mean(dtype=np.float64)) if data.size else 0.0
+                )
+                out["byte_std"].append(
+                    float(data.astype(np.float64).std()) if data.size else 0.0
+                )
                 # fixed-width "embedding": bucketed byte histogram
                 hist, _ = np.histogram(data, bins=feat_dim, range=(0, 256))
                 denom = max(int(data.size), 1)
