@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucille_spark.codec import varbyte_encode_with_lengths
+from lucille_spark.index import fsio
 
 INDEX_FORMAT = 2  # bump when the on-disk layout changes
 
@@ -82,16 +83,28 @@ def assign_doc_ids(
     df: DataFrame,
     order_cols: Sequence[str],
     num_partitions: int = 32,
+    pinned_out: Optional[list] = None,
 ) -> DataFrame:
     """Deterministic dense doc_id = global rank over `order_cols`
     (a unique key). Scalable: range-repartition + within-partition
     sort + per-partition row counts -> offsets; the assignment equals
     the global sort rank no matter how range boundaries fall, so it
-    is reproducible across runs/retries (SURVEY.md §4.3)."""
+    is reproducible across runs/retries (SURVEY.md §4.3).
+
+    The range-partitioned frame is persist()ed BEFORE the counts
+    collect: the offsets job and the downstream rank job must see the
+    SAME partitioning, and an unpersisted repartitionByRange can
+    re-sample different boundaries on re-execution (task retries, AQE
+    re-planning) — which would mis-assign or duplicate ids. The
+    pinned frame is appended to `pinned_out` (if given) so the caller
+    can unpersist once the downstream result is materialized."""
     d = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     d = d.sortWithinPartitions(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    d = d.persist()
+    if pinned_out is not None:
+        pinned_out.append(d)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -126,15 +139,21 @@ class BuildConfig:
 
 @dataclass
 class Manifest:
+    """Per-stage lineage/metrics journal. Works against POSIX paths
+    and Hadoop URIs alike (fsio): on a URI each record rewrites the
+    whole file (append is unsupported on object stores), locally it
+    appends — the format is identical either way."""
+
     path: str
     entries: List[dict] = field(default_factory=list)
+    spark: Optional[object] = None
 
     @classmethod
-    def load(cls, path: str) -> "Manifest":
-        m = cls(path)
-        if os.path.exists(path):
-            with open(path) as f:
-                m.entries = [json.loads(line) for line in f if line.strip()]
+    def load(cls, path: str, spark=None) -> "Manifest":
+        m = cls(path, spark=spark)
+        if fsio.exists(path, spark):
+            text = fsio.read_text(path, spark)
+            m.entries = [json.loads(line) for line in text.splitlines() if line.strip()]
         return m
 
     def done(self, stage: str) -> bool:
@@ -146,9 +165,24 @@ class Manifest:
     def record(self, stage: str, status: str, **metrics) -> None:
         e = {"stage": stage, "status": status, "ts": time.time(), **metrics}
         self.entries.append(e)
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(e) + "\n")
+        if fsio.is_uri(self.path) and self.spark is not None:
+            fsio.write_text(
+                self.path,
+                "".join(json.dumps(x) + "\n" for x in self.entries),
+                self.spark,
+            )
+        else:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(e) + "\n")
+
+    def remove(self) -> None:
+        if fsio.is_uri(self.path) and self.spark is not None:
+            fs, p = fsio._fs(self.spark, self.path)
+            if fs.exists(p):
+                fs.delete(p, False)
+        elif os.path.exists(self.path):
+            os.remove(self.path)
 
 
 class IndexBuilder:
@@ -170,11 +204,10 @@ class IndexBuilder:
         """Build the full index under `out_dir`. Returns stats dict."""
         cfg = self.cfg
         spark = docs.sparkSession
-        man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
+        man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"), spark)
         if not resume:
             man.entries = []
-            if os.path.exists(man.path):
-                os.remove(man.path)
+            man.remove()
 
         if meta_cols is None:
             meta_cols = [
@@ -190,13 +223,16 @@ class IndexBuilder:
 
         # ---- stages 1+2: doclens + postings_flat (share the tokenized
         # frame; each write is individually resumable)
-        need_doclens = not (man.done("doclens") and _has_success(doclens_path))
+        need_doclens = not (
+            man.done("doclens") and _has_success(doclens_path, spark)
+        )
         need_flat = not (
-            man.done("postings_flat") and _has_success(flat_path)
+            man.done("postings_flat") and _has_success(flat_path, spark)
         )
         if need_doclens or need_flat:
+            pinned: List[DataFrame] = []
             if id_col is None:
-                base = assign_doc_ids(docs, order_cols)
+                base = assign_doc_ids(docs, order_cols, pinned_out=pinned)
             else:
                 base = docs.withColumn("doc_id", F.col(id_col).cast("long"))
                 if id_col != "doc_id":
@@ -215,6 +251,10 @@ class IndexBuilder:
             # kernel (Arrow-vectorized pandas, BASELINE.json:6).
             base = base.persist()
             n_docs = base.count()
+            # base is materialized; the range-partitioned intermediate
+            # pinned inside assign_doc_ids is no longer needed
+            for p in pinned:
+                p.unpersist()
             shard_span = max(1, math.ceil(n_docs / cfg.num_shards))
             base = base.withColumn(
                 "shard", (F.col("doc_id") / F.lit(shard_span)).cast("int")
@@ -271,7 +311,7 @@ class IndexBuilder:
         flat = spark.read.parquet(flat_path)
 
         # ---- stage 3: term dictionary with explicit salted two-phase agg
-        if not (man.done("terms") and _has_success(terms_path)):
+        if not (man.done("terms") and _has_success(terms_path, spark)):
             t0 = time.time()
             salted = flat.withColumn(
                 "_salt", F.pmod(F.hash("doc_id"), F.lit(cfg.salt_buckets))
@@ -293,9 +333,8 @@ class IndexBuilder:
         terms = spark.read.parquet(terms_path)
 
         # ---- stage 4: global stats
-        if os.path.exists(stats_path) and man.done("stats"):
-            with open(stats_path) as f:
-                stats = json.load(f)
+        if fsio.exists(stats_path, spark) and man.done("stats"):
+            stats = json.loads(fsio.read_text(stats_path, spark))
         else:
             t0 = time.time()
             dls = spark.read.parquet(doclens_path)
@@ -315,8 +354,7 @@ class IndexBuilder:
                     1, math.ceil(int(row["n"]) / cfg.num_shards)
                 ),
             }
-            with open(stats_path, "w") as f:
-                json.dump(stats, f)
+            fsio.write_text(stats_path, json.dumps(stats), spark)
             man.record("stats", "done", secs=time.time() - t0, **{
                 k: v for k, v in stats.items() if not isinstance(v, list)
             })
@@ -332,7 +370,7 @@ class IndexBuilder:
         # doc_id_base, which is also why no dictionary join is
         # needed: the BM25 block bound factors as
         # idf(term) * ub(max_tf), and idf is applied at query time.
-        if not (man.done("segments") and _has_success(seg_path)):
+        if not (man.done("segments") and _has_success(seg_path, spark)):
             t0 = time.time()
             kernel = _make_segment_kernel(
                 cfg.block_size, cfg.store_positions
@@ -350,8 +388,8 @@ class IndexBuilder:
         return stats
 
 
-def _has_success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _has_success(path: str, spark=None) -> bool:
+    return fsio.exists(os.path.join(path, "_SUCCESS"), spark)
 
 
 def _assign_term_ids(stats_df: DataFrame, partitions: int) -> DataFrame:

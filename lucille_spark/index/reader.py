@@ -199,8 +199,11 @@ class SparkIndex:
         scans); leave False for one-shot batch jobs."""
         self.spark = spark
         self.dir = index_dir
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            self.stats = json.load(f)
+        from lucille_spark.index import fsio
+
+        self.stats = json.loads(
+            fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
+        )
         self.terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
         self.doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
         self.flat = spark.read.parquet(

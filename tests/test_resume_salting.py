@@ -106,3 +106,37 @@ def test_salted_term_stats_match_plain_groupby(spark, small_docs, tmp_path):
     # term_id is the lexicographic rank
     rows = terms.orderBy("term").collect()
     assert [r["term_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_build_and_resume_via_hadoop_uri(spark, unit_corpus, tmp_path):
+    """file:// URIs route manifest/stats/_SUCCESS probes through the
+    Hadoop FileSystem API — the same code path an hdfs:// or s3a://
+    --output takes on a real cluster (ADVICE r1: driver-local open()
+    broke build/resume on remote outputs)."""
+    from lucille_spark.index import fsio
+    from lucille_spark.index.builder import IndexBuilder, Manifest
+    from lucille_spark.index.reader import SparkIndex
+
+    out = "file://" + str(tmp_path / "uri_ix")
+    docs = spark.createDataFrame(unit_corpus.head(50))
+    stats = IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+    assert stats["n_docs"] == 50
+    assert fsio.exists(out + "/stats.json", spark)
+    assert fsio.exists(out + "/manifest.jsonl", spark)
+
+    # resume: all stages recorded done -> rebuild skips everything
+    man1 = Manifest.load(out + "/manifest.jsonl", spark)
+    n1 = len(man1.entries)
+    assert {e["stage"] for e in man1.entries} >= {
+        "doclens", "postings_flat", "terms", "stats", "segments"
+    }
+    IndexBuilder(num_shards=2, block_size=32).build(docs, out, resume=True)
+    man2 = Manifest.load(out + "/manifest.jsonl", spark)
+    assert len(man2.entries) == n1  # nothing re-ran
+
+    # the index opens and serves through the URI too
+    ix = SparkIndex(spark, out)
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    rows = DataFrameExecutor(ix).search("import", k=5).collect()
+    assert len(rows) > 0
