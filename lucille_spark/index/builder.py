@@ -322,13 +322,17 @@ class IndexBuilder:
             stats_df = partial.groupBy("term").agg(
                 F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
             )
-            terms = _assign_term_ids(stats_df, cfg.dict_partitions)
-            (
-                terms.repartitionByRange(cfg.dict_partitions, "term")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .parquet(terms_path)
+            pinned_terms: List[DataFrame] = []
+            terms = _assign_term_ids(
+                stats_df, cfg.dict_partitions, pinned_out=pinned_terms
             )
+            # _assign_term_ids output is already range-partitioned by
+            # term and window-sorted within partitions — write as-is
+            # (a second repartitionByRange here would add an exchange
+            # and re-sample boundaries for nothing)
+            terms.write.mode("overwrite").parquet(terms_path)
+            for p in pinned_terms:
+                p.unpersist()
             man.record("terms", "done", secs=time.time() - t0)
         terms = spark.read.parquet(terms_path)
 
@@ -392,13 +396,23 @@ def _has_success(path: str, spark=None) -> bool:
     return fsio.exists(os.path.join(path, "_SUCCESS"), spark)
 
 
-def _assign_term_ids(stats_df: DataFrame, partitions: int) -> DataFrame:
+def _assign_term_ids(
+    stats_df: DataFrame,
+    partitions: int,
+    pinned_out: Optional[list] = None,
+) -> DataFrame:
     """Dense term_id = rank of term in lexicographic order, scalable
-    (range partition + partition offsets, same scheme as doc ids)."""
+    (range partition + partition offsets, same scheme as doc ids).
+    Persists the partitioned frame before the counts collect for the
+    same determinism reason as assign_doc_ids — AND so the upstream
+    salted aggregation executes once, not once per downstream job."""
     d = stats_df.repartitionByRange(partitions, "term").sortWithinPartitions(
         "term"
     )
     d = d.withColumn("_pid", F.spark_partition_id())
+    d = d.persist()
+    if pinned_out is not None:
+        pinned_out.append(d)
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

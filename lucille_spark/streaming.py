@@ -13,9 +13,14 @@ Lambda-style design suited to the doc-sharded layout:
   * **Serve** (`open_multi`): a read-only view over all deltas —
     flat postings / doclens are parquet unions, global stats are the
     doc-count-weighted merge, the term dictionary is re-aggregated
-    (sum of per-delta dfs). The DataFrame executor works unchanged
-    on this view. (Per-delta term_ids are not comparable, so the
-    WAND/segment path serves single-delta or compacted indexes.)
+    (sum of per-delta dfs). BOTH executors work unchanged on this
+    view: the DataFrame executor reads the flat union, and the
+    WAND/segment executor reads the segments union with per-delta
+    shard-number offsets (shards stay disjoint doc ranges, which is
+    all the per-shard kernel assumes). BM25 is rank-identical to the
+    compacted index because scores depend only on plan-time GLOBAL
+    stats (merged df -> idf, merged avg_dl) plus per-doc tf/dl, which
+    the per-delta segment blocks already store.
   * **Compact** (`compact`): merges all deltas into one ordinary
     index — re-shards flat/doclens by the global doc space, then
     runs the batch builder's dictionary/stats/segment stages on the
@@ -127,21 +132,40 @@ class IncrementalIndexer:
         ]
 
 
-def _union_parquet(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+def _union_parquet(
+    spark: SparkSession,
+    paths: Sequence[str],
+    shard_offsets: Optional[Sequence[int]] = None,
+) -> DataFrame:
     """Union of independently-read parquet dirs (each delta has its
     own shard=N partition tree, so a single multi-path read would
-    trip Spark's partition discovery)."""
+    trip Spark's partition discovery). With `shard_offsets`, delta i's
+    shard numbers are shifted by offsets[i] so shards from different
+    deltas never collide — each remains a contiguous doc-id range,
+    the only invariant the per-shard WAND kernel relies on."""
     dfs = [spark.read.parquet(p) for p in paths]
+    if shard_offsets is not None:
+        dfs = [
+            d.withColumn(
+                "shard", (F.col("shard") + F.lit(int(off))).cast("int")
+            )
+            for d, off in zip(dfs, shard_offsets)
+        ]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
 
 
+_SHARD_STRIDE = 1_000_000  # per-delta shard-number namespace
+
+
 class MultiIndex:
     """Read-only union view over delta indexes; duck-types the parts
-    of SparkIndex the DataFrame executor uses (spark, stats, flat,
-    doclens, dictionary, planner, plan)."""
+    of SparkIndex BOTH executors use (spark, stats, flat, doclens,
+    segments, dictionary, planner, plan). Delta i's shards are
+    renumbered into [i*_SHARD_STRIDE, ...) so the doclens/segments
+    shard keys stay consistent and disjoint across deltas."""
 
     def __init__(self, spark: SparkSession, delta_dirs: Sequence[str]):
         import numpy as np
@@ -165,11 +189,19 @@ class MultiIndex:
             "meta_cols": stats[0].get("meta_cols", []),
             "n_terms": None,
         }
+        offsets = [i * _SHARD_STRIDE for i in range(len(delta_dirs))]
         self.flat = _union_parquet(
             spark, [os.path.join(d, "postings_flat") for d in delta_dirs]
         )
         self.doclens = _union_parquet(
-            spark, [os.path.join(d, "doclens") for d in delta_dirs]
+            spark,
+            [os.path.join(d, "doclens") for d in delta_dirs],
+            shard_offsets=offsets,
+        )
+        self.segments = _union_parquet(
+            spark,
+            [os.path.join(d, "segments") for d in delta_dirs],
+            shard_offsets=offsets,
         )
         terms = (
             _union_parquet(

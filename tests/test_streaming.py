@@ -126,3 +126,24 @@ def test_restart_does_not_duplicate(incremental, spark):
         spark.createDataFrame(generate_pdf(10, seed=11)), batch_id=0
     )
     assert ixr._load_meta() == before
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_multi_index_wand_executor(incremental, spark, q):
+    """WAND serves the multi-delta view directly — no compaction
+    (VERDICT r1 #7). Per-delta shards are renumbered into disjoint
+    namespaces; scores are rank-identical to the oracle (and hence to
+    the compacted index) because BM25 uses plan-time merged global
+    stats."""
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.streaming import open_multi
+
+    ixr, ix_dir, oracle = incremental
+    mi = open_multi(spark, ix_dir)
+    got = _ranked(
+        [
+            (r["doc_id"], r["score"])
+            for r in WandExecutor(mi).search(q, k=10).collect()
+        ]
+    )
+    assert got == _ranked(oracle.search(q, k=10)), q
