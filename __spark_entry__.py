@@ -324,6 +324,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_bucket=10**9,  # SQL oracle has no hot-bucket cap
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
+    # ---- IVF ANN: DataFrame-native k-means train + probe top-k.
+    # rows-only by design: the probed cells depend on the trained
+    # centroids (iterative Spark job — not expressible as one SQL
+    # statement); recall>=0.9 is asserted in tests/test_ivf.py.
+    def ivf(s, d):
+        from lucille_spark.ops import similarity as sim
+
+        e = _emb(s, d)
+        cents = sim.ivf_train(e, "embedding", n_cells=8, iters=3)
+        assigned = sim.ivf_assign(e, "embedding", cents)
+        return sim.ivf_topk(
+            assigned, "embedding", [0.1] * 64, cents, k=10, n_probe=6
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_ivf_topk"] = ivf
+
     # ---- multimodal (payload = md5-derived chain; DuckDB oracle
     # reproduces the exact bytes, so these are hash-gated) ----------
 

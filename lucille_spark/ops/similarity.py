@@ -108,26 +108,88 @@ def srp_topk(
     return cosine_topk(cand, vec_col, query, k, id_col)
 
 
-def ivf_assign(
+def _argmax_cell(vec_col: str, cents: np.ndarray):
+    """Column: index of the unit centroid with max dot product
+    (== cosine argmax; |v| is constant across cells). Ties resolve to
+    the LOWEST index (array_position returns the first occurrence).
+    Implemented as array_max/array_position over one dot-product
+    array — a chained when() would DOUBLE the expression tree per
+    cell (2^n_cells nodes: analyzer OOM beyond ~12 cells)."""
+    v = F.col(vec_col)
+    ds = F.array(*[_dot(v, _vec_lit(c.tolist())) for c in cents])
+    return (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
+
+
+def ivf_train(
     df: DataFrame,
     vec_col: str,
     n_cells: int = 16,
-    dim: int = 64,
-    seed: int = 13,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) coarse quantizer, DataFrame-native
+    and fully deterministic: init = the `n_cells` vectors with the
+    smallest ids (unit-normalized); each iteration assigns every
+    vector to its argmax-cosine centroid (JVM expressions) and
+    recomputes centroids as the normalized component-wise mean via
+    posexplode -> groupBy(cell, pos) partial-aggregated sums — only
+    n_cells*dim tiny rows ever reach the driver. Empty cells keep
+    their previous centroid. At 100 TB train on a sample
+    (df.sample(...)) — centroids need only be representative; the
+    full-corpus pass is `ivf_assign`, which is one scan, no shuffle.
+    -> (n_cells, dim) float64 unit matrix."""
+    init = (
+        df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    cents = np.array([r[0] for r in init], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = df.withColumn("cell", _argmax_cell(vec_col, cents))
+        rows = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in rows:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+        )
+        cents = new / norms
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
 ) -> DataFrame:
-    """IVF coarse quantizer with seeded random centroids (a real
-    deployment would k-means; random centroids keep this fully
-    deterministic). Adds `cell` = argmax centroid dot product."""
-    rng = np.random.default_rng(np.random.PCG64(seed))
-    cents = rng.standard_normal((n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    v = F.col(vec_col)
-    # argmax via chained when(): n_cells is small and driver-side
-    exprs = [_dot(v, _vec_lit(c.tolist())) for c in cents]
-    cell = F.lit(0)
-    best = exprs[0]
-    for i in range(1, n_cells):
-        better = exprs[i] > best
-        cell = F.when(better, F.lit(i)).otherwise(cell)
-        best = F.when(better, exprs[i]).otherwise(best)
-    return df.withColumn("cell", cell)
+    """Adds `cell` = argmax-cosine centroid index. One scan, pure JVM
+    expressions; at scale `cell` becomes the partition/cluster key so
+    probes prune the scan to n_probe cells."""
+    return df.withColumn("cell", _argmax_cell(vec_col, centroids))
+
+
+def ivf_topk(
+    df_with_cell: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: probe the `n_probe` cells whose centroids are
+    nearest the query (driver-side — centroids are tiny), brute-force
+    cosine inside the probed cells only."""
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(centroids @ qn), kind="stable")
+    probes = [int(c) for c in order[:n_probe]]
+    cand = df_with_cell.filter(F.col("cell").isin(probes))
+    return cosine_topk(cand, vec_col, query, k, id_col)

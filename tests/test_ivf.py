@@ -1,0 +1,133 @@
+"""IVF ANN: deterministic DataFrame-native k-means + recall@10 gate
+vs brute force (VERDICT r1 #8)."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.exists(os.path.join(SF, "embeddings.parquet")):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def test_kmeans_deterministic(emb):
+    from lucille_spark.ops.similarity import ivf_train
+
+    c1 = ivf_train(emb, "embedding", n_cells=8, iters=3)
+    c2 = ivf_train(emb, "embedding", n_cells=8, iters=3)
+    assert c1.shape == (8, 64)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
+
+
+def test_kmeans_improves_over_init(emb):
+    """Lloyd iterations must reduce spherical-kmeans cost (1 - mean
+    max-cosine) vs the 0-iteration init."""
+    from lucille_spark.ops.similarity import ivf_train
+
+    vecs = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+
+    def cost(cents):
+        return 1.0 - float(np.mean((vn @ cents.T).max(axis=1)))
+
+    c0 = ivf_train(emb, "embedding", n_cells=8, iters=0)
+    c3 = ivf_train(emb, "embedding", n_cells=8, iters=3)
+    assert cost(c3) < cost(c0)
+
+
+def _mean_recall(emb, ids, vecs, cents, n_probe, q_idx):
+    from lucille_spark.ops.similarity import ivf_assign, ivf_topk
+
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+    assigned = ivf_assign(emb, "embedding", cents).cache()
+    recalls = []
+    for qi in q_idx:
+        q = vecs[qi]
+        sims = vn @ (q / np.linalg.norm(q))
+        truth = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                assigned, "embedding", q.tolist(), cents, k=10,
+                n_probe=n_probe,
+            ).collect()
+        }
+        recalls.append(len(truth & got) / 10.0)
+    assigned.unpersist()
+    return float(np.mean(recalls))
+
+
+def test_ivf_recall_clustered(spark):
+    """recall@10 >= 0.9 at a 2-of-16-cell probe (~12.5% of the corpus
+    scanned) on clustered data — k-means cells keep true neighbors
+    together when the data HAS neighborhood structure. Deterministic
+    (seeded data, deterministic training)."""
+    import pandas as pd
+
+    from lucille_spark.ops.similarity import ivf_train
+
+    rng = np.random.default_rng(np.random.PCG64(5))
+    centers = rng.standard_normal((16, 64))
+    vecs = np.array(
+        [
+            centers[i % 16] + 0.35 * rng.standard_normal(64)
+            for i in range(2000)
+        ]
+    )
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(2000), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    ids = np.arange(2000)
+    cents = ivf_train(emb, "embedding", n_cells=16, iters=3)
+    rec = _mean_recall(emb, ids, vecs, cents, 2, range(0, 400, 20))
+    assert rec >= 0.9, rec
+
+
+def test_ivf_recall_driver_embeddings(emb):
+    """The driver's fixture embeddings are near-uniform in 64-dim
+    (true top-10 neighbors are only ~21% same-label), so high recall
+    inherently requires a high probe fraction — the honest operating
+    point here is 6 of 8 cells for recall ~0.93. Asserts >=0.9 there
+    plus probe-count monotonicity."""
+    from lucille_spark.ops.similarity import ivf_train
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = ivf_train(emb, "embedding", n_cells=8, iters=3)
+    q_idx = range(0, 200, 10)
+    rec6 = _mean_recall(emb, ids, vecs, cents, 6, q_idx)
+    rec2 = _mean_recall(emb, ids, vecs, cents, 2, q_idx)
+    assert rec6 >= 0.9, rec6
+    assert rec6 > rec2
+
+
+def test_ivf_prunes_scan(emb):
+    """The probed candidate set is a strict subset of the corpus."""
+    from lucille_spark.ops.similarity import ivf_assign, ivf_train
+    from pyspark.sql import functions as F
+
+    cents = ivf_train(emb, "embedding", n_cells=8, iters=3)
+    assigned = ivf_assign(emb, "embedding", cents)
+    per_cell = assigned.groupBy("cell").count().collect()
+    assert len(per_cell) >= 4  # corpus actually spreads over cells
+    total = sum(r["count"] for r in per_cell)
+    assert total == emb.count()
+    largest4 = sum(sorted((r["count"] for r in per_cell), reverse=True)[:4])
+    assert largest4 < total  # any 4-probe scan reads < full corpus
