@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lucille_spark import plans as P
 from lucille_spark.index.reader import SparkIndex
-from lucille_spark.pushdown import expand_condition
+from lucille_spark.pushdown import expand_bounds, expand_condition
 from lucille_spark.scoring import B, K1
 
 
@@ -73,7 +73,9 @@ class DataFrameExecutor:
                 "doc_id", F.lit(1.0).alias("score")
             )
         if isinstance(node, P.PTerm):
-            rows = ix.flat.filter(F.col("term") == node.term)
+            rows = self._flat([node.term]).filter(
+                F.col("term") == node.term
+            )
             return rows.select(
                 "doc_id",
                 _bm25_col(
@@ -85,8 +87,10 @@ class DataFrameExecutor:
             # IN-list for small expansions (parquet In filter), else
             # the source primitive as StartsWith/range bound + JVM
             # residual — plan size stays O(1) in dictionary size.
+            e, iv = expand_bounds(node)
             return (
-                ix.flat.filter(expand_condition(node))
+                self._flat(e, iv)
+                .filter(expand_condition(node))
                 .select("doc_id")
                 .distinct()
                 .select("doc_id", F.lit(1.0).alias("score"))
@@ -114,6 +118,14 @@ class DataFrameExecutor:
         return self.ix.spark.createDataFrame(
             [], "doc_id long, score double"
         )
+
+    def _flat(self, exact, intervals=()) -> DataFrame:
+        """File-pruned postings scan when the index has a per-file
+        term range manifest (falls back to the full table)."""
+        src = getattr(self.ix, "flat_for", None)
+        if src is None:
+            return self.ix.flat
+        return src(exact, intervals)
 
     # boolean: single union + one aggregation (partial agg map-side),
     # no join chains -> one shuffle regardless of clause count.
@@ -160,12 +172,13 @@ class DataFrameExecutor:
     def _phrase(self, node: P.PPhrase) -> DataFrame:
         ix = self.ix
         m = len(node.terms)
+        flat = self._flat(list(node.terms))
         dfs = []
         for i, t in enumerate(node.terms):
             cols = [F.col("doc_id"), F.col("positions").alias(f"pos{i}")]
             if i == 0:
                 cols.append(F.col("doc_len"))
-            dfs.append(ix.flat.filter(F.col("term") == t).select(*cols))
+            dfs.append(flat.filter(F.col("term") == t).select(*cols))
         j = dfs[0]
         for i in range(1, m):
             j = j.join(dfs[i], "doc_id")

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from lucille_spark import plans as P
 from lucille_spark.codec import varbyte_decode
-from lucille_spark.pushdown import expand_condition
+from lucille_spark.pushdown import expand_condition, file_prune_bounds
 from lucille_spark.eval_local import Posting, ShardData, evaluate, top_k
 from lucille_spark.index.reader import SparkIndex
 
@@ -64,7 +64,12 @@ class WandExecutor:
         node = ix.plan(query)
         terms = P.collect_terms(node)
 
-        segs = ix.segments
+        seg_src = getattr(ix, "segments_for", None)
+        if seg_src is not None:
+            exact, intervals = file_prune_bounds(node)
+            segs = seg_src(exact, intervals)
+        else:
+            segs = ix.segments
         if terms:
             segs = segs.filter(_term_filter(node, terms))
         need_uni = P.needs_universe(node)

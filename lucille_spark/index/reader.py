@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from lucille_spark import ast, parse
 from lucille_spark import plans as P
+from lucille_spark.index import fsio
 
 
 class DriverDictionary(P.TermDictionary):
@@ -186,6 +187,37 @@ class PushdownDictionary(P.TermDictionary):
         return self._terms(cond)
 
 
+class FileTermIndex:
+    """Per-file (term_min, term_max) ranges (file_index.json, written
+    by the build's footer-scan stage). `select` returns the subset of
+    files whose term range may contain any requested term — strictly
+    conservative: unknown ranges and all interval-bound comparisons
+    treat bounds as inclusive, so pruning can only drop files that
+    provably contain none of the query's terms."""
+
+    def __init__(self, entries: Sequence[Sequence]):
+        self.entries = [tuple(e) for e in entries]
+
+    def select(self, exact: Sequence[str], intervals: Sequence = ()):
+        """-> list of file paths to scan (possibly empty)."""
+        out = []
+        for path, tmin, tmax in self.entries:
+            if tmin is None or tmax is None:
+                out.append(path)  # no stats -> never pruned
+                continue
+            hit = any(tmin <= t <= tmax for t in exact)
+            if not hit:
+                for lo, hi in intervals:
+                    if (lo is None or lo <= tmax) and (
+                        hi is None or hi >= tmin
+                    ):
+                        hit = True
+                        break
+            if hit:
+                out.append(path)
+        return out
+
+
 class SparkIndex:
     def __init__(
         self,
@@ -199,8 +231,6 @@ class SparkIndex:
         scans); leave False for one-shot batch jobs."""
         self.spark = spark
         self.dir = index_dir
-        from lucille_spark.index import fsio
-
         self.stats = json.loads(
             fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
         )
@@ -211,6 +241,15 @@ class SparkIndex:
         )
         self.segments_path = os.path.join(index_dir, "segments")
         self._cached_segments = None
+        self._flat_path = os.path.join(index_dir, "postings_flat")
+        self._cache = cache
+        fidx_path = os.path.join(index_dir, "file_index.json")
+        self._fidx = None
+        if fsio.exists(fidx_path, spark):
+            raw = json.loads(fsio.read_text(fidx_path, spark))
+            self._fidx = {
+                k: FileTermIndex(v) for k, v in raw.items()
+            }
         if cache:
             self.flat = self.flat.cache()
             self.doclens = self.doclens.cache()
@@ -237,6 +276,40 @@ class SparkIndex:
         if self._cached_segments is not None:
             return self._cached_segments
         return self.spark.read.parquet(self.segments_path)
+
+    # -- file-level term pruning -----------------------------------
+    # The posting files are term-SORTED and split into term-contiguous
+    # chunks at build, so a query's terms intersect O(num_shards)
+    # files. Selection happens driver-side from file_index.json BEFORE
+    # the scan — at web scale this avoids even reading the footers of
+    # irrelevant files. With cache=True the tables are pinned in
+    # memory, which supersedes file pruning (a fresh per-file read
+    # would bypass the cache), so pruning is skipped.
+
+    def _pruned(
+        self, full: DataFrame, key: str, base_path: str, exact, intervals
+    ) -> DataFrame:
+        if self._cache or self._fidx is None or key not in self._fidx:
+            return full
+        fidx = self._fidx[key]
+        sel = fidx.select(list(exact), list(intervals))
+        if len(sel) >= len(fidx.entries):
+            return full
+        if not sel:
+            return self.spark.createDataFrame([], full.schema)
+        return (
+            self.spark.read.option("basePath", base_path).parquet(*sel)
+        )
+
+    def flat_for(self, exact, intervals=()) -> DataFrame:
+        return self._pruned(
+            self.flat, "flat", self._flat_path, exact, intervals
+        )
+
+    def segments_for(self, exact, intervals=()) -> DataFrame:
+        return self._pruned(
+            self.segments, "segments", self.segments_path, exact, intervals
+        )
 
     def plan(self, query) -> P.PNode:
         if isinstance(query, str):

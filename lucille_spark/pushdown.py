@@ -30,6 +30,54 @@ from lucille_spark import plans as P
 IN_THRESHOLD = 64
 
 
+_MAX_CHAR = "\U0010ffff"
+_EXACT_CAP = 1024  # beyond this, file pruning uses intervals instead
+
+
+def expand_bounds(node: P.PExpand):
+    """(exact_terms, intervals) the expansion's matches are contained
+    in — used for file-level pruning. Conservative: an unboundable
+    expansion yields the unbounded interval (None, None)."""
+    src = node.source
+    kind = src[0] if src else None
+    if kind == "prefix":
+        return [], [(src[1], src[1] + _MAX_CHAR)]
+    if kind == "range":
+        _, lo, hi, _li, _hi = src
+        return [], [(lo, hi)]
+    if node.terms and len(node.terms) <= _EXACT_CAP:
+        return list(node.terms), []
+    if kind in ("wildcard", "regex") and src[1]:
+        return [], [(src[1], src[1] + _MAX_CHAR)]
+    return [], [(None, None)]
+
+
+def file_prune_bounds(node: P.PNode):
+    """Walk a physical tree -> (exact_terms, intervals) covering every
+    posting-list term any evaluator may touch. Feed to
+    SparkIndex.flat_for / segments_for."""
+    exact: set = set()
+    intervals: list = []
+
+    def walk(n: P.PNode) -> None:
+        if isinstance(n, P.PTerm):
+            exact.add(n.term)
+        elif isinstance(n, P.PPhrase):
+            exact.update(n.terms)
+        elif isinstance(n, P.PExpand):
+            e, iv = expand_bounds(n)
+            exact.update(e)
+            intervals.extend(iv)
+        elif isinstance(n, P.PBool):
+            for c in n.must + n.should + n.must_not:
+                walk(c)
+        elif isinstance(n, (P.PNot, P.PBoost)):
+            walk(n.child)
+
+    walk(node)
+    return sorted(exact), intervals
+
+
 def expand_condition(node: P.PExpand, col: str = "term") -> Column:
     """-> boolean Column selecting exactly `node`'s terms."""
     c = F.col(col)

@@ -1,0 +1,109 @@
+"""File-level term pruning (VERDICT r1 #6): posting files are
+term-sorted and split into term-contiguous chunks at build; the
+per-file (term_min, term_max) manifest prunes whole files before the
+scan. A rare term must touch O(num_shards) files, not all of them —
+and results must be identical to the unpruned scan."""
+
+import json
+import os
+
+import pytest
+
+
+def _ranked(rows):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def small_file_index(spark, unit_corpus, tmp_path_factory):
+    """Unit corpus built with a tiny max_records_per_file so each task
+    emits many term-contiguous files."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    out = str(tmp_path_factory.mktemp("fpix") / "ix")
+    docs = spark.createDataFrame(unit_corpus)
+    IndexBuilder(
+        num_shards=2, block_size=32, max_records_per_file=120
+    ).build(docs, out)
+    ix = SparkIndex(spark, out)
+
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    oracle = OracleIndex(
+        [
+            {
+                "doc_id": i, "repo": r.repo, "path": r.path,
+                "commit": r.commit, "lang": r.lang, "content": r.content,
+            }
+            for i, r in enumerate(pdf.itertuples())
+        ]
+    )
+    return ix, out, oracle
+
+
+def test_manifest_written_and_files_split(small_file_index):
+    ix, out, oracle = small_file_index
+    with open(os.path.join(out, "file_index.json")) as f:
+        fidx = json.load(f)
+    assert len(fidx["flat"]) > 8  # record cap actually split files
+    assert all(e[1] is not None for e in fidx["flat"])  # stats present
+
+
+def test_rare_term_touches_few_files(small_file_index):
+    ix, out, oracle = small_file_index
+    flat_idx = ix._fidx["flat"]
+    total = len(flat_idx.entries)
+    # 'derp' is a rare fixture term: at most ONE term-contiguous
+    # chunk per (task, shard) run contains it, so its file count is
+    # O(tasks * shards) — a small fraction of all chunks once the
+    # record cap splits each run into several files
+    sel = flat_idx.select(["derp"], [])
+    assert 0 < len(sel) <= total // 3, (len(sel), total)
+    # an interval selects its covering chunks only
+    sel_iv = flat_idx.select([], [("derp", "derq")])
+    assert set(sel) <= set(sel_iv)
+    assert len(sel_iv) < total
+
+
+def test_pruned_results_identical(small_file_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, out, oracle = small_file_index
+    for q in ["derp", "import AND cats", '"the cat jumped"', "tes*",
+              "derp OR lerp"]:
+        expected = [
+            (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+        ]
+        got_df = _ranked(DataFrameExecutor(ix).search(q, k=10).collect())
+        got_w = _ranked(WandExecutor(ix).search(q, k=10).collect())
+        assert got_df == expected, q
+        assert got_w == expected, q
+
+
+def test_scan_reads_only_selected_files(small_file_index):
+    """The pruned DataFrame's actual input files are the manifest
+    selection, not the whole table."""
+    ix, out, oracle = small_file_index
+    pruned = ix.flat_for(["derp"])
+    sel = set(ix._fidx["flat"].select(["derp"], []))
+    got = set(pruned.inputFiles())
+    assert got == sel
+    assert len(got) < len(ix.flat.inputFiles())
+
+
+def test_conservative_on_missing_stats():
+    from lucille_spark.index.reader import FileTermIndex
+
+    fidx = FileTermIndex(
+        [["a", "apple", "cat"], ["b", None, None], ["c", "dog", "zoo"]]
+    )
+    assert fidx.select(["banana"], []) == ["a", "b"]
+    assert fidx.select([], [(None, None)]) == ["a", "b", "c"]
+    assert fidx.select([], [("cow", None)]) == ["b", "c"]
+    assert fidx.select([], [(None, "ant")]) == ["b"]  # 'ant' < 'apple'
+    assert fidx.select([], [(None, "apple")]) == ["a", "b"]
+    assert fidx.select([], []) == ["b"]
