@@ -493,9 +493,14 @@ ORDER BY 1.0 + s DESC, doc_id LIMIT 10"""
         "SELECT DISTINCT doc_id FROM tok WHERE term >= 'table' AND "
         "term <= 'window'"
     )
+    # engine fuzzy = OSA (Lucene default, transpositions cost 1);
+    # DuckDB's damerau_levenshtein is full DL, which equals OSA for
+    # distance <= 1 (divergence needs >= 2 edits), so it is an exact
+    # oracle for this ~1 query.
     o["ft_fuzzy"] = _const_score_sql(
         "SELECT DISTINCT doc_id FROM tok WHERE "
-        "abs(length(term) - 4) <= 1 AND levenshtein(term, 'tble') <= 1"
+        "abs(length(term) - 4) <= 1 AND "
+        "damerau_levenshtein(term, 'tble') <= 1"
     )
 
     o["ft_minmatch"] = (

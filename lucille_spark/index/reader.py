@@ -86,12 +86,14 @@ class DriverDictionary(P.TermDictionary):
             hi = np.searchsorted(self.terms, upper, "right" if upper_inc else "left")
         return self.terms[lo:hi].tolist()
 
-    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+    def expand_fuzzy(
+        self, term: str, max_edits: int, transpositions: bool = False
+    ) -> List[str]:
         lens = np.char.str_len(self.terms.astype(str))
         cand = self.terms[np.abs(lens - len(term)) <= max_edits]
         if cand.size == 0:
             return []
-        mask = _lev_batch(cand, term, max_edits)
+        mask = _lev_batch(cand, term, max_edits, transpositions)
         return cand[mask].tolist()
 
 
@@ -107,11 +109,19 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
-def _lev_batch(cands: np.ndarray, term: str, max_edits: int) -> np.ndarray:
+def _lev_batch(
+    cands: np.ndarray,
+    term: str,
+    max_edits: int,
+    transpositions: bool = False,
+) -> np.ndarray:
     """Vectorized Levenshtein over a candidate array: one DP table of
     shape (n_cand, maxlen+1) advanced a cell-column at a time — the
     Python loop is O(len(term) * maxlen) regardless of candidate
-    count. -> boolean mask of cands within max_edits."""
+    count. With `transpositions` the recurrence adds the OSA
+    (optimal string alignment) case — an adjacent swap costs 1, the
+    same distance Lucene's FuzzyQuery uses by default.
+    -> boolean mask of cands within max_edits."""
     n = cands.size
     clens = np.char.str_len(cands.astype(str))
     maxlen = int(clens.max())
@@ -130,16 +140,26 @@ def _lev_batch(cands: np.ndarray, term: str, max_edits: int) -> np.ndarray:
     prev = np.broadcast_to(
         np.arange(maxlen + 1, dtype=np.int64), (n, maxlen + 1)
     ).copy()
+    prev2 = None  # row i-2, for the OSA transposition case
     for i, tc in enumerate(tcodes, 1):
         cur = np.empty_like(prev)
         cur[:, 0] = i
         sub = (mat != tc).astype(np.int64)
         for j in range(maxlen):
-            cur[:, j + 1] = np.minimum(
+            best = np.minimum(
                 np.minimum(prev[:, j + 1] + 1, cur[:, j] + 1),
                 prev[:, j] + sub[:, j],
             )
-        prev = cur
+            if transpositions and i >= 2 and j >= 1:
+                # term[i-2:i] swapped equals cand[j-1:j+1]
+                swap = (mat[:, j] == tcodes[i - 2]) & (
+                    mat[:, j - 1] == tc
+                )
+                best = np.where(
+                    swap, np.minimum(best, prev2[:, j - 1] + 1), best
+                )
+            cur[:, j + 1] = best
+        prev2, prev = prev, cur
     dist = prev[np.arange(n), clens]
     return dist <= max_edits
 
@@ -180,11 +200,27 @@ class PushdownDictionary(P.TermDictionary):
             cond = cond & c
         return self._terms(cond)
 
-    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
-        cond = (
-            F.abs(F.length("term") - F.lit(len(term))) <= max_edits
-        ) & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
-        return self._terms(cond)
+    def expand_fuzzy(
+        self, term: str, max_edits: int, transpositions: bool = False
+    ) -> List[str]:
+        band = F.abs(F.length("term") - F.lit(len(term))) <= max_edits
+        if not transpositions:
+            cond = band & (
+                F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+            )
+            return self._terms(cond)
+        # OSA has no JVM builtin. Since a transposition is two plain
+        # Levenshtein ops, OSA(a,b) <= e implies levenshtein <= 2e —
+        # prefilter with that (pushdown-friendly) and verify the exact
+        # OSA distance on the (small) collected candidate set.
+        cond = band & (
+            F.levenshtein(F.col("term"), F.lit(term)) <= 2 * max_edits
+        )
+        cands = np.array(self._terms(cond), dtype=object)
+        if cands.size == 0:
+            return []
+        mask = _lev_batch(cands, term, max_edits, transpositions=True)
+        return cands[mask].tolist()
 
 
 class FileTermIndex:

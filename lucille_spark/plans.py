@@ -160,7 +160,12 @@ class TermDictionary:
     ) -> List[str]:
         raise NotImplementedError
 
-    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+    def expand_fuzzy(
+        self, term: str, max_edits: int, transpositions: bool = False
+    ) -> List[str]:
+        """Terms within `max_edits` of `term`; `transpositions=True`
+        uses OSA distance (adjacent swap = 1 edit), matching Lucene
+        FuzzyQuery's default."""
         raise NotImplementedError
 
 
@@ -298,10 +303,12 @@ class Planner:
             t = q.value.lower()
             if max_e == 0:
                 return self._plan_term_text(t)
+            # transpositions=True matches Lucene FuzzyQuery's default
+            # (an adjacent swap costs 1 edit, OSA distance)
             return self._expand(
-                self.dict.expand_fuzzy(t, max_e),
+                self.dict.expand_fuzzy(t, max_e, transpositions=True),
                 "fuzzy",
-                ("fuzzy", t, max_e),
+                ("fuzzy", t, max_e, True),
             )
         if isinstance(q, ast.Group):
             return self._plan(q.q)

@@ -108,7 +108,15 @@ def expand_condition(node: P.PExpand, col: str = "term") -> Column:
             cond = c.startswith(lit_prefix) & cond
         return cond
     if kind == "fuzzy":
-        _, term, max_e = src
+        term, max_e = src[1], src[2]
+        transpositions = src[3] if len(src) > 3 else False
+        if transpositions:
+            # OSA has no JVM builtin; a plain-levenshtein predicate
+            # would MISS transposed matches (OSA <= e is a superset of
+            # lev <= e). Keep the exact resolved IN-list — fuzzy
+            # expansions are small (length-banded) even on huge
+            # dictionaries.
+            return c.isin(list(node.terms))
         return (
             F.abs(F.length(c) - F.lit(len(term))) <= max_e
         ) & (F.levenshtein(c, F.lit(term)) <= max_e)

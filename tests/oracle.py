@@ -37,6 +37,35 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def osa(a: str, b: str) -> int:
+    """Optimal string alignment distance (Levenshtein + adjacent
+    transposition costing 1) — Lucene FuzzyQuery's default metric.
+    Independent scalar reference for the engine's vectorized OSA."""
+    if a == b:
+        return 0
+    rows = [list(range(len(b) + 1))]
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            best = min(
+                rows[-1][j] + 1,
+                cur[j - 1] + 1,
+                rows[-1][j - 1] + (ca != cb),
+            )
+            if (
+                i >= 2
+                and j >= 2
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                best = min(best, rows[-2][j - 2] + 1)
+            cur.append(best)
+        rows.append(cur)
+        if len(rows) > 3:
+            rows.pop(0)
+    return rows[-1][-1]
+
+
 class InMemoryDictionary(P.TermDictionary):
     def __init__(self, df: Dict[str, int]):
         self._df = df
@@ -62,12 +91,15 @@ class InMemoryDictionary(P.TermDictionary):
             out.append(t)
         return out
 
-    def expand_fuzzy(self, term: str, max_edits: int) -> List[str]:
+    def expand_fuzzy(
+        self, term: str, max_edits: int, transpositions: bool = False
+    ) -> List[str]:
+        dist = osa if transpositions else levenshtein
         return [
             t
             for t in self._terms
             if abs(len(t) - len(term)) <= max_edits
-            and levenshtein(t, term) <= max_edits
+            and dist(t, term) <= max_edits
         ]
 
 

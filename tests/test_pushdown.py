@@ -5,6 +5,8 @@ the vectorized DriverDictionary scans (what's-wrong #2)."""
 
 import re
 
+from pyspark.sql import functions as F
+
 import numpy as np
 import pytest
 
@@ -127,3 +129,49 @@ def test_lev_batch_unicode():
         mask = _lev_batch(cands, term, e)
         expect = [_lev(c, term) <= e for c in cands]
         assert mask.tolist() == expect, (term, e)
+
+
+# --------------------------------------------------------- OSA fuzzy
+
+
+def test_osa_batch_matches_scalar(big_dict):
+    from lucille_spark.index.reader import _lev_batch
+    from tests.oracle import osa
+
+    cands = big_dict.terms
+    for term, e in [("tble", 1), ("table", 2), ("stan", 1)]:
+        mask = _lev_batch(cands, term, e, transpositions=True)
+        expect = np.array([osa(c, term) <= e for c in cands])
+        assert (mask == expect).all(), (term, e)
+
+
+def test_osa_distances():
+    from tests.oracle import osa
+
+    assert osa("tble", "tbel") == 1      # adjacent swap = 1
+    assert osa("tble", "table") == 1
+    assert osa("ca", "abc") == 3         # OSA, not full DL (=2)
+    assert osa("abcd", "acbd") == 1
+    assert osa("", "ab") == 2
+
+
+def test_fuzzy_finds_transposed_terms(big_dict):
+    """Lucene parity: 'tbale'~1 must match 'table' (one swap)."""
+    got = big_dict.expand_fuzzy("tbale", 1, transpositions=True)
+    assert "table" in got
+    got_plain = big_dict.expand_fuzzy("tbale", 1, transpositions=False)
+    assert "table" not in got_plain  # lev('tbale','table') == 2
+
+
+def test_pushdown_dictionary_osa(spark, big_dict):
+    from lucille_spark.index.reader import PushdownDictionary
+
+    tdf = spark.createDataFrame(
+        [(str(t),) for t in big_dict.terms], "term string"
+    ).withColumn("df", F.lit(1)).withColumn("cf", F.lit(1))
+    pd_dict = PushdownDictionary(tdf)
+    for term, e, tr in [("tbale", 1, True), ("tble", 1, True),
+                        ("tble", 1, False)]:
+        assert sorted(pd_dict.expand_fuzzy(term, e, tr)) == sorted(
+            big_dict.expand_fuzzy(term, e, tr)
+        ), (term, e, tr)
