@@ -127,20 +127,37 @@ class DataFrameExecutor:
             return self.ix.flat
         return src(exact, intervals)
 
-    # boolean: single union + one aggregation (partial agg map-side),
-    # no join chains -> one shuffle regardless of clause count.
+    # boolean: ALL PTerm clauses fold into ONE flat scan (per-term
+    # idf/multiplicity/must-count constants come from tiny map
+    # literals), unioned with recursively-evaluated complex clauses,
+    # then a single aggregation (partial agg map-side) — one scan +
+    # one shuffle regardless of term-clause count.
     def _bool(self, node: P.PBool) -> DataFrame:
+        term_must = [c for c in node.must if isinstance(c, P.PTerm)]
+        term_should = [c for c in node.should if isinstance(c, P.PTerm)]
+        rest_must = [c for c in node.must if not isinstance(c, P.PTerm)]
+        rest_should = [
+            c for c in node.should if not isinstance(c, P.PTerm)
+        ]
+
         parts: List[DataFrame] = []
-        for c in node.must:
+        if len(term_must) + len(term_should) >= 2:
+            parts.append(self._terms_scan(term_must, term_should))
+        else:
+            rest_must = list(node.must)
+            rest_should = list(node.should)
+        for c in rest_must:
             parts.append(
                 self.evaluate(c).select(
-                    "doc_id", "score", F.lit(1).alias("is_must")
+                    "doc_id", "score",
+                    F.lit(1).alias("m_cnt"), F.lit(0).alias("s_cnt"),
                 )
             )
-        for c in node.should:
+        for c in rest_should:
             parts.append(
                 self.evaluate(c).select(
-                    "doc_id", "score", F.lit(0).alias("is_must")
+                    "doc_id", "score",
+                    F.lit(0).alias("m_cnt"), F.lit(1).alias("s_cnt"),
                 )
             )
         if not parts:
@@ -150,8 +167,8 @@ class DataFrameExecutor:
             u = u.unionAll(p)
         agg = u.groupBy("doc_id").agg(
             F.sum("score").alias("score"),
-            F.sum("is_must").alias("n_must"),
-            F.sum(1 - F.col("is_must")).alias("n_should"),
+            F.sum("m_cnt").alias("n_must"),
+            F.sum("s_cnt").alias("n_should"),
         )
         cond = F.lit(True)
         if node.must:
@@ -165,6 +182,51 @@ class DataFrameExecutor:
                 self.evaluate(mn).select("doc_id"), "doc_id", "left_anti"
             )
         return out
+
+    def _terms_scan(
+        self, term_must: List[P.PTerm], term_should: List[P.PTerm]
+    ) -> DataFrame:
+        """One scan covering every PTerm clause. Per distinct term:
+        score weight = idf * clause multiplicity (BM25 is linear in
+        idf, so a clause repeated n times scores n times), m_cnt =
+        number of MUST clauses with the term (the aggregate compares
+        against len(must), so multiplicity counts), s_cnt likewise for
+        SHOULD."""
+        idf = {}
+        m_cnt: dict = {}
+        s_cnt: dict = {}
+        for t in term_must:
+            idf[t.term] = t.idf
+            m_cnt[t.term] = m_cnt.get(t.term, 0) + 1
+        for t in term_should:
+            idf[t.term] = t.idf
+            s_cnt[t.term] = s_cnt.get(t.term, 0) + 1
+
+        def _map(d: dict, cast: str):
+            if not d:
+                return F.lit(None).cast(cast)
+            kv = []
+            for k, v in d.items():
+                kv.extend([F.lit(k), F.lit(v)])
+            return F.create_map(*kv)[F.col("term")].cast(cast)
+
+        w = {
+            t: idf[t] * (m_cnt.get(t, 0) + s_cnt.get(t, 0)) for t in idf
+        }
+        terms = sorted(idf)
+        rows = self._flat(terms).filter(F.col("term").isin(terms))
+        return rows.select(
+            "doc_id",
+            _bm25_col(
+                F.col("tf"), F.col("doc_len"), 1.0, self.avgdl
+            ).alias("_b"),
+            F.col("term"),
+        ).select(
+            "doc_id",
+            (F.col("_b") * _map(w, "double")).alias("score"),
+            F.coalesce(_map(m_cnt, "int"), F.lit(0)).alias("m_cnt"),
+            F.coalesce(_map(s_cnt, "int"), F.lit(0)).alias("s_cnt"),
+        )
 
     # phrase/proximity: positional arrays stay as Spark arrays; the
     # adjacency / ordered-window checks are higher-order functions
