@@ -430,47 +430,54 @@ def _has_success(path: str, spark=None) -> bool:
     return fsio.exists(os.path.join(path, "_SUCCESS"), spark)
 
 
+def _footer_term_range(path_uri: str):
+    """(term_min, term_max) from one parquet footer; (None, None) when
+    statistics are missing or truncation-suspect (conservative)."""
+    import pyarrow.parquet as pq
+
+    local = path_uri[7:] if path_uri.startswith("file://") else (
+        path_uri[5:] if path_uri.startswith("file:") else path_uri
+    )
+    try:
+        md = pq.ParquetFile(local).metadata
+        ci = md.schema.names.index("term")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("no stats")
+            mins.append(st.min)
+            maxs.append(st.max)
+        tmin, tmax = min(mins), max(maxs)
+        # parquet truncates very long string stats; terms that long
+        # make the max a prefix (unsound upper bound) — fall back to
+        # unpruned for such files
+        if len(str(tmax)) >= 64:
+            raise ValueError("possible truncation")
+        return tmin, tmax
+    except Exception:
+        return None, None
+
+
 def _file_term_ranges(spark, table_path: str) -> List[list]:
     """[[file_uri, term_min, term_max], ...] from parquet FOOTERS only
-    (pyarrow metadata; no data pages touched), computed distributed
-    over the file list. A file whose term statistics are missing or
-    truncation-suspect gets (None, None) = never pruned (conservative).
-    """
+    (pyarrow metadata; no data pages touched). Small file sets are
+    read driver-side (a footer is ~ms; a Spark job is not); large
+    sets fan out over executors."""
     files = spark.read.parquet(table_path).inputFiles()
     if not files:
         return []
+    if len(files) <= 512:
+        return [[p, *_footer_term_range(p)] for p in files]
     fdf = spark.createDataFrame(
         [(f,) for f in files], "path string"
-    ).repartition(min(len(files), 32))
+    ).repartition(min(len(files) // 64, 256))
 
     def kernel(batches):
-        import pyarrow.parquet as pq
-
         for pdf in batches:
             out = {"path": [], "tmin": [], "tmax": []}
             for p in pdf["path"]:
-                local = p[7:] if p.startswith("file://") else (
-                    p[5:] if p.startswith("file:") else p
-                )
-                try:
-                    md = pq.ParquetFile(local).metadata
-                    names = md.schema.names
-                    ci = names.index("term")
-                    mins, maxs = [], []
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            raise ValueError("no stats")
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                    tmin, tmax = min(mins), max(maxs)
-                    # parquet truncates very long string stats; terms
-                    # that long make the max a prefix (unsound upper
-                    # bound) — fall back to unpruned for such files
-                    if len(str(tmax)) >= 64:
-                        raise ValueError("possible truncation")
-                except Exception:
-                    tmin, tmax = None, None
+                tmin, tmax = _footer_term_range(p)
                 out["path"].append(p)
                 out["tmin"].append(tmin)
                 out["tmax"].append(tmax)
