@@ -140,7 +140,7 @@ def _seq(*ps):
         vals = []
         for p in ps:
             r = p(s, j)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return _Fail(r.off, r.committed or j > i)
             j, v = r
             vals.append(v)
@@ -154,11 +154,11 @@ def _soft_seq(a, b):
 
     def run(s, i):
         ra = a(s, i)
-        if isinstance(ra, _Fail):
+        if type(ra) is _Fail:
             return ra
         j, va = ra
         rb = b(s, j)
-        if isinstance(rb, _Fail):
+        if type(rb) is _Fail:
             if rb.committed:
                 return _Fail(rb.off, True)
             return _Fail(i, False)  # rewind: uncommitted failure
@@ -185,7 +185,7 @@ def _right(p):
 def _map(p, f):
     def run(s, i):
         r = p(s, i)
-        if isinstance(r, _Fail):
+        if type(r) is _Fail:
             return r
         j, v = r
         return (j, f(v))
@@ -197,7 +197,7 @@ def _one_of(ps):
     def run(s, i):
         for p in ps:
             r = p(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 if r.committed:
                     return r
                 continue
@@ -210,7 +210,7 @@ def _one_of(ps):
 def _opt(p):
     def run(s, i):
         r = p(s, i)
-        if isinstance(r, _Fail):
+        if type(r) is _Fail:
             if r.committed:
                 return r
             return (i, None)
@@ -225,7 +225,7 @@ def _rep(p, min_count=1):
         out = []
         while True:
             r = p(s, j)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 if r.committed:
                     return r
                 break
@@ -244,7 +244,7 @@ def _not(p):
 
     def run(s, i):
         r = p(s, i)
-        if isinstance(r, _Fail):
+        if type(r) is _Fail:
             return (i, None)
         return _Fail(i, False)
 
@@ -256,7 +256,7 @@ def _peek(p):
 
     def run(s, i):
         r = p(s, i)
-        if isinstance(r, _Fail):
+        if type(r) is _Fail:
             return _Fail(i, False)
         return (i, None)
 
@@ -268,7 +268,7 @@ def _string_of(p):
 
     def run(s, i):
         r = p(s, i)
-        if isinstance(r, _Fail):
+        if type(r) is _Fail:
             return r
         j, _ = r
         return (j, s[i:j])
@@ -288,7 +288,7 @@ def _rep_until(p, until, min_count):
             if not isinstance(ru, _Fail):
                 break
             r = p(s, j)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 if r.committed:
                     return r
                 break
@@ -339,7 +339,7 @@ _alpha = _char_where(lambda c: ("a" <= c <= "z") or ("A" <= c <= "Z"))
 # int: digits not followed by '.' (QueryParser.scala:190)
 def _int_run(s, i):
     r = _rep(_digit, 1)(s, i)
-    if isinstance(r, _Fail):
+    if type(r) is _Fail:
         return r
     j, _ = r
     if j < len(s) and s[j] == ".":
@@ -353,12 +353,12 @@ _int = _int_run
 def _float_run(s, i):
     # float: digits (('.' digits)?) (QueryParser.scala:198-202)
     r = _rep(_digit, 1)(s, i)
-    if isinstance(r, _Fail):
+    if type(r) is _Fail:
         return r
     j, _ = r
     if j < len(s) and s[j] == ".":
         r2 = _rep(_digit, 1)(s, j + 1)
-        if isinstance(r2, _Fail):
+        if type(r2) is _Fail:
             return _Fail(r2.off, True)  # '.' consumed, digits required
         j, _ = r2
     return (j, float(s[i:j]))
@@ -387,7 +387,7 @@ _phrase_body = _map(_rep(_one_of([_phrase_char, _phrase_escape]), 1), "".join)
 
 def _phrase_run(s, i):
     r = _seq(_char_in(_QUOTES), _phrase_body, _char_in(_QUOTES))(s, i)
-    if isinstance(r, _Fail):
+    if type(r) is _Fail:
         return r
     j, (_, body, _) = r
     return (j, body)
@@ -433,7 +433,7 @@ _regex_body = _string_of(_rep(_one_of([_regex_char, _seq(_char("\\"), _char("/")
 
 def _regex_run(s, i):
     r = _seq(_char("/"), _regex_body, _char("/"))(s, i)
-    if isinstance(r, _Fail):
+    if type(r) is _Fail:
         return r
     j, (_, body, _) = r
     return (j, TermRegex(body))
@@ -464,7 +464,7 @@ def _range_run(s, i):
         _char_in("}]"),
     )
     r = p(s, i)
-    if isinstance(r, _Fail):
+    if type(r) is _Fail:
         return r
     j, (lo_b, _, lo, _, _, _, hi, _, hi_b) = r
     return (j, TermRange(lo, hi, lo_b == "[", hi_b == "]"))
@@ -534,7 +534,7 @@ class QueryParser:
         def not_q(s, i):
             # (P.string("NOT").soft ~ maybeSpace) *> query (:37-38)
             r = _soft_seq(_string("NOT"), _maybe_space)(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return r
             j, _ = r
             rq = query(s, j)
@@ -555,7 +555,7 @@ class QueryParser:
         def group_q(s, i):
             # '(' wrappedQueries ')' <* not('@') (:113-118)
             r = _seq(_char("("), wrapped_queries, _char(")"))(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return r
             j, (_, q, _) = r
             if j < len(s) and s[j] == "@":
@@ -569,7 +569,7 @@ class QueryParser:
 
         def boost_suffix_run(s, i):
             r = _seq(_char("^"), _float_run, _query_end)(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return r
             j, (_, f, _) = r
             return (j, f)
@@ -601,7 +601,7 @@ class QueryParser:
                 return _Fail(r1.off, r1.committed or j3 > j2)
             j4, qlist = r1
             r2 = suffix_ops(s2, j4)
-            if isinstance(r2, _Fail):
+            if type(r2) is _Fail:
                 return _Fail(r2.off, True)
             j5, ops = r2
             ops = [(op, q) for (op, _sp_, q) in ops]
@@ -623,7 +623,7 @@ class QueryParser:
             if hit is not None:
                 return hit
             r = rep_all(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 memo[i] = r
                 return r
             j, chains = r
@@ -637,7 +637,7 @@ class QueryParser:
             # '(' nelQueries ')' .soft '@' int queryEnd (:72-76)
             grouped = _seq(_char("("), nel_queries, _char(")"))
             r = grouped(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return r
             j, (_, qs, _) = r
             rn = _seq(_char("@"), _int, _query_end)(s, j)
@@ -670,7 +670,7 @@ class QueryParser:
         def wrapped_queries(s, i):
             # wrap multi-query lists in the default boolean (:124-129)
             r = nel_queries(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return r
             j, qs = r
             if len(qs) == 1:
@@ -680,7 +680,7 @@ class QueryParser:
 
         def full(s, i):
             r = wrapped_queries(s, i)
-            if isinstance(r, _Fail):
+            if type(r) is _Fail:
                 return r
             j, q = r
             rs = _maybe_space(s, j)
@@ -712,7 +712,7 @@ class QueryParser:
         finally:
             sys.setrecursionlimit(old_limit)
             self._memo = {}
-        if isinstance(r, _Fail):
+        if type(r) is _Fail:
             raise ParseError(
                 f"Parse error at offset {r.off}", r.off
             )
@@ -735,7 +735,7 @@ def _soft_take_left(a, b):
     # (query <* maybeSpace) — maybeSpace can't fail so plain seq, take left
     def run(s, i):
         ra = a(s, i)
-        if isinstance(ra, _Fail):
+        if type(ra) is _Fail:
             return ra
         j, va = ra
         rb = b(s, j)
