@@ -324,6 +324,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_bucket=10**9,  # SQL oracle has no hot-bucket cap
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
+    # ---- search-as-you-type (reference docs/index.md:67-96): last
+    # term of the in-flight query expands to Term OR Prefix ----------
+    def sayt(s, d):
+        from lucille_spark.autocomplete import search_as_you_type
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _index_for(s, d)
+        out = search_as_you_type(DataFrameExecutor(ix), "batch window spar")
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_sayt"] = sayt
+
+    # ---- IVF cell assignment with FIXED seeded centroids (the
+    # argmax-cosine quantizer itself, SQL-reproducible; the k-means
+    # TRAINED variant is sim_ivf_topk below, rows-only) -------------
+    def ivf_assign_fixed(s, d):
+        import numpy as np
+
+        from lucille_spark.ops import similarity as sim
+
+        rng = np.random.default_rng(np.random.PCG64(13))
+        cents = rng.standard_normal((8, 64))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        return sim.ivf_assign(_emb(s, d), "embedding", cents).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+
+    q["sim_ivf_assign"] = ivf_assign_fixed
+
     # ---- IVF ANN: DataFrame-native k-means train + probe top-k.
     # rows-only by design: the probed cells depend on the trained
     # centroids (iterative Spark job — not expressible as one SQL
@@ -712,6 +741,46 @@ SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 10"""
 
     # ---- similarity -------------------------------------------------
+    # search-as-you-type: "batch window spar" -> Or(batch, window,
+    # Or(spar, spar*)); min_should=1, nested prefix clause scores a
+    # constant 1.0, term clauses score BM25.
+    o["ft_sayt"] = (
+        _cte(["batch", "window", "spar"])
+        + """
+, bw AS (SELECT doc_id, sum(s) AS s FROM sc
+         WHERE term IN ('batch', 'window') GROUP BY doc_id),
+sp AS (SELECT doc_id, s FROM sc WHERE term = 'spar'),
+pf AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'spar%'),
+nested AS (SELECT coalesce(sp.doc_id, pf.doc_id) AS doc_id,
+  coalesce(sp.s, 0.0)
+  + (CASE WHEN pf.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS s
+  FROM sp FULL JOIN pf ON sp.doc_id = pf.doc_id),
+u AS (SELECT coalesce(bw.doc_id, nested.doc_id) AS doc_id,
+  coalesce(bw.s, 0.0) + coalesce(nested.s, 0.0) AS s
+  FROM bw FULL JOIN nested ON bw.doc_id = nested.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    # IVF fixed-centroid assignment: argmax of 8 dot products, ties
+    # to the lowest index (same rule as ops/similarity._argmax_cell)
+    _ivf_rng = _np.random.default_rng(_np.random.PCG64(13))
+    _ivf_c = _ivf_rng.standard_normal((8, 64))
+    _ivf_c = _ivf_c / _np.linalg.norm(_ivf_c, axis=1, keepdims=True)
+
+    def _dotc(i):
+        lit = "[" + ", ".join(repr(float(x)) for x in _ivf_c[i]) + "]"
+        return f"list_dot_product(embedding, {lit})"
+
+    _cases = " ".join(
+        f"WHEN {_dotc(i)} >= m THEN {i}" for i in range(8)
+    )
+    o["sim_ivf_assign"] = f"""
+WITH d AS (SELECT vec_id, embedding,
+  greatest({", ".join(_dotc(i) for i in range(8))}) AS m
+  FROM embeddings)
+SELECT vec_id, cast((CASE {_cases} END) as int) AS cell FROM d"""
+
     # ---- multimodal -------------------------------------------------
     # Reproduces ops/multimodal.synthesize_media's md5-derived payload
     # byte-for-byte: byte j of media i = 32 + md5(i||'-'||j)[:1] % 95

@@ -228,22 +228,35 @@ class DataFrameExecutor:
             F.coalesce(_map(s_cnt, "int"), F.lit(0)).alias("s_cnt"),
         )
 
-    # phrase/proximity: positional arrays stay as Spark arrays; the
-    # adjacency / ordered-window checks are higher-order functions
-    # (whole-stage codegen'd) — no Python at all.
+    # phrase/proximity: ONE scan of the phrase terms' postings + ONE
+    # groupBy(doc_id) building a term->positions map per doc (vs the
+    # naive per-term scans + join chain: N scans and N-1 shuffles).
+    # Positional arrays stay as Spark arrays; the adjacency /
+    # ordered-window checks are higher-order functions (whole-stage
+    # codegen'd) — no Python at all.
     def _phrase(self, node: P.PPhrase) -> DataFrame:
-        ix = self.ix
         m = len(node.terms)
-        flat = self._flat(list(node.terms))
-        dfs = []
-        for i, t in enumerate(node.terms):
-            cols = [F.col("doc_id"), F.col("positions").alias(f"pos{i}")]
-            if i == 0:
-                cols.append(F.col("doc_len"))
-            dfs.append(flat.filter(F.col("term") == t).select(*cols))
-        j = dfs[0]
-        for i in range(1, m):
-            j = j.join(dfs[i], "doc_id")
+        distinct = sorted(set(node.terms))
+        flat = self._flat(distinct).filter(F.col("term").isin(distinct))
+        g = (
+            flat.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pm"),
+                F.max("doc_len").alias("doc_len"),
+                F.count("*").alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(distinct))  # doc has ALL terms
+        )
+        j = g.select(
+            "doc_id",
+            "doc_len",
+            *[
+                F.col("pm")[t].alias(f"pos{i}")
+                for i, t in enumerate(node.terms)
+            ],
+        )
         if node.slop == 0:
             # starts = pos0 ∩ (pos1-1) ∩ (pos2-2) ...
             # NB: transform's lambda must be single-arg — a second

@@ -41,6 +41,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lucille_spark.index import fsio
 from lucille_spark.index.builder import BuildConfig, IndexBuilder, Manifest
 from lucille_spark.index.reader import DriverDictionary, SparkIndex
 
@@ -61,24 +62,23 @@ class IncrementalIndexer:
         self.cfg = config or BuildConfig(num_shards=4)
         self._meta_path = os.path.join(index_dir, "ingest_meta.json")
 
-    # -- offset bookkeeping ---------------------------------------
-    def _load_meta(self) -> dict:
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                return json.load(f)
+    # -- offset bookkeeping (fsio: works on hdfs://s3a:// outputs
+    # like the batch builder's manifest) ---------------------------
+    def _load_meta(self, spark=None) -> dict:
+        if fsio.exists(self._meta_path, spark):
+            return json.loads(fsio.read_text(self._meta_path, spark))
         return {"next_doc_id": 0, "batches": []}
 
-    def _save_meta(self, meta: dict) -> None:
-        os.makedirs(self.index_dir, exist_ok=True)
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f)
+    def _save_meta(self, meta: dict, spark=None) -> None:
+        fsio.write_text(self._meta_path, json.dumps(meta), spark)
 
     # -- foreachBatch sink ----------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         n = batch_df.count()
         if n == 0:
             return
-        meta = self._load_meta()
+        spark = batch_df.sparkSession
+        meta = self._load_meta(spark)
         if any(b["batch_id"] == batch_id for b in meta["batches"]):
             return  # replay after restart: already ingested
         offset = meta["next_doc_id"]
@@ -99,7 +99,7 @@ class IncrementalIndexer:
         meta["batches"].append(
             {"batch_id": batch_id, "n_docs": n, "offset": offset}
         )
-        self._save_meta(meta)
+        self._save_meta(meta, spark)
 
     # -- stream wiring --------------------------------------------
     def start(
@@ -124,8 +124,8 @@ class IncrementalIndexer:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def delta_dirs(self) -> List[str]:
-        meta = self._load_meta()
+    def delta_dirs(self, spark=None) -> List[str]:
+        meta = self._load_meta(spark)
         return [
             os.path.join(self.index_dir, f"delta_{b['batch_id']:06d}")
             for b in sorted(meta["batches"], key=lambda b: b["batch_id"])
@@ -177,8 +177,11 @@ class MultiIndex:
         self.spark = spark
         stats = []
         for d in delta_dirs:
-            with open(os.path.join(d, "stats.json")) as f:
-                stats.append(json.load(f))
+            stats.append(
+                json.loads(
+                    fsio.read_text(os.path.join(d, "stats.json"), spark)
+                )
+            )
         n = sum(s["n_docs"] for s in stats)
         avgdl = (
             sum(s["avg_dl"] * s["n_docs"] for s in stats) / n if n else 1.0
@@ -233,7 +236,7 @@ class MultiIndex:
 
 def open_multi(spark: SparkSession, index_dir: str) -> MultiIndex:
     ixr = IncrementalIndexer(index_dir)
-    return MultiIndex(spark, ixr.delta_dirs())
+    return MultiIndex(spark, ixr.delta_dirs(spark))
 
 
 def compact(
@@ -249,7 +252,7 @@ def compact(
     + manifest entries are in place)."""
     cfg = config or BuildConfig()
     ixr = IncrementalIndexer(index_dir)
-    deltas = ixr.delta_dirs()
+    deltas = ixr.delta_dirs(spark)
     assert deltas, "nothing to compact"
     dl = _union_parquet(spark, [os.path.join(d, "doclens") for d in deltas])
     flat = _union_parquet(
@@ -274,7 +277,7 @@ def compact(
         .partitionBy("shard")
         .parquet(os.path.join(out_dir, "postings_flat"))
     )
-    man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
+    man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"), spark)
     man.record("doclens", "done", rows=n_docs, shard_span=span,
                source="compact")
     man.record("postings_flat", "done", source="compact")
