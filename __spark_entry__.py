@@ -282,6 +282,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "doc_id", "text"
     ).select("doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
 
+    q["tx_bpe"] = lambda s, d: text.bpe_piece_stats(
+        _docs(s, d), "doc_id", "text"
+    )
+
+    # ---- embedding-cosine near-dup: union a x2-scaled copy (scaling
+    # preserves cosine EXACTLY and x2 is float-exact), SRP-bucketed
+    # candidate join, exact cosine verify --------------------------
+    def embed_neardup(s, d):
+        from lucille_spark.ops import similarity as sim
+
+        e = _emb(s, d).select("vec_id", "embedding")
+        scaled = e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+            ).alias("embedding"),
+        )
+        pairs = sim.embedding_near_duplicates(
+            e.unionAll(scaled), "embedding", threshold=0.99, n_bits=6
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["dd_embed_neardup"] = embed_neardup
+
     # ---- similarity -----------------------------------------------
     def cosine(s, d):
         e = _emb(s, d)
@@ -761,6 +787,42 @@ u AS (SELECT coalesce(bw.doc_id, nested.doc_id) AS doc_id,
 SELECT doc_id, round(s, 4) AS score FROM u
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
+
+    from lucille_spark.ops.text import BPE_PATTERN
+
+    o["tx_bpe"] = f"""
+WITH p AS (SELECT doc_id, regexp_extract_all(text, '{BPE_PATTERN}')
+           AS pieces, trim(text) AS txt FROM documents)
+SELECT doc_id,
+  CASE WHEN txt = '' THEN 0
+       ELSE len(regexp_split_to_array(txt, '\\s+')) END AS n_ws_tokens,
+  len(pieces) AS n_pieces,
+  len(list_distinct(pieces)) AS n_unique_pieces
+FROM p"""
+
+    # embedding near-dup: same SRP planes as the engine (seed 11,
+    # 6 bits); the x2-scaled union copy keeps cosine exact (see
+    # queries()); candidates = same-bucket pairs, verify cosine>=.99
+    _nd_bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, "
+        f"[{', '.join(repr(float(x)) for x in _planes[_i])}]) > 0 "
+        f"THEN {1 << _i} ELSE 0 END)"
+        for _i in range(6)
+    )
+    o["dd_embed_neardup"] = f"""
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+  FROM embeddings),
+b AS (SELECT vec_id, embedding, ({_nd_bucket}) AS bucket FROM u),
+p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+  list_dot_product(a.embedding, c.embedding) /
+  (sqrt(list_dot_product(a.embedding, a.embedding)) *
+   sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.99"""
 
     # IVF fixed-centroid assignment: argmax of 8 dot products, ties
     # to the lowest index (same rule as ops/similarity._argmax_cell)

@@ -120,6 +120,45 @@ def _argmax_cell(vec_col: str, cents: np.ndarray):
     return (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float = 0.99,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs share an SRP bucket (identical/near-identical vectors always
+    collide — their projection signs agree), then the exact cosine
+    verifies >= threshold. The bucket equi-join replaces the quadratic
+    all-pairs comparison: at 100 TB the join keys are the bucket ids,
+    candidates per bucket ~ n/2^n_bits, and bucket is a shuffle-
+    friendly partition key. Recall is governed by n_bits (more bits ->
+    fewer false candidates, more missed low-cosine near-dups; true
+    duplicates are never missed). -> (id_a, id_b, cosine desc)."""
+    b = srp_bucket(df, vec_col, n_bits, dim, seed).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), "bucket"
+    )
+    a, c = b.alias("a"), b.alias("b")
+    va, vb = F.col("a._v"), F.col("b._v")
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_train(
     df: DataFrame,
     vec_col: str,

@@ -121,3 +121,34 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (h % 1000000) * (F.pmod(F.col("pos"), F.lit(997)) + 1)
         ).alias("fingerprint")
     )
+
+
+# BPE-ish piece pattern: letter runs, digit runs, punctuation runs —
+# the GPT-2 pre-tokenizer's shape without lookaheads, so the SAME
+# pattern runs identically under Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_piece_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens
+    plus BPE-ish regex pieces (count + distinct count). Pure JVM
+    expressions (regexp_extract_all / split), no UDFs.
+    -> (doc_id, n_ws_tokens, n_pieces, n_unique_pieces)."""
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.trim(F.col(text_col)).alias("_txt"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)
+        ).alias("_pieces"),
+    )
+    return t.select(
+        "doc_id",
+        F.when(F.col("_txt") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_txt"), r"\s+")))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size("_pieces").cast("long").alias("n_pieces"),
+        F.size(F.array_distinct("_pieces")).cast("long").alias(
+            "n_unique_pieces"
+        ),
+    )

@@ -164,3 +164,45 @@ def test_multimodal_features(spark):
     assert len(rows) == sum((v["duration_ms"] + 999) // 1000 for v in vids)
     with pytest.raises(NotImplementedError):
         extract_features(media, decode_fn="real")
+
+
+def test_embedding_near_duplicates(spark):
+    """Exact duplicates (and scaled copies — cosine is scale
+    invariant) are always found: identical sign projections share the
+    SRP bucket; unrelated vectors don't pair at 0.99."""
+    import numpy as np
+
+    from lucille_spark.ops.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(np.random.PCG64(4))
+    base = rng.standard_normal((20, 64))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows += [(100 + i, (base[i] * 2.0).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, "embedding", threshold=0.99
+        ).collect()
+    }
+    assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_bpe_piece_stats(spark):
+    from lucille_spark.ops.text import bpe_piece_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "def foo(x1): return x1+2  # ok"),
+            (1, "   "),
+            (2, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_piece_stats(df, "doc_id", "text").collect()}
+    # doc0 pieces: def foo ( x 1 ): return x 1 + 2 # ok
+    assert rows[0]["n_ws_tokens"] == 6
+    assert rows[0]["n_pieces"] == 13
+    assert rows[1]["n_ws_tokens"] == 0 and rows[1]["n_pieces"] == 0
+    assert rows[2]["n_ws_tokens"] == 3
+    assert rows[2]["n_pieces"] == 3 and rows[2]["n_unique_pieces"] == 1
