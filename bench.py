@@ -39,9 +39,11 @@ QUERIES = [
     ("phrase", '"batch window"', "df"),
     ("complex", "table AND (batch OR window) AND NOT stream", "df"),
     ("prefix", "sc*", "df"),
+    ("fuzzy", "tble~1", "df"),
     ("wand_or", "spark batch window", "wand"),
     ("wand_and", "batch AND window AND spark", "wand"),
     ("wand_rare", "dup", "wand"),
+    ("wand_complex", "table AND (batch OR window) AND NOT stream", "wand"),
 ]
 
 
@@ -114,23 +116,31 @@ def main():
             d, entry_ix_dir, content_col="text", id_col="doc_id",
             meta_cols=["lang", "source"],
         )
-    ix = SparkIndex(spark, entry_ix_dir)
-    dfe, wde = DataFrameExecutor(ix), WandExecutor(ix)
+    def run_queries(ix):
+        dfe, wde = DataFrameExecutor(ix), WandExecutor(ix)
+        qtimes = {}
+        lat = []
+        for name, q, path in QUERIES:
+            ex = dfe if path == "df" else wde
+            ex.search(q, k=10).collect()  # warm (plans, code gen)
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                ex.search(q, k=10).collect()
+                reps.append(time.time() - t0)
+            qtimes[name] = round(sorted(reps)[1], 4)  # median
+            lat.extend(reps)
+        lat.sort()
+        return qtimes, lat[min(int(len(lat) * 0.95), len(lat) - 1)]
 
-    qtimes = {}
-    lat = []
-    for name, q, path in QUERIES:
-        ex = dfe if path == "df" else wde
-        ex.search(q, k=10).collect()  # warm (plans, code gen, cache)
-        reps = []
-        for _ in range(3):
-            t0 = time.time()
-            ex.search(q, k=10).collect()
-            reps.append(time.time() - t0)
-        qtimes[name] = round(sorted(reps)[1], 4)  # median
-        lat.extend(reps)
-    lat.sort()
-    p95 = lat[min(int(len(lat) * 0.95), len(lat) - 1)]
+    # headline protocol (cold tables, same as r1): every query pays
+    # the parquet scan
+    qtimes, p95 = run_queries(SparkIndex(spark, entry_ix_dir))
+    # serving mode: posting tables pinned in the in-memory columnar
+    # cache — the deployment shape for a query-serving cluster
+    qtimes_c, p95_c = run_queries(
+        SparkIndex(spark, entry_ix_dir, cache=True)
+    )
 
     total = time.time() - t_start
     print(
@@ -149,6 +159,8 @@ def main():
                 "build_sec": out["build_sec"],
                 "n_docs_built": out["n_docs_built"],
                 "p95_query_ms": round(p95 * 1000, 1),
+                "p95_query_ms_cached": round(p95_c * 1000, 1),
+                "queries_cached": qtimes_c,
             }
         )
     )
