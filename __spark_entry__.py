@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_bpe"] = lambda s, d: text.bpe_piece_stats(
         _docs(s, d), "doc_id", "text"
     )
+    q["tx_winnow"] = lambda s, d: text.winnow_fingerprints(
+        _docs(s, d).filter(F.col("doc_id") < 120), "doc_id", "text",
+        k=5, window=4,
+    )
 
     # ---- embedding-cosine near-dup: union a x2-scaled copy (scaling
     # preserves cosine EXACTLY and x2 is float-exact), SRP-bucketed
@@ -352,15 +356,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- search-as-you-type (reference docs/index.md:67-96): last
     # term of the in-flight query expands to Term OR Prefix ----------
-    def sayt(s, d):
+    def sayt(s, d, wand=False):
         from lucille_spark.autocomplete import search_as_you_type
         from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
 
         ix = _index_for(s, d)
-        out = search_as_you_type(DataFrameExecutor(ix), "batch window spar")
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = search_as_you_type(ex, "batch window spar")
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["ft_sayt"] = sayt
+    q["wand_sayt"] = lambda s, d: sayt(s, d, wand=True)
 
     # ---- IVF cell assignment with FIXED seeded centroids (the
     # argmax-cosine quantizer itself, SQL-reproducible; the k-means
@@ -787,6 +794,7 @@ u AS (SELECT coalesce(bw.doc_id, nested.doc_id) AS doc_id,
 SELECT doc_id, round(s, 4) AS score FROM u
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
+    o["wand_sayt"] = o["ft_sayt"]
 
     from lucille_spark.ops.text import BPE_PATTERN
 
@@ -799,6 +807,26 @@ SELECT doc_id,
   len(pieces) AS n_pieces,
   len(list_distinct(pieces)) AS n_unique_pieces
 FROM p"""
+
+    # winnowing fingerprints: k-gram rolling hash, min per sliding
+    # window, distinct — same portable md5 hash both sides. DuckDB
+    # list slicing arr[a:b] is 1-based inclusive -> k elements.
+    _GH = _HASH.replace("md5(term)", "md5(gram)")
+    o["tx_winnow"] = f"""
+WITH pos AS ({_POS}),
+d AS (SELECT doc_id, list(term ORDER BY p) AS arr FROM pos
+      WHERE doc_id < 120 GROUP BY doc_id),
+g0 AS (SELECT doc_id, arr, unnest(range(0, len(arr) - 5 + 1)) AS pos
+       FROM d),
+g AS (SELECT doc_id, pos,
+      array_to_string(arr[pos + 1 : pos + 5], ' ') AS gram FROM g0),
+h AS (SELECT doc_id, pos, {_GH} AS h FROM g),
+win AS (SELECT doc_id, pos,
+  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+  max(pos) OVER (PARTITION BY doc_id) AS maxp FROM h)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM win
+WHERE pos <= maxp - 3"""
 
     # embedding near-dup: same SRP planes as the engine (seed 11,
     # 6 bits); the x2-scaled union copy keeps cosine exact (see

@@ -180,32 +180,51 @@ def _build_posting(rows: pd.DataFrame, want_positions: bool) -> Posting:
     )
 
 
+def _weighted_term(c: P.PNode, factor: float = 1.0):
+    """Unwrap PBoost chains around a PTerm into an equivalent PTerm
+    with idf scaled by the boost product — BM25 is linear in idf, so
+    bm25(idf)*f == bm25(idf*f) and the block upper bound scales the
+    same way. -> PTerm or None."""
+    while isinstance(c, P.PBoost):
+        factor *= c.factor
+        c = c.child
+    if factor <= 0.0:
+        return None  # zero/negative boost breaks upper-bound ordering
+    if isinstance(c, P.PTerm):
+        if factor == 1.0:
+            return c
+        return P.PTerm(c.term, c.idf * factor)
+    return None
+
+
 def _flat_terms(node: P.PNode):
-    """If node is PBool of only PTerm children (no must_not, no
-    min_should beyond default) return ('or'|'and', [PTerm...]).
+    """If node is (possibly boosted) PBool of only (possibly boosted)
+    PTerm children (no must_not, no min_should beyond default) return
+    ('or'|'and', [PTerm...]) with boosts folded into each idf.
 
     A repeated term (``import AND import``) must contribute its score
     once per clause; the pruned kernel keys postings by term string and
     would collapse the multiplicity (and, for AND, wrongly conclude a
     term is missing from the shard). Bail to the exhaustive evaluator,
     which walks the clause list as-is, whenever duplicates exist."""
+    outer = 1.0
+    while isinstance(node, P.PBoost):
+        outer *= node.factor
+        node = node.child
     res = None
     if isinstance(node, P.PBool) and not node.must_not:
-        if (
-            node.must
-            and not node.should
-            and all(isinstance(c, P.PTerm) for c in node.must)
-        ):
-            res = "and", list(node.must)
-        elif (
-            node.should
-            and not node.must
-            and node.min_should <= 1
-            and all(isinstance(c, P.PTerm) for c in node.should)
-        ):
-            res = "or", list(node.should)
-    elif isinstance(node, P.PTerm):
-        res = "or", [node]
+        if node.must and not node.should:
+            kids = [_weighted_term(c, outer) for c in node.must]
+            if all(k is not None for k in kids):
+                res = "and", kids
+        elif node.should and not node.must and node.min_should <= 1:
+            kids = [_weighted_term(c, outer) for c in node.should]
+            if all(k is not None for k in kids):
+                res = "or", kids
+    else:
+        k = _weighted_term(node, outer)
+        if k is not None:
+            res = "or", [k]
     if res is not None and len({t.term for t in res[1]}) != len(res[1]):
         return None
     return res

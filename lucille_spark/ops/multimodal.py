@@ -132,3 +132,56 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("ts_ms"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, out_w int, out_h int, payload binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    decode_fn: Optional[Callable] = None,
+) -> DataFrame:
+    """mapInPandas image resize: decode -> nearest-neighbor resample
+    -> re-emit. Same stub contract as extract_features: the real
+    codec call raises where PIL/libav would plug in; the fake path
+    treats the payload as a (height x width) byte grid (padded/
+    truncated deterministically) and nearest-neighbor samples it to
+    out_h x out_w. The Spark plumbing is the real design: only image
+    rows are scanned (kind pushdown), payloads never shuffle (resize
+    happens inside the scan partition), output rows are fixed-size.
+    """
+    if decode_fn == "real":
+        raise NotImplementedError(
+            "real image decoding requires PIL — not available in this "
+            "container; plug a decoder in here"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "out_w": [], "out_h": [],
+                "payload": [],
+            }
+            for r in pdf.itertuples():
+                w = int(r.width or 8)
+                h = int(r.height or 8)
+                arr = np.frombuffer(r.payload, dtype=np.uint8)
+                grid = np.resize(arr, (h, w))  # deterministic pad/trunc
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = grid[np.ix_(ys, xs)]
+                out["media_id"].append(r.media_id)
+                out["kind"].append(r.kind)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["payload"].append(small.tobytes())
+            yield pd.DataFrame(out)
+
+    imgs = df.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "width", "height", "payload"
+    )
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)

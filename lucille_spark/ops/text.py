@@ -152,3 +152,53 @@ def bpe_piece_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "n_unique_pieces"
         ),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS): hash every k-gram of tokens, keep the minimum hash of each
+    sliding window of `window` consecutive k-grams (rightmost on
+    ties — achieved here by picking min over (hash, -pos) which is
+    deterministic either way), emit the distinct selected hashes per
+    doc. Near-identical documents share most fingerprints, so a join
+    on (fingerprint) finds overlap candidates at corpus scale without
+    any pairwise comparison. Everything is JVM expressions + one
+    window function; the portable md5 token hash keeps Spark and
+    DuckDB bit-identical. -> (doc_id, fingerprint) distinct rows."""
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+    ).filter(F.size("toks") >= k)
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i + 1, k)
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    h = F.expr(TOKEN_HASH_SPARK.format(tok="gram"))
+    grams = grams.select("doc_id", "pos", h.alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    sel = grams.select(
+        "doc_id", F.min("h").over(w).alias("fingerprint"),
+        F.col("pos"),
+        F.max("pos").over(Window.partitionBy("doc_id")).alias("_maxp"),
+    ).filter(F.col("pos") <= F.col("_maxp") - (window - 1))
+    return sel.select("doc_id", "fingerprint").distinct()

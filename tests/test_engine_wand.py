@@ -164,3 +164,29 @@ def test_plan_meta_group_unary_plus(unit_index):
     node = oracle.plan("lang:((+python) scala)")
     assert isinstance(node, P.PBool)
     assert len(node.must) == 1 and len(node.should) == 1
+
+
+def test_boosted_terms_take_pruned_path(unit_index):
+    """Boosts fold into idf (BM25 is linear in idf), so boosted flat
+    booleans run the block-max kernel and stay rank-identical."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_wand import WandExecutor, _flat_terms
+
+    ix, oracle, stats = unit_index
+    for q in [
+        "import^3 OR cats^0.5",
+        "import^2 AND cats",
+        "(import OR cats)^2",
+        "import^2 OR cats OR def^0.25",
+    ]:
+        node = oracle.plan(q)
+        flat = _flat_terms(node)
+        assert flat is not None, q
+        expected = _ranked(oracle.search(q, k=10))
+        got = _ranked(
+            [(r["doc_id"], r["score"])
+             for r in WandExecutor(ix, prune=True).search(q, k=10).collect()]
+        )
+        assert got == expected, q
+    # duplicate boosted term still bails (multiplicity)
+    assert _flat_terms(oracle.plan("import^2 OR import")) is None

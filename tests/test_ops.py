@@ -206,3 +206,42 @@ def test_bpe_piece_stats(spark):
     assert rows[1]["n_ws_tokens"] == 0 and rows[1]["n_pieces"] == 0
     assert rows[2]["n_ws_tokens"] == 3
     assert rows[2]["n_pieces"] == 3 and rows[2]["n_unique_pieces"] == 1
+
+
+def test_resize_images_stub(spark):
+    """Resize plumbing: image rows only, fixed output shape,
+    deterministic bytes, real-decoder seam raises."""
+    import pytest as _pytest
+
+    from lucille_spark.ops.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, 12)
+    out = resize_images(media, out_w=8, out_h=4).collect()
+    assert {r["kind"] for r in out} == {"image"}
+    assert len(out) == 4  # 12 media rows, every 3rd is an image
+    assert all(len(r["payload"]) == 32 for r in out)
+    again = {r["media_id"]: r["payload"]
+             for r in resize_images(media, out_w=8, out_h=4).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in out)
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, decode_fn="real")
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing: near-identical docs share most fingerprints; a
+    disjoint doc shares none."""
+    from lucille_spark.ops.text import winnow_fingerprints
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " extra tail words here"     # near-dup of a
+    c = "zzz completely unrelated words qqq xxx yyy www vvv uuu ttt"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text", k=3, window=2).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    overlap_ab = len(fps[0] & fps[1]) / len(fps[0])
+    assert overlap_ab >= 0.7, overlap_ab
+    assert not (fps[0] & fps[2])
