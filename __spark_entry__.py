@@ -290,6 +290,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=5, window=4,
     )
 
+    # ---- end-to-end corpus prep (quality -> langid -> exact dedup);
+    # doubled input (like dd_exact) so the dedup leg is exercised ----
+    def corpus_prep_q(s, d):
+        docs = _docs(s, d).select("doc_id", "text")
+        doubled = docs.union(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        return text.corpus_prep(
+            doubled, "doc_id", "text", min_quality=0.5
+        )
+
+    q["pipe_corpus_prep"] = corpus_prep_q
+
     # ---- embedding-cosine near-dup: union a x2-scaled copy (scaling
     # preserves cosine EXACTLY and x2 is float-exact), SRP-bucketed
     # candidate join, exact cosine verify --------------------------
@@ -827,6 +840,42 @@ win AS (SELECT doc_id, pos,
   max(pos) OVER (PARTITION BY doc_id) AS maxp FROM h)
 SELECT DISTINCT doc_id, fp AS fingerprint FROM win
 WHERE pos <= maxp - 3"""
+
+    # corpus prep: same quality/langid formulas as tx_quality /
+    # tx_langid over a doubled corpus, filter, dedup by sha256 keep
+    # min doc_id. Filters compare the round-6 value both sides.
+    o["pipe_corpus_prep"] = f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+  lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS term FROM doubled),
+tc AS (SELECT d.doc_id, count(t.term) AS n, count(DISTINCT t.term) AS u
+       FROM doubled d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+h AS (SELECT d.doc_id,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('de')}) THEN t.term END) AS hde,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('en')}) THEN t.term END) AS hen,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('es')}) THEN t.term END) AS hes,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('fr')}) THEN t.term END) AS hfr
+  FROM doubled d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+sc AS (SELECT d.doc_id, d.text,
+  round(0.4 * least(tc.n / 200.0, 1.0)
+      + 0.3 * (length(regexp_replace(d.text, '[^a-zA-Z0-9_]', '', 'g'))
+               * 1.0 / greatest(length(d.text), 1))
+      + 0.3 * (CASE WHEN tc.n > 0 THEN tc.u * 1.0 / tc.n ELSE 0.0 END), 6)
+    AS quality,
+  CASE
+    WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+    WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+    WHEN hen >= hes AND hen >= hfr THEN 'en'
+    WHEN hes >= hfr THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM doubled d JOIN tc USING (doc_id) JOIN h USING (doc_id))
+SELECT min(doc_id) AS doc_id, min(lang_pred) AS lang_pred,
+       min(quality) AS quality, sha256(text) AS content_sha256,
+       count(*) AS n_dups
+FROM sc WHERE quality >= 0.5 AND lang_pred IN ('en', 'de', 'fr', 'es')
+GROUP BY sha256(text)"""
 
     # embedding near-dup: same SRP planes as the engine (seed 11,
     # 6 bits); the x2-scaled union copy keeps cosine exact (see

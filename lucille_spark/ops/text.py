@@ -47,6 +47,23 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _quality_expr(text_c, toks_c):
+    """Quality-score column over (text column, tokens column):
+    0.4 * length_score + 0.3 * alpha_ratio + 0.3 * diversity.
+    Pure projection — composable into a single scan (corpus_prep)."""
+    n = F.size(toks_c)
+    alpha = F.length(
+        F.regexp_replace(text_c, "[^a-zA-Z0-9_]", "")
+    ) / F.greatest(F.length(text_c), F.lit(1))
+    diversity = F.when(
+        n > 0, F.size(F.array_distinct(toks_c)) / n
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    return n, alpha, diversity, (
+        0.4 * length_score + 0.3 * alpha + 0.3 * diversity
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality score in [0,1]:
     0.4 * length_score (n_tokens/200 capped at 1)
@@ -58,24 +75,32 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(text_col).alias("_t"),
         tokenize_expr(text_col).alias("toks"),
     )
-    n = F.size("toks")
-    alpha = (
-        F.length(F.regexp_replace(F.col("_t"), "[^a-zA-Z0-9_]", ""))
-        / F.greatest(F.length("_t"), F.lit(1))
-    )
-    diversity = F.when(
-        n > 0, F.size(F.array_distinct("toks")) / n
-    ).otherwise(F.lit(0.0))
-    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    n, alpha, diversity, quality = _quality_expr(F.col("_t"), F.col("toks"))
     return base.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(alpha, 6).alias("alpha_ratio"),
         F.round(diversity, 6).alias("diversity"),
-        F.round(
-            0.4 * length_score + 0.3 * alpha + 0.3 * diversity, 6
-        ).alias("quality"),
+        F.round(quality, 6).alias("quality"),
     )
+
+
+def _langid_expr(toks_c):
+    """Stopword-ratio language-guess column over a tokens column;
+    argmax with deterministic tie-break (lexicographic language,
+    'und' when best score is 0). Pure projection."""
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(toks_c), arr))
+        scores.append((lang, hits))
+    best_score = scores[0][1]
+    best_lang = F.lit(scores[0][0])
+    for lang, s in scores[1:]:
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -85,24 +110,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("doc_id"),
         tokenize_expr(text_col).alias("toks"),
     )
-    scores = []
-    for lang, words in sorted(STOPWORDS.items()):
-        arr = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.array_intersect(F.array_distinct("toks"), arr))
-        scores.append((lang, hits))
-    # argmax with deterministic tie-break (lexicographic language,
-    # 'und' when best score is 0)
-    best_score = scores[0][1]
-    best_lang = F.lit(scores[0][0])
-    for lang, s in scores[1:]:
-        better = s > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, s).otherwise(best_score)
     return t.select(
-        "doc_id",
-        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias(
-            "lang_pred"
-        ),
+        "doc_id", _langid_expr(F.col("toks")).alias("lang_pred")
     )
 
 
@@ -202,3 +211,52 @@ def winnow_fingerprints(
         F.max("pos").over(Window.partitionBy("doc_id")).alias("_maxp"),
     ).filter(F.col("pos") <= F.col("_maxp") - (window - 1))
     return sel.select("doc_id", "fingerprint").distinct()
+
+
+def corpus_prep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.5,
+    langs: tuple = ("en", "de", "fr", "es"),
+) -> DataFrame:
+    """End-to-end training-corpus preparation: quality-filter ->
+    language-filter -> exact dedup keeping the lowest doc_id.
+
+    Deliberately NOT a composition of quality_score/language_id
+    DataFrames joined on doc_id — that would scan the corpus three
+    times and shuffle twice. Quality and langid are pure projections
+    (_quality_expr/_langid_expr), so the whole pipeline is ONE scan
+    (filters evaluated in whole-stage codegen, low-quality rows never
+    leave the scan stage) + ONE shuffle (the dedup groupBy on
+    content sha256 — uniform keys, no skew at 100 TB). Duplicate
+    texts share quality/lang by construction, so min() aggregates are
+    deterministic and exact.
+
+    -> (doc_id, lang_pred, quality, content_sha256, n_dups),
+    one row per surviving unique document."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        tokenize_expr(text_col).alias("toks"),
+    )
+    _, _, _, quality = _quality_expr(F.col("_t"), F.col("toks"))
+    scored = base.select(
+        "doc_id",
+        F.col("_t"),
+        F.round(quality, 6).alias("quality"),
+        _langid_expr(F.col("toks")).alias("lang_pred"),
+    ).filter(
+        (F.col("quality") >= F.lit(min_quality))
+        & F.col("lang_pred").isin(list(langs))
+    )
+    return (
+        scored.groupBy(F.sha2(F.col("_t"), 256).alias("content_sha256"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang_pred").alias("lang_pred"),
+            F.min("quality").alias("quality"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("doc_id", "lang_pred", "quality", "content_sha256", "n_dups")
+    )

@@ -245,3 +245,30 @@ def test_winnow_fingerprints(spark):
     overlap_ab = len(fps[0] & fps[1]) / len(fps[0])
     assert overlap_ab >= 0.7, overlap_ab
     assert not (fps[0] & fps[2])
+
+
+def test_corpus_prep(spark):
+    """Quality filter + langid filter + exact dedup in one pass:
+    dup text collapses to the lowest doc_id with n_dups counted,
+    junk and non-language docs drop, and the physical plan has
+    exactly ONE shuffle (the dedup groupBy) over ONE scan."""
+    from lucille_spark.ops.text import corpus_prep
+
+    good = ("the quick brown fox is one of the best examples that "
+            "it is a good day for the lazy dog and the happy cat "
+            "to jump over the fence in the garden of the old house")
+    junk = "!!! ??? ... ###"           # alpha_ratio ~0 -> low quality
+    df = spark.createDataFrame(
+        [(0, good), (1, good), (2, junk), (3, good + " extra tail")],
+        "doc_id long, text string",
+    )
+    out = corpus_prep(df, "doc_id", "text", min_quality=0.3)
+    # plan BEFORE execution: AQE hasn't rewritten Exchange ->
+    # ShuffleQueryStage yet, so the shuffle count is visible
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 3}          # 1 deduped into 0, 2 dropped
+    assert rows[0]["n_dups"] == 2 and rows[3]["n_dups"] == 1
+    assert rows[0]["lang_pred"] == "en"
+    assert len(rows[0]["content_sha256"]) == 64
