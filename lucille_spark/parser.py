@@ -367,22 +367,74 @@ def _float_run(s, i):
 # queryEnd = (wsp | end | ')').peek (QueryParser.scala:215)
 _query_end = _peek(_one_of([_wsp, _end, _char(")")]))
 
-_escaped_token = _right(_seq(_char("\\"), _char_in(_SPECIAL)))
-_allowed_char = _char_where(_allowed_pred)
 
-# term (QueryParser.scala:218-219): reject reserved *prefixes*
+# term (QueryParser.scala:218-219): reject reserved *prefixes*.
+# Hand-rolled scanner equivalent to
+#   _right(_seq(_not(_string_in(_RESERVED)),
+#               _map(_rep(_one_of([_allowed_char, _escaped_token]), 1),
+#                    "".join)))
+# — ~4 closure calls per character in the combinator form, and terms
+# are the hottest production. Failure semantics preserved exactly:
+# reserved prefix -> epsilon fail; '\' followed by a non-special (or
+# end) -> COMMITTED fail at the post-backslash offset (the _seq had
+# consumed the backslash).
 _reserved_prefix = _string_in(_RESERVED)
-_term = _right(
-    _seq(
-        _not(_reserved_prefix),
-        _map(_rep(_one_of([_allowed_char, _escaped_token]), 1), "".join),
-    )
-)
 
-# phrase (QueryParser.scala:221-225)
-_phrase_escape = _right(_seq(_char("\\"), _char_in(_PHRASE_ESCAPABLE)))
-_phrase_char = _char_where(lambda c: c >= " " and c not in _PHRASE_ESCAPABLE)
-_phrase_body = _map(_rep(_one_of([_phrase_char, _phrase_escape]), 1), "".join)
+# first characters of the reserved strings — lets _term skip the
+# 8-way startswith loop for ~every real token
+_RESERVED_FIRST = frozenset(t[0] for t in _RESERVED)
+
+
+def _term(s, i):
+    if i < len(s) and s[i] in _RESERVED_FIRST:
+        for t in _RESERVED:
+            if s.startswith(t, i):
+                return _Fail(i, False)
+    n = len(s)
+    j = i
+    buf = []
+    while j < n:
+        c = s[j]
+        if c == "\\":
+            if j + 1 < n and s[j + 1] in _SPECIAL:
+                buf.append(s[j + 1])
+                j += 2
+                continue
+            return _Fail(j + 1, True)
+        if c >= " " and c not in _SPECIAL:
+            buf.append(c)
+            j += 1
+            continue
+        break
+    if j == i:
+        return _Fail(i, False)
+    return (j, "".join(buf))
+
+
+# phrase (QueryParser.scala:221-225) — same hand-rolled shape; inside
+# a phrase only quotes and backslash are special/escapable
+
+
+def _phrase_body(s, i):
+    n = len(s)
+    j = i
+    buf = []
+    while j < n:
+        c = s[j]
+        if c == "\\":
+            if j + 1 < n and s[j + 1] in _PHRASE_ESCAPABLE:
+                buf.append(s[j + 1])
+                j += 2
+                continue
+            return _Fail(j + 1, True)
+        if c >= " " and c not in _PHRASE_ESCAPABLE:
+            buf.append(c)
+            j += 1
+            continue
+        break
+    if j == i:
+        return _Fail(i, False)
+    return (j, "".join(buf))
 
 
 def _phrase_run(s, i):
@@ -395,15 +447,10 @@ def _phrase_run(s, i):
 
 _phrase = _phrase_run
 
-_phrase_q = _map(_phrase, Phrase)
 
 # proximity: phrase.soft <* '~' then int (QueryParser.scala:232-239)
-_prox_soft = _map(_soft_seq(_phrase, _char("~")), lambda t: t[0])
-_proximity_q = _map(_seq(_prox_soft, _int), lambda t: Proximity(t[0], t[1]))
 
 # fuzzy: term.soft <* '~' then int? (QueryParser.scala:241-248)
-_fuzzy_soft = _map(_soft_seq(_term, _char("~")), lambda t: t[0])
-_fuzzy_t = _map(_seq(_fuzzy_soft, _opt(_int)), lambda t: Fuzzy(t[0], t[1]))
 
 
 def _collapse_wildcard(ops: List[object]) -> Query:
@@ -421,10 +468,6 @@ def _collapse_wildcard(ops: List[object]) -> Query:
 
 _wc_single = _map(_char("?"), lambda _: SingleChar())
 _wc_many = _map(_char("*"), lambda _: ManyChar())
-_wc_str = _map(_term, Str)
-_term_and_wildcard_q = _map(
-    _rep(_one_of([_wc_single, _wc_many, _wc_str]), 1), _collapse_wildcard
-)
 
 # regex: '/pat/', '\/' escape, slashes stripped (QueryParser.scala:264-273)
 _regex_char = _char_where(lambda c: c >= " " and c not in "\\/")
@@ -442,28 +485,35 @@ def _regex_run(s, i):
 _regex_q = _regex_run
 
 
+# rangeQuery components hoisted to module level — _range_run is tried
+# at every query position, and rebuilding the closures per call was
+# measurable in profiles
+_range_bound_txt = _string_of(_rep(_one_of([_alpha, _digit, _char(".")]), 1))
+_range_bound = _one_of(
+    [
+        _map(_char("*"), lambda _: None),
+        _right(
+            _seq(_not(_reserved_prefix), _map(_range_bound_txt, lambda t: t))
+        ),
+    ]
+)
+_range_p = _seq(
+    _char_in("{["),
+    _maybe_space,
+    _range_bound,
+    _spaces,
+    _string("TO"),
+    _spaces,
+    _range_bound,
+    _maybe_space,
+    _char_in("}]"),
+)
+
+
 def _range_run(s, i):
     # rangeQuery (QueryParser.scala:278-289): '[' / '{' … TO … ']' / '}'
     # '[' → lower inclusive, ']' → upper inclusive
-    bound_txt = _string_of(_rep(_one_of([_alpha, _digit, _char(".")]), 1))
-    bound = _one_of(
-        [
-            _map(_char("*"), lambda _: None),
-            _right(_seq(_not(_reserved_prefix), _map(bound_txt, lambda t: t))),
-        ]
-    )
-    p = _seq(
-        _char_in("{["),
-        _maybe_space,
-        bound,
-        _spaces,
-        _string("TO"),
-        _spaces,
-        bound,
-        _maybe_space,
-        _char_in("}]"),
-    )
-    r = p(s, i)
+    r = _range_p(s, i)
     if type(r) is _Fail:
         return r
     j, (lo_b, _, lo, _, _, _, hi, _, hi_b) = r
@@ -531,6 +581,51 @@ class QueryParser:
     def _build(self):
         query, cell = _recursive()
 
+        # Packrat-memoized leaf productions. A bare term is otherwise
+        # scanned up to 5 times per position (fieldQuery soft, fuzzy
+        # soft, boostQ's field + wildcard attempts, then the winning
+        # termAndWildCardQ); a phrase 3 times (proximity soft, boostQ,
+        # phraseQ). Results at a position are pure, so caching them in
+        # the per-parse memo (cleared by parse()) changes nothing but
+        # speed. Keys are tuples — nel_queries uses plain int keys in
+        # the same dict.
+        def term_m(s, i):
+            memo = self._memo
+            r = memo.get(("t", i))
+            if r is None:
+                r = _term(s, i)
+                memo[("t", i)] = r
+            return r
+
+        def phrase_m(s, i):
+            memo = self._memo
+            r = memo.get(("p", i))
+            if r is None:
+                r = _phrase(s, i)
+                memo[("p", i)] = r
+            return r
+
+        phrase_q = _map(phrase_m, Phrase)
+        prox_soft = _map(_soft_seq(phrase_m, _char("~")), lambda t: t[0])
+        proximity_q = _map(
+            _seq(prox_soft, _int), lambda t: Proximity(t[0], t[1])
+        )
+        fuzzy_soft = _map(_soft_seq(term_m, _char("~")), lambda t: t[0])
+        fuzzy_t = _map(_seq(fuzzy_soft, _opt(_int)), lambda t: Fuzzy(t[0], t[1]))
+        wc_str = _map(term_m, Str)
+        term_and_wildcard_raw = _map(
+            _rep(_one_of([_wc_single, _wc_many, wc_str]), 1),
+            _collapse_wildcard,
+        )
+
+        def term_and_wildcard_q(s, i):
+            memo = self._memo
+            r = memo.get(("w", i))
+            if r is None:
+                r = term_and_wildcard_raw(s, i)
+                memo[("w", i)] = r
+            return r
+
         def not_q(s, i):
             # (P.string("NOT").soft ~ maybeSpace) *> query (:37-38)
             r = _soft_seq(_string("NOT"), _maybe_space)(s, i)
@@ -547,7 +642,7 @@ class QueryParser:
         unary_minus = _map(_right(_seq(_char("-"), query)), UnaryMinus)
 
         # fieldValueSoft = term.soft <* ':' (:55-57)
-        field_value_soft = _map(_soft_seq(_term, _char(":")), lambda t: t[0])
+        field_value_soft = _map(_soft_seq(term_m, _char(":")), lambda t: t[0])
         field_query = _map(
             _seq(field_value_soft, query), lambda t: Field(t[0], t[1])
         )
@@ -565,7 +660,9 @@ class QueryParser:
             return (j, Group(q))
 
         # boostQ (:62-67): limited targets, '^' float queryEnd
-        limited_q = _one_of([field_query, _term_and_wildcard_q, _phrase_q, group_q])
+        limited_q = _one_of(
+            [field_query, term_and_wildcard_q, phrase_q, group_q]
+        )
 
         def boost_suffix_run(s, i):
             r = _seq(_char("^"), _float_run, _query_end)(s, i)
@@ -649,23 +746,46 @@ class QueryParser:
             return (k, MinimumMatch(tuple(qs), n))
 
         # order is load-bearing (QueryParser.scala:131-153)
-        cell[0] = _one_of(
+        # order is load-bearing (QueryParser.scala:131-153)
+        full_alt = _one_of(
             [
                 unary_plus,
                 unary_minus,
                 not_q,
                 field_query,
-                _proximity_q,
+                proximity_q,
                 _range_q,
-                _fuzzy_t,
+                fuzzy_t,
                 minimum_match_q,
                 boost_q,
-                _term_and_wildcard_q,
+                term_and_wildcard_q,
                 _regex_q,
-                _phrase_q,
+                phrase_q,
                 group_q,
             ]
         )
+        # First-set prediction: when the next char is a plain term
+        # character (not special, not 'N' which may start NOT),
+        # unaryPlus('+'), unaryMinus('-'), notQ('NOT'),
+        # proximity/phrase('"'/smart quotes), range('['/'{'),
+        # minimumMatch/group('('), regex('/') ALL fail epsilon on
+        # their first char, so skipping them is observationally
+        # identical to the full ordered alternation — same matches,
+        # same committed/epsilon failures. ~10 closure calls + _Fail
+        # allocations saved per query position; purely a speedup.
+        term_start_alt = _one_of(
+            [field_query, fuzzy_t, boost_q, term_and_wildcard_q]
+        )
+        special = _SPECIAL
+
+        def query_dispatch(s, i):
+            if i < len(s):
+                c = s[i]
+                if c >= " " and c != "N" and c not in special:
+                    return term_start_alt(s, i)
+            return full_alt(s, i)
+
+        cell[0] = query_dispatch
 
         def wrapped_queries(s, i):
             # wrap multi-query lists in the default boolean (:124-129)
