@@ -290,6 +290,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=5, window=4,
     )
 
+    # ---- winnowing near-dup candidate pairs: perturbed copies (text
+    # plus a tail) are true near-dups sharing most fingerprints -----
+    def winnow_pairs_q(s, d):
+        from lucille_spark.ops.dedup import winnow_candidate_pairs
+
+        docs = _docs(s, d).filter(F.col("doc_id") < 120).select(
+            "doc_id", "text"
+        )
+        doubled = docs.union(
+            docs.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" zz extra tail words appended here"),
+                ).alias("text"),
+            )
+        )
+        return winnow_candidate_pairs(
+            doubled, "doc_id", "text", k=5, window=4,
+            min_shared=3, max_bucket=50,
+        )
+
+    q["dd_winnow_pairs"] = winnow_pairs_q
+
     # ---- end-to-end corpus prep (quality -> langid -> exact dedup);
     # doubled input (like dd_exact) so the dedup leg is exercised ----
     def corpus_prep_q(s, d):
@@ -840,6 +864,42 @@ win AS (SELECT doc_id, pos,
   max(pos) OVER (PARTITION BY doc_id) AS maxp FROM h)
 SELECT DISTINCT doc_id, fp AS fingerprint FROM win
 WHERE pos <= maxp - 3"""
+
+    # winnow pairs: fingerprints over the perturbed-doubled corpus,
+    # bucket-capped, pairs sharing >= 3 fingerprints. DuckDB list
+    # slicing arr[a:b] is 1-based inclusive (k=5, window=4).
+    o["dd_winnow_pairs"] = f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zz extra tail words appended here'
+  FROM documents WHERE doc_id < 120),
+pos AS (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+        ORDER BY rp) - 1 AS p
+        FROM (SELECT doc_id, unnest(arr) AS term,
+              unnest(range(1, len(arr) + 1)) AS rp
+              FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                    '[^a-z0-9_]+') AS arr FROM doubled))
+        WHERE term <> ''),
+d AS (SELECT doc_id, list(term ORDER BY p) AS arr FROM pos GROUP BY doc_id),
+g0 AS (SELECT doc_id, arr, unnest(range(0, len(arr) - 5 + 1)) AS pos
+       FROM d),
+g AS (SELECT doc_id, pos,
+      array_to_string(arr[pos + 1 : pos + 5], ' ') AS gram FROM g0),
+h AS (SELECT doc_id, pos, {_GH} AS h FROM g),
+win AS (SELECT doc_id, pos,
+  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+  max(pos) OVER (PARTITION BY doc_id) AS maxp FROM h),
+fps AS (SELECT DISTINCT doc_id, fp AS fingerprint FROM win
+        WHERE pos <= maxp - 3),
+sz AS (SELECT fingerprint FROM fps GROUP BY fingerprint
+       HAVING count(*) BETWEEN 2 AND 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint
+   AND a.doc_id < b.doc_id
+WHERE a.fingerprint IN (SELECT fingerprint FROM sz)
+GROUP BY 1, 2 HAVING count(*) >= 3"""
 
     # corpus prep: same quality/langid formulas as tx_quality /
     # tx_langid over a doubled corpus, filter, dedup by sha256 keep

@@ -230,3 +230,49 @@ def near_duplicates_minhash(
     sigs = minhash_signatures(df, id_col, text_col, n_perm)
     cand = lsh_candidate_pairs(sigs, n_perm, bands, max_bucket=max_bucket)
     return jaccard_pairs(df, id_col, text_col, pairs=cand, threshold=threshold)
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs via shared winnowing fingerprints
+    (ops/text.winnow_fingerprints): docs whose selected k-gram
+    hashes collide in >= min_shared fingerprints. The MOSS-style
+    complement to MinHash-LSH — sensitive to contiguous shared runs
+    (clones, boilerplate-with-edits) rather than bag-of-words
+    overlap.
+
+    Scale: groupBy(fingerprint) -> capped bucket -> intra-bucket
+    pair explosion -> groupBy(pair). Same shape as lsh_candidate_
+    pairs: no self-join, two shuffles, and `max_bucket` drops
+    boilerplate fingerprints (license headers, generated code) that
+    would otherwise blow up quadratically in one bucket.
+    -> (doc_a, doc_b, shared) with doc_a < doc_b."""
+    from lucille_spark.ops.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    buckets = fps.groupBy("fingerprint").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ok = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -272,3 +272,26 @@ def test_corpus_prep(spark):
     assert rows[0]["n_dups"] == 2 and rows[3]["n_dups"] == 1
     assert rows[0]["lang_pred"] == "en"
     assert len(rows[0]["content_sha256"]) == 64
+
+
+def test_winnow_candidate_pairs(spark):
+    """Near-dup pair discovery via shared winnow fingerprints: the
+    perturbed copy pairs with its original; unrelated docs don't.
+    A hot fingerprint shared by > max_bucket docs is dropped."""
+    from lucille_spark.ops.dedup import winnow_candidate_pairs
+
+    a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon")
+    c = "one two three four five six seven eight nine ten eleven"
+    rows = [(0, a), (1, a + " tail words"), (2, c)]
+    # 60 docs sharing one identical text -> their fingerprints all
+    # land in buckets of size 60 > max_bucket=50 -> no pairs emitted
+    hot = "spam spam spam lorem ipsum dolor sit amet consectetur xx"
+    rows += [(100 + i, hot) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_candidate_pairs(
+        df, "doc_id", "text", k=3, window=2, min_shared=2
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in got
+    assert all(p[0] < 100 and p[1] < 100 for p in got), got
