@@ -290,6 +290,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=5, window=4,
     )
 
+    # ---- search-UI features: facets over the FULL match set and
+    # keyword-in-context snippets for the top-k page ----------------
+    def facets_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import facet_counts
+
+        ix = _index_for(s, d)
+        return facet_counts(
+            DataFrameExecutor(ix), "spark batch window", "lang"
+        )
+
+    q["ft_facets"] = facets_q
+
+    def snippet_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import search_with_snippets
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = search_with_snippets(ex, _docs(s, d), "spark", "spark")
+        return out.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.col("pos").cast("long").alias("pos"),
+            "snippet",
+        )
+
+    q["ft_snippet"] = snippet_q
+    q["wand_snippet"] = lambda s, d: snippet_q(s, d, wand=True)
+
     # ---- winnowing near-dup candidate pairs: perturbed copies (text
     # plus a tail) are true near-dups sharing most fingerprints -----
     def winnow_pairs_q(s, d):
@@ -864,6 +895,32 @@ win AS (SELECT doc_id, pos,
   max(pos) OVER (PARTITION BY doc_id) AS maxp FROM h)
 SELECT DISTINCT doc_id, fp AS fingerprint FROM win
 WHERE pos <= maxp - 3"""
+
+    # facets: full OR-match set scored per doc, joined to lang,
+    # bucket counts + max score
+    o["ft_facets"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT d.lang AS lang, count(*) AS n_docs,
+       round(max(a.sr), 4) AS max_score
+FROM agg a JOIN documents d USING (doc_id) GROUP BY d.lang"""
+    )
+
+    # snippets: top-10 page joined back to the raw text; 60 chars
+    # starting 20 before the first case-insensitive needle hit
+    o["ft_snippet"] = (
+        _cte(["spark"])
+        + """
+, top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 10)
+SELECT t.doc_id, round(t.s, 4) AS score,
+  cast(strpos(lower(d.text), 'spark') as bigint) AS pos,
+  substr(d.text,
+         greatest(strpos(lower(d.text), 'spark') - 20, 1), 60)
+    AS snippet
+FROM top t JOIN documents d USING (doc_id)"""
+    )
+    o["wand_snippet"] = o["ft_snippet"]
 
     # winnow pairs: fingerprints over the perturbed-doubled corpus,
     # bucket-capped, pairs sharing >= 3 fingerprints. DuckDB list

@@ -1,0 +1,82 @@
+"""User-facing search features layered on the executors: faceted
+result counts and snippet (keyword-in-context) extraction.
+
+These are the Solr/Elasticsearch-style conveniences a full-text
+engine is expected to ship around its core top-k (the reference is a
+parser-only library — the engine surface is ours; see SURVEY.md §0).
+Everything is declarative DataFrame ops with exact DuckDB twins in
+__spark_entry__.oracle_sql (ft_facets / ft_snippet gates).
+
+Scale notes (100 TB):
+  * facet_counts: the match set (doc_id, score) joins doclens on
+    doc_id — a shuffle of MATCHING docs only, then a partial+final
+    aggregate on the low-cardinality facet key. The full corpus is
+    never shuffled.
+  * snippets: computed only for the k rows of the final page, after
+    TakeOrderedAndProject — the text column is fetched for k docs,
+    not for every match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_counts(
+    executor,
+    query: str,
+    facet_col: str = "lang",
+) -> DataFrame:
+    """Facet the FULL match set of `query` by a metadata column:
+    -> (facet_col, n_docs, max_score rounded 4). Counts all matches
+    (k=None), not just the first page — the way search UIs show
+    per-language / per-repo buckets next to the top-10."""
+    matches = executor.search(query, k=None)
+    meta = executor.ix.doclens.select("doc_id", facet_col)
+    return (
+        matches.join(meta, "doc_id")
+        .groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.max("score"), 4).alias("max_score"),
+        )
+    )
+
+
+def search_with_snippets(
+    executor,
+    docs: DataFrame,
+    query: str,
+    needle: str,
+    k: int = 10,
+    radius: int = 20,
+    width: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k search plus a deterministic keyword-in-context snippet:
+    `width` chars of the original text starting `radius` chars before
+    the first (case-insensitive) occurrence of `needle`. The index
+    deliberately stores no raw text (postings + doclens metadata
+    only), so the caller supplies the source `docs(doc_id, text)`
+    table — joined AFTER the top-k, so text is fetched for k rows,
+    never for the whole match set. pos=0 (needle absent, e.g. a
+    fuzzy/regex match) falls back to the document head.
+    -> (doc_id, score, pos, snippet)."""
+    top = executor.search(query, k=k)
+    texts = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    pos = F.locate(needle.lower(), F.lower(F.col("text")))
+    start = F.greatest(pos - radius, F.lit(1))
+    return (
+        top.join(texts, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            pos.alias("pos"),
+            F.substring(F.col("text"), start, width).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -90,3 +90,34 @@ def test_bool_terms_single_scan(unit_index):
         df = DataFrameExecutor(ix).search(q, k=10)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Relation") == 1, q  # one parquet scan
+
+
+def test_search_features(unit_index, spark):
+    """Facet buckets partition the full match set; snippets contain
+    the needle and come only from top-k docs."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import (
+        facet_counts,
+        search_with_snippets,
+    )
+
+    ix, oracle, stats = unit_index
+    ex = DataFrameExecutor(ix)
+    n_matches = ex.search("import", k=None).count()
+    fc = facet_counts(ex, "import", "lang").collect()
+    assert sum(r["n_docs"] for r in fc) == n_matches
+    assert all(r["max_score"] > 0 for r in fc)
+
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["content"]) for d in oracle.docs],
+        "doc_id long, text string",
+    )
+    out = search_with_snippets(
+        ex, docs, "import", "import", k=5
+    ).collect()
+    assert 1 <= len(out) <= 5
+    expected = [d for d, _ in oracle.search("import", k=5)]
+    assert [r["doc_id"] for r in out] == expected
+    for r in out:
+        assert r["pos"] >= 1
+        assert "import" in r["snippet"].lower()
