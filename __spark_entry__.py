@@ -321,6 +321,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_snippet"] = snippet_q
     q["wand_snippet"] = lambda s, d: snippet_q(s, d, wand=True)
 
+    # ---- cursor (search-after) pagination: page 2 fetched via the
+    # last row of page 1, over the total (round4 score, doc_id)
+    # order — equals OFFSET 10 in the oracle because the order is
+    # total. The 10-row collect IS the cursor-paging protocol.
+    def page2_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import paginate
+
+        ix = _index_for(s, d)
+        ex = DataFrameExecutor(ix)
+        p1 = paginate(ex, "spark batch window", 10).collect()
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        return paginate(ex, "spark batch window", 10, cursor=cur)
+
+    q["ft_page2"] = page2_q
+
     # ---- winnowing near-dup candidate pairs: perturbed copies (text
     # plus a tail) are true near-dups sharing most fingerprints -----
     def winnow_pairs_q(s, d):
@@ -921,6 +937,17 @@ SELECT t.doc_id, round(t.s, 4) AS score,
 FROM top t JOIN documents d USING (doc_id)"""
     )
     o["wand_snippet"] = o["ft_snippet"]
+
+    # page 2 of the OR query under the total (round4 score, doc_id)
+    # order; OFFSET is fine in the single-node oracle
+    o["ft_page2"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+r AS (SELECT doc_id, round(sr, 4) AS score FROM agg)
+SELECT doc_id, score FROM r
+ORDER BY score DESC, doc_id OFFSET 10 LIMIT 10"""
+    )
 
     # winnow pairs: fingerprints over the perturbed-doubled corpus,
     # bucket-capped, pairs sharing >= 3 fingerprints. DuckDB list

@@ -80,3 +80,33 @@ def search_with_snippets(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def paginate(
+    executor,
+    query: str,
+    page_size: int = 10,
+    cursor=None,
+) -> DataFrame:
+    """Cursor ("search after") pagination over the total order
+    (rounded-4 score desc, doc_id asc): pass the last row of the
+    previous page as `cursor=(score, doc_id)` to get the next page.
+
+    This is the deep-paging pattern that survives at scale: each page
+    is filter + TakeOrderedAndProject over the match set — no global
+    sort and no OFFSET, which would materialize and skip every
+    preceding row on some executor. Rounding the sort key to 4
+    decimals makes the cursor comparison exact across engines (the
+    raw doubles are bit-stable here, but a cursor serialized through
+    JSON by a real client would not be).
+    -> (doc_id, score) page rows."""
+    m = executor.search(query, k=None).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    if cursor is not None:
+        cs, cd = cursor
+        m = m.filter(
+            (F.col("score") < cs)
+            | ((F.col("score") == cs) & (F.col("doc_id") > cd))
+        )
+    return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(page_size)

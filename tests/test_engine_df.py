@@ -121,3 +121,26 @@ def test_search_features(unit_index, spark):
     for r in out:
         assert r["pos"] >= 1
         assert "import" in r["snippet"].lower()
+
+
+def test_paginate_covers_ranking_without_overlap(unit_index, spark):
+    """Successive cursor pages partition the rounded-order ranking:
+    concatenated pages == one big page, no dup/missing doc_ids."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import paginate
+
+    ix, oracle, stats = unit_index
+    ex = DataFrameExecutor(ix)
+    whole = [
+        (r["doc_id"], r["score"])
+        for r in paginate(ex, "import cats", page_size=1000).collect()
+    ]
+    assert len(whole) >= 6, "corpus should match more than two pages"
+    pages, cursor = [], None
+    while True:
+        rows = paginate(ex, "import cats", 3, cursor=cursor).collect()
+        if not rows:
+            break
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert pages == whole
