@@ -337,6 +337,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_page2"] = page2_q
 
+    # ---- batched serving: 3 queries in ONE job / ONE segment scan
+    # through the WAND executor; per-query top-k ---------------------
+    def batch_q(s, d):
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _index_for(s, d)
+        out = WandExecutor(ix).search_many(
+            {
+                "t": "spark",
+                "a": "batch AND window AND spark",
+                "o": "spark batch window",
+            },
+            k=10,
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["wand_batch"] = batch_q
+
     # ---- winnowing near-dup candidate pairs: perturbed copies (text
     # plus a tail) are true near-dups sharing most fingerprints -----
     def winnow_pairs_q(s, d):
@@ -937,6 +957,14 @@ SELECT t.doc_id, round(t.s, 4) AS score,
 FROM top t JOIN documents d USING (doc_id)"""
     )
     o["wand_snippet"] = o["ft_snippet"]
+
+    # batched serving: union of the three single-query oracles with a
+    # query_id tag (DuckDB allows CTEs inside subselects)
+    o["wand_batch"] = (
+        f"SELECT 't' AS query_id, doc_id, score FROM ({o['ft_term']})\n"
+        f"UNION ALL SELECT 'a', doc_id, score FROM ({o['ft_and']})\n"
+        f"UNION ALL SELECT 'o', doc_id, score FROM ({o['ft_or']})"
+    )
 
     # page 2 of the OR query under the total (round4 score, doc_id)
     # order; OFFSET is fine in the single-node oracle

@@ -99,6 +99,137 @@ class WandExecutor:
         return out
 
 
+    def search_many(self, queries, k: int = 10) -> DataFrame:
+        """Evaluate a BATCH of queries in one job: one term-filtered
+        segment scan (union of every query's term predicate), one
+        applyInPandas pass per shard that decodes each touched term
+        once and runs the shared evaluator per query, then a
+        per-query top-k merge (Window row_number over shards*k*Q
+        rows). This is the serving shape for high-QPS workloads at
+        scale — per-job fixed overhead and the scan are amortized
+        over the whole batch instead of paid per query.
+
+        `queries`: dict[query_id -> query string] or list (ids
+        q0..qN-1). -> (query_id, doc_id, score), k rows per query in
+        (score desc, doc_id asc) order within each query.
+        """
+        from pyspark.sql import Window
+
+        ix = self.ix
+        if not isinstance(queries, dict):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        nodes = {qid: ix.plan(q) for qid, q in queries.items()}
+
+        seg_src = getattr(ix, "segments_for", None)
+        if seg_src is not None:
+            exact_all: set = set()
+            intervals_all: list = []
+            for node in nodes.values():
+                exact, intervals = file_prune_bounds(node)
+                exact_all |= set(exact)
+                intervals_all.extend(intervals)
+            segs = seg_src(sorted(exact_all), intervals_all)
+        else:
+            segs = ix.segments
+        conds = []
+        for node in nodes.values():
+            terms = P.collect_terms(node)
+            if terms:
+                conds.append(_term_filter(node, terms))
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            segs = segs.filter(cond)
+
+        need_uni = any(P.needs_universe(n) for n in nodes.values())
+        pos_terms: set = set()
+        for node in nodes.values():
+            if P.needs_positions(node):
+                pos_terms.update(P.collect_terms(node))
+        avgdl = float(ix.stats["avg_dl"])
+        meta_cols = list(ix.stats.get("meta_cols", []))
+        kernel = _make_batch_kernel(
+            nodes, avgdl, k, need_uni, pos_terms, meta_cols
+        )
+        if need_uni:
+            dl = ix.doclens.select(
+                "shard", "doc_id", "doc_len", *meta_cols
+            )
+            grouped = segs.groupBy("shard").cogroup(dl.groupBy("shard"))
+            local = grouped.applyInPandas(kernel, schema=BATCH_SCHEMA)
+        else:
+            local = segs.groupBy("shard").applyInPandas(
+                kernel, schema=BATCH_SCHEMA
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+
+BATCH_SCHEMA = "query_id string, doc_id long, score double"
+
+
+def _make_batch_kernel(
+    nodes: Dict[str, P.PNode],
+    avgdl: float,
+    k: int,
+    need_uni: bool,
+    pos_terms: set,
+    meta_cols: List[str],
+):
+    """Shard kernel for search_many: decode every term in the shard
+    slice ONCE (positions only for terms some query needs
+    positionally), then evaluate each query tree against the shared
+    ShardData with the same evaluator as single-query search; emit
+    each query's local top-k."""
+
+    def eval_segments(seg_pdf: pd.DataFrame, dl_pdf=None) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "object", "doc_id": "int64", "score": "float64"})
+        if len(seg_pdf) == 0 and dl_pdf is None:
+            return empty
+        sd = ShardData(avgdl=avgdl)
+        if dl_pdf is not None and len(dl_pdf):
+            dl_pdf = dl_pdf.sort_values("doc_id")
+            sd.all_ids = dl_pdf["doc_id"].to_numpy(dtype=np.int64)
+            sd.all_dls = dl_pdf["doc_len"].to_numpy(dtype=np.int64)
+            for c in meta_cols:
+                if c in dl_pdf.columns:
+                    sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
+        for term, rows in seg_pdf.groupby("term", sort=True):
+            rows = rows.sort_values(["doc_id_base", "block_id"])
+            sd.postings[str(term)] = _build_posting(
+                rows, str(term) in pos_terms
+            )
+        frames = []
+        for qid, node in nodes.items():
+            ids, scores = evaluate(node, sd)
+            ids, scores = top_k(ids, scores, k)
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "doc_id": ids, "score": scores}
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    def kernel_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+        return eval_segments(pdf)
+
+    def kernel_cogroup(
+        seg_pdf: pd.DataFrame, dl_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        return eval_segments(seg_pdf, dl_pdf)
+
+    return kernel_cogroup if need_uni else kernel_plain
+
+
 def _term_filter(node: P.PNode, all_terms: List[str]):
     """Segment-scan predicate on the term column. Expansions use the
     shared pushdown predicate (exact IN below a threshold, else a

@@ -190,3 +190,31 @@ def test_boosted_terms_take_pruned_path(unit_index):
         assert got == expected, q
     # duplicate boosted term still bails (multiplicity)
     assert _flat_terms(oracle.plan("import^2 OR import")) is None
+
+
+def test_search_many_matches_individual(unit_index):
+    """One-job batch evaluation is rank-identical to per-query
+    search for every shape in the batch (incl. positional and
+    universe-needing queries sharing one decode pass)."""
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = unit_index
+    ex = WandExecutor(ix)
+    batch = {
+        "t": "import",
+        "a": "import AND cats",
+        "o": "import cats dogs",
+        "p": '"import os"',
+        "n": "import AND NOT cats",
+    }
+    got = {}
+    for r in ex.search_many(batch, k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid, q in batch.items():
+        solo = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ex.search(q, k=10).collect()
+        ]
+        assert got.get(qid, []) == solo, qid
