@@ -779,11 +779,23 @@ class QueryParser:
         special = _SPECIAL
 
         def query_dispatch(s, i):
-            if i < len(s):
-                c = s[i]
-                if c >= " " and c != "N" and c not in special:
-                    return term_start_alt(s, i)
-            return full_alt(s, i)
+            # full packrat on the whole query production: the
+            # implicit-list loop and the suffix-op `until` lookahead
+            # each attempt `query` at the same positions the real
+            # parse then consumes — pure, so cache by position (same
+            # per-parse memo dict as nel_queries/leaves)
+            memo = self._memo
+            r = memo.get(("q", i))
+            if r is not None:
+                return r
+            if i < len(s) and (
+                (c := s[i]) >= " " and c != "N" and c not in special
+            ):
+                r = term_start_alt(s, i)
+            else:
+                r = full_alt(s, i)
+            memo[("q", i)] = r
+            return r
 
         cell[0] = query_dispatch
 

@@ -206,6 +206,7 @@ def test_search_many_matches_individual(unit_index):
         "o": "import cats dogs",
         "p": '"import os"',
         "n": "import AND NOT cats",
+        "z": "zzznotinthedictionary",   # planless/empty query in batch
     }
     got = {}
     for r in ex.search_many(batch, k=10).collect():
