@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_bpe"] = lambda s, d: text.bpe_piece_stats(
         _docs(s, d), "doc_id", "text"
     )
+    q["tx_gopher"] = lambda s, d: text.gopher_quality(
+        _docs(s, d), "doc_id", "text"
+    )
     q["tx_winnow"] = lambda s, d: text.winnow_fingerprints(
         _docs(s, d).filter(F.col("doc_id") < 120), "doc_id", "text",
         k=5, window=4,
@@ -339,11 +342,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- batched serving: 3 queries in ONE job / ONE segment scan
     # through the WAND executor; per-query top-k ---------------------
-    def batch_q(s, d):
+    def batch_q(s, d, wand=True):
+        from lucille_spark.exec_df import DataFrameExecutor
         from lucille_spark.exec_wand import WandExecutor
 
         ix = _index_for(s, d)
-        out = WandExecutor(ix).search_many(
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search_many(
             {
                 "t": "spark",
                 "a": "batch AND window AND spark",
@@ -356,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["wand_batch"] = batch_q
+    q["ft_batch"] = lambda s, d: batch_q(s, d, wand=False)
 
     # ---- winnowing near-dup candidate pairs: perturbed copies (text
     # plus a tail) are true near-dups sharing most fingerprints -----
@@ -912,6 +918,43 @@ SELECT doc_id,
   len(list_distinct(pieces)) AS n_unique_pieces
 FROM p"""
 
+    # gopher quality rules: same formulas, DuckDB list lambdas; the
+    # '...' count divides by 3.0 and every float rounds to 6
+    from lucille_spark.ops.text import GOPHER_STOPWORDS
+
+    _gs = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    o["tx_gopher"] = f"""
+WITH w AS (SELECT doc_id, text,
+  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+  list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM documents),
+m AS (SELECT doc_id,
+  len(ws) AS n_words,
+  round(CASE WHEN len(ws) > 0 THEN
+    list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0
+    / len(ws) ELSE 0.0 END, 6) AS mean_word_len,
+  round(((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3.0)
+       / greatest(len(ws), 1), 6) AS symbol_ratio,
+  round(len(list_filter(ls, l -> starts_with(l, '-')
+        OR starts_with(l, '*') OR starts_with(l, '•'))) * 1.0
+        / greatest(len(ls), 1), 6) AS bullet_frac,
+  round(len(list_filter(ls, l -> ends_with(l, '...'))) * 1.0
+        / greatest(len(ls), 1), 6) AS ellipsis_frac,
+  round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+        / greatest(len(ws), 1), 6) AS alpha_frac,
+  len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+      [{_gs}])) AS stop_hits
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_frac, stop_hits,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+   AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+   AND stop_hits >= 2) AS passes
+FROM m"""
+
     # winnowing fingerprints: k-gram rolling hash, min per sliding
     # window, distinct — same portable md5 hash both sides. DuckDB
     # list slicing arr[a:b] is 1-based inclusive -> k elements.
@@ -965,6 +1008,7 @@ FROM top t JOIN documents d USING (doc_id)"""
         f"UNION ALL SELECT 'a', doc_id, score FROM ({o['ft_and']})\n"
         f"UNION ALL SELECT 'o', doc_id, score FROM ({o['ft_or']})"
     )
+    o["ft_batch"] = o["wand_batch"]
 
     # page 2 of the OR query under the total (round4 score, doc_id)
     # order; OFFSET is fine in the single-node oracle

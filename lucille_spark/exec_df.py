@@ -62,6 +62,23 @@ class DataFrameExecutor:
             )
         return df
 
+    def search_many(self, queries, k: int = 10) -> DataFrame:
+        """Batch counterpart of WandExecutor.search_many on the
+        declarative path: union the per-query plans (each keeping its
+        own TakeOrderedAndProject top-k) under a query_id tag so N
+        queries run as ONE Spark action — subtrees schedule
+        concurrently and the per-job fixed overhead is paid once.
+        -> (query_id, doc_id, score)."""
+        if not isinstance(queries, dict):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        out = None
+        for qid, q in queries.items():
+            one = self.search(q, k=k).select(
+                F.lit(qid).alias("query_id"), "doc_id", "score"
+            )
+            out = one if out is None else out.unionAll(one)
+        return out
+
     # ----------------------------------------------------- evaluation
     def evaluate(self, node: P.PNode) -> DataFrame:
         """-> DataFrame(doc_id long, score double), one row per match."""

@@ -260,3 +260,81 @@ def corpus_prep(
         )
         .select("doc_id", "lang_pred", "quality", "content_sha256", "n_dups")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    whitespace-word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#' chars + '...' occurrences) < 0.1,
+    <90% of lines bullet-initial, <30% of lines ellipsis-terminal,
+    >80% of words contain an alphabetic char, and >=2 of a small
+    must-have stopword set present. Emits every metric plus the
+    combined `passes` flag (not filtered — callers compose). Pure
+    column expressions, whole-stage codegen, exact DuckDB twin
+    (tx_gopher). -> (doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, stop_hits, passes)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    )
+    words = F.filter(F.split(F.col("_t"), "\\s+"), lambda w: w != F.lit(""))
+    lines = F.filter(F.split(F.col("_t"), "\n"), lambda l: l != F.lit(""))
+    t = base.select("doc_id", F.col("_t"), words.alias("_w"), lines.alias("_l"))
+    nw = F.size("_w")
+    nl = F.greatest(F.size("_l"), F.lit(1))
+    nw1 = F.greatest(nw, F.lit(1))
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(
+            F.col("_w"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / nw,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length("_t") - F.length(F.expr("replace(_t, '#', '')"))
+    n_ell = (
+        F.length("_t") - F.length(F.expr("replace(_t, '...', '')"))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell) / nw1
+    bullet = F.size(
+        F.filter(
+            F.col("_l"),
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    ) / nl
+    ellipsis = F.size(
+        F.filter(F.col("_l"), lambda l: l.endswith("..."))
+    ) / nl
+    alpha = F.size(
+        F.filter(F.col("_w"), lambda w: w.rlike("[a-zA-Z]"))
+    ) / nw1
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(F.col("_w"), F.lower)), stops
+        )
+    )
+    m = t.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet, 6).alias("bullet_frac"),
+        F.round(ellipsis, 6).alias("ellipsis_frac"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    passes = (
+        m["n_words"].between(50, 100000)
+        & m["mean_word_len"].between(3.0, 10.0)
+        & (m["symbol_ratio"] < 0.1)
+        & (m["bullet_frac"] < 0.9)
+        & (m["ellipsis_frac"] < 0.3)
+        & (m["alpha_frac"] > 0.8)
+        & (m["stop_hits"] >= 2)
+    )
+    return m.withColumn("passes", passes)

@@ -295,3 +295,25 @@ def test_winnow_candidate_pairs(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (0, 1) in got
     assert all(p[0] < 100 and p[1] < 100 for p in got), got
+
+
+def test_gopher_quality(spark):
+    """Each Gopher rule triggers on its pathological doc; the long
+    prose doc passes all of them."""
+    from lucille_spark.ops.text import gopher_quality
+
+    prose = ("the quick brown fox likes to jump over the lazy dog and "
+             "that is fine because we have plenty of words here ") * 4
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "# " * 30 + "word " * 30
+    dots = "\n".join(f"line number {i} trails off..." for i in range(10))
+    df = spark.createDataFrame(
+        [(0, prose), (1, bullets), (2, symbols), (3, dots), (4, "")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in gopher_quality(df, "doc_id", "text").collect()}
+    assert r[0]["passes"] and r[0]["stop_hits"] >= 2
+    assert not r[1]["passes"] and r[1]["bullet_frac"] == 1.0
+    assert not r[2]["passes"] and r[2]["symbol_ratio"] >= 0.1
+    assert not r[3]["passes"] and r[3]["ellipsis_frac"] == 1.0
+    assert not r[4]["passes"] and r[4]["n_words"] == 0
