@@ -324,6 +324,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_snippet"] = snippet_q
     q["wand_snippet"] = lambda s, d: snippet_q(s, d, wand=True)
 
+    # ---- more-like-this: top tf*idf terms of doc 7 as a BM25
+    # disjunction, self excluded (Lucene MLT parity) ----------------
+    def mlt_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import more_like_this
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = more_like_this(ex, _docs(s, d), doc_id=7, n_terms=5, k=10)
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_mlt"] = mlt_q
+    q["wand_mlt"] = lambda s, d: mlt_q(s, d, wand=True)
+
     # ---- cursor (search-after) pagination: page 2 fetched via the
     # last row of page 1, over the total (round4 score, doc_id)
     # order — equals OFFSET 10 in the oracle because the order is
@@ -1009,6 +1026,32 @@ FROM top t JOIN documents d USING (doc_id)"""
         f"UNION ALL SELECT 'o', doc_id, score FROM ({o['ft_or']})"
     )
     o["ft_batch"] = o["wand_batch"]
+
+    # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
+    # idf formula identical to the planner's), BM25 OR, self excluded
+    o["ft_mlt"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+st0 AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tgt AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 7
+        GROUP BY term),
+mlt AS (SELECT t.term,
+        t.tf * ln(1.0 + (st0.n - d.df + 0.5) / (d.df + 0.5)) AS s
+        FROM tgt t JOIN dfs d USING (term) CROSS JOIN st0
+        ORDER BY s DESC, t.term ASC LIMIT 5),
+st AS (SELECT st0.n AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM st0),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
+sc AS (SELECT tf2.doc_id,
+       ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * tf2.tf /
+       (tf2.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf2 JOIN dfs d USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg WHERE doc_id <> 7
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    o["wand_mlt"] = o["ft_mlt"]
 
     # page 2 of the OR query under the total (round4 score, doc_id)
     # order; OFFSET is fine in the single-node oracle

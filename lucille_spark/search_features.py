@@ -110,3 +110,52 @@ def paginate(
             | ((F.col("score") == cs) & (F.col("doc_id") > cd))
         )
     return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(page_size)
+
+
+def more_like_this(
+    executor,
+    docs: DataFrame,
+    doc_id: int,
+    n_terms: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lucene-style More-Like-This: select the target document's
+    `n_terms` highest tf*idf terms (tie-break lexicographic), run
+    them as a BM25 disjunction, exclude the document itself, return
+    top-k. The target's text is one driver-side row; idf comes from
+    the planner's dictionary (planning a disjunction of the doc's
+    distinct tokens — no posting data is read to build the query).
+    The k+1-then-exclude trick keeps the distributed top-k exact: at
+    most one row (the doc itself) is ever removed.
+    -> (doc_id, score)."""
+    from collections import Counter
+
+    from lucille_spark import plans as P
+    from lucille_spark.analysis import tokenize
+
+    row = (
+        docs.filter(F.col(id_col) == doc_id).select(text_col).collect()
+    )
+    if not row:
+        raise KeyError(f"doc_id {doc_id} not found")
+    tf = Counter(tokenize(row[0][0]))
+    node = executor.ix.plan(" ".join(sorted(tf)))
+    pterms = (
+        list(node.should)
+        if isinstance(node, P.PBool)
+        else [node]
+        if isinstance(node, P.PTerm)
+        else []
+    )
+    scored = sorted(
+        ((tf[t.term] * t.idf, t.term) for t in pterms),
+        key=lambda x: (-x[0], x[1]),
+    )
+    top_terms = [t for _, t in scored[:n_terms]]
+    query = " OR ".join(top_terms)
+    out = executor.search(query, k=k + 1).filter(
+        F.col("doc_id") != doc_id
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

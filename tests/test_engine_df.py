@@ -144,3 +144,24 @@ def test_paginate_covers_ranking_without_overlap(unit_index, spark):
         pages.extend((r["doc_id"], r["score"]) for r in rows)
         cursor = (rows[-1]["score"], rows[-1]["doc_id"])
     assert pages == whole
+
+
+def test_more_like_this(unit_index, spark):
+    """MLT never returns the target doc, ranks by BM25 over the
+    target's top tf*idf terms, and an exact duplicate of the target
+    (if present) ranks first."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import more_like_this
+
+    ix, oracle, stats = unit_index
+    ex = DataFrameExecutor(ix)
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["content"]) for d in oracle.docs],
+        "doc_id long, text string",
+    )
+    target = oracle.docs[0]["doc_id"]
+    out = more_like_this(ex, docs, doc_id=target, n_terms=4, k=5).collect()
+    assert out, "MLT should find neighbors in the unit corpus"
+    assert all(r["doc_id"] != target for r in out)
+    assert all(out[i]["score"] >= out[i + 1]["score"]
+               for i in range(len(out) - 1))
