@@ -341,6 +341,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_mlt"] = mlt_q
     q["wand_mlt"] = lambda s, d: mlt_q(s, d, wand=True)
 
+    # ---- did-you-mean: OSA-distance-1 dictionary suggestions for a
+    # misspelling, ranked (dist, df desc, term) ----------------------
+    def suggest_q(s, d):
+        from lucille_spark.search_features import suggest
+
+        return suggest(_index_for(s, d), "tble", max_dist=1, n=5)
+
+    q["ft_suggest"] = suggest_q
+
     # ---- cursor (search-after) pagination: page 2 fetched via the
     # last row of page 1, over the total (round4 score, doc_id)
     # order — equals OFFSET 10 in the oracle because the order is
@@ -1052,6 +1061,17 @@ agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
 SELECT doc_id, round(sr, 4) AS score FROM agg WHERE doc_id <> 7
 ORDER BY sr DESC, doc_id LIMIT 10"""
     o["wand_mlt"] = o["ft_mlt"]
+
+    # did-you-mean: damerau_levenshtein == OSA at distance <= 1 (the
+    # gate distance); df = docs containing the term, like the
+    # dictionary's
+    o["ft_suggest"] = f"""
+WITH tok AS ({_TOK}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+c AS (SELECT term, damerau_levenshtein(term, 'tble') AS dist, df
+      FROM dfs)
+SELECT term AS suggestion, cast(dist as bigint) AS dist, df FROM c
+WHERE dist <= 1 ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
 
     # page 2 of the OR query under the total (round4 score, doc_id)
     # order; OFFSET is fine in the single-node oracle

@@ -159,3 +159,37 @@ def more_like_this(
         F.col("doc_id") != doc_id
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def suggest(index, term: str, max_dist: int = 1, n: int = 5) -> DataFrame:
+    """Did-you-mean spell suggestion: dictionary terms within OSA
+    edit distance `max_dist` of `term`, ranked (distance asc,
+    document frequency desc, term asc). Uses the same fuzzy
+    expansion machinery as Fuzzy queries (vectorized numpy DP on the
+    driver dictionary; length-band + levenshtein pushdown on the big
+    dictionary), so it works on both dictionary strategies. The
+    candidate set is tiny, so ranking is driver-side.
+    -> (suggestion, dist, df)."""
+    import numpy as np
+
+    from lucille_spark.index.reader import _lev_batch
+
+    cands = index.dictionary.expand_fuzzy(
+        term, max_dist, transpositions=True
+    )
+    if not cands:
+        return index.spark.createDataFrame(
+            [], "suggestion string, dist long, df long"
+        )
+    dfs = index.dictionary.lookup_df(cands)
+    carr = np.array(cands)
+    dist = np.full(len(cands), max_dist, dtype=np.int64)
+    for e in range(max_dist - 1, -1, -1):
+        dist[_lev_batch(carr, term, e, True)] = e
+    ranked = sorted(
+        ((int(dist[i]), -int(dfs.get(c, 0)), c) for i, c in enumerate(cands))
+    )[:n]
+    rows = [(c, d, -negdf) for d, negdf, c in ranked]
+    return index.spark.createDataFrame(
+        rows, "suggestion string, dist long, df long"
+    )

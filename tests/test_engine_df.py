@@ -165,3 +165,18 @@ def test_more_like_this(unit_index, spark):
     assert all(r["doc_id"] != target for r in out)
     assert all(out[i]["score"] >= out[i + 1]["score"]
                for i in range(len(out) - 1))
+
+
+def test_suggest_did_you_mean(unit_index):
+    """A transposed misspelling suggests the original term at OSA
+    distance 1 (transposition = ONE edit); exact terms come back at
+    distance 0 and rank first."""
+    from lucille_spark.search_features import suggest
+
+    ix, oracle, stats = unit_index
+    rows = suggest(ix, "imoprt", max_dist=1, n=5).collect()
+    assert rows and rows[0]["suggestion"] == "import"
+    assert rows[0]["dist"] == 1
+    rows0 = suggest(ix, "import", max_dist=1, n=5).collect()
+    assert rows0[0]["suggestion"] == "import" and rows0[0]["dist"] == 0
+    assert all(r["dist"] >= rows0[0]["dist"] for r in rows0)
