@@ -44,12 +44,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucille_spark import plans as P
-from lucille_spark.codec import varbyte_decode
+from lucille_spark.codec import bitpack_decode, varbyte_decode
 from lucille_spark.pushdown import expand_condition, file_prune_bounds
 from lucille_spark.eval_local import Posting, ShardData, evaluate, top_k
 from lucille_spark.index.reader import SparkIndex
 
 OUT_SCHEMA = "doc_id long, score double"
+
+# posting-block codecs by the name recorded in stats.json at build
+DECODERS = {"varbyte": varbyte_decode, "bitpack": bitpack_decode}
 
 
 class WandExecutor:
@@ -75,8 +78,9 @@ class WandExecutor:
         need_uni = P.needs_universe(node)
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
+        decode = DECODERS[ix.stats.get("codec", "varbyte")]
         kernel = _make_kernel(
-            node, avgdl, k, self.prune, need_uni, meta_cols
+            node, avgdl, k, self.prune, need_uni, meta_cols, decode
         )
         if need_uni:
             # cogroup segments with the shard's doclens slice so the
@@ -149,8 +153,9 @@ class WandExecutor:
                 pos_terms.update(P.collect_terms(node))
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
+        decode = DECODERS[ix.stats.get("codec", "varbyte")]
         kernel = _make_batch_kernel(
-            nodes, avgdl, k, need_uni, pos_terms, meta_cols
+            nodes, avgdl, k, need_uni, pos_terms, meta_cols, decode
         )
         if need_uni:
             dl = ix.doclens.select(
@@ -182,6 +187,7 @@ def _make_batch_kernel(
     need_uni: bool,
     pos_terms: set,
     meta_cols: List[str],
+    decode=varbyte_decode,
 ):
     """Shard kernel for search_many: decode every term in the shard
     slice ONCE (positions only for terms some query needs
@@ -206,7 +212,7 @@ def _make_batch_kernel(
         for term, rows in seg_pdf.groupby("term", sort=True):
             rows = rows.sort_values(["doc_id_base", "block_id"])
             sd.postings[str(term)] = _build_posting(
-                rows, str(term) in pos_terms
+                rows, str(term) in pos_terms, decode
             )
         frames = []
         for qid, node in nodes.items():
@@ -263,15 +269,17 @@ def _term_filter(node: P.PNode, all_terms: List[str]):
 # ------------------------------------------------------------ kernel
 
 
-def _decode_block(row) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[list]]:
-    gaps = varbyte_decode(row.ids_delta).astype(np.int64)
+def _decode_block(
+    row, decode=varbyte_decode
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[list]]:
+    gaps = decode(row.ids_delta).astype(np.int64)
     ids = row.doc_id_base + np.cumsum(gaps)
-    tfs = varbyte_decode(row.tfs).astype(np.int64)
-    dls = varbyte_decode(row.dls).astype(np.int64)
+    tfs = decode(row.tfs).astype(np.int64)
+    dls = decode(row.dls).astype(np.int64)
     poss = None
     if row.pos_counts is not None:
-        counts = varbyte_decode(row.pos_counts).astype(np.int64)
-        deltas = varbyte_decode(row.positions).astype(np.int64)
+        counts = decode(row.pos_counts).astype(np.int64)
+        deltas = decode(row.positions).astype(np.int64)
         poss = []
         start = 0
         for c in counts:
@@ -280,11 +288,13 @@ def _decode_block(row) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[lis
     return ids, tfs, dls, poss
 
 
-def _build_posting(rows: pd.DataFrame, want_positions: bool) -> Posting:
+def _build_posting(
+    rows: pd.DataFrame, want_positions: bool, decode=varbyte_decode
+) -> Posting:
     ids_l, tfs_l, dls_l, pos_l = [], [], [], []
     has_pos = True
     for row in rows.itertuples():
-        ids, tfs, dls, poss = _decode_block(row)
+        ids, tfs, dls, poss = _decode_block(row, decode)
         ids_l.append(ids)
         tfs_l.append(tfs)
         dls_l.append(dls)
@@ -368,6 +378,7 @@ def _make_kernel(
     prune: bool,
     need_uni: bool,
     meta_cols: List[str],
+    decode=varbyte_decode,
 ):
     flat = _flat_terms(node) if prune else None
     want_pos = P.needs_positions(node)
@@ -389,14 +400,16 @@ def _make_kernel(
         groups = dict(tuple(seg_pdf.groupby("term", sort=True)))
 
         if flat is not None and len(groups) > 1:
-            ids, scores = _eval_flat_pruned(flat, groups, sd, k)
+            ids, scores = _eval_flat_pruned(flat, groups, sd, k, decode)
         else:
             for term, rows in groups.items():
                 # a term may arrive as several disjoint doc-range
                 # runs (file/split boundaries at build); ordering by
                 # doc_id_base restores ascending ids
                 rows = rows.sort_values(["doc_id_base", "block_id"])
-                sd.postings[str(term)] = _build_posting(rows, want_pos)
+                sd.postings[str(term)] = _build_posting(
+                    rows, want_pos, decode
+                )
             ids, scores = evaluate(node, sd)
         ids, scores = top_k(ids, scores, k)
         return pd.DataFrame({"doc_id": ids, "score": scores})
@@ -411,7 +424,7 @@ def _make_kernel(
 
 
 def _eval_flat_pruned(
-    flat, groups, sd: ShardData, k: int
+    flat, groups, sd: ShardData, k: int, decode=varbyte_decode
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max pruned evaluation of flat AND/OR over PTerms.
     Counts decoded blocks in _PRUNE_STATS for testability. Block
@@ -439,7 +452,7 @@ def _eval_flat_pruned(
         # decode rarest term (fewest postings) fully
         order = sorted(avail, key=lambda t: int(avail[t]["n_docs"].sum()))
         first = order[0]
-        p = _build_posting(avail[first], False)
+        p = _build_posting(avail[first], False, decode)
         stats["decoded_blocks"] += len(avail[first])
         cand_ids = p.ids
         score = bm25_np(p.tfs, p.dls, terms[first].idf, sd.avgdl)
@@ -451,7 +464,7 @@ def _eval_flat_pruned(
             stats["decoded_blocks"] += int(sel.sum())
             if not sel.any():
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            pt = _build_posting(rows[sel], False)
+            pt = _build_posting(rows[sel], False, decode)
             common, ia, ib = np.intersect1d(
                 cand_ids, pt.ids, assume_unique=True, return_indices=True
             )
@@ -493,7 +506,7 @@ def _eval_flat_pruned(
                 stats["decoded_blocks"] += int(sel.sum())
                 if not sel.any():
                     continue
-                pt = _build_posting(rows[sel], False)
+                pt = _build_posting(rows[sel], False, decode)
                 common, ia, ib = np.intersect1d(
                     acc_ids, pt.ids, assume_unique=True, return_indices=True
                 )
@@ -504,7 +517,7 @@ def _eval_flat_pruned(
             return acc_ids, acc_sc
         rows = avail[t]
         stats["decoded_blocks"] += len(rows)
-        pt = _build_posting(rows, False)
+        pt = _build_posting(rows, False, decode)
         sc = bm25_np(pt.tfs, pt.dls, terms[t].idf, sd.avgdl)
         acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, pt.ids, sc)
         remaining -= ubs[t]

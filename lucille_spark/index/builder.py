@@ -134,6 +134,11 @@ class BuildConfig:
     term_group_buckets: int = 8        # applyInPandas group granularity
     salt_buckets: int = 16             # hot-term salting fan-out
     store_positions: bool = True
+    # posting-block codec: "varbyte" (default; 8-bit floor per value)
+    # or "bitpack" (fixed-width FOR packing per block — Lucene's
+    # PackedInts family; ~2-3x smaller for dense terms whose gaps fit
+    # in 2-3 bits). Readers dispatch on stats.json's "codec".
+    codec: str = "varbyte"
     dict_partitions: int = 8
     # split each task's term-sorted output into term-contiguous files
     # so the per-file (term_min, term_max) index can prune whole files
@@ -364,6 +369,7 @@ class IndexBuilder:
                 "n_terms": int(n_terms),
                 "num_shards": cfg.num_shards,
                 "block_size": cfg.block_size,
+                "codec": cfg.codec,
                 "meta_cols": meta_cols,
                 "shard_span": max(
                     1, math.ceil(int(row["n"]) / cfg.num_shards)
@@ -388,7 +394,7 @@ class IndexBuilder:
         if not (man.done("segments") and _has_success(seg_path, spark)):
             t0 = time.time()
             kernel = _make_segment_kernel(
-                cfg.block_size, cfg.store_positions
+                cfg.block_size, cfg.store_positions, cfg.codec
             )
             segs = flat.select(
                 "shard", "term", "doc_id", "doc_len", "tf", "positions"
@@ -602,7 +608,9 @@ def _postings_kernel(batches):
         )
 
 
-def _make_segment_kernel(block_size: int, store_positions: bool):
+def _make_segment_kernel(
+    block_size: int, store_positions: bool, codec: str = "varbyte"
+):
     """mapInPandas kernel over flat rows in (term, doc_id) order ->
     delta+varbyte block rows with block-max tf stats (the BM25 block
     bound idf(term) * max_tf/(max_tf + k1(1-b)) is completed at
@@ -614,7 +622,12 @@ def _make_segment_kernel(block_size: int, store_positions: bool):
     once complete — no pandas sort or groupby. Per term, every array
     (docID gaps, tfs, doc lens, position deltas) is varbyte-encoded
     ONCE, whole; blocks are byte slices computed from the per-value
-    length arrays."""
+    length arrays. With codec="bitpack" each block is encoded
+    separately at its own fixed bit width (self-contained header per
+    block), trading the single whole-run encode for smaller blocks."""
+    from lucille_spark.codec import bitpack_encode
+
+    bitpack = codec == "bitpack"
 
     def encode_term(shard: int, term: str, grp: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in (
@@ -644,16 +657,17 @@ def _make_segment_kernel(block_size: int, store_positions: bool):
         gaps[0] = 0
         gaps[1:] = np.diff(ids).astype(np.uint64)
         gaps[bstarts] = 0
-        ids_buf, ids_len = varbyte_encode_with_lengths(gaps)
-        tfs_buf, tfs_len = varbyte_encode_with_lengths(
-            tfs.astype(np.uint64)
-        )
-        dls_buf, dls_len = varbyte_encode_with_lengths(
-            dls.astype(np.uint64)
-        )
-        ids_off = _offsets(ids_len, bstarts, bends)
-        tfs_off = _offsets(tfs_len, bstarts, bends)
-        dls_off = _offsets(dls_len, bstarts, bends)
+        if not bitpack:
+            ids_buf, ids_len = varbyte_encode_with_lengths(gaps)
+            tfs_buf, tfs_len = varbyte_encode_with_lengths(
+                tfs.astype(np.uint64)
+            )
+            dls_buf, dls_len = varbyte_encode_with_lengths(
+                dls.astype(np.uint64)
+            )
+            ids_off = _offsets(ids_len, bstarts, bends)
+            tfs_off = _offsets(tfs_len, bstarts, bends)
+            dls_off = _offsets(dls_len, bstarts, bends)
         max_tfs = np.maximum.reduceat(tfs, bstarts)
         if store_positions:
             poss = [np.asarray(p, dtype=np.int64) for p in poss_in]
@@ -669,26 +683,27 @@ def _make_segment_kernel(block_size: int, store_positions: bool):
                 deltas[1:] = flat_pos[1:] - flat_pos[:-1]
                 doc_starts = np.cumsum(counts) - counts
                 deltas[doc_starts] = flat_pos[doc_starts]
-            pos_buf, pos_len = varbyte_encode_with_lengths(
-                deltas.astype(np.uint64)
-            )
-            cnt_buf, cnt_len = varbyte_encode_with_lengths(
-                counts.astype(np.uint64)
-            )
-            cnt_off = _offsets(cnt_len, bstarts, bends)
-            # position byte ranges per block: doc -> position
-            # index boundaries -> byte boundaries
             pos_cum = np.concatenate(
                 ([0], np.cumsum(counts))
             )  # doc idx -> first position idx
-            pos_byte_cum = np.concatenate(([0], np.cumsum(pos_len)))
-            pos_off = [
-                (
-                    int(pos_byte_cum[pos_cum[s]]),
-                    int(pos_byte_cum[pos_cum[e]]),
+            if not bitpack:
+                pos_buf, pos_len = varbyte_encode_with_lengths(
+                    deltas.astype(np.uint64)
                 )
-                for s, e in zip(bstarts, bends)
-            ]
+                cnt_buf, cnt_len = varbyte_encode_with_lengths(
+                    counts.astype(np.uint64)
+                )
+                cnt_off = _offsets(cnt_len, bstarts, bends)
+                # position byte ranges per block: doc -> position
+                # index boundaries -> byte boundaries
+                pos_byte_cum = np.concatenate(([0], np.cumsum(pos_len)))
+                pos_off = [
+                    (
+                        int(pos_byte_cum[pos_cum[s]]),
+                        int(pos_byte_cum[pos_cum[e]]),
+                    )
+                    for s, e in zip(bstarts, bends)
+                ]
         for b in range(bstarts.size):
             s, e = int(bstarts[b]), int(bends[b])
             out["shard"].append(shard)
@@ -697,10 +712,28 @@ def _make_segment_kernel(block_size: int, store_positions: bool):
             out["doc_id_base"].append(int(ids[s]))
             out["doc_id_max"].append(int(ids[e - 1]))
             out["n_docs"].append(e - s)
-            out["ids_delta"].append(ids_buf[slice(*ids_off[b])])
-            out["tfs"].append(tfs_buf[slice(*tfs_off[b])])
-            out["dls"].append(dls_buf[slice(*dls_off[b])])
-            if store_positions:
+            if bitpack:
+                out["ids_delta"].append(bitpack_encode(gaps[s:e]))
+                out["tfs"].append(
+                    bitpack_encode(tfs[s:e].astype(np.uint64))
+                )
+                out["dls"].append(
+                    bitpack_encode(dls[s:e].astype(np.uint64))
+                )
+            else:
+                out["ids_delta"].append(ids_buf[slice(*ids_off[b])])
+                out["tfs"].append(tfs_buf[slice(*tfs_off[b])])
+                out["dls"].append(dls_buf[slice(*dls_off[b])])
+            if store_positions and bitpack:
+                out["pos_counts"].append(
+                    bitpack_encode(counts[s:e].astype(np.uint64))
+                )
+                out["positions"].append(
+                    bitpack_encode(
+                        deltas[pos_cum[s] : pos_cum[e]].astype(np.uint64)
+                    )
+                )
+            elif store_positions:
                 out["pos_counts"].append(cnt_buf[slice(*cnt_off[b])])
                 out["positions"].append(pos_buf[slice(*pos_off[b])])
             else:

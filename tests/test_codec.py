@@ -65,3 +65,22 @@ def test_varbyte_lengths_slicing():
         assert np.array_equal(
             varbyte_decode(piece), vals[i : i + 1]
         )
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_bitpack_roundtrip(xs):
+    from lucille_spark.codec import bitpack_decode, bitpack_encode
+
+    arr = np.array(xs, dtype=np.uint64)
+    assert (bitpack_decode(bitpack_encode(arr)) == arr).all()
+
+
+def test_bitpack_smaller_on_small_gaps():
+    """The point of the codec: dense-term gap blocks beat varbyte's
+    8-bit-per-value floor."""
+    from lucille_spark.codec import bitpack_encode, varbyte_encode
+
+    rng = np.random.default_rng(3)
+    gaps = rng.integers(0, 8, 128).astype(np.uint64)
+    assert len(bitpack_encode(gaps)) < len(varbyte_encode(gaps)) / 2

@@ -78,7 +78,7 @@ def test_pruned_equals_exhaustive_random(seed, n_docs, n_terms, is_and, k, block
 
     orig = W._build_posting
 
-    def fake_build(rows, want_positions):
+    def fake_build(rows, want_positions, *_decode):
         return Posting(
             ids=np.concatenate(list(rows["_ids"])),
             tfs=np.concatenate(list(rows["_tfs"])),
