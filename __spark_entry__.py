@@ -413,6 +413,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_winnow_pairs"] = winnow_pairs_q
 
+    # ---- line-level dedup (C4/CCNet boilerplate pass): a banner
+    # line appended to 100 docs must vanish; unique lines survive ----
+    def line_dedup_q(s, d):
+        from lucille_spark.ops.dedup import remove_duplicate_lines
+
+        docs = _docs(s, d).select("doc_id", "text").filter(
+            F.col("doc_id") < 150
+        )
+        banner = F.lit("\n(c) boilerplate banner line added everywhere")
+        tainted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") < 100, F.concat(F.col("text"), banner)
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return remove_duplicate_lines(tainted, "doc_id", "text")
+
+    q["pipe_line_dedup"] = line_dedup_q
+
     # ---- end-to-end corpus prep (quality -> langid -> exact dedup);
     # doubled input (like dd_exact) so the dedup leg is exercised ----
     def corpus_prep_q(s, d):
@@ -1119,6 +1138,24 @@ FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint
    AND a.doc_id < b.doc_id
 WHERE a.fingerprint IN (SELECT fingerprint FROM sz)
 GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+    # line-level dedup: parallel-unnest with ordinality, count
+    # distinct docs per non-blank line, rebuild with string_agg
+    # ORDER BY pos. Documents whose lines all vanish drop out.
+    o["pipe_line_dedup"] = """
+WITH tainted AS (
+  SELECT doc_id, CASE WHEN doc_id < 100 THEN text ||
+    chr(10) || '(c) boilerplate banner line added everywhere'
+    ELSE text END AS text
+  FROM documents WHERE doc_id < 150),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+      unnest(range(0, len(string_split(text, chr(10))))) AS pos
+      FROM tainted),
+dup AS (SELECT line FROM l WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup))
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+FROM kept GROUP BY doc_id"""
 
     # corpus prep: same quality/langid formulas as tx_quality /
     # tx_langid over a doubled corpus, filter, dedup by sha256 keep

@@ -276,3 +276,46 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Line-level dedup (the C4/CCNet boilerplate pass): drop every
+    non-blank line that occurs in more than `max_docs` distinct
+    documents (license headers, navigation chrome, generated
+    banners), and reassemble each document's remaining lines in
+    order.
+
+    Scale: one groupBy(line) to count distinct docs (partial agg,
+    uniform-ish keys — a pathologically hot line is just one counter
+    thanks to map-side combine), one anti-join of lines against the
+    duplicated set (broadcastable when small), one groupBy(doc) to
+    reassemble. Order is restored with array_sort over (pos, line)
+    structs — collect_list alone has no order guarantee.
+    -> (doc_id, clean_text), documents whose every line was removed
+    disappear."""
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dup = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("line")
+    )
+    kept = lines.join(dup, "line", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )

@@ -317,3 +317,27 @@ def test_gopher_quality(spark):
     assert not r[2]["passes"] and r[2]["symbol_ratio"] >= 0.1
     assert not r[3]["passes"] and r[3]["ellipsis_frac"] == 1.0
     assert not r[4]["passes"] and r[4]["n_words"] == 0
+
+
+def test_remove_duplicate_lines(spark):
+    """The shared banner line vanishes from every doc, unique lines
+    survive in order, blank lines are never treated as duplicates,
+    and a doc that was ONLY banner disappears."""
+    from lucille_spark.ops.dedup import remove_duplicate_lines
+
+    banner = "(c) mega corp all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (0, f"alpha\n{banner}\nbeta\n\ngamma"),
+            (1, f"{banner}\ndelta"),
+            (2, banner),
+            (3, "epsilon\n\nzeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["clean_text"]
+            for r in remove_duplicate_lines(df, "doc_id", "text").collect()}
+    assert rows[0] == "alpha\nbeta\n\ngamma"
+    assert rows[1] == "delta"
+    assert 2 not in rows
+    assert rows[3] == "epsilon\n\nzeta"
