@@ -3,6 +3,10 @@
 spark-submit --py-files lucille_spark.zip scripts/query.py \
     --index /path/index --query 'title:test AND (pass* OR fail*)' \
     [--k 10] [--executor df|wand] [--meta]
+
+Batched serving (one Spark job for the whole file; high-QPS shape):
+    ... scripts/query.py --index /path/index --batch queries.txt
+where queries.txt has one query per line.
 """
 
 from __future__ import annotations
@@ -15,7 +19,11 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query")
+    ap.add_argument(
+        "--batch", help="file with one query per line; runs ALL of "
+        "them in one job via search_many"
+    )
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--executor", choices=["df", "wand"], default="wand"
@@ -36,6 +44,22 @@ def main():
         if args.executor == "df"
         else WandExecutor(ix)
     )
+    if args.batch:
+        with open(args.batch) as f:
+            qs = {f"q{i}": ln.strip() for i, ln in enumerate(f)
+                  if ln.strip()}
+        t0 = time.time()
+        rows = ex.search_many(qs, k=args.k).collect()
+        secs = time.time() - t0
+        for r in rows:
+            print(r)
+        print(
+            f"# {len(rows)} rows for {len(qs)} queries in {secs:.3f}s "
+            f"({secs * 1000 / max(len(qs), 1):.1f} ms/query)"
+        )
+        return
+    if not args.query:
+        ap.error("--query or --batch required")
     t0 = time.time()
     rows = ex.search(args.query, k=args.k, with_meta=args.meta).collect()
     secs = time.time() - t0
