@@ -193,3 +193,43 @@ def suggest(index, term: str, max_dist: int = 1, n: int = 5) -> DataFrame:
     return index.spark.createDataFrame(
         rows, "suggestion string, dist long, df long"
     )
+
+
+def explain_search(index, query: str) -> dict:
+    """Operational explain: what a query will touch before running
+    it. Driver-side only — plans the query, reports the physical
+    tree shape, term/expansion counts, positional/universe needs,
+    and (when the file-term index is active) how many segment files
+    the scan will open vs the total. The numbers the on-call person
+    wants when a query is slow."""
+    from lucille_spark import plans as P
+    from lucille_spark.pushdown import file_prune_bounds
+
+    node = index.plan(query)
+    counts: dict = {}
+
+    def walk(n) -> None:
+        counts[type(n).__name__] = counts.get(type(n).__name__, 0) + 1
+        if isinstance(n, P.PBool):
+            for c in n.must + n.should + n.must_not:
+                walk(c)
+        elif isinstance(n, (P.PNot, P.PBoost)):
+            walk(n.child)
+
+    walk(node)
+    exact, intervals = file_prune_bounds(node)
+    info = {
+        "plan_nodes": counts,
+        "n_terms": len(P.collect_terms(node)),
+        "n_exact_terms": len(exact),
+        "n_intervals": len(intervals),
+        "needs_positions": P.needs_positions(node),
+        "needs_universe": P.needs_universe(node),
+    }
+    fidx = getattr(index, "_fidx", None)
+    if fidx and "segments" in fidx:
+        ix = fidx["segments"]
+        sel = ix.select(list(exact), list(intervals))
+        info["segment_files_total"] = len(ix.entries)
+        info["segment_files_scanned"] = len(sel)
+    return info

@@ -180,3 +180,17 @@ def test_suggest_did_you_mean(unit_index):
     rows0 = suggest(ix, "import", max_dist=1, n=5).collect()
     assert rows0[0]["suggestion"] == "import" and rows0[0]["dist"] == 0
     assert all(r["dist"] >= rows0[0]["dist"] for r in rows0)
+
+
+def test_explain_search(unit_index):
+    """explain reports plan shape, expansion bounds, and positional/
+    universe needs without running the query."""
+    from lucille_spark.search_features import explain_search
+
+    ix, oracle, stats = unit_index
+    e = explain_search(ix, '"import cats" AND NOT def')
+    assert e["needs_positions"] is True
+    assert e["plan_nodes"].get("PPhrase", 0) == 1
+    assert e["n_exact_terms"] >= 3  # import, cats, def
+    e2 = explain_search(ix, "imp*")
+    assert e2["n_intervals"] >= 1 or e2["n_exact_terms"] >= 1
