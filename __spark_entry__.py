@@ -413,6 +413,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_winnow_pairs"] = winnow_pairs_q
 
+    # ---- benchmark decontamination: docs 5/17/42 "leaked" into the
+    # eval set; every doc sharing an 8-gram with them gets flagged ---
+    def contam_q(s, d):
+        docs = _docs(s, d).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id").isin([5, 17, 42]))
+        # plus partial copies of the leaked docs posing as new
+        # training docs — these must be flagged via shared 8-grams
+        leaks = bench.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.substring("text", 1, 300).alias("text"),
+        )
+        return text.contamination_flags(
+            docs.union(leaks), bench, "doc_id", "text",
+            bench_text_col="text", n=8,
+        )
+
+    q["pipe_contamination"] = contam_q
+
     # ---- line-level dedup (C4/CCNet boilerplate pass): a banner
     # line appended to 100 docs must vanish; unique lines survive ----
     def line_dedup_q(s, d):
@@ -1138,6 +1156,32 @@ FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint
    AND a.doc_id < b.doc_id
 WHERE a.fingerprint IN (SELECT fingerprint FROM sz)
 GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+    # contamination: same 8-gram + md5 hash machinery as tx_winnow;
+    # bench grams = grams of docs 5/17/42
+    o["pipe_contamination"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, 300) FROM documents
+  WHERE doc_id IN (5, 17, 42)),
+pos AS (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+        ORDER BY rp) - 1 AS p
+        FROM (SELECT doc_id, unnest(arr) AS term,
+              unnest(range(1, len(arr) + 1)) AS rp
+              FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                    '[^a-z0-9_]+') AS arr FROM corpus))
+        WHERE term <> ''),
+d AS (SELECT doc_id, list(term ORDER BY p) AS arr FROM pos
+      GROUP BY doc_id HAVING count(*) >= 8),
+g0 AS (SELECT doc_id, arr, unnest(range(0, len(arr) - 8 + 1)) AS gpos
+       FROM d),
+g AS (SELECT doc_id, {_GH} AS h FROM (
+      SELECT doc_id, array_to_string(arr[gpos + 1 : gpos + 8], ' ')
+        AS gram FROM g0)),
+b AS (SELECT DISTINCT h FROM g WHERE doc_id IN (5, 17, 42))
+SELECT g.doc_id, count(DISTINCT g.h) AS n_contaminated_grams
+FROM g JOIN b USING (h) GROUP BY g.doc_id"""
 
     # line-level dedup: parallel-unnest with ordinality, count
     # distinct docs per non-blank line, rebuild with string_agg

@@ -338,3 +338,47 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (m["stop_hits"] >= 2)
     )
     return m.withColumn("passes", passes)
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one token n-gram with the evaluation/benchmark
+    set (the standard leakage test before training). The benchmark's
+    distinct gram hashes are a SMALL set -> broadcast; the corpus
+    side is one scan + explode, so the full corpus is never
+    shuffled. The portable md5 gram hash keeps Spark and DuckDB
+    bit-identical. -> (doc_id, n_contaminated_grams) for flagged
+    docs only."""
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+
+    def grams(df: DataFrame, idc, txtc) -> DataFrame:
+        t = df.select(
+            F.col(idc).cast("long").alias("doc_id"),
+            tokenize_expr(txtc).alias("toks"),
+        ).filter(F.size("toks") >= n)
+        g = t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        h = F.expr(TOKEN_HASH_SPARK.format(tok="gram"))
+        return g.select("doc_id", h.alias("h"))
+
+    bgrams = grams(bench, id_col, bench_text_col).select("h").distinct()
+    dgrams = grams(docs, id_col, text_col)
+    return (
+        dgrams.join(F.broadcast(bgrams), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_contaminated_grams"))
+    )

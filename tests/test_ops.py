@@ -341,3 +341,25 @@ def test_remove_duplicate_lines(spark):
     assert rows[1] == "delta"
     assert 2 not in rows
     assert rows[3] == "epsilon\n\nzeta"
+
+
+def test_contamination_flags(spark):
+    """A doc containing a benchmark 8-gram is flagged; unrelated
+    docs are not; flag count equals shared distinct grams."""
+    from lucille_spark.ops.text import contamination_flags
+
+    bench_text = ("question one two three four five six seven eight "
+                  "answer alpha beta gamma delta epsilon zeta eta theta")
+    leak = "prefix words " + bench_text[:60] + " suffix tail"
+    clean = "totally unrelated content about ducks and spark executors " * 2
+    docs = spark.createDataFrame(
+        [(0, leak), (1, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(99, bench_text)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["n_contaminated_grams"]
+            for r in contamination_flags(
+                docs, bench, "doc_id", "text", n=8).collect()}
+    assert 0 in rows and rows[0] >= 1
+    assert 1 not in rows
