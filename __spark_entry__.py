@@ -413,6 +413,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_winnow_pairs"] = winnow_pairs_q
 
+    # ---- PII scrubbing: synth emails/IPs/phones appended per doc,
+    # must redact byte-identically to the SQL twin ------------------
+    def pii_q(s, d):
+        from lucille_spark.ops.text import pii_scrub
+
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 or +1 (555) 123-4567 ok"),
+            ).alias("text"),
+        )
+        return pii_scrub(docs, "doc_id", "text")
+
+    q["pipe_pii_scrub"] = pii_q
+
     # ---- benchmark decontamination: docs 5/17/42 "leaked" into the
     # eval set; every doc sharing an 8-gram with them gets flagged ---
     def contam_q(s, d):
@@ -1156,6 +1176,25 @@ FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint
    AND a.doc_id < b.doc_id
 WHERE a.fingerprint IN (SELECT fingerprint FROM sz)
 GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+    # PII scrub: identical pattern strings, RE2 side; counts via
+    # regexp_extract_all length
+    from lucille_spark.ops.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    o["pipe_pii_scrub"] = f"""
+WITH t AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+  (doc_id % 256) || '.7 or +1 (555) 123-4567 ok' AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,
+  len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_IPV4}', '<IP>', 'g'),
+    '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM t"""
 
     # contamination: same 8-gram + md5 hash machinery as tx_winnow;
     # bench grams = grams of docs 5/17/42

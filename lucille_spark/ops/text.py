@@ -382,3 +382,35 @@ def contamination_flags(
         .groupBy("doc_id")
         .agg(F.count_distinct("h").alias("n_contaminated_grams"))
     )
+
+
+# PII patterns kept lookahead-free and class-only so the SAME strings
+# run identically under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE = "\\+[0-9][0-9() .-]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction for training corpora: replace emails, IPv4
+    addresses and international-format phone numbers with typed
+    placeholder tokens, and report per-document match counts.
+    Order is fixed (email -> ip -> phone) and the patterns are
+    deliberately conservative/lookahead-free so Spark and DuckDB
+    produce byte-identical output (hash-gated). Pure regexp
+    expressions in whole-stage codegen — one projection, no shuffle.
+    -> (doc_id, n_emails, n_ips, n_phones, clean_text)."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ips = F.regexp_count(t, F.lit(PII_IPV4))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE))
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

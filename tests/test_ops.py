@@ -363,3 +363,23 @@ def test_contamination_flags(spark):
                 docs, bench, "doc_id", "text", n=8).collect()}
     assert 0 in rows and rows[0] >= 1
     assert 1 not in rows
+
+
+def test_pii_scrub(spark):
+    from lucille_spark.ops.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x-y.co.uk or j@k.io, ip 10.0.255.1,"
+                " call +1 (555) 123-4567"),
+            (1, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_ips"] == 1
+    assert rows[0]["n_phones"] == 1
+    assert "<EMAIL>" in rows[0]["clean_text"]
+    assert "@" not in rows[0]["clean_text"]
+    assert rows[1]["clean_text"] == "no pii here at all"
+    assert rows[1]["n_emails"] == 0
