@@ -223,6 +223,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "table AND (batch OR window) AND NOT stream"
     )
 
+    # ---- query-time synonym expansion (query-expansion OR
+    # semantics — the rewrite is exactly equivalent to typing the
+    # disjunction, so the oracle is the expanded boolean) -----------
+    def synonym_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import expand_synonyms
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        q_ast = expand_synonyms(
+            "fast AND table", {"table": ["row", "column"]}
+        )
+        out = ex.search(q_ast, k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_synonym"] = synonym_q
+    q["wand_synonym"] = lambda s, d: synonym_q(s, d, wand=True)
+
     # ---- dedup ----------------------------------------------------
     def exact_dup(s, d):
         doc = _docs(s, d)
@@ -291,6 +310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_winnow"] = lambda s, d: text.winnow_fingerprints(
         _docs(s, d).filter(F.col("doc_id") < 120), "doc_id", "text",
         k=5, window=4,
+    )
+    q["tx_repetition"] = lambda s, d: text.repetition_stats(
+        _docs(s, d), "doc_id", "text"
     )
 
     # ---- search-UI features: facets over the FULL match set and
@@ -483,6 +505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_corpus_prep"] = corpus_prep_q
 
+    # ---- deterministic stratified sampling (training-data mixing):
+    # per-language keep rates over the md5 bucket of (doc_id, salt);
+    # identical selection in any engine, monotone in the rate --------
+    q["pipe_sample"] = lambda s, d: text.stratified_sample(
+        _docs(s, d),
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.0},
+        id_col="doc_id",
+        default_rate=0.0,
+        salt="mix1",
+    ).select("doc_id", "lang")
+
     # ---- embedding-cosine near-dup: union a x2-scaled copy (scaling
     # preserves cosine EXACTLY and x2 is float-exact), SRP-bucketed
     # candidate join, exact cosine verify --------------------------
@@ -653,6 +687,22 @@ SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     )
     o["wand_or"] = o["ft_or"]
+
+    # synonym expansion: `fast AND table` with table -> {row, column}
+    # is exactly `fast AND (table OR row OR column)` (query-expansion
+    # semantics — each synonym scores as its own BM25 term)
+    o["ft_synonym"] = (
+        _cte(["fast", "table", "row", "column"])
+        + """
+, agg AS (SELECT doc_id,
+    sum(CASE WHEN term = 'fast' THEN s END) AS s_must,
+    sum(CASE WHEN term <> 'fast' THEN s END) AS s_syn
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s_must + s_syn, 4) AS score FROM agg
+WHERE s_must IS NOT NULL AND s_syn IS NOT NULL
+ORDER BY (s_must + s_syn) DESC, doc_id LIMIT 10"""
+    )
+    o["wand_synonym"] = o["ft_synonym"]
 
     o["ft_and_not"] = (
         _cte(["window"])
@@ -1058,6 +1108,48 @@ win AS (SELECT doc_id, pos,
 SELECT DISTINCT doc_id, fp AS fingerprint FROM win
 WHERE pos <= maxp - 3"""
 
+    # repetition signals: top 2/3-gram char coverage + 5-gram repeat
+    # fraction — same definitions as ops/text.repetition_stats (top
+    # gram ties broken by lexicographically smallest gram; denominator
+    # = total token chars; <n tokens -> 0)
+    o["tx_repetition"] = f"""
+WITH pos AS ({_POS}),
+la AS (SELECT doc_id, list(term ORDER BY p) AS a FROM pos
+       GROUP BY doc_id),
+d0 AS (SELECT d.doc_id, coalesce(la.a, cast([] as varchar[])) AS a
+       FROM documents d LEFT JOIN la USING (doc_id)),
+wc AS (SELECT doc_id,
+       coalesce(list_aggregate(list_transform(a, x -> length(x)),
+                               'sum'), 0) AS wchars FROM d0),
+g2 AS (SELECT doc_id, 2 AS n, a,
+       unnest(range(0, greatest(len(a) - 1, 0))) AS i FROM d0),
+g3 AS (SELECT doc_id, 3 AS n, a,
+       unnest(range(0, greatest(len(a) - 2, 0))) AS i FROM d0),
+gg AS (SELECT doc_id, n, array_to_string(a[i + 1 : i + n], ' ') AS gram
+       FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM gg
+        GROUP BY doc_id, n, gram),
+top AS (SELECT doc_id, n, c * (length(gram) - (n - 1)) AS num,
+        row_number() OVER (PARTITION BY doc_id, n
+                           ORDER BY c DESC, gram ASC) AS rn FROM cnt),
+wide AS (SELECT doc_id,
+         max(CASE WHEN n = 2 THEN num END) AS num2,
+         max(CASE WHEN n = 3 THEN num END) AS num3
+         FROM top WHERE rn = 1 GROUP BY doc_id),
+g5 AS (SELECT doc_id,
+       list_transform(range(0, greatest(len(a) - 4, 0)),
+                      i -> array_to_string(a[i + 1 : i + 5], ' ')) AS gs
+       FROM d0)
+SELECT w.doc_id,
+  round(CASE WHEN w.wchars > 0 AND num2 IS NOT NULL
+        THEN num2 * 1.0 / w.wchars ELSE 0.0 END, 6) AS top2_frac,
+  round(CASE WHEN w.wchars > 0 AND num3 IS NOT NULL
+        THEN num3 * 1.0 / w.wchars ELSE 0.0 END, 6) AS top3_frac,
+  round(CASE WHEN len(g5.gs) > 0
+        THEN 1.0 - len(list_distinct(g5.gs)) * 1.0 / len(g5.gs)
+        ELSE 0.0 END, 6) AS dup5_frac
+FROM wc w LEFT JOIN wide USING (doc_id) JOIN g5 USING (doc_id)"""
+
     # facets: full OR-match set scored per doc, joined to lang,
     # bucket counts + max score
     o["ft_facets"] = (
@@ -1275,6 +1367,18 @@ SELECT min(doc_id) AS doc_id, min(lang_pred) AS lang_pred,
        count(*) AS n_dups
 FROM sc WHERE quality >= 0.5 AND lang_pred IN ('en', 'de', 'fr', 'es')
 GROUP BY sha256(text)"""
+
+    # stratified sampling: same md5 bucket of "<doc_id>:mix1" and the
+    # same per-language thresholds as queries()["pipe_sample"]
+    _sb = (
+        "(cast(('0x' || substring(md5(concat(cast(doc_id as varchar), "
+        f"':mix1')), 1, 8)) as bigint) % {M31}) % 1000000"
+    )
+    o["pipe_sample"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, {_sb} AS b FROM documents)
+WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+  WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000 ELSE 0 END"""
 
     # embedding near-dup: same SRP planes as the engine (seed 11,
     # 6 bits); the x2-scaled union copy keeps cosine exact (see

@@ -414,3 +414,159 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_phones.cast("long").alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+def _grams_expr(toks, n: int):
+    """Array of space-joined word n-grams of `toks` (empty array when
+    the doc has fewer than n tokens). Pure expression; per-row cost is
+    linear in token count (one slice+join per position)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 appendix A1,
+    public): fraction of word characters covered by the most frequent
+    word 2-gram / 3-gram, and the fraction of 5-gram occurrences that
+    are repeats. High values flag boilerplate / generated text for
+    training-data filtering.
+
+    Definitions (documented; the DuckDB oracle implements the same):
+      * top-N-gram numerator = occurrences(top gram) * member-token
+        chars of that gram (gram string length minus N-1 separators);
+        ties broken by lexicographically smallest gram.
+      * denominator = total token characters of the doc (analyzer
+        tokens, not raw text — consistent with the shared analyzer).
+      * dup5_frac = 1 - distinct(5-grams)/count(5-grams); 0 when the
+        doc has fewer than 5 tokens.
+
+    Plan shape (100 TB-safe): ONE tokenize scan; the 5-gram repeat
+    fraction is in-row (array_distinct, no shuffle); the 2/3-gram mode
+    is explode -> groupBy(doc_id, n, gram) -> groupBy(doc_id, n), both
+    partial-aggregated and keyed by doc_id so hot grams cannot skew a
+    reducer; final join is keyed by doc_id.
+    -> (doc_id, top2_frac, top3_frac, dup5_frac), rounded to 6.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_expr(text_col).alias("toks"),
+    )
+    inrow = base.select(
+        "doc_id",
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("wchars"),
+        _grams_expr(F.col("toks"), 5).alias("g5"),
+        _grams_expr(F.col("toks"), 2).alias("g2"),
+        _grams_expr(F.col("toks"), 3).alias("g3"),
+    )
+    scalars = inrow.select(
+        "doc_id",
+        "wchars",
+        F.when(
+            F.size("g5") > 0,
+            1.0 - F.size(F.array_distinct("g5")) / F.size("g5"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup5_frac"),
+    )
+    ng = inrow.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "g2",
+                    lambda g: F.struct(
+                        F.lit(2).alias("n"), g.alias("gram")
+                    ),
+                ),
+                F.transform(
+                    "g3",
+                    lambda g: F.struct(
+                        F.lit(3).alias("n"), g.alias("gram")
+                    ),
+                ),
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+    cnt = ng.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    tops = (
+        cnt.groupBy("doc_id", "n")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("negc"),
+                    F.col("gram").alias("gram"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "doc_id",
+            "n",
+            (-F.col("t.negc")).alias("c"),
+            (F.length("t.gram") - (F.col("n") - 1)).alias("glen"),
+        )
+    )
+    wide = tops.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c") * F.col("glen"))).alias(
+            "num2"
+        ),
+        F.max(F.when(F.col("n") == 3, F.col("c") * F.col("glen"))).alias(
+            "num3"
+        ),
+    )
+
+    def _frac(num):
+        return F.round(
+            F.when(
+                (F.col("wchars") > 0) & num.isNotNull(),
+                num / F.col("wchars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return scalars.join(wide, "doc_id", "left").select(
+        "doc_id",
+        _frac(F.col("num2")).alias("top2_frac"),
+        _frac(F.col("num3")).alias("top3_frac"),
+        F.round("dup5_frac", 6).alias("dup5_frac"),
+    )
+
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing:
+    keep a row iff md5-bucket(id, salt) < rate(stratum) * 1e6. The
+    bucket is the shared portable hash (ops/hashing.py) over
+    "<id>:<salt>", so the SAME document set is selected on every run,
+    every engine (no RNG, no Spark-version dependence), and rates are
+    monotone: raising a stratum's rate only ADDS documents — the
+    property that lets a 100 TB corpus be re-mixed incrementally.
+    Pure filter on the scan (whole-stage codegen, no shuffle, no UDF);
+    at scale it composes with partition pruning when `strata_col` is
+    a partition key. -> input rows filtered, unchanged schema.
+    """
+    hexpr = TOKEN_HASH_SPARK.format(
+        tok=f"concat(cast({id_col} as string), ':{salt}')"
+    )
+    bucket = F.expr(hexpr) % SAMPLE_BUCKETS
+    thr = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
+    for s, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == s, F.lit(int(round(r * SAMPLE_BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)

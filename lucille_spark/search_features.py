@@ -233,3 +233,37 @@ def explain_search(index, query: str) -> dict:
         info["segment_files_total"] = len(ix.entries)
         info["segment_files_scanned"] = len(sel)
     return info
+
+
+def expand_synonyms(query, synonyms: dict):
+    """Query-time synonym expansion: rewrite every Term whose text has
+    an entry in `synonyms` into a parenthesized disjunction of the
+    term and its synonyms — ``table`` with {"table": ["row"]} becomes
+    ``(table OR row)`` — then return the rewritten AST (feed it to
+    either executor's search(); SparkIndex.plan accepts ASTs).
+
+    Semantics are documented as QUERY-EXPANSION (each synonym scores
+    as its own BM25 term inside an OR), not Lucene SynonymQuery's
+    blended-df single-term scoring — the expansion is therefore
+    exactly equivalent to the user having typed the disjunction, and
+    shares the OR oracle. Rewrite happens on the AST via traverse_q
+    (reference Query.scala:40 — the traversal the reference ships for
+    exactly this kind of leaf rewriting); Phrase/Prefix/Field terms
+    are left untouched.
+    """
+    from lucille_spark import ast
+    from lucille_spark.parser import parse
+
+    if isinstance(query, str):
+        query = parse(query)
+
+    def rw(leaf):
+        if isinstance(leaf, ast.Term):
+            alts = synonyms.get(leaf.value)
+            if alts:
+                return ast.Group(
+                    ast.Or((leaf,) + tuple(ast.Term(a) for a in alts))
+                )
+        return leaf
+
+    return query.traverse_q(rw)

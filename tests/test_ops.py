@@ -383,3 +383,104 @@ def test_pii_scrub(spark):
     assert "@" not in rows[0]["clean_text"]
     assert rows[1]["clean_text"] == "no pii here at all"
     assert rows[1]["n_emails"] == 0
+
+
+def test_repetition_stats(spark):
+    """Hand-computed Gopher repetition signals: top-gram coverage uses
+    member-token chars over total token chars with lexicographic
+    tie-break; dup5 is the repeated-5-gram occurrence fraction; docs
+    with < n tokens score 0."""
+    from lucille_spark.ops.text import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d e a b c d e a b c d e",  # 3x cycle of 5
+                "x y z w v u t s",                # all grams distinct
+                "q",                               # 1 token: no grams
+                "",                                # empty
+            ],
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(pdf), "doc_id", "text"
+        ).collect()
+    }
+    # doc0: 15 token chars; 2-grams: 'a b','b c','c d','d e' each x3,
+    # 'e a' x2 -> tie at 3 broken to 'a b' -> 3*2/15 = 0.4;
+    # 3-grams: 'a b c' x3 (lexicographic smallest of the x3 ties)
+    # -> 3*3/15 = 0.6; 5-grams: 11 occurrences of 5 distinct grams
+    # -> dup5 = 1 - 5/11.
+    assert rows[0]["top2_frac"] == 0.4
+    assert rows[0]["top3_frac"] == 0.6
+    assert rows[0]["dup5_frac"] == round(1 - 5 / 11, 6)
+    # doc1: every gram unique: top2 = 2/8, top3 = 3/8, dup5 = 0
+    assert rows[1]["top2_frac"] == 0.25
+    assert rows[1]["top3_frac"] == 0.375
+    assert rows[1]["dup5_frac"] == 0.0
+    for d in (2, 3):
+        assert (
+            rows[d]["top2_frac"]
+            == rows[d]["top3_frac"]
+            == rows[d]["dup5_frac"]
+            == 0.0
+        )
+
+
+def test_stratified_sample(spark):
+    """Deterministic across runs, exactly reproducible from the
+    portable md5 hash, rate 1.0 keeps everything, rate 0.0 drops the
+    stratum, and raising a rate only ADDS documents (monotone —
+    incremental re-mixing safety)."""
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.ops.text import stratified_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "lang": ["en", "de"] * 100,
+            "text": "t",
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def ids(rates):
+        return sorted(
+            r["doc_id"]
+            for r in stratified_sample(df, "lang", rates).collect()
+        )
+
+    half = ids({"en": 0.5, "de": 1.0})
+    assert half == ids({"en": 0.5, "de": 1.0})  # deterministic
+    assert len([i for i in half if i % 2 == 1]) == 100  # de kept whole
+    assert ids({"en": 0.0, "de": 0.0}) == []
+    assert set(half) <= set(ids({"en": 0.9, "de": 1.0}))  # monotone
+    # exact python-side reproduction of the selection
+    expect = [
+        i
+        for i in range(200)
+        if i % 2 == 1 or token_hash_py(f"{i}:mix1") % 1_000_000 < 500_000
+    ]
+    assert half == expect
+
+
+def test_expand_synonyms_ast():
+    """Synonym rewrite = the user typing the disjunction: Terms with
+    an entry become (term OR syn...); phrases, prefixes and other
+    leaves are untouched; nesting is preserved."""
+    from lucille_spark.parser import parse
+    from lucille_spark.search_features import expand_synonyms
+
+    syn = {"table": ["row", "column"], "fast": ["quick"]}
+    assert expand_synonyms("fast AND table", syn) == parse(
+        "(fast OR quick) AND (table OR row OR column)"
+    )
+    # untouched leaf kinds + Field nesting
+    assert expand_synonyms('"fast table"', syn) == parse('"fast table"')
+    assert expand_synonyms("tab*", syn) == parse("tab*")
+    assert expand_synonyms("lang:(fast OR slow)", syn) == parse(
+        "lang:((fast OR quick) OR slow)"
+    )
