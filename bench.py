@@ -51,6 +51,15 @@ def main():
     from pyspark.sql import SparkSession
 
     t_start = time.time()
+    # This Firecracker VM delivers ~6-10 cores of effective parallel
+    # capacity; >=24 concurrent mmap-heavy tasks trigger kernel-time
+    # collapse (IPI/TLB shootdowns — measured 88% sys time, see
+    # BENCH/BASELINE.md §3). task.cpus=2 halves in-flight tasks while
+    # honoring the mandated local[N] master: measured 558 -> 2,307
+    # files/s on the identical 80k build at local[32]. On a real
+    # multi-executor cluster this knob is per-executor task sizing —
+    # standard practice for memory-bandwidth-bound stages.
+    task_cpus = 2 if CPUS >= 24 else 1
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("lucille-bench")
@@ -60,6 +69,7 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.local.dir", f"{SCRATCH}/spark_local")
+        .config("spark.task.cpus", str(task_cpus))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
