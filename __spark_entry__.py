@@ -84,6 +84,70 @@ def _search_wand(spark, sf_dir, q, k=10):
 
 
 # --------------------------------------------------------------------
+# code-analyzer index: documents deterministically transformed into a
+# code-looking corpus (each token t -> 'my' + Capitalized(t), joined
+# with '_': "spark batch" -> "mySpark_myBatch"), indexed with
+# analyzer="code" (camelCase/snake_case subtoken splitting —
+# lucille_spark/analysis.py). The oracle applies the SAME transform
+# and the SAME code-tokenize rule in DuckDB SQL, end to end.
+# --------------------------------------------------------------------
+
+
+def _code_index_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.analysis import tokenize_expr
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "code:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"code_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir)
+        code_text = F.array_join(
+            F.transform(
+                tokenize_expr("text"),
+                lambda t: F.concat(
+                    F.lit("my"),
+                    F.upper(t.substr(F.lit(1), F.lit(1))),
+                    t.substr(F.lit(2), F.length(t)),
+                ),
+            ),
+            "_",
+        )
+        code_docs = docs.select(
+            "doc_id", code_text.alias("text"), "lang", "source"
+        )
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="code"
+        ).build(
+            code_docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _search_code(spark, sf_dir, q, k=10, wand=False):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix = _code_index_for(spark, sf_dir)
+    ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+    out = ex.search(q, k=k)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------
 
@@ -154,6 +218,62 @@ def _const_score_sql(match_subquery: str, k: int = 10) -> str:
     )
 
 
+# ---- code-analyzer oracle fragments (twin of _code_index_for):
+# the SAME corpus transform (token t -> 'my' + Capitalized(t),
+# '_'-joined) and the SAME code-tokenize rule
+# (analysis.CODE_TOKENIZE_SQL_DUCKDB), end to end in SQL.
+
+_CODE_DOCS = (
+    "SELECT doc_id, array_to_string(list_transform("
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
+    "t -> t <> ''), t -> 'my' || upper(t[1]) || t[2:]), '_') AS text "
+    "FROM documents"
+)
+
+
+def _code_tok() -> str:
+    from lucille_spark.analysis import CODE_TOKENIZE_SQL_DUCKDB
+
+    return (
+        "SELECT doc_id, "
+        + CODE_TOKENIZE_SQL_DUCKDB.format(col="text")
+        + " AS term FROM code_docs"
+    )
+
+
+_CODE_DL = (
+    "SELECT d.doc_id, count(t.term) AS dl FROM code_docs d "
+    "LEFT JOIN ctok t ON d.doc_id = t.doc_id GROUP BY d.doc_id"
+)
+
+_CODE_POS = (
+    "SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY rp) - 1 AS p FROM (SELECT doc_id, unnest(arr) AS term, "
+    "unnest(range(1, len(arr) + 1)) AS rp FROM (SELECT doc_id, "
+    "regexp_split_to_array(lower(regexp_replace(regexp_replace(text, "
+    "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), '([A-Z]+)([A-Z][a-z])', "
+    "'\\1 \\2', 'g')), '[^a-z0-9]+') AS arr FROM code_docs)) "
+    "WHERE term <> ''"
+)
+
+
+def _code_cte(terms) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH code_docs AS ({_CODE_DOCS}),
+ctok AS ({_code_tok()}),
+dl AS ({_CODE_DL}),
+st AS ({_ST}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ctok
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+"""
+
+
 # --------------------------------------------------------------------
 # queries + oracles
 # --------------------------------------------------------------------
@@ -221,6 +341,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_boost"] = lambda s, d: _search_wand(s, d, "batch^3 OR window^0.5")
     q["wand_complex"] = lambda s, d: _search_wand(
         s, d, "table AND (batch OR window) AND NOT stream"
+    )
+
+    # ---- code analyzer (camelCase/snake_case subtoken splitting):
+    # index built with analyzer="code" over the deterministically
+    # camelCased corpus; stats.json routes query-time analysis.
+    # ft_code/wand_code: plain subtoken term. ft_code_camel: the
+    # QUERY text itself is camelCase ("mySpark") and is analyzed
+    # into the subtoken phrase [my, spark] by the index's analyzer.
+    q["ft_code"] = lambda s, d: _search_code(s, d, "spark")
+    q["wand_code"] = lambda s, d: _search_code(s, d, "spark", wand=True)
+    q["ft_code_camel"] = lambda s, d: _search_code(s, d, "mySpark")
+    q["wand_code_camel"] = lambda s, d: _search_code(
+        s, d, "mySpark", wand=True
     )
 
     # ---- query-time synonym expansion (query-expansion OR
@@ -669,6 +802,39 @@ def oracle_sql() -> dict[str, str]:
 
     o["ft_term"] = topk_term("spark")
     o["ft_term_rare"] = topk_term("dup")
+
+    # code analyzer: BM25 over the code-tokenized camelCased corpus
+    # (dl doubles, df/tf of subtokens survive the transform — all
+    # derived in SQL from the transform + code-tokenize, not assumed)
+    o["ft_code"] = (
+        _code_cte(["spark"])
+        + "SELECT doc_id, round(s, 4) AS score FROM sc "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    o["wand_code"] = o["ft_code"]
+
+    # camelCase QUERY "mySpark" -> subtoken phrase [my, spark]:
+    # positional adjacency over code tokens; pseudo-df = min member
+    # dfs (plans.PPhrase contract)
+    o["ft_code_camel"] = f"""
+WITH code_docs AS ({_CODE_DOCS}),
+ctok AS ({_code_tok()}),
+dl AS ({_CODE_DL}),
+st AS ({_ST}),
+pos AS ({_CODE_POS}),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM ctok WHERE term = 'my'),
+  (SELECT count(DISTINCT doc_id) FROM ctok WHERE term = 'spark')) AS df),
+ph AS (SELECT a.doc_id, count(DISTINCT a.p) AS tfp
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'my' AND b.term = 'spark' GROUP BY a.doc_id),
+scp AS (SELECT ph.doc_id,
+        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * ph.tfp /
+        (ph.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM scp
+ORDER BY s DESC, doc_id LIMIT 10"""
+    o["wand_code_camel"] = o["ft_code_camel"]
 
     o["ft_and"] = (
         _cte(["batch", "window", "spark"])

@@ -93,3 +93,92 @@ def make_tokenize_udf():
         return s.str.lower().str.findall(_TOKEN_RE)
 
     return _tok
+
+
+# ------------------------------------------------------------------
+# code-aware analyzer ("code"): identifier subtoken splitting
+# ------------------------------------------------------------------
+# Lucene's WordDelimiterGraphFilter idea (public), fixed to ONE
+# deterministic rule so Python / Spark SQL / DuckDB SQL can never
+# drift:
+#   1. insert a space at lower/digit -> Upper boundaries
+#      (fooBar2Baz -> fooBar2 Baz ... applied globally: foo Bar2 Baz)
+#   2. insert a space at ALLCAPS -> Camel boundaries
+#      (HTTPServer -> HTTP Server)
+#   3. lowercase, then tokens = maximal runs of [a-z0-9]
+#      (underscore SPLITS here, unlike the standard analyzer —
+#      snake_case identifiers become their parts)
+# The three regex dialects (Python re, Java, RE2) agree on these
+# patterns: no lookarounds, plain capture groups.
+
+CAMEL_BOUNDARY_1 = "([a-z0-9])([A-Z])"
+CAMEL_BOUNDARY_2 = "([A-Z]+)([A-Z][a-z])"
+CODE_SPLIT_PATTERN = "[^a-zA-Z0-9]+"
+
+_CAMEL_RE_1 = re.compile(CAMEL_BOUNDARY_1)
+_CAMEL_RE_2 = re.compile(CAMEL_BOUNDARY_2)
+_CODE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# DuckDB fragment over a string column `{col}` -> one row per subtoken
+CODE_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array(lower(regexp_replace("
+    "regexp_replace({col}, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+    "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[^a-z0-9]+'), "
+    "t -> t <> ''))"
+)
+
+
+def code_tokenize(text: str) -> List[str]:
+    """Pure-Python code analyzer (rule above)."""
+    s = _CAMEL_RE_1.sub(r"\1 \2", text)
+    s = _CAMEL_RE_2.sub(r"\1 \2", s)
+    return _CODE_TOKEN_RE.findall(s.lower())
+
+
+def code_tokenize_expr(col: str):
+    """Spark Column of array<string>: the code analyzer as built-in
+    JVM expressions (regexp_replace uses $1-style group refs)."""
+    from pyspark.sql import functions as F
+
+    s = F.regexp_replace(F.col(col), CAMEL_BOUNDARY_1, "$1 $2")
+    s = F.regexp_replace(s, CAMEL_BOUNDARY_2, "$1 $2")
+    return F.array_remove(F.split(F.lower(s), CODE_SPLIT_PATTERN), "")
+
+
+# analyzer registry: the single source of truth for both the
+# driver-side (query analysis, oracles) and the vectorized kernel
+# paths. stats.json records the name; readers resolve through here.
+ANALYZERS = {"standard": tokenize, "code": code_tokenize}
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}"
+        )
+
+
+def pandas_token_lists(series, analyzer: str = "standard"):
+    """Vectorized pandas token lists under the named analyzer — the
+    index-build kernel path (Arrow-batched; no per-row Python)."""
+    if analyzer == "standard":
+        return series.str.lower().str.findall(_TOKEN_RE)
+    if analyzer == "code":
+        s = series.str.replace(_CAMEL_RE_1, r"\1 \2", regex=True)
+        s = s.str.replace(_CAMEL_RE_2, r"\1 \2", regex=True)
+        return s.str.lower().str.findall(_CODE_TOKEN_RE)
+    raise ValueError(f"unknown analyzer {analyzer!r}")
+
+
+def pandas_token_counts(series, analyzer: str = "standard"):
+    """Vectorized token counts under the named analyzer (doclens
+    kernel; avoids materializing the token lists)."""
+    if analyzer == "standard":
+        return series.str.count(_TOKEN_RE)
+    if analyzer == "code":
+        s = series.str.replace(_CAMEL_RE_1, r"\1 \2", regex=True)
+        s = s.str.replace(_CAMEL_RE_2, r"\1 \2", regex=True)
+        return s.str.lower().str.count(_CODE_TOKEN_RE)
+    raise ValueError(f"unknown analyzer {analyzer!r}")

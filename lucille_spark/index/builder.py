@@ -139,6 +139,11 @@ class BuildConfig:
     # PackedInts family; ~2-3x smaller for dense terms whose gaps fit
     # in 2-3 bits). Readers dispatch on stats.json's "codec".
     codec: str = "varbyte"
+    # text analyzer: "standard" (identifier-preserving, [a-z0-9_]+
+    # runs) or "code" (camelCase/ALLCAPS/snake_case subtoken
+    # splitting — analysis.code_tokenize). Recorded in stats.json;
+    # readers resolve query-time analysis through the same registry.
+    analyzer: str = "standard"
     dict_partitions: int = 8
     # split each task's term-sorted output into term-contiguous files
     # so the per-file (term_min, term_max) index can prune whole files
@@ -287,7 +292,8 @@ class IndexBuilder:
                     )
                     .sortWithinPartitions("doc_id")
                     .mapInPandas(
-                        _make_doclens_kernel(meta_cols), schema=dl_schema
+                        _make_doclens_kernel(meta_cols, cfg.analyzer),
+                        schema=dl_schema,
                     )
                     .write.mode("overwrite")
                     .partitionBy("shard")
@@ -301,7 +307,9 @@ class IndexBuilder:
                 t0 = time.time()
                 flat = base.select(
                     "shard", "doc_id", F.col(content_col).alias("content")
-                ).mapInPandas(_postings_kernel, schema=FLAT_SCHEMA)
+                ).mapInPandas(
+                    _make_postings_kernel(cfg.analyzer), schema=FLAT_SCHEMA
+                )
                 # NOT partitionBy(shard): the dynamic-partition writer
                 # costs ~40% of this stage, and nothing filters flat
                 # by shard — term pushdown uses row-group min/max
@@ -370,6 +378,7 @@ class IndexBuilder:
                 "num_shards": cfg.num_shards,
                 "block_size": cfg.block_size,
                 "codec": cfg.codec,
+                "analyzer": cfg.analyzer,
                 "meta_cols": meta_cols,
                 "shard_span": max(
                     1, math.ceil(int(row["n"]) / cfg.num_shards)
@@ -531,23 +540,24 @@ def _assign_term_ids(
     )
 
 
-def _make_doclens_kernel(meta_cols: Sequence[str]):
+def _make_doclens_kernel(meta_cols: Sequence[str], analyzer: str = "standard"):
     """mapInPandas kernel for the doclens table: vectorized token
     count (str.count of the analyzer regex — identical to
-    len(tokenize(content))) + sha256 (hashlib; equals Spark
-    sha2(content, 256) and DuckDB sha256 on the UTF-8 bytes)."""
+    len(tokenize(content)) under the configured analyzer) + sha256
+    (hashlib; equals Spark sha2(content, 256) and DuckDB sha256 on
+    the UTF-8 bytes)."""
     import hashlib
 
-    from lucille_spark.analysis import _TOKEN_RE
+    from lucille_spark.analysis import pandas_token_counts
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             out = pdf[["shard", "doc_id"]].copy()
-            out["doc_len"] = (
-                pdf["content"].str.count(_TOKEN_RE).astype("int32")
-            )
+            out["doc_len"] = pandas_token_counts(
+                pdf["content"], analyzer
+            ).astype("int32")
             out["content_sha256"] = [
                 hashlib.sha256(c.encode("utf-8")).hexdigest()
                 for c in pdf["content"]
@@ -562,20 +572,27 @@ def _make_doclens_kernel(meta_cols: Sequence[str]):
     return kernel
 
 
-def _postings_kernel(batches):
-    """mapInPandas kernel: (shard, doc_id, content) rows -> flat
-    posting rows (shard, term, doc_id, doc_len, tf, positions).
-    Tokenization (vectorized pandas str.findall — the same analyzer
-    rule as analysis.tokenize) + numpy postings: flatten token
-    lists, lexsort by (doc, term), group-boundary detection,
+def _make_postings_kernel(analyzer: str = "standard"):
+    """mapInPandas kernel factory: (shard, doc_id, content) rows ->
+    flat posting rows (shard, term, doc_id, doc_len, tf, positions).
+    Tokenization (vectorized pandas str ops — the same analyzer rule
+    as analysis.get_analyzer(analyzer)) + numpy postings: flatten
+    token lists, lexsort by (doc, term), group-boundary detection,
     np.split for position lists. No shuffle — postings are a
     per-document computation."""
-    from lucille_spark.analysis import _TOKEN_RE
+    from lucille_spark.analysis import pandas_token_lists
 
+    def kernel(batches):
+        yield from _postings_batches(batches, analyzer, pandas_token_lists)
+
+    return kernel
+
+
+def _postings_batches(batches, analyzer, pandas_token_lists):
     for pdf in batches:
         if not len(pdf):
             continue
-        tok_lists = pdf["content"].str.lower().str.findall(_TOKEN_RE).tolist()
+        tok_lists = pandas_token_lists(pdf["content"], analyzer).tolist()
         lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
         total = int(lens.sum())
         if total == 0:

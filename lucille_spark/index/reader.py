@@ -305,6 +305,7 @@ class SparkIndex:
             self.dictionary,
             self.stats["n_docs"],
             meta_fields=self.stats.get("meta_cols", []),
+            analyzer=self.stats.get("analyzer", "standard"),
         )
 
     @property

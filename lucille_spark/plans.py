@@ -37,7 +37,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from lucille_spark import ast
-from lucille_spark.analysis import tokenize
+from lucille_spark.analysis import get_analyzer
 from lucille_spark.scoring import idf as _idf
 
 # --------------------------------------------------------------- nodes
@@ -219,11 +219,16 @@ class Planner:
         n_docs: int,
         meta_fields: Sequence[str] = (),
         default_field: str = "content",
+        analyzer: str = "standard",
     ) -> None:
         self.dict = dictionary
         self.n_docs = n_docs
         self.meta_fields = set(meta_fields)
         self.default_field = default_field
+        # query-time analysis MUST match the index-build analyzer
+        # (stats.json records the name; readers pass it through here)
+        self.analyzer = analyzer
+        self.tokenize = get_analyzer(analyzer)
 
     # -- public ----------------------------------------------------
     def plan(self, q: ast.Query) -> PNode:
@@ -235,7 +240,7 @@ class Planner:
         return _idf(df, self.n_docs), df
 
     def _plan_term_text(self, text: str) -> PNode:
-        toks = tokenize(text)
+        toks = self.tokenize(text)
         if not toks:
             return PMatchNone()
         if len(toks) == 1:
@@ -266,9 +271,9 @@ class Planner:
         if isinstance(q, ast.Term):
             return self._plan_term_text(q.value)
         if isinstance(q, ast.Phrase):
-            return self._plan_phrase(tokenize(q.value), 0)
+            return self._plan_phrase(self.tokenize(q.value), 0)
         if isinstance(q, ast.Proximity):
-            return self._plan_phrase(tokenize(q.value), int(q.num))
+            return self._plan_phrase(self.tokenize(q.value), int(q.num))
         if isinstance(q, ast.Prefix):
             p = q.value.lower()
             return self._expand(

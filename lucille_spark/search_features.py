@@ -133,14 +133,14 @@ def more_like_this(
     from collections import Counter
 
     from lucille_spark import plans as P
-    from lucille_spark.analysis import tokenize
 
     row = (
         docs.filter(F.col(id_col) == doc_id).select(text_col).collect()
     )
     if not row:
         raise KeyError(f"doc_id {doc_id} not found")
-    tf = Counter(tokenize(row[0][0]))
+    # analyze the seed doc with the INDEX's analyzer (stats.json)
+    tf = Counter(executor.ix.planner.tokenize(row[0][0]))
     node = executor.ix.plan(" ".join(sorted(tf)))
     pterms = (
         list(node.should)

@@ -107,7 +107,16 @@ class OracleIndex:
     """docs: list of dicts with doc_id:int, content:str and any
     metadata string fields (repo/path/lang/... )."""
 
-    def __init__(self, docs: List[dict], content_col: str = "content"):
+    def __init__(
+        self,
+        docs: List[dict],
+        content_col: str = "content",
+        analyzer: str = "standard",
+    ):
+        from lucille_spark.analysis import get_analyzer
+
+        tokenize = get_analyzer(analyzer)
+        self.analyzer = analyzer
         self.docs = sorted(docs, key=lambda d: d["doc_id"])
         ids, dls = [], []
         post: Dict[str, List[Tuple[int, int, np.ndarray]]] = defaultdict(list)
@@ -154,7 +163,10 @@ class OracleIndex:
         self.dictionary = InMemoryDictionary(df)
         self.meta_fields = meta_cols
         self.planner = P.Planner(
-            self.dictionary, self.n_docs, meta_fields=meta_cols
+            self.dictionary,
+            self.n_docs,
+            meta_fields=meta_cols,
+            analyzer=analyzer,
         )
 
     def plan(self, q: Union[str, ast.Query]) -> P.PNode:

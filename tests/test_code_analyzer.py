@@ -1,0 +1,219 @@
+"""Code-aware analyzer ("code"): camelCase / ALLCAPS / snake_case
+subtoken splitting (the WordDelimiterGraphFilter idea, fixed to one
+deterministic rule — lucille_spark/analysis.py).
+
+Covers: rule unit cases; 4-way implementation agreement (pure
+Python / vectorized pandas / Spark built-in expressions / DuckDB
+SQL); and an end-to-end engine gate: an index built with
+analyzer="code" records it in stats.json, the reader routes
+query-time analysis through it, and both executors are
+rank-identical to the brute-force oracle using the same analyzer —
+including camelCase QUERY text analyzed into subtoken phrases.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucille_spark.analysis import (
+    CODE_TOKENIZE_SQL_DUCKDB,
+    code_tokenize,
+    code_tokenize_expr,
+    get_analyzer,
+    pandas_token_counts,
+    pandas_token_lists,
+    tokenize,
+)
+
+CASES = {
+    "HTTPServer2Client": ["http", "server2", "client"],
+    "fooBar_bazQux": ["foo", "bar", "baz", "qux"],
+    "XMLHttpRequest": ["xml", "http", "request"],
+    "getHTTPResponseCode": ["get", "http", "response", "code"],
+    "a2B": ["a2", "b"],
+    "ABCdef": ["ab", "cdef"],
+    "snake_case_name": ["snake", "case", "name"],
+    "MiXeD123Case": ["mi", "xe", "d123", "case"],
+    "__init__": ["init"],
+    "camelCase.andMore()": ["camel", "case", "and", "more"],
+    "": [],
+    "   ": [],
+    "x": ["x"],
+    "X": ["x"],
+    "aA bB": ["a", "a", "b", "b"],
+}
+
+
+def test_code_tokenize_rule():
+    for text, expect in CASES.items():
+        assert code_tokenize(text) == expect, text
+
+
+def test_standard_vs_code_differ_on_identifiers():
+    # standard keeps identifiers whole (underscore is a token char)
+    assert tokenize("fooBar_bazQux") == ["foobar_bazqux"]
+    assert code_tokenize("fooBar_bazQux") == ["foo", "bar", "baz", "qux"]
+
+
+def test_registry():
+    assert get_analyzer("code") is code_tokenize
+    assert get_analyzer("standard") is tokenize
+    with pytest.raises(ValueError):
+        get_analyzer("nope")
+
+
+def test_pandas_impls_agree():
+    s = pd.Series(list(CASES))
+    assert pandas_token_lists(s, "code").tolist() == list(CASES.values())
+    assert pandas_token_counts(s, "code").tolist() == [
+        len(v) for v in CASES.values()
+    ]
+    # standard path too (doclens kernel contract)
+    assert pandas_token_lists(s, "standard").tolist() == [
+        tokenize(t) for t in CASES
+    ]
+    assert pandas_token_counts(s, "standard").tolist() == [
+        len(tokenize(t)) for t in CASES
+    ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    q = "SELECT " + CODE_TOKENIZE_SQL_DUCKDB.format(col="?") + " AS t"
+    for text, expect in CASES.items():
+        got = [r[0] for r in con.execute(q, [text]).fetchall()]
+        assert got == expect, text
+
+
+def test_spark_expr_agrees(spark):
+    texts = [t for t in CASES if t]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(code_tokenize_expr("text").alias("toks")).collect()
+    got = [list(r["toks"]) for r in rows]
+    assert got == [CASES[t] for t in texts]
+
+
+# ---------------------------------------------------------------- e2e
+
+CODE_DOCS = [
+    "class HTTPServer extends BaseServer { def handleRequest() }",
+    "val parserConfig = ParserConfig(maxDepth = 32)",
+    "def tokenizeInput(rawText: String): List[Token]",
+    "import scala.collection.mutable.ArrayBuffer",
+    "object QueryPlanner { def planQuery(q: AST): PhysicalPlan }",
+    "fn read_parquet_file(path: &str) -> Result<RecordBatch>",
+    "async def fetch_http_response(url): return await client.get(url)",
+    "public static void main(String[] args) { System.out.println(); }",
+    "let blockMaxScore = idf * upperBound(maxTf)",
+    "SELECT doc_id, term FROM postings WHERE term = 'foo'",
+    "struct PostingBlock { doc_id_base: u64, max_tf: u32 }",
+    "def computeBM25(tf, docLen, avgDocLen): pass",
+    "class TokenStream implements Iterator<Token> { }",
+    "merge_sorted_runs(left_run, right_run, output_buffer)",
+    "for (int i = 0; i < numBlocks; i++) decodeBlock(i);",
+    "match queryNode { Term(t) => scoreTerm(t), Phrase(p) => ... }",
+]
+
+
+@pytest.fixture(scope="module")
+def code_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(CODE_DOCS * 4):  # 64 docs, doc_id = row
+        rows.append(
+            (
+                f"org/repo{i % 4}",
+                f"src/file{i:03d}.scala",
+                f"{i:040x}",
+                "scala",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("codeix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="code"
+    ).build(docs, out)
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list, analyzer="code")
+    return ix, oracle, stats
+
+
+def test_stats_record_analyzer(code_index):
+    ix, oracle, stats = code_index
+    assert stats["analyzer"] == "code"
+    assert ix.planner.analyzer == "code"
+    assert ix.planner.tokenize is code_tokenize
+
+
+def test_doc_lens_are_code_token_counts(code_index):
+    ix, oracle, stats = code_index
+    got = {
+        r["doc_id"]: r["doc_len"]
+        for r in ix.doclens.select("doc_id", "doc_len").collect()
+    }
+    for d in oracle.docs:
+        assert got[d["doc_id"]] == len(code_tokenize(d["content"])), d
+
+
+CODE_QUERIES = [
+    "http",                      # subtoken only the code analyzer emits
+    "server",                    # from HTTPServer / BaseServer
+    "handleRequest",             # camel QUERY -> phrase [handle, request]
+    "tokenizeInput OR planQuery",
+    "http AND server",
+    "doc AND id",                # snake_case doc_id split
+    '"max tf"',                  # phrase over split max_tf / maxTf
+    "block* AND score",
+    "marker3",
+    "computeBM25",               # trailing ALLCAPS+digits
+    "request AND NOT sql",
+    "fetch_http_response",       # snake query == camel doc subtokens
+]
+
+
+@pytest.mark.parametrize("q", CODE_QUERIES)
+def test_code_rank_identity_both_executors(code_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = code_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_camel_query_plans_to_phrase(code_index):
+    from lucille_spark import plans as P
+
+    ix, oracle, stats = code_index
+    node = ix.plan("handleRequest")
+    assert isinstance(node, P.PPhrase)
+    assert node.terms == ("handle", "request")
