@@ -148,6 +148,61 @@ def _search_code(spark, sf_dir, q, k=10, wand=False):
 
 
 # --------------------------------------------------------------------
+# indexed-field index: `title` := the document's first 5 tokens,
+# indexed as a separate full-text FIELD ("title:<tok>" term
+# namespace, per-field BM25 norms). The oracle derives the same
+# title, tokens, dfs and the title avgdl in SQL.
+# --------------------------------------------------------------------
+
+
+def _field_index_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.analysis import tokenize_expr
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "field:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"field_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.array_join(F.slice(tokenize_expr("text"), 1, 5), " ").alias(
+                "title"
+            ),
+            "lang",
+            "source",
+        )
+        IndexBuilder(num_shards=4, block_size=128).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+            indexed_cols=["title"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _search_field(spark, sf_dir, q, k=10, wand=False):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix = _field_index_for(spark, sf_dir)
+    ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+    out = ex.search(q, k=k)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------
 
@@ -274,6 +329,34 @@ sc AS (SELECT tf.doc_id, tf.term,
 """
 
 
+# ---- indexed-field oracle fragments (twin of _field_index_for):
+# title = first 5 tokens of text; title BM25 uses the title avgdl
+# (per-field norms), content BM25 the global one.
+
+_TITLE_CTES = (
+    "tarr AS (SELECT doc_id, list_slice(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> ''), "
+    "1, 5) AS arr FROM documents), "
+    "ttok AS (SELECT doc_id, unnest(arr) AS term FROM tarr), "
+    "tdl AS (SELECT doc_id, len(arr) AS dl FROM tarr), "
+    "tst AS (SELECT (SELECT count(*) FROM documents) AS n, "
+    "(SELECT avg(dl) FROM tdl) AS avgdl)"
+)
+
+
+def _title_term_sc(term: str) -> str:
+    """CTE tail computing BM25 of `term` in the title field -> tsc."""
+    return (
+        f"ttf AS (SELECT doc_id, count(*) AS tf FROM ttok "
+        f"WHERE term = '{term}' GROUP BY doc_id), "
+        "tdf AS (SELECT count(*) AS df FROM ttf), "
+        "tsc AS (SELECT ttf.doc_id, "
+        "ln(1.0 + (tst.n - tdf.df + 0.5) / (tdf.df + 0.5)) * ttf.tf / "
+        f"(ttf.tf + {K1} * (1.0 - {B} + {B} * tdl.dl / tst.avgdl)) AS s "
+        "FROM ttf CROSS JOIN tdf JOIN tdl USING (doc_id) CROSS JOIN tst)"
+    )
+
+
 # --------------------------------------------------------------------
 # queries + oracles
 # --------------------------------------------------------------------
@@ -355,6 +438,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_code_camel"] = lambda s, d: _search_code(
         s, d, "mySpark", wand=True
     )
+
+    # ---- indexed full-text fields (per-field norms): `title` is the
+    # doc's first 5 tokens indexed as its own field; field queries
+    # score with the title avgdl, content queries with the global one,
+    # mixed booleans sum both — all on one shared postings layout.
+    q["ft_ifield"] = lambda s, d: _search_field(s, d, "title:spark")
+    q["wand_ifield"] = lambda s, d: _search_field(
+        s, d, "title:spark", wand=True
+    )
+    q["ft_ifield_mix"] = lambda s, d: _search_field(
+        s, d, "title:spark OR batch"
+    )
+    q["wand_ifield_mix"] = lambda s, d: _search_field(
+        s, d, "title:spark OR batch", wand=True
+    )
+    q["ft_ifield_prefix"] = lambda s, d: _search_field(s, d, "title:sp*")
 
     # ---- query-time synonym expansion (query-expansion OR
     # semantics — the rewrite is exactly equivalent to typing the
@@ -835,6 +934,41 @@ scp AS (SELECT ph.doc_id,
 SELECT doc_id, round(s, 4) AS score FROM scp
 ORDER BY s DESC, doc_id LIMIT 10"""
     o["wand_code_camel"] = o["ft_code_camel"]
+
+    # indexed field: title term scored with title avgdl
+    o["ft_ifield"] = (
+        f"WITH {_TITLE_CTES}, {_title_term_sc('spark')} "
+        "SELECT doc_id, round(s, 4) AS score FROM tsc "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    o["wand_ifield"] = o["ft_ifield"]
+
+    # mixed boolean: title term (title norms) + content term (global
+    # norms), scores summed per doc
+    o["ft_ifield_mix"] = (
+        f"WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}), "
+        f"{_TITLE_CTES}, {_title_term_sc('spark')}, "
+        "ctf AS (SELECT doc_id, count(*) AS tf FROM tok "
+        "WHERE term = 'batch' GROUP BY doc_id), "
+        "cdf AS (SELECT count(*) AS df FROM ctf), "
+        "csc AS (SELECT ctf.doc_id, "
+        "ln(1.0 + (st.n - cdf.df + 0.5) / (cdf.df + 0.5)) * ctf.tf / "
+        f"(ctf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s "
+        "FROM ctf CROSS JOIN cdf JOIN dl USING (doc_id) CROSS JOIN st), "
+        "u AS (SELECT doc_id, s FROM tsc UNION ALL "
+        "SELECT doc_id, s FROM csc), "
+        "agg AS (SELECT doc_id, sum(s) AS s FROM u GROUP BY doc_id) "
+        "SELECT doc_id, round(s, 4) AS score FROM agg "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    o["wand_ifield_mix"] = o["ft_ifield_mix"]
+
+    # prefix expansion inside the field namespace: constant score
+    o["ft_ifield_prefix"] = (
+        f"WITH {_TITLE_CTES} "
+        "SELECT DISTINCT doc_id, cast(1.0 as double) AS score FROM ttok "
+        "WHERE term LIKE 'sp%' ORDER BY doc_id LIMIT 10"
+    )
 
     o["ft_and"] = (
         _cte(["batch", "window", "spark"])

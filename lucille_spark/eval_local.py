@@ -71,7 +71,10 @@ def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         p = sd.postings.get(node.term)
         if p is None or p.ids.size == 0:
             return _EMPTY
-        return p.ids, bm25_np(p.tfs, p.dls, node.idf, sd.avgdl)
+        return p.ids, bm25_np(
+            p.tfs, p.dls, node.idf,
+            sd.avgdl if node.avgdl is None else node.avgdl,
+        )
     if isinstance(node, P.PExpand):
         arrs = [
             sd.postings[t].ids
@@ -191,7 +194,7 @@ def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray
         np.array(out_tf, dtype=np.int64),
         np.array(out_dl, dtype=np.int64),
         node.idf,
-        sd.avgdl,
+        sd.avgdl if node.avgdl is None else node.avgdl,
     )
     return oid, sc
 

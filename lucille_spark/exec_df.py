@@ -29,10 +29,12 @@ from lucille_spark.pushdown import expand_bounds, expand_condition
 from lucille_spark.scoring import B, K1
 
 
-def _bm25_col(tf: Column, dl: Column, idf_val: float, avgdl: float) -> Column:
+def _bm25_col(tf: Column, dl: Column, idf_val: float, avgdl) -> Column:
+    """avgdl: float or a Column (per-term avgdl map in fused scans)."""
+    adl = avgdl if isinstance(avgdl, Column) else F.lit(avgdl)
     tff = tf.cast("double")
     return F.lit(idf_val) * tff / (
-        tff + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl.cast("double") / F.lit(avgdl))
+        tff + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl.cast("double") / adl)
     )
 
 
@@ -96,7 +98,8 @@ class DataFrameExecutor:
             return rows.select(
                 "doc_id",
                 _bm25_col(
-                    F.col("tf"), F.col("doc_len"), node.idf, self.avgdl
+                    F.col("tf"), F.col("doc_len"), node.idf,
+                    node.avgdl or self.avgdl,
                 ).alias("score"),
             )
         if isinstance(node, P.PExpand):
@@ -210,13 +213,16 @@ class DataFrameExecutor:
         against len(must), so multiplicity counts), s_cnt likewise for
         SHOULD."""
         idf = {}
+        adl: dict = {}
         m_cnt: dict = {}
         s_cnt: dict = {}
         for t in term_must:
             idf[t.term] = t.idf
+            adl[t.term] = t.avgdl or self.avgdl
             m_cnt[t.term] = m_cnt.get(t.term, 0) + 1
         for t in term_should:
             idf[t.term] = t.idf
+            adl[t.term] = t.avgdl or self.avgdl
             s_cnt[t.term] = s_cnt.get(t.term, 0) + 1
 
         def _map(d: dict, cast: str):
@@ -235,7 +241,8 @@ class DataFrameExecutor:
         return rows.select(
             "doc_id",
             _bm25_col(
-                F.col("tf"), F.col("doc_len"), 1.0, self.avgdl
+                F.col("tf"), F.col("doc_len"), 1.0,
+                F.coalesce(_map(adl, "double"), F.lit(self.avgdl)),
             ).alias("_b"),
             F.col("term"),
         ).select(
@@ -303,7 +310,8 @@ class DataFrameExecutor:
         return j.select(
             "doc_id",
             _bm25_col(
-                F.col("tf_p"), F.col("doc_len"), node.idf, self.avgdl
+                F.col("tf_p"), F.col("doc_len"), node.idf,
+                node.avgdl or self.avgdl,
             ).alias("score"),
         )
 

@@ -334,7 +334,7 @@ def _weighted_term(c: P.PNode, factor: float = 1.0):
     if isinstance(c, P.PTerm):
         if factor == 1.0:
             return c
-        return P.PTerm(c.term, c.idf * factor)
+        return P.PTerm(c.term, c.idf * factor, c.avgdl)
     return None
 
 
@@ -432,6 +432,10 @@ def _eval_flat_pruned(
     plan-time idf (bm25_upper_bound)."""
     kind, pterms = flat
     terms = {t.term: t for t in pterms}
+
+    def _adl(t: str) -> float:
+        # per-field norms: a field term carries its field's avgdl
+        return terms[t].avgdl or sd.avgdl
     # per-term block tables present in this shard
     avail = {}
     for term, rows in groups.items():
@@ -455,7 +459,7 @@ def _eval_flat_pruned(
         p = _build_posting(avail[first], False, decode)
         stats["decoded_blocks"] += len(avail[first])
         cand_ids = p.ids
-        score = bm25_np(p.tfs, p.dls, terms[first].idf, sd.avgdl)
+        score = bm25_np(p.tfs, p.dls, terms[first].idf, _adl(first))
         for t in order[1:]:
             rows = avail[t]
             if cand_ids.size == 0:
@@ -470,7 +474,7 @@ def _eval_flat_pruned(
             )
             cand_ids = common
             score = score[ia] + bm25_np(
-                pt.tfs[ib], pt.dls[ib], terms[t].idf, sd.avgdl
+                pt.tfs[ib], pt.dls[ib], terms[t].idf, _adl(t)
             )
         return cand_ids, score
 
@@ -512,13 +516,13 @@ def _eval_flat_pruned(
                 )
                 if common.size:
                     acc_sc[ia] += bm25_np(
-                        pt.tfs[ib], pt.dls[ib], terms[t2].idf, sd.avgdl
+                        pt.tfs[ib], pt.dls[ib], terms[t2].idf, _adl(t2)
                     )
             return acc_ids, acc_sc
         rows = avail[t]
         stats["decoded_blocks"] += len(rows)
         pt = _build_posting(rows, False, decode)
-        sc = bm25_np(pt.tfs, pt.dls, terms[t].idf, sd.avgdl)
+        sc = bm25_np(pt.tfs, pt.dls, terms[t].idf, _adl(t))
         acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, pt.ids, sc)
         remaining -= ubs[t]
     return acc_ids, acc_sc

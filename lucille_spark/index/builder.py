@@ -212,10 +212,24 @@ class IndexBuilder:
         id_col: Optional[str] = None,
         order_cols: Sequence[str] = ("repo", "path", "commit"),
         meta_cols: Optional[Sequence[str]] = None,
+        indexed_cols: Sequence[str] = (),
         resume: bool = True,
         assume_partitioned: bool = False,
     ) -> dict:
-        """Build the full index under `out_dir`. Returns stats dict."""
+        """Build the full index under `out_dir`. Returns stats dict.
+
+        `indexed_cols`: extra text columns indexed as full-text
+        FIELDS. Their tokens live in the shared postings/dictionary
+        under the term key "<field>:<token>" (':' can never occur in
+        an analyzer token), with the FIELD's token count as the
+        posting row's doc_len — so df/idf, hot-term salting, file
+        pruning, segments and both executors work unchanged, and BM25
+        normalizes by the field's average length (per-field norms;
+        stats.json "indexed_fields" maps field -> avgdl, averaged
+        over ALL docs). Queries: `path:parser`, `title:"big data"`.
+        An indexed col may also stay in meta_cols (filterable raw
+        string); the planner gives the indexed interpretation
+        precedence."""
         cfg = self.cfg
         spark = docs.sparkSession
         man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"), spark)
@@ -228,6 +242,10 @@ class IndexBuilder:
                 c for c in docs.columns if c not in (content_col, id_col)
             ]
         meta_cols = list(meta_cols)
+        indexed_cols = list(indexed_cols)
+        for c in indexed_cols:
+            if c not in docs.columns:
+                raise ValueError(f"indexed_col {c!r} not in input columns")
 
         doclens_path = os.path.join(out_dir, "doclens")
         flat_path = os.path.join(out_dir, "postings_flat")
@@ -306,9 +324,16 @@ class IndexBuilder:
             if need_flat:
                 t0 = time.time()
                 flat = base.select(
-                    "shard", "doc_id", F.col(content_col).alias("content")
+                    "shard", "doc_id", F.col(content_col).alias("content"),
+                    *[
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("")
+                        ).alias(c)
+                        for c in indexed_cols
+                    ],
                 ).mapInPandas(
-                    _make_postings_kernel(cfg.analyzer), schema=FLAT_SCHEMA
+                    _make_postings_kernel(cfg.analyzer, indexed_cols),
+                    schema=FLAT_SCHEMA,
                 )
                 # NOT partitionBy(shard): the dynamic-partition writer
                 # costs ~40% of this stage, and nothing filters flat
@@ -370,10 +395,32 @@ class IndexBuilder:
                 F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
             ).collect()[0]
             n_terms = terms.count()
+            # per-field average length: sum of the field's tfs over
+            # ALL docs (docs without the field count as length 0) —
+            # one aggregation over the prefixed terms only
+            indexed_fields = {}
+            if indexed_cols:
+                frows = (
+                    flat.filter(F.col("term").contains(":"))
+                    .groupBy(
+                        F.split(F.col("term"), ":", 2)
+                        .getItem(0)
+                        .alias("f")
+                    )
+                    .agg(F.sum("tf").alias("tot"))
+                    .collect()
+                )
+                tot = {r["f"]: int(r["tot"]) for r in frows}
+                nd = max(int(row["n"]), 1)
+                indexed_fields = {
+                    f: float(tot.get(f, 0)) / nd or 1.0
+                    for f in indexed_cols
+                }
             stats = {
                 "format": INDEX_FORMAT,
                 "n_docs": int(row["n"]),
                 "avg_dl": float(row["avgdl"] or 1.0),
+                "indexed_fields": indexed_fields,
                 "n_terms": int(n_terms),
                 "num_shards": cfg.num_shards,
                 "block_size": cfg.block_size,
@@ -572,57 +619,70 @@ def _make_doclens_kernel(meta_cols: Sequence[str], analyzer: str = "standard"):
     return kernel
 
 
-def _make_postings_kernel(analyzer: str = "standard"):
-    """mapInPandas kernel factory: (shard, doc_id, content) rows ->
-    flat posting rows (shard, term, doc_id, doc_len, tf, positions).
-    Tokenization (vectorized pandas str ops — the same analyzer rule
-    as analysis.get_analyzer(analyzer)) + numpy postings: flatten
-    token lists, lexsort by (doc, term), group-boundary detection,
-    np.split for position lists. No shuffle — postings are a
-    per-document computation."""
+def _make_postings_kernel(
+    analyzer: str = "standard", indexed_cols: Sequence[str] = ()
+):
+    """mapInPandas kernel factory: (shard, doc_id, content[, field
+    cols]) rows -> flat posting rows (shard, term, doc_id, doc_len,
+    tf, positions). Tokenization (vectorized pandas str ops — the
+    same analyzer rule as analysis.get_analyzer(analyzer)) + numpy
+    postings: flatten token lists, lexsort by (doc, term),
+    group-boundary detection, np.split for position lists. Each
+    indexed field col runs the same pipeline with its terms prefixed
+    "<field>:" and doc_len = the FIELD's token count (per-field
+    norms). No shuffle — postings are a per-document computation."""
     from lucille_spark.analysis import pandas_token_lists
 
+    fields = [("", "content")] + [(f + ":", f) for f in indexed_cols]
+
     def kernel(batches):
-        yield from _postings_batches(batches, analyzer, pandas_token_lists)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for prefix, col in fields:
+                out = _postings_frame(
+                    pdf, col, prefix, analyzer, pandas_token_lists
+                )
+                if out is not None:
+                    yield out
 
     return kernel
 
 
-def _postings_batches(batches, analyzer, pandas_token_lists):
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        tok_lists = pandas_token_lists(pdf["content"], analyzer).tolist()
-        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
-            continue
-        flat_terms = np.concatenate(
-            [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
-        )
-        starts = np.repeat(np.cumsum(lens) - lens, lens)
-        gpos = (np.arange(total) - starts).astype(np.int32)
-        doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
-        shards = np.repeat(pdf["shard"].to_numpy(np.int32), lens)
-        doclens = np.repeat(lens, lens).astype(np.int32)
-        codes, uniques = pd.factorize(flat_terms, sort=False)
-        order = np.lexsort((gpos, codes, doc_ids))
-        d2, c2, p2 = doc_ids[order], codes[order], gpos[order]
-        change = np.empty(total, dtype=bool)
-        change[0] = True
-        change[1:] = (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1])
-        gidx = np.flatnonzero(change)
-        tf = np.diff(np.append(gidx, total)).astype(np.int32)
-        yield pd.DataFrame(
-            {
-                "shard": shards[order][gidx],
-                "term": np.asarray(uniques, dtype=object)[c2[gidx]],
-                "doc_id": d2[gidx],
-                "doc_len": doclens[order][gidx],
-                "tf": tf,
-                "positions": np.split(p2, gidx[1:]),
-            }
-        )
+def _postings_frame(pdf, col, prefix, analyzer, pandas_token_lists):
+    tok_lists = pandas_token_lists(pdf[col], analyzer).tolist()
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+    )
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    gpos = (np.arange(total) - starts).astype(np.int32)
+    doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+    shards = np.repeat(pdf["shard"].to_numpy(np.int32), lens)
+    doclens = np.repeat(lens, lens).astype(np.int32)
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    if prefix:
+        uniques = [prefix + u for u in uniques]
+    order = np.lexsort((gpos, codes, doc_ids))
+    d2, c2, p2 = doc_ids[order], codes[order], gpos[order]
+    change = np.empty(total, dtype=bool)
+    change[0] = True
+    change[1:] = (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1])
+    gidx = np.flatnonzero(change)
+    tf = np.diff(np.append(gidx, total)).astype(np.int32)
+    return pd.DataFrame(
+        {
+            "shard": shards[order][gidx],
+            "term": np.asarray(uniques, dtype=object)[c2[gidx]],
+            "doc_id": d2[gidx],
+            "doc_len": doclens[order][gidx],
+            "tf": tf,
+            "positions": np.split(p2, gidx[1:]),
+        }
+    )
 
 
 def _make_segment_kernel(

@@ -306,6 +306,7 @@ class SparkIndex:
             self.stats["n_docs"],
             meta_fields=self.stats.get("meta_cols", []),
             analyzer=self.stats.get("analyzer", "standard"),
+            indexed_fields=self.stats.get("indexed_fields", {}),
         )
 
     @property

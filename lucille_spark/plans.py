@@ -49,10 +49,15 @@ class PNode:
 
 @dataclass(frozen=True)
 class PTerm(PNode):
-    """Single scoring term; idf resolved at plan time."""
+    """Single scoring term; idf resolved at plan time. `avgdl`
+    overrides the corpus-global average doc length for BM25 length
+    normalization — set for terms of an INDEXED FIELD (per-field
+    norms, like Lucene's per-field avgFieldLength); None = use the
+    executor's global avgdl."""
 
     term: str
     idf: float
+    avgdl: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -87,6 +92,7 @@ class PPhrase(PNode):
     terms: Tuple[str, ...]
     slop: int
     idf: float
+    avgdl: Optional[float] = None  # per-field norm; see PTerm.avgdl
 
 
 @dataclass(frozen=True)
@@ -220,11 +226,19 @@ class Planner:
         meta_fields: Sequence[str] = (),
         default_field: str = "content",
         analyzer: str = "standard",
+        indexed_fields: Optional[Dict[str, float]] = None,
     ) -> None:
         self.dict = dictionary
         self.n_docs = n_docs
         self.meta_fields = set(meta_fields)
         self.default_field = default_field
+        # indexed full-text fields: name -> that field's average
+        # length (stats.json "indexed_fields"). Their terms live in
+        # the SAME dictionary/postings under the key "<field>:<tok>"
+        # (':' can never occur inside an analyzer token), so df/idf,
+        # salting, file pruning and the WAND path all work unchanged;
+        # BM25 normalizes by the field's avgdl (per-field norms).
+        self.indexed_fields = dict(indexed_fields or {})
         # query-time analysis MUST match the index-build analyzer
         # (stats.json records the name; readers pass it through here)
         self.analyzer = analyzer
@@ -334,27 +348,136 @@ class Planner:
             return PBool((), tuple(children), (), int(q.num))
         raise TypeError(f"unsupported AST node: {type(q).__name__}")
 
-    def _plan_bool(self, qs: Sequence[ast.Query], all_must: bool) -> PNode:
+    def _plan_bool(
+        self, qs: Sequence[ast.Query], all_must: bool, rec=None
+    ) -> PNode:
+        rec = rec or self._plan
         must: List[PNode] = []
         should: List[PNode] = []
         must_not: List[PNode] = []
         for c in qs:
             inner = c.q if isinstance(c, ast.Group) else c
             if isinstance(inner, (ast.Not, ast.UnaryMinus)):
-                must_not.append(self._plan(inner.q))
+                must_not.append(rec(inner.q))
             elif isinstance(inner, ast.UnaryPlus):
-                must.append(self._plan(inner.q))
+                must.append(rec(inner.q))
             elif all_must:
-                must.append(self._plan(c))
+                must.append(rec(c))
             else:
-                should.append(self._plan(c))
+                should.append(rec(c))
         min_should = 1 if (should and not must) else 0
         return PBool(tuple(must), tuple(should), tuple(must_not), min_should)
 
     def _plan_field(self, field: str, q: ast.Query) -> PNode:
+        if field in self.indexed_fields:
+            return self._plan_indexed(field, q)
         if field not in self.meta_fields:
             return self._plan(q)  # non-corpus fields score on content
         return self._plan_meta(field, q)
+
+    # -- indexed full-text fields -----------------------------------
+    def _plan_indexed(self, field: str, q: ast.Query) -> PNode:
+        """Compile a query scoped to an INDEXED text field: same
+        semantics as the default field, on the "<field>:" term
+        namespace, scored with the field's avgdl (per-field norms)."""
+        pre = field + ":"
+        adl = self.indexed_fields[field]
+        rec = lambda c: self._plan_indexed(field, c)  # noqa: E731
+
+        def phrase(toks: List[str], slop: int) -> PNode:
+            pts = [pre + t for t in toks]
+            if not pts:
+                return PMatchNone()
+            dfs = self.dict.lookup_df(pts)
+            if any(dfs.get(t, 0) == 0 for t in pts):
+                return PMatchNone()
+            if len(pts) == 1:
+                return PTerm(pts[0], _idf(dfs[pts[0]], self.n_docs), adl)
+            df_proxy = min(dfs[t] for t in pts)
+            return PPhrase(
+                tuple(pts), slop, _idf(df_proxy, self.n_docs), adl
+            )
+
+        if isinstance(q, ast.Term):
+            return phrase(self.tokenize(q.value), 0)
+        if isinstance(q, ast.Phrase):
+            return phrase(self.tokenize(q.value), 0)
+        if isinstance(q, ast.Proximity):
+            return phrase(self.tokenize(q.value), int(q.num))
+        if isinstance(q, ast.Prefix):
+            p = pre + q.value.lower()
+            return self._expand(
+                self.dict.expand_prefix(p), "prefix", ("prefix", p)
+            )
+        if isinstance(q, ast.WildCard):
+            rx = re.escape(pre) + wildcard_to_regex(q.ops)
+            lit = pre + wildcard_literal_prefix(q.ops)
+            return self._expand(
+                self.dict.expand_regex(rx), "wildcard",
+                ("wildcard", lit, rx),
+            )
+        if isinstance(q, ast.TermRegex):
+            inner = q.value.lower()
+            rx = re.escape(pre) + inner
+            lit = pre + regex_literal_prefix(inner)
+            return self._expand(
+                self.dict.expand_regex(rx), "regex", ("regex", lit, rx)
+            )
+        if isinstance(q, ast.TermRange):
+            # unbounded sides clamp to the field's term namespace
+            # ('￿' sorts after every analyzer char)
+            lo = pre + (q.lower.lower() if q.lower is not None else "")
+            lo_inc = q.lower_inc if q.lower is not None else True
+            hi = (
+                pre + q.upper.lower()
+                if q.upper is not None
+                else pre + "￿"
+            )
+            hi_inc = q.upper_inc if q.upper is not None else True
+            return self._expand(
+                self.dict.expand_range(lo, hi, lo_inc, hi_inc),
+                "range",
+                ("range", lo, hi, lo_inc, hi_inc),
+            )
+        if isinstance(q, ast.Fuzzy):
+            max_e = 2 if q.num is None else int(q.num)
+            toks = self.tokenize(q.value.lower())
+            if len(toks) != 1:
+                return phrase(toks, 0)
+            if max_e == 0:
+                return phrase(toks, 0)
+            # edit distance is prefix-invariant (d(P+a, P+b) =
+            # d(a, b)), so the full-term dictionary expansion works;
+            # keep only this field's namespace
+            cands = [
+                t
+                for t in self.dict.expand_fuzzy(
+                    pre + toks[0], max_e, transpositions=True
+                )
+                if t.startswith(pre)
+            ]
+            return self._expand(
+                cands, "fuzzy", ("fuzzy", pre + toks[0], max_e, True)
+            )
+        if isinstance(q, ast.Group):
+            return rec(q.q)
+        if isinstance(q, ast.UnaryPlus):
+            return rec(q.q)
+        if isinstance(q, (ast.Not, ast.UnaryMinus)):
+            return PNot(rec(q.q))
+        if isinstance(q, ast.Boost):
+            return PBoost(rec(q.q), float(q.boost))
+        if isinstance(q, ast.Field):
+            return self._plan_field(q.field, q.q)  # inner field wins
+        if isinstance(q, ast.And):
+            return self._plan_bool(q.qs, all_must=True, rec=rec)
+        if isinstance(q, ast.Or):
+            return self._plan_bool(q.qs, all_must=False, rec=rec)
+        if isinstance(q, ast.MinimumMatch):
+            return PBool((), tuple(rec(c) for c in q.qs), (), int(q.num))
+        raise TypeError(
+            f"unsupported indexed-field query: {type(q).__name__}"
+        )
 
     def _plan_meta(self, field: str, q: ast.Query) -> PNode:
         """Compile a query scoped to a metadata column: exact-string

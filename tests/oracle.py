@@ -112,6 +112,7 @@ class OracleIndex:
         docs: List[dict],
         content_col: str = "content",
         analyzer: str = "standard",
+        indexed_cols: Sequence[str] = (),
     ):
         from lucille_spark.analysis import get_analyzer
 
@@ -119,27 +120,43 @@ class OracleIndex:
         self.analyzer = analyzer
         self.docs = sorted(docs, key=lambda d: d["doc_id"])
         ids, dls = [], []
-        post: Dict[str, List[Tuple[int, int, np.ndarray]]] = defaultdict(list)
+        # posting rows: (doc_id, tf, positions, doc_len) — doc_len is
+        # the CONTENT length for content terms and the FIELD length
+        # for "<field>:<tok>" terms (per-field norms, mirrors builder)
+        post: Dict[str, List[Tuple[int, int, np.ndarray, int]]] = (
+            defaultdict(list)
+        )
         meta_cols = [
             k for k in self.docs[0] if k not in ("doc_id", content_col)
         ]
         meta: Dict[str, list] = {k: [] for k in meta_cols}
+        field_len_sums = {f: 0 for f in indexed_cols}
         for d in self.docs:
-            toks = tokenize(d[content_col])
             ids.append(d["doc_id"])
-            dls.append(len(toks))
             for k in meta_cols:
                 meta[k].append(d[k])
-            positions = defaultdict(list)
-            for i, t in enumerate(toks):
-                positions[t].append(i)
-            for t, pos in positions.items():
-                post[t].append(
-                    (d["doc_id"], len(pos), np.array(pos, dtype=np.int64))
-                )
+            srcs = [("", tokenize(d[content_col]))] + [
+                (f + ":", tokenize(str(d.get(f) or "")))
+                for f in indexed_cols
+            ]
+            dls.append(len(srcs[0][1]))
+            for prefix, toks in srcs:
+                if prefix:
+                    field_len_sums[prefix[:-1]] += len(toks)
+                positions = defaultdict(list)
+                for i, t in enumerate(toks):
+                    positions[t].append(i)
+                for t, pos in positions.items():
+                    post[prefix + t].append(
+                        (
+                            d["doc_id"],
+                            len(pos),
+                            np.array(pos, dtype=np.int64),
+                            len(toks),
+                        )
+                    )
         self.all_ids = np.array(ids, dtype=np.int64)
         self.all_dls = np.array(dls, dtype=np.int64)
-        dl_of = dict(zip(ids, dls))
         postings: Dict[str, Posting] = {}
         df: Dict[str, int] = {}
         for t, rows in post.items():
@@ -147,7 +164,7 @@ class OracleIndex:
             postings[t] = Posting(
                 ids=np.array([r[0] for r in rows], dtype=np.int64),
                 tfs=np.array([r[1] for r in rows], dtype=np.int64),
-                dls=np.array([dl_of[r[0]] for r in rows], dtype=np.int64),
+                dls=np.array([r[3] for r in rows], dtype=np.int64),
                 positions=[r[2] for r in rows],
             )
             df[t] = len(rows)
@@ -162,11 +179,18 @@ class OracleIndex:
         )
         self.dictionary = InMemoryDictionary(df)
         self.meta_fields = meta_cols
+        indexed_fields = {
+            f: (field_len_sums[f] / self.n_docs or 1.0)
+            if self.n_docs
+            else 1.0
+            for f in indexed_cols
+        }
         self.planner = P.Planner(
             self.dictionary,
             self.n_docs,
             meta_fields=meta_cols,
             analyzer=analyzer,
+            indexed_fields=indexed_fields,
         )
 
     def plan(self, q: Union[str, ast.Query]) -> P.PNode:

@@ -1,0 +1,183 @@
+"""Indexed full-text FIELDS (per-field postings + per-field BM25
+norms): extra text columns indexed under the "<field>:<token>" term
+namespace with the field's token count as posting doc_len, scored
+with the field's avgdl (stats.json "indexed_fields") — Lucene's
+multi-field model re-expressed on the shared postings layout.
+
+Rank identity: both executors vs the brute-force oracle (which builds
+its field postings independently), across every query shape scoped
+to a field, plus mixed field/content booleans.
+"""
+
+import pytest
+
+TITLES = [
+    "query parser basics",
+    "query planner internals",
+    "posting list compression",
+    "block max wand pruning",
+    "bm25 scoring deep dive",
+    "lexer and parser tricks",
+    "segment merge policy",
+    "index build pipeline",
+]
+
+BODIES = [
+    "the parser reads tokens from the lexer and builds a tree",
+    "scoring uses bm25 with doc length normalization",
+    "postings are delta encoded and varbyte compressed",
+    "wand skips blocks whose upper bound cannot compete",
+    "the planner resolves idf from the term dictionary",
+    "merge combines sorted runs of postings",
+    "shards evaluate queries locally and emit top k",
+    "compression tradeoffs depend on gap distribution",
+]
+
+
+@pytest.fixture(scope="module")
+def field_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i in range(48):
+        rows.append(
+            (
+                f"org/r{i % 3}",
+                f"src/f{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                TITLES[i % len(TITLES)] + (" extra" if i % 5 == 0 else ""),
+                BODIES[i % len(BODIES)] + f" filler{i % 7}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "title string, content string",
+    )
+    out = str(tmp_path_factory.mktemp("fieldix") / "ix")
+    stats = IndexBuilder(num_shards=2, block_size=16).build(
+        docs, out, indexed_cols=["title"]
+    )
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "title": r[4],
+            "content": r[5],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list, indexed_cols=["title"])
+    return ix, oracle, stats
+
+
+def test_stats_record_field_avgdl(field_index):
+    ix, oracle, stats = field_index
+    assert "title" in stats["indexed_fields"]
+    assert (
+        abs(
+            stats["indexed_fields"]["title"]
+            - oracle.planner.indexed_fields["title"]
+        )
+        < 1e-9
+    )
+    # field avgdl differs from the content avgdl (different lengths)
+    assert (
+        abs(stats["indexed_fields"]["title"] - stats["avg_dl"]) > 0.5
+    )
+
+
+def test_field_terms_in_dictionary(field_index):
+    ix, oracle, stats = field_index
+    assert ix.dictionary.lookup_df(["title:parser"]) == {
+        "title:parser": oracle.dictionary.lookup_df(["title:parser"])[
+            "title:parser"
+        ]
+    }
+    # content term unaffected by the title postings
+    assert (
+        ix.dictionary.lookup_df(["parser"])["parser"]
+        == oracle.dictionary.lookup_df(["parser"])["parser"]
+    )
+
+
+FIELD_QUERIES = [
+    "title:parser",                       # field term, field norms
+    "title:query",
+    "parser",                             # content unaffected
+    'title:"query parser"',               # phrase within field
+    'title:"query basics"~2',             # proximity within field
+    "title:par*",                         # prefix expansion
+    "title:p?rser",                       # wildcard
+    "title:/p.rser/",                     # regex
+    "title:[basics TO merge]",            # range within namespace
+    "title:[* TO *]",                     # field existence
+    "title:parsr~1",                      # fuzzy within field
+    "title:(parser OR planner)",          # boolean inside field
+    "title:(query AND NOT planner)",
+    "title:(query parser wand)@2",        # min-match inside field
+    "title:parser^2 OR scoring",          # mixed field/content boost
+    "title:parser AND tokens",            # field MUST + content MUST
+    "title:wand OR wand",                 # same token, two namespaces
+    "+title:query -title:planner basics",
+    "lang:en AND title:merge",            # meta filter + field term
+]
+
+
+@pytest.mark.parametrize("q", FIELD_QUERIES)
+def test_field_rank_identity_both_executors(field_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = field_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_field_scores_use_field_avgdl(field_index):
+    """A title term's score must use the title avgdl — recompute one
+    doc's score by hand from stats + dictionary."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.scoring import idf as idf_fn
+
+    ix, oracle, stats = field_index
+    row = DataFrameExecutor(ix).search("title:compression", k=1).collect()[0]
+    df = ix.dictionary.lookup_df(["title:compression"])["title:compression"]
+    i = idf_fn(df, stats["n_docs"])
+    d = next(
+        d for d in oracle.docs if d["doc_id"] == row["doc_id"]
+    )
+    from lucille_spark.analysis import tokenize
+
+    dl = len(tokenize(d["title"]))
+    adl = stats["indexed_fields"]["title"]
+    expect = i * 1 / (1 + 1.2 * (1 - 0.75 + 0.75 * dl / adl))
+    assert abs(row["score"] - expect) < 1e-9
+
+
+def test_unknown_field_still_falls_through_to_content(field_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = field_index
+    a = DataFrameExecutor(ix).search("nosuchfield:parser", k=10).collect()
+    b = DataFrameExecutor(ix).search("parser", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
