@@ -455,6 +455,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ft_ifield_prefix"] = lambda s, d: _search_field(s, d, "title:sp*")
 
+    # ---- multi-field search (MultiFieldQueryParser semantics): the
+    # unscoped leaf is rewritten to (spark OR (title:spark)^2.0) —
+    # score = content BM25 + 2x title BM25, summed per doc.
+    def mfield_q(s, d, wand=False):
+        from lucille_spark.search_features import multi_field
+
+        ast_q = multi_field("spark", {"content": 1.0, "title": 2.0})
+        return _search_field(s, d, ast_q, wand=wand)
+
+    q["ft_mfield"] = mfield_q
+    q["wand_mfield"] = lambda s, d: mfield_q(s, d, wand=True)
+
     # ---- query-time synonym expansion (query-expansion OR
     # semantics — the rewrite is exactly equivalent to typing the
     # disjunction, so the oracle is the expanded boolean) -----------
@@ -962,6 +974,25 @@ ORDER BY s DESC, doc_id LIMIT 10"""
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
     o["wand_ifield_mix"] = o["ft_ifield_mix"]
+
+    # multi-field: content BM25('spark') + 2x title BM25('spark')
+    o["ft_mfield"] = (
+        f"WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}), "
+        f"{_TITLE_CTES}, {_title_term_sc('spark')}, "
+        "ctf AS (SELECT doc_id, count(*) AS tf FROM tok "
+        "WHERE term = 'spark' GROUP BY doc_id), "
+        "cdf AS (SELECT count(*) AS df FROM ctf), "
+        "csc AS (SELECT ctf.doc_id, "
+        "ln(1.0 + (st.n - cdf.df + 0.5) / (cdf.df + 0.5)) * ctf.tf / "
+        f"(ctf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s "
+        "FROM ctf CROSS JOIN cdf JOIN dl USING (doc_id) CROSS JOIN st), "
+        "u AS (SELECT doc_id, 2.0 * s AS s FROM tsc UNION ALL "
+        "SELECT doc_id, s FROM csc), "
+        "agg AS (SELECT doc_id, sum(s) AS s FROM u GROUP BY doc_id) "
+        "SELECT doc_id, round(s, 4) AS score FROM agg "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    o["wand_mfield"] = o["ft_mfield"]
 
     # prefix expansion inside the field namespace: constant score
     o["ft_ifield_prefix"] = (

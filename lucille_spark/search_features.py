@@ -235,6 +235,66 @@ def explain_search(index, query: str) -> dict:
     return info
 
 
+def multi_field(query, fields: dict, default_field: str = "content"):
+    """MultiFieldQueryParser-style rewrite (Lucene
+    queryparser.classic.MultiFieldQueryParser semantics): every leaf
+    that is NOT already field-scoped becomes a disjunction of the
+    same leaf scoped to each field, with an optional per-field boost
+    — ``spark`` with {"content": 1.0, "title": 2.0} becomes
+    ``(spark OR title:spark^2.0)``. Scores are the SUM of the
+    matching per-field BM25 clauses (Lucene builds the per-field
+    queries as SHOULD clauses of one BooleanQuery). Explicitly
+    scoped subtrees (``path:foo``) are left untouched, as are
+    boolean structure, NOT/+/-, boosts, and minimum-match.
+
+    `fields` maps field name -> boost weight; `default_field` maps
+    to the bare (unscoped) leaf so content queries keep their exact
+    single-field plan. Returns a rewritten AST — feed it to either
+    executor's search(); with `fields` naming indexed full-text
+    fields (build(indexed_cols=...)), each clause scores with its
+    field's own BM25 norms.
+    """
+    from lucille_spark import ast
+    from lucille_spark.parser import parse
+
+    if isinstance(query, str):
+        query = parse(query)
+
+    def leaf_alt(leaf, field: str, weight: float):
+        sub = leaf if field == default_field else ast.Field(field, leaf)
+        if weight != 1.0:
+            sub = ast.Boost(sub, float(weight))
+        return sub
+
+    def rw(n):
+        if isinstance(n, ast.Field):
+            return n  # explicit scope wins — do not multiply
+        if isinstance(n, ast.TermQuery):
+            alts = [leaf_alt(n, f, w) for f, w in fields.items()]
+            if len(alts) == 1:
+                return alts[0]
+            return ast.Group(ast.Or(tuple(alts)))
+        if isinstance(n, ast.Or):
+            return ast.Or(tuple(rw(c) for c in n.qs))
+        if isinstance(n, ast.And):
+            return ast.And(tuple(rw(c) for c in n.qs))
+        if isinstance(n, ast.MinimumMatch):
+            return ast.MinimumMatch(tuple(rw(c) for c in n.qs), n.num)
+        if isinstance(n, ast.Not):
+            return ast.Not(rw(n.q))
+        if isinstance(n, ast.UnaryPlus):
+            return ast.UnaryPlus(rw(n.q))
+        if isinstance(n, ast.UnaryMinus):
+            return ast.UnaryMinus(rw(n.q))
+        if isinstance(n, ast.Group):
+            return ast.Group(rw(n.q))
+        if isinstance(n, ast.Boost):
+            return ast.Boost(rw(n.q), n.boost)
+        return n
+
+    return rw(query)
+
+
 def expand_synonyms(query, synonyms: dict):
     """Query-time synonym expansion: rewrite every Term whose text has
     an entry in `synonyms` into a parenthesized disjunction of the

@@ -172,6 +172,62 @@ def test_field_scores_use_field_avgdl(field_index):
     assert abs(row["score"] - expect) < 1e-9
 
 
+MF_QUERIES = [
+    # (query string, weights)
+    ("parser", {"content": 1.0, "title": 2.0}),
+    ("query scoring", {"content": 1.0, "title": 3.0}),
+    ("parser AND tree", {"content": 1.0, "title": 2.0}),
+    ('"query parser"', {"content": 1.0, "title": 2.0}),
+    ("par*", {"content": 1.0, "title": 1.5}),
+    ("parser -planner", {"content": 1.0, "title": 2.0}),
+    ("lang:en AND parser", {"content": 1.0, "title": 2.0}),
+    ("wand", {"title": 1.0}),  # single non-default field
+]
+
+
+@pytest.mark.parametrize("q,w", MF_QUERIES)
+def test_multi_field_rank_identity(field_index, q, w):
+    """multi_field rewrite is pure AST surgery, so the rewritten tree
+    must be rank-identical across executors AND equal to feeding the
+    same rewritten tree to the oracle."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.search_features import multi_field
+
+    ix, oracle, stats = field_index
+    ast_q = multi_field(q, w)
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(ast_q, k=10)
+    ]
+    assert expected, f"query {q!r} should match"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(ast_q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_multi_field_rewrite_shape():
+    from lucille_spark import ast, parse, print_query
+    from lucille_spark.search_features import multi_field
+
+    out = multi_field("spark", {"content": 1.0, "title": 2.0})
+    assert print_query(out) == "(spark OR (title:spark)^2.00)"
+    # explicit scope untouched
+    out = multi_field("path:foo", {"content": 1.0, "title": 2.0})
+    assert out == parse("path:foo")
+    # boolean structure preserved, leaves multiplied
+    out = multi_field("a AND NOT b", {"content": 1.0, "title": 2.0})
+    assert print_query(out) == (
+        "(a OR (title:a)^2.00) AND NOT (b OR (title:b)^2.00)"
+    )
+    # sum-of-fields semantics: the rewrite equals typing the OR
+    assert multi_field("x", {"content": 1.0, "title": 1.0}) == ast.Group(
+        ast.Or((ast.Term("x"), ast.Field("title", ast.Term("x"))))
+    )
+
+
 def test_unknown_field_still_falls_through_to_content(field_index):
     from lucille_spark.exec_df import DataFrameExecutor
 
