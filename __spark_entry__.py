@@ -203,6 +203,86 @@ def _search_field(spark, sf_dir, q, k=10, wand=False):
 
 
 # --------------------------------------------------------------------
+# tombstone-delete index: the standard index with doc_id % 10 == 3
+# tombstoned (index.maintenance.delete_docs). Queries exclude those
+# docs while BM25 stats stay AS BUILT (Lucene live-docs semantics);
+# the purged twin (maintenance.purge_deletes) physically rewrites the
+# index, recomputing stats, so its oracle recomputes over the
+# filtered corpus.
+# --------------------------------------------------------------------
+
+_DEL_PRED_SQL = "doc_id % 10 <> 3"
+
+
+def _del_index_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "del:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"del_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir)
+        IndexBuilder(num_shards=4, block_size=128).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+        delete_docs(
+            spark,
+            out,
+            docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _purged_index_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.maintenance import purge_deletes
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "purged:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    src = _del_index_for(spark, sf_dir)  # ensures the del index exists
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"purged_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        purge_deletes(spark, src.dir, out)
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _search_del(spark, sf_dir, q, k=10, wand=False, purged=False):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix = (
+        _purged_index_for(spark, sf_dir)
+        if purged
+        else _del_index_for(spark, sf_dir)
+    )
+    ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+    out = ex.search(q, k=k)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# --------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------
 
@@ -466,6 +546,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_mfield"] = mfield_q
     q["wand_mfield"] = lambda s, d: mfield_q(s, d, wand=True)
+
+    # ---- tombstone deletes + physical purge (Lucene live-docs):
+    # deleted docs excluded with as-built stats; the purged index
+    # rescored over the remaining corpus.
+    q["ft_deleted"] = lambda s, d: _search_del(s, d, "spark AND batch")
+    q["wand_deleted"] = lambda s, d: _search_del(
+        s, d, "spark AND batch", wand=True
+    )
+    q["ft_purged"] = lambda s, d: _search_del(
+        s, d, "spark OR batch", purged=True
+    )
+    q["wand_purged"] = lambda s, d: _search_del(
+        s, d, "spark OR batch", wand=True, purged=True
+    )
 
     # ---- query-time synonym expansion (query-expansion OR
     # semantics — the rewrite is exactly equivalent to typing the
@@ -1018,6 +1112,33 @@ SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     )
     o["wand_or"] = o["ft_or"]
+
+    # tombstoned index: stats stay AS BUILT (full-corpus n/avgdl/df),
+    # deleted docs are only dropped from the result set
+    o["ft_deleted"] = (
+        _cte(["spark", "batch"])
+        + f"""
+, agg AS (SELECT doc_id, sum(s) AS sr, count(*) AS m FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+WHERE m = 2 AND {_DEL_PRED_SQL}
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+    o["wand_deleted"] = o["ft_deleted"]
+
+    # purged index: full recompute over the REMAINING corpus — every
+    # CTE's `documents` source is replaced by the filtered subquery,
+    # so n/avgdl/df all shrink exactly like the physical purge
+    o["ft_purged"] = (
+        _cte(["spark", "batch"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    ).replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {_DEL_PRED_SQL})",
+    )
+    o["wand_purged"] = o["ft_purged"]
 
     # synonym expansion: `fast AND table` with table -> {row, column}
     # is exactly `fast AND (table OR row OR column)` (query-expansion

@@ -54,6 +54,13 @@ class DataFrameExecutor:
         order, limited to k (None = all matches)."""
         node = self.ix.plan(query)
         df = self.evaluate(node)
+        # tombstoned docs (index.maintenance.delete_docs) are excluded
+        # from results; scores/stats stay as built until purge. The
+        # delete set is small by contract -> broadcast anti-join, no
+        # shuffle of the match set.
+        dd = getattr(self.ix, "deleted_df", None)
+        if dd is not None:
+            df = df.join(F.broadcast(dd), "doc_id", "left_anti")
         df = df.orderBy(F.desc("score"), F.asc("doc_id"))
         if k is not None:
             df = df.limit(k)

@@ -79,8 +79,10 @@ class WandExecutor:
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
         decode = DECODERS[ix.stats.get("codec", "varbyte")]
+        deleted = getattr(ix, "deleted_ids", None)
         kernel = _make_kernel(
-            node, avgdl, k, self.prune, need_uni, meta_cols, decode
+            node, avgdl, k, self.prune, need_uni, meta_cols, decode,
+            deleted,
         )
         if need_uni:
             # cogroup segments with the shard's doclens slice so the
@@ -154,8 +156,10 @@ class WandExecutor:
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
         decode = DECODERS[ix.stats.get("codec", "varbyte")]
+        deleted = getattr(ix, "deleted_ids", None)
         kernel = _make_batch_kernel(
-            nodes, avgdl, k, need_uni, pos_terms, meta_cols, decode
+            nodes, avgdl, k, need_uni, pos_terms, meta_cols, decode,
+            deleted,
         )
         if need_uni:
             dl = ix.doclens.select(
@@ -188,6 +192,7 @@ def _make_batch_kernel(
     pos_terms: set,
     meta_cols: List[str],
     decode=varbyte_decode,
+    deleted: Optional[np.ndarray] = None,
 ):
     """Shard kernel for search_many: decode every term in the shard
     slice ONCE (positions only for terms some query needs
@@ -209,10 +214,16 @@ def _make_batch_kernel(
             for c in meta_cols:
                 if c in dl_pdf.columns:
                     sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
+            if deleted is not None and sd.all_ids.size:
+                live = ~_in_sorted(sd.all_ids, deleted)
+                sd.all_ids = sd.all_ids[live]
+                sd.all_dls = sd.all_dls[live]
+                for c in list(sd.meta):
+                    sd.meta[c] = sd.meta[c][live]
         for term, rows in seg_pdf.groupby("term", sort=True):
             rows = rows.sort_values(["doc_id_base", "block_id"])
             sd.postings[str(term)] = _build_posting(
-                rows, str(term) in pos_terms, decode
+                rows, str(term) in pos_terms, decode, deleted
             )
         frames = []
         for qid, node in nodes.items():
@@ -288,8 +299,19 @@ def _decode_block(
     return ids, tfs, dls, poss
 
 
+def _in_sorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of vals in a SORTED unique array (searchsorted,
+    no hashing)."""
+    idx = np.searchsorted(sorted_arr, vals)
+    idx[idx == sorted_arr.size] = 0
+    return sorted_arr[idx] == vals
+
+
 def _build_posting(
-    rows: pd.DataFrame, want_positions: bool, decode=varbyte_decode
+    rows: pd.DataFrame,
+    want_positions: bool,
+    decode=varbyte_decode,
+    deleted: Optional[np.ndarray] = None,
 ) -> Posting:
     ids_l, tfs_l, dls_l, pos_l = [], [], [], []
     has_pos = True
@@ -313,6 +335,16 @@ def _build_posting(
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         if keep_pos:
             pos_l = [pos_l[i] for i in order]
+    if deleted is not None and ids.size:
+        # tombstones drop out at decode time, BEFORE any scoring or
+        # pruning threshold — block upper bounds stored at build may
+        # still reflect a deleted doc's tf, which only makes them
+        # looser (still valid upper bounds), so pruning stays sound
+        live = ~_in_sorted(ids, deleted)
+        if not live.all():
+            if keep_pos:
+                pos_l = [p for p, m in zip(pos_l, live) if m]
+            ids, tfs, dls = ids[live], tfs[live], dls[live]
     return Posting(
         ids=ids,
         tfs=tfs,
@@ -379,6 +411,7 @@ def _make_kernel(
     need_uni: bool,
     meta_cols: List[str],
     decode=varbyte_decode,
+    deleted: Optional[np.ndarray] = None,
 ):
     flat = _flat_terms(node) if prune else None
     want_pos = P.needs_positions(node)
@@ -396,11 +429,19 @@ def _make_kernel(
             for c in meta_cols:
                 if c in dl_pdf.columns:
                     sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
+            if deleted is not None and sd.all_ids.size:
+                live = ~_in_sorted(sd.all_ids, deleted)
+                sd.all_ids = sd.all_ids[live]
+                sd.all_dls = sd.all_dls[live]
+                for c in list(sd.meta):
+                    sd.meta[c] = sd.meta[c][live]
 
         groups = dict(tuple(seg_pdf.groupby("term", sort=True)))
 
         if flat is not None and len(groups) > 1:
-            ids, scores = _eval_flat_pruned(flat, groups, sd, k, decode)
+            ids, scores = _eval_flat_pruned(
+                flat, groups, sd, k, decode, deleted
+            )
         else:
             for term, rows in groups.items():
                 # a term may arrive as several disjoint doc-range
@@ -408,7 +449,7 @@ def _make_kernel(
                 # doc_id_base restores ascending ids
                 rows = rows.sort_values(["doc_id_base", "block_id"])
                 sd.postings[str(term)] = _build_posting(
-                    rows, want_pos, decode
+                    rows, want_pos, decode, deleted
                 )
             ids, scores = evaluate(node, sd)
         ids, scores = top_k(ids, scores, k)
@@ -424,7 +465,12 @@ def _make_kernel(
 
 
 def _eval_flat_pruned(
-    flat, groups, sd: ShardData, k: int, decode=varbyte_decode
+    flat,
+    groups,
+    sd: ShardData,
+    k: int,
+    decode=varbyte_decode,
+    deleted: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-max pruned evaluation of flat AND/OR over PTerms.
     Counts decoded blocks in _PRUNE_STATS for testability. Block
@@ -456,7 +502,7 @@ def _eval_flat_pruned(
         # decode rarest term (fewest postings) fully
         order = sorted(avail, key=lambda t: int(avail[t]["n_docs"].sum()))
         first = order[0]
-        p = _build_posting(avail[first], False, decode)
+        p = _build_posting(avail[first], False, decode, deleted)
         stats["decoded_blocks"] += len(avail[first])
         cand_ids = p.ids
         score = bm25_np(p.tfs, p.dls, terms[first].idf, _adl(first))
@@ -468,7 +514,7 @@ def _eval_flat_pruned(
             stats["decoded_blocks"] += int(sel.sum())
             if not sel.any():
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            pt = _build_posting(rows[sel], False, decode)
+            pt = _build_posting(rows[sel], False, decode, deleted)
             common, ia, ib = np.intersect1d(
                 cand_ids, pt.ids, assume_unique=True, return_indices=True
             )
@@ -510,7 +556,7 @@ def _eval_flat_pruned(
                 stats["decoded_blocks"] += int(sel.sum())
                 if not sel.any():
                     continue
-                pt = _build_posting(rows[sel], False, decode)
+                pt = _build_posting(rows[sel], False, decode, deleted)
                 common, ia, ib = np.intersect1d(
                     acc_ids, pt.ids, assume_unique=True, return_indices=True
                 )
@@ -521,7 +567,7 @@ def _eval_flat_pruned(
             return acc_ids, acc_sc
         rows = avail[t]
         stats["decoded_blocks"] += len(rows)
-        pt = _build_posting(rows, False, decode)
+        pt = _build_posting(rows, False, decode, deleted)
         sc = bm25_np(pt.tfs, pt.dls, terms[t].idf, _adl(t))
         acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, pt.ids, sc)
         remaining -= ubs[t]

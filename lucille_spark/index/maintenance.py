@@ -1,0 +1,165 @@
+"""Index maintenance: tombstone deletes and physical purge.
+
+Deletes follow Lucene's live-docs model (segments are immutable;
+deletions are side-files applied at query time, made physical by a
+merge): ``delete_docs`` appends doc_ids to ``<index>/deletes/``;
+both executors exclude tombstoned docs from every result while
+df/idf/avgdl/n_docs stay as built — exactly Lucene's
+deleted-but-not-yet-merged scoring — and ``purge_deletes`` rewrites
+the index without them, recomputing all global stats so post-purge
+scores equal a fresh build over the remaining corpus.
+
+Scale notes: the tombstone set rides into the WAND shard kernels as
+a sorted int64 array (8 MB per million ids) and into the DataFrame
+executor as a broadcast anti-join — both fine for the intended
+regime (deletes are a small fraction between purges; purge when the
+set grows). The purge itself is shuffle-free on the posting data:
+doclens and postings_flat are filtered with a broadcast anti-join
+(row order inside each partition is preserved; a within-partition
+re-sort restores term-contiguity across concatenated input files),
+and the dictionary/stats/segments/file-index stages are the
+builder's own — one salted dictionary aggregation is the only
+shuffle, same as a fresh build.
+
+An UPDATE is delete + re-ingest: tombstone the old doc_id and add
+the new revision through ``streaming.IncrementalIndexer`` (deltas)
+or a fresh build of the changed slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucille_spark.index import fsio
+from lucille_spark.index.builder import (
+    BuildConfig,
+    IndexBuilder,
+    Manifest,
+)
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    ids: Union[DataFrame, Iterable[int]],
+) -> int:
+    """Tombstone doc_ids (append-mode parquet under
+    ``<index>/deletes/``). `ids`: iterable of ints or a DataFrame
+    with a ``doc_id`` column. Returns the number of ids written.
+    Re-deleting an already-deleted id is harmless (executors treat
+    the set as a set). Live ``SparkIndex`` readers must call
+    ``refresh_deletes()`` to observe the change."""
+    path = os.path.join(index_dir, "deletes")
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        vals = sorted({int(i) for i in ids})
+        df = spark.createDataFrame(
+            [(i,) for i in vals], "doc_id long"
+        ).coalesce(1)
+    df = df.persist()
+    n = df.count()
+    df.write.mode("append").parquet(path)
+    df.unpersist()
+    return n
+
+
+def delete_by_query(index, query, k=None) -> int:
+    """Tombstone every doc matching a Lucene-syntax `query` (the full
+    match set — k=None). Runs through the DataFrame executor so the
+    match set never leaves the cluster; refreshes the reader's
+    tombstone cache. Returns the number of newly-listed ids."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    matches = DataFrameExecutor(index).search(query, k=k).select("doc_id")
+    n = delete_docs(index.spark, index.dir, matches)
+    index.refresh_deletes()
+    return n
+
+
+def purge_deletes(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    config: BuildConfig = None,
+) -> dict:
+    """Physically rewrite the index at `index_dir` WITHOUT its
+    tombstoned docs into `out_dir` (Lucene's expunge-deletes merge).
+
+    doclens and postings_flat are filtered with a broadcast
+    anti-join (no shuffle of posting data), then the builder's own
+    downstream stages — dictionary (salted agg), stats, segments,
+    file index — run over the filtered postings via the manifest
+    resume path, so df/idf/avgdl/n_docs are recomputed and the
+    purged index is bit-identical in layout to a fresh build over
+    the remaining docs. Returns the new stats dict."""
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError("purge writes a NEW index; out_dir must differ")
+    stats = json.loads(
+        fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
+    )
+    deletes_path = os.path.join(index_dir, "deletes")
+    if not fsio.exists(deletes_path, spark):
+        raise ValueError(f"no deletes/ under {index_dir} to purge")
+    dd = spark.read.parquet(deletes_path).select("doc_id").distinct()
+
+    cfg = config or BuildConfig(
+        num_shards=int(stats["num_shards"]),
+        block_size=int(stats["block_size"]),
+        codec=stats.get("codec", "varbyte"),
+        analyzer=stats.get("analyzer", "standard"),
+    )
+    meta_cols = list(stats.get("meta_cols", []))
+    indexed_cols = sorted(stats.get("indexed_fields", {}))
+
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    (
+        dl.join(F.broadcast(dd), "doc_id", "left_anti")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "doclens"))
+    )
+
+    flat = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    w = (
+        flat.join(F.broadcast(dd), "doc_id", "left_anti")
+        # reading may concatenate files with different term ranges
+        # into one partition; the segment kernel needs sorted
+        # (shard, term, doc_id) runs per partition
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .write.mode("overwrite")
+    )
+    if cfg.max_records_per_file:
+        w = w.option("maxRecordsPerFile", cfg.max_records_per_file)
+    w.parquet(os.path.join(out_dir, "postings_flat"))
+
+    man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"), spark)
+    man.record("doclens", "done", purged_from=index_dir)
+    man.record("postings_flat", "done", purged_from=index_dir)
+    # stages 1+2 are marked done above, so build() goes straight to
+    # the dictionary/stats/segments/file-index stages over the
+    # filtered postings — docs is only a SparkSession carrier here
+    extra = [
+        c
+        for c in dict.fromkeys(indexed_cols + meta_cols)
+        if c not in ("doc_id", "content")
+    ]
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, content string"
+        + "".join(f", {c} string" for c in extra),
+    )
+    return IndexBuilder(cfg).build(
+        empty,
+        out_dir,
+        content_col="content",
+        id_col="doc_id",
+        meta_cols=meta_cols,
+        indexed_cols=indexed_cols,
+        resume=True,
+    )

@@ -279,6 +279,10 @@ class SparkIndex:
         self._cached_segments = None
         self._flat_path = os.path.join(index_dir, "postings_flat")
         self._cache = cache
+        self.deletes_path = os.path.join(index_dir, "deletes")
+        self._deleted_df = None
+        self._deleted_ids = None
+        self._deletes_checked = False
         fidx_path = os.path.join(index_dir, "file_index.json")
         self._fidx = None
         if fsio.exists(fidx_path, spark):
@@ -314,6 +318,51 @@ class SparkIndex:
         if self._cached_segments is not None:
             return self._cached_segments
         return self.spark.read.parquet(self.segments_path)
+
+    # -- tombstone deletes -------------------------------------------
+    # `deletes/` (written by index.maintenance.delete_docs) holds
+    # doc_ids removed logically: both executors exclude them from
+    # results while df/idf/avgdl stay as built (Lucene's
+    # deleted-but-not-merged semantics) until maintenance.purge_deletes
+    # rewrites the index physically. The set is loaded once per
+    # reader; call refresh_deletes() after deleting through a live
+    # reader.
+
+    @property
+    def deleted_df(self) -> "DataFrame | None":
+        """DataFrame(doc_id) of tombstoned docs, or None. Duplicates
+        possible (append-mode writes) — fine for anti-joins."""
+        self._load_deletes()
+        return self._deleted_df
+
+    @property
+    def deleted_ids(self) -> "np.ndarray | None":
+        """Sorted unique np.int64 array of tombstoned doc ids, or
+        None — shipped into the WAND shard kernels (8 MB per million
+        ids; purge before the set grows beyond that scale)."""
+        self._load_deletes()
+        if self._deleted_ids is None and self._deleted_df is not None:
+            pdf = self._deleted_df.toPandas()
+            self._deleted_ids = np.unique(
+                pdf["doc_id"].to_numpy(dtype=np.int64)
+            )
+        return self._deleted_ids
+
+    def _load_deletes(self) -> None:
+        if self._deletes_checked:
+            return
+        self._deletes_checked = True
+        if fsio.exists(self.deletes_path, self.spark):
+            self._deleted_df = self.spark.read.parquet(
+                self.deletes_path
+            ).select("doc_id")
+
+    def refresh_deletes(self) -> None:
+        """Re-read the tombstone set (after delete_docs on a live
+        reader)."""
+        self._deleted_df = None
+        self._deleted_ids = None
+        self._deletes_checked = False
 
     # -- file-level term pruning -----------------------------------
     # The posting files are term-SORTED and split into term-contiguous

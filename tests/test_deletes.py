@@ -1,0 +1,195 @@
+"""Tombstone deletes + physical purge (Lucene live-docs model).
+
+* delete_docs: both executors exclude tombstoned docs from every
+  query shape while scores of live docs keep the AS-BUILT stats
+  (df/idf/avgdl unchanged until purge) — asserted against the oracle
+  evaluated on the full index with deleted ids dropped from results.
+* purge_deletes: the rewritten index is score-identical to a FRESH
+  build over the remaining docs (stats recomputed), for every shape.
+* pruned WAND stays sound with tombstones (prune vs no-prune).
+"""
+
+import pytest
+
+
+def _rows():
+    texts = [
+        "spark streams batch window join",
+        "spark batch pipeline",
+        "window functions in sql",
+        "join orders with lineitem",
+        "spark spark spark tuning",
+        "the quick brown fox",
+        "batch window spark",
+        "distributed joins at scale",
+        "window spark lineage",
+        "barrier execution mode",
+        "spark window",
+        "lineitem orders keys",
+    ]
+    return [
+        {
+            "doc_id": i,
+            "lang": "en" if i % 3 else "fr",
+            "content": t,
+        }
+        for i, t in enumerate(texts)
+    ]
+
+
+DELETED = [0, 4, 7, 10]
+
+QUERIES = [
+    "spark",
+    "spark AND batch",
+    "spark OR window",
+    '"batch window"',
+    "sp*",
+    "spark -batch",
+    "NOT spark",
+    "(spark window join)@2",
+    "lang:en AND spark",
+    "spark^2 OR join",
+]
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = _rows()
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["content"]) for r in rows],
+        "doc_id long, lang string, content string",
+    )
+    out = str(tmp_path_factory.mktemp("delix") / "ix")
+    IndexBuilder(num_shards=2, block_size=4).build(
+        docs, out, id_col="doc_id", meta_cols=["lang"]
+    )
+    delete_docs(spark, out, DELETED)
+    ix = SparkIndex(spark, out)
+    oracle = OracleIndex(rows)
+    return ix, oracle, out, rows
+
+
+def _expected(oracle, q, k=10):
+    """Oracle on the FULL index (as-built stats), deleted dropped
+    from the result list, then top-k."""
+    full = oracle.search(q, k=None)
+    dead = set(DELETED)
+    live = [(int(d), round(float(s), 9)) for d, s in full if d not in dead]
+    return live[:k]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_deleted_docs_excluded_both_executors(del_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, out, rows = del_index
+    expected = _expected(oracle, q)
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in ex.search(q, k=10).collect()
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+        assert not (set(d for d, _ in got) & set(DELETED))
+
+
+def test_wand_prune_matches_exhaustive_with_deletes(del_index):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, out, rows = del_index
+    for q in ("spark OR window OR join", "spark AND window"):
+        a = WandExecutor(ix, prune=True).search(q, k=5).collect()
+        b = WandExecutor(ix, prune=False).search(q, k=5).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+
+def test_delete_by_query(del_index, spark, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import delete_by_query
+    from lucille_spark.index.reader import SparkIndex
+
+    rows = _rows()
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["content"]) for r in rows],
+        "doc_id long, lang string, content string",
+    )
+    out = str(tmp_path / "ix")
+    IndexBuilder(num_shards=2, block_size=4).build(
+        docs, out, id_col="doc_id", meta_cols=["lang"]
+    )
+    ix = SparkIndex(spark, out)
+    n = delete_by_query(ix, "lineitem")
+    assert n == 2  # docs 3 and 11
+    got = {
+        r["doc_id"]
+        for r in DataFrameExecutor(ix).search("orders", k=10).collect()
+    }
+    assert got == set()  # both 'orders' docs also contain 'lineitem'
+
+
+def test_purge_equals_fresh_build(del_index, spark, tmp_path):
+    """After purge, every query scores EXACTLY like a fresh build on
+    the remaining docs (stats recomputed, tombstones gone)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import purge_deletes
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, oracle, out, rows = del_index
+    purged_dir = str(tmp_path / "purged")
+    stats = purge_deletes(spark, out, purged_dir)
+    keep = [r for r in rows if r["doc_id"] not in set(DELETED)]
+    assert stats["n_docs"] == len(keep)
+
+    fresh_dir = str(tmp_path / "fresh")
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["content"]) for r in keep],
+        "doc_id long, lang string, content string",
+    )
+    fstats = IndexBuilder(num_shards=2, block_size=4).build(
+        docs, fresh_dir, id_col="doc_id", meta_cols=["lang"]
+    )
+    assert abs(stats["avg_dl"] - fstats["avg_dl"]) < 1e-12
+    assert stats["n_terms"] == fstats["n_terms"]
+
+    purged = SparkIndex(spark, purged_dir)
+    fresh = SparkIndex(spark, fresh_dir)
+    assert purged.deleted_df is None  # tombstones not carried over
+    for q in QUERIES:
+        for mk in (DataFrameExecutor, WandExecutor):
+            a = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in mk(purged).search(q, k=10).collect()
+            ]
+            b = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in mk(fresh).search(q, k=10).collect()
+            ]
+            assert a == b, f"{mk.__name__} {q!r}"
+
+
+def test_search_many_respects_deletes(del_index):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, out, rows = del_index
+    res = WandExecutor(ix).search_many(
+        {"a": "spark", "b": "window OR join"}, k=10
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+        )
+    assert by_q["a"] == _expected(oracle, "spark")
+    assert by_q["b"] == _expected(oracle, "window OR join")
