@@ -855,6 +855,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         salt="mix1",
     ).select("doc_id", "lang")
 
+    # ---- sequence packing (GPT concat-then-chunk): docs laid end to
+    # end in id order, cut into 512-token sequences; each doc gets
+    # the sequence where it starts + its offset + a straddle flag.
+    # Two-phase distributed cumsum == the oracle's serial window ----
+    q["pipe_pack"] = (
+        lambda s, d: text.pack_sequences(_docs(s, d), "doc_id", "text", 512)
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
     # ---- embedding-cosine near-dup: union a x2-scaled copy (scaling
     # preserves cosine EXACTLY and x2 is float-exact), SRP-bucketed
     # candidate join, exact cosine verify --------------------------
@@ -1831,6 +1841,20 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang, {_sb} AS b FROM documents)
 WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
   WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000 ELSE 0 END"""
+
+    # sequence packing: serial windowed cumsum over doc_id order —
+    # the exact semantics the distributed two-phase cumsum implements
+    o["pipe_pack"] = f"""
+WITH tok AS ({_TOK}),
+tl AS (SELECT d.doc_id, count(t.term) AS n FROM documents d
+       LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+c AS (SELECT doc_id, n, cast(coalesce(sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+      AS before FROM tl)
+SELECT doc_id, cast(n as int) AS n_tokens, before AS tokens_before,
+       before // 512 AS seq_id, before % 512 AS seq_offset,
+       (before % 512) + n > 512 AS straddles
+FROM c ORDER BY doc_id LIMIT 500"""
 
     # embedding near-dup: same SRP planes as the engine (seed 11,
     # 6 bits); the x2-scaled union copy keeps cosine exact (see

@@ -570,3 +570,150 @@ def stratified_sample(
             F.col(strata_col) == s, F.lit(int(round(r * SAMPLE_BUCKETS)))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """GPT-style concat-then-chunk packing assignment: documents are
+    laid end to end in id order and cut into fixed `budget`-token
+    training sequences; each document is assigned the sequence where
+    it STARTS (seq_id = tokens_before // budget) plus its token
+    offset inside that sequence and a `straddles` flag (doc crosses a
+    sequence boundary and will be split by the writer).
+
+    Scale: the global running token total is a TWO-PHASE cumulative
+    sum — range-repartition on the id, per-partition vectorized
+    cumsum inside mapInPandas, with partition token totals collected
+    once (num_partitions scalars, not data) and broadcast back as
+    offsets. No single-partition global window, no shuffle beyond
+    the one range exchange; the same pattern as the builder's
+    deterministic doc-id assignment (index/builder.assign_doc_ids).
+    The range-partitioned frame is persist()ed so the offsets job
+    and the assignment job see identical partitioning.
+
+    -> (doc_id, n_tokens, tokens_before, seq_id, seq_offset,
+    straddles), exact twin of the windowed-cumsum SQL oracle.
+    """
+    import pandas as pd
+
+    d = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokenize_expr(text_col)).alias("n_tokens"),
+    )
+    d = (
+        d.repartitionByRange(num_partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["_pid"]: int(r["tot"])
+        for r in d.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    def assign(batches):
+        running = None  # tokens before the next row, within partition
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if running is None:
+                running = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            n = pdf["n_tokens"].to_numpy("int64")
+            cum = n.cumsum()
+            before = running + cum - n
+            running += int(cum[-1])
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy("int64"),
+                    "n_tokens": n,
+                    "tokens_before": before,
+                    "seq_id": before // budget,
+                    "seq_offset": before % budget,
+                    "straddles": (before % budget) + n > budget,
+                }
+            )
+            yield out
+
+    out = d.mapInPandas(
+        assign,
+        schema=(
+            "doc_id long, n_tokens int, tokens_before long, "
+            "seq_id long, seq_offset long, straddles boolean"
+        ),
+    )
+    return out
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    group_size: int = 4096,
+) -> DataFrame:
+    """Boundary-respecting packing (no document is split): sequential
+    first-fit inside deterministic groups of `group_size` ids —
+    walking docs in id order, a doc joins the current bin unless it
+    would overflow `budget`, else it opens a new bin; docs longer
+    than the budget get a bin of their own. Bins are namespaced
+    (group_id, bin_in_group) so groups pack in PARALLEL with no
+    cross-group coordination — the standard practice for training
+    batches, where bins are independent units anyway.
+
+    -> (doc_id, n_tokens, group_id, bin_id, bin_tokens_before); one
+    applyInPandas over the group key, vectorized outside the
+    unavoidable sequential first-fit walk (bounded by group_size).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokenize_expr(text_col)).alias("n_tokens"),
+        (F.col(id_col).cast("long") / F.lit(group_size))
+        .cast("long")
+        .alias("group_id"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        n = pdf["n_tokens"].to_numpy("int64")
+        bins = np.empty(len(n), dtype=np.int64)
+        before = np.empty(len(n), dtype=np.int64)
+        b, fill = 0, 0
+        for i, t in enumerate(n):
+            if fill > 0 and fill + t > budget:
+                b += 1
+                fill = 0
+            bins[i] = b
+            before[i] = fill
+            fill += int(t)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy("int64"),
+                "n_tokens": n,
+                "group_id": pdf["group_id"].to_numpy("int64"),
+                "bin_id": bins,
+                "bin_tokens_before": before,
+            }
+        )
+
+    return d.groupBy("group_id").applyInPandas(
+        pack,
+        schema=(
+            "doc_id long, n_tokens int, group_id long, bin_id long, "
+            "bin_tokens_before long"
+        ),
+    )

@@ -484,3 +484,98 @@ def test_expand_synonyms_ast():
     assert expand_synonyms("lang:(fast OR slow)", syn) == parse(
         "lang:((fast OR quick) OR slow)"
     )
+
+
+def test_pack_sequences(spark):
+    """Concat-then-chunk assignment: hand-computed on known lengths,
+    and invariant under the partition count (two-phase cumsum must
+    equal the serial one)."""
+    from lucille_spark.ops.text import pack_sequences
+
+    texts = [
+        (0, "a b c d"),          # 4 tokens, before=0  -> seq 0 off 0
+        (1, "e f g"),            # 3, before=4  -> seq 0 off 4 straddle
+        (2, "h i"),              # 2, before=7  -> seq 1 off 1
+        (3, "j k l m n o p q"),  # 8, before=9  -> seq 1 off 3 straddle
+        (4, "r"),                # 1, before=17 -> seq 2 off 5
+        (5, ""),                 # 0, before=18 -> seq 3 off 0
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "text", budget=6).collect()
+    }
+    assert [
+        (
+            rows[i]["tokens_before"],
+            rows[i]["seq_id"],
+            rows[i]["seq_offset"],
+            rows[i]["straddles"],
+        )
+        for i in range(6)
+    ] == [
+        (0, 0, 0, False),
+        (4, 0, 4, True),
+        (7, 1, 1, False),
+        (9, 1, 3, True),
+        (17, 2, 5, False),
+        (18, 3, 0, False),
+    ]
+    a = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                df, "doc_id", "text", budget=6, num_partitions=1
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                df, "doc_id", "text", budget=6, num_partitions=5
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_greedy(spark):
+    """First-fit walk vs a pure-Python reference; bins never exceed
+    the budget except for single over-long docs."""
+    from lucille_spark.ops.text import pack_greedy
+
+    texts = [(i, " ".join(f"t{j}" for j in range((i * 7) % 11 + 1)))
+             for i in range(40)]
+    texts.append((40, " ".join(f"x{j}" for j in range(25))))  # overlong
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pack_greedy(
+            df, "doc_id", "text", budget=12, group_size=16
+        ).collect()
+    }
+
+    # reference walk per group of 16 ids
+    lens = {i: len(t.split()) if t else 0 for i, t in texts}
+    for g in (0, 1, 2):
+        ids = [i for i in sorted(lens) if i // 16 == g]
+        b, fill = 0, 0
+        for i in ids:
+            t = lens[i]
+            if fill > 0 and fill + t > 12:
+                b += 1
+                fill = 0
+            assert got[i]["group_id"] == g
+            assert got[i]["bin_id"] == b, i
+            assert got[i]["bin_tokens_before"] == fill, i
+            fill += t
+
+    # no bin over budget (except singleton over-long docs)
+    bins = {}
+    for i, r in got.items():
+        bins.setdefault((r["group_id"], r["bin_id"]), []).append(
+            r["n_tokens"]
+        )
+    for (g, b), sizes in bins.items():
+        assert sum(sizes) <= 12 or len(sizes) == 1
