@@ -214,6 +214,18 @@ def _search_field(spark, sf_dir, q, k=10, wand=False):
 _DEL_PRED_SQL = "doc_id % 10 <> 3"
 
 
+def _pq_fixture():
+    """Fixed seeded PQ codebooks (m=4 subspaces x 8 codes over 64-dim)
+    + a query vector — data-independent so the DuckDB oracle can embed
+    the identical literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.PCG64(23))
+    books = rng.standard_normal((4, 8, 16))
+    qv = rng.standard_normal(64)
+    return books, qv
+
+
 def _del_index_for(spark: SparkSession, sf_dir: str):
     from lucille_spark.index import IndexBuilder
     from lucille_spark.index.builder import INDEX_FORMAT
@@ -976,6 +988,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
     q["sim_ivf_topk"] = ivf
+
+    # ---- product quantization with FIXED seeded codebooks: encode
+    # (per-subspace argmin-L2 code) + ADC top-k (table lookups only)
+    # are both pure expressions, so the whole path is hash-gated; the
+    # TRAINED variant + recall gates live in tests/test_pq.py --------
+    def pq_fixed(s, d):
+        from lucille_spark.ops import similarity as sim
+
+        books, qv = _pq_fixture()
+        enc = sim.pq_encode(_emb(s, d), "embedding", books)
+        out = sim.pq_topk(enc, qv, books, k=10)
+        return out.select("vec_id", F.round("score", 4).alias("score"))
+
+    q["sim_pq_topk"] = pq_fixed
 
     # ---- multimodal (payload = md5-derived chain; DuckDB oracle
     # reproduces the exact bytes, so these are hash-gated) ----------
@@ -1898,6 +1924,46 @@ WITH d AS (SELECT vec_id, embedding,
   greatest({", ".join(_dotc(i) for i in range(8))}) AS m
   FROM embeddings)
 SELECT vec_id, cast((CASE {_cases} END) as int) AS cell FROM d"""
+
+    # PQ with the same fixed codebooks as queries()["sim_pq_topk"]:
+    # per subspace, code = first-position argmax of (x.c - |c|^2/2)
+    # (list_position == Spark array_position tie-break), score =
+    # list_extract of the SAME driver-computed ADC table literals.
+    _pq_books, _pq_q = _pq_fixture()
+    _pq_codes = []
+    _pq_terms = []
+    for _s in range(4):
+        _sl = (
+            f"list_transform(embedding[{_s * 16 + 1}:{(_s + 1) * 16}], "
+            "x -> CAST(x AS DOUBLE))"
+        )
+        # scientific notation: DuckDB types plain decimal literals as
+        # DECIMAL(18) (whose sums overflow); 1.5e0 parses as DOUBLE
+        _f = "{:.17e}".format
+        _l = "[" + ", ".join(
+            f"list_dot_product({_sl}, "
+            f"[{', '.join(_f(float(x)) for x in _pq_books[_s][_j])}]) "
+            f"- {_f(0.5 * float(_pq_books[_s][_j] @ _pq_books[_s][_j]))}"
+            for _j in range(8)
+        ) + "]"
+        _pq_codes.append(
+            f"(list_position({_l}, list_max({_l})) - 1) AS code{_s}"
+        )
+        _tab = [
+            float(_pq_books[_s][_j] @ _pq_q[_s * 16 : (_s + 1) * 16])
+            for _j in range(8)
+        ]
+        _pq_terms.append(
+            f"list_extract([{', '.join(_f(t) for t in _tab)}], "
+            f"code{_s} + 1)"
+        )
+    o["sim_pq_topk"] = (
+        f"WITH c AS (SELECT vec_id, {', '.join(_pq_codes)} "
+        "FROM embeddings), "
+        f"sc AS (SELECT vec_id, ({' + '.join(_pq_terms)}) AS s FROM c) "
+        "SELECT vec_id, round(s, 4) AS score FROM sc "
+        "ORDER BY s DESC, vec_id LIMIT 10"
+    )
 
     # ---- multimodal -------------------------------------------------
     # Reproduces ops/multimodal.synthesize_media's md5-derived payload

@@ -214,6 +214,156 @@ def ivf_assign(
     return df.withColumn("cell", _argmax_cell(vec_col, centroids))
 
 
+def _argmax_code(subvec, cents: np.ndarray):
+    """Column: index of the sub-codebook centroid minimizing
+    ||x - c||^2, via argmax of (x.c - |c|^2/2) — one dot-product
+    array, first occurrence wins ties (matches the SQL oracle's
+    list_position)."""
+    ds = F.array(
+        *[
+            _dot(subvec, _vec_lit(c.tolist()))
+            - F.lit(0.5 * float(c @ c))
+            for c in cents
+        ]
+    )
+    return (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    splits into `m` contiguous subspaces, each getting its own
+    `n_codes`-centroid Lloyd k-means over the sub-vectors.
+    Deterministic (init = the n_codes smallest-id vectors' slices)
+    and DataFrame-native: ALL m subspaces train in ONE aggregation
+    per iteration — each row explodes into m (subspace, code,
+    subvec) structs, posexplode -> groupBy(s, code, pos) partial-
+    aggregated sums; only m*n_codes*sub tiny rows reach the driver.
+    At 100 TB train on a sample; the full pass is `pq_encode` (one
+    scan, no shuffle). -> (m, n_codes, dim/m) float64."""
+    first = df.select(vec_col).first()[0]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    init = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    a = np.array([r[0] for r in init], dtype=np.float64)
+    books = np.stack(
+        [a[:, s * sub : (s + 1) * sub] for s in range(m)]
+    )  # (m, n_codes, sub)
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        structs = []
+        for s in range(m):
+            sl = F.slice(v, s * sub + 1, sub)
+            structs.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _argmax_code(sl, books[s]).alias("code"),
+                    sl.alias("sv"),
+                )
+            )
+        ex = df.select(F.explode(F.array(*structs)).alias("e")).select(
+            "e.s", "e.code", "e.sv"
+        )
+        rows = (
+            ex.select("s", "code", F.posexplode("sv"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("col").alias("t"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in rows:
+            sums[r["s"], r["code"], r["pos"]] = r["t"]
+            counts[r["s"], r["code"]] = r["n"]
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        books = new  # empty codes keep their previous centroid
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """Adds `codes` (array<int>, length m): per-subspace nearest
+    centroid. One scan, pure JVM expressions — at 100 TB this is the
+    compression pass that shrinks a 64-dim float vector (256 B) to m
+    bytes; downstream ANN reads only the codes column."""
+    m, n_codes, sub = codebooks.shape
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            _argmax_code(F.slice(v, s * sub + 1, sub), codebooks[s])
+            for s in range(m)
+        ]
+    )
+    return df.withColumn("codes", codes)
+
+
+def pq_topk(
+    df_encoded: DataFrame,
+    query: Sequence[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank_vec_col: str = None,
+    shortlist: int = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k by inner product: the query
+    stays exact, each doc scores sum_s table[s][codes[s]] where
+    table[s][j] = q_s . codebook[s][j] is computed driver-side
+    (m*n_codes scalars) and shipped as literal arrays — per doc the
+    scan does m array lookups, NO vector arithmetic at all.
+
+    With `rerank_vec_col` set, ADC is the candidate generator (the
+    standard IVFADC deployment): the `shortlist` best ADC candidates
+    (default 10*k) are re-scored with the EXACT
+    inner product — the expensive dot products touch only the
+    shortlist, so at 100 TB the full scan reads just the m-byte codes
+    column while the vectors column is fetched for a few hundred
+    rows. -> (id, score) desc; recall gated in tests/test_pq.py."""
+    m, n_codes, sub = codebooks.shape
+    q = np.asarray(list(query), dtype=np.float64)
+    table = np.stack(
+        [codebooks[s] @ q[s * sub : (s + 1) * sub] for s in range(m)]
+    )  # (m, n_codes)
+    score = None
+    for s in range(m):
+        tab = _vec_lit(table[s].tolist())
+        term = F.element_at(tab, F.col("codes").getItem(s) + 1)
+        score = term if score is None else score + term
+    if rerank_vec_col is None:
+        return (
+            df_encoded.select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+    n_short = shortlist or 10 * k
+    cand = (
+        df_encoded.select(
+            F.col(id_col),
+            F.col(rerank_vec_col).cast("array<double>").alias("_v"),
+            score.alias("_adc"),
+        )
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(n_short)
+    )
+    exact = _dot(F.col("_v"), _vec_lit(q.tolist()))
+    return (
+        cand.select(F.col(id_col), exact.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df_with_cell: DataFrame,
     vec_col: str,

@@ -1,0 +1,131 @@
+"""Product quantization: deterministic subspace k-means, exact ADC
+scoring (Spark == numpy), distortion improvement over init, and a
+recall@10 gate vs exact inner-product brute force."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.exists(os.path.join(SF, "embeddings.parquet")):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    v = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    return v
+
+
+def test_pq_train_deterministic(emb):
+    from lucille_spark.ops.similarity import pq_train
+
+    b1 = pq_train(emb, "embedding", m=4, n_codes=8, iters=2)
+    b2 = pq_train(emb, "embedding", m=4, n_codes=8, iters=2)
+    assert b1.shape == (4, 8, 16)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def _np_encode(vecs, books):
+    m, n_codes, sub = books.shape
+    codes = np.empty((len(vecs), m), dtype=np.int64)
+    for s in range(m):
+        x = vecs[:, s * sub : (s + 1) * sub]
+        scores = x @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)
+        codes[:, s] = scores.argmax(axis=1)
+    return codes
+
+
+def test_pq_encode_matches_numpy(emb, vecs):
+    from lucille_spark.ops.similarity import pq_encode, pq_train
+
+    books = pq_train(emb, "embedding", m=4, n_codes=8, iters=2)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, "embedding", books).collect()
+    }
+    want = _np_encode(vecs, books)
+    for i in range(len(vecs)):
+        assert got[i] == list(want[i]), i
+
+
+def test_pq_training_reduces_distortion(emb, vecs):
+    """Quantization MSE after Lloyd iterations < MSE of the raw
+    init codebooks."""
+    from lucille_spark.ops.similarity import pq_train
+
+    def mse(books):
+        m, n_codes, sub = books.shape
+        codes = _np_encode(vecs, books)
+        err = 0.0
+        for s in range(m):
+            rec = books[s][codes[:, s]]
+            err += float(
+                ((vecs[:, s * sub : (s + 1) * sub] - rec) ** 2).sum()
+            )
+        return err / vecs.size
+
+    b0 = pq_train(emb, "embedding", m=4, n_codes=8, iters=0)
+    b4 = pq_train(emb, "embedding", m=4, n_codes=8, iters=4)
+    assert mse(b4) < mse(b0)
+
+
+def test_pq_adc_score_exact(emb, vecs):
+    """Spark ADC score == numpy table lookup, bit-for-bit (all-double
+    arithmetic on both sides)."""
+    from lucille_spark.ops.similarity import pq_encode, pq_topk, pq_train
+
+    books = pq_train(emb, "embedding", m=4, n_codes=8, iters=2)
+    q = vecs[7]
+    enc = pq_encode(emb, "embedding", books)
+    rows = pq_topk(enc, q, books, k=20).collect()
+    m, n_codes, sub = books.shape
+    codes = _np_encode(vecs, books)
+    table = np.stack(
+        [books[s] @ q[s * sub : (s + 1) * sub] for s in range(m)]
+    )
+    want_all = sum(table[s][codes[:, s]] for s in range(m))
+    for r in rows:
+        assert r["score"] == pytest.approx(
+            want_all[r["vec_id"]], abs=0.0, rel=0.0
+        )
+
+
+def test_pq_recall_at_10(emb, vecs):
+    """Mean recall@10 (vs exact inner-product top-10) over 20 held
+    queries, m=16 x 16 codes (64 bits) on 64-dim iid-gaussian data —
+    PQ's WORST case (no correlated structure to exploit): pure ADC is
+    gated loosely; ADC + exact re-rank of a 100-candidate shortlist
+    (the standard IVFADC deployment shape) is gated at 0.9."""
+    from lucille_spark.ops.similarity import pq_encode, pq_topk, pq_train
+
+    books = pq_train(emb, "embedding", m=16, n_codes=16, iters=4)
+    enc = pq_encode(emb, "embedding", books).cache()
+    adc, rerank = [], []
+    for qi in range(0, 200, 10):
+        q = vecs[qi]
+        exact = set(np.argsort(-(vecs @ q), kind="stable")[:10])
+        got = {
+            r["vec_id"] for r in pq_topk(enc, q, books, k=10).collect()
+        }
+        adc.append(len(got & exact) / 10.0)
+        got_rr = {
+            r["vec_id"]
+            for r in pq_topk(
+                enc, q, books, k=10,
+                rerank_vec_col="embedding", shortlist=100,
+            ).collect()
+        }
+        rerank.append(len(got_rr & exact) / 10.0)
+    enc.unpersist()
+    assert float(np.mean(adc)) >= 0.35, adc
+    assert float(np.mean(rerank)) >= 0.9, rerank
