@@ -167,7 +167,12 @@ class MultiIndex:
     renumbered into [i*_SHARD_STRIDE, ...) so the doclens/segments
     shard keys stay consistent and disjoint across deltas."""
 
-    def __init__(self, spark: SparkSession, delta_dirs: Sequence[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        delta_dirs: Sequence[str],
+        root_dir: Optional[str] = None,
+    ):
         import numpy as np
 
         from lucille_spark import ast, parse
@@ -175,6 +180,19 @@ class MultiIndex:
 
         assert delta_dirs, "no deltas ingested yet"
         self.spark = spark
+        # tombstones (index.maintenance.delete_docs): the stream ROOT
+        # carries global-doc-id deletes (the update flow: tombstone
+        # the old revision, re-ingest the new one as a delta); each
+        # delta may also carry its own. Union them — both executors
+        # read deleted_df/deleted_ids exactly as on SparkIndex.
+        self._delete_paths = [
+            p
+            for p in [os.path.join(d, "deletes") for d in delta_dirs]
+            + ([os.path.join(root_dir, "deletes")] if root_dir else [])
+            if fsio.exists(p, spark)
+        ]
+        self._deleted_df = None
+        self._deleted_ids = None
         stats = []
         for d in delta_dirs:
             stats.append(
@@ -233,10 +251,29 @@ class MultiIndex:
             query = self._parse(query)
         return self.planner.plan(query)
 
+    @property
+    def deleted_df(self):
+        if self._deleted_df is None and self._delete_paths:
+            self._deleted_df = _union_parquet(
+                self.spark, self._delete_paths
+            ).select("doc_id")
+        return self._deleted_df
+
+    @property
+    def deleted_ids(self):
+        import numpy as np
+
+        if self._deleted_ids is None and self.deleted_df is not None:
+            pdf = self.deleted_df.toPandas()
+            self._deleted_ids = np.unique(
+                pdf["doc_id"].to_numpy(dtype=np.int64)
+            )
+        return self._deleted_ids
+
 
 def open_multi(spark: SparkSession, index_dir: str) -> MultiIndex:
     ixr = IncrementalIndexer(index_dir)
-    return MultiIndex(spark, ixr.delta_dirs(spark))
+    return MultiIndex(spark, ixr.delta_dirs(spark), root_dir=index_dir)
 
 
 def compact(
@@ -249,7 +286,10 @@ def compact(
     re-shard flat + doclens over the global doc space, then run the
     batch builder's terms/stats/segments stages on the merged
     postings (build() resumes past stages 1-2 because their outputs
-    + manifest entries are in place)."""
+    + manifest entries are in place). Tombstones (root- or per-delta
+    deletes/) are applied physically here — Lucene's merge-applies-
+    deletes semantics — so the compacted index has no delete set and
+    its stats reflect only live docs."""
     cfg = config or BuildConfig()
     ixr = IncrementalIndexer(index_dir)
     deltas = ixr.delta_dirs(spark)
@@ -258,6 +298,16 @@ def compact(
     flat = _union_parquet(
         spark, [os.path.join(d, "postings_flat") for d in deltas]
     )
+    del_paths = [
+        p
+        for p in [os.path.join(index_dir, "deletes")]
+        + [os.path.join(d, "deletes") for d in deltas]
+        if fsio.exists(p, spark)
+    ]
+    if del_paths:
+        dd = _union_parquet(spark, del_paths).select("doc_id").distinct()
+        dl = dl.join(F.broadcast(dd), "doc_id", "left_anti")
+        flat = flat.join(F.broadcast(dd), "doc_id", "left_anti")
     n_docs = dl.count()
     span = max(1, math.ceil(n_docs / cfg.num_shards))
     reshard = (F.col("doc_id") / F.lit(span)).cast("int")

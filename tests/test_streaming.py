@@ -147,3 +147,86 @@ def test_multi_index_wand_executor(incremental, spark, q):
         ]
     )
     assert got == _ranked(oracle.search(q, k=10)), q
+
+
+def test_update_flow_tombstone_then_reingest(spark, tmp_path_factory):
+    """The UPDATE story end to end: ingest v1, tombstone the old
+    doc_id at the stream root, re-ingest the revised doc as a new
+    delta. The served MultiIndex returns only the new revision;
+    compact() applies the tombstone physically (no deletes dir, live
+    stats) and stays rank-identical."""
+    import pandas as pd
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.fixtures import DOCS_SCHEMA
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.streaming import (
+        IncrementalIndexer,
+        MultiIndex,
+        compact,
+        open_multi,
+    )
+
+    root = tmp_path_factory.mktemp("update")
+    in_dir = str(root / "incoming")
+    ix_dir = str(root / "ix")
+    os.makedirs(in_dir)
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        )
+
+    b1 = batch(
+        [
+            ("r1", "a.py", "c1", "python", "alpha unicorn version one"),
+            ("r1", "b.py", "c1", "python", "beta stays the same"),
+            ("r1", "c.py", "c1", "python", "gamma stays too"),
+        ]
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    ixr = IncrementalIndexer(
+        ix_dir, config=BuildConfig(num_shards=2, block_size=8)
+    )
+    ixr.start(spark, in_dir, DOCS_SCHEMA).awaitTermination(120)
+
+    # find the old revision's doc_id and tombstone it at the root
+    mi = open_multi(spark, ix_dir)
+    old = DataFrameExecutor(mi).search("unicorn", k=5).collect()
+    assert len(old) == 1
+    old_id = old[0]["doc_id"]
+    delete_docs(spark, ix_dir, [old_id])
+
+    # re-ingest the revised doc (same path, new commit)
+    b2 = batch(
+        [("r1", "a.py", "c2", "python", "alpha unicorn version two")]
+    )
+    spark.createDataFrame(b2).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    ixr.start(spark, in_dir, DOCS_SCHEMA).awaitTermination(120)
+
+    mi2 = open_multi(spark, ix_dir)
+    for ex in (DataFrameExecutor(mi2), WandExecutor(mi2)):
+        got = ex.search("unicorn", k=5).collect()
+        assert [r["doc_id"] for r in got] == [3], type(ex).__name__
+    got = DataFrameExecutor(mi2).search('"version two"', k=5).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    assert DataFrameExecutor(mi2).search('"version one"', k=5).count() == 0
+
+    # compact applies the tombstone physically
+    cdir = str(root / "compacted")
+    stats = compact(
+        spark, ix_dir, cdir, BuildConfig(num_shards=2, block_size=8)
+    )
+    assert stats["n_docs"] == 3  # 4 ingested - 1 tombstoned
+    cix = SparkIndex(spark, cdir)
+    assert cix.deleted_df is None
+    for ex in (DataFrameExecutor(cix), WandExecutor(cix)):
+        got = ex.search("unicorn", k=5).collect()
+        assert [r["doc_id"] for r in got] == [3], type(ex).__name__
