@@ -161,7 +161,7 @@ def _field_index_for(spark: SparkSession, sf_dir: str):
     from lucille_spark.index.builder import INDEX_FORMAT
     from lucille_spark.index.reader import SparkIndex
 
-    key = "field:" + os.path.abspath(sf_dir)
+    key = "field2:" + os.path.abspath(sf_dir)
     if key in _IX_CACHE:
         return _IX_CACHE[key]
     out = os.path.join(
@@ -178,13 +178,14 @@ def _field_index_for(spark: SparkSession, sf_dir: str):
             ),
             "lang",
             "source",
+            F.length("text").alias("n_chars"),  # numeric meta (points)
         )
         IndexBuilder(num_shards=4, block_size=128).build(
             docs,
             out,
             content_col="text",
             id_col="doc_id",
-            meta_cols=["lang", "source"],
+            meta_cols=["lang", "source", "n_chars"],
             indexed_cols=["title"],
         )
     ix = SparkIndex(spark, out, cache=True)
@@ -558,6 +559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_mfield"] = mfield_q
     q["wand_mfield"] = lambda s, d: mfield_q(s, d, wand=True)
+
+    # ---- numeric meta ranges (Lucene points semantics): n_chars is
+    # an int meta column; [800 TO 1200] compares NUMBERS (a
+    # lexicographic range would scramble it).
+    q["ft_numrange"] = lambda s, d: _search_field(
+        s, d, "n_chars:[200 TO 320]"
+    )
+    q["wand_numrange"] = lambda s, d: _search_field(
+        s, d, "n_chars:[200 TO 320]", wand=True
+    )
+    q["ft_numrange_mix"] = lambda s, d: _search_field(
+        s, d, "spark AND n_chars:[* TO 306]"
+    )
 
     # ---- tombstone deletes + physical purge (Lucene live-docs):
     # deleted docs excluded with as-built stats; the purged index
@@ -1104,6 +1118,22 @@ ORDER BY s DESC, doc_id LIMIT 10"""
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
     o["wand_ifield_mix"] = o["ft_ifield_mix"]
+
+    # numeric meta (points): pure filter = constant score over the
+    # numeric range; mixed = BM25 + 1.0 for the filter clause
+    o["ft_numrange"] = (
+        "SELECT doc_id, cast(1.0 as double) AS score FROM documents "
+        "WHERE length(text) BETWEEN 200 AND 320 "
+        "ORDER BY doc_id LIMIT 10"
+    )
+    o["wand_numrange"] = o["ft_numrange"]
+    o["ft_numrange_mix"] = (
+        _cte(["spark"])
+        + """
+SELECT doc_id, round(1.0 + s, 4) AS score FROM sc
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE length(text) <= 306)
+ORDER BY 1.0 + s DESC, doc_id LIMIT 10"""
+    )
 
     # multi-field: content BM25('spark') + 2x title BM25('spark')
     o["ft_mfield"] = (

@@ -231,6 +231,32 @@ def _eval_meta(node: P.PMetaFilter, sd: ShardData) -> Tuple[np.ndarray, np.ndarr
     col = sd.meta.get(node.field)
     if col is None:
         return _EMPTY
+    if node.kind in ("num_eq", "num_range"):
+        # numeric semantics: values may arrive as numbers (oracle) or
+        # their string representation (doclens) — coerce; NaN never
+        # matches
+        import pandas as pd
+
+        vals = pd.to_numeric(pd.Series(col), errors="coerce").to_numpy(
+            dtype=np.float64
+        )
+        ok = ~np.isnan(vals)
+        if node.kind == "num_eq":
+            mask = ok & (vals == float(node.value[0]))
+        else:
+            lo, hi = node.value
+            lo_inc, hi_inc = node.inclusive
+            mask = ok.copy()
+            if lo is not None:
+                mask &= (
+                    (vals >= float(lo)) if lo_inc else (vals > float(lo))
+                )
+            if hi is not None:
+                mask &= (
+                    (vals <= float(hi)) if hi_inc else (vals < float(hi))
+                )
+        ids = uni[mask]
+        return ids, np.ones(ids.size, dtype=np.float64)
     low = np.char.lower(col.astype(str))
     if node.kind == "eq":
         mask = low == node.value[0]

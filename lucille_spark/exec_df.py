@@ -324,6 +324,28 @@ class DataFrameExecutor:
 
     def _meta(self, node: P.PMetaFilter) -> DataFrame:
         col = F.lower(F.col(node.field).cast("string"))
+        if node.kind in ("num_eq", "num_range"):
+            # numeric meta semantics (Lucene points): compare the
+            # column as a number — doclens stores meta as string, the
+            # cast is exact for values written from numeric sources
+            ncol = F.col(node.field).cast("double")
+            if node.kind == "num_eq":
+                cond = ncol == float(node.value[0])
+            else:
+                lo, hi = node.value
+                lo_inc, hi_inc = node.inclusive
+                cond = ncol.isNotNull()
+                if lo is not None:
+                    cond = cond & (
+                        (ncol >= float(lo)) if lo_inc else (ncol > float(lo))
+                    )
+                if hi is not None:
+                    cond = cond & (
+                        (ncol <= float(hi)) if hi_inc else (ncol < float(hi))
+                    )
+            return self.ix.doclens.filter(cond).select(
+                "doc_id", F.lit(1.0).alias("score")
+            )
         if node.kind == "eq":
             cond = col == node.value[0]
         elif node.kind == "prefix":

@@ -215,6 +215,7 @@ class IndexBuilder:
         indexed_cols: Sequence[str] = (),
         resume: bool = True,
         assume_partitioned: bool = False,
+        meta_types: Optional[Dict[str, str]] = None,
     ) -> dict:
         """Build the full index under `out_dir`. Returns stats dict.
 
@@ -246,6 +247,22 @@ class IndexBuilder:
         for c in indexed_cols:
             if c not in docs.columns:
                 raise ValueError(f"indexed_col {c!r} not in input columns")
+        if meta_types is None:
+            # record each meta column's VALUE type so the planner can
+            # give numeric columns numeric eq/range semantics (Lucene
+            # points) even though doclens stores strings
+            num_types = (
+                "tinyint", "smallint", "int", "bigint", "float",
+                "double",
+            )
+            by_name = {f.name: f.dataType.simpleString() for f in docs.schema}
+            meta_types = {
+                c: "num"
+                if by_name.get(c, "string").split("(")[0] in num_types
+                or by_name.get(c, "").startswith("decimal")
+                else "str"
+                for c in meta_cols
+            }
 
         doclens_path = os.path.join(out_dir, "doclens")
         flat_path = os.path.join(out_dir, "postings_flat")
@@ -427,6 +444,7 @@ class IndexBuilder:
                 "codec": cfg.codec,
                 "analyzer": cfg.analyzer,
                 "meta_cols": meta_cols,
+                "meta_types": meta_types,
                 "shard_span": max(
                     1, math.ceil(int(row["n"]) / cfg.num_shards)
                 ),

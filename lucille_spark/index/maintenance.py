@@ -162,4 +162,5 @@ def purge_deletes(
         meta_cols=meta_cols,
         indexed_cols=indexed_cols,
         resume=True,
+        meta_types=stats.get("meta_types"),
     )

@@ -311,6 +311,7 @@ class SparkIndex:
             meta_fields=self.stats.get("meta_cols", []),
             analyzer=self.stats.get("analyzer", "standard"),
             indexed_fields=self.stats.get("indexed_fields", {}),
+            meta_types=self.stats.get("meta_types", {}),
         )
 
     @property

@@ -97,10 +97,14 @@ class PPhrase(PNode):
 
 @dataclass(frozen=True)
 class PMetaFilter(PNode):
-    """Exact / pattern match on a metadata column; constant score."""
+    """Exact / pattern match on a metadata column; constant score.
+    'num_eq'/'num_range' compare NUMERICALLY (planner emits them for
+    meta columns the build recorded as numeric — Lucene points
+    semantics: year:[2020 TO 2024] means 2020 <= year <= 2024, not a
+    lexicographic string range)."""
 
     field: str
-    kind: str  # 'eq' | 'prefix' | 'regex' | 'range'
+    kind: str  # 'eq' | 'prefix' | 'regex' | 'range' | 'num_eq' | 'num_range'
     value: Tuple[Optional[str], ...]  # eq/prefix/regex: (v,); range: (lo, hi)
     inclusive: Tuple[bool, bool] = (True, True)
 
@@ -227,11 +231,18 @@ class Planner:
         default_field: str = "content",
         analyzer: str = "standard",
         indexed_fields: Optional[Dict[str, float]] = None,
+        meta_types: Optional[Dict[str, str]] = None,
     ) -> None:
         self.dict = dictionary
         self.n_docs = n_docs
         self.meta_fields = set(meta_fields)
         self.default_field = default_field
+        # meta column value types recorded at build (stats.json
+        # "meta_types": col -> "num" | "str"). Numeric columns get
+        # NUMERIC eq/range semantics (Lucene points); pattern kinds
+        # (prefix/wildcard/regex) stay string-typed on the stored
+        # string representation.
+        self.meta_types = dict(meta_types or {})
         # indexed full-text fields: name -> that field's average
         # length (stats.json "indexed_fields"). Their terms live in
         # the SAME dictionary/postings under the key "<field>:<tok>"
@@ -481,10 +492,23 @@ class Planner:
 
     def _plan_meta(self, field: str, q: ast.Query) -> PNode:
         """Compile a query scoped to a metadata column: exact-string
-        semantics on the raw column value (lowercased compare)."""
-        if isinstance(q, ast.Term):
-            return PMetaFilter(field, "eq", (q.value.lower(),))
-        if isinstance(q, ast.Phrase):
+        semantics on the raw column value (lowercased compare);
+        numeric columns (stats.json meta_types) compare numerically
+        for eq/range (Lucene points semantics)."""
+        numeric = self.meta_types.get(field) == "num"
+
+        def num_or_none(v):
+            try:
+                return str(float(v))
+            except (TypeError, ValueError):
+                return None
+
+        if isinstance(q, (ast.Term, ast.Phrase)):
+            if numeric:
+                v = num_or_none(q.value)
+                if v is None:
+                    return PMatchNone()
+                return PMetaFilter(field, "num_eq", (v,))
             return PMetaFilter(field, "eq", (q.value.lower(),))
         if isinstance(q, ast.Prefix):
             return PMetaFilter(field, "prefix", (q.value.lower(),))
@@ -493,6 +517,16 @@ class Planner:
         if isinstance(q, ast.TermRegex):
             return PMetaFilter(field, "regex", (q.value.lower(),))
         if isinstance(q, ast.TermRange):
+            if numeric:
+                lo = num_or_none(q.lower) if q.lower is not None else None
+                hi = num_or_none(q.upper) if q.upper is not None else None
+                if (q.lower is not None and lo is None) or (
+                    q.upper is not None and hi is None
+                ):
+                    return PMatchNone()  # unparseable numeric bound
+                return PMetaFilter(
+                    field, "num_range", (lo, hi), (q.lower_inc, q.upper_inc)
+                )
             lo = q.lower.lower() if q.lower is not None else None
             hi = q.upper.lower() if q.upper is not None else None
             return PMetaFilter(

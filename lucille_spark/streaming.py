@@ -243,6 +243,8 @@ class MultiIndex:
             self.dictionary,
             self.stats["n_docs"],
             meta_fields=self.stats["meta_cols"],
+            meta_types=stats[0].get("meta_types", {}),
+            analyzer=stats[0].get("analyzer", "standard"),
         )
         self._parse, self._ast = parse, ast
 

@@ -185,12 +185,24 @@ class OracleIndex:
             else 1.0
             for f in indexed_cols
         }
+        meta_types = {
+            c: "num"
+            if all(
+                isinstance(v, (int, float))
+                for v in meta[c]
+                if v is not None
+            )
+            and any(v is not None for v in meta[c])
+            else "str"
+            for c in meta_cols
+        }
         self.planner = P.Planner(
             self.dictionary,
             self.n_docs,
             meta_fields=meta_cols,
             analyzer=analyzer,
             indexed_fields=indexed_fields,
+            meta_types=meta_types,
         )
 
     def plan(self, q: Union[str, ast.Query]) -> P.PNode:

@@ -1,0 +1,123 @@
+"""Numeric metadata columns (Lucene points semantics): a meta column
+with a numeric source type gets NUMERIC eq/range comparisons —
+stars:[2 TO 15] means 2 <= stars <= 15, where the lexicographic
+string range would wrongly exclude 9 — on both executors, rank-
+identical to the oracle. String meta columns keep exact-string
+semantics."""
+
+import pytest
+
+STARS = [9, 10, 50, 100, 120, 2, 15, 7, 300, 1]
+
+
+@pytest.fixture(scope="module")
+def num_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = [
+        (
+            i,
+            "en" if i % 2 else "fr",
+            STARS[i],
+            f"spark rocks doc number {i} "
+            + ("batch " * (i % 3)),
+        )
+        for i in range(len(STARS))
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, stars int, content string"
+    )
+    out = str(tmp_path_factory.mktemp("numix") / "ix")
+    stats = IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, id_col="doc_id", meta_cols=["lang", "stars"]
+    )
+    assert stats["meta_types"] == {"lang": "str", "stars": "num"}
+    ix = SparkIndex(spark, out)
+    oracle = OracleIndex(
+        [
+            {
+                "doc_id": r[0],
+                "lang": r[1],
+                "stars": r[2],
+                "content": r[3],
+            }
+            for r in rows
+        ]
+    )
+    return ix, oracle
+
+
+NUM_QUERIES = [
+    "stars:[2 TO 15]",        # numeric: includes 9 (string range wouldn't)
+    "stars:{10 TO 100]",      # exclusive lower
+    "stars:[50 TO *]",
+    "stars:[* TO 9]",
+    "stars:50",               # numeric equality
+    "stars:[2 TO 15] AND spark",
+    "spark AND NOT stars:[100 TO *]",
+    "lang:en AND stars:[* TO 50]",
+]
+
+
+@pytest.mark.parametrize("q", NUM_QUERIES)
+def test_numeric_meta_rank_identity(num_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle = num_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in ex.search(q, k=10).collect()
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_numeric_range_is_really_numeric(num_index):
+    """stars:[2 TO 15] matches values {2,7,9,10,15} — '9' would fall
+    OUTSIDE the lexicographic string range ['2','15']."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle = num_index
+    got = {
+        r["doc_id"]
+        for r in DataFrameExecutor(ix)
+        .search("stars:[2 TO 15]", k=10)
+        .collect()
+    }
+    want = {i for i, s in enumerate(STARS) if 2 <= s <= 15}
+    assert got == want
+    assert 0 in got  # doc 0 has stars=9: the string range would drop it
+
+
+def test_unparseable_numeric_bound_matches_nothing(num_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle = num_index
+    assert (
+        DataFrameExecutor(ix).search("stars:notanumber", k=10).count()
+        == 0
+    )
+    assert (
+        DataFrameExecutor(ix)
+        .search("stars:[abc TO xyz]", k=10)
+        .count()
+        == 0
+    )
+
+
+def test_string_meta_unchanged(num_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle = num_index
+    got = {
+        r["doc_id"]
+        for r in DataFrameExecutor(ix).search("lang:en", k=10).collect()
+    }
+    assert got == {i for i in range(len(STARS)) if i % 2}
