@@ -560,6 +560,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_mfield"] = mfield_q
     q["wand_mfield"] = lambda s, d: mfield_q(s, d, wand=True)
 
+    # ---- the term DICTIONARY itself: df/cf of the 20 most-frequent
+    # terms hash-matched against SQL token stats — direct validation
+    # of the salted two-phase dictionary aggregation.
+    def top_terms(s, d):
+        ix = _index_for(s, d)
+        return (
+            ix.terms_df.select("term", "df", "cf")
+            .orderBy(F.desc("df"), "term")
+            .limit(20)
+        )
+
+    q["ix_dictionary"] = top_terms
+
     # ---- numeric meta ranges (Lucene points semantics): n_chars is
     # an int meta column; [800 TO 1200] compares NUMBERS (a
     # lexicographic range would scramble it).
@@ -1118,6 +1131,13 @@ ORDER BY s DESC, doc_id LIMIT 10"""
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
     o["wand_ifield_mix"] = o["ft_ifield_mix"]
+
+    # dictionary: df = docs containing the term, cf = total tf
+    o["ix_dictionary"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(c) AS cf FROM tf GROUP BY term
+ORDER BY df DESC, term LIMIT 20"""
 
     # numeric meta (points): pure filter = constant score over the
     # numeric range; mixed = BM25 + 1.0 for the filter clause

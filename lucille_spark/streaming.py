@@ -278,6 +278,25 @@ def open_multi(spark: SparkSession, index_dir: str) -> MultiIndex:
     return MultiIndex(spark, ixr.delta_dirs(spark), root_dir=index_dir)
 
 
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    max_deltas: int = 8,
+    config: Optional[BuildConfig] = None,
+) -> Optional[dict]:
+    """Tiered-merge policy hook: compact iff the delta count has
+    reached `max_deltas` (each delta adds a scan leg + shard
+    namespace to the serving union, so read amplification grows
+    linearly with delta count — the classic LSM trade). Call it after
+    each ingest cycle; returns the compacted stats dict, or None when
+    below threshold."""
+    deltas = IncrementalIndexer(index_dir).delta_dirs(spark)
+    if len(deltas) < max_deltas:
+        return None
+    return compact(spark, index_dir, out_dir, config)
+
+
 def compact(
     spark: SparkSession,
     index_dir: str,

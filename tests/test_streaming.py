@@ -230,3 +230,20 @@ def test_update_flow_tombstone_then_reingest(spark, tmp_path_factory):
     for ex in (DataFrameExecutor(cix), WandExecutor(cix)):
         got = ex.search("unicorn", k=5).collect()
         assert [r["doc_id"] for r in got] == [3], type(ex).__name__
+
+
+def test_maybe_compact_policy(incremental, spark, tmp_path_factory):
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.streaming import maybe_compact
+
+    ixr, ix_dir, oracle = incremental
+    out = str(tmp_path_factory.mktemp("policy") / "cx")
+    # 2 deltas ingested: below threshold -> no-op
+    assert maybe_compact(spark, ix_dir, out, max_deltas=3) is None
+    assert not os.path.exists(os.path.join(out, "stats.json"))
+    # at threshold -> compacts
+    stats = maybe_compact(
+        spark, ix_dir, out, max_deltas=2,
+        config=BuildConfig(num_shards=2, block_size=32),
+    )
+    assert stats is not None and stats["n_docs"] == 120
