@@ -560,6 +560,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_mfield"] = mfield_q
     q["wand_mfield"] = lambda s, d: mfield_q(s, d, wand=True)
 
+    # ---- percolator (reverse search): stored queries matched against
+    # the documents table; zero-shuffle mapInPandas over doc batches.
+    def percolate_q(s, d):
+        from lucille_spark.percolate import percolate
+
+        return percolate(
+            _docs(s, d).select("doc_id", F.col("text").alias("content")),
+            {
+                "q_and": "spark AND batch",
+                "q_phrase": '"batch window"',
+                "q_prefix": "win*",
+                "q_not": "spark AND NOT stream",
+            },
+        )
+
+    q["pipe_percolate"] = percolate_q
+
+    # ---- true BM25F: field tfs merge with weights BEFORE saturation
+    # (joint saturation, union df) — Robertson/Zaragoza's model, vs
+    # multi_field's per-field sum-of-BM25s.
+    def bm25f_q(s, d):
+        from lucille_spark.search_features import bm25f_topk
+
+        ix = _field_index_for(s, d)
+        out = bm25f_topk(
+            ix, "spark batch", {"content": 1.0, "title": 2.0}, k=10
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_bm25f"] = bm25f_q
+
     # ---- the term DICTIONARY itself: df/cf of the 20 most-frequent
     # terms hash-matched against SQL token stats — direct validation
     # of the salted two-phase dictionary aggregation.
@@ -1131,6 +1162,50 @@ ORDER BY s DESC, doc_id LIMIT 10"""
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
     o["wand_ifield_mix"] = o["ft_ifield_mix"]
+
+    # percolator: each stored query's match set as (doc_id, query_id)
+    o["pipe_percolate"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}),
+m_and AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+          WHERE a.term = 'spark' AND b.term = 'batch'),
+m_ph AS (SELECT DISTINCT a.doc_id FROM pos a
+         JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         WHERE a.term = 'batch' AND b.term = 'window'),
+m_pre AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'win%'),
+m_not AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'
+          AND doc_id NOT IN
+          (SELECT doc_id FROM tok WHERE term = 'stream'))
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'q_and' AS query_id FROM m_and
+  UNION ALL SELECT doc_id, 'q_phrase' FROM m_ph
+  UNION ALL SELECT doc_id, 'q_prefix' FROM m_pre
+  UNION ALL SELECT doc_id, 'q_not' FROM m_not)
+ORDER BY query_id, doc_id"""
+
+    # true BM25F over (content w=1, title w=2): weighted tf merged
+    # before saturation, weighted dl/avgdl, union-df idf
+    o["ft_bm25f"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}), {_TITLE_CTES},
+ctf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+ttf2 AS (SELECT doc_id, term, count(*) AS tf FROM ttok
+         WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+u AS (SELECT doc_id, term, 1.0 * tf AS wtf FROM ctf
+      UNION ALL SELECT doc_id, term, 2.0 * tf FROM ttf2),
+g AS (SELECT doc_id, term, sum(wtf) AS tfw FROM u GROUP BY doc_id, term),
+dfu AS (SELECT term, count(*) AS dfu FROM g GROUP BY term),
+dlw AS (SELECT dl.doc_id, 1.0 * dl.dl + 2.0 * tdl.dl AS dlw
+        FROM dl JOIN tdl USING (doc_id)),
+params AS (SELECT st.n AS n, 1.0 * st.avgdl + 2.0 * tst.avgdl AS avgdlw
+           FROM st CROSS JOIN tst),
+sc AS (SELECT g.doc_id,
+       ln(1.0 + (p.n - dfu.dfu + 0.5) / (dfu.dfu + 0.5)) * g.tfw /
+       (g.tfw + {K1} * (1.0 - {B} + {B} * dlw.dlw / p.avgdlw)) AS s
+       FROM g JOIN dfu USING (term)
+       JOIN dlw ON g.doc_id = dlw.doc_id CROSS JOIN params p),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score FROM agg
+ORDER BY s DESC, doc_id LIMIT 10"""
 
     # dictionary: df = docs containing the term, cf = total tf
     o["ix_dictionary"] = f"""

@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 from lucille_spark.codec import varbyte_encode_with_lengths
 from lucille_spark.index import fsio
 
-INDEX_FORMAT = 3  # bump when the on-disk layout changes
+INDEX_FORMAT = 4  # bump when the on-disk layout changes
 
 FLAT_SCHEMA = (
     "shard int, term string, doc_id long, doc_len int, tf int, "
@@ -310,10 +310,15 @@ class IndexBuilder:
             )
             if need_doclens:
                 t0 = time.time()
+                # indexed fields also record their per-doc length
+                # (len_<field>) — per-field norms need the field
+                # length for EVERY doc (BM25F weighted dl), not just
+                # docs whose postings the query touches
                 dl_schema = (
                     "shard int, doc_id long, doc_len int, "
-                    "content_sha256 string, "
-                    + ", ".join(f"{c} string" for c in meta_cols)
+                    "content_sha256 string"
+                    + "".join(f", {c} string" for c in meta_cols)
+                    + "".join(f", len_{c} int" for c in indexed_cols)
                 )
                 (
                     base.select(
@@ -324,10 +329,18 @@ class IndexBuilder:
                             F.col(c).cast("string").alias(c)
                             for c in meta_cols
                         ],
+                        *[
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("")
+                            ).alias(f"_ix_{c}")
+                            for c in indexed_cols
+                        ],
                     )
                     .sortWithinPartitions("doc_id")
                     .mapInPandas(
-                        _make_doclens_kernel(meta_cols, cfg.analyzer),
+                        _make_doclens_kernel(
+                            meta_cols, cfg.analyzer, indexed_cols
+                        ),
                         schema=dl_schema,
                     )
                     .write.mode("overwrite")
@@ -605,12 +618,18 @@ def _assign_term_ids(
     )
 
 
-def _make_doclens_kernel(meta_cols: Sequence[str], analyzer: str = "standard"):
+def _make_doclens_kernel(
+    meta_cols: Sequence[str],
+    analyzer: str = "standard",
+    indexed_cols: Sequence[str] = (),
+):
     """mapInPandas kernel for the doclens table: vectorized token
     count (str.count of the analyzer regex — identical to
     len(tokenize(content)) under the configured analyzer) + sha256
     (hashlib; equals Spark sha2(content, 256) and DuckDB sha256 on
-    the UTF-8 bytes)."""
+    the UTF-8 bytes). Each indexed field contributes its own token
+    count column len_<field> (same vectorized counter over the
+    field's text)."""
     import hashlib
 
     from lucille_spark.analysis import pandas_token_counts
@@ -629,9 +648,14 @@ def _make_doclens_kernel(meta_cols: Sequence[str], analyzer: str = "standard"):
             ]
             for c in meta_cols:
                 out[c] = pdf[c]
+            for c in indexed_cols:
+                out[f"len_{c}"] = pandas_token_counts(
+                    pdf[f"_ix_{c}"], analyzer
+                ).astype("int32")
             yield out[
                 ["shard", "doc_id", "doc_len", "content_sha256"]
                 + list(meta_cols)
+                + [f"len_{c}" for c in indexed_cols]
             ]
 
     return kernel

@@ -1,0 +1,172 @@
+"""Reverse search (percolator — Lucene Monitor / Elasticsearch
+percolate parity): STORED queries are matched against INCOMING
+documents, the shape used for alerting, saved-search notification and
+routing in a streaming ingest pipeline.
+
+Spark-first design: the stored queries (parsed once, driver-side —
+syntax errors surface before any job runs) broadcast into a
+``mapInPandas`` kernel; each Arrow batch builds batch-local postings
+with the SAME vectorized kernel the index builder uses, resolves
+expansions against the batch-local term dictionary, and evaluates
+every query with the engine's shared evaluator (eval_local — the
+same code the WAND kernels and the test oracle run, so percolate
+semantics are exactly search semantics). ZERO shuffle: matching is a
+pure per-partition map over the docs; the output is (doc, query_id)
+pairs.
+
+Match semantics are batching-invariant: every query construct is
+doc-local (a doc matches ``wild*`` iff ITS tokens contain a match;
+NOT/min-match/phrase likewise), so expansions against the batch
+dictionary give identical results however Spark slices the input.
+
+Scale: cost is O(stored queries x batch postings) per batch, all
+numpy. For very large query sets the classic optimization (index the
+queries' required terms and prefilter per doc) composes on top; at
+the typical alerting scale (thousands of stored queries) the direct
+sweep is the right trade.
+
+Works on a static DataFrame or inside ``foreachBatch`` of a
+Structured Streaming ingest (the kernel is stateless).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Union
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from lucille_spark import ast
+from lucille_spark import plans as P
+from lucille_spark.parser import parse
+
+
+class BatchDictionary(P.TermDictionary):
+    """Term dictionary over one document batch's vocabulary."""
+
+    def __init__(self, df_counts: Dict[str, int]):
+        self._df = df_counts
+        self._terms = np.array(sorted(df_counts), dtype=object)
+
+    def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {t: self._df[t] for t in terms if t in self._df}
+
+    def expand_prefix(self, prefix: str) -> List[str]:
+        lo = np.searchsorted(self._terms, prefix)
+        hi = np.searchsorted(self._terms, prefix + "￿")
+        return self._terms[lo:hi].tolist()
+
+    def expand_regex(self, pattern: str) -> List[str]:
+        rx = re.compile(pattern)
+        return [t for t in self._terms if rx.fullmatch(t)]
+
+    def expand_range(self, lower, upper, lower_inc, upper_inc):
+        lo = 0
+        if lower is not None:
+            lo = np.searchsorted(
+                self._terms, lower, "left" if lower_inc else "right"
+            )
+        hi = self._terms.size
+        if upper is not None:
+            hi = np.searchsorted(
+                self._terms, upper, "right" if upper_inc else "left"
+            )
+        return self._terms[lo:hi].tolist()
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int, transpositions: bool = False
+    ) -> List[str]:
+        if self._terms.size == 0:
+            return []
+        from lucille_spark.index.reader import _lev_batch
+
+        lens = np.char.str_len(self._terms.astype(str))
+        cand = self._terms[np.abs(lens - len(term)) <= max_edits]
+        if cand.size == 0:
+            return []
+        mask = _lev_batch(cand, term, max_edits, transpositions)
+        return cand[mask].tolist()
+
+
+def percolate(
+    docs: DataFrame,
+    queries: Dict[str, Union[str, ast.Query]],
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    analyzer: str = "standard",
+    meta_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Match every doc against every stored query.
+    -> DataFrame(doc_id long, query_id string), one row per match."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucille_spark.analysis import pandas_token_lists
+    from lucille_spark.eval_local import Posting, ShardData, evaluate
+    from lucille_spark.index.builder import _postings_frame
+
+    asts = {
+        qid: parse(q) if isinstance(q, str) else q
+        for qid, q in queries.items()
+    }
+    meta_cols = list(meta_cols)
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(0).alias("shard"),
+        F.coalesce(F.col(content_col).cast("string"), F.lit("")).alias(
+            "content"
+        ),
+        *[F.col(c).alias(c) for c in meta_cols],
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            flat = _postings_frame(
+                pdf, "content", "", analyzer, pandas_token_lists
+            )
+            sd = ShardData(avgdl=1.0)
+            sd.all_ids = pdf["doc_id"].to_numpy(np.int64)
+            sd.all_dls = np.ones(len(pdf), dtype=np.int64)
+            for c in meta_cols:
+                sd.meta[c] = pdf[c].to_numpy(dtype=object)
+            df_counts: Dict[str, int] = {}
+            if flat is not None:
+                for term, rows in flat.groupby("term", sort=False):
+                    sd.postings[str(term)] = Posting(
+                        ids=rows["doc_id"].to_numpy(np.int64),
+                        tfs=rows["tf"].to_numpy(np.int64),
+                        dls=rows["doc_len"].to_numpy(np.int64),
+                        positions=[
+                            np.asarray(p, dtype=np.int64)
+                            for p in rows["positions"]
+                        ],
+                    )
+                    df_counts[str(term)] = len(rows)
+            planner = P.Planner(
+                BatchDictionary(df_counts),
+                n_docs=max(len(pdf), 1),
+                meta_fields=meta_cols,
+                analyzer=analyzer,
+            )
+            out_ids: List[np.ndarray] = []
+            out_qids: List[np.ndarray] = []
+            for qid, q in asts.items():
+                node = planner.plan(q)
+                ids, _ = evaluate(node, sd)
+                if ids.size:
+                    out_ids.append(ids)
+                    out_qids.append(np.full(ids.size, qid, dtype=object))
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_ids),
+                        "query_id": np.concatenate(out_qids),
+                    }
+                )
+
+    return src.mapInPandas(kernel, schema="doc_id long, query_id string")

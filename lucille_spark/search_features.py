@@ -295,6 +295,121 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def bm25f_topk(index, query_text: str, weights: dict, k: int = 10):
+    """True BM25F (Robertson & Zaragoza's simple BM25F): per query
+    term, field tfs merge with field weights BEFORE the saturation
+    curve —
+
+        tf~ = sum_f w_f * tf_f,   dl~ = sum_f w_f * len_f,
+        avgdl~ = sum_f w_f * avgdl_f,
+        score = sum_t idf_u(t) * tf~ / (tf~ + k1*(1-b + b*dl~/avgdl~))
+
+    with idf_u over the UNION df (docs containing t in ANY weighted
+    field, computed in-plan). This differs from `multi_field`, which
+    scores each field separately and sums AFTER saturation — BM25F is
+    the principled model when a term in both title and body should
+    saturate jointly.
+
+    `weights` maps "content" and/or indexed full-text fields (built
+    with indexed_cols=...) to weights; field lengths come from the
+    doclens len_<field> columns the build records. Declarative plan:
+    one union of pushed-filter postings scans, one (doc, term)
+    aggregation, a tiny broadcast df join, one doclens join, one
+    final per-doc sum into TakeOrderedAndProject — everything in
+    whole-stage codegen, query-term count only affects the IN-list.
+    -> (doc_id, score) desc."""
+    from pyspark.sql import functions as F
+
+    from lucille_spark.scoring import B, K1
+
+    ix = index
+    terms = ix.planner.tokenize(query_text)
+    if not terms:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    qcnt: dict = {}
+    for t in terms:
+        qcnt[t] = qcnt.get(t, 0) + 1
+    uniq = sorted(qcnt)
+
+    avgdl_w = 0.0
+    parts = []
+    all_keys = []
+    for f, w in weights.items():
+        if f == ix.planner.default_field:
+            avgdl_w += w * float(ix.stats["avg_dl"])
+            keys = uniq
+            base = F.col("term")
+        else:
+            if f not in ix.planner.indexed_fields:
+                raise ValueError(f"{f!r} is not an indexed field")
+            avgdl_w += w * float(ix.planner.indexed_fields[f])
+            keys = [f + ":" + t for t in uniq]
+            base = F.substring(F.col("term"), len(f) + 2, 1_000_000)
+        all_keys.extend(keys)
+        rows = ix.flat_for(keys).filter(F.col("term").isin(keys))
+        parts.append(
+            rows.select(
+                "doc_id",
+                base.alias("base"),
+                (F.col("tf").cast("double") * F.lit(float(w))).alias(
+                    "wtf"
+                ),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    g = u.groupBy("doc_id", "base").agg(F.sum("wtf").alias("tfw"))
+    dfu = g.groupBy("base").agg(F.count(F.lit(1)).alias("dfu"))
+
+    dl_cols = []
+    for f, w in weights.items():
+        col = (
+            F.col("doc_len")
+            if f == ix.planner.default_field
+            else F.col(f"len_{f}")
+        )
+        dl_cols.append(col.cast("double") * F.lit(float(w)))
+    dlw = sum(dl_cols[1:], dl_cols[0])
+    dl = ix.doclens.select("doc_id", dlw.alias("dlw"))
+
+    n = int(ix.stats["n_docs"])
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("dfu") + F.lit(0.5))
+        / (F.col("dfu") + F.lit(0.5))
+    )
+    qmap = F.create_map(
+        *[F.lit(x) for t in qcnt for x in (t, float(qcnt[t]))]
+    )
+    per_term = (
+        g.join(F.broadcast(dfu), "base")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                qmap[F.col("base")].cast("double")
+                * idf
+                * F.col("tfw")
+                / (
+                    F.col("tfw")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dlw") / F.lit(avgdl_w)
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def expand_synonyms(query, synonyms: dict):
     """Query-time synonym expansion: rewrite every Term whose text has
     an entry in `synonyms` into a parenthesized disjunction of the

@@ -356,6 +356,7 @@ def compact(
         c
         for c in dl.columns
         if c not in ("shard", "doc_id", "doc_len", "content_sha256")
+        and not c.startswith("len_")  # indexed-field lengths, not meta
     ]
     # stages 3-5 run via the ordinary resumable build
     return IndexBuilder(cfg).build(

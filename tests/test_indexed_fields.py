@@ -237,3 +237,83 @@ def test_unknown_field_still_falls_through_to_content(field_index):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
+
+
+def test_bm25f_rank_identity_vs_reference(field_index):
+    """True BM25F (weighted tf merged BEFORE saturation, union df)
+    against a pure-python reference over the same docs."""
+    import math
+
+    import numpy as np
+
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.scoring import B, K1
+    from lucille_spark.search_features import bm25f_topk
+
+    ix, oracle, stats = field_index
+    W = {"content": 1.0, "title": 2.0}
+    query = "parser scoring"
+    terms = tokenize(query)
+
+    docs = oracle.docs
+    n = len(docs)
+    avgdl_w = W["content"] * stats["avg_dl"] + W["title"] * stats[
+        "indexed_fields"
+    ]["title"]
+    # reference: per doc weighted tf / dl
+    expected = {}
+    dfu = {}
+    for t in set(terms):
+        dfu[t] = sum(
+            1
+            for d in docs
+            if t in tokenize(d["content"]) or t in tokenize(d["title"])
+        )
+    for d in docs:
+        ct = tokenize(d["content"])
+        tt = tokenize(d["title"])
+        dlw = W["content"] * len(ct) + W["title"] * len(tt)
+        s = 0.0
+        for t in terms:
+            tfw = W["content"] * ct.count(t) + W["title"] * tt.count(t)
+            if tfw == 0:
+                continue
+            idf = math.log(1.0 + (n - dfu[t] + 0.5) / (dfu[t] + 0.5))
+            s += idf * tfw / (tfw + K1 * (1 - B + B * dlw / avgdl_w))
+        if s > 0:
+            expected[d["doc_id"]] = s
+    want = sorted(
+        ((round(s, 9), -i) for i, s in expected.items()), reverse=True
+    )[:10]
+    want = [(-i, s) for s, i in want]
+
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in bm25f_topk(ix, query, W, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_bm25f_differs_from_multi_field(field_index):
+    """BM25F saturates across fields jointly: a doc with the term in
+    BOTH fields scores differently than per-field sum-of-BM25s."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import bm25f_topk, multi_field
+
+    ix, oracle, stats = field_index
+    W = {"content": 1.0, "title": 2.0}
+    f_scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(ix, "parser", W, k=48).collect()
+    }
+    m_scores = {
+        r["doc_id"]: r["score"]
+        for r in DataFrameExecutor(ix)
+        .search(multi_field("parser", W), k=48)
+        .collect()
+    }
+    both = set(f_scores) & set(m_scores)
+    assert both
+    assert any(
+        abs(f_scores[d] - m_scores[d]) > 1e-9 for d in both
+    ), "expected joint-saturation to change at least one score"

@@ -1,0 +1,91 @@
+"""Percolator (reverse search): stored queries matched against doc
+batches — results must equal forward-search match sets (oracle
+match_ids) for every query shape, and be invariant to how Spark
+batches the input."""
+
+import pytest
+
+DOCS = [
+    "spark streams batch window join",
+    "spark batch pipeline",
+    "window functions in sql",
+    "join orders with lineitem",
+    "the quick brown fox",
+    "batch window spark",
+    "distributed joins at scale",
+    "window spark lineage",
+    "sparkly but not spark tokens",
+    "wandering windows",
+]
+
+QUERIES = {
+    "q_and": "spark AND batch",
+    "q_or": "spark OR join",
+    "q_phrase": '"batch window"',
+    "q_prefix": "wind*",
+    "q_not": "spark AND NOT batch",
+    "q_fuzzy": "spar~1",
+    "q_minmatch": "(spark window join)@2",
+    "q_range": "[wand TO windz]",
+    "q_meta": "lang:en AND spark",
+    "q_regex": "/jo.n.?/",
+}
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    from tests.oracle import OracleIndex
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "fr", t) for i, t in enumerate(DOCS)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, content string"
+    )
+    oracle = OracleIndex(
+        [
+            {"doc_id": i, "lang": lang, "content": t}
+            for i, lang, t in rows
+        ]
+    )
+    return df, oracle
+
+
+def test_percolate_matches_forward_search(setup):
+    from lucille_spark.percolate import percolate
+
+    df, oracle = setup
+    got = {}
+    rows = percolate(df, QUERIES, meta_cols=["lang"]).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, q in QUERIES.items():
+        want = set(oracle.match_ids(q))
+        assert got.get(qid, set()) == want, f"{qid}: {q!r}"
+
+
+def test_percolate_batching_invariant(setup):
+    from lucille_spark.percolate import percolate
+
+    df, oracle = setup
+    a = sorted(
+        map(tuple, percolate(df, QUERIES, meta_cols=["lang"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            percolate(
+                df.repartition(7), QUERIES, meta_cols=["lang"]
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_percolate_bad_query_fails_fast(setup):
+    from lucille_spark.parser import ParseError
+    from lucille_spark.percolate import percolate
+
+    df, oracle = setup
+    with pytest.raises(ParseError):
+        percolate(df, {"bad": "cat AND "})
