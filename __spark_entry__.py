@@ -999,6 +999,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         max_bucket=10**9,  # SQL oracle has no hot-bucket cap
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
+    # ---- connected components over the verified near-dup pairs
+    # (pairs -> dedup GROUPS; component = min member id) ------------
+    def _flow_pairs(s, d):
+        return dedup.near_duplicates_minhash(
+            _docs(s, d).filter(F.col("doc_id") < 100),
+            "doc_id",
+            "text",
+            n_perm=8,
+            bands=4,
+            threshold=0.6,
+            max_bucket=10**9,
+        )
+
+    q["dd_components"] = lambda s, d: dedup.connected_components(
+        _flow_pairs(s, d), "doc_a", "doc_b"
+    )
+
+    # ---- end-to-end fuzzy-dedup decision: keep = smallest id of
+    # each transitive near-dup group --------------------------------
+    q["dd_groups"] = lambda s, d: dedup.dedup_groups(
+        _docs(s, d).filter(F.col("doc_id") < 100),
+        "doc_id",
+        "text",
+        n_perm=8,
+        bands=4,
+        threshold=0.6,
+        max_bucket=10**9,
+    )
+
     # ---- search-as-you-type (reference docs/index.md:67-96): last
     # term of the in-flight query expands to Term OR Prefix ----------
     def sayt(s, d, wand=False):
@@ -1086,6 +1115,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mm_frame_plan"] = frame_plan
+
+    # ---- result grouping / field collapse (Lucene grouping module /
+    # ES `collapse`): top groups by best doc, top docs per group ----
+    def collapse_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import collapse_topk
+
+        ix = _index_for(s, d)
+        return collapse_topk(
+            DataFrameExecutor(ix), "spark batch window", "lang",
+            k=3, group_size=2,
+        )
+
+    q["ft_collapse"] = collapse_q
+
+    # ---- per-doc score explanation (Lucene IndexSearcher.explain):
+    # the BM25 breakdown behind each top-k score, both executors ----
+    def explain_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import explain_doc
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        return explain_doc(ex, "spark batch window", k=10)
+
+    q["ft_explain_doc"] = explain_q
+    q["wand_explain_doc"] = lambda s, d: explain_q(s, d, wand=True)
+
+    # ---- SemDeDup: k-means-cluster-bucketed semantic dedup with the
+    # SAME fixed centroids as sim_ivf_assign (SQL-reproducible) -----
+    def semdedup_q(s, d):
+        import numpy as np
+
+        from lucille_spark.ops import similarity as sim
+
+        rng = np.random.default_rng(np.random.PCG64(13))
+        cents = rng.standard_normal((8, 64))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        return sim.semdedup(_emb(s, d), "embedding", cents, tau=0.42)
+
+    q["sem_dedup"] = semdedup_q
     return q
 
 
@@ -1597,6 +1668,29 @@ FROM i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
 JOIN cand USING (doc_a, doc_b)
 WHERE inter / (x.sz + y.sz - inter) >= 0.6"""
 
+    # connected components of the SAME verified pair list: recursive
+    # transitive closure, component = min reachable id
+    o["dd_components"] = f"""
+WITH RECURSIVE e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({o["dd_near_dup_flow"]})
+  UNION
+  SELECT doc_b, doc_a FROM ({o["dd_near_dup_flow"]})
+),
+r AS (
+  SELECT src AS node, src AS lab FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.node
+)
+SELECT node, min(lab) AS component FROM r GROUP BY node"""
+
+    # keep-decision over every doc: smallest id of each group stays
+    o["dd_groups"] = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+c AS ({o["dd_components"]})
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+FROM d LEFT JOIN c ON d.doc_id = c.node"""
+
     # SRP-LSH ANN: seeded hyperplanes + the query's multi-probe bucket
     # set embedded as literals (identical to ops/similarity.py)
     import numpy as _np
@@ -1773,6 +1867,45 @@ SELECT d.lang AS lang, count(*) AS n_docs,
        round(max(a.sr), 4) AS max_score
 FROM agg a JOIN documents d USING (doc_id) GROUP BY d.lang"""
     )
+
+    # field collapse: within-group ranks by (score desc, doc_id),
+    # groups ranked by their head doc, top-3 groups x top-2 docs
+    o["ft_collapse"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+jm AS (SELECT a.doc_id, a.sr, d.lang
+       FROM agg a JOIN documents d USING (doc_id)),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY lang ORDER BY sr DESC, doc_id) AS doc_rank
+       FROM jm),
+hd AS (SELECT lang, row_number() OVER
+         (ORDER BY sr DESC, doc_id) AS grp_rank
+       FROM rk WHERE doc_rank = 1)
+SELECT r.lang AS lang, cast(h.grp_rank as int) AS grp_rank,
+       cast(r.doc_rank as int) AS doc_rank, r.doc_id,
+       round(r.sr, 4) AS score
+FROM rk r JOIN hd h USING (lang)
+WHERE r.doc_rank <= 2 AND h.grp_rank <= 3"""
+    )
+
+    # per-doc BM25 explanation: the (doc, term) contribution rows
+    # behind each top-10 score of the OR query
+    o["ft_explain_doc"] = (
+        _cte(["spark", "batch", "window"])
+        + f"""
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+top AS (SELECT doc_id, sr FROM agg ORDER BY sr DESC, doc_id LIMIT 10)
+SELECT t.doc_id, tf.term, tf.tf AS tf, dl.dl AS doc_len,
+  round(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)), 6) AS idf,
+  round(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+        (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)), 4)
+    AS contrib,
+  round(t.sr, 4) AS score
+FROM top t JOIN tf USING (doc_id) JOIN dfs USING (term)
+JOIN dl USING (doc_id) CROSS JOIN st"""
+    )
+    o["wand_explain_doc"] = o["ft_explain_doc"]
 
     # snippets: top-10 page joined back to the raw text; 60 chars
     # starting 20 before the first case-insensitive needle hit
@@ -2049,6 +2182,24 @@ WITH d AS (SELECT vec_id, embedding,
   greatest({", ".join(_dotc(i) for i in range(8))}) AS m
   FROM embeddings)
 SELECT vec_id, cast((CASE {_cases} END) as int) AS cell FROM d"""
+
+    # SemDeDup with the SAME fixed centroids: cluster assignment as
+    # above, then drop any vector whose cosine to a lower-id member
+    # of its cluster is >= tau (within-cluster self-join only)
+    o["sem_dedup"] = f"""
+WITH d AS (SELECT vec_id, embedding,
+  greatest({", ".join(_dotc(i) for i in range(8))}) AS m
+  FROM embeddings),
+asg AS (SELECT vec_id, embedding,
+  cast((CASE {_cases} END) as int) AS cell FROM d),
+drops AS (SELECT b.vec_id FROM asg a JOIN asg b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding, b.embedding) /
+    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+     sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.42
+  GROUP BY b.vec_id)
+SELECT a.vec_id, a.cell, (dr.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN drops dr ON a.vec_id = dr.vec_id"""
 
     # PQ with the same fixed codebooks as queries()["sim_pq_topk"]:
     # per subspace, code = first-position argmax of (x.c - |c|^2/2)

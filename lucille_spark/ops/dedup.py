@@ -319,3 +319,106 @@ def remove_duplicate_lines(
             "\n",
         ).alias("clean_text")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the
+    step that turns pairwise matches into DEDUP GROUPS (component =
+    the smallest member id, the canonical survivor).
+
+    Min-label propagation with pointer jumping: each iteration (a)
+    takes the min label over every node's neighborhood (one shuffle
+    join keyed on node), then (b) path-halves by re-reading the label
+    OF the label (a self-join on the tiny label table), so chains
+    collapse in O(log diameter) rounds rather than O(diameter) —
+    near-dup graphs are clique-like (tiny diameter), but adversarial
+    chains (A~B~C~... transitive near-dups) stay cheap too.
+    localCheckpoint each round cuts the growing lineage so round N
+    does not replay rounds 1..N-1 on executor retry. The driver sees
+    only a per-round change COUNT (a scalar), never the data.
+
+    -> (node, component) for every node appearing in `pairs`.
+    """
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        stepped = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label)
+        jump = stepped.alias("a").join(
+            stepped.alias("b"),
+            F.col("a.label") == F.col("b.node"),
+            "left",
+        ).select(
+            F.col("a.node").alias("node"),
+            F.least(
+                F.col("a.label"), F.coalesce(F.col("b.label"), F.col("a.label"))
+            ).alias("label"),
+        )
+        new_labels = jump.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """End-to-end fuzzy dedup decision: MinHash -> LSH -> exact
+    Jaccard verify -> connected components -> keep = (node ==
+    component), i.e. the smallest doc id of every near-dup group
+    survives and every transitive member dedupes against it. Docs in
+    no verified pair keep themselves. -> (id_col, component, keep).
+    """
+    prs = near_duplicates_minhash(
+        df, id_col, text_col, n_perm, bands, threshold, max_bucket
+    )
+    comp = connected_components(prs, "doc_a", "doc_b")
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("component"),
+            (F.coalesce("component", F.col("node")) == F.col("node")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -382,3 +382,53 @@ def ivf_topk(
     probes = [int(c) for c in order[:n_probe]]
     cand = df_with_cell.filter(F.col("cell").isin(probes))
     return cosine_topk(cand, vec_col, query, k, id_col)
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for web-scale training data. Embeddings are
+    clustered by a k-means coarse quantizer (`ivf_train` centroids —
+    train on a sample at 100 TB) and cosine comparisons happen ONLY
+    within a cluster; an item is dropped iff some lower-id member of
+    its cluster has cosine >= tau with it (deterministic, order-free
+    variant of the paper's keep-one-per-epsilon-ball rule — the
+    survivor set is exactly the items similar to no earlier
+    neighbor, independent of evaluation order).
+
+    Scale: the self-join is keyed on `cell`, so the shuffle key is
+    the cluster id and the pairwise work is quadratic only in the
+    CLUSTER size (n/k expected — the paper's cost model; raise
+    n_cells to bound it). The full corpus is never compared
+    all-pairs. -> (id_col, cell, keep).
+    """
+    asg = ivf_assign(df, vec_col, centroids).select(
+        id_col, vec_col, "cell"
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    va, vb = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= tau)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        asg.join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

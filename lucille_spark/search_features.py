@@ -442,3 +442,131 @@ def expand_synonyms(query, synonyms: dict):
         return leaf
 
     return query.traverse_q(rw)
+
+
+def collapse_topk(
+    executor,
+    query: str,
+    group_col: str = "lang",
+    k: int = 3,
+    group_size: int = 2,
+) -> DataFrame:
+    """Result grouping / field collapse (Lucene grouping module,
+    Elasticsearch `collapse`): rank GROUPS by their best document,
+    return the top-`group_size` docs inside each of the top-`k`
+    groups. Within a group docs order by (score desc, doc_id asc);
+    groups order by their head doc's (score desc, doc_id asc) — all
+    ties deterministic.
+
+    Scale (100 TB): the match set joins doclens on doc_id (matching
+    docs only), then ONE window shuffle partitioned by the group key
+    computes within-group ranks; the group-ranking window runs over
+    at most one row per group (the heads) — low cardinality by
+    construction, so the unpartitioned window is a few thousand rows
+    on the driver-side stage, never the corpus.
+
+    -> (group_col, grp_rank, doc_rank, doc_id, score) with score
+    rounded to 4 (hash-stable for the driver gate).
+    """
+    from pyspark.sql import Window
+
+    matches = executor.search(query, k=None)
+    meta = executor.ix.doclens.select("doc_id", group_col)
+    j = matches.join(meta, "doc_id")
+    w_in = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("doc_rank", F.row_number().over(w_in)).filter(
+        F.col("doc_rank") <= group_size
+    )
+    heads = ranked.filter(F.col("doc_rank") == 1).select(
+        group_col,
+        F.col("score").alias("_hs"),
+        F.col("doc_id").alias("_hd"),
+    )
+    w_g = Window.orderBy(F.desc("_hs"), F.asc("_hd"))
+    top_groups = (
+        heads.withColumn("grp_rank", F.row_number().over(w_g))
+        .filter(F.col("grp_rank") <= k)
+        .select(group_col, "grp_rank")
+    )
+    return ranked.join(F.broadcast(top_groups), group_col).select(
+        group_col,
+        "grp_rank",
+        "doc_rank",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def explain_doc(executor, query: str, k: int = 10) -> DataFrame:
+    """Lucene `IndexSearcher.explain` parity for flat term booleans:
+    the per-(doc, term) BM25 breakdown behind each top-k score —
+
+        contrib = idf * tf / (tf + k1*(1-b + b*dl/avgdl))
+
+    -> (doc_id, term, tf, doc_len, idf, contrib, score) for every
+    query term present in each of the top-k docs, ordered
+    (doc_id, term). `idf` carries any query-time boost folded in
+    (exactly what the scorer used); `score` repeats the doc's total.
+
+    Supported: queries whose plan is a flat AND/OR of (possibly
+    boosted) scoring terms — the same class the pruned WAND kernel
+    accepts (exec_wand._flat_terms). Raises ValueError otherwise.
+
+    Scale: the top-k frame (k rows) is broadcast against the
+    file-pruned postings scan of the query's terms — no shuffle of
+    the match set; everything else is scalar arithmetic in codegen.
+    """
+    from lucille_spark.exec_wand import _flat_terms
+    from lucille_spark.scoring import B, K1
+
+    ix = executor.ix
+    node = ix.plan(query)
+    flat = _flat_terms(node)
+    if flat is None:
+        raise ValueError(
+            "explain_doc supports flat AND/OR-of-terms queries only"
+        )
+    _, pterms = flat
+    avgdl = float(ix.stats["avg_dl"])
+    idf_map = F.create_map(
+        *[x for t in pterms for x in (F.lit(t.term), F.lit(t.idf))]
+    )
+    adl_map = F.create_map(
+        *[
+            x
+            for t in pterms
+            for x in (F.lit(t.term), F.lit(t.avgdl or avgdl))
+        ]
+    )
+    topk = executor.search(query, k=k).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    src = getattr(ix, "flat_for", None)
+    post = (
+        src([t.term for t in pterms], ())
+        if src is not None
+        else ix.flat
+    )
+    post = post.filter(F.col("term").isin([t.term for t in pterms]))
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    idf = idf_map[F.col("term")]
+    adl = adl_map[F.col("term")]
+    contrib = idf * tf / (
+        tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / adl)
+    )
+    return (
+        post.join(F.broadcast(topk), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.round(idf, 6).alias("idf"),
+            F.round(contrib, 4).alias("contrib"),
+            "score",
+        )
+        .orderBy("doc_id", "term")
+    )

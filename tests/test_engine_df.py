@@ -194,3 +194,78 @@ def test_explain_search(unit_index):
     assert e["n_exact_terms"] >= 3  # import, cats, def
     e2 = explain_search(ix, "imp*")
     assert e2["n_intervals"] >= 1 or e2["n_exact_terms"] >= 1
+
+
+def test_collapse_topk(executor):
+    """Field collapse: per-group doc ranks and group ranks follow the
+    oracle's full ranking; no group exceeds group_size; group order
+    matches the best-doc order."""
+    from lucille_spark.search_features import collapse_topk
+
+    ex, oracle = executor
+    rows = collapse_topk(
+        ex, "the", group_col="lang", k=3, group_size=2
+    ).collect()
+    assert rows, "query 'the' must match"
+    # expected from the oracle's full match set
+    full = oracle.search("the", k=None)
+    meta = {d["doc_id"]: d["lang"] for d in oracle.docs}
+    groups: dict = {}
+    for doc_id, score in full:
+        groups.setdefault(meta[doc_id], []).append(
+            (round(float(score), 9), int(doc_id))
+        )
+    heads = sorted(
+        ((max(v, key=lambda t: (t[0], -t[1])), g) for g, v in groups.items()),
+        key=lambda t: (-t[0][0], t[0][1]),
+    )[:3]
+    exp_group_order = [g for _, g in heads]
+    got_by_rank: dict = {}
+    for r in rows:
+        got_by_rank.setdefault(r["grp_rank"], set()).add(r["lang"])
+        assert 1 <= r["doc_rank"] <= 2
+    assert [
+        next(iter(got_by_rank[i])) for i in sorted(got_by_rank)
+    ] == exp_group_order
+    for g in got_by_rank.values():
+        assert len(g) == 1  # a rank maps to exactly one group
+    # within each returned group, docs are that group's top-2
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(
+            (r["doc_rank"], int(r["doc_id"]))
+        )
+    for lang, pairs in by_lang.items():
+        exp = [
+            d
+            for _, d in sorted(
+                ((s, d) for s, d in groups[lang]),
+                key=lambda t: (-t[0], t[1]),
+            )[:2]
+        ]
+        assert [d for _, d in sorted(pairs)] == exp
+
+
+def test_explain_doc_sums_to_score(executor):
+    """Lucene-explain parity: per-(doc, term) contributions sum to the
+    doc's reported total (within rounding); tf/doc_len echo the
+    postings; flat-boolean-only contract raises on a phrase."""
+    import pytest
+
+    from lucille_spark.search_features import explain_doc
+
+    ex, oracle = executor
+    rows = explain_doc(ex, "cats OR dogs", k=5).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top = oracle.search("cats OR dogs", k=5)
+    assert set(by_doc) == {int(d) for d, _ in top}
+    for doc_id, parts in by_doc.items():
+        total = parts[0]["score"]
+        assert abs(sum(p["contrib"] for p in parts) - total) < 5e-4 * len(parts)
+        for p in parts:
+            assert p["tf"] >= 1 and p["doc_len"] > 0 and p["idf"] > 0
+    with pytest.raises(ValueError):
+        explain_doc(ex, '"jumped over"')

@@ -579,3 +579,83 @@ def test_pack_greedy(spark):
         )
     for (g, b), sizes in bins.items():
         assert sum(sizes) <= 12 or len(sizes) == 1
+
+
+def test_semdedup(spark):
+    """SemDeDup: within-cluster near-dups (cosine >= tau to a
+    lower-id member) are dropped; items in DIFFERENT clusters are
+    never compared (the method's documented recall trade-off); the
+    lowest-id member of every duplicate set survives."""
+    import numpy as np
+
+    from lucille_spark.ops.similarity import ivf_assign, semdedup
+
+    # two orthogonal centroids; cluster 0 along e0, cluster 1 along e1
+    cents = np.zeros((2, 4))
+    cents[0, 0] = 1.0
+    cents[1, 1] = 1.0
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),   # cluster 0, survivor
+        (1, [1.0, 0.11, 0.0, 0.0]),  # ~dup of 0 -> dropped
+        (2, [0.9, 0.3, 0.2, 0.0]),   # cluster 0 but cos < tau -> kept
+        (3, [0.0, 1.0, 0.0, 0.0]),   # cluster 1, survivor
+        (4, [0.0, 1.0, 0.01, 0.0]),  # ~dup of 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semdedup(df, "embedding", cents, tau=0.99).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, True)
+    assert out[3] == (1, True)
+    assert out[4] == (1, False)
+    # cross-cluster twins are NOT compared: same vector assigned to
+    # different cells survives in both
+    asg = ivf_assign(df, "embedding", cents)
+    assert {r["cell"] for r in asg.collect()} == {0, 1}
+
+
+def test_connected_components_chain(spark):
+    """A 6-node chain (worst-case diameter) plus a separate pair and
+    a singleton-free graph: every chain member lands in component 0,
+    the pair in component 10; pointer jumping converges well inside
+    max_iter."""
+    from lucille_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_dedup_groups_keeps_canonical(spark):
+    """End-to-end fuzzy dedup decision: transitive near-dups collapse
+    to one survivor (the smallest id), unrelated docs keep
+    themselves."""
+    from lucille_spark.ops.dedup import dedup_groups
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (0, base + "alpha"),
+        (1, base + "beta"),       # near-dup of 0
+        (2, base + "gamma"),      # near-dup of 0/1 (transitive group)
+        (7, "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup_groups(
+            df, "doc_id", "text", n_perm=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+    assert got[7] == (7, True)
