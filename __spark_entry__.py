@@ -1130,6 +1130,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_collapse"] = collapse_q
 
+    # ---- numeric range facets over the full match set (Lucene
+    # LongRangeFacetCounts / ES range aggregation) on doc_len -------
+    def facet_ranges_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import facet_ranges
+
+        ix = _index_for(s, d)
+        return facet_ranges(
+            DataFrameExecutor(ix), "spark batch window", "doc_len",
+            [0, 40, 60, 80, 1000],
+        )
+
+    q["ft_facet_ranges"] = facet_ranges_q
+
+    # ---- two-phase rescoring (ES rescorer): OR first pass, phrase
+    # second pass over the top-30 window ----------------------------
+    def rescore_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import rescore
+
+        ix = _index_for(s, d)
+        out = rescore(
+            DataFrameExecutor(ix),
+            "spark batch window",
+            '"batch window"',
+            window=30,
+            k=10,
+            weight=2.0,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_rescore"] = rescore_q
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -1887,6 +1920,52 @@ SELECT r.lang AS lang, cast(h.grp_rank as int) AS grp_rank,
        round(r.sr, 4) AS score
 FROM rk r JOIN hd h USING (lang)
 WHERE r.doc_rank <= 2 AND h.grp_rank <= 3"""
+    )
+
+    # numeric range facets on doc_len: [0,320) [320,360) [360,400)
+    # [400,100000) half-open buckets over the full match set
+    o["ft_facet_ranges"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id FROM sc GROUP BY doc_id),
+b AS (SELECT a.doc_id,
+        CASE WHEN dl.dl >= 0 AND dl.dl < 40 THEN 0
+             WHEN dl.dl >= 40 AND dl.dl < 60 THEN 1
+             WHEN dl.dl >= 60 AND dl.dl < 80 THEN 2
+             WHEN dl.dl >= 80 AND dl.dl < 1000 THEN 3
+        END AS bucket
+      FROM agg a JOIN dl ON a.doc_id = dl.doc_id)
+SELECT cast(bucket as int) AS bucket,
+       CASE bucket WHEN 0 THEN 0.0e0 WHEN 1 THEN 4.0e1
+                   WHEN 2 THEN 6.0e1 ELSE 8.0e1 END AS lo,
+       CASE bucket WHEN 0 THEN 4.0e1 WHEN 1 THEN 6.0e1
+                   WHEN 2 THEN 8.0e1 ELSE 1.0e3 END AS hi,
+       count(*) AS n_docs
+FROM b WHERE bucket IS NOT NULL GROUP BY bucket"""
+    )
+
+    # two-phase rescore: OR top-30 window, phrase "batch window"
+    # adds 2x its BM25 score to candidates it matches
+    o["ft_rescore"] = (
+        _cte(["spark", "batch", "window"])
+        + f"""
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+cand AS (SELECT doc_id, sr FROM agg ORDER BY sr DESC, doc_id LIMIT 30),
+pos AS ({_POS}),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')) AS df),
+ph AS (SELECT a.doc_id, count(DISTINCT a.p) AS tfp
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'batch' AND b.term = 'window' GROUP BY a.doc_id),
+scp AS (SELECT ph.doc_id,
+        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * ph.tfp /
+        (ph.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf),
+comb AS (SELECT c.doc_id, c.sr + 2.0 * coalesce(p.s, 0.0) AS s
+         FROM cand c LEFT JOIN scp p USING (doc_id))
+SELECT doc_id, round(s, 4) AS score FROM comb
+ORDER BY s DESC, doc_id LIMIT 10"""
     )
 
     # per-doc BM25 explanation: the (doc, term) contribution rows

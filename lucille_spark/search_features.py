@@ -570,3 +570,111 @@ def explain_doc(executor, query: str, k: int = 10) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+def facet_ranges(
+    executor,
+    query: str,
+    numeric_col: str,
+    edges: list,
+) -> DataFrame:
+    """Numeric range facets over the FULL match set (Lucene facet
+    module's LongRangeFacetCounts / ES range aggregation): buckets
+    are [edges[i], edges[i+1]) half-open, labeled by their index.
+    Docs outside [edges[0], edges[-1]) fall in no bucket; empty
+    buckets are omitted (join semantics — the UI treats absent as 0).
+
+    Scale: like facet_counts — the match set joins doclens on doc_id
+    (matching docs only), bucket assignment is a scalar expression in
+    codegen, and the aggregate runs partial map-side into at most
+    len(edges)-1 rows. -> (bucket, lo, hi, n_docs).
+    """
+    lo, hi = edges[0], edges[-1]
+    matches = executor.search(query, k=None)
+    meta = executor.ix.doclens.select("doc_id", numeric_col)
+    v = F.col(numeric_col).cast("double")
+    bucket = F.when(
+        (v >= F.lit(float(lo))) & (v < F.lit(float(hi))),
+        F.array_max(
+            F.array(
+                *[
+                    F.when(v >= F.lit(float(e)), F.lit(i)).otherwise(
+                        F.lit(-1)
+                    )
+                    for i, e in enumerate(edges[:-1])
+                ]
+            )
+        ),
+    )
+    edge_lo = F.create_map(
+        *[
+            x
+            for i, e in enumerate(edges[:-1])
+            for x in (F.lit(i), F.lit(float(e)))
+        ]
+    )
+    edge_hi = F.create_map(
+        *[
+            x
+            for i, e in enumerate(edges[1:])
+            for x in (F.lit(i), F.lit(float(e)))
+        ]
+    )
+    return (
+        matches.join(meta, "doc_id")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            edge_lo[F.col("bucket")].alias("lo"),
+            edge_hi[F.col("bucket")].alias("hi"),
+            "n_docs",
+        )
+    )
+
+
+def rescore(
+    executor,
+    query: str,
+    rescore_query: str,
+    window: int = 50,
+    k: int = 10,
+    weight: float = 2.0,
+) -> DataFrame:
+    """Two-phase ranking (the Elasticsearch rescorer / Lucene
+    QueryRescorer): a cheap first-pass query ranks the top-`window`
+    candidates, then an expensive `rescore_query` (typically a phrase
+    or proximity) adjusts ONLY those candidates:
+
+        combined = first_pass_score + weight * rescore_score
+
+    with 0 contribution where the rescore query misses. Final order
+    (combined desc, doc_id asc) limited to k. DataFrame-executor
+    feature (drives its declarative evaluate()).
+
+    Scale: the candidate page is `window` rows and is broadcast into
+    the rescore join, and the rescore plan's postings scan stays
+    term-filtered + file-pruned — the expensive query shape is priced
+    against its own postings once, never against the corpus-sized
+    first-pass match set. -> (doc_id, score).
+    """
+    cand = executor.search(query, k=window).select("doc_id", "score")
+    node = executor.ix.plan(rescore_query)
+    rs = executor.evaluate(node).select(
+        "doc_id", F.col("score").alias("_rs")
+    )
+    return (
+        F.broadcast(cand)
+        .join(rs, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.lit(float(weight)) * F.coalesce("_rs", F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -269,3 +269,56 @@ def test_explain_doc_sums_to_score(executor):
             assert p["tf"] >= 1 and p["doc_len"] > 0 and p["idf"] > 0
     with pytest.raises(ValueError):
         explain_doc(ex, '"jumped over"')
+
+
+def test_facet_ranges(executor):
+    """Range facets: bucket counts equal the oracle's doc_len
+    histogram over the full match set; out-of-range docs and empty
+    buckets are absent."""
+    from lucille_spark.search_features import facet_ranges
+
+    ex, oracle = executor
+    edges = [0, 200, 400, 10**6]
+    rows = facet_ranges(ex, "the", "doc_len", edges).collect()
+    full = oracle.search("the", k=None)
+    dls = dict(zip(oracle.all_ids.tolist(), oracle.all_dls.tolist()))
+    exp: dict = {}
+    for doc_id, _ in full:
+        dl = dls[int(doc_id)]
+        for i in range(len(edges) - 1):
+            if edges[i] <= dl < edges[i + 1]:
+                exp[i] = exp.get(i, 0) + 1
+    got = {r["bucket"]: r["n_docs"] for r in rows}
+    assert got == exp and sum(got.values()) == len(full)
+    for r in rows:
+        assert (r["lo"], r["hi"]) == (
+            float(edges[r["bucket"]]),
+            float(edges[r["bucket"] + 1]),
+        )
+
+
+def test_rescore_two_phase(executor):
+    """Rescorer: combined = first-pass BM25 + weight * phrase score
+    over the window; a doc matching the phrase must outrank an
+    otherwise-equal doc that doesn't; window truncation respected."""
+    from lucille_spark.search_features import rescore
+
+    ex, oracle = executor
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in rescore(
+            ex, "spark parser", '"spark parser"', window=20, k=10,
+            weight=2.0,
+        ).collect()
+    ]
+    cand = oracle.search("spark parser", k=20)
+    ph = dict(oracle.search('"spark parser"', k=None))
+    exp = sorted(
+        (
+            (int(d), round(float(s) + 2.0 * float(ph.get(d, 0.0)), 6))
+            for d, s in cand
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == exp
+    assert any(ph.get(d) for d, _ in cand), "phrase must hit the window"
