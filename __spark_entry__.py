@@ -1163,6 +1163,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_rescore"] = rescore_q
 
+    # ---- BM25 hard-negative mining for retriever training: batched
+    # serving (ONE job), rank 1 = positive, 2..k = hard negatives ---
+    def hard_neg_q(s, d):
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import mine_hard_negatives
+
+        ix = _index_for(s, d)
+        return mine_hard_negatives(
+            WandExecutor(ix),
+            {
+                "t": "spark",
+                "a": "batch AND window AND spark",
+                "o": "spark batch window",
+            },
+            k=10,
+            n_pos=1,
+        )
+
+    q["pipe_hard_negatives"] = hard_neg_q
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2009,6 +2029,17 @@ FROM top t JOIN documents d USING (doc_id)"""
         f"UNION ALL SELECT 'o', doc_id, score FROM ({o['ft_or']})"
     )
     o["ft_batch"] = o["wand_batch"]
+
+    # hard-negative mining: the batch oracle + per-query rank window,
+    # rank 1 labeled pos, 2..k neg
+    o["pipe_hard_negatives"] = f"""
+WITH u AS ({o["wand_batch"]}),
+r AS (SELECT query_id, doc_id, score, cast(row_number() OVER
+        (PARTITION BY query_id ORDER BY score DESC, doc_id) as int)
+        AS rank FROM u)
+SELECT query_id, doc_id, rank, score,
+       CASE WHEN rank <= 1 THEN 'pos' ELSE 'neg' END AS label
+FROM r"""
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded

@@ -678,3 +678,43 @@ def rescore(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def mine_hard_negatives(
+    executor,
+    train_queries: dict,
+    k: int = 10,
+    n_pos: int = 1,
+) -> DataFrame:
+    """BM25 hard-negative mining (the DPR / RocketQA training-data
+    recipe): for each training query, the top-`n_pos` hits are
+    labeled positives and ranks n_pos+1..k are HARD negatives — the
+    lexically-confusable docs a dense retriever most needs to learn
+    to reject. Rides the batched serving path (`search_many`: ONE
+    Spark job / one segment scan for the whole query batch), which is
+    exactly the shape for mining millions of training queries at
+    100 TB — micro-batch the query stream, one job per batch.
+
+    -> (query_id, doc_id, rank, score, label) with rank 1-based per
+    query in (score desc, doc_id asc) order.
+    """
+    from pyspark.sql import Window
+
+    res = executor.search_many(train_queries, k=k).select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    # rank over the ROUNDED score so downstream consumers (and the
+    # driver oracle) see a stable order even where raw doubles differ
+    # past the 4th decimal; doc_id breaks ties deterministically
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return res.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        "doc_id",
+        "rank",
+        "score",
+        F.when(F.col("rank") <= n_pos, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    )

@@ -255,3 +255,31 @@ def test_bitpack_index_rank_identical(spark, unit_corpus, tmp_path_factory):
                for r in ex.search(q, k=10).collect()]
         exp = [(d, round(s, 9)) for d, s in oracle.search(q, k=10)]
         assert got == exp, q
+
+
+def test_mine_hard_negatives(wand):
+    """Hard-negative mining rides search_many: per-query ranks are
+    1..k in (rounded score desc, doc_id) order, rank 1 is the only
+    positive, and per-query members equal individual searches."""
+    from lucille_spark.search_features import mine_hard_negatives
+
+    ex, oracle = wand
+    out = mine_hard_negatives(
+        ex, {"q1": "cats AND dogs", "q2": "spark parser"}, k=5, n_pos=1
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q1", "q2"}
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert [r["label"] for r in rows] == ["pos"] + ["neg"] * (
+            len(rows) - 1
+        )
+        keys = [(-r["score"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+    exp1 = [int(d) for d, _ in oracle.search("cats AND dogs", k=5)]
+    assert [
+        r["doc_id"] for r in sorted(by_q["q1"], key=lambda r: r["rank"])
+    ] == exp1
