@@ -1183,6 +1183,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_hard_negatives"] = hard_neg_q
 
+    # ---- RM3 pseudo-relevance feedback (Lavrenko & Croft /
+    # Anserini): top-10 page -> tf/dl*score term weights -> boosted
+    # OR rerun; both executors (boosts fold into idf and prune) -----
+    def rm3_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import rm3_search
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = rm3_search(
+            ex, "spark batch", fb_docs=10, fb_terms=5,
+            orig_weight=0.5, k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_rm3"] = rm3_q
+    q["wand_rm3"] = lambda s, d: rm3_q(s, d, wand=True)
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2040,6 +2059,48 @@ r AS (SELECT query_id, doc_id, score, cast(row_number() OVER
 SELECT query_id, doc_id, rank, score,
        CASE WHEN rank <= 1 THEN 'pos' ELSE 'neg' END AS label
 FROM r"""
+
+    # RM3: original 'spark batch' scored, top-10 feedback page, term
+    # weights w = sum(tf/dl * page score), top-5 expansion terms by
+    # (round(w,9) desc, term), boosts = 0.5 for originals and
+    # 0.5*w/sum(w) for expansions, boosted OR rerun
+    o["ft_rm3"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+st AS ({_ST}),
+tfa AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        GROUP BY doc_id, term),
+tfq AS (SELECT * FROM tfa WHERE term IN ('spark', 'batch')),
+dfs AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+sc AS (SELECT tfq.doc_id,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tfq.tf /
+       (tfq.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tfq JOIN dfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+top AS (SELECT doc_id, sr FROM agg ORDER BY sr DESC, doc_id LIMIT 10),
+tw AS (SELECT t.term, sum(t.tf * 1.0e0 / dl.dl * top.sr) AS w
+       FROM tfa t JOIN top USING (doc_id) JOIN dl USING (doc_id)
+       WHERE t.term NOT IN ('spark', 'batch')
+       GROUP BY t.term ORDER BY round(w, 9) DESC, t.term LIMIT 5),
+sw AS (SELECT sum(w) AS tot FROM tw),
+boosts AS (SELECT 'spark' AS term, 5.0e-1 AS bw
+           UNION ALL SELECT 'batch', 5.0e-1
+           UNION ALL SELECT term, 5.0e-1 * w / (SELECT tot FROM sw)
+           FROM tw),
+tf2 AS (SELECT * FROM tfa
+        WHERE term IN (SELECT term FROM boosts)),
+dfs2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+sc2 AS (SELECT tf2.doc_id,
+        bo.bw * ln(1.0 + (st.n - dfs2.df + 0.5) / (dfs2.df + 0.5))
+          * tf2.tf /
+        (tf2.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM tf2 JOIN dfs2 USING (term) JOIN boosts bo USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN st),
+agg2 AS (SELECT doc_id, sum(s) AS sr FROM sc2 GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg2
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    o["wand_rm3"] = o["ft_rm3"]
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded

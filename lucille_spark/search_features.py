@@ -718,3 +718,96 @@ def mine_hard_negatives(
         .otherwise(F.lit("neg"))
         .alias("label"),
     )
+
+
+def rm3_expansion_terms(
+    executor,
+    query_text: str,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+) -> list:
+    """Relevance-model (RM3, Lavrenko & Croft / Anserini) expansion
+    terms from pseudo-relevance feedback: run the original query,
+    take the top-`fb_docs` page, and weight every term of those docs
+
+        w(t) = sum_{d in top} tf(t, d) / dl(d) * score(d)
+
+    (the doc's BM25 score stands in for its query likelihood). The
+    top-`fb_terms` by (w rounded to 9 desc, term asc) — original
+    query terms excluded — come back as [(term, w)]. The rounding
+    makes the cutoff reproducible across engines where float-sum
+    order differs past ~1e-12.
+
+    Scale: reading the feedback docs' term vectors needs a
+    doc-keyed access path into the term-sorted postings; the flat
+    table is PARTITIONED BY SHARD, so the scan first prunes to the
+    <= fb_docs shards holding the page (partition pruning — a
+    driver-side filter on tiny collected values, the same protocol
+    class as the pagination cursor), then the broadcast doc_id join
+    drops everything but the page's rows. The per-term aggregate is
+    map-side partial into dictionary-sized rows, and only fb_terms
+    rows reach the driver.
+    """
+    ix = executor.ix
+    orig = set(ix.planner.tokenize(query_text))
+    topk = executor.search(query_text, k=fb_docs).select(
+        "doc_id", F.col("score").alias("_s")
+    )
+    page = topk.join(
+        ix.doclens.select("doc_id", "shard"), "doc_id"
+    ).collect()
+    shards = sorted({r["shard"] for r in page})
+    topk = executor.ix.spark.createDataFrame(
+        [(r["doc_id"], r["_s"]) for r in page],
+        "doc_id long, _s double",
+    )
+    w = (
+        ix.flat.filter(F.col("shard").isin(shards))
+        .join(F.broadcast(topk), "doc_id")
+        .filter(~F.col("term").isin(list(orig)))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.col("tf").cast("double")
+                / F.col("doc_len").cast("double")
+                * F.col("_s")
+            ).alias("w")
+        )
+        .orderBy(F.desc(F.round("w", 9)), F.asc("term"))
+        .limit(fb_terms)
+    )
+    return [(r["term"], float(r["w"])) for r in w.collect()]
+
+
+def rm3_search(
+    executor,
+    query_text: str,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    k: int = 10,
+):
+    """RM3 pseudo-relevance-feedback search: original bag-of-words
+    terms keep weight `orig_weight` each; the feedback expansion
+    terms share (1 - orig_weight) in proportion to their relevance-
+    model weight (w / sum(w)). The expanded query is an OR of boosted
+    Term nodes — plain engine AST, so it runs on EITHER executor
+    (boosts fold into idf on the WAND path and still prune).
+    -> the executor's (doc_id, score) top-k for the expanded query.
+    """
+    from lucille_spark import ast
+
+    terms = executor.ix.planner.tokenize(query_text)
+    exp = rm3_expansion_terms(executor, query_text, fb_docs, fb_terms)
+    total = sum(w for _, w in exp) or 1.0
+    clauses = [
+        ast.Boost(ast.Term(t), float(orig_weight)) for t in terms
+    ] + [
+        ast.Boost(
+            ast.Term(t), float((1.0 - orig_weight) * w / total)
+        )
+        for t, w in exp
+    ]
+    if len(clauses) == 1:
+        return executor.search(clauses[0], k=k)
+    return executor.search(ast.Or(tuple(clauses)), k=k)

@@ -322,3 +322,52 @@ def test_rescore_two_phase(executor):
     )[:10]
     assert got == exp
     assert any(ph.get(d) for d, _ in cand), "phrase must hit the window"
+
+
+def test_rm3_search_rank_identity(executor):
+    """RM3 pseudo-relevance feedback: expansion terms and the final
+    expanded-query ranking match a transparent oracle-side replay of
+    the same recipe (top-fb page -> tf/dl*score term weights ->
+    boosted OR)."""
+    from lucille_spark import ast as A
+    from lucille_spark.search_features import (
+        rm3_expansion_terms,
+        rm3_search,
+    )
+
+    ex, oracle = executor
+    qtext = "spark parser"
+    fb_docs, fb_terms, ow = 5, 5, 0.5
+
+    # oracle replay
+    top = oracle.search(qtext, k=fb_docs)
+    orig = set(qtext.split())
+    w: dict = {}
+    dls = dict(zip(oracle.all_ids.tolist(), oracle.all_dls.tolist()))
+    for t, p in oracle.sd.postings.items():
+        if t in orig or ":" in t:
+            continue
+        for d, s in top:
+            i = p.ids.searchsorted(d)
+            if i < len(p.ids) and p.ids[i] == d:
+                w[t] = w.get(t, 0.0) + p.tfs[i] / dls[int(d)] * s
+    exp_terms = sorted(w, key=lambda t: (-round(w[t], 9), t))[:fb_terms]
+
+    got_terms = rm3_expansion_terms(ex, qtext, fb_docs, fb_terms)
+    assert [t for t, _ in got_terms] == exp_terms
+    for t, wt in got_terms:
+        assert abs(wt - w[t]) < 1e-9
+
+    total = sum(w[t] for t in exp_terms)
+    clauses = [A.Boost(A.Term(t), ow) for t in qtext.split()] + [
+        A.Boost(A.Term(t), (1.0 - ow) * w[t] / total) for t in exp_terms
+    ]
+    expected = [
+        (int(d), round(float(s), 9))
+        for d, s in oracle.search(A.Or(tuple(clauses)), k=10)
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rm3_search(ex, qtext, fb_docs, fb_terms, ow, k=10).collect()
+    ]
+    assert got == expected
