@@ -131,3 +131,44 @@ def test_ivf_prunes_scan(emb):
     assert total == emb.count()
     largest4 = sum(sorted((r["count"] for r in per_cell), reverse=True)[:4])
     assert largest4 < total  # any 4-probe scan reads < full corpus
+
+
+def test_srp_multiprobe_recall_curve(emb):
+    """SRP-LSH recall characterization on the driver embeddings:
+    multi-probe (Hamming-1 neighbors of the query bucket) must beat
+    single-bucket recall@10, and the measured curve stays above a
+    deterministic floor. SRP is the DEDUP-oriented bucketer (cos ->
+    1 pairs always collide — see test_embedding_near_duplicates);
+    for recall-oriented ANN the IVF/PQ paths hold the >=0.9 gates
+    above. Measured on this corpus: ~0.13 @ probe0, ~0.29 @ probe1
+    (6 bits, 500 vecs) — documented so the trade-off is explicit."""
+    import numpy as np
+
+    from lucille_spark.ops.similarity import srp_bucket, srp_topk
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=float)
+    b = srp_bucket(emb, "embedding", n_bits=6, dim=64).persist()
+    norms = np.linalg.norm(vecs, axis=1)
+
+    def mean_recall(probe):
+        rec = []
+        for qi in range(0, len(ids), 50):
+            q = vecs[qi]
+            cos = vecs @ q / (norms * np.linalg.norm(q))
+            truth = {int(x) for x in ids[np.argsort(-cos)[:10]]}
+            got = {
+                r["vec_id"]
+                for r in srp_topk(
+                    b, "embedding", q.tolist(), k=10, n_bits=6,
+                    probe_hamming=probe,
+                ).collect()
+            }
+            rec.append(len(truth & got) / 10.0)
+        return float(np.mean(rec))
+
+    r0, r1 = mean_recall(0), mean_recall(1)
+    b.unpersist()
+    assert r1 >= r0, (r0, r1)
+    assert r1 >= 0.2, r1
