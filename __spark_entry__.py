@@ -1202,6 +1202,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_rm3"] = rm3_q
     q["wand_rm3"] = lambda s, d: rm3_q(s, d, wand=True)
 
+    # ---- query-time stopword removal (Lucene StopFilter at the
+    # query layer): rewritten AST == the stopword-free OR -----------
+    def stopword_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import remove_stopwords
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        rewritten = remove_stopwords(
+            "the spark of batch a window", {"the", "of", "a"}
+        )
+        out = ex.search(rewritten, k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_stopword"] = stopword_q
+    q["wand_stopword"] = lambda s, d: stopword_q(s, d, wand=True)
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2101,6 +2119,17 @@ agg2 AS (SELECT doc_id, sum(s) AS sr FROM sc2 GROUP BY doc_id)
 SELECT doc_id, round(sr, 4) AS score FROM agg2
 ORDER BY sr DESC, doc_id LIMIT 10"""
     o["wand_rm3"] = o["ft_rm3"]
+
+    # stopword removal: the rewritten query IS the plain OR of the
+    # surviving terms — same scoring oracle shape as ft_or
+    o["ft_stopword"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+    o["wand_stopword"] = o["ft_stopword"]
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded

@@ -811,3 +811,69 @@ def rm3_search(
     if len(clauses) == 1:
         return executor.search(clauses[0], k=k)
     return executor.search(ast.Or(tuple(clauses)), k=k)
+
+
+def remove_stopwords(query, stopwords):
+    """Query-time stopword removal (Lucene StopFilter semantics at
+    the query layer): drop Term clauses whose value is in
+    `stopwords` from boolean lists, preserving the reference AST's
+    >=2-children invariant by unwrapping a single survivor. A query
+    that is ENTIRELY stopwords returns None (Lucene's
+    BooleanQuery-with-no-clauses — match nothing; callers decide the
+    UX). Non-Term leaves (phrases, prefixes, fields, ranges) are
+    never touched — removing words inside a phrase would change its
+    meaning, which is an analyzer decision, not a query rewrite.
+    Structural nodes (And/Or/Group/Boost/Not/...) rebuild around
+    surviving children.
+    """
+    from lucille_spark import ast
+
+    sw = set(stopwords)
+
+    def rw(n):
+        if isinstance(n, ast.Term):
+            return None if n.value in sw else n
+        if isinstance(n, (ast.And, ast.Or)):
+            kids = [rw(c) for c in n.qs]
+            kids = [c for c in kids if c is not None]
+            if not kids:
+                return None
+            if len(kids) == 1:
+                return kids[0]
+            return type(n)(tuple(kids))
+        if isinstance(n, ast.Group):
+            inner = rw(n.q)
+            return None if inner is None else ast.Group(inner)
+        if isinstance(n, ast.Boost):
+            inner = rw(n.q)
+            return None if inner is None else ast.Boost(inner, n.boost)
+        if isinstance(n, ast.Not):
+            inner = rw(n.q)
+            return None if inner is None else ast.Not(inner)
+        if isinstance(n, ast.UnaryPlus):
+            inner = rw(n.q)
+            return None if inner is None else ast.UnaryPlus(inner)
+        if isinstance(n, ast.UnaryMinus):
+            inner = rw(n.q)
+            return None if inner is None else ast.UnaryMinus(inner)
+        if isinstance(n, ast.MinimumMatch):
+            kids = [rw(c) for c in n.qs]
+            kids = [c for c in kids if c is not None]
+            if not kids:
+                return None
+            # Lucene adjusts minimumNumberShouldMatch down as optional
+            # clauses vanish, floored at 1
+            m = max(1, min(n.num, len(kids)))
+            if len(kids) == 1:
+                return kids[0]
+            return ast.MinimumMatch(tuple(kids), m)
+        if isinstance(n, ast.Field):
+            inner = rw(n.q)
+            return None if inner is None else ast.Field(n.field, inner)
+        return n
+
+    if isinstance(query, str):
+        from lucille_spark.parser import parse
+
+        query = parse(query)
+    return rw(query)

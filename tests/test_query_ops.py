@@ -184,3 +184,37 @@ def test_traverse_unaffected_by_branch_flipping_functions():
 
     q = Or.of(T("cats"), T("dogs"), And.of(T("cats"), Not(T("dogs"))))
     assert q.traverse_q(flip_booleans) == q
+
+
+def test_remove_stopwords_rewrite():
+    """Query-time StopFilter: Term drops, single-survivor unwrap,
+    >=2-children invariant preserved, minimum-match clamped, phrase
+    and non-Term leaves untouched, all-stopword query -> None."""
+    from lucille_spark import ast as A
+    from lucille_spark.parser import parse
+    from lucille_spark.printer import print_query
+    from lucille_spark.search_features import remove_stopwords
+
+    sw = {"the", "a", "of"}
+    assert remove_stopwords("the spark batch", sw) == parse("spark batch")
+    assert remove_stopwords("the spark", sw) == A.Term("spark")
+    assert remove_stopwords("the a of", sw) is None
+    assert remove_stopwords("the AND spark AND batch", sw) == parse(
+        "spark AND batch"
+    )
+    # group/boost/field unwrap around survivors
+    assert remove_stopwords("(the spark)^2", sw) == A.Boost(
+        A.Group(A.Term("spark")), 2.0
+    )
+    assert remove_stopwords("title:(the spark)", sw) == A.Field(
+        "title", A.Group(A.Term("spark"))
+    )
+    # phrases are never edited
+    q = remove_stopwords('"the spark" batch', sw)
+    assert q == parse('"the spark" batch')
+    # minimum-match: num clamps to surviving clause count, floor 1
+    mm = remove_stopwords("(the spark batch)@3", sw)
+    assert isinstance(mm, A.MinimumMatch)
+    assert mm.num == 2 and len(mm.qs) == 2
+    # result still prints (invariants hold)
+    assert "spark" in print_query(mm)
