@@ -58,6 +58,36 @@ def _index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _stop_index_for(spark: SparkSession, sf_dir: str):
+    """documents index under analyzer='stop' (index-time stopword
+    removal; twin of the _STOP_* oracle fragments)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "stop:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"stop_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="stop"
+        ).build(
+            _docs(spark, sf_dir),
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1220,6 +1250,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_stopword"] = stopword_q
     q["wand_stopword"] = lambda s, d: stopword_q(s, d, wand=True)
 
+    # ---- INDEX-TIME stop analyzer: index built with analyzer="stop"
+    # (Lucene EnglishAnalyzer stop set removed before tokenization);
+    # stopword query terms vanish at query analysis ------------------
+    def stop_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _stop_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("the spark batch window", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_stop_ix"] = stop_ix_q
+    q["wand_stop_ix"] = lambda s, d: stop_ix_q(s, d, wand=True)
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2130,6 +2175,37 @@ SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     )
     o["wand_stopword"] = o["ft_stopword"]
+
+    # INDEX-TIME stop analyzer: same corpus tokenized through the
+    # stop rule (word-boundary stopword removal before splitting);
+    # df/dl/avgdl all change vs the standard index, so the whole
+    # scoring pipeline re-derives from the stop-tokenized stream
+    from lucille_spark.analysis import STOP_PATTERN as _SP
+
+    _stop_tok = (
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        f"regexp_replace(lower(text), '{_SP}', ' ', 'g'), "
+        "'[^a-z0-9_]+'), t -> t <> '')) AS term FROM documents"
+    )
+    o["ft_stop_ix"] = f"""
+WITH stok AS ({_stop_tok}),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d
+        LEFT JOIN stok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+sst AS (SELECT (SELECT count(*) FROM documents) AS n,
+        (SELECT avg(dl) FROM sdl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM stok
+       WHERE term IN ('spark', 'batch', 'window')
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (sst.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * sdl.dl / sst.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN sdl USING (doc_id)
+       CROSS JOIN sst),
+agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    o["wand_stop_ix"] = o["ft_stop_ix"]
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded

@@ -145,10 +145,64 @@ def code_tokenize_expr(col: str):
     return F.array_remove(F.split(F.lower(s), CODE_SPLIT_PATTERN), "")
 
 
+# ------------------------------------------------------------------
+# stop analyzer ("stop"): standard rule + English stopword removal
+# ------------------------------------------------------------------
+# Lucene EnglishAnalyzer's classic default stop set (public, 33
+# words). Removal happens BEFORE tokenization as a word-boundary
+# regex replace on the lowercased text, so all four implementations
+# (Python re, pandas str.replace, Spark regexp_replace, DuckDB RE2)
+# stay vectorized and provably identical: \b is the ASCII word
+# boundary in every dialect and the token alphabet is [a-z0-9_], so
+# "the" inside "the_spark" is NOT removed (underscore is a word
+# char — the identifier survives whole).
+#
+# POSITIONS: surviving tokens are re-indexed densely (no position
+# gaps where stopwords were) — Lucene StopFilter with
+# enablePositionIncrements=false. Documented consequence: the phrase
+# "spark window" MATCHES the text "spark the window" under this
+# analyzer. The gap-preserving variant is an analyzer decision we
+# deliberately did not take (STATUS.md deviations).
+
+STOP_WORDS = (
+    "a an and are as at be but by for if in into is it no not of on "
+    "or such that the their then there these they this to was will "
+    "with"
+).split()
+
+STOP_PATTERN = r"\b(?:" + "|".join(STOP_WORDS) + r")\b"
+_STOP_RE = re.compile(STOP_PATTERN)
+
+STOP_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array(regexp_replace(lower("
+    "{col}), '" + STOP_PATTERN + "', ' ', 'g'), "
+    "'[^a-z0-9_]+'), t -> t <> ''))"
+)
+
+
+def stop_tokenize(text: str) -> List[str]:
+    """Pure-Python stop analyzer: lowercase, drop stopwords, runs of
+    [a-z0-9_]."""
+    return _TOKEN_RE.findall(_STOP_RE.sub(" ", text.lower()))
+
+
+def stop_tokenize_expr(col: str):
+    """Spark Column of array<string>: the stop analyzer as built-in
+    JVM expressions."""
+    from pyspark.sql import functions as F
+
+    s = F.regexp_replace(F.lower(F.col(col)), STOP_PATTERN, " ")
+    return F.array_remove(F.split(s, SPLIT_PATTERN), "")
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
-ANALYZERS = {"standard": tokenize, "code": code_tokenize}
+ANALYZERS = {
+    "standard": tokenize,
+    "code": code_tokenize,
+    "stop": stop_tokenize,
+}
 
 
 def get_analyzer(name: str):
@@ -169,6 +223,9 @@ def pandas_token_lists(series, analyzer: str = "standard"):
         s = series.str.replace(_CAMEL_RE_1, r"\1 \2", regex=True)
         s = s.str.replace(_CAMEL_RE_2, r"\1 \2", regex=True)
         return s.str.lower().str.findall(_CODE_TOKEN_RE)
+    if analyzer == "stop":
+        s = series.str.lower().str.replace(_STOP_RE, " ", regex=True)
+        return s.str.findall(_TOKEN_RE)
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -181,4 +238,7 @@ def pandas_token_counts(series, analyzer: str = "standard"):
         s = series.str.replace(_CAMEL_RE_1, r"\1 \2", regex=True)
         s = s.str.replace(_CAMEL_RE_2, r"\1 \2", regex=True)
         return s.str.lower().str.count(_CODE_TOKEN_RE)
+    if analyzer == "stop":
+        s = series.str.lower().str.replace(_STOP_RE, " ", regex=True)
+        return s.str.count(_TOKEN_RE)
     raise ValueError(f"unknown analyzer {analyzer!r}")

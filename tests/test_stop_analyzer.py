@@ -1,0 +1,206 @@
+"""Stop analyzer ("stop"): the standard rule plus Lucene
+EnglishAnalyzer's classic 33-word English stop set, removed BEFORE
+tokenization by a word-boundary regex on the lowercased text
+(lucille_spark/analysis.py).
+
+Covers: rule unit cases (including the underscore subtlety — "the"
+inside "the_spark" survives because '_' is a word character); 4-way
+implementation agreement (pure Python / vectorized pandas / Spark
+built-in expressions / DuckDB SQL); and an end-to-end engine gate:
+an index built with analyzer="stop" records it in stats.json, both
+executors are rank-identical to the brute-force oracle under the
+same analyzer, stopword query terms vanish at query analysis, and
+phrases match ACROSS removed stopwords (the documented
+enablePositionIncrements=false semantics)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucille_spark.analysis import (
+    STOP_TOKENIZE_SQL_DUCKDB,
+    STOP_WORDS,
+    get_analyzer,
+    pandas_token_counts,
+    pandas_token_lists,
+    stop_tokenize,
+    stop_tokenize_expr,
+    tokenize,
+)
+
+CASES = {
+    "The quick brown fox": ["quick", "brown", "fox"],
+    "spark the window": ["spark", "window"],
+    "of the and is": [],
+    "the_spark is an identifier": ["the_spark", "identifier"],
+    "AND OR NOT": [],  # all three lowercase into the stop set
+    "THESE They their": [],
+    "a2 ab the2 2the": ["a2", "ab", "the2", "2the"],
+    "": [],
+    "to be or not to be": [],
+    "cats with dogs": ["cats", "dogs"],
+}
+
+
+def test_stop_tokenize_rule():
+    assert len(STOP_WORDS) == 33
+    for text, expect in CASES.items():
+        assert stop_tokenize(text) == expect, text
+
+
+def test_standard_vs_stop_differ():
+    assert tokenize("the spark") == ["the", "spark"]
+    assert stop_tokenize("the spark") == ["spark"]
+
+
+def test_registry():
+    assert get_analyzer("stop") is stop_tokenize
+
+
+def test_pandas_impls_agree():
+    s = pd.Series(list(CASES))
+    assert pandas_token_lists(s, "stop").tolist() == list(CASES.values())
+    assert pandas_token_counts(s, "stop").tolist() == [
+        len(v) for v in CASES.values()
+    ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    q = "SELECT " + STOP_TOKENIZE_SQL_DUCKDB.format(col="?") + " AS t"
+    for text, expect in CASES.items():
+        got = [r[0] for r in con.execute(q, [text]).fetchall()]
+        assert got == expect, text
+
+
+def test_spark_expr_agrees(spark):
+    texts = [t for t in CASES if t]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(stop_tokenize_expr("text").alias("toks")).collect()
+    got = [list(r["toks"]) for r in rows]
+    assert got == [CASES[t] for t in texts]
+
+
+# ---------------------------------------------------------------- e2e
+
+STOP_DOCS = [
+    "the spark engine is a distributed system for batch queries",
+    "spark the window function over these partitions",
+    "a window into the batch layer of the lambda architecture",
+    "cats and dogs are not the same as birds",
+    "this index will be compacted into segments by the merger",
+    "there was an error in the shuffle stage of this job",
+    "window batch spark",
+    "they will stream the deltas to the compactor",
+]
+
+
+@pytest.fixture(scope="module")
+def stop_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(STOP_DOCS * 4):  # 32 docs
+        rows.append(
+            (
+                f"org/repo{i % 4}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("stopix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="stop"
+    ).build(docs, out)
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list, analyzer="stop")
+    return ix, oracle, stats
+
+
+def test_stats_record_analyzer(stop_index):
+    ix, oracle, stats = stop_index
+    assert stats["analyzer"] == "stop"
+    assert ix.planner.tokenize is stop_tokenize
+
+
+def test_doc_lens_exclude_stopwords(stop_index):
+    ix, oracle, stats = stop_index
+    got = {
+        r["doc_id"]: r["doc_len"]
+        for r in ix.doclens.select("doc_id", "doc_len").collect()
+    }
+    for d in oracle.docs:
+        assert got[d["doc_id"]] == len(stop_tokenize(d["content"])), d
+    # stopwords never reach the dictionary
+    terms = {r["term"] for r in ix.terms_df.select("term").collect()}
+    assert not terms & set(STOP_WORDS)
+
+
+STOP_QUERIES = [
+    "spark",
+    "the spark",            # 'the' vanishes at query analysis
+    "spark AND window",
+    '"spark window"',       # matches "spark the window" (no pos gaps)
+    "batch OR stream",
+    "window AND NOT cats",
+    "wind*",
+    "marker3",
+]
+
+
+@pytest.mark.parametrize("q", STOP_QUERIES)
+def test_stop_rank_identity_both_executors(stop_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = stop_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_phrase_matches_across_removed_stopword(stop_index):
+    """The documented enablePositionIncrements=false consequence:
+    '"spark window"' matches the doc whose raw text is 'spark the
+    window ...' because surviving tokens re-index densely."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = stop_index
+    hits = {
+        r["doc_id"]
+        for r in DataFrameExecutor(ix).search('"spark window"', k=None).collect()
+    }
+    gap_docs = {
+        d["doc_id"]
+        for d in oracle.docs
+        if "spark the window" in d["content"]
+    }
+    assert gap_docs and gap_docs <= hits
