@@ -88,6 +88,35 @@ def _stop_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _english_index_for(spark: SparkSession, sf_dir: str):
+    """documents index under analyzer='english' (stop + S-stem)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "english:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"english_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="english"
+        ).build(
+            _docs(spark, sf_dir),
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1265,6 +1294,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_stop_ix"] = stop_ix_q
     q["wand_stop_ix"] = lambda s, d: stop_ix_q(s, d, wand=True)
 
+    # ---- full English chain (stopwords -> S-stemmer): plural query
+    # terms match singular docs and vice versa -----------------------
+    def english_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _english_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("the sparks and batches of windows", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_english_ix"] = english_ix_q
+    q["wand_english_ix"] = lambda s, d: english_ix_q(s, d, wand=True)
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2206,6 +2249,45 @@ agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
 SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     o["wand_stop_ix"] = o["ft_stop_ix"]
+
+    # full English chain: stop removal THEN the 3 S-stem regex rules,
+    # re-deriving df/dl/avgdl from the transformed token stream; the
+    # query 'the sparks and batches of windows' analyzes to the stems
+    # (spark, batche, window)
+    from lucille_spark.analysis import S_STEM_RULES as _SSR
+
+    _en_txt = f"regexp_replace(lower(text), '{_SP}', ' ', 'g')"
+    for _p, _r in _SSR:
+        _en_txt = f"regexp_replace({_en_txt}, '{_p}', '{_r}', 'g')"
+    _en_tok = (
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        + _en_txt
+        + ", '[^a-z0-9_]+'), t -> t <> '')) AS term FROM documents"
+    )
+    from lucille_spark.analysis import english_tokenize as _en_tokz
+
+    _en_terms = ", ".join(
+        f"'{t}'" for t in _en_tokz("the sparks and batches of windows")
+    )
+    o["ft_english_ix"] = f"""
+WITH etok AS ({_en_tok}),
+edl AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d
+        LEFT JOIN etok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+est AS (SELECT (SELECT count(*) FROM documents) AS n,
+        (SELECT avg(dl) FROM edl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM etok
+       WHERE term IN ({_en_terms})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (est.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * edl.dl / est.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN edl USING (doc_id)
+       CROSS JOIN est),
+agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    o["wand_english_ix"] = o["ft_english_ix"]
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded

@@ -195,6 +195,92 @@ def stop_tokenize_expr(col: str):
     return F.array_remove(F.split(s, SPLIT_PATTERN), "")
 
 
+# ------------------------------------------------------------------
+# S-stemmer ("s_stem") and the composed English chain ("english")
+# ------------------------------------------------------------------
+# Harman's S-stemmer (How Effective Is Suffixing?, JASIS 1991 — the
+# classic minimal English plural stemmer), expressed as THREE
+# word-boundary regex replaces on the lowercased text so all four
+# implementations stay vectorized. The if/elif chain of the paper is
+# equivalent to sequential application here because each rule's
+# output never ends in -s (proved by the rule table test):
+#   R1  ...Xies -> ...Xy   (X not in {a, e})         flies -> fly
+#   R2  ...Xes  -> ...Xe   (X not in {a, e, o})      classes -> classe
+#   R3  ...Xs   -> ...X    (X not in {s, u})         cats -> cat
+# Rules fire only inside PURELY ALPHABETIC words (the [a-z]+ anchor):
+# identifiers with digits or underscores (args_2, file_s) are never
+# stemmed — this is an English-text analyzer, not a code one. Each
+# rule needs >= 2 letters before the final consonant test, so "is"
+# and "as" survive R3.
+
+S_STEM_RULES = (
+    (r"\b([a-z]+[b-df-z])ies\b", r"\1y"),
+    (r"\b([a-z]+[b-df-np-z]e)s\b", r"\1"),
+    (r"\b([a-z]+[a-rtv-z])s\b", r"\1"),
+)
+_S_STEM_RES = [(re.compile(p), r) for p, r in S_STEM_RULES]
+
+
+def _stem_text(lowered: str) -> str:
+    for rx, rep in _S_STEM_RES:
+        lowered = rx.sub(rep, lowered)
+    return lowered
+
+
+def s_stem_tokenize(text: str) -> List[str]:
+    """Pure-Python S-stemmer analyzer: lowercase, stem plurals, runs
+    of [a-z0-9_]."""
+    return _TOKEN_RE.findall(_stem_text(text.lower()))
+
+
+def english_tokenize(text: str) -> List[str]:
+    """Composed English chain: stopword removal THEN S-stemming
+    (order matters — 'these' is stopped before R2 could make it
+    'these'->'these'; stemming first would leave stopword plurals
+    like 'theses' unstopped)."""
+    return _TOKEN_RE.findall(_stem_text(_STOP_RE.sub(" ", text.lower())))
+
+
+def _sql_stem(expr: str) -> str:
+    for p, r in S_STEM_RULES:
+        rr = r.replace("\\1", "\\1")
+        expr = f"regexp_replace({expr}, '{p}', '{rr}', 'g')"
+    return expr
+
+
+S_STEM_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array("
+    + _sql_stem("lower({col})")
+    + ", '[^a-z0-9_]+'), t -> t <> ''))"
+)
+
+ENGLISH_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array("
+    + _sql_stem(
+        "regexp_replace(lower({col}), '" + STOP_PATTERN + "', ' ', 'g')"
+    )
+    + ", '[^a-z0-9_]+'), t -> t <> ''))"
+)
+
+
+def s_stem_tokenize_expr(col: str):
+    from pyspark.sql import functions as F
+
+    s = F.lower(F.col(col))
+    for p, r in S_STEM_RULES:
+        s = F.regexp_replace(s, p, r.replace("\\1", "$1"))
+    return F.array_remove(F.split(s, SPLIT_PATTERN), "")
+
+
+def english_tokenize_expr(col: str):
+    from pyspark.sql import functions as F
+
+    s = F.regexp_replace(F.lower(F.col(col)), STOP_PATTERN, " ")
+    for p, r in S_STEM_RULES:
+        s = F.regexp_replace(s, p, r.replace("\\1", "$1"))
+    return F.array_remove(F.split(s, SPLIT_PATTERN), "")
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
@@ -202,6 +288,8 @@ ANALYZERS = {
     "standard": tokenize,
     "code": code_tokenize,
     "stop": stop_tokenize,
+    "s_stem": s_stem_tokenize,
+    "english": english_tokenize,
 }
 
 
@@ -226,6 +314,13 @@ def pandas_token_lists(series, analyzer: str = "standard"):
     if analyzer == "stop":
         s = series.str.lower().str.replace(_STOP_RE, " ", regex=True)
         return s.str.findall(_TOKEN_RE)
+    if analyzer in ("s_stem", "english"):
+        s = series.str.lower()
+        if analyzer == "english":
+            s = s.str.replace(_STOP_RE, " ", regex=True)
+        for rx, rep in _S_STEM_RES:
+            s = s.str.replace(rx, rep, regex=True)
+        return s.str.findall(_TOKEN_RE)
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -240,5 +335,12 @@ def pandas_token_counts(series, analyzer: str = "standard"):
         return s.str.lower().str.count(_CODE_TOKEN_RE)
     if analyzer == "stop":
         s = series.str.lower().str.replace(_STOP_RE, " ", regex=True)
+        return s.str.count(_TOKEN_RE)
+    if analyzer in ("s_stem", "english"):
+        s = series.str.lower()
+        if analyzer == "english":
+            s = s.str.replace(_STOP_RE, " ", regex=True)
+        for rx, rep in _S_STEM_RES:
+            s = s.str.replace(rx, rep, regex=True)
         return s.str.count(_TOKEN_RE)
     raise ValueError(f"unknown analyzer {analyzer!r}")

@@ -1,0 +1,209 @@
+"""S-stemmer ("s_stem") and composed English chain ("english" =
+stopwords then stemming) analyzers (lucille_spark/analysis.py).
+
+The stemmer is Harman's S-stemmer (JASIS 1991) as three sequential
+word-boundary regex replaces — the paper's if/elif chain is
+equivalent because no rule's output ends in -s. Rules fire only in
+purely alphabetic words (identifiers with digits/underscores are
+never stemmed) and need >= 2 letters before the final-consonant
+test, so "is"/"as" survive.
+
+Covers the rule table, the no-rule-output-ends-in-s invariant
+(hypothesis), 4-way implementation agreement, and e2e rank identity
+on an english-analyzer index through both executors (plural query
+matches singular doc and vice versa)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from lucille_spark.analysis import (
+    ENGLISH_TOKENIZE_SQL_DUCKDB,
+    S_STEM_TOKENIZE_SQL_DUCKDB,
+    english_tokenize,
+    english_tokenize_expr,
+    get_analyzer,
+    pandas_token_counts,
+    pandas_token_lists,
+    s_stem_tokenize,
+    s_stem_tokenize_expr,
+)
+
+CASES = {
+    "flies": ["fly"],
+    "classes": ["classe"],     # S-stemmer's documented behavior
+    "cats dogs": ["cat", "dog"],
+    "glass pass": ["glass", "pass"],      # -ss exception
+    "focus bus": ["focus", "bus"],        # -us exception
+    "goes shoes": ["goe", "shoe"],        # -oes falls to R3 / R2 path
+    "is as its": ["is", "as", "it"],      # length guard on R3
+    "args_2 file_s": ["args_2", "file_s"],  # identifiers untouched
+    "eies aies": ["eie", "aie"],          # R1 exceptions fall to R2
+    "theses": ["these"],
+    "berries cherries": ["berry", "cherry"],
+    "": [],
+}
+
+ENGLISH_CASES = {
+    "The flies are on these dishes": ["fly", "dishe"],
+    "theses": ["these"],  # stemmed but NOT stopped (stop runs first)
+    "to be or not to be": [],
+    "the cats and the dogs": ["cat", "dog"],
+}
+
+
+def test_s_stem_rule_table():
+    for text, expect in CASES.items():
+        assert s_stem_tokenize(text) == expect, text
+
+
+def test_english_chain():
+    for text, expect in ENGLISH_CASES.items():
+        assert english_tokenize(text) == expect, text
+    assert get_analyzer("s_stem") is s_stem_tokenize
+    assert get_analyzer("english") is english_tokenize
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz_2 ", max_size=40))
+def test_no_output_ends_in_plural_s(text):
+    """Invariant that makes sequential regexes == the paper's
+    if/elif chain: no stemmed ALPHABETIC token still ends in -s
+    except the documented -ss / -us exceptions and bare short words."""
+    for tok in s_stem_tokenize(text):
+        if not tok.isalpha() or len(tok) < 3:
+            continue
+        if tok.endswith("s"):
+            assert tok.endswith(("ss", "us")), (text, tok)
+
+
+def test_pandas_impls_agree():
+    for name, cases in (("s_stem", CASES), ("english", ENGLISH_CASES)):
+        s = pd.Series(list(cases))
+        assert pandas_token_lists(s, name).tolist() == list(cases.values())
+        assert pandas_token_counts(s, name).tolist() == [
+            len(v) for v in cases.values()
+        ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    for frag, cases in (
+        (S_STEM_TOKENIZE_SQL_DUCKDB, CASES),
+        (ENGLISH_TOKENIZE_SQL_DUCKDB, ENGLISH_CASES),
+    ):
+        q = "SELECT " + frag.format(col="?") + " AS t"
+        for text, expect in cases.items():
+            got = [r[0] for r in con.execute(q, [text]).fetchall()]
+            assert got == expect, text
+
+
+def test_spark_expr_agrees(spark):
+    for expr, cases in (
+        (s_stem_tokenize_expr, CASES),
+        (english_tokenize_expr, ENGLISH_CASES),
+    ):
+        texts = [t for t in cases if t]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = df.select(expr("text").alias("toks")).collect()
+        assert [list(r["toks"]) for r in rows] == [cases[t] for t in texts]
+
+
+# ---------------------------------------------------------------- e2e
+
+EN_DOCS = [
+    "the cat chases the flies in the garden",
+    "cats chase a fly near these gardens",
+    "dogs and their dishes are in the kitchen",
+    "a dog licks the dish by the window",
+    "glass windows pass the light",
+    "the bus stops at the corner",
+    "berries grow on the bushes",
+    "a berry fell from the bush",
+]
+
+
+@pytest.fixture(scope="module")
+def english_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(EN_DOCS * 4):
+        rows.append(
+            (
+                f"org/repo{i % 4}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("enix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="english"
+    ).build(docs, out)
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list, analyzer="english")
+    return ix, oracle, stats
+
+
+EN_QUERIES = [
+    "cats",           # plural query -> stem 'cat' matches both forms
+    "cat",
+    "flies OR dishes",
+    "berry AND bush",
+    "dogs AND NOT glass",
+    '"cat chase"',    # stemmed phrase spans stopword removal
+    "marker3",
+]
+
+
+@pytest.mark.parametrize("q", EN_QUERIES)
+def test_english_rank_identity_both_executors(english_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = english_index
+    assert stats["analyzer"] == "english"
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_plural_and_singular_match_same_docs(english_index):
+    """The point of stemming: 'cats' and 'cat' are the same query
+    under the english analyzer."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = english_index
+    ex = DataFrameExecutor(ix)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in ex.search("cats", k=None).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in ex.search("cat", k=None).collect()]
+    assert a == b and len(a) >= 8
