@@ -15,8 +15,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():
@@ -30,6 +35,20 @@ def main():
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument(
+        "--analyzer",
+        default="standard",
+        help="standard | code | stop | s_stem | english "
+        "(recorded in stats.json; query CLIs pick it up)",
+    )
+    ap.add_argument(
+        "--indexed-cols",
+        default="",
+        help="comma list of extra text columns to index as "
+        "Lucene-style fields (per-field norms)",
+    )
+    ap.add_argument("--codec", default="varbyte",
+                    help="varbyte | bitpack posting block codec")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -50,6 +69,8 @@ def main():
         num_shards=args.shards,
         block_size=args.block_size,
         salt_buckets=args.salt_buckets,
+        analyzer=args.analyzer,
+        codec=args.codec,
     ).build(
         docs,
         args.output,
@@ -57,6 +78,9 @@ def main():
         id_col=args.id_col,
         order_cols=tuple(args.order_cols.split(",")),
         resume=not args.no_resume,
+        indexed_cols=tuple(
+            c for c in args.indexed_cols.split(",") if c
+        ),
     )
     secs = time.time() - t0
     print(

@@ -12,7 +12,12 @@ where queries.txt has one query per line.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 import time
 
 
