@@ -1308,6 +1308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_english_ix"] = english_ix_q
     q["wand_english_ix"] = lambda s, d: english_ix_q(s, d, wand=True)
 
+    # ---- token-window document chunking (RAG / pretraining prep):
+    # overlapping 32-token windows, stride 24, zero shuffle ---------
+    q["pipe_chunks"] = lambda s, d: text.chunk_documents(
+        _docs(s, d).filter(F.col("doc_id") < 50),
+        "doc_id",
+        "text",
+        chunk_tokens=32,
+        overlap=8,
+    )
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2288,6 +2298,23 @@ agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
 SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     o["wand_english_ix"] = o["ft_english_ix"]
+
+    # token-window chunking: 32-token windows, stride 24 (overlap 8),
+    # DuckDB list slicing is 1-based INCLUSIVE on both ends
+    o["pipe_chunks"] = """
+WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+             lower(text), '[^a-z0-9_]+'), t -> t <> '') AS toks
+           FROM documents WHERE doc_id < 50),
+e AS (SELECT doc_id, toks,
+        1 + cast(ceil(greatest(len(toks) - 32, 0) / 24.0) as int)
+          AS nc
+      FROM d WHERE len(toks) > 0),
+c AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks FROM e)
+SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+  cast(len(toks[chunk_id*24+1 : chunk_id*24+32]) as int) AS n_tokens,
+  array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
+    AS chunk_text
+FROM c"""
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded

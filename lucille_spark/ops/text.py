@@ -717,3 +717,61 @@ def pack_greedy(
             "bin_tokens_before long"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Token-window document chunking — the RAG / pretraining prep
+    step that splits long documents into overlapping windows of
+    `chunk_tokens` analyzer tokens with `overlap` tokens shared
+    between consecutive chunks (stride = chunk_tokens - overlap).
+    chunk_id is the 0-based window index; chunk_text is the
+    token-joined (whitespace-normalized) window — token-level
+    chunking by design, the form downstream tokenizers consume.
+    The last window may be shorter; a document shorter than one
+    window yields exactly one chunk. Empty documents yield none.
+
+    Scale: one scan, ZERO shuffle — chunk enumeration is
+    posexplode of a per-row sequence, and every expression stays in
+    whole-stage codegen. Output rows ~ n_tokens/stride per doc; at
+    100 TB feed this straight into pack_sequences / dedup.
+    -> (id_col, chunk_id, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize_expr(text_col)
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, n - chunk)/stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    out = (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            n_chunks.alias("_nc"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+                "chunk_id", "_drop"
+            ),
+        )
+    )
+    start = F.col("chunk_id") * stride + 1  # slice() is 1-based
+    window = F.slice(F.col("_toks"), start, chunk_tokens)
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(window).cast("int").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -659,3 +659,44 @@ def test_dedup_groups_keeps_canonical(spark):
     assert got[1] == (0, False)
     assert got[2] == (0, False)
     assert got[7] == (7, True)
+
+
+def test_chunk_documents(spark):
+    """Token-window chunking: hand-computed windows (stride =
+    chunk-overlap), last window short, single-window doc, empty doc
+    dropped, overlap shared between consecutive chunks."""
+    import pytest as _pytest
+
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.ops.text import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(10)),  # 10 toks: 3 chunks
+        1: "only four tokens here",               # 1 chunk
+        2: "",                                    # dropped
+        3: " ".join(f"w{i}" for i in range(5)),   # exactly chunk+1
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", 4, 2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["n_tokens"], r["chunk_text"]
+        )
+    # doc 0: 10 tokens, stride 2 -> 1 + ceil(6/2) = 4 chunks
+    t = tokenize(texts[0])
+    assert sorted(got[0]) == [0, 1, 2, 3]
+    for ci, (n, txt) in got[0].items():
+        exp = t[ci * 2: ci * 2 + 4]
+        assert (n, txt) == (len(exp), " ".join(exp)), ci
+    # consecutive chunks share the 2-token overlap
+    assert got[0][0][1].split()[2:] == got[0][1][1].split()[:2]
+    assert sorted(got[1]) == [0] and got[1][0] == (4, "only four tokens here")
+    assert 2 not in got
+    # doc 3: 5 tokens -> 1 + ceil(1/2) = 2 chunks, last is short
+    assert sorted(got[3]) == [0, 1]
+    assert got[3][1] == (3, "w2 w3 w4")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, 4)
