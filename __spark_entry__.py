@@ -619,6 +619,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_mfield"] = mfield_q
     q["wand_mfield"] = lambda s, d: mfield_q(s, d, wand=True)
 
+    # ---- DisjunctionMax (ES multi_match best_fields): the same
+    # query scoped per field, combined as max + tie*(sum-max) — a
+    # strong single-field match beats weak matches in many fields.
+    def dismax_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.search_features import best_fields
+
+        ix = _field_index_for(s, d)
+        node = best_fields(
+            ix, "spark", {"content": 1.0, "title": 2.0}, tie=0.3
+        )
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        return ex.search(node, k=10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_dismax"] = dismax_q
+    q["wand_dismax"] = lambda s, d: dismax_q(s, d, wand=True)
+
     # ---- percolator (reverse search): stored queries matched against
     # the documents table; zero-shuffle mapInPandas over doc batches.
     def percolate_q(s, d):
@@ -1507,6 +1527,27 @@ ORDER BY 1.0 + s DESC, doc_id LIMIT 10"""
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
     o["wand_mfield"] = o["ft_mfield"]
+
+    # dis_max (best_fields, tie=0.3): same per-field clause scores as
+    # ft_mfield, combined as max + 0.3*(sum-max) instead of sum
+    o["ft_dismax"] = (
+        f"WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}), "
+        f"{_TITLE_CTES}, {_title_term_sc('spark')}, "
+        "ctf AS (SELECT doc_id, count(*) AS tf FROM tok "
+        "WHERE term = 'spark' GROUP BY doc_id), "
+        "cdf AS (SELECT count(*) AS df FROM ctf), "
+        "csc AS (SELECT ctf.doc_id, "
+        "ln(1.0 + (st.n - cdf.df + 0.5) / (cdf.df + 0.5)) * ctf.tf / "
+        f"(ctf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s "
+        "FROM ctf CROSS JOIN cdf JOIN dl USING (doc_id) CROSS JOIN st), "
+        "u AS (SELECT doc_id, 2.0 * s AS s FROM tsc UNION ALL "
+        "SELECT doc_id, s FROM csc), "
+        "agg AS (SELECT doc_id, "
+        "max(s) + 0.3 * (sum(s) - max(s)) AS s FROM u GROUP BY doc_id) "
+        "SELECT doc_id, round(s, 4) AS score FROM agg "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    o["wand_dismax"] = o["ft_dismax"]
 
     # prefix expansion inside the field namespace: constant score
     o["ft_ifield_prefix"] = (

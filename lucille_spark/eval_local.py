@@ -99,6 +99,8 @@ def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         return ids, sc * node.factor
     if isinstance(node, P.PBool):
         return _eval_bool(node, sd)
+    if isinstance(node, P.PDisMax):
+        return _eval_dismax(node, sd)
     raise TypeError(f"unknown physical node {type(node).__name__}")
 
 
@@ -149,6 +151,29 @@ def _eval_bool(node: P.PBool, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
             keep = ~_member(ids, n_ids)
             ids, scores = ids[keep], scores[keep]
     return ids, scores
+
+
+def _eval_dismax(
+    node: P.PDisMax, sd: ShardData
+) -> Tuple[np.ndarray, np.ndarray]:
+    """DisjunctionMax: union of children; per doc
+    max(child scores) + tie * (sum - max)."""
+    evs = [evaluate(c, sd) for c in node.children]
+    arrs = [e[0] for e in evs if e[0].size]
+    if not arrs:
+        return _EMPTY
+    ids = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+    mx = np.full(ids.size, -np.inf, dtype=np.float64)
+    sm = np.zeros(ids.size, dtype=np.float64)
+    for c_ids, c_sc in evs:
+        if c_ids.size == 0:
+            continue
+        mask = _member(ids, c_ids)
+        if mask.any():
+            pos = np.searchsorted(c_ids, ids[mask])
+            sm[mask] += c_sc[pos]
+            np.maximum.at(mx, np.nonzero(mask)[0], c_sc[pos])
+    return ids, mx + node.tie * (sm - mx)
 
 
 def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:

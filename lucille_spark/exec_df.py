@@ -139,7 +139,28 @@ class DataFrameExecutor:
             )
         if isinstance(node, P.PBool):
             return self._bool(node)
+        if isinstance(node, P.PDisMax):
+            return self._dismax(node)
         raise TypeError(type(node).__name__)
+
+    # DisjunctionMax: union the child match sets under a clause tag,
+    # ONE aggregation computes max + tie*(sum-max) per doc (partial
+    # agg map-side — same shuffle shape as _bool).
+    def _dismax(self, node: P.PDisMax) -> DataFrame:
+        parts = [self.evaluate(c) for c in node.children]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        return agg.select(
+            "doc_id",
+            (
+                F.col("mx")
+                + F.lit(float(node.tie)) * (F.col("sm") - F.col("mx"))
+            ).alias("score"),
+        )
 
     def _empty(self) -> DataFrame:
         return self.ix.spark.createDataFrame(

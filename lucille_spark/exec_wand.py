@@ -137,16 +137,28 @@ class WandExecutor:
             segs = seg_src(sorted(exact_all), intervals_all)
         else:
             segs = ix.segments
-        conds = []
+        # ONE union predicate for the whole batch: a single isin over
+        # every query's exact terms + one OR per expansion predicate
+        # (not per query) — keeps driver-serial py4j Column
+        # construction O(expansions), not O(batch x clauses).
+        exact_terms: set = set()
+        preds: list = []
+        any_terms = False
         for node in nodes.values():
-            terms = P.collect_terms(node)
-            if terms:
-                conds.append(_term_filter(node, terms))
-        if conds:
-            cond = conds[0]
-            for c in conds[1:]:
-                cond = cond | c
-            segs = segs.filter(cond)
+            e, p = _term_filter_parts(node)
+            exact_terms |= e
+            preds.extend(p)
+            any_terms = any_terms or bool(P.collect_terms(node))
+        if exact_terms or preds or any_terms:
+            cond = (
+                F.col("term").isin(sorted(exact_terms))
+                if exact_terms
+                else None
+            )
+            for p in preds:
+                cond = p if cond is None else (cond | p)
+            if cond is not None:
+                segs = segs.filter(cond)
 
         need_uni = any(P.needs_universe(n) for n in nodes.values())
         pos_terms: set = set()
@@ -247,11 +259,12 @@ def _make_batch_kernel(
     return kernel_cogroup if need_uni else kernel_plain
 
 
-def _term_filter(node: P.PNode, all_terms: List[str]):
-    """Segment-scan predicate on the term column. Expansions use the
-    shared pushdown predicate (exact IN below a threshold, else a
-    StartsWith/range/length-band bound + JVM residual — never a huge
-    enumerated IN list); terms and phrases contribute exact terms."""
+def _term_filter_parts(node: P.PNode):
+    """-> (exact_terms set, expansion predicate Columns list) for the
+    segment-scan term predicate. Split out so search_many can union
+    the parts across a whole batch into ONE isin + a few ORs instead
+    of per-query Column chains (py4j round trips are driver-serial
+    and add up at high QPS)."""
     exact: set = set()
     preds: List = []
 
@@ -265,10 +278,22 @@ def _term_filter(node: P.PNode, all_terms: List[str]):
         elif isinstance(n, P.PBool):
             for c in n.must + n.should + n.must_not:
                 walk(c)
+        elif isinstance(n, P.PDisMax):
+            for c in n.children:
+                walk(c)
         elif isinstance(n, (P.PNot, P.PBoost)):
             walk(n.child)
 
     walk(node)
+    return exact, preds
+
+
+def _term_filter(node: P.PNode, all_terms: List[str]):
+    """Segment-scan predicate on the term column. Expansions use the
+    shared pushdown predicate (exact IN below a threshold, else a
+    StartsWith/range/length-band bound + JVM residual — never a huge
+    enumerated IN list); terms and phrases contribute exact terms."""
+    exact, preds = _term_filter_parts(node)
     cond = F.col("term").isin(sorted(exact)) if exact else None
     for p in preds:
         cond = p if cond is None else (cond | p)

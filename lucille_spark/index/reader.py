@@ -400,6 +400,8 @@ class SparkIndex:
         )
 
     def plan(self, query) -> P.PNode:
+        if isinstance(query, P.PNode):
+            return query  # pre-built physical tree (e.g. PDisMax)
         if isinstance(query, str):
             query = parse(query)
         assert isinstance(query, ast.Query)

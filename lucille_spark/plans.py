@@ -121,6 +121,20 @@ class PBool(PNode):
 
 
 @dataclass(frozen=True)
+class PDisMax(PNode):
+    """Lucene DisjunctionMaxQuery: matches the UNION of children;
+    score = max(matching child scores) + tie * (sum of the other
+    matching child scores). tie=0 -> pure best clause; tie=1 ->
+    identical to a SHOULD-only PBool sum. Not part of lucille's
+    grammar (no parser production) — engine surface for
+    Elasticsearch `multi_match type=best_fields` / `dis_max`,
+    constructed via search_features.dis_max / best_fields."""
+
+    children: Tuple[PNode, ...]
+    tie: float = 0.0
+
+
+@dataclass(frozen=True)
 class PNot(PNode):
     """Standalone complement: all docs not matching child; const 1.0."""
 
@@ -592,6 +606,9 @@ def collect_terms(node: PNode) -> List[str]:
         elif isinstance(n, PBool):
             for c in n.must + n.should + n.must_not:
                 walk(c)
+        elif isinstance(n, PDisMax):
+            for c in n.children:
+                walk(c)
         elif isinstance(n, (PNot, PBoost)):
             walk(n.child if isinstance(n, PNot) else n.child)
     walk(node)
@@ -605,6 +622,8 @@ def needs_positions(node: PNode) -> bool:
         return any(
             needs_positions(c) for c in node.must + node.should + node.must_not
         )
+    if isinstance(node, PDisMax):
+        return any(needs_positions(c) for c in node.children)
     if isinstance(node, (PNot, PBoost)):
         return needs_positions(node.child)
     return False
@@ -619,6 +638,8 @@ def needs_universe(node: PNode) -> bool:
         return any(
             needs_universe(c) for c in node.must + node.should + node.must_not
         )
+    if isinstance(node, PDisMax):
+        return any(needs_universe(c) for c in node.children)
     if isinstance(node, PBoost):
         return needs_universe(node.child)
     return False

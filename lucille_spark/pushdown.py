@@ -71,6 +71,9 @@ def file_prune_bounds(node: P.PNode):
         elif isinstance(n, P.PBool):
             for c in n.must + n.should + n.must_not:
                 walk(c)
+        elif isinstance(n, P.PDisMax):
+            for c in n.children:
+                walk(c)
         elif isinstance(n, (P.PNot, P.PBoost)):
             walk(n.child)
 

@@ -213,6 +213,9 @@ def explain_search(index, query: str) -> dict:
         if isinstance(n, P.PBool):
             for c in n.must + n.should + n.must_not:
                 walk(c)
+        elif isinstance(n, P.PDisMax):
+            for c in n.children:
+                walk(c)
         elif isinstance(n, (P.PNot, P.PBoost)):
             walk(n.child)
 
@@ -293,6 +296,40 @@ def multi_field(query, fields: dict, default_field: str = "content"):
         return n
 
     return rw(query)
+
+
+def dis_max(index, queries, tie: float = 0.0):
+    """Lucene DisjunctionMaxQuery over already-planned subqueries:
+    matches the union of `queries` (strings, ASTs, or PNodes); per
+    doc, score = max(matching clause scores) + tie * (sum of the
+    others). Returns a physical PDisMax — feed it to either
+    executor's search() (both accept pre-built plans). tie=0 is the
+    pure "best clause wins" semantics; tie=1 degenerates to Boolean
+    OR sum scoring."""
+    from lucille_spark import plans as P
+
+    kids = tuple(index.plan(q) for q in queries)
+    return P.PDisMax(kids, float(tie))
+
+
+def best_fields(
+    index,
+    query,
+    fields: dict,
+    tie: float = 0.0,
+    default_field: str = "content",
+):
+    """Elasticsearch `multi_match type=best_fields`: the WHOLE query
+    is scoped to each field (via the single-field multi_field
+    rewrite, so per-field boosts and indexed-field norms apply) and
+    the per-field variants combine under dis_max — a doc matching
+    the query well in ONE field outranks a doc matching it weakly
+    in many (contrast multi_field alone = most_fields sum)."""
+    alts = [
+        multi_field(query, {f: w}, default_field=default_field)
+        for f, w in fields.items()
+    ]
+    return dis_max(index, alts, tie)
 
 
 def bm25f_topk(index, query_text: str, weights: dict, k: int = 10):

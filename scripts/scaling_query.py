@@ -1,0 +1,168 @@
+"""Query-path scaling evidence (bonus to the build-path north rule).
+
+Measures BATCHED-SERVING throughput (queries/sec through
+WandExecutor.search_many — one job per batch, the high-QPS serving
+shape) for the same index at two parallelism levels:
+
+    efficiency = qps(local[4N]) / (4 * qps(local[N]))
+
+The index is built once; each level runs in its own subprocess
+(fresh JVM). Like scripts/scaling.py, configs are interleaved and
+the best observed throughput per config is reported (shared noisy
+VM — see BENCH/BASELINE.md §3 for the variance protocol).
+
+Usage: python scripts/scaling_query.py [n_small] [n_docs] [reps]
+       python scripts/scaling_query.py worker <cpus> <ix> <reps>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_TERMS = (
+    "spark parser batch window index segment merge compact delta "
+    "stream table query shuffle broadcast executor partition schema "
+    "column driver cluster"
+).split()
+
+# 64 mixed-shape queries: big enough that per-shard kernel work
+# dominates the ONE job's fixed scheduling overhead
+BATCH = {}
+for _i, _t in enumerate(_TERMS):
+    BATCH[f"t{_i}"] = _t
+for _i in range(len(_TERMS)):
+    a, b = _TERMS[_i], _TERMS[(_i + 7) % len(_TERMS)]
+    BATCH[f"a{_i}"] = f"{a} AND {b}"
+for _i in range(0, len(_TERMS), 2):
+    a, b, c = (
+        _TERMS[_i],
+        _TERMS[(_i + 3) % len(_TERMS)],
+        _TERMS[(_i + 11) % len(_TERMS)],
+    )
+    BATCH[f"o{_i}"] = f"{a} {b} {c}"
+for _i in range(0, len(_TERMS), 5):
+    BATCH[f"c{_i}"] = (
+        f"{_TERMS[_i]} AND ({_TERMS[(_i + 2) % len(_TERMS)]} OR "
+        f"{_TERMS[(_i + 9) % len(_TERMS)]})"
+    )
+
+
+def worker(cpus: int, ix_dir: str, reps: int) -> None:
+    from pyspark.sql import SparkSession
+
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.reader import SparkIndex
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus * 2)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ex = WandExecutor(SparkIndex(spark, ix_dir, cache=True))
+    # warm: materialize the cached segment scan once
+    ex.search_many(BATCH, k=10).count()
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        n = ex.search_many(BATCH, k=10).count()
+        dt = time.time() - t0
+        assert n > 0
+        best = max(best, len(BATCH) / dt)
+    print(json.dumps({"cpus": cpus, "qps": round(best, 2)}))
+
+
+def run_worker(cpus: int, ix_dir: str, reps: int) -> float:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "worker",
+            str(cpus),
+            ix_dir,
+            str(reps),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    lines = [
+        l
+        for l in out.stdout.replace("\r", "\n").splitlines()
+        if l.startswith("{")
+    ]
+    if not lines:
+        raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])["qps"]
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 160000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_big = n_small * 4
+
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from lucille_spark.fixtures import generate_docs
+    from lucille_spark.index import IndexBuilder
+
+    ix_dir = os.path.join(
+        tempfile.gettempdir(), f"lucille_qscale_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(ix_dir, "stats.json")):
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = generate_docs(spark, n_docs, seed=42).persist()
+        docs.count()
+        IndexBuilder(num_shards=32, block_size=128).build(docs, ix_dir)
+        spark.stop()
+
+    best = {n_small: 0.0, n_big: 0.0}
+    for rep in range(reps):
+        for cpus in (n_big, n_small) if rep % 2 else (n_small, n_big):
+            qps = run_worker(cpus, ix_dir, 3)
+            best[cpus] = max(best[cpus], qps)
+            print(f"rep {rep} local[{cpus}]: {qps} q/s (best {best[cpus]})")
+    eff = best[n_big] / (4 * best[n_small]) if best[n_small] else 0.0
+    result = {
+        "mode": "query_batch_serving",
+        "n_docs": n_docs,
+        "batch": len(BATCH),
+        "n_small": n_small,
+        "n_big": n_big,
+        "qps_small": best[n_small],
+        "qps_big": best[n_big],
+        "speedup": round(best[n_big] / best[n_small], 3)
+        if best[n_small]
+        else 0,
+        "efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH", "scaling.jsonl"), "a") as f:
+        f.write(json.dumps({**result, "ts": time.time()}) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -205,7 +205,9 @@ class OracleIndex:
             meta_types=meta_types,
         )
 
-    def plan(self, q: Union[str, ast.Query]) -> P.PNode:
+    def plan(self, q: Union[str, ast.Query, P.PNode]) -> P.PNode:
+        if isinstance(q, P.PNode):
+            return q  # pre-built physical tree (dis_max etc.)
         if isinstance(q, str):
             q = parse(q)
         return self.planner.plan(q)

@@ -1,0 +1,113 @@
+"""DisjunctionMaxQuery (Lucene DisMaxQuery / ES multi_match
+best_fields): matches the union of children, per-doc score =
+max(matching clause scores) + tie * (sum of the others).
+
+Rank identity across the DataFrame executor, the WAND/segment
+executor (exhaustive path — PDisMax is not a flat term boolean), and
+the numpy oracle; algebraic identities pin the semantics:
+tie=1 == Boolean OR sum, tie=0 == per-doc max of the clause scores.
+"""
+
+import numpy as np
+import pytest
+
+DISMAX_CASES = [
+    (["cats AND dogs", "derp OR lerp"], 0.0),
+    (["cats AND dogs", "derp OR lerp"], 0.3),
+    (["the cat", '"The cat jumped"'], 0.5),
+    (["derp", "lerp", "slerp"], 0.1),
+    (["tes*", "cats^2"], 0.7),
+]
+
+
+def _ranked(rows, round_to=9):
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+def _dismax_node(ix_or_oracle, queries, tie):
+    from lucille_spark import plans as P
+
+    return P.PDisMax(
+        tuple(ix_or_oracle.plan(q) for q in queries), float(tie)
+    )
+
+
+@pytest.mark.parametrize("queries,tie", DISMAX_CASES)
+def test_dismax_rank_identity_df(unit_index, queries, tie):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    expected = _ranked(oracle.search(_dismax_node(oracle, queries, tie)))
+    rows = (
+        DataFrameExecutor(ix)
+        .search(_dismax_node(ix, queries, tie), k=10)
+        .collect()
+    )
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == expected, (queries, tie)
+
+
+@pytest.mark.parametrize("queries,tie", DISMAX_CASES[:3])
+def test_dismax_rank_identity_wand(unit_index, queries, tie):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, _ = unit_index
+    expected = _ranked(oracle.search(_dismax_node(oracle, queries, tie)))
+    rows = (
+        WandExecutor(ix)
+        .search(_dismax_node(ix, queries, tie), k=10)
+        .collect()
+    )
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == expected, (queries, tie)
+
+
+def test_dismax_tie_one_equals_or_sum(unit_index):
+    """tie=1.0 degenerates to SHOULD-only Boolean sum scoring."""
+    _, oracle, _ = unit_index
+    node = _dismax_node(oracle, ["cats", "dogs", "derp"], 1.0)
+    got = oracle.search(node, k=None)
+    via_or = oracle.search("cats dogs derp", k=None)
+    assert _ranked(got) == _ranked(via_or)
+
+
+def test_dismax_tie_zero_is_per_doc_max(unit_index):
+    """tie=0.0 scores each doc by its single best clause."""
+    from lucille_spark.eval_local import evaluate
+
+    _, oracle, _ = unit_index
+    queries = ["cats AND dogs", "derp OR lerp"]
+    node = _dismax_node(oracle, queries, 0.0)
+    ids, scores = evaluate(node, oracle.sd)
+    by_doc = {}
+    for q in queries:
+        for d, s in oracle.search(q, k=None):
+            by_doc[d] = max(by_doc.get(d, -np.inf), s)
+    assert {int(i): float(s) for i, s in zip(ids, scores)} == pytest.approx(
+        by_doc
+    )
+    assert sorted(by_doc) == sorted(int(i) for i in ids)
+
+
+def test_best_fields_prefers_single_field_match(unit_index):
+    """search_features.best_fields: on a content-only index the
+    rewrite must produce the same result as the plain dis_max of the
+    default-field query (fields={'content': 1.0} is the identity)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import best_fields
+
+    ix, oracle, _ = unit_index
+    node = best_fields(ix, "cats AND dogs", {"content": 1.0}, tie=0.2)
+    rows = DataFrameExecutor(ix).search(node, k=10).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == _ranked(oracle.search("cats AND dogs"))
+
+
+def test_explain_counts_dismax_children(unit_index):
+    from lucille_spark.search_features import explain_search
+
+    ix, oracle, _ = unit_index
+    node = _dismax_node(ix, ["cats", "derp OR lerp"], 0.4)
+    info = explain_search(ix, node)
+    assert info["plan_nodes"]["PDisMax"] == 1
+    assert info["n_terms"] == 3
