@@ -639,6 +639,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_dismax"] = dismax_q
     q["wand_dismax"] = lambda s, d: dismax_q(s, d, wand=True)
 
+    # ---- pluggable similarity: the SAME index re-opened with
+    # SparkIndex(similarity=...) ranks with classic TF-IDF or LM
+    # Dirichlet instead of BM25 (read-time choice, scoring.py).
+    def sim_q(s, d, sim, q_str, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+        from lucille_spark.index.reader import SparkIndex
+
+        base = _index_for(s, d)  # ensure the index exists
+        key = f"sim:{sim}:" + os.path.abspath(d)
+        if key not in _IX_CACHE:
+            _IX_CACHE[key] = SparkIndex(s, base.dir, similarity=sim)
+        ix = _IX_CACHE[key]
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        return ex.search(q_str, k=10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    # ---- significant terms (ES significant_terms over a sampler
+    # agg): JLH-scored terms over-represented in the top-50 'spark'
+    # matches vs the dictionary background.
+    def sigterms_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import significant_terms
+
+        ix = _index_for(s, d)
+        out = significant_terms(
+            DataFrameExecutor(ix), "spark", _docs(s, d), k_terms=10,
+            sample=50,
+        )
+        return out.select(
+            "term", "fg_count", "bg_count",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["ft_sigterms"] = sigterms_q
+
+    q["ft_tfidf"] = lambda s, d: sim_q(s, d, "tfidf", "spark AND batch")
+    q["wand_tfidf"] = lambda s, d: sim_q(
+        s, d, "tfidf", "spark AND batch", wand=True
+    )
+    q["ft_lmd"] = lambda s, d: sim_q(s, d, "lmd", "spark batch")
+    q["wand_lmd"] = lambda s, d: sim_q(
+        s, d, "lmd", "spark batch", wand=True
+    )
+
     # ---- percolator (reverse search): stored queries matched against
     # the documents table; zero-shuffle mapInPandas over doc batches.
     def percolate_q(s, d):
@@ -1548,6 +1594,65 @@ ORDER BY 1.0 + s DESC, doc_id LIMIT 10"""
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
     o["wand_dismax"] = o["ft_dismax"]
+
+    # classic TF-IDF (Lucene ClassicSimilarity shape, exact lengths):
+    # score = (1 + ln(N/(df+1)))^2 * sqrt(tf) / sqrt(dl), summed over
+    # matched terms; AND keeps docs matching every term
+    o["ft_tfidf"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term,
+       power(1.0 + ln(st.n / (dfs.df + 1.0)), 2) * sqrt(tf.tf) /
+       sqrt(greatest(dl.dl, 1)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s) AS s, count(*) AS c FROM sc
+        GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score FROM agg WHERE c = 2
+ORDER BY s DESC, doc_id LIMIT 10"""
+    o["wand_tfidf"] = o["ft_tfidf"]
+
+    # LM Dirichlet (mu=2000, Lucene-style clamp at 0):
+    # score = max(0, ln(1 + tf * total/(mu*cf)) + ln(mu/(dl+mu)))
+    o["ft_lmd"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+total AS (SELECT count(*) AS tt FROM tok),
+cfs AS (SELECT term, count(*) AS cf FROM tok
+        WHERE term IN ('spark', 'batch') GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+sc AS (SELECT tf.doc_id,
+       greatest(0.0, ln(1.0 + tf.tf * total.tt / (2000.0 * cfs.cf))
+                + ln(2000.0 / (dl.dl + 2000.0))) AS s
+       FROM tf JOIN cfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN total),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score FROM agg
+ORDER BY s DESC, doc_id LIMIT 10"""
+    o["wand_lmd"] = o["ft_lmd"]
+
+    # significant terms: top-50 'spark' matches as foreground, whole
+    # corpus as background, JLH = (fg% - bg%) * fg%/bg%
+    o["ft_sigterms"] = (
+        _cte(["spark"])
+        + """,
+top AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+nfg AS (SELECT count(*) AS nf FROM top),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg_count FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM tok
+       GROUP BY term),
+jo AS (SELECT fg.term, fg.fg_count, bg.bg_count,
+       (fg.fg_count * 1.0 / nfg.nf - bg.bg_count * 1.0 / st.n)
+       * (fg.fg_count * 1.0 / nfg.nf) / (bg.bg_count * 1.0 / st.n)
+       AS score
+       FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN st)
+SELECT term, fg_count, bg_count, round(score, 4) AS score FROM jo
+WHERE fg_count >= 2 AND score > 0
+ORDER BY score DESC, term LIMIT 10"""
+    )
 
     # prefix expansion inside the field namespace: constant score
     o["ft_ifield_prefix"] = (

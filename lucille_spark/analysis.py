@@ -302,6 +302,25 @@ def get_analyzer(name: str):
         )
 
 
+def get_tokenize_expr(name: str):
+    """Spark-expression twin of the named analyzer (Column in, array
+    Column out) — for ops that re-analyze source text in-plan with
+    the SAME rule the index used (e.g. significant_terms)."""
+    exprs = {
+        "standard": tokenize_expr,
+        "code": code_tokenize_expr,
+        "stop": stop_tokenize_expr,
+        "s_stem": s_stem_tokenize_expr,
+        "english": english_tokenize_expr,
+    }
+    try:
+        return exprs[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: {sorted(exprs)}"
+        )
+
+
 def pandas_token_lists(series, analyzer: str = "standard"):
     """Vectorized pandas token lists under the named analyzer — the
     index-build kernel path (Arrow-batched; no per-row Python)."""

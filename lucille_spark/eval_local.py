@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from lucille_spark import plans as P
-from lucille_spark.scoring import bm25_np
+from lucille_spark.scoring import term_score_np
 
 
 @dataclass
@@ -71,9 +71,10 @@ def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         p = sd.postings.get(node.term)
         if p is None or p.ids.size == 0:
             return _EMPTY
-        return p.ids, bm25_np(
-            p.tfs, p.dls, node.idf,
+        return p.ids, term_score_np(
+            node.sim, p.tfs, p.dls, node.idf,
             sd.avgdl if node.avgdl is None else node.avgdl,
+            node.tw,
         )
     if isinstance(node, P.PExpand):
         arrs = [
@@ -215,11 +216,13 @@ def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray
     if not out_ids:
         return _EMPTY
     oid = np.array(out_ids, dtype=np.int64)
-    sc = bm25_np(
+    sc = term_score_np(
+        node.sim,
         np.array(out_tf, dtype=np.int64),
         np.array(out_dl, dtype=np.int64),
         node.idf,
         sd.avgdl if node.avgdl is None else node.avgdl,
+        node.tw,
     )
     return oid, sc
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from lucille_spark import plans as P
 from lucille_spark.index.reader import SparkIndex
 from lucille_spark.pushdown import expand_bounds, expand_condition
-from lucille_spark.scoring import B, K1
+from lucille_spark.scoring import B, K1, MU
 
 
 def _bm25_col(tf: Column, dl: Column, idf_val: float, avgdl) -> Column:
@@ -36,6 +36,26 @@ def _bm25_col(tf: Column, dl: Column, idf_val: float, avgdl) -> Column:
     return F.lit(idf_val) * tff / (
         tff + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl.cast("double") / adl)
     )
+
+
+def _score_col(
+    sim: str, tf: Column, dl: Column, w, avgdl, tw=0.0
+) -> Column:
+    """Similarity-dispatched score expression (scoring.py formulas,
+    all in JVM whole-stage codegen). `w`/`avgdl`/`tw` accept a float
+    or a Column (per-term map literals in fused multi-term scans)."""
+    wc = w if isinstance(w, Column) else F.lit(float(w))
+    if sim == "bm25":
+        return wc * _bm25_col(tf, dl, 1.0, avgdl)
+    tff = tf.cast("double")
+    dld = dl.cast("double")
+    if sim == "tfidf":
+        return wc * F.sqrt(tff) / F.sqrt(F.greatest(dld, F.lit(1.0)))
+    if sim == "lmd":
+        twc = tw if isinstance(tw, Column) else F.lit(float(tw))
+        raw = F.log1p(tff * twc) + F.log(F.lit(MU) / (dld + F.lit(MU)))
+        return wc * F.greatest(raw, F.lit(0.0))
+    raise ValueError(f"unknown similarity {sim!r}")
 
 
 class DataFrameExecutor:
@@ -104,9 +124,9 @@ class DataFrameExecutor:
             )
             return rows.select(
                 "doc_id",
-                _bm25_col(
-                    F.col("tf"), F.col("doc_len"), node.idf,
-                    node.avgdl or self.avgdl,
+                _score_col(
+                    node.sim, F.col("tf"), F.col("doc_len"), node.idf,
+                    node.avgdl or self.avgdl, node.tw,
                 ).alias("score"),
             )
         if isinstance(node, P.PExpand):
@@ -242,16 +262,21 @@ class DataFrameExecutor:
         SHOULD."""
         idf = {}
         adl: dict = {}
+        twm: dict = {}
         m_cnt: dict = {}
         s_cnt: dict = {}
         for t in term_must:
             idf[t.term] = t.idf
             adl[t.term] = t.avgdl or self.avgdl
+            twm[t.term] = t.tw
             m_cnt[t.term] = m_cnt.get(t.term, 0) + 1
         for t in term_should:
             idf[t.term] = t.idf
             adl[t.term] = t.avgdl or self.avgdl
+            twm[t.term] = t.tw
             s_cnt[t.term] = s_cnt.get(t.term, 0) + 1
+        # all PTerms of one plan share the planner's similarity
+        sim = (term_must + term_should)[0].sim
 
         def _map(d: dict, cast: str):
             if not d:
@@ -268,9 +293,10 @@ class DataFrameExecutor:
         rows = self._flat(terms).filter(F.col("term").isin(terms))
         return rows.select(
             "doc_id",
-            _bm25_col(
-                F.col("tf"), F.col("doc_len"), 1.0,
+            _score_col(
+                sim, F.col("tf"), F.col("doc_len"), 1.0,
                 F.coalesce(_map(adl, "double"), F.lit(self.avgdl)),
+                F.coalesce(_map(twm, "double"), F.lit(0.0)),
             ).alias("_b"),
             F.col("term"),
         ).select(
@@ -337,9 +363,9 @@ class DataFrameExecutor:
             j = j.filter(matched).withColumn("tf_p", F.lit(1))
         return j.select(
             "doc_id",
-            _bm25_col(
-                F.col("tf_p"), F.col("doc_len"), node.idf,
-                node.avgdl or self.avgdl,
+            _score_col(
+                node.sim, F.col("tf_p"), F.col("doc_len"), node.idf,
+                node.avgdl or self.avgdl, node.tw,
             ).alias("score"),
         )
 

@@ -391,7 +391,7 @@ def _weighted_term(c: P.PNode, factor: float = 1.0):
     if isinstance(c, P.PTerm):
         if factor == 1.0:
             return c
-        return P.PTerm(c.term, c.idf * factor, c.avgdl)
+        return P.PTerm(c.term, c.idf * factor, c.avgdl, c.tw, c.sim)
     return None
 
 
@@ -500,7 +500,8 @@ def _eval_flat_pruned(
     """Block-max pruned evaluation of flat AND/OR over PTerms.
     Counts decoded blocks in _PRUNE_STATS for testability. Block
     upper bounds are completed here from the stored max_tf and the
-    plan-time idf (bm25_upper_bound)."""
+    plan-time weight (scoring.term_upper_bound, per the plan's
+    similarity)."""
     kind, pterms = flat
     terms = {t.term: t for t in pterms}
 
@@ -518,7 +519,11 @@ def _eval_flat_pruned(
     if not avail:
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
-    from lucille_spark.scoring import bm25_np
+    from lucille_spark.scoring import term_score_np
+
+    def _score(t: str, tfs, dls):
+        pt = terms[t]
+        return term_score_np(pt.sim, tfs, dls, pt.idf, _adl(t), pt.tw)
 
     stats = _PRUNE_STATS
     stats["total_blocks"] += sum(len(r) for r in avail.values())
@@ -530,7 +535,7 @@ def _eval_flat_pruned(
         p = _build_posting(avail[first], False, decode, deleted)
         stats["decoded_blocks"] += len(avail[first])
         cand_ids = p.ids
-        score = bm25_np(p.tfs, p.dls, terms[first].idf, _adl(first))
+        score = _score(first, p.tfs, p.dls)
         for t in order[1:]:
             rows = avail[t]
             if cand_ids.size == 0:
@@ -544,9 +549,7 @@ def _eval_flat_pruned(
                 cand_ids, pt.ids, assume_unique=True, return_indices=True
             )
             cand_ids = common
-            score = score[ia] + bm25_np(
-                pt.tfs[ib], pt.dls[ib], terms[t].idf, _adl(t)
-            )
+            score = score[ia] + _score(t, pt.tfs[ib], pt.dls[ib])
         return cand_ids, score
 
     # kind == 'or': MaxScore with candidate-restricted tail decoding.
@@ -556,10 +559,15 @@ def _eval_flat_pruned(
     # bound) score exceeds it, tail terms need only update docs
     # already in the accumulator — decoding just blocks whose doc
     # range overlaps the candidates.
-    from lucille_spark.scoring import bm25_upper_bound
+    from lucille_spark.scoring import term_upper_bound
 
     ubs = {
-        t: bm25_upper_bound(int(avail[t]["max_tf"].max()), terms[t].idf)
+        t: term_upper_bound(
+            terms[t].sim,
+            int(avail[t]["max_tf"].max()),
+            terms[t].idf,
+            terms[t].tw,
+        )
         for t in avail
     }
     order = sorted(avail, key=lambda t: -ubs[t])
@@ -586,14 +594,12 @@ def _eval_flat_pruned(
                     acc_ids, pt.ids, assume_unique=True, return_indices=True
                 )
                 if common.size:
-                    acc_sc[ia] += bm25_np(
-                        pt.tfs[ib], pt.dls[ib], terms[t2].idf, _adl(t2)
-                    )
+                    acc_sc[ia] += _score(t2, pt.tfs[ib], pt.dls[ib])
             return acc_ids, acc_sc
         rows = avail[t]
         stats["decoded_blocks"] += len(rows)
         pt = _build_posting(rows, False, decode, deleted)
-        sc = bm25_np(pt.tfs, pt.dls, terms[t].idf, _adl(t))
+        sc = _score(t, pt.tfs, pt.dls)
         acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, pt.ids, sc)
         remaining -= ubs[t]
     return acc_ids, acc_sc

@@ -33,16 +33,30 @@ from lucille_spark.index import fsio
 
 
 class DriverDictionary(P.TermDictionary):
-    def __init__(self, terms: np.ndarray, term_ids: np.ndarray, dfs: np.ndarray):
+    def __init__(
+        self,
+        terms: np.ndarray,
+        term_ids: np.ndarray,
+        dfs: np.ndarray,
+        cfs: "np.ndarray | None" = None,
+    ):
         order = np.argsort(terms)
         self.terms = terms[order]
         self.term_ids = term_ids[order]
         self.dfs = dfs[order]
+        self.cfs = cfs[order] if cfs is not None else None
         self._pos = {t: i for i, t in enumerate(self.terms)}
 
     def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
         return {
             t: int(self.dfs[self._pos[t]]) for t in terms if t in self._pos
+        }
+
+    def lookup_cf(self, terms: Sequence[str]) -> Dict[str, int]:
+        if self.cfs is None:
+            raise ValueError("dictionary loaded without cf column")
+        return {
+            t: int(self.cfs[self._pos[t]]) for t in terms if t in self._pos
         }
 
     def term_id_map(self, terms: Sequence[str]) -> Dict[str, int]:
@@ -178,6 +192,14 @@ class PushdownDictionary(P.TermDictionary):
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def lookup_cf(self, terms: Sequence[str]) -> Dict[str, int]:
+        rows = (
+            self.df.filter(F.col("term").isin(list(terms)))
+            .select("term", "cf")
+            .collect()
+        )
+        return {r["term"]: int(r["cf"]) for r in rows}
+
     def _terms(self, cond) -> List[str]:
         return [
             r["term"] for r in self.df.filter(cond).select("term").collect()
@@ -261,10 +283,14 @@ class SparkIndex:
         index_dir: str,
         driver_dict_max_terms: int = 2_000_000,
         cache: bool = False,
+        similarity: str = "bm25",
     ):
         """`cache=True` pins the posting tables in Spark's in-memory
         columnar cache — the right call for query serving (repeated
-        scans); leave False for one-shot batch jobs."""
+        scans); leave False for one-shot batch jobs. `similarity`
+        selects the ranking formula ("bm25" | "tfidf" | "lmd" — see
+        scoring.py); it is a read-time choice, the index layout is
+        identical."""
         self.spark = spark
         self.dir = index_dir
         self.stats = json.loads(
@@ -297,11 +323,14 @@ class SparkIndex:
                 self.segments_path
             ).cache()
         if self.stats["n_terms"] <= driver_dict_max_terms:
-            pdf = self.terms_df.select("term", "term_id", "df").toPandas()
+            pdf = self.terms_df.select(
+                "term", "term_id", "df", "cf"
+            ).toPandas()
             self.dictionary: P.TermDictionary = DriverDictionary(
                 pdf["term"].to_numpy(dtype=object),
                 pdf["term_id"].to_numpy(dtype=np.int64),
                 pdf["df"].to_numpy(dtype=np.int64),
+                pdf["cf"].to_numpy(dtype=np.int64),
             )
         else:
             self.dictionary = PushdownDictionary(self.terms_df)
@@ -312,6 +341,9 @@ class SparkIndex:
             analyzer=self.stats.get("analyzer", "standard"),
             indexed_fields=self.stats.get("indexed_fields", {}),
             meta_types=self.stats.get("meta_types", {}),
+            similarity=similarity,
+            total_tokens=float(self.stats["n_docs"])
+            * float(self.stats["avg_dl"]),
         )
 
     @property

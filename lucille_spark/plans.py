@@ -32,6 +32,7 @@ parser only — node meanings per SURVEY.md §2.1/§7.3):
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -56,8 +57,13 @@ class PTerm(PNode):
     executor's global avgdl."""
 
     term: str
-    idf: float
+    idf: float  # the multiplicative weight W of the similarity
     avgdl: Optional[float] = None
+    # similarity extras (scoring.py): `tw` is the inside-the-log term
+    # weight for LM Dirichlet (0 when unused); `sim` names the
+    # formula so every evaluator dispatches identically.
+    tw: float = 0.0
+    sim: str = "bm25"
 
 
 @dataclass(frozen=True)
@@ -93,6 +99,8 @@ class PPhrase(PNode):
     slop: int
     idf: float
     avgdl: Optional[float] = None  # per-field norm; see PTerm.avgdl
+    tw: float = 0.0  # see PTerm.tw (lmd: from min member cf)
+    sim: str = "bm25"
 
 
 @dataclass(frozen=True)
@@ -166,6 +174,12 @@ class TermDictionary:
     (index.reader.SparkIndex)."""
 
     def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        raise NotImplementedError
+
+    def lookup_cf(self, terms: Sequence[str]) -> Dict[str, int]:
+        """Collection frequency (total tf across the corpus) — needed
+        only by the LM Dirichlet similarity; the dictionary's `cf`
+        column is recorded at build."""
         raise NotImplementedError
 
     def expand_prefix(self, prefix: str) -> List[str]:
@@ -246,7 +260,20 @@ class Planner:
         analyzer: str = "standard",
         indexed_fields: Optional[Dict[str, float]] = None,
         meta_types: Optional[Dict[str, str]] = None,
+        similarity: str = "bm25",
+        total_tokens: Optional[float] = None,
     ) -> None:
+        from lucille_spark.scoring import SIMILARITIES
+
+        if similarity not in SIMILARITIES:
+            raise ValueError(f"unknown similarity {similarity!r}")
+        # pluggable similarity (scoring.py): the planner bakes the
+        # per-term weights (W, and tw for lmd) into the plan, so
+        # executors need no extra state. `total_tokens` (sum of all
+        # content doc lengths = n_docs * avg_dl) is required for lmd's
+        # collection language model p(t|C) = cf / total_tokens.
+        self.similarity = similarity
+        self.total_tokens = float(total_tokens or 0.0)
         self.dict = dictionary
         self.n_docs = n_docs
         self.meta_fields = set(meta_fields)
@@ -274,6 +301,42 @@ class Planner:
         return self._plan(q)
 
     # -- helpers ---------------------------------------------------
+    def _weight(self, df: int, cf: int) -> Tuple[float, float]:
+        """-> (W, tw) for one term under the planner's similarity
+        (formulas in scoring.py)."""
+        if self.similarity == "bm25":
+            return _idf(df, self.n_docs), 0.0
+        if self.similarity == "tfidf":
+            w = 1.0 + math.log(self.n_docs / (df + 1.0))
+            return w * w, 0.0
+        # lmd: W carries boosts only; tw = 1 / (mu * p(t|C))
+        from lucille_spark.scoring import MU
+
+        return 1.0, self.total_tokens / (MU * float(cf))
+
+    def _cfs(self, terms: Sequence[str]) -> Dict[str, int]:
+        """cf lookup, only performed when the similarity needs it."""
+        if self.similarity != "lmd":
+            return {}
+        return self.dict.lookup_cf(terms)
+
+    def _mk_term(
+        self, term: str, df: int, cf: int, adl: Optional[float] = None
+    ) -> PTerm:
+        w, tw = self._weight(df, cf)
+        return PTerm(term, w, adl, tw, self.similarity)
+
+    def _mk_phrase(
+        self,
+        toks: Sequence[str],
+        slop: int,
+        df_proxy: int,
+        cf_proxy: int,
+        adl: Optional[float] = None,
+    ) -> PPhrase:
+        w, tw = self._weight(df_proxy, cf_proxy)
+        return PPhrase(tuple(toks), slop, w, adl, tw, self.similarity)
+
     def _term_idf(self, term: str) -> Tuple[float, int]:
         df = self.dict.lookup_df([term]).get(term, 0)
         return _idf(df, self.n_docs), df
@@ -283,20 +346,27 @@ class Planner:
         if not toks:
             return PMatchNone()
         if len(toks) == 1:
-            i, df = self._term_idf(toks[0])
+            df = self.dict.lookup_df(toks).get(toks[0], 0)
             if df == 0:
                 return PMatchNone()
-            return PTerm(toks[0], i)
+            cf = self._cfs(toks).get(toks[0], 1)
+            return self._mk_term(toks[0], df, cf)
         return self._plan_phrase(toks, 0)
 
     def _plan_phrase(self, toks: List[str], slop: int) -> PNode:
         dfs = self.dict.lookup_df(toks)
         if any(dfs.get(t, 0) == 0 for t in toks):
             return PMatchNone()
+        cfs = self._cfs(toks)
         if len(toks) == 1:
-            return PTerm(toks[0], _idf(dfs[toks[0]], self.n_docs))
+            return self._mk_term(
+                toks[0], dfs[toks[0]], cfs.get(toks[0], 1)
+            )
+        # pseudo-term stats: min over members (global single-pass
+        # upper bound, same convention for every similarity)
         df_proxy = min(dfs[t] for t in toks)
-        return PPhrase(tuple(toks), slop, _idf(df_proxy, self.n_docs))
+        cf_proxy = min(cfs.get(t, 1) for t in toks)
+        return self._mk_phrase(toks, slop, df_proxy, cf_proxy)
 
     def _expand(
         self, terms: List[str], kind: str, source: Tuple = ()
@@ -416,12 +486,14 @@ class Planner:
             dfs = self.dict.lookup_df(pts)
             if any(dfs.get(t, 0) == 0 for t in pts):
                 return PMatchNone()
+            cfs = self._cfs(pts)
             if len(pts) == 1:
-                return PTerm(pts[0], _idf(dfs[pts[0]], self.n_docs), adl)
+                return self._mk_term(
+                    pts[0], dfs[pts[0]], cfs.get(pts[0], 1), adl
+                )
             df_proxy = min(dfs[t] for t in pts)
-            return PPhrase(
-                tuple(pts), slop, _idf(df_proxy, self.n_docs), adl
-            )
+            cf_proxy = min(cfs.get(t, 1) for t in pts)
+            return self._mk_phrase(pts, slop, df_proxy, cf_proxy, adl)
 
         if isinstance(q, ast.Term):
             return phrase(self.tokenize(q.value), 0)

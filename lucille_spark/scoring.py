@@ -50,3 +50,81 @@ BM25_SQL = (
     "(ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5)) * {tf} / "
     "({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / {avgdl})))"
 )
+
+
+# ------------------------------------------------- pluggable similarity
+#
+# Three similarities, selected per index reader / planner
+# (Planner(similarity=...)); the chosen formula travels inside the
+# plan (PTerm.sim / PTerm.tw), so every evaluator — DataFrame
+# executor, WAND kernel, numpy oracle — dispatches identically.
+# Each factors as  score = W * shape(tf, dl[, tw]),  with W a
+# per-term multiplicative weight (so PBoost folding W *= boost stays
+# exact for all three):
+#
+#   bm25  (default): W = idf(df, N)          shape = tf / (tf + k1*(1-b+b*dl/avgdl))
+#   tfidf (Lucene ClassicSimilarity):
+#                    W = (1 + ln(N/(df+1)))^2 shape = sqrt(tf) / sqrt(dl)
+#                    (tf sqrt, idf squared — query & index side —
+#                    and norm 1/sqrt(dl); no SmallFloat quantization,
+#                    same exact-lengths deviation as BM25 here)
+#   lmd   (LM Dirichlet, Zhai & Lafferty; Lucene LMDirichletSimilarity):
+#                    W = 1                    shape = max(0, ln(1 + tf*tw) + ln(mu/(dl+mu)))
+#                    tw = total_tokens / (mu * cf)   (= 1/(mu * p(t|C)))
+#                    clamped at 0 like Lucene so scores stay
+#                    non-negative (boolean sums and WAND bounds
+#                    remain sound); mu = 2000.
+#
+# Block-max upper bounds (given a block's max_tf; dl -> its infimum):
+#   bm25:  W * max_tf / (max_tf + k1*(1-b))          (dl -> 0)
+#   tfidf: W * sqrt(max_tf)                          (dl >= 1)
+#   lmd:   W * ln(1 + max_tf*tw)                     (dl -> 0: 2nd term -> 0;
+#                                                     clamp keeps it an upper bound)
+
+MU = 2000.0
+
+SIMILARITIES = ("bm25", "tfidf", "lmd")
+
+
+def tfidf_np(tf: np.ndarray, dl: np.ndarray, w: float) -> np.ndarray:
+    return w * np.sqrt(tf.astype(np.float64)) / np.sqrt(
+        np.maximum(dl.astype(np.float64), 1.0)
+    )
+
+
+def lmd_np(
+    tf: np.ndarray, dl: np.ndarray, w: float, tw: float
+) -> np.ndarray:
+    raw = np.log1p(tf.astype(np.float64) * tw) + np.log(
+        MU / (dl.astype(np.float64) + MU)
+    )
+    return w * np.maximum(raw, 0.0)
+
+
+def term_score_np(
+    sim: str,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    w: float,
+    avgdl: float,
+    tw: float = 0.0,
+) -> np.ndarray:
+    if sim == "bm25":
+        return bm25_np(tf, dl, w, avgdl)
+    if sim == "tfidf":
+        return tfidf_np(tf, dl, w)
+    if sim == "lmd":
+        return lmd_np(tf, dl, w, tw)
+    raise ValueError(f"unknown similarity {sim!r}")
+
+
+def term_upper_bound(
+    sim: str, max_tf: int, w: float, tw: float = 0.0
+) -> float:
+    if sim == "bm25":
+        return bm25_upper_bound(max_tf, w)
+    if sim == "tfidf":
+        return w * math.sqrt(float(max_tf))
+    if sim == "lmd":
+        return w * math.log1p(float(max_tf) * tw)
+    raise ValueError(f"unknown similarity {sim!r}")

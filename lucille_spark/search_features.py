@@ -298,6 +298,62 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def significant_terms(
+    executor,
+    query,
+    docs: DataFrame,
+    k_terms: int = 10,
+    sample: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Elasticsearch `significant_terms` over a sampler aggregation:
+    terms unusually frequent in the top-`sample` matches of `query`
+    relative to the whole corpus, scored with ES's default JLH
+    heuristic — (fg% - bg%) * fg%/bg%, fg% = share of sampled
+    matching docs containing the term, bg% = df/N from the
+    dictionary. -> (term, fg_count, bg_count, score) in
+    (score desc, term asc) order, positive-signal terms only.
+
+    Scale shape (the ES 'sampler' pattern, deliberately): the
+    foreground is the top-k PAGE, not the full match set — its
+    `sample` doc ids broadcast into a join against `docs`, whose
+    text is re-analyzed in-plan with the index's own analyzer
+    (vectorized expr, no UDF). Nothing rescans the postings: the
+    background model is the prebuilt dictionary df. Cost is
+    O(sample docs tokenized) + one small aggregation regardless of
+    corpus size."""
+    from lucille_spark.analysis import get_tokenize_expr
+
+    ix = executor.ix
+    top = executor.search(query, k=sample).select(id_col)
+    n_fg = top.count()
+    if n_fg == 0:
+        return ix.spark.createDataFrame(
+            [], "term string, fg_count long, bg_count long, score double"
+        )
+    tok = get_tokenize_expr(ix.stats.get("analyzer", "standard"))
+    fg = (
+        docs.join(F.broadcast(top), id_col)
+        .select(F.explode(F.array_distinct(tok(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_count"))
+    )
+    n = float(ix.stats["n_docs"])
+    bg = ix.terms_df.select("term", F.col("df").alias("bg_count"))
+    fgp = F.col("fg_count") / F.lit(float(n_fg))
+    bgp = F.col("bg_count") / F.lit(n)
+    return (
+        fg.join(bg, "term")
+        .filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("score", (fgp - bgp) * fgp / bgp)
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k_terms)
+    )
+
+
 def dis_max(index, queries, tie: float = 0.0):
     """Lucene DisjunctionMaxQuery over already-planned subqueries:
     matches the union of `queries` (strings, ASTs, or PNodes); per

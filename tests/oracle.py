@@ -67,12 +67,18 @@ def osa(a: str, b: str) -> int:
 
 
 class InMemoryDictionary(P.TermDictionary):
-    def __init__(self, df: Dict[str, int]):
+    def __init__(
+        self, df: Dict[str, int], cf: "Dict[str, int] | None" = None
+    ):
         self._df = df
+        self._cf = cf or {}
         self._terms = sorted(df)
 
     def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
         return {t: self._df[t] for t in terms if t in self._df}
+
+    def lookup_cf(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {t: self._cf[t] for t in terms if t in self._cf}
 
     def expand_prefix(self, prefix: str) -> List[str]:
         return [t for t in self._terms if t.startswith(prefix)]
@@ -113,6 +119,7 @@ class OracleIndex:
         content_col: str = "content",
         analyzer: str = "standard",
         indexed_cols: Sequence[str] = (),
+        similarity: str = "bm25",
     ):
         from lucille_spark.analysis import get_analyzer
 
@@ -159,6 +166,7 @@ class OracleIndex:
         self.all_dls = np.array(dls, dtype=np.int64)
         postings: Dict[str, Posting] = {}
         df: Dict[str, int] = {}
+        cf: Dict[str, int] = {}
         for t, rows in post.items():
             rows.sort(key=lambda r: r[0])
             postings[t] = Posting(
@@ -168,6 +176,7 @@ class OracleIndex:
                 positions=[r[2] for r in rows],
             )
             df[t] = len(rows)
+            cf[t] = int(sum(r[1] for r in rows))
         self.n_docs = len(self.docs)
         avgdl = float(self.all_dls.mean()) if self.n_docs else 1.0
         self.sd = ShardData(
@@ -177,7 +186,7 @@ class OracleIndex:
             all_dls=self.all_dls,
             meta={k: np.array(v, dtype=object) for k, v in meta.items()},
         )
-        self.dictionary = InMemoryDictionary(df)
+        self.dictionary = InMemoryDictionary(df, cf)
         self.meta_fields = meta_cols
         indexed_fields = {
             f: (field_len_sums[f] / self.n_docs or 1.0)
@@ -203,6 +212,8 @@ class OracleIndex:
             analyzer=analyzer,
             indexed_fields=indexed_fields,
             meta_types=meta_types,
+            similarity=similarity,
+            total_tokens=float(self.all_dls.sum()),
         )
 
     def plan(self, q: Union[str, ast.Query, P.PNode]) -> P.PNode:

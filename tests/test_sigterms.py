@@ -1,0 +1,71 @@
+"""significant_terms (ES significant_terms + sampler): JLH-scored
+over-represented terms in the top matches vs the corpus background,
+checked against a brute-force Python reference over the oracle docs.
+"""
+
+from collections import Counter
+
+
+def _reference(oracle, query, sample, min_doc_count=2):
+    from lucille_spark.analysis import get_analyzer
+
+    tok = get_analyzer("standard")
+    top = [d for d, _ in oracle.search(query, k=sample)]
+    n_fg = len(top)
+    n = oracle.n_docs
+    by_id = {d["doc_id"]: d for d in oracle.docs}
+    fg = Counter()
+    for doc_id in top:
+        fg.update(set(tok(by_id[doc_id]["content"])))
+    bg = {t: p.ids.size for t, p in oracle.sd.postings.items()}
+    out = []
+    for t, f in fg.items():
+        if f < min_doc_count or t not in bg:
+            continue
+        fgp, bgp = f / n_fg, bg[t] / n
+        score = (fgp - bgp) * fgp / bgp
+        if score > 0:
+            out.append((t, f, bg[t], score))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out
+
+
+def test_significant_terms_matches_reference(spark, unit_corpus, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import significant_terms
+
+    ix, oracle, _ = unit_index
+    # oracle doc ids are global rank over (repo, path, commit) — the
+    # same assignment the builder used, so ids align
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    docs = spark.createDataFrame(pdf.reset_index().rename(
+        columns={"index": "doc_id"}
+    ))
+
+    got = significant_terms(
+        DataFrameExecutor(ix), "cats AND dogs", docs,
+        k_terms=10, sample=20, text_col="content",
+    ).collect()
+    expected = _reference(oracle, "cats AND dogs", sample=20)[:10]
+    got_rows = [
+        (r["term"], int(r["fg_count"]), int(r["bg_count"]),
+         round(float(r["score"]), 9))
+        for r in got
+    ]
+    exp_rows = [(t, f, b, round(s, 9)) for t, f, b, s in expected]
+    assert got_rows == exp_rows
+
+
+def test_significant_terms_empty_query(spark, unit_corpus, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import significant_terms
+
+    ix, _, _ = unit_index
+    docs = spark.createDataFrame(unit_corpus)
+    out = significant_terms(
+        DataFrameExecutor(ix), "zzznomatchzzz", docs,
+        text_col="content",
+    )
+    assert out.count() == 0

@@ -1,0 +1,157 @@
+"""Pluggable similarity (scoring.py): BM25 (default), Lucene
+ClassicSimilarity-style TF-IDF, and LM Dirichlet (Zhai & Lafferty,
+clamped at 0 like Lucene's LMDirichletSimilarity).
+
+The similarity is a READ-TIME choice (SparkIndex(similarity=...)); the
+index layout is untouched. The planner bakes the per-term weights
+into the plan (PTerm.idf = multiplicative weight W, PTerm.tw = the
+inside-the-log LM weight), so both executors and the numpy oracle
+dispatch identically — verified by rank identity over boolean /
+phrase / boosted / min-match shapes, plus hand-computed scores.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucille_spark.scoring import MU
+
+QUERIES = [
+    "cats",
+    "cats dogs",
+    "cats AND dogs",
+    "derp OR lerp OR slerp",
+    "derp AND NOT lerp",
+    '"The cat jumped"',
+    "cats^3.0 AND dogs^2",
+    "(blue crab fish)@2",
+    "the cat AND ocean AND ocean2 OR fish",
+]
+
+SIMS = ["tfidf", "lmd"]
+
+
+def _ranked(rows, round_to=9):
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+@pytest.fixture(scope="module", params=SIMS)
+def sim_pair(request, spark, unit_corpus, unit_index):
+    """(similarity, SparkIndex reopened with it, OracleIndex twin)."""
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    ix, _, _ = unit_index
+    sim = request.param
+    six = SparkIndex(spark, ix.dir, similarity=sim)
+    pdf = unit_corpus.sort_values(
+        ["repo", "path", "commit"]
+    ).reset_index(drop=True)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r.repo,
+            "path": r.path,
+            "commit": r.commit,
+            "lang": r.lang,
+            "content": r.content,
+        }
+        for i, r in enumerate(pdf.itertuples())
+    ]
+    oracle = OracleIndex(docs_list, similarity=sim)
+    return sim, six, oracle
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity_df(sim_pair, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    sim, six, oracle = sim_pair
+    expected = _ranked(oracle.search(q, k=10))
+    rows = DataFrameExecutor(six).search(q, k=10).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == expected, (sim, q)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity_wand(sim_pair, q):
+    from lucille_spark.exec_wand import WandExecutor
+
+    sim, six, oracle = sim_pair
+    expected = _ranked(oracle.search(q, k=10))
+    rows = WandExecutor(six, prune=True).search(q, k=10).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == expected, (sim, q)
+
+
+def test_scores_non_negative(sim_pair):
+    """Both alternative similarities must produce non-negative
+    scores (LM Dirichlet only via the Lucene-style clamp) — boolean
+    sums and WAND upper bounds rely on it."""
+    sim, _, oracle = sim_pair
+    for q in QUERIES:
+        for _, s in oracle.search(q, k=None):
+            assert s >= 0.0, (sim, q)
+
+
+def test_tfidf_hand_computed(unit_index):
+    """tfidf score of a single-term query == idf^2 * sqrt(tf)/sqrt(dl)
+    computed by hand from the oracle's own postings."""
+    from tests.oracle import OracleIndex
+
+    _, oracle_bm, _ = unit_index
+    # rebuild an oracle over the same docs with tfidf
+    docs = oracle_bm.docs
+    oracle = OracleIndex(list(docs), similarity="tfidf")
+    p = oracle.sd.postings["cats"]
+    n = oracle.n_docs
+    idf = 1.0 + math.log(n / (p.ids.size + 1.0))
+    expected = {
+        int(d): idf * idf * math.sqrt(tf) / math.sqrt(dl)
+        for d, tf, dl in zip(p.ids, p.tfs, p.dls)
+    }
+    got = dict(oracle.search("cats", k=None))
+    assert got == pytest.approx(expected)
+
+
+def test_lmd_hand_computed(unit_index):
+    """lmd score == max(0, ln(1 + tf*total/(mu*cf)) + ln(mu/(dl+mu)))."""
+    from tests.oracle import OracleIndex
+
+    _, oracle_bm, _ = unit_index
+    oracle = OracleIndex(list(oracle_bm.docs), similarity="lmd")
+    p = oracle.sd.postings["cats"]
+    total = float(oracle.sd.all_dls.sum())
+    cf = float(p.tfs.sum())
+    expected = {}
+    for d, tf, dl in zip(p.ids, p.tfs, p.dls):
+        raw = math.log1p(tf * total / (MU * cf)) + math.log(
+            MU / (dl + MU)
+        )
+        expected[int(d)] = max(0.0, raw)
+    got = dict(oracle.search("cats", k=None))
+    assert got == pytest.approx(expected)
+
+
+def test_boost_is_linear_in_all_sims(unit_index):
+    """PBoost folding multiplies W — score(q^3) == 3*score(q) for
+    every similarity (the factorization scoring.py documents)."""
+    from tests.oracle import OracleIndex
+
+    _, oracle_bm, _ = unit_index
+    for sim in ["bm25"] + SIMS:
+        oracle = OracleIndex(list(oracle_bm.docs), similarity=sim)
+        plain = dict(oracle.search("cats", k=None))
+        boosted = dict(oracle.search("cats^3", k=None))
+        assert boosted == pytest.approx(
+            {d: 3.0 * s for d, s in plain.items()}
+        ), sim
+
+
+def test_unknown_similarity_rejected(unit_index):
+    from lucille_spark import plans as P
+
+    ix, oracle, _ = unit_index
+    with pytest.raises(ValueError):
+        P.Planner(oracle.dictionary, 10, similarity="dfr")
