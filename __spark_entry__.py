@@ -1107,6 +1107,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_cosine_topk"] = cosine
 
+    # ---- distributed PCA: the declarative covariance (chained
+    # posexplodes + one partial-aggregated groupBy — shuffle is
+    # O(partitions * d^2), not O(rows)) hash-gated entry-for-entry;
+    # the driver-side eigh + projection are pytest-exact vs numpy.
+    def pca_cov(s, d):
+        out = similarity.embedding_covariance(_emb(s, d), "embedding")
+        # + 0.0 normalizes IEEE -0.0 so both engines hash identically
+        return out.select(
+            "i", "j", (F.round("cov", 4) + F.lit(0.0)).alias("cov")
+        ).orderBy("i", "j")
+
+    q["sim_pca_cov"] = pca_cov
+
     q["sim_srp_ann"] = lambda s, d: similarity.srp_topk(
         similarity.srp_bucket(_emb(s, d), "embedding", n_bits=6, dim=64),
         "embedding",
@@ -2812,5 +2825,20 @@ c AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q)
 SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 20"""
+
+    # PCA covariance: population cov(i,j) = E[x_i x_j] - E[x_i]E[x_j]
+    # over the embedding column (parallel unnest = index-aligned)
+    o["sim_pca_cov"] = """
+WITH x AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS xi FROM embeddings),
+n AS (SELECT count(*) AS c FROM embeddings),
+m AS (SELECT i, avg(xi) AS mi FROM x GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxx
+      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)
+SELECT p.i, p.j,
+       round(p.sxx / n.c - ma.mi * mb.mi, 4) + 0.0 AS cov
+FROM p CROSS JOIN n
+JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+ORDER BY p.i, p.j"""
 
     return o

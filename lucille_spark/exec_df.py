@@ -44,18 +44,23 @@ def _score_col(
     """Similarity-dispatched score expression (scoring.py formulas,
     all in JVM whole-stage codegen). `w`/`avgdl`/`tw` accept a float
     or a Column (per-term map literals in fused multi-term scans)."""
-    wc = w if isinstance(w, Column) else F.lit(float(w))
     if sim == "bm25":
-        return wc * _bm25_col(tf, dl, 1.0, avgdl)
+        if isinstance(w, Column):
+            return w * _bm25_col(tf, dl, 1.0, avgdl)
+        return _bm25_col(tf, dl, float(w), avgdl)
     tff = tf.cast("double")
     dld = dl.cast("double")
     if sim == "tfidf":
-        return wc * F.sqrt(tff) / F.sqrt(F.greatest(dld, F.lit(1.0)))
-    if sim == "lmd":
+        shape = F.sqrt(tff) / F.sqrt(F.greatest(dld, F.lit(1.0)))
+    elif sim == "lmd":
         twc = tw if isinstance(tw, Column) else F.lit(float(tw))
         raw = F.log1p(tff * twc) + F.log(F.lit(MU) / (dld + F.lit(MU)))
-        return wc * F.greatest(raw, F.lit(0.0))
-    raise ValueError(f"unknown similarity {sim!r}")
+        shape = F.greatest(raw, F.lit(0.0))
+    else:
+        raise ValueError(f"unknown similarity {sim!r}")
+    if not isinstance(w, Column) and float(w) == 1.0:
+        return shape
+    return (w if isinstance(w, Column) else F.lit(float(w))) * shape
 
 
 class DataFrameExecutor:

@@ -384,6 +384,101 @@ def ivf_topk(
     return cosine_topk(cand, vec_col, query, k, id_col)
 
 
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Covariance matrix of an embedding column as (i, j, cov) rows,
+    fully declarative: two chained posexplodes emit (i, j, xi*xj)
+    per vector and ONE aggregation reduces them — Catalyst's partial
+    (map-side) agg means each task ships only d^2 partial sums, so
+    the shuffle is O(partitions * d^2) regardless of row count.
+    cov = E[x_i x_j] - E[x_i]E[x_j] (population covariance)."""
+    n = df.count()
+    x = df.select(
+        F.posexplode(F.col(vec_col)).alias("i", "xi"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode(F.col("_v")).alias("j", "xj"),
+    )
+    sums = x.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj").cast("double")).alias("sxx"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xj").cast("double")).alias("sy"),
+    )
+    nn = float(n)
+    return sums.select(
+        "i",
+        "j",
+        (
+            F.col("sxx") / nn
+            - (F.col("sx") / nn) * (F.col("sy") / nn)
+        ).alias("cov"),
+    )
+
+
+def pca_train(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+):
+    """Distributed PCA for d-small/n-huge embedding tables: the
+    covariance comes from `embedding_covariance` (one scan, partial
+    aggregation, d^2 tiny rows collected), the eigendecomposition of
+    the d x d matrix runs on the driver (numpy.linalg.eigh), and
+    components are sign-canonicalized (the largest-|entry| of each
+    eigenvector is made positive) so results are deterministic
+    across partitionings. -> (mean (d,), components (k, d),
+    explained_variance (k,)) — all float64 numpy."""
+    rows = embedding_covariance(df, vec_col).collect()
+    d = max(r["i"] for r in rows) + 1
+    cov = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    # means: a tiny second agg (posexplode -> d rows)
+    mrows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.avg(F.col("xi").cast("double")).alias("m"))
+        .collect()
+    )
+    mean = np.zeros(d, dtype=np.float64)
+    for r in mrows:
+        mean[r["i"]] = r["m"]
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto the PCA components: adds `out_col` =
+    array of component_j . (x - mean) = dot(x, c_j) - const_j. Pure
+    JVM array expressions (the k x d component matrix ships as plan
+    literals), one scan, zero shuffle — the dimensionality-reduction
+    pass before ANN indexing or semantic dedup at scale."""
+    consts = components @ mean
+    proj = F.array(
+        *[
+            _dot(
+                F.transform(F.col(vec_col), lambda v: v.cast("double")),
+                _vec_lit(c.tolist()),
+            )
+            - F.lit(float(consts[j]))
+            for j, c in enumerate(components)
+        ]
+    )
+    return df.withColumn(out_col, proj)
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str,

@@ -1,0 +1,86 @@
+"""Distributed PCA over the embeddings table: declarative covariance
+(chained posexplodes + ONE partial-aggregated groupBy), driver-side
+eigh of the d x d matrix, codegen projection — checked exactly
+against numpy."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.exists(os.path.join(SF, "embeddings.parquet")):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    return np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+
+
+def test_covariance_matches_numpy(emb, vecs):
+    from lucille_spark.ops.similarity import embedding_covariance
+
+    rows = embedding_covariance(emb, "embedding").collect()
+    d = vecs.shape[1]
+    got = np.zeros((d, d))
+    for r in rows:
+        got[r["i"], r["j"]] = r["cov"]
+    expected = np.cov(vecs, rowvar=False, bias=True)
+    np.testing.assert_allclose(got, expected, atol=1e-10)
+    np.testing.assert_allclose(got, got.T, atol=1e-12)
+
+
+def test_pca_matches_numpy(emb, vecs):
+    from lucille_spark.ops.similarity import pca_train
+
+    mean, comps, evar = pca_train(emb, "embedding", k=8)
+    np.testing.assert_allclose(mean, vecs.mean(axis=0), atol=1e-10)
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:8]
+    np.testing.assert_allclose(evar, ev[order], atol=1e-8)
+    for j, c in enumerate(comps):
+        ref = evec[:, order[j]]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        np.testing.assert_allclose(c, ref, atol=1e-7)
+    # orthonormal
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+
+
+def test_pca_projection_and_variance(emb, vecs):
+    """Projection matches (x-mean) @ C^T; captured variance per
+    component equals the eigenvalues and is decreasing."""
+    from lucille_spark.ops.similarity import pca_project, pca_train
+
+    mean, comps, evar = pca_train(emb, "embedding", k=4)
+    rows = (
+        pca_project(emb, mean, comps, "embedding", "pca")
+        .orderBy("vec_id")
+        .select("pca")
+        .collect()
+    )
+    got = np.array([r["pca"] for r in rows])
+    expected = (vecs - mean) @ comps.T
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+    np.testing.assert_allclose(got.var(axis=0), evar, atol=1e-8)
+    assert all(np.diff(evar) <= 1e-12)
+
+
+def test_pca_deterministic_across_partitionings(emb):
+    from lucille_spark.ops.similarity import pca_train
+
+    m1, c1, v1 = pca_train(emb.repartition(7), "embedding", k=3)
+    m2, c2, v2 = pca_train(emb.coalesce(1), "embedding", k=3)
+    np.testing.assert_allclose(m1, m2, atol=1e-12)
+    np.testing.assert_allclose(c1, c2, atol=1e-9)
+    np.testing.assert_allclose(v1, v2, atol=1e-10)
