@@ -1050,6 +1050,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         salt="mix1",
     ).select("doc_id", "lang")
 
+    # ---- temperature-flattened domain mixing (GPT-3/PaLM recipe):
+    # rates p_d ∝ n_d^0.5 derived from the corpus itself, selection
+    # via the same md5-bucket filter -------------------------------
+    q["pipe_domain_mix"] = lambda s, d: text.domain_mix(
+        _docs(s, d), "lang", alpha=0.5, salt="mix1"
+    ).select("doc_id", "lang")
+
     # ---- sequence packing (GPT concat-then-chunk): docs laid end to
     # end in id order, cut into 512-token sequences; each doc gets
     # the sequence where it starts + its offset + a straddle flag.
@@ -2669,6 +2676,22 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang, {_sb} AS b FROM documents)
 WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
   WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000 ELSE 0 END"""
+
+    # domain mixing: the rate DERIVATION replicated in SQL —
+    # p_d ∝ n_d^alpha, T = min_d n_d/p_d, rate = min(1, T*p_d/n_d) —
+    # then the same md5-bucket threshold filter
+    o["pipe_domain_mix"] = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tw AS (SELECT sum(pow(n, 0.5)) AS s FROM c),
+p AS (SELECT lang, n, pow(n, 0.5) / tw.s AS p FROM c CROSS JOIN tw),
+t AS (SELECT min(n / p) AS tt FROM p),
+r AS (SELECT lang,
+      cast(round(least(1.0, t.tt * p.p / p.n) * 1000000) as bigint)
+      AS thr FROM p CROSS JOIN t)
+SELECT doc_id, lang FROM (
+  SELECT d.doc_id, d.lang, {_sb} AS b, r.thr
+  FROM documents d JOIN r USING (lang))
+WHERE b < thr"""
 
     # sequence packing: serial windowed cumsum over doc_id order —
     # the exact semantics the distributed two-phase cumsum implements

@@ -572,6 +572,57 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def domain_mix_rates(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    target_rows: "float | None" = None,
+) -> dict:
+    """Temperature-flattened domain sampling rates (the GPT-3 / PaLM
+    pretraining-mix recipe): sampling weight p_d ∝ n_d^alpha
+    (alpha=1 keeps the natural mix, alpha=0 is uniform over domains,
+    0<alpha<1 upweights small domains). The keep rate per domain is
+    min(1, T * p_d / n_d) for a target total T — by default the
+    largest total reachable WITHOUT oversampling any domain
+    (T = min_d n_d / p_d), i.e. subsample-only mixing. The only data
+    pass is one tiny domain-count aggregation; feed the result to
+    stratified_sample for the deterministic selection.
+    -> dict domain -> keep rate in [0, 1]."""
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(domain_col).count().collect()
+    }
+    if not counts:
+        return {}
+    tot_w = sum(counts[d] ** alpha for d in sorted(counts))
+    p = {d: counts[d] ** alpha / tot_w for d in counts}
+    if target_rows is None:
+        t = min(counts[d] / p[d] for d in sorted(counts))
+    else:
+        t = float(target_rows)
+    return {
+        d: min(1.0, t * p[d] / counts[d]) for d in sorted(counts)
+    }
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.5,
+    target_rows: "float | None" = None,
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Temperature-flattened domain mixing end to end: derive the
+    rates (domain_mix_rates) and select deterministically
+    (stratified_sample's md5-bucket filter — zero shuffle, monotone,
+    engine-independent). Same schema, rows filtered."""
+    rates = domain_mix_rates(df, domain_col, alpha, target_rows)
+    return stratified_sample(
+        df, domain_col, rates, id_col=id_col, salt=salt
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,84 @@
+"""Temperature-flattened domain mixing (ops/text.domain_mix):
+rate math vs hand formulas, composition with stratified_sample, and
+the alpha endpoints (1 = natural mix untouched, 0 = uniform)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dom_df(spark):
+    rows = [(i, "big" if i < 80 else ("mid" if i < 96 else "small"))
+            for i in range(100)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_rates_formula(dom_df):
+    from lucille_spark.ops.text import domain_mix_rates
+
+    # counts: big=80, mid=16, small=4; alpha=0.5 -> weights
+    # sqrt(80), sqrt(16), sqrt(4) = 8.944.., 4, 2
+    rates = domain_mix_rates(dom_df, "source", alpha=0.5)
+    tot = 80 ** 0.5 + 4.0 + 2.0
+    p = {"big": 80 ** 0.5 / tot, "mid": 4.0 / tot, "small": 2.0 / tot}
+    t = min(80 / p["big"], 16 / p["mid"], 4 / p["small"])
+    for d, n in [("big", 80), ("mid", 16), ("small", 4)]:
+        assert rates[d] == pytest.approx(min(1.0, t * p[d] / n))
+    # the binding domain samples at rate 1
+    assert max(rates.values()) == pytest.approx(1.0)
+
+
+def test_alpha_one_is_identity(dom_df):
+    from lucille_spark.ops.text import domain_mix, domain_mix_rates
+
+    rates = domain_mix_rates(dom_df, "source", alpha=1.0)
+    assert all(r == pytest.approx(1.0) for r in rates.values())
+    assert domain_mix(dom_df, "source", alpha=1.0).count() == 100
+
+
+def test_alpha_zero_is_uniform_target(dom_df):
+    from lucille_spark.ops.text import domain_mix_rates
+
+    # alpha=0: p_d = 1/3, T = 3*min_n -> rate_d = min_n/n_d
+    rates = domain_mix_rates(dom_df, "source", alpha=0.0)
+    assert rates["small"] == pytest.approx(1.0)
+    assert rates["mid"] == pytest.approx(4 / 16)
+    assert rates["big"] == pytest.approx(4 / 80)
+
+
+def test_mix_equals_stratified_sample(dom_df):
+    from lucille_spark.ops.text import (
+        domain_mix,
+        domain_mix_rates,
+        stratified_sample,
+    )
+
+    rates = domain_mix_rates(dom_df, "source", alpha=0.5)
+    a = sorted(
+        r["doc_id"]
+        for r in domain_mix(dom_df, "source", alpha=0.5).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            dom_df, "source", rates, id_col="doc_id", salt="mix1"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_target_rows_monotone(dom_df):
+    from lucille_spark.ops.text import domain_mix
+
+    small = set(
+        r["doc_id"]
+        for r in domain_mix(
+            dom_df, "source", alpha=0.5, target_rows=20
+        ).collect()
+    )
+    big = set(
+        r["doc_id"]
+        for r in domain_mix(
+            dom_df, "source", alpha=0.5, target_rows=60
+        ).collect()
+    )
+    assert small <= big
