@@ -657,6 +657,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    # ---- function_score (ES field_value_factor): bm25 rescaled by
+    # a per-doc numeric signal — here 100/doc_len (short-doc boost).
+    def fscore_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import function_score
+
+        ix = _index_for(s, d)
+        out = function_score(
+            DataFrameExecutor(ix), "spark batch", "doc_len",
+            modifier="reciprocal", weight=100.0, mode="multiply",
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_fscore"] = fscore_q
+
+    # ---- hybrid BM25 + vector retrieval, Reciprocal Rank Fusion
+    # (Cormack 2009; the ES hybrid default): rrf = sum 1/(60+rank)
+    # over the lexical top-50 and the cosine top-50.
+    def hybrid_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import hybrid_rrf
+
+        ix = _index_for(s, d)
+        emb = _emb(s, d)
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            "embedding"
+        ).collect()[0][0]
+        out = hybrid_rrf(
+            DataFrameExecutor(ix), emb, "spark batch", qv,
+            k=10, k0=60, depth=50,
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["ft_hybrid_rrf"] = hybrid_q
+
     # ---- significant terms (ES significant_terms over a sampler
     # agg): JLH-scored terms over-represented in the top-50 'spark'
     # matches vs the dictionary background.
@@ -1652,6 +1691,39 @@ agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     o["wand_lmd"] = o["ft_lmd"]
+
+    # function_score: OR-sum bm25 x 100/doc_len (reciprocal modifier)
+    o["ft_fscore"] = (
+        _cte(["spark", "batch"])
+        + """,
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT agg.doc_id, round(agg.s * (100.0 / dl.dl), 4) AS score
+FROM agg JOIN dl ON agg.doc_id = dl.doc_id
+ORDER BY agg.s * (100.0 / dl.dl) DESC, agg.doc_id LIMIT 10"""
+    )
+
+    # hybrid RRF: 1/(60+rank) summed over the lexical top-50 page and
+    # the cosine top-50 page (query vector = embedding of vec_id 0)
+    o["ft_hybrid_rrf"] = (
+        _cte(["spark", "batch"])
+        + """,
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+        AS r FROM agg QUALIFY r <= 50),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (SELECT e.vec_id AS doc_id,
+        list_dot_product(e.embedding, q.qe) /
+        (sqrt(list_dot_product(e.embedding, e.embedding)) *
+         sqrt(list_dot_product(q.qe, q.qe))) AS cr
+        FROM embeddings e CROSS JOIN qv q),
+vecr AS (SELECT doc_id, row_number() OVER (ORDER BY cr DESC, doc_id)
+         AS r FROM cos QUALIFY r <= 50),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM lex
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM vecr),
+f AS (SELECT doc_id, sum(c) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM f
+ORDER BY score DESC, doc_id LIMIT 10"""
+    )
 
     # significant terms: top-50 'spark' matches as foreground, whole
     # corpus as background, JLH = (fg% - bg%) * fg%/bg%

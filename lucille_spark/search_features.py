@@ -298,6 +298,103 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+_FSCORE_MODIFIERS = {
+    "none": lambda c: c,
+    "log1p": lambda c: F.log1p(c),
+    "sqrt": lambda c: F.sqrt(c),
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+
+def function_score(
+    executor,
+    query,
+    factor_col: str,
+    modifier: str = "log1p",
+    weight: float = 1.0,
+    mode: str = "multiply",
+    k: int = 10,
+) -> DataFrame:
+    """ES `function_score` with a `field_value_factor`: rescale the
+    relevance score by a per-document numeric signal (recency,
+    popularity, length, ...) — final = bm25 <mode> weight *
+    modifier(factor). `mode` is "multiply" or "sum"; `modifier` one
+    of none | log1p | sqrt | reciprocal. The factor joins from
+    doclens (the per-doc metadata table) AFTER matching, so only the
+    match set shuffles; the modifier arithmetic is all codegen.
+    -> (doc_id, score) top-k in (score desc, doc_id asc) order."""
+    fn = _FSCORE_MODIFIERS[modifier]
+    matches = executor.search(query, k=None)
+    meta = executor.ix.doclens.select(
+        "doc_id", F.col(factor_col).cast("double").alias("_fv")
+    )
+    joined = matches.join(meta, "doc_id")
+    factor = F.lit(float(weight)) * fn(F.col("_fv"))
+    combined = (
+        F.col("score") * factor
+        if mode == "multiply"
+        else F.col("score") + factor
+    )
+    return (
+        joined.select("doc_id", combined.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_rrf(
+    executor,
+    emb_df: DataFrame,
+    query,
+    query_vec,
+    k: int = 10,
+    k0: int = 60,
+    depth: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval fused with Reciprocal Rank
+    Fusion (Cormack et al. 2009 — the ES/OpenSearch hybrid-search
+    default): take the top-`depth` BM25 page and the top-`depth`
+    cosine page, then rrf(d) = sum over lists of 1/(k0 + rank_d),
+    missing-from-a-list contributes 0. Ranks are 1-based positions
+    in each list's own (score desc, id asc) order.
+
+    Scale shape: both retrievals are already top-k-pruned
+    (TakeOrderedAndProject / WAND); ranking and fusing happen on
+    2*depth rows — the window runs on a single tiny partition, and
+    the join is a broadcast of page-sized sets. -> (doc_id, score)
+    top-k by (rrf desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    from lucille_spark.ops.similarity import cosine_topk
+
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        executor.search(query, k=depth)
+        .withColumn("r", F.row_number().over(w_lex))
+        .select("doc_id", "r")
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    vec = (
+        cosine_topk(emb_df, vec_col, query_vec, k=depth, id_col=id_col)
+        .withColumn("r", F.row_number().over(w_vec))
+        .select(F.col(id_col).alias("doc_id"), "r")
+    )
+    kk = float(k0)
+    fused = (
+        lex.select("doc_id", (F.lit(1.0) / (F.lit(kk) + F.col("r"))).alias("c"))
+        .unionAll(
+            vec.select(
+                "doc_id", (F.lit(1.0) / (F.lit(kk) + F.col("r"))).alias("c")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    return fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def significant_terms(
     executor,
     query,

@@ -1,0 +1,118 @@
+"""function_score (ES field_value_factor) and hybrid BM25+vector
+retrieval with Reciprocal Rank Fusion — checked against brute-force
+Python references built from the oracle index."""
+
+import math
+
+import numpy as np
+import pytest
+
+
+def _ranked(rows, round_to=9):
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+@pytest.mark.parametrize(
+    "modifier,mode,fn",
+    [
+        ("reciprocal", "multiply", lambda s, dl: s * (2.0 / dl)),
+        ("log1p", "multiply", lambda s, dl: s * 2.0 * math.log1p(dl)),
+        ("sqrt", "sum", lambda s, dl: s + 2.0 * math.sqrt(dl)),
+        ("none", "sum", lambda s, dl: s + 2.0 * dl),
+    ],
+)
+def test_function_score_matches_reference(unit_index, modifier, mode, fn):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import function_score
+
+    ix, oracle, _ = unit_index
+    dl_by_doc = dict(
+        zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist())
+    )
+    expected = sorted(
+        (
+            (d, fn(s, dl_by_doc[d]))
+            for d, s in oracle.search("cats dogs", k=None)
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    rows = function_score(
+        DataFrameExecutor(ix), "cats dogs", "doc_len",
+        modifier=modifier, weight=2.0, mode=mode,
+    ).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == _ranked(expected)
+
+
+@pytest.fixture(scope="module")
+def emb_for_unit(spark, unit_index):
+    """Deterministic embeddings keyed by the unit index's doc ids."""
+    ix, oracle, _ = unit_index
+    rng = np.random.default_rng(np.random.PCG64(5))
+    ids = oracle.sd.all_ids.tolist()
+    vecs = rng.normal(size=(len(ids), 16)).astype(np.float32)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    return df, {i: v.astype(np.float64) for i, v in zip(ids, vecs)}
+
+
+def test_hybrid_rrf_matches_reference(unit_index, emb_for_unit):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import hybrid_rrf
+
+    ix, oracle, _ = unit_index
+    emb_df, by_id = emb_for_unit
+    qv = by_id[0]
+    depth, k0 = 25, 60
+
+    lex = [d for d, _ in oracle.search("cats dogs", k=depth)]
+    cos = sorted(
+        (
+            (
+                -float(
+                    v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))
+                ),
+                d,
+            )
+            for d, v in by_id.items()
+        ),
+    )[:depth]
+    vec = [d for _, d in cos]
+    rrf = {}
+    for lst in (lex, vec):
+        for r, d in enumerate(lst, start=1):
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (k0 + r)
+    expected = sorted(rrf.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    rows = hybrid_rrf(
+        DataFrameExecutor(ix), emb_df, "cats dogs",
+        [float(x) for x in qv], k=10, k0=k0, depth=depth,
+    ).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows], 7)
+    assert got == _ranked(expected, 7)
+
+
+def test_hybrid_rrf_doc_in_both_lists_outranks(unit_index, emb_for_unit):
+    """A doc on both pages accumulates two reciprocal contributions —
+    the defining RRF property."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import hybrid_rrf
+
+    ix, oracle, _ = unit_index
+    emb_df, by_id = emb_for_unit
+    rows = hybrid_rrf(
+        DataFrameExecutor(ix), emb_df, "cats dogs",
+        [float(x) for x in by_id[0]], k=200, k0=60, depth=25,
+    ).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    lex = set(d for d, _ in oracle.search("cats dogs", k=25))
+    both = [d for d in scores if d in lex and scores[d] > 1.0 / 61]
+    single_max = max(
+        (s for d, s in scores.items() if d not in lex), default=0.0
+    )
+    assert both, "expected at least one doc on both pages"
+    assert max(scores[d] for d in both) > single_max
