@@ -46,6 +46,11 @@ class DriverDictionary(P.TermDictionary):
         self.dfs = dfs[order]
         self.cfs = cfs[order] if cfs is not None else None
         self._pos = {t: i for i, t in enumerate(self.terms)}
+        # reversed-term order, built lazily on the first
+        # leading-wildcard query (Lucene ReverseWildcardFilter idea:
+        # a literal SUFFIX becomes a prefix bound on reversed terms)
+        self._rev_sorted = None
+        self._rev_src = None
 
     def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
         return {
@@ -76,20 +81,42 @@ class DriverDictionary(P.TermDictionary):
         # slice), then vectorized fullmatch over the slice only — a
         # regex with any literal head touches a tiny fraction of the
         # dictionary instead of a full Python loop over every term.
+        # Leading-wildcard patterns (*cat) have no prefix; their
+        # literal SUFFIX bounds the scan instead, as a prefix slice
+        # of the lazily-built reversed-term order.
         import pandas as pd
 
-        from lucille_spark.plans import regex_literal_prefix
+        from lucille_spark.plans import (
+            regex_literal_prefix,
+            regex_literal_suffix,
+        )
 
         prefix = regex_literal_prefix(pattern)
-        lo, hi = 0, self.terms.size
         if prefix:
             lo = np.searchsorted(self.terms, prefix)
             hi = np.searchsorted(self.terms, prefix + "￿")
-        sl = self.terms[lo:hi]
+            sl = self.terms[lo:hi]
+        else:
+            suffix = regex_literal_suffix(pattern)
+            if suffix:
+                if self._rev_sorted is None:
+                    rev = np.array(
+                        [t[::-1] for t in self.terms], dtype=object
+                    )
+                    order = np.argsort(rev)
+                    self._rev_sorted = rev[order]
+                    self._rev_src = self.terms[order]
+                key = suffix[::-1]
+                lo = np.searchsorted(self._rev_sorted, key)
+                hi = np.searchsorted(self._rev_sorted, key + "￿")
+                sl = self._rev_src[lo:hi]
+            else:
+                sl = self.terms
         if sl.size == 0:
             return []
         mask = pd.Series(sl).str.fullmatch(pattern).to_numpy()
-        return sl[mask].tolist()
+        out = sl[mask]
+        return np.sort(out).tolist()
 
     def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
         lo = 0
@@ -209,8 +236,23 @@ class PushdownDictionary(P.TermDictionary):
         return self._terms(F.col("term").startswith(prefix))
 
     def expand_regex(self, pattern: str) -> List[str]:
-        # Java regex; fullmatch anchoring
-        return self._terms(F.col("term").rlike(f"^(?:{pattern})$"))
+        # Java regex; fullmatch anchoring. A literal prefix becomes a
+        # parquet-prunable StartsWith; with no prefix, a literal
+        # suffix at least short-circuits cheaply before the regex.
+        from lucille_spark.plans import (
+            regex_literal_prefix,
+            regex_literal_suffix,
+        )
+
+        cond = F.col("term").rlike(f"^(?:{pattern})$")
+        pre = regex_literal_prefix(pattern)
+        if pre:
+            cond = F.col("term").startswith(pre) & cond
+        else:
+            sfx = regex_literal_suffix(pattern)
+            if sfx:
+                cond = F.col("term").endswith(sfx) & cond
+        return self._terms(cond)
 
     def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
         cond = F.lit(True)

@@ -245,6 +245,21 @@ def regex_literal_prefix(pattern: str) -> str:
     return "".join(out)
 
 
+def regex_literal_suffix(pattern: str) -> str:
+    """Trailing literal run of a regex: every match ends with it.
+    Conservative: only plain word chars at the very end, and only
+    when the pattern has no alternation or escapes (a ``|`` would
+    make the trailing run one branch's suffix, not the pattern's;
+    a quantified last char never reaches here because the quantifier
+    itself ends the pattern). ``.*cat`` -> 'cat'. Lets dictionaries
+    bound LEADING-wildcard scans on a reversed-term order — Lucene's
+    ReverseWildcardFilter idea without a second index."""
+    if "|" in pattern or "\\" in pattern:
+        return ""
+    m = re.search(r"[a-z0-9_]+\Z", pattern)
+    return m.group(0) if m else ""
+
+
 # ------------------------------------------------------------ planner
 
 

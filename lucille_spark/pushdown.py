@@ -109,6 +109,12 @@ def expand_condition(node: P.PExpand, col: str = "term") -> Column:
         if lit_prefix:
             # prunable bound; rlike is the exact residual
             cond = c.startswith(lit_prefix) & cond
+        else:
+            # leading wildcard: a literal SUFFIX is still a cheap
+            # JVM short-circuit before the regex engine runs
+            sfx = P.regex_literal_suffix(rx)
+            if sfx:
+                cond = c.endswith(sfx) & cond
         return cond
     if kind == "fuzzy":
         term, max_e = src[1], src[2]

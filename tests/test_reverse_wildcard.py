@@ -1,0 +1,102 @@
+"""Leading-wildcard dictionary bounds: a literal SUFFIX becomes a
+prefix slice of a reversed-term order (Lucene ReverseWildcardFilter
+without a second index), instead of regex-matching the whole
+dictionary."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize(
+    "pattern,expected",
+    [
+        (".*cat", "cat"),
+        (".*c.t", "t"),
+        ("j.*mp", "mp"),
+        ("ca*t", "t"),
+        ("cat?", ""),  # quantifier ends the pattern
+        ("cat\\d", ""),  # escape -> bail out
+        ("abc|xyz", ""),  # alternation -> trailing run is one branch
+        ("(ca)t", "t"),
+        ("[ab]at", "at"),
+        ("cat", "cat"),
+    ],
+)
+def test_regex_literal_suffix(pattern, expected):
+    from lucille_spark.plans import regex_literal_suffix
+
+    assert regex_literal_suffix(pattern) == expected
+
+
+@pytest.fixture(scope="module")
+def driver_dict():
+    from lucille_spark.index.reader import DriverDictionary
+
+    terms = np.array(
+        sorted(
+            ["cat", "tomcat", "bobcat", "catalog", "dog", "muscat",
+             "scatter", "cast", "wildcat", "copycat"]
+        ),
+        dtype=object,
+    )
+    n = terms.size
+    return DriverDictionary(
+        terms,
+        np.arange(n, dtype=np.int64),
+        np.ones(n, dtype=np.int64),
+        np.ones(n, dtype=np.int64),
+    )
+
+
+def test_suffix_bounded_expansion_correct(driver_dict):
+    import re
+
+    got = driver_dict.expand_regex(".*cat")
+    expected = sorted(
+        t for t in driver_dict.terms if re.fullmatch(".*cat", t)
+    )
+    assert got == expected == [
+        "bobcat", "cat", "copycat", "muscat", "tomcat", "wildcat"
+    ]
+    # the reversed-term order was actually built and used
+    assert driver_dict._rev_sorted is not None
+
+
+def test_suffix_bound_touches_small_slice(driver_dict):
+    """The slice handed to the regex engine is the suffix bucket,
+    not the whole dictionary."""
+    driver_dict.expand_regex(".*cat")  # ensure reverse order built
+    rs = driver_dict._rev_sorted
+    lo = np.searchsorted(rs, "tac")
+    hi = np.searchsorted(rs, "tac" + "￿")
+    assert hi - lo == 6 < driver_dict.terms.size
+
+
+def test_no_prefix_no_suffix_still_correct(driver_dict):
+    import re
+
+    got = driver_dict.expand_regex(".*c.t.*")
+    expected = sorted(
+        t for t in driver_dict.terms if re.fullmatch(".*c.t.*", t)
+    )
+    assert got == expected
+
+
+def test_wildcard_leading_e2e(unit_index):
+    """`*cat*`-style leading wildcards stay rank-identical end to
+    end (the planner's dictionary path now takes the suffix slice
+    for `*cat`)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    for q in ["*cat", "*est", "*cat*"]:
+        expected = [
+            (int(d), round(float(s), 9))
+            for d, s in oracle.search(q, k=10)
+        ]
+        rows = DataFrameExecutor(ix).search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in rows
+        ]
+        assert got == expected, q
