@@ -125,6 +125,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def _search_df(spark, sf_dir, q, k=10):
     """DataFrame-executor search -> (doc_id, score rounded 4)."""
     from lucille_spark.exec_df import DataFrameExecutor
@@ -1096,6 +1100,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "lang", alpha=0.5, salt="mix1"
     ).select("doc_id", "lang")
 
+    # ---- event-log operators (ops/events.py) over the events table:
+    # ES date_histogram (fixed_interval, timezone-free), gap-based
+    # sessionization, and per-session rollups ----------------------
+    from lucille_spark.ops import events as ev
+
+    q["ev_histogram"] = lambda s, d: ev.date_histogram(
+        _events(s, d), by="event_type", fixed_seconds=3600
+    )
+    q["ev_sessions"] = lambda s, d: ev.sessionize(
+        _events(s, d), gap_minutes=30.0
+    ).select("event_id", "user_id", "session_n").orderBy("event_id")
+    q["ev_session_stats"] = lambda s, d: ev.session_stats(
+        _events(s, d), gap_minutes=30.0
+    )
+
     # ---- sequence packing (GPT concat-then-chunk): docs laid end to
     # end in id order, cut into 512-token sequences; each doc gets
     # the sequence where it starts + its offset + a straddle flag.
@@ -1691,6 +1710,38 @@ agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     o["wand_lmd"] = o["ft_lmd"]
+
+    # event-log operators: fixed-interval histogram (epoch-floor,
+    # timezone-free), 30-min-gap sessionization, session rollups
+    o["ev_histogram"] = """
+SELECT cast(floor(epoch(ts) / 3600) * 3600 as bigint) AS bucket_epoch,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    _SESS = """
+o AS (SELECT event_id, user_id, event_type, epoch(ts) AS e FROM events),
+l AS (SELECT *, lag(e) OVER (PARTITION BY user_id
+      ORDER BY e, event_id) AS pe FROM o),
+f AS (SELECT *, CASE WHEN pe IS NULL OR e - pe > 1800.0
+      THEN 1 ELSE 0 END AS nw FROM l),
+s AS (SELECT event_id, user_id, event_type, e,
+      sum(nw) OVER (PARTITION BY user_id ORDER BY e, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_n FROM f)"""
+
+    o["ev_sessions"] = (
+        "WITH " + _SESS
+        + """
+SELECT event_id, user_id, session_n FROM s ORDER BY event_id"""
+    )
+
+    o["ev_session_stats"] = (
+        "WITH " + _SESS
+        + """
+SELECT user_id, session_n, count(*) AS n_events,
+       round(max(e) - min(e), 3) AS duration_s,
+       count(DISTINCT event_type) AS n_types
+FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n"""
+    )
 
     # function_score: OR-sum bm25 x 100/doc_len (reciprocal modifier)
     o["ft_fscore"] = (

@@ -1,0 +1,134 @@
+"""Event-log operators over the `events` table shape
+(event_id, ts timestamp, user_id, event_type, value, props json):
+the search-analytics / log-prep companions of the text engine.
+
+Scale notes (100 TB of events):
+  * date_histogram: pure groupBy on a truncated timestamp — partial
+    (map-side) aggregation means each task emits one row per
+    (bucket, type), the shuffle is O(buckets), not O(events). With
+    a date-partitioned source the bucket filter prunes partitions.
+  * sessionize: ONE shuffle, by user — the window functions (lag +
+    running sum) run inside each user's sorted partition in
+    whole-stage codegen. Per-user data is bounded (a user's events
+    fit a partition); global skew is handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _epoch_s(c) -> "F.Column":
+    """Seconds since epoch (double, microsecond-exact) for a
+    TIMESTAMP_NTZ column, timezone-free: pure wall-clock difference
+    from the epoch — matches DuckDB's epoch(naive_ts) bit for bit
+    (TIMESTAMP_NTZ cannot cast to double in Spark 4)."""
+    return (
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+            c,
+        )
+        / 1e6
+    )
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "hour",
+    value_col: str = "value",
+    by: str | None = None,
+    fixed_seconds: "int | None" = None,
+) -> DataFrame:
+    """Elasticsearch `date_histogram` aggregation (with an optional
+    sub-bucket term): events bucketed by calendar `interval`
+    ('hour' | 'day' | 'week' | ...) — or, with `fixed_seconds`, by
+    ES `fixed_interval` epoch-floor buckets (timezone-free, the
+    reproducible choice for cross-engine comparison) — counting rows
+    and summing `value_col`.
+    -> (bucket_epoch long, [by], n, sum_value)."""
+    if fixed_seconds is not None:
+        bucket = (
+            F.floor(_epoch_s(F.col(ts_col)) / fixed_seconds)
+            * fixed_seconds
+        ).cast("long").alias("bucket_epoch")
+    else:
+        bucket = F.unix_timestamp(
+            F.date_trunc(interval, F.col(ts_col))
+        ).alias("bucket_epoch")
+    keys = [bucket] + ([F.col(by)] if by else [])
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .orderBy("bucket_epoch", *([by] if by else []))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessionization — the standard event-sequence prep:
+    within each user's (ts, id) order, a new session starts when the
+    gap since the previous event exceeds `gap_minutes`. Adds
+    `session_n` (1-based per-user session ordinal) and `session_id`
+    ("<user>#<session_n>"). Deterministic: ties on ts break by id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (_epoch_s(F.col(ts_col)) - _epoch_s(prev) > gap_minutes * 60.0),
+        1,
+    ).otherwise(0)
+    # two projections: a window function cannot nest inside another
+    # window aggregate in one select (both use the SAME partitioning,
+    # so Catalyst runs them in one Window exec over one sort)
+    sess_n = F.sum(F.col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("_new", is_new).withColumn(
+        "session_n", sess_n
+    ).drop("_new").withColumn(
+        "session_id",
+        F.concat_ws(
+            "#", F.col(user_col).cast("string"),
+            F.col("session_n").cast("string"),
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Per-session rollup over `sessionize`: event count, duration
+    in seconds, and distinct event types. One additional aggregation
+    keyed by (user, session_n) — same partitioning as the window, so
+    AQE usually collapses the second exchange."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    return (
+        s.groupBy(user_col, "session_n")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.max(_epoch_s(F.col(ts_col)))
+                - F.min(_epoch_s(F.col(ts_col))),
+                3,
+            ).alias("duration_s"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy(user_col, "session_n")
+    )

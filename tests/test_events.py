@@ -1,0 +1,96 @@
+"""Event-log operators (ops/events.py): gap sessionization and the
+fixed-interval date histogram against hand-computed fixtures."""
+
+import datetime as dt
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ev_df(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: three events 10 min apart (one session), then a
+        # 2-hour gap (new session)
+        (0, base, 1, "view", 1.0),
+        (1, base + dt.timedelta(minutes=10), 1, "click", 2.0),
+        (2, base + dt.timedelta(minutes=20), 1, "view", 3.0),
+        (3, base + dt.timedelta(hours=2, minutes=20), 1, "buy", 4.0),
+        # user 2: exactly at the 30-min gap boundary (NOT a new
+        # session — the rule is strictly greater), then 31 min (new)
+        (4, base, 2, "view", 1.0),
+        (5, base + dt.timedelta(minutes=30), 2, "view", 1.0),
+        (6, base + dt.timedelta(minutes=61, seconds=1), 2, "view", 1.0),
+    ]
+    return spark.createDataFrame(
+        [(i, t, u, e, v) for i, t, u, e, v in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+
+
+def test_sessionize_hand_computed(ev_df):
+    from lucille_spark.ops.events import sessionize
+
+    rows = (
+        sessionize(ev_df, gap_minutes=30.0)
+        .select("event_id", "session_n", "session_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    got = [(r["event_id"], r["session_n"]) for r in rows]
+    assert got == [
+        (0, 1), (1, 1), (2, 1), (3, 2),
+        (4, 1), (5, 1), (6, 2),
+    ]
+    assert rows[3]["session_id"] == "1#2"
+
+
+def test_session_stats_hand_computed(ev_df):
+    from lucille_spark.ops.events import session_stats
+
+    rows = session_stats(ev_df, gap_minutes=30.0).collect()
+    by_key = {
+        (r["user_id"], r["session_n"]): (
+            r["n_events"], r["duration_s"], r["n_types"]
+        )
+        for r in rows
+    }
+    assert by_key[(1, 1)] == (3, 1200.0, 2)
+    assert by_key[(1, 2)] == (1, 0.0, 1)
+    assert by_key[(2, 1)] == (2, 1800.0, 1)
+
+
+def test_date_histogram_fixed(ev_df):
+    from lucille_spark.ops.events import date_histogram
+
+    rows = date_histogram(
+        ev_df, fixed_seconds=3600, by=None
+    ).collect()
+    by_bucket = {r["bucket_epoch"]: (r["n"], r["sum_value"]) for r in rows}
+    base_epoch = int(
+        dt.datetime(
+            2024, 1, 1, tzinfo=dt.timezone.utc
+        ).timestamp()
+    )
+    # hour 0: events 0,1,2 (u1) + 4,5 (u2) -> 5 events, sum 8.0
+    assert by_bucket[base_epoch] == (5, 8.0)
+    # hour 1: event 6 -> 1 event
+    assert by_bucket[base_epoch + 3600] == (1, 1.0)
+    # hour 2: event 3
+    assert by_bucket[base_epoch + 7200] == (1, 4.0)
+
+
+def test_histogram_sub_bucket(ev_df):
+    from lucille_spark.ops.events import date_histogram
+
+    rows = date_histogram(
+        ev_df, fixed_seconds=86400, by="event_type"
+    ).collect()
+    got = {(r["bucket_epoch"], r["event_type"]): r["n"] for r in rows}
+    day = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert got[(day, "view")] == 5
+    assert got[(day, "click")] == 1
+    assert got[(day, "buy")] == 1
