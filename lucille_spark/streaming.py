@@ -363,3 +363,107 @@ def compact(
         dl.limit(0), out_dir, id_col="doc_id", meta_cols=meta_cols,
         resume=True,
     )
+
+
+# ----------------------------------------------------- stateful ops
+
+
+def sessionize_stream(
+    events_sdf: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """STATEFUL streaming sessionization via applyInPandasWithState:
+    the per-user state (last event time, session ordinal) lives in
+    the state store, persists across micro-batches AND restarts
+    (checkpointed), so a session that spans batches keeps its
+    ordinal — the streaming twin of ops/events.sessionize, same
+    strict-greater gap rule and (ts, id) tie-break. Each incoming
+    event is emitted with its assignment in Update mode.
+
+    The per-group kernel is numpy-vectorized (diff + cumsum over the
+    batch's events for that user); state is two scalars per user.
+    Assumes per-user event-time order across batches (the log-ingest
+    contract); within a batch any order is fine (sorted here).
+
+    -> streaming DataFrame(event_id, user_id, session_n) — sink it
+    with foreachBatch (parquet append) or a memory sink in Update
+    mode. See run_sessionize_stream for the wired-up runner."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (schema types in closure)
+
+    gap_s = float(gap_minutes) * 60.0
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user,) = key
+        if state.exists:
+            last_ts, sess_n = state.get
+        else:
+            last_ts, sess_n = None, 0
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update((last_ts, sess_n))
+            return
+        rows = pd.concat(chunks).sort_values([ts_col, id_col])
+        # naive (NTZ) wall-clock epoch seconds, microsecond-exact
+        t = rows[ts_col].to_numpy(dtype="datetime64[us]").astype(
+            np.int64
+        ) / 1e6
+        prev = np.empty_like(t)
+        prev[1:] = t[:-1]
+        prev[0] = -np.inf if last_ts is None else last_ts
+        new = (t - prev) > gap_s
+        if last_ts is None:
+            new[0] = True
+        sess = sess_n + np.cumsum(new.astype(np.int64))
+        state.update((float(t[-1]), int(sess[-1])))
+        yield pd.DataFrame(
+            {
+                "event_id": rows[id_col].to_numpy(dtype=np.int64),
+                "user_id": np.full(len(rows), int(user), dtype=np.int64),
+                "session_n": sess,
+            }
+        )
+
+    return events_sdf.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType="event_id long, user_id long, session_n long",
+        stateStructType="last_ts double, sess_n long",
+        outputMode="Update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    out_dir: str,
+    checkpoint: str,
+    gap_minutes: float = 30.0,
+    available_now: bool = True,
+):
+    """Wire sessionize_stream to a parquet file source and a
+    foreachBatch parquet-append sink. Call repeatedly with the SAME
+    checkpoint as new files land: exactly-once batches, and the
+    session state resumes from the state store. Returns the
+    StreamingQuery (awaitTermination() it)."""
+    src = spark.readStream.schema(schema).parquet(input_path)
+    out = sessionize_stream(src, gap_minutes=gap_minutes)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    w = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

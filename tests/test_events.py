@@ -94,3 +94,67 @@ def test_histogram_sub_bucket(ev_df):
     assert got[(day, "view")] == 5
     assert got[(day, "click")] == 1
     assert got[(day, "buy")] == 1
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState):
+    two micro-batches with sessions SPANNING the batch boundary must
+    produce exactly the batch operator's assignments over the union
+    — per-user state (last ts, session ordinal) survives across
+    batches via the checkpointed state store."""
+    import datetime as dt
+
+    from lucille_spark.ops.events import sessionize
+    from lucille_spark.streaming import run_sessionize_stream
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    b1 = [
+        (0, base, 1, "view", 1.0),
+        (1, base + dt.timedelta(minutes=5), 1, "click", 1.0),
+        (2, base, 2, "view", 1.0),
+    ]
+    b2 = [
+        # user 1: 10 min after batch-1's last -> SAME session
+        (3, base + dt.timedelta(minutes=15), 1, "view", 1.0),
+        # user 1: 50 min later -> new session
+        (4, base + dt.timedelta(minutes=65), 1, "buy", 1.0),
+        # user 2: 40 min gap -> new session
+        (5, base + dt.timedelta(minutes=40), 2, "view", 1.0),
+    ]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q = run_sessionize_stream(
+        spark, in_dir, schema, out_dir, ckpt, gap_minutes=30.0
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = run_sessionize_stream(
+        spark, in_dir, schema, out_dir, ckpt, gap_minutes=30.0
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        r["event_id"]: r["session_n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    union = spark.createDataFrame(b1 + b2, schema)
+    expected = {
+        r["event_id"]: r["session_n"]
+        for r in sessionize(union, gap_minutes=30.0)
+        .select("event_id", "session_n")
+        .collect()
+    }
+    assert got == expected
+    assert got[3] == got[0] == 1  # session spans the batch boundary
+    assert got[4] == 2
