@@ -661,6 +661,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    # ---- ES _count endpoint: match count, no ranking, no page
+    def count_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import match_count
+
+        return match_count(
+            DataFrameExecutor(_index_for(s, d)), "spark batch"
+        )
+
+    q["ft_count"] = count_q
+
+    # ---- ES _termvectors: one doc's (term, tf, positions)
+    def tv_q(s, d):
+        from lucille_spark.search_features import term_vector
+
+        return term_vector(_index_for(s, d), 7)
+
+    q["ft_termvector"] = tv_q
+
     # ---- function_score (ES field_value_factor): bm25 rescaled by
     # a per-doc numeric signal — here 100/doc_len (short-doc boost).
     def fscore_q(s, d):
@@ -1742,6 +1761,19 @@ SELECT user_id, session_n, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types
 FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n"""
     )
+
+    # _count: distinct docs containing either term
+    o["ft_count"] = f"""
+WITH tok AS ({_TOK})
+SELECT count(DISTINCT doc_id) AS n FROM tok
+WHERE term IN ('spark', 'batch')"""
+
+    # _termvectors for doc 7: tf + ordered position csv per term
+    o["ft_termvector"] = f"""
+WITH pos AS ({_POS})
+SELECT term, count(*) AS tf,
+       string_agg(p, ',' ORDER BY p) AS positions
+FROM pos WHERE doc_id = 7 GROUP BY term ORDER BY term"""
 
     # function_score: OR-sum bm25 x 100/doc_len (reciprocal modifier)
     o["ft_fscore"] = (

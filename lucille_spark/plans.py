@@ -313,7 +313,10 @@ class Planner:
 
     # -- public ----------------------------------------------------
     def plan(self, q: ast.Query) -> PNode:
-        return self._plan(q)
+        # simplify = the optimizer pass: dead-clause elimination,
+        # complement/boost folding, single-clause unwrap — all
+        # score-preserving (see simplify's docstring)
+        return simplify(self._plan(q))
 
     # -- helpers ---------------------------------------------------
     def _weight(self, df: int, cf: int) -> Tuple[float, float]:
@@ -676,6 +679,93 @@ class Planner:
         if isinstance(q, ast.Proximity):
             return PMetaFilter(field, "eq", (q.value.lower(),))
         raise TypeError(f"unsupported field query: {type(q).__name__}")
+
+
+def simplify(node: PNode) -> PNode:
+    """Score-preserving plan simplification (the engine's optimizer
+    pass, run at the end of Planner.plan so every consumer — both
+    executors, the oracle evaluator, the percolator — sees the same
+    minimal tree):
+
+      * dead-clause elimination: a MUST PMatchNone kills the whole
+        boolean (zero scans for impossible queries); never-matching
+        SHOULD / MUST_NOT clauses drop; an unsatisfiable
+        minimum-should-match collapses to PMatchNone
+      * complement folding: NOT(MatchNone) -> MatchAll,
+        NOT(MatchAll) -> MatchNone
+      * boost folding: Boost(Boost(x, a), b) -> Boost(x, a*b);
+        Boost(x, 1.0) -> x
+      * single-clause unwrap: a boolean or dis_max reduced to one
+        positive clause IS that clause (sum/max of one)
+
+    Every rule preserves both the match set and the scores exactly —
+    asserted by the equivalence fuzz in tests/test_simplify.py."""
+    if isinstance(node, PBoost):
+        c = simplify(node.child)
+        if isinstance(c, PMatchNone):
+            return c
+        f = node.factor
+        if isinstance(c, PBoost):
+            c, f = c.child, f * c.factor
+        return c if f == 1.0 else PBoost(c, f)
+    if isinstance(node, PNot):
+        c = simplify(node.child)
+        if isinstance(c, PMatchNone):
+            return PMatchAll()
+        if isinstance(c, PMatchAll):
+            return PMatchNone()
+        return PNot(c)
+    if isinstance(node, PDisMax):
+        kids = [simplify(c) for c in node.children]
+        kids = [c for c in kids if not isinstance(c, PMatchNone)]
+        if not kids:
+            return PMatchNone()
+        if len(kids) == 1:
+            return kids[0]
+        return PDisMax(tuple(kids), node.tie)
+    if isinstance(node, PBool):
+        must = [simplify(c) for c in node.must]
+        if any(isinstance(c, PMatchNone) for c in must):
+            return PMatchNone()
+        should = [
+            s
+            for s in (simplify(c) for c in node.should)
+            if not isinstance(s, PMatchNone)
+        ]
+        must_not = [
+            m
+            for m in (simplify(c) for c in node.must_not)
+            if not isinstance(m, PMatchNone)
+        ]
+        if any(isinstance(m, PMatchAll) for m in must_not):
+            return PMatchNone()
+        if not must and not should:
+            return PMatchNone()
+        min_should = node.min_should if must else max(node.min_should, 1)
+        if should and min_should > len(should):
+            # dead clauses can never count toward the minimum, so an
+            # unreachable minimum over the survivors is unsatisfiable
+            return PMatchNone()
+        if node.should and not should and must and node.min_should > 0:
+            # every SHOULD clause was dead but >=1 was required
+            return PMatchNone()
+        if (
+            len(must) == 1
+            and not should
+            and not must_not
+        ):
+            return must[0]
+        if (
+            len(should) == 1
+            and not must
+            and not must_not
+            and min_should <= 1
+        ):
+            return should[0]
+        return PBool(
+            tuple(must), tuple(should), tuple(must_not), node.min_should
+        )
+    return node
 
 
 def collect_terms(node: PNode) -> List[str]:

@@ -298,6 +298,38 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def match_count(executor, query) -> DataFrame:
+    """ES `_count` endpoint: how many docs match, no page, no
+    ranking. Evaluates the plan and aggregates — Catalyst eliminates
+    the top-k sort entirely (no global ordering is ever built), so
+    this is a pushed-filter scan + a count, the cheapest possible
+    shape. -> DataFrame(n long), one row."""
+    node = executor.ix.plan(query)
+    df = executor.evaluate(node)
+    dd = getattr(executor.ix, "deleted_df", None)
+    if dd is not None:
+        df = df.join(F.broadcast(dd), "doc_id", "left_anti")
+    return df.agg(F.count("*").alias("n"))
+
+
+def term_vector(index, doc_id: int) -> DataFrame:
+    """Lucene/ES `_termvectors`: one document's (term, tf, positions)
+    from the flat postings. The postings layout is term-sorted, so a
+    doc_id filter cannot file-prune — acceptable for a debug/API
+    call (parquet still row-group-skips on the doc_id min/max within
+    each term run); a forward index would be the serving-scale
+    answer. -> (term, tf, positions csv) in term order."""
+    return (
+        index.flat.filter(F.col("doc_id") == int(doc_id))
+        .select(
+            "term",
+            "tf",
+            F.array_join(F.col("positions"), ",").alias("positions"),
+        )
+        .orderBy("term")
+    )
+
+
 _FSCORE_MODIFIERS = {
     "none": lambda c: c,
     "log1p": lambda c: F.log1p(c),

@@ -147,9 +147,14 @@ def test_pure_negative_bool_matches_nothing(unit_index):
 
     ix, oracle, stats = unit_index
     q = "-import -cats"
-    node = oracle.plan(q)
-    assert isinstance(node, P.PBool)
-    assert not node.must and not node.should and len(node.must_not) == 2
+    from lucille_spark.parser import parse
+
+    raw = oracle.planner._plan(parse(q))
+    assert isinstance(raw, P.PBool)
+    assert not raw.must and not raw.should and len(raw.must_not) == 2
+    # the optimizer pass folds the no-positive-clause boolean to an
+    # explicit match-nothing (zero scans), preserving the semantics
+    assert isinstance(oracle.plan(q), P.PMatchNone)
     assert oracle.search(q, k=10) == []
     assert WandExecutor(ix).search(q, k=10).collect() == []
     assert DataFrameExecutor(ix).search(q, k=10).collect() == []

@@ -116,3 +116,33 @@ def test_hybrid_rrf_doc_in_both_lists_outranks(unit_index, emb_for_unit):
     )
     assert both, "expected at least one doc on both pages"
     assert max(scores[d] for d in both) > single_max
+
+
+def test_match_count(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import match_count
+
+    ix, oracle, _ = unit_index
+    n = match_count(DataFrameExecutor(ix), "cats dogs").collect()[0]["n"]
+    assert n == len(oracle.search("cats dogs", k=None))
+
+
+def test_term_vector(unit_index):
+    from lucille_spark.search_features import term_vector
+
+    ix, oracle, _ = unit_index
+    doc = 3
+    rows = term_vector(ix, doc).collect()
+    got = {r["term"]: (r["tf"], r["positions"]) for r in rows}
+    expected = {}
+    for t, p in oracle.sd.postings.items():
+        import numpy as np
+
+        hit = np.where(p.ids == doc)[0]
+        if hit.size:
+            i = int(hit[0])
+            expected[t] = (
+                int(p.tfs[i]),
+                ",".join(str(int(x)) for x in p.positions[i]),
+            )
+    assert got == expected and len(got) > 5

@@ -1,0 +1,141 @@
+"""plans.simplify — the optimizer pass. Shape tests for each rule
+plus an equivalence fuzz: for random trees containing dead clauses,
+the simplified plan must produce IDENTICAL (doc, score) results to
+the raw plan under the oracle evaluator."""
+
+import random
+
+import pytest
+
+from lucille_spark import plans as P
+
+
+def _planner(oracle):
+    return oracle.planner
+
+
+def test_dead_must_kills_boolean(unit_index):
+    _, oracle, _ = unit_index
+    node = oracle.plan("zzznosuchterm AND cats")
+    assert isinstance(node, P.PMatchNone)
+
+
+def test_dead_should_clause_drops(unit_index):
+    _, oracle, _ = unit_index
+    node = oracle.plan("zzznosuchterm OR cats")
+    # dead OR branch eliminated -> bare term plan, one scan
+    assert isinstance(node, P.PTerm) and node.term == "cats"
+
+
+def test_unsatisfiable_minmatch(unit_index):
+    _, oracle, _ = unit_index
+    node = oracle.plan("(zzznope yyynope cats)@2")
+    assert isinstance(node, P.PMatchNone)
+
+
+def test_satisfiable_minmatch_survives(unit_index):
+    _, oracle, _ = unit_index
+    node = oracle.plan("(zzznope dogs cats)@2")
+    assert isinstance(node, P.PBool)
+    assert len(node.should) == 2 and node.min_should == 2
+
+
+def test_not_folding():
+    assert isinstance(P.simplify(P.PNot(P.PMatchNone())), P.PMatchAll)
+    assert isinstance(P.simplify(P.PNot(P.PMatchAll())), P.PMatchNone)
+
+
+def test_boost_folding():
+    t = P.PTerm("x", 1.5)
+    n = P.simplify(P.PBoost(P.PBoost(t, 2.0), 3.0))
+    assert isinstance(n, P.PBoost) and n.factor == 6.0
+    assert P.simplify(P.PBoost(t, 1.0)) is t
+    assert isinstance(
+        P.simplify(P.PBoost(P.PMatchNone(), 2.0)), P.PMatchNone
+    )
+
+
+def test_dismax_collapse():
+    t = P.PTerm("x", 1.5)
+    assert P.simplify(P.PDisMax((P.PMatchNone(), t), 0.3)) is t
+    assert isinstance(
+        P.simplify(P.PDisMax((P.PMatchNone(),), 0.3)), P.PMatchNone
+    )
+
+
+def test_must_not_matchall_is_matchnone():
+    t = P.PTerm("x", 1.5)
+    n = P.simplify(P.PBool((t,), (), (P.PMatchAll(),), 0))
+    assert isinstance(n, P.PMatchNone)
+
+
+def test_dead_should_with_required_minimum(unit_index):
+    """MUST present, every SHOULD dead, min_should > 0 -> nothing
+    can satisfy the minimum."""
+    _, oracle, _ = unit_index
+    cats = oracle.plan("cats")
+    dead = P.PMatchNone()
+    n = P.simplify(P.PBool((cats,), (dead, dead), (), 1))
+    assert isinstance(n, P.PMatchNone)
+
+
+FUZZ_QUERIES = [
+    "zzznope OR cats OR dogs",
+    "cats AND (zzznope OR dogs)",
+    "cats AND NOT zzznope",
+    "(cats zzznope dogs)@1",
+    "((zzznope) OR (derp AND lerp))^2",
+    "+cats -zzznope",
+    "NOT zzznope",
+    "zzznope~1 OR cats",
+    "zzz* OR cats",
+]
+
+
+@pytest.mark.parametrize("q", FUZZ_QUERIES)
+def test_simplified_equals_raw(unit_index, q):
+    from lucille_spark.eval_local import evaluate, top_k
+    from lucille_spark.parser import parse
+
+    _, oracle, _ = unit_index
+    raw = oracle.planner._plan(parse(q))
+    simp = P.simplify(raw)
+    r_ids, r_sc = top_k(*evaluate(raw, oracle.sd), 50)
+    s_ids, s_sc = top_k(*evaluate(simp, oracle.sd), 50)
+    assert r_ids.tolist() == s_ids.tolist(), q
+    assert r_sc.tolist() == pytest.approx(s_sc.tolist()), q
+
+
+def test_random_tree_equivalence(unit_index):
+    """Random PBool/PDisMax trees mixing live and dead leaves:
+    simplify must preserve (ids, scores) exactly."""
+    from lucille_spark.eval_local import evaluate, top_k
+
+    _, oracle, _ = unit_index
+    live = [oracle.plan(t) for t in ["cats", "dogs", "derp", "the"]]
+    rng = random.Random(3)
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return (
+                rng.choice(live)
+                if rng.random() < 0.7
+                else P.PMatchNone()
+            )
+        kids = [gen(depth - 1) for _ in range(rng.randint(2, 3))]
+        k = rng.random()
+        if k < 0.3:
+            return P.PBool(tuple(kids), (), (), 0)
+        if k < 0.6:
+            return P.PBool((), tuple(kids), (), rng.randint(0, 2))
+        if k < 0.8:
+            return P.PDisMax(tuple(kids), 0.4)
+        return P.PBool(tuple(kids[:1]), (), tuple(kids[1:]), 0)
+
+    for _ in range(40):
+        raw = gen(3)
+        simp = P.simplify(raw)
+        r_ids, r_sc = top_k(*evaluate(raw, oracle.sd), 100)
+        s_ids, s_sc = top_k(*evaluate(simp, oracle.sd), 100)
+        assert r_ids.tolist() == s_ids.tolist()
+        assert r_sc.tolist() == pytest.approx(s_sc.tolist())
