@@ -89,3 +89,65 @@ def test_percolate_bad_query_fails_fast(setup):
     df, oracle = setup
     with pytest.raises(ParseError):
         percolate(df, {"bad": "cat AND "})
+
+
+# ---------------------------------------------------- presearcher
+
+
+def test_required_terms_rules():
+    from lucille_spark.parser import parse
+    from lucille_spark.percolate import required_terms
+
+    rt = lambda q: required_terms(parse(q))  # noqa: E731
+    assert rt("cats") == {"cats"}
+    assert rt('"big cat"') == {"big"}
+    assert rt("cats AND dogs AND mice") == {"cats"}  # smallest branch
+    assert rt("cats OR dogs") == {"cats", "dogs"}
+    assert rt("(cats dogs mice)@2") == {"cats", "dogs", "mice"}
+    assert rt("cats AND wild*") == {"cats"}  # AND picks the certain one
+    assert rt("wild* OR cats") is None  # OR with unguaranteed branch
+    assert rt("NOT cats") is None
+    assert rt("-cats dogs") == {"dogs"}
+    assert rt("lang:en") is None
+    assert rt("cats^3 AND (dogs OR mice)") == {"cats"}
+    assert rt("te*") is None and rt("cat~1") is None
+
+
+def test_presearch_identical_matches(setup):
+    """Filtering must never change the match set — only skip work."""
+    from lucille_spark.percolate import percolate
+
+    percolate_docs, _ = setup
+
+    queries = {
+        "a": "spark AND batch",
+        "b": '"batch window"',
+        "c": "win*",
+        "d": "spark AND NOT stream",
+        "e": "zzzabsent AND spark",
+        "f": "(spark batch zzzabsent)@2",
+        "g": "-spark window",
+    }
+    on = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate(percolate_docs, queries, presearch=True).collect()
+    )
+    off = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate(percolate_docs, queries, presearch=False).collect()
+    )
+    assert on == off
+
+
+def test_presearch_skips_absent_anchors(setup):
+    """A query anchored on a term absent from every batch is skipped
+    entirely (and its matches are provably empty)."""
+    from lucille_spark.percolate import percolate
+
+    percolate_docs, _ = setup
+    out = percolate(
+        percolate_docs,
+        {"dead": "zzzneverseen AND spark"},
+        presearch=True,
+    ).collect()
+    assert out == []
