@@ -1119,6 +1119,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "lang", alpha=0.5, salt="mix1"
     ).select("doc_id", "lang")
 
+    # ---- HashingTF text vectorizer: deterministic text->embedding
+    # bridge (md5 feature hashing); vectors as int csv for the oracle
+    def hash_tf_q(s, d):
+        from lucille_spark.ops.text import hashing_tf
+
+        out = hashing_tf(_docs(s, d), dim=32)
+        return out.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("vec"),
+        ).orderBy("doc_id")
+
+    q["pipe_hash_tf"] = hash_tf_q
+
     # ---- event-log operators (ops/events.py) over the events table:
     # ES date_histogram (fixed_interval, timezone-free), gap-based
     # sessionization, and per-session rollups ----------------------
@@ -1729,6 +1748,21 @@ agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     o["wand_lmd"] = o["ft_lmd"]
+
+    # HashingTF: v[h(tok) % 32] = count, csv over the fixed dim
+    _HT = "(cast(('0x' || substring(md5(term), 1, 8)) as bigint) % " + str(
+        M31
+    ) + ") % 32"
+    o["pipe_hash_tf"] = f"""
+WITH tok AS ({_TOK}),
+c AS (SELECT doc_id, {_HT} AS b, count(*) AS c FROM tok
+      GROUP BY doc_id, {_HT}),
+g AS (SELECT d.doc_id, i.i, coalesce(c.c, 0) AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+      LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = i.i)
+SELECT doc_id, string_agg(v, ',' ORDER BY i) AS vec FROM g
+GROUP BY doc_id ORDER BY doc_id"""
 
     # event-log operators: fixed-interval histogram (epoch-floor,
     # timezone-free), 30-min-gap sessionization, session rollups

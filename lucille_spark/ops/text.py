@@ -572,6 +572,52 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def hashing_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = False,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing text vectorizer (Spark MLlib HashingTF
+    semantics on the portable md5 token hash): v[h(token) % dim] =
+    token count, optionally L2-normalized. The deterministic
+    text -> embedding bridge: its output feeds the ANN / SemDeDup /
+    PCA / embedding-dedup ops directly, with an exact cross-engine
+    oracle and no external model.
+
+    Shape: one explode + ONE (doc, bucket) aggregation (partial
+    map-side) + one (doc) map-assembly agg; the dense array is built
+    by a transform over sequence(0, dim-1) in codegen. Docs with no
+    tokens get the zero vector. -> df columns (id_col, out_col)."""
+    h = F.expr(TOKEN_HASH_SPARK.format(tok="tok"))
+    counts = (
+        df.select(
+            F.col(id_col), F.explode(tokenize_expr(text_col)).alias("tok")
+        )
+        .select(id_col, F.pmod(h, F.lit(dim)).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    maps = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("_m")
+    )
+    joined = df.select(id_col).join(maps, id_col, "left")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double"),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        vec = F.transform(
+            vec, lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        )
+    return joined.select(F.col(id_col), vec.alias(out_col))
+
+
 def domain_mix_rates(
     df: DataFrame,
     domain_col: str,

@@ -82,3 +82,57 @@ def test_target_rows_monotone(dom_df):
         ).collect()
     )
     assert small <= big
+
+
+# ------------------------------------------------------ hashing_tf
+
+
+def test_hashing_tf_matches_python_reference(spark):
+    import numpy as np
+
+    from lucille_spark.analysis import get_analyzer
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.ops.text import hashing_tf
+
+    texts = [
+        (0, "spark batch window spark"),
+        (1, "the quick brown fox"),
+        (2, ""),
+        (3, "spark"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = hashing_tf(df, dim=16).orderBy("doc_id").collect()
+    tok = get_analyzer("standard")
+    for (doc, text), r in zip(texts, rows):
+        ref = np.zeros(16)
+        for t in tok(text):
+            ref[token_hash_py(t) % 16] += 1
+        assert r["embedding"] == ref.tolist(), doc
+
+
+def test_hashing_tf_normalized_feeds_cosine(spark):
+    """The text->embedding bridge composes with the similarity ops:
+    normalized vectors have unit norm and the nearest neighbour of a
+    doc's own vector is itself."""
+    import numpy as np
+
+    from lucille_spark.ops.similarity import cosine_topk
+    from lucille_spark.ops.text import hashing_tf
+
+    texts = [
+        (0, "spark batch window"),
+        (1, "completely different words here"),
+        (2, "spark batch windows"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    emb = hashing_tf(df, dim=32, normalize=True).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    rows = emb.orderBy("vec_id").collect()
+    for r in rows:
+        assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-9
+    q = rows[0]["embedding"]
+    top = cosine_topk(emb, "embedding", q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    # the near-duplicate text outranks the unrelated one
+    assert top[1]["vec_id"] == 2
