@@ -1500,6 +1500,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap=8,
     )
 
+    # ---- COMPOSED RAG-prep pipeline: chunk -> HashingTF vectors ->
+    # SRP-bucketed chunk-level near-dup pairs, one DataFrame program
+    # (the chunk-dedup pass a retrieval corpus needs before indexing)
+    def rag_prep_q(s, d):
+        from lucille_spark.ops.similarity import (
+            embedding_near_duplicates,
+        )
+        from lucille_spark.ops.text import chunk_documents, hashing_tf
+
+        chunks = chunk_documents(
+            _docs(s, d).filter(F.col("doc_id") < 50),
+            "doc_id",
+            "text",
+            chunk_tokens=32,
+            overlap=8,
+        ).withColumn(
+            "ckey",
+            F.col("doc_id") * 1000 + F.col("chunk_id").cast("long"),
+        )
+        vecs = hashing_tf(
+            chunks, text_col="chunk_text", id_col="ckey", dim=16,
+            normalize=True,
+        )
+        pairs = embedding_near_duplicates(
+            vecs, "embedding", threshold=0.9, n_bits=4, dim=16,
+            seed=11, id_col="ckey",
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        ).orderBy("id_a", "id_b")
+
+    q["pipe_rag_prep"] = rag_prep_q
+
     # ---- per-doc score explanation (Lucene IndexSearcher.explain):
     # the BM25 breakdown behind each top-k score, both executors ----
     def explain_q(s, d, wand=False):
@@ -2670,6 +2703,57 @@ SELECT doc_id, cast(chunk_id as int) AS chunk_id,
   array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
     AS chunk_text
 FROM c"""
+
+    # composed RAG prep: chunks (32/8 as pipe_chunks) -> 16-dim
+    # normalized HashingTF vectors -> SRP(4 bits, seed 11) bucketed
+    # near-dup pairs with exact cosine >= 0.9
+    import numpy as _np2
+
+    _rp = _np2.random.default_rng(_np2.random.PCG64(11)).standard_normal(
+        (4, 16)
+    )
+    _rag_bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(float(x)) for x in _rp[_i])}]) > 0 "
+        f"THEN {1 << _i} ELSE 0 END)"
+        for _i in range(4)
+    )
+    _rag_hash = (
+        "(cast(('0x' || substring(md5(term), 1, 8)) as bigint) % "
+        f"{M31}) % 16"
+    )
+    o["pipe_rag_prep"] = f"""
+WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+             lower(text), '[^a-z0-9_]+'), t -> t <> '') AS toks
+           FROM documents WHERE doc_id < 50),
+e AS (SELECT doc_id, toks,
+        1 + cast(ceil(greatest(len(toks) - 32, 0) / 24.0) as int)
+          AS nc
+      FROM d WHERE len(toks) > 0),
+c AS (SELECT doc_id * 1000 + chunk_id AS ckey,
+        toks[chunk_id*24+1 : chunk_id*24+32] AS ctoks
+      FROM (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks
+            FROM e)),
+t AS (SELECT ckey, unnest(ctoks) AS term FROM c),
+hb AS (SELECT ckey, {_rag_hash} AS b, count(*) AS cnt FROM t
+       GROUP BY ckey, {_rag_hash}),
+raw AS (SELECT c.ckey,
+        list(cast(coalesce(hb.cnt, 0) as double) ORDER BY i.i) AS v0
+        FROM c CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+        LEFT JOIN hb ON hb.ckey = c.ckey AND hb.b = i.i
+        GROUP BY c.ckey),
+nv AS (SELECT ckey, list_transform(v0, x ->
+         x / greatest(sqrt(list_dot_product(v0, v0)), 1e-12)) AS v
+       FROM raw),
+bk AS (SELECT ckey, v, ({_rag_bucket}) AS bucket FROM nv),
+p AS (SELECT a.ckey AS id_a, b.ckey AS id_b,
+      list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM bk a JOIN bk b
+      ON a.bucket = b.bucket AND a.ckey < b.ckey)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.9
+ORDER BY id_a, id_b"""
 
     # more-like-this: doc 7's top-5 tf*idf terms (tie-break term asc;
     # idf formula identical to the planner's), BM25 OR, self excluded
