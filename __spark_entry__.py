@@ -661,6 +661,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    # ---- ES sort clause: matches ordered by a stored field
+    def sortby_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import sort_by
+
+        return sort_by(
+            DataFrameExecutor(_index_for(s, d)), "spark AND batch",
+            "doc_len", ascending=False, numeric=True,
+        )
+
+    q["ft_sortby"] = sortby_q
+
     # ---- ES _count endpoint: match count, no ranking, no page
     def count_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -1828,6 +1840,15 @@ SELECT user_id, session_n, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types
 FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n"""
     )
+
+    # sort-by-field: AND matches ordered by doc_len desc, id asc
+    o["ft_sortby"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'batch')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT m.doc_id, cast(dl.dl as double) AS doc_len
+FROM m JOIN dl ON m.doc_id = dl.doc_id
+ORDER BY dl.dl DESC, m.doc_id LIMIT 10"""
 
     # _count: distinct docs containing either term
     o["ft_count"] = f"""

@@ -298,6 +298,34 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def sort_by(
+    executor,
+    query,
+    field: str,
+    ascending: bool = True,
+    k: int = 10,
+    numeric: bool = False,
+) -> DataFrame:
+    """ES `sort` clause: order the match set by a STORED field
+    instead of relevance (date/price/length listings). The field
+    joins from doclens after matching — only matching doc ids
+    shuffle — and the result is a TakeOrderedAndProject on
+    (field, doc_id), never a global sort. `numeric=True` compares
+    the stored value as a number (Lucene points semantics).
+    -> (doc_id, <field>) top-k, ties broken by doc_id asc."""
+    matches = executor.search(query, k=None).select("doc_id")
+    col = F.col(field)
+    if numeric:
+        col = col.cast("double")
+    meta = executor.ix.doclens.select("doc_id", col.alias(field))
+    key = F.asc(field) if ascending else F.desc(field)
+    return (
+        matches.join(meta, "doc_id")
+        .orderBy(key, F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def match_count(executor, query) -> DataFrame:
     """ES `_count` endpoint: how many docs match, no page, no
     ranking. Evaluates the plan and aggregates — Catalyst eliminates

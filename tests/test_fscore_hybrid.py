@@ -146,3 +146,23 @@ def test_term_vector(unit_index):
                 ",".join(str(int(x)) for x in p.positions[i]),
             )
     assert got == expected and len(got) > 5
+
+
+def test_sort_by_field(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import sort_by
+
+    ix, oracle, _ = unit_index
+    dl_by_doc = dict(
+        zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist())
+    )
+    match = [d for d, _ in oracle.search("cats dogs", k=None)]
+    expected = sorted(match, key=lambda d: (-dl_by_doc[d], d))[:10]
+    rows = sort_by(
+        DataFrameExecutor(ix), "cats dogs", "doc_len",
+        ascending=False, numeric=True,
+    ).collect()
+    assert [r["doc_id"] for r in rows] == expected
+    assert [r["doc_len"] for r in rows] == [
+        float(dl_by_doc[d]) for d in expected
+    ]
