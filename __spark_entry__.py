@@ -661,6 +661,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    # ---- ES stats + percentiles aggregations over the match set
+    def fstats_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import field_stats
+
+        return field_stats(
+            DataFrameExecutor(_index_for(s, d)), "spark batch",
+            "doc_len", percentiles=(0.5, 0.9),
+        )
+
+    q["ft_field_stats"] = fstats_q
+
     # ---- ES sort clause: matches ordered by a stored field
     def sortby_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -1840,6 +1852,20 @@ SELECT user_id, session_n, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types
 FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n"""
     )
+
+    # stats + percentiles over OR matches' doc_len (quantile_cont ==
+    # Spark's interpolated exact percentile)
+    o["ft_field_stats"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ('spark', 'batch')),
+j AS (SELECT cast(dl.dl as double) AS v
+      FROM m JOIN dl ON m.doc_id = dl.doc_id)
+SELECT count(*) AS n, min(v) AS min, max(v) AS max,
+       round(avg(v), 4) AS avg, round(sum(v), 4) AS sum,
+       round(quantile_cont(v, 0.5), 4) AS p50,
+       round(quantile_cont(v, 0.9), 4) AS p90
+FROM j"""
 
     # sort-by-field: AND matches ordered by doc_len desc, id asc
     o["ft_sortby"] = f"""

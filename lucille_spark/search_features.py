@@ -298,6 +298,39 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def field_stats(
+    executor,
+    query,
+    field: str,
+    percentiles: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """ES `stats` + `percentiles` aggregations over the FULL match
+    set of `query` for a numeric stored field: count, min, max, avg,
+    sum plus exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). Only matching doc ids shuffle; the
+    aggregation is one partial+final pass.
+    -> one row (n, min, max, avg, sum, p<P>...)."""
+    matches = executor.search(query, k=None).select("doc_id")
+    meta = executor.ix.doclens.select(
+        "doc_id", F.col(field).cast("double").alias("_v")
+    )
+    j = matches.join(meta, "doc_id")
+    aggs = [
+        F.count("*").alias("n"),
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        F.round(F.avg("_v"), 4).alias("avg"),
+        F.round(F.sum("_v"), 4).alias("sum"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.expr(f"percentile(_v, {float(p)})"), 4).alias(
+                f"p{int(round(p * 100))}"
+            )
+        )
+    return j.agg(*aggs)
+
+
 def sort_by(
     executor,
     query,

@@ -172,6 +172,7 @@ class MultiIndex:
         spark: SparkSession,
         delta_dirs: Sequence[str],
         root_dir: Optional[str] = None,
+        similarity: str = "bm25",
     ):
         import numpy as np
 
@@ -238,6 +239,7 @@ class MultiIndex:
             pdf["term"].to_numpy(dtype=object),
             np.arange(len(pdf), dtype=np.int64),
             pdf["df"].to_numpy(dtype=np.int64),
+            pdf["cf"].to_numpy(dtype=np.int64),
         )
         self.planner = P.Planner(
             self.dictionary,
@@ -245,6 +247,8 @@ class MultiIndex:
             meta_fields=self.stats["meta_cols"],
             meta_types=stats[0].get("meta_types", {}),
             analyzer=stats[0].get("analyzer", "standard"),
+            similarity=similarity,
+            total_tokens=float(n) * float(avgdl),
         )
         self._parse, self._ast = parse, ast
 
@@ -273,9 +277,16 @@ class MultiIndex:
         return self._deleted_ids
 
 
-def open_multi(spark: SparkSession, index_dir: str) -> MultiIndex:
+def open_multi(
+    spark: SparkSession, index_dir: str, similarity: str = "bm25"
+) -> MultiIndex:
     ixr = IncrementalIndexer(index_dir)
-    return MultiIndex(spark, ixr.delta_dirs(spark), root_dir=index_dir)
+    return MultiIndex(
+        spark,
+        ixr.delta_dirs(spark),
+        root_dir=index_dir,
+        similarity=similarity,
+    )
 
 
 def maybe_compact(

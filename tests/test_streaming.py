@@ -247,3 +247,25 @@ def test_maybe_compact_policy(incremental, spark, tmp_path_factory):
         config=BuildConfig(num_shards=2, block_size=32),
     )
     assert stats is not None and stats["n_docs"] == 120
+
+
+def test_multi_index_alternative_similarity(incremental, spark):
+    """Serving deltas with a non-default similarity: MultiIndex's
+    merged dictionary carries cf, so LM Dirichlet ranks the union
+    identically to an OracleIndex(similarity='lmd') over the
+    combined corpus."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.streaming import open_multi
+    from tests.oracle import OracleIndex
+
+    ixr, ix_dir, oracle_bm = incremental
+    mi = open_multi(spark, ix_dir, similarity="lmd")
+    oracle = OracleIndex(list(oracle_bm.docs), similarity="lmd")
+    for q in ["cats dogs", "import AND parser", "derp AND NOT lerp"]:
+        got = _ranked(
+            [
+                (r["doc_id"], r["score"])
+                for r in DataFrameExecutor(mi).search(q, k=10).collect()
+            ]
+        )
+        assert got == _ranked(oracle.search(q, k=10)), q
