@@ -34,6 +34,14 @@ def main():
         "--executor", choices=["df", "wand"], default="wand"
     )
     ap.add_argument("--meta", action="store_true")
+    ap.add_argument(
+        "--similarity", choices=["bm25", "tfidf", "lmd"],
+        default="bm25", help="ranking formula (read-time choice)",
+    )
+    ap.add_argument(
+        "--count", action="store_true",
+        help="print the match count instead of a result page",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,12 +51,21 @@ def main():
     from lucille_spark.index.reader import SparkIndex
 
     spark = SparkSession.builder.appName("lucille-query").getOrCreate()
-    ix = SparkIndex(spark, args.index)
+    ix = SparkIndex(spark, args.index, similarity=args.similarity)
     ex = (
         DataFrameExecutor(ix)
         if args.executor == "df"
         else WandExecutor(ix)
     )
+    if args.count:
+        if not args.query:
+            ap.error("--count requires --query")
+        from lucille_spark.search_features import match_count
+
+        cex = DataFrameExecutor(ix)  # count evaluates, never ranks
+        n = match_count(cex, args.query).collect()[0]["n"]
+        print(n)
+        return
     if args.batch:
         with open(args.batch) as f:
             qs = {f"q{i}": ln.strip() for i, ln in enumerate(f)
