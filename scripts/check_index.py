@@ -1,0 +1,39 @@
+"""CLI: verify a built index's integrity (see index/check.py).
+
+spark-submit --py-files lucille_spark.zip scripts/check_index.py \
+    --index /path/index [--sample-blocks 200]
+
+Exit code 0 = every invariant holds; 1 = corruption found (details
+printed as JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--sample-blocks", type=int, default=200)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from lucille_spark.index.check import check_index
+
+    spark = SparkSession.builder.appName("lucille-fsck").getOrCreate()
+    report = check_index(spark, args.index, args.sample_blocks)
+    print(json.dumps(report, indent=2, default=str))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""Index integrity checker (index/check.py): a freshly built index
+passes every invariant; a corrupted one is caught."""
+
+import json
+import os
+import shutil
+
+
+def test_fresh_index_passes(spark, unit_index):
+    from lucille_spark.index.check import check_index
+
+    ix, _, _ = unit_index
+    report = check_index(spark, ix.dir)
+    assert report["ok"], report["errors"]
+    assert report["checks"]["dictionary_vs_flat_mismatches"] == 0
+    assert report["checks"]["segments_vs_dictionary_mismatches"] == 0
+    assert report["checks"]["blocks_bad"] == 0
+    assert report["checks"]["blocks_sampled"] > 0
+
+
+def test_tampered_stats_detected(spark, unit_index, tmp_path):
+    from lucille_spark.index.check import check_index
+
+    ix, _, _ = unit_index
+    bad = str(tmp_path / "bad_ix")
+    shutil.copytree(ix.dir, bad)
+    p = os.path.join(bad, "stats.json")
+    stats = json.load(open(p))
+    stats["n_docs"] += 5
+    json.dump(stats, open(p, "w"))
+    report = check_index(spark, bad)
+    assert not report["ok"]
+    assert any("n_docs" in e for e in report["errors"])
+
+
+def test_tampered_dictionary_detected(spark, unit_index, tmp_path):
+    """Rewrite the terms table with one df bumped — the recomputed
+    df/cf comparison must flag it."""
+    from pyspark.sql import functions as F
+
+    from lucille_spark.index.check import check_index
+
+    ix, _, _ = unit_index
+    bad = str(tmp_path / "bad_ix2")
+    shutil.copytree(ix.dir, bad)
+    terms = spark.read.parquet(os.path.join(bad, "terms"))
+    tampered = terms.withColumn(
+        "df",
+        F.when(F.col("term") == "cats", F.col("df") + 1).otherwise(
+            F.col("df")
+        ),
+    )
+    tmp_out = str(tmp_path / "terms_new")
+    tampered.write.mode("overwrite").parquet(tmp_out)
+    shutil.rmtree(os.path.join(bad, "terms"))
+    shutil.move(tmp_out, os.path.join(bad, "terms"))
+    report = check_index(spark, bad)
+    assert not report["ok"]
+    assert any("df-cf mismatch" in e for e in report["errors"])
