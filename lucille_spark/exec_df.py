@@ -214,7 +214,11 @@ class DataFrameExecutor:
         ]
 
         parts: List[DataFrame] = []
-        if len(term_must) + len(term_should) >= 2:
+        # the fused single-scan path assumes one scoring formula for
+        # its shared shape expression; mixed per-field similarities
+        # fall back to per-clause evaluation (still one scan each)
+        sims = {t.sim for t in term_must + term_should}
+        if len(term_must) + len(term_should) >= 2 and len(sims) == 1:
             parts.append(self._terms_scan(term_must, term_should))
         else:
             rest_must = list(node.must)

@@ -326,13 +326,15 @@ class SparkIndex:
         driver_dict_max_terms: int = 2_000_000,
         cache: bool = False,
         similarity: str = "bm25",
+        field_similarity: "Optional[Dict[str, str]]" = None,
     ):
         """`cache=True` pins the posting tables in Spark's in-memory
         columnar cache — the right call for query serving (repeated
         scans); leave False for one-shot batch jobs. `similarity`
         selects the ranking formula ("bm25" | "tfidf" | "lmd" — see
-        scoring.py); it is a read-time choice, the index layout is
-        identical."""
+        scoring.py); `field_similarity` overrides it per indexed
+        field (Lucene's per-field Similarity). Both are read-time
+        choices, the index layout is identical."""
         self.spark = spark
         self.dir = index_dir
         self.stats = json.loads(
@@ -386,6 +388,7 @@ class SparkIndex:
             similarity=similarity,
             total_tokens=float(self.stats["n_docs"])
             * float(self.stats["avg_dl"]),
+            field_similarity=field_similarity,
         )
 
     @property

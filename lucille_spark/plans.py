@@ -277,11 +277,22 @@ class Planner:
         meta_types: Optional[Dict[str, str]] = None,
         similarity: str = "bm25",
         total_tokens: Optional[float] = None,
+        field_similarity: Optional[Dict[str, str]] = None,
     ) -> None:
         from lucille_spark.scoring import SIMILARITIES
 
         if similarity not in SIMILARITIES:
             raise ValueError(f"unknown similarity {similarity!r}")
+        for f, s in (field_similarity or {}).items():
+            if s not in SIMILARITIES:
+                raise ValueError(
+                    f"unknown similarity {s!r} for field {f!r}"
+                )
+        # per-field Similarity (Lucene's per-field model): an indexed
+        # field may rank with its own formula; its terms carry that
+        # sim in the plan, so executors mix formulas freely within
+        # one boolean (each clause scores by its own field's rules).
+        self.field_similarity = dict(field_similarity or {})
         # pluggable similarity (scoring.py): the planner bakes the
         # per-term weights (W, and tw for lmd) into the plan, so
         # executors need no extra state. `total_tokens` (sum of all
@@ -319,30 +330,52 @@ class Planner:
         return simplify(self._plan(q))
 
     # -- helpers ---------------------------------------------------
-    def _weight(self, df: int, cf: int) -> Tuple[float, float]:
-        """-> (W, tw) for one term under the planner's similarity
-        (formulas in scoring.py)."""
-        if self.similarity == "bm25":
+    def _weight(
+        self,
+        df: int,
+        cf: int,
+        sim: Optional[str] = None,
+        total: Optional[float] = None,
+    ) -> Tuple[float, float]:
+        """-> (W, tw) for one term under `sim` (default: the
+        planner's similarity; formulas in scoring.py). `total`
+        overrides the collection token count for lmd (a field's own
+        total when ranking an indexed field)."""
+        sim = sim or self.similarity
+        if sim == "bm25":
             return _idf(df, self.n_docs), 0.0
-        if self.similarity == "tfidf":
+        if sim == "tfidf":
             w = 1.0 + math.log(self.n_docs / (df + 1.0))
             return w * w, 0.0
         # lmd: W carries boosts only; tw = 1 / (mu * p(t|C))
         from lucille_spark.scoring import MU
 
-        return 1.0, self.total_tokens / (MU * float(cf))
+        return 1.0, (total or self.total_tokens) / (MU * float(cf))
 
-    def _cfs(self, terms: Sequence[str]) -> Dict[str, int]:
+    def _field_sim(self, field: Optional[str]) -> str:
+        if field is None:
+            return self.similarity
+        return self.field_similarity.get(field, self.similarity)
+
+    def _cfs(
+        self, terms: Sequence[str], sim: Optional[str] = None
+    ) -> Dict[str, int]:
         """cf lookup, only performed when the similarity needs it."""
-        if self.similarity != "lmd":
+        if (sim or self.similarity) != "lmd":
             return {}
         return self.dict.lookup_cf(terms)
 
     def _mk_term(
-        self, term: str, df: int, cf: int, adl: Optional[float] = None
+        self,
+        term: str,
+        df: int,
+        cf: int,
+        adl: Optional[float] = None,
+        sim: Optional[str] = None,
+        total: Optional[float] = None,
     ) -> PTerm:
-        w, tw = self._weight(df, cf)
-        return PTerm(term, w, adl, tw, self.similarity)
+        w, tw = self._weight(df, cf, sim, total)
+        return PTerm(term, w, adl, tw, sim or self.similarity)
 
     def _mk_phrase(
         self,
@@ -351,9 +384,13 @@ class Planner:
         df_proxy: int,
         cf_proxy: int,
         adl: Optional[float] = None,
+        sim: Optional[str] = None,
+        total: Optional[float] = None,
     ) -> PPhrase:
-        w, tw = self._weight(df_proxy, cf_proxy)
-        return PPhrase(tuple(toks), slop, w, adl, tw, self.similarity)
+        w, tw = self._weight(df_proxy, cf_proxy, sim, total)
+        return PPhrase(
+            tuple(toks), slop, w, adl, tw, sim or self.similarity
+        )
 
     def _term_idf(self, term: str) -> Tuple[float, int]:
         df = self.dict.lookup_df([term]).get(term, 0)
@@ -495,6 +532,9 @@ class Planner:
         namespace, scored with the field's avgdl (per-field norms)."""
         pre = field + ":"
         adl = self.indexed_fields[field]
+        sim = self._field_sim(field)
+        # lmd over a field normalizes by the FIELD's collection size
+        ftotal = adl * self.n_docs if sim == "lmd" else None
         rec = lambda c: self._plan_indexed(field, c)  # noqa: E731
 
         def phrase(toks: List[str], slop: int) -> PNode:
@@ -504,14 +544,17 @@ class Planner:
             dfs = self.dict.lookup_df(pts)
             if any(dfs.get(t, 0) == 0 for t in pts):
                 return PMatchNone()
-            cfs = self._cfs(pts)
+            cfs = self._cfs(pts, sim)
             if len(pts) == 1:
                 return self._mk_term(
-                    pts[0], dfs[pts[0]], cfs.get(pts[0], 1), adl
+                    pts[0], dfs[pts[0]], cfs.get(pts[0], 1), adl,
+                    sim, ftotal,
                 )
             df_proxy = min(dfs[t] for t in pts)
             cf_proxy = min(cfs.get(t, 1) for t in pts)
-            return self._mk_phrase(pts, slop, df_proxy, cf_proxy, adl)
+            return self._mk_phrase(
+                pts, slop, df_proxy, cf_proxy, adl, sim, ftotal
+            )
 
         if isinstance(q, ast.Term):
             return phrase(self.tokenize(q.value), 0)

@@ -120,6 +120,7 @@ class OracleIndex:
         analyzer: str = "standard",
         indexed_cols: Sequence[str] = (),
         similarity: str = "bm25",
+        field_similarity: "Dict[str, str] | None" = None,
     ):
         from lucille_spark.analysis import get_analyzer
 
@@ -214,6 +215,7 @@ class OracleIndex:
             meta_types=meta_types,
             similarity=similarity,
             total_tokens=float(self.all_dls.sum()),
+            field_similarity=field_similarity,
         )
 
     def plan(self, q: Union[str, ast.Query, P.PNode]) -> P.PNode:

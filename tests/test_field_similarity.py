@@ -1,0 +1,109 @@
+"""Per-field similarity (Lucene's per-field Similarity model): an
+indexed field may rank with its own formula; within one boolean,
+title clauses score TF-IDF or LM Dirichlet while content clauses
+stay BM25 — rank-identical across both executors and the oracle."""
+
+import pytest
+
+from tests.test_indexed_fields import BODIES, TITLES
+
+
+@pytest.fixture(scope="module", params=["tfidf", "lmd"])
+def fsim(request, spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    sim = request.param
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                f"org/r{i % 3}",
+                f"src/f{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                TITLES[i % len(TITLES)],
+                BODIES[i % len(BODIES)] + f" filler{i % 5}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "title string, content string",
+    )
+    out = str(tmp_path_factory.mktemp(f"fsim_{sim}") / "ix")
+    IndexBuilder(num_shards=2, block_size=16).build(
+        docs, out, indexed_cols=["title"]
+    )
+    ix = SparkIndex(spark, out, field_similarity={"title": sim})
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "title": r[4],
+            "content": r[5],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(
+        docs_list, indexed_cols=["title"],
+        field_similarity={"title": sim},
+    )
+    return sim, ix, oracle
+
+
+QUERIES = [
+    "title:parser",
+    'title:"query parser"',
+    "title:parser OR scoring",
+    "title:parser AND postings",
+    "title:merge^2 OR title:wand",
+]
+
+
+def _ranked(rows, round_to=9):
+    return [(int(d), round(float(s), round_to)) for d, s in rows]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_field_sim_rank_identity_both_executors(fsim, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    sim, ix, oracle = fsim
+    expected = _ranked(oracle.search(q, k=10))
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+        assert got == expected, (sim, q, type(ex).__name__)
+
+
+def test_mixed_sims_in_one_plan(fsim):
+    """The plan carries each clause's own formula."""
+    from lucille_spark import plans as P
+
+    sim, ix, oracle = fsim
+    node = ix.plan("title:parser OR scoring")
+    sims = {
+        c.sim for c in node.should if isinstance(c, P.PTerm)
+    }
+    assert sims == {sim, "bm25"}
+
+
+def test_field_scores_differ_from_global_sim(fsim):
+    """Per-field override actually changes the field clause's score
+    versus an all-bm25 reader on the same index."""
+    from lucille_spark.index.reader import SparkIndex
+
+    sim, ix, oracle = fsim
+    plain = SparkIndex(ix.spark, ix.dir)
+    a = ix.plan("title:parser")
+    b = plain.plan("title:parser")
+    assert a.sim == sim and b.sim == "bm25"
+    assert (a.idf, a.tw) != (b.idf, b.tw)
