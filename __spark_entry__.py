@@ -661,6 +661,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    # ---- Lucene SpanFirstQuery: term within the first 10 positions
+    def spanfirst_q(s, d):
+        from lucille_spark.search_features import span_first
+
+        out = span_first(_index_for(s, d), "spark", end=10)
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_spanfirst"] = spanfirst_q
+
     # ---- ES stats + percentiles aggregations over the match set
     def fstats_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -1852,6 +1863,24 @@ SELECT user_id, session_n, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types
 FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n"""
     )
+
+    # span_first: tf = occurrences at position < 10; idf/avgdl are
+    # the term's normal statistics (Lucene SpanWeight)
+    o["ft_spanfirst"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}),
+pos AS ({_POS}),
+alltf AS (SELECT doc_id, count(*) AS tf FROM tok
+          WHERE term = 'spark' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM alltf),
+qual AS (SELECT doc_id, count(*) AS tf FROM pos
+         WHERE term = 'spark' AND p < 10 GROUP BY doc_id),
+sc AS (SELECT q.doc_id,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * q.tf /
+       (q.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM qual q CROSS JOIN dfs JOIN dl USING (doc_id)
+       CROSS JOIN st)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
 
     # stats + percentiles over OR matches' doc_len (quantile_cont ==
     # Spark's interpolated exact percentile)

@@ -298,6 +298,49 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def span_first(index, term_text: str, end: int, k: int = 10) -> DataFrame:
+    """Lucene SpanFirstQuery: docs where the (analyzed) term occurs
+    within the first `end` positions, scored like the term but with
+    tf = the number of QUALIFYING occurrences (position < end) —
+    title-ish boosting without a separate field. The position filter
+    is an array HOF over the flat postings' position list, all in
+    codegen; the scan is file-pruned and term-pushed like any term
+    query. -> (doc_id, score) top-k."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+
+    node = index.plan(term_text)
+    if isinstance(node, P.PMatchNone):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    assert isinstance(node, P.PTerm), "span_first takes a single term"
+    src = getattr(index, "flat_for", None)
+    flat = src([node.term]) if src else index.flat
+    rows = flat.filter(F.col("term") == node.term)
+    tf2 = F.size(
+        F.filter(F.col("positions"), lambda p: p < F.lit(int(end)))
+    )
+    avgdl = node.avgdl or float(index.stats["avg_dl"])
+    return (
+        rows.select(
+            "doc_id",
+            tf2.alias("_tf"),
+            F.col("doc_len"),
+        )
+        .filter(F.col("_tf") > 0)
+        .select(
+            "doc_id",
+            _score_col(
+                node.sim, F.col("_tf"), F.col("doc_len"), node.idf,
+                avgdl, node.tw,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def field_stats(
     executor,
     query,

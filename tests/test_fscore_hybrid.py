@@ -166,3 +166,32 @@ def test_sort_by_field(unit_index):
     assert [r["doc_len"] for r in rows] == [
         float(dl_by_doc[d]) for d in expected
     ]
+
+
+def test_span_first(unit_index):
+    """SpanFirstQuery: tf counts only positions < end; scored with
+    the term's normal idf and the full doc length."""
+    import numpy as np
+
+    from lucille_spark.scoring import bm25_np
+    from lucille_spark.search_features import span_first
+
+    ix, oracle, _ = unit_index
+    end = 5
+    p = oracle.sd.postings["cats"]
+    node = oracle.plan("cats")
+    expected = {}
+    for i, d in enumerate(p.ids):
+        tf = int((p.positions[i] < end).sum())
+        if tf:
+            expected[int(d)] = float(
+                bm25_np(
+                    np.array([tf]), np.array([p.dls[i]]),
+                    node.idf, oracle.sd.avgdl,
+                )[0]
+            )
+    rows = span_first(ix, "cats", end=end, k=200).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got == pytest.approx(expected) and len(got) > 0
+    # qualifying set is a strict subset of the full match set
+    assert set(got) < set(int(i) for i in p.ids)
