@@ -1187,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_session_stats"] = lambda s, d: ev.session_stats(
         _events(s, d), gap_minutes=30.0
     )
+    q["ev_funnel"] = lambda s, d: ev.funnel(
+        _events(s, d), ["view", "click", "purchase"]
+    )
 
     # ---- sequence packing (GPT concat-then-chunk): docs laid end to
     # end in id order, cut into 512-token sequences; each doc gets
@@ -1917,6 +1920,24 @@ WITH pos AS ({_POS})
 SELECT term, count(*) AS tf,
        string_agg(p, ',' ORDER BY p) AS positions
 FROM pos WHERE doc_id = 7 GROUP BY term ORDER BY term"""
+
+    # funnel view -> click -> purchase: chained earliest-match minima
+    o["ev_funnel"] = """
+WITH ev AS (SELECT user_id, event_type, epoch(ts) AS e FROM events),
+s1 AS (SELECT user_id, min(e) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT ev.user_id, min(e) AS t2 FROM ev JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND e > t1 GROUP BY ev.user_id),
+s3 AS (SELECT ev.user_id, min(e) AS t3 FROM ev JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND e > t2 GROUP BY ev.user_id)
+SELECT s1.user_id,
+       CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed,
+       round(t1, 3) AS t_first,
+       round(coalesce(t3, t2, t1), 3) AS t_last
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id"""
 
     # function_score: OR-sum bm25 x 100/doc_len (reciprocal modifier)
     o["ft_fscore"] = (

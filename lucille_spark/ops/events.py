@@ -107,6 +107,76 @@ def sessionize(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_minutes: "float | None" = None,
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the deepest prefix of
+    `steps` completed IN ORDER — each step strictly after the user's
+    earliest completion of the previous one, optionally all within
+    `within_minutes` of the step-1 anchor (the earliest-anchor
+    definition product analytics uses). Without a window the
+    earliest-match chain is exact: if ANY ordered occurrence exists,
+    chaining minima finds one.
+
+    Shape: one filtered aggregation per step (k small, each a
+    partial-agg groupBy(user) over only that step's events) chained
+    by broadcast-friendly per-user joins — no sessionization sort,
+    no window over the whole log. -> (user_id, steps_completed,
+    t_first, t_last)."""
+    e = F.col("_e")
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_t"),
+        _epoch_s(F.col(ts_col)).alias("_e"),
+    )
+    anchor = (
+        base.filter(F.col("_t") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min(e).alias("t1"))
+    )
+    cur = anchor.select("user_id", F.col("t1").alias("_prev"), "t1")
+    ts_cols = [F.col("t1")]
+    for i, step in enumerate(steps[1:], start=2):
+        cand = base.filter(F.col("_t") == step)
+        j = cand.join(cur, "user_id")
+        cond = F.col("_e") > F.col("_prev")
+        if within_minutes is not None:
+            cond = cond & (
+                F.col("_e") <= F.col("t1") + within_minutes * 60.0
+            )
+        nxt = (
+            j.filter(cond)
+            .groupBy("user_id")
+            .agg(F.min("_e").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left").withColumn(
+            "_prev",
+            F.coalesce(F.col(f"t{i}"), F.lit(float("inf"))),
+        )
+        ts_cols.append(F.col(f"t{i}"))
+    # build deepest-step-first: each wrap puts the later step's
+    # check OUTERMOST, so t3 wins over t2 wins over t1
+    done = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        done = F.when(
+            F.col(f"t{i}").isNotNull(), F.lit(i)
+        ).otherwise(done)
+    last = F.coalesce(
+        *[F.col(f"t{i}") for i in range(len(steps), 0, -1)]
+    )
+    return cur.select(
+        "user_id",
+        done.alias("steps_completed"),
+        F.round(F.col("t1"), 3).alias("t_first"),
+        F.round(last, 3).alias("t_last"),
+    ).orderBy("user_id")
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

@@ -158,3 +158,44 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got == expected
     assert got[3] == got[0] == 1  # session spans the batch boundary
     assert got[4] == 2
+
+
+def test_funnel_hand_computed(spark):
+    import datetime as dt
+
+    from lucille_spark.ops.events import funnel
+
+    base = dt.datetime(2024, 5, 1)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # u1 completes view->click->buy in order
+        (0, m(0), 1, "view", 0.0), (1, m(5), 1, "click", 0.0),
+        (2, m(9), 1, "buy", 0.0),
+        # u2: buy BEFORE click -> only 2 steps (view, click)
+        (3, m(0), 2, "view", 0.0), (4, m(1), 2, "buy", 0.0),
+        (5, m(2), 2, "click", 0.0),
+        # u3: view only
+        (6, m(0), 3, "view", 0.0),
+        # u4: click/buy but never view -> absent from the funnel
+        (7, m(0), 4, "click", 0.0), (8, m(1), 4, "buy", 0.0),
+        # u5: completes but the buy is outside a 10-min window
+        (9, m(0), 5, "view", 0.0), (10, m(2), 5, "click", 0.0),
+        (11, m(30), 5, "buy", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(df, ["view", "click", "buy"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 5: 3}
+    win = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(
+            df, ["view", "click", "buy"], within_minutes=10.0
+        ).collect()
+    }
+    assert win == {1: 3, 2: 2, 3: 1, 5: 2}
