@@ -1190,6 +1190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_funnel"] = lambda s, d: ev.funnel(
         _events(s, d), ["view", "click", "purchase"]
     )
+    q["ev_props"] = lambda s, d: ev.props_stats(_events(s, d))
+    q["ev_retention"] = lambda s, d: ev.retention(
+        _events(s, d), period_seconds=7 * 86400
+    )
 
     # ---- sequence packing (GPT concat-then-chunk): docs laid end to
     # end in id order, cut into 512-token sequences; each doc gets
@@ -1920,6 +1924,28 @@ WITH pos AS ({_POS})
 SELECT term, count(*) AS tf,
        string_agg(p, ',' ORDER BY p) AS positions
 FROM pos WHERE doc_id = 7 GROUP BY term ORDER BY term"""
+
+    # JSON props field k aggregated per event_type
+    o["ev_props"] = """
+SELECT event_type, count(*) AS n,
+       round(avg(cast(json_extract_string(props, '$.k') as double)), 4)
+         AS avg_k,
+       max(cast(json_extract_string(props, '$.k') as double)) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type ORDER BY event_type"""
+
+    # weekly cohort retention: distinct (user, week) activity,
+    # cohort = first active week, counts per offset
+    o["ev_retention"] = """
+WITH act AS (SELECT DISTINCT user_id,
+             cast(floor(epoch(ts) / 604800) as bigint) AS p
+             FROM events),
+f AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
+SELECT f.cohort, act.p - f.cohort AS period_n, count(*) AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY f.cohort, act.p - f.cohort
+ORDER BY cohort, period_n"""
 
     # funnel view -> click -> purchase: chained earliest-match minima
     o["ev_funnel"] = """

@@ -107,6 +107,66 @@ def sessionize(
     )
 
 
+def props_stats(
+    df: DataFrame,
+    json_col: str = "props",
+    field: str = "k",
+    by: str = "event_type",
+) -> DataFrame:
+    """Semi-structured props handling: extract a numeric field from
+    the JSON props column (get_json_object — no schema inference
+    pass, evaluated in codegen) and aggregate it per bucket.
+    -> (by, n, avg_<field>, max_<field>) ordered by bucket."""
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("double")
+    return (
+        df.select(F.col(by), v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_v"), 4).alias(f"avg_{field}"),
+            F.max("_v").alias(f"max_{field}"),
+        )
+        .orderBy(by)
+    )
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-activity period
+    (cohort), counted in each later period they return. Two partial
+    aggregations — (user, period) activity, then a min-period cohort
+    join — no whole-log sort, shuffle keyed by user then by
+    (cohort, period). -> (cohort, period_n, n_users): period_n = 0
+    is the cohort size, period_n = k is who came back k periods
+    after their first one."""
+    act = (
+        df.select(
+            F.col(user_col).alias("user_id"),
+            (
+                F.floor(_epoch_s(F.col(ts_col)) / period_seconds)
+            ).cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort", (F.col("p") - F.col("cohort")).alias("period_n")
+        )
+        # act is distinct (user, period), so the row count per
+        # (cohort, period_n) IS the distinct-user count
+        .groupBy("cohort", "period_n")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "period_n")
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: "list[str]",

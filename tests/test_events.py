@@ -199,3 +199,62 @@ def test_funnel_hand_computed(spark):
         ).collect()
     }
     assert win == {1: 3, 2: 2, 3: 1, 5: 2}
+
+
+def test_retention_hand_computed(spark):
+    import datetime as dt
+
+    from lucille_spark.ops.events import retention
+
+    day = 86400
+    base = dt.datetime(1970, 1, 1)  # period boundaries align at 0
+    rows = [
+        # u1: weeks 0, 1, 3 ; u2: week 0 only ; u3: weeks 1, 2
+        (0, base, 1, "view", 0.0),
+        (1, base + dt.timedelta(days=8), 1, "view", 0.0),
+        (2, base + dt.timedelta(days=22), 1, "view", 0.0),
+        (3, base + dt.timedelta(days=2), 2, "view", 0.0),
+        (4, base + dt.timedelta(days=9), 3, "view", 0.0),
+        (5, base + dt.timedelta(days=15), 3, "view", 0.0),
+        (6, base + dt.timedelta(days=9, hours=4), 3, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    got = {
+        (r["cohort"], r["period_n"]): r["n_users"]
+        for r in retention(df, period_seconds=7 * day).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # u1, u2 start week 0
+        (0, 1): 1,  # u1 returns week 1
+        (0, 3): 1,  # u1 returns week 3
+        (1, 0): 1,  # u3 starts week 1
+        (1, 1): 1,  # u3 returns week 2
+    }
+
+
+def test_props_stats_hand_computed(spark):
+    import datetime as dt
+
+    from lucille_spark.ops.events import props_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 0.0, '{"k": 10}'),
+        (1, base, 1, "a", 0.0, '{"k": 20}'),
+        (2, base, 1, "b", 0.0, '{"k": 5}'),
+        (3, base, 1, "b", 0.0, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        r["event_type"]: (r["n"], r["avg_k"], r["max_k"])
+        for r in props_stats(df).collect()
+    }
+    assert got == {"a": (2, 15.0, 20.0), "b": (1, 5.0, 5.0)}
