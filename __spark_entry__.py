@@ -1173,6 +1173,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_hash_tf"] = hash_tf_q
 
+    # ---- TF-IDF-weighted hashing vectors (rounded csv for hashing)
+    def hash_tfidf_q(s, d):
+        from lucille_spark.ops.text import hashing_tfidf
+
+        # fixed-point x10^4 integers: avoids double->string
+        # scientific-notation mismatches between engines
+        out = hashing_tfidf(_docs(s, d), dim=16, normalize=False)
+        return out.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x * 10000)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("vec"),
+        ).orderBy("doc_id")
+
+    q["pipe_hash_tfidf"] = hash_tfidf_q
+
     # ---- event-log operators (ops/events.py) over the events table:
     # ES date_histogram (fixed_interval, timezone-free), gap-based
     # sessionization, and per-session rollups ----------------------
@@ -1836,6 +1858,30 @@ g AS (SELECT d.doc_id, i.i, coalesce(c.c, 0) AS v
       FROM documents d
       CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
       LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = i.i)
+SELECT doc_id, string_agg(v, ',' ORDER BY i) AS vec FROM g
+GROUP BY doc_id ORDER BY doc_id"""
+
+    # TF-IDF hashing vectors: bucket weight = sum tf * ln(N/df),
+    # fixed-point x10^4 integer csv over dim 16
+    _HT16 = (
+        "(cast(('0x' || substring(md5(tok), 1, 8)) as bigint) % "
+        f"{M31}) % 16"
+    )
+    o["pipe_hash_tfidf"] = f"""
+WITH tokr AS ({_TOK}),
+tf AS (SELECT doc_id, term AS tok, count(*) AS tf FROM tokr
+       GROUP BY doc_id, term),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (SELECT tf.doc_id, {_HT16} AS b,
+      tf.tf * ln(nn.n * 1.0 / dfs.df) AS w
+      FROM tf JOIN dfs USING (tok) CROSS JOIN nn),
+hb AS (SELECT doc_id, b, sum(w) AS c FROM w GROUP BY doc_id, b),
+g AS (SELECT d.doc_id, i.i,
+      cast(round(coalesce(hb.c, 0.0) * 10000) as bigint) AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+      LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.b = i.i)
 SELECT doc_id, string_agg(v, ',' ORDER BY i) AS vec FROM g
 GROUP BY doc_id ORDER BY doc_id"""
 

@@ -618,6 +618,62 @@ def hashing_tf(
     return joined.select(F.col(id_col), vec.alias(out_col))
 
 
+def hashing_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """TF-IDF-weighted feature hashing — the classic sparse text
+    vectorizer (sklearn HashingVectorizer + TfidfTransformer shape):
+    v[h(token) % dim] = sum over tokens in the bucket of
+    tf * ln(N / df), idf computed from THIS corpus in-plan (one
+    (token) agg joined back — broadcast-sized for real vocabularies,
+    and the join key is the token so it shuffles token stats, not
+    documents). L2-normalized by default, ready for the cosine /
+    SemDeDup / PCA ops. -> (id_col, out_col)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_expr(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfs = (
+        tf.groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    n = float(df.count())
+    h = F.expr(TOKEN_HASH_SPARK.format(tok="tok"))
+    weighted = (
+        tf.join(dfs, "tok")
+        .select(
+            id_col,
+            F.pmod(h, F.lit(dim)).alias("b"),
+            (
+                F.col("tf").cast("double")
+                * F.log(F.lit(n) / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("w").alias("c"))
+    )
+    maps = weighted.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("_m")
+    )
+    joined = df.select(id_col).join(maps, id_col, "left")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0.0)),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        vec = F.transform(
+            vec, lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        )
+    return joined.select(F.col(id_col), vec.alias(out_col))
+
+
 def domain_mix_rates(
     df: DataFrame,
     domain_col: str,

@@ -136,3 +136,40 @@ def test_hashing_tf_normalized_feeds_cosine(spark):
     assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
     # the near-duplicate text outranks the unrelated one
     assert top[1]["vec_id"] == 2
+
+
+def test_hashing_tfidf_matches_python_reference(spark):
+    import math
+
+    import numpy as np
+
+    from lucille_spark.analysis import get_analyzer
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.ops.text import hashing_tfidf
+
+    texts = [
+        (0, "spark batch window spark"),
+        (1, "spark window"),
+        (2, "unique tokens only here"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = (
+        hashing_tfidf(df, dim=16, normalize=False)
+        .orderBy("doc_id")
+        .collect()
+    )
+    tok = get_analyzer("standard")
+    n = len(texts)
+    from collections import Counter
+
+    dfs = Counter()
+    tfs = []
+    for _, text in texts:
+        c = Counter(tok(text))
+        tfs.append(c)
+        dfs.update(set(c))
+    for (doc, _), r in zip(texts, rows):
+        ref = np.zeros(16)
+        for t, f in tfs[doc].items():
+            ref[token_hash_py(t) % 16] += f * math.log(n / dfs[t])
+        np.testing.assert_allclose(r["embedding"], ref, atol=1e-12)
