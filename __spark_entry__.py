@@ -799,6 +799,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_percolate"] = percolate_q
 
+    # ---- scored percolation (ES percolate _score: one-doc-index
+    # statistics — every term weight ln(4/3), denominator tf + k1)
+    def percolate_scored_q(s, d):
+        from lucille_spark.percolate import percolate
+
+        out = percolate(
+            _docs(s, d).select("doc_id", F.col("text").alias("content")),
+            {
+                "q_and": "spark AND batch",
+                "q_term": "window",
+                "q_phrase": '"batch window"',
+            },
+            with_scores=True,
+        )
+        return out.select(
+            "doc_id", "query_id", F.round("score", 4).alias("score")
+        )
+
+    q["pipe_percolate_scored"] = percolate_scored_q
+
     # ---- true BM25F: field tfs merge with weights BEFORE saturation
     # (joint saturation, union df) — Robertson/Zaragoza's model, vs
     # multi_field's per-field sum-of-BM25s.
@@ -1702,6 +1722,30 @@ ORDER BY s DESC, doc_id LIMIT 10"""
     o["wand_ifield_mix"] = o["ft_ifield_mix"]
 
     # percolator: each stored query's match set as (doc_id, query_id)
+    # scored percolation: per (doc, query) ES one-doc-index score —
+    # every matched term contributes ln(4/3) * tf / (tf + k1)
+    o["pipe_percolate_scored"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+s AS (SELECT doc_id, term,
+      ln(4.0 / 3.0) * tf / (tf + {K1}) AS s FROM tf),
+m_and AS (SELECT a.doc_id, a.s + b.s AS score
+          FROM s a JOIN s b ON a.doc_id = b.doc_id
+          WHERE a.term = 'spark' AND b.term = 'batch'),
+m_term AS (SELECT doc_id, s AS score FROM s WHERE term = 'window'),
+ph AS (SELECT a.doc_id, count(*) AS tfp FROM pos a
+       JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'batch' AND b.term = 'window'
+       GROUP BY a.doc_id),
+m_ph AS (SELECT doc_id,
+         ln(4.0 / 3.0) * tfp / (tfp + {K1}) AS score FROM ph)
+SELECT doc_id, query_id, round(score, 4) AS score FROM (
+  SELECT doc_id, 'q_and' AS query_id, score FROM m_and
+  UNION ALL SELECT doc_id, 'q_term', score FROM m_term
+  UNION ALL SELECT doc_id, 'q_phrase', score FROM m_ph)
+ORDER BY query_id, doc_id"""
+
     o["pipe_percolate"] = f"""
 WITH tok AS ({_TOK}), pos AS ({_POS}),
 m_and AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)

@@ -92,6 +92,18 @@ class BatchDictionary(P.TermDictionary):
         return cand[mask].tolist()
 
 
+class _OneDocDictionary(BatchDictionary):
+    """Expansion behavior of the batch dictionary, but df/cf forced
+    to 1 for present terms — ES percolate scoring's one-doc-index
+    statistics."""
+
+    def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {t: 1 for t in terms if t in self._df}
+
+    def lookup_cf(self, terms: Sequence[str]) -> Dict[str, int]:
+        return {t: 1 for t in terms if t in self._df}
+
+
 def required_terms(q: ast.Query, analyzer: str = "standard"):
     """Presearcher term extraction (Lucene Monitor's
     TermFilteredPresearcher): a set S of analyzed terms such that any
@@ -186,9 +198,15 @@ def percolate(
     analyzer: str = "standard",
     meta_cols: Sequence[str] = (),
     presearch: bool = True,
+    with_scores: bool = False,
 ) -> DataFrame:
     """Match every doc against every stored query.
-    -> DataFrame(doc_id long, query_id string), one row per match.
+    -> DataFrame(doc_id long, query_id string), one row per match —
+    plus a `score` column with `with_scores` (Elasticsearch
+    percolate `_score` semantics: each doc scores as its own
+    one-document index, df = 1 and dl = avgdl, so every term weight
+    is the constant ln(4/3) and the BM25 denominator collapses to
+    tf + k1 — DOC-LOCAL, hence still batching-invariant).
 
     With `presearch` (default), each stored query's required-term
     set (see required_terms) is extracted ONCE driver-side; a batch
@@ -239,24 +257,38 @@ def percolate(
             df_counts: Dict[str, int] = {}
             if flat is not None:
                 for term, rows in flat.groupby("term", sort=False):
+                    dls = (
+                        np.ones(len(rows), dtype=np.int64)
+                        if with_scores
+                        else rows["doc_len"].to_numpy(np.int64)
+                    )
                     sd.postings[str(term)] = Posting(
                         ids=rows["doc_id"].to_numpy(np.int64),
                         tfs=rows["tf"].to_numpy(np.int64),
-                        dls=rows["doc_len"].to_numpy(np.int64),
+                        dls=dls,
                         positions=[
                             np.asarray(p, dtype=np.int64)
                             for p in rows["positions"]
                         ],
                     )
                     df_counts[str(term)] = len(rows)
+            # scoring: every doc is its own one-doc index (ES
+            # percolate _score) — df forced to 1 per present term,
+            # dl/avgdl = 1 (dls above and sd.avgdl are both 1)
+            bdict = (
+                _OneDocDictionary(df_counts)
+                if with_scores
+                else BatchDictionary(df_counts)
+            )
             planner = P.Planner(
-                BatchDictionary(df_counts),
-                n_docs=max(len(pdf), 1),
+                bdict,
+                n_docs=1 if with_scores else max(len(pdf), 1),
                 meta_fields=meta_cols,
                 analyzer=analyzer,
             )
             out_ids: List[np.ndarray] = []
             out_qids: List[np.ndarray] = []
+            out_sc: List[np.ndarray] = []
             for qid, q in asts.items():
                 req = extracts[qid]
                 if req is not None and not any(
@@ -264,16 +296,21 @@ def percolate(
                 ):
                     continue  # no required term in this batch
                 node = planner.plan(q)
-                ids, _ = evaluate(node, sd)
+                ids, sc = evaluate(node, sd)
                 if ids.size:
                     out_ids.append(ids)
                     out_qids.append(np.full(ids.size, qid, dtype=object))
+                    out_sc.append(sc)
             if out_ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(out_ids),
-                        "query_id": np.concatenate(out_qids),
-                    }
-                )
+                data = {
+                    "doc_id": np.concatenate(out_ids),
+                    "query_id": np.concatenate(out_qids),
+                }
+                if with_scores:
+                    data["score"] = np.concatenate(out_sc)
+                yield pd.DataFrame(data)
 
-    return src.mapInPandas(kernel, schema="doc_id long, query_id string")
+    schema = "doc_id long, query_id string"
+    if with_scores:
+        schema += ", score double"
+    return src.mapInPandas(kernel, schema=schema)

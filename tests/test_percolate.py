@@ -151,3 +151,40 @@ def test_presearch_skips_absent_anchors(setup):
         presearch=True,
     ).collect()
     assert out == []
+
+
+def test_percolate_scores_one_doc_semantics(setup):
+    """with_scores: each doc scores as its own one-doc index —
+    term weight ln(4/3), denominator tf + k1 — and the match SET is
+    identical to the unscored path."""
+    import math
+
+    from lucille_spark.percolate import percolate
+
+    df, oracle = setup
+    queries = {"q_and": "spark AND batch", "q_term": "window"}
+    rows = percolate(df, queries, with_scores=True).collect()
+    got = {(r["doc_id"], r["query_id"]): r["score"] for r in rows}
+    plain = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(df, queries).collect()
+    }
+    assert set(got) == plain
+    # hand-check: doc text token counts drive tf
+    from lucille_spark.analysis import get_analyzer
+
+    tok = get_analyzer("standard")
+    texts = {i: t for i, t in enumerate(DOCS)}
+    k1 = 1.2
+    w = math.log(4.0 / 3.0)
+    for (doc, qid), s in got.items():
+        toks = tok(texts[doc])
+        if qid == "q_term":
+            tf = toks.count("window")
+            assert s == pytest.approx(w * tf / (tf + k1))
+        else:
+            e = sum(
+                w * toks.count(t) / (toks.count(t) + k1)
+                for t in ("spark", "batch")
+            )
+            assert s == pytest.approx(e)
