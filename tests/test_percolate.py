@@ -188,3 +188,56 @@ def test_percolate_scores_one_doc_semantics(setup):
                 for t in ("spark", "batch")
             )
             assert s == pytest.approx(e)
+
+
+def test_percolate_inside_foreachbatch(spark, tmp_path):
+    """The documented streaming-alert shape: percolate runs inside
+    foreachBatch over a file-source stream; the union of per-batch
+    matches (scores on, presearcher on) equals the static result."""
+    from lucille_spark.percolate import percolate
+
+    queries = {"q_and": "spark AND batch", "q_ph": '"batch window"'}
+    rows = [(i, t) for i, t in enumerate(DOCS)]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, content string"
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    def sink(batch_df, batch_id):
+        percolate(
+            batch_df, queries, with_scores=True
+        ).write.mode("append").parquet(out_dir)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    run()
+
+    got = sorted(
+        (r["doc_id"], r["query_id"], round(r["score"], 9))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    static = sorted(
+        (r["doc_id"], r["query_id"], round(r["score"], 9))
+        for r in percolate(
+            spark.createDataFrame(rows, schema), queries,
+            with_scores=True,
+        ).collect()
+    )
+    assert got == static and len(got) > 0
