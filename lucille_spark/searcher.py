@@ -1,0 +1,99 @@
+"""One-stop serving facade: open an index once and get the API a
+user coming from a Lucene/Elasticsearch client expects — search
+(either executor), batched search, count, facets, pagination,
+snippets, spell suggestion, and operational explain — without wiring
+executors and feature helpers by hand.
+
+Thin by design: every method delegates to the gated implementations
+(exec_df / exec_wand / search_features), so the facade adds no
+semantics of its own — it is the recommended entry point for
+applications, while the underlying pieces stay directly usable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lucille_spark.exec_df import DataFrameExecutor
+from lucille_spark.exec_wand import WandExecutor
+from lucille_spark.index.reader import SparkIndex
+
+
+class Searcher:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        executor: str = "wand",
+        similarity: str = "bm25",
+        field_similarity: Optional[Dict[str, str]] = None,
+        cache: bool = True,
+        prune: bool = True,
+    ) -> None:
+        if executor not in ("wand", "df"):
+            raise ValueError("executor must be 'wand' or 'df'")
+        self.index = SparkIndex(
+            spark,
+            index_dir,
+            cache=cache,
+            similarity=similarity,
+            field_similarity=field_similarity,
+        )
+        self._df_ex = DataFrameExecutor(self.index)
+        self._wand_ex = WandExecutor(self.index, prune=prune)
+        self.executor = (
+            self._wand_ex if executor == "wand" else self._df_ex
+        )
+
+    # -- core ------------------------------------------------------
+    def search(self, query, k: int = 10, with_meta: bool = False):
+        return self.executor.search(query, k=k, with_meta=with_meta)
+
+    def search_many(self, queries, k: int = 10) -> DataFrame:
+        return self.executor.search_many(queries, k=k)
+
+    def count(self, query) -> int:
+        from lucille_spark.search_features import match_count
+
+        return int(match_count(self._df_ex, query).collect()[0]["n"])
+
+    # -- result-page features ---------------------------------------
+    def facets(self, query, col: str = "lang") -> DataFrame:
+        from lucille_spark.search_features import facet_counts
+
+        return facet_counts(self._df_ex, query, col)
+
+    def page(self, query, page_size: int = 10, cursor=None) -> DataFrame:
+        from lucille_spark.search_features import paginate
+
+        return paginate(self._df_ex, query, page_size, cursor)
+
+    def snippets(
+        self, query, docs: DataFrame, k: int = 10, **kw
+    ) -> DataFrame:
+        from lucille_spark.search_features import search_with_snippets
+
+        return search_with_snippets(self._df_ex, query, docs, k=k, **kw)
+
+    def sort_by(
+        self, query, field: str, ascending: bool = True, k: int = 10,
+        numeric: bool = False,
+    ) -> DataFrame:
+        from lucille_spark.search_features import sort_by
+
+        return sort_by(
+            self._df_ex, query, field, ascending, k, numeric
+        )
+
+    # -- assistive ---------------------------------------------------
+    def suggest(self, term: str, max_dist: int = 1, n: int = 5):
+        from lucille_spark.search_features import suggest
+
+        return suggest(self.index, term, max_dist, n)
+
+    def explain(self, query) -> dict:
+        from lucille_spark.search_features import explain_search
+
+        return explain_search(self.index, query)

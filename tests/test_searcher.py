@@ -1,0 +1,57 @@
+"""Searcher facade: thin delegation over the gated implementations —
+results identical to calling the pieces directly."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, unit_index):
+    from lucille_spark.searcher import Searcher
+
+    ix, oracle, _ = unit_index
+    return Searcher(spark, ix.dir, executor="wand", cache=False), oracle
+
+
+def test_search_matches_oracle(searcher):
+    s, oracle = searcher
+    rows = s.search("cats AND dogs", k=10).collect()
+    got = [(r["doc_id"], round(r["score"], 9)) for r in rows]
+    assert got == [
+        (int(d), round(float(x), 9))
+        for d, x in oracle.search("cats AND dogs", k=10)
+    ]
+
+
+def test_count_and_facets(searcher):
+    s, oracle = searcher
+    assert s.count("cats dogs") == len(oracle.search("cats dogs", k=None))
+    fs = s.facets("cats", col="lang").collect()
+    assert sum(r["n_docs"] for r in fs) == len(
+        oracle.search("cats", k=None)
+    )
+
+
+def test_paging_walks_the_order(searcher):
+    s, oracle = searcher
+    p1 = s.page("cats dogs", page_size=5).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = s.page("cats dogs", page_size=5, cursor=cur).collect()
+    all10 = [r["doc_id"] for r in p1] + [r["doc_id"] for r in p2]
+    expected = [d for d, _ in oracle.search("cats dogs", k=10)]
+    assert all10 == expected
+
+
+def test_suggest_and_explain(searcher):
+    s, _ = searcher
+    sug = s.suggest("catz", max_dist=1).collect()
+    assert any(r["suggestion"] == "cats" for r in sug)
+    info = s.explain("cats AND NOT dogs")
+    assert info["n_terms"] == 2 and info["needs_universe"] is False
+
+
+def test_bad_executor_rejected(spark, unit_index):
+    from lucille_spark.searcher import Searcher
+
+    ix, _, _ = unit_index
+    with pytest.raises(ValueError):
+        Searcher(spark, ix.dir, executor="nope")
