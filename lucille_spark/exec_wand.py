@@ -327,6 +327,8 @@ def _decode_block(
 def _in_sorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     """Membership mask of vals in a SORTED unique array (searchsorted,
     no hashing)."""
+    if sorted_arr.size == 0:
+        return np.zeros(vals.shape, dtype=bool)
     idx = np.searchsorted(sorted_arr, vals)
     idx[idx == sorted_arr.size] = 0
     return sorted_arr[idx] == vals

@@ -5,8 +5,11 @@ serve?" after a partial write, a resume, a compaction, or a purge.
 
 Checks (each a small Spark aggregation; the decode check samples):
 
-  1. doclens: row count == stats n_docs; doc_ids dense
-     (distinct == count, min == 0, max == n-1); avg_dl matches.
+  1. doclens: row count == stats n_docs; doc_ids unique; avg_dl
+     matches. Density (ids == 0..n-1) is reported informationally
+     but is NOT an error: purge_deletes keeps original doc_ids
+     without renumbering and build(id_col=...) accepts arbitrary
+     ids, so a healthy purged index is legitimately sparse.
   2. dictionary vs flat postings: per-term df (row count) and
      cf (sum tf) recomputed from `postings_flat` must equal the
      `terms` table exactly (validates the salted dictionary agg and
@@ -57,8 +60,10 @@ def check_index(
     checks["doclens"] = dict(row.asDict())
     if n != int(stats["n_docs"]):
         errors.append(f"n_docs: stats {stats['n_docs']} != doclens {n}")
-    if int(row["nd"]) != n or int(row["lo"]) != 0 or int(row["hi"]) != n - 1:
-        errors.append("doc_ids not dense 0..n-1")
+    lo_id, hi_id = int(row["lo"]), int(row["hi"])
+    if int(row["nd"]) != n:
+        errors.append("doc_ids not unique")
+    checks["doc_ids_dense"] = lo_id == 0 and hi_id == n - 1
     if abs(float(row["adl"]) - float(stats["avg_dl"])) > 1e-6:
         errors.append(
             f"avg_dl: stats {stats['avg_dl']} != doclens {row['adl']}"
@@ -130,7 +135,7 @@ def check_index(
             and (len(ids) < 2 or bool((ids[1:] > ids[:-1]).all()))
             and (
                 len(ids) == 0
-                or (0 <= int(ids[0]) and int(ids[-1]) < n)
+                or (lo_id <= int(ids[0]) and int(ids[-1]) <= hi_id)
             )
             and (len(ids) == 0 or int(ids[-1]) == int(r["doc_id_max"]))
         )

@@ -340,6 +340,15 @@ class SparkIndex:
         self.stats = json.loads(
             fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
         )
+        from lucille_spark.index.builder import INDEX_FORMAT
+
+        fmt = int(self.stats.get("format", 0))
+        if fmt != INDEX_FORMAT:
+            raise ValueError(
+                f"index at {index_dir} has on-disk format {fmt}; this "
+                f"reader requires format {INDEX_FORMAT} — rebuild the "
+                "index (or purge/compact it with the current builder)"
+            )
         self.terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
         self.doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
         self.flat = spark.read.parquet(
@@ -424,6 +433,8 @@ class SparkIndex:
             self._deleted_ids = np.unique(
                 pdf["doc_id"].to_numpy(dtype=np.int64)
             )
+        if self._deleted_ids is not None and self._deleted_ids.size == 0:
+            return None  # empty delete set == no deletes
         return self._deleted_ids
 
     def _load_deletes(self) -> None:

@@ -23,6 +23,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _drop_deleted(ix, df: DataFrame) -> DataFrame:
+    """Anti-join the index's tombstone set (if any) onto a frame
+    with a doc_id column — keeps every postings-reading helper
+    consistent with search/match_count ('both executors exclude
+    tombstoned docs from every result')."""
+    dd = getattr(ix, "deleted_df", None)
+    if dd is not None:
+        df = df.join(F.broadcast(dd), "doc_id", "left_anti")
+    return df
+
+
 def facet_counts(
     executor,
     query: str,
@@ -317,7 +328,7 @@ def span_first(index, term_text: str, end: int, k: int = 10) -> DataFrame:
     assert isinstance(node, P.PTerm), "span_first takes a single term"
     src = getattr(index, "flat_for", None)
     flat = src([node.term]) if src else index.flat
-    rows = flat.filter(F.col("term") == node.term)
+    rows = _drop_deleted(index, flat.filter(F.col("term") == node.term))
     tf2 = F.size(
         F.filter(F.col("positions"), lambda p: p < F.lit(int(end)))
     )
@@ -424,7 +435,9 @@ def term_vector(index, doc_id: int) -> DataFrame:
     each term run); a forward index would be the serving-scale
     answer. -> (term, tf, positions csv) in term order."""
     return (
-        index.flat.filter(F.col("doc_id") == int(doc_id))
+        _drop_deleted(
+            index, index.flat.filter(F.col("doc_id") == int(doc_id))
+        )
         .select(
             "term",
             "tf",
@@ -728,9 +741,9 @@ def bm25f_topk(index, query_text: str, weights: dict, k: int = 10):
             ).alias("s"),
         )
     )
+    scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
     return (
-        per_term.groupBy("doc_id")
-        .agg(F.sum("s").alias("score"))
+        _drop_deleted(ix, scored)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -843,6 +856,8 @@ def explain_doc(executor, query: str, k: int = 10) -> DataFrame:
     Scale: the top-k frame (k rows) is broadcast against the
     file-pruned postings scan of the query's terms — no shuffle of
     the match set; everything else is scalar arithmetic in codegen.
+    Tombstones: the inner join against executor.search's top-k (which
+    is delete-filtered) keeps tombstoned docs out of the breakdown.
     """
     from lucille_spark.exec_wand import _flat_terms
     from lucille_spark.scoring import B, K1

@@ -274,6 +274,8 @@ class MultiIndex:
             self._deleted_ids = np.unique(
                 pdf["doc_id"].to_numpy(dtype=np.int64)
             )
+        if self._deleted_ids is not None and self._deleted_ids.size == 0:
+            return None  # empty delete set == no deletes
         return self._deleted_ids
 
 
@@ -308,6 +310,23 @@ def maybe_compact(
     return compact(spark, index_dir, out_dir, config)
 
 
+def _config_from_delta(spark: SparkSession, delta_dir: str) -> BuildConfig:
+    """BuildConfig matching how a delta was actually built (analyzer /
+    codec / block_size / num_shards from its stats.json) so a
+    config-less compaction can't silently stamp defaults that diverge
+    from the index-time analysis (e.g. analyzer='standard' over
+    deltas built with 'code')."""
+    stats = json.loads(
+        fsio.read_text(os.path.join(delta_dir, "stats.json"), spark)
+    )
+    return BuildConfig(
+        num_shards=int(stats.get("num_shards", BuildConfig.num_shards)),
+        block_size=int(stats.get("block_size", BuildConfig.block_size)),
+        codec=stats.get("codec", "varbyte"),
+        analyzer=stats.get("analyzer", "standard"),
+    )
+
+
 def compact(
     spark: SparkSession,
     index_dir: str,
@@ -322,10 +341,10 @@ def compact(
     deletes/) are applied physically here — Lucene's merge-applies-
     deletes semantics — so the compacted index has no delete set and
     its stats reflect only live docs."""
-    cfg = config or BuildConfig()
     ixr = IncrementalIndexer(index_dir)
     deltas = ixr.delta_dirs(spark)
     assert deltas, "nothing to compact"
+    cfg = config or _config_from_delta(spark, deltas[0])
     dl = _union_parquet(spark, [os.path.join(d, "doclens") for d in deltas])
     flat = _union_parquet(
         spark, [os.path.join(d, "postings_flat") for d in deltas]

@@ -1,0 +1,34 @@
+"""Driver-contract registry invariants: the driver's correctness gate
+verifies only the FIRST 50 registered queries, so the registration
+order must sample every operator family (VERDICT r2 ask #1) and every
+sampled entry must be hash-checkable (have an oracle)."""
+
+
+def test_first_50_sample_every_family():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    ks = list(q)
+    assert ks[:50] == e._GATE_PRIORITY
+    fams = set()
+    for k in ks[:50]:
+        fams.add(k.split("_")[0])
+    # both executors + dedup + similarity + text + pipeline + events
+    # + multimodal + index internals in the driver's window
+    assert {"ft", "wand", "dd", "sem", "sim", "tx", "pipe", "ev",
+            "mm", "ix"} <= fams
+
+
+def test_every_gated_entry_has_oracle():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    missing = [k for k in list(q)[:50] if k not in o]
+    assert missing == []
+    # oracles never reference unregistered queries
+    assert [k for k in o if k not in q] == []
+    # the full registry has at most one rows-only entry (trained IVF,
+    # whose probe set depends on an iterative Spark job; recall is
+    # pytest-gated in tests/test_ivf.py)
+    rows_only = [k for k in q if k not in o]
+    assert rows_only == ["sim_ivf_trained"]
