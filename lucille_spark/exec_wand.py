@@ -54,6 +54,48 @@ OUT_SCHEMA = "doc_id long, score double"
 # posting-block codecs by the name recorded in stats.json at build
 DECODERS = {"varbyte": varbyte_decode, "bitpack": bitpack_decode}
 
+# Tombstone sets up to this size ship into the shard kernels as a
+# sorted array in the task closure (~8 B/id serialized per task).
+# Past it the set stays DISTRIBUTED: doclens gains a `_del` flag via
+# a JVM join against deleted_df and each shard derives its LOCAL
+# tombstone array from the cogrouped slice — exact same results, no
+# multi-MB closure per task (ADVICE r2 #2).
+TOMBSTONE_SHIP_MAX = 100_000
+
+
+def _tombstones(ix):
+    """-> (deleted, mark_dl): `deleted` is None, a sorted np array
+    (small sets, closure-shipped), or the sentinel 'dl' (large sets,
+    derive per shard from the doclens `_del` column)."""
+    n = getattr(ix, "deleted_count", 0)
+    if not n:
+        return None, False
+    if n <= TOMBSTONE_SHIP_MAX:
+        return ix.deleted_ids, False
+    return "dl", True
+
+
+def _mark_deleted(dl: DataFrame, ix) -> DataFrame:
+    """Left-join the tombstone flag onto a doclens projection (JVM
+    join; AQE picks broadcast vs shuffle by actual size)."""
+    dd = ix.deleted_df.dropDuplicates(["doc_id"]).withColumn(
+        "_del", F.lit(True)
+    )
+    return dl.join(dd, "doc_id", "left")
+
+
+def _local_deleted(deleted, dl_pdf) -> Optional[np.ndarray]:
+    """Kernel-side: resolve the `deleted` argument to this shard's
+    sorted tombstone array (or None)."""
+    if deleted is None or isinstance(deleted, np.ndarray):
+        return deleted
+    # sentinel 'dl': derive from the cogrouped doclens slice
+    if dl_pdf is None or not len(dl_pdf) or "_del" not in dl_pdf:
+        return None
+    mask = dl_pdf["_del"].fillna(False).to_numpy(dtype=bool)
+    arr = np.sort(dl_pdf.loc[mask, "doc_id"].to_numpy(dtype=np.int64))
+    return arr if arr.size else None
+
 
 class WandExecutor:
     def __init__(self, index: SparkIndex, prune: bool = True):
@@ -79,7 +121,8 @@ class WandExecutor:
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
         decode = DECODERS[ix.stats.get("codec", "varbyte")]
-        deleted = getattr(ix, "deleted_ids", None)
+        deleted, mark_dl = _tombstones(ix)
+        need_uni = need_uni or mark_dl  # 'dl' needs the doclens slice
         kernel = _make_kernel(
             node, avgdl, k, self.prune, need_uni, meta_cols, decode,
             deleted,
@@ -90,6 +133,8 @@ class WandExecutor:
             dl = ix.doclens.select(
                 "shard", "doc_id", "doc_len", *meta_cols
             )
+            if mark_dl:
+                dl = _mark_deleted(dl, ix)
             grouped = segs.groupBy("shard").cogroup(dl.groupBy("shard"))
             local = grouped.applyInPandas(kernel, schema=OUT_SCHEMA)
         else:
@@ -168,7 +213,8 @@ class WandExecutor:
         avgdl = float(ix.stats["avg_dl"])
         meta_cols = list(ix.stats.get("meta_cols", []))
         decode = DECODERS[ix.stats.get("codec", "varbyte")]
-        deleted = getattr(ix, "deleted_ids", None)
+        deleted, mark_dl = _tombstones(ix)
+        need_uni = need_uni or mark_dl  # 'dl' needs the doclens slice
         kernel = _make_batch_kernel(
             nodes, avgdl, k, need_uni, pos_terms, meta_cols, decode,
             deleted,
@@ -177,6 +223,8 @@ class WandExecutor:
             dl = ix.doclens.select(
                 "shard", "doc_id", "doc_len", *meta_cols
             )
+            if mark_dl:
+                dl = _mark_deleted(dl, ix)
             grouped = segs.groupBy("shard").cogroup(dl.groupBy("shard"))
             local = grouped.applyInPandas(kernel, schema=BATCH_SCHEMA)
         else:
@@ -204,7 +252,7 @@ def _make_batch_kernel(
     pos_terms: set,
     meta_cols: List[str],
     decode=varbyte_decode,
-    deleted: Optional[np.ndarray] = None,
+    deleted=None,  # None | sorted np.ndarray | "dl" sentinel
 ):
     """Shard kernel for search_many: decode every term in the shard
     slice ONCE (positions only for terms some query needs
@@ -218,6 +266,7 @@ def _make_batch_kernel(
         ).astype({"query_id": "object", "doc_id": "int64", "score": "float64"})
         if len(seg_pdf) == 0 and dl_pdf is None:
             return empty
+        dead = _local_deleted(deleted, dl_pdf)
         sd = ShardData(avgdl=avgdl)
         if dl_pdf is not None and len(dl_pdf):
             dl_pdf = dl_pdf.sort_values("doc_id")
@@ -226,8 +275,8 @@ def _make_batch_kernel(
             for c in meta_cols:
                 if c in dl_pdf.columns:
                     sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
-            if deleted is not None and sd.all_ids.size:
-                live = ~_in_sorted(sd.all_ids, deleted)
+            if dead is not None and sd.all_ids.size:
+                live = ~_in_sorted(sd.all_ids, dead)
                 sd.all_ids = sd.all_ids[live]
                 sd.all_dls = sd.all_dls[live]
                 for c in list(sd.meta):
@@ -235,7 +284,7 @@ def _make_batch_kernel(
         for term, rows in seg_pdf.groupby("term", sort=True):
             rows = rows.sort_values(["doc_id_base", "block_id"])
             sd.postings[str(term)] = _build_posting(
-                rows, str(term) in pos_terms, decode, deleted
+                rows, str(term) in pos_terms, decode, dead
             )
         frames = []
         for qid, node in nodes.items():
@@ -438,7 +487,7 @@ def _make_kernel(
     need_uni: bool,
     meta_cols: List[str],
     decode=varbyte_decode,
-    deleted: Optional[np.ndarray] = None,
+    deleted=None,  # None | sorted np.ndarray | "dl" sentinel
 ):
     flat = _flat_terms(node) if prune else None
     want_pos = P.needs_positions(node)
@@ -448,6 +497,7 @@ def _make_kernel(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
+        dead = _local_deleted(deleted, dl_pdf)
         sd = ShardData(avgdl=avgdl)
         if dl_pdf is not None and len(dl_pdf):
             dl_pdf = dl_pdf.sort_values("doc_id")
@@ -456,8 +506,8 @@ def _make_kernel(
             for c in meta_cols:
                 if c in dl_pdf.columns:
                     sd.meta[c] = dl_pdf[c].to_numpy(dtype=object)
-            if deleted is not None and sd.all_ids.size:
-                live = ~_in_sorted(sd.all_ids, deleted)
+            if dead is not None and sd.all_ids.size:
+                live = ~_in_sorted(sd.all_ids, dead)
                 sd.all_ids = sd.all_ids[live]
                 sd.all_dls = sd.all_dls[live]
                 for c in list(sd.meta):
@@ -467,7 +517,7 @@ def _make_kernel(
 
         if flat is not None and len(groups) > 1:
             ids, scores = _eval_flat_pruned(
-                flat, groups, sd, k, decode, deleted
+                flat, groups, sd, k, decode, dead
             )
         else:
             for term, rows in groups.items():
@@ -476,7 +526,7 @@ def _make_kernel(
                 # doc_id_base restores ascending ids
                 rows = rows.sort_values(["doc_id_base", "block_id"])
                 sd.postings[str(term)] = _build_posting(
-                    rows, want_pos, decode, deleted
+                    rows, want_pos, decode, dead
                 )
             ids, scores = evaluate(node, sd)
         ids, scores = top_k(ids, scores, k)

@@ -32,6 +32,39 @@ from lucille_spark import plans as P
 from lucille_spark.index import fsio
 
 
+# Observability for the wildcard/regex expansion paths: how many
+# dictionary rows the last expansions actually scanned vs the
+# dictionary size (the n-gram prefilter's effect; same testing idea
+# as exec_wand._PRUNE_STATS for posting blocks).
+_DICT_SCAN_STATS = {"scanned_terms": 0, "total_terms": 0}
+
+
+def reset_dict_scan_stats() -> None:
+    _DICT_SCAN_STATS["scanned_terms"] = 0
+    _DICT_SCAN_STATS["total_terms"] = 0
+
+
+def dict_scan_stats() -> dict:
+    return dict(_DICT_SCAN_STATS)
+
+
+def _gram_keys(s: str) -> "list[int]":
+    """Required gram keys for one literal run: all trigrams when
+    len>=3, else the run itself as a bigram/unigram. Keys pack up to
+    3 codepoints (< 2^21 each) into one uint64 — length is implicit
+    (a real char is never codepoint 0), so unigram/bigram/trigram
+    keyspaces can't collide."""
+    L = min(3, len(s))
+    out = []
+    for i in range(len(s) - L + 1):
+        g = s[i : i + L]
+        key = 0
+        for j, ch in enumerate(g):
+            key |= ord(ch) << (21 * j)
+        out.append(key)
+    return out
+
+
 class DriverDictionary(P.TermDictionary):
     def __init__(
         self,
@@ -51,6 +84,77 @@ class DriverDictionary(P.TermDictionary):
         # a literal SUFFIX becomes a prefix bound on reversed terms)
         self._rev_sorted = None
         self._rev_src = None
+        # (gram -> term rows) inverted index, built lazily on the
+        # first NO-literal wildcard/regex (e.g. *e*): candidate terms
+        # = intersection of the pattern's required-gram buckets, so
+        # the fullmatch residual touches a bounded slice instead of
+        # the whole dictionary (trigram-index idea, Cox 2012)
+        self._gram_sorted = None
+        self._gram_rows = None
+
+    def _gram_index(self):
+        """Lazy (sorted gram keys, term-row ids) pair — a CSR-style
+        inverted index over every distinct uni/bi/trigram of every
+        term, built fully vectorized (no Python loop over terms):
+        the fixed-width-unicode view yields an (n, maxlen) codepoint
+        matrix; shifted column ORs produce the gram keys per
+        position."""
+        if self._gram_sorted is not None:
+            return self._gram_sorted, self._gram_rows
+        n = self.terms.size
+        lens = np.char.str_len(self.terms.astype(str))
+        maxlen = max(int(lens.max()) if n else 1, 1)
+        mat = (
+            self.terms.astype(f"U{maxlen}")
+            .view(np.uint32)
+            .reshape(n, maxlen)
+            .astype(np.uint64)
+        )
+        rows = np.arange(n, dtype=np.int64)
+        key_parts, row_parts = [], []
+        for L in (1, 2, 3):
+            for j in range(maxlen - L + 1):
+                key = mat[:, j].copy()
+                valid = key > 0
+                for d in range(1, L):
+                    c = mat[:, j + d]
+                    valid &= c > 0
+                    key |= c << np.uint64(21 * d)
+                if valid.any():
+                    key_parts.append(key[valid])
+                    row_parts.append(rows[valid])
+        keys = np.concatenate(key_parts) if key_parts else np.array([], np.uint64)
+        rws = np.concatenate(row_parts) if row_parts else np.array([], np.int64)
+        order = np.lexsort((rws, keys))
+        keys, rws = keys[order], rws[order]
+        if keys.size:
+            keep = np.ones(keys.size, dtype=bool)
+            keep[1:] = (keys[1:] != keys[:-1]) | (rws[1:] != rws[:-1])
+            keys, rws = keys[keep], rws[keep]
+        self._gram_sorted, self._gram_rows = keys, rws
+        return keys, rws
+
+    def _gram_candidates(self, pattern: str) -> "np.ndarray | None":
+        """Row ids of terms containing every required gram of
+        `pattern`, or None when the pattern has no safe literal runs
+        (scan-all fallback). Buckets intersect smallest-first."""
+        subs = P.regex_required_substrings(pattern)
+        req = sorted({k for s in subs for k in _gram_keys(s)})
+        if not req:
+            return None
+        keys, rws = self._gram_index()
+        buckets = []
+        for k in req:
+            lo = np.searchsorted(keys, np.uint64(k))
+            hi = np.searchsorted(keys, np.uint64(k), side="right")
+            buckets.append(rws[lo:hi])
+        buckets.sort(key=lambda b: b.size)
+        cand = buckets[0]
+        for b in buckets[1:]:
+            if cand.size == 0:
+                break
+            cand = np.intersect1d(cand, b, assume_unique=True)
+        return cand
 
     def lookup_df(self, terms: Sequence[str]) -> Dict[str, int]:
         return {
@@ -111,7 +215,12 @@ class DriverDictionary(P.TermDictionary):
                 hi = np.searchsorted(self._rev_sorted, key + "￿")
                 sl = self._rev_src[lo:hi]
             else:
-                sl = self.terms
+                # no prefix OR suffix (*e*, .*foo.*bar.*): intersect
+                # the required-gram buckets before the residual
+                cand = self._gram_candidates(pattern)
+                sl = self.terms if cand is None else self.terms[cand]
+        _DICT_SCAN_STATS["scanned_terms"] += int(sl.size)
+        _DICT_SCAN_STATS["total_terms"] += int(self.terms.size)
         if sl.size == 0:
             return []
         mask = pd.Series(sl).str.fullmatch(pattern).to_numpy()
@@ -252,6 +361,14 @@ class PushdownDictionary(P.TermDictionary):
             sfx = regex_literal_suffix(pattern)
             if sfx:
                 cond = F.col("term").endswith(sfx) & cond
+            else:
+                # no-literal pattern (*e*): required-substring
+                # contains() short-circuits run before the regex
+                # engine per row (plain memmem vs NFA; same exactness)
+                from lucille_spark.plans import regex_required_substrings
+
+                for s in regex_required_substrings(pattern):
+                    cond = F.col("term").contains(s) & cond
         return self._terms(cond)
 
     def expand_range(self, lower, upper, lower_inc, upper_inc) -> List[str]:
@@ -361,6 +478,7 @@ class SparkIndex:
         self.deletes_path = os.path.join(index_dir, "deletes")
         self._deleted_df = None
         self._deleted_ids = None
+        self._deleted_n = None
         self._deletes_checked = False
         fidx_path = os.path.join(index_dir, "file_index.json")
         self._fidx = None
@@ -425,8 +543,10 @@ class SparkIndex:
     @property
     def deleted_ids(self) -> "np.ndarray | None":
         """Sorted unique np.int64 array of tombstoned doc ids, or
-        None — shipped into the WAND shard kernels (8 MB per million
-        ids; purge before the set grows beyond that scale)."""
+        None. Shipped into the WAND shard kernels only while the set
+        is small (exec_wand.TOMBSTONE_SHIP_MAX); larger sets stay
+        distributed via a doclens `_del`-flag join, so serving never
+        serializes a multi-MB closure per task."""
         self._load_deletes()
         if self._deleted_ids is None and self._deleted_df is not None:
             pdf = self._deleted_df.toPandas()
@@ -436,6 +556,24 @@ class SparkIndex:
         if self._deleted_ids is not None and self._deleted_ids.size == 0:
             return None  # empty delete set == no deletes
         return self._deleted_ids
+
+    @property
+    def deleted_count(self) -> int:
+        """Distinct tombstone count WITHOUT materializing ids to the
+        driver (one parquet count job, cached) — lets executors pick
+        the closure-shipped fast path vs the distributed-join path
+        (exec_wand.TOMBSTONE_SHIP_MAX) before touching deleted_ids."""
+        self._load_deletes()
+        if self._deleted_df is None:
+            return 0
+        if self._deleted_n is None:
+            if self._deleted_ids is not None:
+                self._deleted_n = int(self._deleted_ids.size)
+            else:
+                self._deleted_n = (
+                    self._deleted_df.select("doc_id").distinct().count()
+                )
+        return self._deleted_n
 
     def _load_deletes(self) -> None:
         if self._deletes_checked:
@@ -451,6 +589,7 @@ class SparkIndex:
         reader)."""
         self._deleted_df = None
         self._deleted_ids = None
+        self._deleted_n = None
         self._deletes_checked = False
 
     # -- file-level term pruning -----------------------------------

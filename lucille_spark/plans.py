@@ -260,6 +260,29 @@ def regex_literal_suffix(pattern: str) -> str:
     return m.group(0) if m else ""
 
 
+def regex_required_substrings(pattern: str) -> List[str]:
+    """Literal runs EVERY match must contain, for patterns with no
+    literal prefix or suffix (``.*e.*`` -> ['e'], ``s.an`` ->
+    ['s', 'an']). The n-gram prefilter idea behind Google Code
+    Search's trigram index (Cox, "Regular Expression Matching with a
+    Trigram Index") reduced to its conservative core: only when the
+    pattern is a plain concatenation (no alternation, escapes,
+    classes, groups or anchors — any of those could make a run
+    optional or branch-local), each maximal ``[a-z0-9_]+`` run is
+    required, minus its last char when a quantifier follows (``ab*``
+    requires only 'a'). Empty list == no safe filter, scan all."""
+    if any(ch in pattern for ch in "|\\[]()^${}"):
+        return []
+    out = []
+    for m in re.finditer(r"[a-z0-9_]+", pattern):
+        run, end = m.group(0), m.end()
+        if end < len(pattern) and pattern[end] in "*+?":
+            run = run[:-1]
+        if run:
+            out.append(run)
+    return out
+
+
 # ------------------------------------------------------------ planner
 
 

@@ -115,6 +115,11 @@ def expand_condition(node: P.PExpand, col: str = "term") -> Column:
             sfx = P.regex_literal_suffix(rx)
             if sfx:
                 cond = c.endswith(sfx) & cond
+            else:
+                # no-literal pattern (*e*): required-substring
+                # contains() short-circuits before the regex residual
+                for s in P.regex_required_substrings(rx):
+                    cond = c.contains(s) & cond
         return cond
     if kind == "fuzzy":
         term, max_e = src[1], src[2]

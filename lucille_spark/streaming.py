@@ -194,6 +194,7 @@ class MultiIndex:
         ]
         self._deleted_df = None
         self._deleted_ids = None
+        self._deleted_n = None
         stats = []
         for d in delta_dirs:
             stats.append(
@@ -277,6 +278,21 @@ class MultiIndex:
         if self._deleted_ids is not None and self._deleted_ids.size == 0:
             return None  # empty delete set == no deletes
         return self._deleted_ids
+
+    @property
+    def deleted_count(self) -> int:
+        """Distinct tombstone count without pulling ids to the driver
+        (mirrors SparkIndex.deleted_count)."""
+        if self.deleted_df is None:
+            return 0
+        if self._deleted_n is None:
+            if self._deleted_ids is not None:
+                self._deleted_n = int(self._deleted_ids.size)
+            else:
+                self._deleted_n = (
+                    self.deleted_df.select("doc_id").distinct().count()
+                )
+        return self._deleted_n
 
 
 def open_multi(

@@ -1,0 +1,115 @@
+"""Tombstone-size guard on the WAND path: small delete sets ship in
+the kernel closure; past TOMBSTONE_SHIP_MAX the set stays distributed
+(doclens joins a `_del` flag, each shard derives its local tombstone
+array) — results must be identical either way, for every query shape
+and for batched serving."""
+
+import numpy as np
+import pytest
+
+
+TEXTS = [
+    "spark streams batch window join",
+    "spark batch pipeline",
+    "window functions in sql",
+    "join orders with lineitem",
+    "spark spark spark tuning",
+    "the quick brown fox",
+    "batch window spark",
+    "distributed joins at scale",
+    "window spark lineage",
+    "barrier execution mode",
+    "spark window",
+    "lineitem orders keys",
+]
+DELETED = [0, 4, 7, 10]
+QUERIES = [
+    "spark",
+    "spark AND batch",
+    "spark OR window",
+    '"batch window"',
+    "sp*",
+    "NOT spark",
+    "lang:en AND spark",
+]
+
+
+@pytest.fixture(scope="module")
+def guarded_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", t) for i, t in enumerate(TEXTS)],
+        "doc_id long, lang string, content string",
+    )
+    out = str(tmp_path_factory.mktemp("guard") / "ix")
+    IndexBuilder(num_shards=2, block_size=4).build(
+        docs, out, id_col="doc_id", meta_cols=["lang"]
+    )
+    delete_docs(spark, out, DELETED)
+    return SparkIndex(spark, out)
+
+
+def _ranked(df):
+    return [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in df.collect()
+    ]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_distributed_tombstones_identical(guarded_index, monkeypatch, q):
+    from lucille_spark import exec_wand
+
+    ix = guarded_index
+    shipped = _ranked(exec_wand.WandExecutor(ix).search(q, k=10))
+    monkeypatch.setattr(exec_wand, "TOMBSTONE_SHIP_MAX", 2)
+    assert exec_wand._tombstones(ix) == ("dl", True)
+    distributed = _ranked(exec_wand.WandExecutor(ix).search(q, k=10))
+    assert distributed == shipped
+    assert not ({d for d, _ in distributed} & set(DELETED))
+
+
+def test_distributed_tombstones_batch(guarded_index, monkeypatch):
+    from lucille_spark import exec_wand
+
+    ix = guarded_index
+    batch = {"a": "spark", "b": "window OR join", "c": "sp*"}
+
+    def ranked_many():
+        res = exec_wand.WandExecutor(ix).search_many(batch, k=10).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(
+                (int(r["doc_id"]), round(float(r["score"]), 9))
+            )
+        return by_q
+
+    shipped = ranked_many()
+    monkeypatch.setattr(exec_wand, "TOMBSTONE_SHIP_MAX", 2)
+    assert ranked_many() == shipped
+
+
+def test_deleted_count_without_materializing(guarded_index):
+    ix = guarded_index
+    # count is available and correct even before deleted_ids was ever
+    # materialized on a fresh reader
+    from lucille_spark.index.reader import SparkIndex
+
+    fresh = SparkIndex(ix.spark, ix.dir)
+    assert fresh._deleted_ids is None or fresh._deleted_ids.size == 0
+    assert fresh.deleted_count == len(DELETED)
+    # materialized path agrees
+    assert fresh.deleted_ids.size == len(DELETED)
+    assert fresh.deleted_count == len(DELETED)
+
+
+def test_small_sets_still_ship(guarded_index):
+    from lucille_spark import exec_wand
+
+    deleted, mark_dl = exec_wand._tombstones(guarded_index)
+    assert not mark_dl
+    assert isinstance(deleted, np.ndarray)
+    assert deleted.tolist() == sorted(DELETED)
