@@ -1014,6 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_repetition"] = lambda s, d: text.repetition_stats(
         _docs(s, d), "doc_id", "text"
     )
+    # CCNet-style self-trained unigram-LM perplexity proxy
+    q["tx_unigram_lm"] = lambda s, d: text.unigram_lm_score(
+        _docs(s, d), "doc_id", "text"
+    )
 
     # ---- search-UI features: facets over the FULL match set and
     # keyword-in-context snippets for the top-k page ----------------
@@ -1027,6 +1031,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_facets"] = facets_q
+
+    # ---- ES terms aggregation with metric sub-aggs over the full
+    # match set: bucket doc_count + avg/max score + avg doc length --
+    def aggs_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import terms_agg
+
+        ix = _index_for(s, d)
+        return terms_agg(
+            DataFrameExecutor(ix), "spark batch window", "lang", size=10
+        )
+
+    q["ft_aggs"] = aggs_q
 
     def snippet_q(s, d, wand=False):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -1110,6 +1127,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_batch"] = batch_q
     q["ft_batch"] = lambda s, d: batch_q(s, d, wand=False)
+
+    # ---- batched serving with PER-QUERY k: one job, the final
+    # window filter applies each query's own row limit ---------------
+    def batch_ks_q(s, d):
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _index_for(s, d)
+        out = WandExecutor(ix).search_many(
+            {
+                "t": "spark",
+                "a": "batch AND window AND spark",
+                "o": "spark batch window",
+            },
+            k=10,
+            ks={"t": 3, "o": 5},
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["wand_batch_ks"] = batch_ks_q
+
+    # ---- batched serving with PER-QUERY similarity: bm25 and tfidf
+    # queries share ONE segment scan + kernel pass -------------------
+    def batch_sims_q(s, d):
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _index_for(s, d)
+        out = WandExecutor(ix).search_many(
+            {"bm": "spark", "tf": "spark AND batch"},
+            k=10,
+            similarities={"tf": "tfidf"},
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["wand_batch_sims"] = batch_sims_q
 
     # ---- winnowing near-dup candidate pairs: perturbed copies (text
     # plus a tail) are true near-dups sharing most fingerprints -----
@@ -2731,6 +2786,39 @@ SELECT d.lang AS lang, count(*) AS n_docs,
 FROM agg a JOIN documents d USING (doc_id) GROUP BY d.lang"""
     )
 
+    # terms aggregation with metric sub-aggs: match set scored per
+    # doc, joined to (lang, dl), bucket doc_count + avg/max score +
+    # avg token length; ES bucket order (doc_count desc, key asc)
+    o["ft_aggs"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT d.lang AS lang, count(*) AS doc_count,
+       round(avg(a.sr), 4) AS avg_score,
+       round(max(a.sr), 4) AS max_score,
+       round(avg(dl.dl), 4) AS avg_doc_len
+FROM agg a JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY d.lang ORDER BY doc_count DESC, lang LIMIT 10"""
+    )
+
+    # unigram LM (Lidstone alpha=0.5 over the corpus' own vocab):
+    # per-doc tf-weighted mean log p(t), ppl proxy = exp(-mean)
+    o["tx_unigram_lm"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM cnt),
+p AS (SELECT term, (cnt + 0.5) / (tot.total + 0.5 * tot.vocab) AS p
+      FROM cnt CROSS JOIN tot),
+sc AS (SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+       sum(tf.tf * ln(p.p)) / sum(tf.tf) AS alp
+       FROM tf JOIN p USING (term) GROUP BY tf.doc_id)
+SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+       round(alp, 4) AS avg_logprob,
+       round(exp(-alp), 4) AS ppl_proxy
+FROM sc"""
+
     # field collapse: within-group ranks by (score desc, doc_id),
     # groups ranked by their head doc, top-3 groups x top-2 docs
     o["ft_collapse"] = (
@@ -2839,6 +2927,23 @@ FROM top t JOIN documents d USING (doc_id)"""
         f"UNION ALL SELECT 'o', doc_id, score FROM ({o['ft_or']})"
     )
     o["ft_batch"] = o["wand_batch"]
+
+    # per-query k: same unions with each query's own LIMIT
+    o["wand_batch_ks"] = (
+        "SELECT 't' AS query_id, doc_id, score FROM "
+        f"({o['ft_term'].replace('LIMIT 10', 'LIMIT 3')})\n"
+        f"UNION ALL SELECT 'a', doc_id, score FROM ({o['ft_and']})\n"
+        "UNION ALL SELECT 'o', doc_id, score FROM "
+        f"({o['ft_or'].replace('LIMIT 10', 'LIMIT 5')})"
+    )
+
+    # per-query similarity: the bm25 term oracle UNION the tfidf
+    # boolean oracle — each query of the mixed batch ranks by its own
+    # formula
+    o["wand_batch_sims"] = (
+        f"SELECT 'bm' AS query_id, doc_id, score FROM ({o['ft_term']})\n"
+        f"UNION ALL SELECT 'tf', doc_id, score FROM ({o['ft_tfidf']})"
+    )
 
     # hard-negative mining: the batch oracle + per-query rank window,
     # rank 1 labeled pos, 2..k neg

@@ -165,6 +165,55 @@ def main():
     batch_sec = sorted(breps)[1]
     batch_ms_per_query = round(batch_sec * 1000 / len(batch), 1)
 
+    # batch=32 serving (the recommended front door, Searcher.submit
+    # coalesces to exactly this shape): 32 mixed-shape queries in ONE
+    # search_many job on the cached index
+    batch32 = _mixed_batch(
+        ["spark", "batch", "window", "table", "stream", "scan",
+         "group", "filter"],
+        32,
+    )
+    wde_c.search_many(batch32, k=10).collect()  # warm
+    b32 = []
+    for _ in range(3):
+        t0 = time.time()
+        wde_c.search_many(batch32, k=10).collect()
+        b32.append(time.time() - t0)
+    batch32_sec = sorted(b32)[1]
+    out["batch32_ms_per_query"] = round(batch32_sec * 1000 / 32, 2)
+
+    # optional: batch=32 at a 640k-doc corpus (BENCH_BIG=1) — the
+    # serving story at 8x the default bench corpus; results recorded
+    # in BENCH/BASELINE.md
+    if os.environ.get("BENCH_BIG") == "1":
+        big_n = int(os.environ.get("BENCH_BIG_DOCS", "640000"))
+        big_dir = f"{SCRATCH}/lucille_bench_bigix_{big_n}"
+        if not os.path.exists(os.path.join(big_dir, "stats.json")):
+            bdocs = generate_docs(
+                spark, big_n, partitions=max(64, 4 * CPUS), with_ids=True
+            )
+            IndexBuilder(
+                num_shards=max(CPUS // 2, 4), block_size=128
+            ).build(bdocs, big_dir, id_col="doc_id",
+                    assume_partitioned=True)
+        big_ix = SparkIndex(spark, big_dir, cache=True)
+        wde_b = WandExecutor(big_ix)
+        big_batch = _mixed_batch(
+            ["spark", "index", "query", "merge", "window", "stream",
+             "filter", "partition"],
+            32,
+        )
+        wde_b.search_many(big_batch, k=10).collect()  # warm
+        bb = []
+        for _ in range(3):
+            t0 = time.time()
+            wde_b.search_many(big_batch, k=10).collect()
+            bb.append(time.time() - t0)
+        out["big_n_docs"] = big_n
+        out["big_batch32_ms_per_query"] = round(
+            sorted(bb)[1] * 1000 / 32, 2
+        )
+
     total = time.time() - t_start
     print(
         json.dumps(
@@ -187,9 +236,39 @@ def main():
                 "batch_n_queries": len(batch),
                 "batch_sec": round(batch_sec, 4),
                 "batch_ms_per_query": batch_ms_per_query,
+                **{
+                    kk: out[kk]
+                    for kk in (
+                        "batch32_ms_per_query",
+                        "big_n_docs",
+                        "big_batch32_ms_per_query",
+                    )
+                    if kk in out
+                },
             }
         )
     )
+
+
+def _mixed_batch(vocab, n):
+    """n mixed-shape queries (term / AND / OR / phrase-ish list) over
+    a small vocabulary — the micro-batch a Searcher front door
+    coalesces."""
+    shapes = [
+        lambda a, b: a,
+        lambda a, b: f"{a} AND {b}",
+        lambda a, b: f"{a} OR {b}",
+        lambda a, b: f"{a} {b}",
+    ]
+    qs = {}
+    i = 0
+    for a in vocab:
+        for b in vocab:
+            if i >= n:
+                return qs
+            qs[f"q{i}"] = shapes[i % 4](a, b)
+            i += 1
+    return qs
 
 
 if __name__ == "__main__":

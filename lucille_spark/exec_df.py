@@ -91,23 +91,42 @@ class DataFrameExecutor:
             df = df.limit(k)
         if with_meta:
             meta = self.ix.doclens.drop("shard", "doc_len")
-            df = df.join(meta, "doc_id", "left").orderBy(
-                F.desc("score"), F.asc("doc_id")
-            )
+            # broadcast the K-ROW result side, stream doclens (a left
+            # join would make the corpus the build side at scale);
+            # every result id exists in doclens, so inner == left.
+            # k=None (unbounded match set) keeps the un-hinted join
+            # and lets AQE pick the strategy from actual sizes.
+            res = F.broadcast(df) if k is not None else df
+            df = meta.join(res, "doc_id").select(
+                "doc_id", "score",
+                *[c for c in meta.columns if c != "doc_id"],
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
         return df
 
-    def search_many(self, queries, k: int = 10) -> DataFrame:
+    def search_many(
+        self, queries, k: int = 10, ks=None, similarities=None
+    ) -> DataFrame:
         """Batch counterpart of WandExecutor.search_many on the
         declarative path: union the per-query plans (each keeping its
         own TakeOrderedAndProject top-k) under a query_id tag so N
         queries run as ONE Spark action — subtrees schedule
         concurrently and the per-job fixed overhead is paid once.
-        -> (query_id, doc_id, score)."""
+        `ks` / `similarities` override k / the ranking formula per
+        query id. -> (query_id, doc_id, score).
+
+        Scale note: this path builds N full plans driver-side, so
+        py4j plan construction is O(batch x clauses) and dominates
+        past batch ~100-200 — WandExecutor.search_many (ONE union
+        predicate + one kernel pass) is the batch path at scale; this
+        twin exists for rank-identity checks and small batches."""
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
+        sims = similarities or {}
         out = None
         for qid, q in queries.items():
-            one = self.search(q, k=k).select(
+            kq = int((ks or {}).get(qid, k))
+            node = self.ix.plan(q, similarity=sims.get(qid))
+            one = self.search(node, k=kq).select(
                 F.lit(qid).alias("query_id"), "doc_id", "score"
             )
             out = one if out is None else out.unionAll(one)

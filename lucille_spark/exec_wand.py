@@ -123,34 +123,65 @@ class WandExecutor:
         decode = DECODERS[ix.stats.get("codec", "varbyte")]
         deleted, mark_dl = _tombstones(ix)
         need_uni = need_uni or mark_dl  # 'dl' needs the doclens slice
+        # meta fold: when the kernel already cogroups doclens, it
+        # emits the meta columns for its local top-k directly — one
+        # fewer scan + exchange than the post-hoc join (with_meta on
+        # the plain path stays a broadcast join of the k-row result
+        # against doclens).
+        meta_out = []
+        schema = OUT_SCHEMA
+        if with_meta and need_uni:
+            dl_schema = {f.name: f.dataType.simpleString()
+                         for f in ix.doclens.schema.fields}
+            meta_out = [
+                c for c in ix.doclens.columns
+                if c not in ("shard", "doc_id", "doc_len")
+            ]
+            schema = OUT_SCHEMA + "".join(
+                f", {c} {dl_schema[c]}" for c in meta_out
+            )
         kernel = _make_kernel(
             node, avgdl, k, self.prune, need_uni, meta_cols, decode,
-            deleted,
+            deleted, meta_out,
         )
         if need_uni:
             # cogroup segments with the shard's doclens slice so the
             # kernel has the doc universe + metadata columns
+            dl_cols = set(
+                ["shard", "doc_id", "doc_len", *meta_cols] + meta_out
+            )
             dl = ix.doclens.select(
-                "shard", "doc_id", "doc_len", *meta_cols
+                *[c for c in ix.doclens.columns if c in dl_cols]
             )
             if mark_dl:
                 dl = _mark_deleted(dl, ix)
             grouped = segs.groupBy("shard").cogroup(dl.groupBy("shard"))
-            local = grouped.applyInPandas(kernel, schema=OUT_SCHEMA)
+            local = grouped.applyInPandas(kernel, schema=schema)
         else:
             local = segs.groupBy("shard").applyInPandas(
-                kernel, schema=OUT_SCHEMA
+                kernel, schema=schema
             )
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        if with_meta:
+        if with_meta and not meta_out:
             meta = ix.doclens.drop("shard", "doc_len")
-            out = out.join(meta, "doc_id", "left").orderBy(
-                F.desc("score"), F.asc("doc_id")
-            )
+            # broadcast the K-ROW result side, stream doclens: a left
+            # join would force doclens as the build side (full
+            # shuffle/hash of the corpus at scale); every result id
+            # exists in doclens, so inner == left here
+            out = meta.join(F.broadcast(out), "doc_id").select(
+                "doc_id", "score",
+                *[c for c in meta.columns if c != "doc_id"],
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
         return out
 
 
-    def search_many(self, queries, k: int = 10) -> DataFrame:
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        ks: "Optional[Dict[str, int]]" = None,
+        similarities: "Optional[Dict[str, str]]" = None,
+    ) -> DataFrame:
         """Evaluate a BATCH of queries in one job: one term-filtered
         segment scan (union of every query's term predicate), one
         applyInPandas pass per shard that decodes each touched term
@@ -161,15 +192,24 @@ class WandExecutor:
         over the whole batch instead of paid per query.
 
         `queries`: dict[query_id -> query string] or list (ids
-        q0..qN-1). -> (query_id, doc_id, score), k rows per query in
-        (score desc, doc_id asc) order within each query.
+        q0..qN-1). `ks` / `similarities` override k / the ranking
+        formula per query id (a mixed batch stays ONE job: the plan
+        trees carry their own per-term weights, the final window
+        filter applies a per-query row limit). -> (query_id, doc_id,
+        score), k_q rows per query in (score desc, doc_id asc) order
+        within each query.
         """
         from pyspark.sql import Window
 
         ix = self.ix
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
-        nodes = {qid: ix.plan(q) for qid, q in queries.items()}
+        sims = similarities or {}
+        nodes = {
+            qid: ix.plan(q, similarity=sims.get(qid))
+            for qid, q in queries.items()
+        }
+        kmap = {qid: int((ks or {}).get(qid, k)) for qid in queries}
 
         seg_src = getattr(ix, "segments_for", None)
         if seg_src is not None:
@@ -216,7 +256,7 @@ class WandExecutor:
         deleted, mark_dl = _tombstones(ix)
         need_uni = need_uni or mark_dl  # 'dl' needs the doclens slice
         kernel = _make_batch_kernel(
-            nodes, avgdl, k, need_uni, pos_terms, meta_cols, decode,
+            nodes, avgdl, kmap, need_uni, pos_terms, meta_cols, decode,
             deleted,
         )
         if need_uni:
@@ -234,9 +274,16 @@ class WandExecutor:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+        if len(set(kmap.values())) <= 1:
+            klim = F.lit(next(iter(kmap.values()), k))
+        else:
+            m = F.create_map(
+                *[F.lit(x) for qid in kmap for x in (qid, kmap[qid])]
+            )
+            klim = m[F.col("query_id")]
         return (
             local.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
+            .filter(F.col("_rn") <= klim)
             .drop("_rn")
         )
 
@@ -247,7 +294,7 @@ BATCH_SCHEMA = "query_id string, doc_id long, score double"
 def _make_batch_kernel(
     nodes: Dict[str, P.PNode],
     avgdl: float,
-    k: int,
+    k,  # int, or dict[query_id -> int] for per-query limits
     need_uni: bool,
     pos_terms: set,
     meta_cols: List[str],
@@ -289,7 +336,8 @@ def _make_batch_kernel(
         frames = []
         for qid, node in nodes.items():
             ids, scores = evaluate(node, sd)
-            ids, scores = top_k(ids, scores, k)
+            kq = k[qid] if isinstance(k, dict) else k
+            ids, scores = top_k(ids, scores, kq)
             frames.append(
                 pd.DataFrame(
                     {"query_id": qid, "doc_id": ids, "score": scores}
@@ -488,15 +536,23 @@ def _make_kernel(
     meta_cols: List[str],
     decode=varbyte_decode,
     deleted=None,  # None | sorted np.ndarray | "dl" sentinel
+    meta_out: "Optional[List[str]]" = None,
 ):
     flat = _flat_terms(node) if prune else None
     want_pos = P.needs_positions(node)
+    meta_out = meta_out or []
+
+    def _empty_out() -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        for c in meta_out:
+            out[c] = pd.Series([], dtype=object)
+        return out
 
     def eval_segments(seg_pdf: pd.DataFrame, dl_pdf=None) -> pd.DataFrame:
         if len(seg_pdf) == 0 and dl_pdf is None:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
+            return _empty_out()
         dead = _local_deleted(deleted, dl_pdf)
         sd = ShardData(avgdl=avgdl)
         if dl_pdf is not None and len(dl_pdf):
@@ -530,7 +586,19 @@ def _make_kernel(
                 )
             ids, scores = evaluate(node, sd)
         ids, scores = top_k(ids, scores, k)
-        return pd.DataFrame({"doc_id": ids, "score": scores})
+        out = pd.DataFrame({"doc_id": ids, "score": scores})
+        if meta_out:
+            if dl_pdf is not None and len(dl_pdf) and len(out):
+                # dl_pdf is doc_id-sorted above; positional lookup of
+                # the local top-k ids (every id came from this slice)
+                dl_ids = dl_pdf["doc_id"].to_numpy(dtype=np.int64)
+                pos = np.searchsorted(dl_ids, ids)
+                for c in meta_out:
+                    out[c] = dl_pdf[c].to_numpy()[pos]
+            else:
+                for c in meta_out:
+                    out[c] = pd.Series([None] * len(out), dtype=object)
+        return out
 
     def kernel_plain(pdf: pd.DataFrame) -> pd.DataFrame:
         return eval_segments(pdf)

@@ -626,13 +626,16 @@ class SparkIndex:
             self.segments, "segments", self.segments_path, exact, intervals
         )
 
-    def plan(self, query) -> P.PNode:
+    def plan(self, query, similarity: "str | None" = None) -> P.PNode:
         if isinstance(query, P.PNode):
             return query  # pre-built physical tree (e.g. PDisMax)
         if isinstance(query, str):
             query = parse(query)
         assert isinstance(query, ast.Query)
-        return self.planner.plan(query)
+        planner = self.planner
+        if similarity is not None and similarity != planner.similarity:
+            planner = planner.with_similarity(similarity)
+        return planner.plan(query)
 
     def term_ids(self, terms: Sequence[str]) -> Dict[str, int]:
         if isinstance(self.dictionary, DriverDictionary):

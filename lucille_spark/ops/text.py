@@ -265,6 +265,60 @@ def corpus_prep(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def unigram_lm_score(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """CCNet-style LM quality signal without an external model: train
+    a unigram LM over the corpus itself (one aggregation), then score
+    each doc by its mean token log-probability — documents of common,
+    well-distributed tokens score high; gibberish / rare-token soup
+    scores low (CCNet buckets its corpus by exactly this perplexity
+    signal, just with a pretrained KenLM). Lidstone smoothing:
+    p(t) = (count(t) + alpha) / (total + alpha * |V|).
+
+    -> (doc_id, n_tokens, avg_logprob, ppl_proxy=exp(-avg_logprob)).
+
+    Scale: token stream -> per-(doc, term) counts FIRST (map-side
+    combinable), so the probability join shuffles distinct doc-term
+    pairs, not raw tokens; the LM itself is a vocab-sized table
+    joined on term (sort-merge at web scale) and the corpus totals
+    ride a 1-row broadcast."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_expr(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            (F.col("cnt") + F.lit(float(alpha)))
+            / (F.col("_total") + F.lit(float(alpha)) * F.col("_vocab"))
+        ).alias("_p"),
+    )
+    scored = (
+        tf.join(probs, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log("_p")) / F.sum("tf")
+            ).alias("_alp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_alp", 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("_alp")), 4).alias("ppl_proxy"),
+    )
+
+
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, public):
     whitespace-word count in [50, 100k], mean word length in [3, 10],

@@ -346,6 +346,24 @@ class Planner:
         self.tokenize = get_analyzer(analyzer)
 
     # -- public ----------------------------------------------------
+    def with_similarity(
+        self, similarity: str, field_similarity: "Optional[Dict[str, str]]" = None
+    ) -> "Planner":
+        """Cheap per-request planner variant ranking with a different
+        formula (shares the dictionary and stats) — lets batched
+        serving mix similarities within one job."""
+        import copy
+
+        from lucille_spark.scoring import SIMILARITIES
+
+        if similarity not in SIMILARITIES:
+            raise ValueError(f"unknown similarity {similarity!r}")
+        p = copy.copy(self)
+        p.similarity = similarity
+        if field_similarity is not None:
+            p.field_similarity = dict(field_similarity)
+        return p
+
     def plan(self, q: ast.Query) -> PNode:
         # simplify = the optimizer pass: dead-clause elimination,
         # complement/boost folding, single-clause unwrap — all

@@ -55,6 +55,40 @@ def facet_counts(
     )
 
 
+def terms_agg(
+    executor,
+    query: str,
+    group_col: str = "lang",
+    size: int = 10,
+) -> DataFrame:
+    """ES `terms` aggregation with metric SUB-aggregations over the
+    full match set: buckets of `group_col` carrying doc_count plus
+    avg/max score and avg doc length — the "facets + stats per
+    bucket" shape search UIs and analytics dashboards ask for.
+    -> (group_col, doc_count, avg_score, max_score, avg_doc_len)
+    ordered doc_count desc then key (ES bucket order), top `size`
+    buckets.
+
+    Scale: the match set (doc_id, score) joins doclens on doc_id —
+    only MATCHING docs shuffle — then one partial+final aggregate on
+    the low-cardinality bucket key; `size` cuts the result, not the
+    aggregation (same as ES shard_size semantics)."""
+    matches = executor.search(query, k=None)
+    meta = executor.ix.doclens.select("doc_id", group_col, "doc_len")
+    return (
+        matches.join(meta, "doc_id")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+            F.round(F.avg("doc_len"), 4).alias("avg_doc_len"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc(group_col))
+        .limit(size)
+    )
+
+
 def search_with_snippets(
     executor,
     docs: DataFrame,

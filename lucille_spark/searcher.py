@@ -12,13 +12,42 @@ applications, while the underlying pieces stay directly usable.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import threading
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 from lucille_spark.exec_df import DataFrameExecutor
 from lucille_spark.exec_wand import WandExecutor
 from lucille_spark.index.reader import SparkIndex
+
+
+class SearchFuture:
+    """Handle for one query inside a micro-batch: `result()` blocks
+    until the batch it joined is flushed and returns that query's
+    [(doc_id, score), ...] rows (score desc, doc_id asc)."""
+
+    def __init__(self) -> None:
+        self._event = threading.Event()
+        self._rows: Optional[List[Tuple[int, float]]] = None
+        self._error: Optional[BaseException] = None
+
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def result(
+        self, timeout: Optional[float] = None
+    ) -> List[Tuple[int, float]]:
+        if not self._event.wait(timeout):
+            raise TimeoutError("batch not flushed within timeout")
+        if self._error is not None:
+            raise self._error
+        return list(self._rows or [])
+
+    def _resolve(self, rows, error=None) -> None:
+        self._rows = rows
+        self._error = error
+        self._event.set()
 
 
 class Searcher:
@@ -47,12 +76,90 @@ class Searcher:
             self._wand_ex if executor == "wand" else self._df_ex
         )
 
+        # micro-batching state (see submit)
+        self._mb_lock = threading.Lock()
+        self._mb_pending: Dict[str, tuple] = {}
+        self._mb_seq = 0
+        self._mb_timer: Optional[threading.Timer] = None
+        self.batch_window_s = 0.02
+        self.max_batch = 64
+
     # -- core ------------------------------------------------------
     def search(self, query, k: int = 10, with_meta: bool = False):
         return self.executor.search(query, k=k, with_meta=with_meta)
 
-    def search_many(self, queries, k: int = 10) -> DataFrame:
-        return self.executor.search_many(queries, k=k)
+    def search_many(self, queries, k: int = 10, **kw) -> DataFrame:
+        return self.executor.search_many(queries, k=k, **kw)
+
+    # -- micro-batched serving ---------------------------------------
+    # Single-query latency at serving time is ~90% fixed Spark job
+    # overhead, so the scalable front door coalesces concurrent
+    # queries into ONE search_many job (one segment scan + one kernel
+    # pass for the whole batch — measured ~6x lower per-query cost at
+    # batch=6, see bench.py). submit() enqueues and returns a
+    # SearchFuture; the batch flushes when `max_batch` queries are
+    # waiting or `batch_window_s` elapses, whichever first.
+
+    def submit(
+        self, query, k: int = 10, similarity: Optional[str] = None
+    ) -> SearchFuture:
+        fut = SearchFuture()
+        with self._mb_lock:
+            qid = f"s{self._mb_seq}"
+            self._mb_seq += 1
+            self._mb_pending[qid] = (query, k, similarity, fut)
+            n = len(self._mb_pending)
+            if n >= self.max_batch:
+                if self._mb_timer is not None:
+                    self._mb_timer.cancel()
+                    self._mb_timer = None
+                pending = self._mb_pending
+                self._mb_pending = {}
+            else:
+                pending = None
+                if self._mb_timer is None:
+                    self._mb_timer = threading.Timer(
+                        self.batch_window_s, self.flush
+                    )
+                    self._mb_timer.daemon = True
+                    self._mb_timer.start()
+        if pending is not None:
+            self._run_batch(pending)
+        return fut
+
+    def flush(self) -> None:
+        """Flush the waiting micro-batch now (also runs on the window
+        timer)."""
+        with self._mb_lock:
+            if self._mb_timer is not None:
+                self._mb_timer.cancel()
+                self._mb_timer = None
+            pending = self._mb_pending
+            self._mb_pending = {}
+        if pending:
+            self._run_batch(pending)
+
+    def _run_batch(self, pending: Dict[str, tuple]) -> None:
+        queries = {qid: p[0] for qid, p in pending.items()}
+        ks = {qid: p[1] for qid, p in pending.items()}
+        sims = {
+            qid: p[2] for qid, p in pending.items() if p[2] is not None
+        }
+        try:
+            rows = self.executor.search_many(
+                queries, ks=ks, similarities=sims or None
+            ).collect()
+        except BaseException as e:  # propagate to every waiter
+            for _, _, _, fut in pending.values():
+                fut._resolve(None, e)
+            return
+        by_q: Dict[str, list] = {qid: [] for qid in pending}
+        for r in rows:
+            by_q[r["query_id"]].append(
+                (int(r["doc_id"]), float(r["score"]))
+            )
+        for qid, (_, _, _, fut) in pending.items():
+            fut._resolve(by_q.get(qid, []))
 
     def count(self, query) -> int:
         from lucille_spark.search_features import match_count

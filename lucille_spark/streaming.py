@@ -253,10 +253,13 @@ class MultiIndex:
         )
         self._parse, self._ast = parse, ast
 
-    def plan(self, query):
+    def plan(self, query, similarity=None):
         if isinstance(query, str):
             query = self._parse(query)
-        return self.planner.plan(query)
+        planner = self.planner
+        if similarity is not None and similarity != planner.similarity:
+            planner = planner.with_similarity(similarity)
+        return planner.plan(query)
 
     @property
     def deleted_df(self):
@@ -313,17 +316,72 @@ def maybe_compact(
     out_dir: str,
     max_deltas: int = 8,
     config: Optional[BuildConfig] = None,
+    max_tombstone_ratio: Optional[float] = 0.2,
 ) -> Optional[dict]:
-    """Tiered-merge policy hook: compact iff the delta count has
-    reached `max_deltas` (each delta adds a scan leg + shard
+    """Tiered-merge policy hook: compact iff (a) the delta count has
+    reached `max_deltas` — each delta adds a scan leg + shard
     namespace to the serving union, so read amplification grows
-    linearly with delta count — the classic LSM trade). Call it after
-    each ingest cycle; returns the compacted stats dict, or None when
-    below threshold."""
+    linearly with delta count (the classic LSM trade) — OR (b) the
+    tombstone ratio (distinct deleted ids / docs across deltas) has
+    reached `max_tombstone_ratio`: compaction applies deletes
+    physically (merge-applies-deletes), so a delete-heavy index stops
+    paying per-query tombstone filtering and its stats stop lying
+    about corpus size. Call after each ingest/delete cycle; returns
+    the compacted stats dict (with `compact_reason`) or None when
+    below both thresholds. `max_tombstone_ratio=None` disables the
+    purge trigger."""
     deltas = IncrementalIndexer(index_dir).delta_dirs(spark)
-    if len(deltas) < max_deltas:
+    if not deltas:
         return None
-    return compact(spark, index_dir, out_dir, config)
+    reason = None
+    if len(deltas) >= max_deltas:
+        reason = "deltas"
+    elif max_tombstone_ratio is not None:
+        ratio = tombstone_ratio(spark, index_dir, deltas)
+        if ratio >= max_tombstone_ratio:
+            reason = "tombstones"
+    if reason is None:
+        return None
+    stats = compact(spark, index_dir, out_dir, config)
+    stats = dict(stats)
+    stats["compact_reason"] = reason
+    return stats
+
+
+def tombstone_ratio(
+    spark: SparkSession,
+    index_dir: str,
+    deltas: Optional[Sequence[str]] = None,
+) -> float:
+    """Distinct tombstoned ids / total ingested docs across the
+    stream's deltas (0.0 when no deletes). One tiny count job over
+    the deletes parquet; doc totals come from the delta stats.json
+    files (no doclens scan)."""
+    if deltas is None:
+        deltas = IncrementalIndexer(index_dir).delta_dirs(spark)
+    n_docs = 0
+    for d in deltas:
+        st = json.loads(
+            fsio.read_text(os.path.join(d, "stats.json"), spark)
+        )
+        n_docs += int(st["n_docs"])
+    if n_docs == 0:
+        return 0.0
+    del_paths = [
+        p
+        for p in [os.path.join(index_dir, "deletes")]
+        + [os.path.join(d, "deletes") for d in deltas]
+        if fsio.exists(p, spark)
+    ]
+    if not del_paths:
+        return 0.0
+    n_del = (
+        _union_parquet(spark, del_paths)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    return n_del / n_docs
 
 
 def _config_from_delta(spark: SparkSession, delta_dir: str) -> BuildConfig:

@@ -1,0 +1,114 @@
+"""Batched serving upgrades: per-query k / similarity on
+search_many (both executors) and the micro-batching Searcher.submit
+facade — results must equal the single-query path query-for-query."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, unit_index):
+    from lucille_spark.searcher import Searcher
+
+    ix, oracle, _ = unit_index
+    return Searcher(spark, ix.dir, executor="wand", cache=False), oracle
+
+
+def _ranked(rows):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows]
+
+
+def test_per_query_k_both_executors(spark, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, _ = unit_index
+    batch = {"a": "cats", "b": "cats AND dogs", "c": "d*"}
+    ks = {"a": 3, "b": 7}  # c falls back to k=10
+    for ex in (WandExecutor(ix), DataFrameExecutor(ix)):
+        res = ex.search_many(batch, k=10, ks=ks).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(
+                (int(r["doc_id"]), round(float(r["score"]), 9))
+            )
+        assert len(by_q["a"]) == 3
+        assert by_q["a"] == [
+            (int(d), round(float(s), 9))
+            for d, s in oracle.search("cats", k=3)
+        ]
+        assert len(by_q["b"]) <= 7
+        assert by_q["c"] == [
+            (int(d), round(float(s), 9)) for d, s in oracle.search("d*", k=10)
+        ], type(ex).__name__
+
+
+def test_per_query_similarity_mixed_batch(spark, unit_index):
+    """One batch can mix ranking formulas: each query's results equal
+    a single-executor run with that similarity."""
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, _, _ = unit_index
+    res = (
+        WandExecutor(ix)
+        .search_many(
+            {"bm": "cats dogs", "tf": "cats dogs"},
+            k=5,
+            similarities={"tf": "tfidf"},
+        )
+        .collect()
+    )
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+        )
+    bm_alone = _ranked(WandExecutor(ix).search("cats dogs", k=5).collect())
+    tf_ix = SparkIndex(ix.spark, ix.dir, similarity="tfidf")
+    tf_alone = _ranked(
+        WandExecutor(tf_ix).search("cats dogs", k=5).collect()
+    )
+    assert by_q["bm"] == bm_alone
+    assert by_q["tf"] == tf_alone
+    assert by_q["bm"] != by_q["tf"]  # the formulas genuinely differ
+
+
+def test_submit_coalesces_into_one_batch(searcher):
+    s, oracle = searcher
+    futs = [
+        s.submit("cats", k=3),
+        s.submit("dogs", k=5),
+        s.submit("cats AND dogs", k=10),
+    ]
+    s.flush()  # deterministic in tests (no reliance on the timer)
+    got = [f.result(timeout=120) for f in futs]
+    assert [(d, round(x, 9)) for d, x in got[0]] == [
+        (int(d), round(float(x), 9)) for d, x in oracle.search("cats", k=3)
+    ]
+    assert len(got[1]) == 5
+    assert [(d, round(x, 9)) for d, x in got[2]] == [
+        (int(d), round(float(x), 9))
+        for d, x in oracle.search("cats AND dogs", k=10)
+    ]
+    assert all(f.done() for f in futs)
+
+
+def test_submit_window_timer_fires(searcher):
+    s, oracle = searcher
+    s.batch_window_s = 0.05
+    fut = s.submit("dogs", k=4)
+    rows = fut.result(timeout=120)  # flushed by the timer, no flush()
+    assert [(d, round(x, 9)) for d, x in rows] == [
+        (int(d), round(float(x), 9)) for d, x in oracle.search("dogs", k=4)
+    ]
+
+
+def test_submit_max_batch_flushes_inline(searcher):
+    s, oracle = searcher
+    s.max_batch = 2
+    try:
+        f1 = s.submit("cats", k=2)
+        f2 = s.submit("dogs", k=2)  # second submit hits max_batch
+        assert f1.result(timeout=120) and f2.result(timeout=120)
+    finally:
+        s.max_batch = 64

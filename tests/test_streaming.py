@@ -269,3 +269,57 @@ def test_multi_index_alternative_similarity(incremental, spark):
             ]
         )
         assert got == _ranked(oracle.search(q, k=10)), q
+
+
+def test_tombstone_ratio_triggers_compaction(spark, tmp_path):
+    """Policy: deletes past max_tombstone_ratio trigger compaction
+    even below the delta-count threshold, the compacted index is
+    physically purged (no deletes dir, live docs only), and the
+    returned stats carry the trigger reason."""
+    import os
+
+    from lucille_spark.fixtures import DOCS_SCHEMA, generate_pdf
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.streaming import (
+        IncrementalIndexer,
+        maybe_compact,
+        tombstone_ratio,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ix_dir = str(tmp_path / "ix")
+    os.makedirs(in_dir)
+    pdf = generate_pdf(40, seed=3)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    ixr = IncrementalIndexer(
+        ix_dir, config=BuildConfig(num_shards=2, block_size=16)
+    )
+    q = ixr.start(spark, in_dir, DOCS_SCHEMA, available_now=True)
+    q.awaitTermination(120)
+
+    out = str(tmp_path / "compacted")
+    # no deletes: 1 delta < max_deltas and ratio 0 -> no-op
+    assert tombstone_ratio(spark, ix_dir) == 0.0
+    assert maybe_compact(spark, ix_dir, out, max_deltas=3) is None
+
+    # tombstone 25% of the docs at the stream root -> ratio trigger
+    delete_docs(spark, ix_dir, list(range(0, 10)))
+    assert abs(tombstone_ratio(spark, ix_dir) - 0.25) < 1e-9
+    stats = maybe_compact(
+        spark, ix_dir, out, max_deltas=3, max_tombstone_ratio=0.2
+    )
+    assert stats is not None and stats["compact_reason"] == "tombstones"
+    assert stats["n_docs"] == 30  # purged physically
+    assert not os.path.exists(os.path.join(out, "deletes"))
+
+    # disabling the purge trigger keeps the no-op below max_deltas
+    out2 = str(tmp_path / "c2")
+    assert (
+        maybe_compact(
+            spark, ix_dir, out2, max_deltas=3, max_tombstone_ratio=None
+        )
+        is None
+    )

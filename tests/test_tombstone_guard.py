@@ -113,3 +113,22 @@ def test_small_sets_still_ship(guarded_index):
     assert not mark_dl
     assert isinstance(deleted, np.ndarray)
     assert deleted.tolist() == sorted(DELETED)
+
+
+def test_with_meta_kernel_fold_matches_df(guarded_index):
+    """Universe-needing queries route meta through the shard kernel
+    (one fewer scan+exchange); results must equal the DF executor's
+    with_meta output column-for-column."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix = guarded_index
+    for q in ("lang:en AND spark", "NOT spark"):
+        w = WandExecutor(ix).search(q, k=10, with_meta=True)
+        d = DataFrameExecutor(ix).search(q, k=10, with_meta=True)
+        assert w.columns == d.columns
+        wr = [tuple(r) for r in w.collect()]
+        dr = [tuple(r) for r in d.collect()]
+        assert [
+            (r[0], round(r[1], 9)) + r[2:] for r in wr
+        ] == [(r[0], round(r[1], 9)) + r[2:] for r in dr], q
