@@ -1374,6 +1374,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_embed_neardup"] = embed_neardup
 
+    # ---- embedding EXACT dedup (bit-identical vectors, grouped on
+    # the raw vector column — no lossy float encoding): duplicates
+    # planted by re-unioning the first 20 vectors under new ids -----
+    def embed_exact(s, d):
+        from lucille_spark.ops import similarity as sim
+
+        e = _emb(s, d).select("vec_id", "embedding")
+        dup = e.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        return sim.embedding_exact_duplicates(
+            e.unionAll(dup), "embedding"
+        ).orderBy("group_id")
+
+    q["dd_embed_exact"] = embed_exact
+
     # ---- similarity -----------------------------------------------
     def cosine(s, d):
         e = _emb(s, d)
@@ -1707,6 +1723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text",
         chunk_tokens=32,
         overlap=8,
+    )
+    # sentence-window chunking (boundary-respecting RAG prep)
+    q["pipe_sentences"] = lambda s, d: text.sentence_chunks(
+        _docs(s, d).filter(F.col("doc_id") < 50),
+        "doc_id",
+        "text",
+        max_sentences=3,
     )
 
     # ---- COMPOSED RAG-prep pipeline: chunk -> HashingTF vectors ->
@@ -3096,6 +3119,22 @@ SELECT doc_id, cast(chunk_id as int) AS chunk_id,
     AS chunk_text
 FROM c"""
 
+    # sentence-window chunking: split on [.!?]+ runs (RE2-compatible,
+    # delimiters consumed), trim, drop empties, 3-sentence windows
+    o["pipe_sentences"] = """
+WITH s AS (SELECT doc_id,
+  list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+    x -> trim(x)), x -> x <> '') AS arr
+  FROM documents WHERE doc_id < 50),
+nz AS (SELECT doc_id, arr FROM s WHERE len(arr) > 0),
+c AS (SELECT doc_id, arr,
+      unnest(range(0, cast(ceil(len(arr) / 3.0) as int))) AS chunk_id
+      FROM nz)
+SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+  cast(len(arr[chunk_id*3+1 : chunk_id*3+3]) as int) AS n_sentences,
+  array_to_string(arr[chunk_id*3+1 : chunk_id*3+3], '. ') AS chunk_text
+FROM c"""
+
     # composed RAG prep: chunks (32/8 as pipe_chunks) -> 16-dim
     # normalized HashingTF vectors -> SRP(4 bits, seed 11) bucketed
     # near-dup pairs with exact cosine >= 0.9
@@ -3395,6 +3434,18 @@ p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
    sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
 SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.99"""
+
+    # embedding exact dedup: same planted duplicates, group by the
+    # list value itself, group key = smallest member id
+    o["dd_embed_exact"] = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20)
+SELECT min(vec_id) AS group_id, count(*) AS n_vecs,
+       string_agg(cast(vec_id as varchar), ',' ORDER BY vec_id)
+         AS vec_ids
+FROM u GROUP BY embedding HAVING count(*) >= 2 ORDER BY group_id"""
 
     # IVF fixed-centroid assignment: argmax of 8 dot products, ties
     # to the lowest index (same rule as ops/similarity._argmax_cell)

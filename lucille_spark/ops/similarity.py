@@ -58,6 +58,34 @@ def cosine_topk(
     )
 
 
+def embedding_exact_duplicates(
+    df: DataFrame, vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Groups of BIT-identical embedding vectors (re-encoded rows,
+    exact re-crawls): one shuffle grouped on the raw vector column —
+    at 100 TB this is the cheap first pass before any LSH / cosine
+    machinery, the vector twin of text exact_duplicates. The group
+    key stays the vector itself (no lossy float-to-string encoding);
+    output identifies each group by its smallest member id.
+    -> (group_id = min vec_id, n_vecs, vec_ids CSV sorted), n >= 2."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.min("vec_id").alias("group_id"),
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.array_join(
+                F.sort_array(F.collect_list("vec_id")), ","
+            ).alias("vec_ids"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+        .select("group_id", "n_vecs", "vec_ids")
+    )
+
+
 def srp_bucket(
     df: DataFrame,
     vec_col: str,

@@ -926,6 +926,55 @@ def pack_greedy(
     )
 
 
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_sentences: int = 3,
+) -> DataFrame:
+    """Sentence-window chunking — the RAG prep variant that respects
+    sentence boundaries instead of token counts: split on ``[.!?]+``
+    runs, trim, drop empties, window `max_sentences` consecutive
+    sentences per chunk (no overlap; chunk_id = 0-based window).
+    Delimiters are consumed by the split (RE2-compatible — the DuckDB
+    oracle has no lookbehind), so chunk_text joins sentences with
+    '. '.
+
+    Scale: one scan, ZERO shuffle — split + windowing are
+    posexplode of a per-row sequence in whole-stage codegen.
+    -> (doc_id, chunk_id, n_sentences, chunk_text)."""
+    if max_sentences < 1:
+        raise ValueError("max_sentences must be >= 1")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), sents.alias("_s")
+    ).filter(F.size("_s") > 0)
+    n_chunks = F.ceil(F.size("_s") / F.lit(max_sentences)).cast("int")
+    ex = base.select(
+        "doc_id",
+        "_s",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "_i", "chunk_id"
+        ),
+    )
+    window = F.slice(
+        F.col("_s"),
+        F.col("chunk_id") * max_sentences + 1,
+        max_sentences,
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(window).alias("n_sentences"),
+        F.array_join(window, ". ").alias("chunk_text"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

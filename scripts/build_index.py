@@ -50,6 +50,18 @@ def main():
     ap.add_argument("--codec", default="varbyte",
                     help="varbyte | bitpack posting block codec")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--iceberg-start-snapshot",
+        help="incremental ingest: read only rows APPENDED after this "
+        "snapshot id (Spark 'start-snapshot-id' read option) — build "
+        "the result as a delta via streaming.IncrementalIndexer's "
+        "layout and serve the union, instead of re-indexing the "
+        "whole table each run",
+    )
+    ap.add_argument(
+        "--iceberg-end-snapshot",
+        help="upper bound for --iceberg-start-snapshot ('end-snapshot-id')",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,7 +70,23 @@ def main():
 
     spark = SparkSession.builder.appName("lucille-build-index").getOrCreate()
     if args.iceberg_table:
-        docs = spark.read.table(args.iceberg_table)
+        reader = spark.read
+        if args.iceberg_start_snapshot:
+            # Iceberg incremental append scan: only files added in
+            # (start, end] snapshots are read — at 10^12 files this
+            # is the only sane re-index cadence (jar required on the
+            # cluster; untestable in this sandbox, parquet path is)
+            reader = reader.option(
+                "start-snapshot-id", args.iceberg_start_snapshot
+            )
+            if args.iceberg_end_snapshot:
+                reader = reader.option(
+                    "end-snapshot-id", args.iceberg_end_snapshot
+                )
+            reader = reader.format("iceberg")
+            docs = reader.load(args.iceberg_table)
+        else:
+            docs = reader.table(args.iceberg_table)
     elif args.input:
         docs = spark.read.parquet(args.input)
     else:

@@ -1,0 +1,118 @@
+"""Round-3 op additions: ES terms aggregation with metric sub-aggs,
+CCNet-style self-trained unigram-LM perplexity proxy, and embedding
+exact dedup — unit semantics beyond the DuckDB hash gates."""
+
+import math
+
+import pytest
+
+
+def test_terms_agg_buckets_and_metrics(spark, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import terms_agg
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    rows = terms_agg(ex, "cats dogs", "lang", size=10).collect()
+    assert rows
+    # buckets partition the full match set
+    full = ex.search("cats dogs", k=None).count()
+    assert sum(r["doc_count"] for r in rows) == full
+    # ES bucket order: doc_count desc, key asc
+    counts = [(r["doc_count"], r["lang"]) for r in rows]
+    assert counts == sorted(counts, key=lambda t: (-t[0], t[1]))
+    for r in rows:
+        assert r["avg_score"] <= r["max_score"] + 1e-9
+        assert r["avg_doc_len"] > 0
+
+
+def test_unigram_lm_orders_gibberish_below_common(spark):
+    """Docs made of corpus-common tokens must out-score docs of
+    singleton gibberish tokens (lower perplexity proxy)."""
+    from lucille_spark.ops.text import unigram_lm_score
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat again"),
+        (2, "cat mat the the sat"),
+        (3, "zxqv bnmp wkrt yhgf qpzl"),  # singleton soup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in unigram_lm_score(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[3]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[3]["ppl_proxy"] > out[0]["ppl_proxy"]
+    for r in out.values():
+        assert abs(
+            r["ppl_proxy"] - round(math.exp(-r["avg_logprob"]), 2)
+        ) < 0.15 * r["ppl_proxy"] + 1e-6
+
+
+def test_unigram_lm_matches_hand_computation(spark):
+    """Exact check on a 2-doc corpus: Lidstone alpha=0.5."""
+    from lucille_spark.ops.text import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2, b=2, c=1; total=5, vocab=3
+    denom = 5 + 0.5 * 3
+    pa, pb, pc = 2.5 / denom, 2.5 / denom, 1.5 / denom
+    exp0 = (2 * math.log(pa) + math.log(pb)) / 3
+    exp1 = (math.log(pb) + math.log(pc)) / 2
+    out = {
+        r["doc_id"]: r
+        for r in unigram_lm_score(df, "doc_id", "text").collect()
+    }
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 2
+    assert abs(out[0]["avg_logprob"] - round(exp0, 4)) < 1e-9
+    assert abs(out[1]["avg_logprob"] - round(exp1, 4)) < 1e-9
+
+
+def test_embedding_exact_duplicates(spark):
+    from lucille_spark.ops.similarity import embedding_exact_duplicates
+
+    vecs = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0, 3.0001]),  # near, NOT exact
+        (3, [4.0, 5.0, 6.0]),
+        (4, [4.0, 5.0, 6.0]),
+        (5, [7.0, 8.0, 9.0]),  # unique
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    rows = sorted(
+        embedding_exact_duplicates(df, "embedding").collect(),
+        key=lambda r: r["group_id"],
+    )
+    assert [(r["group_id"], r["n_vecs"], r["vec_ids"]) for r in rows] == [
+        (0, 2, "0,1"),
+        (3, 2, "3,4"),
+    ]
+
+
+def test_sentence_chunks(spark):
+    from lucille_spark.ops.text import sentence_chunks
+
+    rows = [
+        (0, "One. Two! Three? Four. Five."),
+        (1, "Only one sentence"),
+        (2, "..."),  # no sentences -> no rows
+        (3, "A. B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sentence_chunks(df, "doc_id", "text", max_sentences=3)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_sentences"], r["chunk_text"])
+        for r in out.collect()
+    }
+    assert got[(0, 0)] == (3, "One. Two. Three")
+    assert got[(0, 1)] == (2, "Four. Five")
+    assert got[(1, 0)] == (1, "Only one sentence")
+    assert got[(3, 0)] == (2, "A. B")
+    assert not any(d == 2 for d, _ in got)
