@@ -1,0 +1,254 @@
+"""Code-corpus pipeline operators: import/dependency extraction,
+secret scanning, and source-file metrics.
+
+A large-scale code training pipeline (The Stack / StarCoder style)
+needs, beyond generic text quality ops (ops/text.py), a handful of
+code-specific passes that run over every file in the corpus:
+
+* which modules does this file import (dependency graph, licence
+  contamination tracing, package popularity stats);
+* does it leak credentials (AWS keys, private-key PEM blocks, GitHub
+  tokens — these MUST be scrubbed before a token ever reaches a
+  training run);
+* how code-shaped is it (comment ratio, blank ratio, line lengths,
+  indentation) — the standard StarCoder/SantaCoder file-level
+  filters.
+
+All three are pure whole-stage-codegen column programs — one scan,
+ZERO shuffle, no UDFs — so at 100 TB they run at parquet-scan speed
+and pipeline with any other per-document pass. Regexes stay inside
+RE2-compatible syntax (no lookbehind) so the DuckDB oracle can run
+the identical patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# import extraction
+# ---------------------------------------------------------------------------
+
+# (kind, extraction regex with ONE capture group). Line-anchored via
+# the per-line explode below, not via ^..$ multiline flags, so the
+# same pattern strings work in Spark (Java regex) and DuckDB (RE2).
+IMPORT_PATTERNS = [
+    # python: `import a.b` / `import a.b as c`
+    ("import", r"^\s*import\s+([A-Za-z_][\w.]*)"),
+    # python: `from a.b import c`
+    ("from", r"^\s*from\s+([A-Za-z_][\w.]*)\s+import\b"),
+    # js/ts: `require('a')` / `require("a")`
+    ("require", r"""require\s*\(\s*['"]([^'"]+)['"]"""),
+    # es module: `... from 'a'`
+    ("es_from", r"""\bfrom\s+['"]([^'"]+)['"]"""),
+    # go/java-ish: `#include <a.h>` bucketed as include
+    ("include", r"^\s*#include\s*[<\"]([^>\"]+)[>\"]"),
+]
+
+
+def extract_imports(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns=None,
+) -> DataFrame:
+    """Per-file import/dependency extraction: split into lines, run
+    each import-shaped regex, emit one row per (file, kind, module)
+    hit. Multiple hits of the same module on different lines emit
+    multiple rows — aggregate downstream if you want a dependency
+    edge list (``.groupBy("module").count()`` is the package
+    popularity query at corpus scale).
+
+    Scale: posexplode of the line array + regexp_extract per line,
+    all codegen; the only shuffle is whatever aggregation the CALLER
+    adds. -> (doc_id, line_no int 0-based, kind, module)."""
+    pats = patterns if patterns is not None else IMPORT_PATTERNS
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias(
+            "line_no", "_line"
+        ),
+    )
+    per_kind = []
+    for kind, rx in pats:
+        m = F.regexp_extract(F.col("_line"), rx, 1)
+        per_kind.append(
+            F.when(
+                m != "",
+                F.struct(
+                    F.lit(kind).alias("kind"), m.alias("module")
+                ),
+            )
+        )
+    hits = F.filter(
+        F.array(*per_kind), lambda s: s.isNotNull()
+    )
+    return (
+        lines.select(
+            "doc_id",
+            "line_no",
+            F.explode(hits).alias("_h"),
+        )
+        .select(
+            "doc_id",
+            F.col("line_no").cast("int").alias("line_no"),
+            F.col("_h.kind").alias("kind"),
+            F.col("_h.module").alias("module"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# secret scanning
+# ---------------------------------------------------------------------------
+
+# detector -> RE2-compatible pattern (whole-match, group 0). The
+# high-signal subset of the standard scanner rule packs (gitleaks /
+# trufflehog publish equivalent public patterns).
+SECRET_PATTERNS = [
+    ("aws_access_key", r"AKIA[0-9A-Z]{16}"),
+    ("github_token", r"ghp_[A-Za-z0-9]{36}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("slack_token", r"xox[baprs]-[0-9A-Za-z-]{10,48}"),
+    ("hex40_secret", r"\b[0-9a-f]{40}\b"),
+]
+
+
+def secret_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns=None,
+) -> DataFrame:
+    """Credential scan: one row per (file, detector) with the hit
+    count and a masked preview of the FIRST hit (first 8 chars +
+    '...' — enough to triage, safe to log). Files with zero hits for
+    a detector emit nothing, so the output is sparse: at corpus
+    scale this is a tiny fraction of input rows and the natural
+    input to a quarantine anti-join (drop flagged files) or a
+    targeted redaction pass (ops/text.pii_scrub composes for the
+    generic PII classes).
+
+    Scale: regexp_extract_all per detector on the raw text — one
+    scan, zero shuffle, codegen. -> (doc_id, detector, n_hits int,
+    first_hit_masked)."""
+    pats = patterns if patterns is not None else SECRET_PATTERNS
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    )
+    per_det = []
+    for name, rx in pats:
+        hits = F.regexp_extract_all(F.col("_t"), F.lit(rx), 0)
+        per_det.append(
+            F.when(
+                F.size(hits) > 0,
+                F.struct(
+                    F.lit(name).alias("detector"),
+                    F.size(hits).cast("int").alias("n_hits"),
+                    F.concat(
+                        F.substring(hits[0], 1, 8), F.lit("...")
+                    ).alias("first_hit_masked"),
+                ),
+            )
+        )
+    found = F.filter(F.array(*per_det), lambda s: s.isNotNull())
+    return (
+        base.select("doc_id", F.explode(found).alias("_h"))
+        .select(
+            "doc_id",
+            F.col("_h.detector").alias("detector"),
+            F.col("_h.n_hits").alias("n_hits"),
+            F.col("_h.first_hit_masked").alias("first_hit_masked"),
+        )
+    )
+
+
+def quarantine_secrets(
+    df: DataFrame, id_col: str, text_col: str, patterns=None
+) -> DataFrame:
+    """Drop every file with ANY secret hit (the conservative
+    pre-training policy): input rows minus the flagged set via one
+    broadcast-friendly anti-join on the sparse scan output."""
+    flagged = (
+        secret_scan(df, id_col, text_col, patterns)
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(
+        flagged.withColumnRenamed("doc_id", id_col).select(
+            F.col(id_col).cast(df.schema[id_col].dataType)
+        ),
+        id_col,
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# source-file metrics (StarCoder-style file filters)
+# ---------------------------------------------------------------------------
+
+
+def code_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-file source metrics — the standard code-corpus filter
+    signals (StarCoder/The Stack data pipeline publishes these
+    exact filters): line counts, blank/comment ratios, line-length
+    stats, indentation depth, TODO/def densities. Downstream keeps
+    e.g. ``max_line_len <= 1000 AND avg_line_len <= 100 AND
+    comment_ratio BETWEEN 0.01 AND 0.8``.
+
+    Scale: one scan, zero shuffle — the line array never explodes;
+    every stat is an array HOF (size/filter/aggregate) in codegen.
+    -> (doc_id, n_lines, n_blank, n_comment, comment_ratio,
+    avg_line_len, max_line_len, max_indent, n_todo, n_def)."""
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    blank = F.filter(lines, lambda x: F.trim(x) == "")
+    comment = F.filter(
+        lines,
+        lambda x: F.trim(x).startswith("#")
+        | F.trim(x).startswith("//"),
+    )
+    todo = F.filter(lines, lambda x: x.contains("TODO"))
+    defs = F.filter(
+        lines,
+        lambda x: x.rlike(r"^\s*(def |function |func |fn )"),
+    )
+    tot_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    max_len = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, x: F.greatest(a, F.length(x)),
+    )
+    indent = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, x: F.greatest(
+            a,
+            F.length(x) - F.length(F.ltrim(x)),
+        ),
+    )
+    n_nonblank = n_lines - F.size(blank)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_lines.cast("int").alias("n_lines"),
+        F.size(blank).cast("int").alias("n_blank"),
+        F.size(comment).cast("int").alias("n_comment"),
+        F.round(
+            F.when(
+                n_nonblank > 0,
+                F.size(comment) / n_nonblank.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("comment_ratio"),
+        F.round(tot_len / n_lines.cast("double"), 4).alias(
+            "avg_line_len"
+        ),
+        max_len.cast("int").alias("max_line_len"),
+        indent.cast("int").alias("max_indent"),
+        F.size(todo).cast("int").alias("n_todo"),
+        F.size(defs).cast("int").alias("n_def"),
+    )

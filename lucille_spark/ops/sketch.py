@@ -1,0 +1,234 @@
+"""Distributed cardinality / frequency sketches (HyperLogLog,
+Count-Min) built from deterministic portable hashes.
+
+Why not `approx_count_distinct`: Spark's built-in HLL++ is opaque —
+you get a number, not a sketch. At 100 TB the thing you actually
+want is the SKETCH as data: per-partition / per-day register tables
+you can store, merge across arbitrary slices (register-wise max is
+the union), and only then estimate. That turns "distinct users per
+(country, day) and any rollup of it" into one small parquet table +
+a groupBy(max) — no re-scan of the raw data per rollup.
+
+Hashing is the portable md5 scheme shared with ops/hashing.py so
+the DuckDB oracle can compute bit-identical registers; the estimator
+does its accumulation in exact integer arithmetic (decimal, scaled
+by 2^61) so the estimate is reproducible across engines to the last
+double bit (Flajolet et al. 2007 HyperLogLog, public domain).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^p registers. p=8 -> 256 registers, ~6.5% standard error; plenty
+# for pipeline-side diagnostics and the oracle-checkable default.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+# alpha_256 (bias constant for m >= 128)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# accumulate sum(2^-rho) scaled by 2^61 so every term is an integer
+_SCALE_BITS = 61
+
+# leading-zero count of one hex digit's 4-bit value (digit '0'
+# handled by the leading-run counter, not this map)
+_HEX_LZ = {
+    "1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1,
+    "8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0, "e": 0, "f": 0,
+}
+
+
+def _rho_expr(hex60):
+    """rho = 1 + number of leading zero BITS of the 60-bit value
+    written as 15 hex chars — computed purely on the hex string
+    (no float log2), so Spark and DuckDB agree bit-for-bit."""
+    zrun = F.length(F.regexp_extract(hex60, r"^(0*)", 1))
+    first = F.substring(
+        F.concat(hex60, F.lit("f")), zrun + 1, 1
+    )  # pad so the all-zero case still indexes a char
+    digit_lz = F.lit(0)
+    for d, lz in _HEX_LZ.items():
+        if lz:
+            digit_lz = F.when(first == d, F.lit(lz)).otherwise(digit_lz)
+    return (
+        F.when(zrun >= 15, F.lit(4 * 15 + 1))
+        .otherwise(zrun * 4 + digit_lz + 1)
+        .cast("int")
+    )
+
+
+def hll_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Build the register table for one slice: hash each value with
+    md5, bucket on the first 8 bits, rho from the next 60 bits,
+    register = max(rho) per bucket. Empty buckets are absent (they
+    mean register 0).
+
+    Scale: ONE partial-agg shuffle of at most 256 rows per
+    partition (map-side max combine) — this is the cheapest possible
+    distinct-counting pass over 100 TB, and the output is 256 rows
+    you can store per day/partition and merge later.
+    -> (bucket int, max_rho int), sorted by bucket."""
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rho = _rho_expr(F.substring(h, 3, 15))
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").alias("max_rho"))
+        .orderBy("bucket")
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of the underlying sets = register-wise max. Merging N
+    days/slices is a groupBy over N*256 rows — independent of the
+    raw data size, the whole point of storing sketches."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .orderBy("bucket")
+    )
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Turn a register table into the cardinality estimate.
+
+    Accumulation is exact: sum over the 256 registers of
+    2^(61 - rho) (empty register -> 2^61) as DECIMAL(38,0), so the
+    raw estimate alpha * m^2 * 2^61 / S is bit-reproducible in any
+    engine. Small-range (linear counting) correction applied per the
+    original paper when raw <= 2.5*m and empty registers exist.
+    -> one row (n_buckets_set int, raw_estimate double, estimate
+    double), rounded to 2 decimals."""
+    m = HLL_M
+    term = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), {_SCALE_BITS} - max_rho) "
+        "as decimal(38,0))"
+    )
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("int").alias("n_set"),
+        F.sum(term).alias("_s_set"),
+    )
+    # absent buckets contribute 2^61 each
+    empty_term = F.lit(1 << _SCALE_BITS).cast("decimal(38,0)")
+    s_total = F.col("_s_set") + (
+        (F.lit(m) - F.col("n_set")).cast("decimal(38,0)") * empty_term
+    )
+    raw = (
+        F.lit(HLL_ALPHA * m * m * float(1 << _SCALE_BITS))
+        / s_total.cast("double")
+    )
+    zeros = (F.lit(m) - F.col("n_set")).cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_set").alias("n_buckets_set"),
+        F.round(raw, 2).alias("raw_estimate"),
+        F.round(corrected, 2).alias("estimate"),
+    )
+
+
+def approx_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One-shot convenience: sketch + estimate."""
+    return hll_estimate(hll_sketch(df, col))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency / heavy hitters)
+# ---------------------------------------------------------------------------
+
+# depth x width; same universal-hash family as MinHash perms
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_params(depth: int = CM_DEPTH, seed: int = 23):
+    from lucille_spark.ops.hashing import perm_params
+
+    return perm_params(depth, seed=seed)
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = 23,
+) -> DataFrame:
+    """Count-Min sketch of a value column: `depth` independent rows
+    of `width` counters; cell (r, (a_r*h + b_r) mod p mod width)
+    accumulates the value's multiplicity (Cormode & Muthukrishnan
+    2005). The sketch is a <= depth*width-row table, mergeable by
+    cell-wise SUM — same merge-as-data story as the HLL registers.
+
+    Scale: one partial-agg shuffle of at most depth*width rows per
+    partition. -> (row int, col int, cnt long), sorted."""
+    from lucille_spark.ops.hashing import MERSENNE31, TOKEN_HASH_SPARK
+
+    h = F.expr(TOKEN_HASH_SPARK.format(tok=f"cast({col} as string)"))
+    rows = []
+    for r, (a, b) in enumerate(_cm_params(depth, seed)):
+        cell = (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31) % F.lit(
+            width
+        )
+        rows.append(
+            F.struct(
+                F.lit(r).alias("row"), cell.cast("int").alias("col")
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*rows)).alias("_c"))
+        .select(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("row", "col")
+    )
+
+
+def cm_query(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = 23,
+) -> DataFrame:
+    """Point-estimate the frequency of each value in `values[col]`:
+    min over the depth cells the value hashes to (over-estimate
+    only, never under). The sketch side is tiny -> broadcast join.
+    -> (value string, est long)."""
+    from lucille_spark.ops.hashing import MERSENNE31, TOKEN_HASH_SPARK
+
+    h = F.expr(TOKEN_HASH_SPARK.format(tok=f"cast({col} as string)"))
+    cells = []
+    for r, (a, b) in enumerate(_cm_params(depth, seed)):
+        cell = (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31) % F.lit(
+            width
+        )
+        cells.append(
+            F.struct(F.lit(r).alias("row"), cell.cast("int").alias("col"))
+        )
+    q = values.select(
+        F.col(col).cast("string").alias("value"),
+        F.explode(F.array(*cells)).alias("_c"),
+    ).select("value", F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    joined = q.join(F.broadcast(sketch), ["row", "col"], "left").fillna(
+        {"cnt": 0}
+    )
+    return (
+        joined.groupBy("value")
+        .agg(F.min("cnt").alias("est"))
+        .orderBy("value")
+    )
+
+
+def hll_error_bound(p: int = HLL_P) -> float:
+    """Published standard error 1.04/sqrt(m)."""
+    return 1.04 / math.sqrt(float(1 << p))

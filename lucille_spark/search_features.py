@@ -1252,3 +1252,152 @@ def remove_stopwords(query, stopwords):
 
         query = parse(query)
     return rw(query)
+
+
+def span_near(
+    index, term_texts, slop: int = 0, in_order: bool = True, k: int = 10
+) -> DataFrame:
+    """Lucene SpanNearQuery: docs where all (analyzed) terms occur
+    with total span <= len(terms) + slop - 1 positions, in query
+    order (`in_order=True`) or in ANY order (`in_order=False` — the
+    piece plain phrase-with-slop can't express). Scored like a
+    sloppy phrase: tf = 1, idf from the min member df (the PPhrase
+    contract), so ordered span_near ranks identically to
+    `"a b"~slop`.
+
+    Scale: ONE scan of the span terms' postings + ONE
+    groupBy(doc_id) building per-term position arrays; the
+    window-existence check is nested array `exists` HOFs in
+    whole-stage codegen (positions per doc are short — bounded by
+    per-doc tf). Same shuffle shape as the phrase operator.
+    -> (doc_id, score) top-k."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+
+    quoted = '"' + " ".join(term_texts) + '"'
+    if slop:
+        quoted += f"~{slop}"
+    node = index.plan(quoted)
+    if isinstance(node, P.PMatchNone):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    assert isinstance(node, P.PPhrase), "span_near needs >= 2 terms"
+    m = len(node.terms)
+    max_span = m - 1 + slop  # max(pos) - min(pos) allowed
+    distinct = sorted(set(node.terms))
+    src = getattr(index, "flat_for", None)
+    flat = src(distinct) if src else index.flat
+    flat = flat.filter(F.col("term").isin(distinct))
+    g = (
+        _drop_deleted(index, flat)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm"),
+            F.max("doc_len").alias("doc_len"),
+            F.count("*").alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(distinct))
+    )
+    pos = [F.col("pm")[t] for t in node.terms]
+
+    def window_exists(chosen):
+        i = len(chosen)
+        if i == m:
+            span = F.greatest(*chosen) - F.least(*chosen)
+            ok = span <= F.lit(max_span)
+            if in_order:
+                for a, b in zip(chosen, chosen[1:]):
+                    ok = ok & (a < b)
+            return ok
+        return F.exists(pos[i], lambda p: window_exists(chosen + [p]))
+
+    j = g.filter(window_exists([]))
+    avgdl = node.avgdl or float(index.stats["avg_dl"])
+    return (
+        j.select(
+            "doc_id",
+            _score_col(
+                node.sim, F.lit(1), F.col("doc_len"), node.idf,
+                avgdl, node.tw,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def top_hits(
+    executor, query, group_field: str, n_per_group: int = 3
+) -> DataFrame:
+    """Elasticsearch `top_hits` aggregation: bucket the FULL match
+    set by a metadata field and keep the n best-scoring docs per
+    bucket (the "show me the top 3 results per language/source"
+    query — sampling representative docs per slice at corpus
+    scale).
+
+    Scale: match set only (never the corpus) shuffles once on the
+    group key for the window rank; skew bounded by n_per_group
+    output rows per bucket. -> (group value, rank, doc_id, score)
+    ordered by (group, rank)."""
+    from pyspark.sql import Window
+
+    res = executor.search(query, k=None, with_meta=True)
+    w = Window.partitionBy(group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        res.select(group_field, "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n_per_group)
+        .select(group_field, "rank", "doc_id", F.round("score", 4).alias("score"))
+        .orderBy(group_field, "rank")
+    )
+
+
+def constant_score(executor, query, boost: float = 1.0, k=None) -> DataFrame:
+    """Lucene/ES `constant_score`: every doc in the match set gets
+    exactly `boost` — filter semantics with a fixed score (no idf/tf
+    influence, no per-doc float drift; the standard wrapper for
+    filter legs of hybrid queries). Ties broken by doc_id, so top-k
+    is the k lowest ids of the match set."""
+    df = executor.search(query, k=None).select(
+        "doc_id", F.lit(float(boost)).alias("score")
+    )
+    df = df.orderBy(F.asc("doc_id"))
+    return df.limit(k) if k is not None else df
+
+
+def boosting_query(
+    executor, positive, negative, negative_boost: float = 0.5, k: int = 10
+) -> DataFrame:
+    """Elasticsearch `boosting` query: match + score by `positive`;
+    docs ALSO matching `negative` keep their rank presence but have
+    their score multiplied by `negative_boost` (demotion without
+    exclusion — the middle ground between OR and AND NOT).
+
+    Scale: two match sets, one left join on doc_id (the negative leg
+    reduces to (doc_id) rows — no payload shuffle).
+    -> (doc_id, score) top-k."""
+    pos = executor.search(positive, k=None)
+    neg = (
+        executor.search(negative, k=None)
+        .select("doc_id")
+        .withColumn("_neg", F.lit(True))
+    )
+    return (
+        pos.join(neg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_neg").isNotNull(),
+                F.col("score") * F.lit(float(negative_boost)),
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

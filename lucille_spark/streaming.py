@@ -310,6 +310,64 @@ def open_multi(
     )
 
 
+def upsert_batch(
+    spark: SparkSession,
+    index_dir: str,
+    docs_df: DataFrame,
+    key_cols: Sequence[str],
+    content_col: str = "content",
+    meta_cols: Optional[Sequence[str]] = None,
+    config: Optional[BuildConfig] = None,
+) -> dict:
+    """Update-or-insert by EXTERNAL key (repo/path/...): tombstone
+    every live doc whose key matches an incoming row (across the
+    base delta chain), then ingest the incoming rows as a NEW delta
+    with fresh doc_ids. `open_multi` serving reflects the update
+    immediately; `maybe_compact` folds the tombstones away on its
+    normal policy.
+
+    Requires the index to have been built with the key columns as
+    meta_cols (they are how old revisions are FOUND). The key lookup
+    is a broadcast semi-join of the small incoming key set against
+    doclens — no corpus shuffle; the delta build is the ordinary
+    zero-shuffle incremental build. This is the Lucene
+    updateDocument(term, doc) semantics at cluster scale.
+    Returns {"tombstoned": n, "batch_id": id, "n_docs": n_new}."""
+    key_cols = list(key_cols)
+    ixr = IncrementalIndexer(
+        index_dir,
+        content_col=content_col,
+        order_cols=tuple(key_cols),
+        meta_cols=list(meta_cols) if meta_cols else key_cols,
+        config=config,
+    )
+    meta = ixr._load_meta(spark)
+    n_tomb = 0
+    if meta["batches"]:
+        multi = MultiIndex(
+            spark, ixr.delta_dirs(spark), root_dir=index_dir
+        )
+        missing = [c for c in key_cols if c not in multi.doclens.columns]
+        if missing:
+            raise ValueError(
+                f"index doclens lack key column(s) {missing}; build "
+                "with meta_cols including the upsert key"
+            )
+        keys = docs_df.select(*key_cols).distinct()
+        old = multi.doclens.join(
+            F.broadcast(keys), key_cols, "left_semi"
+        ).select("doc_id")
+        from lucille_spark.index import maintenance
+
+        n_tomb = maintenance.delete_docs(spark, index_dir, old)
+    next_id = (
+        max((b["batch_id"] for b in meta["batches"]), default=-1) + 1
+    )
+    n_new = docs_df.count()
+    ixr.process_batch(docs_df, next_id)
+    return {"tombstoned": n_tomb, "batch_id": next_id, "n_docs": n_new}
+
+
 def maybe_compact(
     spark: SparkSession,
     index_dir: str,
