@@ -1993,6 +1993,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_boosting"] = boosting_q
 
+    # ---- pipeline aggregations over event series -------------------
+    def ev_moving_avg_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        return ev.moving_average(
+            _events(s, d), fixed_seconds=86400, window=7
+        )
+
+    q["ev_moving_avg"] = ev_moving_avg_q
+
+    def ev_anomaly_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        return ev.anomaly_days(
+            _events(s, d), fixed_seconds=86400, z_thresh=1.0
+        )
+
+    q["ev_anomaly"] = ev_anomaly_q
+
+    # ---- distributed grep (no-index fallback) over the synthesized
+    # code corpus ----------------------------------------------------
+    def code_grep_q(s, d):
+        from lucille_spark.ops.code import grep
+
+        return grep(
+            _codegen_docs(s, d), "doc_id", "text", r"^# TODO refactor s"
+        ).orderBy("doc_id", "line_no")
+
+    q["code_grep"] = code_grep_q
+
+    # ---- ES cardinality agg: HLL over the match set's source field -
+    def cardinality_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import cardinality_agg
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return cardinality_agg(ex, "spark", "source")
+
+    q["ft_cardinality"] = cardinality_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4009,5 +4049,78 @@ fin AS (SELECT a.doc_id,
 SELECT doc_id, round(s, 4) AS score FROM fin
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
+
+
+    # ---- event-series pipeline aggs --------------------------------
+    o["ev_moving_avg"] = """
+WITH h AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
+             AS bucket_epoch,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+           FROM events GROUP BY 1)
+SELECT bucket_epoch, n, sum_value,
+  round(avg(n) OVER w, 4) AS ma_n,
+  round(avg(sum_value) OVER w, 4) AS ma_sum
+FROM h WINDOW w AS (ORDER BY bucket_epoch
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY bucket_epoch"""
+
+    # z from EXACT integer sums (mirrors ops/events.anomaly_days)
+    o["ev_anomaly"] = """
+WITH h AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
+             AS bucket_epoch, count(*) AS n
+           FROM events GROUP BY 1),
+st AS (SELECT count(*) AS k, sum(n) AS s, sum(n * n) AS s2 FROM h),
+sx AS (SELECT s * 1.0 / k AS mean,
+       sqrt(greatest(s2 * 1.0 / k - (s * 1.0 / k) * (s * 1.0 / k),
+                     0.0)) AS sd FROM st)
+SELECT h.bucket_epoch, h.n,
+  round(CASE WHEN sd > 0 THEN (h.n - mean) / sd ELSE 0.0 END, 4) AS z,
+  CASE WHEN sd > 0 THEN abs((h.n - mean) / sd) >= 1.0
+       ELSE FALSE END AS is_anomaly
+FROM h CROSS JOIN sx ORDER BY bucket_epoch"""
+
+    # ---- distributed grep over the synthesized code corpus ---------
+    o["code_grep"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+ex AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM t
+       WHERE len(arr) > 0),
+tr AS (SELECT doc_id, cast(i as int) AS line_no, arr[i + 1] AS x
+       FROM ex),
+ln AS (SELECT doc_id, line_no, CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END AS line FROM tr)
+SELECT doc_id, line_no, line FROM ln
+WHERE regexp_matches(line, '^# TODO refactor s')
+ORDER BY doc_id, line_no"""
+
+    # ---- ES cardinality agg: identical HLL register math over the
+    # source values of the 'spark' match set --------------------------
+    o["ft_cardinality"] = """
+WITH tok AS ({TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+hx AS (SELECT md5(cast(d.source as varchar)) AS h
+       FROM documents d JOIN m USING (doc_id)),
+r AS (SELECT ('0x' || substring(h, 1, 2))::int AS bucket,
+       substring(h, 3, 15) AS h60 FROM hx),
+z AS (SELECT bucket, h60,
+       length(regexp_extract(h60, '^(0*)', 1)) AS zr FROM r),
+rho AS (SELECT bucket,
+  CASE WHEN zr >= 15 THEN 61 ELSE zr * 4 +
+    CASE substring(h60 || 'f', zr + 1, 1)
+      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      ELSE 0 END + 1 END AS rho FROM z),
+regs AS (SELECT bucket, cast(max(rho) as int) AS max_rho
+         FROM rho GROUP BY bucket),
+agg AS (SELECT cast(count(*) as int) AS n_set,
+        sum(cast((1::BIGINT << (61 - max_rho)) as hugeint)) AS ss
+        FROM regs),
+est AS (SELECT n_set,
+        1.0854228543761655e+23 / cast(ss + (256 - n_set)::hugeint *
+                     (1::BIGINT << 61)::hugeint as double) AS raw,
+        256 - n_set AS zeros FROM agg)
+SELECT n_set AS n_buckets_set, round(raw, 2) AS raw_estimate,
+  round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+        THEN 256 * ln(256 * 1.0 / zeros) ELSE raw END, 2)
+    AS estimate
+FROM est""".format(TOK=_TOK)
 
     return o

@@ -252,3 +252,34 @@ def code_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(todo).cast("int").alias("n_todo"),
         F.size(defs).cast("int").alias("n_def"),
     )
+
+
+def grep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+) -> DataFrame:
+    """Distributed grep: line-level regex search over RAW text — the
+    no-index fallback for code search (one-off investigations,
+    patterns an inverted index can't serve, corpora not yet
+    indexed). Emits one row per matching line with its 0-based line
+    number, like `grep -n`.
+
+    Scale: brute force by design — one full scan, zero shuffle,
+    regex evaluated in codegen on exploded lines. At 100 TB this is
+    the scan you CHOOSE when a query is rare enough that building
+    postings doesn't pay; anything served repeatedly belongs in the
+    index. -> (doc_id, line_no int, line)."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .filter(F.col("line").rlike(pattern))
+        .select(
+            "doc_id", F.col("line_no").cast("int").alias("line_no"), "line"
+        )
+    )

@@ -262,3 +262,87 @@ def session_stats(
         )
         .orderBy(user_col, "session_n")
     )
+
+
+def moving_average(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fixed_seconds: int = 86400,
+    window: int = 7,
+) -> DataFrame:
+    """ES `moving_fn`/movavg PIPELINE aggregation: fixed-interval
+    histogram, then a trailing `window`-bucket mean of the event
+    count and value sum per bucket.
+
+    Scale: the histogram is the ordinary one-shuffle partial agg
+    over the raw events; the window pass then runs over BUCKETS
+    (days/hours — thousands of rows regardless of corpus size), so
+    the unpartitioned window is a non-issue by construction.
+    -> (bucket_epoch, n, sum_value, ma_n, ma_sum) with the moving
+    means rounded to 4."""
+    from pyspark.sql import Window
+
+    h = date_histogram(
+        df, ts_col=ts_col, value_col=value_col,
+        fixed_seconds=fixed_seconds,
+    )
+    w = (
+        Window.orderBy("bucket_epoch")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return h.select(
+        "bucket_epoch",
+        "n",
+        "sum_value",
+        F.round(F.avg("n").over(w), 4).alias("ma_n"),
+        F.round(F.avg("sum_value").over(w), 4).alias("ma_sum"),
+    ).orderBy("bucket_epoch")
+
+
+def anomaly_days(
+    df: DataFrame,
+    ts_col: str = "ts",
+    fixed_seconds: int = 86400,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-bucket volume anomaly flags: z-score of each bucket's
+    event count against the population mean/std of ALL buckets
+    (traffic-spike / outage detection over the event log). The
+    std is computed from EXACT integer sums (sum n, sum n^2) —
+    not Welford accumulation — so the score is deterministic and
+    engine-portable.
+
+    Scale: one histogram shuffle + a single global stats row
+    cross-joined back (buckets are tiny). -> (bucket_epoch, n,
+    z double round 4, is_anomaly boolean); std = 0 yields z = 0."""
+    h = (
+        df.groupBy(
+            (
+                F.floor(_epoch_s(F.col(ts_col)) / fixed_seconds)
+                * fixed_seconds
+            )
+            .cast("long")
+            .alias("bucket_epoch")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = h.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    mean = F.col("_s") / F.col("_k")
+    var = F.col("_s2") / F.col("_k") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("n") - mean) / std).otherwise(F.lit(0.0))
+    return (
+        h.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket_epoch",
+            "n",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) >= F.lit(float(z_thresh))).alias("is_anomaly"),
+        )
+        .orderBy("bucket_epoch")
+    )

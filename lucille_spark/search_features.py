@@ -1401,3 +1401,17 @@ def boosting_query(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def cardinality_agg(executor, query, field: str):
+    """Elasticsearch `cardinality` aggregation: approximate distinct
+    count of a metadata field over the FULL match set, via the
+    mergeable HyperLogLog register table (ops/sketch.py) — the same
+    sketch a 100 TB deployment stores per partition and merges, so
+    "distinct sources matching <query>" costs one match-set scan +
+    a 256-row aggregate, never a shuffle of the field values.
+    -> one row (n_buckets_set, raw_estimate, estimate)."""
+    from lucille_spark.ops.sketch import approx_distinct
+
+    res = executor.search(query, k=None, with_meta=True).select(field)
+    return approx_distinct(res, field)

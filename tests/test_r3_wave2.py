@@ -328,3 +328,73 @@ def test_upsert_by_external_key(spark, tmp_path):
     res = DataFrameExecutor(mi).search("spark", k=None, with_meta=True)
     hits = [r for r in res.collect() if (r.repo, r.path) == ("r1", "a.py")]
     assert len(hits) == 1
+
+
+# --------------------------------------------- event pipeline aggs
+
+
+def test_moving_average_trailing_window(spark):
+    from lucille_spark.ops.events import moving_average
+
+    rows = [(i, f"2024-01-0{d} 00:00:0{i % 10}", 10.0 * d)
+            for i, d in enumerate([1, 1, 2, 3, 3, 3, 4], start=1)]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp"), "value")
+    out = moving_average(df, fixed_seconds=86400, window=2).collect()
+    ns = [r.n for r in out]
+    assert ns == [2, 1, 3, 1]  # per-day counts
+    mas = [r.ma_n for r in out]
+    assert mas == [2.0, 1.5, 2.0, 2.0]  # trailing 2-day mean
+
+
+def test_anomaly_days_flags_spike(spark):
+    from lucille_spark.ops.events import anomaly_days
+
+    rows = []
+    eid = 0
+    for d in range(1, 9):  # 8 quiet days x 5 events
+        for _ in range(5):
+            rows.append((eid, f"2024-01-0{d} 12:00:00")); eid += 1
+    for _ in range(80):  # spike day
+        rows.append((eid, "2024-01-09 12:00:00")); eid += 1
+    df = spark.createDataFrame(rows, "event_id int, ts string").select(
+        "event_id", F.col("ts").cast("timestamp")
+    )
+    out = anomaly_days(df, fixed_seconds=86400, z_thresh=2.0).collect()
+    flags = {r.n: r.is_anomaly for r in out}
+    assert flags[80] is True
+    assert flags[5] is False
+    # z-scores sum to ~0 by construction
+    assert abs(sum(r.z for r in out)) < 0.01
+
+
+def test_grep_lines(spark):
+    from lucille_spark.ops.code import grep
+
+    df = spark.createDataFrame(
+        [(0, "alpha\nbeta gamma\nalpha beta"), (1, "nothing here")],
+        "doc_id long, text string",
+    )
+    rows = grep(df, "doc_id", "text", r"^alpha").collect()
+    assert {(r.doc_id, r.line_no, r.line) for r in rows} == {
+        (0, 0, "alpha"),
+        (0, 2, "alpha beta"),
+    }
+
+
+def test_cardinality_agg_close_to_exact(spark, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import cardinality_agg
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    est = cardinality_agg(ex, "cats dogs", "lang").collect()[0]["estimate"]
+    exact = (
+        ex.search("cats dogs", k=None, with_meta=True)
+        .select("lang")
+        .distinct()
+        .count()
+    )
+    # tiny cardinality -> linear counting regime, tight bound
+    assert abs(est - exact) <= max(1.0, 0.35 * exact)
