@@ -2033,6 +2033,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_cardinality"] = cardinality_q
 
+    # ---- match_phrase_prefix / mget / random_score -----------------
+    def phrase_prefix_q(s, d):
+        from lucille_spark.search_features import match_phrase_prefix
+
+        out = match_phrase_prefix(_index_for(s, d), "spark bat", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_phrase_prefix"] = phrase_prefix_q
+
+    def mget_q(s, d):
+        from lucille_spark.search_features import get_docs
+
+        return get_docs(_index_for(s, d), [3, 1, 400, 4999]).select(
+            "doc_id", "doc_len", "lang", "source"
+        )
+
+    q["ft_mget"] = mget_q
+
+    def random_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import random_score
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return random_score(ex, "spark", seed=7, k=10)
+
+    q["ft_random"] = random_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4122,5 +4149,47 @@ SELECT n_set AS n_buckets_set, round(raw, 2) AS raw_estimate,
         THEN 256 * ln(256 * 1.0 / zeros) ELSE raw END, 2)
     AS estimate
 FROM est""".format(TOK=_TOK)
+
+
+    # ---- match_phrase_prefix: fixed 'spark' + any 'bat%' completion
+    # one position after; tf = distinct qualifying starts; idf from
+    # min(fixed df, UNION df of expansions), cap 50 lexicographic ----
+    o["ft_phrase_prefix"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+        WHERE term LIKE 'bat%' ORDER BY term LIMIT 50) t),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+b AS (SELECT DISTINCT doc_id, p FROM pos JOIN exp USING (term)),
+starts AS (SELECT DISTINCT a.doc_id, a.p FROM a
+           JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+tfq AS (SELECT doc_id, count(*) AS tfp FROM starts GROUP BY doc_id),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'spark'),
+  (SELECT count(DISTINCT doc_id) FROM tok JOIN exp USING (term)))
+  AS df),
+sc AS (SELECT t.doc_id,
+       ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * t.tfp /
+       (t.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tfq t JOIN dl USING (doc_id)
+       CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # ---- mget: point lookups on the doclens store ------------------
+    o["ft_mget"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL})
+SELECT d.doc_id, cast(dl.dl as int) AS doc_len, d.lang, d.source
+FROM documents d JOIN dl USING (doc_id)
+WHERE d.doc_id IN (3, 1, 400, 4999) ORDER BY d.doc_id"""
+
+    # ---- random_score: deterministic md5 uniform per (seed, doc) ---
+    o["ft_random"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+r AS (SELECT doc_id,
+      round(cast(('0x' || substring(
+        md5('7:' || cast(doc_id as varchar)), 1, 8)) as bigint)
+        / 4294967296.0, 6) AS score FROM m)
+SELECT doc_id, score FROM r ORDER BY score DESC, doc_id LIMIT 10"""
 
     return o

@@ -1415,3 +1415,179 @@ def cardinality_agg(executor, query, field: str):
 
     res = executor.search(query, k=None, with_meta=True).select(field)
     return approx_distinct(res, field)
+
+
+def match_phrase_prefix(
+    index, text: str, k: int = 10, max_expansions: int = 50
+) -> DataFrame:
+    """ES `match_phrase_prefix` — MULTI-WORD search-as-you-type:
+    the fixed leading tokens must appear as an exact phrase, and the
+    in-flight LAST token matches any dictionary completion ("spark
+    bat" hits "spark batch ..."). Lucene MultiPhraseQuery semantics
+    with `max_expansions` cap (lexicographic-first, like Lucene's
+    term-enum order). Scored BM25 with tf = number of qualifying
+    phrase starts and idf from the min of the fixed terms' dfs and
+    the UNION df of the expansions (a MultiPhrase position counts
+    once no matter how many completions land there).
+
+    Scale: expansions resolve on the driver dictionary (no postings
+    touched), then ONE file-pruned scan of the involved terms + ONE
+    groupBy(doc_id) — the phrase shuffle shape; the start/completion
+    intersection is array HOFs in codegen. -> (doc_id, score) top-k."""
+    from lucille_spark import ast as A
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+    from lucille_spark.scoring import idf as _idf
+
+    toks = index.planner.tokenize(text)
+    if len(toks) < 2:
+        raise ValueError(
+            "match_phrase_prefix needs >= 2 tokens; use "
+            "autocomplete.search_as_you_type for single-term input"
+        )
+    fixed, pre = toks[:-1], toks[-1]
+    exp_node = index.planner.plan(A.Prefix(pre))
+    if isinstance(exp_node, P.PMatchNone):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    exp_terms = sorted(
+        exp_node.terms
+        if isinstance(exp_node, P.PExpand)
+        else [exp_node.term]
+    )[: int(max_expansions)]
+    n_fixed = len(fixed)
+    all_terms = sorted(set(fixed) | set(exp_terms))
+    src = getattr(index, "flat_for", None)
+    flat = src(all_terms) if src else index.flat
+    flat = flat.filter(F.col("term").isin(all_terms))
+    is_exp = F.col("term").isin(list(exp_terms))
+    fixed_set = sorted(set(fixed))
+    g = (
+        _drop_deleted(index, flat)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("term").isin(fixed_set),
+                        F.struct("term", "positions"),
+                    )
+                )
+            ).alias("pm"),
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.when(is_exp, F.col("positions")))
+                )
+            ).alias("ppos"),
+            F.max("doc_len").alias("doc_len"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("term").isin(fixed_set), F.col("term"))
+                )
+            ).alias("_nf"),
+        )
+        .filter(
+            (F.col("_nf") == len(fixed_set)) & (F.size("ppos") > 0)
+        )
+    )
+    starts = F.col("pm")[fixed[0]]
+    for i in range(1, n_fixed):
+        starts = F.array_intersect(
+            starts,
+            F.transform(F.col("pm")[fixed[i]], lambda p, _i=i: p - F.lit(_i)),
+        )
+    # a start qualifies when SOME completion sits right after the
+    # fixed run; count distinct qualifying starts (MultiPhrase tf)
+    tfq = F.size(
+        F.array_intersect(
+            starts,
+            F.transform(F.col("ppos"), lambda p: p - F.lit(n_fixed)),
+        )
+    )
+    j = g.select("doc_id", "doc_len", tfq.alias("_tf")).filter(
+        F.col("_tf") > 0
+    )
+    # dfs: fixed terms exact; expansions as a UNION df — one tiny
+    # aggregate over the already-pruned flat postings
+    dfr = (
+        flat.select(
+            "term",
+            "doc_id",
+            is_exp.alias("_e"),
+        )
+        .groupBy()
+        .agg(
+            *[
+                F.countDistinct(
+                    F.when(F.col("term") == t, F.col("doc_id"))
+                ).alias(f"df{i}")
+                for i, t in enumerate(fixed_set)
+            ],
+            F.countDistinct(
+                F.when(F.col("_e"), F.col("doc_id"))
+            ).alias("dfu"),
+        )
+        .collect()[0]
+    )
+    df_min = min(
+        [int(dfr[f"df{i}"]) for i in range(len(fixed_set))]
+        + [int(dfr["dfu"])]
+    )
+    n_docs = int(index.stats["n_docs"])
+    w = _idf(df_min, n_docs)
+    avgdl = float(index.stats["avg_dl"])
+    return (
+        j.select(
+            "doc_id",
+            _score_col(
+                "bm25", F.col("_tf"), F.col("doc_len"), w, avgdl
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def get_docs(index, ids) -> DataFrame:
+    """ES `_mget`: fetch stored per-doc fields (doc_len + every meta
+    column) for an explicit id list. The IN-list pushes into the
+    doclens parquet scan (partition + row-group pruning), so this is
+    a point lookup, not a table scan. Tombstoned docs are excluded
+    like every other read. -> (doc_id, doc_len, <meta...>) by id."""
+    ids = [int(i) for i in ids]
+    df = index.doclens.drop("shard").filter(F.col("doc_id").isin(ids))
+    return _drop_deleted(index, df).orderBy("doc_id")
+
+
+def random_score(executor, query, seed: int = 0, k: int = 10) -> DataFrame:
+    """ES `function_score` random_score: a DETERMINISTIC
+    pseudo-random score per (seed, doc) — md5-hash based, uniform in
+    [0, 1) — so sampled result pages are stable across retries,
+    pagination, and engines (Spark's rand() is neither seeded per
+    doc nor reproducible across partitionings; a hash of the doc id
+    is). The standard trick for serving a shuffled-but-consistent
+    sample of a match set. -> (doc_id, score) top-k."""
+    matches = executor.search(query, k=None)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        matches.select(
+            "doc_id",
+            F.round(h / F.lit(float(1 << 32)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

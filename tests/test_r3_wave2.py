@@ -398,3 +398,69 @@ def test_cardinality_agg_close_to_exact(spark, unit_index):
     )
     # tiny cardinality -> linear counting regime, tight bound
     assert abs(est - exact) <= max(1.0, 0.35 * exact)
+
+
+# --------------------------------------- phrase-prefix / mget / random
+
+
+def test_match_phrase_prefix_single_completion(spark, tmp_path):
+    """With exactly one completion, mpp == the exact phrase query."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import match_phrase_prefix
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "a", 1, "alpha beta gamma"),
+            ("r", "b", 1, "alpha betray"),  # different completion
+            ("r", "c", 1, "beta alpha"),  # wrong order
+            ("r", "d", 1, "alpha gamma"),
+        ],
+        "repo string, path string, commit int, content string",
+    )
+    out = str(tmp_path / "mpp_ix")
+    IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+    ix = SparkIndex(spark, out)
+    got = {
+        r.doc_id for r in match_phrase_prefix(ix, "alpha bet").collect()
+    }
+    # docs a (alpha beta) and b (alpha betray) qualify; c and d don't
+    assert got == {0, 1}
+    # a prefix with no completions -> empty
+    assert match_phrase_prefix(ix, "alpha zz").count() == 0
+
+
+def test_get_docs_excludes_tombstones(spark, tmp_path):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import get_docs
+
+    docs = spark.createDataFrame(
+        [("r", p, 1, f"text {p}") for p in "abcd"],
+        "repo string, path string, commit int, content string",
+    )
+    out = str(tmp_path / "mget_ix")
+    IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+    ix = SparkIndex(spark, out)
+    assert [r.doc_id for r in get_docs(ix, [2, 0]).collect()] == [0, 2]
+    delete_docs(spark, out, [2])
+    ix.refresh_deletes()
+    assert [r.doc_id for r in get_docs(ix, [2, 0]).collect()] == [0]
+
+
+def test_random_score_stable_and_uniform(spark, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import random_score
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    a = [(r.doc_id, r.score) for r in random_score(ex, "cats", 7, 50).collect()]
+    b = [(r.doc_id, r.score) for r in random_score(ex, "cats", 7, 50).collect()]
+    assert a == b  # deterministic
+    c = [(r.doc_id, r.score) for r in random_score(ex, "cats", 8, 50).collect()]
+    assert a != c  # seed changes the order
+    assert all(0.0 <= s < 1.0 for _, s in a)
+    # same match set regardless of seed
+    assert {d for d, _ in a} != set() and len(a) == len(c)
