@@ -2060,6 +2060,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_random"] = random_q
 
+    # ---- Bloom filter + histogram quantile sketches ----------------
+    def sk_bloom_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        return SK.bloom_build(_docs(s, d), "source")
+
+    q["sk_bloom"] = sk_bloom_q
+
+    def sk_bloom_query_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        bl = SK.bloom_build(_docs(s, d), "source")
+        vals = s.createDataFrame(
+            [("src0",), ("src19",), ("nope_src",), ("also_absent",)],
+            "v string",
+        )
+        return SK.bloom_contains(bl, vals, "v")
+
+    q["sk_bloom_query"] = sk_bloom_query_q
+
+    def sk_hist_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        return SK.hist_sketch(_events(s, d), "value", 0.0, 400.0, 128)
+
+    q["sk_hist"] = sk_hist_q
+
+    def sk_hist_quantiles_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        # quantiles from the MERGE of two half-sketches (merge is
+        # part of the contract, like sk_hll_est)
+        ev = _events(s, d)
+        a = SK.hist_sketch(
+            ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 400.0, 128
+        )
+        b = SK.hist_sketch(
+            ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 400.0, 128
+        )
+        return SK.hist_quantiles(
+            SK.hist_merge(a, b), [0.5, 0.9, 0.99], 0.0, 400.0, 128
+        )
+
+    q["sk_hist_quantiles"] = sk_hist_quantiles_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4191,5 +4236,63 @@ r AS (SELECT doc_id,
         md5('7:' || cast(doc_id as varchar)), 1, 8)) as bigint)
         / 4294967296.0, 6) AS score FROM m)
 SELECT doc_id, score FROM r ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+    # ---- Bloom filter: same 5-hash family, 8192 bits ---------------
+    o["sk_bloom"] = """
+WITH h AS (SELECT (cast(('0x' || substring(md5(source), 1, 8)) as bigint) % 2147483647) AS hv FROM documents),
+b AS (SELECT ((hv * 1177726415 + 1939546694) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 1059401220 + 145337961) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 1229477699 + 1444678421) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 169129131 + 1014782028) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 760611156 + 1454765072) % 2147483647) % 8192 AS bit FROM h)
+SELECT DISTINCT cast(bit as int) AS bit FROM b ORDER BY bit"""
+
+    o["sk_bloom_query"] = """
+WITH h AS (SELECT (cast(('0x' || substring(md5(source), 1, 8)) as bigint) % 2147483647) AS hv FROM documents),
+bset AS (SELECT DISTINCT bit FROM (SELECT ((hv * 1177726415 + 1939546694) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 1059401220 + 145337961) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 1229477699 + 1444678421) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 169129131 + 1014782028) % 2147483647) % 8192 AS bit FROM h
+  UNION SELECT ((hv * 760611156 + 1454765072) % 2147483647) % 8192 AS bit FROM h) t),
+v AS (SELECT value, (cast(('0x' || substring(md5(value), 1, 8)) as bigint) % 2147483647) AS hv
+      FROM (VALUES ('src0'), ('src19'), ('nope_src'), ('also_absent'))
+        AS t(value)),
+cells AS (SELECT value, cast(((hv * 1177726415 + 1939546694) % 2147483647) % 8192 as int) AS bit FROM v
+  UNION ALL SELECT value, cast(((hv * 1059401220 + 145337961) % 2147483647) % 8192 as int) AS bit FROM v
+  UNION ALL SELECT value, cast(((hv * 1229477699 + 1444678421) % 2147483647) % 8192 as int) AS bit FROM v
+  UNION ALL SELECT value, cast(((hv * 169129131 + 1014782028) % 2147483647) % 8192 as int) AS bit FROM v
+  UNION ALL SELECT value, cast(((hv * 760611156 + 1454765072) % 2147483647) % 8192 as int) AS bit FROM v),
+dcells AS (SELECT DISTINCT value, bit FROM cells),
+need AS (SELECT value, count(*) AS need FROM dcells GROUP BY value),
+got AS (SELECT d.value, count(*) AS got FROM dcells d
+        JOIN bset USING (bit) GROUP BY d.value)
+SELECT n.value, coalesce(g.got, 0) = n.need AS maybe_present
+FROM need n LEFT JOIN got g USING (value) ORDER BY n.value"""
+
+    # ---- histogram quantile sketch: 128 bins over [0, 400) ---------
+    o["sk_hist"] = """
+SELECT cast(least(greatest(floor((value - 0.0) / 3.125), 0), 127)
+       as int) AS bin, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1"""
+
+    # merge(even, odd) == whole -> quantile straight over the bins
+    o["sk_hist_quantiles"] = """
+WITH hbins AS (
+  SELECT cast(least(greatest(floor((value - 0.0) / 3.125), 0), 127)
+         as int) AS bin, count(*) AS cnt
+  FROM events GROUP BY 1),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum
+        FROM hbins),
+tot AS (SELECT sum(cnt) AS t FROM hbins),
+qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+hit AS (SELECT q, t, min(bin) AS bin FROM qs CROSS JOIN tot
+        JOIN cum ON cum.cum >= q * t GROUP BY q, t),
+fin AS (SELECT q, hit.bin, c.cnt, c.cum, q * t AS target
+        FROM hit JOIN cum c ON c.bin = hit.bin)
+SELECT q, round(0.0 + (bin + least(greatest(
+         (target - (cum - cnt)) * 1.0 / cnt, 0.0), 1.0)) * 3.125, 4)
+       AS est
+FROM fin ORDER BY q"""
 
     return o

@@ -232,3 +232,188 @@ def cm_query(
 def hll_error_bound(p: int = HLL_P) -> float:
     """Published standard error 1.04/sqrt(m)."""
     return 1.04 / math.sqrt(float(1 << p))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 5  # hash functions
+
+
+def _bloom_cells(col_expr, k: int, m: int, seed: int):
+    from lucille_spark.ops.hashing import MERSENNE31, TOKEN_HASH_SPARK
+
+    h = F.expr(TOKEN_HASH_SPARK.format(tok=f"cast({col_expr} as string)"))
+    from lucille_spark.ops.hashing import perm_params
+
+    cells = []
+    for a, b in perm_params(k, seed=seed):
+        cells.append(
+            ((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31) % F.lit(m))
+            .cast("int")
+        )
+    return cells
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = 31,
+) -> DataFrame:
+    """Bloom filter AS DATA: the set bit positions of a `m`-bit /
+    `k`-hash filter over the value column (Bloom 1970; same portable
+    md5 + universal-hash family as MinHash/CMS). Stored as a sparse
+    (bit) table — union DISTINCT merges filters, the classic
+    join-pruning sidecar: ship the small side's bloom to prune the
+    big side's scan before any shuffle.
+
+    Scale: one partial-agg distinct of <= m rows per partition.
+    -> (bit int) sorted."""
+    bits = F.array(*_bloom_cells(col, k, m, seed))
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .distinct()
+        .orderBy("bit")
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union of the underlying sets == union of set bits."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct().orderBy("bit")
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    values: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = 31,
+) -> DataFrame:
+    """Membership probe: maybe-present iff ALL k bits are set (no
+    false negatives; false-positive rate ~(1-e^{-kn/m})^k). The bit
+    table broadcasts; the probe is a codegen join + count check —
+    the shape used to prune a 100 TB scan against a small key set.
+    -> (value string, maybe_present boolean) by value."""
+    cells = _bloom_cells(col, k, m, seed)
+    probes = values.select(
+        F.col(col).cast("string").alias("value"),
+        F.explode(F.array_distinct(F.array(*cells))).alias("bit"),
+        F.size(F.array_distinct(F.array(*cells))).alias("_need"),
+    )
+    hit = probes.join(F.broadcast(bloom), "bit", "left_semi")
+    got = hit.groupBy("value").agg(F.count(F.lit(1)).alias("_got"))
+    need = probes.select("value", "_need").distinct()
+    return (
+        need.join(got, "value", "left")
+        .select(
+            "value",
+            (F.coalesce(F.col("_got"), F.lit(0)) == F.col("_need")).alias(
+                "maybe_present"
+            ),
+        )
+        .orderBy("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin quantile histogram (mergeable percentiles)
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram sketch over a bounded numeric column:
+    the mergeable-percentile answer when the value range is known
+    (latencies with an SLA cap, scores in [0,1], event values) —
+    the third classic sketch next to HLL and Count-Min. Bin counts
+    merge by SUM across days/slices; quantiles come from the merged
+    counts via linear interpolation, so accuracy is bounded by the
+    bin width, deterministically — no rank-error randomness like
+    sampling sketches.
+
+    Scale: one partial-agg shuffle of <= n_bins rows per partition.
+    Out-of-range values clamp to the edge bins.
+    -> (bin int, cnt long) sorted."""
+    x = F.col(col).cast("double")
+    w = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("bin").agg(F.sum("cnt").alias("cnt")).orderBy("bin")
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, find
+    the bin where the cumulative count crosses q * total and
+    linearly interpolate inside it. Runs over BINS (tiny) — a
+    window cumsum + a per-q min-bin lookup, no data re-scan.
+    -> (q double, est double round 4) by q."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / int(n_bins)
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    cum = sketch.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("cum"),
+    )
+    tot = sketch.agg(F.sum("cnt").alias("_tot"))
+    j = qdf.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(cum))
+    target = F.col("q") * F.col("_tot")
+    hitbin = (
+        j.filter(F.col("cum") >= target)
+        .groupBy("q", "_tot")
+        .agg(F.min("bin").alias("bin"))
+    )
+    withrow = hitbin.join(F.broadcast(cum), "bin").select(
+        "q",
+        "bin",
+        "cnt",
+        "cum",
+        (F.col("q") * F.col("_tot")).alias("_target"),
+    )
+    frac = (F.col("_target") - (F.col("cum") - F.col("cnt"))) / F.col(
+        "cnt"
+    )
+    frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    est = F.lit(float(lo)) + (F.col("bin") + frac) * F.lit(w)
+    return withrow.select(
+        "q", F.round(est, 4).alias("est")
+    ).orderBy("q")

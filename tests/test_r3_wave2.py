@@ -464,3 +464,67 @@ def test_random_score_stable_and_uniform(spark, unit_index):
     assert all(0.0 <= s < 1.0 for _, s in a)
     # same match set regardless of seed
     assert {d for d, _ in a} != set() and len(a) == len(c)
+
+
+# ------------------------------------------------- bloom / histogram
+
+
+def test_bloom_no_false_negatives(spark):
+    from lucille_spark.ops.sketch import bloom_build, bloom_contains
+
+    df = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "v string"
+    )
+    bl = bloom_build(df, "v")
+    probes = spark.createDataFrame(
+        [(f"key{i}",) for i in range(0, 200, 7)]
+        + [(f"absent{i}",) for i in range(50)],
+        "v string",
+    )
+    got = {r.value: r.maybe_present for r in bloom_contains(bl, probes, "v").collect()}
+    for i in range(0, 200, 7):
+        assert got[f"key{i}"] is True  # never a false negative
+    # 200 keys in 8192 bits / 5 hashes -> fp rate ~ 0.03%; 50 probes
+    fps = sum(1 for k, v in got.items() if k.startswith("absent") and v)
+    assert fps <= 2
+
+
+def test_bloom_merge_is_union(spark):
+    from lucille_spark.ops.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    a = bloom_build(
+        spark.createDataFrame([("a",), ("b",)], "v string"), "v"
+    )
+    b = bloom_build(
+        spark.createDataFrame([("c",)], "v string"), "v"
+    )
+    m = bloom_merge(a, b)
+    probes = spark.createDataFrame([("a",), ("c",)], "v string")
+    got = {r.value: r.maybe_present for r in bloom_contains(m, probes, "v").collect()}
+    assert got == {"a": True, "c": True}
+
+
+def test_hist_quantiles_accuracy(spark):
+    from lucille_spark.ops.sketch import hist_quantiles, hist_sketch
+
+    # uniform 0..999 -> quantiles are analytic; bin width 1000/128
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    sk = hist_sketch(df, "v", 0.0, 1000.0, 128)
+    est = {r.q: r.est for r in hist_quantiles(sk, [0.25, 0.5, 0.9], 0.0, 1000.0, 128).collect()}
+    for q, e in est.items():
+        assert abs(e - q * 1000) <= 1000.0 / 128 + 1e-6  # one bin width
+
+
+def test_hist_clamps_out_of_range(spark):
+    from lucille_spark.ops.sketch import hist_sketch
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.5,), (250.0,)], "v double"
+    )
+    rows = {r.bin: r.cnt for r in hist_sketch(df, "v", 0.0, 100.0, 10).collect()}
+    assert rows[0] == 2  # -5 clamped down + 0.5
+    assert rows[9] == 2  # 99.5 in last bin + 250 clamped up
