@@ -2105,6 +2105,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sk_hist_quantiles"] = sk_hist_quantiles_q
 
+    # ---- ES Query-DSL front door: nested bool JSON, same plan -----
+    def esdsl_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        dsl = {
+            "query": {
+                "bool": {
+                    "must": [
+                        {"match": {"content": "table"}},
+                        {
+                            "bool": {
+                                "should": [
+                                    {"match": {"content": "batch"}},
+                                    {"match": {"content": "window"}},
+                                ]
+                            }
+                        },
+                    ],
+                    "must_not": [{"match": {"content": "stream"}}],
+                }
+            }
+        }
+        out = search_es(ex, dsl, k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_esdsl"] = esdsl_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4294,5 +4323,9 @@ SELECT q, round(0.0 + (bin + least(greatest(
          (target - (cum - cnt)) * 1.0 / cnt, 0.0), 1.0)) * 3.125, 4)
        AS est
 FROM fin ORDER BY q"""
+
+    # ES-DSL front door: the nested bool above is EXACTLY
+    # 'table AND (batch OR window) AND NOT stream' -> same oracle
+    o["ft_esdsl"] = o["ft_complex"]
 
     return o

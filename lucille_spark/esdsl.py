@@ -1,0 +1,253 @@
+"""Elasticsearch Query-DSL (JSON) -> lucille AST translator.
+
+The migration surface for users coming FROM an ES/OpenSearch
+deployment: their stored JSON queries run unchanged against this
+engine. The translator maps the DSL onto the SAME AST the Lucene
+string parser produces, so planning, optimization, pushdown and both
+executors are shared — the DSL is a second front door, not a second
+engine.
+
+Supported (the workhorse subset):
+  match           -> analyzed OR of the text's tokens
+                     (operator: "and" -> And; minimum_should_match)
+  match_phrase    -> Phrase (slop -> Proximity)
+  term / terms    -> exact Term on a field (meta or indexed field)
+  prefix          -> Prefix
+  wildcard        -> WildCard (ES ?/* syntax)
+  regexp          -> TermRegex
+  fuzzy           -> Fuzzy
+  range           -> TermRange (gt/gte/lt/lte)
+  exists          -> Field(f, WildCard(*)) match-anything on a field
+  bool            -> must/filter/should/must_not (+
+                     minimum_should_match); `filter` folds into
+                     must (identical matching; scoring differences
+                     are out of scope for a BM25-only engine)
+  match_all       -> WildCard(*) on the default field
+  boosting / constant_score / dis_max map to the engine helpers in
+  search_features (they have no AST node); `search_es` dispatches.
+
+Anything else raises `UnsupportedDSL` with the offending clause
+path, never a silent wrong answer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from lucille_spark import ast as A
+
+
+class UnsupportedDSL(ValueError):
+    pass
+
+
+def _field_value(body: Dict[str, Any], *value_keys: str):
+    """ES's `{field: value}` / `{field: {value: v, ...}}` dual form."""
+    if len(body) != 1:
+        raise UnsupportedDSL(f"expected one field, got {sorted(body)}")
+    field, spec = next(iter(body.items()))
+    if isinstance(spec, dict):
+        for k in value_keys:
+            if k in spec:
+                return field, spec[k], spec
+        raise UnsupportedDSL(
+            f"{field}: none of {value_keys} in {sorted(spec)}"
+        )
+    return field, spec, {}
+
+
+def _wrap_field(field: str, node: A.Query) -> A.Query:
+    return A.Field(field, node) if field not in ("", None) else node
+
+
+def _tokens(text: str):
+    # DSL match analyzes with the STANDARD rule; index-specific
+    # analyzers apply at plan time (the planner re-analyzes Terms)
+    from lucille_spark.analysis import tokenize
+
+    return tokenize(str(text))
+
+
+def to_ast(dsl: Dict[str, Any]) -> A.Query:
+    """One DSL clause dict -> AST node. Raises UnsupportedDSL."""
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise UnsupportedDSL(f"clause must have exactly one key: {dsl}")
+    kind, body = next(iter(dsl.items()))
+
+    if kind == "match_all":
+        return A.WildCard.of(A.ManyChar())
+
+    if kind == "match":
+        field, text, spec = _field_value(body, "query")
+        toks = _tokens(text)
+        if not toks:
+            raise UnsupportedDSL(f"match {field}: empty after analysis")
+        terms = [A.Term(t) for t in toks]
+        if len(terms) == 1:
+            return _wrap_field(field, terms[0])
+        op = str(spec.get("operator", "or")).lower()
+        msm = spec.get("minimum_should_match")
+        if msm is not None:
+            node = A.MinimumMatch(tuple(terms), int(msm))
+        elif op == "and":
+            node = A.And.of(*terms)
+        else:
+            node = A.Or.of(*terms)
+        return _wrap_field(field, node)
+
+    if kind == "match_phrase":
+        field, text, spec = _field_value(body, "query")
+        toks = _tokens(text)
+        if not toks:
+            raise UnsupportedDSL(f"match_phrase {field}: empty")
+        phrase = " ".join(toks)
+        slop = int(spec.get("slop", 0))
+        node = (
+            A.Proximity(phrase, slop) if slop else A.Phrase(phrase)
+        )
+        return _wrap_field(field, node)
+
+    if kind == "term":
+        field, value, _ = _field_value(body, "value")
+        return _wrap_field(field, A.Term(str(value)))
+
+    if kind == "terms":
+        if len(body) != 1:
+            raise UnsupportedDSL(f"terms: expected one field")
+        field, values = next(iter(body.items()))
+        if not isinstance(values, (list, tuple)) or not values:
+            raise UnsupportedDSL(f"terms {field}: need a value list")
+        terms = [A.Term(str(v)) for v in values]
+        node = terms[0] if len(terms) == 1 else A.Or.of(*terms)
+        return _wrap_field(field, node)
+
+    if kind == "prefix":
+        field, value, _ = _field_value(body, "value")
+        return _wrap_field(field, A.Prefix(str(value)))
+
+    if kind == "wildcard":
+        field, value, _ = _field_value(body, "value", "wildcard")
+        ops = []
+        lit = ""
+        for ch in str(value):
+            if ch in "?*":
+                if lit:
+                    ops.append(A.Str(lit))
+                    lit = ""
+                ops.append(A.SingleChar() if ch == "?" else A.ManyChar())
+            else:
+                lit += ch
+        if lit:
+            ops.append(A.Str(lit))
+        return _wrap_field(field, A.WildCard.of(*ops))
+
+    if kind == "regexp":
+        field, value, _ = _field_value(body, "value")
+        return _wrap_field(field, A.TermRegex(str(value)))
+
+    if kind == "fuzzy":
+        field, value, spec = _field_value(body, "value")
+        fz = spec.get("fuzziness", 2)
+        if isinstance(fz, str) and fz.upper() == "AUTO":
+            fz = 2 if len(str(value)) > 5 else 1
+        return _wrap_field(field, A.Fuzzy(str(value), int(fz)))
+
+    if kind == "range":
+        if len(body) != 1:
+            raise UnsupportedDSL("range: expected one field")
+        field, spec = next(iter(body.items()))
+        lo = spec.get("gte", spec.get("gt"))
+        hi = spec.get("lte", spec.get("lt"))
+        node = A.TermRange(
+            None if lo is None else str(lo),
+            None if hi is None else str(hi),
+            "gte" in spec or lo is None,
+            "lte" in spec or hi is None,
+        )
+        return _wrap_field(field, node)
+
+    if kind == "exists":
+        field = body["field"]
+        return _wrap_field(field, A.WildCard.of(A.ManyChar()))
+
+    if kind == "bool":
+        must = [to_ast(c) for c in _aslist(body.get("must"))]
+        must += [to_ast(c) for c in _aslist(body.get("filter"))]
+        should = [to_ast(c) for c in _aslist(body.get("should"))]
+        must_not = [to_ast(c) for c in _aslist(body.get("must_not"))]
+        msm = body.get("minimum_should_match")
+        parts = []
+        parts += [A.UnaryPlus(m) for m in must]
+        if should:
+            if msm is not None and len(should) > 1:
+                parts.append(
+                    A.MinimumMatch(tuple(should), int(msm))
+                )
+            else:
+                parts += should
+        parts += [A.UnaryMinus(n) for n in must_not]
+        if not parts:
+            raise UnsupportedDSL("bool: no clauses")
+        if len(parts) == 1:
+            only = parts[0]
+            # a lone must/must_not unwraps to the plain node/NOT
+            if isinstance(only, A.UnaryPlus):
+                return only.q
+            if isinstance(only, A.UnaryMinus):
+                return A.Not(only.q)
+            return only
+        return A.Or.of(*parts)  # Lucene BooleanQuery = flat clause bag
+
+    if kind == "boost":  # not real ES; convenience passthrough
+        inner, factor = body["query"], float(body["factor"])
+        return A.Boost(to_ast(inner), factor)
+
+    raise UnsupportedDSL(f"unsupported query kind: {kind}")
+
+
+def _aslist(x):
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def search_es(executor, dsl: Dict[str, Any], k: int = 10):
+    """Run one ES-DSL query dict end-to-end. `constant_score`,
+    `boosting` and `dis_max` dispatch to their engine helpers (they
+    are score combinators, not AST nodes); everything else goes
+    through to_ast -> the shared planner -> the executor."""
+    if isinstance(dsl, dict) and "query" in dsl and len(dsl) == 1:
+        dsl = dsl["query"]  # accept the full request body form
+    kind = next(iter(dsl)) if isinstance(dsl, dict) and dsl else None
+    if kind == "constant_score":
+        from lucille_spark.search_features import constant_score
+
+        body = dsl[kind]
+        return constant_score(
+            executor,
+            to_ast(body["filter"]),
+            boost=float(body.get("boost", 1.0)),
+            k=k,
+        )
+    if kind == "boosting":
+        from lucille_spark.search_features import boosting_query
+
+        body = dsl[kind]
+        return boosting_query(
+            executor,
+            to_ast(body["positive"]),
+            to_ast(body["negative"]),
+            negative_boost=float(body.get("negative_boost", 0.5)),
+            k=k,
+        )
+    if kind == "dis_max":
+        from lucille_spark.search_features import dis_max
+
+        body = dsl[kind]
+        node = dis_max(
+            executor.ix,
+            [to_ast(c) for c in _aslist(body.get("queries"))],
+            tie=float(body.get("tie_breaker", 0.0)),
+        )
+        return executor.search(node, k=k)
+    return executor.search(to_ast(dsl), k=k)

@@ -51,6 +51,14 @@ def main():
                     help="varbyte | bitpack posting block codec")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "json", "csv", "orc", "text"],
+        help="--input source format. json = newline-delimited; csv "
+        "assumes a header row; text = one doc per line (columns: "
+        "value) — pair with --content-col value",
+    )
+    ap.add_argument(
         "--iceberg-start-snapshot",
         help="incremental ingest: read only rows APPENDED after this "
         "snapshot id (Spark 'start-snapshot-id' read option) — build "
@@ -88,7 +96,12 @@ def main():
         else:
             docs = reader.table(args.iceberg_table)
     elif args.input:
-        docs = spark.read.parquet(args.input)
+        if args.format == "csv":
+            docs = spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(args.input)
+        else:
+            docs = getattr(spark.read, args.format)(args.input)
     else:
         ap.error("one of --input / --iceberg-table required")
 

@@ -1,0 +1,99 @@
+"""ES Query-DSL translator: every supported clause must produce the
+IDENTICAL result (ids + scores) as its Lucene-string twin, since both
+front doors share AST, planner, and executors."""
+
+import pytest
+
+
+CASES = [
+    ({"match": {"content": {"query": "cats dogs", "operator": "and"}}},
+     "cats AND dogs"),
+    ({"match": {"content": "cats dogs"}}, "cats dogs"),
+    ({"match_phrase": {"content": "cats dogs"}}, '"cats dogs"'),
+    ({"match_phrase": {"content": {"query": "cats dogs", "slop": 3}}},
+     '"cats dogs"~3'),
+    ({"term": {"lang": {"value": "en"}}}, "lang:en"),
+    ({"terms": {"content": ["cats", "dogs"]}}, "cats OR dogs"),
+    ({"bool": {"must": [{"match": {"content": "cats"}}],
+               "must_not": [{"match": {"content": "dogs"}}]}},
+     "cats AND NOT dogs"),
+    ({"bool": {"filter": [{"term": {"lang": "en"}}],
+               "must": [{"match": {"content": "cats"}}]}},
+     "lang:en AND cats"),
+    ({"bool": {"should": [{"match": {"content": "cats"}},
+                          {"match": {"content": "dogs"}},
+                          {"match": {"content": "bird"}}],
+               "minimum_should_match": 2}},
+     "(cats dogs bird)@2"),
+    ({"prefix": {"content": {"value": "ca"}}}, "ca*"),
+    ({"wildcard": {"content": {"value": "c?ts"}}}, "c?ts"),
+    ({"regexp": {"content": {"value": "d.gs"}}}, "/d.gs/"),
+    ({"fuzzy": {"content": {"value": "catz", "fuzziness": 1}}},
+     "catz~1"),
+    ({"range": {"content": {"gte": "cats", "lte": "dogs"}}},
+     "[cats TO dogs]"),
+    ({"query": {"bool": {
+        "must": [{"match": {"content": "cats"}},
+                 {"bool": {"should": [{"match": {"content": "dogs"}},
+                                      {"match": {"content": "bird"}}]}}],
+        "must_not": [{"match": {"content": "fish"}}]}}},
+     "cats AND (dogs OR bird) AND NOT fish"),
+]
+
+
+@pytest.mark.parametrize("dsl,qstr", CASES, ids=[c[1] for c in CASES])
+def test_dsl_matches_string_parser(spark, unit_index, dsl, qstr):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=20).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search(qstr, k=20).collect()]
+    assert a == b
+
+
+def test_dsl_combinators(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import boosting_query, constant_score
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    a = search_es(ex, {"constant_score": {
+        "filter": {"match": {"content": "cats"}}, "boost": 2.0}}, k=15)
+    b = constant_score(ex, "cats", 2.0, k=15)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    a = search_es(ex, {"boosting": {
+        "positive": {"match": {"content": "cats"}},
+        "negative": {"match": {"content": "dogs"}},
+        "negative_boost": 0.3}}, k=15)
+    b = boosting_query(ex, "cats", "dogs", 0.3, k=15)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_dsl_wand_executor_too(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, _, _ = unit_index
+    ex = WandExecutor(ix)
+    a = [(r.doc_id, round(r.score, 6)) for r in search_es(
+        ex, {"match": {"content": {"query": "cats dogs",
+                                   "operator": "and"}}}, k=10).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search("cats AND dogs", k=10).collect()]
+    assert a == b
+
+
+def test_dsl_unsupported_raises(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, to_ast
+
+    with pytest.raises(UnsupportedDSL):
+        to_ast({"knn": {"field": "v"}})
+    with pytest.raises(UnsupportedDSL):
+        to_ast({"bool": {}})
+    with pytest.raises(UnsupportedDSL):
+        to_ast({"match": {"content": "", "extra": 1}})
