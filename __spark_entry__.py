@@ -2134,6 +2134,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_esdsl"] = esdsl_q
 
+    # ---- FILTERED vector search: cosine top-k under a predicate ----
+    def cosine_filtered_q(s, d):
+        from lucille_spark.ops import similarity as sim
+
+        e = _emb(s, d)
+        qv = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = sim.cosine_topk_where(
+            e, "embedding", qv, F.col("label") == 1, k=20
+        )
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["sim_cosine_filtered"] = cosine_filtered_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4327,5 +4342,16 @@ FROM fin ORDER BY q"""
     # ES-DSL front door: the nested bool above is EXACTLY
     # 'table AND (batch OR window) AND NOT stream' -> same oracle
     o["ft_esdsl"] = o["ft_complex"]
+
+    # filtered vector search: same brute cosine, label pre-filter
+    o["sim_cosine_filtered"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (SELECT e.vec_id,
+      list_dot_product(e.embedding, q.qe) /
+      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+       sqrt(list_dot_product(q.qe, q.qe))) AS cr
+      FROM embeddings e CROSS JOIN q WHERE e.label = 1)
+SELECT vec_id, round(cr, 4) AS cosine FROM c
+ORDER BY cr DESC, vec_id LIMIT 20"""
 
     return o

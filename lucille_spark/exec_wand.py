@@ -105,6 +105,18 @@ class WandExecutor:
     def search(
         self, query, k: int = 10, with_meta: bool = False
     ) -> DataFrame:
+        if k is None:
+            # the WAND kernel is inherently top-k; UNBOUNDED match
+            # sets (delete_by_query, constant_score/boosting legs,
+            # facets over all matches) run the DataFrame plan of the
+            # SAME physical tree — rank identity between the two
+            # executors is the hash-gated contract, so this is a
+            # strategy switch, not a semantics change.
+            from lucille_spark.exec_df import DataFrameExecutor
+
+            return DataFrameExecutor(self.ix).search(
+                query, k=None, with_meta=with_meta
+            )
         ix = self.ix
         node = ix.plan(query)
         terms = P.collect_terms(node)

@@ -58,6 +58,27 @@ def cosine_topk(
     )
 
 
+def cosine_topk_where(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    where,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """FILTERED vector search: brute cosine top-k restricted to rows
+    passing `where` (a Column or SQL string) — the pre-filter shape
+    every product vector query needs ("nearest docs WHERE lang='de'
+    AND date > X"). Pre-filtering beats post-filtering k-inflation:
+    the predicate prunes at the SCAN (parquet pushdown when `where`
+    hits partition/stats columns), the cosine only runs on
+    survivors, and recall is exact by construction — no "top-k then
+    hope enough survive" gamble. Same zero-shuffle plan as
+    cosine_topk. -> (id, cosine)."""
+    filtered = df.filter(where)
+    return cosine_topk(filtered, vec_col, query, k=k, id_col=id_col)
+
+
 def embedding_exact_duplicates(
     df: DataFrame, vec_col: str, id_col: str = "vec_id"
 ) -> DataFrame:

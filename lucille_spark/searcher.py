@@ -161,6 +161,13 @@ class Searcher:
         for qid, (_, _, _, fut) in pending.items():
             fut._resolve(by_q.get(qid, []))
 
+    def search_es(self, dsl, k: int = 10) -> DataFrame:
+        """Elasticsearch Query-DSL front door (lucille_spark.esdsl):
+        run a JSON query dict through the shared planner/executors."""
+        from lucille_spark.esdsl import search_es as _se
+
+        return _se(self.executor, dsl, k=k)
+
     def count(self, query) -> int:
         from lucille_spark.search_features import match_count
 

@@ -528,3 +528,38 @@ def test_hist_clamps_out_of_range(spark):
     rows = {r.bin: r.cnt for r in hist_sketch(df, "v", 0.0, 100.0, 10).collect()}
     assert rows[0] == 2  # -5 clamped down + 0.5
     assert rows[9] == 2  # 99.5 in last bin + 250 clamped up
+
+
+# ------------------------------------------ wand k=None + filtered ANN
+
+
+def test_wand_executor_unbounded_match_set(spark, unit_index):
+    """k=None on the WAND executor returns the FULL match set (via
+    the DF plan of the same tree) — identical to the DF executor."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, _, _ = unit_index
+    a = [(r.doc_id, round(r.score, 6))
+         for r in WandExecutor(ix).search("cats dogs", k=None).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in DataFrameExecutor(ix).search("cats dogs", k=None).collect()]
+    assert a == b and len(a) > 10
+
+
+def test_cosine_topk_where_prefilters(spark):
+    from lucille_spark.ops.similarity import cosine_topk, cosine_topk_where
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    out = cosine_topk_where(emb, "embedding", qv, "label = 1", k=10).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert out and all(labels[r.vec_id] == 1 for r in out)
+    # pre-filter == post-filter of the unrestricted ranking (exact
+    # brute force, so recall is exact by construction)
+    full = cosine_topk(emb, "embedding", qv, k=10000).collect()
+    want = [r.vec_id for r in full if labels[r.vec_id] == 1][:10]
+    assert [r.vec_id for r in out] == want
