@@ -251,3 +251,161 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10):
         )
         return executor.search(node, k=k)
     return executor.search(to_ast(dsl), k=k)
+
+
+# ---------------------------------------------------------------------------
+# aggregations DSL
+# ---------------------------------------------------------------------------
+
+_METRIC_FNS = {"avg", "min", "max", "sum", "value_count"}
+
+
+def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
+    """ES aggregations DSL over an optional query context — the
+    other half of the migration surface (a dashboard's stored aggs
+    run unchanged). Returns {agg_name: DataFrame}.
+
+    Supported: `terms` (size, ordered doc_count desc/key asc — ES
+    bucket order) with metric sub-aggs (avg/min/max/sum/value_count
+    on any stored numeric field) and a `top_hits` sub-agg;
+    `cardinality` (HLL-backed); `stats` / `percentiles`;
+    `value_count`. Unsupported kinds raise UnsupportedDSL.
+
+    Scale: every agg computes over the match set joined to doclens
+    (matching ids shuffle, never the corpus); cardinality rides the
+    256-row HLL registers."""
+    from pyspark.sql import functions as F
+
+    from lucille_spark.search_features import (
+        cardinality_agg,
+        field_stats,
+        top_hits,
+    )
+
+    if query is not None:
+        matches = executor.search(
+            to_ast(query if "query" not in query else query["query"]),
+            k=None,
+        )
+    else:
+        # no query context: the whole (live) corpus, constant score
+        matches = executor.ix.doclens.select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+        dd = getattr(executor.ix, "deleted_df", None)
+        if dd is not None:
+            matches = matches.join(F.broadcast(dd), "doc_id", "left_anti")
+
+    out: Dict[str, Any] = {}
+    for name, spec in aggs.items():
+        sub = spec.get("aggs", {})
+        kinds = [kk for kk in spec if kk != "aggs"]
+        if len(kinds) != 1:
+            raise UnsupportedDSL(f"agg {name}: need exactly one kind")
+        kind = kinds[0]
+        body = spec[kind]
+
+        if kind == "cardinality":
+            if query is None:
+                from lucille_spark.ops.sketch import approx_distinct
+
+                meta = executor.ix.doclens.select(
+                    "doc_id", body["field"]
+                ).join(matches.select("doc_id"), "doc_id", "left_semi")
+                out[name] = approx_distinct(meta, body["field"])
+            else:
+                out[name] = cardinality_agg(
+                    executor, to_ast(query), body["field"]
+                )
+            continue
+
+        if kind in ("stats", "percentiles"):
+            pcts = [
+                float(p) / 100.0
+                for p in body.get("percents", [50, 95])
+            ]
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(body["field"]).cast("double").alias("_v"),
+            )
+            j = matches.select("doc_id").join(meta, "doc_id")
+            ag = [
+                F.count("*").alias("n"),
+                F.min("_v").alias("min"),
+                F.max("_v").alias("max"),
+                F.round(F.avg("_v"), 4).alias("avg"),
+                F.round(F.sum("_v"), 4).alias("sum"),
+            ]
+            if kind == "percentiles":
+                ag = [
+                    F.round(
+                        F.expr(f"percentile(_v, {p})"), 4
+                    ).alias(f"p{int(round(p * 100))}")
+                    for p in pcts
+                ]
+            out[name] = j.agg(*ag)
+            continue
+
+        if kind == "value_count":
+            meta = executor.ix.doclens.select("doc_id", body["field"])
+            out[name] = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .agg(
+                    F.count(F.col(body["field"])).alias("value_count")
+                )
+            )
+            continue
+
+        if kind == "terms":
+            field = body["field"]
+            size = int(body.get("size", 10))
+            metric_cols = []
+            th_spec = None
+            for sname, sspec in sub.items():
+                skind = next(iter(sspec))
+                sbody = sspec[skind]
+                if skind == "top_hits":
+                    th_spec = (sname, int(sbody.get("size", 3)))
+                    continue
+                if skind not in _METRIC_FNS:
+                    raise UnsupportedDSL(
+                        f"agg {name}.{sname}: {skind} not supported"
+                    )
+                col = F.col(sbody["field"]).cast("double")
+                fn = {
+                    "avg": lambda c: F.round(F.avg(c), 4),
+                    "min": F.min,
+                    "max": F.max,
+                    "sum": lambda c: F.round(F.sum(c), 4),
+                    "value_count": F.count,
+                }[skind]
+                metric_cols.append(fn(col).alias(sname))
+            meta = executor.ix.doclens.drop("shard")
+            j = matches.select("doc_id").join(meta, "doc_id")
+            buckets = (
+                j.groupBy(field)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
+                .orderBy(F.desc("doc_count"), F.asc(field))
+                .limit(size)
+            )
+            out[name] = buckets
+            if th_spec is not None:
+                if query is None:
+                    raise UnsupportedDSL(
+                        f"agg {name}: top_hits sub-agg needs a query "
+                        "context"
+                    )
+                sname, tsize = th_spec
+                out[f"{name}.{sname}"] = top_hits(
+                    executor,
+                    to_ast(
+                        query if "query" not in query else query["query"]
+                    ),
+                    field,
+                    tsize,
+                )
+            continue
+
+        raise UnsupportedDSL(f"unsupported agg kind: {kind}")
+    return out

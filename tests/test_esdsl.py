@@ -97,3 +97,81 @@ def test_dsl_unsupported_raises(spark, unit_index):
         to_ast({"bool": {}})
     with pytest.raises(UnsupportedDSL):
         to_ast({"match": {"content": "", "extra": 1}})
+
+
+# ------------------------------------------------------- aggregations
+
+
+def test_aggs_terms_with_metrics(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    out = aggs_es(
+        ex,
+        {"by_lang": {"terms": {"field": "lang", "size": 10},
+                     "aggs": {"len_avg": {"avg": {"field": "doc_len"}},
+                              "len_max": {"max": {"field": "doc_len"}},
+                              "top": {"top_hits": {"size": 2}}}}},
+        query={"match": {"content": "cats dogs"}},
+    )
+    buckets = out["by_lang"].collect()
+    full = ex.search("cats dogs", k=None).count()
+    assert sum(r.doc_count for r in buckets) == full
+    order = [(r.doc_count, r.lang) for r in buckets]
+    assert order == sorted(order, key=lambda t: (-t[0], t[1]))
+    for r in buckets:
+        assert r.len_avg <= r.len_max
+    th = out["by_lang.top"].collect()
+    assert th and all(r.rank <= 2 for r in th)
+
+
+def test_aggs_cardinality_and_stats(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    out = aggs_es(
+        ex,
+        {"nl": {"cardinality": {"field": "lang"}},
+         "dl": {"stats": {"field": "doc_len"}},
+         "pp": {"percentiles": {"field": "doc_len",
+                                "percents": [50, 90]}}},
+        query={"match": {"content": "cats"}},
+    )
+    exact = (
+        ex.search("cats", k=None, with_meta=True)
+        .select("lang").distinct().count()
+    )
+    est = out["nl"].collect()[0]["estimate"]
+    assert abs(est - exact) <= max(1.0, 0.35 * exact)
+    st = out["dl"].collect()[0]
+    assert st.n == ex.search("cats", k=None).count()
+    assert st.min <= st.avg <= st.max
+    pp = out["pp"].collect()[0]
+    assert pp.p50 <= pp.p90
+
+
+def test_aggs_whole_corpus_no_query(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    out = aggs_es(ex, {"langs": {"terms": {"field": "lang"}},
+                       "n": {"value_count": {"field": "doc_id"}}})
+    total = sum(r.doc_count for r in out["langs"].collect())
+    assert total == ix.stats["n_docs"]
+    assert out["n"].collect()[0]["value_count"] == ix.stats["n_docs"]
+
+
+def test_aggs_unsupported_kind(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"x": {"geo_bounds": {"field": "loc"}}})
