@@ -63,13 +63,26 @@ class Searcher:
     ) -> None:
         if executor not in ("wand", "df"):
             raise ValueError("executor must be 'wand' or 'df'")
-        self.index = SparkIndex(
-            spark,
-            index_dir,
-            cache=cache,
-            similarity=similarity,
-            field_similarity=field_similarity,
-        )
+        if isinstance(index_dir, (list, tuple)):
+            # ALIAS serving: one Searcher over several physical
+            # indexes (rolling daily indexes, region shards). The
+            # MultiIndex union merges df/cf/avgdl into one global
+            # stats view, so BM25 ranks exactly as if the corpora
+            # had been built together (the hash-gated delta
+            # contract, reused for arbitrary index sets).
+            from lucille_spark.streaming import open_alias
+
+            self.index = open_alias(
+                spark, list(index_dir), similarity=similarity
+            )
+        else:
+            self.index = SparkIndex(
+                spark,
+                index_dir,
+                cache=cache,
+                similarity=similarity,
+                field_similarity=field_similarity,
+            )
         self._df_ex = DataFrameExecutor(self.index)
         self._wand_ex = WandExecutor(self.index, prune=prune)
         self.executor = (
@@ -160,6 +173,27 @@ class Searcher:
             )
         for qid, (_, _, _, fut) in pending.items():
             fut._resolve(by_q.get(qid, []))
+
+    def analyze(self, text: str) -> list:
+        """ES `_analyze`: the index's OWN analyzer applied to a
+        string — what the engine actually matches on (debugging
+        "why doesn't this query hit"). Driver-side, no job."""
+        return list(self.index.planner.tokenize(text))
+
+    def stats(self) -> dict:
+        """ES `_stats`-style snapshot: docs, terms, avg_dl, analyzer,
+        deletes. Reads the stats the index already carries + the
+        tombstone count (one tiny count when deletes exist)."""
+        ix = self.index
+        out = {
+            "n_docs": int(ix.stats["n_docs"]),
+            "n_terms": ix.stats.get("n_terms"),
+            "avg_dl": float(ix.stats["avg_dl"]),
+            "analyzer": ix.stats.get("analyzer", "standard"),
+            "meta_cols": list(ix.stats.get("meta_cols", [])),
+            "deleted": int(getattr(ix, "deleted_count", 0) or 0),
+        }
+        return out
 
     def search_es(self, dsl, k: int = 10) -> DataFrame:
         """Elasticsearch Query-DSL front door (lucille_spark.esdsl):

@@ -136,13 +136,21 @@ def _union_parquet(
     spark: SparkSession,
     paths: Sequence[str],
     shard_offsets: Optional[Sequence[int]] = None,
+    doc_offsets: Optional[Sequence[int]] = None,
+    doc_cols: Sequence[str] = ("doc_id",),
 ) -> DataFrame:
     """Union of independently-read parquet dirs (each delta has its
     own shard=N partition tree, so a single multi-path read would
     trip Spark's partition discovery). With `shard_offsets`, delta i's
     shard numbers are shifted by offsets[i] so shards from different
     deltas never collide — each remains a contiguous doc-id range,
-    the only invariant the per-shard WAND kernel relies on."""
+    the only invariant the per-shard WAND kernel relies on.
+    With `doc_offsets`, part i's doc-id columns (`doc_cols`, where
+    present) are shifted too — this is what lets INDEPENDENTLY built
+    indexes (each with ids 0..n-1) union into one disjoint global id
+    space for alias serving; the segment blocks need only their
+    doc_id_base/doc_id_max columns rebased because posting ids are
+    stored as deltas from the base."""
     dfs = [spark.read.parquet(p) for p in paths]
     if shard_offsets is not None:
         dfs = [
@@ -151,6 +159,17 @@ def _union_parquet(
             )
             for d, off in zip(dfs, shard_offsets)
         ]
+    if doc_offsets is not None:
+        shifted = []
+        for d, off in zip(dfs, doc_offsets):
+            if off:
+                for c in doc_cols:
+                    if c in d.columns:
+                        d = d.withColumn(
+                            c, (F.col(c) + F.lit(int(off))).cast("long")
+                        )
+            shifted.append(d)
+        dfs = shifted
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -173,6 +192,7 @@ class MultiIndex:
         delta_dirs: Sequence[str],
         root_dir: Optional[str] = None,
         similarity: str = "bm25",
+        doc_offsets: Optional[Sequence[int]] = None,
     ):
         import numpy as np
 
@@ -186,12 +206,25 @@ class MultiIndex:
         # the old revision, re-ingest the new one as a delta); each
         # delta may also carry its own. Union them — both executors
         # read deleted_df/deleted_ids exactly as on SparkIndex.
-        self._delete_paths = [
-            p
-            for p in [os.path.join(d, "deletes") for d in delta_dirs]
-            + ([os.path.join(root_dir, "deletes")] if root_dir else [])
+        offs = list(doc_offsets) if doc_offsets else [0] * len(delta_dirs)
+        assert len(offs) == len(delta_dirs)
+        self._doc_offsets = offs
+        # (path, doc-offset) pairs: per-delta deletes carry LOCAL ids
+        # when the parts were built independently (alias mode), so
+        # they shift with their part; root deletes are global.
+        self._delete_specs = [
+            (p, off)
+            for p, off in zip(
+                [os.path.join(d, "deletes") for d in delta_dirs], offs
+            )
             if fsio.exists(p, spark)
-        ]
+        ] + (
+            [(os.path.join(root_dir, "deletes"), 0)]
+            if root_dir
+            and fsio.exists(os.path.join(root_dir, "deletes"), spark)
+            else []
+        )
+        self._delete_paths = [p for p, _ in self._delete_specs]
         self._deleted_df = None
         self._deleted_ids = None
         self._deleted_n = None
@@ -214,17 +247,22 @@ class MultiIndex:
         }
         offsets = [i * _SHARD_STRIDE for i in range(len(delta_dirs))]
         self.flat = _union_parquet(
-            spark, [os.path.join(d, "postings_flat") for d in delta_dirs]
+            spark,
+            [os.path.join(d, "postings_flat") for d in delta_dirs],
+            doc_offsets=offs,
         )
         self.doclens = _union_parquet(
             spark,
             [os.path.join(d, "doclens") for d in delta_dirs],
             shard_offsets=offsets,
+            doc_offsets=offs,
         )
         self.segments = _union_parquet(
             spark,
             [os.path.join(d, "segments") for d in delta_dirs],
             shard_offsets=offsets,
+            doc_offsets=offs,
+            doc_cols=("doc_id_base", "doc_id_max"),
         )
         terms = (
             _union_parquet(
@@ -263,10 +301,21 @@ class MultiIndex:
 
     @property
     def deleted_df(self):
-        if self._deleted_df is None and self._delete_paths:
-            self._deleted_df = _union_parquet(
-                self.spark, self._delete_paths
-            ).select("doc_id")
+        if self._deleted_df is None and self._delete_specs:
+            parts = []
+            for p, off in self._delete_specs:
+                d = self.spark.read.parquet(p).select("doc_id")
+                if off:
+                    d = d.select(
+                        (F.col("doc_id") + F.lit(int(off)))
+                        .cast("long")
+                        .alias("doc_id")
+                    )
+                parts.append(d)
+            out = parts[0]
+            for d in parts[1:]:
+                out = out.unionByName(d)
+            self._deleted_df = out
         return self._deleted_df
 
     @property
@@ -366,6 +415,31 @@ def upsert_batch(
     n_new = docs_df.count()
     ixr.process_batch(docs_df, next_id)
     return {"tombstoned": n_tomb, "batch_id": next_id, "n_docs": n_new}
+
+
+def open_alias(
+    spark: SparkSession,
+    index_dirs: Sequence[str],
+    similarity: str = "bm25",
+) -> MultiIndex:
+    """One logical index over several INDEPENDENTLY built physical
+    indexes (rolling daily builds, per-region shards — the ES alias
+    pattern). Each part keeps its own layout; doc ids are rebased
+    into disjoint ranges (prefix sums of n_docs — a stats.json read
+    per part, no data pass: posting blocks store ids as deltas from
+    a rebased base column). df/cf/avgdl merge into one global stats
+    view, so BM25 ranks exactly as if the parts had been built as
+    one corpus."""
+    offs, total = [], 0
+    for d in index_dirs:
+        offs.append(total)
+        st = json.loads(
+            fsio.read_text(os.path.join(d, "stats.json"), spark)
+        )
+        total += int(st["n_docs"])
+    return MultiIndex(
+        spark, list(index_dirs), similarity=similarity, doc_offsets=offs
+    )
 
 
 def maybe_compact(
@@ -528,6 +602,34 @@ def compact(
 
 
 # ----------------------------------------------------- stateful ops
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+    by: Optional[Sequence[str]] = None,
+):
+    """Watermarked (sliding-)window aggregation over an event
+    STREAM — the canonical Structured Streaming shape: late rows
+    inside the watermark still land in their window; rows later
+    than `watermark` are dropped and their windows finalize, which
+    is what bounds the state store at 100 TB/day event volumes
+    (state = open windows x group keys, not history). Works on a
+    batch DataFrame too (the same expression compiles either way).
+    -> (window struct(start, end), [by...], n, sum_value)."""
+    w = F.window(F.col(ts_col), window, slide or window)
+    keys = [w] + [F.col(c) for c in (by or [])]
+    out = stream_df
+    if stream_df.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return out.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    )
 
 
 def sessionize_stream(

@@ -1,0 +1,122 @@
+"""Wave 6: alias serving (one Searcher over several physical
+indexes), the _analyze/_stats facade APIs, and watermarked windowed
+stream aggregation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _build(spark, tmp_path, name, rows):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import assign_doc_ids
+
+    out = str(tmp_path / name)
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit int, content string"
+    )
+    IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+    return out
+
+
+def test_alias_searcher_ranks_like_one_index(spark, tmp_path):
+    """Searcher over [ixA, ixB] must rank exactly like one index
+    built over A+B (global df/avgdl merge — the delta contract)."""
+    from lucille_spark.searcher import Searcher
+
+    rows_a = [
+        ("r1", "a", 1, "spark batch join window"),
+        ("r1", "b", 1, "filter merge sort"),
+    ]
+    rows_b = [
+        ("r2", "c", 1, "spark window agg"),
+        ("r2", "d", 1, "spark spark batch"),
+    ]
+    ix_a = _build(spark, tmp_path, "alias_a", rows_a)
+    ix_b = _build(spark, tmp_path, "alias_b", rows_b)
+    ix_all = _build(spark, tmp_path, "alias_all", rows_a + rows_b)
+
+    alias = Searcher(spark, [ix_a, ix_b], executor="df")
+    single = Searcher(spark, ix_all, executor="df", cache=False)
+    a = [round(r.score, 6) for r in alias.search("spark batch", k=10).collect()]
+    b = [round(r.score, 6) for r in single.search("spark batch", k=10).collect()]
+    # doc_ids differ across layouts (per-index id spaces); the SCORE
+    # multiset is the rank-identity contract
+    assert sorted(a) == sorted(b) and len(a) == 3
+    # wand executor over the alias agrees with df over the alias
+    alias_w = Searcher(spark, [ix_a, ix_b])  # default wand
+    aw = [
+        (r.doc_id, round(r.score, 6))
+        for r in alias_w.search("spark batch", k=10).collect()
+    ]
+    ad = [
+        (r.doc_id, round(r.score, 6))
+        for r in alias.search("spark batch", k=10).collect()
+    ]
+    assert aw == ad
+
+
+def test_analyze_and_stats(spark, tmp_path):
+    from lucille_spark.searcher import Searcher
+
+    ix = _build(
+        spark, tmp_path, "an_ix", [("r", "a", 1, "Spark BATCH j0in")]
+    )
+    s = Searcher(spark, ix, cache=False)
+    assert s.analyze("Spark BATCH j0in") == ["spark", "batch", "j0in"]
+    st = s.stats()
+    assert st["n_docs"] == 1 and st["deleted"] == 0
+    assert st["analyzer"] == "standard" and st["avg_dl"] == 3.0
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    from lucille_spark.streaming import windowed_event_counts
+
+    rows = [
+        (i, f"2024-01-01 {h:02d}:{m:02d}:00", 1.5)
+        for i, (h, m) in enumerate(
+            [(0, 5), (0, 40), (1, 10), (1, 59), (3, 0), (3, 30), (3, 31)]
+        )
+    ]
+    pdf = spark.createDataFrame(
+        rows, "event_id int, ts string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp"), "value")
+    src_dir = str(tmp_path / "evsrc")
+    pdf.write.parquet(src_dir)
+
+    # batch reference (same expression, no watermark)
+    want = {
+        (str(r["window"]["start"]), r.n, r.sum_value)
+        for r in windowed_event_counts(
+            pdf, window="1 hour", watermark="2 hours"
+        ).collect()
+    }
+    assert {w[1] for w in want} == {2, 2, 3}
+
+    stream = (
+        spark.readStream.schema(
+            "event_id int, ts timestamp, value double"
+        ).parquet(src_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    assert agg.isStreaming
+    got_rows = []
+
+    def sink(batch_df, batch_id):
+        got_rows.extend(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window"]["start"]), r.n, r.sum_value) for r in got_rows
+    }
+    assert got == want
