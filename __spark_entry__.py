@@ -2149,6 +2149,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_cosine_filtered"] = cosine_filtered_q
 
+    # ---- _rank_eval: OR ranking judged by exact-phrase truth -------
+    def rankeval_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import rank_eval
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        truth = ex.search('"spark batch"', k=None).select(
+            "doc_id", F.lit(1).alias("grade")
+        )
+        return rank_eval(ex, "spark batch", truth, k=10)
+
+    q["ft_rankeval"] = rankeval_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4353,5 +4366,40 @@ c AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q WHERE e.label = 1)
 SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 20"""
+
+    # _rank_eval: precision/recall/MRR/NDCG@10 of the OR ranking
+    # against exact-phrase relevance (gain 2^g - 1, ES convention)
+    o["ft_rankeval"] = (
+        _cte(["spark", "batch"])
+        + f""", pos AS ({_POS}),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+ranked AS (SELECT doc_id,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+           FROM agg),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+rel AS (SELECT DISTINCT a.doc_id FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.term = 'spark' AND b.term = 'batch'),
+g AS (SELECT t.rank,
+      CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS grade
+      FROM top t LEFT JOIN rel r USING (doc_id)),
+m AS (SELECT sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits,
+      max(CASE WHEN grade > 0 THEN 1.0 / rank END) AS mrr,
+      sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg FROM g),
+nrel AS (SELECT count(*) AS nr FROM rel),
+idcg AS (SELECT sum(1.0 / log2(rn + 1.0)) AS v FROM
+         (SELECT row_number() OVER (ORDER BY doc_id) AS rn FROM rel) t
+         WHERE rn <= 10)
+SELECT cast(nrel.nr as bigint) AS n_judged,
+       cast(nrel.nr as bigint) AS n_relevant,
+       round(m.hits / 10.0, 4) AS p_at_k,
+       round(CASE WHEN nrel.nr > 0
+             THEN m.hits * 1.0 / nrel.nr ELSE 0.0 END, 4)
+         AS recall_at_k,
+       round(coalesce(m.mrr, 0.0), 4) AS mrr,
+       round(CASE WHEN idcg.v > 0 THEN m.dcg / idcg.v
+             ELSE 0.0 END, 4) AS ndcg_at_k
+FROM m CROSS JOIN nrel CROSS JOIN idcg"""
+    )
 
     return o

@@ -1591,3 +1591,86 @@ def random_score(executor, query, seed: int = 0, k: int = 10) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rank_eval(
+    executor, query, judgments: DataFrame, k: int = 10
+) -> DataFrame:
+    """ES `_rank_eval`: standard IR metrics for one query against a
+    graded judgment set — precision@k, recall@k, MRR and NDCG@k
+    (binary or graded relevance; gain = 2^grade - 1, the ES/trec
+    convention). `judgments` is a (doc_id, grade) DataFrame; docs
+    absent from it count as grade 0. This is the regression harness
+    a relevance team runs after every analyzer/similarity change.
+
+    Scale: the ranking is the ordinary top-k job; judgments join
+    broadcast onto k rows; the metric reduction is one aggregate
+    over k rows plus one over the judgment set (its only shuffle).
+    -> one row (n_judged, n_relevant, p_at_k, recall_at_k, mrr,
+    ndcg_at_k) rounded to 4."""
+    from pyspark.sql import Window
+
+    j = judgments.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("grade").cast("int").alias("grade"),
+    )
+    top = executor.search(query, k=k).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    scored = top.join(F.broadcast(j), "doc_id", "left").select(
+        "rank", F.coalesce("grade", F.lit(0)).alias("grade")
+    )
+    gain = F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0)
+    logr = F.log2(F.col("rank") + F.lit(1.0))
+    per_rank = scored.agg(
+        F.sum((F.col("grade") > 0).cast("int")).alias("_hits"),
+        F.max(
+            F.when(F.col("grade") > 0, F.lit(1.0) / F.col("rank"))
+        ).alias("_mrr"),
+        F.sum(gain / logr).alias("_dcg"),
+        F.count(F.lit(1)).alias("_k_eff"),
+    )
+    # ideal DCG: the judgment set's grades sorted desc, first k
+    jr = j.filter(F.col("grade") > 0)
+    ideal = (
+        jr.select(
+            F.col("grade"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("grade"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0))
+                / F.log2(F.col("rank") + F.lit(1.0))
+            ).alias("_idcg")
+        )
+    )
+    totals = jr.agg(F.count(F.lit(1)).alias("n_relevant"))
+    n_j = j.agg(F.count(F.lit(1)).alias("n_judged"))
+    row = (
+        per_rank.crossJoin(ideal).crossJoin(totals).crossJoin(n_j)
+    )
+    return row.select(
+        "n_judged",
+        "n_relevant",
+        F.round(F.col("_hits") / F.lit(float(k)), 4).alias("p_at_k"),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("_hits") / F.col("n_relevant").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("recall_at_k"),
+        F.round(F.coalesce(F.col("_mrr"), F.lit(0.0)), 4).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("ndcg_at_k"),
+    )

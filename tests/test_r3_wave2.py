@@ -563,3 +563,44 @@ def test_cosine_topk_where_prefilters(spark):
     full = cosine_topk(emb, "embedding", qv, k=10000).collect()
     want = [r.vec_id for r in full if labels[r.vec_id] == 1][:10]
     assert [r.vec_id for r in out] == want
+
+
+# ------------------------------------------------------- rank_eval
+
+
+def test_rank_eval_perfect_on_self(spark, unit_index):
+    from pyspark.sql import functions as F
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import rank_eval
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    truth = ex.search('"cats dogs"', k=None).select(
+        "doc_id", F.lit(1).alias("grade")
+    )
+    r = rank_eval(ex, '"cats dogs"', truth, k=10).collect()[0]
+    assert r.mrr == 1.0 and r.ndcg_at_k == 1.0
+    assert r.p_at_k == min(1.0, r.n_relevant / 10.0)
+
+
+def test_rank_eval_graded_ndcg_orders(spark, unit_index):
+    """Swapping a grade-2 doc to rank 1 must not lower NDCG."""
+    from pyspark.sql import functions as F
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import rank_eval
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    top = [r.doc_id for r in ex.search("cats", k=3).collect()]
+    # grade the ACTUAL top doc 2 -> ndcg == 1 for that judgment set
+    truth_good = spark.createDataFrame(
+        [(top[0], 2), (top[1], 1)], "doc_id long, grade int"
+    )
+    truth_bad = spark.createDataFrame(
+        [(top[0], 1), (top[1], 2)], "doc_id long, grade int"
+    )
+    good = rank_eval(ex, "cats", truth_good, k=10).collect()[0]
+    bad = rank_eval(ex, "cats", truth_bad, k=10).collect()[0]
+    assert good.ndcg_at_k == 1.0
+    assert bad.ndcg_at_k < 1.0
+    assert good.mrr == bad.mrr == 1.0
