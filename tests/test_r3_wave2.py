@@ -575,12 +575,14 @@ def test_rank_eval_perfect_on_self(spark, unit_index):
 
     ix, _, _ = unit_index
     ex = DataFrameExecutor(ix)
-    truth = ex.search('"cats dogs"', k=None).select(
+    # judge a query by its own top-5: metrics must be perfect
+    truth = ex.search("cats", k=5).select(
         "doc_id", F.lit(1).alias("grade")
     )
-    r = rank_eval(ex, '"cats dogs"', truth, k=10).collect()[0]
+    r = rank_eval(ex, "cats", truth, k=5).collect()[0]
+    assert r.n_relevant == 5
+    assert r.p_at_k == 1.0 and r.recall_at_k == 1.0
     assert r.mrr == 1.0 and r.ndcg_at_k == 1.0
-    assert r.p_at_k == min(1.0, r.n_relevant / 10.0)
 
 
 def test_rank_eval_graded_ndcg_orders(spark, unit_index):
