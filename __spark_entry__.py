@@ -2162,6 +2162,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_rankeval"] = rankeval_q
 
+    # ---- LTR feature export + _msearch DSL batch -------------------
+    def ltr_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import ltr_features
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return ltr_features(ex, "spark batch window", k=8)
+
+    q["ft_ltr"] = ltr_q
+
+    def msearch_q(s, d):
+        from lucille_spark.esdsl import msearch_es
+        from lucille_spark.exec_wand import WandExecutor
+
+        ex = WandExecutor(_index_for(s, d))
+        out = msearch_es(
+            ex,
+            [
+                {"match": {"content": "spark"}},
+                {
+                    "match": {
+                        "content": {
+                            "query": "spark batch",
+                            "operator": "and",
+                        }
+                    }
+                },
+                {"match_phrase": {"content": "batch window"}},
+            ],
+            k=5,
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score")
+        ).orderBy("query_id", F.desc("score"), "doc_id")
+
+    q["ft_msearch"] = msearch_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4400,6 +4437,62 @@ SELECT cast(nrel.nr as bigint) AS n_judged,
        round(CASE WHEN idcg.v > 0 THEN m.dcg / idcg.v
              ELSE 0.0 END, 4) AS ndcg_at_k
 FROM m CROSS JOIN nrel CROSS JOIN idcg"""
+    )
+
+    # LTR features over the OR top-8 (idf = BM25 idf of each term)
+    o["ft_ltr"] = (
+        _cte(["spark", "batch", "window"])
+        + f""",
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+top AS (SELECT doc_id, s FROM agg ORDER BY s DESC, doc_id LIMIT 8),
+fx AS (SELECT tf.doc_id, count(*) AS n_matched, sum(tf.tf) AS sum_tf,
+       max(tf.tf) AS max_tf,
+       sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)))
+         AS idf_sum,
+       max(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)))
+         AS idf_max
+       FROM tf JOIN dfs USING (term) CROSS JOIN st
+       WHERE tf.doc_id IN (SELECT doc_id FROM top)
+       GROUP BY tf.doc_id)
+SELECT t.doc_id, round(t.s, 4) AS score, cast(dl.dl as int) AS doc_len,
+       cast(fx.n_matched as int) AS n_matched,
+       round(fx.n_matched / 3.0, 4) AS coverage,
+       cast(fx.sum_tf as bigint) AS sum_tf,
+       cast(fx.max_tf as int) AS max_tf,
+       round(fx.idf_sum, 4) AS idf_sum, round(fx.idf_max, 4) AS idf_max
+FROM top t JOIN fx USING (doc_id) JOIN dl USING (doc_id)
+ORDER BY t.s DESC, t.doc_id"""
+    )
+
+    # _msearch: three DSL queries through ONE batched job; oracles
+    # are the per-query rankings stacked with their query_id
+    o["ft_msearch"] = (
+        _cte(["spark", "batch", "window"])
+        + f""", pos AS ({_POS}),
+agg2 AS (SELECT doc_id, sum(s) AS s FROM sc
+         WHERE term IN ('spark', 'batch') GROUP BY doc_id
+         HAVING count(DISTINCT term) = 2),
+q0 AS (SELECT 'q0' AS query_id, doc_id, round(s, 4) AS score FROM sc
+       WHERE term = 'spark' ORDER BY s DESC, doc_id LIMIT 5),
+q1 AS (SELECT 'q1' AS query_id, doc_id, round(s, 4) AS score
+       FROM agg2 ORDER BY s DESC, doc_id LIMIT 5),
+ph AS (SELECT a.doc_id, count(DISTINCT a.p) AS tfp
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'batch' AND b.term = 'window'
+       GROUP BY a.doc_id),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window'))
+  AS df),
+q2s AS (SELECT ph.doc_id,
+        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * ph.tfp /
+        (ph.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf),
+q2 AS (SELECT 'q2' AS query_id, doc_id, round(s, 4) AS score FROM q2s
+       ORDER BY s DESC, doc_id LIMIT 5)
+SELECT * FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1
+               UNION ALL SELECT * FROM q2)
+ORDER BY query_id, score DESC, doc_id"""
     )
 
     return o

@@ -278,7 +278,6 @@ def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
 
     from lucille_spark.search_features import (
         cardinality_agg,
-        field_stats,
         top_hits,
     )
 
@@ -409,3 +408,15 @@ def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
 
         raise UnsupportedDSL(f"unsupported agg kind: {kind}")
     return out
+
+
+def msearch_es(executor, dsls, k: int = 10):
+    """ES `_msearch`: N DSL queries in ONE job through the batched
+    serving path (one segment scan + one kernel pass for the whole
+    batch on the WAND executor — the high-QPS shape, see bench.py).
+    -> (query_id 'q0'..'qN-1', doc_id, score)."""
+    queries = {
+        f"q{i}": to_ast(d if "query" not in d else d["query"])
+        for i, d in enumerate(dsls)
+    }
+    return executor.search_many(queries, k=k)

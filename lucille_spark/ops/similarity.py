@@ -13,7 +13,7 @@ a literal array.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame

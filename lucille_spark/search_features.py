@@ -1674,3 +1674,75 @@ def rank_eval(
             4,
         ).alias("ndcg_at_k"),
     )
+
+
+def ltr_features(executor, query, k: int = 50) -> DataFrame:
+    """Learning-to-rank feature export: for the top-k candidates of
+    `query`, one row of standard reranker-training features — BM25
+    score, doc length, how many query terms matched (and coverage),
+    tf aggregates, and idf aggregates over the MATCHED terms. This
+    is the feature table you join with click/judgment labels to
+    train a second-stage model; mine_hard_negatives composes for
+    the negatives side.
+
+    Scale: candidates come from the ordinary top-k job; features
+    from ONE term-filtered scan of the candidates' postings (semi
+    join on k ids — no corpus shuffle) plus one tiny df aggregate.
+    -> (doc_id, score, doc_len, n_matched, coverage, sum_tf,
+    max_tf, idf_sum, idf_max) in (score desc, doc_id) order."""
+    from lucille_spark import plans as P
+    from lucille_spark.scoring import idf as _idf
+
+    node = executor.ix.plan(query)
+    terms = sorted(set(P.collect_terms(node)))
+    if not terms:
+        raise ValueError("ltr_features needs at least one scored term")
+    top = executor.search(query, k=k).select("doc_id", "score")
+    src = getattr(executor.ix, "flat_for", None)
+    flat = src(terms) if src else executor.ix.flat
+    flat = flat.filter(F.col("term").isin(terms))
+    n_docs = int(executor.ix.stats["n_docs"])
+    dfr = (
+        flat.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .collect()
+    )
+    idf_map = {r["term"]: _idf(int(r["_df"]), n_docs) for r in dfr}
+    im = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf_map.get(t, 0.0)))]
+    )
+    feats = (
+        flat.join(F.broadcast(top.select("doc_id")), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "doc_len",
+            "tf",
+            im[F.col("term")].alias("_idf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("doc_len").alias("doc_len"),
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("tf").alias("sum_tf"),
+            F.max("tf").alias("max_tf"),
+            F.round(F.sum("_idf"), 4).alias("idf_sum"),
+            F.round(F.max("_idf"), 4).alias("idf_max"),
+        )
+    )
+    return (
+        top.join(feats, "doc_id")
+        .select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "doc_len",
+            F.col("n_matched").cast("int").alias("n_matched"),
+            F.round(
+                F.col("n_matched") / F.lit(float(len(terms))), 4
+            ).alias("coverage"),
+            F.col("sum_tf").cast("long").alias("sum_tf"),
+            F.col("max_tf").cast("int").alias("max_tf"),
+            "idf_sum",
+            "idf_max",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

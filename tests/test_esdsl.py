@@ -175,3 +175,46 @@ def test_aggs_unsupported_kind(spark, unit_index):
     ex = DataFrameExecutor(ix)
     with pytest.raises(UnsupportedDSL):
         aggs_es(ex, {"x": {"geo_bounds": {"field": "loc"}}})
+
+
+def test_msearch_matches_individual_searches(spark, unit_index):
+    from lucille_spark.esdsl import msearch_es, search_es
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, _, _ = unit_index
+    ex = WandExecutor(ix)
+    dsls = [
+        {"match": {"content": "cats"}},
+        {"match": {"content": {"query": "cats dogs", "operator": "and"}}},
+    ]
+    rows = msearch_es(ex, dsls, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(
+            (r.doc_id, round(r.score, 6))
+        )
+    for i, d in enumerate(dsls):
+        single = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_es(ex, d, k=5).collect()
+        ]
+        assert by_q[f"q{i}"] == single
+
+
+def test_ltr_features_consistency(spark, unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import ltr_features
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    rows = ltr_features(ex, "cats dogs", k=10).collect()
+    assert rows
+    top = [(r.doc_id, round(r.score, 4))
+           for r in ex.search("cats dogs", k=10).collect()]
+    assert [(r.doc_id, r.score) for r in rows] == top
+    for r in rows:
+        assert 1 <= r.n_matched <= 2
+        assert r.coverage == round(r.n_matched / 2.0, 4)
+        assert r.max_tf <= r.sum_tf
+        assert r.idf_max <= r.idf_sum + 1e-9
+        assert r.doc_len > 0
