@@ -2199,6 +2199,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_msearch"] = msearch_q
 
+    # ---- script composition + readability --------------------------
+    def tx_scripts_q(s, d):
+        from lucille_spark.ops import text
+
+        docs = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.lit(" \u6df1\u5ea6\u5b66\u4e60\u6a21\u578b\u8bad\u7ec3"),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.lit(" \u043e\u0431\u0443\u0447\u0435\u043d\u0438\u0435 \u043c\u043e\u0434\u0435\u043b\u0438"),
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+            )
+        )
+        return text.script_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+    q["tx_scripts"] = tx_scripts_q
+
+    def tx_readability_q(s, d):
+        from lucille_spark.ops import text
+
+        return text.readability(
+            _docs(s, d).filter(F.col("doc_id") < 300), "doc_id", "text"
+        ).orderBy("doc_id")
+
+    q["tx_readability"] = tx_readability_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4494,5 +4529,46 @@ SELECT * FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1
                UNION ALL SELECT * FROM q2)
 ORDER BY query_id, score DESC, doc_id"""
     )
+
+    # script composition: same appended CJK/Cyrillic fixture, char
+    # counts via global regexp_replace subtraction (length = chars)
+    o["tx_scripts"] = """
+WITH s0 AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' 深度学习模型训练' ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' обучение модели' ELSE '' END AS text
+  FROM documents WHERE doc_id < 300),
+t AS (SELECT doc_id, regexp_replace(text, '\\s', '', 'g') AS t FROM s0),
+n AS (SELECT doc_id, t, length(t) AS tot FROM t)
+SELECT doc_id, cast(tot as int) AS n_chars,
+  round(CASE WHEN tot > 0 THEN (tot - length(regexp_replace(t,
+    '[A-Za-z]', '', 'g'))) * 1.0 / tot ELSE 0.0 END, 4) AS latin_frac,
+  round(CASE WHEN tot > 0 THEN (tot - length(regexp_replace(t,
+    '[0-9]', '', 'g'))) * 1.0 / tot ELSE 0.0 END, 4) AS digit_frac,
+  round(CASE WHEN tot > 0 THEN (tot - length(regexp_replace(t,
+    '[一-鿿]', '', 'g'))) * 1.0 / tot
+    ELSE 0.0 END, 4) AS cjk_frac,
+  round(CASE WHEN tot > 0 THEN (tot - length(regexp_replace(t,
+    '[Ѐ-ӿ]', '', 'g'))) * 1.0 / tot
+    ELSE 0.0 END, 4) AS cyrillic_frac,
+  round(CASE WHEN tot > 0 THEN length(regexp_replace(t,
+    '[A-Za-z0-9一-鿿Ѐ-ӿ]', '', 'g'))
+    * 1.0 / tot ELSE 0.0 END, 4) AS other_frac
+FROM n ORDER BY doc_id"""
+
+    # Flesch reading ease with the same token/sentence/vowel-group
+    # proxies
+    o["tx_readability"] = """
+WITH b AS (SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+      x -> x <> '')) AS w,
+  greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      x -> trim(x) <> '')), 1) AS sen,
+  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id, cast(w as int) AS n_words,
+  cast(sen as int) AS n_sentences, cast(syl as int) AS n_syllables,
+  round(206.835 - 1.015 * (w * 1.0 / sen)
+        - 84.6 * (syl * 1.0 / greatest(w, 1)), 4) AS flesch
+FROM b WHERE w > 0 ORDER BY doc_id"""
 
     return o

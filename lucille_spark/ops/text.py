@@ -1031,3 +1031,99 @@ def chunk_documents(
         F.size(window).cast("int").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def script_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-script composition per document — the multilingual
+    corpus splitter (langid's n-gram heuristic works within an
+    alphabet; script fractions separate alphabets outright): the
+    fraction of NON-SPACE characters that are Latin letters, digits,
+    CJK ideographs, Cyrillic, or anything else. A char-class
+    regexp_replace subtraction per class — one scan, zero shuffle,
+    no per-char explode.
+    -> (doc_id, n_chars int, latin_frac, digit_frac, cjk_frac,
+    cyrillic_frac, other_frac) all rounded to 4."""
+    t = F.regexp_replace(F.col(text_col), r"\s", "")
+    total = F.length(t)
+
+    def frac(pattern):
+        kept = total - F.length(F.regexp_replace(t, pattern, ""))
+        return F.round(
+            F.when(total > 0, kept / total.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        )
+
+    latin = frac(r"[A-Za-z]")
+    digit = frac(r"[0-9]")
+    cjk = frac(r"[一-鿿]")
+    cyr = frac(r"[Ѐ-ӿ]")
+    other = F.round(
+        F.when(
+            total > 0,
+            (
+                F.length(
+                    F.regexp_replace(
+                        t,
+                        r"[A-Za-z0-9一-鿿Ѐ-ӿ]",
+                        "",
+                    )
+                )
+            )
+            / total.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        total.cast("int").alias("n_chars"),
+        latin.alias("latin_frac"),
+        digit.alias("digit_frac"),
+        cjk.alias("cjk_frac"),
+        cyr.alias("cyrillic_frac"),
+        other.alias("other_frac"),
+    )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading ease (Flesch 1948, public domain): 206.835 -
+    1.015 * words/sentences - 84.6 * syllables/words, with the
+    standard cheap proxies — words = analyzer tokens, sentences =
+    `[.!?]+` runs (min 1), syllables = `[aeiouy]+` vowel groups in
+    the lowercased text (min 1 per word is NOT enforced; the group
+    count is the comparable, deterministic proxy). The classic
+    prose-quality band filter (drop score < 0 gibberish and > 100
+    trivial fragments) — one scan, zero shuffle.
+    -> (doc_id, n_words int, n_sentences int, n_syllables int,
+    flesch double round 4)."""
+    from lucille_spark.analysis import tokenize_expr
+
+    toks = tokenize_expr(text_col)
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda x: F.trim(x) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_syl = F.size(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl / F.greatest(n_words, F.lit(1)).cast("double"))
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syl.cast("int").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    ).filter(F.col("n_words") > 0)

@@ -606,3 +606,49 @@ def test_rank_eval_graded_ndcg_orders(spark, unit_index):
     assert good.ndcg_at_k == 1.0
     assert bad.ndcg_at_k < 1.0
     assert good.mrr == bad.mrr == 1.0
+
+
+# ----------------------------------------------- scripts / readability
+
+
+def test_script_stats_fractions(spark):
+    from lucille_spark.ops.text import script_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),          # pure latin
+            (1, "深度学习"),  # pure CJK
+            (2, "abc 123 модели"),
+            (3, "   "),                  # whitespace only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in script_stats(df, "doc_id", "text").collect()}
+    assert rows[0].latin_frac == 1.0 and rows[0].cjk_frac == 0.0
+    assert rows[1].cjk_frac == 1.0
+    r2 = rows[2]
+    assert r2.n_chars == 12
+    assert r2.latin_frac == round(3 / 12, 4)
+    assert r2.digit_frac == round(3 / 12, 4)
+    assert r2.cyrillic_frac == round(6 / 12, 4)
+    assert r2.other_frac == 0.0
+    assert rows[3].n_chars == 0 and rows[3].latin_frac == 0.0
+
+
+def test_readability_bands(spark):
+    from lucille_spark.ops.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran. It was fun."),
+            (1, "Consequently, institutionalization necessitated "
+                "extraordinarily incomprehensible considerations."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability(df, "doc_id", "text").collect()}
+    # simple prose scores much higher than sesquipedalian prose
+    assert rows[0].flesch > 80
+    assert rows[1].flesch < 20
+    assert rows[0].n_sentences == 3
+    assert rows[1].n_sentences == 1
