@@ -2234,6 +2234,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_readability"] = tx_readability_q
 
+    # ---- graph ops: PageRank + degrees over a deterministic
+    # synthetic link graph (every node emits 2 edges) ----------------
+    def _graph(s, d):
+        n = _docs(s, d).filter(F.col("doc_id") < 200).select(
+            F.col("doc_id").alias("node")
+        )
+        e1 = n.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * F.col("node") + 1) % 200).alias("dst"),
+        )
+        e2 = n.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 3 + 7) % 200).alias("dst"),
+        )
+        return n, e1.unionAll(e2)
+
+    def gr_pagerank_q(s, d):
+        from lucille_spark.ops.graph import pagerank
+
+        n, e = _graph(s, d)
+        return pagerank(n, e, n_iter=3)
+
+    q["gr_pagerank"] = gr_pagerank_q
+
+    def gr_degrees_q(s, d):
+        from lucille_spark.ops.graph import degree_stats
+
+        _, e = _graph(s, d)
+        return degree_stats(e)
+
+    q["gr_degrees"] = gr_degrees_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4570,5 +4602,12 @@ SELECT doc_id, cast(w as int) AS n_words,
   round(206.835 - 1.015 * (w * 1.0 / sen)
         - 84.6 * (syl * 1.0 / greatest(w, 1)), 4) AS flesch
 FROM b WHERE w > 0 ORDER BY doc_id"""
+
+    # PageRank: 3 unrolled iterations, no dangling nodes by
+    # construction (every node emits 2 edges), so the engine's
+    # dangling-mass term is identically zero
+    o["gr_pagerank"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\ndeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),\nr0 AS (SELECT node, 0.005::DOUBLE AS rank FROM n),\nc1 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r0 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr1 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c1 c USING (node)),\nc2 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r1 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr2 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c2 c USING (node)),\nc3 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r2 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr3 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c3 c USING (node))\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node'
+
+    o["gr_degrees"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\no AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),\ni AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY dst)\nSELECT coalesce(o.node, i.node) AS node,\n       cast(coalesce(od, 0) as int) AS out_deg,\n       cast(coalesce(idg, 0) as int) AS in_deg\nFROM o FULL OUTER JOIN i USING (node) ORDER BY node'
 
     return o

@@ -1,0 +1,121 @@
+"""Graph operators for web-corpus curation: PageRank and degree
+stats over an edge list.
+
+Why in a training-data engine: crawl prioritization and domain
+weighting are graph problems — the frontier you fetch next and the
+per-domain sampling temperature both come from link-graph authority
+(Page et al. 1999, public domain), and near-dup group structure
+(ops/dedup.connected_components) is the same edge-list shape. These
+run on a plain (src, dst) DataFrame — no graph framework, just
+joins + aggregations Catalyst can plan.
+
+Scale notes: one PageRank iteration = one join (ranks x edges,
+shuffled on src) + one aggregate (shuffled on dst) — the canonical
+iterative-shuffle pattern. `pagerank` UNROLLS a fixed iteration
+count into one plan (right for the <=10 iterations that already
+converge to crawl-ordering quality); for long chains, checkpoint
+per round like ops/dedup.connected_components does to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree over a directed edge list — the first
+    diagnostic over any crawl graph (hub/authority skew, dangling
+    fraction). One aggregate per direction + one outer join.
+    -> (node, out_deg int, in_deg int) sorted by node."""
+    o = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    i = (
+        edges.groupBy(F.col(dst).alias("node"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    return (
+        o.join(i, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("int").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("int").alias("in_deg"),
+        )
+        .orderBy("node")
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with the standard uniform teleport and dangling-mass
+    redistribution: rank' = (1-d)/N + d * (sum of rank/outdeg over
+    in-neighbors + dangling_mass/N). Fixed `n_iter` iterations
+    unrolled into one declarative plan; ranks sum to 1 every
+    iteration by construction.
+
+    `nodes` fixes the vertex universe (isolated docs/domains still
+    get teleport mass). -> (node, rank double round 6) sorted by
+    node."""
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("empty node set")
+    base = nodes.select(F.col(node_col).cast("long").alias("node"))
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = base.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(int(n_iter)):
+        r = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select(ranks["node"].alias("node"), "rank", "_deg")
+        dangling = (
+            r.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
+        )
+        contrib = (
+            r.filter(F.col("_deg").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_m") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            # cut lineage every round — an unrolled chain of
+            # join+agg+crossJoin otherwise grows the plan
+            # multiplicatively and stalls Catalyst past ~5 rounds
+            # (same pattern as dedup.connected_components)
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")

@@ -652,3 +652,35 @@ def test_readability_bands(spark):
     assert rows[1].flesch < 20
     assert rows[0].n_sentences == 3
     assert rows[1].n_sentences == 1
+
+
+# -------------------------------------------------------------- graph
+
+
+def test_pagerank_textbook_graph(spark):
+    from lucille_spark.ops.graph import degree_stats, pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    pr = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=25).collect()}
+    # converged values for this classic 3-node graph
+    assert abs(pr[0] - 0.3878) < 1e-3
+    assert abs(pr[1] - 0.2148) < 1e-3
+    assert abs(pr[2] - 0.3974) < 1e-3
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    deg = {r.node: (r.out_deg, r.in_deg) for r in degree_stats(edges).collect()}
+    assert deg == {0: (2, 1), 1: (1, 1), 2: (1, 2)}
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from lucille_spark.ops.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )  # node 3 dangles (no out-edges), only teleport reaches it
+    pr = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[3] == min(pr.values())  # unlinked node ranks last
