@@ -614,9 +614,9 @@ _GATE_PRIORITY = [
     "ft_field", "wand_field",
     "ft_prefix", "wand_prefix",
     "ft_wildcard", "wand_wildcard",
-    "ft_regex", "wand_regex",
+    "ft_regex",
     "ft_range", "wand_range",
-    "ft_fuzzy", "wand_fuzzy",
+    "ft_fuzzy",
     "ft_minmatch",
     "ft_boost",
     "ft_complex", "wand_complex",
@@ -647,6 +647,10 @@ _GATE_PRIORITY = [
     "code_secrets",
     "sk_hll",
     "ft_spannear",
+    # (wand_regex / wand_fuzzy freed 2 more slots — the PExpand
+    # kernel path stays covered by wand_prefix / wand_wildcard)
+    "ft_esdsl",
+    "gr_pagerank",
 ]
 
 
