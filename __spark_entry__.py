@@ -2270,6 +2270,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gr_degrees"] = gr_degrees_q
 
+    # ---- histogram agg + positional highlighting -------------------
+    def agg_hist_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"dl": {"histogram": {"field": "doc_len", "interval": 10}}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["dl"]
+
+    q["ft_agg_histogram"] = agg_hist_q
+
+    def hl_pos_q(s, d):
+        from lucille_spark.search_features import highlight_positions
+
+        return highlight_positions(
+            _index_for(s, d), "spark batch", [0, 1, 2, 3, 4]
+        )
+
+    q["ft_highlight_pos"] = hl_pos_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4613,5 +4637,19 @@ FROM b WHERE w > 0 ORDER BY doc_id"""
     o["gr_pagerank"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\ndeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),\nr0 AS (SELECT node, 0.005::DOUBLE AS rank FROM n),\nc1 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r0 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr1 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c1 c USING (node)),\nc2 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r1 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr2 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c2 c USING (node)),\nc3 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r2 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr3 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c3 c USING (node))\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node'
 
     o["gr_degrees"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\no AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),\ni AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY dst)\nSELECT coalesce(o.node, i.node) AS node,\n       cast(coalesce(od, 0) as int) AS out_deg,\n       cast(coalesce(idg, 0) as int) AS in_deg\nFROM o FULL OUTER JOIN i USING (node) ORDER BY node'
+
+    # histogram agg over doc_len of the 'spark' match set
+    o["ft_agg_histogram"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT floor(dl.dl * 1.0 / 10) * 10.0 AS key, count(*) AS doc_count
+FROM m JOIN dl USING (doc_id) GROUP BY 1 ORDER BY 1"""
+
+    # positional highlighting: term positions for docs 0..4
+    o["ft_highlight_pos"] = f"""
+WITH pos AS ({_POS})
+SELECT doc_id, term, list(p ORDER BY p) AS positions
+FROM pos WHERE term IN ('spark', 'batch') AND doc_id IN (0, 1, 2, 3, 4)
+GROUP BY doc_id, term ORDER BY doc_id, term"""
 
     return o

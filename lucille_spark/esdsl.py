@@ -345,6 +345,24 @@ def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
             out[name] = j.agg(*ag)
             continue
 
+        if kind == "histogram":
+            field = body["field"]
+            interval = float(body["interval"])
+            meta = executor.ix.doclens.select(
+                "doc_id", F.col(field).cast("double").alias("_v")
+            )
+            bucket = (
+                F.floor(F.col("_v") / F.lit(interval)) * F.lit(interval)
+            ).alias("key")
+            out[name] = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .groupBy(bucket)
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("key")
+            )
+            continue
+
         if kind == "value_count":
             meta = executor.ix.doclens.select("doc_id", body["field"])
             out[name] = (

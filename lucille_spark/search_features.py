@@ -1746,3 +1746,34 @@ def ltr_features(executor, query, k: int = 50) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def highlight_positions(index, query, doc_ids) -> DataFrame:
+    """Positional highlighting from the INDEX (no raw text needed):
+    for each requested doc, the token positions where each scored
+    query term occurs — the offsets a UI maps back onto its stored
+    copy of the document. Comes straight off the flat postings for
+    the query's terms semi-joined to the id list (point lookup, no
+    corpus scan); expansions (prefix/fuzzy/...) highlight every
+    matching term. -> (doc_id, term, positions array<int>) ordered."""
+    from lucille_spark import plans as P
+
+    node = index.plan(query)
+    terms = sorted(set(P.collect_terms(node)))
+    if not terms:
+        return index.spark.createDataFrame(
+            [], "doc_id long, term string, positions array<int>"
+        )
+    ids = [int(i) for i in doc_ids]
+    src = getattr(index, "flat_for", None)
+    flat = src(terms) if src else index.flat
+    return (
+        _drop_deleted(
+            index,
+            flat.filter(
+                F.col("term").isin(terms) & F.col("doc_id").isin(ids)
+            ),
+        )
+        .select("doc_id", "term", "positions")
+        .orderBy("doc_id", "term")
+    )

@@ -218,3 +218,20 @@ def test_ltr_features_consistency(spark, unit_index):
         assert r.max_tf <= r.sum_tf
         assert r.idf_max <= r.idf_sum + 1e-9
         assert r.doc_len > 0
+
+
+def test_aggs_histogram(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    out = aggs_es(
+        ex,
+        {"h": {"histogram": {"field": "doc_len", "interval": 5}}},
+        query={"match": {"content": "cats"}},
+    )
+    rows = out["h"].collect()
+    assert sum(r.doc_count for r in rows) == ex.search("cats", k=None).count()
+    for r in rows:
+        assert r.key % 5 == 0

@@ -684,3 +684,31 @@ def test_pagerank_dangling_mass_conserved(spark):
     pr = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=10).collect()}
     assert abs(sum(pr.values()) - 1.0) < 1e-6
     assert pr[3] == min(pr.values())  # unlinked node ranks last
+
+
+def test_highlight_positions(spark, tmp_path):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import highlight_positions
+
+    docs = spark.createDataFrame(
+        [("r", "a", 1, "alpha beta alpha"), ("r", "b", 1, "beta gamma")],
+        "repo string, path string, commit int, content string",
+    )
+    out = str(tmp_path / "hl_ix")
+    IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+    ix = SparkIndex(spark, out)
+    rows = {
+        (r.doc_id, r.term): list(r.positions)
+        for r in highlight_positions(ix, "alpha beta", [0, 1]).collect()
+    }
+    assert rows[(0, "alpha")] == [0, 2]
+    assert rows[(0, "beta")] == [1]
+    assert rows[(1, "beta")] == [0]
+    assert (1, "alpha") not in rows
+    # prefix expansion highlights every matching term
+    rows2 = {
+        (r.doc_id, r.term)
+        for r in highlight_positions(ix, "b*", [0, 1]).collect()
+    }
+    assert rows2 == {(0, "beta"), (1, "beta")}
