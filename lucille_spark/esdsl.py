@@ -240,6 +240,40 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10):
             negative_boost=float(body.get("negative_boost", 0.5)),
             k=k,
         )
+    if kind == "multi_match":
+        from lucille_spark.search_features import best_fields, multi_field
+
+        body = dsl[kind]
+        text = body["query"]
+        fields = {}
+        for f in body.get("fields", ["content"]):
+            if "^" in f:
+                fname, w = f.split("^", 1)
+                fields[fname] = float(w)
+            else:
+                fields[f] = 1.0
+        mtype = body.get("type", "best_fields")
+        toks = _tokens(text)
+        if not toks:
+            raise UnsupportedDSL("multi_match: empty after analysis")
+        qnode = (
+            A.Term(toks[0])
+            if len(toks) == 1
+            else A.Or.of(*[A.Term(t) for t in toks])
+        )
+        if mtype == "best_fields":
+            node = best_fields(
+                executor.ix,
+                qnode,
+                fields,
+                tie=float(body.get("tie_breaker", 0.0)),
+            )
+        elif mtype == "most_fields":
+            node = multi_field(qnode, fields)
+        else:
+            raise UnsupportedDSL(f"multi_match type {mtype!r}")
+        return executor.search(node, k=k)
+
     if kind == "dis_max":
         from lucille_spark.search_features import dis_max
 

@@ -1777,3 +1777,16 @@ def highlight_positions(index, query, doc_ids) -> DataFrame:
         .select("doc_id", "term", "positions")
         .orderBy("doc_id", "term")
     )
+
+
+def export_matches(
+    executor, query, path: str, with_meta: bool = True
+) -> int:
+    """Bulk export: write the FULL match set (score + stored meta)
+    of `query` to parquet in one distributed job — the labeling /
+    downstream-pipeline handoff shape (never .collect() a large
+    match set to the driver). Returns the exported row count read
+    back from the written files' metadata."""
+    df = executor.search(query, k=None, with_meta=with_meta)
+    df.write.mode("overwrite").parquet(path)
+    return executor.ix.spark.read.parquet(path).count()

@@ -235,3 +235,44 @@ def test_aggs_histogram(spark, unit_index):
     assert sum(r.doc_count for r in rows) == ex.search("cats", k=None).count()
     for r in rows:
         assert r.key % 5 == 0
+
+
+def test_multi_match_best_and_most_fields(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import best_fields, multi_field
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    dsl = {"multi_match": {"query": "cats dogs",
+                           "fields": ["content^1"],
+                           "type": "best_fields",
+                           "tie_breaker": 0.3}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=10).collect()]
+    node = best_fields(ix, "cats dogs", {"content": 1.0}, tie=0.3)
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search(node, k=10).collect()]
+    assert a == b
+    dsl2 = {"multi_match": {"query": "cats dogs",
+                            "fields": ["content"],
+                            "type": "most_fields"}}
+    c = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl2, k=10).collect()]
+    node2 = multi_field("cats dogs", {"content": 1.0})
+    d = [(r.doc_id, round(r.score, 6))
+         for r in ex.search(node2, k=10).collect()]
+    assert c == d
+
+
+def test_export_matches(spark, unit_index, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import export_matches
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    p = str(tmp_path / "export")
+    n = export_matches(ex, "cats dogs", p)
+    assert n == ex.search("cats dogs", k=None).count()
+    back = spark.read.parquet(p)
+    assert {"doc_id", "score", "lang"} <= set(back.columns)
