@@ -287,6 +287,53 @@ def _secret_docs(spark: SparkSession, sf_dir: str, limit: int = 100):
 
 
 # --------------------------------------------------------------------
+# alias fixture: the documents table split into two INDEPENDENTLY
+# built physical indexes (doc_id < half / >= half, original ids kept
+# so the id spaces are already disjoint), served as ONE MultiIndex.
+# The oracle knows nothing about the split — it scores the whole
+# corpus — so a hash match proves the alias's global df/avgdl merge
+# is exact.
+# --------------------------------------------------------------------
+
+
+def _alias_index_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.streaming import MultiIndex
+
+    key = "alias:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    half = n // 2
+    dirs = []
+    for tag, cond in (
+        ("lo", F.col("doc_id") < half),
+        ("hi", F.col("doc_id") >= half),
+    ):
+        out = os.path.join(
+            "/tmp/lucille_entry_ix",
+            f"alias_{tag}_v{INDEX_FORMAT}_"
+            + hashlib.md5(key.encode()).hexdigest()[:12],
+        )
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            IndexBuilder(
+                num_shards=2, block_size=128, analyzer="standard"
+            ).build(
+                docs.filter(cond),
+                out,
+                content_col="text",
+                id_col="doc_id",
+                meta_cols=["lang", "source"],
+            )
+        dirs.append(out)
+    ix = MultiIndex(spark, dirs)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+# --------------------------------------------------------------------
 # indexed-field index: `title` := the document's first 5 tokens,
 # indexed as a separate full-text FIELD ("title:<tok>" term
 # namespace, per-field BM25 norms). The oracle derives the same
@@ -2293,6 +2340,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_highlight_pos"] = hl_pos_q
+
+    # ---- alias serving vs the WHOLE-corpus oracle -------------------
+    def ft_alias_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _alias_index_for(s, d)
+        out = DataFrameExecutor(ix).search("batch AND window", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_alias"] = ft_alias_q
+
+    def wand_alias_q(s, d):
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _alias_index_for(s, d)
+        out = WandExecutor(ix).search("batch AND window", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["wand_alias"] = wand_alias_q
 
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
@@ -4651,5 +4717,16 @@ WITH pos AS ({_POS})
 SELECT doc_id, term, list(p ORDER BY p) AS positions
 FROM pos WHERE term IN ('spark', 'batch') AND doc_id IN (0, 1, 2, 3, 4)
 GROUP BY doc_id, term ORDER BY doc_id, term"""
+
+    # alias serving: the oracle scores the WHOLE corpus (it never
+    # sees the two-index split) — identical to the plain AND oracle
+    o["ft_alias"] = (
+        _cte(["batch", "window"])
+        + """, agg AS (SELECT doc_id, sum(s) AS s FROM sc
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT doc_id, round(s, 4) AS score FROM agg
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+    o["wand_alias"] = o["ft_alias"]
 
     return o
