@@ -1,6 +1,16 @@
 """Large-scale training-data pipeline operators (beyond the
 reference's parser surface): deduplication, similarity search,
-text analysis, multimodal column plumbing. All DataFrame-first;
-Python only in Arrow-vectorized kernels."""
+text analysis, code-corpus passes, event analytics, link-graph
+curation, mergeable sketches, multimodal column plumbing. All
+DataFrame-first; Python only in Arrow-vectorized kernels."""
 
-from lucille_spark.ops import dedup, similarity, text  # noqa: F401
+from lucille_spark.ops import (  # noqa: F401
+    code,
+    dedup,
+    events,
+    graph,
+    multimodal,
+    similarity,
+    sketch,
+    text,
+)
