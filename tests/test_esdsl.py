@@ -276,3 +276,78 @@ def test_export_matches(spark, unit_index, tmp_path):
     assert n == ex.search("cats dogs", k=None).count()
     back = spark.read.parquet(p)
     assert {"doc_id", "score", "lang"} <= set(back.columns)
+
+
+# ------------------------------------------- property fuzz (hypothesis)
+
+
+def _dsl_strategies():
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(
+        ["cats", "dogs", "bird", "fish", "tree", "rock"]
+    )
+    leaf = st.one_of(
+        st.builds(lambda w: {"match": {"content": w}}, words),
+        st.builds(
+            lambda a, b: {
+                "match": {
+                    "content": {"query": f"{a} {b}", "operator": "and"}
+                }
+            },
+            words,
+            words,
+        ),
+        st.builds(lambda w: {"prefix": {"content": {"value": w[:2]}}}, words),
+        st.builds(
+            lambda a, b: {"match_phrase": {"content": f"{a} {b}"}},
+            words,
+            words,
+        ),
+    )
+
+    def boolify(children):
+        return st.builds(
+            lambda must, should, must_not: {
+                "bool": {
+                    k: v
+                    for k, v in (
+                        ("must", must),
+                        ("should", should),
+                        ("must_not", must_not),
+                    )
+                    if v
+                }
+            },
+            st.lists(children, max_size=2),
+            st.lists(children, max_size=2),
+            st.lists(children, max_size=1),
+        ).filter(lambda d: d["bool"])
+
+    return st.recursive(leaf, boolify, max_leaves=6)
+
+
+def test_dsl_print_parse_roundtrip_plan_identity(spark, unit_index):
+    """Any translated DSL tree, printed back to Lucene syntax and
+    re-parsed, must produce the IDENTICAL physical plan — the
+    translator, printer, parser and planner agree on one semantics."""
+    from hypothesis import HealthCheck, given, settings
+
+    import lucille_spark as lq
+    from lucille_spark.esdsl import to_ast
+
+    ix, _, _ = unit_index
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(_dsl_strategies())
+    def run(dsl):
+        node = to_ast(dsl)
+        printed = lq.print_query(node)
+        replanned = ix.plan(lq.parse(printed))
+        assert ix.plan(node) == replanned, (dsl, printed)
+
+    run()
