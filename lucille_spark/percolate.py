@@ -190,9 +190,22 @@ def required_terms(q: ast.Query, analyzer: str = "standard"):
     return ex(q)
 
 
+def _as_query(q) -> "ast.Query":
+    """Stored queries arrive as Lucene strings, AST nodes, or — from
+    an ES migration — Query-DSL dicts; normalize all three onto the
+    shared AST."""
+    if isinstance(q, str):
+        return parse(q)
+    if isinstance(q, dict):
+        from lucille_spark.esdsl import to_ast
+
+        return to_ast(q if "query" not in q else q["query"])
+    return q
+
+
 def percolate(
     docs: DataFrame,
-    queries: Dict[str, Union[str, ast.Query]],
+    queries: Dict[str, Union[str, dict, ast.Query]],
     id_col: str = "doc_id",
     content_col: str = "content",
     analyzer: str = "standard",
@@ -222,8 +235,7 @@ def percolate(
     from lucille_spark.index.builder import _postings_frame
 
     asts = {
-        qid: parse(q) if isinstance(q, str) else q
-        for qid, q in queries.items()
+        qid: _as_query(q) for qid, q in queries.items()
     }
     # presearcher: qid -> required-term set (None = always evaluate)
     extracts = {

@@ -351,3 +351,28 @@ def test_dsl_print_parse_roundtrip_plan_identity(spark, unit_index):
         assert ix.plan(node) == replanned, (dsl, printed)
 
     run()
+
+
+def test_percolate_accepts_dsl_dicts(spark):
+    from lucille_spark.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "spark batch join"), (1, "filter merge sort")],
+        "doc_id long, content string",
+    )
+    out = percolate(
+        docs,
+        {
+            "q_str": "spark AND batch",
+            "q_dsl": {"match": {"content": {"query": "spark batch",
+                                            "operator": "and"}}},
+            "q_body": {"query": {"match": {"content": "merge"}}},
+        },
+    ).collect()
+    hits = {(r.doc_id, r.query_id) for r in out}
+    assert (0, "q_str") in hits and (0, "q_dsl") in hits
+    assert (1, "q_body") in hits
+    # string form and DSL form of the same query match identically
+    assert {d for d, q in hits if q == "q_str"} == {
+        d for d, q in hits if q == "q_dsl"
+    }
