@@ -2093,6 +2093,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_phrase_prefix"] = phrase_prefix_q
 
+    # TWO fixed terms + prefix: exercises the shifted-intersection
+    # path (regression: a two-arg transform lambda binds the array
+    # index and silently empties the match set)
+    def phrase_prefix2_q(s, d):
+        from lucille_spark.search_features import match_phrase_prefix
+
+        out = match_phrase_prefix(
+            _index_for(s, d), "spark batch win", k=10
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_phrase_prefix2"] = phrase_prefix2_q
+
     def mget_q(s, d):
         from lucille_spark.search_features import get_docs
 
@@ -4728,5 +4741,31 @@ SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
     o["wand_alias"] = o["ft_alias"]
+
+    # two fixed terms ('spark','batch' adjacent) + 'win%' completion
+    # one position later; tf = distinct qualifying starts
+    o["ft_phrase_prefix2"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+        WHERE term LIKE 'win%' ORDER BY term LIMIT 50) t),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+b2 AS (SELECT doc_id, p FROM pos WHERE term = 'batch'),
+c AS (SELECT DISTINCT doc_id, p FROM pos JOIN exp USING (term)),
+starts AS (SELECT DISTINCT a.doc_id, a.p FROM a
+           JOIN b2 ON b2.doc_id = a.doc_id AND b2.p = a.p + 1
+           JOIN c ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+tfq AS (SELECT doc_id, count(*) AS tfp FROM starts GROUP BY doc_id),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'spark'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
+  (SELECT count(DISTINCT doc_id) FROM tok JOIN exp USING (term)))
+  AS df),
+sc AS (SELECT t.doc_id,
+       ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * t.tfp /
+       (t.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tfq t JOIN dl USING (doc_id)
+       CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
 
     return o

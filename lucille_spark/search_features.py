@@ -1491,11 +1491,15 @@ def match_phrase_prefix(
             (F.col("_nf") == len(fixed_set)) & (F.size("ppos") > 0)
         )
     )
+    def _shifted(colref, off: int):
+        # single-arg lambda only: a second parameter would be bound
+        # to the ARRAY INDEX by Spark (see exec_df._phrase)
+        return F.transform(colref, lambda p: p - F.lit(off))
+
     starts = F.col("pm")[fixed[0]]
     for i in range(1, n_fixed):
         starts = F.array_intersect(
-            starts,
-            F.transform(F.col("pm")[fixed[i]], lambda p, _i=i: p - F.lit(_i)),
+            starts, _shifted(F.col("pm")[fixed[i]], i)
         )
     # a start qualifies when SOME completion sits right after the
     # fixed run; count distinct qualifying starts (MultiPhrase tf)

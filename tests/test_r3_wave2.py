@@ -712,3 +712,35 @@ def test_highlight_positions(spark, tmp_path):
         for r in highlight_positions(ix, "b*", [0, 1]).collect()
     }
     assert rows2 == {(0, "beta"), (1, "beta")}
+
+
+def test_match_phrase_prefix_multi_fixed_terms(spark, tmp_path):
+    """Regression: >=2 FIXED leading terms (the transform-shift path;
+    a two-arg lambda would silently bind the array index)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import match_phrase_prefix
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "a", 1, "alpha beta gamma delta"),
+            ("r", "b", 1, "alpha beta gamble"),
+            ("r", "c", 1, "beta alpha gamma"),
+        ],
+        "repo string, path string, commit int, content string",
+    )
+    out = str(tmp_path / "mpp3_ix")
+    IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+    ix = SparkIndex(spark, out)
+    got = {
+        r.doc_id
+        for r in match_phrase_prefix(ix, "alpha beta gam", k=10).collect()
+    }
+    assert got == {0, 1}
+    got3 = {
+        r.doc_id
+        for r in match_phrase_prefix(
+            ix, "alpha beta gamma del", k=10
+        ).collect()
+    }
+    assert got3 == {0}
