@@ -171,21 +171,37 @@ def to_ast(dsl: Dict[str, Any]) -> A.Query:
         return _wrap_field(field, A.WildCard.of(A.ManyChar()))
 
     if kind == "bool":
+
+        def _atom(n: A.Query) -> A.Query:
+            # compound children must carry their own parentheses
+            # before a +/- prefix or an @-list slot: the printer
+            # emits `-a OR b` for UnaryMinus(Or(a, b)), which
+            # re-parses as two clauses (Group is the parenthesized
+            # node and is semantically transparent to the planner)
+            if isinstance(n, (A.And, A.Or, A.MinimumMatch, A.Boost)):
+                return A.Group(n)
+            return n
+
         must = [to_ast(c) for c in _aslist(body.get("must"))]
         must += [to_ast(c) for c in _aslist(body.get("filter"))]
         should = [to_ast(c) for c in _aslist(body.get("should"))]
         must_not = [to_ast(c) for c in _aslist(body.get("must_not"))]
         msm = body.get("minimum_should_match")
         parts = []
-        parts += [A.UnaryPlus(m) for m in must]
+        parts += [A.UnaryPlus(_atom(m)) for m in must]
         if should:
             if msm is not None and len(should) > 1:
                 parts.append(
-                    A.MinimumMatch(tuple(should), int(msm))
+                    A.MinimumMatch(
+                        tuple(_atom(s) for s in should), int(msm)
+                    )
                 )
             else:
-                parts += should
-        parts += [A.UnaryMinus(n) for n in must_not]
+                # compound should items also need their own parens:
+                # OR-flattening is only semantics-preserving when the
+                # inner clauses carry no +/- markers
+                parts += [_atom(s) for s in should]
+        parts += [A.UnaryMinus(_atom(n)) for n in must_not]
         if not parts:
             raise UnsupportedDSL("bool: no clauses")
         if len(parts) == 1:

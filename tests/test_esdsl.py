@@ -376,3 +376,26 @@ def test_percolate_accepts_dsl_dicts(spark):
     assert {d for d, q in hits if q == "q_str"} == {
         d for d, q in hits if q == "q_dsl"
     }
+
+
+def test_dsl_compound_must_not_roundtrips(spark, unit_index):
+    """Regression (found by the fuzz): a nested-bool must_not child
+    must print parenthesized — `-a OR b` re-parses as two clauses."""
+    import lucille_spark as lq
+    from lucille_spark.esdsl import to_ast
+
+    ix, _, _ = unit_index
+    dsl = {"bool": {"should": [{"match": {"content": "cats"}}],
+                    "must_not": [{"bool": {"should": [
+                        {"match": {"content": "cats"}},
+                        {"match": {"content": "dogs"}}]}}]}}
+    node = to_ast(dsl)
+    printed = lq.print_query(node)
+    assert ix.plan(node) == ix.plan(lq.parse(printed)), printed
+    # compound must children too: UnaryPlus(And(...)) would print
+    # as '+a AND b' and rebind under OR precedence
+    dsl2 = {"bool": {"must": [{"match": {"content": {
+                "query": "cats dogs", "operator": "and"}}}],
+            "should": [{"match": {"content": "bird"}}]}}
+    node2 = to_ast(dsl2)
+    assert ix.plan(node2) == ix.plan(lq.parse(lq.print_query(node2)))
