@@ -413,6 +413,38 @@ def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
             )
             continue
 
+        if kind == "range":
+            from lucille_spark.search_features import facet_ranges
+
+            if query is None:
+                raise UnsupportedDSL(
+                    f"agg {name}: range agg needs a query context"
+                )
+            field = body["field"]
+            ranges = body["ranges"]
+            # ES ranges [{to}, {from,to}, {from}] -> contiguous edges
+            edges = []
+            for i, r in enumerate(ranges):
+                if "from" in r:
+                    edges.append(float(r["from"]))
+                elif i == 0:
+                    edges.append(float("-inf"))
+            last = ranges[-1]
+            edges.append(
+                float(last["to"]) if "to" in last else float("inf")
+            )
+            if sorted(edges) != edges:
+                raise UnsupportedDSL(
+                    f"agg {name}: ranges must be contiguous ascending"
+                )
+            out[name] = facet_ranges(
+                executor,
+                to_ast(query if "query" not in query else query["query"]),
+                field,
+                edges,
+            )
+            continue
+
         if kind == "value_count":
             meta = executor.ix.doclens.select("doc_id", body["field"])
             out[name] = (

@@ -399,3 +399,25 @@ def test_dsl_compound_must_not_roundtrips(spark, unit_index):
             "should": [{"match": {"content": "bird"}}]}}
     node2 = to_ast(dsl2)
     assert ix.plan(node2) == ix.plan(lq.parse(lq.print_query(node2)))
+
+
+def test_aggs_range(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import facet_ranges
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    out = aggs_es(
+        ex,
+        {"dl": {"range": {"field": "doc_len",
+                          "ranges": [{"to": 20},
+                                     {"from": 20, "to": 40},
+                                     {"from": 40}]}}},
+        query={"match": {"content": "cats"}},
+    )
+    got = [tuple(r) for r in out["dl"].collect()]
+    want = [tuple(r) for r in facet_ranges(
+        ex, "cats", "doc_len",
+        [float("-inf"), 20.0, 40.0, float("inf")]).collect()]
+    assert got == want and got
