@@ -2373,6 +2373,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wand_alias"] = wand_alias_q
 
+    # ---- round-3 wave 7: DSL completion + kNN endpoint -------------
+    def ft_querystring_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"query": {"query_string": {"query": "batch^3 OR window^0.5"}}},
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_querystring"] = ft_querystring_q
+
+    def ft_ids_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return search_es(ex, {"ids": {"values": [11, 2, 7, 5]}}, k=10)
+
+    q["ft_ids"] = ft_ids_q
+
+    def ft_filters_agg_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"by": {"filters": {"filters": {
+                "spark": {"match": {"content": "spark"}},
+                "batch": {"match": {"content": "batch"}},
+                "both": {"bool": {"must": [
+                    {"match": {"content": "spark"}},
+                    {"match": {"content": "batch"}},
+                ]}},
+            }}}},
+            query={"match": {"content": "window"}},
+        )
+        return out["by"]
+
+    q["ft_filters_agg"] = ft_filters_agg_q
+
+    def ft_composite_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"page": {"composite": {
+                "sources": [
+                    {"l": {"terms": {"field": "lang"}}},
+                    {"r": {"terms": {"field": "source"}}},
+                ],
+                "size": 5,
+                "after": {"l": "de", "r": "src5"},
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["page"]
+
+    q["ft_composite"] = ft_composite_q
+
+    def sim_knn_dsl_q(s, d):
+        from lucille_spark.esdsl import knn_es
+
+        e = _emb(s, d)
+        qv = e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        out = knn_es(
+            e,
+            {
+                "field": "embedding",
+                "query_vector": qv,
+                "k": 15,
+                "filter": {"term": {"label": {"value": 2}}},
+            },
+        )
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_knn_dsl"] = sim_knn_dsl_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4767,5 +4851,51 @@ sc AS (SELECT t.doc_id,
        CROSS JOIN st CROSS JOIN mdf)
 SELECT doc_id, round(s, 4) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # ---- round-3 wave 7: DSL completion + kNN endpoint -------------
+    # query_string rides the string parser: same plan as ft_boost
+    o["ft_querystring"] = o["ft_boost"]
+
+    # ids query: constant-score point lookups in id order
+    o["ft_ids"] = (
+        "SELECT doc_id, cast(1.0 AS double) AS score FROM documents "
+        "WHERE doc_id IN (2, 5, 7, 11) ORDER BY doc_id"
+    )
+
+    # filters agg: named-bucket counts inside the query context
+    o["ft_filters_agg"] = f"""
+WITH tok AS ({_TOK}),
+w AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+sp AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+ba AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch'),
+b AS (SELECT 'spark' AS bucket, doc_id FROM sp
+      UNION ALL SELECT 'batch' AS bucket, doc_id FROM ba
+      UNION ALL SELECT 'both' AS bucket, doc_id FROM
+        (SELECT doc_id FROM sp INTERSECT SELECT doc_id FROM ba)),
+f AS (SELECT bucket, b.doc_id FROM b JOIN w USING (doc_id))
+SELECT bucket, count(*) AS doc_count FROM f
+GROUP BY bucket ORDER BY bucket"""
+
+    # composite agg: after-key page of (lang, source) buckets over
+    # the 'spark' match set, key-ordered
+    o["ft_composite"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+b AS (SELECT d.lang AS l, d.source AS r, count(*) AS doc_count
+      FROM m JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT l, r, doc_count FROM b
+WHERE (l > 'de') OR (l = 'de' AND r > 'src5')
+ORDER BY l, r LIMIT 5"""
+
+    # ES 8 knn endpoint: exact filtered cosine (label pre-filter)
+    o["sim_knn_dsl"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+c AS (SELECT e.vec_id,
+      list_dot_product(e.embedding, q.qe) /
+      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+       sqrt(list_dot_product(q.qe, q.qe))) AS cr
+      FROM embeddings e CROSS JOIN q WHERE e.label = 2)
+SELECT vec_id, round(cr, 4) AS cosine FROM c
+ORDER BY cr DESC, vec_id LIMIT 15"""
 
     return o

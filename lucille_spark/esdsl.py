@@ -23,8 +23,16 @@ Supported (the workhorse subset):
                      must (identical matching; scoring differences
                      are out of scope for a BM25-only engine)
   match_all       -> WildCard(*) on the default field
+  query_string    -> the full Lucene string grammar via the shared
+                     parser (default_field rewrites unscoped leaves)
   boosting / constant_score / dis_max map to the engine helpers in
-  search_features (they have no AST node); `search_es` dispatches.
+  search_features (they have no AST node); `search_es` dispatches,
+  as do `ids` (point lookups, constant score) and
+  `match_phrase_prefix` (MultiPhraseQuery search-as-you-type).
+  `knn_es` is the ES 8 kNN endpoint over an embedding DataFrame
+  (filter clauses pre-filter at the scan). `aggs_es` adds `filters`
+  (named-bucket counts) and `composite` (after-key paginated
+  multi-source buckets — the scalable bucket-export agg).
 
 Anything else raises `UnsupportedDSL` with the offending clause
 path, never a silent wrong answer.
@@ -214,6 +222,26 @@ def to_ast(dsl: Dict[str, Any]) -> A.Query:
             return only
         return A.Or.of(*parts)  # Lucene BooleanQuery = flat clause bag
 
+    if kind == "query_string":
+        # the other front door IS the grammar: parse the Lucene
+        # string with the shared parser so every production
+        # (boosts, ranges, fuzzy, grouping, minimum-match) works
+        # from JSON too. `default_field` rewrites unscoped leaves
+        # only (ES semantics) via the multi_field AST rewrite.
+        from lucille_spark.parser import parse
+
+        if isinstance(body, dict):
+            qs = body["query"]
+            dfield = body.get("default_field", "content")
+        else:
+            qs, dfield = str(body), "content"
+        node = parse(qs)
+        if dfield != "content":
+            from lucille_spark.search_features import multi_field
+
+            node = multi_field(node, {dfield: 1.0})
+        return node
+
     if kind == "boost":  # not real ES; convenience passthrough
         inner, factor = body["query"], float(body["factor"])
         return A.Boost(to_ast(inner), factor)
@@ -300,6 +328,38 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10):
             tie=float(body.get("tie_breaker", 0.0)),
         )
         return executor.search(node, k=k)
+
+    if kind == "ids":
+        # ES `ids` query: point lookups by document id, constant
+        # score 1.0 (filter context). Rides get_docs' IN-list
+        # pushdown — row-group pruned, tombstone-aware, never a scan.
+        from pyspark.sql import functions as F
+
+        from lucille_spark.search_features import get_docs
+
+        ids = sorted(int(i) for i in dsl[kind]["values"])
+        out = get_docs(executor.ix, ids).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+        return out if k is None else out.limit(k)
+
+    if kind == "match_phrase_prefix":
+        from lucille_spark.search_features import match_phrase_prefix
+
+        body = dsl[kind]
+        field, text, spec = _field_value(body, "query")
+        if field != "content":
+            raise UnsupportedDSL(
+                "match_phrase_prefix: only the content field is "
+                "positional-indexed"
+            )
+        return match_phrase_prefix(
+            executor.ix,
+            text,
+            k=k if k is not None else 10,
+            max_expansions=int(spec.get("max_expansions", 50)),
+        )
+
     return executor.search(to_ast(dsl), k=k)
 
 
@@ -445,6 +505,81 @@ def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
             )
             continue
 
+        if kind == "filters":
+            # named-bucket counts: each bucket is ANY DSL clause,
+            # counted within the query context (match-set semi-
+            # join). All buckets union into ONE job / one agg —
+            # bucket match sets shuffle, never the corpus.
+            named = body["filters"]
+            parts = []
+            for bname in sorted(named):
+                m = executor.search(to_ast(named[bname]), k=None)
+                parts.append(
+                    m.select(
+                        F.lit(bname).alias("bucket"), "doc_id"
+                    )
+                )
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            if query is not None:
+                u = u.join(
+                    matches.select("doc_id"), "doc_id", "left_semi"
+                )
+            out[name] = (
+                u.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("bucket")
+            )
+            continue
+
+        if kind == "composite":
+            # paginated multi-source buckets (the scalable bucket
+            # EXPORT agg: walk every (f1, f2, ...) combination in
+            # key order, `size` per page, resuming from `after`).
+            # The after-key filter is a predicate on the grouping
+            # columns, so Catalyst pushes it below the aggregate;
+            # the page is a TakeOrdered — earlier pages never
+            # materialize.
+            sources = body["sources"]
+            size = int(body.get("size", 10))
+            after = body.get("after")
+            names, fields = [], []
+            for s_ in sources:
+                if len(s_) != 1:
+                    raise UnsupportedDSL(
+                        f"agg {name}: composite source needs one name"
+                    )
+                (sname, sspec), = s_.items()
+                if "terms" not in sspec:
+                    raise UnsupportedDSL(
+                        f"agg {name}.{sname}: only terms sources"
+                    )
+                names.append(sname)
+                fields.append(sspec["terms"]["field"])
+            meta = executor.ix.doclens.drop("shard")
+            j = matches.select("doc_id").join(meta, "doc_id")
+            keys = [
+                F.col(f).alias(n) for n, f in zip(names, fields)
+            ]
+            g = j.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("doc_count")
+            )
+            if after:
+                # strict tuple-greater in composite key order
+                pred = F.lit(False)
+                eq = F.lit(True)
+                for n in names:
+                    pred = pred | (
+                        eq & (F.col(n) > F.lit(after[n]))
+                    )
+                    eq = eq & (F.col(n) == F.lit(after[n]))
+                g = g.filter(pred)
+            out[name] = g.orderBy(
+                *[F.asc(n) for n in names]
+            ).limit(size)
+            continue
+
         if kind == "value_count":
             meta = executor.ix.doclens.select("doc_id", body["field"])
             out[name] = (
@@ -520,3 +655,81 @@ def msearch_es(executor, dsls, k: int = 10):
         for i, d in enumerate(dsls)
     }
     return executor.search_many(queries, k=k)
+
+
+# ---------------------------------------------------------------------------
+# ES 8 kNN endpoint over an embedding DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _filter_column(clause):
+    """Translate a (small) ES filter clause into a Spark Column
+    predicate over the embedding DataFrame's scalar columns —
+    term/terms/range/bool/match_all. This is the PRE-filter of a
+    filtered kNN search, so it must stay a scan predicate (parquet
+    pushdown), never a post-k filter. Raises UnsupportedDSL on
+    anything needing the inverted index."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise UnsupportedDSL(f"knn filter clause: {clause}")
+    kind, body = next(iter(clause.items()))
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        field, value, _ = _field_value(body, "value")
+        return F.col(field) == F.lit(value)
+    if kind == "terms":
+        if len(body) != 1:
+            raise UnsupportedDSL("knn terms filter: one field")
+        field, values = next(iter(body.items()))
+        return F.col(field).isin(list(values))
+    if kind == "range":
+        if len(body) != 1:
+            raise UnsupportedDSL("knn range filter: one field")
+        field, spec = next(iter(body.items()))
+        pred = F.lit(True)
+        if "gte" in spec:
+            pred = pred & (F.col(field) >= F.lit(spec["gte"]))
+        if "gt" in spec:
+            pred = pred & (F.col(field) > F.lit(spec["gt"]))
+        if "lte" in spec:
+            pred = pred & (F.col(field) <= F.lit(spec["lte"]))
+        if "lt" in spec:
+            pred = pred & (F.col(field) < F.lit(spec["lt"]))
+        return pred
+    if kind == "bool":
+        pred = F.lit(True)
+        for c in _aslist(body.get("must")) + _aslist(body.get("filter")):
+            pred = pred & _filter_column(c)
+        for c in _aslist(body.get("must_not")):
+            pred = pred & ~_filter_column(c)
+        should = [_filter_column(c) for c in _aslist(body.get("should"))]
+        if should:
+            sp = should[0]
+            for c in should[1:]:
+                sp = sp | c
+            pred = pred & sp
+        return pred
+    raise UnsupportedDSL(f"knn filter kind: {kind}")
+
+
+def knn_es(df, body, id_col: str = "vec_id"):
+    """ES 8 `knn` search over an embedding DataFrame: body is the
+    standard {field, query_vector, k, filter?} dict. Exact cosine
+    (num_candidates is accepted and ignored — brute force IS exact,
+    the recall knob only matters for the ANN variants, which are
+    `ops.similarity.srp_ann_topk` / `ivf_topk`). The filter
+    pre-filters at the scan (parquet pushdown), so recall under
+    filtering is exact by construction. -> (id, cosine) top-k."""
+    from lucille_spark.ops.similarity import cosine_topk, cosine_topk_where
+
+    field = body["field"]
+    qv = [float(x) for x in body["query_vector"]]
+    k = int(body.get("k", 10))
+    flt = body.get("filter")
+    if flt is not None:
+        return cosine_topk_where(
+            df, field, qv, _filter_column(flt), k=k, id_col=id_col
+        )
+    return cosine_topk(df, field, qv, k=k, id_col=id_col)

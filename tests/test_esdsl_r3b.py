@@ -1,0 +1,252 @@
+"""Round-3 wave-7 ES-DSL surface: query_string / ids /
+match_phrase_prefix dispatch, filters + composite aggs, knn_es.
+Every feature is proven against the engine primitive it rides
+(shared AST/planner/executors), not reimplemented semantics."""
+
+import pytest
+
+
+def _ex(ix):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    return DataFrameExecutor(ix)
+
+
+# ---------------------------------------------------------------- #
+# query_string
+# ---------------------------------------------------------------- #
+
+QS_CASES = [
+    "cats AND dogs",
+    "(cats dogs bird)@2",
+    "cats^2.5 OR dogs",
+    '"cats dogs"~3',
+    "[cats TO dogs]",
+    "lang:en AND cats",
+]
+
+
+@pytest.mark.parametrize("qstr", QS_CASES)
+def test_query_string_equals_string_parser(spark, unit_index, qstr):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"query": {"query_string": {"query": qstr}}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=20).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search(qstr, k=20).collect()]
+    assert a == b
+
+
+def test_query_string_default_field(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"query_string": {"query": "en", "default_field": "lang"}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=20).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search("lang:en", k=20).collect()]
+    assert a == b
+    # explicit scopes are untouched by default_field (ES semantics)
+    dsl2 = {"query_string": {"query": "lang:en AND en",
+                             "default_field": "lang"}}
+    c = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl2, k=20).collect()]
+    d = [(r.doc_id, round(r.score, 6))
+         for r in ex.search("lang:en AND lang:en", k=20).collect()]
+    assert c == d
+
+
+# ---------------------------------------------------------------- #
+# ids / match_phrase_prefix dispatch
+# ---------------------------------------------------------------- #
+
+
+def test_ids_query(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    out = search_es(ex, {"ids": {"values": [5, 1, 3]}}, k=10).collect()
+    assert [(r.doc_id, r.score) for r in out] == [
+        (1, 1.0), (3, 1.0), (5, 1.0)
+    ]
+    # k truncates
+    out2 = search_es(ex, {"ids": {"values": [5, 1, 3]}}, k=2).collect()
+    assert len(out2) == 2
+
+
+def test_match_phrase_prefix_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import match_phrase_prefix
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"match_phrase_prefix": {"content": {"query": "the ca"}}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=10).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in match_phrase_prefix(ix, "the ca", k=10).collect()]
+    assert a == b and a
+    with pytest.raises(Exception):
+        search_es(
+            ex, {"match_phrase_prefix": {"lang": {"query": "e"}}}, k=5
+        )
+
+
+# ---------------------------------------------------------------- #
+# filters agg
+# ---------------------------------------------------------------- #
+
+
+def test_filters_agg_counts(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    spec = {"by_topic": {"filters": {"filters": {
+        "c": {"match": {"content": "cats"}},
+        "d": {"match": {"content": "dogs"}},
+        "both": {"bool": {"must": [
+            {"match": {"content": "cats"}},
+            {"match": {"content": "dogs"}},
+        ]}},
+    }}}}
+    out = aggs_es(ex, spec)["by_topic"].collect()
+    got = {r.bucket: r.doc_count for r in out}
+    want = {
+        "c": ex.search("cats", k=None).count(),
+        "d": ex.search("dogs", k=None).count(),
+        "both": ex.search("cats AND dogs", k=None).count(),
+    }
+    want = {k: v for k, v in want.items() if v}  # empty buckets drop
+    assert got == want
+    # query context intersects
+    out2 = aggs_es(
+        ex, spec, query={"match": {"content": "dogs"}}
+    )["by_topic"].collect()
+    got2 = {r.bucket: r.doc_count for r in out2}
+    assert got2["d"] == want["d"]
+    assert got2.get("both", 0) == want.get("both", 0)
+    assert got2.get("c", 0) == ex.search(
+        "cats AND dogs", k=None
+    ).count()
+
+
+# ---------------------------------------------------------------- #
+# composite agg (after-key pagination)
+# ---------------------------------------------------------------- #
+
+
+def test_composite_agg_pagination(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    src = [{"l": {"terms": {"field": "lang"}}},
+           {"r": {"terms": {"field": "repo"}}}]
+    q = {"match": {"content": "import"}}
+
+    # ground truth: full bucket list in key order
+    full = aggs_es(
+        ex, {"all": {"composite": {"sources": src, "size": 10_000}}},
+        query=q,
+    )["all"].collect()
+    truth = [((r.l, r.r), r.doc_count) for r in full]
+    assert truth == sorted(truth) and len(truth) > 4
+
+    # page through with after-keys; pages must tile the truth
+    pages, after = [], None
+    while True:
+        body = {"sources": src, "size": 3}
+        if after:
+            body["after"] = after
+        page = aggs_es(
+            ex, {"p": {"composite": body}}, query=q
+        )["p"].collect()
+        if not page:
+            break
+        pages += [((r.l, r.r), r.doc_count) for r in page]
+        after = {"l": page[-1].l, "r": page[-1].r}
+        if len(page) < 3:
+            break
+    assert pages == truth
+
+
+def test_composite_agg_whole_corpus(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    out = aggs_es(ex, {"l": {"composite": {
+        "sources": [{"lang": {"terms": {"field": "lang"}}}],
+        "size": 100,
+    }}})["l"].collect()
+    got = {r.lang: r.doc_count for r in out}
+    want = {
+        r.lang: r.n
+        for r in ix.doclens.groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------- #
+# knn_es
+# ---------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>, label int")
+
+
+def test_knn_es_matches_cosine_topk(spark, emb_df):
+    from lucille_spark.esdsl import knn_es
+    from lucille_spark.ops.similarity import cosine_topk
+
+    qv = emb_df.filter("vec_id = 0").collect()[0].emb
+    a = [(r.vec_id, round(r.cosine, 6)) for r in knn_es(
+        emb_df, {"field": "emb", "query_vector": qv, "k": 5}
+    ).collect()]
+    b = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(
+        emb_df, "emb", qv, k=5
+    ).collect()]
+    assert a == b and a[0][0] == 0
+
+
+def test_knn_es_filtered(spark, emb_df):
+    from lucille_spark.esdsl import knn_es
+
+    qv = emb_df.filter("vec_id = 0").collect()[0].emb
+    out = knn_es(emb_df, {
+        "field": "emb", "query_vector": qv, "k": 5,
+        "filter": {"bool": {
+            "must": [{"term": {"label": {"value": 1}}}],
+            "must_not": [{"range": {"vec_id": {"gte": 40}}}],
+        }},
+    }).collect()
+    labels = {r.vec_id % 3 for r in out}
+    assert labels == {1} and all(r.vec_id < 40 for r in out)
+    assert len(out) == 5
+
+
+def test_knn_filter_translator_unsupported(spark, emb_df):
+    from lucille_spark.esdsl import UnsupportedDSL, knn_es
+
+    with pytest.raises(UnsupportedDSL):
+        knn_es(emb_df, {
+            "field": "emb", "query_vector": [0.0] * 8, "k": 3,
+            "filter": {"fuzzy": {"label": {"value": "x"}}},
+        })
