@@ -661,7 +661,10 @@ _GATE_PRIORITY = [
     "ft_field", "wand_field",
     "ft_prefix", "wand_prefix",
     "ft_wildcard", "wand_wildcard",
-    "ft_regex",
+    # (ft_regex freed this slot for the round-3 substring-dedup
+    # family — the PExpand regex path stays covered by ft_wildcard
+    # plus the local mirror's full registry run)
+    "dd_substring",
     "ft_range", "wand_range",
     "ft_fuzzy",
     "ft_minmatch",
@@ -2456,6 +2459,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
     q["sim_knn_dsl"] = sim_knn_dsl_q
+
+    # ---- exact-substring dedup (duplicated w-token window spans) ---
+    def dd_substring_q(s, d):
+        from lucille_spark.ops.dedup import duplicated_spans
+
+        return duplicated_spans(_docs(s, d), "doc_id", "text", w=8)
+
+    q["dd_substring"] = dd_substring_q
+
+    def dd_substring_stats_q(s, d):
+        from lucille_spark.ops.dedup import substring_dup_stats
+
+        return substring_dup_stats(_docs(s, d), "doc_id", "text", w=8)
+
+    q["dd_substring_stats"] = dd_substring_stats_q
+
+    def dd_substring_pairs_q(s, d):
+        from lucille_spark.ops.dedup import substring_pairs
+
+        return substring_pairs(
+            _docs(s, d), "doc_id", "text", w=8, max_bucket=50
+        )
+
+    q["dd_substring_pairs"] = dd_substring_pairs_q
 
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
@@ -4897,5 +4924,45 @@ c AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q WHERE e.label = 2)
 SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 15"""
+
+    # ---- exact-substring dedup: shared gram CTEs --------------------
+    # rolling 8-token windows, md5 gram keys — the SAME window
+    # construction as ops/dedup._window_grams, via DuckDB's zipped
+    # unnest + list_transform
+    _GRAMS = """
+arr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9_]+'), t -> t <> '') AS a FROM documents),
+g AS (SELECT doc_id,
+      unnest(range(0, greatest(len(a) - 7, 0))) AS pos,
+      unnest(list_transform(range(0, greatest(len(a) - 7, 0)),
+             i -> md5(array_to_string(a[i + 1:i + 8], ' ')))) AS gram
+      FROM arr)"""
+
+    o["dd_substring"] = f"""
+WITH {_GRAMS},
+d AS (SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, pos, gram FROM g JOIN d USING (gram)"""
+
+    o["dd_substring_stats"] = f"""
+WITH {_GRAMS},
+d AS (SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT g.doc_id,
+      CASE WHEN d.gram IS NOT NULL THEN 1 END AS _dup
+      FROM g LEFT JOIN d ON g.gram = d.gram)
+SELECT doc_id, count(*) AS n_windows, count(_dup) AS n_dup,
+       round(count(_dup) * 1.0 / count(*), 4) AS dup_ratio
+FROM f GROUP BY doc_id"""
+
+    o["dd_substring_pairs"] = f"""
+WITH {_GRAMS},
+gd AS (SELECT DISTINCT gram, doc_id FROM g),
+ok AS (SELECT gram FROM gd GROUP BY gram
+       HAVING count(*) BETWEEN 2 AND 50),
+p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM gd x JOIN gd y USING (gram) JOIN ok USING (gram)
+      WHERE x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, count(*) AS n_shared FROM p GROUP BY 1, 2"""
 
     return o

@@ -422,3 +422,141 @@ def dedup_groups(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (duplicated token-window spans)
+# ---------------------------------------------------------------------------
+
+
+def _window_grams(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """-> (doc_id, pos, gram): every w-token rolling window per doc,
+    keyed by md5 of the space-joined window (the portable gram hash —
+    computable identically in DuckDB). Window construction is array
+    HOFs in whole-stage codegen (sequence + slice + array_join); the
+    source text never leaves the scan — only 32-hex gram keys and an
+    int position shuffle downstream."""
+    toks = tokenize_expr(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(w)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + F.lit(1), F.lit(w)), " ")),
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.when(n >= w, grams).otherwise(
+                F.array().cast("array<string>")
+            ).alias("grams"),
+        )
+        .select("doc_id", F.posexplode("grams").alias("pos", "gram"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT-substring duplicate spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    w-token window whose verbatim text occurs in >= `min_docs`
+    DISTINCT documents, reported per occurrence as (doc_id, pos,
+    gram). Consecutive duplicated positions tile longer shared
+    substrings, so downstream removal can cut the maximal span
+    (pos_min .. pos_max + w), which is how the suffix-array method's
+    output is consumed — without a distributed suffix array.
+
+    Scale: one gram shuffle (rows = total tokens, 40-byte keys, no
+    skew beyond natural boilerplate — which IS the signal) + one
+    semi-join back. No pairwise comparisons anywhere.
+    -> (doc_id, pos, gram)."""
+    grams = _window_grams(df, id_col, text_col, w)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    return grams.join(dup.select("gram"), "gram", "left_semi").select(
+        "doc_id", "pos", "gram"
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-content ratio: the fraction of a doc's
+    w-token windows that occur verbatim in >= `min_docs` docs
+    (including itself) — the C4/RefinedWeb-style "drop documents that
+    are mostly boilerplate" policy signal. Docs shorter than w tokens
+    have zero windows and are omitted (nothing to judge).
+    -> (doc_id, n_windows, n_dup, dup_ratio)."""
+    grams = _window_grams(df, id_col, text_col, w)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    flagged = grams.join(
+        dup.select("gram", F.lit(1).alias("_dup")), "gram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_windows"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+def substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Doc pairs sharing >= 1 verbatim w-token window, with the
+    number of distinct shared gram keys — candidate pairs for
+    clone/near-dup review ranked by overlap. Buckets larger than
+    `max_bucket` docs are dropped (license-header-grade boilerplate:
+    quadratic pair expansion would explode, and such spans are
+    better handled by the span-level `duplicated_spans` output).
+    -> (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    grams = _window_grams(df, id_col, text_col, w).select(
+        "gram", "doc_id"
+    ).distinct()
+    buckets = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count("*").alias("n"),
+    )
+    ok = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

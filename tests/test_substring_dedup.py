@@ -1,0 +1,97 @@
+"""Exact-substring dedup (duplicated w-token window spans): hand-
+computed truth on a tiny corpus + structural invariants."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        # docs 0 and 1 share the 8-token run at different offsets
+        (0, f"{shared} tail0 tail1"),
+        (1, f"lead0 lead1 {shared}"),
+        # doc 2: the same words but a DIFFERENT order — no shared window
+        (2, "hotel golf foxtrot echo delta charlie bravo alpha"),
+        # doc 3: too short for any window
+        (3, "alpha bravo charlie"),
+        # doc 4: self-repetition only (same window twice in ONE doc)
+        (4, " ".join(["rep"] * 20)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_spans_hand_computed(spark, corpus):
+    from lucille_spark.ops.dedup import duplicated_spans
+
+    out = duplicated_spans(corpus, w=8).collect()
+    got = sorted((r.doc_id, r.pos) for r in out)
+    # docs 0/1 share windows: doc0 positions 0..2 would need the
+    # window text to match doc1's; only the pure-shared windows
+    # (not crossing into tail/lead) match: doc0 pos 0, doc1 pos 2.
+    assert got == [(0, 0), (1, 2)]
+    grams = {r.gram for r in out}
+    assert len(grams) == 1  # one shared window text
+
+
+def test_short_and_reordered_docs_excluded(spark, corpus):
+    from lucille_spark.ops.dedup import duplicated_spans
+
+    out = duplicated_spans(corpus, w=8).collect()
+    assert all(r.doc_id in (0, 1) for r in out)
+
+
+def test_self_repetition_not_cross_doc(spark, corpus):
+    # doc 4's window repeats 13 times but only within itself:
+    # min_docs=2 counts DISTINCT docs, so it must not appear.
+    from lucille_spark.ops.dedup import duplicated_spans
+
+    out = duplicated_spans(corpus, w=8, min_docs=2).collect()
+    assert not any(r.doc_id == 4 for r in out)
+
+
+def test_dup_stats(spark, corpus):
+    from lucille_spark.ops.dedup import substring_dup_stats
+
+    out = {r.doc_id: r for r in substring_dup_stats(corpus, w=8).collect()}
+    # doc 0: 10 tokens -> 3 windows, 1 duplicated
+    assert (out[0].n_windows, out[0].n_dup) == (3, 1)
+    assert out[0].dup_ratio == round(1 / 3, 4)
+    assert (out[1].n_windows, out[1].n_dup) == (3, 1)
+    assert out[2].n_dup == 0
+    assert 3 not in out  # shorter than w: no windows, omitted
+    assert out[4].n_dup == 0  # self-repetition is not cross-doc dup
+
+
+def test_substring_pairs(spark, corpus):
+    from lucille_spark.ops.dedup import substring_pairs
+
+    got = [(r.doc_a, r.doc_b, r.n_shared)
+           for r in substring_pairs(corpus, w=8).collect()]
+    assert got == [(0, 1, 1)]
+
+
+def test_pairs_max_bucket_cap(spark):
+    from lucille_spark.ops.dedup import substring_pairs
+
+    boiler = "zero one two three four five six seven"
+    rows = [(i, f"{boiler} uniq{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # bucket of 6 docs > max_bucket=5 -> dropped entirely
+    assert substring_pairs(df, w=8, max_bucket=5).count() == 0
+    # raised cap: C(6,2)=15 pairs, each sharing the one boiler window
+    out = substring_pairs(df, w=8, max_bucket=6).collect()
+    assert len(out) == 15 and all(r.n_shared == 1 for r in out)
+
+
+def test_spans_tile_longer_shared_substring(spark):
+    from lucille_spark.ops.dedup import duplicated_spans
+
+    # a 10-token shared run yields w=8 windows at pos 0,1,2 in both
+    shared = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(0, shared + " x0"), (1, shared + " y0")],
+        "doc_id long, text string",
+    )
+    got = sorted((r.doc_id, r.pos) for r in duplicated_spans(df, w=8).collect())
+    assert got == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
