@@ -2484,6 +2484,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_substring_pairs"] = dd_substring_pairs_q
 
+    # ---- ES request body: sort / from-size paging -------------------
+    def ft_dsl_sort_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return search_es(
+            ex,
+            {"query": {"match": {"content": "spark"}},
+             "sort": [{"doc_len": {"order": "desc"}}],
+             "size": 10},
+        )
+
+    q["ft_dsl_sort"] = ft_dsl_sort_q
+
+    def ft_dsl_from_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"query": {"match": {"content": "window"}},
+             "size": 10, "from": 10},
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_dsl_from"] = ft_dsl_from_q
+
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4964,5 +4993,18 @@ p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM gd x JOIN gd y USING (gram) JOIN ok USING (gram)
       WHERE x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, count(*) AS n_shared FROM p GROUP BY 1, 2"""
+
+    # ---- ES request body: sort / from-size paging -------------------
+    o["ft_dsl_sort"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT m.doc_id, dl.dl AS doc_len FROM m JOIN dl USING (doc_id)
+ORDER BY dl.dl DESC, m.doc_id LIMIT 10"""
+
+    o["ft_dsl_from"] = (
+        _cte(["window"])
+        + "SELECT doc_id, round(s, 4) AS score FROM sc "
+        "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10"
+    )
 
     return o

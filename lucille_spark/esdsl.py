@@ -255,13 +255,76 @@ def _aslist(x):
     return x if isinstance(x, list) else [x]
 
 
+def _offset_rows(df, frm: int, cols, order: str):
+    """Drop the first `frm` rows of an already-top-(k+frm) page.
+    The row_number window is single-partition by construction, but
+    it only ever sees the fetched page (<= k+from rows, ES caps its
+    own from+size window at 10k) — never unbounded data."""
+    if not frm:
+        return df
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key = [
+        F.desc(cols[0]) if order == "desc" else F.asc(cols[0])
+    ] + [F.asc(c) for c in cols[1:]]
+    wdw = Window.orderBy(*key)
+    return (
+        df.withColumn("_rn", F.row_number().over(wdw))
+        .filter(F.col("_rn") > frm)
+        .drop("_rn")
+    )
+
+
 def search_es(executor, dsl: Dict[str, Any], k: int = 10):
-    """Run one ES-DSL query dict end-to-end. `constant_score`,
-    `boosting` and `dis_max` dispatch to their engine helpers (they
-    are score combinators, not AST nodes); everything else goes
-    through to_ast -> the shared planner -> the executor."""
-    if isinstance(dsl, dict) and "query" in dsl and len(dsl) == 1:
-        dsl = dsl["query"]  # accept the full request body form
+    """Run one ES-DSL request end-to-end. Accepts either a bare
+    query clause or the full request body: `size` overrides k,
+    `from` offsets into the ranking (ES's shallow-paging knob —
+    bounded like ES's own 10k window, the offset ranks only the
+    fetched page, never the corpus; deep paging belongs to
+    `search_features.paginate` / search_after), and `sort` orders
+    the match set by a stored field via `sort_by` (field direction
+    dicts or bare field strings; "_score" = relevance). Combinator
+    kinds (constant_score / boosting / dis_max / multi_match)
+    dispatch to their engine helpers; everything else goes through
+    to_ast -> the shared planner -> the executor."""
+    body: Dict[str, Any] = {}
+    if isinstance(dsl, dict) and "query" in dsl:
+        body = {kk: v for kk, v in dsl.items() if kk != "query"}
+        dsl = dsl["query"]
+    if "size" in body:
+        k = int(body["size"])
+    frm = int(body.get("from", 0))
+    sort = body.get("sort")
+    if sort is not None:
+        spec = sort[0] if isinstance(sort, list) else sort
+        if isinstance(spec, str):
+            field, order = spec, "asc"
+        else:
+            (field, sspec), = spec.items()
+            order = (
+                sspec.get("order", "asc")
+                if isinstance(sspec, dict)
+                else str(sspec)
+            )
+        if field != "_score":
+            from lucille_spark.search_features import sort_by
+
+            if k is None:
+                raise UnsupportedDSL("sort: needs a size/k")
+            out = sort_by(
+                executor,
+                to_ast(dsl),
+                field,
+                ascending=(order == "asc"),
+                k=k + frm,
+            )
+            return _offset_rows(out, frm, [field, "doc_id"], order)
+    if frm:
+        if k is None:
+            raise UnsupportedDSL("from: needs a size/k")
+        out = search_es(executor, dsl, k=k + frm)
+        return _offset_rows(out, frm, ["score", "doc_id"], "desc")
     kind = next(iter(dsl)) if isinstance(dsl, dict) and dsl else None
     if kind == "constant_score":
         from lucille_spark.search_features import constant_score
@@ -655,6 +718,21 @@ def msearch_es(executor, dsls, k: int = 10):
         for i, d in enumerate(dsls)
     }
     return executor.search_many(queries, k=k)
+
+
+def count_es(executor, dsl: Dict[str, Any]):
+    """ES `_count` endpoint for DSL queries: how many docs match, no
+    ranking, no page — a pushed-filter scan + count (Catalyst never
+    builds the top-k ordering). constant_score counts its filter
+    (identical match set). -> DataFrame(n long), one row."""
+    from lucille_spark.search_features import match_count
+
+    if isinstance(dsl, dict) and "query" in dsl:
+        dsl = dsl["query"]
+    kind = next(iter(dsl)) if isinstance(dsl, dict) and dsl else None
+    if kind == "constant_score":
+        return count_es(executor, dsl[kind]["filter"])
+    return match_count(executor, to_ast(dsl))
 
 
 # ---------------------------------------------------------------------------

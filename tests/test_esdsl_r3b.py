@@ -250,3 +250,65 @@ def test_knn_filter_translator_unsupported(spark, emb_df):
             "field": "emb", "query_vector": [0.0] * 8, "k": 3,
             "filter": {"fuzzy": {"label": {"value": "x"}}},
         })
+
+
+# ---------------------------------------------------------------- #
+# request-body surface: size / from / sort, _count
+# ---------------------------------------------------------------- #
+
+
+def test_body_size_and_from(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "import"}}
+    full = [(r.doc_id, round(r.score, 6)) for r in search_es(
+        ex, {"query": q, "size": 12}, k=99
+    ).collect()]
+    assert len(full) == 12  # size overrides k
+    page2 = [(r.doc_id, round(r.score, 6)) for r in search_es(
+        ex, {"query": q, "size": 6, "from": 6}
+    ).collect()]
+    assert page2 == full[6:]
+
+
+def test_body_sort_field(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import sort_by
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "import"}}
+    a = [(r.doc_id, r.doc_len) for r in search_es(
+        ex, {"query": q, "sort": [{"doc_len": {"order": "desc"}}],
+             "size": 8}
+    ).collect()]
+    b = [(r.doc_id, r.doc_len) for r in sort_by(
+        ex, "import", "doc_len", ascending=False, k=8
+    ).collect()]
+    assert a == b and len(a) == 8
+    # sorted paging: from skips the first rows of the same ordering
+    c = [(r.doc_id, r.doc_len) for r in search_es(
+        ex, {"query": q, "sort": [{"doc_len": {"order": "desc"}}],
+             "size": 4, "from": 4}
+    ).collect()]
+    assert c == a[4:]
+    # _score sort = plain relevance ranking
+    d = [r.doc_id for r in search_es(
+        ex, {"query": q, "sort": ["_score"], "size": 5}
+    ).collect()]
+    e = [r.doc_id for r in search_es(ex, q, k=5).collect()]
+    assert d == e
+
+
+def test_count_es(spark, unit_index):
+    from lucille_spark.esdsl import count_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "import"}}
+    n = count_es(ex, {"query": q}).collect()[0].n
+    assert n == ex.search("import", k=None).count()
+    n2 = count_es(ex, {"constant_score": {"filter": q}}).collect()[0].n
+    assert n2 == n
