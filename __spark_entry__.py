@@ -2484,6 +2484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_substring_pairs"] = dd_substring_pairs_q
 
+    # ---- hashed linear quality classifier ---------------------------
+    def pipe_quality_lr_q(s, d):
+        from lucille_spark.ops.text import quality_lr
+
+        out = quality_lr(_docs(s, d), "text", "doc_id", dim=64, seed=11)
+        return out.select(
+            "doc_id", F.round("quality", 4).alias("quality"), "keep"
+        )
+
+    q["pipe_quality_lr"] = pipe_quality_lr_q
+
     # ---- ES request body: sort / from-size paging -------------------
     def ft_dsl_sort_q(s, d):
         from lucille_spark.esdsl import search_es
@@ -4993,6 +5004,32 @@ p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM gd x JOIN gd y USING (gram) JOIN ok USING (gram)
       WHERE x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, count(*) AS n_shared FROM p GROUP BY 1, 2"""
+
+    # ---- hashed linear quality classifier ---------------------------
+    # the seeded integer weights are data-independent, so the oracle
+    # embeds them as a VALUES list (same trick as the PQ codebooks);
+    # dot and norm stay integer until the final sigmoid
+    import numpy as _np
+
+    _qw = [
+        int(v)
+        for v in _np.random.default_rng(_np.random.PCG64(11)).integers(
+            -999, 1000, size=64
+        )
+    ]
+    _qw_values = ", ".join(f"({i}, {w})" for i, w in enumerate(_qw))
+    o["pipe_quality_lr"] = f"""
+WITH tok AS ({_TOK}),
+w(b, wt) AS (VALUES {_qw_values}),
+hb AS (SELECT doc_id, {_HASH} % 64 AS b FROM tok),
+c AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY 1, 2),
+p AS (SELECT c.doc_id, sum(c.c * w.wt) AS dot,
+      sum(c.c * c.c) AS n2 FROM c JOIN w USING (b) GROUP BY 1),
+j AS (SELECT d.doc_id,
+      coalesce(p.dot / (1000.0 * sqrt(p.n2)), 0.0) AS z
+      FROM documents d LEFT JOIN p USING (doc_id))
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality,
+       cast(1.0 / (1.0 + exp(-z)) >= 0.5 AS int) AS keep FROM j"""
 
     # ---- ES request body: sort / from-size paging -------------------
     o["ft_dsl_sort"] = f"""

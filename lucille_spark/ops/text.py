@@ -6,6 +6,8 @@ __spark_entry__.oracle_sql.
 
 from __future__ import annotations
 
+from typing import List, Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1127,3 +1129,70 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_syl.cast("int").alias("n_syllables"),
         F.round(flesch, 4).alias("flesch"),
     ).filter(F.col("n_words") > 0)
+
+
+def quality_lr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: int = 11,
+    weights: Optional[List[int]] = None,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MODEL-BASED quality filter (the CCNet / fastText-classifier
+    recipe: GPT-3 and LLaMA both gate web text on a linear classifier
+    over bag-of-words features): score = sigmoid(w . x + bias) where
+    x is the L2-normalized hashed token-count vector (same portable
+    md5 bucketing as `hashing_tf`), keep = score >= threshold.
+
+    No trained model ships in this sandbox, so `weights` defaults to
+    a deterministic seeded INTEGER vector (exact in both engines —
+    the dot product and the norm are integer arithmetic until the
+    final sigmoid, so the oracle matches bit-for-bit): swap in a real
+    model's coefficients at deployment; the distributed plumbing —
+    feature hashing, per-doc aggregation, scoring, flagging — is
+    identical. Zero-token docs score sigmoid(bias).
+
+    Shape: one explode + one (doc, bucket) partial agg + one per-doc
+    agg; weights ride as a literal array (never shuffled). All
+    codegen, no UDFs. -> (doc_id, quality, keep)."""
+    import numpy as np
+
+    if weights is None:
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        weights = [int(v) for v in rng.integers(-999, 1000, size=dim)]
+    if len(weights) != dim:
+        raise ValueError("weights length must equal dim")
+    h = F.expr(TOKEN_HASH_SPARK.format(tok="tok"))
+    counts = (
+        df.select(
+            F.col(id_col), F.explode(tokenize_expr(text_col)).alias("tok")
+        )
+        .select(id_col, F.pmod(h, F.lit(dim)).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(
+            F.col("c")
+            * F.element_at(warr, (F.col("b") + 1).cast("int"))
+        ).alias("_dot"),
+        F.sum(F.col("c") * F.col("c")).alias("_n2"),
+    )
+    joined = df.select(id_col).join(per_doc, id_col, "left")
+    z = (
+        F.coalesce(
+            F.col("_dot") / (F.lit(1000.0) * F.sqrt(F.col("_n2"))),
+            F.lit(0.0),
+        )
+        + F.lit(float(bias))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return joined.select(
+        F.col(id_col),
+        score.alias("quality"),
+        (score >= F.lit(float(threshold))).cast("int").alias("keep"),
+    )

@@ -95,3 +95,67 @@ def test_spans_tile_longer_shared_substring(spark):
     )
     got = sorted((r.doc_id, r.pos) for r in duplicated_spans(df, w=8).collect())
     assert got == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+
+
+# ---------------------------------------------------------------- #
+# hashed linear quality classifier (quality_lr)
+# ---------------------------------------------------------------- #
+
+
+def test_quality_lr_python_reference(spark):
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.ops.text import quality_lr
+
+    rows = [
+        (0, "the spark executor shuffles the batch window"),
+        (1, "import import import def def return"),
+        (2, ""),  # zero tokens -> sigmoid(bias) = 0.5
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim, seed = 64, 11
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    weights = [int(v) for v in rng.integers(-999, 1000, size=dim)]
+
+    def ref(text):
+        cnt = Counter(token_hash_py(t) % dim for t in tokenize(text))
+        if not cnt:
+            return 0.5
+        dot = sum(c * weights[b] for b, c in cnt.items())
+        n2 = sum(c * c for c in cnt.values())
+        z = dot / (1000.0 * math.sqrt(n2))
+        return 1.0 / (1.0 + math.exp(-z))
+
+    got = {r.doc_id: (r.quality, r.keep)
+           for r in quality_lr(df, dim=dim, seed=seed).collect()}
+    for i, (_, text) in enumerate(rows):
+        want = ref(text)
+        assert abs(got[i][0] - want) < 1e-9, (i, got[i][0], want)
+        assert got[i][1] == int(want >= 0.5)
+    assert got[2][0] == 0.5
+
+
+def test_quality_lr_custom_weights_and_threshold(spark):
+    from lucille_spark.ops.text import quality_lr
+
+    df = spark.createDataFrame(
+        [(0, "good good good"), (1, "bad bad bad")],
+        "doc_id long, text string",
+    )
+    from lucille_spark.ops.hashing import token_hash_py
+
+    dim = 8
+    w = [0] * dim
+    w[token_hash_py("good") % dim] += 999
+    w[token_hash_py("bad") % dim] -= 999
+    out = {r.doc_id: r for r in quality_lr(
+        df, dim=dim, weights=w, threshold=0.6
+    ).collect()}
+    assert out[0].keep == 1 and out[0].quality > 0.6
+    assert out[1].keep == 0 and out[1].quality < 0.5
