@@ -276,7 +276,7 @@ def _offset_rows(df, frm: int, cols, order: str):
     )
 
 
-def search_es(executor, dsl: Dict[str, Any], k: int = 10):
+def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
     """Run one ES-DSL request end-to-end. Accepts either a bare
     query clause or the full request body: `size` overrides k,
     `from` offsets into the ranking (ES's shallow-paging knob —
@@ -406,6 +406,32 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10):
         )
         return out if k is None else out.limit(k)
 
+    if kind == "more_like_this":
+        # ES MLT by document id: the index stores no _source, so the
+        # caller supplies the source table (`docs=`) — one driver-side
+        # point lookup for the seed text, idf from the dictionary.
+        from lucille_spark.search_features import more_like_this
+
+        body = dsl[kind]
+        if docs is None:
+            raise UnsupportedDSL(
+                "more_like_this: pass docs= (the source table; the "
+                "index stores no _source)"
+            )
+        like = body.get("like")
+        if isinstance(like, list):
+            if len(like) != 1:
+                raise UnsupportedDSL("more_like_this: one like item")
+            like = like[0]
+        doc_id = int(like["_id"]) if isinstance(like, dict) else int(like)
+        return more_like_this(
+            executor,
+            docs,
+            doc_id,
+            n_terms=int(body.get("max_query_terms", 5)),
+            k=k if k is not None else 10,
+        )
+
     if kind == "match_phrase_prefix":
         from lucille_spark.search_features import match_phrase_prefix
 
@@ -433,7 +459,9 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10):
 _METRIC_FNS = {"avg", "min", "max", "sum", "value_count"}
 
 
-def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
+def aggs_es(
+    executor, aggs: Dict[str, Any], query=None, k: int = 10, docs=None
+):
     """ES aggregations DSL over an optional query context — the
     other half of the migration surface (a dashboard's stored aggs
     run unchanged). Returns {agg_name: DataFrame}.
@@ -565,6 +593,32 @@ def aggs_es(executor, aggs: Dict[str, Any], query=None, k: int = 10):
                 to_ast(query if "query" not in query else query["query"]),
                 field,
                 edges,
+            )
+            continue
+
+        if kind == "significant_terms":
+            # JLH-scored over-represented terms in the query's top
+            # sample vs the dictionary background. Re-analyzes the
+            # sampled page's source text, so the caller supplies
+            # `docs=` (the index stores no _source).
+            from lucille_spark.search_features import (
+                significant_terms,
+            )
+
+            if query is None or docs is None:
+                raise UnsupportedDSL(
+                    f"agg {name}: significant_terms needs a query "
+                    "context and docs="
+                )
+            out[name] = significant_terms(
+                executor,
+                to_ast(query if "query" not in query else query["query"]),
+                docs,
+                k_terms=int(body.get("size", 10)),
+                sample=int(
+                    body.get("shard_size", body.get("sample", 200))
+                ),
+                text_col=body.get("field", "text"),
             )
             continue
 

@@ -312,3 +312,56 @@ def test_count_es(spark, unit_index):
     assert n == ex.search("import", k=None).count()
     n2 = count_es(ex, {"constant_score": {"filter": q}}).collect()[0].n
     assert n2 == n
+
+
+# ---------------------------------------------------------------- #
+# more_like_this / significant_terms via the DSL front door
+# ---------------------------------------------------------------- #
+
+
+def test_mlt_dsl_parity(spark, unit_index, unit_corpus):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.search_features import more_like_this
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    docs = spark.createDataFrame(
+        [(i, r.content) for i, r in enumerate(pdf.itertuples())],
+        "doc_id long, text string",
+    )
+    dsl = {"more_like_this": {"like": [{"_id": 7}],
+                              "max_query_terms": 5}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=10, docs=docs).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in more_like_this(ex, docs, 7, n_terms=5, k=10).collect()]
+    assert a == b and a
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, dsl, k=10)  # no docs= -> clear error
+
+
+def test_sigterms_dsl_parity(spark, unit_index, unit_corpus):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.search_features import significant_terms
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    docs = spark.createDataFrame(
+        [(i, r.content) for i, r in enumerate(pdf.itertuples())],
+        "doc_id long, text string",
+    )
+    spec = {"sig": {"significant_terms": {"field": "text", "size": 8,
+                                          "sample": 30}}}
+    a = [(r.term, r.fg_count, r.bg_count, round(r.score, 6))
+         for r in aggs_es(ex, spec, query={"match": {"content": "cats"}},
+                          docs=docs)["sig"].collect()]
+    b = [(r.term, r.fg_count, r.bg_count, round(r.score, 6))
+         for r in significant_terms(ex, "cats", docs, k_terms=8,
+                                    sample=30).collect()]
+    assert a == b and a
