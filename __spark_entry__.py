@@ -527,6 +527,10 @@ _ST = (
 
 _HASH = f"(cast(('0x' || substring(md5(term), 1, 8)) as bigint) % {M31})"
 
+# fixed BPE merge list shared by the tx_bpe_encode gate and oracle
+# (encoding is merge-list-parametric; the list itself is a constant)
+_BPE_MERGES_O = [("e", "r"), ("i", "n"), ("in", "g"), ("s", "t")]
+
 
 def _cte(terms) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
@@ -2494,6 +2498,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipe_quality_lr"] = pipe_quality_lr_q
+
+    # ---- distributed BPE: pair counts + subword encoding ------------
+    def tx_bpe_pairs_q(s, d):
+        from lucille_spark.ops.bpe import bpe_pair_counts
+
+        out = bpe_pair_counts(_docs(s, d), "text")
+        return out.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(30)
+
+    q["tx_bpe_pairs"] = tx_bpe_pairs_q
+
+    def tx_bpe_encode_q(s, d):
+        from lucille_spark.ops.bpe import bpe_encode
+
+        out = bpe_encode(_docs(s, d), _BPE_MERGES_O, "text", "doc_id")
+        return out.filter(F.col("doc_id") < 50).select(
+            "doc_id",
+            "pos",
+            "word",
+            F.array_join("pieces", "|").alias("piece_str"),
+            "n_pieces",
+        )
+
+    q["tx_bpe_encode"] = tx_bpe_encode_q
 
     # ---- ES request body: sort / from-size paging -------------------
     def ft_dsl_sort_q(s, d):
@@ -5030,6 +5059,39 @@ j AS (SELECT d.doc_id,
       FROM documents d LEFT JOIN p USING (doc_id))
 SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality,
        cast(1.0 / (1.0 + exp(-z)) >= 0.5 AS int) AS keep FROM j"""
+
+    # ---- distributed BPE: pair counts + subword encoding ------------
+    # round-1 character-pair counts weighted by word frequency
+    o["tx_bpe_pairs"] = f"""
+WITH tok AS ({_TOK}),
+wf AS (SELECT term AS word, count(*) AS freq FROM tok GROUP BY term),
+ch AS (SELECT word, freq,
+       list_transform(range(1, length(word)),
+                      i -> [word[i:i], word[i+1:i+1]]) AS prs
+       FROM wf WHERE length(word) >= 2),
+p AS (SELECT freq, unnest(prs) AS pr FROM ch)
+SELECT pr[1] AS a, pr[2] AS b, sum(freq) AS cnt FROM p
+GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 30"""
+
+    # greedy-left merge application == non-overlapping left-to-right
+    # string replace on the space-joined piece string (scan resumes
+    # after each replacement, exactly the BPE application rule)
+    _enc = (
+        "' ' || array_to_string(list_transform(range(1, length(word) "
+        "+ 1), i -> word[i:i]), ' ') || ' '"
+    )
+    for _a, _b in _BPE_MERGES_O:
+        _enc = f"replace({_enc}, ' {_a} {_b} ', ' {_a}{_b} ')"
+    o["tx_bpe_encode"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(arr) AS word,
+         unnest(range(1, len(arr) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9_]+'), t -> t <> '') AS arr FROM documents)
+  WHERE doc_id < 50),
+e AS (SELECT doc_id, pos, word, trim({_enc}) AS ps FROM tok)
+SELECT doc_id, pos, word, replace(ps, ' ', '|') AS piece_str,
+       len(string_split(ps, ' ')) AS n_pieces FROM e"""
 
     # ---- ES request body: sort / from-size paging -------------------
     o["ft_dsl_sort"] = f"""

@@ -1,0 +1,185 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") and
+subword encoding — the vocabulary-learning step a pretraining
+pipeline runs BEFORE token counting / sequence packing.
+
+Scale design (the part that matters at 100 TB): the corpus is
+scanned ONCE to build the word-frequency table (one explode + one
+groupBy — the same shape as the index dictionary build). Every
+merge round then runs on the VOCAB table (distinct words x current
+piece arrays), whose size is corpus-independent (Heaps' law: ~1e6-8
+rows, never 1e12). Pair counting is a codegen array HOF + one tiny
+aggregation; merge application is a left-to-right fold (F.aggregate)
+— no Python UDFs anywhere. Encoding joins the learned piece arrays
+back to tokens by word (broadcast when the vocab is small), so
+encode cost is one scan + one join regardless of merge count.
+
+All driver-side control flow (pick argmax pair per round) moves
+per-round O(1) rows; piece arrays localCheckpoint every few rounds
+to keep the plan shallow.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucille_spark.analysis import tokenize_expr
+
+
+def word_freqs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """ONE corpus scan -> (word, freq). The only full-data pass in
+    BPE training; everything after runs on this table."""
+    return (
+        df.select(F.explode(tokenize_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _char_pieces(word_col) -> "F.Column":
+    """word -> array of single characters (codegen, no UDF)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+
+
+def pair_counts(pieces_df: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-piece pair counts over the vocab
+    table (pieces, freq). -> (a, b, cnt)."""
+    prs = F.transform(
+        F.sequence(F.lit(1), F.size("pieces") - 1),
+        lambda i: F.struct(
+            F.element_at("pieces", i.cast("int")).alias("a"),
+            F.element_at("pieces", (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    return (
+        pieces_df.filter(F.size("pieces") >= 2)
+        .select("freq", F.explode(prs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Round-1 pair counts straight off a corpus: character pairs
+    weighted by word frequency. (The oracle-gated entry point; later
+    rounds run `pair_counts` on the evolving pieces table.)"""
+    wf = word_freqs(df, text_col)
+    return pair_counts(
+        wf.select("freq", _char_pieces(F.col("word")).alias("pieces"))
+    )
+
+
+def _apply_merge(pieces_col, a: str, b: str) -> "F.Column":
+    """Replace adjacent (a, b) with a+b, greedy left-to-right (the
+    BPE application rule), as a codegen fold — no UDF."""
+    return F.aggregate(
+        pieces_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 1,
+    checkpoint_every: int = 8,
+) -> List[Tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus. Ties break
+    lexicographic on (a, b) so training is deterministic across
+    partitionings. Returns the ranked merge list.
+
+    Each round: one small aggregation over the vocab table (pair
+    counts -> argmax, O(1) rows to the driver) + one fold rewrite of
+    the piece arrays. localCheckpoint bounds plan depth."""
+    wf = word_freqs(df, text_col)
+    pieces = wf.select(
+        "freq", _char_pieces(F.col("word")).alias("pieces")
+    ).localCheckpoint()
+    merges: List[Tuple[str, str]] = []
+    for r in range(n_merges):
+        top = (
+            pair_counts(pieces)
+            .filter(F.col("cnt") >= min_freq)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        pieces = pieces.select(
+            "freq", _apply_merge(F.col("pieces"), a, b).alias("pieces")
+        )
+        if (r + 1) % checkpoint_every == 0:
+            pieces = pieces.localCheckpoint()
+    return merges
+
+
+def encode_vocab(
+    words: DataFrame, merges: Sequence[Tuple[str, str]],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned merge list to a (word) vocab table ->
+    (word, pieces). Merge application runs on DISTINCT words only —
+    corpus-independent cost — then joins back to the data."""
+    out = words.select(
+        "word", _char_pieces(F.col("word")).alias("pieces")
+    )
+    for r, (a, b) in enumerate(merges):
+        out = out.select(
+            "word", _apply_merge(F.col("pieces"), a, b).alias("pieces")
+        )
+        if (r + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Tokenize a corpus into learned subword pieces: one scan
+    (explode words with positions) + one join against the encoded
+    vocab (broadcast when small). Token order is preserved via the
+    word position. -> (doc_id, pos, word, pieces, n_pieces)."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_expr(text_col)).alias("pos", "word"),
+    )
+    if vocab is None:
+        vocab = words.select("word").distinct()
+    enc = encode_vocab(vocab, merges)
+    return words.join(enc, "word", "left").select(
+        "doc_id",
+        "pos",
+        "word",
+        F.coalesce(
+            "pieces", _char_pieces(F.col("word"))
+        ).alias("pieces"),
+        F.size(
+            F.coalesce("pieces", _char_pieces(F.col("word")))
+        ).alias("n_pieces"),
+    )

@@ -1,0 +1,147 @@
+"""Distributed BPE training/encoding vs a pure-Python reference
+(Sennrich et al. 2016 algorithm) on hand-checkable corpora."""
+
+from collections import Counter
+
+import pytest
+
+
+# ---------------------------------------------------------------- #
+# pure-python reference BPE
+# ---------------------------------------------------------------- #
+
+
+def ref_word_freqs(texts, tokenize):
+    wf = Counter()
+    for t in texts:
+        wf.update(tokenize(t))
+    return wf
+
+
+def ref_pair_counts(pieces_freq):
+    pc = Counter()
+    for pieces, f in pieces_freq:
+        for i in range(len(pieces) - 1):
+            pc[(pieces[i], pieces[i + 1])] += f
+    return pc
+
+
+def ref_apply_merge(pieces, a, b):
+    out = []
+    for x in pieces:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def ref_learn_bpe(texts, tokenize, n_merges):
+    wf = ref_word_freqs(texts, tokenize)
+    pf = [(list(w), f) for w, f in wf.items()]
+    merges = []
+    for _ in range(n_merges):
+        pc = ref_pair_counts(pf)
+        if not pc:
+            break
+        # max count, ties lexicographic on (a, b)
+        (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        pf = [(ref_apply_merge(p, a, b), f) for p, f in pf]
+    return merges
+
+
+def ref_encode(word, merges):
+    pieces = list(word)
+    for a, b in merges:
+        pieces = ref_apply_merge(pieces, a, b)
+    return pieces
+
+
+# ---------------------------------------------------------------- #
+# spark vs reference
+# ---------------------------------------------------------------- #
+
+TEXTS = [
+    "hug hug hug pug pun bun hugs",
+    "hug pug pun pun hugs hugging",
+    "the hug of the pug and the bug",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+
+
+def test_pair_counts_round1(spark, corpus):
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.ops.bpe import bpe_pair_counts
+
+    got = {(r.a, r.b): r.cnt for r in bpe_pair_counts(corpus).collect()}
+    wf = ref_word_freqs(TEXTS, tokenize)
+    want = dict(ref_pair_counts([(list(w), f) for w, f in wf.items()]))
+    assert got == want
+    assert got[("u", "g")] > got[("h", "u")] - got[("p", "u")]  # sanity
+
+
+def test_learn_bpe_matches_reference(spark, corpus):
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.ops.bpe import learn_bpe
+
+    got = learn_bpe(corpus, n_merges=6)
+    want = ref_learn_bpe(TEXTS, tokenize, 6)
+    assert got == want
+    # the classic example: 'ug' merges first on this corpus
+    assert got[0] == ("u", "g")
+
+
+def test_learn_bpe_exhausts_gracefully(spark):
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    from lucille_spark.ops.bpe import learn_bpe
+
+    got = learn_bpe(df, n_merges=10)
+    assert got == [("a", "b")]  # after 'ab' there are no pairs left
+
+
+def test_bpe_encode_matches_reference(spark, corpus):
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.ops.bpe import bpe_encode, learn_bpe
+
+    merges = learn_bpe(corpus, n_merges=6)
+    out = bpe_encode(corpus, merges).collect()
+    assert out
+    for r in out:
+        assert list(r.pieces) == ref_encode(r.word, merges)
+        assert r.n_pieces == len(r.pieces)
+    # order: (doc_id, pos) reconstructs the token stream
+    doc0 = sorted((r.pos, r.word) for r in out if r.doc_id == 0)
+    assert [w for _, w in doc0] == tokenize(TEXTS[0])
+
+
+def test_encode_unseen_word_falls_back_to_chars(spark, corpus):
+    from lucille_spark.ops.bpe import bpe_encode, learn_bpe
+
+    merges = learn_bpe(corpus, n_merges=4)
+    other = spark.createDataFrame(
+        [(9, "zzqq hug")], "doc_id long, text string"
+    )
+    # vocab built from the TRAINING corpus: 'zzqq' is unseen there
+    vocab = corpus.selectExpr(
+        "explode(split(lower(text), '[^a-z0-9_]+')) AS word"
+    ).filter("word <> ''").distinct()
+    out = {r.word: list(r.pieces)
+           for r in bpe_encode(other, merges, vocab=vocab).collect()}
+    assert out["zzqq"] == ["z", "z", "q", "q"]  # char fallback
+    assert "".join(out["hug"]) == "hug" and len(out["hug"]) < 3
+
+
+def test_merge_application_greedy_left(spark):
+    # 'aaa' under merge (a, a): greedy left-to-right -> [aa, a]
+    from lucille_spark.ops.bpe import bpe_encode
+
+    df = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    out = bpe_encode(df, [("a", "a")]).collect()[0]
+    assert list(out.pieces) == ["aa", "a"]
