@@ -2499,6 +2499,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_quality_lr"] = pipe_quality_lr_q
 
+    # ---- terms_set: per-doc minimum-should-match --------------------
+    def ft_terms_set_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import terms_set
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = terms_set(
+            ex,
+            ["spark", "batch", "window"],
+            F.pmod(F.col("doc_len"), F.lit(3)) + F.lit(1),
+            k=10,
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score"), "n_matched"
+        )
+
+    q["ft_terms_set"] = ft_terms_set_q
+
     # ---- distributed BPE: pair counts + subword encoding ------------
     def tx_bpe_pairs_q(s, d):
         from lucille_spark.ops.bpe import bpe_pair_counts
@@ -5059,6 +5077,19 @@ j AS (SELECT d.doc_id,
       FROM documents d LEFT JOIN p USING (doc_id))
 SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality,
        cast(1.0 / (1.0 + exp(-z)) >= 0.5 AS int) AS keep FROM j"""
+
+    # ---- terms_set: per-doc minimum-should-match --------------------
+    o["ft_terms_set"] = (
+        _cte(["spark", "batch", "window"])
+        + """, agg AS (SELECT doc_id, sum(s) AS s,
+       count(DISTINCT term) AS n_matched FROM sc GROUP BY doc_id),
+f AS (SELECT agg.doc_id, agg.s, agg.n_matched FROM agg
+      JOIN dl USING (doc_id)
+      WHERE agg.n_matched >= (dl.dl % 3) + 1)
+SELECT doc_id, round(s, 4) AS score,
+       cast(n_matched AS int) AS n_matched FROM f
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
 
     # ---- distributed BPE: pair counts + subword encoding ------------
     # round-1 character-pair counts weighted by word frequency

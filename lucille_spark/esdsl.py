@@ -406,6 +406,26 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
         )
         return out if k is None else out.limit(k)
 
+    if kind == "terms_set":
+        # per-document minimum-should-match from a stored field
+        from lucille_spark.search_features import terms_set
+
+        body = dsl[kind]
+        if len(body) != 1:
+            raise UnsupportedDSL("terms_set: expected one field")
+        field, spec = next(iter(body.items()))
+        if field != "content":
+            raise UnsupportedDSL(
+                "terms_set: only the content field is indexed for "
+                "term matching"
+            )
+        return terms_set(
+            executor,
+            spec["terms"],
+            spec["minimum_should_match_field"],
+            k=k if k is not None else 10,
+        )
+
     if kind == "more_like_this":
         # ES MLT by document id: the index stores no _source, so the
         # caller supplies the source table (`docs=`) — one driver-side

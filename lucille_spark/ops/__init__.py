@@ -5,6 +5,7 @@ curation, mergeable sketches, multimodal column plumbing. All
 DataFrame-first; Python only in Arrow-vectorized kernels."""
 
 from lucille_spark.ops import (  # noqa: F401
+    bpe,
     code,
     dedup,
     events,

@@ -1794,3 +1794,90 @@ def export_matches(
     df = executor.search(query, k=None, with_meta=with_meta)
     df.write.mode("overwrite").parquet(path)
     return executor.ix.spark.read.parquet(path).count()
+
+
+def terms_set(
+    executor,
+    terms,
+    msm_field,
+    k: int = 10,
+) -> DataFrame:
+    """ES `terms_set` query: a boolean OR whose minimum-should-match
+    is PER-DOCUMENT, read from a stored numeric field
+    (`minimum_should_match_field`; a Column expression over doclens
+    columns is also accepted — the `minimum_should_match_script`
+    analogue) — the "match at least as many skills as the posting
+    requires" shape. Scored like a bool should (sum of matching BM25
+    clauses) over docs whose matched-clause count reaches their own
+    threshold.
+
+    Plan: ONE file-pruned postings scan of the term set + one
+    groupBy(doc_id) computing the score sum and the distinct-term
+    count together, then a doclens join for (dl at scoring time
+    already folded, msm field) and the per-doc filter — the same
+    single-scan shape as every other flat boolean, plus one column.
+    -> (doc_id, score, n_matched) top-k."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+
+    ix = executor.ix
+    uniq = sorted(set(str(t) for t in terms))
+    if not uniq:
+        raise ValueError("terms_set: empty term list")
+    node = ix.plan(" OR ".join(uniq)) if len(uniq) > 1 else ix.plan(
+        uniq[0]
+    )
+    pterms = (
+        [c for c in node.should if isinstance(c, P.PTerm)]
+        if isinstance(node, P.PBool)
+        else [node]
+        if isinstance(node, P.PTerm)
+        else []
+    )
+    if not pterms:  # every term unknown -> empty result
+        return ix.spark.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    wmap = F.create_map(
+        *[
+            x
+            for t in pterms
+            for x in (F.lit(t.term), F.lit(float(t.idf)))
+        ]
+    )
+    keys = [t.term for t in pterms]
+    avgdl = float(ix.stats["avg_dl"])
+    msm_col = (
+        F.col(msm_field) if isinstance(msm_field, str) else msm_field
+    )
+    dl = ix.doclens.select(
+        "doc_id",
+        F.col("doc_len").alias("_dl"),
+        msm_col.cast("int").alias("_msm"),
+    )
+    rows = (
+        ix.flat_for(keys)
+        .filter(F.col("term").isin(keys))
+        .join(dl, "doc_id")
+    )
+    scored = rows.select(
+        "doc_id",
+        "_msm",
+        "term",
+        _score_col(
+            "bm25",
+            F.col("tf"),
+            F.col("_dl"),
+            wmap[F.col("term")],
+            avgdl,
+        ).alias("_s"),
+    )
+    agg = scored.groupBy("doc_id", "_msm").agg(
+        F.sum("_s").alias("score"),
+        F.count_distinct("term").cast("int").alias("n_matched"),
+    )
+    out = agg.filter(F.col("n_matched") >= F.col("_msm")).select(
+        "doc_id", "score", "n_matched"
+    )
+    out = _drop_deleted(ix, out)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

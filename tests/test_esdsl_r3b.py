@@ -365,3 +365,93 @@ def test_sigterms_dsl_parity(spark, unit_index, unit_corpus):
          for r in significant_terms(ex, "cats", docs, k_terms=8,
                                     sample=30).collect()]
     assert a == b and a
+
+
+# ---------------------------------------------------------------- #
+# terms_set (per-doc minimum-should-match)
+# ---------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def msm_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    rows = [
+        (0, "alpha bravo charlie", 1),   # 3 matched >= 1
+        (1, "alpha bravo", 3),           # 2 matched < 3 -> out
+        (2, "alpha delta echo", 1),      # 1 matched >= 1
+        (3, "bravo charlie", 2),         # 2 matched >= 2
+        (4, "delta echo foxtrot", 1),    # 0 matched -> out
+        (5, "alpha bravo charlie", 4),   # 3 matched < 4 -> out
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, required int"
+    )
+    out = str(tmp_path_factory.mktemp("ix") / "msm")
+    IndexBuilder(num_shards=2, block_size=32).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["required"],
+    )
+    return SparkIndex(spark, out)
+
+
+def test_terms_set_field(spark, msm_index):
+    from lucille_spark.search_features import terms_set
+
+    ex = _ex(msm_index)
+    out = terms_set(
+        ex, ["alpha", "bravo", "charlie"], "required", k=10
+    ).collect()
+    got = {r.doc_id: r.n_matched for r in out}
+    assert got == {0: 3, 2: 1, 3: 2}
+    # scores: sum of matching BM25 clauses == the OR executor's
+    # scores for the same docs
+    or_scores = {
+        r.doc_id: round(r.score, 6)
+        for r in ex.search("alpha OR bravo OR charlie", k=None).collect()
+    }
+    for r in out:
+        assert round(r.score, 6) == or_scores[r.doc_id]
+
+
+def test_terms_set_column_expr(spark, msm_index):
+    from pyspark.sql import functions as F
+
+    from lucille_spark.search_features import terms_set
+
+    ex = _ex(msm_index)
+    # constant threshold 2 via expression: plain msm semantics
+    out = terms_set(
+        ex, ["alpha", "bravo", "charlie"], F.lit(2), k=10
+    ).collect()
+    got = sorted(r.doc_id for r in out)
+    msm2 = sorted(
+        r.doc_id
+        for r in ex.search("(alpha bravo charlie)@2", k=None).collect()
+    )
+    assert got == msm2
+
+
+def test_terms_set_dsl_dispatch(spark, msm_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import terms_set
+
+    ex = _ex(msm_index)
+    dsl = {"terms_set": {"content": {
+        "terms": ["alpha", "bravo", "charlie"],
+        "minimum_should_match_field": "required",
+    }}}
+    a = [(r.doc_id, round(r.score, 6), r.n_matched)
+         for r in search_es(ex, dsl, k=10).collect()]
+    b = [(r.doc_id, round(r.score, 6), r.n_matched)
+         for r in terms_set(ex, ["alpha", "bravo", "charlie"],
+                            "required", k=10).collect()]
+    assert a == b and a
+
+
+def test_terms_set_unknown_terms(spark, msm_index):
+    from lucille_spark.search_features import terms_set
+
+    ex = _ex(msm_index)
+    assert terms_set(ex, ["zzz", "qqq"], "required", k=5).count() == 0
