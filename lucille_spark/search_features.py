@@ -1820,13 +1820,20 @@ def terms_set(
     from lucille_spark import plans as P
     from lucille_spark.exec_df import _score_col
 
+    from lucille_spark import ast as A
+
     ix = executor.ix
     uniq = sorted(set(str(t) for t in terms))
     if not uniq:
         raise ValueError("terms_set: empty term list")
-    node = ix.plan(" OR ".join(uniq)) if len(uniq) > 1 else ix.plan(
-        uniq[0]
+    # build the AST directly — terms are LITERAL (ES terms_set does
+    # not parse them), so query metacharacters never reach the parser
+    qnode = (
+        A.Term(uniq[0])
+        if len(uniq) == 1
+        else A.Or.of(*[A.Term(t) for t in uniq])
     )
+    node = ix.plan(qnode)
     pterms = (
         [c for c in node.should if isinstance(c, P.PTerm)]
         if isinstance(node, P.PBool)
@@ -1848,7 +1855,11 @@ def terms_set(
     keys = [t.term for t in pterms]
     avgdl = float(ix.stats["avg_dl"])
     msm_col = (
-        F.col(msm_field) if isinstance(msm_field, str) else msm_field
+        F.col(msm_field)
+        if isinstance(msm_field, str)
+        else F.lit(int(msm_field))
+        if isinstance(msm_field, int)
+        else msm_field
     )
     dl = ix.doclens.select(
         "doc_id",

@@ -455,3 +455,16 @@ def test_terms_set_unknown_terms(spark, msm_index):
 
     ex = _ex(msm_index)
     assert terms_set(ex, ["zzz", "qqq"], "required", k=5).count() == 0
+
+
+def test_terms_set_literal_metacharacters(spark, msm_index):
+    # terms are literal (never parsed as query syntax): "alpha*"
+    # analyzes to the token "alpha", not a wildcard expansion
+    from lucille_spark.search_features import terms_set
+
+    ex = _ex(msm_index)
+    a = sorted(r.doc_id for r in terms_set(
+        ex, ["alpha*", "bravo"], "required", k=10).collect())
+    b = sorted(r.doc_id for r in terms_set(
+        ex, ["alpha", "bravo"], "required", k=10).collect())
+    assert a == b
