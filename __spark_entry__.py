@@ -2051,6 +2051,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_boosting"] = boosting_q
 
+    def pinned_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"pinned": {"ids": [7, 3],
+                        "organic": {"match": {"content": "spark"}}}},
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_pinned"] = pinned_q
+
+    def rankfeat_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import rank_feature
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = rank_feature(
+            ex, "doc_len", fn="saturation", pivot=50, boost=2.0, k=15
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_rankfeature"] = rankfeat_q
+
+    def distfeat_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import distance_feature
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = distance_feature(
+            ex, "doc_len", origin=40, pivot=10, boost=1.5, k=15
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_distfeature"] = distfeat_q
+
     # ---- pipeline aggregations over event series -------------------
     def ev_moving_avg_q(s, d):
         from lucille_spark.ops import events as ev
@@ -4588,6 +4627,35 @@ SELECT doc_id, round(s, 4) AS score FROM fin
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
 
+    # ---- pinned: ids [7, 3] rank first (ES pinned-block scores,
+    # 1e9 - position), organic 'spark' BM25 fills the tail ----------
+    o["ft_pinned"] = (
+        _cte(["spark"])
+        + """, agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+org AS (SELECT doc_id, s FROM agg WHERE doc_id NOT IN (7, 3)),
+pin AS (SELECT cast(v.doc_id as bigint) AS doc_id, v.s
+        FROM (VALUES (7, 1000000000.0), (3, 999999999.0))
+             AS v(doc_id, s)
+        WHERE v.doc_id IN (SELECT doc_id FROM documents)),
+u AS (SELECT * FROM pin UNION ALL SELECT * FROM org)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    # ---- rank_feature saturation over doc_len:
+    # 2.0 * dl / (dl + 50) ------------------------------------------
+    o["ft_rankfeature"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL})
+SELECT doc_id, round(2.0 * dl / (dl + 50.0), 6) AS score
+FROM dl ORDER BY 2.0 * dl / (dl + 50.0) DESC, doc_id LIMIT 15"""
+
+    # ---- distance_feature over doc_len:
+    # 1.5 * 10 / (10 + |dl - 40|) ------------------------------------
+    o["ft_distfeature"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL})
+SELECT doc_id, round(1.5 * 10.0 / (10.0 + abs(dl - 40.0)), 6) AS score
+FROM dl ORDER BY 1.5 * 10.0 / (10.0 + abs(dl - 40.0)) DESC, doc_id
+LIMIT 15"""
 
     # ---- event-series pipeline aggs --------------------------------
     o["ev_moving_avg"] = """

@@ -33,6 +33,13 @@ Supported (the workhorse subset):
   (filter clauses pre-filter at the scan). `aggs_es` adds `filters`
   (named-bucket counts) and `composite` (after-key paginated
   multi-source buckets — the scalable bucket-export agg).
+  Wave 13 dispatch: `function_score` (field_value_factor),
+  `span_near` / `span_first` (span_term clauses), `intervals`
+  (match rule -> span semantics), `wrapper` (base64 escape hatch),
+  `pinned` (curated ids ahead of the organic ranking),
+  `rank_feature` (saturation/log/sigmoid over a doclens-meta
+  numeric signal) and `distance_feature` (hyperbolic closeness to
+  an origin) — the last two scan ONLY the per-doc metadata table.
 
 Anything else raises `UnsupportedDSL` with the offending clause
 path, never a silent wrong answer.
@@ -467,6 +474,136 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             text,
             k=k if k is not None else 10,
             max_expansions=int(spec.get("max_expansions", 50)),
+        )
+
+    if kind == "function_score":
+        # field_value_factor form (the popularity/recency rescale);
+        # `functions` lists and painless scripts are out of scope
+        from lucille_spark.search_features import function_score
+
+        body = dsl[kind]
+        fvf = body.get("field_value_factor")
+        if fvf is None:
+            raise UnsupportedDSL(
+                "function_score: only field_value_factor is supported"
+            )
+        if float(fvf.get("factor", 1.0)) != 1.0:
+            raise UnsupportedDSL(
+                "function_score: factor != 1.0 (fold it into weight)"
+            )
+        return function_score(
+            executor,
+            to_ast(body.get("query", {"match_all": {}})),
+            factor_col=fvf["field"],
+            modifier=fvf.get("modifier", "none"),
+            weight=float(body.get("weight", 1.0)),
+            mode=body.get("boost_mode", "multiply"),
+            k=k if k is not None else 10,
+        )
+
+    if kind in ("span_near", "span_first"):
+        from lucille_spark.search_features import span_first, span_near
+
+        def _span_term(clause):
+            if set(clause) != {"span_term"}:
+                raise UnsupportedDSL(
+                    f"span clause: only span_term, got {sorted(clause)}"
+                )
+            field, val, _ = _field_value(clause["span_term"], "value")
+            if field != "content":
+                raise UnsupportedDSL(
+                    "span: only the content field is positional-indexed"
+                )
+            return str(val)
+
+        body = dsl[kind]
+        kk = k if k is not None else 10
+        if kind == "span_first":
+            return span_first(
+                executor.ix,
+                _span_term(body["match"]),
+                int(body["end"]),
+                k=kk,
+            )
+        return span_near(
+            executor.ix,
+            [_span_term(c) for c in _aslist(body["clauses"])],
+            slop=int(body.get("slop", 0)),
+            in_order=bool(body.get("in_order", True)),
+            k=kk,
+        )
+
+    if kind == "intervals":
+        # the `match` rule maps exactly onto span_near: max_gaps ->
+        # slop (extra positions allowed inside the window), ordered
+        # -> in_order; other rules (prefix/any_of/...) unsupported
+        from lucille_spark.search_features import span_near
+
+        field, spec = next(iter(dsl[kind].items()))
+        if field != "content":
+            raise UnsupportedDSL(
+                "intervals: only the content field is positional-indexed"
+            )
+        if set(spec) != {"match"}:
+            raise UnsupportedDSL("intervals: only the match rule")
+        m = spec["match"]
+        return span_near(
+            executor.ix,
+            _tokens(m["query"]),
+            slop=int(m.get("max_gaps", 0)),
+            in_order=bool(m.get("ordered", False)),
+            k=k if k is not None else 10,
+        )
+
+    if kind == "wrapper":
+        # base64-encoded inner query (the ES escape hatch for tools
+        # that can only pass opaque strings)
+        import base64
+        import json
+
+        inner = json.loads(base64.b64decode(dsl[kind]["query"]))
+        return search_es(executor, inner, k=k, docs=docs)
+
+    if kind == "pinned":
+        from lucille_spark.search_features import pinned
+
+        body = dsl[kind]
+        return pinned(
+            executor,
+            [int(i) for i in _aslist(body["ids"])],
+            to_ast(body["organic"]),
+            k=k if k is not None else 10,
+        )
+
+    if kind == "rank_feature":
+        from lucille_spark.search_features import rank_feature
+
+        body = dsl[kind]
+        fns = [f for f in ("saturation", "log", "sigmoid") if f in body]
+        fn = fns[0] if fns else "saturation"
+        spec = body.get(fn, {})
+        return rank_feature(
+            executor,
+            body["field"],
+            fn=fn,
+            pivot=spec.get("pivot"),
+            scaling_factor=float(spec.get("scaling_factor", 1.0)),
+            exponent=float(spec.get("exponent", 1.0)),
+            boost=float(body.get("boost", 1.0)),
+            k=k if k is not None else 10,
+        )
+
+    if kind == "distance_feature":
+        from lucille_spark.search_features import distance_feature
+
+        body = dsl[kind]
+        return distance_feature(
+            executor,
+            body["field"],
+            origin=float(body["origin"]),
+            pivot=float(body["pivot"]),
+            boost=float(body.get("boost", 1.0)),
+            k=k if k is not None else 10,
         )
 
     return executor.search(to_ast(dsl), k=k)

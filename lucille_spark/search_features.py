@@ -1892,3 +1892,102 @@ def terms_set(
     )
     out = _drop_deleted(ix, out)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def rank_feature(
+    executor,
+    field: str,
+    fn: str = "saturation",
+    pivot: float = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `rank_feature` query: rank every live document by a static
+    per-document numeric signal (pagerank, url_length, freshness
+    score, ...) through one of ES's three monotone shapes —
+    saturation  boost * v / (v + pivot)
+    log         boost * ln(scaling_factor + v)
+    sigmoid     boost * v^e / (v^e + pivot^e)
+    (elasticsearch rank-feature query docs; the signal column lives
+    in doclens meta, so this is a scan of the per-doc METADATA table
+    only — never the postings, never raw text).
+    -> (doc_id, score) top-k, tombstone-aware."""
+    ix = executor.ix
+    v = F.col(field).cast("double")
+    if fn == "saturation":
+        if pivot is None:
+            raise ValueError("rank_feature saturation: pivot required")
+        s = v / (v + F.lit(float(pivot)))
+    elif fn == "log":
+        s = F.log(F.lit(float(scaling_factor)) + v)
+    elif fn == "sigmoid":
+        if pivot is None:
+            raise ValueError("rank_feature sigmoid: pivot required")
+        e = float(exponent)
+        s = F.pow(v, e) / (F.pow(v, e) + F.lit(float(pivot) ** e))
+    else:
+        raise ValueError(f"rank_feature: unknown function {fn!r}")
+    out = ix.doclens.filter(v.isNotNull()).select(
+        "doc_id", (F.lit(float(boost)) * s).alias("score")
+    )
+    out = _drop_deleted(ix, out)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def distance_feature(
+    executor,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `distance_feature` query over a numeric/date-epoch field:
+    score = boost * pivot / (pivot + |value - origin|) — closeness to
+    an origin point decays hyperbolically with the pivot as the
+    half-score distance. Same metadata-table-only plan shape as
+    rank_feature. -> (doc_id, score) top-k."""
+    ix = executor.ix
+    v = F.col(field).cast("double")
+    dist = F.abs(v - F.lit(float(origin)))
+    s = F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    out = ix.doclens.filter(v.isNotNull()).select(
+        "doc_id", (F.lit(float(boost)) * s).alias("score")
+    )
+    out = _drop_deleted(ix, out)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def pinned(executor, ids, organic, k: int = 10) -> DataFrame:
+    """ES `pinned` query: the given document ids rank first, in the
+    given order, ahead of the organic query's BM25 ranking (with the
+    pinned docs removed from the organic tail). Pinned docs score
+    like ES: a huge constant minus their position, so the output is
+    still one (doc_id, score) frame ordered by score.
+
+    Plan: organic top-(k) via the normal executor path + an IN-list
+    point lookup for the pins (row-group pruned via get_docs) — the
+    pin list is a query constant, never corpus-sized.
+    -> (doc_id, score) top-k, tombstone-aware."""
+    ids = [int(i) for i in ids]
+    seen = set()
+    uniq = [i for i in ids if not (i in seen or seen.add(i))]
+    org = executor.search(organic, k=k + len(uniq))
+    org = org.filter(~F.col("doc_id").isin(uniq)) if uniq else org
+    if not uniq:
+        return org.limit(k)
+    ix = executor.ix
+    spark = ix.spark
+    # _PIN_BASE mirrors ES's pinned-doc score block (a float32 max
+    # fragment): any pinned doc outranks any BM25 score
+    rank_rows = [(int(i), _PIN_BASE - r) for r, i in enumerate(uniq)]
+    ranks = spark.createDataFrame(rank_rows, "doc_id long, score double")
+    live = get_docs(ix, uniq).select("doc_id")
+    pins = ranks.join(F.broadcast(live), "doc_id")
+    out = pins.unionByName(org)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_PIN_BASE = 1.0e9

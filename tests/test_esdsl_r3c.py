@@ -1,0 +1,263 @@
+"""Round-3 wave-13 ES-DSL surface: function_score / span / intervals
+/ wrapper / pinned / rank_feature / distance_feature dispatch. Each
+DSL kind is proven against the engine primitive it rides (shared
+AST/planner/executors), plus formula checks for the two
+metadata-scored query kinds."""
+
+import base64
+import json
+import math
+
+import pytest
+
+
+def _ex(ix):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    return DataFrameExecutor(ix)
+
+
+def _rows(df):
+    return [(r.doc_id, round(r.score, 6)) for r in df.collect()]
+
+
+# ---------------------------------------------------------------- #
+# dispatch parity vs the direct helpers
+# ---------------------------------------------------------------- #
+
+
+def test_function_score_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import function_score
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {
+        "function_score": {
+            "query": {"match": {"content": "cats"}},
+            "field_value_factor": {
+                "field": "doc_len",
+                "modifier": "log1p",
+            },
+            "weight": 2.0,
+            "boost_mode": "sum",
+        }
+    }
+    a = _rows(search_es(ex, dsl, k=10))
+    b = _rows(
+        function_score(
+            ex, "cats", "doc_len", modifier="log1p", weight=2.0,
+            mode="sum", k=10,
+        )
+    )
+    assert a and a == b
+
+
+def test_function_score_rejects_scripts(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    ix, _, _ = unit_index
+    with pytest.raises(UnsupportedDSL):
+        search_es(
+            _ex(ix),
+            {"function_score": {"script_score": {"script": "1"}}},
+            k=5,
+        )
+
+
+def test_span_near_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import span_near
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"content": "cats"}},
+                {"span_term": {"content": {"value": "dogs"}}},
+            ],
+            "slop": 3,
+            "in_order": False,
+        }
+    }
+    a = _rows(search_es(ex, dsl, k=10))
+    b = _rows(span_near(ix, ["cats", "dogs"], 3, in_order=False, k=10))
+    assert a and a == b
+
+
+def test_span_first_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import span_first
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {
+        "span_first": {
+            "match": {"span_term": {"content": "cats"}},
+            "end": 3,
+        }
+    }
+    a = _rows(search_es(ex, dsl, k=10))
+    b = _rows(span_first(ix, "cats", 3, k=10))
+    assert a == b
+
+
+def test_intervals_match_is_span_near(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import span_near
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {
+        "intervals": {
+            "content": {
+                "match": {"query": "cats dogs", "max_gaps": 2,
+                          "ordered": True}
+            }
+        }
+    }
+    a = _rows(search_es(ex, dsl, k=10))
+    b = _rows(span_near(ix, ["cats", "dogs"], 2, in_order=True, k=10))
+    assert a == b
+
+
+def test_wrapper_round_trip(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    inner = {"match": {"content": {"query": "cats dogs",
+                                   "operator": "and"}}}
+    enc = base64.b64encode(json.dumps(inner).encode()).decode()
+    a = _rows(search_es(ex, {"wrapper": {"query": enc}}, k=10))
+    b = _rows(search_es(ex, inner, k=10))
+    assert a == b
+
+
+# ---------------------------------------------------------------- #
+# pinned
+# ---------------------------------------------------------------- #
+
+
+def test_pinned_order_and_exclusion(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    organic = {"match": {"content": "cats"}}
+    base = [r.doc_id for r in search_es(ex, organic, k=10).collect()]
+    assert len(base) >= 2
+    pin = [base[-1], base[0]]  # pin the last organic hit first
+    out = search_es(
+        ex, {"pinned": {"ids": pin, "organic": organic}}, k=10
+    ).collect()
+    got = [r.doc_id for r in out]
+    # pins lead in the given order; organic tail excludes them
+    assert got[:2] == pin
+    assert got[2:] == [d for d in base if d not in pin][: len(got) - 2]
+    # pinned scores strictly dominate the organic tail
+    assert out[1].score > out[2].score
+
+
+def test_pinned_unknown_id_dropped(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    out = search_es(
+        _ex(ix),
+        {"pinned": {"ids": [999999],
+                    "organic": {"match": {"content": "cats"}}}},
+        k=5,
+    ).collect()
+    assert all(r.doc_id != 999999 for r in out)
+    assert out  # organic results still served
+
+
+# ---------------------------------------------------------------- #
+# rank_feature / distance_feature formulas
+# ---------------------------------------------------------------- #
+
+
+def _doclens(ix):
+    return {
+        r.doc_id: r.doc_len for r in ix.doclens.select(
+            "doc_id", "doc_len").collect()
+    }
+
+
+def test_rank_feature_saturation(spark, unit_index):
+    from lucille_spark.search_features import rank_feature
+
+    ix, _, _ = unit_index
+    dls = _doclens(ix)
+    out = rank_feature(
+        _ex(ix), "doc_len", fn="saturation", pivot=7, boost=3.0,
+        k=len(dls),
+    ).collect()
+    assert len(out) == len(dls)
+    for r in out:
+        v = dls[r.doc_id]
+        assert r.score == pytest.approx(3.0 * v / (v + 7.0))
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rank_feature_log_and_sigmoid(spark, unit_index):
+    from lucille_spark.search_features import rank_feature
+
+    ix, _, _ = unit_index
+    dls = _doclens(ix)
+    ex = _ex(ix)
+    lg = rank_feature(ex, "doc_len", fn="log", scaling_factor=2.0,
+                      k=5).collect()
+    for r in lg:
+        assert r.score == pytest.approx(math.log(2.0 + dls[r.doc_id]))
+    sg = rank_feature(ex, "doc_len", fn="sigmoid", pivot=6,
+                      exponent=2.0, k=5).collect()
+    for r in sg:
+        v = float(dls[r.doc_id])
+        assert r.score == pytest.approx(v**2 / (v**2 + 36.0))
+
+
+def test_rank_feature_requires_pivot(spark, unit_index):
+    from lucille_spark.search_features import rank_feature
+
+    ix, _, _ = unit_index
+    with pytest.raises(ValueError):
+        rank_feature(_ex(ix), "doc_len", fn="saturation", k=5)
+
+
+def test_distance_feature_formula_and_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import distance_feature
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dls = _doclens(ix)
+    out = distance_feature(ex, "doc_len", origin=6, pivot=3,
+                           boost=2.0, k=len(dls)).collect()
+    for r in out:
+        d = abs(dls[r.doc_id] - 6.0)
+        assert r.score == pytest.approx(2.0 * 3.0 / (3.0 + d))
+    dsl = {"distance_feature": {"field": "doc_len", "origin": 6,
+                                "pivot": 3, "boost": 2.0}}
+    assert _rows(search_es(ex, dsl, k=5)) == _rows(
+        distance_feature(ex, "doc_len", 6, 3, 2.0, k=5)
+    )
+
+
+def test_rank_feature_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import rank_feature
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"rank_feature": {"field": "doc_len",
+                            "log": {"scaling_factor": 1.5},
+                            "boost": 2.0}}
+    assert _rows(search_es(ex, dsl, k=5)) == _rows(
+        rank_feature(ex, "doc_len", fn="log", scaling_factor=1.5,
+                     boost=2.0, k=5)
+    )
