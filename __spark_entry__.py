@@ -2090,6 +2090,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_distfeature"] = distfeat_q
 
+    def sqs_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"simple_query_string": {
+                "query": "spark | batch -slow",
+                "default_operator": "and",
+            }},
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_sqs"] = sqs_q
+
     # ---- pipeline aggregations over event series -------------------
     def ev_moving_avg_q(s, d):
         from lucille_spark.ops import events as ev
@@ -4656,6 +4673,23 @@ WITH tok AS ({_TOK}), dl AS ({_DL})
 SELECT doc_id, round(1.5 * 10.0 / (10.0 + abs(dl - 40.0)), 6) AS score
 FROM dl ORDER BY 1.5 * 10.0 / (10.0 + abs(dl - 40.0)) DESC, doc_id
 LIMIT 15"""
+
+    # ---- simple_query_string 'spark | batch -slow' default AND
+    # == Or(spark, And(batch, Not(slow))): OR sums its matching
+    # should clauses; the And clause scores its batch term ----------
+    o["ft_sqs"] = (
+        _cte(["spark", "batch"])
+        + """, sp AS (SELECT doc_id, s FROM sc WHERE term = 'spark'),
+bt AS (SELECT doc_id, s FROM sc WHERE term = 'batch'),
+sl AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow'),
+bns AS (SELECT b.doc_id, b.s FROM bt b
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM sl)),
+u AS (SELECT coalesce(sp.doc_id, bns.doc_id) AS doc_id,
+      coalesce(sp.s, 0) + coalesce(bns.s, 0) AS s
+      FROM sp FULL OUTER JOIN bns ON sp.doc_id = bns.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
 
     # ---- event-series pipeline aggs --------------------------------
     o["ev_moving_avg"] = """

@@ -83,6 +83,42 @@ def _tokens(text: str):
     return tokenize(str(text))
 
 
+def _simple_qs(body: Dict[str, Any]):
+    """simple_query_string body -> AST node or None (match nothing).
+    `flags` accepts ES's pipe-joined string or a list; `fields`
+    accepts one field (optionally `name^boost`) — the content field
+    being the indexed default."""
+    from lucille_spark.sqs import parse_simple
+
+    flags = body.get("flags")
+    if isinstance(flags, str):
+        flags = [f for f in flags.split("|") if f]
+    node = parse_simple(
+        str(body.get("query", "")),
+        default_operator=body.get("default_operator", "or"),
+        flags=flags,
+    )
+    if node is None:
+        return None
+    fields = [f for f in _aslist(body.get("fields") or []) if f]
+    if len(fields) > 1:
+        raise UnsupportedDSL(
+            "simple_query_string: one field (use multi_match for "
+            "per-field weighting)"
+        )
+    if fields:
+        f = fields[0]
+        boost = None
+        if "^" in f:
+            f, w = f.split("^", 1)
+            boost = float(w)
+        if f not in ("", "content"):
+            node = A.Field(f, A.Group(node))
+        if boost is not None:
+            node = A.Boost(node, boost)
+    return node
+
+
 def to_ast(dsl: Dict[str, Any]) -> A.Query:
     """One DSL clause dict -> AST node. Raises UnsupportedDSL."""
     if not isinstance(dsl, dict) or len(dsl) != 1:
@@ -247,6 +283,17 @@ def to_ast(dsl: Dict[str, Any]) -> A.Query:
             from lucille_spark.search_features import multi_field
 
             node = multi_field(node, {dfield: 1.0})
+        return node
+
+    if kind == "simple_query_string":
+        node = _simple_qs(body)
+        if node is None:
+            # ES: an empty/operator-only simple_query_string matches
+            # nothing; as a bool sub-clause that has no AST shape
+            raise UnsupportedDSL(
+                "simple_query_string: empty after lenient parse "
+                "(matches nothing)"
+            )
         return node
 
     if kind == "boost":  # not real ES; convenience passthrough
@@ -475,6 +522,16 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             k=k if k is not None else 10,
             max_expansions=int(spec.get("max_expansions", 50)),
         )
+
+    if kind == "simple_query_string":
+        # top level we can honor the lenient match-nothing contract
+        # (inside bool, to_ast raises instead — no AST shape for it)
+        node = _simple_qs(dsl[kind])
+        if node is None:
+            return executor.ix.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return executor.search(node, k=k)
 
     if kind == "function_score":
         # field_value_factor form (the popularity/recency rescale);

@@ -1,0 +1,278 @@
+"""ES `simple_query_string` — Lucene SimpleQueryParser's lenient
+end-user grammar, as a second string front door onto the SAME AST
+the full Lucene parser produces (so planning, optimization, pushdown
+and both executors are shared).
+
+Grammar (the ES-documented operator set):
+  +         AND                      |       OR
+  -         negate the next atom     "..."   phrase ("..."~N slop)
+  word*     prefix                   word~N  fuzzy
+  ( ... )   grouping
+  whitespace between atoms applies `default_operator` (or|and)
+
+Precedence: NOT > AND > OR (documented; SimpleQueryParser itself is
+precedence-free left-to-right, but a fixed precedence is the less
+surprising contract and is locked by tests).
+
+LENIENT by design — this parser never raises on user input: an
+unterminated quote swallows the rest as a phrase, a dangling `)` is
+skipped, trailing/leading binary operators are dropped, an empty
+result means "match nothing" (the dispatcher returns an empty
+frame). That is the point of simple_query_string vs query_string.
+
+`flags` (iterable of upper-case names, default ALL) switches
+features off exactly like ES: a disabled feature's operator char is
+treated as plain text for the analyzer to keep or drop. Supported
+flag names: AND, OR, NOT, PHRASE, PREFIX, FUZZY, SLOP, PRECEDENCE
+(PRECEDENCE off = flat left-to-right like Lucene's parser), ALL,
+NONE.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from lucille_spark import ast as A
+
+_ALL_FLAGS = frozenset(
+    ["AND", "OR", "NOT", "PHRASE", "PREFIX", "FUZZY", "SLOP",
+     "PRECEDENCE"]
+)
+
+# one atom or operator per match; operators only split when enabled
+_WORD = re.compile(r"[^\s()|+\-\"]+")
+
+
+def _flags(flags) -> frozenset:
+    if flags is None:
+        return _ALL_FLAGS
+    out = set()
+    for f in flags:
+        f = str(f).upper()
+        if f == "ALL":
+            out |= _ALL_FLAGS
+        elif f == "NONE":
+            pass
+        else:
+            out.add(f)
+    return frozenset(out & _ALL_FLAGS)
+
+
+def _lex(text: str, fl: frozenset) -> List[Tuple[str, object]]:
+    """-> [(kind, value)] with kinds: and / or / not / lp / rp /
+    gap (whitespace between atoms) / term / phrase / prefix / fuzzy.
+    Disabled operators lex as part of words (ES flag semantics)."""
+    toks: List[Tuple[str, object]] = []
+    i, n = 0, len(text)
+    word_re = _WORD
+    # when an operator is disabled its char joins plain words
+    disabled = "".join(
+        c for c, f in (("+", "AND"), ("|", "OR"), ("-", "NOT"))
+        if f not in fl
+    )
+    if disabled or "PHRASE" not in fl:
+        chars = "\\s()"
+        for c, f in (("+", "AND"), ("|", "OR"), ("-", "NOT")):
+            if f in fl:
+                chars += re.escape(c)
+        if "PHRASE" in fl:
+            chars += '"'
+        word_re = re.compile(f"[^{chars}]+")
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            if toks and toks[-1][0] not in ("gap", "and", "or", "not",
+                                            "lp"):
+                toks.append(("gap", None))
+            i += 1
+        elif c == "+" and "AND" in fl:
+            if toks and toks[-1][0] == "gap":
+                toks.pop()
+            toks.append(("and", None))
+            i += 1
+        elif c == "|" and "OR" in fl:
+            if toks and toks[-1][0] == "gap":
+                toks.pop()
+            toks.append(("or", None))
+            i += 1
+        elif c == "-" and "NOT" in fl:
+            toks.append(("not", None))
+            i += 1
+        elif c == "(":
+            toks.append(("lp", None))
+            i += 1
+        elif c == ")":
+            toks.append(("rp", None))
+            i += 1
+        elif c == '"' and "PHRASE" in fl:
+            j = text.find('"', i + 1)
+            if j < 0:
+                j = n  # lenient: unterminated quote runs to the end
+            words = text[i + 1:j].split()
+            i = j + 1
+            slop = 0
+            m = re.match(r"~(\d+)", text[i:]) if i < n else None
+            if m and "SLOP" in fl:
+                slop = int(m.group(1))
+                i += m.end()
+            toks.append(("phrase", (words, slop)))
+        else:
+            m = word_re.match(text, i)
+            if not m:  # a bare operator char with its flag off
+                i += 1
+                continue
+            w = m.group(0)
+            i = m.end()
+            if w.endswith("*") and "PREFIX" in fl and len(w) > 1:
+                toks.append(("prefix", w[:-1]))
+                continue
+            fz = re.fullmatch(r"(.+?)~(\d+)", w)
+            if fz and "FUZZY" in fl:
+                toks.append(("fuzzy", (fz.group(1), int(fz.group(2)))))
+                continue
+            toks.append(("term", w))
+    return toks
+
+
+_ATOM_START = ("term", "phrase", "prefix", "fuzzy", "lp", "not")
+
+
+class _P:
+    def __init__(self, toks, default_and: bool, precedence: bool):
+        self.toks = toks
+        self.i = 0
+        self.default_and = default_and
+        self.precedence = precedence
+
+    def peek(self):
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def pop(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # atom := NOT atom | ( expr ) | phrase | prefix | fuzzy | term
+    def atom(self) -> Optional[A.Query]:
+        k = self.peek()
+        if k is None or k == "rp":
+            return None
+        kind, val = self.pop()
+        if kind == "gap":
+            return self.atom()
+        if kind == "not":
+            inner = self.atom()
+            return A.Not(inner) if inner is not None else None
+        if kind == "lp":
+            inner = self.expr()
+            if self.peek() == "rp":
+                self.pop()
+            return A.Group(inner) if inner is not None else None
+        if kind == "phrase":
+            words, slop = val
+            if not words:
+                return None
+            if len(words) == 1 and not slop:
+                return A.Term(words[0])
+            ph = A.Phrase(" ".join(words))
+            return A.Proximity(" ".join(words), slop) if slop else ph
+        if kind == "prefix":
+            return A.Prefix(val)
+        if kind == "fuzzy":
+            return A.Fuzzy(val[0], val[1])
+        if kind == "term":
+            return A.Term(val)
+        # stray binary operator (lenient: drop it, keep going)
+        return self.atom()
+
+    def _fold(self, items, op_and: bool) -> Optional[A.Query]:
+        items = [x for x in items if x is not None]
+        if not items:
+            return None
+        if len(items) == 1:
+            return items[0]
+        return A.And.of(*items) if op_and else A.Or.of(*items)
+
+    # andExpr := atom ((AND | and-gap) atom)*
+    # an atom directly following an atom (no whitespace, e.g.
+    # `spark(batch`) is an implicit gap — nothing is dropped
+    def and_expr(self) -> Optional[A.Query]:
+        items = [self.atom()]
+        while True:
+            k = self.peek()
+            if k == "and" or (self.default_and
+                              and k in ("gap",) + _ATOM_START):
+                if k in ("and", "gap"):
+                    self.pop()
+                items.append(self.atom())
+            else:
+                break
+        return self._fold(items, True)
+
+    # expr := andExpr ((OR | or-gap) andExpr)*
+    def expr(self) -> Optional[A.Query]:
+        if not self.precedence:
+            return self._flat()
+        items = [self.and_expr()]
+        while True:
+            k = self.peek()
+            if k == "or" or (not self.default_and
+                             and k in ("gap",) + _ATOM_START):
+                if k in ("or", "gap"):
+                    self.pop()
+                items.append(self.and_expr())
+            else:
+                break
+        return self._fold(items, False)
+
+    # PRECEDENCE flag off: strict left-to-right like Lucene's
+    # SimpleQueryParser (`a + b | c` == Or(And(a, b), c) either way,
+    # but `a | b + c` differs)
+    def _flat(self) -> Optional[A.Query]:
+        acc = self.atom()
+        while True:
+            k = self.peek()
+            if k in ("and", "or", "gap") or k in _ATOM_START:
+                if k in ("and", "or", "gap"):
+                    self.pop()
+                op_and = (k == "and") or (
+                    k in ("gap",) + _ATOM_START and self.default_and
+                )
+                nxt = self.atom()
+                if nxt is None:
+                    break
+                folded = self._fold([acc, nxt], op_and)
+                acc = folded
+            else:
+                break
+        return acc
+
+
+def parse_simple(
+    text: str,
+    default_operator: str = "or",
+    flags=None,
+) -> Optional[A.Query]:
+    """simple_query_string text -> AST, or None for "match nothing"
+    (empty/operator-only input — ES's match_no_docs). Never raises
+    on query content."""
+    fl = _flags(flags)
+    toks = _lex(str(text), fl)
+    # lenient: drop unbalanced ')' (a '(' with no ')' already groups
+    # to the end of input inside atom())
+    balanced, depth = [], 0
+    for t in toks:
+        if t[0] == "lp":
+            depth += 1
+        elif t[0] == "rp":
+            if depth == 0:
+                continue
+            depth -= 1
+        balanced.append(t)
+    p = _P(
+        balanced,
+        default_and=(str(default_operator).lower() == "and"),
+        precedence="PRECEDENCE" in fl,
+    )
+    return p.expr()

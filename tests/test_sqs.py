@@ -1,0 +1,165 @@
+"""simple_query_string: the lenient SimpleQueryParser grammar onto
+the shared AST (lucille_spark/sqs.py) + its ES-DSL dispatch. The
+structural table locks operator/precedence/flag semantics; the
+lenient table proves garbage never raises; dispatch tests prove the
+executor path and the match-nothing contract."""
+
+import pytest
+
+from lucille_spark import ast as A
+from lucille_spark.sqs import parse_simple
+
+
+def _ex(ix):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    return DataFrameExecutor(ix)
+
+
+# ---------------------------------------------------------------- #
+# structural semantics
+# ---------------------------------------------------------------- #
+
+STRUCT = [
+    ("cats", "or", None, A.Term("cats")),
+    ("cats dogs", "or", None, A.Or.of(A.Term("cats"), A.Term("dogs"))),
+    ("cats dogs", "and", None,
+     A.And.of(A.Term("cats"), A.Term("dogs"))),
+    ("cats + dogs", "or", None,
+     A.And.of(A.Term("cats"), A.Term("dogs"))),
+    ("cats | dogs", "and", None,
+     A.Or.of(A.Term("cats"), A.Term("dogs"))),
+    # NOT > AND > OR
+    ("a + b | c", "or", None,
+     A.Or.of(A.And.of(A.Term("a"), A.Term("b")), A.Term("c"))),
+    ("-a + b", "or", None,
+     A.And.of(A.Not(A.Term("a")), A.Term("b"))),
+    ('"cats dogs"', "or", None, A.Phrase("cats dogs")),
+    ('"cats dogs"~2', "or", None, A.Proximity("cats dogs", 2)),
+    ("cat*", "or", None, A.Prefix("cat")),
+    ("cat~1", "or", None, A.Fuzzy("cat", 1)),
+    ("(a | b) c", "and", None,
+     A.And.of(A.Group(A.Or.of(A.Term("a"), A.Term("b"))),
+              A.Term("c"))),
+    ("-(a b)", "or", None,
+     A.Not(A.Group(A.Or.of(A.Term("a"), A.Term("b"))))),
+    # single-word quoted phrase is just the term
+    ('"cats"', "or", None, A.Term("cats")),
+    # adjacent atoms with no whitespace: implicit default operator
+    ("a(b)", "or", None,
+     A.Or.of(A.Term("a"), A.Group(A.Term("b")))),
+]
+
+
+@pytest.mark.parametrize("text,op,flags,want", STRUCT)
+def test_structure(text, op, flags, want):
+    assert parse_simple(text, op, flags) == want
+
+
+def test_precedence_flag_off_is_left_to_right():
+    with_prec = parse_simple("a | b + c", "or")
+    assert with_prec == A.Or.of(
+        A.Term("a"), A.And.of(A.Term("b"), A.Term("c"))
+    )
+    flat = parse_simple(
+        "a | b + c", "or",
+        ["AND", "OR", "NOT", "PHRASE", "PREFIX", "FUZZY", "SLOP"],
+    )
+    assert flat == A.And.of(
+        A.Or.of(A.Term("a"), A.Term("b")), A.Term("c")
+    )
+
+
+def test_flags_disable_operators():
+    # NONE: every operator char is plain text for the analyzer
+    q = parse_simple("cats+dogs", "or", ["NONE"])
+    assert isinstance(q, A.Term)
+    # PREFIX off: trailing * stays in the token
+    q2 = parse_simple("cat*", "or", ["AND", "OR", "NOT"])
+    assert q2 == A.Term("cat*")
+    # SLOP off: the ~2 chars are plain text (ES flag semantics —
+    # a disabled operator's characters are normal characters)
+    q3 = parse_simple('"cats dogs"~2', "or",
+                      ["PHRASE", "AND", "OR", "NOT"])
+    assert q3 == A.Or.of(A.Phrase("cats dogs"), A.Term("~2"))
+    # FUZZY off: cat~1 lexes as one word
+    q4 = parse_simple("cat~1", "or", ["AND", "OR", "NOT"])
+    assert q4 == A.Term("cat~1")
+
+
+# ---------------------------------------------------------------- #
+# leniency: garbage never raises
+# ---------------------------------------------------------------- #
+
+LENIENT = [
+    ("", None),
+    ("   ", None),
+    ("+", None),
+    ("| | |", None),
+    ("cats + ", A.Term("cats")),
+    ("| cats", A.Term("cats")),
+    (")cats", A.Term("cats")),
+    ("((cats)", A.Group(A.Group(A.Term("cats")))),
+    ('"unterminated cats', A.Phrase("unterminated cats")),
+    ("cats)", A.Term("cats")),
+]
+
+
+@pytest.mark.parametrize("text,want", LENIENT)
+def test_lenient(text, want):
+    assert parse_simple(text, "or") == want
+
+
+# ---------------------------------------------------------------- #
+# DSL dispatch
+# ---------------------------------------------------------------- #
+
+
+def test_dispatch_equals_string_parser(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"simple_query_string": {"query": "cats + dogs",
+                                   "default_operator": "or"}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=20).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search("cats AND dogs", k=20).collect()]
+    assert a and a == b
+
+
+def test_dispatch_empty_matches_nothing(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es, to_ast
+
+    ix, _, _ = unit_index
+    out = search_es(
+        _ex(ix), {"simple_query_string": {"query": "  + | "}}, k=10
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score"]
+    # inside a bool clause there is no match-nothing AST: raises
+    with pytest.raises(UnsupportedDSL):
+        to_ast({"simple_query_string": {"query": ""}})
+
+
+def test_dispatch_field_and_flags(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"simple_query_string": {"query": "en",
+                                   "fields": ["lang"]}}
+    a = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl, k=20).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in ex.search("lang:(en)", k=20).collect()]
+    assert a == b
+    # ES pipe-joined flags string form
+    dsl2 = {"simple_query_string": {"query": "cat*",
+                                    "flags": "AND|OR|NOT"}}
+    c = [(r.doc_id, round(r.score, 6))
+         for r in search_es(ex, dsl2, k=20).collect()]
+    d = [(r.doc_id, round(r.score, 6))
+         for r in ex.search(r"cat\*", k=20).collect()]
+    assert c == d
