@@ -2107,6 +2107,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_sqs"] = sqs_q
 
+    def complete_q(s, d):
+        from lucille_spark.search_features import complete
+
+        return complete(_index_for(s, d), "sp", 5)
+
+    q["ft_complete"] = complete_q
+
+    def phrase_suggest_q(s, d):
+        from lucille_spark.search_features import phrase_suggest
+
+        out = phrase_suggest(
+            _index_for(s, d), "scon batc", max_dist=2, n=5
+        )
+        return out.select(
+            "suggestion", F.round("score", 6).alias("score")
+        )
+
+    q["ft_phrase_suggest"] = phrase_suggest_q
+
     # ---- pipeline aggregations over event series -------------------
     def ev_moving_avg_q(s, d):
         from lucille_spark.ops import events as ev
@@ -4690,6 +4709,43 @@ u AS (SELECT coalesce(sp.doc_id, bns.doc_id) AS doc_id,
 SELECT doc_id, round(s, 4) AS score FROM u
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
+
+    # ---- completion suggester: dictionary terms with prefix 'sp',
+    # ranked df desc, term asc ---------------------------------------
+    o["ft_complete"] = f"""
+WITH tok AS ({_TOK}),
+c AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term LIKE 'sp%' GROUP BY term)
+SELECT term AS suggestion, df FROM c ORDER BY df DESC, term LIMIT 5"""
+
+    # ---- phrase suggester 'scon batc': per-slot fuzzy candidates
+    # (damerau <= 2, top-5 by df desc/term asc), phrases re-ranked by
+    # the add-one bigram LM: ln((cf1+1)/(N+V)) +
+    # ln((bigram+1)/(cf1+V)) ------------------------------------------
+    o["ft_phrase_suggest"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}),
+st AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM tok),
+cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+c1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE damerau_levenshtein(term, 'scon') <= 2 GROUP BY term
+       ORDER BY df DESC, term LIMIT 5),
+c2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       WHERE damerau_levenshtein(term, 'batc') <= 2 GROUP BY term
+       ORDER BY df DESC, term LIMIT 5),
+bg AS (SELECT a.term AS t1, b.term AS t2, count(*) AS c
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term IN (SELECT term FROM c1)
+         AND b.term IN (SELECT term FROM c2)
+       GROUP BY a.term, b.term),
+ph AS (SELECT c1.term AS w1, c2.term AS w2,
+       ln((coalesce(f1.cf, 0) + 1.0) / (st.n + st.v)) +
+       ln((coalesce(bg.c, 0) + 1.0) / (coalesce(f1.cf, 0) + st.v))
+         AS s
+       FROM c1 CROSS JOIN c2 CROSS JOIN st
+       LEFT JOIN cf f1 ON f1.term = c1.term
+       LEFT JOIN bg ON bg.t1 = c1.term AND bg.t2 = c2.term)
+SELECT w1 || ' ' || w2 AS suggestion, round(s, 6) AS score FROM ph
+ORDER BY s DESC, suggestion LIMIT 5"""
 
     # ---- event-series pipeline aggs --------------------------------
     o["ev_moving_avg"] = """

@@ -976,6 +976,66 @@ def aggs_es(
     return out
 
 
+def suggest_es(index, body: Dict[str, Any]) -> Dict[str, Any]:
+    """The ES `suggest` request-body section: named suggesters over
+    the index — `term` (did-you-mean per word, fuzzy dictionary
+    expansion), `phrase` (bigram-LM re-ranked corrections) and
+    `completion` (dictionary prefix completions by df). Returns
+    {suggester_name: DataFrame}. All three are dictionary-/
+    postings-metadata-sized — no corpus scan."""
+    from lucille_spark.search_features import (
+        complete,
+        phrase_suggest,
+        suggest,
+    )
+
+    out: Dict[str, Any] = {}
+    for name, spec in body.items():
+        if not isinstance(spec, dict):
+            raise UnsupportedDSL(f"suggest {name}: not a dict")
+        kinds = [kk for kk in ("term", "phrase", "completion")
+                 if kk in spec]
+        if len(kinds) != 1:
+            raise UnsupportedDSL(
+                f"suggest {name}: need exactly one of "
+                "term/phrase/completion"
+            )
+        kind = kinds[0]
+        conf = spec[kind] or {}
+        size = int(conf.get("size", 5))
+        if kind == "completion":
+            prefix = spec.get("prefix", conf.get("prefix"))
+            if prefix is None:
+                raise UnsupportedDSL(
+                    f"suggest {name}: completion needs a prefix"
+                )
+            out[name] = complete(index, str(prefix), n=size)
+            continue
+        text = spec.get("text", conf.get("text"))
+        if text is None:
+            raise UnsupportedDSL(f"suggest {name}: needs text")
+        if kind == "term":
+            toks = _tokens(text)
+            if len(toks) != 1:
+                raise UnsupportedDSL(
+                    f"suggest {name}: term suggester takes one word "
+                    "(use phrase for multi-word text)"
+                )
+            out[name] = suggest(
+                index, toks[0],
+                max_dist=int(conf.get("max_edits", 1)),
+                n=size,
+            )
+        else:  # phrase
+            out[name] = phrase_suggest(
+                index, text,
+                max_dist=int(conf.get("max_edits", 1)),
+                per_token=int(conf.get("per_token", 5)),
+                n=size,
+            )
+    return out
+
+
 def msearch_es(executor, dsls, k: int = 10):
     """ES `_msearch`: N DSL queries in ONE job through the batched
     serving path (one segment scan + one kernel pass for the whole

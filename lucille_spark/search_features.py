@@ -1991,3 +1991,131 @@ def pinned(executor, ids, organic, k: int = 10) -> DataFrame:
 
 
 _PIN_BASE = 1.0e9
+
+
+def complete(index, prefix: str, n: int = 5) -> DataFrame:
+    """ES completion-suggester analogue over the term dictionary:
+    dictionary terms starting with `prefix`, ranked by document
+    frequency (desc, term asc) — the "weight" of a dictionary-backed
+    completion. Rides the same prefix expansion as Prefix queries
+    (ordered dictionary slice / pushdown bounds), so no postings and
+    no corpus scan are touched. -> (suggestion, df) top-n."""
+    cands = index.dictionary.expand_prefix(str(prefix))
+    if not cands:
+        return index.spark.createDataFrame(
+            [], "suggestion string, df long"
+        )
+    dfs = index.dictionary.lookup_df(cands)
+    ranked = sorted((-int(d), t) for t, d in dfs.items())[:n]
+    return index.spark.createDataFrame(
+        [(t, -nd) for nd, t in ranked], "suggestion string, df long"
+    )
+
+
+def phrase_suggest(
+    index,
+    text: str,
+    max_dist: int = 1,
+    per_token: int = 5,
+    n: int = 5,
+) -> DataFrame:
+    """ES phrase-suggester ("did you mean") analogue: correct a
+    multi-word query by re-ranking candidate phrases with an
+    add-one-smoothed BIGRAM language model estimated from the index
+    itself.
+
+    score(w1..wm) = ln((cf(w1)+1)/(N+V))
+                  + sum_i ln((c(w_{i-1} w_i)+1)/(cf(w_{i-1})+V))
+
+    where cf = collection frequency (dictionary), N = total tokens,
+    V = vocabulary size (stats), and c(a b) = adjacent-occurrence
+    count, computed DISTRIBUTED from the positional postings of the
+    candidate terms only: one file-pruned scan of those postings, a
+    position self-join restricted to candidate pairs, one groupBy —
+    never a corpus-wide bigram table. Candidates per slot come from
+    the same fuzzy dictionary expansion as Fuzzy queries (top
+    `per_token` by df desc, term asc; the token itself when OOV).
+    -> (suggestion, score) top-n (score desc, suggestion asc)."""
+    from itertools import product
+
+    from lucille_spark.analysis import tokenize
+
+    toks = tokenize(str(text))
+    if not toks:
+        return index.spark.createDataFrame(
+            [], "suggestion string, score double"
+        )
+    # per-slot candidate terms (driver-side, vocabulary-sized work)
+    slots = []
+    for t in toks:
+        cands = index.dictionary.expand_fuzzy(
+            t, max_dist, transpositions=True
+        )
+        if cands:
+            dfs = index.dictionary.lookup_df(cands)
+            ranked = sorted((-int(d), c) for c, d in dfs.items())
+            slots.append([c for _, c in ranked[:per_token]])
+        else:
+            slots.append([t])  # OOV: keep the user's token
+    cfs = index.dictionary.lookup_cf(
+        sorted(set(c for s in slots for c in s))
+    )
+    n_total = index.doclens.agg(
+        F.sum("doc_len").alias("n")
+    ).collect()[0]["n"]
+    vocab = int(index.stats["n_terms"])
+
+    # distributed bigram counts, candidate pairs only
+    bigrams = {}
+    if len(slots) > 1:
+        terms = sorted(set(c for s in slots for c in s))
+        src = getattr(index, "flat_for", None)
+        flat = src(terms) if src else index.flat
+        pos = (
+            _drop_deleted(index, flat)
+            .filter(F.col("term").isin(terms))
+            .select(
+                "doc_id", "term",
+                F.explode("positions").alias("p"),
+            )
+        )
+        l = pos.select(
+            F.col("doc_id"), F.col("term").alias("t1"),
+            F.col("p").alias("p1"),
+        )
+        r = pos.select(
+            F.col("doc_id"), F.col("term").alias("t2"),
+            F.col("p").alias("p2"),
+        )
+        pairs = set()
+        for a, b in zip(slots, slots[1:]):
+            pairs |= set(product(a, b))
+        pair_col = F.concat_ws("\x00", "t1", "t2")
+        want = [f"{a}\x00{b}" for a, b in pairs]
+        counts = (
+            l.join(r, "doc_id")
+            .filter(F.col("p2") == F.col("p1") + 1)
+            .filter(pair_col.isin(want))
+            .groupBy("t1", "t2")
+            .count()
+            .collect()
+        )
+        bigrams = {(row.t1, row.t2): int(row["count"]) for row in counts}
+
+    import math
+
+    out = []
+    for combo in product(*slots):
+        s = math.log(
+            (cfs.get(combo[0], 0) + 1.0) / (n_total + vocab)
+        )
+        for a, b in zip(combo, combo[1:]):
+            s += math.log(
+                (bigrams.get((a, b), 0) + 1.0)
+                / (cfs.get(a, 0) + vocab)
+            )
+        out.append((" ".join(combo), s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return index.spark.createDataFrame(
+        out[:n], "suggestion string, score double"
+    )

@@ -1,0 +1,115 @@
+"""Suggesters: completion (dictionary prefix by df), phrase
+(add-one bigram-LM did-you-mean), and the ES `suggest` request-body
+dispatcher. Checked against brute-force recomputation from the unit
+corpus' raw text."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+
+def _analyzed(unit_corpus):
+    # the standard analyzer's view of the corpus (lowercase word
+    # split), keyed by the builder's deterministic doc ids
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    return [
+        [t for t in re.split(r"[^a-zA-Z0-9]+", str(c).lower()) if t]
+        for c in pdf["content"]
+    ]
+
+
+def test_complete_matches_brute(spark, unit_index, unit_corpus):
+    from lucille_spark.search_features import complete
+
+    ix, _, _ = unit_index
+    docs = _analyzed(unit_corpus)
+    dfs = Counter()
+    for toks in docs:
+        for t in set(toks):
+            dfs[t] += 1
+    for prefix in ("c", "do", "zzz"):
+        want = sorted(
+            ((t, d) for t, d in dfs.items() if t.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        got = [(r.suggestion, r.df)
+               for r in complete(ix, prefix, 5).collect()]
+        assert got == want, prefix
+
+
+def test_phrase_suggest_brute_lm(spark, unit_index, unit_corpus):
+    from lucille_spark.search_features import phrase_suggest
+
+    ix, _, _ = unit_index
+    docs = _analyzed(unit_corpus)
+    cf = Counter(t for d in docs for t in d)
+    bg = Counter(
+        (a, b) for d in docs for a, b in zip(d, d[1:])
+    )
+    n = sum(cf.values())
+    v = len(cf)
+
+    out = phrase_suggest(ix, "cats dogs", max_dist=1, n=10).collect()
+    assert out
+    for r in out:
+        w = r.suggestion.split(" ")
+        want = math.log((cf.get(w[0], 0) + 1) / (n + v))
+        for a, b in zip(w, w[1:]):
+            want += math.log(
+                (bg.get((a, b), 0) + 1) / (cf.get(a, 0) + v)
+            )
+        assert r.score == pytest.approx(want), r.suggestion
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_suggest_oov_token_kept(spark, unit_index):
+    from lucille_spark.search_features import phrase_suggest
+
+    ix, _, _ = unit_index
+    out = phrase_suggest(ix, "qqqqzzzz cats", n=5).collect()
+    assert out
+    assert all(r.suggestion.startswith("qqqqzzzz ") for r in out)
+
+
+def test_phrase_suggest_empty(spark, unit_index):
+    from lucille_spark.search_features import phrase_suggest
+
+    ix, _, _ = unit_index
+    assert phrase_suggest(ix, "  !! ", n=5).count() == 0
+
+
+def test_suggest_es_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, suggest_es
+    from lucille_spark.search_features import (
+        complete,
+        phrase_suggest,
+        suggest,
+    )
+
+    ix, _, _ = unit_index
+    out = suggest_es(ix, {
+        "fix": {"text": "catz", "term": {"field": "content",
+                                         "max_edits": 1, "size": 3}},
+        "dym": {"text": "catz dogs", "phrase": {"field": "content",
+                                                "size": 4}},
+        "auto": {"prefix": "do", "completion": {"field": "content"}},
+    })
+    assert set(out) == {"fix", "dym", "auto"}
+    assert out["fix"].collect() == suggest(ix, "catz", 1, 3).collect()
+    assert out["dym"].collect() == phrase_suggest(
+        ix, "catz dogs", n=4
+    ).collect()
+    assert out["auto"].collect() == complete(ix, "do", 5).collect()
+
+    with pytest.raises(UnsupportedDSL):
+        suggest_es(ix, {"bad": {"term": {}}})  # no text
+    with pytest.raises(UnsupportedDSL):
+        suggest_es(ix, {"bad": {"text": "two words",
+                                "term": {}}})  # term = one word
+    with pytest.raises(UnsupportedDSL):
+        suggest_es(ix, {"bad": {"completion": {}}})  # no prefix
