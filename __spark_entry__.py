@@ -2427,6 +2427,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_histogram"] = agg_hist_q
 
+    def agg_extstats_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"dl": {"extended_stats": {"field": "doc_len"}}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["dl"]
+
+    q["ft_agg_extstats"] = agg_extstats_q
+
+    def agg_metric_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"a": {"avg": {"field": "doc_len"}},
+             "g": {"global": {}},
+             "miss": {"missing": {"field": "lang"}}},
+            query={"match": {"content": "spark"}},
+        )
+        return (
+            out["a"]
+            .crossJoin(out["g"].withColumnRenamed(
+                "doc_count", "global_count"))
+            .crossJoin(out["miss"].withColumnRenamed(
+                "doc_count", "missing_count"))
+        )
+
+    q["ft_agg_metric"] = agg_metric_q
+
+    def agg_multiterms_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"ls": {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "source"}],
+                "size": 8,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["ls"]
+
+    q["ft_agg_multiterms"] = agg_multiterms_q
+
     def hl_pos_q(s, d):
         from lucille_spark.search_features import highlight_positions
 
@@ -5079,6 +5132,41 @@ WITH tok AS ({_TOK}), dl AS ({_DL}),
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
 SELECT floor(dl.dl * 1.0 / 10) * 10.0 AS key, count(*) AS doc_count
 FROM m JOIN dl USING (doc_id) GROUP BY 1 ORDER BY 1"""
+
+    # extended_stats over doc_len of the 'spark' match set
+    # (population variance — ES's sigma basis)
+    o["ft_agg_extstats"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT cast(dl.dl AS double) AS x
+      FROM m JOIN dl USING (doc_id))
+SELECT count(*) AS n, min(x) AS min, max(x) AS max,
+  round(avg(x), 4) AS avg, round(sum(x), 4) AS sum,
+  round(sum(x * x), 4) AS sum_of_squares,
+  round(var_pop(x), 4) AS variance,
+  round(stddev_pop(x), 4) AS std_deviation
+FROM v"""
+
+    # avg + global + missing in one row
+    o["ft_agg_metric"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT
+  (SELECT round(avg(dl.dl * 1.0), 4) FROM m JOIN dl USING (doc_id))
+    AS avg,
+  (SELECT count(*) FROM documents) AS global_count,
+  (SELECT count(*) FROM m JOIN documents d USING (doc_id)
+   WHERE d.lang IS NULL) AS missing_count"""
+
+    # multi_terms (lang, source) buckets of the 'spark' match set,
+    # ES bucket order: doc_count desc, keys asc
+    o["ft_agg_multiterms"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT d.lang, d.source, count(*) AS doc_count
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY doc_count DESC, d.lang, d.source LIMIT 8"""
 
     # positional highlighting: term positions for docs 0..4
     o["ft_highlight_pos"] = f"""

@@ -922,6 +922,95 @@ def aggs_es(
             )
             continue
 
+        if kind in ("avg", "min", "max", "sum"):
+            # top-level single-value metric over the match set
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(body["field"]).cast("double").alias("_v"),
+            )
+            fn = {"avg": F.avg, "min": F.min, "max": F.max,
+                  "sum": F.sum}[kind]
+            out[name] = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .agg(F.round(fn("_v"), 4).alias(kind))
+            )
+            continue
+
+        if kind == "extended_stats":
+            # ES extended_stats: stats + sum_of_squares + POPULATION
+            # variance/std_deviation (ES's default sigma basis)
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(body["field"]).cast("double").alias("_v"),
+            )
+            j = matches.select("doc_id").join(meta, "doc_id")
+            out[name] = j.agg(
+                F.count("*").alias("n"),
+                F.min("_v").alias("min"),
+                F.max("_v").alias("max"),
+                F.round(F.avg("_v"), 4).alias("avg"),
+                F.round(F.sum("_v"), 4).alias("sum"),
+                F.round(F.sum(F.col("_v") * F.col("_v")), 4).alias(
+                    "sum_of_squares"
+                ),
+                F.round(F.var_pop("_v"), 4).alias("variance"),
+                F.round(F.stddev_pop("_v"), 4).alias(
+                    "std_deviation"
+                ),
+            )
+            continue
+
+        if kind == "missing":
+            # docs in the match set with no value for the field
+            meta = executor.ix.doclens.select(
+                "doc_id", F.col(body["field"]).alias("_v")
+            )
+            out[name] = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .filter(F.col("_v").isNull())
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+            )
+            continue
+
+        if kind == "global":
+            # breaks out of the query context: the whole live corpus
+            if sub:
+                raise UnsupportedDSL(
+                    f"agg {name}: global sub-aggs not supported — "
+                    "call aggs_es again without a query context"
+                )
+            allm = executor.ix.doclens.select("doc_id")
+            dd2 = getattr(executor.ix, "deleted_df", None)
+            if dd2 is not None:
+                allm = allm.join(
+                    F.broadcast(dd2), "doc_id", "left_anti"
+                )
+            out[name] = allm.agg(
+                F.count(F.lit(1)).alias("doc_count")
+            )
+            continue
+
+        if kind == "multi_terms":
+            # composite-key buckets in ES bucket order (doc_count
+            # desc, then keys asc), one shuffle on the key tuple
+            fields = [t["field"] for t in body["terms"]]
+            size = int(body.get("size", 10))
+            meta = executor.ix.doclens.select("doc_id", *fields)
+            out[name] = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .groupBy(*fields)
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(
+                    F.desc("doc_count"),
+                    *[F.asc(f) for f in fields],
+                )
+                .limit(size)
+            )
+            continue
+
         if kind == "terms":
             field = body["field"]
             size = int(body.get("size", 10))

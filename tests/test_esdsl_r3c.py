@@ -261,3 +261,71 @@ def test_rank_feature_dispatch(spark, unit_index):
         rank_feature(ex, "doc_len", fn="log", scaling_factor=1.5,
                      boost=2.0, k=5)
     )
+
+
+# ---------------------------------------------------------------- #
+# new agg kinds: top-level metrics, extended_stats, missing,
+# global, multi_terms
+# ---------------------------------------------------------------- #
+
+
+def test_agg_metrics_and_extended_stats(spark, unit_index):
+    import statistics
+
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    ids = [r.doc_id for r in ex.search("cats", k=None).collect()]
+    dls = {r.doc_id: r.doc_len
+           for r in ix.doclens.select("doc_id", "doc_len").collect()}
+    vals = [float(dls[i]) for i in ids]
+    out = aggs_es(ex, {
+        "a": {"avg": {"field": "doc_len"}},
+        "s": {"sum": {"field": "doc_len"}},
+        "x": {"extended_stats": {"field": "doc_len"}},
+    }, query=q)
+    assert out["a"].collect()[0]["avg"] == pytest.approx(
+        round(sum(vals) / len(vals), 4))
+    assert out["s"].collect()[0]["sum"] == pytest.approx(sum(vals))
+    row = out["x"].collect()[0]
+    assert row.n == len(vals)
+    assert row.min == min(vals) and row.max == max(vals)
+    assert row.sum_of_squares == pytest.approx(
+        round(sum(v * v for v in vals), 4))
+    assert row.variance == pytest.approx(
+        round(statistics.pvariance(vals), 4))
+    assert row.std_deviation == pytest.approx(
+        round(statistics.pstdev(vals), 4))
+
+
+def test_agg_global_missing_multiterms(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    n_live = ix.doclens.count()
+    out = aggs_es(ex, {
+        "g": {"global": {}},
+        "m": {"missing": {"field": "lang"}},
+        "mt": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "repo"}]
+            if "repo" in ix.doclens.columns
+            else [{"field": "lang"}, {"field": "source"}]
+            if "source" in ix.doclens.columns
+            else [{"field": "lang"}],
+            "size": 5}},
+    }, query=q)
+    assert out["g"].collect()[0]["doc_count"] == n_live
+    assert out["m"].collect()[0]["doc_count"] == 0  # lang never null
+    mt = out["mt"].collect()
+    assert mt and len(mt) <= 5
+    counts = [r.doc_count for r in mt]
+    assert counts == sorted(counts, reverse=True)
+    # global with sub-aggs is explicitly unsupported
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"g": {"global": {},
+                           "aggs": {"x": {"avg": {"field": "doc_len"}}}}},
+                query=q)
