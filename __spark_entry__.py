@@ -1158,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_unigram_lm"] = lambda s, d: text.unigram_lm_score(
         _docs(s, d), "doc_id", "text"
     )
+    # ... and the sharper bigram variant
+    q["tx_bigram_ppl"] = lambda s, d: text.bigram_lm_ppl(
+        _docs(s, d), "doc_id", "text"
+    )
 
     # ---- search-UI features: facets over the FULL match set and
     # keyword-in-context snippets for the top-k page ----------------
@@ -3746,6 +3750,30 @@ sc AS (SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
 SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
        round(alp, 4) AS avg_logprob,
        round(exp(-alp), 4) AS ppl_proxy
+FROM sc"""
+
+    # bigram LM: p(b|a) = (c(ab)+0.5)/(c(a)+0.5*V); docs with < 2
+    # tokens drop out (no bigram evidence)
+    o["tx_bigram_ppl"] = f"""
+WITH pos AS ({_POS}),
+bi AS (SELECT a.doc_id, a.term AS a, b.term AS b
+       FROM pos a JOIN pos b
+         ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+dbf AS (SELECT doc_id, a, b, count(*) AS tf FROM bi
+        GROUP BY doc_id, a, b),
+cab AS (SELECT a, b, sum(tf) AS c_ab FROM dbf GROUP BY a, b),
+uni AS (SELECT term, count(*) AS c_a FROM pos GROUP BY term),
+v AS (SELECT count(*) AS v FROM uni),
+p AS (SELECT cab.a, cab.b,
+      (cab.c_ab + 0.5) / (uni.c_a + 0.5 * v.v) AS p
+      FROM cab JOIN uni ON uni.term = cab.a CROSS JOIN v),
+sc AS (SELECT dbf.doc_id, sum(dbf.tf) AS n_bigrams,
+       sum(dbf.tf * ln(p.p)) / sum(dbf.tf) AS alp
+       FROM dbf JOIN p ON p.a = dbf.a AND p.b = dbf.b
+       GROUP BY dbf.doc_id)
+SELECT doc_id, cast(n_bigrams as bigint) AS n_bigrams,
+       round(alp, 4) AS avg_logprob,
+       round(exp(-alp), 4) AS ppl
 FROM sc"""
 
     # field collapse: within-group ranks by (score desc, doc_id),

@@ -1196,3 +1196,74 @@ def quality_lr(
         score.alias("quality"),
         (score >= F.lit(float(threshold))).cast("int").alias("keep"),
     )
+
+
+def bigram_lm_ppl(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Bigram-LM perplexity (the sharper CCNet-style quality signal
+    next to unigram_lm_score): train a Lidstone-smoothed bigram LM
+    over the corpus itself, then score every doc by its mean bigram
+    log-probability p(b|a) = (c(a,b) + alpha) / (c(a) + alpha * |V|).
+    Repetitive/templated text scores high (predictable transitions),
+    token soup scores low — the classic perplexity-bucket signal for
+    pretraining-data curation. Docs with < 2 tokens drop out (no
+    bigram evidence).
+
+    -> (doc_id, n_bigrams, avg_logprob, ppl=exp(-avg_logprob)).
+
+    Scale: bigrams come from an array zip INSIDE each row (no
+    position join), then aggregate to per-(doc, bigram) counts
+    map-side before any shuffle; the LM is a corpus-level
+    (bigram -> count) table (Heaps-bounded, far smaller than the
+    token stream) joined on the bigram key — sort-merge at web
+    scale; corpus totals ride a 1-row broadcast."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_expr(text_col).alias("_t"),
+    )
+    bi = toks.filter(F.size("_t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1), "
+                "(x, i) -> struct(x AS a, element_at(_t, i + 2) AS b))"
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+    dbf = bi.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # corpus LM: bigram counts + context (unigram) counts + vocab
+    bg_counts = dbf.groupBy("a", "b").agg(F.sum("tf").alias("c_ab"))
+    uni = df.select(
+        F.explode(tokenize_expr(text_col)).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    probs = (
+        bg_counts.join(uni.withColumnRenamed("term", "a"), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a", "b",
+            (
+                (F.col("c_ab") + F.lit(float(alpha)))
+                / (F.col("c_a") + F.lit(float(alpha)) * F.col("_v"))
+            ).alias("_p"),
+        )
+    )
+    scored = (
+        dbf.join(probs, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (F.sum(F.col("tf") * F.log("_p")) / F.sum("tf")).alias(
+                "_alp"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("_alp", 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("_alp")), 4).alias("ppl"),
+    )

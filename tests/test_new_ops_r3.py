@@ -116,3 +116,41 @@ def test_sentence_chunks(spark):
     assert got[(1, 0)] == (1, "Only one sentence")
     assert got[(3, 0)] == (2, "A. B")
     assert not any(d == 2 for d, _ in got)
+
+
+def test_bigram_lm_matches_hand_computation(spark):
+    """Exact bigram LM on a tiny corpus (alpha=0.5), plus the
+    <2-token dropout rule and the predictability ordering."""
+    from collections import Counter
+
+    from lucille_spark.ops.text import bigram_lm_ppl
+
+    rows = [
+        (0, "a b a b a b"),        # one repeated transition
+        (1, "a b c d e f"),        # all-distinct transitions
+        (2, "solo"),               # single token: drops out
+        (3, ""),                   # empty: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in bigram_lm_ppl(df, "doc_id", "text").collect()}
+    assert set(out) == {0, 1}
+
+    docs = {0: "a b a b a b".split(), 1: "a b c d e f".split()}
+    uni = Counter(t for d in docs.values() for t in d)
+    uni["solo"] += 1
+    bg = Counter(
+        (x, y) for d in docs.values() for x, y in zip(d, d[1:])
+    )
+    v = len(uni)
+    for i, toks in docs.items():
+        lps = [
+            math.log((bg[(x, y)] + 0.5) / (uni[x] + 0.5 * v))
+            for x, y in zip(toks, toks[1:])
+        ]
+        alp = sum(lps) / len(lps)
+        assert out[i]["n_bigrams"] == len(lps)
+        assert out[i]["avg_logprob"] == round(alp, 4)
+        assert abs(out[i]["ppl"] - math.exp(-alp)) < 1e-3
+    # the repetitive doc is more predictable (lower perplexity)
+    assert out[0]["ppl"] < out[1]["ppl"]
