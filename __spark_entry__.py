@@ -401,6 +401,17 @@ def _search_field(spark, sf_dir, q, k=10, wand=False):
 _DEL_PRED_SQL = "doc_id % 10 <> 3"
 
 
+def _cluster_fixture():
+    """Fixed seeded (4, 16) UNIT centroids for the cluster gates —
+    data-independent so the DuckDB oracle embeds the identical
+    literals (the _pq_fixture pattern)."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.PCG64(41))
+    c = rng.standard_normal((4, 16))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def _pq_fixture():
     """Fixed seeded PQ codebooks (m=4 subspaces x 8 codes over 64-dim)
     + a query vector — data-independent so the DuckDB oracle can embed
@@ -661,7 +672,10 @@ _GATE_PRIORITY = [
     "ft_or", "wand_or",
     "ft_not",
     "ft_phrase", "wand_phrase",
-    "ft_proximity", "wand_proximity",
+    # (wand_proximity freed its slot for wave-13/14 families — the
+    # WAND positional kernel stays covered by wand_phrase and the
+    # local mirror)
+    "ft_proximity",
     "ft_field", "wand_field",
     "ft_prefix", "wand_prefix",
     "ft_wildcard", "wand_wildcard",
@@ -669,7 +683,9 @@ _GATE_PRIORITY = [
     # family — the PExpand regex path stays covered by ft_wildcard
     # plus the local mirror's full registry run)
     "dd_substring",
-    "ft_range", "wand_range",
+    # (wand_range freed a slot likewise — PRange on the WAND path
+    # stays in the local mirror)
+    "ft_range",
     "ft_fuzzy",
     "ft_minmatch",
     "ft_boost",
@@ -683,10 +699,8 @@ _GATE_PRIORITY = [
     "sim_srp_ann",
     "sim_ivf_topk",
     "tx_gopher",
-    "tx_langid",
     "pipe_percolate_scored",
     "ev_funnel",
-    "ev_retention",
     "pipe_pack",
     "mm_features",
     "ft_bm25f",
@@ -705,6 +719,15 @@ _GATE_PRIORITY = [
     # kernel path stays covered by wand_prefix / wand_wildcard)
     "ft_esdsl",
     "gr_pagerank",
+    # wave-13/14 families (slots freed above: wand_proximity,
+    # wand_range, tx_langid, ev_retention — all still in the local
+    # mirror): the lenient second string grammar, the suggest
+    # section + bigram LM, the aggregations DSL, the pipeline
+    # perplexity signal
+    "ft_sqs",
+    "ft_phrase_suggest",
+    "ft_agg_extstats",
+    "tx_bigram_ppl",
 ]
 
 
@@ -1463,6 +1486,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     q["pipe_hash_tfidf"] = hash_tfidf_q
+
+    # ---- topic clustering for corpus curation: hashed-TFIDF
+    # k-means assignment against FIXED seeded centroids (the 100 TB
+    # shape: train on a sample once, assign every slice after), plus
+    # the top-terms topic labels --------------------------------------
+    def pipe_cluster_q(s, d):
+        from lucille_spark.ops.text import cluster_documents
+
+        return cluster_documents(
+            _docs(s, d), dim=16, centroids=_cluster_fixture()
+        ).orderBy("doc_id")
+
+    q["pipe_cluster"] = pipe_cluster_q
+
+    def pipe_cluster_terms_q(s, d):
+        from lucille_spark.ops.text import (
+            cluster_documents,
+            cluster_top_terms,
+        )
+
+        docs = _docs(s, d)
+        cl = cluster_documents(
+            docs, dim=16, centroids=_cluster_fixture()
+        )
+        return cluster_top_terms(docs, cl, n=3)
+
+    q["pipe_cluster_terms"] = pipe_cluster_terms_q
 
     # ---- event-log operators (ops/events.py) over the events table:
     # ES date_histogram (fixed_interval, timezone-free), gap-based
@@ -2990,6 +3040,55 @@ g AS (SELECT d.doc_id, i.i,
       LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.b = i.i)
 SELECT doc_id, string_agg(v, ',' ORDER BY i) AS vec FROM g
 GROUP BY doc_id ORDER BY doc_id"""
+
+    # topic clustering: identical hashed-TFIDF vectors (UNnormalized
+    # — argmax-cosine against unit centroids is scale-invariant, so
+    # the oracle skips the L2 step), argmax dot product against the
+    # _cluster_fixture literals, first-max tie-break
+    _cl_cents = _cluster_fixture()
+    _cl_dots = ", ".join(
+        "("
+        + " + ".join(
+            f"v[{i + 1}] * ({float(c[i])!r})" for i in range(16)
+        )
+        + ")"
+        for c in _cl_cents
+    )
+    _CLUSTER_CTE = f"""
+WITH tokr AS ({_TOK}),
+tf AS (SELECT doc_id, term AS tok, count(*) AS tf FROM tokr
+       GROUP BY doc_id, term),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (SELECT tf.doc_id, {_HT16} AS b,
+      tf.tf * ln(nn.n * 1.0 / dfs.df) AS w
+      FROM tf JOIN dfs USING (tok) CROSS JOIN nn),
+hb AS (SELECT doc_id, b, sum(w) AS c FROM w GROUP BY doc_id, b),
+vec AS (SELECT d.doc_id,
+        list(coalesce(hb.c, 0.0) ORDER BY i.i) AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+        LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.b = i.i
+        GROUP BY d.doc_id),
+dots AS (SELECT doc_id, [{_cl_dots}] AS ds FROM vec),
+asg AS (SELECT doc_id,
+        cast(list_position(ds, list_max(ds)) - 1 as int) AS cluster
+        FROM dots)
+"""
+    o["pipe_cluster"] = (
+        _CLUSTER_CTE
+        + "SELECT doc_id, cluster FROM asg ORDER BY doc_id"
+    )
+    o["pipe_cluster_terms"] = (
+        _CLUSTER_CTE
+        + """, tt AS (SELECT a.cluster, t.term, count(*) AS n
+        FROM tokr t JOIN asg a USING (doc_id)
+        GROUP BY a.cluster, t.term),
+rk AS (SELECT *, cast(row_number() OVER (PARTITION BY cluster
+       ORDER BY n DESC, term) as int) AS rank FROM tt)
+SELECT cluster, rank, term, n FROM rk WHERE rank <= 3
+ORDER BY cluster, rank"""
+    )
 
     # event-log operators: fixed-interval histogram (epoch-floor,
     # timezone-free), 30-min-gap sessionization, session rollups

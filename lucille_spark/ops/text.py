@@ -1267,3 +1267,75 @@ def bigram_lm_ppl(
         F.round("_alp", 4).alias("avg_logprob"),
         F.round(F.exp(-F.col("_alp")), 4).alias("ppl"),
     )
+
+
+def cluster_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    centroids=None,
+) -> DataFrame:
+    """Topic clustering for corpus curation (the data-mixing /
+    SemDeDup-bucketing companion): hashed TF-IDF vectors ->
+    spherical k-means -> (id, cluster). Rides two already-gated
+    primitives: `hashing_tfidf` for features and
+    `similarity.ivf_train` / `ivf_assign` for the quantizer.
+
+    Pass `centroids` (a (k, dim) array) to SKIP training and only
+    assign — the 100 TB shape: train once on a sample, then assign
+    every corpus slice with ONE scan and zero shuffles beyond the
+    feature aggregation. cluster ids are argmax-cosine, first-max
+    tie-break. -> (id_col, cluster int)."""
+    import numpy as np
+
+    from lucille_spark.ops.similarity import ivf_assign, ivf_train
+
+    vecs = hashing_tfidf(
+        df, text_col=text_col, id_col=id_col, dim=dim,
+        normalize=True, out_col="_v",
+    )
+    if centroids is None:
+        cents = ivf_train(
+            vecs, "_v", n_cells=k, iters=iters, id_col=id_col
+        )
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+    out = ivf_assign(vecs, "_v", cents)
+    return out.select(
+        id_col, F.col("cell").cast("int").alias("cluster")
+    )
+
+
+def cluster_top_terms(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Topic labels: the n most frequent tokens per cluster (count
+    desc, term asc) — the human-readable face of cluster_documents.
+    One token aggregation + a cluster-key window; token stats
+    shuffle, documents don't. -> (cluster, rank, term, n)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_expr(text_col)).alias("term")
+    )
+    tt = (
+        toks.join(clusters, id_col)
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n"), F.asc("term")
+    )
+    return (
+        tt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+        .select("cluster", "rank", "term", "n")
+        .orderBy("cluster", "rank")
+    )

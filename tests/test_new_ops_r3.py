@@ -154,3 +154,57 @@ def test_bigram_lm_matches_hand_computation(spark):
         assert abs(out[i]["ppl"] - math.exp(-alp)) < 1e-3
     # the repetitive doc is more predictable (lower perplexity)
     assert out[0]["ppl"] < out[1]["ppl"]
+
+
+def test_cluster_documents_separable_corpus(spark):
+    """Trained k-means groups an obviously separable corpus: docs
+    made of disjoint vocabularies land in the same cluster iff they
+    share a vocabulary; top terms label each cluster from its own
+    vocabulary."""
+    from lucille_spark.ops.text import (
+        cluster_documents,
+        cluster_top_terms,
+    )
+
+    rows = []
+    vocabs = {
+        0: "apple banana cherry fruit sweet",
+        1: "engine piston torque diesel motor",
+    }
+    for i in range(10):
+        v = vocabs[i % 2]
+        rows.append((i, (v + " ") * 3 + v.split()[i % 5]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = cluster_documents(df, k=2, iters=4, dim=32)
+    got = {r.doc_id: r.cluster for r in cl.collect()}
+    assert set(got) == set(range(10))
+    a = {got[i] for i in range(0, 10, 2)}
+    b = {got[i] for i in range(1, 10, 2)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+    labels = cluster_top_terms(df, cl, n=2).collect()
+    by_cluster = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster, []).append(r.term)
+    fruit = set(vocabs[0].split())
+    motor = set(vocabs[1].split())
+    for terms in by_cluster.values():
+        assert set(terms) <= fruit or set(terms) <= motor
+
+
+def test_cluster_documents_fixed_centroids_assign_only(spark):
+    """With centroids= the op never trains: assignment is pure
+    argmax and deterministic across calls."""
+    import numpy as np
+
+    from lucille_spark.ops.text import cluster_documents
+
+    rows = [(i, f"token{i % 3} filler words here") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((3, 16))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    a = cluster_documents(df, dim=16, centroids=c).collect()
+    b = cluster_documents(df, dim=16, centroids=c).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r.cluster for r in a} <= {0, 1, 2}
