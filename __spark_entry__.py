@@ -2180,6 +2180,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_phrase_suggest"] = phrase_suggest_q
 
+    def dsl_fields_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"query": {"match": {"content": "spark batch"}},
+             "fields": ["lang", "source"],
+             "highlight": {"fields": {"content": {}}},
+             "size": 10},
+        )
+        return out.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "lang",
+            "source",
+            F.array_join(
+                F.transform(
+                    F.col("highlight")["spark"],
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("spark_pos"),
+        )
+
+    q["ft_dsl_fields"] = dsl_fields_q
+
     # ---- pipeline aggregations over event series -------------------
     def ev_moving_avg_q(s, d):
         from lucille_spark.ops import events as ev
@@ -4888,6 +4916,24 @@ u AS (SELECT coalesce(sp.doc_id, bns.doc_id) AS doc_id,
       FROM sp FULL OUTER JOIN bns ON sp.doc_id = bns.doc_id)
 SELECT doc_id, round(s, 4) AS score FROM u
 ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    # ---- fields + highlight on the request body: stored fields
+    # from doclens meta, positional highlights off the postings ------
+    o["ft_dsl_fields"] = (
+        _cte(["spark", "batch"])
+        + f""", pos AS ({_POS}),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+top AS (SELECT doc_id, s FROM agg ORDER BY s DESC, doc_id LIMIT 10),
+hp AS (SELECT doc_id, string_agg(p, ',' ORDER BY p) AS spark_pos
+       FROM pos WHERE term = 'spark'
+         AND doc_id IN (SELECT doc_id FROM top)
+       GROUP BY doc_id)
+SELECT t.doc_id, round(t.s, 4) AS score, d.lang, d.source,
+       hp.spark_pos
+FROM top t JOIN documents d USING (doc_id)
+LEFT JOIN hp USING (doc_id)
+ORDER BY t.s DESC, t.doc_id"""
     )
 
     # ---- completion suggester: dictionary terms with prefix 'sp',

@@ -330,6 +330,75 @@ def _offset_rows(df, frm: int, cols, order: str):
     )
 
 
+def _decorate_hits(executor, out, dsl, fspec, hspec):
+    """Request-body `fields` (stored-field retrieval from doclens
+    meta) and `highlight` (positional, index-side — the offsets a UI
+    maps onto its stored copy) applied to a ranked page. Both join
+    the K-ROW page as the broadcast side and stream the big table —
+    the with_meta join shape (exec_df.search)."""
+    from pyspark.sql import functions as F
+
+    ix = executor.ix
+    cols_now = list(out.columns)
+    if fspec:
+        names = []
+        for f in _aslist(fspec):
+            names.append(f["field"] if isinstance(f, dict) else str(f))
+        missing = [n for n in names if n not in ix.doclens.columns]
+        if missing:
+            raise UnsupportedDSL(f"fields: not stored: {missing}")
+        meta = ix.doclens.select("doc_id", *names)
+        out = meta.join(F.broadcast(out), "doc_id").select(
+            *cols_now, *names
+        )
+        cols_now += names
+    if hspec:
+        hfields = list(hspec.get("fields") or {})
+        if hfields and hfields != ["content"]:
+            raise UnsupportedDSL(
+                "highlight: only the content field is "
+                "positional-indexed"
+            )
+        from lucille_spark import plans as P
+
+        try:
+            node = ix.plan(to_ast(dsl))
+            terms = sorted(set(P.collect_terms(node)))
+        except UnsupportedDSL:
+            # dispatch-only kinds (ids, pinned, ...) carry no scored
+            # terms to highlight
+            terms = []
+        if terms:
+            src = getattr(ix, "flat_for", None)
+            flat = src(terms) if src else ix.flat
+            hp = (
+                flat.filter(F.col("term").isin(terms))
+                .join(
+                    F.broadcast(out.select("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("term", "positions")
+                            )
+                        )
+                    ).alias("highlight")
+                )
+            )
+            # left: a hit can match via non-term clauses only
+            out = out.join(hp, "doc_id", "left")
+        else:
+            out = out.withColumn(
+                "highlight",
+                F.lit(None).cast("map<string,array<int>>"),
+            )
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
     """Run one ES-DSL request end-to-end. Accepts either a bare
     query clause or the full request body: `size` overrides k,
@@ -348,6 +417,20 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
         dsl = dsl["query"]
     if "size" in body:
         k = int(body["size"])
+    fspec = body.get("fields")
+    hspec = body.get("highlight")
+    if fspec is not None or hspec is not None:
+        if body.get("sort") is not None:
+            raise UnsupportedDSL(
+                "fields/highlight with sort: retrieve fields via "
+                "search_features.sort_by + get_docs instead"
+            )
+        rest = {kk: v for kk, v in body.items()
+                if kk not in ("fields", "highlight")}
+        out = search_es(
+            executor, {"query": dsl, **rest}, k=k, docs=docs
+        )
+        return _decorate_hits(executor, out, dsl, fspec, hspec)
     frm = int(body.get("from", 0))
     sort = body.get("sort")
     if sort is not None:

@@ -329,3 +329,59 @@ def test_agg_global_missing_multiterms(spark, unit_index):
         aggs_es(ex, {"g": {"global": {},
                            "aggs": {"x": {"avg": {"field": "doc_len"}}}}},
                 query=q)
+
+
+# ---------------------------------------------------------------- #
+# request-body fields + highlight
+# ---------------------------------------------------------------- #
+
+
+def test_fields_and_highlight(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    base = search_es(ex, {"match": {"content": "cats"}}, k=5).collect()
+    out = search_es(ex, {
+        "query": {"match": {"content": "cats"}},
+        "fields": ["lang"],
+        "highlight": {"fields": {"content": {}}},
+        "size": 5,
+    }).collect()
+    # same ranking, plus the stored field and the positions map
+    assert [(r.doc_id, r.score) for r in out] == [
+        (r.doc_id, r.score) for r in base
+    ]
+    langs = {r.doc_id: r.lang
+             for r in ix.doclens.select("doc_id", "lang").collect()}
+    for r in out:
+        assert r.lang == langs[r.doc_id]
+        assert r.highlight and "cats" in r.highlight
+        ps = r.highlight["cats"]
+        assert ps == sorted(ps) and len(ps) >= 1
+    # unknown stored field -> clear error
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"query": {"match": {"content": "cats"}},
+                       "fields": ["nope"]})
+    # highlight of a non-positional field -> clear error
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"query": {"match": {"content": "cats"}},
+                       "highlight": {"fields": {"lang": {}}}})
+    # sort + fields combination is explicitly unsupported
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"query": {"match": {"content": "cats"}},
+                       "fields": ["lang"], "sort": ["lang"],
+                       "size": 3})
+
+
+def test_highlight_no_terms_query(spark, unit_index):
+    # a pure range query has no scored terms: highlight is null
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    out = search_es(ex, {
+        "query": {"ids": {"values": [0, 1]}},
+        "highlight": {"fields": {"content": {}}},
+    }).collect()
+    assert out and all(r.highlight is None for r in out)
