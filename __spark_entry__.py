@@ -2208,6 +2208,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_dsl_fields"] = dsl_fields_q
 
+    def terms_lookup_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"terms": {"content": {"id": 7, "path": "text"}}},
+            k=10,
+            docs=_docs(s, d),
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_terms_lookup"] = terms_lookup_q
+
     # ---- pipeline aggregations over event series -------------------
     def ev_moving_avg_q(s, d):
         from lucille_spark.ops import events as ev
@@ -4935,6 +4950,23 @@ FROM top t JOIN documents d USING (doc_id)
 LEFT JOIN hp USING (doc_id)
 ORDER BY t.s DESC, t.doc_id"""
     )
+
+    # ---- terms LOOKUP: the term set is doc 7's distinct tokens,
+    # scored as the ordinary analyzed disjunction --------------------
+    o["ft_terms_lookup"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}),
+lu AS (SELECT DISTINCT term FROM tok WHERE doc_id = 7),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM lu) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score FROM agg
+ORDER BY s DESC, doc_id LIMIT 10"""
 
     # ---- completion suggester: dictionary terms with prefix 'sp',
     # ranked df desc, term asc ---------------------------------------

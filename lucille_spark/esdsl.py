@@ -606,6 +606,50 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             max_expansions=int(spec.get("max_expansions", 50)),
         )
 
+    if (
+        kind == "terms"
+        and isinstance(dsl[kind], dict)
+        and len(dsl[kind]) == 1
+    ):
+        (field, spec), = dsl[kind].items()
+        if isinstance(spec, dict):
+            # ES terms LOOKUP: fetch the term list from another
+            # document's field. The index stores no _source, so the
+            # caller supplies `docs=` (the more_like_this
+            # convention); the seed row is one driver-side point
+            # lookup, then the query is an ordinary analyzed
+            # disjunction — scored like this engine's literal
+            # `terms` form.
+            if docs is None:
+                raise UnsupportedDSL(
+                    "terms lookup: pass docs= (the source table; "
+                    "the index stores no _source)"
+                )
+            from pyspark.sql import functions as F
+
+            did = int(spec["id"])
+            path = spec.get("path", "text")
+            row = (
+                docs.filter(F.col("doc_id") == did)
+                .select(path)
+                .collect()
+            )
+            if not row:
+                raise KeyError(f"terms lookup: doc {did} not found")
+            toks = sorted(set(
+                executor.ix.planner.tokenize(str(row[0][0]))
+            ))
+            if not toks:
+                return executor.ix.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            node = _wrap_field(
+                field,
+                A.Term(toks[0]) if len(toks) == 1
+                else A.Or.of(*[A.Term(t) for t in toks]),
+            )
+            return executor.search(node, k=k)
+
     if kind == "simple_query_string":
         # top level we can honor the lenient match-nothing contract
         # (inside bool, to_ast raises instead — no AST shape for it)
@@ -1146,6 +1190,32 @@ def aggs_es(
 
         raise UnsupportedDSL(f"unsupported agg kind: {kind}")
     return out
+
+
+def validate_es(index, query) -> Dict[str, Any]:
+    """ES `_validate/query` (+ explain): check a DSL dict or Lucene
+    string without executing anything distributed — translate/parse,
+    plan against the live dictionary, and report the rewritten query
+    the engine would run. Never raises: malformed input comes back
+    as {"valid": False, "error": ...}. Driver-side only (dictionary
+    lookups at most)."""
+    from lucille_spark.parser import parse
+    from lucille_spark.printer import print_query
+
+    ix = getattr(index, "ix", index)
+    try:
+        node = (
+            to_ast(query) if isinstance(query, dict)
+            else parse(str(query))
+        )
+        pnode = ix.plan(node)
+        return {
+            "valid": True,
+            "query": print_query(node),
+            "plan": type(pnode).__name__,
+        }
+    except Exception as e:  # the endpoint's contract: never raise
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}
 
 
 def suggest_es(index, body: Dict[str, Any]) -> Dict[str, Any]:

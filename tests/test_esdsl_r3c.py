@@ -385,3 +385,53 @@ def test_highlight_no_terms_query(spark, unit_index):
         "highlight": {"fields": {"content": {}}},
     }).collect()
     assert out and all(r.highlight is None for r in out)
+
+
+# ---------------------------------------------------------------- #
+# terms lookup + _validate
+# ---------------------------------------------------------------- #
+
+
+def test_terms_lookup(spark, unit_index, unit_corpus):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    pdf = unit_corpus.sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    docs = spark.createDataFrame(
+        [(i, r.content) for i, r in enumerate(pdf.itertuples())],
+        "doc_id long, text string",
+    )
+    seed_toks = sorted(set(ix.planner.tokenize(pdf["content"][2])))
+    a = _rows(search_es(
+        ex, {"terms": {"content": {"id": 2, "path": "text"}}},
+        k=10, docs=docs,
+    ))
+    b = _rows(ex.search(" OR ".join(seed_toks), k=10))
+    assert a and a == b
+    # literal list form still routes through to_ast
+    c = _rows(search_es(
+        ex, {"terms": {"content": seed_toks}}, k=10, docs=docs
+    ))
+    assert c == b
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"terms": {"content": {"id": 2}}}, k=5)
+    with pytest.raises(KeyError):
+        search_es(ex, {"terms": {"content": {"id": 10**9}}},
+                  k=5, docs=docs)
+
+
+def test_validate_es(spark, unit_index):
+    from lucille_spark.esdsl import validate_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    ok = validate_es(ex, {"match": {"content": "cats dogs"}})
+    assert ok["valid"] and ok["query"] == "content:(cats OR dogs)"
+    ok2 = validate_es(ix, "cats AND dogs")  # accepts a bare index
+    assert ok2["valid"] and ok2["plan"]
+    bad = validate_es(ex, "cats AND (")
+    assert bad["valid"] is False and "ParseError" in bad["error"]
+    bad2 = validate_es(ex, {"nope": {}})
+    assert bad2["valid"] is False and "UnsupportedDSL" in bad2["error"]
