@@ -245,3 +245,35 @@ class Searcher:
         from lucille_spark.search_features import explain_search
 
         return explain_search(self.index, query)
+
+    def suggest_es(self, body: dict) -> dict:
+        """The ES `suggest` request-body section: named
+        term / phrase / completion suggesters -> {name: DataFrame}."""
+        from lucille_spark.esdsl import suggest_es as _sg
+
+        return _sg(self.index, body)
+
+    def complete(self, prefix: str, n: int = 5) -> DataFrame:
+        from lucille_spark.search_features import complete
+
+        return complete(self.index, prefix, n)
+
+    def validate(self, query) -> dict:
+        """ES `_validate/query`: parse/translate + plan without
+        executing; never raises."""
+        from lucille_spark.esdsl import validate_es
+
+        return validate_es(self.index, query)
+
+    def aggs_es(self, aggs: dict, query=None, **kw) -> dict:
+        """ES aggregations DSL -> {agg_name: DataFrame}."""
+        from lucille_spark.esdsl import aggs_es as _ag
+
+        return _ag(self._df_ex, aggs, query=query, **kw)
+
+    def msearch_es(self, dsls, k: int = 10) -> DataFrame:
+        """ES `_msearch`: N DSL queries through the ONE-job batched
+        serving path."""
+        from lucille_spark.esdsl import msearch_es as _ms
+
+        return _ms(self.executor, dsls, k=k)

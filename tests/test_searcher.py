@@ -55,3 +55,28 @@ def test_bad_executor_rejected(spark, unit_index):
     ix, _, _ = unit_index
     with pytest.raises(ValueError):
         Searcher(spark, ix.dir, executor="nope")
+
+
+def test_facade_wave14_endpoints(searcher):
+    """New facade methods delegate to the gated implementations."""
+    s, _ = searcher
+    v = s.validate("cats AND dogs")
+    assert v["valid"] and v["plan"]
+    assert s.validate("cats AND (")["valid"] is False
+
+    comp = s.complete("c", 3).collect()
+    assert comp and all(r.suggestion.startswith("c") for r in comp)
+
+    sg = s.suggest_es({"fix": {"text": "catz", "term": {}},
+                       "auto": {"prefix": "d", "completion": {}}})
+    assert set(sg) == {"fix", "auto"}
+    assert sg["fix"].columns == ["suggestion", "dist", "df"]
+
+    ag = s.aggs_es({"n": {"value_count": {"field": "doc_len"}}},
+                   query={"match": {"content": "cats"}})
+    assert ag["n"].collect()[0]["value_count"] == s.count("cats")
+
+    ms = s.msearch_es([{"match": {"content": "cats"}},
+                       {"match": {"content": "dogs"}}], k=3)
+    got = {r.query_id for r in ms.collect()}
+    assert got == {"q0", "q1"}
