@@ -2577,6 +2577,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_multiterms"] = agg_multiterms_q
 
+    def agg_rare_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"r": {"rare_terms": {"field": "source",
+                                  "max_doc_count": 17}}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["r"]
+
+    q["ft_agg_rare"] = agg_rare_q
+
+    def ev_pipeline_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        return ev.bucket_pipeline(_events(s, d), fixed_seconds=86400)
+
+    q["ev_pipeline"] = ev_pipeline_q
+
     def hl_pos_q(s, d):
         from lucille_spark.search_features import highlight_positions
 
@@ -5372,6 +5394,28 @@ SELECT d.lang, d.source, count(*) AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY doc_count DESC, d.lang, d.source LIMIT 8"""
+
+    # rare_terms: long-tail source buckets of the 'spark' match set
+    o["ft_agg_rare"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+c AS (SELECT d.source, count(*) AS doc_count
+      FROM m JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT source, doc_count FROM c WHERE doc_count <= 17
+ORDER BY doc_count, source"""
+
+    # cumulative_sum + derivative pipeline aggs over day buckets
+    o["ev_pipeline"] = """
+WITH h AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
+             AS bucket_epoch,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+           FROM events GROUP BY 1)
+SELECT bucket_epoch, n, sum_value,
+  round(sum(sum_value) OVER (ORDER BY bucket_epoch
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+    AS cum_sum_value,
+  n - lag(n) OVER (ORDER BY bucket_epoch) AS dn
+FROM h ORDER BY bucket_epoch"""
 
     # positional highlighting: term positions for docs 0..4
     o["ft_highlight_pos"] = f"""

@@ -1119,6 +1119,22 @@ def aggs_es(
             )
             continue
 
+        if kind == "rare_terms":
+            # long-tail buckets: doc_count <= max_doc_count, ordered
+            # count asc then key asc (ES rare_terms order)
+            field = body["field"]
+            mdc = int(body.get("max_doc_count", 1))
+            meta = executor.ix.doclens.select("doc_id", field)
+            out[name] = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .groupBy(field)
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .filter(F.col("doc_count") <= mdc)
+                .orderBy(F.asc("doc_count"), F.asc(field))
+            )
+            continue
+
         if kind == "multi_terms":
             # composite-key buckets in ES bucket order (doc_count
             # desc, then keys asc), one shuffle on the key tuple

@@ -346,3 +346,39 @@ def anomaly_days(
         )
         .orderBy("bucket_epoch")
     )
+
+
+def bucket_pipeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fixed_seconds: int = 86400,
+) -> DataFrame:
+    """ES `cumulative_sum` + `derivative` pipeline aggregations in
+    one pass: fixed-interval histogram, then per bucket the running
+    total of the value sum and the first difference of the event
+    count vs the previous bucket (null for the first bucket — ES's
+    derivative contract).
+
+    Scale: like moving_average, the only corpus-sized work is the
+    one-shuffle histogram; the window pass runs over buckets.
+    -> (bucket_epoch, n, sum_value, cum_sum_value, dn)."""
+    from pyspark.sql import Window
+
+    h = date_histogram(
+        df, ts_col=ts_col, value_col=value_col,
+        fixed_seconds=fixed_seconds,
+    )
+    wc = Window.orderBy("bucket_epoch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wl = Window.orderBy("bucket_epoch")
+    return h.select(
+        "bucket_epoch",
+        "n",
+        "sum_value",
+        F.round(F.sum("sum_value").over(wc), 4).alias(
+            "cum_sum_value"
+        ),
+        (F.col("n") - F.lag("n").over(wl)).alias("dn"),
+    ).orderBy("bucket_epoch")

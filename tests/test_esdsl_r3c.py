@@ -435,3 +435,25 @@ def test_validate_es(spark, unit_index):
     assert bad["valid"] is False and "ParseError" in bad["error"]
     bad2 = validate_es(ex, {"nope": {}})
     assert bad2["valid"] is False and "UnsupportedDSL" in bad2["error"]
+
+
+def test_rare_terms_agg(spark, unit_index):
+    from collections import Counter
+
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    ids = [r.doc_id for r in ex.search("cats", k=None).collect()]
+    langs = {r.doc_id: r.lang
+             for r in ix.doclens.select("doc_id", "lang").collect()}
+    counts = Counter(langs[i] for i in ids)
+    mdc = min(counts.values())
+    out = aggs_es(ex, {"r": {"rare_terms": {
+        "field": "lang", "max_doc_count": mdc}}}, query=q)["r"].collect()
+    want = sorted(
+        [(l, c) for l, c in counts.items() if c <= mdc],
+        key=lambda x: (x[1], x[0]),
+    )
+    assert [(r.lang, r.doc_count) for r in out] == want

@@ -1,0 +1,19 @@
+
+
+def test_bucket_pipeline_cumsum_derivative(spark):
+    from lucille_spark.ops.events import bucket_pipeline
+
+    rows = [
+        (1, "2024-01-01 01:00:00", 2.0),
+        (2, "2024-01-01 05:00:00", 3.0),
+        (3, "2024-01-02 01:00:00", 1.0),
+        (4, "2024-01-04 01:00:00", 4.0),
+        (5, "2024-01-04 02:00:00", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "value")
+    out = bucket_pipeline(df, fixed_seconds=86400).collect()
+    assert [r.n for r in out] == [2, 1, 2]
+    assert [r.cum_sum_value for r in out] == [5.0, 6.0, 14.0]
+    assert [r.dn for r in out] == [None, -1, 1]
