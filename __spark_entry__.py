@@ -2599,6 +2599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_pipeline"] = ev_pipeline_q
 
+    def ev_daily_uniques_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        return ev.daily_uniques(_events(s, d), fixed_seconds=86400)
+
+    q["ev_daily_uniques"] = ev_daily_uniques_q
+
     def hl_pos_q(s, d):
         from lucille_spark.search_features import highlight_positions
 
@@ -5416,6 +5423,41 @@ SELECT bucket_epoch, n, sum_value,
     AS cum_sum_value,
   n - lag(n) OVER (ORDER BY bucket_epoch) AS dn
 FROM h ORDER BY bucket_epoch"""
+
+    # daily uniques: exact count-distinct next to the PER-BUCKET
+    # HLL estimate (identical register math as sk_hll, grouped)
+    o["ev_daily_uniques"] = """
+WITH e AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
+             AS b, user_id AS u FROM events),
+ex AS (SELECT b, count(*) AS n_events,
+       count(DISTINCT u) AS uniques_exact FROM e GROUP BY b),
+hx AS (SELECT b, md5(cast(u as varchar)) AS h FROM e),
+r AS (SELECT b, ('0x' || substring(h, 1, 2))::int AS bucket,
+       substring(h, 3, 15) AS h60 FROM hx),
+z AS (SELECT b, bucket, h60,
+       length(regexp_extract(h60, '^(0*)', 1)) AS zr FROM r),
+rho AS (SELECT b, bucket,
+  CASE WHEN zr >= 15 THEN 61 ELSE zr * 4 +
+    CASE substring(h60 || 'f', zr + 1, 1)
+      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      ELSE 0 END + 1 END AS rho FROM z),
+regs AS (SELECT b, bucket, cast(max(rho) as int) AS max_rho
+         FROM rho GROUP BY b, bucket),
+agg AS (SELECT b, cast(count(*) as int) AS n_set,
+        sum(cast((1::BIGINT << (61 - max_rho)) as hugeint)) AS ss
+        FROM regs GROUP BY b),
+est AS (SELECT b, n_set,
+        1.0854228543761655e+23 / cast(ss + (256 - n_set)::hugeint *
+                     (1::BIGINT << 61)::hugeint as double) AS raw,
+        256 - n_set AS zeros FROM agg),
+fin AS (SELECT b,
+  round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+        THEN 256 * ln(256 * 1.0 / zeros) ELSE raw END, 2)
+    AS uniques_hll FROM est)
+SELECT ex.b AS bucket_epoch, ex.n_events, ex.uniques_exact,
+       fin.uniques_hll
+FROM ex JOIN fin ON ex.b = fin.b ORDER BY ex.b"""
 
     # positional highlighting: term positions for docs 0..4
     o["ft_highlight_pos"] = f"""

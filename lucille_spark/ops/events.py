@@ -382,3 +382,38 @@ def bucket_pipeline(
         ),
         (F.col("n") - F.lag("n").over(wl)).alias("dn"),
     ).orderBy("bucket_epoch")
+
+
+def daily_uniques(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    fixed_seconds: int = 86400,
+) -> DataFrame:
+    """Daily/periodic active users, exact AND sketched side by side:
+    per fixed-interval bucket the event count, the exact distinct
+    user count, and the per-bucket HLL estimate (the number you'd
+    actually serve at 100 TB, where exact count-distinct per bucket
+    is a full shuffle of (bucket, user) pairs but the sketch is <=
+    256 rows per bucket — and yesterday's registers merge into
+    month-to-date for free via hll_merge).
+    -> (bucket_epoch, n_events, uniques_exact, uniques_hll)."""
+    from lucille_spark.ops.sketch import (
+        hll_estimate_by,
+        hll_sketch_by,
+    )
+
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / fixed_seconds)
+        * fixed_seconds
+    ).cast("long").alias("bucket_epoch")
+    base = df.select(bucket, F.col(user_col).alias("_u"))
+    exact = base.groupBy("bucket_epoch").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("_u").alias("uniques_exact"),
+    )
+    sk = hll_sketch_by(base, "_u", ["bucket_epoch"])
+    est = hll_estimate_by(sk, ["bucket_epoch"]).select(
+        "bucket_epoch", F.col("estimate").alias("uniques_hll")
+    )
+    return exact.join(est, "bucket_epoch").orderBy("bucket_epoch")

@@ -417,3 +417,56 @@ def hist_quantiles(
     return withrow.select(
         "q", F.round(est, 4).alias("est")
     ).orderBy("q")
+
+
+def hll_sketch_by(df: DataFrame, col: str, by) -> DataFrame:
+    """Grouped register tables: one HLL per key tuple (e.g. one per
+    day / partition / tenant). Same md5 bucket/rho math as
+    hll_sketch; at most 256 rows PER GROUP leave the partial agg.
+    -> (*by, bucket, max_rho)."""
+    by = [by] if isinstance(by, str) else list(by)
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rho = _rho_expr(F.substring(h, 3, 15))
+    return (
+        df.select(*by, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("_rho").alias("max_rho"))
+        .orderBy(*by, "bucket")
+    )
+
+
+def hll_estimate_by(sketch: DataFrame, by) -> DataFrame:
+    """Per-group cardinality estimates from grouped register tables
+    — identical exact-integer accumulation and small-range
+    correction as hll_estimate, one output row per key tuple.
+    -> (*by, n_buckets_set, raw_estimate, estimate)."""
+    by = [by] if isinstance(by, str) else list(by)
+    m = HLL_M
+    term = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), {_SCALE_BITS} - max_rho) "
+        "as decimal(38,0))"
+    )
+    agg = sketch.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("int").alias("n_set"),
+        F.sum(term).alias("_s_set"),
+    )
+    empty_term = F.lit(1 << _SCALE_BITS).cast("decimal(38,0)")
+    s_total = F.col("_s_set") + (
+        (F.lit(m) - F.col("n_set")).cast("decimal(38,0)") * empty_term
+    )
+    raw = (
+        F.lit(HLL_ALPHA * m * m * float(1 << _SCALE_BITS))
+        / s_total.cast("double")
+    )
+    zeros = (F.lit(m) - F.col("n_set")).cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *by,
+        F.col("n_set").alias("n_buckets_set"),
+        F.round(raw, 2).alias("raw_estimate"),
+        F.round(corrected, 2).alias("estimate"),
+    ).orderBy(*by)

@@ -17,3 +17,56 @@ def test_bucket_pipeline_cumsum_derivative(spark):
     assert [r.n for r in out] == [2, 1, 2]
     assert [r.cum_sum_value for r in out] == [5.0, 6.0, 14.0]
     assert [r.dn for r in out] == [None, -1, 1]
+
+
+def test_daily_uniques_exact_and_sketch(spark):
+    from lucille_spark.ops.events import daily_uniques
+
+    rows = []
+    # day 1: users 0..49 twice each; day 2: users 0..9
+    for u in range(50):
+        rows.append((u, "2024-03-01 10:00:00", u))
+        rows.append((u + 100, "2024-03-01 11:00:00", u))
+    for u in range(10):
+        rows.append((u + 200, "2024-03-02 10:00:00", u))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id")
+    out = daily_uniques(df).collect()
+    assert [r.n_events for r in out] == [100, 10]
+    assert [r.uniques_exact for r in out] == [50, 10]
+    # HLL with 256 buckets over <=50 values sits in the linear-
+    # counting regime: tight relative error
+    for r in out:
+        assert abs(r.uniques_hll - r.uniques_exact) <= max(
+            3, 0.15 * r.uniques_exact
+        )
+
+
+def test_hll_sketch_by_merges_to_global(spark):
+    """Register-wise max across the per-day sketches == the sketch
+    of the union (the merge identity, grouped)."""
+    from pyspark.sql import functions as F
+
+    from lucille_spark.ops.sketch import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_sketch,
+        hll_sketch_by,
+    )
+
+    rows = [(i % 3, f"v{i % 37}") for i in range(200)]
+    df = spark.createDataFrame(rows, "day int, v string")
+    by = hll_sketch_by(df, "v", "day")
+    merged = (
+        by.groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = hll_sketch(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = hll_estimate(merged).collect()[0]
+    assert est == hll_estimate(direct).collect()[0]
+    per = hll_estimate_by(by, "day").collect()
+    assert len(per) == 3
