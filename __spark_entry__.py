@@ -2592,6 +2592,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_rare"] = agg_rare_q
 
+    def agg_adjacency_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"m": {"adjacency_matrix": {"filters": {
+                "b": {"match": {"content": "batch"}},
+                "s": {"match": {"content": "stream"}},
+                "w": {"match": {"content": "window"}},
+            }}}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["m"]
+
+    q["ft_agg_adjacency"] = agg_adjacency_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5410,6 +5428,28 @@ c AS (SELECT d.source, count(*) AS doc_count
       FROM m JOIN documents d USING (doc_id) GROUP BY d.source)
 SELECT source, doc_count FROM c WHERE doc_count <= 17
 ORDER BY doc_count, source"""
+
+    # adjacency_matrix: named filters b/s/w within the 'spark'
+    # context, counts for every name and every pair (ES "a&b" keys)
+    o["ft_agg_adjacency"] = f"""
+WITH tok AS ({_TOK}),
+ctx AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+u AS (
+  SELECT 'b' AS n, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch')
+  UNION ALL
+  SELECT 's' AS n, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+  UNION ALL
+  SELECT 'w' AS n, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')),
+uc AS (SELECT n, doc_id FROM u
+       WHERE doc_id IN (SELECT doc_id FROM ctx)),
+j AS (SELECT a.n AS n1, b.n AS n2
+      FROM uc a JOIN uc b ON a.doc_id = b.doc_id AND a.n <= b.n)
+SELECT CASE WHEN n1 = n2 THEN n1 ELSE n1 || '&' || n2 END AS key,
+       count(*) AS doc_count
+FROM j GROUP BY 1 ORDER BY key"""
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

@@ -33,13 +33,23 @@ Supported (the workhorse subset):
   (filter clauses pre-filter at the scan). `aggs_es` adds `filters`
   (named-bucket counts) and `composite` (after-key paginated
   multi-source buckets — the scalable bucket-export agg).
-  Wave 13 dispatch: `function_score` (field_value_factor),
+  Wave 13/14 dispatch: `function_score` (field_value_factor),
   `span_near` / `span_first` (span_term clauses), `intervals`
   (match rule -> span semantics), `wrapper` (base64 escape hatch),
   `pinned` (curated ids ahead of the organic ranking),
   `rank_feature` (saturation/log/sigmoid over a doclens-meta
   numeric signal) and `distance_feature` (hyperbolic closeness to
-  an origin) — the last two scan ONLY the per-doc metadata table.
+  an origin) — the last two scan ONLY the per-doc metadata table;
+  `simple_query_string` (lucille_spark.sqs, lenient, never raises);
+  terms LOOKUP ({id, path} via docs=). Request body: `fields`
+  (stored-field retrieval) + `highlight` (index-side positional).
+  Endpoints: `suggest_es` (term / bigram-LM phrase / completion),
+  `validate_es` (_validate/query, never raises), `msearch_es`,
+  `count_es`. aggs_es kinds: terms (order by _count/_key/
+  sub-metric), cardinality, stats/extended_stats/percentiles,
+  top-level metrics, value_count, missing, global, histogram,
+  range, rare_terms, multi_terms, significant_terms, filters,
+  adjacency_matrix, composite, top_hits sub-aggs.
 
 Anything else raises `UnsupportedDSL` with the offending clause
 path, never a silent wrong answer.
@@ -991,6 +1001,41 @@ def aggs_es(
             )
             continue
 
+        if kind == "adjacency_matrix":
+            # counts for every named filter and every pairwise
+            # intersection (ES "a", "a&b" bucket keys). One unioned
+            # match pass (like `filters`) + one equi-self-join on
+            # doc_id restricted to name1 <= name2 — doc-id sets
+            # shuffle, never documents.
+            named = body["filters"]
+            parts = []
+            for bname in sorted(named):
+                m = executor.search(to_ast(named[bname]), k=None)
+                parts.append(
+                    m.select(F.lit(bname).alias("_n"), "doc_id")
+                )
+            u = parts[0]
+            for pp in parts[1:]:
+                u = u.unionByName(pp)
+            if query is not None:
+                u = u.join(
+                    matches.select("doc_id"), "doc_id", "left_semi"
+                )
+            a = u.select(F.col("_n").alias("_n1"), "doc_id")
+            b = u.select(F.col("_n").alias("_n2"), "doc_id")
+            j = a.join(b, "doc_id").filter(
+                F.col("_n1") <= F.col("_n2")
+            )
+            key = F.when(
+                F.col("_n1") == F.col("_n2"), F.col("_n1")
+            ).otherwise(F.concat_ws("&", "_n1", "_n2"))
+            out[name] = (
+                j.groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("key")
+            )
+            continue
+
         if kind == "composite":
             # paginated multi-source buckets (the scalable bucket
             # EXPORT agg: walk every (f1, f2, ...) combination in
@@ -1158,6 +1203,7 @@ def aggs_es(
             field = body["field"]
             size = int(body.get("size", 10))
             metric_cols = []
+            metric_names = []
             th_spec = None
             for sname, sspec in sub.items():
                 skind = next(iter(sspec))
@@ -1178,12 +1224,36 @@ def aggs_es(
                     "value_count": F.count,
                 }[skind]
                 metric_cols.append(fn(col).alias(sname))
+                metric_names.append(sname)
             meta = executor.ix.doclens.drop("shard")
             j = matches.select("doc_id").join(meta, "doc_id")
+            # ES bucket order: doc_count desc default; `order` may
+            # name _count, _key, or a sub-metric alias
+            order = body.get("order")
+            if order is None:
+                sort_cols = [F.desc("doc_count"), F.asc(field)]
+            else:
+                (okey, odir), = order.items()
+                if okey == "_count":
+                    ocol = "doc_count"
+                elif okey == "_key":
+                    ocol = field
+                else:
+                    if okey not in metric_names:
+                        raise UnsupportedDSL(
+                            f"agg {name}: order key {okey!r} is not "
+                            "a sub-metric of this agg"
+                        )
+                    ocol = okey
+                first = (
+                    F.asc(ocol) if str(odir).lower() == "asc"
+                    else F.desc(ocol)
+                )
+                sort_cols = [first, F.asc(field)]
             buckets = (
                 j.groupBy(field)
                 .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
-                .orderBy(F.desc("doc_count"), F.asc(field))
+                .orderBy(*sort_cols)
                 .limit(size)
             )
             out[name] = buckets

@@ -457,3 +457,50 @@ def test_rare_terms_agg(spark, unit_index):
         key=lambda x: (x[1], x[0]),
     )
     assert [(r.lang, r.doc_count) for r in out] == want
+
+
+def test_adjacency_matrix_agg(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    sets = {
+        "c": {r.doc_id for r in ex.search("cats", k=None).collect()},
+        "d": {r.doc_id for r in ex.search("dogs", k=None).collect()},
+    }
+    out = aggs_es(ex, {"m": {"adjacency_matrix": {"filters": {
+        "c": {"match": {"content": "cats"}},
+        "d": {"match": {"content": "dogs"}},
+    }}}})["m"].collect()
+    got = {r.key: r.doc_count for r in out}
+    want = {
+        "c": len(sets["c"]),
+        "d": len(sets["d"]),
+    }
+    inter = len(sets["c"] & sets["d"])
+    if inter:
+        want["c&d"] = inter
+    assert got == want
+
+
+def test_terms_agg_order(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "order": {"_key": "asc"}},
+    }}, query=q)["l"].collect()
+    keys = [r.lang for r in out]
+    assert keys == sorted(keys)
+    out2 = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "order": {"avg_dl": "desc"}},
+        "aggs": {"avg_dl": {"avg": {"field": "doc_len"}}},
+    }}, query=q)["l"].collect()
+    avgs = [r.avg_dl for r in out2]
+    assert avgs == sorted(avgs, reverse=True)
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"l": {"terms": {"field": "lang",
+                                     "order": {"nope": "desc"}}}},
+                query=q)
