@@ -2610,6 +2610,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_adjacency"] = agg_adjacency_q
 
+    def agg_nested_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"l": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {"src": {
+                    "terms": {"field": "source", "size": 2},
+                    "aggs": {"avg_dl": {"avg": {"field": "doc_len"}}},
+                }},
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["l.src"]
+
+    q["ft_agg_nested"] = agg_nested_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5450,6 +5470,24 @@ j AS (SELECT a.n AS n1, b.n AS n2
 SELECT CASE WHEN n1 = n2 THEN n1 ELSE n1 || '&' || n2 END AS key,
        count(*) AS doc_count
 FROM j GROUP BY 1 ORDER BY key"""
+
+    # nested bucket sub-agg: top-3 langs by match count, per-lang
+    # top-2 sources with avg doc_len — the flattened child frame
+    o["ft_agg_nested"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+j AS (SELECT d.doc_id, d.lang, d.source, dl.dl
+      FROM documents d JOIN m USING (doc_id) JOIN dl USING (doc_id)),
+p AS (SELECT lang FROM j GROUP BY lang
+      ORDER BY count(*) DESC, lang LIMIT 3),
+c AS (SELECT j.lang, j.source, count(*) AS doc_count,
+             round(avg(j.dl), 4) AS avg_dl
+      FROM j JOIN p USING (lang) GROUP BY j.lang, j.source),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY doc_count DESC, source) AS rn FROM c)
+SELECT lang, source, doc_count, avg_dl FROM r WHERE rn <= 2
+ORDER BY lang, source"""
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

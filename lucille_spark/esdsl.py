@@ -809,6 +809,131 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
 
 _METRIC_FNS = {"avg", "min", "max", "sum", "value_count"}
 
+# bucket kinds that may nest under terms/histogram as sub-aggs
+_SUB_BUCKET_KINDS = {"terms", "histogram"}
+
+
+def _agg_kind(spec) -> str:
+    kinds = [kk for kk in spec if kk != "aggs"]
+    if len(kinds) != 1:
+        raise UnsupportedDSL("sub-agg: need exactly one kind")
+    return kinds[0]
+
+
+def _metric_cols(aggname: str, sub: Dict[str, Any]):
+    """Translate metric sub-agg specs into Spark agg columns.
+    Bucket sub-aggs and top_hits are skipped (handled by the
+    caller); anything else unsupported raises."""
+    from pyspark.sql import functions as F
+
+    cols, names = [], []
+    for sname, sspec in sub.items():
+        skind = _agg_kind(sspec)
+        if skind in _SUB_BUCKET_KINDS or skind == "top_hits":
+            continue
+        if skind not in _METRIC_FNS:
+            raise UnsupportedDSL(
+                f"agg {aggname}.{sname}: {skind} not supported"
+            )
+        col = F.col(sspec[skind]["field"]).cast("double")
+        fn = {
+            "avg": lambda c: F.round(F.avg(c), 4),
+            "min": F.min,
+            "max": F.max,
+            "sum": lambda c: F.round(F.sum(c), 4),
+            "value_count": F.count,
+        }[skind]
+        cols.append(fn(col).alias(sname))
+        names.append(sname)
+    return cols, names
+
+
+def _hist_key(sbody):
+    from pyspark.sql import functions as F
+
+    interval = float(sbody["interval"])
+    return (
+        F.floor(F.col(sbody["field"]).cast("double") / F.lit(interval))
+        * F.lit(interval)
+    )
+
+
+def _nested_bucket_frames(j, parents, prefix, sub):
+    """ES nested BUCKET sub-aggregations, flattened to relations:
+    for each bucket sub-agg (terms / histogram) under `prefix`, emit
+    one DataFrame keyed by every ancestor bucket key plus this
+    level's key, carrying doc_count + this level's metric sub-aggs —
+    the relational projection of the nested-bucket JSON tree.
+
+    `j` is the (match-set × doclens-meta) row frame, already pruned
+    to the kept ancestor buckets; `parents` is the ancestor key
+    column names in order (each already materialized on `j`).
+
+    ES semantics kept: terms levels keep the per-parent top `size`
+    buckets by (doc_count desc, key asc); histogram levels keep all
+    non-empty buckets in key order.
+
+    Scale: one groupBy over `j` per level (match-set-sized rows in,
+    bucket-count rows out) + one bucket-count-sized window for the
+    per-parent top-k; ancestor pruning is a broadcast semi-join on
+    the kept (tiny) bucket-key frame. Depth is bounded by the DSL
+    dict; rows never fan out."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out: Dict[str, Any] = {}
+    for sname, sspec in sub.items():
+        skind = _agg_kind(sspec)
+        if skind not in _SUB_BUCKET_KINDS:
+            continue
+        sbody = sspec[skind]
+        ssub = sspec.get("aggs", {})
+        if skind == "terms":
+            alias = sbody["field"]
+            jl = j
+        else:
+            alias = f"{sbody['field']}_bucket"
+            jl = j.withColumn(alias, _hist_key(sbody))
+        if alias in parents:
+            raise UnsupportedDSL(
+                f"agg {prefix}.{sname}: bucket key {alias!r} repeats "
+                "an ancestor level"
+            )
+        mcols, _ = _metric_cols(f"{prefix}.{sname}", ssub)
+        g = jl.groupBy(*parents, alias).agg(
+            F.count(F.lit(1)).alias("doc_count"), *mcols
+        )
+        if skind == "terms":
+            size = int(sbody.get("size", 10))
+            w = Window.partitionBy(*parents).orderBy(
+                F.desc("doc_count"), F.asc(alias)
+            )
+            g = (
+                g.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= size)
+                .drop("_rn")
+            )
+        flat = f"{prefix}.{sname}"
+        out[flat] = g.orderBy(*parents, alias)
+        deeper = {
+            sn: ss
+            for sn, ss in ssub.items()
+            if _agg_kind(ss) in _SUB_BUCKET_KINDS
+        }
+        if deeper:
+            kept = g.select(*parents, alias)
+            out.update(
+                _nested_bucket_frames(
+                    jl.join(
+                        F.broadcast(kept), [*parents, alias], "left_semi"
+                    ),
+                    [*parents, alias],
+                    flat,
+                    deeper,
+                )
+            )
+    return out
+
 
 def aggs_es(
     executor, aggs: Dict[str, Any], query=None, k: int = 10, docs=None
@@ -821,7 +946,11 @@ def aggs_es(
     bucket order) with metric sub-aggs (avg/min/max/sum/value_count
     on any stored numeric field) and a `top_hits` sub-agg;
     `cardinality` (HLL-backed); `stats` / `percentiles`;
-    `value_count`. Unsupported kinds raise UnsupportedDSL.
+    `value_count`. NESTED bucket sub-aggs (terms / histogram under
+    terms / histogram, any depth) are flattened to one DataFrame per
+    level under the key "parent.child" — ancestor bucket keys become
+    columns, each terms level keeps its per-parent top `size`.
+    Unsupported kinds raise UnsupportedDSL.
 
     Scale: every agg computes over the match set joined to doclens
     (matching ids shuffle, never the corpus); cardinality rides the
@@ -900,19 +1029,46 @@ def aggs_es(
         if kind == "histogram":
             field = body["field"]
             interval = float(body["interval"])
-            meta = executor.ix.doclens.select(
-                "doc_id", F.col(field).cast("double").alias("_v")
-            )
-            bucket = (
-                F.floor(F.col("_v") / F.lit(interval)) * F.lit(interval)
-            ).alias("key")
-            out[name] = (
+            if not sub:
+                meta = executor.ix.doclens.select(
+                    "doc_id", F.col(field).cast("double").alias("_v")
+                )
+                bucket = (
+                    F.floor(F.col("_v") / F.lit(interval))
+                    * F.lit(interval)
+                ).alias("key")
+                out[name] = (
+                    matches.select("doc_id")
+                    .join(meta, "doc_id")
+                    .groupBy(bucket)
+                    .agg(F.count(F.lit(1)).alias("doc_count"))
+                    .orderBy("key")
+                )
+                continue
+            # with sub-aggs: carry the full meta row set, same
+            # match-set-sized single groupBy per level
+            meta = executor.ix.doclens.drop("shard")
+            alias = f"{field}_bucket"
+            jh = (
                 matches.select("doc_id")
                 .join(meta, "doc_id")
-                .groupBy(bucket)
-                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .withColumn(alias, _hist_key(body))
+            )
+            mcols, _ = _metric_cols(name, sub)
+            out[name] = (
+                jh.groupBy(F.col(alias).alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
                 .orderBy("key")
             )
+            bucket_subs = {
+                sn: ss
+                for sn, ss in sub.items()
+                if _agg_kind(ss) in _SUB_BUCKET_KINDS
+            }
+            if bucket_subs:
+                out.update(
+                    _nested_bucket_frames(jh, [alias], name, bucket_subs)
+                )
             continue
 
         if kind == "range":
@@ -1202,29 +1358,15 @@ def aggs_es(
         if kind == "terms":
             field = body["field"]
             size = int(body.get("size", 10))
-            metric_cols = []
-            metric_names = []
             th_spec = None
             for sname, sspec in sub.items():
-                skind = next(iter(sspec))
-                sbody = sspec[skind]
+                skind = _agg_kind(sspec)
                 if skind == "top_hits":
-                    th_spec = (sname, int(sbody.get("size", 3)))
-                    continue
-                if skind not in _METRIC_FNS:
-                    raise UnsupportedDSL(
-                        f"agg {name}.{sname}: {skind} not supported"
+                    th_spec = (
+                        sname,
+                        int(sspec[skind].get("size", 3)),
                     )
-                col = F.col(sbody["field"]).cast("double")
-                fn = {
-                    "avg": lambda c: F.round(F.avg(c), 4),
-                    "min": F.min,
-                    "max": F.max,
-                    "sum": lambda c: F.round(F.sum(c), 4),
-                    "value_count": F.count,
-                }[skind]
-                metric_cols.append(fn(col).alias(sname))
-                metric_names.append(sname)
+            metric_cols, metric_names = _metric_cols(name, sub)
             meta = executor.ix.doclens.drop("shard")
             j = matches.select("doc_id").join(meta, "doc_id")
             # ES bucket order: doc_count desc default; `order` may
@@ -1257,6 +1399,24 @@ def aggs_es(
                 .limit(size)
             )
             out[name] = buckets
+            bucket_subs = {
+                sn: ss
+                for sn, ss in sub.items()
+                if _agg_kind(ss) in _SUB_BUCKET_KINDS
+            }
+            if bucket_subs:
+                out.update(
+                    _nested_bucket_frames(
+                        j.join(
+                            F.broadcast(buckets.select(field)),
+                            field,
+                            "left_semi",
+                        ),
+                        [field],
+                        name,
+                        bucket_subs,
+                    )
+                )
             if th_spec is not None:
                 if query is None:
                     raise UnsupportedDSL(

@@ -504,3 +504,111 @@ def test_terms_agg_order(spark, unit_index):
         aggs_es(ex, {"l": {"terms": {"field": "lang",
                                      "order": {"nope": "desc"}}}},
                 query=q)
+
+
+def _meta_rows(ex, query):
+    """(doc_id, lang, repo, doc_len) for every match — brute-force
+    reference for bucket aggs."""
+    ids = {r.doc_id for r in ex.search(query, k=None).collect()}
+    meta = ex.ix.doclens.select("doc_id", "lang", "repo", "doc_len")
+    return [r for r in meta.collect() if r.doc_id in ids]
+
+
+def test_nested_terms_terms_agg(spark, unit_index):
+    from collections import Counter
+
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {"r": {
+            "terms": {"field": "repo", "size": 2},
+            "aggs": {"mx": {"max": {"field": "doc_len"}}},
+        }},
+    }}, query=q)
+    rows = _meta_rows(ex, "cats")
+    # reference: top-2 langs by count, within each the top-2 repos
+    lc = Counter(r.lang for r in rows)
+    top_langs = [l for l, _ in sorted(
+        lc.items(), key=lambda x: (-x[1], x[0]))[:2]]
+    want = []
+    for lang in top_langs:
+        rc = Counter(r.repo for r in rows if r.lang == lang)
+        for repo, n in sorted(
+            rc.items(), key=lambda x: (-x[1], x[0])
+        )[:2]:
+            mx = max(
+                float(r.doc_len) for r in rows
+                if r.lang == lang and r.repo == repo
+            )
+            want.append((lang, repo, n, mx))
+    got = [
+        (r.lang, r.repo, r.doc_count, r.mx)
+        for r in out["l.r"].collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # parent frame unchanged by the nested sub-agg
+    parents = [(r.lang, r.doc_count) for r in out["l"].collect()]
+    assert parents == [(l, lc[l]) for l in top_langs]
+
+
+def test_nested_histogram_terms_agg(spark, unit_index):
+    from collections import Counter
+
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"h": {
+        "histogram": {"field": "doc_len", "interval": 16},
+        "aggs": {"l": {"terms": {"field": "lang", "size": 1}}},
+    }}, query=q)
+    rows = _meta_rows(ex, "cats")
+    buckets = Counter(
+        (float(r.doc_len) // 16) * 16 for r in rows
+    )
+    got_h = {(r.key, r.doc_count) for r in out["h"].collect()}
+    assert got_h == set(buckets.items())
+    # per-bucket top-1 lang
+    want = set()
+    for b in buckets:
+        lc = Counter(
+            r.lang for r in rows if (float(r.doc_len) // 16) * 16 == b
+        )
+        lang, n = sorted(lc.items(), key=lambda x: (-x[1], x[0]))[0]
+        want.add((b, lang, n))
+    got = {
+        (r.doc_len_bucket, r.lang, r.doc_count)
+        for r in out["h.l"].collect()
+    }
+    assert got == want
+
+
+def test_nested_depth3_and_errors(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"a": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"b": {
+            "terms": {"field": "repo", "size": 1},
+            "aggs": {"c": {"terms": {"field": "commit", "size": 1}}},
+        }},
+    }}, query=q)
+    assert set(out) == {"a", "a.b", "a.b.c"}
+    deep = out["a.b.c"].collect()
+    assert len(deep) == 1 and deep[0].doc_count >= 1
+    assert list(out["a.b.c"].columns) == [
+        "lang", "repo", "commit", "doc_count",
+    ]
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"a": {
+            "terms": {"field": "lang"},
+            "aggs": {"b": {"terms": {"field": "lang"}}},
+        }}, query=q)
