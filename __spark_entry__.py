@@ -2630,6 +2630,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_nested"] = agg_nested_q
 
+    def agg_pipeline_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"h": {
+                "histogram": {"field": "doc_len", "interval": 16},
+                "aggs": {
+                    "total": {"sum": {"field": "doc_len"}},
+                    "cum": {"cumulative_sum":
+                            {"buckets_path": "_count"}},
+                    "d": {"derivative": {"buckets_path": "total"}},
+                },
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["h"].select(
+            F.col("key").cast("double").alias("key"),
+            "doc_count", "total", "cum", "d",
+        )
+
+    q["ft_agg_pipeline"] = agg_pipeline_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5488,6 +5513,22 @@ r AS (SELECT *, row_number() OVER (PARTITION BY lang
       ORDER BY doc_count DESC, source) AS rn FROM c)
 SELECT lang, source, doc_count, avg_dl FROM r WHERE rn <= 2
 ORDER BY lang, source"""
+
+    # pipeline aggs over histogram buckets: sum metric +
+    # cumulative_sum(_count) + derivative(total)
+    o["ft_agg_pipeline"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+j AS (SELECT dl.dl FROM m JOIN dl USING (doc_id)),
+h AS (SELECT floor(dl / 16.0) * 16.0 AS key, count(*) AS doc_count,
+             round(cast(sum(dl) as double), 4) AS total
+      FROM j GROUP BY 1)
+SELECT cast(key as double) AS key, doc_count, total,
+       round(cast(sum(doc_count) OVER (ORDER BY key) as double), 4)
+         AS cum,
+       round(total - lag(total) OVER (ORDER BY key), 4) AS d
+FROM h ORDER BY key"""
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

@@ -57,6 +57,8 @@ path, never a silent wrong answer.
 
 from __future__ import annotations
 
+import re as _re
+
 from typing import Any, Dict
 
 from lucille_spark import ast as A
@@ -812,6 +814,170 @@ _METRIC_FNS = {"avg", "min", "max", "sum", "value_count"}
 # bucket kinds that may nest under terms/histogram as sub-aggs
 _SUB_BUCKET_KINDS = {"terms", "histogram"}
 
+# pipeline aggs computed over a parent's bucket frame (sub-agg
+# position); the sequential ones require an ordered histogram parent
+_PARENT_PIPELINE_KINDS = {
+    "cumulative_sum", "derivative", "serial_diff", "moving_fn",
+    "bucket_script", "bucket_selector", "bucket_sort",
+}
+
+# sibling pipeline aggs: top-level kinds that reduce another agg's
+# bucket frame via buckets_path "agg>metric" (or "agg>_count")
+_SIBLING_PIPELINE_KINDS = {
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+    "stats_bucket",
+}
+
+
+def _script_expr(script: str, params: Dict[str, str], cols, where: str):
+    """Translate the painless arithmetic subset ES bucket_script /
+    bucket_selector actually use ("params.a / params.b > 0.5") into
+    a Spark SQL expression over the bucket frame's metric columns.
+    Only params.<name> refs, numeric literals, arithmetic/comparison/
+    boolean operators and parens are accepted — anything else raises
+    UnsupportedDSL (never an arbitrary expr passthrough)."""
+    from pyspark.sql import functions as F
+
+    expr = str(script)
+    for pname in sorted(params, key=len, reverse=True):
+        path = params[pname]
+        col = "doc_count" if path == "_count" else path
+        if col not in cols:
+            raise UnsupportedDSL(
+                f"{where}: buckets_path {path!r} is not a sibling "
+                "metric of this bucket agg"
+            )
+        expr = expr.replace(f"params.{pname}", f"`{col}`")
+    residue = _re.sub(r"`[A-Za-z0-9_.]+`|\d+(\.\d+)?", "", expr)
+    if not _re.fullmatch(r"[\s()+\-*/%<>=!&|]*", residue):
+        raise UnsupportedDSL(f"{where}: unsupported script {script!r}")
+    return F.expr(expr)
+
+
+def _apply_parent_pipelines(frame, key_col: str, sub, aggname: str,
+                            is_hist: bool):
+    """Parent-position pipeline aggs over an already-computed bucket
+    frame, applied in spec order. Sequential kinds (cumulative_sum /
+    derivative / serial_diff / moving_fn, trailing window including
+    the current bucket) need a histogram parent; bucket_script /
+    bucket_selector / bucket_sort work under terms too.
+
+    Scale: these run over BUCKET rows (bucket-count-sized regardless
+    of corpus size), so the single-partition ordered window is a
+    non-issue by construction — the expensive work already happened
+    in the one match-set groupBy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(key_col)
+    for sname, sspec in sub.items():
+        skind = _agg_kind(sspec)
+        if skind not in _PARENT_PIPELINE_KINDS:
+            continue
+        body = sspec[skind]
+        where = f"agg {aggname}.{sname}"
+        if skind in ("cumulative_sum", "derivative", "serial_diff",
+                     "moving_fn"):
+            if not is_hist:
+                raise UnsupportedDSL(
+                    f"{where}: {skind} needs a histogram parent"
+                )
+            path = body["buckets_path"]
+            if path == "_count":
+                src = F.col("doc_count")
+            elif path in frame.columns:
+                src = F.col(path)
+            else:
+                raise UnsupportedDSL(
+                    f"{where}: buckets_path {path!r} is not a "
+                    "sibling metric of this bucket agg"
+                )
+            src = src.cast("double")
+            if skind == "cumulative_sum":
+                col = F.round(
+                    F.sum(src).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                    4,
+                )
+            elif skind in ("derivative", "serial_diff"):
+                lag = (
+                    int(body.get("lag", 1))
+                    if skind == "serial_diff" else 1
+                )
+                col = F.round(src - F.lag(src, lag).over(w), 4)
+            else:  # moving_fn
+                win = int(body["window"])
+                script = str(
+                    body.get(
+                        "script",
+                        "MovingFunctions.unweightedAvg(values)",
+                    )
+                ).strip()
+                m = _re.fullmatch(
+                    r"MovingFunctions\."
+                    r"(unweightedAvg|min|max|sum|stdDev)\(values\)",
+                    script,
+                )
+                if m is None:
+                    raise UnsupportedDSL(
+                        f"{where}: moving_fn script {script!r}"
+                    )
+                fn = {
+                    "unweightedAvg": F.avg,
+                    "min": F.min,
+                    "max": F.max,
+                    "sum": F.sum,
+                    "stdDev": F.stddev_pop,
+                }[m.group(1)]
+                col = F.round(
+                    fn(src).over(w.rowsBetween(-(win - 1), 0)), 4
+                )
+            frame = frame.withColumn(sname, col)
+        elif skind == "bucket_script":
+            expr = _script_expr(
+                body["script"], body["buckets_path"], frame.columns,
+                where,
+            )
+            frame = frame.withColumn(
+                sname, F.round(expr.cast("double"), 4)
+            )
+        elif skind == "bucket_selector":
+            expr = _script_expr(
+                body["script"], body["buckets_path"], frame.columns,
+                where,
+            )
+            frame = frame.filter(expr)
+        else:  # bucket_sort
+            if "from" in body:
+                raise UnsupportedDSL(
+                    f"{where}: bucket_sort from= not supported "
+                    "(use search_after-style paging instead)"
+                )
+            sort_cols = []
+            for s in body.get("sort", []):
+                if isinstance(s, str):
+                    f_, d = s, "asc"
+                else:
+                    (f_, dspec), = s.items()
+                    d = (
+                        dspec.get("order", "asc")
+                        if isinstance(dspec, dict) else dspec
+                    )
+                if f_ not in frame.columns:
+                    raise UnsupportedDSL(
+                        f"{where}: sort field {f_!r} not in buckets"
+                    )
+                sort_cols.append(
+                    F.desc(f_) if str(d).lower() == "desc"
+                    else F.asc(f_)
+                )
+            if sort_cols:
+                frame = frame.orderBy(*sort_cols)
+            if "size" in body:
+                frame = frame.limit(int(body["size"]))
+    return frame
+
 
 def _agg_kind(spec) -> str:
     kinds = [kk for kk in spec if kk != "aggs"]
@@ -829,7 +995,11 @@ def _metric_cols(aggname: str, sub: Dict[str, Any]):
     cols, names = [], []
     for sname, sspec in sub.items():
         skind = _agg_kind(sspec)
-        if skind in _SUB_BUCKET_KINDS or skind == "top_hits":
+        if (
+            skind in _SUB_BUCKET_KINDS
+            or skind in _PARENT_PIPELINE_KINDS
+            or skind == "top_hits"
+        ):
             continue
         if skind not in _METRIC_FNS:
             raise UnsupportedDSL(
@@ -950,6 +1120,11 @@ def aggs_es(
     terms / histogram, any depth) are flattened to one DataFrame per
     level under the key "parent.child" — ancestor bucket keys become
     columns, each terms level keeps its per-parent top `size`.
+    PIPELINE aggs: parent position (cumulative_sum / derivative /
+    serial_diff / moving_fn over histogram buckets; bucket_script /
+    bucket_selector / bucket_sort under terms too — scripts limited
+    to the arithmetic painless subset) and sibling position
+    (avg/sum/min/max/stats_bucket via buckets_path "agg>metric").
     Unsupported kinds raise UnsupportedDSL.
 
     Scale: every agg computes over the match set joined to doclens
@@ -977,6 +1152,7 @@ def aggs_es(
             matches = matches.join(F.broadcast(dd), "doc_id", "left_anti")
 
     out: Dict[str, Any] = {}
+    siblings: Dict[str, Any] = {}
     for name, spec in aggs.items():
         sub = spec.get("aggs", {})
         kinds = [kk for kk in spec if kk != "aggs"]
@@ -984,6 +1160,12 @@ def aggs_es(
             raise UnsupportedDSL(f"agg {name}: need exactly one kind")
         kind = kinds[0]
         body = spec[kind]
+
+        if kind in _SIBLING_PIPELINE_KINDS:
+            # reduces another agg's buckets — defer until all bucket
+            # frames exist
+            siblings[name] = (kind, body)
+            continue
 
         if kind == "cardinality":
             if query is None:
@@ -1055,10 +1237,14 @@ def aggs_es(
                 .withColumn(alias, _hist_key(body))
             )
             mcols, _ = _metric_cols(name, sub)
-            out[name] = (
+            out[name] = _apply_parent_pipelines(
                 jh.groupBy(F.col(alias).alias("key"))
                 .agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
-                .orderBy("key")
+                .orderBy("key"),
+                "key",
+                sub,
+                name,
+                is_hist=True,
             )
             bucket_subs = {
                 sn: ss
@@ -1398,7 +1584,9 @@ def aggs_es(
                 .orderBy(*sort_cols)
                 .limit(size)
             )
-            out[name] = buckets
+            out[name] = _apply_parent_pipelines(
+                buckets, field, sub, name, is_hist=False
+            )
             bucket_subs = {
                 sn: ss
                 for sn, ss in sub.items()
@@ -1435,6 +1623,42 @@ def aggs_es(
             continue
 
         raise UnsupportedDSL(f"unsupported agg kind: {kind}")
+
+    for name, (kind, body) in siblings.items():
+        path = body["buckets_path"]
+        if ">" not in path:
+            raise UnsupportedDSL(
+                f"agg {name}: buckets_path must be 'agg>metric'"
+            )
+        parent, metric = path.rsplit(">", 1)
+        if parent not in out:
+            raise UnsupportedDSL(
+                f"agg {name}: buckets_path parent {parent!r} is not "
+                "a sibling bucket agg"
+            )
+        pf = out[parent]
+        col = "doc_count" if metric == "_count" else metric
+        if col not in pf.columns:
+            raise UnsupportedDSL(
+                f"agg {name}: {metric!r} is not a metric of {parent!r}"
+            )
+        c = F.col(col).cast("double")
+        if kind == "stats_bucket":
+            out[name] = pf.agg(
+                F.count(c).alias("n"),
+                F.min(c).alias("min"),
+                F.max(c).alias("max"),
+                F.round(F.avg(c), 4).alias("avg"),
+                F.round(F.sum(c), 4).alias("sum"),
+            )
+        else:
+            fn = {
+                "avg_bucket": lambda cc: F.round(F.avg(cc), 4),
+                "sum_bucket": lambda cc: F.round(F.sum(cc), 4),
+                "min_bucket": F.min,
+                "max_bucket": F.max,
+            }[kind]
+            out[name] = pf.agg(fn(c).alias("value"))
     return out
 
 

@@ -612,3 +612,111 @@ def test_nested_depth3_and_errors(spark, unit_index):
             "terms": {"field": "lang"},
             "aggs": {"b": {"terms": {"field": "lang"}}},
         }}, query=q)
+
+
+def test_histogram_pipeline_aggs(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"h": {
+        "histogram": {"field": "doc_len", "interval": 16},
+        "aggs": {
+            "total": {"sum": {"field": "doc_len"}},
+            "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+            "d": {"derivative": {"buckets_path": "total"}},
+            "ma": {"moving_fn": {
+                "buckets_path": "_count", "window": 2,
+                "script": "MovingFunctions.unweightedAvg(values)",
+            }},
+        },
+    }}, query=q)["h"].collect()
+    rows = sorted(out, key=lambda r: r.key)
+    # cumulative_sum over doc_count
+    run = 0.0
+    for i, r in enumerate(rows):
+        run += r.doc_count
+        assert r.cum == round(run, 4)
+        if i == 0:
+            assert r.d is None
+        else:
+            assert r.d == round(r.total - rows[i - 1].total, 4)
+        lo = max(0, i - 1)
+        window = [x.doc_count for x in rows[lo : i + 1]]
+        assert r.ma == round(sum(window) / len(window), 4)
+
+
+def test_bucket_script_and_selector(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "tot": {"sum": {"field": "doc_len"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"t": "tot", "n": "_count"},
+                "script": "params.t / params.n",
+            }},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count"},
+                "script": "params.n > 1",
+            }},
+        },
+    }}, query=q)["l"].collect()
+    assert out, "selector dropped everything"
+    for r in out:
+        assert r.doc_count > 1
+        assert r.per_doc == round(r.tot / r.doc_count, 4)
+    # arbitrary code must be rejected
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"l": {
+            "terms": {"field": "lang"},
+            "aggs": {"x": {"bucket_script": {
+                "buckets_path": {"n": "_count"},
+                "script": "java.lang.Runtime params.n",
+            }}},
+        }}, query=q)
+
+
+def test_bucket_sort_and_sibling_pipelines(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {
+        "l": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "tot": {"sum": {"field": "doc_len"}},
+                "s": {"bucket_sort": {
+                    "sort": [{"tot": {"order": "asc"}}], "size": 2,
+                }},
+            },
+        },
+        "avg_tot": {"avg_bucket": {"buckets_path": "l>tot"}},
+        "st": {"stats_bucket": {"buckets_path": "l>_count"}},
+    }, query=q)
+    buckets = out["l"].collect()
+    assert len(buckets) <= 2
+    tots = [r.tot for r in buckets]
+    assert tots == sorted(tots)
+    # sibling aggs reduce the FINAL bucket frame (post-sort/limit)
+    avg_row = out["avg_tot"].collect()[0]
+    assert avg_row.value == round(sum(tots) / len(tots), 4)
+    st = out["st"].collect()[0]
+    ns = [r.doc_count for r in buckets]
+    assert (st.n, st.min, st.max) == (len(ns), min(ns), max(ns))
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"x": {"avg_bucket": {"buckets_path": "nope>m"}}},
+                query=q)
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"l": {
+            "terms": {"field": "lang"},
+            "aggs": {"c": {"cumulative_sum":
+                           {"buckets_path": "_count"}}},
+        }}, query=q)
