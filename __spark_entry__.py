@@ -2016,6 +2016,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_secrets"] = code_secrets_q
 
+    def code_license_q(s, d):
+        from lucille_spark.ops import code as C
+
+        m5 = F.col("doc_id") % 5
+        hdr = (
+            F.when(m5 == 0, F.lit("# SPDX-License-Identifier: MIT\n"))
+            .when(
+                m5 == 1,
+                F.lit(
+                    "Permission is hereby granted, free of charge\n"
+                ),
+            )
+            .when(m5 == 2, F.lit("Apache License\n"))
+            .when(m5 == 3, F.lit("GNU General Public License\n"))
+            .otherwise(F.lit(""))
+        )
+        docs = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", F.concat(hdr, "text").alias("text"))
+        )
+        return C.detect_license(docs, "doc_id", "text").orderBy(
+            "doc_id"
+        )
+
+    q["code_license"] = code_license_q
+
+    def code_vendored_q(s, d):
+        from lucille_spark.ops import code as C
+
+        m4 = F.col("doc_id") % 4
+        path = F.concat(
+            F.when(m4 == 0, F.lit("vendor/"))
+            .when(m4 == 1, F.lit("src/"))
+            .when(m4 == 2, F.lit("node_modules/"))
+            .otherwise(F.lit("lib/")),
+            F.lit("f"),
+            F.col("doc_id").cast("string"),
+            F.when(m4 == 1, F.lit(".min.js")).otherwise(F.lit(".py")),
+        )
+        txt = F.concat(
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("# Code generated by gen. DO NOT EDIT\n"),
+            ).otherwise(F.lit("")),
+            "text",
+        )
+        docs = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", path.alias("path"), txt.alias("text"))
+        )
+        return C.flag_vendored(docs, "doc_id", "path", "text").orderBy(
+            "doc_id"
+        )
+
+    q["code_vendored"] = code_vendored_q
+
+    def code_functions_q(s, d):
+        from lucille_spark.ops import code as C
+
+        fns = C.extract_functions(_codegen_docs(s, d), "doc_id", "text")
+        return (
+            fns.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_funcs"),
+                F.countDistinct("body_hash")
+                .cast("int")
+                .alias("n_uniq"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["code_functions"] = code_functions_q
+
+    def code_fn_dups_q(s, d):
+        from lucille_spark.ops import code as C
+
+        fns = C.extract_functions(_codegen_docs(s, d), "doc_id", "text")
+        return C.dedup_functions(fns).orderBy("body_hash")
+
+    q["code_fn_dups"] = code_fn_dups_q
+
     # ---- sketches (ops/sketch.py): HLL registers are the exact
     # hash contract; the estimate gate ALSO exercises sketch MERGE
     # (even/odd halves -> union == whole corpus) ---------------------
@@ -4848,6 +4931,125 @@ d AS (
 SELECT doc_id, detector, cast(len(h) as int) AS n_hits,
        substring(h[1], 1, 8) || '...' AS first_hit_masked
 FROM d WHERE len(h) > 0 ORDER BY doc_id, detector"""
+
+    # license detection: same rule table (ops/code.LICENSE_RULES)
+    # evaluated honestly on the same constructed text
+    o["code_license"] = r"""
+WITH s AS (SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN '# SPDX-License-Identifier: MIT' || chr(10)
+    WHEN 1 THEN 'Permission is hereby granted, free of charge'
+      || chr(10)
+    WHEN 2 THEN 'Apache License' || chr(10)
+    WHEN 3 THEN 'GNU General Public License' || chr(10)
+    ELSE '' END || text AS text
+  FROM documents WHERE doc_id < 100),
+d AS (SELECT doc_id,
+  regexp_extract(text,
+    'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) AS spdx,
+  substring(text, 1, 4000) AS head FROM s),
+r AS (SELECT doc_id, spdx,
+  CASE WHEN spdx <> '' THEN spdx
+   WHEN regexp_matches(head,
+     'Permission is hereby granted, free of charge') THEN 'MIT'
+   WHEN regexp_matches(head, 'Apache License') THEN 'Apache-2.0'
+   WHEN regexp_matches(head, 'GNU Lesser General Public License')
+     THEN 'LGPL'
+   WHEN regexp_matches(head, 'GNU General Public License')
+     THEN 'GPL'
+   WHEN regexp_matches(head, 'Mozilla Public License')
+     THEN 'MPL-2.0'
+   WHEN regexp_matches(head,
+     'Redistribution and use in source and binary forms')
+     THEN 'BSD'
+   WHEN regexp_matches(head,
+     'This is free and unencumbered software') THEN 'Unlicense'
+   ELSE 'NONE' END AS license
+  FROM d)
+SELECT doc_id, license,
+  CASE WHEN spdx <> '' THEN 'spdx'
+       WHEN license <> 'NONE' THEN 'phrase'
+       ELSE 'none' END AS detector,
+  license IN ('MIT', 'BSD', 'Apache-2.0', 'MPL-2.0', 'Unlicense',
+              'ISC', 'BSD-2-Clause', 'BSD-3-Clause') AS permissive
+FROM r ORDER BY doc_id"""
+
+    # vendored/generated/minified flags: same path + marker fixture,
+    # same regexes/thresholds evaluated honestly on the text
+    o["code_vendored"] = r"""
+WITH s AS (SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'vendor/' WHEN 1 THEN 'src/'
+    WHEN 2 THEN 'node_modules/' ELSE 'lib/' END || 'f' ||
+    cast(doc_id as varchar) ||
+    CASE WHEN doc_id % 4 = 1 THEN '.min.js' ELSE '.py' END AS path,
+  CASE WHEN doc_id % 6 = 0
+    THEN '# Code generated by gen. DO NOT EDIT' || chr(10)
+    ELSE '' END || text AS text
+  FROM documents WHERE doc_id < 100),
+f AS (SELECT doc_id, path,
+  regexp_matches(path, '(^|/)(vendor|vendors|third_party|3rdparty|'
+    || 'node_modules|external|extern|deps|dist|build|\.yarn)/')
+    AS vendored,
+  regexp_matches(path, '(\.pb\.|_pb2\.py$|\.g\.dart$)')
+    OR contains(substring(text, 1, 2000), 'DO NOT EDIT')
+    OR contains(substring(text, 1, 2000), '@generated')
+    OR contains(substring(text, 1, 2000), 'Code generated by')
+    OR contains(substring(text, 1, 2000), 'Autogenerated by')
+    OR contains(substring(text, 1, 2000), 'automatically generated')
+    OR contains(substring(text, 1, 2000), 'GENERATED FILE')
+    AS generated,
+  regexp_matches(path, '\.min\.(js|css)$')
+    OR list_max(list_transform(string_split(text, chr(10)),
+         x -> length(x))) > 1000
+    OR list_sum(list_transform(string_split(text, chr(10)),
+         x -> length(x))) * 1.0
+       / len(string_split(text, chr(10))) > 200.0 AS minified
+  FROM s)
+SELECT doc_id, path, vendored, generated, minified,
+       NOT vendored AND NOT generated AND NOT minified AS keep
+FROM f ORDER BY doc_id"""
+
+    # function extraction over the synthesized code fixture: same
+    # def-line spans + normalized-body md5, per-doc counts
+    _FN_SPANS = r"""
+t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+code AS (SELECT doc_id, array_to_string(list_transform(arr, x ->
+         CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END), chr(10)) AS text
+         FROM t WHERE len(arr) > 0),
+L AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM code),
+ix AS (SELECT doc_id, l,
+       list_filter(range(0, len(l)), i -> regexp_matches(l[i + 1],
+         '^\s*(def |function |func |fn )')) AS idx FROM L),
+sp AS (SELECT doc_id, l, idx,
+       unnest(range(1, len(idx) + 1)) AS j
+       FROM ix WHERE len(idx) > 0),
+b AS (SELECT doc_id, cast(j - 1 as int) AS fn_no,
+       regexp_extract(l[idx[j] + 1],
+         '^\s*(?:def|function|func|fn)\s+([A-Za-z_][A-Za-z0-9_]*)',
+         1) AS fn_name,
+       md5(array_to_string(list_filter(list_transform(
+         l[idx[j] + 1 : coalesce(idx[j + 1], len(l))],
+         x -> rtrim(x)),
+         x -> trim(x) <> '' AND NOT starts_with(trim(x), '#')
+              AND NOT starts_with(trim(x), '//')), chr(10))) AS h
+       FROM sp)"""
+
+    o["code_functions"] = f"""
+WITH {_FN_SPANS}
+SELECT doc_id, cast(count(*) as int) AS n_funcs,
+       cast(count(DISTINCT h) as int) AS n_uniq
+FROM b GROUP BY doc_id ORDER BY doc_id"""
+
+    o["code_fn_dups"] = f"""
+WITH {_FN_SPANS},
+d AS (SELECT h, doc_id, fn_no, fn_name,
+      count(*) OVER (PARTITION BY h) AS n_copies,
+      count(DISTINCT doc_id) OVER (PARTITION BY h) AS n_docs,
+      row_number() OVER (PARTITION BY h ORDER BY doc_id, fn_no)
+        AS rn
+      FROM b)
+SELECT h AS body_hash, n_copies, n_docs, doc_id, fn_no, fn_name
+FROM d WHERE rn = 1 AND n_copies >= 2 ORDER BY body_hash"""
 
     # ---- sketches: identical md5 register math in SQL --------------
     _HLL_REGS = """

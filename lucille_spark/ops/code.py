@@ -283,3 +283,290 @@ def grep(
             "doc_id", F.col("line_no").cast("int").alias("line_no"), "line"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# license detection / propagation
+# ---------------------------------------------------------------------------
+
+# ordered detection rules: SPDX tag wins, then the distinctive first
+# phrase of each major license family. Phrases chosen to stay inside
+# RE2-compatible syntax so the DuckDB oracle can run them verbatim.
+LICENSE_RULES = [
+    ("MIT", r"Permission is hereby granted, free of charge"),
+    ("Apache-2.0", r"Apache License"),
+    ("LGPL", r"GNU Lesser General Public License"),
+    ("GPL", r"GNU General Public License"),
+    ("MPL-2.0", r"Mozilla Public License"),
+    ("BSD", r"Redistribution and use in source and binary forms"),
+    ("Unlicense", r"This is free and unencumbered software"),
+]
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+PERMISSIVE_LICENSES = {
+    "MIT", "BSD", "Apache-2.0", "MPL-2.0", "Unlicense", "ISC",
+    "BSD-2-Clause", "BSD-3-Clause",
+}
+
+
+def detect_license(
+    df: DataFrame, id_col: str, text_col: str, head_chars: int = 4000
+) -> DataFrame:
+    """Per-file license detection: an explicit SPDX tag anywhere in
+    the file wins; otherwise the first matching license-family
+    phrase within the file head (license headers live at the top —
+    bounding the scan keeps the regexes off 10 MB files). Files with
+    neither get 'NONE'.
+
+    Scale: one scan, zero shuffle, pure codegen (substring + a
+    short ordered CASE of contains/regexp). -> (doc_id, license,
+    detector in {'spdx', 'phrase', 'none'}, permissive bool)."""
+    head = F.substring(F.col(text_col), 1, head_chars)
+    spdx = F.regexp_extract(F.col(text_col), _SPDX_RE, 1)
+    lic = F.when(spdx != "", spdx)
+    for name, phrase in LICENSE_RULES:
+        lic = lic.when(head.rlike(phrase), F.lit(name))
+    lic = lic.otherwise(F.lit("NONE"))
+    detector = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(lic != "NONE", F.lit("phrase"))
+        .otherwise(F.lit("none"))
+    )
+    permissive = F.lit(False)
+    for p in sorted(PERMISSIVE_LICENSES):
+        permissive = permissive | (lic == p)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        lic.alias("license"),
+        detector.alias("detector"),
+        permissive.alias("permissive"),
+    )
+
+
+def propagate_repo_license(
+    df: DataFrame,
+    repo_col: str,
+    path_col: str,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repo-level license propagation (The Stack's licensing model:
+    a repository's LICENSE/COPYING file governs every file in it).
+    Detect on license-shaped paths only, pick one license per repo
+    (SPDX tag beats phrase, then lexicographic for determinism),
+    broadcast it onto every file of the repo; repos without a
+    license file get 'NONE'.
+
+    Scale: detection runs only on the license-file rows (a ~1e-3
+    fraction of the corpus); the per-repo reduction is a tiny agg
+    over those rows and the join back is broadcast-sized (one row
+    per repo). The corpus itself is scanned once, zero extra
+    shuffle. -> df + (repo_license, repo_permissive)."""
+    lic_files = df.filter(
+        F.upper(F.col(path_col)).rlike(
+            r"(^|/)(LICENSE|LICENCE|COPYING|COPYING\.LESSER|UNLICENSE)"
+            r"(\.(TXT|MD|RST))?$"
+        )
+    )
+    det = detect_license(lic_files, id_col, text_col).join(
+        lic_files.select(
+            F.col(id_col).cast("long").alias("doc_id"), repo_col
+        ),
+        "doc_id",
+    )
+    # one license per repo: spdx beats phrase beats none, then the
+    # license name itself for a deterministic pick
+    rank = (
+        F.when(F.col("detector") == "spdx", 0)
+        .when(F.col("detector") == "phrase", 1)
+        .otherwise(2)
+    )
+    per_repo = (
+        det.withColumn("_r", rank)
+        .groupBy(repo_col)
+        .agg(
+            F.min(F.struct("_r", "license")).alias("_best"),
+        )
+        .select(
+            repo_col,
+            F.col("_best.license").alias("repo_license"),
+        )
+    )
+    out = df.join(F.broadcast(per_repo), repo_col, "left").withColumn(
+        "repo_license", F.coalesce(F.col("repo_license"), F.lit("NONE"))
+    )
+    permissive = F.lit(False)
+    for p in sorted(PERMISSIVE_LICENSES):
+        permissive = permissive | (F.col("repo_license") == p)
+    return out.withColumn("repo_permissive", permissive)
+
+
+# ---------------------------------------------------------------------------
+# vendored / generated / minified detection
+# ---------------------------------------------------------------------------
+
+VENDORED_PATH_RE = (
+    r"(^|/)(vendor|vendors|third_party|3rdparty|node_modules|"
+    r"external|extern|deps|dist|build|\.yarn)/"
+)
+
+GENERATED_MARKERS = [
+    "DO NOT EDIT",
+    "@generated",
+    "Code generated by",
+    "Autogenerated by",
+    "automatically generated",
+    "GENERATED FILE",
+]
+
+
+def flag_vendored(
+    df: DataFrame,
+    id_col: str,
+    path_col: str,
+    text_col: str,
+    head_chars: int = 2000,
+    max_line: int = 1000,
+    avg_line: float = 200.0,
+) -> DataFrame:
+    """Vendored / generated / minified detection — the standard
+    code-corpus exclusion pass (The Stack / StarCoder drop all
+    three classes before training):
+
+    * vendored: dependency-directory path segments (vendor/,
+      node_modules/, third_party/, ...);
+    * generated: a generator marker in the file head ("DO NOT
+      EDIT", "@generated", ...) or a *.pb.* / _pb2.py path;
+    * minified: *.min.js/css path, or line-length stats over the
+      thresholds (one enormous line is the minifier signature).
+
+    Scale: one scan, zero shuffle, pure codegen (path regexes +
+    head substring contains + the same line-array HOFs as
+    code_metrics). -> (doc_id, path, vendored, generated, minified,
+    keep = none of the three)."""
+    head = F.substring(F.col(text_col), 1, head_chars)
+    vendored = F.col(path_col).rlike(VENDORED_PATH_RE)
+    gen = F.col(path_col).rlike(r"(\.pb\.|_pb2\.py$|\.g\.dart$)")
+    for m in GENERATED_MARKERS:
+        gen = gen | head.contains(m)
+    lines = F.split(F.col(text_col), r"\n")
+    max_len = F.aggregate(
+        lines, F.lit(0), lambda a, x: F.greatest(a, F.length(x))
+    )
+    avg_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ) / F.size(lines).cast("double")
+    minified = (
+        F.col(path_col).rlike(r"\.min\.(js|css)$")
+        | (max_len > max_line)
+        | (avg_len > avg_line)
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(path_col).alias("path"),
+        vendored.alias("vendored"),
+        gen.alias("generated"),
+        minified.alias("minified"),
+        (~vendored & ~gen & ~minified).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# function-level extraction + dedup
+# ---------------------------------------------------------------------------
+
+FN_DEF_RE = r"^\s*(def |function |func |fn )"
+_FN_NAME_RE = r"^\s*(?:def|function|func|fn)\s+([A-Za-z_][A-Za-z0-9_]*)"
+
+
+def extract_functions(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Regex-level function extraction: a function span runs from a
+    def-shaped line (def/function/func/fn) to the line before the
+    next def-shaped line (or EOF) — the language-agnostic
+    approximation that needs no parser and is deterministic enough
+    to oracle. Emits one row per function with its normalized body
+    (comment/blank lines dropped, right-trimmed) and the body's md5
+    — the unit for function-level dedup.
+
+    Scale: span discovery is array HOFs in codegen (one scan, no
+    shuffle); only the (doc, function) rows explode — output is
+    function-count-sized, bodies carry no extra copy of the file.
+    -> (doc_id, fn_no, fn_name, start_line, end_line, body_hash,
+    n_body_lines)."""
+    lines = F.split(F.col(text_col), r"\n")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.size(lines) - 1),
+        lambda i: F.element_at(lines, i + 1).rlike(FN_DEF_RE),
+    )
+    spans = F.when(
+        F.size(idx) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(idx) - 1),
+            lambda j: F.struct(
+                F.element_at(idx, j + 1).alias("s"),
+                F.coalesce(
+                    F.try_element_at(idx, j + 2), F.size(lines)
+                ).alias("e"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,e:int>>"))
+    ex = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        lines.alias("_l"),
+        F.posexplode(spans).alias("fn_no", "_sp"),
+    )
+    body_lines = F.slice(
+        F.col("_l"), F.col("_sp.s") + 1, F.col("_sp.e") - F.col("_sp.s")
+    )
+    norm = F.filter(
+        F.transform(body_lines, lambda x: F.rtrim(x)),
+        lambda x: (F.trim(x) != "")
+        & ~F.trim(x).startswith("#")
+        & ~F.trim(x).startswith("//"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("fn_no").cast("int").alias("fn_no"),
+        F.regexp_extract(
+            F.element_at(F.col("_l"), F.col("_sp.s") + 1),
+            _FN_NAME_RE,
+            1,
+        ).alias("fn_name"),
+        F.col("_sp.s").cast("int").alias("start_line"),
+        (F.col("_sp.e") - 1).cast("int").alias("end_line"),
+        F.md5(F.array_join(norm, "\n")).alias("body_hash"),
+        F.size(norm).cast("int").alias("n_body_lines"),
+    )
+
+
+def dedup_functions(fns: DataFrame, min_copies: int = 2) -> DataFrame:
+    """Function-level exact dedup over extract_functions output:
+    group by normalized-body hash, report every function body that
+    appears >= min_copies times with its copy count, distinct-doc
+    count and canonical (smallest doc_id, fn_no) occurrence — the
+    cross-repo boilerplate list a code-training pipeline drops or
+    downweights.
+
+    Scale: ONE hash-keyed groupBy over function-count-sized rows
+    (never documents); hashes are uniform so no salting needed.
+    -> (body_hash, n_copies, n_docs, doc_id, fn_no, fn_name)."""
+    return (
+        fns.groupBy("body_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "fn_no", "fn_name")).alias("_c"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+        .select(
+            "body_hash",
+            "n_copies",
+            "n_docs",
+            F.col("_c.doc_id").alias("doc_id"),
+            F.col("_c.fn_no").alias("fn_no"),
+            F.col("_c.fn_name").alias("fn_name"),
+        )
+    )
