@@ -2738,6 +2738,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_pipeline"] = agg_pipeline_q
 
+    def agg_sampler_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"smp": {
+                "sampler": {"shard_size": 20},
+                "aggs": {"l": {"terms": {"field": "lang",
+                               "size": 10}}},
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["smp.l"]
+
+    q["ft_agg_sampler"] = agg_sampler_q
+
+    def agg_wavg_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"w": {"weighted_avg": {
+                "value": {"field": "doc_len"},
+                "weight": {"field": "doc_id"},
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["w"]
+
+    q["ft_agg_wavg"] = agg_wavg_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5731,6 +5766,29 @@ SELECT cast(key as double) AS key, doc_count, total,
          AS cum,
        round(total - lag(total) OVER (ORDER BY key), 4) AS d
 FROM h ORDER BY key"""
+
+    # sampler: top-20 matches BY SCORE, then a terms agg over the
+    # sample only
+    o["ft_agg_sampler"] = (
+        _cte(["spark"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+top AS (SELECT doc_id FROM agg ORDER BY sr DESC, doc_id LIMIT 20)
+SELECT d.lang AS lang, count(*) AS doc_count
+FROM top JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY doc_count DESC, lang"""
+    )
+
+    # weighted_avg metric: sum(doc_len*doc_id)/sum(doc_id) over
+    # the match set
+    o["ft_agg_wavg"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+j AS (SELECT dl.dl, m.doc_id FROM m JOIN dl USING (doc_id))
+SELECT round(sum(dl * doc_id * 1.0) / sum(doc_id * 1.0), 4)
+  AS value
+FROM j"""
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

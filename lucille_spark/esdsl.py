@@ -1001,6 +1001,14 @@ def _metric_cols(aggname: str, sub: Dict[str, Any]):
             or skind == "top_hits"
         ):
             continue
+        if skind == "weighted_avg":
+            v = F.col(sspec[skind]["value"]["field"]).cast("double")
+            wt = F.col(sspec[skind]["weight"]["field"]).cast("double")
+            cols.append(
+                F.round(F.sum(v * wt) / F.sum(wt), 4).alias(sname)
+            )
+            names.append(sname)
+            continue
         if skind not in _METRIC_FNS:
             raise UnsupportedDSL(
                 f"agg {aggname}.{sname}: {skind} not supported"
@@ -1106,7 +1114,8 @@ def _nested_bucket_frames(j, parents, prefix, sub):
 
 
 def aggs_es(
-    executor, aggs: Dict[str, Any], query=None, k: int = 10, docs=None
+    executor, aggs: Dict[str, Any], query=None, k: int = 10, docs=None,
+    _matches=None,
 ):
     """ES aggregations DSL over an optional query context — the
     other half of the migration surface (a dashboard's stored aggs
@@ -1125,7 +1134,10 @@ def aggs_es(
     bucket_selector / bucket_sort under terms too — scripts limited
     to the arithmetic painless subset) and sibling position
     (avg/sum/min/max/stats_bucket via buckets_path "agg>metric").
-    Unsupported kinds raise UnsupportedDSL.
+    `sampler` / `diversified_sampler` narrow the match set to the
+    top shard_size docs by score (per-field capped for diversified)
+    before their sub-aggs run; `weighted_avg` as a top-level metric
+    or terms sub-metric. Unsupported kinds raise UnsupportedDSL.
 
     Scale: every agg computes over the match set joined to doclens
     (matching ids shuffle, never the corpus); cardinality rides the
@@ -1151,6 +1163,12 @@ def aggs_es(
         if dd is not None:
             matches = matches.join(F.broadcast(dd), "doc_id", "left_anti")
 
+    if _matches is not None:
+        # sampler context: an ancestor already narrowed the match
+        # set; kinds that re-derive their own match set from `query`
+        # would silently escape the sample, so they raise below
+        matches = _matches
+
     out: Dict[str, Any] = {}
     siblings: Dict[str, Any] = {}
     for name, spec in aggs.items():
@@ -1167,8 +1185,62 @@ def aggs_es(
             siblings[name] = (kind, body)
             continue
 
-        if kind == "cardinality":
+        if _matches is not None and kind in (
+            "range", "significant_terms", "global", "sampler",
+            "diversified_sampler",
+        ):
+            raise UnsupportedDSL(
+                f"agg {name}: {kind} not supported inside a sampler "
+                "context (it would escape the sample)"
+            )
+
+        if kind in ("sampler", "diversified_sampler"):
+            # ES sampler: restrict the match set to the top
+            # shard_size docs BY SCORE, then run the sub-aggs over
+            # that sample. diversified_sampler additionally caps
+            # docs per `field` value (per-value row_number) before
+            # the top-size cut, de-biasing dominant sources.
+            # Scale: the sample is a k-row TakeOrdered off the
+            # already-computed match set; every sub-agg then runs
+            # over <= shard_size rows.
             if query is None:
+                raise UnsupportedDSL(
+                    f"agg {name}: {kind} needs a query context"
+                )
+            shard_size = int(body.get("shard_size", 100))
+            sampled = matches
+            if kind == "diversified_sampler":
+                from pyspark.sql import Window
+
+                dfield = body["field"]
+                max_per = int(body.get("max_docs_per_value", 1))
+                meta = executor.ix.doclens.select("doc_id", dfield)
+                w = Window.partitionBy(dfield).orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+                sampled = (
+                    sampled.join(meta, "doc_id")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= max_per)
+                    .select("doc_id", "score")
+                )
+            sampled = sampled.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).limit(shard_size)
+            if not sub:
+                raise UnsupportedDSL(
+                    f"agg {name}: {kind} needs sub-aggs"
+                )
+            inner = aggs_es(
+                executor, sub, query=query, k=k, docs=docs,
+                _matches=sampled,
+            )
+            for iname, idf in inner.items():
+                out[f"{name}.{iname}"] = idf
+            continue
+
+        if kind == "cardinality":
+            if query is None or _matches is not None:
                 from lucille_spark.ops.sketch import approx_distinct
 
                 meta = executor.ix.doclens.select(
@@ -1436,6 +1508,26 @@ def aggs_es(
             )
             continue
 
+        if kind == "weighted_avg":
+            # ES weighted_avg: sum(value*weight)/sum(weight) over
+            # the match set — one join + one agg
+            v = body["value"]["field"]
+            wt = body["weight"]["field"]
+            cols = [c for c in dict.fromkeys([v, wt]) if c != "doc_id"]
+            meta = executor.ix.doclens.select("doc_id", *cols)
+            jm = matches.select("doc_id").join(meta, "doc_id")
+            out[name] = jm.agg(
+                F.round(
+                    F.sum(
+                        F.col(v).cast("double")
+                        * F.col(wt).cast("double")
+                    )
+                    / F.sum(F.col(wt).cast("double")),
+                    4,
+                ).alias("value")
+            )
+            continue
+
         if kind in ("avg", "min", "max", "sum"):
             # top-level single-value metric over the match set
             meta = executor.ix.doclens.select(
@@ -1606,10 +1698,10 @@ def aggs_es(
                     )
                 )
             if th_spec is not None:
-                if query is None:
+                if query is None or _matches is not None:
                     raise UnsupportedDSL(
                         f"agg {name}: top_hits sub-agg needs a query "
-                        "context"
+                        "context outside a sampler"
                     )
                 sname, tsize = th_spec
                 out[f"{name}.{sname}"] = top_hits(

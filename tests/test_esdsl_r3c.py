@@ -720,3 +720,85 @@ def test_bucket_sort_and_sibling_pipelines(spark, unit_index):
             "aggs": {"c": {"cumulative_sum":
                            {"buckets_path": "_count"}}},
         }}, query=q)
+
+
+def test_sampler_agg(spark, unit_index):
+    from collections import Counter
+
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"s": {
+        "sampler": {"shard_size": 5},
+        "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+    }}, query=q)
+    got = {(r.lang, r.doc_count) for r in out["s.l"].collect()}
+    # reference: top-5 matches by (score desc, doc_id asc)
+    hits = sorted(
+        ex.search("cats", k=None).collect(),
+        key=lambda r: (-r.score, r.doc_id),
+    )[:5]
+    meta = {
+        r.doc_id: r.lang
+        for r in ex.ix.doclens.select("doc_id", "lang").collect()
+    }
+    want = Counter(meta[h.doc_id] for h in hits)
+    assert got == set(want.items())
+    # kinds that would escape the sample must raise
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"s": {
+            "sampler": {"shard_size": 5},
+            "aggs": {"g": {"global": {}}},
+        }}, query=q)
+
+
+def test_diversified_sampler_agg(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"s": {
+        "diversified_sampler": {
+            "shard_size": 4, "field": "lang",
+            "max_docs_per_value": 1,
+        },
+        "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+    }}, query=q)
+    rows = out["s.l"].collect()
+    # every lang bucket holds exactly one doc (max_docs_per_value=1)
+    assert rows and all(r.doc_count == 1 for r in rows)
+    assert len(rows) <= 4
+
+
+def test_weighted_avg(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    spec = {"weighted_avg": {
+        "value": {"field": "doc_len"},
+        "weight": {"field": "doc_id"},
+    }}
+    got = aggs_es(ex, {"w": spec}, query=q)["w"].collect()[0].value
+    rows = _meta_rows(ex, "cats")
+    want = round(
+        sum(float(r.doc_len) * r.doc_id for r in rows)
+        / sum(float(r.doc_id) for r in rows),
+        4,
+    )
+    assert got == want
+    # and as a sub-metric of a terms bucket
+    out = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"w": spec},
+    }}, query=q)["l"].collect()[0]
+    lang_rows = [r for r in rows if r.lang == out.lang]
+    assert out.w == round(
+        sum(float(r.doc_len) * r.doc_id for r in lang_rows)
+        / sum(float(r.doc_id) for r in lang_rows),
+        4,
+    )
