@@ -1177,6 +1177,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_repetition"] = lambda s, d: text.repetition_stats(
         _docs(s, d), "doc_id", "text"
     )
+
+    def _url_docs(s, d):
+        add1 = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit(""))
+        add2 = F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" http://m."), F.col("lang"), F.lit(".net/x")
+            ),
+        ).otherwise(F.lit(""))
+        return _docs(s, d).select(
+            "doc_id", F.concat("text", add1, add2).alias("text")
+        )
+
+    q["tx_urls"] = lambda s, d: text.extract_urls(
+        _url_docs(s, d), "doc_id", "text"
+    ).orderBy("doc_id", "url")
+    q["tx_domains"] = lambda s, d: text.domain_stats(
+        _url_docs(s, d), "doc_id", "text"
+    ).orderBy("domain")
     # CCNet-style self-trained unigram-LM perplexity proxy
     q["tx_unigram_lm"] = lambda s, d: text.unigram_lm_score(
         _docs(s, d), "doc_id", "text"
@@ -4059,6 +4086,35 @@ SELECT w.doc_id,
         THEN 1.0 - len(list_distinct(g5.gs)) * 1.0 / len(g5.gs)
         ELSE 0.0 END, 6) AS dup5_frac
 FROM wc w LEFT JOIN wide USING (doc_id) JOIN g5 USING (doc_id)"""
+
+    # URL extraction: same synthesized URLs, same RE2 pattern
+    _URL_DOCS = """
+SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' https://' || source ||
+    '.example.com/p/' || cast(doc_id as varchar) ELSE '' END ||
+  CASE WHEN doc_id % 9 = 0 THEN ' http://m.' || lang || '.net/x'
+    ELSE '' END AS text
+FROM documents"""
+
+    o["tx_urls"] = f"""
+WITH s AS ({_URL_DOCS}),
+u AS (SELECT doc_id,
+      unnest(regexp_extract_all(text,
+        'https?://[^\\s"''<>\\)\\]]+')) AS url FROM s)
+SELECT doc_id, url,
+  lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain
+FROM u ORDER BY doc_id, url"""
+
+    o["tx_domains"] = f"""
+WITH s AS ({_URL_DOCS}),
+u AS (SELECT doc_id,
+      unnest(regexp_extract_all(text,
+        'https?://[^\\s"''<>\\)\\]]+')) AS url FROM s),
+d AS (SELECT doc_id,
+      lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain
+      FROM u)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM d GROUP BY domain ORDER BY domain"""
 
     # facets: full OR-match set scored per doc, joined to lang,
     # bucket counts + max score

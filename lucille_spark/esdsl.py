@@ -1186,8 +1186,8 @@ def aggs_es(
             continue
 
         if _matches is not None and kind in (
-            "range", "significant_terms", "global", "sampler",
-            "diversified_sampler",
+            "range", "significant_terms", "significant_text",
+            "global", "sampler", "diversified_sampler",
         ):
             raise UnsupportedDSL(
                 f"agg {name}: {kind} not supported inside a sampler "
@@ -1360,6 +1360,14 @@ def aggs_es(
                 edges,
             )
             continue
+
+        if kind == "significant_text":
+            # ES significant_text IS significant_terms computed by
+            # re-analyzing the text field of the sampled page — which
+            # is exactly how our significant_terms already works (the
+            # index stores no per-field pre-aggregated terms), so the
+            # two kinds share one implementation.
+            kind = "significant_terms"
 
         if kind == "significant_terms":
             # JLH-scored over-represented terms in the query's top

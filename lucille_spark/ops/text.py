@@ -1339,3 +1339,78 @@ def cluster_top_terms(
         .select("cluster", "rank", "term", "n")
         .orderBy("cluster", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction (web-corpus curation)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround) so the DuckDB oracle runs the same
+# pattern verbatim
+URL_RE = r"""https?://[^\s"'<>\)\]]+"""
+_DOMAIN_RE = r"https?://([^/:?#]+)"
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document URL extraction — the first step of every
+    web-corpus domain pass (domain mixing rates, blocklist
+    filtering, outlink graphs): pull every http(s) URL out of the
+    text with its registrable host, one row per occurrence.
+
+    Scale: one scan, zero shuffle — regexp_extract_all in codegen,
+    the explode is URL-count-sized (documents without URLs emit
+    nothing and never shuffle). -> (doc_id, url, domain)."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(URL_RE), F.lit(0)
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(urls).alias("url"),
+        )
+        .select(
+            "doc_id",
+            "url",
+            F.lower(
+                F.regexp_extract(F.col("url"), _DOMAIN_RE, 1)
+            ).alias("domain"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Domain frequency table over the corpus' extracted URLs: how
+    many URL occurrences and how many distinct documents cite each
+    domain — the input to blocklists and per-domain sampling caps
+    (C4 dropped whole domains on exactly these counts).
+
+    Scale: ONE domain-keyed groupBy over URL-count-sized rows (never
+    documents); domains are Zipfian but the payload per row is a
+    counter, so skew is benign. -> (domain, n_urls, n_docs)."""
+    u = extract_urls(df, id_col, text_col)
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Drop every document citing a blocked domain (the C4/RefinedWeb
+    blocklist pass). `blocked` is a 1-column (domain) DataFrame —
+    list-sized, so the probe is a broadcast semi-join against the
+    URL-count-sized extraction, then an anti-join back onto the
+    corpus by doc_id; document payloads cross no shuffle."""
+    hits = (
+        extract_urls(df, id_col, text_col)
+        .join(F.broadcast(blocked), "domain", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

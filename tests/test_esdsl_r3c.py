@@ -802,3 +802,24 @@ def test_weighted_avg(spark, unit_index):
         / sum(float(r.doc_id) for r in lang_rows),
         4,
     )
+
+
+def test_significant_text_alias(spark, unit_corpus, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    pdf = unit_corpus.sort_values(
+        ["repo", "path", "commit"]
+    ).reset_index(drop=True)
+    docs = spark.createDataFrame(pdf).selectExpr(
+        "row_number() OVER (ORDER BY repo, path, commit) - 1 "
+        "AS doc_id",
+        "content AS text",
+    )
+    q = {"match": {"content": "cats"}}
+    a = aggs_es(ex, {"s": {"significant_text": {
+        "field": "text", "size": 5}}}, query=q, docs=docs)
+    b = aggs_es(ex, {"s": {"significant_terms": {
+        "field": "text", "size": 5}}}, query=q, docs=docs)
+    assert a["s"].collect() == b["s"].collect()

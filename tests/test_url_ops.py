@@ -1,0 +1,53 @@
+"""URL / domain extraction ops (web-corpus curation)."""
+
+
+def test_extract_urls(spark):
+    from lucille_spark.ops.text import extract_urls
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://Example.com/a and "
+                "http://sub.site.org/p?q=1 end"),
+            (1, "no links"),
+            (2, 'quoted "https://x.io/y" (https://x.io/z)'),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        extract_urls(docs, "doc_id", "text").collect(),
+        key=lambda r: (r.doc_id, r.url),
+    )
+    assert [(r.doc_id, r.url, r.domain) for r in out] == [
+        (0, "http://sub.site.org/p?q=1", "sub.site.org"),
+        (0, "https://Example.com/a", "example.com"),
+        (2, "https://x.io/y", "x.io"),
+        (2, "https://x.io/z", "x.io"),
+    ]
+
+
+def test_domain_stats_and_blocklist(spark):
+    from lucille_spark.ops.text import (
+        domain_stats,
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://a.com/1 https://a.com/2"),
+            (1, "https://a.com/3 https://b.org/x"),
+            (2, "https://b.org/y"),
+            (3, "clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    st = {r.domain: (r.n_urls, r.n_docs)
+          for r in domain_stats(docs, "doc_id", "text").collect()}
+    assert st == {"a.com": (3, 2), "b.org": (2, 2)}
+    blocked = spark.createDataFrame([("b.org",)], ["domain"])
+    kept = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(
+            docs, blocked, "doc_id", "text"
+        ).collect()
+    )
+    assert kept == [0, 3]
