@@ -149,6 +149,15 @@ class BuildConfig:
     # so the per-file (term_min, term_max) index can prune whole files
     # at query time; None = one file per task (no file pruning)
     max_records_per_file: Optional[int] = 262_144
+    # cluster doclens rows by a low-cardinality meta column (e.g.
+    # "lang") via an extra sortWithinPartitions — still ZERO shuffle.
+    # Parquet row-group min/max stats on that column then prune
+    # metadata-only queries (`lang:de` with no scored term) down to
+    # the matching row groups instead of scanning every doc's row;
+    # at 10^11 docs that's the difference between reading one
+    # language and reading the corpus. None = doc_id order (default;
+    # favors point-lookup locality for _mget instead).
+    doclens_sort_by: Optional[str] = None
 
 
 @dataclass
@@ -320,7 +329,7 @@ class IndexBuilder:
                     + "".join(f", {c} string" for c in meta_cols)
                     + "".join(f", len_{c} int" for c in indexed_cols)
                 )
-                (
+                dl_df = (
                     base.select(
                         "shard",
                         "doc_id",
@@ -343,7 +352,25 @@ class IndexBuilder:
                         ),
                         schema=dl_schema,
                     )
-                    .write.mode("overwrite")
+                )
+                if cfg.doclens_sort_by:
+                    if cfg.doclens_sort_by not in meta_cols:
+                        raise ValueError(
+                            "doclens_sort_by must name a meta "
+                            f"column, got {cfg.doclens_sort_by!r}"
+                        )
+                    # local re-sort (no shuffle): rows inside each
+                    # task become meta-clustered, so parquet
+                    # row-group stats prune metadata-only scans.
+                    # shard leads the sort so the partitioned write's
+                    # required ordering is already satisfied and it
+                    # inserts no sort of its own (which would not
+                    # preserve the secondary order)
+                    dl_df = dl_df.sortWithinPartitions(
+                        "shard", cfg.doclens_sort_by, "doc_id"
+                    )
+                (
+                    dl_df.write.mode("overwrite")
                     .partitionBy("shard")
                     .parquet(doclens_path)
                 )

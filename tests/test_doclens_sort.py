@@ -1,0 +1,64 @@
+"""doclens_sort_by: meta-clustered doclens for metadata-only query
+pruning. The sort is sortWithinPartitions (zero shuffle); query
+results must be identical either way, and each written file must be
+lang-ordered so parquet row-group stats can prune `lang:X`-only
+scans at scale."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sorted_index(spark, unit_corpus, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.index.reader import SparkIndex
+
+    out = str(tmp_path_factory.mktemp("ixs") / "unit_sorted")
+    docs = spark.createDataFrame(unit_corpus)
+    IndexBuilder(
+        config=BuildConfig(
+            num_shards=4, block_size=32, doclens_sort_by="lang"
+        )
+    ).build(docs, out)
+    return SparkIndex(spark, out), out
+
+
+def test_results_identical(spark, unit_index, sorted_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ixs, _ = sorted_index
+    for q in ["cats", "cats AND dogs", "lang:en AND cats",
+              "lang:de"]:
+        a = sorted(
+            (r.doc_id, round(r.score, 6))
+            for r in DataFrameExecutor(ix).search(q, k=None).collect()
+        )
+        b = sorted(
+            (r.doc_id, round(r.score, 6))
+            for r in DataFrameExecutor(ixs).search(q, k=None).collect()
+        )
+        assert a == b, q
+
+
+def test_files_lang_clustered(sorted_index):
+    _, out = sorted_index
+    files = glob.glob(f"{out}/doclens/shard=*/*.parquet")
+    assert files
+    for f in files:
+        langs = pq.read_table(f, columns=["lang"])["lang"].to_pylist()
+        assert langs == sorted(langs), f
+
+
+def test_bad_sort_column_raises(spark, unit_corpus, tmp_path):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import BuildConfig
+
+    docs = spark.createDataFrame(unit_corpus)
+    with pytest.raises(ValueError, match="doclens_sort_by"):
+        IndexBuilder(
+            config=BuildConfig(num_shards=2, doclens_sort_by="nope")
+        ).build(docs, str(tmp_path / "x"))
