@@ -2800,6 +2800,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_wavg"] = agg_wavg_q
 
+    def scroll_q(s, d):
+        from lucille_spark.esdsl import scroll_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        body = {"query": {"match": {"content": "spark"}}, "size": 15}
+        p1 = scroll_es(ex, body).collect()
+        return scroll_es(ex, body, after=p1[-1].doc_id).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_scroll"] = scroll_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5845,6 +5858,18 @@ j AS (SELECT dl.dl, m.doc_id FROM m JOIN dl USING (doc_id))
 SELECT round(sum(dl * doc_id * 1.0) / sum(doc_id * 1.0), 4)
   AS value
 FROM j"""
+
+    # scroll page 2: full match set in doc_id order, rows 16..30
+    o["ft_scroll"] = (
+        _cte(["spark"])
+        + """
+, agg AS (SELECT doc_id, round(sum(s), 4) AS score FROM sc
+          GROUP BY doc_id),
+r AS (SELECT doc_id, score,
+      row_number() OVER (ORDER BY doc_id) AS rn FROM agg)
+SELECT doc_id, score FROM r WHERE rn > 15 AND rn <= 30
+ORDER BY doc_id"""
+    )
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

@@ -1875,6 +1875,23 @@ def count_es(executor, dsl: Dict[str, Any]):
     return match_count(executor, to_ast(dsl))
 
 
+def scroll_es(executor, body: Dict[str, Any], after=None):
+    """ES scroll / point-in-time pagination for DSL requests: walk
+    the full match set in doc_id order, `size` docs per batch, with
+    `after` = last doc_id of the previous batch (the PIT
+    search_after shape — no server-side scroll context to keep
+    alive, which is also why it scales). Request body: {"query":
+    ..., "size": N}. -> (doc_id, score) batch rows; feed the last
+    row's doc_id back as `after` until the batch comes up short."""
+    from lucille_spark.search_features import scan_matches
+
+    q = body.get("query", {"match_all": {}})
+    size = int(body.get("size", 1000))
+    return scan_matches(
+        executor, to_ast(q), batch_size=size, after=after
+    )
+
+
 # ---------------------------------------------------------------------------
 # ES 8 kNN endpoint over an embedding DataFrame
 # ---------------------------------------------------------------------------

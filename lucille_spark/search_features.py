@@ -1796,6 +1796,31 @@ def export_matches(
     return executor.ix.spark.read.parquet(path).count()
 
 
+def scan_matches(
+    executor,
+    query,
+    batch_size: int = 1000,
+    after=None,
+    with_meta: bool = False,
+) -> DataFrame:
+    """ES scroll / point-in-time slice: walk the FULL match set in
+    doc_id order, `batch_size` docs at a time — every matching doc
+    exactly once, relevance order NOT required (that's the scroll
+    contract; use `paginate` for score-ordered deep paging). Pass
+    the last doc_id of the previous batch as `after`.
+
+    Scale: each batch is match-set filter (doc_id > after) +
+    TakeOrderedAndProject — no OFFSET materialization, no global
+    sort, and the doc_id predicate prunes doclens/postings row
+    groups (doc ids are file-contiguous by construction). For a
+    one-shot bulk handoff prefer export_matches (one job, no
+    round-trips). -> (doc_id, score[, meta...]) batch rows."""
+    m = executor.search(query, k=None, with_meta=with_meta)
+    if after is not None:
+        m = m.filter(F.col("doc_id") > int(after))
+    return m.orderBy("doc_id").limit(batch_size)
+
+
 def terms_set(
     executor,
     terms,

@@ -277,3 +277,10 @@ class Searcher:
         from lucille_spark.esdsl import msearch_es as _ms
 
         return _ms(self.executor, dsls, k=k)
+
+    def scroll(self, body: dict, after=None) -> DataFrame:
+        """ES scroll / PIT search_after: doc_id-ordered batches of
+        the full match set; feed the last doc_id back as `after`."""
+        from lucille_spark.esdsl import scroll_es as _sc
+
+        return _sc(self._df_ex, body, after=after)

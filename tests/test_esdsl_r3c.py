@@ -823,3 +823,26 @@ def test_significant_text_alias(spark, unit_corpus, unit_index):
     b = aggs_es(ex, {"s": {"significant_terms": {
         "field": "text", "size": 5}}}, query=q, docs=docs)
     assert a["s"].collect() == b["s"].collect()
+
+
+def test_scroll_es(spark, unit_index):
+    from lucille_spark.esdsl import scroll_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    all_ids = sorted(
+        r.doc_id for r in ex.search("cats", k=None).collect()
+    )
+    body = {"query": {"match": {"content": "cats"}}, "size": 7}
+    seen, after = [], None
+    while True:
+        batch = scroll_es(ex, body, after=after).collect()
+        if not batch:
+            break
+        ids = [r.doc_id for r in batch]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        after = ids[-1]
+        if len(batch) < 7:
+            break
+    assert seen == all_ids
