@@ -2813,6 +2813,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_scroll"] = scroll_q
 
+    def agg_pranks_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return aggs_es(
+            ex,
+            {"p": {"percentile_ranks": {
+                "field": "doc_len", "values": [40, 64],
+            }}},
+            query={"match": {"content": "spark"}},
+        )["p"]
+
+    q["ft_agg_pranks"] = agg_pranks_q
+
+    def agg_include_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return aggs_es(
+            ex,
+            {"l": {"terms": {
+                "field": "lang", "include": "de|en|fr",
+                "exclude": ["fr"], "min_doc_count": 2,
+            }}},
+            query={"match": {"content": "spark"}},
+        )["l"]
+
+    q["ft_agg_include"] = agg_include_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5870,6 +5901,35 @@ r AS (SELECT doc_id, score,
 SELECT doc_id, score FROM r WHERE rn > 15 AND rn <= 30
 ORDER BY doc_id"""
     )
+
+    # percentile_ranks: % of matched docs with doc_len <= 40 / 64
+    o["ft_agg_pranks"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+j AS (SELECT dl.dl FROM m JOIN dl USING (doc_id))
+SELECT * FROM (
+  SELECT cast(40 as double) AS value,
+    round(100.0 * avg(CASE WHEN dl <= 40 THEN 1.0 ELSE 0.0 END), 4)
+      AS pct FROM j
+  UNION ALL
+  SELECT cast(64 as double),
+    round(100.0 * avg(CASE WHEN dl <= 64 THEN 1.0 ELSE 0.0 END), 4)
+    FROM j)
+ORDER BY value"""
+
+    # terms agg with anchored include regex, exclude list and
+    # min_doc_count
+    o["ft_agg_include"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+c AS (SELECT d.lang, count(*) AS doc_count
+      FROM m JOIN documents d USING (doc_id)
+      WHERE regexp_matches(d.lang, '^(?:de|en|fr)$')
+        AND d.lang <> 'fr'
+      GROUP BY d.lang)
+SELECT lang, doc_count FROM c WHERE doc_count >= 2
+ORDER BY doc_count DESC, lang LIMIT 10"""
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

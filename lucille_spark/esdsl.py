@@ -1280,6 +1280,41 @@ def aggs_es(
             out[name] = j.agg(*ag)
             continue
 
+        if kind == "percentile_ranks":
+            # ES percentile_ranks: for each given value, the percent
+            # of matched docs whose field is <= it — one agg over
+            # the match-set join, unpivoted to (value, pct) rows
+            field = body["field"]
+            values = [float(x) for x in body["values"]]
+            meta = executor.ix.doclens.select(
+                "doc_id", F.col(field).cast("double").alias("_v")
+            )
+            jm = matches.select("doc_id").join(meta, "doc_id")
+            row = jm.agg(
+                *[
+                    F.round(
+                        F.avg(
+                            F.when(F.col("_v") <= v, 1.0).otherwise(
+                                0.0
+                            )
+                        )
+                        * 100,
+                        4,
+                    ).alias(f"_r{i}")
+                    for i, v in enumerate(values)
+                ]
+            )
+            stack = ", ".join(
+                f"cast({v} as double), _r{i}"
+                for i, v in enumerate(values)
+            )
+            out[name] = row.select(
+                F.expr(
+                    f"stack({len(values)}, {stack}) AS (value, pct)"
+                )
+            ).orderBy("value")
+            continue
+
         if kind == "histogram":
             field = body["field"]
             interval = float(body["interval"])
@@ -1655,6 +1690,22 @@ def aggs_es(
             metric_cols, metric_names = _metric_cols(name, sub)
             meta = executor.ix.doclens.drop("shard")
             j = matches.select("doc_id").join(meta, "doc_id")
+            # ES include/exclude: exact-value list or FULLY-ANCHORED
+            # regex over the bucket key, applied before grouping
+            # (cheaper than post-agg and identical on the key)
+            inc, exc = body.get("include"), body.get("exclude")
+            if inc is not None:
+                j = j.filter(
+                    F.col(field).isin([str(x) for x in inc])
+                    if isinstance(inc, (list, tuple))
+                    else F.col(field).rlike(f"^(?:{inc})$")
+                )
+            if exc is not None:
+                j = j.filter(
+                    ~F.col(field).isin([str(x) for x in exc])
+                    if isinstance(exc, (list, tuple))
+                    else ~F.col(field).rlike(f"^(?:{exc})$")
+                )
             # ES bucket order: doc_count desc default; `order` may
             # name _count, _key, or a sub-metric alias
             order = body.get("order")
@@ -1678,12 +1729,13 @@ def aggs_es(
                     else F.desc(ocol)
                 )
                 sort_cols = [first, F.asc(field)]
-            buckets = (
-                j.groupBy(field)
-                .agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
-                .orderBy(*sort_cols)
-                .limit(size)
+            buckets = j.groupBy(field).agg(
+                F.count(F.lit(1)).alias("doc_count"), *metric_cols
             )
+            mdc = int(body.get("min_doc_count", 1))
+            if mdc > 1:
+                buckets = buckets.filter(F.col("doc_count") >= mdc)
+            buckets = buckets.orderBy(*sort_cols).limit(size)
             out[name] = _apply_parent_pipelines(
                 buckets, field, sub, name, is_hist=False
             )

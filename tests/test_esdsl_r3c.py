@@ -846,3 +846,49 @@ def test_scroll_es(spark, unit_index):
         if len(batch) < 7:
             break
     assert seen == all_ids
+
+
+def test_terms_include_exclude_min_doc_count(spark, unit_index):
+    from collections import Counter
+
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    rows = _meta_rows(ex, "cats")
+    lc = Counter(r.lang for r in rows)
+    langs = sorted(lc)
+    keep = langs[:2]
+    out = aggs_es(ex, {"l": {"terms": {
+        "field": "lang", "include": keep}}}, query=q)["l"].collect()
+    assert {r.lang for r in out} == {k for k in keep if lc[k] > 0}
+    out2 = aggs_es(ex, {"l": {"terms": {
+        "field": "lang", "exclude": f"{langs[0]}"}}},
+        query=q)["l"].collect()
+    assert langs[0] not in {r.lang for r in out2}
+    thresh = sorted(lc.values())[len(lc) // 2]
+    out3 = aggs_es(ex, {"l": {"terms": {
+        "field": "lang", "min_doc_count": thresh}}},
+        query=q)["l"].collect()
+    assert {r.lang for r in out3} == {
+        k for k, v in lc.items() if v >= thresh}
+
+
+def test_percentile_ranks(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    rows = _meta_rows(ex, "cats")
+    dls = [float(r.doc_len) for r in rows]
+    vals = [sorted(dls)[len(dls) // 2], max(dls)]
+    out = aggs_es(ex, {"p": {"percentile_ranks": {
+        "field": "doc_len", "values": vals}}}, query=q)["p"].collect()
+    got = {r.value: r.pct for r in out}
+    for v in vals:
+        want = round(
+            100.0 * sum(1 for x in dls if x <= v) / len(dls), 4)
+        assert got[v] == want
+    assert got[max(dls)] == 100.0
