@@ -2343,6 +2343,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_moving_avg"] = ev_moving_avg_q
 
+    def ev_monthly_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        return ev.date_histogram(
+            _events(s, d), interval="month", by="event_type"
+        ).orderBy("bucket_epoch", "event_type")
+
+    q["ev_monthly"] = ev_monthly_q
+
     def ev_anomaly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -5435,6 +5444,14 @@ SELECT w1 || ' ' || w2 AS suggestion, round(s, 6) AS score FROM ph
 ORDER BY s DESC, suggestion LIMIT 5"""
 
     # ---- event-series pipeline aggs --------------------------------
+    # calendar-interval date_histogram (month) with a term sub-bucket
+    # — cross-engine-safe because the session/container TZ is UTC
+    o["ev_monthly"] = """
+SELECT cast(epoch(date_trunc('month', ts)) as bigint)
+         AS bucket_epoch,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY bucket_epoch, event_type"""
+
     o["ev_moving_avg"] = """
 WITH h AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
              AS bucket_epoch,

@@ -1927,6 +1927,58 @@ def count_es(executor, dsl: Dict[str, Any]):
     return match_count(executor, to_ast(dsl))
 
 
+def explain_es(executor, dsl, doc_id: int) -> Dict[str, Any]:
+    """ES `_explain/{id}` endpoint: does `doc_id` match the DSL
+    query, with what score, and — for flat term booleans, the class
+    explain_doc covers — the per-term BM25 breakdown the scorer
+    actually used. Non-flat plans (phrases, expansions, nested
+    combinators) return the score with details=None rather than
+    failing: matched/score are plan-agnostic.
+
+    Scale: one doc_id-filtered pass over the match set (the doc_id
+    predicate pushes through to the postings scan), plus for the
+    breakdown one postings scan of the query's terms filtered the
+    same way. Driver returns a plain dict — this is a point lookup,
+    not a frame."""
+    from pyspark.sql import functions as F
+
+    q = (
+        dsl["query"]
+        if isinstance(dsl, dict) and "query" in dsl else dsl
+    )
+    node = to_ast(q)
+    hit = (
+        executor.search(node, k=None)
+        .filter(F.col("doc_id") == int(doc_id))
+        .collect()
+    )
+    out: Dict[str, Any] = {"_id": int(doc_id), "matched": bool(hit)}
+    if not hit:
+        return out
+    out["score"] = float(hit[0].score)
+    from lucille_spark.search_features import explain_doc
+
+    try:
+        det = (
+            explain_doc(executor, node, k=None)
+            .filter(F.col("doc_id") == int(doc_id))
+            .collect()
+        )
+        out["details"] = [
+            {
+                "term": r.term,
+                "tf": int(r.tf),
+                "doc_len": int(r.doc_len),
+                "idf": float(r.idf),
+                "contribution": float(r.contrib),
+            }
+            for r in sorted(det, key=lambda r: r.term)
+        ]
+    except ValueError:
+        out["details"] = None
+    return out
+
+
 def scroll_es(executor, body: Dict[str, Any], after=None):
     """ES scroll / point-in-time pagination for DSL requests: walk
     the full match set in doc_id order, `size` docs per batch, with

@@ -892,3 +892,32 @@ def test_percentile_ranks(spark, unit_index):
             100.0 * sum(1 for x in dls if x <= v) / len(dls), 4)
         assert got[v] == want
     assert got[max(dls)] == 100.0
+
+
+def test_explain_es(spark, unit_index):
+    from lucille_spark.esdsl import explain_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    dsl = {"query": {"match": {"content": "cats dogs"}}}
+    top = ex.search("cats OR dogs", k=1).collect()[0]
+    got = explain_es(ex, dsl, top.doc_id)
+    assert got["matched"] is True
+    assert abs(got["score"] - top.score) < 1e-9
+    assert got["details"], "flat boolean should have a breakdown"
+    # contributions are rounded in explain_doc; sum within rounding
+    assert abs(
+        sum(d["contribution"] for d in got["details"]) - top.score
+    ) < 1e-3
+    # a doc that does not match
+    all_ids = {r.doc_id for r in ex.search("cats OR dogs",
+                                           k=None).collect()}
+    miss = next(i for i in range(10_000) if i not in all_ids)
+    assert explain_es(ex, dsl, miss) == {
+        "_id": miss, "matched": False}
+    # non-flat plan: score only, details None
+    ph = {"match_phrase": {"content": "cats dogs"}}
+    hit = ex.search('"cats dogs"', k=1).collect()
+    if hit:
+        g2 = explain_es(ex, ph, hit[0].doc_id)
+        assert g2["matched"] and g2["details"] is None
