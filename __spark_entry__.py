@@ -693,7 +693,10 @@ _GATE_PRIORITY = [
     # one representative per pipeline/feature family (20)
     "dd_exact",
     "dd_lsh_pairs",
-    "dd_groups",
+    # (dd_groups freed its slot for the round-3 function-level code
+    # dedup — the components/groups flow stays covered by
+    # dd_lsh_pairs here plus dd_components/dd_groups in the mirror)
+    "code_fn_dups",
     "sem_dedup",
     "sim_pq_topk",
     "sim_srp_ann",
@@ -726,7 +729,10 @@ _GATE_PRIORITY = [
     # perplexity signal
     "ft_sqs",
     "ft_phrase_suggest",
-    "ft_agg_extstats",
+    # (ft_agg_extstats freed its slot for the nested-bucket agg —
+    # the deepest agg machinery: per-level groupBy + per-parent
+    # window + ancestor pruning; extstats stays in the mirror)
+    "ft_agg_nested",
     "tx_bigram_ppl",
 ]
 
