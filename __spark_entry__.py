@@ -4157,18 +4157,22 @@ FROM documents"""
 
     o["tx_urls"] = f"""
 WITH s AS ({_URL_DOCS}),
-u AS (SELECT doc_id,
+u0 AS (SELECT doc_id,
       unnest(regexp_extract_all(text,
-        'https?://[^\\s"''<>\\)\\]]+')) AS url FROM s)
+        'https?://[^\\s"''<>\\)\\]]+')) AS raw FROM s),
+u AS (SELECT doc_id,
+      regexp_replace(raw, '[.,;:!?]+$', '') AS url FROM u0)
 SELECT doc_id, url,
   lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain
 FROM u ORDER BY doc_id, url"""
 
     o["tx_domains"] = f"""
 WITH s AS ({_URL_DOCS}),
-u AS (SELECT doc_id,
+u0 AS (SELECT doc_id,
       unnest(regexp_extract_all(text,
-        'https?://[^\\s"''<>\\)\\]]+')) AS url FROM s),
+        'https?://[^\\s"''<>\\)\\]]+')) AS raw FROM s),
+u AS (SELECT doc_id,
+      regexp_replace(raw, '[.,;:!?]+$', '') AS url FROM u0),
 d AS (SELECT doc_id,
       lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain
       FROM u)

@@ -838,7 +838,9 @@ def _script_expr(script: str, params: Dict[str, str], cols, where: str):
     UnsupportedDSL (never an arbitrary expr passthrough)."""
     from pyspark.sql import functions as F
 
-    expr = str(script)
+    # painless boolean operators -> Spark SQL ('&&' would be a parse
+    # error, '||' would be string concat)
+    expr = str(script).replace("&&", " AND ").replace("||", " OR ")
     for pname in sorted(params, key=len, reverse=True):
         path = params[pname]
         col = "doc_count" if path == "_count" else path
@@ -848,8 +850,10 @@ def _script_expr(script: str, params: Dict[str, str], cols, where: str):
                 "metric of this bucket agg"
             )
         expr = expr.replace(f"params.{pname}", f"`{col}`")
-    residue = _re.sub(r"`[A-Za-z0-9_.]+`|\d+(\.\d+)?", "", expr)
-    if not _re.fullmatch(r"[\s()+\-*/%<>=!&|]*", residue):
+    residue = _re.sub(
+        r"`[A-Za-z0-9_.]+`|\d+(\.\d+)?|\bAND\b|\bOR\b", "", expr
+    )
+    if not _re.fullmatch(r"[\s()+\-*/%<>=!]*", residue):
         raise UnsupportedDSL(f"{where}: unsupported script {script!r}")
     return F.expr(expr)
 
@@ -908,6 +912,10 @@ def _apply_parent_pipelines(frame, key_col: str, sub, aggname: str,
                 col = F.round(src - F.lag(src, lag).over(w), 4)
             else:  # moving_fn
                 win = int(body["window"])
+                # ES window placement: shift=0 (default) covers the
+                # window BEFORE the current bucket [i-window, i-1];
+                # shift=1 slides it to include the current bucket
+                shift = int(body.get("shift", 0))
                 script = str(
                     body.get(
                         "script",
@@ -931,7 +939,10 @@ def _apply_parent_pipelines(frame, key_col: str, sub, aggname: str,
                     "stdDev": F.stddev_pop,
                 }[m.group(1)]
                 col = F.round(
-                    fn(src).over(w.rowsBetween(-(win - 1), 0)), 4
+                    fn(src).over(
+                        w.rowsBetween(-win + shift, shift - 1)
+                    ),
+                    4,
                 )
             frame = frame.withColumn(sname, col)
         elif skind == "bucket_script":
@@ -1066,6 +1077,13 @@ def _nested_bucket_frames(j, parents, prefix, sub):
             continue
         sbody = sspec[skind]
         ssub = sspec.get("aggs", {})
+        for sn2, ss2 in ssub.items():
+            k2 = _agg_kind(ss2)
+            if k2 in _PARENT_PIPELINE_KINDS or k2 == "top_hits":
+                raise UnsupportedDSL(
+                    f"agg {prefix}.{sname}.{sn2}: {k2} not supported "
+                    "under a nested bucket level"
+                )
         if skind == "terms":
             alias = sbody["field"]
             jl = j
@@ -1149,7 +1167,14 @@ def aggs_es(
         top_hits,
     )
 
-    if query is not None:
+    if _matches is not None:
+        # sampler context: an ancestor already narrowed the match
+        # set — don't rebuild the full match-set plan from `query`
+        # just to discard it; kinds that re-derive their own match
+        # set from `query` would silently escape the sample, so
+        # they raise below
+        matches = _matches
+    elif query is not None:
         matches = executor.search(
             to_ast(query if "query" not in query else query["query"]),
             k=None,
@@ -1162,12 +1187,6 @@ def aggs_es(
         dd = getattr(executor.ix, "deleted_df", None)
         if dd is not None:
             matches = matches.join(F.broadcast(dd), "doc_id", "left_anti")
-
-    if _matches is not None:
-        # sampler context: an ancestor already narrowed the match
-        # set; kinds that re-derive their own match set from `query`
-        # would silently escape the sample, so they raise below
-        matches = _matches
 
     out: Dict[str, Any] = {}
     siblings: Dict[str, Any] = {}
@@ -1286,6 +1305,11 @@ def aggs_es(
             # the match-set join, unpivoted to (value, pct) rows
             field = body["field"]
             values = [float(x) for x in body["values"]]
+            if not values:
+                raise UnsupportedDSL(
+                    f"agg {name}: percentile_ranks needs at least "
+                    "one value"
+                )
             meta = executor.ix.doclens.select(
                 "doc_id", F.col(field).cast("double").alias("_v")
             )
@@ -1353,14 +1377,32 @@ def aggs_es(
                 name,
                 is_hist=True,
             )
+            for sn2, ss2 in sub.items():
+                if _agg_kind(ss2) == "top_hits":
+                    raise UnsupportedDSL(
+                        f"agg {name}.{sn2}: top_hits under a "
+                        "histogram parent not supported"
+                    )
             bucket_subs = {
                 sn: ss
                 for sn, ss in sub.items()
                 if _agg_kind(ss) in _SUB_BUCKET_KINDS
             }
             if bucket_subs:
+                # prune children against the FINAL parent buckets
+                # (post pipeline selector/sort)
+                kept_keys = out[name].select(
+                    F.col("key").alias(alias)
+                )
                 out.update(
-                    _nested_bucket_frames(jh, [alias], name, bucket_subs)
+                    _nested_bucket_frames(
+                        jh.join(
+                            F.broadcast(kept_keys), alias, "left_semi"
+                        ),
+                        [alias],
+                        name,
+                        bucket_subs,
+                    )
                 )
             continue
 
@@ -1745,10 +1787,13 @@ def aggs_es(
                 if _agg_kind(ss) in _SUB_BUCKET_KINDS
             }
             if bucket_subs:
+                # prune children against the FINAL parent frame
+                # (post bucket_selector/sort) — ES removes a
+                # selected-away bucket's sub-aggs with it
                 out.update(
                     _nested_bucket_frames(
                         j.join(
-                            F.broadcast(buckets.select(field)),
+                            F.broadcast(out[name].select(field)),
                             field,
                             "left_semi",
                         ),

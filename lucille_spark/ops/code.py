@@ -363,10 +363,12 @@ def propagate_repo_license(
     over those rows and the join back is broadcast-sized (one row
     per repo). The corpus itself is scanned once, zero extra
     shuffle. -> df + (repo_license, repo_permissive)."""
+    # suffix covers LICENSE.txt/.md AND the dual-license
+    # LICENSE-MIT / LICENSE-APACHE / COPYING.LESSER filenames
     lic_files = df.filter(
         F.upper(F.col(path_col)).rlike(
-            r"(^|/)(LICENSE|LICENCE|COPYING|COPYING\.LESSER|UNLICENSE)"
-            r"(\.(TXT|MD|RST))?$"
+            r"(^|/)(LICENSE|LICENCE|COPYING|UNLICENSE)"
+            r"([-._][A-Z0-9.-]+)?$"
         )
     )
     det = detect_license(lic_files, id_col, text_col).join(

@@ -1366,7 +1366,15 @@ def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(urls).alias("url"),
+            F.explode(urls).alias("_raw"),
+        )
+        .select(
+            "doc_id",
+            # strip sentence punctuation glued to the URL tail —
+            # 'see https://b.org,' must count as b.org, not 'b.org,'
+            F.regexp_replace(
+                F.col("_raw"), r"[.,;:!?]+$", ""
+            ).alias("url"),
         )
         .select(
             "doc_id",

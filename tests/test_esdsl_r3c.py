@@ -630,6 +630,10 @@ def test_histogram_pipeline_aggs(spark, unit_index):
                 "buckets_path": "_count", "window": 2,
                 "script": "MovingFunctions.unweightedAvg(values)",
             }},
+            "ma1": {"moving_fn": {
+                "buckets_path": "_count", "window": 2, "shift": 1,
+                "script": "MovingFunctions.unweightedAvg(values)",
+            }},
         },
     }}, query=q)["h"].collect()
     rows = sorted(out, key=lambda r: r.key)
@@ -642,9 +646,16 @@ def test_histogram_pipeline_aggs(spark, unit_index):
             assert r.d is None
         else:
             assert r.d == round(r.total - rows[i - 1].total, 4)
-        lo = max(0, i - 1)
-        window = [x.doc_count for x in rows[lo : i + 1]]
-        assert r.ma == round(sum(window) / len(window), 4)
+        # ES default shift=0: window is the previous 2 buckets,
+        # EXCLUDING the current one
+        prev = [x.doc_count for x in rows[max(0, i - 2) : i]]
+        if prev:
+            assert r.ma == round(sum(prev) / len(prev), 4)
+        else:
+            assert r.ma is None
+        # shift=1 slides the window to include the current bucket
+        incl = [x.doc_count for x in rows[max(0, i - 1) : i + 1]]
+        assert r.ma1 == round(sum(incl) / len(incl), 4)
 
 
 def test_bucket_script_and_selector(spark, unit_index):
@@ -921,3 +932,57 @@ def test_explain_es(spark, unit_index):
     if hit:
         g2 = explain_es(ex, ph, hit[0].doc_id)
         assert g2["matched"] and g2["details"] is None
+
+
+def test_bucket_script_boolean_ops(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "tot": {"sum": {"field": "doc_len"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count", "t": "tot"},
+                "script": "params.n > 0 && params.t > 0",
+            }},
+        },
+    }}, query=q)["l"].collect()
+    assert out, "painless && must translate to AND"
+
+
+def test_selector_prunes_nested_children(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ix, _, _ = unit_index
+    ex = _ex(ix)
+    q = {"match": {"content": "cats"}}
+    out = aggs_es(ex, {"l": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count"},
+                "script": "params.n > 1",
+            }},
+            "r": {"terms": {"field": "repo", "size": 3}},
+        },
+    }}, query=q)
+    kept = {r.lang for r in out["l"].collect()}
+    child_parents = {r.lang for r in out["l.r"].collect()}
+    # ES removes a selected-away bucket's sub-aggs with it
+    assert child_parents <= kept
+    # pipeline aggs under a NESTED level are refused, not dropped
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"l": {
+            "terms": {"field": "lang"},
+            "aggs": {"r": {
+                "terms": {"field": "repo"},
+                "aggs": {"cum": {"cumulative_sum":
+                                 {"buckets_path": "_count"}}},
+            }},
+        }}, query=q)
+    with pytest.raises(UnsupportedDSL):
+        aggs_es(ex, {"p": {"percentile_ranks": {
+            "field": "doc_len", "values": []}}}, query=q)

@@ -51,3 +51,18 @@ def test_domain_stats_and_blocklist(spark):
         ).collect()
     )
     assert kept == [0, 3]
+
+
+def test_trailing_punctuation_stripped(spark):
+    from lucille_spark.ops.text import extract_urls
+
+    docs = spark.createDataFrame(
+        [(0, "see https://b.org, then https://a.io/x. done; "
+             "also https://c.net/y?z=1!")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r.url for r in extract_urls(docs, "doc_id", "text").collect()
+    )
+    assert out == [
+        "https://a.io/x", "https://b.org", "https://c.net/y?z=1"]
