@@ -389,6 +389,59 @@ def _search_field(spark, sf_dir, q, k=10, wand=False):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic geo point per doc: lat/lon derived
+    from md5(doc_id || salt) so the DuckDB oracle synthesizes the
+    identical coordinates (the md5-fixture pattern). lat in [-85, 85)
+    x lon in [-180, 180), 4 decimal places of spread."""
+
+    def m5l(suf: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(suf))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "lang",
+        (m5l(":lat") % 1700000 / F.lit(10000.0) - F.lit(85.0)).alias("lat"),
+        (m5l(":lon") % 3600000 / F.lit(10000.0) - F.lit(180.0)).alias("lon"),
+    )
+
+
+def _geo_index_for(spark: SparkSession, sf_dir: str):
+    """documents index carrying the geo point as two numeric meta
+    columns (ES geo-point = doc values here; see ops/geo.py)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "geo:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"geo_v{INDEX_FORMAT}_" + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(num_shards=4, block_size=128).build(
+            _geo_docs(spark, sf_dir),
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "lat", "lon"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 # --------------------------------------------------------------------
 # tombstone-delete index: the standard index with doc_id % 10 == 3
 # tombstoned (index.maintenance.delete_docs). Queries exclude those
@@ -678,7 +731,10 @@ _GATE_PRIORITY = [
     "ft_proximity",
     "ft_field", "wand_field",
     "ft_prefix", "wand_prefix",
-    "ft_wildcard", "wand_wildcard",
+    "ft_wildcard",
+    # (wand_wildcard freed its slot for the geo family — the WAND
+    # PExpand path stays covered by wand_prefix + the local mirror)
+    "ft_geo_distance",
     # (ft_regex freed this slot for the round-3 substring-dedup
     # family — the PExpand regex path stays covered by ft_wildcard
     # plus the local mirror's full registry run)
@@ -3091,6 +3147,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["ft_dsl_from"] = ft_dsl_from_q
+
+    # ---- geo family: distance / bbox search, tile + centroid aggs ---
+    def ft_geo_distance_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import geo_distance_search
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        out = geo_distance_search(
+            ex, "spark", lat=40.0, lon=-74.0, radius_km=6000.0, k=10
+        )
+        return out.select(
+            "doc_id",
+            F.round("dist_km", 4).alias("dist_km"),
+            F.round("score", 4).alias("score"),
+        )
+
+    q["ft_geo_distance"] = ft_geo_distance_q
+
+    def ft_geo_bbox_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import geo_bbox_search
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        out = geo_bbox_search(
+            ex,
+            "spark batch",
+            top=60.0,
+            left=-120.0,
+            bottom=-10.0,
+            right=50.0,
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_geo_bbox"] = ft_geo_bbox_q
+
+    def ft_agg_geotile_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        return aggs_es(
+            ex,
+            {"tiles": {"geotile_grid": {
+                "field": "loc", "precision": 2, "size": 10,
+            }}},
+            query={"match": {"content": "spark"}},
+        )["tiles"]
+
+    q["ft_agg_geotile"] = ft_agg_geotile_q
+
+    def ft_geo_centroid_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"c": {"geo_centroid": {"field": "loc"}}},
+            query={"match": {"content": "spark"}},
+        )["c"]
+        return out.select(
+            F.round("lat", 4).alias("lat"),
+            F.round("lon", 4).alias("lon"),
+            "count",
+        )
+
+    q["ft_geo_centroid"] = ft_geo_centroid_q
+
+    def ft_geo_dsl_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        out = search_es(
+            ex,
+            {"geo_distance": {
+                "distance": "2500km", "loc": {"lat": 10.0, "lon": 20.0},
+            }},
+            k=10,
+        )
+        return out.select(
+            "doc_id", F.round("dist_km", 4).alias("dist_km"), "score"
+        )
+
+    q["ft_geo_dsl"] = ft_geo_dsl_q
 
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
@@ -6220,5 +6362,79 @@ ORDER BY dl.dl DESC, m.doc_id LIMIT 10"""
         + "SELECT doc_id, round(s, 4) AS score FROM sc "
         "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10"
     )
+
+    # ---- geo family: twin of _geo_docs + ops/geo.py formulas --------
+    _GEO = (
+        "SELECT doc_id, "
+        "(('0x' || substring(md5(cast(doc_id as varchar) || ':lat'), 1, 8))"
+        "::bigint % 1700000) / 10000.0 - 85.0 AS lat, "
+        "(('0x' || substring(md5(cast(doc_id as varchar) || ':lon'), 1, 8))"
+        "::bigint % 3600000) / 10000.0 - 180.0 AS lon FROM documents"
+    )
+
+    def _hav(clat: float, clon: float) -> str:
+        # exact mirror of ops/geo.haversine_km's expression tree
+        return (
+            f"12742.0176 * asin(sqrt(pow(sin(radians({clat} - lat) / 2), 2)"
+            f" + cos(radians(lat)) * cos(radians({clat}))"
+            f" * pow(sin(radians({clon} - lon) / 2), 2)))"
+        )
+
+    o["ft_geo_distance"] = (
+        _cte(["spark"])
+        + f""",
+geo AS ({_GEO}),
+m AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+d AS (SELECT geo.doc_id, {_hav(40.0, -74.0)} AS dist, m.s
+      FROM geo JOIN m USING (doc_id))
+SELECT doc_id, round(dist, 4) AS dist_km, round(s, 4) AS score
+FROM d WHERE dist <= 6000.0 ORDER BY dist, doc_id LIMIT 10"""
+    )
+
+    o["ft_geo_bbox"] = (
+        _cte(["spark", "batch"])
+        + f""",
+geo AS ({_GEO}),
+m AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+f AS (SELECT m.doc_id, m.s FROM m JOIN geo USING (doc_id)
+      WHERE lat <= 60.0 AND lat >= -10.0
+        AND lon >= -120.0 AND lon <= 50.0)
+SELECT doc_id, round(s, 4) AS score FROM f
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    # zoom 2: n=4; x/y mirror ops/geo.geotile_key (floor/ln/tan math,
+    # clamped into [0, 3]); our lats never exceed the mercator clamp
+    _TILE = (
+        "greatest(least(cast(floor((lon + 180.0) / 360.0 * 4.0) as bigint),"
+        " 3), 0) AS x, "
+        "greatest(least(cast(floor((1.0 - ln(tan(radians(latc)) + 1.0 / "
+        "cos(radians(latc))) / pi()) / 2.0 * 4.0) as bigint), 3), 0) AS y"
+    )
+    o["ft_agg_geotile"] = f"""
+WITH tok AS ({_TOK}),
+geo AS ({_GEO}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+g AS (SELECT geo.doc_id,
+      greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon
+      FROM geo JOIN m USING (doc_id)),
+t AS (SELECT doc_id, {_TILE} FROM g)
+SELECT '2/' || x::varchar || '/' || y::varchar AS key,
+       count(*) AS doc_count
+FROM t GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"""
+
+    o["ft_geo_centroid"] = f"""
+WITH tok AS ({_TOK}),
+geo AS ({_GEO}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT round(avg(lat), 4) AS lat, round(avg(lon), 4) AS lon,
+       count(*) AS "count"
+FROM geo JOIN m USING (doc_id)"""
+
+    o["ft_geo_dsl"] = f"""
+WITH geo AS ({_GEO}),
+d AS (SELECT doc_id, {_hav(10.0, 20.0)} AS dist FROM geo)
+SELECT doc_id, round(dist, 4) AS dist_km, cast(1.0 as double) AS score
+FROM d WHERE dist <= 2500.0 ORDER BY dist, doc_id LIMIT 10"""
 
     return o

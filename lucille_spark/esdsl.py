@@ -802,7 +802,66 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             k=k if k is not None else 10,
         )
 
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "200km", "<geo field>":
+        #   {"lat": .., "lon": ..}}} — a geo point is stored as two
+        # numeric meta columns: "<field>_lat"/"<field>_lon", or the
+        # bare "lat"/"lon" pair when those exist (the fixture shape).
+        from lucille_spark.ops.geo import parse_distance_km
+        from lucille_spark.search_features import geo_distance_search
+
+        body = dsl[kind]
+        field = next(
+            f for f in body if f not in ("distance", "boost", "_name")
+        )
+        latf, lonf = _geo_cols(executor, field)
+        pt = body[field]
+        return geo_distance_search(
+            executor,
+            to_ast({"match_all": {}}),
+            lat=float(pt["lat"]),
+            lon=float(pt["lon"]),
+            radius_km=parse_distance_km(body["distance"]),
+            lat_field=latf,
+            lon_field=lonf,
+            k=k if k is not None else 10,
+        )
+
+    if kind == "geo_bounding_box":
+        from lucille_spark.search_features import geo_bbox_search
+
+        body = dsl[kind]
+        field = next(f for f in body if f not in ("boost", "_name"))
+        latf, lonf = _geo_cols(executor, field)
+        box = body[field]
+        tl, br = box["top_left"], box["bottom_right"]
+        return geo_bbox_search(
+            executor,
+            to_ast({"match_all": {}}),
+            top=float(tl["lat"]),
+            left=float(tl["lon"]),
+            bottom=float(br["lat"]),
+            right=float(br["lon"]),
+            lat_field=latf,
+            lon_field=lonf,
+            k=k if k is not None else 10,
+        )
+
     return executor.search(to_ast(dsl), k=k)
+
+
+def _geo_cols(executor, field: str):
+    """Resolve an ES geo-point field name to its lat/lon meta column
+    pair: "<field>_lat"/"<field>_lon" if present on doclens, else the
+    bare "lat"/"lon" columns."""
+    cols = set(executor.ix.doclens.columns)
+    if f"{field}_lat" in cols and f"{field}_lon" in cols:
+        return f"{field}_lat", f"{field}_lon"
+    if "lat" in cols and "lon" in cols:
+        return "lat", "lon"
+    raise UnsupportedDSL(
+        f"geo field {field!r}: no lat/lon meta columns on this index"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1404,6 +1463,30 @@ def aggs_es(
                         bucket_subs,
                     )
                 )
+            continue
+
+        if kind in ("geotile_grid", "geo_centroid", "geo_bounds"):
+            # geo agg kinds over the match set's lat/lon doc values.
+            from lucille_spark.ops import geo as _G
+
+            latf, lonf = _geo_cols(executor, body.get("field", "lat"))
+            gmeta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(latf).cast("double").alias(latf),
+                F.col(lonf).cast("double").alias(lonf),
+            ).join(matches.select("doc_id"), "doc_id", "left_semi")
+            if kind == "geotile_grid":
+                out[name] = _G.geotile_grid(
+                    gmeta,
+                    latf,
+                    lonf,
+                    zoom=int(body.get("precision", 7)),
+                    size=int(body.get("size", 10)),
+                )
+            elif kind == "geo_centroid":
+                out[name] = _G.geo_centroid(gmeta, latf, lonf)
+            else:
+                out[name] = _G.geo_bounds(gmeta, latf, lonf)
             continue
 
         if kind == "range":

@@ -1,0 +1,232 @@
+"""Geospatial operators: distance / bounding-box filters, web-mercator
+tile bucketing, and the ES geo aggregation kinds.
+
+ES geo-points become TWO numeric meta columns here (``<field>_lat`` /
+``<field>_lon`` by convention on the DSL front door, any pair of
+column names on the direct helpers) — doc values, never postings. At
+100 TB the load-bearing design rule is that every geo predicate is a
+pure whole-stage-codegen column program over those two doubles:
+
+* ``geo_bounding_box`` is four comparisons — parquet min/max zonemaps
+  prune whole row groups before a single trig instruction runs;
+* ``geo_distance`` FIRST applies a bounding-box prefilter derived from
+  the radius (the classic bbox-then-haversine plan) so the exact
+  haversine only evaluates on rows that survive the pushdown-able
+  rectangle — the trig is the residual, not the scan;
+* ``geotile_grid`` keys are closed-form floor/ln/tan arithmetic, so a
+  zoom-z histogram over the whole corpus is one scan + one partial-agg
+  shuffle of at most 4^z rows per partition, exactly like any other
+  aggregation.
+
+No UDFs anywhere; every expression has a DuckDB twin (radians / sin /
+cos / asin / ln / tan / floor), which is what lets the gate hash-match
+the results (`ft_geo_distance`, `ft_geo_bbox`, `ft_agg_geotile`,
+`ft_geo_centroid` in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+# web-mercator latitude clamp (tan() pole blow-up), the ES/OSM value
+MAX_MERCATOR_LAT = 85.05112878
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# ---------------------------------------------------------------------------
+# distance
+# ---------------------------------------------------------------------------
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in km between two (lat, lon) pairs given
+    as Columns or literals (degrees). Pure codegen trig — the same
+    closed form evaluates in the DuckDB oracle."""
+    la1, lo1 = _col(lat1), _col(lon1)
+    la2 = F.lit(lat2) if isinstance(lat2, (int, float)) else _col(lat2)
+    lo2 = F.lit(lon2) if isinstance(lon2, (int, float)) else _col(lon2)
+    dlat = F.radians(la2 - la1)
+    dlon = F.radians(lo2 - lo1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(F.radians(la1)) * F.cos(
+        F.radians(la2)
+    ) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def distance_prefilter(
+    lat_col, lon_col, lat: float, lon: float, radius_km: float
+) -> Column:
+    """Bounding-box prefilter implied by a radius around (lat, lon):
+    a conservative rectangle (always a superset of the true circle)
+    made of plain comparisons, so Catalyst pushes it into the scan and
+    parquet zonemaps prune row groups. The exact haversine runs only
+    on survivors. Pole- and antimeridian-crossing windows degrade
+    gracefully (the affected bound is dropped, never wrongly kept)."""
+    la, lo = _col(lat_col), _col(lon_col)
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    pred = (la >= F.lit(lat - dlat)) & (la <= F.lit(lat + dlat))
+    # the widest parallel inside the lat window bounds the lon spread
+    widest = min(abs(lat) + dlat, 89.9999)
+    if lat - dlat <= -90.0 or lat + dlat >= 90.0:
+        return pred  # window touches a pole: every longitude qualifies
+    dlon = math.degrees(
+        radius_km / (EARTH_RADIUS_KM * math.cos(math.radians(widest)))
+    )
+    if dlon >= 180.0:
+        return pred
+    west, east = lon - dlon, lon + dlon
+    if west < -180.0 or east > 180.0:  # antimeridian wrap
+        west_w = west + 360.0 if west < -180.0 else west
+        east_w = east - 360.0 if east > 180.0 else east
+        return pred & ((lo >= F.lit(west_w)) | (lo <= F.lit(east_w)))
+    return pred & (lo >= F.lit(west)) & (lo <= F.lit(east))
+
+
+def geo_distance(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    radius_km: float,
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """ES ``geo_distance`` filter: rows within ``radius_km`` of the
+    point, with the computed distance attached as ``dist_col``.
+    bbox-prefilter (pushdown-able) -> exact haversine residual."""
+    d = haversine_km(F.col(lat_col), F.col(lon_col), lat, lon)
+    return (
+        df.where(distance_prefilter(lat_col, lon_col, lat, lon, radius_km))
+        .withColumn(dist_col, d)
+        .where(F.col(dist_col) <= F.lit(float(radius_km)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounding box
+# ---------------------------------------------------------------------------
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> DataFrame:
+    """ES ``geo_bounding_box``: pure comparisons (zonemap-prunable at
+    the scan). ``left > right`` means the box crosses the antimeridian
+    and the longitude test becomes a wrap-around OR, per ES."""
+    la, lo = _col(lat_col), _col(lon_col)
+    pred = (la <= F.lit(float(top))) & (la >= F.lit(float(bottom)))
+    if left <= right:
+        pred = pred & (lo >= F.lit(float(left))) & (lo <= F.lit(float(right)))
+    else:
+        pred = pred & (
+            (lo >= F.lit(float(left))) | (lo <= F.lit(float(right)))
+        )
+    return df.where(pred)
+
+
+# ---------------------------------------------------------------------------
+# web-mercator tiles (ES geotile_grid keys: "z/x/y")
+# ---------------------------------------------------------------------------
+
+
+def geotile_key(lat_col, lon_col, zoom: int) -> Column:
+    """Slippy-map tile key at ``zoom`` — the ES geotile_grid bucket
+    key. Closed-form: x from linear longitude, y from the mercator
+    projection, both clamped into [0, 2^z - 1]."""
+    n = float(1 << int(zoom))
+    lo = _col(lon_col)
+    la = F.greatest(
+        F.least(_col(lat_col), F.lit(MAX_MERCATOR_LAT)),
+        F.lit(-MAX_MERCATOR_LAT),
+    )
+    x = F.floor((lo + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    x = F.greatest(F.least(x, F.lit(int(n) - 1)), F.lit(0))
+    rad = F.radians(la)
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi)
+        )
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0))
+    return F.concat_ws(
+        "/", F.lit(str(int(zoom))), x.cast("string"), y.cast("string")
+    )
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: doc counts per web-mercator
+    tile, largest buckets first (ties by key asc, deterministic).
+    One scan + one partial-agg shuffle of <= 4^zoom keys.
+    -> (key string, doc_count) x size."""
+    return (
+        df.groupBy(geotile_key(lat_col, lon_col, zoom).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(int(size))
+    )
+
+
+# ---------------------------------------------------------------------------
+# metric aggs
+# ---------------------------------------------------------------------------
+
+
+def geo_centroid(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """ES ``geo_centroid``: arithmetic mean of lat and lon over the
+    row set (ES computes exactly this, not a spherical centroid).
+    -> one row (lat, lon, count)."""
+    return df.agg(
+        F.avg(lat_col).alias("lat"),
+        F.avg(lon_col).alias("lon"),
+        F.count(F.lit(1)).alias("count"),
+    )
+
+
+def geo_bounds(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """ES ``geo_bounds``: the smallest lat/lon rectangle containing
+    every point. -> one row (top, left, bottom, right)."""
+    return df.agg(
+        F.max(lat_col).alias("top"),
+        F.min(lon_col).alias("left"),
+        F.min(lat_col).alias("bottom"),
+        F.max(lon_col).alias("right"),
+    )
+
+
+def parse_distance_km(s) -> float:
+    """ES distance-unit strings -> km ('200km', '50mi', '1000m',
+    bare number = km)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    t = s.strip().lower()
+    for suf, mult in (
+        ("km", 1.0),
+        ("mi", 1.609344),
+        ("nmi", 1.852),
+        ("m", 0.001),
+    ):
+        if t.endswith(suf):
+            return float(t[: -len(suf)]) * mult
+    return float(t)

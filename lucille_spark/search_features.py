@@ -2144,3 +2144,76 @@ def phrase_suggest(
     return index.spark.createDataFrame(
         out[:n], "suggestion string, score double"
     )
+
+
+def geo_distance_search(
+    executor,
+    query,
+    lat: float,
+    lon: float,
+    radius_km: float,
+    lat_field: str = "lat",
+    lon_field: str = "lon",
+    k: int = 10,
+    sort: str = "distance",
+) -> DataFrame:
+    """ES geo_distance filter over the match set of `query` (pass
+    None / "match_all" semantics by giving a MatchAll query): docs
+    within `radius_km` of (lat, lon), ordered by distance asc
+    (`sort="distance"`, the ES _geo_distance sort) or by relevance
+    (`sort="score"`). The geo point lives as two numeric doc-value
+    meta columns on doclens; the radius becomes a bounding-box
+    prefilter (plain comparisons -> zonemap pruning) with the exact
+    haversine as residual, so the geo side never scans more row
+    groups than the rectangle. -> (doc_id, dist_km, score) top-k."""
+    from lucille_spark.ops import geo as G
+
+    matches = executor.search(query, k=None).select("doc_id", "score")
+    meta = executor.ix.doclens.select(
+        "doc_id",
+        F.col(lat_field).cast("double").alias(lat_field),
+        F.col(lon_field).cast("double").alias(lon_field),
+    )
+    meta = G.geo_distance(
+        meta, lat_field, lon_field, lat, lon, radius_km
+    ).select("doc_id", "dist_km")
+    out = matches.join(meta, "doc_id")
+    key = (
+        [F.asc("dist_km"), F.asc("doc_id")]
+        if sort == "distance"
+        else [F.desc("score"), F.asc("doc_id")]
+    )
+    return out.orderBy(*key).limit(k).select("doc_id", "dist_km", "score")
+
+
+def geo_bbox_search(
+    executor,
+    query,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+    lat_field: str = "lat",
+    lon_field: str = "lon",
+    k: int = 10,
+) -> DataFrame:
+    """ES geo_bounding_box filter over the match set: constant-score
+    geo predicate AND the scored query, ranked by relevance. The box
+    is four pushdown-able comparisons on the doclens meta scan
+    (antimeridian-crossing boxes wrap, per ES). -> (doc_id, score)."""
+    from lucille_spark.ops import geo as G
+
+    matches = executor.search(query, k=None).select("doc_id", "score")
+    meta = executor.ix.doclens.select(
+        "doc_id",
+        F.col(lat_field).cast("double").alias(lat_field),
+        F.col(lon_field).cast("double").alias(lon_field),
+    )
+    meta = G.geo_bounding_box(
+        meta, lat_field, lon_field, top, left, bottom, right
+    ).select("doc_id")
+    return (
+        matches.join(meta, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

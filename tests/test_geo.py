@@ -1,0 +1,226 @@
+"""Geo operators (ops/geo.py) + the geo search/DSL integration:
+haversine against known city distances, bbox semantics incl. the
+antimeridian wrap, geotile keys against known slippy-map tiles, the
+radius->bbox prefilter superset property, and DSL dispatch parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.ops import geo as G
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = [
+        # id, lat, lon
+        (0, 40.7128, -74.0060),   # NYC
+        (1, 51.5074, -0.1278),    # London
+        (2, 35.6762, 139.6503),   # Tokyo
+        (3, -33.8688, 151.2093),  # Sydney
+        (4, 0.0, 0.0),            # null island
+        (5, 64.2, -179.5),        # near the antimeridian, west side
+        (6, 64.3, 179.5),         # near the antimeridian, east side
+        (7, 89.0, 10.0),          # near the pole
+    ]
+    return spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_haversine_known_distances(pts):
+    out = {
+        r["id"]: r["d"]
+        for r in pts.select(
+            "id", G.haversine_km("lat", "lon", 40.7128, -74.0060).alias("d")
+        ).collect()
+    }
+    assert out[0] == pytest.approx(0.0, abs=1e-9)
+    # NYC-London great-circle is ~5570 km
+    assert out[1] == pytest.approx(5570.0, rel=0.01)
+    # NYC-Tokyo ~10850 km
+    assert out[2] == pytest.approx(10850.0, rel=0.01)
+
+
+def test_geo_distance_filters_and_attaches_distance(pts):
+    out = G.geo_distance(pts, "lat", "lon", 40.7128, -74.0060, 6000.0)
+    rows = {r["id"]: r["dist_km"] for r in out.collect()}
+    # NYC itself + London + the near-pole point (~5470 km); Tokyo and
+    # Sydney are out
+    assert set(rows) == {0, 1, 7}
+    assert rows[1] == pytest.approx(5570.0, rel=0.01)
+
+
+def test_distance_prefilter_is_superset_of_circle(spark):
+    # dense deterministic grid: every point inside the circle must
+    # survive the bbox prefilter (the prefilter may keep extras, never
+    # drop a true match)
+    rows = [
+        (i, -80.0 + (i * 7919) % 160, -180.0 + (i * 104729) % 360)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    for clat, clon, r in [(40.0, -74.0, 3000.0), (-60.0, 170.0, 2500.0),
+                          (85.0, 0.0, 2000.0)]:
+        exact = {
+            x["id"]
+            for x in df.where(
+                G.haversine_km("lat", "lon", clat, clon) <= r
+            ).collect()
+        }
+        pre = {
+            x["id"]
+            for x in df.where(
+                G.distance_prefilter("lat", "lon", clat, clon, r)
+            ).collect()
+        }
+        assert exact <= pre
+
+
+def test_bbox_normal_and_antimeridian(pts):
+    normal = {r["id"] for r in G.geo_bounding_box(
+        pts, "lat", "lon", top=60.0, left=-120.0, bottom=-10.0, right=20.0
+    ).collect()}
+    assert normal == {0, 1, 4}
+    # box crossing the antimeridian: left=170 > right=-170 wraps and
+    # catches both sides of the line, nothing else
+    wrap = {r["id"] for r in G.geo_bounding_box(
+        pts, "lat", "lon", top=70.0, left=170.0, bottom=50.0, right=-170.0
+    ).collect()}
+    assert wrap == {5, 6}
+
+
+def test_geotile_keys_known_tiles(pts):
+    out = {
+        r["id"]: r["k"]
+        for r in pts.select(
+            "id", G.geotile_key("lat", "lon", 2).alias("k")
+        ).collect()
+    }
+    # zoom 2: 4x4 grid. null island sits at the exact center -> tile
+    # (2, 2); NYC is west of Greenwich, northern hemisphere -> (1, 1)
+    assert out[4] == "2/2/2"
+    assert out[0] == "2/1/1"
+    # polar point clamps into the top row, never out of range
+    z, x, y = out[7].split("/")
+    assert 0 <= int(y) <= 3
+
+
+def test_geotile_grid_counts(pts):
+    rows = G.geotile_grid(pts, "lat", "lon", zoom=0, size=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "0/0/0"
+    assert rows[0]["doc_count"] == pts.count()
+
+
+def test_geo_centroid_and_bounds(pts):
+    c = G.geo_centroid(pts, "lat", "lon").collect()[0]
+    assert c["count"] == 8
+    assert c["lat"] == pytest.approx(
+        sum([40.7128, 51.5074, 35.6762, -33.8688, 0, 64.2, 64.3, 89.0]) / 8
+    )
+    b = G.geo_bounds(pts, "lat", "lon").collect()[0]
+    assert (b["top"], b["bottom"]) == (89.0, -33.8688)
+    assert (b["left"], b["right"]) == (-179.5, 179.5)
+
+
+def test_parse_distance_km():
+    assert G.parse_distance_km("200km") == 200.0
+    assert G.parse_distance_km("1000m") == 1.0
+    assert G.parse_distance_km("10mi") == pytest.approx(16.09344)
+    assert G.parse_distance_km(7) == 7.0
+    assert G.parse_distance_km("3.5") == 3.5
+
+
+# ---------------------------------------------------------------------------
+# search + DSL integration over a tiny index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def geo_ix(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark batch window", 40.7128, -74.0060),
+            (1, "spark stream", 51.5074, -0.1278),
+            (2, "spark table", 35.6762, 139.6503),
+            (3, "batch window", -33.8688, 151.2093),
+            (4, "spark window", 0.0, 0.0),
+        ],
+        "doc_id long, text string, lat double, lon double",
+    )
+    out = str(tmp_path_factory.mktemp("geoix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["lat", "lon"],
+    )
+    return SparkIndex(spark, out, cache=True)
+
+
+def test_geo_distance_search_sorts_by_distance(geo_ix):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import geo_distance_search
+
+    ex = DataFrameExecutor(geo_ix)
+    rows = geo_distance_search(
+        ex, "spark", lat=48.0, lon=2.0, radius_km=7000.0, k=10
+    ).collect()
+    # London (doc 1) nearest to the Paris-ish center, then null island
+    # (~5340 km), then NYC (~5840 km); Tokyo (doc 2) is ~9700 km away,
+    # outside the radius; doc 3 doesn't match 'spark'
+    assert [r["doc_id"] for r in rows] == [1, 4, 0]
+    assert rows[0]["dist_km"] < rows[1]["dist_km"] < rows[2]["dist_km"]
+
+
+def test_geo_dsl_dispatch_parity(geo_ix):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import geo_bbox_search
+
+    ex = DataFrameExecutor(geo_ix)
+    dsl = search_es(
+        ex,
+        {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 60.0, "lon": -120.0},
+            "bottom_right": {"lat": -10.0, "lon": 20.0},
+        }}},
+        k=10,
+    )
+    from lucille_spark.esdsl import to_ast
+
+    direct = geo_bbox_search(
+        ex, to_ast({"match_all": {}}),
+        top=60.0, left=-120.0, bottom=-10.0, right=20.0,
+    )
+    assert sorted(r["doc_id"] for r in dsl.collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )
+
+
+def test_geo_dsl_distance_kind(geo_ix):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ex = DataFrameExecutor(geo_ix)
+    out = search_es(
+        ex,
+        {"geo_distance": {"distance": "500km",
+                          "loc": {"lat": 51.5, "lon": -0.1}}},
+        k=10,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_geotile_agg_dsl(geo_ix):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ex = DataFrameExecutor(geo_ix)
+    out = aggs_es(
+        ex,
+        {"t": {"geotile_grid": {"field": "loc", "precision": 0}}},
+        query={"match": {"content": "spark"}},
+    )["t"].collect()
+    assert len(out) == 1 and out[0]["doc_count"] == 4
