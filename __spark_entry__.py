@@ -415,6 +415,82 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic CHILD corpus for the ES join-field gates:
+    parent doc_id spawns (doc_id % 3) children; child i's text is the
+    parent's token window [i*10, i*10+10); tag/value nested-object
+    fields are md5-derived. Twin of the `kids` CTE in oracle_sql."""
+    from lucille_spark.analysis import tokenize_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokenize_expr("text").alias("arr")
+    )
+    c = (
+        d.select(
+            "doc_id",
+            "arr",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+        )
+        .where(F.col("i") < F.pmod("doc_id", 3))
+        .select(
+            (F.col("doc_id") * 4 + F.col("i")).alias("child_id"),
+            F.col("doc_id").alias("parent_id"),
+            F.array_join(
+                F.slice("arr", F.col("i") * 10 + 1, F.lit(10)), " "
+            ).alias("ctext"),
+        )
+    )
+
+    def m5c(suf: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("child_id").cast("string"), F.lit(suf))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    tag = (
+        F.when(m5c(":t") % 3 == 0, F.lit("a"))
+        .when(m5c(":t") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit("c"))
+    )
+    return c.withColumn("tag", tag).withColumn("value", m5c(":v") % 100)
+
+
+def _child_index_for(spark: SparkSession, sf_dir: str):
+    """index over the child corpus, parent id as stored meta — the ES
+    join-field layout (children are their own docs with their own
+    BM25 statistics, joined to parents by id at query time)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "child:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"child_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(num_shards=4, block_size=128).build(
+            _children(spark, sf_dir),
+            out,
+            content_col="ctext",
+            id_col="child_id",
+            meta_cols=["parent_id", "tag", "value"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _geo_index_for(spark: SparkSession, sf_dir: str):
     """documents index carrying the geo point as two numeric meta
     columns (ES geo-point = doc values here; see ops/geo.py)."""
@@ -3233,6 +3309,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_geo_dsl"] = ft_geo_dsl_q
+
+    # ---- ES join fields: has_child / has_parent / nested ------------
+    def ft_has_child_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import has_child
+
+        out = has_child(
+            DataFrameExecutor(_index_for(s, d)),
+            DataFrameExecutor(_child_index_for(s, d)),
+            "window",
+            score_mode="sum",
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_has_child"] = ft_has_child_q
+
+    def ft_has_parent_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import has_parent
+
+        out = has_parent(
+            DataFrameExecutor(_index_for(s, d)),
+            DataFrameExecutor(_child_index_for(s, d)),
+            "spark",
+            score=True,
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_has_parent"] = ft_has_parent_q
+
+    def ft_nested_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import nested_query
+
+        out = nested_query(
+            DataFrameExecutor(_index_for(s, d)),
+            "spark",
+            _children(s, d),
+            "parent_id",
+            (F.col("tag") == "a") & (F.col("value") >= 50),
+            score_mode="none",
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_nested"] = ft_nested_q
 
     # present the registry in gate-priority order (see _GATE_PRIORITY)
     out = {k: q[k] for k in _GATE_PRIORITY}
@@ -6436,5 +6560,64 @@ WITH geo AS ({_GEO}),
 d AS (SELECT doc_id, {_hav(10.0, 20.0)} AS dist FROM geo)
 SELECT doc_id, round(dist, 4) AS dist_km, cast(1.0 as double) AS score
 FROM d WHERE dist <= 2500.0 ORDER BY dist, doc_id LIMIT 10"""
+
+    # ---- ES join fields: twin of _children / _child_index_for -------
+    _KIDS = (
+        "SELECT doc_id * 4 + i AS child_id, doc_id AS parent_id, "
+        "arr[(i * 10 + 1):(i * 10 + 10)] AS carr "
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9_]+'), t -> t <> '') AS arr "
+        "FROM documents) CROSS JOIN "
+        "(SELECT unnest(range(0, 3)) AS i) WHERE i < doc_id % 3"
+    )
+    # child-corpus BM25 for one term (per-type statistics, like ES)
+    _KID_BM25 = (
+        "cdl AS (SELECT child_id, len(carr) AS dl FROM kids), "
+        "cst AS (SELECT (SELECT count(*) FROM kids) AS n, "
+        "(SELECT avg(dl) FROM cdl) AS avgdl), "
+        "ctf AS (SELECT child_id, count(*) AS tf FROM "
+        "(SELECT child_id, unnest(carr) AS term FROM kids) "
+        "WHERE term = 'window' GROUP BY child_id), "
+        "cdf AS (SELECT count(*) AS df FROM ctf), "
+        "csc AS (SELECT ctf.child_id, "
+        "ln(1.0 + (cst.n - cdf.df + 0.5) / (cdf.df + 0.5)) * ctf.tf / "
+        f"(ctf.tf + {K1} * (1.0 - {B} + {B} * cdl.dl / cst.avgdl)) AS s "
+        "FROM ctf CROSS JOIN cdf JOIN cdl USING (child_id) "
+        "CROSS JOIN cst)"
+    )
+
+    o["ft_has_child"] = f"""
+WITH kids AS ({_KIDS}), {_KID_BM25}
+SELECT parent_id AS doc_id, round(sum(s), 4) AS score
+FROM csc JOIN kids USING (child_id)
+GROUP BY parent_id ORDER BY sum(s) DESC, parent_id LIMIT 10"""
+
+    o["ft_has_parent"] = (
+        _cte(["spark"])
+        + f""",
+kids AS ({_KIDS}),
+m AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT kids.child_id AS doc_id, round(m.s, 4) AS score
+FROM kids JOIN m ON kids.parent_id = m.doc_id
+ORDER BY m.s DESC, kids.child_id LIMIT 10"""
+    )
+
+    o["ft_nested"] = (
+        _cte(["spark"])
+        + f""",
+kids AS ({_KIDS}),
+m AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+tagged AS (SELECT parent_id,
+  CASE (('0x' || substring(md5(cast(child_id as varchar) || ':t'), 1, 8))
+       ::bigint % 3) WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS tag,
+  (('0x' || substring(md5(cast(child_id as varchar) || ':v'), 1, 8))
+   ::bigint % 100) AS value
+  FROM kids),
+ok AS (SELECT DISTINCT parent_id FROM tagged
+       WHERE tag = 'a' AND value >= 50)
+SELECT m.doc_id, round(m.s, 4) AS score
+FROM m JOIN ok ON m.doc_id = ok.parent_id
+ORDER BY m.s DESC, m.doc_id LIMIT 10"""
+    )
 
     return o

@@ -2217,3 +2217,122 @@ def geo_bbox_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# ES join fields (parent-child) and nested objects
+# ---------------------------------------------------------------------------
+# ES implements both by storing related rows as separate Lucene docs
+# in the same segment; here the children live as their own corpus /
+# index (parent-child) or as a plain child-row DataFrame (nested),
+# keyed by the parent doc id. At 100 TB that is exactly the shape you
+# want: child postings never co-shuffle with parent postings — the
+# only join is (matching child ids -> parent ids), a match-set-sized
+# aggregation, never corpus x corpus.
+
+_CHILD_SCORE_AGG = {
+    "sum": F.sum,
+    "max": F.max,
+    "avg": F.avg,
+    "min": F.min,
+}
+
+
+def has_child(
+    parent_executor,
+    child_executor,
+    child_query,
+    parent_field: str = "parent_id",
+    score_mode: str = "none",
+    min_children: int = 1,
+    k: int = 10,
+):
+    """ES `has_child`: parents having >= `min_children` children that
+    match `child_query`, scored by the children. The child query runs
+    on the CHILD index (its own BM25 stats, like ES's per-type
+    statistics); each child carries its parent id as a stored meta
+    column; one groupBy(parent) aggregates the child scores
+    (`score_mode` sum/max/avg/min, or `none` -> constant 1.0 filter
+    semantics). Tombstoned parents are excluded.
+    -> (doc_id, score) top-k parents."""
+    cm = child_executor.search(child_query, k=None).select("doc_id", "score")
+    pmeta = child_executor.ix.doclens.select(
+        "doc_id", F.col(parent_field).cast("long").alias("_parent")
+    )
+    j = cm.join(pmeta, "doc_id")
+    if score_mode == "none":
+        g = j.groupBy("_parent").agg(F.count(F.lit(1)).alias("_nc"))
+        g = g.withColumn("score", F.lit(1.0))
+    else:
+        agg = _CHILD_SCORE_AGG[score_mode]
+        g = j.groupBy("_parent").agg(
+            F.count(F.lit(1)).alias("_nc"),
+            agg("score").alias("score"),
+        )
+    out = g.filter(F.col("_nc") >= int(min_children)).select(
+        F.col("_parent").alias("doc_id"), "score"
+    )
+    out = _drop_deleted(parent_executor.ix, out)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def has_parent(
+    parent_executor,
+    child_executor,
+    parent_query,
+    parent_field: str = "parent_id",
+    score: bool = True,
+    k: int = 10,
+):
+    """ES `has_parent`: children whose parent matches `parent_query`,
+    each child scored with its parent's relevance (`score=True`) or a
+    constant 1.0. The parent match set (k=None, never the corpus)
+    broadcasts onto the child doclens meta — one semi-join-shaped
+    plan, no posting co-shuffle. -> (doc_id, score) top-k children."""
+    pm = parent_executor.search(parent_query, k=None).select(
+        F.col("doc_id").alias("_parent"), "score"
+    )
+    cmeta = child_executor.ix.doclens.select(
+        "doc_id", F.col(parent_field).cast("long").alias("_parent")
+    )
+    j = cmeta.join(F.broadcast(pm), "_parent")
+    s = F.col("score") if score else F.lit(1.0)
+    out = j.select("doc_id", s.alias("score"))
+    out = _drop_deleted(child_executor.ix, out)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def nested_query(
+    executor,
+    query,
+    nested: DataFrame,
+    parent_col: str,
+    pred,
+    score_mode: str = "none",
+    score_col: str = None,
+    k: int = 10,
+):
+    """ES `nested`: the predicate must hold WITHIN one nested object —
+    ES stores each nested object as a hidden child doc precisely so a
+    per-doc filter gets that semantics, and each row of `nested` is
+    one object here, so `pred` (a Column over the nested row) is
+    evaluated object-at-a-time by construction (never the cross-object
+    false positive a flattened array would give). Parents keep their
+    `query` BM25 score; with score_mode sum/max/avg/min the per-parent
+    aggregate of `score_col` over MATCHING objects is added (bool-must
+    composition). -> (doc_id, score) top-k."""
+    qm = executor.search(query, k=None).select("doc_id", "score")
+    hits = nested.where(pred).select(
+        F.col(parent_col).cast("long").alias("doc_id"),
+        *( [F.col(score_col).cast("double").alias("_cs")]
+           if score_mode != "none" else [] ),
+    )
+    if score_mode == "none":
+        out = qm.join(hits.select("doc_id").distinct(), "doc_id", "left_semi")
+    else:
+        agg = _CHILD_SCORE_AGG[score_mode]
+        g = hits.groupBy("doc_id").agg(agg("_cs").alias("_cagg"))
+        out = qm.join(g, "doc_id").select(
+            "doc_id", (F.col("score") + F.col("_cagg")).alias("score")
+        )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,136 @@
+"""ES join fields (has_child / has_parent) and nested objects over a
+tiny hand-computed parent+child pair of indexes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pair(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    parents = spark.createDataFrame(
+        [
+            (0, "spark batch"),
+            (1, "spark stream"),
+            (2, "window table"),
+            (3, "spark window"),
+        ],
+        "doc_id long, text string",
+    )
+    children = spark.createDataFrame(
+        [
+            # parent 0: two kids matching 'alpha', one not
+            (100, 0, "alpha beta"),
+            (101, 0, "alpha gamma"),
+            (102, 0, "delta"),
+            # parent 1: one kid matching
+            (110, 1, "alpha"),
+            # parent 2: kids, none matching
+            (120, 2, "beta delta"),
+            # parent 3: no kids
+        ],
+        "child_id long, parent_id long, ctext string",
+    )
+    base = tmp_path_factory.mktemp("joinix")
+    pdir, cdir = str(base / "p"), str(base / "c")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        parents, pdir, content_col="text", id_col="doc_id"
+    )
+    IndexBuilder(num_shards=2, block_size=8).build(
+        children, cdir, content_col="ctext", id_col="child_id",
+        meta_cols=["parent_id"],
+    )
+    return (
+        DataFrameExecutor(SparkIndex(spark, pdir, cache=True)),
+        DataFrameExecutor(SparkIndex(spark, cdir, cache=True)),
+    )
+
+
+def test_has_child_filter_and_score_modes(pair):
+    from lucille_spark.search_features import has_child
+
+    pex, cex = pair
+    flt = has_child(pex, cex, "alpha", score_mode="none", k=10).collect()
+    assert {r["doc_id"] for r in flt} == {0, 1}
+    assert all(r["score"] == 1.0 for r in flt)
+
+    # child BM25 scores: parent 0 sums two hits, parent 1 one hit —
+    # sum mode must rank parent 0 first, max/avg must agree with the
+    # per-child scores
+    ssum = {r["doc_id"]: r["score"]
+            for r in has_child(pex, cex, "alpha", score_mode="sum").collect()}
+    smax = {r["doc_id"]: r["score"]
+            for r in has_child(pex, cex, "alpha", score_mode="max").collect()}
+    savg = {r["doc_id"]: r["score"]
+            for r in has_child(pex, cex, "alpha", score_mode="avg").collect()}
+    kid = {r["doc_id"]: r["score"]
+           for r in cex.search("alpha", k=None).collect()}
+    assert ssum[0] == pytest.approx(kid[100] + kid[101])
+    assert smax[0] == pytest.approx(max(kid[100], kid[101]))
+    assert savg[0] == pytest.approx((kid[100] + kid[101]) / 2)
+    assert ssum[1] == smax[1] == savg[1] == pytest.approx(kid[110])
+
+
+def test_has_child_min_children(pair):
+    from lucille_spark.search_features import has_child
+
+    pex, cex = pair
+    out = has_child(pex, cex, "alpha", score_mode="sum",
+                    min_children=2).collect()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+def test_has_parent_scores_children_with_parent_relevance(pair):
+    from lucille_spark.search_features import has_parent
+
+    pex, cex = pair
+    out = {r["doc_id"]: r["score"]
+           for r in has_parent(pex, cex, "spark", k=10).collect()}
+    # children of spark-matching parents 0 and 1 (parent 3 has none)
+    assert set(out) == {100, 101, 102, 110}
+    par = {r["doc_id"]: r["score"]
+           for r in pex.search("spark", k=None).collect()}
+    assert out[100] == out[101] == out[102] == pytest.approx(par[0])
+    assert out[110] == pytest.approx(par[1])
+    flat = has_parent(pex, cex, "spark", score=False).collect()
+    assert all(r["score"] == 1.0 for r in flat)
+
+
+def test_nested_within_one_object_semantics(pair, spark):
+    from lucille_spark.search_features import nested_query
+
+    pex, _ = pair
+    nested = spark.createDataFrame(
+        [
+            # parent 0: tag/value split ACROSS objects — a flattened
+            # array would wrongly match (has tag 'a' somewhere AND
+            # value>=50 somewhere), one-object semantics must not
+            (0, "a", 10),
+            (0, "b", 90),
+            # parent 1: one object satisfies both conditions
+            (1, "a", 70),
+            # parent 2 matches the nested pred but not the query
+            (2, "a", 99),
+        ],
+        "parent_id long, tag string, value long",
+    )
+    pred = (F.col("tag") == "a") & (F.col("value") >= 50)
+    out = nested_query(
+        pex, "spark", nested, "parent_id", pred, score_mode="none"
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    par = {r["doc_id"]: r["score"]
+           for r in pex.search("spark", k=None).collect()}
+    assert out[0]["score"] == pytest.approx(par[1])
+
+    # score_mode=max adds the per-parent max of the matching objects'
+    # score_col onto the query score
+    scored = nested_query(
+        pex, "spark", nested, "parent_id", pred,
+        score_mode="max", score_col="value",
+    ).collect()
+    assert scored[0]["doc_id"] == 1
+    assert scored[0]["score"] == pytest.approx(par[1] + 70.0)
