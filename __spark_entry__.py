@@ -3310,6 +3310,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_geo_dsl"] = ft_geo_dsl_q
 
+    # ---- multi_match cross_fields (BlendedTermQuery) ----------------
+    def ft_crossfields_q(s, d):
+        from lucille_spark.search_features import cross_fields
+
+        out = cross_fields(
+            _field_index_for(s, d),
+            "spark batch",
+            {"content": 1.0, "title": 2.0},
+            tie=0.1,
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_crossfields"] = ft_crossfields_q
+
+    # ---- int8 scalar quantization (SQ8 ADC search) -------------------
+    def sim_sq_topk_q(s, d):
+        from lucille_spark.ops.similarity import sq_search
+
+        e = _emb(s, d)
+        qv = e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        out = sq_search(e, qv, k=15)
+        return out.select(
+            "vec_id", F.round("acosine", 4).alias("acosine")
+        )
+
+    q["sim_sq_topk"] = sim_sq_topk_q
+
+    def sim_sq_codes_q(s, d):
+        from lucille_spark.ops.similarity import sq_encode, sq_train
+
+        e = _emb(s, d)
+        mins, maxs = sq_train(e)
+        enc = sq_encode(e, mins, maxs)
+        return (
+            enc.filter(F.col("vec_id") < 5)
+            .select(
+                "vec_id",
+                F.array_join(
+                    F.col("codes").cast("array<string>"), ","
+                ).alias("code_str"),
+            )
+        )
+
+    q["sim_sq_codes"] = sim_sq_codes_q
+
     # ---- ES join fields: has_child / has_parent / nested ------------
     def ft_has_child_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -6560,6 +6606,74 @@ WITH geo AS ({_GEO}),
 d AS (SELECT doc_id, {_hav(10.0, 20.0)} AS dist FROM geo)
 SELECT doc_id, round(dist, 4) AS dist_km, cast(1.0 as double) AS score
 FROM d WHERE dist <= 2500.0 ORDER BY dist, doc_id LIMIT 10"""
+
+    # ---- cross_fields: blended df = max over fields, per-term dismax
+    o["ft_crossfields"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}), {_TITLE_CTES},
+ctf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttok
+        WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+tdfq AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+u AS (SELECT unnest(['spark', 'batch']) AS term),
+bdf AS (SELECT u.term,
+        greatest(coalesce(c.df, 0), coalesce(t.df, 0)) AS dfb
+        FROM u LEFT JOIN cdf c USING (term)
+        LEFT JOIN tdfq t USING (term)),
+cs AS (SELECT ctf.doc_id, ctf.term,
+       ln(1.0 + (st.n - bdf.dfb + 0.5) / (bdf.dfb + 0.5)) * ctf.tf /
+       (ctf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) * 1.0 AS s
+       FROM ctf JOIN bdf USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st),
+ts AS (SELECT ttf.doc_id, ttf.term,
+       ln(1.0 + (st.n - bdf.dfb + 0.5) / (bdf.dfb + 0.5)) * ttf.tf /
+       (ttf.tf + {K1} * (1.0 - {B} + {B} * tdl.dl / tst.avgdl)) * 2.0 AS s
+       FROM ttf JOIN bdf USING (term) JOIN tdl USING (doc_id)
+       CROSS JOIN tst CROSS JOIN st),
+u2 AS (SELECT * FROM cs UNION ALL SELECT * FROM ts),
+pt AS (SELECT doc_id, term, max(s) AS mx, sum(s) AS sm
+       FROM u2 GROUP BY doc_id, term),
+agg AS (SELECT doc_id, sum(mx + 0.1 * (sm - mx)) AS score
+        FROM pt GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM agg
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # ---- scalar quantization: per-dim min/max (exact aggregates),
+    # floor(x+0.5) codes, asymmetric reconstruct-and-cosine
+    _SQ_CTES = """
+mm AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+       FROM (SELECT unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+       GROUP BY i),
+arrs AS (SELECT list(mn ORDER BY i) AS mns,
+         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+              ORDER BY i) AS scs,
+         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END
+              ORDER BY i) AS sts FROM mm),
+enc AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+        least(greatest(floor((x - arrs.mns[i]) * arrs.scs[i] + 0.5),
+              0), 255)) AS codes
+        FROM embeddings CROSS JOIN arrs)"""
+
+    o["sim_sq_topk"] = f"""
+WITH {_SQ_CTES},
+rec AS (SELECT vec_id, list_transform(codes, (c, i) ->
+        arrs.mns[i] + c * arrs.sts[i]) AS xh
+        FROM enc CROSS JOIN arrs),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+c AS (SELECT r.vec_id, list_dot_product(r.xh, q.qe) /
+      (sqrt(list_dot_product(r.xh, r.xh)) *
+       sqrt(list_dot_product(q.qe, q.qe))) AS cr
+      FROM rec r CROSS JOIN q)
+SELECT vec_id, round(cr, 4) AS acosine FROM c
+ORDER BY cr DESC, vec_id LIMIT 15"""
+
+    o["sim_sq_codes"] = f"""
+WITH {_SQ_CTES}
+SELECT vec_id, array_to_string(
+  list_transform(codes, c -> CAST(c AS INTEGER)), ',') AS code_str
+FROM enc WHERE vec_id < 5"""
 
     # ---- ES join fields: twin of _children / _child_index_for -------
     _KIDS = (

@@ -526,6 +526,16 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             )
         elif mtype == "most_fields":
             node = multi_field(qnode, fields)
+        elif mtype == "cross_fields":
+            from lucille_spark.search_features import cross_fields
+
+            return cross_fields(
+                executor.ix,
+                text,
+                fields,
+                tie=float(body.get("tie_breaker", 0.0)),
+                k=k if k is not None else 10,
+            )
         else:
             raise UnsupportedDSL(f"multi_match type {mtype!r}")
         return executor.search(node, k=k)

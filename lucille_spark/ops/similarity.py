@@ -576,3 +576,135 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (ES dense_vector index_options scalar
+# quantization / faiss SQ8): 4x smaller vectors, asymmetric ADC search
+# ---------------------------------------------------------------------------
+
+
+def sq_train(
+    df: DataFrame, vec_col: str = "embedding"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-dimension [min, max] over the corpus — the whole training
+    state of a scalar quantizer. min/max are order-independent
+    aggregates, so the result is EXACT (bit-identical on any engine),
+    which is what lets the sim_sq_* gates hash-match end to end.
+    One scan + a dim-sized groupBy. -> (mins, maxs) float64 arrays."""
+    rows = (
+        df.select(F.posexplode(vec_col))
+        .groupBy("pos")
+        .agg(F.min("col").alias("mn"), F.max("col").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins = np.array([r["mn"] for r in rows], dtype=np.float64)
+    maxs = np.array([r["mx"] for r in rows], dtype=np.float64)
+    return mins, maxs
+
+
+def sq_encode(
+    df: DataFrame,
+    mins,
+    maxs,
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """uint8-encode each vector: code_i = clamp(floor((x - min_i) *
+    255/(max_i - min_i) + 0.5), 0, 255). floor(x + 0.5) instead of
+    round() because engines disagree on round-half (HALF_UP vs
+    banker's) while floor is universal — the codes are bit-exact and
+    the quantized table ships 4x smaller than float32 (the reason to
+    quantize at 100 TB: a 768-dim corpus drops from 3 KB to 768 B per
+    row, and the ADC scan stays a pure codegen column program).
+    Constant dimensions (max == min) encode as 0."""
+    scales = [
+        255.0 / (mx - mn) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+    mn_l = F.array(*[F.lit(float(m)) for m in mins])
+    sc_l = F.array(*[F.lit(float(s)) for s in scales])
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.least(
+            F.greatest(
+                F.floor(
+                    (x - F.element_at(mn_l, i + 1))
+                    * F.element_at(sc_l, i + 1)
+                    + F.lit(0.5)
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(255).cast("long"),
+        ).cast("int"),
+    )
+    return df.withColumn(code_col, code)
+
+
+def sq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    mins,
+    maxs,
+    k: int = 10,
+    code_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric top-k over quantized codes (ADC): reconstruct
+    x^_i = min_i + code_i * (max_i - min_i)/255 and rank by
+    cosine(x^, raw query). One scan of the (4x smaller) code table,
+    no shuffle beyond the k-row top-k merge — the brute-force scan
+    you actually run at 100 TB when recall must be ~1.
+    -> (id, acosine) desc."""
+    steps = [
+        (mx - mn) / 255.0 if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+    mn_l = F.array(*[F.lit(float(m)) for m in mins])
+    st_l = F.array(*[F.lit(float(s)) for s in steps])
+    recon = F.transform(
+        F.col(code_col),
+        lambda c, i: F.element_at(mn_l, i + 1)
+        + c.cast("double") * F.element_at(st_l, i + 1),
+    )
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    cos = (_dot(recon, _vec_lit(q)) / (_norm(recon) * F.lit(qn))).alias(
+        "acosine"
+    )
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.desc("acosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq_search(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end SQ8 search: train + encode + ADC top-k, with an
+    optional exact re-rank of the top `rerank` candidates against the
+    raw vectors (the standard quantize-then-refine recipe: ADC recall
+    loss is concentrated in near-ties, so re-ranking a small multiple
+    of k restores ~exact quality at ~quantized cost).
+    -> (id, cosine or acosine) desc."""
+    mins, maxs = sq_train(df, vec_col)
+    enc = sq_encode(df, mins, maxs, vec_col)
+    if not rerank:
+        return sq_topk(enc, query, mins, maxs, k=k, id_col=id_col)
+    cand = sq_topk(
+        enc, query, mins, maxs, k=max(int(rerank), k), id_col=id_col
+    ).select(id_col)
+    return cosine_topk(
+        df.join(F.broadcast(cand), id_col, "left_semi"),
+        vec_col,
+        query,
+        k=k,
+        id_col=id_col,
+    )

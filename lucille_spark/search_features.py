@@ -2336,3 +2336,121 @@ def nested_query(
             "doc_id", (F.col("score") + F.col("_cagg")).alias("score")
         )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def cross_fields(
+    index,
+    query_text: str,
+    weights: dict,
+    tie: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `multi_match` type=cross_fields (Lucene BlendedTermQuery):
+    the fields act as ONE field per TERM — a first name in `first` and
+    a last name in `last` should score like one field containing both.
+    Per analyzed term t the document frequencies are BLENDED across
+    the queried fields (df~ = max over fields, Lucene's blend), each
+    field's tf scores against that shared idf with its own length
+    norm and weight, and the per-term score is the max across fields
+    plus `tie` x the rest (the dismax combination); terms then sum.
+    This is what distinguishes cross_fields from best_fields (per-
+    FIELD dismax, unblended stats) and most_fields (per-field sum).
+
+    Plan: ONE pushed-filter postings scan for every (field, term)
+    pair (field terms live under the "<field>:<term>" namespace, so
+    it is a single IN-list), per-(field, term) dfs aggregated in-plan
+    and blended with a groupBy-max, per-field avgdl/weight as tiny
+    map literals — whole-stage codegen, two match-set-sized
+    aggregations, TakeOrderedAndProject. -> (doc_id, score) desc."""
+    ix = index
+    terms = ix.planner.tokenize(query_text)
+    if not terms:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    qcnt: dict = {}
+    for t in terms:
+        qcnt[t] = qcnt.get(t, 0) + 1
+    uniq = sorted(qcnt)
+
+    all_keys = []
+    fmeta = {}  # field -> (weight, avgdl)
+    for f, w in weights.items():
+        if f == ix.planner.default_field:
+            fmeta[f] = (float(w), float(ix.stats["avg_dl"]))
+            all_keys.extend(uniq)
+        else:
+            if f not in ix.planner.indexed_fields:
+                raise ValueError(f"{f!r} is not an indexed field")
+            fmeta[f] = (float(w), float(ix.planner.indexed_fields[f]))
+            all_keys.extend(f + ":" + t for t in uniq)
+
+    rows = ix.flat_for(all_keys).filter(F.col("term").isin(all_keys))
+    default = ix.planner.default_field
+    # analyzer tokens never contain ':', so the namespace split is
+    # unambiguous
+    fld = F.when(
+        F.col("term").contains(":"), F.substring_index("term", ":", 1)
+    ).otherwise(F.lit(default))
+    base = F.when(
+        F.col("term").contains(":"), F.substring_index("term", ":", -1)
+    ).otherwise(F.col("term"))
+    rows = rows.select(
+        "doc_id",
+        fld.alias("fld"),
+        base.alias("base"),
+        F.col("tf").cast("double").alias("tf"),
+        F.col("doc_len").cast("double").alias("dl"),
+    )
+
+    # blended df: per (field, base) doc counts -> max across fields
+    dff = rows.groupBy("fld", "base").agg(
+        F.count(F.lit(1)).alias("df_f")
+    )
+    dfb = dff.groupBy("base").agg(F.max("df_f").alias("dfb"))
+
+    from lucille_spark.scoring import B, K1
+
+    n = int(ix.stats["n_docs"])
+    wmap = F.create_map(
+        *[F.lit(x) for f, (w, _) in fmeta.items() for x in (f, w)]
+    )
+    amap = F.create_map(
+        *[F.lit(x) for f, (_, a) in fmeta.items() for x in (f, a)]
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("dfb") + F.lit(0.5))
+        / (F.col("dfb") + F.lit(0.5))
+    )
+    s = (
+        idf
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (
+                F.lit(1.0 - B)
+                + F.lit(B) * F.col("dl") / amap[F.col("fld")]
+            )
+        )
+        * wmap[F.col("fld")]
+    )
+    per_ft = rows.join(F.broadcast(dfb), "base").select(
+        "doc_id", "base", s.alias("s")
+    )
+    qmap = F.create_map(
+        *[F.lit(x) for t in qcnt for x in (t, float(qcnt[t]))]
+    )
+    per_t = per_ft.groupBy("doc_id", "base").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    contrib = qmap[F.col("base")].cast("double") * (
+        F.col("mx") + F.lit(float(tie)) * (F.col("sm") - F.col("mx"))
+    )
+    scored = per_t.select("doc_id", contrib.alias("c")).groupBy(
+        "doc_id"
+    ).agg(F.sum("c").alias("score"))
+    return (
+        _drop_deleted(ix, scored)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,149 @@
+"""cross_fields multi_match (blended term stats + per-term dismax)
+and int8 scalar-quantized vector search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def people_ix(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    # the canonical cross_fields corpus: names split across fields.
+    # 'will' is a common FIRST name and 'smith' a common LAST name;
+    # doc 0 is the true "will smith".
+    docs = spark.createDataFrame(
+        [
+            (0, "will", "smith"),
+            (1, "will", "jones"),
+            (2, "will", "brown"),
+            (3, "smith", "payne"),  # 'smith' as a first name (rare)
+            (4, "jon", "smith"),
+            (5, "jon", "doe"),
+        ],
+        "doc_id long, text string, last string",
+    )
+    out = str(tmp_path_factory.mktemp("people") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        indexed_cols=["last"],
+    )
+    return SparkIndex(spark, out, cache=True)
+
+
+def test_cross_fields_ranks_split_name_first(people_ix):
+    from lucille_spark.search_features import cross_fields
+
+    out = cross_fields(
+        people_ix, "will smith", {"content": 1.0, "last": 1.0}, k=10
+    ).collect()
+    # doc 0 matches both terms (one per field) — must rank first
+    assert out[0]["doc_id"] == 0
+    # every doc containing either term anywhere appears
+    assert {r["doc_id"] for r in out} == {0, 1, 2, 3, 4}
+
+
+def test_cross_fields_blends_df_across_fields(people_ix):
+    from lucille_spark.scoring import B, K1
+    from lucille_spark.search_features import cross_fields
+
+    out = {r["doc_id"]: r["score"]
+           for r in cross_fields(people_ix, "smith",
+                                 {"content": 1.0, "last": 1.0}).collect()}
+    # blended df for 'smith' = max(df_content=1, df_last=2) = 2, n=6
+    n, dfb = 6, 2
+    idf = np.log(1.0 + (n - dfb + 0.5) / (dfb + 0.5))
+    # content field: doc 3, tf=1, dl=1, avgdl=1
+    s_content = idf * 1.0 / (1.0 + K1 * (1 - B + B * 1.0 / 1.0))
+    assert out[3] == pytest.approx(s_content)
+    # last field: docs 0 and 4 (same shape, same score)
+    assert out[0] == out[4] == pytest.approx(s_content)
+
+
+def test_cross_fields_tie_breaker_adds_other_fields(people_ix):
+    from lucille_spark.search_features import cross_fields
+
+    # doc with the term in BOTH fields gains from tie>0
+    base = {r["doc_id"]: r["score"]
+            for r in cross_fields(people_ix, "will smith",
+                                  {"content": 1.0, "last": 1.0},
+                                  tie=0.0).collect()}
+    tied = {r["doc_id"]: r["score"]
+            for r in cross_fields(people_ix, "will smith",
+                                  {"content": 1.0, "last": 1.0},
+                                  tie=0.5).collect()}
+    # no doc has the same term twice here except none — scores equal
+    for d in base:
+        assert tied[d] >= base[d] - 1e-12
+
+
+def test_cross_fields_dsl_dispatch(people_ix):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import cross_fields
+
+    ex = DataFrameExecutor(people_ix)
+    dsl = search_es(
+        ex,
+        {"multi_match": {"query": "will smith",
+                         "fields": ["content", "last"],
+                         "type": "cross_fields"}},
+        k=10,
+    ).collect()
+    direct = cross_fields(
+        people_ix, "will smith", {"content": 1.0, "last": 1.0}, k=10
+    ).collect()
+    assert dsl == direct
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)
+    ]
+    # a constant dimension to exercise the max==min guard
+    rows = [(i, v[:15] + [1.5]) for i, v in rows]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sq_codes_in_range_and_deterministic(vecs):
+    from lucille_spark.ops.similarity import sq_encode, sq_train
+
+    mins, maxs = sq_train(vecs)
+    assert mins.shape == (16,) and maxs[15] == mins[15] == 1.5
+    enc = sq_encode(vecs, mins, maxs).collect()
+    for r in enc:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        assert r["codes"][15] == 0  # constant dim encodes as 0
+    # min/max rows hit the extremes
+    flat = np.array([r["codes"] for r in enc])
+    assert flat[:, :15].max() == 255 and flat[:, :15].min() == 0
+
+
+def test_sq_recall_vs_exact(vecs):
+    from lucille_spark.ops.similarity import cosine_topk, sq_search
+
+    q = [0.3] * 15 + [1.5]
+    exact = [r["vec_id"] for r in cosine_topk(vecs, "embedding", q, k=10).collect()]
+    approx = [r["vec_id"] for r in sq_search(vecs, q, k=10).collect()]
+    # 8-bit quantization on 16 dims: recall@10 should be near-perfect
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_sq_rerank_restores_exact_order(vecs):
+    from lucille_spark.ops.similarity import cosine_topk, sq_search
+
+    q = [0.3] * 15 + [1.5]
+    exact = cosine_topk(vecs, "embedding", q, k=5).collect()
+    rr = sq_search(vecs, q, k=5, rerank=50).collect()
+    assert [r["vec_id"] for r in rr] == [r["vec_id"] for r in exact]
+    for a, b in zip(rr, exact):
+        assert a["cosine"] == pytest.approx(b["cosine"])
