@@ -3310,6 +3310,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_geo_dsl"] = ft_geo_dsl_q
 
+    # ---- remaining agg kinds: MAD / matrix_stats / t_test /
+    #      normalize pipeline / auto_date_histogram ------------------
+    def ft_agg_mad_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"m": {"median_absolute_deviation": {"field": "doc_len"}}},
+            query={"match": {"content": "spark"}},
+        )["m"]
+        return out.select(F.round("value", 4).alias("value"))
+
+    q["ft_agg_mad"] = ft_agg_mad_q
+
+    def ft_agg_matrix_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_field_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"ms": {"matrix_stats": {"fields": ["doc_len", "n_chars"]}}},
+            query={"match": {"content": "spark"}},
+        )["ms"]
+        return out.select(
+            "field_a",
+            "field_b",
+            "count",
+            F.round("mean_a", 4).alias("mean_a"),
+            F.round("mean_b", 4).alias("mean_b"),
+            F.round("covariance", 4).alias("covariance"),
+            F.round("correlation", 4).alias("correlation"),
+        )
+
+    q["ft_agg_matrix"] = ft_agg_matrix_q
+
+    def ft_agg_ttest_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_field_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"t": {"t_test": {
+                "a": {"field": "n_chars"},
+                "b": {"field": "doc_len"},
+                "type": "paired",
+            }}},
+            query={"match": {"content": "spark"}},
+        )["t"]
+        return out.select(F.round("value", 4).alias("value"), "n")
+
+    q["ft_agg_ttest"] = ft_agg_ttest_q
+
+    def ft_agg_normalize_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return aggs_es(
+            ex,
+            {"h": {
+                "histogram": {"field": "doc_len", "interval": 20},
+                "aggs": {"pct": {"normalize": {
+                    "buckets_path": "_count",
+                    "method": "percent_of_sum",
+                }}},
+            }},
+            query={"match": {"content": "spark"}},
+        )["h"]
+
+    q["ft_agg_normalize"] = ft_agg_normalize_q
+
+    def ev_auto_hist_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        return ev.auto_date_histogram(_events(s, d), buckets=15)
+
+    q["ev_auto_hist"] = ev_auto_hist_q
+
     # ---- multi_match cross_fields (BlendedTermQuery) ----------------
     def ft_crossfields_q(s, d):
         from lucille_spark.search_features import cross_fields
@@ -6606,6 +6688,72 @@ WITH geo AS ({_GEO}),
 d AS (SELECT doc_id, {_hav(10.0, 20.0)} AS dist FROM geo)
 SELECT doc_id, round(dist, 4) AS dist_km, cast(1.0 as double) AS score
 FROM d WHERE dist <= 2500.0 ORDER BY dist, doc_id LIMIT 10"""
+
+    # ---- remaining agg kinds -----------------------------------------
+    o["ft_agg_mad"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT cast(dl.dl as double) AS x FROM dl JOIN m USING (doc_id)),
+med AS (SELECT quantile_cont(x, 0.5) AS md FROM v)
+SELECT round(quantile_cont(abs(x - med.md), 0.5), 4) AS value
+FROM v CROSS JOIN med"""
+
+    # matrix_stats: one row per ordered field pair, sample covariance
+    _MS_V = (
+        f"WITH tok AS ({_TOK}), dl AS ({_DL}), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'), "
+        "v AS (SELECT cast(dl.dl as double) AS a, "
+        "cast(length(d.text) as double) AS b "
+        "FROM dl JOIN m USING (doc_id) JOIN documents d USING (doc_id))"
+    )
+    o["ft_agg_matrix"] = (
+        _MS_V
+        + """
+SELECT 'doc_len' AS field_a, 'doc_len' AS field_b, count(*) AS "count",
+ round(avg(a), 4) AS mean_a, round(avg(a), 4) AS mean_b,
+ round(covar_samp(a, a), 4) AS covariance,
+ round(corr(a, a), 4) AS correlation FROM v
+UNION ALL SELECT 'doc_len', 'n_chars', count(*), round(avg(a), 4),
+ round(avg(b), 4), round(covar_samp(a, b), 4), round(corr(a, b), 4)
+ FROM v
+UNION ALL SELECT 'n_chars', 'doc_len', count(*), round(avg(b), 4),
+ round(avg(a), 4), round(covar_samp(b, a), 4), round(corr(b, a), 4)
+ FROM v
+UNION ALL SELECT 'n_chars', 'n_chars', count(*), round(avg(b), 4),
+ round(avg(b), 4), round(covar_samp(b, b), 4), round(corr(b, b), 4)
+ FROM v"""
+    )
+
+    o["ft_agg_ttest"] = (
+        _MS_V
+        + """
+SELECT round(avg(b - a) / (stddev_samp(b - a) /
+       sqrt(cast(count(*) as double))), 4) AS value,
+       count(*) AS n FROM v"""
+    )
+
+    o["ft_agg_normalize"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+h AS (SELECT floor(cast(dl.dl as double) / 20.0) * 20.0 AS key,
+      count(*) AS doc_count FROM dl JOIN m USING (doc_id) GROUP BY 1)
+SELECT key, doc_count, round(cast(doc_count as double) /
+       sum(cast(doc_count as double)) OVER (), 4) AS pct
+FROM h ORDER BY key"""
+
+    # auto_date_histogram: ladder selection replicated in SQL
+    o["ev_auto_hist"] = """
+WITH b AS (SELECT min(epoch(ts)) AS mn, max(epoch(ts)) AS mx
+           FROM events),
+lad AS (SELECT unnest([1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800,
+        43200, 86400, 604800, 2592000, 31536000]) AS iv),
+pick AS (SELECT coalesce(min(iv), 31536000) AS iv FROM lad, b
+         WHERE floor(mx / iv) - floor(mn / iv) + 1 <= 15)
+SELECT cast(floor(epoch(ts) / pick.iv) * pick.iv as bigint)
+         AS bucket_epoch,
+       count(*) AS n, round(sum(value), 4) AS sum_value,
+       cast(pick.iv as int) AS interval_s
+FROM events CROSS JOIN pick GROUP BY 1, 4 ORDER BY 1"""
 
     # ---- cross_fields: blended df = max over fields, per-term dismax
     o["ft_crossfields"] = f"""

@@ -887,7 +887,7 @@ _SUB_BUCKET_KINDS = {"terms", "histogram"}
 # position); the sequential ones require an ordered histogram parent
 _PARENT_PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
-    "bucket_script", "bucket_selector", "bucket_sort",
+    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
 }
 
 # sibling pipeline aggs: top-level kinds that reduce another agg's
@@ -1014,6 +1014,48 @@ def _apply_parent_pipelines(frame, key_col: str, sub, aggname: str,
                     4,
                 )
             frame = frame.withColumn(sname, col)
+        elif skind == "normalize":
+            # ES normalize pipeline agg: rescale a sibling metric
+            # across ALL buckets (works under terms too — it needs no
+            # ordering, just the whole-frame window). Bucket-count-
+            # sized window by construction.
+            path = body["buckets_path"]
+            if path == "_count":
+                src = F.col("doc_count").cast("double")
+            elif path in frame.columns:
+                src = F.col(path).cast("double")
+            else:
+                raise UnsupportedDSL(
+                    f"{where}: buckets_path {path!r} is not a "
+                    "sibling metric of this bucket agg"
+                )
+            wall = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            method = str(body.get("method", "rescale_0_1"))
+            if method == "percent_of_sum":
+                col = src / F.sum(src).over(wall)
+            elif method == "rescale_0_1":
+                col = (src - F.min(src).over(wall)) / (
+                    F.max(src).over(wall) - F.min(src).over(wall)
+                )
+            elif method == "rescale_0_100":
+                col = (
+                    (src - F.min(src).over(wall))
+                    / (F.max(src).over(wall) - F.min(src).over(wall))
+                    * F.lit(100.0)
+                )
+            elif method == "z-score":
+                col = (src - F.avg(src).over(wall)) / F.stddev_pop(
+                    src
+                ).over(wall)
+            elif method == "softmax":
+                col = F.exp(src) / F.sum(F.exp(src)).over(wall)
+            else:
+                raise UnsupportedDSL(
+                    f"{where}: normalize method {method!r}"
+                )
+            frame = frame.withColumn(sname, F.round(col, 4))
         elif skind == "bucket_script":
             expr = _script_expr(
                 body["script"], body["buckets_path"], frame.columns,
@@ -1497,6 +1539,93 @@ def aggs_es(
                 out[name] = _G.geo_centroid(gmeta, latf, lonf)
             else:
                 out[name] = _G.geo_bounds(gmeta, latf, lonf)
+            continue
+
+        if kind == "median_absolute_deviation":
+            # exact MAD (ES approximates via TDigest; we compute the
+            # exact interpolated median — documented deviation, the
+            # exactness is what lets the gate hash-match): median of
+            # |x - median(x)| over the match set. Two bucket-count-
+            # free aggregations; the scalar median broadcasts.
+            field = body["field"]
+            meta = executor.ix.doclens.select(
+                "doc_id", F.col(field).cast("double").alias("_v")
+            ).join(matches.select("doc_id"), "doc_id", "left_semi")
+            med = meta.agg(F.percentile("_v", 0.5).alias("_m"))
+            out[name] = meta.crossJoin(F.broadcast(med)).agg(
+                F.percentile(
+                    F.abs(F.col("_v") - F.col("_m")), 0.5
+                ).alias("value")
+            )
+            continue
+
+        if kind == "matrix_stats":
+            # ES matrix_stats flattened to one row per ordered field
+            # pair: (field_a, field_b, count, mean_a, mean_b,
+            # covariance, correlation) — sample covariance like ES.
+            # ONE wide aggregation over the match set computes every
+            # pair; stack() unpivots the single row into pair rows.
+            fields = list(body["fields"])
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                *[F.col(f).cast("double").alias(f) for f in fields],
+            ).join(matches.select("doc_id"), "doc_id", "left_semi")
+            acols = [F.count(F.lit(1)).alias("count")]
+            for a in fields:
+                acols.append(F.avg(a).alias(f"mean_{a}"))
+                for b in fields:
+                    acols.append(
+                        F.covar_samp(a, b).alias(f"cov_{a}__{b}")
+                    )
+                    acols.append(F.corr(a, b).alias(f"cor_{a}__{b}"))
+            wide = meta.agg(*acols)
+            parts = []
+            for a in fields:
+                for b in fields:
+                    parts.append(
+                        f"'{a}', '{b}', `mean_{a}`, `mean_{b}`, "
+                        f"`cov_{a}__{b}`, `cor_{a}__{b}`"
+                    )
+            npair = len(fields) * len(fields)
+            out[name] = wide.select(
+                "count",
+                F.expr(
+                    f"stack({npair}, " + ", ".join(parts) + ") AS "
+                    "(field_a, field_b, mean_a, mean_b, covariance, "
+                    "correlation)"
+                ),
+            ).select(
+                "field_a", "field_b", "count", "mean_a", "mean_b",
+                "covariance", "correlation",
+            )
+            continue
+
+        if kind == "t_test":
+            # paired t-test over two stored numeric fields; returns
+            # the t STATISTIC (ES returns the p-value, which needs
+            # the t-distribution CDF — the statistic is the portable,
+            # exactly-reproducible part; documented deviation).
+            if str(body.get("type", "paired")) != "paired":
+                raise UnsupportedDSL(
+                    f"agg {name}: only paired t_test supported"
+                )
+            fa, fb = body["a"]["field"], body["b"]["field"]
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                (
+                    F.col(fa).cast("double") - F.col(fb).cast("double")
+                ).alias("_d"),
+            ).join(matches.select("doc_id"), "doc_id", "left_semi")
+            out[name] = meta.agg(
+                (
+                    F.avg("_d")
+                    / (
+                        F.stddev_samp("_d")
+                        / F.sqrt(F.count(F.lit(1)).cast("double"))
+                    )
+                ).alias("value"),
+                F.count(F.lit(1)).alias("n"),
+            )
             continue
 
         if kind == "range":

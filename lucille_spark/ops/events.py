@@ -417,3 +417,46 @@ def daily_uniques(
         "bucket_epoch", F.col("estimate").alias("uniques_hll")
     )
     return exact.join(est, "bucket_epoch").orderBy("bucket_epoch")
+
+
+# fixed-interval ladder for auto_date_histogram, seconds (ES uses a
+# similar second/minute/hour/day/week/month/year progression)
+AUTO_HIST_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 31536000,
+]
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    buckets: int = 10,
+    value_col: str = "value",
+) -> DataFrame:
+    """ES `auto_date_histogram`: pick the smallest fixed interval from
+    the ladder that keeps the bucket count <= `buckets`, then bucket
+    like date_histogram(fixed_seconds=...). The interval choice needs
+    only the corpus (min, max) timestamp — one tiny driver-side agg —
+    and is fully deterministic, so the DuckDB oracle replicates the
+    same ladder selection in SQL (gate ev_auto_hist). The returned
+    frame carries the chosen interval as `interval_s`.
+    -> (bucket_epoch, n, sum_value, interval_s) ordered by bucket."""
+    b = df.agg(
+        F.min(_epoch_s(F.col(ts_col))).alias("mn"),
+        F.max(_epoch_s(F.col(ts_col))).alias("mx"),
+    ).collect()[0]
+    import math as _m
+
+    iv = AUTO_HIST_LADDER[-1]
+    for cand in AUTO_HIST_LADDER:
+        # bucket count on the epoch-floor grid
+        n_b = _m.floor(b["mx"] / cand) - _m.floor(b["mn"] / cand) + 1
+        if n_b <= buckets:
+            iv = cand
+            break
+    out = date_histogram(
+        df, ts_col=ts_col, fixed_seconds=iv, value_col=value_col
+    )
+    return out.withColumn("interval_s", F.lit(int(iv))).orderBy(
+        "bucket_epoch"
+    )

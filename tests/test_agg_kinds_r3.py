@@ -1,0 +1,135 @@
+"""Round-3 agg kinds: median_absolute_deviation, matrix_stats,
+paired t_test, the normalize pipeline agg, auto_date_histogram."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def nix(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    # doc_len = token count; nval = a second numeric meta column
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a", 10),        # dl 4
+            (1, "a a", 20),            # dl 2
+            (2, "a a a a a a", 30),    # dl 6
+            (3, "a", 40),              # dl 1
+            (4, "a a a a a", 50),      # dl 5
+            (5, "b", 60),              # doesn't match 'a'
+        ],
+        "doc_id long, text string, nval long",
+    )
+    out = str(tmp_path_factory.mktemp("aggix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["nval"],
+    )
+    return DataFrameExecutor(SparkIndex(spark, out, cache=True))
+
+
+def test_mad_hand_computed(nix):
+    from lucille_spark.esdsl import aggs_es
+
+    out = aggs_es(
+        nix,
+        {"m": {"median_absolute_deviation": {"field": "doc_len"}}},
+        query={"match": {"content": "a"}},
+    )["m"].collect()[0]
+    # dls of matches: [4, 2, 6, 1, 5] -> median 4, |x-4| = [0,2,2,3,1]
+    # -> median 2
+    assert out["value"] == pytest.approx(2.0)
+
+
+def test_matrix_stats_matches_numpy(nix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        nix,
+        {"ms": {"matrix_stats": {"fields": ["doc_len", "nval"]}}},
+        query={"match": {"content": "a"}},
+    )["ms"].collect()
+    got = {(r["field_a"], r["field_b"]): r for r in rows}
+    assert len(got) == 4
+    dl = np.array([4.0, 2.0, 6.0, 1.0, 5.0])
+    nv = np.array([10.0, 20.0, 30.0, 40.0, 50.0])
+    r = got[("doc_len", "nval")]
+    assert r["count"] == 5
+    assert r["mean_a"] == pytest.approx(dl.mean())
+    assert r["mean_b"] == pytest.approx(nv.mean())
+    assert r["covariance"] == pytest.approx(
+        np.cov(dl, nv, ddof=1)[0, 1]
+    )
+    assert r["correlation"] == pytest.approx(np.corrcoef(dl, nv)[0, 1])
+    # symmetric pair agrees, self-correlation is 1
+    assert got[("nval", "doc_len")]["covariance"] == pytest.approx(
+        r["covariance"]
+    )
+    assert got[("doc_len", "doc_len")]["correlation"] == pytest.approx(1.0)
+
+
+def test_paired_t_test_hand_formula(nix):
+    from lucille_spark.esdsl import aggs_es
+
+    out = aggs_es(
+        nix,
+        {"t": {"t_test": {"a": {"field": "nval"},
+                          "b": {"field": "doc_len"},
+                          "type": "paired"}}},
+        query={"match": {"content": "a"}},
+    )["t"].collect()[0]
+    d = np.array([10.0 - 4, 20.0 - 2, 30.0 - 6, 40.0 - 1, 50.0 - 5])
+    t = d.mean() / (d.std(ddof=1) / math.sqrt(len(d)))
+    assert out["n"] == 5
+    assert out["value"] == pytest.approx(t)
+
+
+@pytest.mark.parametrize(
+    "method,expect",
+    [
+        ("percent_of_sum", lambda v: v / v.sum()),
+        ("rescale_0_1", lambda v: (v - v.min()) / (v.max() - v.min())),
+        ("z-score", lambda v: (v - v.mean()) / v.std()),
+        ("softmax", lambda v: np.exp(v) / np.exp(v).sum()),
+    ],
+)
+def test_normalize_methods(nix, method, expect):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        nix,
+        {"h": {"histogram": {"field": "doc_len", "interval": 2},
+               "aggs": {"nz": {"normalize": {
+                   "buckets_path": "_count", "method": method}}}}},
+        query={"match": {"content": "a"}},
+    )["h"].orderBy("key").collect()
+    counts = np.array([r["doc_count"] for r in rows], dtype=float)
+    want = expect(counts)
+    got = [r["nz"] for r in rows]
+    assert got == pytest.approx(list(np.round(want, 4)), abs=1e-4)
+
+
+def test_auto_date_histogram_picks_ladder_interval(spark):
+    from lucille_spark.ops.events import auto_date_histogram
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), 1.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, value double"
+    )
+    out = auto_date_histogram(df, buckets=15).collect()
+    # span = 693 min; 1h buckets -> 12 (fits 15), 30 min -> 24 (no)
+    assert out[0]["interval_s"] == 3600
+    assert len(out) <= 15
+    assert sum(r["n"] for r in out) == 100
+    # tighter budget climbs the ladder
+    out3 = auto_date_histogram(df, buckets=3).collect()
+    assert out3[0]["interval_s"] == 43200
