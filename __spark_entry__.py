@@ -415,6 +415,42 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sorted_index_for(spark: SparkSession, sf_dir: str):
+    """index.sort fixture: documents with doc ids reassigned to the
+    global (n_chars, orig_id) rank (BuildConfig index_sort); the
+    original id survives as stored meta orig_id."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "sorted:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"sorted_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("orig_id"),
+            "text",
+            F.length("text").alias("n_chars"),
+        )
+        IndexBuilder(
+            num_shards=4, block_size=128, index_sort="n_chars"
+        ).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="orig_id",
+            meta_cols=["orig_id", "n_chars"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic CHILD corpus for the ES join-field gates:
     parent doc_id spawns (doc_id % 3) children; child i's text is the
@@ -3437,6 +3473,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_sq_codes"] = sim_sq_codes_q
+
+    # ---- index sorting: early-terminated sort serving ---------------
+    def ft_sorted_serve_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import sorted_topk
+
+        ex = DataFrameExecutor(_sorted_index_for(s, d))
+        out = sorted_topk(
+            ex, "spark", k=10, fields=["orig_id", "n_chars"]
+        )
+        return out.select(
+            F.col("orig_id").cast("long").alias("orig_id"),
+            F.col("n_chars").cast("int").alias("n_chars"),
+        )
+
+    q["ft_sorted_serve"] = ft_sorted_serve_q
 
     # ---- ES join fields: has_child / has_parent / nested ------------
     def ft_has_child_q(s, d):
@@ -6688,6 +6740,14 @@ WITH geo AS ({_GEO}),
 d AS (SELECT doc_id, {_hav(10.0, 20.0)} AS dist FROM geo)
 SELECT doc_id, round(dist, 4) AS dist_km, cast(1.0 as double) AS score
 FROM d WHERE dist <= 2500.0 ORDER BY dist, doc_id LIMIT 10"""
+
+    # ---- index sorting: sorted-index page == ORDER BY field ----------
+    o["ft_sorted_serve"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT d.doc_id AS orig_id, cast(length(d.text) as int) AS n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY length(d.text), d.doc_id LIMIT 10"""
 
     # ---- remaining agg kinds -----------------------------------------
     o["ft_agg_mad"] = f"""

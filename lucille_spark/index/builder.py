@@ -158,6 +158,14 @@ class BuildConfig:
     # language and reading the corpus. None = doc_id order (default;
     # favors point-lookup locality for _mget instead).
     doclens_sort_by: Optional[str] = None
+    # Lucene/ES index sorting (index.sort): assign doc ids by rank
+    # over this input column (tiebreak: the external id / order_cols),
+    # making doc-id order == sort-field order corpus-wide. Serving can
+    # then answer "match + ORDER BY field LIMIT k" as "k smallest (or
+    # largest) matching doc ids" — no field join before the cut, no
+    # global sort, early termination per shard
+    # (search_features.sorted_topk). Recorded in stats.json.
+    index_sort: Optional[str] = None
 
 
 @dataclass
@@ -252,6 +260,24 @@ class IndexBuilder:
                 c for c in docs.columns if c not in (content_col, id_col)
             ]
         meta_cols = list(meta_cols)
+        if cfg.index_sort:
+            # Lucene/ES index sorting (index.sort): doc ids become the
+            # global rank over (sort field, tiebreak), so doc-id order
+            # IS sort-field order — enabling early-terminated "sort by
+            # field" serving (search_features.sorted_topk) and
+            # sort-key-clustered parquet row groups. An external id
+            # column survives as stored meta.
+            if cfg.index_sort not in docs.columns:
+                raise ValueError(
+                    f"index_sort {cfg.index_sort!r} not in input columns"
+                )
+            if id_col is not None:
+                if id_col not in meta_cols:
+                    meta_cols.append(id_col)
+                order_cols = (cfg.index_sort, id_col)
+                id_col = None
+            else:
+                order_cols = (cfg.index_sort, *tuple(order_cols))
         indexed_cols = list(indexed_cols)
         for c in indexed_cols:
             if c not in docs.columns:
@@ -485,6 +511,7 @@ class IndexBuilder:
                 "analyzer": cfg.analyzer,
                 "meta_cols": meta_cols,
                 "meta_types": meta_types,
+                "index_sort": cfg.index_sort,
                 "shard_span": max(
                     1, math.ceil(int(row["n"]) / cfg.num_shards)
                 ),

@@ -2454,3 +2454,38 @@ def cross_fields(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def sorted_topk(
+    executor,
+    query,
+    k: int = 10,
+    ascending: bool = True,
+    fields=(),
+) -> DataFrame:
+    """Early-terminated sort serving on an index built with
+    BuildConfig(index_sort=<field>): doc-id order IS sort-field order
+    corpus-wide, so "match + ORDER BY field LIMIT k" is just the k
+    smallest (ascending) or largest (descending) MATCHING doc ids.
+    Contrast with sort_by(): no field values join before the cut and
+    no ordering on a data column — the plan is a pushed-filter match
+    + TakeOrderedAndProject on doc_id (a monotone, already-clustered
+    key: parquet row groups are doc_id ranges, so at 100 TB each
+    shard's scan terminates after its first qualifying row groups).
+    `fields` joins stored meta onto the K-ROW page afterwards
+    (broadcast of k rows into the doclens scan).
+    -> (doc_id, *fields) in sort order."""
+    ix = executor.ix
+    srt = (ix.stats or {}).get("index_sort")
+    if not srt:
+        raise ValueError(
+            "sorted_topk needs an index built with index_sort="
+            "<field> (stats.json records none)"
+        )
+    m = executor.search(query, k=None).select("doc_id")
+    key = F.asc("doc_id") if ascending else F.desc("doc_id")
+    page = m.orderBy(key).limit(k)
+    if not fields:
+        return page
+    meta = ix.doclens.select("doc_id", *fields)
+    return meta.join(F.broadcast(page), "doc_id").orderBy(key)

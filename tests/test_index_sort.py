@@ -1,0 +1,93 @@
+"""Index sorting (BuildConfig.index_sort) + early-terminated sort
+serving (search_features.sorted_topk)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sorted_ix(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (10, "spark batch window table", 40),
+            (11, "spark", 5),
+            (12, "spark stream", 12),
+            (13, "batch window", 99),
+            (14, "spark window", 12),  # ties with 12 on the sort key
+            (15, "spark table stream batch", 23),
+        ],
+        "orig_id long, text string, nv long",
+    )
+    out = str(tmp_path_factory.mktemp("srtix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8, index_sort="nv").build(
+        docs, out, content_col="text", id_col="orig_id",
+        meta_cols=["orig_id", "nv"],
+    )
+    return DataFrameExecutor(SparkIndex(spark, out, cache=True))
+
+
+def test_doc_ids_are_sort_ranks(sorted_ix):
+    rows = sorted_ix.ix.doclens.select(
+        "doc_id", F.col("orig_id").cast("long").alias("o"),
+        F.col("nv").cast("long").alias("nv"),
+    ).orderBy("doc_id").collect()
+    # rank over (nv, orig_id): 5->11, 12->12, 12->14, 23->15, 40->10,
+    # 99->13
+    assert [r["o"] for r in rows] == [11, 12, 14, 15, 10, 13]
+    assert [r["doc_id"] for r in rows] == list(range(6))
+    assert sorted_ix.ix.stats["index_sort"] == "nv"
+
+
+def test_sorted_topk_equals_sort_by(sorted_ix):
+    from lucille_spark.search_features import sort_by, sorted_topk
+
+    page = sorted_topk(
+        sorted_ix, "spark", k=3, fields=["orig_id", "nv"]
+    ).collect()
+    assert [r["orig_id"] for r in page] == ["11", "12", "14"]
+    assert [int(r["nv"]) for r in page] == [5, 12, 12]
+    # the generic sort_by on the same index agrees on the value order
+    ref = sort_by(sorted_ix, "spark", "nv", k=3, numeric=True).collect()
+    assert [int(r["nv"]) for r in ref] == [5, 12, 12]
+
+
+def test_sorted_topk_descending(sorted_ix):
+    from lucille_spark.search_features import sorted_topk
+
+    page = sorted_topk(
+        sorted_ix, "spark", k=2, ascending=False, fields=["nv"]
+    ).collect()
+    assert [int(r["nv"]) for r in page] == [40, 23]
+
+
+def test_sorted_topk_plan_has_no_field_sort(sorted_ix):
+    from lucille_spark.search_features import sorted_topk
+
+    # the early-termination claim: the cut happens on doc_id alone —
+    # no data-column Sort, a TakeOrdered on the clustered key
+    plan = sorted_topk(sorted_ix, "spark", k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "nv" not in plan
+
+
+def test_sorted_topk_refuses_unsorted_index(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import sorted_topk
+
+    docs = spark.createDataFrame(
+        [(0, "spark")], "doc_id long, text string"
+    )
+    out = str(tmp_path_factory.mktemp("plainix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out))
+    with pytest.raises(ValueError, match="index_sort"):
+        sorted_topk(ex, "spark")
