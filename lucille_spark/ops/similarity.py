@@ -708,3 +708,62 @@ def sq_search(
         k=k,
         id_col=id_col,
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) — the standard RAG retrieval re-rank: greedily
+    pick argmax_d [ lam * cos(d, q) - (1 - lam) * max_{s in S}
+    cos(d, s) ], trading relevance against redundancy with the
+    already-selected set S.
+
+    Plan shape at 100 TB: the DISTRIBUTED part is the pool selection
+    (brute/SQ/IVF cosine top-`pool`, one scan); MMR itself is
+    inherently sequential in k, so it runs driver-side over the
+    pool's k x pool cosine matrix — `pool` rows, not the corpus
+    (the same place the final page materializes anyway).
+    -> (id, mmr, cosine) in selection order."""
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    cand = cosine_topk(df, vec_col, q, k=int(pool), id_col=id_col)
+    rows = (
+        df.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+        .select(id_col, vec_col)
+        .collect()
+    )
+    ids = np.array([r[id_col] for r in rows])
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    rel = Xn @ qn
+    sim = Xn @ Xn.T
+    chosen: list = []
+    picked = np.zeros(len(ids), dtype=bool)
+    scores = []
+    for _ in range(min(int(k), len(ids))):
+        if not chosen:
+            mmr = lam * rel - (1.0 - lam) * 0.0
+        else:
+            red = sim[:, chosen].max(axis=1)
+            mmr = lam * rel - (1.0 - lam) * red
+        mmr = np.where(picked, -np.inf, mmr)
+        # deterministic tie-break: smallest id among equal scores
+        best = np.lexsort((ids, -mmr))[0]
+        chosen.append(best)
+        picked[best] = True
+        scores.append(float(mmr[best]))
+    spark = df.sparkSession
+    out = [
+        (ids[i].item(), s, float(rel[i]))
+        for i, s in zip(chosen, scores)
+    ]
+    return spark.createDataFrame(
+        out, f"{id_col} long, mmr double, cosine double"
+    )

@@ -195,6 +195,48 @@ class Searcher:
         }
         return out
 
+    def mapping(self) -> dict:
+        """ES `GET /<index>/_mapping` equivalent: the index's field
+        map — the indexed full-text fields (content + indexed_cols),
+        every stored meta column with its recorded value type
+        (keyword/long, Lucene-points style), and the geo convention.
+        Driver-side from stats.json, no job."""
+        ix = self.index
+        st = ix.stats
+        props: dict = {
+            "content": {"type": "text", "analyzer": st.get(
+                "analyzer", "standard")},
+        }
+        for f in st.get("indexed_fields", {}) or {}:
+            props[f] = {"type": "text", "analyzer": st.get(
+                "analyzer", "standard")}
+        mt = st.get("meta_types", {}) or {}
+        for c in st.get("meta_cols", []) or []:
+            props[c] = {
+                "type": "long" if mt.get(c) == "num" else "keyword"
+            }
+        if st.get("index_sort"):
+            props["_index_sort"] = {"field": st["index_sort"]}
+        return {"mappings": {"properties": props}}
+
+    def field_caps(self) -> dict:
+        """ES `_field_caps`: per field, its type and whether it is
+        searchable (full-text) / aggregatable (stored doc value).
+        Driver-side from the mapping, no job."""
+        caps = {}
+        for f, spec in self.mapping()["mappings"]["properties"].items():
+            if f.startswith("_"):
+                continue
+            t = spec["type"]
+            caps[f] = {
+                t: {
+                    "type": t,
+                    "searchable": True,
+                    "aggregatable": t != "text",
+                }
+            }
+        return {"fields": caps}
+
     def search_es(self, dsl, k: int = 10) -> DataFrame:
         """Elasticsearch Query-DSL front door (lucille_spark.esdsl):
         run a JSON query dict through the shared planner/executors."""

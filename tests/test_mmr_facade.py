@@ -1,0 +1,91 @@
+"""MMR diversification + the _mapping/_field_caps facade endpoints."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # two tight clusters near the query + one moderately relevant
+    # outlier: pure relevance ranking picks the near-duplicates,
+    # MMR must interleave the outlier
+    base_a = np.array([1.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.8, 0.6, 0.0, 0.0])
+    rows = []
+    for i in range(5):  # cluster A: near-identical, most relevant
+        v = base_a + 1e-3 * np.array([0, i, 0, 0])
+        rows.append((i, [float(x) for x in v]))
+    for i in range(5, 8):  # cluster B: distinct direction
+        v = base_b + 1e-3 * np.array([0, 0, i, 0])
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mmr_diversifies(clustered):
+    from lucille_spark.ops.similarity import cosine_topk, mmr_rerank
+
+    q = [1.0, 0.1, 0.0, 0.0]
+    plain = [r["vec_id"] for r in
+             cosine_topk(clustered, "embedding", q, k=4).collect()]
+    # pure relevance: all 4 from cluster A
+    assert all(v < 5 for v in plain)
+    mmr = mmr_rerank(clustered, "embedding", q, k=4, lam=0.5).collect()
+    got = [r["vec_id"] for r in mmr]
+    # MMR: first pick is the most relevant, but cluster B must appear
+    # before a fourth near-duplicate of A
+    assert got[0] == plain[0]
+    assert any(v >= 5 for v in got[:3])
+    # mmr scores are non-increasing only for the greedy objective at
+    # each step; relevance column carries the raw cosine
+    assert all(abs(r["cosine"]) <= 1.0 + 1e-9 for r in mmr)
+
+
+def test_mmr_matches_bruteforce_reference(clustered):
+    from lucille_spark.ops.similarity import mmr_rerank
+
+    q = np.array([1.0, 0.1, 0.0, 0.0])
+    rows = clustered.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    rel = Xn @ qn
+    sim = Xn @ Xn.T
+    lam = 0.7
+    chosen = []
+    for _ in range(5):
+        red = sim[:, chosen].max(axis=1) if chosen else np.zeros(len(ids))
+        mmr = lam * rel - (1 - lam) * red
+        mmr[chosen] = -np.inf
+        order = np.lexsort((ids, -mmr))
+        chosen.append(int(order[0]))
+    want = [int(ids[i]) for i in chosen]
+    got = [r["vec_id"] for r in
+           mmr_rerank(clustered, "embedding", list(q), k=5,
+                      lam=lam).collect()]
+    assert got == want
+
+
+def test_mapping_and_field_caps(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.searcher import Searcher
+
+    docs = spark.createDataFrame(
+        [(0, "spark", "t0", "de", 7)],
+        "doc_id long, text string, title string, lang string, nv long",
+    )
+    out = str(tmp_path_factory.mktemp("mapix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["lang", "nv"], indexed_cols=["title"],
+    )
+    s = Searcher(spark, out, cache=False)
+    props = s.mapping()["mappings"]["properties"]
+    assert props["content"]["type"] == "text"
+    assert props["title"]["type"] == "text"
+    assert props["lang"] == {"type": "keyword"}
+    assert props["nv"] == {"type": "long"}
+    caps = s.field_caps()["fields"]
+    assert caps["lang"]["keyword"]["aggregatable"] is True
+    assert caps["content"]["text"]["aggregatable"] is False
+    assert caps["content"]["text"]["searchable"] is True
