@@ -415,6 +415,45 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ascii_index_for(spark: SparkSession, sf_dir: str):
+    """ascii_fold fixture: documents with 'a'/'e' deterministically
+    ACCENTED ('a'->U+00E1, 'e'->U+00E9) before indexing under
+    analyzer='ascii_fold'. The fold inverts the accenting, so scores
+    equal the plain corpus — the oracle is the ordinary BM25 SQL,
+    proving the fold end to end (both executors; accented QUERY text
+    folds too)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "ascii:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"ascii_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.translate("text", "ae", "áé").alias("text"),
+            "lang",
+        )
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="ascii_fold"
+        ).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _sorted_index_for(spark: SparkSession, sf_dir: str):
     """index.sort fixture: documents with doc ids reassigned to the
     global (n_chars, orig_id) rank (BuildConfig index_sort); the
@@ -3474,6 +3513,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_codes"] = sim_sq_codes_q
 
+    # ---- ascii_fold analyzer: accented corpus + accented query ------
+    def ft_ascii_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _ascii_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("spärk", k=10)  # 'spärk' folds to 'spark'
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_ascii_ix"] = ft_ascii_ix_q
+    q["wand_ascii_ix"] = lambda s, d: ft_ascii_ix_q(s, d, wand=True)
+
     # ---- index sorting: early-terminated sort serving ---------------
     def ft_sorted_serve_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -3556,6 +3608,16 @@ def oracle_sql() -> dict[str, str]:
 
     o["ft_term"] = topk_term("spark")
     o["ft_term_rare"] = topk_term("dup")
+
+    # ascii_fold analyzer: the fixture ACCENTS the corpus (a->á,
+    # e->é) before indexing under analyzer='ascii_fold', and the
+    # query text 'spärk' is itself accented. The fold inverts both,
+    # so the oracle is the ordinary plain-corpus BM25 — if the fold
+    # failed anywhere (index- or query-side), the standard token rule
+    # would DROP the non-ASCII chars ('spárk' -> 'sp', 'rk'), df/dl
+    # would shift, and the hash would miss.
+    o["ft_ascii_ix"] = topk_term("spark")
+    o["wand_ascii_ix"] = o["ft_ascii_ix"]
 
     # code analyzer: BM25 over the code-tokenized camelCased corpus
     # (dl doubles, df/tf of subtokens survive the transform — all

@@ -281,6 +281,76 @@ def english_tokenize_expr(col: str):
     return F.array_remove(F.split(s, SPLIT_PATTERN), "")
 
 
+# ------------------------------------------------------------------
+# ASCII folding ("ascii_fold"): Lucene ASCIIFoldingFilter's common
+# Latin-1/Latin-A subset as a fixed per-target-letter regex table
+# ------------------------------------------------------------------
+# The standard analyzer's token rule [a-z0-9_] DROPS non-ASCII, so an
+# unfolded "café" tokenizes as "caf" — folding first keeps the word
+# whole and makes "cafe" match "café". One regexp_replace per TARGET
+# letter (class of accented sources -> plain letter) keeps all four
+# implementations identical and vectorized; applied on the LOWERED
+# text so the table only needs lowercase sources. ß -> ss is the one
+# multi-char fold.
+
+ASCII_FOLD_RULES = (
+    ("[àáâãäåāăą]", "a"),
+    ("[çćĉč]", "c"),
+    ("[ďđ]", "d"),
+    ("[èéêëēĕėęě]", "e"),
+    ("[ĝğģ]", "g"),
+    ("[ìíîïĩīĭį]", "i"),
+    ("[ĺļľł]", "l"),
+    ("[ñńņň]", "n"),
+    ("[òóôõöøōŏő]", "o"),
+    ("[ŕŗř]", "r"),
+    ("[śŝşš]", "s"),
+    ("[ţťŧ]", "t"),
+    ("[ùúûüũūŭůűų]", "u"),
+    ("[ýÿ]", "y"),
+    ("[źżž]", "z"),
+    ("ß", "ss"),
+    # ligatures (multi-char folds, like ß)
+    ("œ", "oe"),
+    ("æ", "ae"),
+)
+_ASCII_FOLD_RES = [(re.compile(p), r) for p, r in ASCII_FOLD_RULES]
+
+
+def _fold_text(lowered: str) -> str:
+    for rx, rep in _ASCII_FOLD_RES:
+        lowered = rx.sub(rep, lowered)
+    return lowered
+
+
+def ascii_fold_tokenize(text: str) -> List[str]:
+    """Pure-Python ASCII-folding analyzer: lowercase, fold accents,
+    runs of [a-z0-9_]."""
+    return _TOKEN_RE.findall(_fold_text(text.lower()))
+
+
+def ascii_fold_tokenize_expr(col: str):
+    from pyspark.sql import functions as F
+
+    s = F.lower(F.col(col))
+    for p, r in ASCII_FOLD_RULES:
+        s = F.regexp_replace(s, p, r)
+    return F.array_remove(F.split(s, SPLIT_PATTERN), "")
+
+
+def _sql_fold(expr: str) -> str:
+    for p, r in ASCII_FOLD_RULES:
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+ASCII_FOLD_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array("
+    + _sql_fold("lower({col})")
+    + ", '[^a-z0-9_]+'), t -> t <> ''))"
+)
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
@@ -290,6 +360,7 @@ ANALYZERS = {
     "stop": stop_tokenize,
     "s_stem": s_stem_tokenize,
     "english": english_tokenize,
+    "ascii_fold": ascii_fold_tokenize,
 }
 
 
@@ -302,6 +373,28 @@ def get_analyzer(name: str):
         )
 
 
+# Lucene Analyzer.normalize(): the normalization-safe part of the
+# chain applied to MULTI-TERM query text (prefix/wildcard/range/
+# fuzzy), which never goes through the tokenizer. Lowercase for
+# every analyzer; ascii_fold additionally folds, so "straß*"
+# expands over the indexed "strass…" terms. Stemming/stop removal
+# are NOT applied (matching Lucene: those filters don't implement
+# normalize).
+def _ascii_normalize(text: str) -> str:
+    return _fold_text(text.lower())
+
+
+NORMALIZERS = {"ascii_fold": _ascii_normalize}
+
+
+def get_normalizer(name: str):
+    if name not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}"
+        )
+    return NORMALIZERS.get(name, str.lower)
+
+
 def get_tokenize_expr(name: str):
     """Spark-expression twin of the named analyzer (Column in, array
     Column out) — for ops that re-analyze source text in-plan with
@@ -312,6 +405,7 @@ def get_tokenize_expr(name: str):
         "stop": stop_tokenize_expr,
         "s_stem": s_stem_tokenize_expr,
         "english": english_tokenize_expr,
+        "ascii_fold": ascii_fold_tokenize_expr,
     }
     try:
         return exprs[name]
@@ -340,6 +434,11 @@ def pandas_token_lists(series, analyzer: str = "standard"):
         for rx, rep in _S_STEM_RES:
             s = s.str.replace(rx, rep, regex=True)
         return s.str.findall(_TOKEN_RE)
+    if analyzer == "ascii_fold":
+        s = series.str.lower()
+        for rx, rep in _ASCII_FOLD_RES:
+            s = s.str.replace(rx, rep, regex=True)
+        return s.str.findall(_TOKEN_RE)
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -360,6 +459,11 @@ def pandas_token_counts(series, analyzer: str = "standard"):
         if analyzer == "english":
             s = s.str.replace(_STOP_RE, " ", regex=True)
         for rx, rep in _S_STEM_RES:
+            s = s.str.replace(rx, rep, regex=True)
+        return s.str.count(_TOKEN_RE)
+    if analyzer == "ascii_fold":
+        s = series.str.lower()
+        for rx, rep in _ASCII_FOLD_RES:
             s = s.str.replace(rx, rep, regex=True)
         return s.str.count(_TOKEN_RE)
     raise ValueError(f"unknown analyzer {analyzer!r}")

@@ -38,7 +38,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from lucille_spark import ast
-from lucille_spark.analysis import get_analyzer
+from lucille_spark.analysis import get_analyzer, get_normalizer
 from lucille_spark.scoring import idf as _idf
 
 # --------------------------------------------------------------- nodes
@@ -207,8 +207,10 @@ class TermDictionary:
         raise NotImplementedError
 
 
-def wildcard_to_regex(ops: Sequence[object]) -> str:
-    """WildCard ops -> anchored-free regex source (full match)."""
+def wildcard_to_regex(ops: Sequence[object], norm=str.lower) -> str:
+    """WildCard ops -> anchored-free regex source (full match).
+    ``norm`` is the analyzer's normalize() applied to literal runs
+    (lowercase by default; ascii_fold also folds accents)."""
     parts = []
     for op in ops:
         if isinstance(op, ast.SingleChar):
@@ -216,17 +218,17 @@ def wildcard_to_regex(ops: Sequence[object]) -> str:
         elif isinstance(op, ast.ManyChar):
             parts.append(".*")
         else:  # ast.Str
-            parts.append(re.escape(op.value.lower()))
+            parts.append(re.escape(norm(op.value)))
     return "".join(parts)
 
 
-def wildcard_literal_prefix(ops: Sequence[object]) -> str:
+def wildcard_literal_prefix(ops: Sequence[object], norm=str.lower) -> str:
     """Leading literal characters before the first wildcard op.
     ``st*am`` -> 'st'. Every matching term starts with this prefix, so
     executors can push a parquet-prunable StartsWith bound instead of
     (or in addition to) the regex residual."""
     if ops and isinstance(ops[0], ast.Str):
-        return ops[0].value.lower()
+        return norm(ops[0].value)
     return ""
 
 
@@ -344,6 +346,13 @@ class Planner:
         # (stats.json records the name; readers pass it through here)
         self.analyzer = analyzer
         self.tokenize = get_analyzer(analyzer)
+        # Lucene Analyzer.normalize() for multi-term query text
+        # (prefix/wildcard/range/fuzzy bypass the tokenizer): plain
+        # lowercase except where the analyzer folds (ascii_fold).
+        # Regex patterns stay lowercase-only (Lucene RegexpQuery
+        # doesn't normalize; folding inside classes would corrupt
+        # patterns).
+        self.normalize = get_normalizer(analyzer)
 
     # -- public ----------------------------------------------------
     def with_similarity(
@@ -480,16 +489,20 @@ class Planner:
         if isinstance(q, ast.Proximity):
             return self._plan_phrase(self.tokenize(q.value), int(q.num))
         if isinstance(q, ast.Prefix):
-            p = q.value.lower()
+            p = self.normalize(q.value)
             return self._expand(
                 self.dict.expand_prefix(p), "prefix", ("prefix", p)
             )
         if isinstance(q, ast.WildCard):
-            rx = wildcard_to_regex(q.ops)
+            rx = wildcard_to_regex(q.ops, self.normalize)
             return self._expand(
                 self.dict.expand_regex(rx),
                 "wildcard",
-                ("wildcard", wildcard_literal_prefix(q.ops), rx),
+                (
+                    "wildcard",
+                    wildcard_literal_prefix(q.ops, self.normalize),
+                    rx,
+                ),
             )
         if isinstance(q, ast.TermRegex):
             rx = q.value.lower()
@@ -501,8 +514,8 @@ class Planner:
         if isinstance(q, ast.TermRange):
             if q.lower is None and q.upper is None:
                 return PMatchAll()
-            lo = q.lower.lower() if q.lower is not None else None
-            hi = q.upper.lower() if q.upper is not None else None
+            lo = self.normalize(q.lower) if q.lower is not None else None
+            hi = self.normalize(q.upper) if q.upper is not None else None
             return self._expand(
                 self.dict.expand_range(lo, hi, q.lower_inc, q.upper_inc),
                 "range",
@@ -510,7 +523,7 @@ class Planner:
             )
         if isinstance(q, ast.Fuzzy):
             max_e = 2 if q.num is None else int(q.num)
-            t = q.value.lower()
+            t = self.normalize(q.value)
             if max_e == 0:
                 return self._plan_term_text(t)
             # transpositions=True matches Lucene FuzzyQuery's default
@@ -604,13 +617,13 @@ class Planner:
         if isinstance(q, ast.Proximity):
             return phrase(self.tokenize(q.value), int(q.num))
         if isinstance(q, ast.Prefix):
-            p = pre + q.value.lower()
+            p = pre + self.normalize(q.value)
             return self._expand(
                 self.dict.expand_prefix(p), "prefix", ("prefix", p)
             )
         if isinstance(q, ast.WildCard):
-            rx = re.escape(pre) + wildcard_to_regex(q.ops)
-            lit = pre + wildcard_literal_prefix(q.ops)
+            rx = re.escape(pre) + wildcard_to_regex(q.ops, self.normalize)
+            lit = pre + wildcard_literal_prefix(q.ops, self.normalize)
             return self._expand(
                 self.dict.expand_regex(rx), "wildcard",
                 ("wildcard", lit, rx),
@@ -625,10 +638,12 @@ class Planner:
         if isinstance(q, ast.TermRange):
             # unbounded sides clamp to the field's term namespace
             # ('￿' sorts after every analyzer char)
-            lo = pre + (q.lower.lower() if q.lower is not None else "")
+            lo = pre + (
+                self.normalize(q.lower) if q.lower is not None else ""
+            )
             lo_inc = q.lower_inc if q.lower is not None else True
             hi = (
-                pre + q.upper.lower()
+                pre + self.normalize(q.upper)
                 if q.upper is not None
                 else pre + "￿"
             )

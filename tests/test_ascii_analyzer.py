@@ -1,0 +1,204 @@
+"""ASCII-folding analyzer ("ascii_fold"): lowercase, fold the common
+Latin-1/Latin-A accented letters to their ASCII base (Lucene
+ASCIIFoldingFilter's everyday subset; lucille_spark/analysis.py
+ASCII_FOLD_RULES), then the standard [a-z0-9_] token rule.
+
+Without folding the standard rule silently DROPS non-ASCII, so
+"café" tokenizes as "caf" and never matches "cafe". Covers: the fold
+rule table (incl. the one multi-char fold ß->ss); 4-way
+implementation agreement (pure Python / vectorized pandas / Spark
+built-in expressions / DuckDB SQL); and end-to-end engine behavior:
+an index built with analyzer="ascii_fold" records it in stats.json,
+both executors are rank-identical to the brute-force oracle under
+the same analyzer, and accented query text matches unaccented docs
+(and vice versa)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucille_spark.analysis import (
+    ASCII_FOLD_TOKENIZE_SQL_DUCKDB,
+    ascii_fold_tokenize,
+    ascii_fold_tokenize_expr,
+    get_analyzer,
+    pandas_token_counts,
+    pandas_token_lists,
+    tokenize,
+)
+
+CASES = {
+    "Café": ["cafe"],
+    "café crème brûlée": ["cafe", "creme", "brulee"],
+    "naïve sœurs æon": ["naive", "soeurs", "aeon"],  # ligature folds
+    "über älter Öl": ["uber", "alter", "ol"],
+    "señor niño": ["senor", "nino"],
+    "Strauß heißt": ["strauss", "heisst"],  # ß -> ss multi-char fold
+    "Łódź żółw": ["lodz", "zolw"],
+    "plain ascii_tokens 42": ["plain", "ascii_tokens", "42"],
+    "ÀÁÂÃÄÅ": ["aaaaaa"],  # uppercase lowered before the fold table
+    "": [],
+}
+
+
+def test_fold_rule_table():
+    for text, expect in CASES.items():
+        assert ascii_fold_tokenize(text) == expect, text
+
+
+def test_standard_drops_what_fold_keeps():
+    # the motivating difference: standard loses the accented letters
+    assert tokenize("café") == ["caf"]
+    assert ascii_fold_tokenize("café") == ["cafe"]
+
+
+def test_registry():
+    assert get_analyzer("ascii_fold") is ascii_fold_tokenize
+
+
+def test_pandas_impls_agree():
+    s = pd.Series(list(CASES))
+    assert pandas_token_lists(s, "ascii_fold").tolist() == list(
+        CASES.values()
+    )
+    assert pandas_token_counts(s, "ascii_fold").tolist() == [
+        len(v) for v in CASES.values()
+    ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    q = "SELECT " + ASCII_FOLD_TOKENIZE_SQL_DUCKDB.format(col="?") + " AS t"
+    for text, expect in CASES.items():
+        got = [r[0] for r in con.execute(q, [text]).fetchall()]
+        assert got == expect, text
+
+
+def test_spark_expr_agrees(spark):
+    texts = [t for t in CASES if t]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(ascii_fold_tokenize_expr("text").alias("toks")).collect()
+    got = [list(r["toks"]) for r in rows]
+    assert got == [CASES[t] for t in texts]
+
+
+# ---------------------------------------------------------------- e2e
+
+ASCII_DOCS = [
+    "the café serves crème and espresso every day",
+    "a cafe with no accents at all serves espresso",
+    "señor Müller drinks his Kaffee über alles",
+    "naïve résumé screening for the hiring pipeline",
+    "resume parsing and naive scoring without diacritics",
+    "Łódź is a city; żółw means turtle",
+    "plain spark batch window tokens here",
+    "straße heißt street; Strauß is a name",
+]
+
+
+@pytest.fixture(scope="module")
+def ascii_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(ASCII_DOCS * 4):  # 32 docs
+        rows.append(
+            (
+                f"org/repo{i % 4}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("asciiix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="ascii_fold"
+    ).build(docs, out)
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list, analyzer="ascii_fold")
+    return ix, oracle, stats
+
+
+def test_stats_record_analyzer(ascii_index):
+    ix, oracle, stats = ascii_index
+    assert stats["analyzer"] == "ascii_fold"
+    assert ix.planner.tokenize is ascii_fold_tokenize
+
+
+def test_dictionary_is_pure_ascii(ascii_index):
+    ix, oracle, stats = ascii_index
+    terms = [r["term"] for r in ix.terms_df.select("term").collect()]
+    assert terms, "dictionary should not be empty"
+    for t in terms:
+        assert t == t.encode("ascii", "ignore").decode(), t
+    assert "cafe" in terms and "resume" in terms and "strauss" in terms
+
+
+ASCII_QUERIES = [
+    "café",            # accented query matches both accent and plain docs
+    "cafe",            # plain query matches accented docs
+    "naïve AND résumé",
+    "resume OR espresso",
+    '"crème and espresso"',
+    "heißt",           # ß->ss both sides
+    "straß*",          # folded prefix expansion (strass-)
+    "marker3",
+]
+
+
+@pytest.mark.parametrize("q", ASCII_QUERIES)
+def test_ascii_rank_identity_both_executors(ascii_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = ascii_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_accented_and_plain_docs_score_together(ascii_index):
+    """'café' and 'cafe' docs fall in ONE postings list: the accented
+    doc (0 mod 8) and the plain doc (1 mod 8) both match either query
+    spelling."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = ascii_index
+    for q in ("café", "cafe"):
+        hits = {
+            int(r["doc_id"])
+            for r in DataFrameExecutor(ix).search(q, k=None).collect()
+        }
+        langs = {
+            d["doc_id"]: d["content"] for d in oracle.docs
+        }
+        matched_texts = {langs[h] for h in hits}
+        assert any("café" in t for t in matched_texts)
+        assert any("a cafe with no accents" in t for t in matched_texts)
