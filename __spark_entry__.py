@@ -895,7 +895,10 @@ _GATE_PRIORITY = [
     "ft_range",
     "ft_fuzzy",
     "ft_minmatch",
-    "ft_boost",
+    # (ft_boost freed its slot for the SynonymQuery family — boost
+    # is a scalar multiply exercised by the mirror + pytest; blended
+    # synonym stats are a new scoring semantic)
+    "ft_synquery",
     "ft_complex", "wand_complex",
     # one representative per pipeline/feature family (20)
     "dd_exact",
@@ -3526,6 +3529,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_ascii_ix"] = ft_ascii_ix_q
     q["wand_ascii_ix"] = lambda s, d: ft_ascii_ix_q(s, d, wand=True)
 
+    # ---- SynonymQuery: blended-stats synonym matching ---------------
+    def ft_synonym_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search(
+            "spark", k=10, synonyms={"spark": ["batch"]}
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_synquery"] = ft_synonym_q
+    q["wand_synquery"] = lambda s, d: ft_synonym_q(s, d, wand=True)
+
     # ---- index sorting: early-terminated sort serving ---------------
     def ft_sorted_serve_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -3618,6 +3636,25 @@ def oracle_sql() -> dict[str, str]:
     # would shift, and the hash would miss.
     o["ft_ascii_ix"] = topk_term("spark")
     o["wand_ascii_ix"] = o["ft_ascii_ix"]
+
+    # Lucene SynonymQuery ('spark' with synonym 'batch'): per-doc tf
+    # = SUM of member tfs, ONE idf from the blended df = MAX member
+    # df — distinct from query-expansion, where each member scores
+    # with its own idf and a doc with both gets both idf terms.
+    o["ft_synquery"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+tfs AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY doc_id),
+dfm AS (SELECT max(df) AS df FROM
+        (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+sc AS (SELECT tfs.doc_id,
+       ln(1.0 + (st.n - dfm.df + 0.5) / (dfm.df + 0.5)) * tfs.tf /
+       (tfs.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tfs CROSS JOIN dfm JOIN dl USING (doc_id) CROSS JOIN st)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+    o["wand_synquery"] = o["ft_synquery"]
 
     # code analyzer: BM25 over the code-tokenized camelCased corpus
     # (dl doubles, df/tf of subtokens survive the transform — all

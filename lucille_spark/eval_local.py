@@ -88,6 +88,8 @@ def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         return ids, np.ones(ids.size, dtype=np.float64)
     if isinstance(node, P.PPhrase):
         return _eval_phrase(node, sd)
+    if isinstance(node, P.PSynonym):
+        return _eval_synonym(node, sd)
     if isinstance(node, P.PMetaFilter):
         return _eval_meta(node, sd)
     if isinstance(node, P.PNot):
@@ -175,6 +177,34 @@ def _eval_dismax(
             sm[mask] += c_sc[pos]
             np.maximum.at(mx, np.nonzero(mask)[0], c_sc[pos])
     return ids, mx + node.tie * (sm - mx)
+
+
+def _eval_synonym(
+    node: P.PSynonym, sd: ShardData
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lucene SynonymQuery: union of member postings, per-doc tf =
+    sum of member tfs, scored once with the blended idf."""
+    ps = [sd.postings.get(t) for t in node.terms]
+    ps = [p for p in ps if p is not None and p.ids.size]
+    if not ps:
+        return _EMPTY
+    if len(ps) == 1:
+        ids, tfs, dls = ps[0].ids, ps[0].tfs, ps[0].dls
+    else:
+        ids = np.unique(np.concatenate([p.ids for p in ps]))
+        tfs = np.zeros(ids.size, dtype=np.int64)
+        dls = np.zeros(ids.size, dtype=np.int64)
+        for p in ps:
+            mask = _member(ids, p.ids)
+            pos = np.searchsorted(p.ids, ids[mask])
+            tfs[mask] += p.tfs[pos]
+            dls[mask] = p.dls[pos]
+    sc = term_score_np(
+        node.sim, tfs, dls, node.idf,
+        sd.avgdl if node.avgdl is None else node.avgdl,
+        node.tw,
+    )
+    return ids, sc
 
 
 def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:

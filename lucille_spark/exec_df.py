@@ -74,10 +74,13 @@ class DataFrameExecutor:
         query,
         k: Optional[int] = 10,
         with_meta: bool = False,
+        synonyms=None,
     ) -> DataFrame:
         """-> DataFrame(doc_id, score) in (score desc, doc_id asc)
-        order, limited to k (None = all matches)."""
-        node = self.ix.plan(query)
+        order, limited to k (None = all matches). `synonyms` maps a
+        query term to alternatives blended with Lucene SynonymQuery
+        stats (plans.Planner.with_synonyms)."""
+        node = self.ix.plan(query, synonyms=synonyms)
         df = self.evaluate(node)
         # tombstoned docs (index.maintenance.delete_docs) are excluded
         # from results; scores/stats stay as built until purge. The
@@ -168,6 +171,8 @@ class DataFrameExecutor:
             )
         if isinstance(node, P.PPhrase):
             return self._phrase(node)
+        if isinstance(node, P.PSynonym):
+            return self._synonym(node)
         if isinstance(node, P.PMetaFilter):
             return self._meta(node)
         if isinstance(node, P.PNot):
@@ -340,6 +345,24 @@ class DataFrameExecutor:
     # Positional arrays stay as Spark arrays; the adjacency /
     # ordered-window checks are higher-order functions (whole-stage
     # codegen'd) — no Python at all.
+    # SynonymQuery: ONE postings scan over the member terms, tf
+    # summed per doc in a single aggregation, scored once with the
+    # blended idf (partial agg map-side — same shuffle shape as a
+    # 2-term boolean but emits one pseudo-term score).
+    def _synonym(self, node: P.PSynonym) -> DataFrame:
+        terms = sorted(set(node.terms))
+        flat = self._flat(terms).filter(F.col("term").isin(terms))
+        g = flat.groupBy("doc_id").agg(
+            F.sum("tf").alias("tf_s"), F.max("doc_len").alias("doc_len")
+        )
+        return g.select(
+            "doc_id",
+            _score_col(
+                node.sim, F.col("tf_s"), F.col("doc_len"), node.idf,
+                node.avgdl or self.avgdl, node.tw,
+            ).alias("score"),
+        )
+
     def _phrase(self, node: P.PPhrase) -> DataFrame:
         m = len(node.terms)
         distinct = sorted(set(node.terms))

@@ -103,7 +103,8 @@ class WandExecutor:
         self.prune = prune
 
     def search(
-        self, query, k: int = 10, with_meta: bool = False
+        self, query, k: int = 10, with_meta: bool = False,
+        synonyms=None,
     ) -> DataFrame:
         if k is None:
             # the WAND kernel is inherently top-k; UNBOUNDED match
@@ -115,10 +116,10 @@ class WandExecutor:
             from lucille_spark.exec_df import DataFrameExecutor
 
             return DataFrameExecutor(self.ix).search(
-                query, k=None, with_meta=with_meta
+                query, k=None, with_meta=with_meta, synonyms=synonyms
             )
         ix = self.ix
-        node = ix.plan(query)
+        node = ix.plan(query, synonyms=synonyms)
         terms = P.collect_terms(node)
 
         seg_src = getattr(ix, "segments_for", None)
@@ -381,6 +382,8 @@ def _term_filter_parts(node: P.PNode):
         if isinstance(n, P.PTerm):
             exact.add(n.term)
         elif isinstance(n, P.PPhrase):
+            exact.update(n.terms)
+        elif isinstance(n, P.PSynonym):
             exact.update(n.terms)
         elif isinstance(n, P.PExpand):
             preds.append(expand_condition(n))

@@ -626,7 +626,12 @@ class SparkIndex:
             self.segments, "segments", self.segments_path, exact, intervals
         )
 
-    def plan(self, query, similarity: "str | None" = None) -> P.PNode:
+    def plan(
+        self,
+        query,
+        similarity: "str | None" = None,
+        synonyms=None,
+    ) -> P.PNode:
         if isinstance(query, P.PNode):
             return query  # pre-built physical tree (e.g. PDisMax)
         if isinstance(query, str):
@@ -635,6 +640,8 @@ class SparkIndex:
         planner = self.planner
         if similarity is not None and similarity != planner.similarity:
             planner = planner.with_similarity(similarity)
+        if synonyms:
+            planner = planner.with_synonyms(synonyms)
         return planner.plan(query)
 
     def term_ids(self, terms: Sequence[str]) -> Dict[str, int]:

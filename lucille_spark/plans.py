@@ -104,6 +104,23 @@ class PPhrase(PNode):
 
 
 @dataclass(frozen=True)
+class PSynonym(PNode):
+    """Lucene SynonymQuery (SynonymQuery.java): the member terms are
+    scored as ONE pseudo-term — per-doc tf = SUM of member tfs,
+    docFreq = MAX member df (so idf is blended, not summed), one
+    score per doc. This is what an ES `match` query emits for
+    single-token synonyms from a synonym_graph filter; it avoids the
+    score inflation of query-expansion (where each synonym scores
+    with its own idf and a doc containing both gets both)."""
+
+    terms: Tuple[str, ...]
+    idf: float  # from the blended (max) df
+    avgdl: Optional[float] = None  # per-field norm; see PTerm.avgdl
+    tw: float = 0.0
+    sim: str = "bm25"
+
+
+@dataclass(frozen=True)
 class PMetaFilter(PNode):
     """Exact / pattern match on a metadata column; constant score.
     'num_eq'/'num_range' compare NUMERICALLY (planner emits them for
@@ -346,6 +363,13 @@ class Planner:
         # (stats.json records the name; readers pass it through here)
         self.analyzer = analyzer
         self.tokenize = get_analyzer(analyzer)
+        # query-time synonyms (set via with_synonyms): analyzed
+        # single token -> tuple of alternative surface strings.
+        # Single-token alternatives blend into ONE PSynonym (Lucene
+        # SynonymQuery stats); multi-token alternatives become
+        # OR-ed exact phrases (what Lucene's graph query builder
+        # does for multi-word synonyms).
+        self.synonyms: Dict[str, Tuple[str, ...]] = {}
         # Lucene Analyzer.normalize() for multi-term query text
         # (prefix/wildcard/range/fuzzy bypass the tokenizer): plain
         # lowercase except where the analyzer folds (ascii_fold).
@@ -371,6 +395,29 @@ class Planner:
         p.similarity = similarity
         if field_similarity is not None:
             p.field_similarity = dict(field_similarity)
+        return p
+
+    def with_synonyms(self, synonyms) -> "Planner":
+        """Cheap per-request planner variant with query-time synonym
+        rules: {surface term: [alternatives...]}. Keys are analyzed;
+        a key must analyze to exactly ONE token (multi-word synonym
+        KEYS need graph tokenization — not supported; multi-word
+        alternative VALUES are, as OR-ed phrases)."""
+        import copy
+
+        p = copy.copy(self)
+        norm: Dict[str, Tuple[str, ...]] = {}
+        for key, alts in (synonyms or {}).items():
+            ktoks = self.tokenize(key)
+            if len(ktoks) != 1:
+                raise ValueError(
+                    f"synonym key {key!r} must analyze to one token "
+                    f"(got {ktoks})"
+                )
+            if isinstance(alts, str):
+                alts = [alts]
+            norm[ktoks[0]] = tuple(alts)
+        p.synonyms = norm
         return p
 
     def plan(self, q: ast.Query) -> PNode:
@@ -451,12 +498,55 @@ class Planner:
         if not toks:
             return PMatchNone()
         if len(toks) == 1:
+            if self.synonyms and toks[0] in self.synonyms:
+                return self._plan_synonym(toks[0], self.synonyms[toks[0]])
             df = self.dict.lookup_df(toks).get(toks[0], 0)
             if df == 0:
                 return PMatchNone()
             cf = self._cfs(toks).get(toks[0], 1)
             return self._mk_term(toks[0], df, cf)
         return self._plan_phrase(toks, 0)
+
+    def _plan_synonym(self, tok: str, alts) -> PNode:
+        """Lucene SynonymQuery semantics for a term with synonym
+        alternatives: single-token members blend into one PSynonym
+        (df = max member df — SynonymQuery.docFreq; cf summed for
+        lmd's collection model), multi-token alternatives become
+        OR-ed exact phrases. A member missing from the dictionary
+        simply doesn't contribute (Lucene: empty TermStates)."""
+        members = [tok]
+        phrase_alts: List[List[str]] = []
+        for a in alts:
+            atoks = self.tokenize(a)
+            if not atoks:
+                continue
+            if len(atoks) == 1:
+                members.append(atoks[0])
+            else:
+                phrase_alts.append(atoks)
+        members = sorted(set(members))
+        dfs = self.dict.lookup_df(members)
+        live = [t for t in members if dfs.get(t, 0) > 0]
+        nodes: List[PNode] = []
+        if live:
+            df_blend = max(dfs[t] for t in live)
+            cfs = self._cfs(live)
+            cf_sum = sum(cfs.get(t, 1) for t in live)
+            w, tw = self._weight(df_blend, cf_sum)
+            nodes.append(
+                PSynonym(tuple(live), w, None, tw, self.similarity)
+            )
+        for ptoks in phrase_alts:
+            pn = self._plan_phrase(ptoks, 0)
+            if not isinstance(pn, PMatchNone):
+                nodes.append(pn)
+        if not nodes:
+            return PMatchNone()
+        if len(nodes) == 1:
+            return nodes[0]
+        return PBool(
+            must=(), should=tuple(nodes), must_not=(), min_should=1
+        )
 
     def _plan_phrase(self, toks: List[str], slop: int) -> PNode:
         dfs = self.dict.lookup_df(toks)
@@ -878,6 +968,8 @@ def collect_terms(node: PNode) -> List[str]:
         elif isinstance(n, PExpand):
             out.extend(n.terms)
         elif isinstance(n, PPhrase):
+            out.extend(n.terms)
+        elif isinstance(n, PSynonym):
             out.extend(n.terms)
         elif isinstance(n, PBool):
             for c in n.must + n.should + n.must_not:

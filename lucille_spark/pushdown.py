@@ -64,6 +64,8 @@ def file_prune_bounds(node: P.PNode):
             exact.add(n.term)
         elif isinstance(n, P.PPhrase):
             exact.update(n.terms)
+        elif isinstance(n, P.PSynonym):
+            exact.update(n.terms)
         elif isinstance(n, P.PExpand):
             e, iv = expand_bounds(n)
             exact.update(e)

@@ -98,8 +98,13 @@ class Searcher:
         self.max_batch = 64
 
     # -- core ------------------------------------------------------
-    def search(self, query, k: int = 10, with_meta: bool = False):
-        return self.executor.search(query, k=k, with_meta=with_meta)
+    def search(
+        self, query, k: int = 10, with_meta: bool = False,
+        synonyms=None,
+    ):
+        return self.executor.search(
+            query, k=k, with_meta=with_meta, synonyms=synonyms
+        )
 
     def search_many(self, queries, k: int = 10, **kw) -> DataFrame:
         return self.executor.search_many(queries, k=k, **kw)

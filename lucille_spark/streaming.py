@@ -291,12 +291,14 @@ class MultiIndex:
         )
         self._parse, self._ast = parse, ast
 
-    def plan(self, query, similarity=None):
+    def plan(self, query, similarity=None, synonyms=None):
         if isinstance(query, str):
             query = self._parse(query)
         planner = self.planner
         if similarity is not None and similarity != planner.similarity:
             planner = planner.with_similarity(similarity)
+        if synonyms:
+            planner = planner.with_synonyms(synonyms)
         return planner.plan(query)
 
     @property

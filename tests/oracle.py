@@ -218,17 +218,23 @@ class OracleIndex:
             field_similarity=field_similarity,
         )
 
-    def plan(self, q: Union[str, ast.Query, P.PNode]) -> P.PNode:
+    def plan(
+        self, q: Union[str, ast.Query, P.PNode], synonyms=None
+    ) -> P.PNode:
         if isinstance(q, P.PNode):
             return q  # pre-built physical tree (dis_max etc.)
         if isinstance(q, str):
             q = parse(q)
-        return self.planner.plan(q)
+        planner = self.planner
+        if synonyms:
+            planner = planner.with_synonyms(synonyms)
+        return planner.plan(q)
 
     def search(
-        self, q: Union[str, ast.Query], k: Optional[int] = 10
+        self, q: Union[str, ast.Query], k: Optional[int] = 10,
+        synonyms=None,
     ) -> List[Tuple[int, float]]:
-        ids, scores = evaluate(self.plan(q), self.sd)
+        ids, scores = evaluate(self.plan(q, synonyms=synonyms), self.sd)
         if k is not None:
             ids, scores = top_k(ids, scores, k)
         else:

@@ -1,0 +1,236 @@
+"""Query-time synonyms, two semantics:
+
+1. `plans.PSynonym` — Lucene SynonymQuery (SynonymQuery.java): member
+   terms score as ONE pseudo-term. Per-doc tf = SUM of member tfs,
+   docFreq = MAX member df, one blended idf. This is what an ES
+   `match` query emits for single-token synonyms from a
+   synonym_graph filter. Multi-token alternatives become OR-ed exact
+   phrases (Lucene's graph query builder behavior).
+2. `search_features.expand_synonyms` — query-EXPANSION (each synonym
+   scores with its own idf; pre-existing helper). The two must
+   differ exactly where documented.
+
+Covers plan shape, blended-stats math (hand-computed), rank identity
+across both executors vs the shared numpy oracle, multi-word
+alternatives, missing-member handling, and the Searcher facade
+pass-through."""
+
+import math
+
+import pytest
+
+from lucille_spark import plans as P
+from lucille_spark.scoring import B, K1
+
+
+SYN_DOCS = [
+    "spark engine running a query",            # only 'spark'
+    "batch layer compacting a segment",        # only 'batch'
+    "spark batch spark pipeline",              # both, tf 2+1
+    "window function over a partition",        # neither
+    "the map reduce job finished",             # multi-word alt target
+    "batch batch batch throughput test",       # tf 3 of 'batch'
+    "spark and the map reduce history",        # 'spark' + phrase alt
+    "unrelated filler text document",
+]
+
+
+@pytest.fixture(scope="module")
+def syn_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(SYN_DOCS * 3):  # 24 docs
+        rows.append(
+            (
+                f"org/repo{i % 3}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("synix") / "ix")
+    IndexBuilder(num_shards=2, block_size=16).build(docs, out)
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list)
+    return ix, oracle
+
+
+# ------------------------------------------------------------- plan
+
+def test_plan_shape_single_token(syn_index):
+    ix, oracle = syn_index
+    node = ix.plan("spark", synonyms={"spark": ["batch"]})
+    assert isinstance(node, P.PSynonym)
+    assert node.terms == ("batch", "spark")
+
+
+def test_blended_stats(syn_index):
+    """idf comes from MAX member df; a plain PTerm of the rarer
+    member would have a HIGHER idf."""
+    ix, oracle = syn_index
+    syn = ix.plan("spark", synonyms={"spark": ["batch"]})
+    t_spark = ix.plan("spark")
+    t_batch = ix.plan("batch")
+    assert isinstance(t_spark, P.PTerm) and isinstance(t_batch, P.PTerm)
+    # blended idf = idf of the more frequent member (max df -> min idf)
+    assert syn.idf == pytest.approx(min(t_spark.idf, t_batch.idf))
+
+
+def test_missing_member_ignored(syn_index):
+    ix, oracle = syn_index
+    node = ix.plan("spark", synonyms={"spark": ["zzznotaterm"]})
+    assert isinstance(node, P.PSynonym)
+    assert node.terms == ("spark",)
+
+
+def test_all_members_missing_is_matchnone(syn_index):
+    ix, oracle = syn_index
+    node = ix.plan("qqqmissing", synonyms={"qqqmissing": ["zzzalso"]})
+    assert isinstance(node, P.PMatchNone)
+
+
+def test_multiword_alternative_becomes_phrase(syn_index):
+    ix, oracle = syn_index
+    node = ix.plan("spark", synonyms={"spark": ["map reduce"]})
+    assert isinstance(node, P.PBool)
+    kinds = {type(c).__name__ for c in node.should}
+    assert kinds == {"PSynonym", "PPhrase"}
+    assert node.min_should == 1 and not node.must
+
+
+def test_multiword_key_rejected(syn_index):
+    ix, oracle = syn_index
+    with pytest.raises(ValueError, match="one token"):
+        ix.plan("spark", synonyms={"map reduce": ["mr"]})
+
+
+# ---------------------------------------------------------- scoring
+
+def test_hand_computed_blended_score(syn_index):
+    """Doc 'spark batch spark pipeline' (tf_spark=2, tf_batch=1):
+    score = idf(max df) * 3 / (3 + K1*(1-B+B*dl/avgdl)) — ONE
+    saturation over the summed tf, not two."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle = syn_index
+    rows = (
+        DataFrameExecutor(ix)
+        .search("spark", k=None, synonyms={"spark": ["batch"]})
+        .collect()
+    )
+    got = {int(r["doc_id"]): float(r["score"]) for r in rows}
+    # stats from the oracle's postings
+    sd = oracle.sd
+    df_spark = sd.postings["spark"].ids.size
+    df_batch = sd.postings["batch"].ids.size
+    n = oracle.n_docs
+    idf = math.log(1.0 + (n - max(df_spark, df_batch) + 0.5)
+                   / (max(df_spark, df_batch) + 0.5))
+    # find the 'spark batch spark pipeline' docs
+    for d in oracle.docs:
+        if "spark batch spark" in d["content"]:
+            dl = len(d["content"].split())
+            tf = 3
+            expect = idf * tf / (
+                tf + K1 * (1 - B + B * dl / sd.avgdl)
+            )
+            assert got[d["doc_id"]] == pytest.approx(expect, rel=1e-9)
+
+
+def test_differs_from_query_expansion(syn_index):
+    """Query-expansion (expand_synonyms) gives a both-terms doc the
+    SUM of two independently-idf'd scores; SynonymQuery blends. They
+    must disagree on 'spark batch spark pipeline' docs."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import expand_synonyms
+    from lucille_spark import parse
+
+    ix, oracle = syn_index
+    ex = DataFrameExecutor(ix)
+    blended = {
+        int(r["doc_id"]): float(r["score"])
+        for r in ex.search(
+            "spark", k=None, synonyms={"spark": ["batch"]}
+        ).collect()
+    }
+    expanded_q = expand_synonyms(parse("spark"), {"spark": ["batch"]})
+    expanded = {
+        int(r["doc_id"]): float(r["score"])
+        for r in ex.search(expanded_q, k=None).collect()
+    }
+    assert set(blended) == set(expanded)  # same MATCH set
+    both = [
+        d["doc_id"] for d in oracle.docs
+        if "spark batch spark" in d["content"]
+    ]
+    for d in both:
+        assert blended[d] != pytest.approx(expanded[d])
+
+
+# ---------------------------------------------- rank identity e2e
+
+SYN_QUERIES = [
+    ("spark", {"spark": ["batch"]}),
+    ("spark AND marker2", {"spark": ["batch"]}),
+    ("spark OR window", {"spark": ["batch"]}),
+    ("spark^2", {"spark": ["batch"]}),
+    ("spark", {"spark": ["batch", "window"]}),   # 3-way blend
+    ("spark", {"spark": ["map reduce"]}),        # phrase alternative
+    ("spark", {"spark": ["batch", "map reduce"]}),
+    ("window", {"spark": ["batch"]}),            # rule doesn't fire
+]
+
+
+@pytest.mark.parametrize("q,syn", SYN_QUERIES)
+def test_rank_identity_both_executors(syn_index, q, syn):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle = syn_index
+    expected = [
+        (int(d), round(float(s), 9))
+        for d, s in oracle.search(q, k=10, synonyms=syn)
+    ]
+    assert expected, f"query {q!r} should match"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10, synonyms=syn).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_searcher_facade(syn_index):
+    from lucille_spark.searcher import Searcher
+
+    ix, oracle = syn_index
+    s = Searcher.__new__(Searcher)  # bind to the open index
+    s.ix = ix
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    s.executor = DataFrameExecutor(ix)
+    rows = s.search("spark", k=5, synonyms={"spark": ["batch"]}).collect()
+    expected = oracle.search("spark", k=5, synonyms={"spark": ["batch"]})
+    assert [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows] \
+        == [(d, round(s_, 9)) for d, s_ in expected]
