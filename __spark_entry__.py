@@ -2470,6 +2470,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_distfeature"] = distfeat_q
 
+    def decay_q(s, d, fn="gauss"):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import decay_score
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = decay_score(
+            ex, "spark", "doc_len",
+            origin=40, scale=30, offset=5, decay=0.5, fn=fn, k=15,
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_decay_gauss"] = decay_q
+    q["ft_decay_linear"] = lambda s, d: decay_q(s, d, fn="linear")
+
     def sqs_q(s, d):
         from lucille_spark.esdsl import search_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -5908,6 +5922,33 @@ WITH tok AS ({_TOK}), dl AS ({_DL})
 SELECT doc_id, round(1.5 * 10.0 / (10.0 + abs(dl - 40.0)), 6) AS score
 FROM dl ORDER BY 1.5 * 10.0 / (10.0 + abs(dl - 40.0)) DESC, doc_id
 LIMIT 15"""
+
+    # ---- function_score decay (gauss/linear) over doc_len:
+    # bm25('spark') * decay_fn(max(0, |dl - 40| - 5)); gauss 2sigma^2
+    # and the linear span are embedded as the SAME python-computed
+    # double literals the engine uses, so the arithmetic matches
+    # bit-for-bit
+    import math as _math
+
+    _two_sigma2 = repr(2.0 * (-(30.0 ** 2) / (2.0 * _math.log(0.5))))
+    _lin_span = repr(30.0 / (1.0 - 0.5))
+    _decay_dist = "greatest(0.0, abs(dl.dl - 40.0) - 5.0)"
+    o["ft_decay_gauss"] = (
+        _cte(["spark"])
+        + f""", dc AS (SELECT sc.doc_id,
+  sc.s * exp(-({_decay_dist} * {_decay_dist}) / {_two_sigma2}) AS s
+  FROM sc JOIN dl USING (doc_id))
+SELECT doc_id, round(s, 6) AS score FROM dc
+ORDER BY s DESC, doc_id LIMIT 15"""
+    )
+    o["ft_decay_linear"] = (
+        _cte(["spark"])
+        + f""", dc AS (SELECT sc.doc_id,
+  sc.s * greatest(0.0, ({_lin_span} - {_decay_dist}) / {_lin_span}) AS s
+  FROM sc JOIN dl USING (doc_id))
+SELECT doc_id, round(s, 6) AS score FROM dc
+ORDER BY s DESC, doc_id LIMIT 15"""
+    )
 
     # ---- simple_query_string 'spark | batch -slow' default AND
     # == Or(spark, And(batch, Not(slow))): OR sums its matching

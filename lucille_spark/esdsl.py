@@ -683,15 +683,42 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
         return executor.search(node, k=k)
 
     if kind == "function_score":
-        # field_value_factor form (the popularity/recency rescale);
+        # field_value_factor + the three decay functions; multi-entry
         # `functions` lists and painless scripts are out of scope
-        from lucille_spark.search_features import function_score
+        from lucille_spark.search_features import (
+            decay_score,
+            function_score,
+        )
 
         body = dsl[kind]
+        # ES also allows a single function inside `functions: [...]`
+        if "functions" in body and len(body["functions"]) == 1:
+            f0 = body["functions"][0]
+            body = dict(body)
+            body.pop("functions")
+            body.update(f0)
+        for dfn in ("gauss", "exp", "linear"):
+            if dfn in body:
+                spec = body[dfn]
+                (fld, params), = spec.items()
+                return decay_score(
+                    executor,
+                    to_ast(body.get("query", {"match_all": {}})),
+                    field=fld,
+                    origin=float(params["origin"]),
+                    scale=float(params["scale"]),
+                    offset=float(params.get("offset", 0.0)),
+                    decay=float(params.get("decay", 0.5)),
+                    fn=dfn,
+                    mode=body.get("boost_mode", "multiply"),
+                    weight=float(body.get("weight", 1.0)),
+                    k=k if k is not None else 10,
+                )
         fvf = body.get("field_value_factor")
         if fvf is None:
             raise UnsupportedDSL(
-                "function_score: only field_value_factor is supported"
+                "function_score: only field_value_factor and "
+                "gauss/exp/linear decay are supported"
             )
         if float(fvf.get("factor", 1.0)) != 1.0:
             raise UnsupportedDSL(

@@ -1985,6 +1985,73 @@ def distance_feature(
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def decay_score(
+    executor,
+    query,
+    field: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    fn: str = "gauss",
+    mode: str = "multiply",
+    weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `function_score` decay functions (gauss / exp / linear)
+    over a numeric per-document field: the relevance score of
+    `query` is combined (boost_mode `mode`: multiply | sum) with
+    weight * decay_fn(value), where with
+    d = max(0, |value - origin| - offset):
+
+      gauss   exp(-d^2 / (2 sigma^2)),  sigma^2 = -scale^2 / (2 ln decay)
+      exp     exp(lambda * d),          lambda  = ln(decay) / scale
+      linear  max(0, (s - d) / s),      s       = scale / (1 - decay)
+
+    (the ES decay-function spec: the function evaluates to `decay`
+    exactly at distance `scale` past the offset). The field joins
+    from doclens AFTER matching — only the match set shuffles, and
+    the decay arithmetic is all codegen. -> (doc_id, score) top-k
+    in (score desc, doc_id asc) order, tombstone-aware (the match
+    side already excludes deletes)."""
+    import math as _m
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    ix = executor.ix
+    v = F.col(field).cast("double")
+    dist = F.greatest(
+        F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if fn == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * _m.log(decay))
+        dfac = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = _m.log(decay) / float(scale)
+        dfac = F.exp(F.lit(lam) * dist)
+    elif fn == "linear":
+        s = float(scale) / (1.0 - decay)
+        dfac = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    else:
+        raise ValueError(f"decay_score: unknown function {fn!r}")
+    matches = executor.search(query, k=None)
+    meta = ix.doclens.filter(v.isNotNull()).select(
+        "doc_id", dfac.alias("_decay")
+    )
+    joined = matches.join(meta, "doc_id")
+    factor = F.lit(float(weight)) * F.col("_decay")
+    combined = (
+        F.col("score") * factor
+        if mode == "multiply"
+        else F.col("score") + factor
+    )
+    return (
+        joined.select("doc_id", combined.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def pinned(executor, ids, organic, k: int = 10) -> DataFrame:
     """ES `pinned` query: the given document ids rank first, in the
     given order, ahead of the organic query's BM25 ranking (with the

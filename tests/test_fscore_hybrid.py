@@ -195,3 +195,98 @@ def test_span_first(unit_index):
     assert got == pytest.approx(expected) and len(got) > 0
     # qualifying set is a strict subset of the full match set
     assert set(got) < set(int(i) for i in p.ids)
+
+
+# ---------------------------------------------------- decay functions
+
+def _decay_ref(fn, v, origin, scale, offset, decay):
+    d = max(0.0, abs(v - origin) - offset)
+    if fn == "gauss":
+        sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+        return math.exp(-(d * d) / (2.0 * sigma2))
+    if fn == "exp":
+        return math.exp(math.log(decay) / scale * d)
+    s = scale / (1.0 - decay)
+    return max(0.0, (s - d) / s)
+
+
+@pytest.mark.parametrize("fn", ["gauss", "exp", "linear"])
+def test_decay_score_matches_reference(unit_index, fn):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import decay_score
+
+    ix, oracle, _ = unit_index
+    dl_by_doc = dict(
+        zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist())
+    )
+    expected = sorted(
+        (
+            (d, s * _decay_ref(fn, dl_by_doc[d], 40, 20, 3, 0.5))
+            for d, s in oracle.search("cats dogs", k=None)
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    rows = decay_score(
+        DataFrameExecutor(ix), "cats dogs", "doc_len",
+        origin=40, scale=20, offset=3, decay=0.5, fn=fn, k=10,
+    ).collect()
+    got = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+@pytest.mark.parametrize("fn", ["gauss", "exp", "linear"])
+def test_decay_equals_decay_at_scale(fn):
+    """The ES spec point: the function evaluates to exactly `decay`
+    at distance scale past the offset."""
+    assert _decay_ref(fn, 40 + 3 + 20, 40, 20, 3, 0.5) == pytest.approx(0.5)
+    # and to 1.0 anywhere inside the offset
+    assert _decay_ref(fn, 41, 40, 3, 3, 0.5) == 1.0
+
+
+def test_decay_dsl_dispatch(unit_index):
+    """function_score with a gauss decay through the ES-DSL front
+    door == the direct helper (both spellings: top-level and inside
+    a single-entry functions list)."""
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import decay_score
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    direct = decay_score(
+        ex, "cats", "doc_len", origin=40, scale=20, decay=0.5,
+        fn="gauss", k=10,
+    ).collect()
+    body = {
+        "query": {"match": {"content": "cats"}},
+        "gauss": {"doc_len": {"origin": 40, "scale": 20}},
+    }
+    via_dsl = search_es(ex, {"function_score": body}, k=10).collect()
+    assert direct == via_dsl
+    body2 = {
+        "query": {"match": {"content": "cats"}},
+        "functions": [
+            {"gauss": {"doc_len": {"origin": 40, "scale": 20}}}
+        ],
+    }
+    via_dsl2 = search_es(ex, {"function_score": body2}, k=10).collect()
+    assert direct == via_dsl2
+
+
+def test_decay_rejects_bad_params(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import decay_score
+
+    ix, oracle, _ = unit_index
+    with pytest.raises(ValueError, match="decay"):
+        decay_score(
+            DataFrameExecutor(ix), "cats", "doc_len",
+            origin=0, scale=10, decay=1.5,
+        )
+    with pytest.raises(ValueError, match="unknown function"):
+        decay_score(
+            DataFrameExecutor(ix), "cats", "doc_len",
+            origin=0, scale=10, fn="cosine",
+        )
