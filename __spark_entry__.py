@@ -1262,6 +1262,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_bm25f"] = bm25f_q
 
+    # combined_fields DSL == BM25F (same params as ft_bm25f, so the
+    # two gates share one oracle)
+    def combined_fields_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_field_index_for(s, d))
+        out = search_es(
+            ex,
+            {"combined_fields": {
+                "query": "spark batch",
+                "fields": ["content", "title^2"],
+            }},
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_combined_fields"] = combined_fields_q
+
+    # match_bool_prefix: Term(batch) OR Prefix(wind)
+    def boolprefix_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"match_bool_prefix": {"content": "batch wind"}},
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_boolprefix"] = boolprefix_q
+
     # ---- the term DICTIONARY itself: df/cf of the 20 most-frequent
     # terms hash-matched against SQL token stats — direct validation
     # of the salted two-phase dictionary aggregation.
@@ -2887,6 +2921,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_extstats"] = agg_extstats_q
 
+    def agg_boxplot_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"b": {"boxplot": {"field": "doc_len"}}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["b"]
+
+    q["ft_agg_boxplot"] = agg_boxplot_q
+
+    def agg_strstats_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"s": {"string_stats": {"field": "lang"}}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["s"]
+
+    q["ft_agg_strstats"] = agg_strstats_q
+
+    def agg_topmetrics_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"t": {"top_metrics": {
+                "metrics": {"field": "lang"},
+                "sort": {"doc_len": "desc"},
+                "size": 3,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["t"]
+
+    q["ft_agg_topmetrics"] = agg_topmetrics_q
+
     def agg_metric_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -3798,6 +3878,22 @@ sc AS (SELECT g.doc_id,
 agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
+    o["ft_combined_fields"] = o["ft_bm25f"]
+
+    # match_bool_prefix 'batch wind': bm25(batch) summed with the
+    # constant-1.0 prefix clause; match = either side
+    o["ft_boolprefix"] = (
+        _cte(["batch"])
+        + """
+, bt AS (SELECT doc_id, s FROM sc),
+pf AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%'),
+u AS (SELECT coalesce(bt.doc_id, pf.doc_id) AS doc_id,
+  coalesce(bt.s, 0.0)
+  + (CASE WHEN pf.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS s
+  FROM bt FULL JOIN pf ON bt.doc_id = pf.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
 
     # dictionary: df = docs containing the term, cf = total tf
     o["ix_dictionary"] = f"""
@@ -6393,6 +6489,47 @@ SELECT count(*) AS n, min(x) AS min, max(x) AS max,
   round(var_pop(x), 4) AS variance,
   round(stddev_pop(x), 4) AS std_deviation
 FROM v"""
+
+    # boxplot: exact interpolated quartiles (Spark percentile ==
+    # DuckDB quantile_cont)
+    o["ft_agg_boxplot"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT cast(dl.dl AS double) AS x
+      FROM m JOIN dl USING (doc_id))
+SELECT min(x) AS min, max(x) AS max,
+  round(quantile_cont(x, 0.25), 4) AS q1,
+  round(quantile_cont(x, 0.5), 4) AS q2,
+  round(quantile_cont(x, 0.75), 4) AS q3
+FROM v"""
+
+    # string_stats over lang: lengths + Shannon entropy (log2) of
+    # the pooled character distribution, via the same
+    # log2(N) - sum(n log2 n)/N identity the engine computes
+    o["ft_agg_strstats"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT d.lang AS s FROM m JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL),
+lens AS (SELECT count(*) AS count,
+         min(length(s)) AS min_length, max(length(s)) AS max_length,
+         round(avg(length(s)), 4) AS avg_length FROM v),
+ch AS (SELECT unnest(regexp_extract_all(s, '.')) AS c FROM v),
+cn AS (SELECT c, count(*) AS n FROM ch GROUP BY c),
+ent AS (SELECT round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
+        AS entropy FROM cn)
+SELECT lens.count, lens.min_length, lens.max_length,
+       lens.avg_length, ent.entropy
+FROM lens CROSS JOIN ent"""
+
+    # top_metrics: lang of the 3 longest matched docs (sort
+    # doc_len desc, doc_id asc tiebreak)
+    o["ft_agg_topmetrics"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT cast(dl.dl AS double) AS sort_value, d.lang AS lang
+FROM m JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+ORDER BY dl.dl DESC, doc_id ASC LIMIT 3"""
 
     # avg + global + missing in one row
     o["ft_agg_metric"] = f"""

@@ -611,6 +611,53 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             k=k if k is not None else 10,
         )
 
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: every term but the last matches as an
+        # ordinary SHOULD term, the last as a prefix — the
+        # type-ahead shape that doesn't require adjacency (vs
+        # match_phrase_prefix). Word boundaries come from a
+        # whitespace pre-split; each word still goes through the
+        # index analyzer at plan time (the prefix through
+        # Analyzer.normalize).
+        body = dsl[kind]
+        field, text, spec = _field_value(body, "query")
+        words = str(text).split()
+        if not words:
+            return executor.ix.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        clauses = [A.Term(w) for w in words[:-1]]
+        clauses.append(A.Prefix(words[-1]))
+        node = (
+            clauses[0] if len(clauses) == 1 else A.Or.of(*clauses)
+        )
+        return executor.search(_wrap_field(field, node), k=k)
+
+    if kind == "combined_fields":
+        # ES combined_fields: term-centric multi-field scoring where
+        # per-field tfs COMBINE before saturation — exactly this
+        # engine's BM25F (search_features.bm25f_topk). Field boosts
+        # via the "field^2.5" suffix become the BM25F field weights.
+        body = dsl[kind]
+        if body.get("operator", "or").lower() != "or":
+            raise UnsupportedDSL(
+                "combined_fields: operator=and not supported "
+                "(BM25F scores the term union)"
+            )
+        from lucille_spark.search_features import bm25f_topk
+
+        weights = {}
+        for f_ in body["fields"]:
+            if "^" in f_:
+                fname, _, w = f_.partition("^")
+                weights[fname] = float(w)
+            else:
+                weights[f_] = 1.0
+        return bm25f_topk(
+            executor.ix, body["query"], weights,
+            k=k if k is not None else 10,
+        )
+
     if kind == "match_phrase_prefix":
         from lucille_spark.search_features import match_phrase_prefix
 
@@ -1899,6 +1946,101 @@ def aggs_es(
                     "std_deviation"
                 ),
             )
+            continue
+
+        if kind == "boxplot":
+            # ES boxplot: min / max / q1 / q2 / q3 over the match
+            # set (exact interpolated quartiles — ES uses TDigest,
+            # exact is the deterministic analogue at any SF; the
+            # same convention as this engine's `percentiles`)
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(body["field"]).cast("double").alias("_v"),
+            )
+            j = matches.select("doc_id").join(meta, "doc_id")
+            out[name] = j.agg(
+                F.min("_v").alias("min"),
+                F.max("_v").alias("max"),
+                F.round(F.expr("percentile(_v, 0.25)"), 4).alias("q1"),
+                F.round(F.expr("percentile(_v, 0.5)"), 4).alias("q2"),
+                F.round(F.expr("percentile(_v, 0.75)"), 4).alias("q3"),
+            )
+            continue
+
+        if kind == "string_stats":
+            # ES string_stats over a keyword/meta STRING field:
+            # count, min/max/avg length, and Shannon entropy (log2)
+            # of the CHARACTER distribution pooled across all
+            # matched values. Lengths are one agg; entropy explodes
+            # to (char, count) — rows bounded by alphabet size after
+            # the partial agg, so the shuffle is tiny at any scale.
+            meta = executor.ix.doclens.select(
+                "doc_id", F.col(body["field"]).alias("_v")
+            )
+            j = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .filter(F.col("_v").isNotNull())
+            )
+            lens = j.agg(
+                F.count("*").alias("count"),
+                F.min(F.length("_v")).alias("min_length"),
+                F.max(F.length("_v")).alias("max_length"),
+                F.round(F.avg(F.length("_v")), 4).alias("avg_length"),
+            )
+            chars = (
+                j.select(
+                    F.explode(
+                        F.split(F.col("_v"), "(?!^)")
+                    ).alias("_c")
+                )
+                # Spark split keeps the trailing zero-width match as
+                # an empty string — not a character
+                .filter(F.col("_c") != "")
+                .groupBy("_c")
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            # -sum(p log2 p) == log2(N) - sum(n log2 n)/N : one agg,
+            # no single-partition window
+            ent = chars.agg(
+                F.round(
+                    F.log2(F.sum("_n"))
+                    - F.sum(F.col("_n") * F.log2("_n")) / F.sum("_n"),
+                    4,
+                ).alias("entropy")
+            )
+            out[name] = lens.crossJoin(ent)
+            continue
+
+        if kind == "top_metrics":
+            # ES top_metrics: the metric field value(s) of the top
+            # `size` docs by a sort field — TakeOrderedAndProject
+            # over the match-set/doclens join, never a global sort
+            mfields = body["metrics"]
+            if isinstance(mfields, dict):
+                mfields = [mfields]
+            sspec = body["sort"]
+            (sfield, sdir), = (
+                sspec.items() if isinstance(sspec, dict)
+                else ((sspec, "asc"),)
+            )
+            if isinstance(sdir, dict):
+                sdir = sdir.get("order", "asc")
+            size = int(body.get("size", 1))
+            cols = [m["field"] for m in mfields]
+            meta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(sfield).cast("double").alias("_sort"),
+                *[F.col(c).alias(c) for c in cols],
+            )
+            j = matches.select("doc_id").join(meta, "doc_id")
+            ordered = j.orderBy(
+                F.desc("_sort") if sdir == "desc" else F.asc("_sort"),
+                F.asc("doc_id"),
+            )
+            out[name] = ordered.select(
+                F.col("_sort").alias("sort_value"), *cols
+            ).limit(size)
             continue
 
         if kind == "missing":

@@ -986,3 +986,138 @@ def test_selector_prunes_nested_children(spark, unit_index):
     with pytest.raises(UnsupportedDSL):
         aggs_es(ex, {"p": {"percentile_ranks": {
             "field": "doc_len", "values": []}}}, query=q)
+
+
+# ------------------------------------------- round-3 wave 22 kinds
+
+def test_match_bool_prefix_parity(unit_index):
+    """match_bool_prefix == OR of plain terms + trailing prefix."""
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    got = search_es(
+        ex, {"match_bool_prefix": {"content": "cats do"}}, k=10
+    ).collect()
+    want = ex.search("cats OR do*", k=10).collect()
+    assert got == want
+
+
+def test_match_bool_prefix_single_word_is_prefix(unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    got = search_es(
+        ex, {"match_bool_prefix": {"content": "do"}}, k=10
+    ).collect()
+    want = ex.search("do*", k=10).collect()
+    assert got == want
+
+
+def test_combined_fields_dispatches_to_bm25f(spark, tmp_path_factory):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import bm25f_topk
+
+    rows = [
+        ("r", f"p{i}", f"{i:040x}", "en",
+         f"spark batch text body {i % 4}", f"title spark {i % 3}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, title string"
+    )
+    out = str(tmp_path_factory.mktemp("cfix") / "ix")
+    IndexBuilder(num_shards=2, block_size=16).build(
+        docs, out, indexed_cols=["title"]
+    )
+    ix = SparkIndex(spark, out)
+    direct = bm25f_topk(
+        ix, "spark batch", {"content": 1.0, "title": 2.0}, k=10
+    ).collect()
+    via_dsl = search_es(
+        DataFrameExecutor(ix),
+        {"combined_fields": {
+            "query": "spark batch",
+            "fields": ["content", "title^2"],
+        }},
+        k=10,
+    ).collect()
+    assert direct == via_dsl
+
+
+def test_combined_fields_rejects_and(unit_index):
+    import pytest as _pt
+
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    with _pt.raises(UnsupportedDSL, match="operator"):
+        search_es(
+            DataFrameExecutor(ix),
+            {"combined_fields": {
+                "query": "cats", "fields": ["content"],
+                "operator": "and",
+            }},
+            k=5,
+        )
+
+
+def test_new_agg_kinds_shapes(unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    out = aggs_es(
+        ex,
+        {
+            "b": {"boxplot": {"field": "doc_len"}},
+            "s": {"string_stats": {"field": "lang"}},
+            "t": {"top_metrics": {
+                "metrics": {"field": "lang"},
+                "sort": {"doc_len": "desc"}, "size": 2,
+            }},
+        },
+        query={"match": {"content": "cats"}},
+    )
+    b = out["b"].collect()[0]
+    assert b["min"] <= b["q1"] <= b["q2"] <= b["q3"] <= b["max"]
+    srow = out["s"].collect()[0]
+    assert srow["count"] > 0 and srow["entropy"] > 0
+    assert srow["min_length"] <= srow["avg_length"] <= srow["max_length"]
+    t = out["t"].collect()
+    assert len(t) == 2
+    assert t[0]["sort_value"] >= t[1]["sort_value"]
+
+
+def test_string_stats_entropy_reference(unit_index):
+    """Entropy equals the brute-force Shannon computation over the
+    pooled characters of the matched docs' lang values."""
+    import math
+    from collections import Counter
+
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    matched = set(oracle.match_ids("cats"))
+    chars = Counter()
+    for d in oracle.docs:
+        if d["doc_id"] in matched and d.get("lang"):
+            chars.update(d["lang"])
+    n = sum(chars.values())
+    expect = -sum(c / n * math.log2(c / n) for c in chars.values())
+    got = aggs_es(
+        DataFrameExecutor(ix),
+        {"s": {"string_stats": {"field": "lang"}}},
+        query={"match": {"content": "cats"}},
+    )["s"].collect()[0]["entropy"]
+    assert got == round(expect, 4) or abs(got - expect) < 1e-3
