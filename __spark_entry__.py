@@ -2518,6 +2518,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_decay_gauss"] = decay_q
     q["ft_decay_linear"] = lambda s, d: decay_q(s, d, fn="linear")
 
+    def scriptscore_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"script_score": {
+                "query": {"match": {"content": "spark"}},
+                "script": {
+                    "source": "_score * Math.log(params.base + "
+                              "doc['doc_len'].value)",
+                    "params": {"base": 2},
+                },
+            }},
+            k=15,
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_scriptscore"] = scriptscore_q
+
     def sqs_q(s, d):
         from lucille_spark.esdsl import search_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -6043,6 +6064,16 @@ ORDER BY s DESC, doc_id LIMIT 15"""
   sc.s * greatest(0.0, ({_lin_span} - {_decay_dist}) / {_lin_span}) AS s
   FROM sc JOIN dl USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dc
+ORDER BY s DESC, doc_id LIMIT 15"""
+    )
+
+    # ---- script_score: bm25('spark') * ln(2.0 + dl) ----------------
+    o["ft_scriptscore"] = (
+        _cte(["spark"])
+        + """
+, sc2 AS (SELECT sc.doc_id, sc.s * ln(2.0 + dl.dl) AS s
+          FROM sc JOIN dl USING (doc_id))
+SELECT doc_id, round(s, 6) AS score FROM sc2
 ORDER BY s DESC, doc_id LIMIT 15"""
     )
 

@@ -729,6 +729,27 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
             )
         return executor.search(node, k=k)
 
+    if kind == "script_score":
+        # ES script_score: the painless arithmetic subset translated
+        # to a Catalyst expression (search_features.script_score)
+        from lucille_spark.search_features import script_score
+
+        body = dsl[kind]
+        script = body.get("script", {})
+        if isinstance(script, str):
+            script = {"source": script}
+        try:
+            return script_score(
+                executor,
+                to_ast(body.get("query", {"match_all": {}})),
+                source=script["source"],
+                params=script.get("params"),
+                min_score=body.get("min_score"),
+                k=k if k is not None else 10,
+            )
+        except ValueError as exc:
+            raise UnsupportedDSL(str(exc))
+
     if kind == "function_score":
         # field_value_factor + the three decay functions; multi-entry
         # `functions` lists and painless scripts are out of scope

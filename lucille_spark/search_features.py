@@ -2052,6 +2052,84 @@ def decay_score(
     )
 
 
+_SCRIPT_MATH = {
+    "Math.log10(": "log10(",
+    "Math.log(": "ln(",
+    "Math.sqrt(": "sqrt(",
+    "Math.abs(": "abs(",
+    "Math.max(": "greatest(",
+    "Math.min(": "least(",
+    "Math.pow(": "power(",
+    "Math.exp(": "exp(",
+}
+
+
+def script_score(
+    executor,
+    query,
+    source: str,
+    params: dict = None,
+    k: int = 10,
+    min_score: float = None,
+) -> DataFrame:
+    """ES `script_score` query, restricted to the painless subset
+    real scoring scripts use: `_score`, `doc['field'].value` over
+    stored numeric fields, `params.<name>`, numeric literals,
+    arithmetic / comparison operators, parens, and the Math.*
+    functions (log, log10, sqrt, abs, max, min, pow, exp). The
+    script is TRANSLATED to a Catalyst expression — anything outside
+    the subset raises ValueError, never an arbitrary passthrough.
+
+    The query's matches keep their BM25 score as `_score`; doc
+    fields join from doclens AFTER matching (only the match set
+    shuffles); the script arithmetic is whole-stage codegen.
+    `min_score` drops docs below it (the ES knob). -> (doc_id,
+    score) top-k in (score desc, doc_id asc) order."""
+    import re as _re2
+
+    ix = executor.ix
+    fields = sorted(set(
+        _re2.findall(r"doc\['([A-Za-z0-9_]+)'\]\.value", source)
+    ))
+    expr = source
+    for f_ in fields:
+        expr = expr.replace(f"doc['{f_}'].value", f"`{f_}`")
+    for pname in sorted(params or {}, key=len, reverse=True):
+        expr = expr.replace(
+            f"params.{pname}", repr(float(params[pname]))
+        )
+    for painless, sqlfn in _SCRIPT_MATH.items():
+        expr = expr.replace(painless, sqlfn)
+    expr = _re2.sub(r"\b_score\b", "`_score`", expr)
+    residue = _re2.sub(
+        r"`[A-Za-z0-9_]+`"
+        r"|\b(ln|log10|sqrt|abs|greatest|least|power|exp)\b"
+        r"|\d+(\.\d+)?",
+        "",
+        expr,
+    )
+    if not _re2.fullmatch(r"[\s(),+\-*/%<>=!]*", residue):
+        raise ValueError(
+            f"script_score: unsupported script {source!r} "
+            f"(residue {residue!r})"
+        )
+    matches = executor.search(query, k=None).withColumnRenamed(
+        "score", "_score"
+    )
+    if fields:
+        meta = ix.doclens.select(
+            "doc_id",
+            *[F.col(f_).cast("double").alias(f_) for f_ in fields],
+        )
+        matches = matches.join(meta, "doc_id")
+    out = matches.select(
+        "doc_id", F.expr(expr).cast("double").alias("score")
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= float(min_score))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def pinned(executor, ids, organic, k: int = 10) -> DataFrame:
     """ES `pinned` query: the given document ids rank first, in the
     given order, ahead of the organic query's BM25 ranking (with the

@@ -1121,3 +1121,85 @@ def test_string_stats_entropy_reference(unit_index):
         query={"match": {"content": "cats"}},
     )["s"].collect()[0]["entropy"]
     assert got == round(expect, 4) or abs(got - expect) < 1e-3
+
+
+# ----------------------------------------------------- script_score
+
+def test_script_score_reference(unit_index):
+    """script == brute-force python over the oracle's scores/dls."""
+    import math
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import script_score
+
+    ix, oracle, _ = unit_index
+    dl = dict(zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist()))
+    expected = sorted(
+        (
+            (d, s * math.log(2.0 + dl[d]) + math.sqrt(dl[d]))
+            for d, s in oracle.search("cats dogs", k=None)
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    rows = script_score(
+        DataFrameExecutor(ix), "cats dogs",
+        "_score * Math.log(params.base + doc['doc_len'].value)"
+        " + Math.sqrt(doc['doc_len'].value)",
+        params={"base": 2},
+        k=10,
+    ).collect()
+    got = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_script_score_min_score(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import script_score
+
+    ix, oracle, _ = unit_index
+    full = script_score(
+        DataFrameExecutor(ix), "cats", "_score * 2", k=None or 50
+    ).collect()
+    cut = script_score(
+        DataFrameExecutor(ix), "cats", "_score * 2", k=50,
+        min_score=float(full[0]["score"]) - 1e-9,
+    ).collect()
+    assert len(cut) >= 1 and len(cut) < len(full)
+    assert all(r["score"] >= full[0]["score"] - 1e-9 for r in cut)
+
+
+def test_script_score_rejects_arbitrary_code(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import script_score
+
+    ix, oracle, _ = unit_index
+    for bad in (
+        "java.lang.Runtime.getRuntime()",
+        "_score; DROP TABLE x",
+        "doc['doc_len'].value + reflect('a','b')",
+    ):
+        with pytest.raises(ValueError, match="unsupported script"):
+            script_score(DataFrameExecutor(ix), "cats", bad)
+
+
+def test_script_score_dsl_parity(unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import script_score
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    direct = script_score(
+        ex, "cats", "_score * Math.sqrt(doc['doc_len'].value)", k=10
+    ).collect()
+    via = search_es(
+        ex,
+        {"script_score": {
+            "query": {"match": {"content": "cats"}},
+            "script": "_score * Math.sqrt(doc['doc_len'].value)",
+        }},
+        k=10,
+    ).collect()
+    assert direct == via
