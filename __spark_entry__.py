@@ -454,6 +454,77 @@ def _ascii_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _ws_index_for(spark: SparkSession, sf_dir: str):
+    """whitespace-analyzer fixture: documents text UPPERCASED before
+    indexing under analyzer='whitespace'. Upper is a bijection per
+    token, so df/tf/dl equal the plain corpus and the oracle is the
+    ordinary BM25 SQL — but the gate only matches if BOTH the build
+    kernel and query analysis preserve case (query 'SPARK'; a stray
+    lowercase anywhere empties the result)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "ws:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"ws_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.upper("text").alias("text"), "lang"
+        )
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="whitespace"
+        ).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _kw_index_for(spark: SparkSession, sf_dir: str):
+    """keyword-analyzer fixture: the lang column indexed as whole
+    verbatim tokens (the exact-match field type) — every doc_len is
+    1, the dictionary is the 5 lang codes."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "kw:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"kw_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("lang").alias("text"), "lang"
+        )
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="keyword"
+        ).build(
+            docs,
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _sorted_index_for(spark: SparkSession, sf_dir: str):
     """index.sort fixture: documents with doc ids reassigned to the
     global (n_chars, orig_id) rank (BuildConfig index_sort); the
@@ -3659,6 +3730,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_synquery"] = ft_synonym_q
     q["wand_synquery"] = lambda s, d: ft_synonym_q(s, d, wand=True)
 
+    # ---- whitespace analyzer: case-sensitive verbatim tokens -------
+    def ft_ws_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _ws_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("SPARK", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_ws_ix"] = ft_ws_ix_q
+    q["wand_ws_ix"] = lambda s, d: ft_ws_ix_q(s, d, wand=True)
+
+    # ---- keyword analyzer: whole-value exact-match tokens ----------
+    def ft_kw_ix_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _kw_index_for(s, d)
+        out = DataFrameExecutor(ix).search("en", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_kw_ix"] = ft_kw_ix_q
+
     # ---- index sorting: early-terminated sort serving ---------------
     def ft_sorted_serve_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -3751,6 +3845,24 @@ def oracle_sql() -> dict[str, str]:
     # would shift, and the hash would miss.
     o["ft_ascii_ix"] = topk_term("spark")
     o["wand_ascii_ix"] = o["ft_ascii_ix"]
+
+    # whitespace fixture: UPPER(text) indexed case-sensitively; the
+    # sf text is space-separated lowercase, so upper is a per-token
+    # bijection and the stats equal the plain corpus
+    o["ft_ws_ix"] = topk_term("spark")
+    o["wand_ws_ix"] = o["ft_ws_ix"]
+
+    # keyword fixture over lang: tf=1, dl=1, avgdl=1 -> constant
+    # score idf/(1+k1) per matching doc, ordered by doc_id
+    o["ft_kw_ix"] = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+d AS (SELECT count(*) AS df FROM m)
+SELECT doc_id,
+  round(ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5)) / (1.0 + {K1}), 4)
+  AS score
+FROM m CROSS JOIN n CROSS JOIN d
+ORDER BY score DESC, doc_id LIMIT 10"""
 
     # Lucene SynonymQuery ('spark' with synonym 'batch'): per-doc tf
     # = SUM of member tfs, ONE idf from the blended df = MAX member

@@ -351,6 +351,51 @@ ASCII_FOLD_TOKENIZE_SQL_DUCKDB = (
 )
 
 
+# ------------------------------------------------------------------
+# "whitespace" (Lucene WhitespaceAnalyzer): split on runs of
+# whitespace, NO lowercasing — tokens are case-sensitive and keep
+# punctuation ("Foo.bar()" is one token). "keyword" (Lucene
+# KeywordAnalyzer): the whole value is ONE verbatim token (empty /
+# NULL -> no token) — the exact-match field type (ids, lang codes,
+# enum-ish metadata) indexed through the same postings machinery.
+# ------------------------------------------------------------------
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def whitespace_tokenize(text: str) -> List[str]:
+    return _WS_TOKEN_RE.findall(text)
+
+
+def whitespace_tokenize_expr(col: str):
+    from pyspark.sql import functions as F
+
+    return F.array_remove(F.split(F.col(col), r"\s+"), "")
+
+
+WHITESPACE_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter(regexp_split_to_array({col}, '\\s+'), "
+    "t -> t <> ''))"
+)
+
+
+def keyword_tokenize(text: str) -> List[str]:
+    return [text] if text else []
+
+
+def keyword_tokenize_expr(col: str):
+    from pyspark.sql import functions as F
+
+    return F.array_remove(
+        F.array(F.coalesce(F.col(col), F.lit(""))), ""
+    )
+
+
+KEYWORD_TOKENIZE_SQL_DUCKDB = (
+    "unnest(list_filter([{col}], t -> t IS NOT NULL AND t <> ''))"
+)
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
@@ -361,6 +406,8 @@ ANALYZERS = {
     "s_stem": s_stem_tokenize,
     "english": english_tokenize,
     "ascii_fold": ascii_fold_tokenize,
+    "whitespace": whitespace_tokenize,
+    "keyword": keyword_tokenize,
 }
 
 
@@ -377,14 +424,24 @@ def get_analyzer(name: str):
 # chain applied to MULTI-TERM query text (prefix/wildcard/range/
 # fuzzy), which never goes through the tokenizer. Lowercase for
 # every analyzer; ascii_fold additionally folds, so "straß*"
-# expands over the indexed "strass…" terms. Stemming/stop removal
+# expands over the indexed "strass…" terms; whitespace/keyword have
+# NO lowercase filter, so their normalize is identity (multi-term
+# queries stay case-sensitive, like Lucene). Stemming/stop removal
 # are NOT applied (matching Lucene: those filters don't implement
 # normalize).
 def _ascii_normalize(text: str) -> str:
     return _fold_text(text.lower())
 
 
-NORMALIZERS = {"ascii_fold": _ascii_normalize}
+def _identity(text: str) -> str:
+    return text
+
+
+NORMALIZERS = {
+    "ascii_fold": _ascii_normalize,
+    "whitespace": _identity,
+    "keyword": _identity,
+}
 
 
 def get_normalizer(name: str):
@@ -393,6 +450,21 @@ def get_normalizer(name: str):
             f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}"
         )
     return NORMALIZERS.get(name, str.lower)
+
+
+def get_regex_normalizer(name: str):
+    """Normalization for REGEX query patterns: lowercase when the
+    analyzer lowercases, identity for the case-sensitive analyzers
+    (whitespace/keyword). ascii_fold keeps lowercase-only — folding
+    inside character classes would corrupt patterns, and Lucene's
+    RegexpQuery doesn't normalize either."""
+    if name not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}"
+        )
+    if name in ("whitespace", "keyword"):
+        return _identity
+    return str.lower
 
 
 def get_tokenize_expr(name: str):
@@ -406,6 +478,8 @@ def get_tokenize_expr(name: str):
         "s_stem": s_stem_tokenize_expr,
         "english": english_tokenize_expr,
         "ascii_fold": ascii_fold_tokenize_expr,
+        "whitespace": whitespace_tokenize_expr,
+        "keyword": keyword_tokenize_expr,
     }
     try:
         return exprs[name]
@@ -439,6 +513,13 @@ def pandas_token_lists(series, analyzer: str = "standard"):
         for rx, rep in _ASCII_FOLD_RES:
             s = s.str.replace(rx, rep, regex=True)
         return s.str.findall(_TOKEN_RE)
+    if analyzer == "whitespace":
+        return series.str.findall(_WS_TOKEN_RE)
+    if analyzer == "keyword":
+        # one verbatim token per non-empty value; '' -> [] (the
+        # per-row lambda builds a 1-element list — O(1), no string
+        # work, so it stays kernel-cheap)
+        return series.fillna("").map(lambda t: [t] if t else [])
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -466,4 +547,8 @@ def pandas_token_counts(series, analyzer: str = "standard"):
         for rx, rep in _ASCII_FOLD_RES:
             s = s.str.replace(rx, rep, regex=True)
         return s.str.count(_TOKEN_RE)
+    if analyzer == "whitespace":
+        return series.str.count(_WS_TOKEN_RE)
+    if analyzer == "keyword":
+        return (series.fillna("") != "").astype("int64")
     raise ValueError(f"unknown analyzer {analyzer!r}")

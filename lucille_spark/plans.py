@@ -38,7 +38,11 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from lucille_spark import ast
-from lucille_spark.analysis import get_analyzer, get_normalizer
+from lucille_spark.analysis import (
+    get_analyzer,
+    get_normalizer,
+    get_regex_normalizer,
+)
 from lucille_spark.scoring import idf as _idf
 
 # --------------------------------------------------------------- nodes
@@ -373,10 +377,11 @@ class Planner:
         # Lucene Analyzer.normalize() for multi-term query text
         # (prefix/wildcard/range/fuzzy bypass the tokenizer): plain
         # lowercase except where the analyzer folds (ascii_fold).
-        # Regex patterns stay lowercase-only (Lucene RegexpQuery
-        # doesn't normalize; folding inside classes would corrupt
-        # patterns).
+        # Regex patterns lowercase when the analyzer does (identity
+        # for whitespace/keyword; Lucene RegexpQuery doesn't fold, so
+        # ascii_fold regexes stay lowercase-only).
         self.normalize = get_normalizer(analyzer)
+        self.rx_normalize = get_regex_normalizer(analyzer)
 
     # -- public ----------------------------------------------------
     def with_similarity(
@@ -595,7 +600,7 @@ class Planner:
                 ),
             )
         if isinstance(q, ast.TermRegex):
-            rx = q.value.lower()
+            rx = self.rx_normalize(q.value)
             return self._expand(
                 self.dict.expand_regex(rx),
                 "regex",
@@ -719,7 +724,7 @@ class Planner:
                 ("wildcard", lit, rx),
             )
         if isinstance(q, ast.TermRegex):
-            inner = q.value.lower()
+            inner = self.rx_normalize(q.value)
             rx = re.escape(pre) + inner
             lit = pre + regex_literal_prefix(inner)
             return self._expand(

@@ -1,0 +1,313 @@
+"""Whitespace + keyword analyzers (Lucene WhitespaceAnalyzer /
+KeywordAnalyzer): both are CASE-SENSITIVE (no LowerCaseFilter in the
+chain), so Analyzer.normalize() is identity for them — multi-term
+query text (prefix/range/fuzzy/regex) keeps its case too.
+
+whitespace: tokens = runs of non-whitespace, verbatim ("Foo.bar()"
+is one token). keyword: the whole value is ONE verbatim token
+(empty/NULL -> none) — the exact-match field type fed through the
+same postings machinery.
+
+Covers rule tables, 4-way implementation agreement (pure Python /
+pandas / Spark exprs / DuckDB SQL), case-sensitivity end to end on
+both executors, and normalize() behavior."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucille_spark.analysis import (
+    KEYWORD_TOKENIZE_SQL_DUCKDB,
+    WHITESPACE_TOKENIZE_SQL_DUCKDB,
+    get_analyzer,
+    get_normalizer,
+    get_regex_normalizer,
+    keyword_tokenize,
+    keyword_tokenize_expr,
+    pandas_token_counts,
+    pandas_token_lists,
+    whitespace_tokenize,
+    whitespace_tokenize_expr,
+)
+
+WS_CASES = {
+    "Foo Bar": ["Foo", "Bar"],
+    "Foo.bar() calls  baz": ["Foo.bar()", "calls", "baz"],
+    "  leading and trailing  ": ["leading", "and", "trailing"],
+    "tab\tand\nnewline": ["tab", "and", "newline"],
+    "MiXeD CaSe": ["MiXeD", "CaSe"],
+    "": [],
+}
+
+KW_CASES = {
+    "en": ["en"],
+    "Foo Bar": ["Foo Bar"],          # spaces survive — one token
+    "  padded  ": ["  padded  "],    # verbatim, no trim
+    "": [],
+}
+
+
+def test_rule_tables():
+    for text, expect in WS_CASES.items():
+        assert whitespace_tokenize(text) == expect, text
+    for text, expect in KW_CASES.items():
+        assert keyword_tokenize(text) == expect, text
+
+
+def test_registry_and_normalizers():
+    assert get_analyzer("whitespace") is whitespace_tokenize
+    assert get_analyzer("keyword") is keyword_tokenize
+    # identity normalize: case-sensitive multi-term queries
+    assert get_normalizer("whitespace")("FooBar") == "FooBar"
+    assert get_normalizer("keyword")("A B") == "A B"
+    assert get_regex_normalizer("whitespace")("[A-Z]+") == "[A-Z]+"
+    # the lowercasing analyzers still lowercase
+    assert get_normalizer("standard")("FooBar") == "foobar"
+    assert get_regex_normalizer("standard")("[A-Z]+") == "[a-z]+"
+
+
+def test_pandas_impls_agree():
+    ws = pd.Series(list(WS_CASES))
+    assert pandas_token_lists(ws, "whitespace").tolist() == list(
+        WS_CASES.values()
+    )
+    assert pandas_token_counts(ws, "whitespace").tolist() == [
+        len(v) for v in WS_CASES.values()
+    ]
+    kw = pd.Series(list(KW_CASES))
+    assert pandas_token_lists(kw, "keyword").tolist() == list(
+        KW_CASES.values()
+    )
+    assert pandas_token_counts(kw, "keyword").tolist() == [
+        len(v) for v in KW_CASES.values()
+    ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    q = (
+        "SELECT "
+        + WHITESPACE_TOKENIZE_SQL_DUCKDB.format(col="?")
+        + " AS t"
+    )
+    for text, expect in WS_CASES.items():
+        got = [r[0] for r in con.execute(q, [text]).fetchall()]
+        assert got == expect, text
+    qk = (
+        "SELECT " + KEYWORD_TOKENIZE_SQL_DUCKDB.format(col="?") + " AS t"
+    )
+    for text, expect in KW_CASES.items():
+        got = [r[0] for r in con.execute(qk, [text]).fetchall()]
+        assert got == expect, text
+
+
+def test_spark_exprs_agree(spark):
+    texts = [t for t in WS_CASES if t]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        whitespace_tokenize_expr("text").alias("toks")
+    ).collect()
+    assert [list(r["toks"]) for r in rows] == [WS_CASES[t] for t in texts]
+    ktexts = [t for t in KW_CASES if t]
+    kdf = spark.createDataFrame([(t,) for t in ktexts], "text string")
+    krows = kdf.select(
+        keyword_tokenize_expr("text").alias("toks")
+    ).collect()
+    assert [list(r["toks"]) for r in krows] == [
+        KW_CASES[t] for t in ktexts
+    ]
+
+
+# ---------------------------------------------------------------- e2e
+
+WS_DOCS = [
+    "Spark runs the Batch job",
+    "spark runs the batch job",          # lowercase twin
+    "SPARK SHOUTS the batch JOB",
+    "Window.apply() over the Frame",
+    "window apply over the frame",
+    "unrelated filler document text",
+    "Prefix PREFIXED prefixed tokens",
+    "the MiXeD case document",
+]
+
+
+@pytest.fixture(scope="module")
+def ws_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(WS_DOCS * 3):  # 24 docs
+        rows.append(
+            (
+                f"org/repo{i % 3}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("wsix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="whitespace"
+    ).build(docs, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    return (
+        SparkIndex(spark, out),
+        OracleIndex(docs_list, analyzer="whitespace"),
+        stats,
+    )
+
+
+def test_ws_stats_and_case_sensitive_dictionary(ws_index):
+    ix, oracle, stats = ws_index
+    assert stats["analyzer"] == "whitespace"
+    terms = {r["term"] for r in ix.terms_df.select("term").collect()}
+    # case variants are DISTINCT terms
+    assert {"Spark", "spark", "SPARK"} <= terms
+    assert "Window.apply()" in terms  # punctuation survives
+
+
+WS_QUERIES = [
+    "Spark",            # matches only the capitalized docs
+    "spark",
+    "SPARK AND JOB",
+    '"batch job"',
+    "PREFIX*",          # case-sensitive prefix: only PREFIXED
+    "prefix*",          # matches 'prefixed' + 'prefix'? (see docs)
+    "marker5",
+    '"Window.apply()" OR frame',  # quoted: one verbatim ws-token
+]
+
+
+@pytest.mark.parametrize("q", WS_QUERIES)
+def test_ws_rank_identity_both_executors(ws_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = ws_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_ws_case_variants_are_distinct_matches(ws_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = ws_index
+    ex = DataFrameExecutor(ix)
+    up = {r["doc_id"] for r in ex.search("Spark", k=None).collect()}
+    lo = {r["doc_id"] for r in ex.search("spark", k=None).collect()}
+    assert up and lo and up.isdisjoint(lo)
+
+
+@pytest.fixture(scope="module")
+def kw_index(spark, tmp_path_factory):
+    """Keyword index over a short enum-ish column (lang-code style
+    values, one verbatim token per doc)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    vals = ["en", "en-GB", "de", "Fr FR", "en", "de", "en-GB", "en"]
+    rows = []
+    for i, v in enumerate(vals * 3):
+        rows.append(
+            (f"org/repo{i % 3}", f"f{i:03d}", f"{i:040x}", "en", v)
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("kwix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="keyword"
+    ).build(docs, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    return (
+        SparkIndex(spark, out),
+        OracleIndex(docs_list, analyzer="keyword"),
+        stats,
+    )
+
+
+def test_kw_whole_value_is_one_token(kw_index):
+    ix, oracle, stats = kw_index
+    terms = {r["term"] for r in ix.terms_df.select("term").collect()}
+    assert terms == {"en", "en-GB", "de", "Fr FR"}
+    # every doc_len is exactly 1
+    dls = {r["doc_len"] for r in ix.doclens.select("doc_len").collect()}
+    assert dls == {1}
+
+
+KW_QUERIES = ["en", '"en-GB"', '"Fr FR"', "e*", "de"]
+
+
+@pytest.mark.parametrize("q", KW_QUERIES)
+def test_kw_rank_identity_both_executors(kw_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = kw_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=24)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=24).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_kw_exact_not_partial(kw_index):
+    """'en' must NOT match 'en-GB' docs (whole-value tokens)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, stats = kw_index
+    hits = {
+        r["doc_id"]
+        for r in DataFrameExecutor(ix).search("en", k=None).collect()
+    }
+    gb = {
+        d["doc_id"] for d in oracle.docs if d["content"] == "en-GB"
+    }
+    assert hits and hits.isdisjoint(gb)
