@@ -1196,6 +1196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_sortby"] = sortby_q
 
+    # search_after deep pagination: the page strictly past the
+    # (doc_len=40, doc_id=100) cursor, doc_len asc
+    def search_after_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        return search_es(
+            DataFrameExecutor(_index_for(s, d)),
+            {
+                "query": {"match": {"content": "spark"}},
+                "sort": [{"doc_len": "asc"}],
+                "search_after": [40, 100],
+                "size": 10,
+            },
+        )
+
+    q["ft_search_after"] = search_after_q
+
     # ---- ES _count endpoint: match count, no ranking, no page
     def count_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -4289,6 +4307,16 @@ m AS (SELECT doc_id FROM tok WHERE term IN ('spark', 'batch')
 SELECT m.doc_id, cast(dl.dl as double) AS doc_len
 FROM m JOIN dl ON m.doc_id = dl.doc_id
 ORDER BY dl.dl DESC, m.doc_id LIMIT 10"""
+
+    # search_after: the page strictly past (dl=40, doc_id=100),
+    # dl asc, doc_id tiebreak
+    o["ft_search_after"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT m.doc_id, dl.dl AS doc_len
+FROM m JOIN dl ON m.doc_id = dl.doc_id
+WHERE dl.dl > 40 OR (dl.dl = 40 AND m.doc_id > 100)
+ORDER BY dl.dl ASC, m.doc_id LIMIT 10"""
 
     # _count: distinct docs containing either term
     o["ft_count"] = f"""

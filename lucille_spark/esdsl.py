@@ -461,6 +461,22 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
 
             if k is None:
                 raise UnsupportedDSL("sort: needs a size/k")
+            sa = body.get("search_after")
+            if sa is not None:
+                # deep pagination: cursor filter instead of offset
+                if frm:
+                    raise UnsupportedDSL(
+                        "search_after and from are mutually "
+                        "exclusive (ES semantics)"
+                    )
+                return sort_by(
+                    executor,
+                    to_ast(dsl),
+                    field,
+                    ascending=(order == "asc"),
+                    k=k,
+                    after=tuple(sa),
+                )
             out = sort_by(
                 executor,
                 to_ast(dsl),
@@ -469,6 +485,10 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
                 k=k + frm,
             )
             return _offset_rows(out, frm, [field, "doc_id"], order)
+    if body.get("search_after") is not None:
+        raise UnsupportedDSL(
+            "search_after: needs a non-_score sort field"
+        )
     if frm:
         if k is None:
             raise UnsupportedDSL("from: needs a size/k")

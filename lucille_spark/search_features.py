@@ -426,6 +426,7 @@ def sort_by(
     ascending: bool = True,
     k: int = 10,
     numeric: bool = False,
+    after=None,
 ) -> DataFrame:
     """ES `sort` clause: order the match set by a STORED field
     instead of relevance (date/price/length listings). The field
@@ -433,18 +434,36 @@ def sort_by(
     shuffle — and the result is a TakeOrderedAndProject on
     (field, doc_id), never a global sort. `numeric=True` compares
     the stored value as a number (Lucene points semantics).
-    -> (doc_id, <field>) top-k, ties broken by doc_id asc."""
+
+    `after` is ES `search_after` — the DEEP-pagination shape (the
+    `from` offset re-ranks the whole prefix; this filters it out
+    before the sort, so page 10 000 costs the same as page 1):
+    `(value,)` keeps rows strictly past `value` in sort order;
+    `(value, doc_id)` additionally skips ties up to the tie-break
+    cursor. The cursor filter is a plain predicate, evaluated
+    before TakeOrderedAndProject. -> (doc_id, <field>) top-k, ties
+    broken by doc_id asc."""
     matches = executor.search(query, k=None).select("doc_id")
     col = F.col(field)
     if numeric:
         col = col.cast("double")
     meta = executor.ix.doclens.select("doc_id", col.alias(field))
     key = F.asc(field) if ascending else F.desc(field)
-    return (
-        matches.join(meta, "doc_id")
-        .orderBy(key, F.asc("doc_id"))
-        .limit(k)
-    )
+    j = matches.join(meta, "doc_id")
+    if after is not None:
+        av = after[0]
+        past = (
+            F.col(field) > F.lit(av)
+            if ascending
+            else F.col(field) < F.lit(av)
+        )
+        if len(after) > 1:
+            past = past | (
+                (F.col(field) == F.lit(av))
+                & (F.col("doc_id") > int(after[1]))
+            )
+        j = j.filter(past)
+    return j.orderBy(key, F.asc("doc_id")).limit(k)
 
 
 def match_count(executor, query) -> DataFrame:

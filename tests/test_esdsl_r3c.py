@@ -1203,3 +1203,61 @@ def test_script_score_dsl_parity(unit_index):
         k=10,
     ).collect()
     assert direct == via
+
+
+# ----------------------------------------------------- search_after
+
+def test_search_after_walks_pages_without_overlap(unit_index):
+    """Paging the whole match set via search_after yields the same
+    rows as one big sorted fetch — no gaps, no repeats, and page N
+    is the rows strictly past page N-1's last cursor."""
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    full = search_es(
+        ex,
+        {"query": {"match": {"content": "cats"}},
+         "sort": [{"doc_len": "asc"}], "size": 1000},
+    ).collect()
+    assert len(full) >= 4
+    pages, cursor = [], None
+    while True:
+        body = {
+            "query": {"match": {"content": "cats"}},
+            "sort": [{"doc_len": "asc"}],
+            "size": 3,
+        }
+        if cursor is not None:
+            body["search_after"] = cursor
+        page = search_es(ex, body).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = [page[-1]["doc_len"], page[-1]["doc_id"]]
+    assert [(r["doc_id"], r["doc_len"]) for r in pages] == [
+        (r["doc_id"], r["doc_len"]) for r in full
+    ]
+
+
+def test_search_after_excludes_from(unit_index):
+    import pytest as _pt
+
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    with _pt.raises(UnsupportedDSL, match="mutually"):
+        search_es(
+            DataFrameExecutor(ix),
+            {"query": {"match": {"content": "cats"}},
+             "sort": [{"doc_len": "asc"}],
+             "search_after": [1, 1], "from": 3, "size": 3},
+        )
+    with _pt.raises(UnsupportedDSL, match="sort"):
+        search_es(
+            DataFrameExecutor(ix),
+            {"query": {"match": {"content": "cats"}},
+             "search_after": [1, 1], "size": 3},
+        )
