@@ -2189,6 +2189,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_rescore"] = rescore_q
 
+    # the same two-phase ranking through the DSL request body
+    def rescore_dsl_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        out = search_es(
+            DataFrameExecutor(_index_for(s, d)),
+            {
+                "query": {"match": {"content": "spark batch window"}},
+                "rescore": {
+                    "window_size": 30,
+                    "query": {
+                        "rescore_query": {
+                            "match_phrase": {"content": "batch window"}
+                        },
+                        "rescore_query_weight": 2.0,
+                    },
+                },
+                "size": 10,
+            },
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_rescore_dsl"] = rescore_dsl_q
+
     # ---- BM25 hard-negative mining for retriever training: batched
     # serving (ONE job), rank 1 = positive, 2..k = hard negatives ---
     def hard_neg_q(s, d):
@@ -5129,6 +5154,7 @@ comb AS (SELECT c.doc_id, c.sr + 2.0 * coalesce(p.s, 0.0) AS s
 SELECT doc_id, round(s, 4) AS score FROM comb
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
+    o["ft_rescore_dsl"] = o["ft_rescore"]
 
     # per-doc BM25 explanation: the (doc, term) contribution rows
     # behind each top-10 score of the OR query

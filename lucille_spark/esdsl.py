@@ -411,7 +411,9 @@ def _decorate_hits(executor, out, dsl, fspec, hspec):
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
-def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
+def search_es(
+    executor, dsl: Dict[str, Any], k: int = 10, docs=None, emb=None,
+):
     """Run one ES-DSL request end-to-end. Accepts either a bare
     query clause or the full request body: `size` overrides k,
     `from` offsets into the ranking (ES's shallow-paging knob —
@@ -427,6 +429,29 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
     if isinstance(dsl, dict) and "query" in dsl:
         body = {kk: v for kk, v in dsl.items() if kk != "query"}
         dsl = dsl["query"]
+    elif isinstance(dsl, dict) and "knn" in dsl and len(dsl) <= 2:
+        # ES 8 top-level knn section with no query clause
+        body = {kk: v for kk, v in dsl.items() if kk != "knn"}
+        body["knn"] = dsl["knn"]
+        dsl = None
+    if body.get("knn") is not None:
+        # pure-knn request: the vector endpoint over an embeddings
+        # table (pass emb=). knn COMBINED with a scored query is the
+        # hybrid shape — use search_features.hybrid_rrf, which is
+        # the principled fusion at scale.
+        if dsl is not None:
+            raise UnsupportedDSL(
+                "knn + query: use search_features.hybrid_rrf"
+            )
+        if emb is None:
+            raise UnsupportedDSL(
+                "knn: pass emb= (the embeddings DataFrame; the "
+                "index stores no vectors)"
+            )
+        spec = dict(body["knn"])
+        if "size" in body:
+            spec.setdefault("k", int(body["size"]))
+        return knn_es(emb, spec)
     if "size" in body:
         k = int(body["size"])
     fspec = body.get("fields")
@@ -488,6 +513,31 @@ def search_es(executor, dsl: Dict[str, Any], k: int = 10, docs=None):
     if body.get("search_after") is not None:
         raise UnsupportedDSL(
             "search_after: needs a non-_score sort field"
+        )
+    rs = body.get("rescore")
+    if rs is not None:
+        # ES rescorer: first pass ranks window_size candidates, the
+        # rescore_query adjusts ONLY those (two-phase ranking).
+        # query_weight != 1 is refused: the combine rule here is
+        # first + rescore_query_weight * rescore (ES's default
+        # query_weight=1 shape).
+        from lucille_spark.search_features import rescore as _rescore
+
+        spec = rs[0] if isinstance(rs, list) else rs
+        qspec = spec["query"]
+        if float(qspec.get("query_weight", 1.0)) != 1.0:
+            raise UnsupportedDSL(
+                "rescore: query_weight != 1 not supported"
+            )
+        if k is None:
+            raise UnsupportedDSL("rescore: needs a size/k")
+        return _rescore(
+            executor,
+            to_ast(dsl),
+            to_ast(qspec["rescore_query"]),
+            window=int(spec.get("window_size", 50)),
+            weight=float(qspec.get("rescore_query_weight", 1.0)),
+            k=k,
         )
     if frm:
         if k is None:

@@ -468,3 +468,34 @@ def test_terms_set_literal_metacharacters(spark, msm_index):
     b = sorted(r.doc_id for r in terms_set(
         ex, ["alpha", "bravo"], "required", k=10).collect())
     assert a == b
+
+
+def test_knn_body_section(spark, emb_df, unit_index):
+    """ES 8 top-level `knn` body section == knn_es on the same spec;
+    knn+query refused (hybrid_rrf is the fusion path); missing emb=
+    refused with a pointer."""
+    from lucille_spark.esdsl import UnsupportedDSL, knn_es, search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    qv = emb_df.filter("vec_id = 0").collect()[0].emb
+    spec = {"field": "emb", "query_vector": qv, "k": 5}
+    direct = knn_es(emb_df, spec).collect()
+    via = search_es(ex, {"knn": spec}, emb=emb_df).collect()
+    assert direct == via
+    # size overrides k when spec omits k
+    via3 = search_es(
+        ex,
+        {"knn": {"field": "emb", "query_vector": qv}, "size": 3},
+        emb=emb_df,
+    ).collect()
+    assert via3 == direct[:3]
+    with pytest.raises(UnsupportedDSL, match="hybrid_rrf"):
+        search_es(
+            ex,
+            {"query": {"match": {"content": "cats"}}, "knn": spec},
+            emb=emb_df,
+        )
+    with pytest.raises(UnsupportedDSL, match="emb="):
+        search_es(ex, {"knn": spec})
