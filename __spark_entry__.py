@@ -3786,6 +3786,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_ws_ix"] = ft_ws_ix_q
     q["wand_ws_ix"] = lambda s, d: ft_ws_ix_q(s, d, wand=True)
 
+    # ---- force_merge: compacted index scores == SQL ----------------
+    def ft_forcemerge_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.index.builder import INDEX_FORMAT
+        from lucille_spark.index.maintenance import force_merge
+        from lucille_spark.index.reader import SparkIndex
+
+        src_ix = _index_for(s, d)
+        out = os.path.join(
+            "/tmp/lucille_entry_ix",
+            f"fm_v{INDEX_FORMAT}_"
+            + hashlib.md5(
+                ("fm:" + os.path.abspath(d)).encode()
+            ).hexdigest()[:12],
+        )
+        if not os.path.exists(os.path.join(out, "stats.json")):
+            force_merge(s, src_ix.dir, out, max_files_per_shard=1)
+        res = DataFrameExecutor(SparkIndex(s, out)).search("spark", k=10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_forcemerge"] = ft_forcemerge_q
+
     # ---- keyword analyzer: whole-value exact-match tokens ----------
     def ft_kw_ix_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -3894,6 +3916,10 @@ def oracle_sql() -> dict[str, str]:
     # bijection and the stats equal the plain corpus
     o["ft_ws_ix"] = topk_term("spark")
     o["wand_ws_ix"] = o["ft_ws_ix"]
+
+    # force-merged index must rank identically to SQL (scores are
+    # untouched by compaction)
+    o["ft_forcemerge"] = topk_term("spark")
 
     # keyword fixture over lang: tf=1, dl=1, avgdl=1 -> constant
     # score idf/(1+k1) per matching doc, ordered by doc_id

@@ -164,3 +164,131 @@ def purge_deletes(
         resume=True,
         meta_types=stats.get("meta_types"),
     )
+
+
+def _copy_tree(spark: SparkSession, src: str, dst: str) -> None:
+    """Byte-for-byte copy of one index subtree (no Spark job, no
+    row-order risk — doclens keeps any doclens_sort_by clustering)."""
+    if not fsio.is_uri(src):
+        import shutil
+
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+        False, True, conf,
+    )
+
+
+def force_merge(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    max_files_per_shard: int = 1,
+) -> dict:
+    """ES `_forcemerge` / Lucene forceMerge for the parquet index:
+    rewrite the two postings tables into at most
+    `max_files_per_shard` term-sorted files per shard. An index that
+    grew through many incremental builds (or a build with a small
+    maxRecordsPerFile) accumulates small files; at 10^4+ files the
+    per-file scan/footer overhead — not the data — dominates query
+    latency, and this is the operational fix (THE small-files
+    compaction at 100 TB).
+
+    Like purge_deletes, the merge writes a NEW index at `out_dir`
+    (the old one stays valid until the caller switches — crash-safe
+    by construction). Scores are untouched: rows are only re-binned
+    (repartitionByRange on (shard, term, ...) keeps files
+    term-contiguous, so the per-file term-range pruning index stays
+    sharp) and re-sorted within files (row-group stats stay tight).
+    deletes/ tombstones are carried over verbatim — use
+    purge_deletes to expunge them (ES forcemerge's
+    only_expunge_deletes=true is exactly that call). doclens /
+    terms / stats.json / manifest are copied byte-for-byte (no
+    Spark job — doclens keeps any doclens_sort_by clustering).
+
+    Returns {flat_files: (before, after),
+             segment_files: (before, after)}."""
+    from lucille_spark.index.builder import _file_term_ranges
+
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError(
+            "force_merge writes a NEW index; out_dir must differ"
+        )
+    stats = json.loads(
+        fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
+    )
+    n_shards = int(stats["num_shards"])
+    target = max(1, n_shards * int(max_files_per_shard))
+
+    flat = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    flat_before = len(flat.inputFiles())
+    (
+        flat.repartitionByRange(target, "shard", "term", "doc_id")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings_flat"))
+    )
+
+    segs = spark.read.parquet(os.path.join(index_dir, "segments"))
+    seg_before = len(segs.inputFiles())
+    (
+        segs.repartitionByRange(
+            target, "shard", "term", "doc_id_base", "block_id"
+        )
+        .sortWithinPartitions(
+            "shard", "term", "doc_id_base", "block_id"
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "segments"))
+    )
+
+    for sub in ("doclens", "terms"):
+        _copy_tree(
+            spark,
+            os.path.join(index_dir, sub),
+            os.path.join(out_dir, sub),
+        )
+    for f in ("stats.json", "manifest.jsonl"):
+        src = os.path.join(index_dir, f)
+        if fsio.exists(src, spark):
+            fsio.write_text(
+                os.path.join(out_dir, f),
+                fsio.read_text(src, spark),
+                spark,
+            )
+    deletes_src = os.path.join(index_dir, "deletes")
+    if fsio.exists(deletes_src, spark):
+        _copy_tree(spark, deletes_src, os.path.join(out_dir, "deletes"))
+
+    fidx = {
+        "flat": _file_term_ranges(
+            spark, os.path.join(out_dir, "postings_flat")
+        ),
+        "segments": _file_term_ranges(
+            spark, os.path.join(out_dir, "segments")
+        ),
+    }
+    fsio.write_text(
+        os.path.join(out_dir, "file_index.json"), json.dumps(fidx), spark
+    )
+    man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"), spark)
+    man.record(
+        "force_merge", "done",
+        source=index_dir,
+        flat_files=[flat_before, len(fidx["flat"])],
+        segment_files=[seg_before, len(fidx["segments"])],
+    )
+    return {
+        "flat_files": (flat_before, len(fidx["flat"])),
+        "segment_files": (seg_before, len(fidx["segments"])),
+    }

@@ -1,0 +1,117 @@
+"""force_merge (ES _forcemerge): small-files compaction that rewrites
+the two postings tables into few large term-sorted files per shard
+WITHOUT touching scores — verified by rank identity on both
+executors before/after, tombstone carry-over, a sharp regenerated
+file-term-range index, and real file-count reduction."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fragmented_index(spark, unit_corpus, tmp_path_factory):
+    """Index built with a tiny maxRecordsPerFile so both tables
+    fragment into many small files."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.index.reader import SparkIndex
+
+    out = str(tmp_path_factory.mktemp("fm") / "frag")
+    docs = spark.createDataFrame(unit_corpus)
+    IndexBuilder(
+        BuildConfig(
+            num_shards=2, block_size=16, max_records_per_file=300
+        )
+    ).build(docs, out)
+    return out, SparkIndex(spark, out)
+
+
+QUERIES = [
+    "cats",
+    "cats AND dogs",
+    '"cats and dogs"' ,
+    "do*",
+    "cats OR (dogs AND NOT fish)",
+]
+
+
+def test_force_merge_shrinks_and_preserves_ranking(
+    spark, fragmented_index, tmp_path_factory
+):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.maintenance import force_merge
+    from lucille_spark.index.reader import SparkIndex
+
+    src, ix = fragmented_index
+    dst = str(tmp_path_factory.mktemp("fm") / "merged")
+    res = force_merge(spark, src, dst, max_files_per_shard=1)
+    assert res["flat_files"][0] > res["flat_files"][1]
+    assert res["segment_files"][0] > res["segment_files"][1]
+    # <= shards * per-shard cap (+1 straddle tolerance per shard)
+    assert res["segment_files"][1] <= 2 * 2
+    merged = SparkIndex(spark, dst)
+    for q in QUERIES:
+        for exc in (DataFrameExecutor, WandExecutor):
+            a = exc(ix).search(q, k=10).collect()
+            b = exc(merged).search(q, k=10).collect()
+            assert [
+                (r["doc_id"], round(float(r["score"]), 9)) for r in a
+            ] == [
+                (r["doc_id"], round(float(r["score"]), 9)) for r in b
+            ], f"{exc.__name__} {q!r}"
+
+
+def test_force_merge_regenerates_sharp_file_index(
+    spark, fragmented_index, tmp_path_factory
+):
+    from lucille_spark.index.maintenance import force_merge
+
+    src, ix = fragmented_index
+    dst = str(tmp_path_factory.mktemp("fm") / "merged2")
+    force_merge(spark, src, dst, max_files_per_shard=1)
+    fidx = json.loads(open(os.path.join(dst, "file_index.json")).read())
+    assert fidx["flat"] and fidx["segments"]
+    for path, tmin, tmax in fidx["flat"] + fidx["segments"]:
+        assert os.path.exists(path.replace("file://", ""))
+        assert tmin is not None and tmin <= tmax
+
+
+def test_force_merge_carries_tombstones(
+    spark, unit_corpus, tmp_path_factory
+):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.index.maintenance import delete_docs, force_merge
+    from lucille_spark.index.reader import SparkIndex
+
+    src = str(tmp_path_factory.mktemp("fmdel") / "ix")
+    docs = spark.createDataFrame(unit_corpus)
+    IndexBuilder(
+        BuildConfig(num_shards=2, block_size=16, max_records_per_file=300)
+    ).build(docs, src)
+    ix = SparkIndex(spark, src)
+    victims = [
+        int(r["doc_id"])
+        for r in DataFrameExecutor(ix).search("cats", k=2).collect()
+    ]
+    delete_docs(spark, src, victims)
+    dst = str(tmp_path_factory.mktemp("fmdel") / "merged")
+    force_merge(spark, src, dst)
+    merged = SparkIndex(spark, dst)
+    hits = {
+        int(r["doc_id"])
+        for r in DataFrameExecutor(merged).search("cats", k=None).collect()
+    }
+    assert hits and not (hits & set(victims))
+
+
+def test_force_merge_refuses_in_place(spark, fragmented_index):
+    from lucille_spark.index.maintenance import force_merge
+
+    src, ix = fragmented_index
+    with pytest.raises(ValueError, match="differ"):
+        force_merge(spark, src, src)
