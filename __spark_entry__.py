@@ -1337,6 +1337,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_percolate_scored"] = percolate_scored_q
 
+    # ---- the ES percolate QUERY direction: one incoming document
+    # (doc 7's text) against the stored queries — the alerting shape
+    def percolate_doc_q(s, d):
+        from lucille_spark.percolate import percolate_document
+
+        row = (
+            _docs(s, d)
+            .filter(F.col("doc_id") == 7)
+            .select("text")
+            .collect()[0]
+        )
+        out = percolate_document(
+            s,
+            {
+                "q_and": "spark AND batch",
+                "q_term": "window",
+                "q_phrase": '"batch window"',
+            },
+            row["text"],
+        )
+        return out.select(
+            "query_id", F.round("score", 4).alias("score")
+        )
+
+    q["pipe_percolate_doc"] = percolate_doc_q
+
     # ---- true BM25F: field tfs merge with weights BEFORE saturation
     # (joint saturation, union df) — Robertson/Zaragoza's model, vs
     # multi_field's per-field sum-of-BM25s.
@@ -4037,6 +4063,30 @@ SELECT doc_id, query_id, round(score, 4) AS score FROM (
   UNION ALL SELECT doc_id, 'q_term', score FROM m_term
   UNION ALL SELECT doc_id, 'q_phrase', score FROM m_ph)
 ORDER BY query_id, doc_id"""
+
+    # percolate QUERY direction: same one-doc-index scoring, doc 7
+    o["pipe_percolate_doc"] = f"""
+WITH tok AS (SELECT * FROM ({_TOK}) WHERE doc_id = 7),
+pos AS (SELECT * FROM ({_POS}) WHERE doc_id = 7),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+s AS (SELECT doc_id, term,
+      ln(4.0 / 3.0) * tf / (tf + {K1}) AS s FROM tf),
+m_and AS (SELECT a.doc_id, a.s + b.s AS score
+          FROM s a JOIN s b ON a.doc_id = b.doc_id
+          WHERE a.term = 'spark' AND b.term = 'batch'),
+m_term AS (SELECT doc_id, s AS score FROM s WHERE term = 'window'),
+ph AS (SELECT a.doc_id, count(*) AS tfp FROM pos a
+       JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'batch' AND b.term = 'window'
+       GROUP BY a.doc_id),
+m_ph AS (SELECT doc_id,
+         ln(4.0 / 3.0) * tfp / (tfp + {K1}) AS score FROM ph)
+SELECT query_id, round(score, 4) AS score FROM (
+  SELECT 'q_and' AS query_id, score FROM m_and
+  UNION ALL SELECT 'q_term', score FROM m_term
+  UNION ALL SELECT 'q_phrase', score FROM m_ph)
+ORDER BY query_id"""
 
     o["pipe_percolate"] = f"""
 WITH tok AS ({_TOK}), pos AS ({_POS}),

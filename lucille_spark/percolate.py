@@ -326,3 +326,43 @@ def percolate(
     if with_scores:
         schema += ", score double"
     return src.mapInPandas(kernel, schema=schema)
+
+
+def percolate_document(
+    spark,
+    queries: Dict[str, Union[str, dict, "ast.Query"]],
+    document: Union[str, Dict[str, str]],
+    content_field: str = "content",
+    analyzer: str = "standard",
+    with_scores: bool = True,
+) -> DataFrame:
+    """The ES `percolate` QUERY direction: given ONE document (the
+    request payload), find which stored queries match it — the
+    alerting / saved-search shape ("which subscriptions fire for
+    this incoming doc?"). A thin single-row wrapper over
+    :func:`percolate`, so semantics (one-doc-index _score, field
+    clauses against meta keys, presearcher skip) are exactly the
+    batch percolator's. `document` is the content string or an ES
+    `_source`-style dict ({content_field: text, other keys = meta
+    fields usable in field queries). -> DataFrame(query_id, score)
+    (score omitted when with_scores=False)."""
+    if isinstance(document, str):
+        document = {content_field: document}
+    doc = dict(document)
+    content = str(doc.pop(content_field, ""))
+    meta = sorted(doc)
+    schema = "doc_id long, content string" + "".join(
+        f", {m} string" for m in meta
+    )
+    df = spark.createDataFrame(
+        [(0, content, *[str(doc[m]) for m in meta])], schema
+    )
+    out = percolate(
+        df,
+        queries,
+        analyzer=analyzer,
+        meta_cols=meta,
+        with_scores=with_scores,
+    )
+    cols = ["query_id"] + (["score"] if with_scores else [])
+    return out.select(*cols)

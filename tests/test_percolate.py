@@ -241,3 +241,44 @@ def test_percolate_inside_foreachbatch(spark, tmp_path):
         ).collect()
     )
     assert got == static and len(got) > 0
+
+
+def test_percolate_document_matches_batch_percolator(spark):
+    """The single-document wrapper == the batch percolator's row for
+    that document, scores included; meta keys work in field
+    queries."""
+    from lucille_spark.percolate import percolate, percolate_document
+
+    docs = [
+        ("spark and batch together in the window frame", "en"),
+        ("nothing relevant here at all", "de"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, g) for i, (t, g) in enumerate(docs)],
+        "doc_id long, content string, lang string",
+    )
+    stored = {
+        "q_and": "spark AND batch",
+        "q_phrase": '"the window"',
+        "q_lang": "lang:en",
+        "q_miss": "absentterm",
+    }
+    batch = percolate(
+        df, stored, meta_cols=["lang"], with_scores=True
+    ).collect()
+    batch0 = sorted(
+        (r["query_id"], round(float(r["score"]), 9))
+        for r in batch
+        if r["doc_id"] == 0
+    )
+    single = percolate_document(
+        spark, stored, {"content": docs[0][0], "lang": "en"}
+    ).collect()
+    got = sorted(
+        (r["query_id"], round(float(r["score"]), 9)) for r in single
+    )
+    assert got == batch0
+    assert {q for q, _ in got} == {"q_and", "q_phrase", "q_lang"}
+    # plain-string document form
+    single2 = percolate_document(spark, {"q": "spark"}, docs[0][0])
+    assert [r["query_id"] for r in single2.collect()] == ["q"]
