@@ -943,8 +943,11 @@ def _title_term_sc(term: str) -> str:
 _GATE_PRIORITY = [
     # both executors x every distinctive query shape (30)
     "ft_term", "wand_term",
-    "ft_and", "wand_and",
-    "ft_or", "wand_or",
+    # (wand_and / wand_or freed their slots for the newest families
+    # — the kernel's AND/OR/NOT paths stay covered by wand_complex
+    # here plus the full local mirror)
+    "ft_and", "ft_scriptscore",
+    "ft_or", "ft_forcemerge",
     "ft_not",
     "ft_phrase", "wand_phrase",
     # (wand_proximity freed its slot for wave-13/14 families — the
