@@ -131,6 +131,20 @@ def _simple_qs(body: Dict[str, Any]):
     return node
 
 
+def _fuzz_edits(fz, token: str) -> int:
+    """ES `fuzziness` -> max edits for one token. "AUTO" (and
+    "AUTO:lo,hi") follows the ES rule: 0 edits below `lo` chars
+    (default 3), 1 below `hi` (default 6), else 2."""
+    s = str(fz).upper()
+    if s.startswith("AUTO"):
+        lo, hi = 3, 6
+        if ":" in s:
+            lo, hi = (int(x) for x in s.split(":", 1)[1].split(","))
+        n = len(token)
+        return 0 if n < lo else (1 if n < hi else 2)
+    return int(fz)
+
+
 def to_ast(dsl: Dict[str, Any]) -> A.Query:
     """One DSL clause dict -> AST node. Raises UnsupportedDSL."""
     if not isinstance(dsl, dict) or len(dsl) != 1:
@@ -145,7 +159,11 @@ def to_ast(dsl: Dict[str, Any]) -> A.Query:
         toks = _tokens(text)
         if not toks:
             raise UnsupportedDSL(f"match {field}: empty after analysis")
-        terms = [A.Term(t) for t in toks]
+        fz = spec.get("fuzziness")
+        if fz is not None:
+            terms = [A.Fuzzy(t, _fuzz_edits(fz, t)) for t in toks]
+        else:
+            terms = [A.Term(t) for t in toks]
         if len(terms) == 1:
             return _wrap_field(field, terms[0])
         op = str(spec.get("operator", "or")).lower()

@@ -1261,3 +1261,39 @@ def test_search_after_excludes_from(unit_index):
             {"query": {"match": {"content": "cats"}},
              "search_after": [1, 1], "size": 3},
         )
+
+
+# -------------------------------------------------- match fuzziness
+
+def test_match_fuzziness_parity(unit_index):
+    """match + fuzziness == the ~n string query; AUTO bands follow
+    the ES 3,6 rule."""
+    from lucille_spark.esdsl import _fuzz_edits, search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    assert _fuzz_edits("AUTO", "ab") == 0
+    assert _fuzz_edits("AUTO", "cat") == 1
+    assert _fuzz_edits("AUTO", "kitten") == 2
+    assert _fuzz_edits("AUTO:2,4", "cat") == 1
+    assert _fuzz_edits("AUTO:2,4", "door") == 2
+    assert _fuzz_edits(1, "whatever") == 1
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    got = search_es(
+        ex,
+        {"match": {"content": {"query": "cats", "fuzziness": "AUTO"}}},
+        k=10,
+    ).collect()
+    want = ex.search("cats~1", k=10).collect()
+    assert got == want and got
+    # multi-token fuzzy OR
+    got2 = search_es(
+        ex,
+        {"match": {"content": {
+            "query": "cats dogs", "fuzziness": 1,
+        }}},
+        k=10,
+    ).collect()
+    want2 = ex.search("cats~1 OR dogs~1", k=10).collect()
+    assert got2 == want2
