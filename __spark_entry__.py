@@ -2580,6 +2580,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_spannear"] = spannear_q
 
+    # span_not: 'spark' occurrences with no 'batch' within 1 before /
+    # 2 after; tf = surviving occurrences
+    def spannot_q(s, d):
+        from lucille_spark.search_features import span_not
+
+        ix = _index_for(s, d)
+        out = span_not(ix, "spark", "batch", pre=1, post=2, k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_spannot"] = spannot_q
+
     def tophits_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
         from lucille_spark.search_features import top_hits
@@ -6219,6 +6230,24 @@ sc AS (SELECT m.doc_id,
        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * 1.0 /
        (1.0 + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
        FROM m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # span_not: include='spark' occurrences with no 'batch' in
+    # [p-1, p+2]; tf = surviving count, idf/norms of the include term
+    o["ft_spannot"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+inc AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+exc AS (SELECT doc_id, p FROM pos WHERE term = 'batch'),
+ok AS (SELECT i.doc_id, i.p FROM inc i WHERE NOT EXISTS (
+       SELECT 1 FROM exc e WHERE e.doc_id = i.doc_id
+       AND e.p >= i.p - 1 AND e.p <= i.p + 2)),
+tfq AS (SELECT doc_id, count(*) AS tf FROM ok GROUP BY doc_id),
+idf AS (SELECT count(DISTINCT doc_id) AS df FROM inc),
+sc AS (SELECT tfq.doc_id,
+       ln(1.0 + (st.n - idf.df + 0.5) / (idf.df + 0.5)) * tfq.tf /
+       (tfq.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tfq JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idf)
 SELECT doc_id, round(s, 4) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT 10"""
 

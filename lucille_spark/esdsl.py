@@ -890,8 +890,12 @@ def search_es(
             k=k if k is not None else 10,
         )
 
-    if kind in ("span_near", "span_first"):
-        from lucille_spark.search_features import span_first, span_near
+    if kind in ("span_near", "span_first", "span_not"):
+        from lucille_spark.search_features import (
+            span_first,
+            span_near,
+            span_not,
+        )
 
         def _span_term(clause):
             if set(clause) != {"span_term"}:
@@ -912,6 +916,15 @@ def search_es(
                 executor.ix,
                 _span_term(body["match"]),
                 int(body["end"]),
+                k=kk,
+            )
+        if kind == "span_not":
+            return span_not(
+                executor.ix,
+                _span_term(body["include"]),
+                _span_term(body["exclude"]),
+                pre=int(body.get("pre", 0)),
+                post=int(body.get("post", 0)),
                 k=kk,
             )
         return span_near(

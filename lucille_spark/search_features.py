@@ -386,6 +386,78 @@ def span_first(index, term_text: str, end: int, k: int = 10) -> DataFrame:
     )
 
 
+def span_not(
+    index,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene SpanNotQuery: occurrences of `include` that are NOT
+    within `pre` positions before / `post` positions after any
+    occurrence of `exclude` ("apple" but not near "pie"). Scored
+    like the include term with tf = the QUALIFYING occurrence count
+    (the span_first contract). pre=post=0 means only exact
+    position collisions remove an occurrence.
+
+    Plan: one file-pruned scan of the two terms' postings, ONE
+    groupBy(doc_id) pairing the position arrays, the overlap filter
+    is nested array HOFs in codegen. Docs without the exclude term
+    keep every include occurrence (left join semantics via the
+    _nt count). -> (doc_id, score) top-k."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+
+    node = index.plan(include)
+    if isinstance(node, P.PMatchNone):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    assert isinstance(node, P.PTerm), "span_not takes single terms"
+    exc_node = index.plan(exclude)
+    exc_term = (
+        exc_node.term if isinstance(exc_node, P.PTerm) else None
+    )
+    terms = [node.term] + ([exc_term] if exc_term else [])
+    src = getattr(index, "flat_for", None)
+    flat = src(terms) if src else index.flat
+    flat = _drop_deleted(index, flat.filter(F.col("term").isin(terms)))
+    g = flat.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("pm"),
+        F.max("doc_len").alias("doc_len"),
+    )
+    inc = F.col("pm")[node.term]
+    exc = F.coalesce(
+        F.col("pm")[exc_term] if exc_term else F.lit(None),
+        F.array().cast("array<int>"),
+    )
+    lo, hi = int(pre), int(post)
+    keep = F.filter(
+        inc,
+        lambda p: ~F.exists(
+            exc, lambda e: (e >= p - F.lit(lo)) & (e <= p + F.lit(hi))
+        ),
+    )
+    avgdl = node.avgdl or float(index.stats["avg_dl"])
+    return (
+        g.filter(inc.isNotNull())
+        .select("doc_id", F.size(keep).alias("_tf"), "doc_len")
+        .filter(F.col("_tf") > 0)
+        .select(
+            "doc_id",
+            _score_col(
+                node.sim, F.col("_tf"), F.col("doc_len"), node.idf,
+                avgdl, node.tw,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def field_stats(
     executor,
     query,

@@ -1297,3 +1297,90 @@ def test_match_fuzziness_parity(unit_index):
     ).collect()
     want2 = ex.search("cats~1 OR dogs~1", k=10).collect()
     assert got2 == want2
+
+
+# ---------------------------------------------------------- span_not
+
+def test_span_not_reference(spark, tmp_path_factory):
+    """Hand-built corpus: occurrence-level exclusion and tf
+    accounting vs a brute-force python reference."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import span_not
+
+    texts = [
+        "apple pie and apple sauce",        # pos: apple@0, pie@1, apple@3
+        "apple on its own here",            # apple@0, no pie
+        "pie before apple again pie",       # apple@2, pie@0, pie@4
+        "no fruit at all",
+        "apple apple apple pie",            # apple@0,1,2, pie@3
+    ]
+    rows = [
+        (f"r", f"p{i}", f"{i:040x}", "en", t)
+        for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("sn") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(docs, out)
+    ix = SparkIndex(spark, out)
+
+    def brute(pre, post):
+        import math
+
+        from lucille_spark.analysis import tokenize
+        from lucille_spark.scoring import B, K1
+
+        docs_sorted = sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        toks = [tokenize(r[4]) for r in docs_sorted]
+        df = sum(1 for t in toks if "apple" in t)
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks) / n
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        exp = []
+        for d, t in enumerate(toks):
+            inc = [p for p, w in enumerate(t) if w == "apple"]
+            exc = {p for p, w in enumerate(t) if w == "pie"}
+            tf = sum(
+                1 for p in inc
+                if not any(
+                    e in exc for e in range(p - pre, p + post + 1)
+                )
+            )
+            if tf:
+                s = idf * tf / (
+                    tf + K1 * (1 - B + B * len(t) / avgdl)
+                )
+                exp.append((d, round(s, 9)))
+        exp.sort(key=lambda r: (-r[1], r[0]))
+        return exp
+
+    for pre, post in [(0, 0), (0, 1), (1, 2), (3, 3)]:
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in span_not(
+                ix, "apple", "pie", pre=pre, post=post, k=10
+            ).collect()
+        ]
+        assert got == brute(pre, post), (pre, post)
+
+
+def test_span_not_dsl_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import span_not
+
+    ix, oracle, _ = unit_index
+    direct = span_not(ix, "cats", "dogs", pre=2, post=2, k=10).collect()
+    via = search_es(
+        DataFrameExecutor(ix),
+        {"span_not": {
+            "include": {"span_term": {"content": "cats"}},
+            "exclude": {"span_term": {"content": "dogs"}},
+            "pre": 2, "post": 2,
+        }},
+        k=10,
+    ).collect()
+    assert direct == via and direct
