@@ -2591,6 +2591,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_spannot"] = spannot_q
 
+    # span_near with a SpanOr slot: spark near (batch OR window),
+    # ordered, slop 2
+    def spannear_or_q(s, d):
+        from lucille_spark.search_features import span_near
+
+        ix = _index_for(s, d)
+        out = span_near(
+            ix, ["spark", ["batch", "window"]], slop=2, in_order=True
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_spannear_or"] = spannear_or_q
+
     def tophits_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
         from lucille_spark.search_features import top_hits
@@ -6248,6 +6261,28 @@ sc AS (SELECT tfq.doc_id,
        ln(1.0 + (st.n - idf.df + 0.5) / (idf.df + 0.5)) * tfq.tf /
        (tfq.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
        FROM tfq JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # span_near with a SpanOr slot: spark within-3 BEFORE
+    # (batch|window); slot df = max member df, pseudo-df = min slots
+    o["ft_spannear_or"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+b AS (SELECT doc_id, p FROM pos
+      WHERE term IN ('batch', 'window')),
+m AS (SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+      AND b.p > a.p AND b.p - a.p <= 3),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'spark'),
+  greatest(
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')
+  )) AS df),
+sc AS (SELECT m.doc_id,
+       ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * 1.0 /
+       (1.0 + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
 SELECT doc_id, round(s, 4) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT 10"""
 

@@ -927,9 +927,18 @@ def search_es(
                 post=int(body.get("post", 0)),
                 k=kk,
             )
+        def _span_slot(clause):
+            # SpanOrQuery inside span_near: a slot of alternatives
+            if set(clause) == {"span_or"}:
+                return [
+                    _span_term(c)
+                    for c in _aslist(clause["span_or"]["clauses"])
+                ]
+            return _span_term(clause)
+
         return span_near(
             executor.ix,
-            [_span_term(c) for c in _aslist(body["clauses"])],
+            [_span_slot(c) for c in _aslist(body["clauses"])],
             slop=int(body.get("slop", 0)),
             in_order=bool(body.get("in_order", True)),
             k=kk,

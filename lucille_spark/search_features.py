@@ -1356,6 +1356,12 @@ def span_near(
     contract), so ordered span_near ranks identically to
     `"a b"~slop`.
 
+    A slot may be a LIST of alternatives (Lucene SpanOrQuery inside
+    SpanNearQuery): `["spark", ["batch", "window"]]` matches spark
+    near batch-or-window; the slot's positions are the union of its
+    members' and its df is the MAX member df (the SynonymQuery
+    convention), with the pseudo-df still the min over slots.
+
     Scale: ONE scan of the span terms' postings + ONE
     groupBy(doc_id) building per-term position arrays; the
     window-existence check is nested array `exists` HOFs in
@@ -1365,6 +1371,10 @@ def span_near(
     from lucille_spark import plans as P
     from lucille_spark.exec_df import _score_col
 
+    if any(isinstance(t, (list, tuple)) for t in term_texts):
+        return _span_near_or(
+            index, term_texts, slop, in_order, k
+        )
     quoted = '"' + " ".join(term_texts) + '"'
     if slop:
         quoted += f"~{slop}"
@@ -1413,6 +1423,107 @@ def span_near(
             _score_col(
                 node.sim, F.lit(1), F.col("doc_len"), node.idf,
                 avgdl, node.tw,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _span_near_or(index, term_texts, slop, in_order, k) -> DataFrame:
+    """span_near with SpanOr slots: each slot is a string or a list
+    of alternative strings. Slot positions = union of the member
+    position arrays; slot df = max member df (SynonymQuery
+    convention); pseudo-df = min over slots (the PPhrase contract,
+    so a plain slot degenerates to span_near exactly)."""
+    from lucille_spark.exec_df import _score_col
+
+    planner = index.planner
+    slots: list = []
+    for t in term_texts:
+        alts = list(t) if isinstance(t, (list, tuple)) else [t]
+        toks: list = []
+        for a in alts:
+            at = planner.tokenize(a)
+            if len(at) != 1:
+                raise ValueError(
+                    f"span slot alternative {a!r} must analyze to "
+                    f"one token (got {at})"
+                )
+            toks.append(at[0])
+        slots.append(sorted(set(toks)))
+    m = len(slots)
+    if m < 2:
+        raise ValueError("span_near needs >= 2 slots")
+    all_terms = sorted({t for s in slots for t in s})
+    dfs = planner.dict.lookup_df(all_terms)
+    slot_dfs = [
+        max((dfs.get(t, 0) for t in s), default=0) for s in slots
+    ]
+    if any(d == 0 for d in slot_dfs):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    cfs = planner._cfs(all_terms)
+    df_proxy = min(slot_dfs)
+    cf_proxy = min(
+        max((cfs.get(t, 1) for t in s), default=1) for s in slots
+    )
+    w, tw = planner._weight(df_proxy, cf_proxy)
+
+    live = [t for t in all_terms if dfs.get(t, 0) > 0]
+    src = getattr(index, "flat_for", None)
+    flat = src(live) if src else index.flat
+    flat = flat.filter(F.col("term").isin(live))
+    g = (
+        _drop_deleted(index, flat)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm"),
+            F.max("doc_len").alias("doc_len"),
+        )
+    )
+    empty = F.array().cast("array<int>")
+
+    def slot_pos(members):
+        arrs = [
+            F.coalesce(F.col("pm")[t], empty) for t in members
+        ]
+        u = arrs[0]
+        for a in arrs[1:]:
+            u = F.concat(u, a)
+        return F.array_distinct(u)
+
+    g = g.select(
+        "doc_id", "doc_len",
+        *[slot_pos(s).alias(f"sp{i}") for i, s in enumerate(slots)],
+    )
+    for i in range(m):
+        g = g.filter(F.size(F.col(f"sp{i}")) > 0)
+    pos = [F.col(f"sp{i}") for i in range(m)]
+    max_span = m - 1 + slop
+
+    def window_exists(chosen):
+        i = len(chosen)
+        if i == m:
+            span = F.greatest(*chosen) - F.least(*chosen)
+            ok = span <= F.lit(max_span)
+            if in_order:
+                for a, b in zip(chosen, chosen[1:]):
+                    ok = ok & (a < b)
+            return ok
+        return F.exists(pos[i], lambda p: window_exists(chosen + [p]))
+
+    j = g.filter(window_exists([]))
+    avgdl = float(index.stats["avg_dl"])
+    return (
+        j.select(
+            "doc_id",
+            _score_col(
+                planner.similarity, F.lit(1), F.col("doc_len"), w,
+                avgdl, tw,
             ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))

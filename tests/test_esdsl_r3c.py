@@ -1384,3 +1384,84 @@ def test_span_not_dsl_dispatch(spark, unit_index):
         k=10,
     ).collect()
     assert direct == via and direct
+
+
+# ------------------------------------------- span_or inside span_near
+
+def test_span_near_or_slot(spark, tmp_path_factory):
+    """A SpanOr slot matches if ANY alternative lands in the window;
+    a single-member list degenerates to plain span_near exactly."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import span_near
+
+    texts = [
+        "spark near batch here",        # spark@0, batch@2 -> window
+        "spark near window frame",      # spark@0, window@2 -> window
+        "spark far far far far batch",  # gap 5 > 3 -> no
+        "batch before spark fails order",  # unordered only
+        "spark alone no alternative",
+    ]
+    rows = [
+        ("r", f"p{i}", f"{i:040x}", "en", t)
+        for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("sno") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(docs, out)
+    ix = SparkIndex(spark, out)
+
+    hits = {
+        int(r["doc_id"])
+        for r in span_near(
+            ix, ["spark", ["batch", "window"]], slop=2, in_order=True
+        ).collect()
+    }
+    by_path = {
+        r[1]: i
+        for i, r in enumerate(sorted(rows, key=lambda r: (r[0], r[1], r[2])))
+    }
+    assert hits == {by_path["p0"], by_path["p1"]}
+    # unordered picks up the reversed doc too
+    hits_u = {
+        int(r["doc_id"])
+        for r in span_near(
+            ix, ["spark", ["batch", "window"]], slop=2, in_order=False
+        ).collect()
+    }
+    assert hits_u == {by_path["p0"], by_path["p1"], by_path["p3"]}
+    # single-member slots == plain span_near, scores included
+    a = span_near(ix, ["spark", ["batch"]], slop=2).collect()
+    b = span_near(ix, ["spark", "batch"], slop=2).collect()
+    assert [(r["doc_id"], round(float(r["score"]), 9)) for r in a] == [
+        (r["doc_id"], round(float(r["score"]), 9)) for r in b
+    ]
+
+
+def test_span_near_or_dsl(unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import span_near
+
+    ix, oracle, _ = unit_index
+    direct = span_near(
+        ix, ["cats", ["dogs", "fish"]], slop=3, in_order=False, k=10
+    ).collect()
+    via = search_es(
+        DataFrameExecutor(ix),
+        {"span_near": {
+            "clauses": [
+                {"span_term": {"content": "cats"}},
+                {"span_or": {"clauses": [
+                    {"span_term": {"content": "dogs"}},
+                    {"span_term": {"content": "fish"}},
+                ]}},
+            ],
+            "slop": 3, "in_order": False,
+        }},
+        k=10,
+    ).collect()
+    assert direct == via and direct
