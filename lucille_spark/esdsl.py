@@ -532,6 +532,24 @@ def search_es(
         raise UnsupportedDSL(
             "search_after: needs a non-_score sort field"
         )
+    clp = body.get("collapse")
+    if clp is not None:
+        # ES field collapsing: one row-group per distinct field
+        # value, ranked by its best doc; inner_hits.size docs kept
+        # inside each group (search_features.collapse_topk's
+        # low-cardinality heads window — never a corpus sort)
+        from lucille_spark.search_features import collapse_topk
+
+        if k is None:
+            raise UnsupportedDSL("collapse: needs a size/k")
+        inner = clp.get("inner_hits") or {}
+        return collapse_topk(
+            executor,
+            to_ast(dsl),
+            group_col=clp["field"],
+            k=k,
+            group_size=int(inner.get("size", 1)),
+        )
     rs = body.get("rescore")
     if rs is not None:
         # ES rescorer: first pass ranks window_size candidates, the
@@ -945,9 +963,11 @@ def search_es(
         )
 
     if kind == "intervals":
-        # the `match` rule maps exactly onto span_near: max_gaps ->
-        # slop (extra positions allowed inside the window), ordered
-        # -> in_order; other rules (prefix/any_of/...) unsupported
+        # `match` maps exactly onto span_near (max_gaps -> slop,
+        # ordered -> in_order); `all_of` is span_near over its
+        # sub-rules where an `any_of` of single-token matches
+        # becomes a SpanOr slot. Deeper nesting / prefix rules
+        # unsupported.
         from lucille_spark.search_features import span_near
 
         field, spec = next(iter(dsl[kind].items()))
@@ -955,16 +975,52 @@ def search_es(
             raise UnsupportedDSL(
                 "intervals: only the content field is positional-indexed"
             )
-        if set(spec) != {"match"}:
-            raise UnsupportedDSL("intervals: only the match rule")
-        m = spec["match"]
-        return span_near(
-            executor.ix,
-            _tokens(m["query"]),
-            slop=int(m.get("max_gaps", 0)),
-            in_order=bool(m.get("ordered", False)),
-            k=k if k is not None else 10,
-        )
+
+        def _leaf_slots(rule):
+            # -> list of slots (string or list-of-alternatives)
+            if set(rule) == {"match"}:
+                return list(_tokens(rule["match"]["query"]))
+            if set(rule) == {"any_of"}:
+                alts: list = []
+                for r in rule["any_of"]["intervals"]:
+                    if set(r) != {"match"}:
+                        raise UnsupportedDSL(
+                            "intervals any_of: only match sub-rules"
+                        )
+                    t = _tokens(r["match"]["query"])
+                    if len(t) != 1:
+                        raise UnsupportedDSL(
+                            "intervals any_of: single-token "
+                            "alternatives only"
+                        )
+                    alts.append(t[0])
+                return [alts]
+            raise UnsupportedDSL(
+                f"intervals: unsupported rule {sorted(rule)}"
+            )
+
+        if set(spec) == {"match"}:
+            m = spec["match"]
+            return span_near(
+                executor.ix,
+                _tokens(m["query"]),
+                slop=int(m.get("max_gaps", 0)),
+                in_order=bool(m.get("ordered", False)),
+                k=k if k is not None else 10,
+            )
+        if set(spec) == {"all_of"}:
+            ao = spec["all_of"]
+            slots: list = []
+            for r in ao["intervals"]:
+                slots.extend(_leaf_slots(r))
+            return span_near(
+                executor.ix,
+                slots,
+                slop=int(ao.get("max_gaps", 0)),
+                in_order=bool(ao.get("ordered", False)),
+                k=k if k is not None else 10,
+            )
+        raise UnsupportedDSL("intervals: only match / all_of rules")
 
     if kind == "wrapper":
         # base64-encoded inner query (the ES escape hatch for tools

@@ -1465,3 +1465,61 @@ def test_span_near_or_dsl(unit_index):
         k=10,
     ).collect()
     assert direct == via and direct
+
+
+# ----------------------------------- collapse body + intervals all_of
+
+def test_collapse_body_section(unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import collapse_topk
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    direct = collapse_topk(
+        ex, "cats dogs", group_col="lang", k=3, group_size=2
+    ).collect()
+    via = search_es(
+        ex,
+        {
+            "query": {"match": {"content": "cats dogs"}},
+            "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+            "size": 3,
+        },
+    ).collect()
+    assert direct == via and via
+    # default inner_hits.size = 1 (ES default: heads only)
+    via1 = search_es(
+        ex,
+        {"query": {"match": {"content": "cats dogs"}},
+         "collapse": {"field": "lang"}, "size": 3},
+    ).collect()
+    assert all(r["doc_rank"] == 1 for r in via1)
+
+
+def test_intervals_all_of_any_of(unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import span_near
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    direct = span_near(
+        ix, ["cats", ["dogs", "fish"]], slop=4, in_order=False, k=10
+    ).collect()
+    via = search_es(
+        ex,
+        {"intervals": {"content": {"all_of": {
+            "ordered": False,
+            "max_gaps": 4,
+            "intervals": [
+                {"match": {"query": "cats"}},
+                {"any_of": {"intervals": [
+                    {"match": {"query": "dogs"}},
+                    {"match": {"query": "fish"}},
+                ]}},
+            ],
+        }}}},
+        k=10,
+    ).collect()
+    assert direct == via and direct
