@@ -242,12 +242,14 @@ class Searcher:
             }
         return {"fields": caps}
 
-    def search_es(self, dsl, k: int = 10) -> DataFrame:
+    def search_es(self, dsl, k: int = 10, **kw) -> DataFrame:
         """Elasticsearch Query-DSL front door (lucille_spark.esdsl):
-        run a JSON query dict through the shared planner/executors."""
+        run a JSON query dict through the shared planner/executors.
+        `docs=` (terms lookup / more_like_this source) and `emb=`
+        (the ES 8 top-level knn section) pass through."""
         from lucille_spark.esdsl import search_es as _se
 
-        return _se(self.executor, dsl, k=k)
+        return _se(self.executor, dsl, k=k, **kw)
 
     def count(self, query) -> int:
         from lucille_spark.search_features import match_count
