@@ -1340,6 +1340,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_percolate_scored"] = percolate_scored_q
 
+    # ---- corpus_report: the one-call dataset card ------------------
+    def report_mix_q(s, d):
+        from lucille_spark.ops.text import corpus_report
+
+        rep = corpus_report(_docs(s, d), "doc_id", "text")
+        return rep["mix"]
+
+    q["pipe_report_mix"] = report_mix_q
+
+    def report_summary_q(s, d):
+        from lucille_spark.ops.text import corpus_report
+
+        rep = corpus_report(_docs(s, d), "doc_id", "text")
+        out = rep["summary"]
+        return out.select(
+            "n_docs", "n_unique", "dup_rate", "total_tokens",
+            "avg_quality",
+            F.round("p50_tokens", 4).alias("p50_tokens"),
+            F.round("p95_tokens", 4).alias("p95_tokens"),
+        )
+
+    q["pipe_report_summary"] = report_summary_q
+
     # ---- the ES percolate QUERY direction: one incoming document
     # (doc 7's text) against the stored queries — the alerting shape
     def percolate_doc_q(s, d):
@@ -4867,6 +4890,58 @@ SELECT doc_id, CASE
   WHEN hes >= hfr THEN 'es'
   ELSE 'fr' END AS lang_pred
 FROM h"""
+
+    # corpus_report: the dataset card derives from the SAME quality /
+    # langid / tokenize formulas as the tx_* gates (identical double
+    # op order, so the decile floor can't straddle)
+    _rep_q = (
+        "0.4 * least(tc.n / 200.0, 1.0) "
+        "+ 0.3 * (length(regexp_replace(d.text, '[^a-zA-Z0-9_]', "
+        "'', 'g')) * 1.0 / greatest(length(d.text), 1)) "
+        "+ 0.3 * (CASE WHEN tc.n > 0 THEN tc.u * 1.0 / tc.n "
+        "ELSE 0.0 END)"
+    )
+    _rep_ctes = f"""
+WITH tok AS ({_TOK}),
+tc AS (SELECT d.doc_id, count(t.term) AS n,
+       count(DISTINCT t.term) AS u
+       FROM documents d LEFT JOIN tok t USING (doc_id)
+       GROUP BY d.doc_id),
+h AS (SELECT d.doc_id,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('de')}) THEN t.term END) AS hde,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('en')}) THEN t.term END) AS hen,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('es')}) THEN t.term END) AS hes,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('fr')}) THEN t.term END) AS hfr
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+l AS (SELECT doc_id, CASE
+  WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+  WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+  WHEN hen >= hes AND hen >= hfr THEN 'en'
+  WHEN hes >= hfr THEN 'es'
+  ELSE 'fr' END AS lang_pred FROM h),
+qv AS (SELECT d.doc_id, tc.n, {_rep_q} AS q
+       FROM documents d JOIN tc USING (doc_id))
+"""
+    o["pipe_report_mix"] = (
+        _rep_ctes
+        + """SELECT l.lang_pred,
+  cast(least(floor(qv.q * 10), 9) AS int) AS q_decile,
+  count(*) AS n_docs, sum(qv.n) AS n_tokens
+FROM qv JOIN l USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    o["pipe_report_summary"] = (
+        _rep_ctes
+        + """, sh AS (SELECT sha256(text) AS s FROM documents)
+SELECT (SELECT count(*) FROM qv) AS n_docs,
+  (SELECT count(DISTINCT s) FROM sh) AS n_unique,
+  round(1.0 - (SELECT count(DISTINCT s) FROM sh) * 1.0
+        / (SELECT count(*) FROM qv), 6) AS dup_rate,
+  (SELECT sum(n) FROM qv) AS total_tokens,
+  (SELECT round(avg(q), 6) FROM qv) AS avg_quality,
+  (SELECT round(quantile_cont(n, 0.5), 4) FROM qv) AS p50_tokens,
+  (SELECT round(quantile_cont(n, 0.95), 4) FROM qv) AS p95_tokens"""
+    )
 
     o["tx_fingerprint"] = f"""
 WITH pos AS ({_POS})

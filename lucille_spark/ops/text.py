@@ -1422,3 +1422,61 @@ def filter_blocked_domains(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+def corpus_report(
+    df: DataFrame, id_col: str, text_col: str
+) -> "dict[str, DataFrame]":
+    """Dataset card for a raw document table — the one-call corpus
+    summary a training-data pipeline publishes next to the data:
+
+      "mix":     (lang_pred, q_decile) -> n_docs, n_tokens — the
+                 language x quality-decile composition grid (ONE
+                 scan + ONE partial-agg shuffle of grid-sized rows).
+      "summary": one row — n_docs, n_unique (exact sha256 distinct),
+                 dup_rate, total_tokens, avg_quality,
+                 p50/p95_tokens (exact interpolated percentiles).
+
+    All columns reuse the gated per-doc expressions (quality_score,
+    language_id, exact-dup sha), so the report can never disagree
+    with the operators that filter on them. The summary's exact
+    distinct + percentiles are one extra aggregation; at data scales
+    where exact percentiles hurt, sample the input — the report is
+    descriptive, not load-bearing."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        tokenize_expr(text_col).alias("toks"),
+        F.sha2(F.col(text_col), 256).alias("_sha"),
+    )
+    n, alpha, diversity, quality = _quality_expr(
+        F.col("_t"), F.col("toks")
+    )
+    rows = base.select(
+        "doc_id",
+        "_sha",
+        n.alias("n_tokens"),
+        quality.alias("_q"),
+        _langid_expr(F.col("toks")).alias("lang_pred"),
+    )
+    decile = F.least(F.floor(F.col("_q") * 10), F.lit(9)).cast("int")
+    mix = (
+        rows.groupBy("lang_pred", decile.alias("q_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang_pred", "q_decile")
+    )
+    summary = rows.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_sha").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("_sha") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.95)").alias("p95_tokens"),
+    )
+    return {"mix": mix, "summary": summary}

@@ -700,3 +700,47 @@ def test_chunk_documents(spark):
     assert got[3][1] == (3, "w2 w3 w4")
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", 4, 4)
+
+
+def test_corpus_report(spark, unit_corpus):
+    """Dataset card: mix grid totals == corpus totals; summary
+    columns agree with the gated per-doc operators they reuse."""
+    from lucille_spark.ops.dedup import exact_duplicates
+    from lucille_spark.ops.text import (
+        corpus_report,
+        language_id,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(unit_corpus)
+    docs = docs.selectExpr(
+        "monotonically_increasing_id() AS doc_id", "content AS text"
+    )
+    rep = corpus_report(docs, "doc_id", "text")
+    mix = rep["mix"].collect()
+    summary = rep["summary"].collect()[0]
+    # grid totals == corpus totals
+    assert sum(r["n_docs"] for r in mix) == summary["n_docs"] == 200
+    assert sum(r["n_tokens"] for r in mix) == summary["total_tokens"]
+    # deciles in range, grid keys unique
+    assert all(0 <= r["q_decile"] <= 9 for r in mix)
+    keys = [(r["lang_pred"], r["q_decile"]) for r in mix]
+    assert len(keys) == len(set(keys))
+    # summary agrees with the stand-alone operators
+    q = quality_score(docs, "doc_id", "text").collect()
+    import statistics
+
+    assert summary["avg_quality"] == round(
+        statistics.mean(r["quality"] for r in q), 6
+    )
+    langs = {
+        r["lang_pred"]
+        for r in language_id(docs, "doc_id", "text").collect()
+    }
+    assert {r["lang_pred"] for r in mix} <= langs
+    n_dup_groups = exact_duplicates(docs, "doc_id", "text").count()
+    # n_unique = distinct texts; dup groups have >=2 members
+    assert summary["n_unique"] <= summary["n_docs"]
+    assert 0.0 <= summary["dup_rate"] < 1.0
+    assert summary["p50_tokens"] <= summary["p95_tokens"]
+    assert n_dup_groups >= 0
