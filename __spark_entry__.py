@@ -2729,6 +2729,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_scriptscore"] = scriptscore_q
 
+    # ---- function_score with a full functions LIST: always-on
+    # log1p field factor + a filtered weight + a gauss decay,
+    # score_mode=sum capped at max_boost, boost_mode=multiply -------
+    def fscore_multi_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {"function_score": {
+                "query": {"match": {"content": "spark batch"}},
+                "functions": [
+                    {"field_value_factor": {
+                        "field": "doc_len", "modifier": "log1p",
+                        "factor": 0.1,
+                    }},
+                    {"filter": {"match": {"content": "slow"}},
+                     "weight": 0.5},
+                    {"gauss": {"doc_len": {
+                        "origin": 40, "scale": 30, "offset": 5,
+                    }}},
+                ],
+                "score_mode": "sum",
+                "boost_mode": "multiply",
+                "max_boost": 8.0,
+            }},
+            k=15,
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_fscore_multi"] = fscore_multi_q
+
+    # ---- ES 8 combined knn + query retrieval: query_score +
+    # boost * cosine over the union of match set and knn top-k ------
+    def knn_fusion_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        emb = _emb(s, d)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        ]
+        out = search_es(
+            ex,
+            {
+                "query": {"match": {"content": "spark batch"}},
+                "knn": {"field": "embedding", "query_vector": qv,
+                        "k": 10, "boost": 2.0},
+                "size": 10,
+            },
+            emb=emb,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["sim_knn_fusion"] = knn_fusion_q
+
+    # ---- graph synonyms (multi-token KEY): the phrase "batch
+    # window" ORs with its rewrite path, the single term "stream" ---
+    def graph_syn_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search(
+            '"batch window"', k=10,
+            synonyms={"batch window": ["stream"]},
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_graph_syn"] = graph_syn_q
+    q["wand_graph_syn"] = lambda s, d: graph_syn_q(s, d, wand=True)
+
     def sqs_q(s, d):
         from lucille_spark.esdsl import search_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -4691,6 +4768,37 @@ scp AS (SELECT ph.doc_id,
 SELECT doc_id, round(s, 4) AS score FROM scp
 ORDER BY s DESC, doc_id LIMIT 10"""
 
+    # graph synonym: '"batch window"' with the multi-token key
+    # "batch window" -> ["stream"] ORs the exact phrase with the
+    # rewrite path's single term; a doc matching both sums them
+    o["ft_graph_syn"] = f"""
+WITH tok AS ({_TOK}),
+dl AS ({_DL}),
+st AS ({_ST}),
+pos AS ({_POS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('stream') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')) AS df),
+ph AS (SELECT a.doc_id, count(DISTINCT a.p) AS tfp
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.term = 'batch' AND b.term = 'window' GROUP BY a.doc_id),
+scp AS (SELECT ph.doc_id,
+        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * ph.tfp /
+        (ph.tfp + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf),
+u AS (SELECT doc_id, s FROM sc UNION ALL SELECT doc_id, s FROM scp),
+f AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM f
+ORDER BY score DESC, doc_id LIMIT 10"""
+    o["wand_graph_syn"] = o["ft_graph_syn"]
+
     # proximity ~5 ordered: exists window-pos > spark-pos with gap <= 6
     o["ft_proximity"] = f"""
 WITH tok AS ({_TOK}),
@@ -6449,6 +6557,45 @@ ORDER BY s DESC, doc_id LIMIT 15"""
   FROM sc JOIN dl USING (doc_id))
 SELECT doc_id, round(s, 6) AS score FROM dc
 ORDER BY s DESC, doc_id LIMIT 15"""
+    )
+
+    # ---- function_score multi: bm25(spark OR batch) *
+    # least(log1p(0.1*dl) + 0.5*[has 'slow'] + gauss(dl), 8.0) ------
+    _decay_dist_m = "greatest(0.0, abs(dl.dl - 40.0) - 5.0)"
+    o["ft_fscore_multi"] = (
+        _cte(["spark", "batch"])
+        + f""", agg AS (SELECT doc_id, sum(s) AS qs FROM sc GROUP BY doc_id),
+slow AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow'),
+fac AS (SELECT a.doc_id, a.qs,
+  least(ln(1.0 + 0.1 * dl.dl)
+        + (CASE WHEN sl.doc_id IS NOT NULL THEN 0.5 ELSE 0.0 END)
+        + exp(-({_decay_dist_m} * {_decay_dist_m}) / {_two_sigma2}),
+        8.0) AS f
+  FROM agg a JOIN dl ON a.doc_id = dl.doc_id
+  LEFT JOIN slow sl ON a.doc_id = sl.doc_id)
+SELECT doc_id, round(qs * f, 6) AS score FROM fac
+ORDER BY qs * f DESC, doc_id LIMIT 15"""
+    )
+
+    # ---- ES 8 knn + query fusion: bm25(spark OR batch) summed with
+    # 2 * cosine for the knn top-10 (query vector = vec_id 0) --------
+    o["sim_knn_fusion"] = (
+        _cte(["spark", "batch"])
+        + """,
+agg AS (SELECT doc_id, sum(s) AS qs FROM sc GROUP BY doc_id),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (SELECT e.vec_id AS doc_id,
+        list_dot_product(e.embedding, q.qe) /
+        (sqrt(list_dot_product(e.embedding, e.embedding)) *
+         sqrt(list_dot_product(q.qe, q.qe))) AS cr
+        FROM embeddings e CROSS JOIN qv q),
+vtop AS (SELECT doc_id, cr FROM cos
+         ORDER BY cr DESC, doc_id LIMIT 10),
+u AS (SELECT doc_id, qs AS c FROM agg
+      UNION ALL SELECT doc_id, 2.0 * cr FROM vtop),
+f AS (SELECT doc_id, sum(c) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM f
+ORDER BY score DESC, doc_id LIMIT 10"""
     )
 
     # ---- script_score: bm25('spark') * ln(2.0 + dl) ----------------

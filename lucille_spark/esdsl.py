@@ -453,20 +453,25 @@ def search_es(
         body["knn"] = dsl["knn"]
         dsl = None
     if body.get("knn") is not None:
-        # pure-knn request: the vector endpoint over an embeddings
-        # table (pass emb=). knn COMBINED with a scored query is the
-        # hybrid shape — use search_features.hybrid_rrf, which is
-        # the principled fusion at scale.
-        if dsl is not None:
-            raise UnsupportedDSL(
-                "knn + query: use search_features.hybrid_rrf"
-            )
+        # the vector endpoint over an embeddings table (pass emb=).
+        # With no query clause this is pure knn; WITH one it is the
+        # ES 8 combined retrieval — see knn_query_fusion. (RRF-rank
+        # fusion, ES's `rank: {rrf: ...}` section, stays available as
+        # search_features.hybrid_rrf.)
         if emb is None:
             raise UnsupportedDSL(
                 "knn: pass emb= (the embeddings DataFrame; the "
                 "index stores no vectors)"
             )
         spec = dict(body["knn"])
+        if dsl is not None:
+            return knn_query_fusion(
+                executor,
+                emb,
+                to_ast(dsl),
+                spec,
+                k=int(body.get("size", 10)),
+            )
         if "size" in body:
             spec.setdefault("k", int(body["size"]))
         return knn_es(emb, spec)
@@ -857,17 +862,57 @@ def search_es(
             raise UnsupportedDSL(str(exc))
 
     if kind == "function_score":
-        # field_value_factor + the three decay functions; multi-entry
-        # `functions` lists and painless scripts are out of scope
+        # field_value_factor / decay / random_score / weight-only,
+        # single or multi-entry `functions` lists with per-function
+        # filters; painless script functions are out of scope (use
+        # the script_score QUERY, which is supported)
         from lucille_spark.search_features import (
             decay_score,
             function_score,
+            function_score_multi,
         )
 
         body = dsl[kind]
+        fns = body.get("functions")
+        if fns is not None and (
+            len(fns) != 1
+            or "filter" in fns[0]
+            or "random_score" in fns[0]
+            or float(
+                (fns[0].get("field_value_factor") or {}).get(
+                    "factor", 1.0
+                )
+            )
+            != 1.0
+        ):
+            _FN_KEYS = {
+                "filter", "weight", "field_value_factor",
+                "gauss", "exp", "linear", "random_score",
+            }
+            entries = []
+            for f0 in fns:
+                bad = set(f0) - _FN_KEYS
+                if bad:
+                    raise UnsupportedDSL(
+                        f"function_score function keys: {sorted(bad)}"
+                    )
+                e = dict(f0)
+                if "filter" in e:
+                    e["filter"] = to_ast(e["filter"])
+                entries.append(e)
+            return function_score_multi(
+                executor,
+                to_ast(body.get("query", {"match_all": {}})),
+                entries,
+                score_mode=body.get("score_mode", "multiply"),
+                boost_mode=body.get("boost_mode", "multiply"),
+                max_boost=body.get("max_boost"),
+                min_score=body.get("min_score"),
+                k=k if k is not None else 10,
+            )
         # ES also allows a single function inside `functions: [...]`
-        if "functions" in body and len(body["functions"]) == 1:
-            f0 = body["functions"][0]
+        if fns is not None and len(fns) == 1:
+            f0 = fns[0]
             body = dict(body)
             body.pop("functions")
             body.update(f0)
@@ -2695,3 +2740,41 @@ def knn_es(df, body, id_col: str = "vec_id"):
             df, field, qv, _filter_column(flt), k=k, id_col=id_col
         )
     return cosine_topk(df, field, qv, k=k, id_col=id_col)
+
+
+def knn_query_fusion(
+    executor, emb_df, query, knn_body, k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES 8 combined knn + query retrieval (both sections in one
+    request body): final score = query_score + boost * knn_score,
+    summed over the UNION of the lexical match set and the knn
+    top-k — a doc in only one list keeps that list's contribution
+    (the ES convention; the knn side contributes only for its top
+    `k` candidates, exactly as ES only scores the k nearest).
+    `knn_body` is the standard knn section ({field, query_vector,
+    k, boost?, filter?}); `query` is an AST node.
+
+    Scale shape: the lexical side is the ordinary one-scan match
+    set; the knn side is already top-k pruned (one
+    TakeOrderedAndProject over the embeddings scan). Fusion is a
+    union + one k-row-dominated groupBy — the combined page never
+    materializes more than match-set + k rows, and no postings or
+    vectors shuffle. -> (doc_id, score) top-k by (score desc,
+    doc_id asc)."""
+    from pyspark.sql import functions as F
+
+    spec = dict(knn_body)
+    kboost = float(spec.pop("boost", 1.0))
+    knn = knn_es(emb_df, spec, id_col=id_col)
+    lex = executor.search(query, k=None)
+    contrib = lex.select(
+        "doc_id", F.col("score").alias("c")
+    ).unionAll(
+        knn.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(kboost) * F.col("cosine")).alias("c"),
+        )
+    )
+    fused = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+    return fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -374,6 +374,11 @@ class Planner:
         # OR-ed exact phrases (what Lucene's graph query builder
         # does for multi-word synonyms).
         self.synonyms: Dict[str, Tuple[str, ...]] = {}
+        # graph synonyms (multi-token KEYS, set via with_synonyms):
+        # list of (key-token-tuple, (alternative-token-tuple, ...)).
+        # Applied by path enumeration in phrase contexts — what
+        # Lucene's SynonymGraphFilter + graph query building does.
+        self.syn_graph: List[Tuple[Tuple[str, ...], Tuple[Tuple[str, ...], ...]]] = []
         # Lucene Analyzer.normalize() for multi-term query text
         # (prefix/wildcard/range/fuzzy bypass the tokenizer): plain
         # lowercase except where the analyzer folds (ascii_fold).
@@ -404,25 +409,44 @@ class Planner:
 
     def with_synonyms(self, synonyms) -> "Planner":
         """Cheap per-request planner variant with query-time synonym
-        rules: {surface term: [alternatives...]}. Keys are analyzed;
-        a key must analyze to exactly ONE token (multi-word synonym
-        KEYS need graph tokenization — not supported; multi-word
-        alternative VALUES are, as OR-ed phrases)."""
+        rules: {surface term: [alternatives...]}. Keys are analyzed.
+        Single-token keys apply to standalone terms (Lucene
+        SynonymQuery blended stats; multi-word alternative VALUES
+        become OR-ed phrases). MULTI-token keys are graph synonyms
+        (Lucene SynonymGraphFilter): they apply inside phrase
+        contexts — quoted phrases, match_phrase, proximity, and
+        multi-token term texts — by token-path enumeration, each
+        path planned as its own phrase and the paths OR-ed."""
         import copy
 
         p = copy.copy(self)
         norm: Dict[str, Tuple[str, ...]] = {}
+        graph: List[
+            Tuple[Tuple[str, ...], Tuple[Tuple[str, ...], ...]]
+        ] = []
         for key, alts in (synonyms or {}).items():
             ktoks = self.tokenize(key)
-            if len(ktoks) != 1:
+            if not ktoks:
                 raise ValueError(
-                    f"synonym key {key!r} must analyze to one token "
-                    f"(got {ktoks})"
+                    f"synonym key {key!r} analyzes to no tokens"
                 )
             if isinstance(alts, str):
                 alts = [alts]
-            norm[ktoks[0]] = tuple(alts)
+            if len(ktoks) == 1:
+                norm[ktoks[0]] = tuple(alts)
+            else:
+                atoks = tuple(
+                    tuple(t)
+                    for t in (self.tokenize(a) for a in alts)
+                    if t
+                )
+                if atoks:
+                    graph.append((tuple(ktoks), atoks))
         p.synonyms = norm
+        # longest key first: left-to-right longest-match expansion
+        p.syn_graph = sorted(
+            graph, key=lambda kv: (-len(kv[0]), kv[0])
+        )
         return p
 
     def plan(self, q: ast.Query) -> PNode:
@@ -510,7 +534,7 @@ class Planner:
                 return PMatchNone()
             cf = self._cfs(toks).get(toks[0], 1)
             return self._mk_term(toks[0], df, cf)
-        return self._plan_phrase(toks, 0)
+        return self._plan_phrase_syn(toks, 0)
 
     def _plan_synonym(self, tok: str, alts) -> PNode:
         """Lucene SynonymQuery semantics for a term with synonym
@@ -568,6 +592,65 @@ class Planner:
         cf_proxy = min(cfs.get(t, 1) for t in toks)
         return self._mk_phrase(toks, slop, df_proxy, cf_proxy)
 
+    def _syn_paths(
+        self, toks: Sequence[str], cap: int = 32
+    ) -> List[Tuple[str, ...]]:
+        """Token paths through the synonym graph, identity path
+        first: at each position the original token continues, every
+        multi-token graph key matching there branches into its
+        alternatives, and a single-token rule branches into its
+        (re-tokenized) alternatives. Deduplicated, capped at `cap`
+        paths (deterministic: DFS order; the cap can only drop the
+        rarest deep combinations)."""
+        if not toks or (not self.syn_graph and not self.synonyms):
+            return [tuple(toks)]
+        out: List[Tuple[str, ...]] = []
+        seen = set()
+
+        def rec(i: int, acc: List[str]) -> None:
+            if len(out) >= cap:
+                return
+            if i == len(toks):
+                t = tuple(acc)
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
+                return
+            rec(i + 1, acc + [toks[i]])
+            for key, alts in self.syn_graph:
+                if tuple(toks[i:i + len(key)]) == key:
+                    for alt in alts:
+                        rec(i + len(key), acc + list(alt))
+            for alt in self.synonyms.get(toks[i], ()):
+                atoks = self.tokenize(alt)
+                if atoks:
+                    rec(i + 1, acc + atoks)
+
+        rec(0, [])
+        return out
+
+    def _plan_phrase_syn(self, toks: List[str], slop: int) -> PNode:
+        """Phrase planning through the synonym graph: each token
+        path becomes its own (sloppy) phrase; multiple paths OR
+        (SHOULD, min 1 — a doc matching several paths sums them,
+        Lucene's graph-query BooleanQuery shape). With no synonym
+        rules in scope this IS _plan_phrase."""
+        paths = self._syn_paths(toks)
+        if len(paths) == 1:
+            return self._plan_phrase(list(paths[0]), slop)
+        nodes: List[PNode] = []
+        for p_ in paths:
+            n = self._plan_phrase(list(p_), slop)
+            if not isinstance(n, PMatchNone):
+                nodes.append(n)
+        if not nodes:
+            return PMatchNone()
+        if len(nodes) == 1:
+            return nodes[0]
+        return PBool(
+            must=(), should=tuple(nodes), must_not=(), min_should=1
+        )
+
     def _expand(
         self, terms: List[str], kind: str, source: Tuple = ()
     ) -> PNode:
@@ -580,9 +663,11 @@ class Planner:
         if isinstance(q, ast.Term):
             return self._plan_term_text(q.value)
         if isinstance(q, ast.Phrase):
-            return self._plan_phrase(self.tokenize(q.value), 0)
+            return self._plan_phrase_syn(self.tokenize(q.value), 0)
         if isinstance(q, ast.Proximity):
-            return self._plan_phrase(self.tokenize(q.value), int(q.num))
+            return self._plan_phrase_syn(
+                self.tokenize(q.value), int(q.num)
+            )
         if isinstance(q, ast.Prefix):
             p = self.normalize(q.value)
             return self._expand(

@@ -2187,6 +2187,38 @@ def distance_feature(
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _decay_col(
+    field: str,
+    origin: float,
+    scale: float,
+    offset: float,
+    decay: float,
+    fn: str,
+):
+    """decay_fn(field) as a Column (the ES decay spec: evaluates to
+    `decay` exactly at distance `scale` past `offset`). Shared by
+    decay_score and function_score_multi so both paths compute with
+    the SAME python-derived double literals."""
+    import math as _m
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    v = F.col(field).cast("double")
+    dist = F.greatest(
+        F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if fn == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * _m.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    if fn == "exp":
+        lam = _m.log(decay) / float(scale)
+        return F.exp(F.lit(lam) * dist)
+    if fn == "linear":
+        s = float(scale) / (1.0 - decay)
+        return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    raise ValueError(f"decay_score: unknown function {fn!r}")
+
+
 def decay_score(
     executor,
     query,
@@ -2216,26 +2248,9 @@ def decay_score(
     the decay arithmetic is all codegen. -> (doc_id, score) top-k
     in (score desc, doc_id asc) order, tombstone-aware (the match
     side already excludes deletes)."""
-    import math as _m
-
-    if not (0.0 < decay < 1.0):
-        raise ValueError("decay must be in (0, 1)")
     ix = executor.ix
+    dfac = _decay_col(field, origin, scale, offset, decay, fn)
     v = F.col(field).cast("double")
-    dist = F.greatest(
-        F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(float(offset))
-    )
-    if fn == "gauss":
-        sigma2 = -(float(scale) ** 2) / (2.0 * _m.log(decay))
-        dfac = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
-    elif fn == "exp":
-        lam = _m.log(decay) / float(scale)
-        dfac = F.exp(F.lit(lam) * dist)
-    elif fn == "linear":
-        s = float(scale) / (1.0 - decay)
-        dfac = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
-    else:
-        raise ValueError(f"decay_score: unknown function {fn!r}")
     matches = executor.search(query, k=None)
     meta = ix.doclens.filter(v.isNotNull()).select(
         "doc_id", dfac.alias("_decay")
@@ -2252,6 +2267,157 @@ def decay_score(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def function_score_multi(
+    executor,
+    query,
+    functions,
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    max_boost: float = None,
+    min_score: float = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES `function_score` with a full `functions` LIST: each entry
+    is {filter?: <AST query>, weight?: w} plus at most one function
+    kind — field_value_factor {field, factor, modifier, missing} /
+    gauss|exp|linear {field: {origin, scale, offset, decay}} /
+    random_score {seed} (the deterministic md5 uniform of
+    random_score) / nothing (weight-only). A function contributes
+    weight * fn(doc) when its filter matches the doc (no filter =
+    always), else nothing.
+
+    Per-doc combination follows the ES spec exactly: the matching
+    functions' values combine under `score_mode` (multiply | sum |
+    avg | max | min | first — first = the first MATCHING function in
+    list order); docs matched by NO function keep factor 1.0; the
+    total is capped at `max_boost`, then combined with the query
+    score under `boost_mode` (multiply | sum | replace | avg | max |
+    min). `min_score` drops docs below it.
+
+    Scale shape: ONE postings scan for the query (k=None match set),
+    one doclens join for the fields the functions read, ONE
+    additional match-set scan per filtered function (each filter is
+    a query; metadata-only filters touch only doclens). All factor
+    arithmetic and the score_mode combination run as codegen array
+    HOFs — no UDFs, no extra shuffle beyond the filter joins'.
+    -> (doc_id, score) top-k in (score desc, doc_id asc) order."""
+    ix = executor.ix
+    df = executor.search(query, k=None).withColumnRenamed(
+        "score", "_qs"
+    )
+    fields = set()
+    for fn in functions:
+        fvf = fn.get("field_value_factor")
+        if fvf:
+            fields.add(fvf["field"])
+        for dk in ("gauss", "exp", "linear"):
+            if dk in fn:
+                fields.add(next(iter(fn[dk])))
+    if fields:
+        meta = ix.doclens.select(
+            "doc_id",
+            *[
+                F.col(f_).cast("double").alias(f_)
+                for f_ in sorted(fields)
+            ],
+        )
+        df = df.join(meta, "doc_id", "left")
+    fac_cols = []
+    for i, fn in enumerate(functions):
+        w = float(fn.get("weight", 1.0))
+        fvf = fn.get("field_value_factor")
+        if fvf is not None:
+            mod = _FSCORE_MODIFIERS[fvf.get("modifier", "none")]
+            v = F.col(fvf["field"])
+            if "missing" in fvf:
+                v = F.coalesce(v, F.lit(float(fvf["missing"])))
+            base = mod(F.lit(float(fvf.get("factor", 1.0))) * v)
+        elif any(dk in fn for dk in ("gauss", "exp", "linear")):
+            dk = next(d for d in ("gauss", "exp", "linear") if d in fn)
+            (fld, params), = fn[dk].items()
+            base = _decay_col(
+                fld,
+                float(params["origin"]),
+                float(params["scale"]),
+                float(params.get("offset", 0.0)),
+                float(params.get("decay", 0.5)),
+                dk,
+            )
+        elif "random_score" in fn:
+            seed = int(fn["random_score"].get("seed", 0))
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(seed)), F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            base = h / F.lit(float(1 << 32))
+        else:
+            base = F.lit(1.0)
+        col_i = F.lit(w) * base
+        flt = fn.get("filter")
+        if flt is not None:
+            flag = executor.search(flt, k=None).select(
+                "doc_id", F.lit(True).alias(f"_m{i}")
+            )
+            df = df.join(flag, "doc_id", "left")
+            col_i = F.when(F.col(f"_m{i}"), col_i)
+        df = df.withColumn(f"_f{i}", col_i)
+    arr = F.array(*[F.col(f"_f{i}") for i in range(len(functions))])
+    live = F.filter(arr, lambda x: x.isNotNull())
+    nlive = F.size(live)
+    if score_mode == "multiply":
+        combined = F.aggregate(
+            live, F.lit(1.0), lambda a, x: a * x
+        )
+    elif score_mode == "sum":
+        combined = F.aggregate(
+            live, F.lit(0.0), lambda a, x: a + x
+        )
+    elif score_mode == "avg":
+        combined = (
+            F.aggregate(live, F.lit(0.0), lambda a, x: a + x) / nlive
+        )
+    elif score_mode == "max":
+        combined = F.array_max(live)
+    elif score_mode == "min":
+        combined = F.array_min(live)
+    elif score_mode == "first":
+        combined = F.element_at(live, 1)
+    else:
+        raise ValueError(f"score_mode {score_mode!r}")
+    factor = F.when(nlive == 0, F.lit(1.0)).otherwise(combined)
+    if max_boost is not None:
+        factor = F.least(factor, F.lit(float(max_boost)))
+    qs = F.col("_qs")
+    if boost_mode == "multiply":
+        score = qs * factor
+    elif boost_mode == "sum":
+        score = qs + factor
+    elif boost_mode == "replace":
+        score = factor
+    elif boost_mode == "avg":
+        score = (qs + factor) / F.lit(2.0)
+    elif boost_mode == "max":
+        score = F.greatest(qs, factor)
+    elif boost_mode == "min":
+        score = F.least(qs, factor)
+    else:
+        raise ValueError(f"boost_mode {boost_mode!r}")
+    out = df.select("doc_id", score.alias("score"))
+    if min_score is not None:
+        out = out.filter(F.col("score") >= float(min_score))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 _SCRIPT_MATH = {

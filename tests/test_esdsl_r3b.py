@@ -472,9 +472,14 @@ def test_terms_set_literal_metacharacters(spark, msm_index):
 
 def test_knn_body_section(spark, emb_df, unit_index):
     """ES 8 top-level `knn` body section == knn_es on the same spec;
-    knn+query refused (hybrid_rrf is the fusion path); missing emb=
-    refused with a pointer."""
-    from lucille_spark.esdsl import UnsupportedDSL, knn_es, search_es
+    knn+query dispatches to knn_query_fusion (the ES 8 combined
+    retrieval); missing emb= refused with a pointer."""
+    from lucille_spark.esdsl import (
+        UnsupportedDSL,
+        knn_es,
+        knn_query_fusion,
+        search_es,
+    )
     from lucille_spark.exec_df import DataFrameExecutor
 
     ix, oracle, _ = unit_index
@@ -491,11 +496,16 @@ def test_knn_body_section(spark, emb_df, unit_index):
         emb=emb_df,
     ).collect()
     assert via3 == direct[:3]
-    with pytest.raises(UnsupportedDSL, match="hybrid_rrf"):
-        search_es(
-            ex,
-            {"query": {"match": {"content": "cats"}}, "knn": spec},
-            emb=emb_df,
-        )
+    fused = search_es(
+        ex,
+        {"query": {"match": {"content": "cats"}}, "knn": spec},
+        emb=emb_df,
+    ).collect()
+    import lucille_spark.ast as A
+
+    direct_fused = knn_query_fusion(
+        ex, emb_df, A.Term("cats"), spec, k=10
+    ).collect()
+    assert fused == direct_fused
     with pytest.raises(UnsupportedDSL, match="emb="):
         search_es(ex, {"knn": spec})

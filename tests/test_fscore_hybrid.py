@@ -290,3 +290,265 @@ def test_decay_rejects_bad_params(unit_index):
             DataFrameExecutor(ix), "cats", "doc_len",
             origin=0, scale=10, fn="cosine",
         )
+
+
+# ------------------------------------- multi-entry functions list
+
+def test_function_score_multi_reference(unit_index):
+    """Two functions — an always-on log1p(doc_len) field factor and
+    a filtered weight-only boost — combined per the ES spec
+    (score_mode=sum, boost_mode=multiply, max_boost cap), checked
+    against a brute-force python reference."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import function_score_multi
+
+    ix, oracle, _ = unit_index
+    dl_by_doc = dict(
+        zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist())
+    )
+    cats_docs = {d for d, _ in oracle.search("cats", k=None)}
+    expected = []
+    for d, s in oracle.search("cats dogs", k=None):
+        fac = 2.0 * math.log1p(dl_by_doc[d])
+        if d in cats_docs:
+            fac += 0.5
+        expected.append((d, s * min(fac, 8.0)))
+    expected = sorted(expected, key=lambda r: (-r[1], r[0]))[:10]
+    rows = function_score_multi(
+        DataFrameExecutor(ix),
+        "cats dogs",
+        [
+            {
+                "field_value_factor": {
+                    "field": "doc_len", "modifier": "log1p",
+                },
+                "weight": 2.0,
+            },
+            {"filter": "cats", "weight": 0.5},
+        ],
+        score_mode="sum",
+        boost_mode="multiply",
+        max_boost=8.0,
+        k=10,
+    ).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == _ranked(expected)
+
+
+def test_function_score_multi_first_and_replace(unit_index):
+    """score_mode=first takes the first MATCHING function in list
+    order; boost_mode=replace discards the query score."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import function_score_multi
+
+    ix, oracle, _ = unit_index
+    dl_by_doc = dict(
+        zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist())
+    )
+    cats_docs = {d for d, _ in oracle.search("cats", k=None)}
+    expected = []
+    for d, _s in oracle.search("cats dogs", k=None):
+        fac = 3.0 if d in cats_docs else math.sqrt(dl_by_doc[d])
+        expected.append((d, fac))
+    expected = sorted(expected, key=lambda r: (-r[1], r[0]))[:10]
+    rows = function_score_multi(
+        DataFrameExecutor(ix),
+        "cats dogs",
+        [
+            {"filter": "cats", "weight": 3.0},
+            {
+                "field_value_factor": {
+                    "field": "doc_len", "modifier": "sqrt",
+                }
+            },
+        ],
+        score_mode="first",
+        boost_mode="replace",
+        k=10,
+    ).collect()
+    got = _ranked([(r["doc_id"], r["score"]) for r in rows])
+    assert got == _ranked(expected)
+
+
+def test_function_score_multi_no_match_is_identity(unit_index):
+    """Docs matched by NO function keep factor 1.0 (the ES rule) —
+    with every filter missing the whole page equals plain search."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import function_score_multi
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    plain = _ranked(
+        [
+            (r["doc_id"], r["score"])
+            for r in ex.search("cats dogs", k=10).collect()
+        ]
+    )
+    rows = function_score_multi(
+        ex,
+        "cats dogs",
+        [{"filter": "zzzznotaterm", "weight": 9.0}],
+        k=10,
+    ).collect()
+    assert _ranked([(r["doc_id"], r["score"]) for r in rows]) == plain
+
+
+def test_function_score_multi_dsl_dispatch(unit_index):
+    """The DSL `functions` list (with filter / score_mode /
+    boost_mode / max_boost) routes to function_score_multi."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import function_score_multi
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    direct = function_score_multi(
+        ex,
+        "cats dogs",
+        [
+            {
+                "field_value_factor": {
+                    "field": "doc_len", "modifier": "log1p",
+                },
+                "weight": 2.0,
+            },
+            {"filter": "cats", "weight": 0.5},
+        ],
+        score_mode="sum",
+        boost_mode="multiply",
+        max_boost=8.0,
+        k=10,
+    ).collect()
+    body = {
+        "query": {"match": {"content": "cats dogs"}},
+        "functions": [
+            {
+                "field_value_factor": {
+                    "field": "doc_len", "modifier": "log1p",
+                },
+                "weight": 2.0,
+            },
+            {
+                "filter": {"match": {"content": "cats"}},
+                "weight": 0.5,
+            },
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+        "max_boost": 8.0,
+    }
+    via_dsl = search_es(ex, {"function_score": body}, k=10).collect()
+    assert direct == via_dsl
+
+
+def test_function_score_multi_random_and_fvf_factor(unit_index):
+    """random_score inside a functions list reuses the deterministic
+    md5 uniform; field_value_factor's `factor` knob multiplies the
+    value BEFORE the modifier (the ES order)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import (
+        function_score_multi,
+        random_score,
+    )
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    # boost_mode=replace + a single random_score function ==
+    # random_score helper (which rounds; mirror the rounding)
+    rows = function_score_multi(
+        ex, "cats", [{"random_score": {"seed": 7}}],
+        boost_mode="replace", k=10,
+    ).collect()
+    ref = random_score(ex, "cats", seed=7, k=10).collect()
+    got = _ranked([(r["doc_id"], round(r["score"], 6)) for r in rows])
+    assert got == _ranked([(r["doc_id"], r["score"]) for r in ref])
+    # fvf factor: modifier(factor * value)
+    import math as _m
+
+    dl_by_doc = dict(
+        zip(oracle.sd.all_ids.tolist(), oracle.sd.all_dls.tolist())
+    )
+    expected = sorted(
+        (
+            (d, s * _m.log1p(0.1 * dl_by_doc[d]))
+            for d, s in oracle.search("cats", k=None)
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    rows2 = function_score_multi(
+        ex,
+        "cats",
+        [
+            {
+                "field_value_factor": {
+                    "field": "doc_len",
+                    "modifier": "log1p",
+                    "factor": 0.1,
+                }
+            }
+        ],
+        k=10,
+    ).collect()
+    got2 = _ranked([(r["doc_id"], r["score"]) for r in rows2])
+    assert got2 == _ranked(expected)
+
+
+# ------------------------------------------- ES 8 knn+query fusion
+
+def test_knn_query_fusion_reference(unit_index, emb_for_unit):
+    """query_score + boost * knn_score over the union of the lexical
+    match set and the knn top-k, vs a brute-force reference."""
+    import numpy as np
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.esdsl import knn_query_fusion, search_es
+
+    ix, oracle, _ = unit_index
+    emb_df, by_id = emb_for_unit
+    qv = by_id[0]
+    knn_k, boost = 5, 2.0
+    cos = {
+        d: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for d, v in by_id.items()
+    }
+    top_knn = sorted(cos, key=lambda d: (-cos[d], d))[:knn_k]
+    contrib = {}
+    for d, s in oracle.search("cats dogs", k=None):
+        contrib[d] = contrib.get(d, 0.0) + s
+    for d in top_knn:
+        contrib[d] = contrib.get(d, 0.0) + boost * cos[d]
+    expected = sorted(
+        contrib.items(), key=lambda r: (-r[1], r[0])
+    )[:10]
+    ex = DataFrameExecutor(ix)
+    knn_body = {
+        "field": "embedding",
+        "query_vector": [float(x) for x in qv],
+        "k": knn_k,
+        "boost": boost,
+    }
+    rows = knn_query_fusion(
+        ex,
+        emb_df,
+        "cats dogs",
+        knn_body,
+        k=10,
+    ).collect()
+    got = _ranked(
+        [(r["doc_id"], r["score"]) for r in rows], round_to=6
+    )
+    assert got == _ranked(expected, round_to=6)
+    # the ES 8 request-body shape dispatches to the same fusion
+    via_dsl = search_es(
+        ex,
+        {
+            "query": {"match": {"content": "cats dogs"}},
+            "knn": knn_body,
+            "size": 10,
+        },
+        emb=emb_df,
+    ).collect()
+    got_dsl = _ranked(
+        [(r["doc_id"], r["score"]) for r in via_dsl], round_to=6
+    )
+    assert got_dsl == got

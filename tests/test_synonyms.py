@@ -119,10 +119,64 @@ def test_multiword_alternative_becomes_phrase(syn_index):
     assert node.min_should == 1 and not node.must
 
 
-def test_multiword_key_rejected(syn_index):
+def test_multiword_key_graph_phrase(syn_index):
+    """A multi-token KEY is a graph synonym: inside a phrase it
+    branches the token path — '"map reduce"' with map reduce->batch
+    plans to OR(Phrase(map reduce), Term(batch))."""
     ix, oracle = syn_index
-    with pytest.raises(ValueError, match="one token"):
-        ix.plan("spark", synonyms={"map reduce": ["mr"]})
+    node = ix.plan('"map reduce"', synonyms={"map reduce": ["batch"]})
+    assert isinstance(node, P.PBool)
+    kinds = sorted(type(c).__name__ for c in node.should)
+    assert kinds == ["PPhrase", "PTerm"]
+    assert node.min_should == 1 and not node.must
+
+
+def test_multiword_key_inert_outside_phrases(syn_index):
+    """The same rule leaves single-token queries untouched."""
+    ix, oracle = syn_index
+    node = ix.plan("spark", synonyms={"map reduce": ["mr"]})
+    assert isinstance(node, P.PTerm)
+
+
+def test_graph_key_inside_longer_phrase(syn_index):
+    """'"the map reduce job"' with map reduce->batch: two phrase
+    paths — the original and [the, batch, job]."""
+    ix, oracle = syn_index
+    node = ix.plan(
+        '"the map reduce job"', synonyms={"map reduce": ["batch"]}
+    )
+    assert isinstance(node, P.PBool)
+    phrases = sorted(
+        c.terms for c in node.should if isinstance(c, P.PPhrase)
+    )
+    assert ("the", "batch", "job") in phrases
+    assert ("the", "map", "reduce", "job") in phrases
+
+
+def test_single_token_rule_inside_phrase(syn_index):
+    """Single-token rules also branch phrase paths (Lucene applies
+    the synonym filter inside phrases too): '"spark batch"' with
+    spark->window adds the [window, batch] path."""
+    ix, oracle = syn_index
+    node = ix.plan(
+        '"spark batch"', synonyms={"spark": ["window"]}
+    )
+    assert isinstance(node, P.PBool)
+    phrases = sorted(
+        c.terms for c in node.should if isinstance(c, P.PPhrase)
+    )
+    assert ("spark", "batch") in phrases
+    assert ("window", "batch") in phrases
+
+
+def test_graph_paths_missing_alt_dropped(syn_index):
+    """An alternative path containing an unindexed token plans to
+    MatchNone and drops out, leaving the identity phrase alone."""
+    ix, oracle = syn_index
+    node = ix.plan(
+        '"map reduce"', synonyms={"map reduce": ["zzznotaterm"]}
+    )
+    assert isinstance(node, P.PPhrase)
 
 
 # ---------------------------------------------------------- scoring
@@ -199,6 +253,11 @@ SYN_QUERIES = [
     ("spark", {"spark": ["map reduce"]}),        # phrase alternative
     ("spark", {"spark": ["batch", "map reduce"]}),
     ("window", {"spark": ["batch"]}),            # rule doesn't fire
+    # graph (multi-token-key) synonyms: phrase-path enumeration
+    ('"map reduce"', {"map reduce": ["batch"]}),
+    ('"the map reduce job"', {"map reduce": ["spark"]}),
+    ('"spark batch"', {"spark": ["window"]}),    # 1-token rule in phrase
+    ('"map reduce" OR window', {"map reduce": ["batch"]}),
 ]
 
 
