@@ -1275,6 +1275,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_hybrid_rrf"] = hybrid_q
 
+    # the same fusion through the ES 8 request-body `rank: {rrf}`
+    # section (query + knn + rank in one body)
+    def rank_rrf_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _index_for(s, d)
+        emb = _emb(s, d)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        ]
+        out = search_es(
+            DataFrameExecutor(ix),
+            {
+                "query": {"match": {"content": "spark batch"}},
+                "knn": {"field": "embedding", "query_vector": qv},
+                "rank": {"rrf": {"rank_window_size": 50,
+                                 "rank_constant": 60}},
+                "size": 10,
+            },
+            emb=emb,
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["ft_rank_rrf"] = rank_rrf_q
+
     # ---- significant terms (ES significant_terms over a sampler
     # agg): JLH-scored terms over-represented in the top-50 'spark'
     # matches vs the dictionary background.
@@ -1362,6 +1392,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipe_report_summary"] = report_summary_q
+
+    # ---- DSIR importance resampling (Xie et al. 2023): weight raw
+    # docs toward the lang='en' slice as the target domain ----------
+    def dsir_logw_q(s, d):
+        from lucille_spark.ops.text import dsir_weights
+
+        docs = _docs(s, d)
+        tgt = docs.filter(F.lower(F.col("lang")) == "en")
+        out = dsir_weights(docs, "doc_id", "text", tgt)
+        return out.select(
+            "doc_id", "n_grams", F.round("logw", 4).alias("logw")
+        ).orderBy("doc_id")
+
+    q["pipe_dsir_logw"] = dsir_logw_q
+
+    def dsir_sample_q(s, d):
+        from lucille_spark.ops.text import dsir_sample
+
+        docs = _docs(s, d)
+        tgt = docs.filter(F.lower(F.col("lang")) == "en")
+        out = dsir_sample(docs, "doc_id", "text", tgt, n=50, seed=7)
+        return out.select(
+            "doc_id",
+            F.round("logw", 4).alias("logw"),
+            F.round("key", 4).alias("key"),
+        )
+
+    q["pipe_dsir_sample"] = dsir_sample_q
 
     # ---- the ES percolate QUERY direction: one incoming document
     # (doc 7's text) against the stored queries — the alerting shape
@@ -4631,6 +4689,8 @@ f AS (SELECT doc_id, sum(c) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, round(score, 6) AS score FROM f
 ORDER BY score DESC, doc_id LIMIT 10"""
     )
+    # the request-body rank.rrf section is the same fusion
+    o["ft_rank_rrf"] = o["ft_hybrid_rrf"]
 
     # significant terms: top-50 'spark' matches as foreground, whole
     # corpus as background, JLH = (fg% - bg%) * fg%/bg%
@@ -5049,6 +5109,48 @@ SELECT (SELECT count(*) FROM qv) AS n_docs,
   (SELECT round(avg(q), 6) FROM qv) AS avg_quality,
   (SELECT round(quantile_cont(n, 0.5), 4) FROM qv) AS p50_tokens,
   (SELECT round(quantile_cont(n, 0.95), 4) FROM qv) AS p95_tokens"""
+    )
+
+    # DSIR: hashed unigram+bigram buckets (md5 mod M31 mod 4096),
+    # add-1 smoothed target (lang='en') vs raw models, per-doc
+    # logw = sum c_b * (ln p_b - ln q_b); the sample gate adds the
+    # deterministic Gumbel top-k key
+    _DSIR_W = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}),
+g AS (SELECT doc_id, term AS gr FROM tok
+      UNION ALL
+      SELECT a.doc_id, a.term || ' ' || b.term AS gr
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+gb AS (SELECT doc_id,
+       ((cast(('0x' || substring(md5(gr), 1, 8)) as bigint) % {M31})
+        % 4096) AS b FROM g),
+dbc AS (SELECT doc_id, b, count(*) AS c FROM gb GROUP BY doc_id, b),
+qc AS (SELECT b, sum(c) AS cq FROM dbc GROUP BY b),
+pc AS (SELECT dbc.b, sum(dbc.c) AS cp FROM dbc
+       JOIN documents d USING (doc_id)
+       WHERE lower(d.lang) = 'en' GROUP BY dbc.b),
+tot AS (SELECT (SELECT sum(cq) FROM qc) AS tq,
+               (SELECT sum(cp) FROM pc) AS tp),
+diff AS (SELECT qc.b,
+         ln((coalesce(pc.cp, 0) + 1.0) / (tot.tp + 4096.0))
+         - ln((qc.cq + 1.0) / (tot.tq + 4096.0)) AS dd
+         FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot),
+w AS (SELECT dbc.doc_id, sum(dbc.c) AS n_grams,
+      sum(dbc.c * diff.dd) AS logw
+      FROM dbc JOIN diff USING (b) GROUP BY dbc.doc_id)
+"""
+    o["pipe_dsir_logw"] = (
+        _DSIR_W
+        + """SELECT doc_id, cast(n_grams AS bigint) AS n_grams,
+round(logw, 4) AS logw FROM w ORDER BY doc_id"""
+    )
+    o["pipe_dsir_sample"] = (
+        _DSIR_W
+        + """, k AS (SELECT doc_id, logw, logw - ln(-ln(
+  (cast(('0x' || substring(md5('7:' || cast(doc_id AS varchar)),
+   1, 8)) AS bigint) + 0.5) / 4294967296.0)) AS key FROM w)
+SELECT doc_id, round(logw, 4) AS logw, round(key, 4) AS key
+FROM k ORDER BY key DESC, doc_id LIMIT 50"""
     )
 
     o["tx_fingerprint"] = f"""

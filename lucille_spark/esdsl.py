@@ -464,6 +464,34 @@ def search_es(
                 "index stores no vectors)"
             )
         spec = dict(body["knn"])
+        rank = body.get("rank")
+        if rank is not None:
+            # ES 8 `rank: {rrf: ...}` — reciprocal-rank fusion of the
+            # lexical and knn retrievers instead of score summing
+            if set(rank) != {"rrf"}:
+                raise UnsupportedDSL(f"rank: only rrf, got {sorted(rank)}")
+            if dsl is None:
+                raise UnsupportedDSL(
+                    "rank.rrf needs both a query and a knn section"
+                )
+            if "filter" in spec:
+                raise UnsupportedDSL(
+                    "rank.rrf with a knn filter: filter the query side "
+                    "or use knn_es + hybrid_rrf directly"
+                )
+            rrf = rank["rrf"] or {}
+            from lucille_spark.search_features import hybrid_rrf
+
+            return hybrid_rrf(
+                executor,
+                emb,
+                to_ast(dsl),
+                [float(x) for x in spec["query_vector"]],
+                k=int(body.get("size", 10)),
+                k0=int(rrf.get("rank_constant", 60)),
+                depth=int(rrf.get("rank_window_size", 50)),
+                vec_col=spec.get("field", "embedding"),
+            )
         if dsl is not None:
             return knn_query_fusion(
                 executor,

@@ -1480,3 +1480,141 @@ def corpus_report(
         F.expr("percentile(n_tokens, 0.95)").alias("p95_tokens"),
     )
     return {"mix": mix, "summary": summary}
+
+
+def _dsir_doc_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """-> (doc_id, b, c): per-document hashed n-gram bucket counts —
+    the DSIR feature space (unigrams + bigrams, portable md5 hash
+    mod `buckets`). One in-row gram build (no position join), one
+    explode, one (doc, bucket) aggregation with map-side combine."""
+    grams = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_expr(text_col).alias("_t"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("_t"),
+            F.expr(
+                "transform(slice(_t, 1, greatest(size(_t) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+            ),
+        ).alias("_g"),
+    )
+    h = F.expr(TOKEN_HASH_SPARK.format(tok="gram"))
+    return (
+        grams.select("doc_id", F.explode("_g").alias("gram"))
+        .select("doc_id", F.pmod(h, F.lit(buckets)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    target_text_col: Optional[str] = None,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS — the
+    standard recipe for steering a raw web corpus toward a target
+    domain without a trained model): represent every document as
+    hashed n-gram (unigram + bigram) bucket counts, fit two add-1
+    smoothed bag-of-buckets models — p from `target_df` (the domain
+    you WANT, e.g. curated wiki/books) and q from `df` (the raw
+    corpus) — and weight each raw doc by
+
+        log w(x) = sum_b c_b(x) * (log p_b - log q_b).
+
+    High log-w docs look like the target. -> (doc_id, n_grams,
+    logw). Docs with zero tokens drop out (no features).
+
+    Scale shape: gram building is in-row; per-doc bucket counts
+    aggregate map-side before their one shuffle; BOTH models reduce
+    to `buckets`-row tables (a broadcast), so the reweighting join
+    is a broadcast hash join against the per-doc bucket counts —
+    nothing corpus-sized ever shuffles twice, and the target sample
+    is typically tiny next to the corpus."""
+    raw = _dsir_doc_buckets(df, id_col, text_col, buckets)
+    tgt = _dsir_doc_buckets(
+        target_df, id_col, target_text_col or text_col, buckets
+    )
+    q_counts = raw.groupBy("b").agg(F.sum("c").alias("cq"))
+    p_counts = tgt.groupBy("b").agg(F.sum("c").alias("cp"))
+    q_tot = q_counts.agg(F.sum("cq").alias("tq"))
+    p_tot = p_counts.agg(F.sum("cp").alias("tp"))
+    diff = (
+        q_counts.join(p_counts, "b", "left")
+        .crossJoin(F.broadcast(q_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1.0)
+                    / (F.col("tp") + F.lit(float(buckets)))
+                )
+                - F.log(
+                    (F.col("cq") + 1.0)
+                    / (F.col("tq") + F.lit(float(buckets)))
+                )
+            ).alias("_d"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(diff), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("_d")).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    n: int,
+    seed: int = 0,
+    target_text_col: Optional[str] = None,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR selection step: importance-RESAMPLE `n` documents via
+    the Gumbel top-k trick — key(x) = log w(x) + Gumbel(seed, x),
+    Gumbel = -ln(-ln(u)) with u the deterministic md5 uniform of
+    (seed, doc) — which draws WITHOUT replacement from the softmax
+    of the importance weights (Vieira 2014; the standard distributed
+    weighted sample: no global normalizer, fully parallel, stable
+    across retries/engines). -> (doc_id, logw, key) top-n by (key
+    desc, doc_id asc)."""
+    w = dsir_weights(
+        df, id_col, text_col, target_df,
+        target_text_col=target_text_col, buckets=buckets,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.col("logw") - F.log(-F.log(u))
+    return (
+        w.select("doc_id", "logw", key.alias("key"))
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(n)
+    )

@@ -552,3 +552,49 @@ def test_knn_query_fusion_reference(unit_index, emb_for_unit):
         [(r["doc_id"], r["score"]) for r in via_dsl], round_to=6
     )
     assert got_dsl == got
+
+
+def test_rank_rrf_body_section(unit_index, emb_for_unit):
+    """ES 8 `rank: {rrf}` request-body section == hybrid_rrf on the
+    same knobs; a knn filter under rrf is refused."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.search_features import hybrid_rrf
+
+    ix, oracle, _ = unit_index
+    emb_df, by_id = emb_for_unit
+    qv = [float(x) for x in by_id[0]]
+    ex = DataFrameExecutor(ix)
+    direct = hybrid_rrf(
+        ex, emb_df, "cats dogs", qv, k=5, k0=60, depth=20
+    ).collect()
+    via = search_es(
+        ex,
+        {
+            "query": {"match": {"content": "cats dogs"}},
+            "knn": {"field": "embedding", "query_vector": qv},
+            "rank": {"rrf": {"rank_window_size": 20,
+                             "rank_constant": 60}},
+            "size": 5,
+        },
+        emb=emb_df,
+    ).collect()
+    assert direct == via
+    with pytest.raises(UnsupportedDSL, match="filter"):
+        search_es(
+            ex,
+            {
+                "query": {"match": {"content": "cats"}},
+                "knn": {"field": "embedding", "query_vector": qv,
+                        "filter": {"term": {"lang": "en"}}},
+                "rank": {"rrf": {}},
+            },
+            emb=emb_df,
+        )
+    with pytest.raises(UnsupportedDSL, match="both"):
+        search_es(
+            ex,
+            {"knn": {"field": "embedding", "query_vector": qv},
+             "rank": {"rrf": {}}},
+            emb=emb_df,
+        )

@@ -744,3 +744,78 @@ def test_corpus_report(spark, unit_corpus):
     assert 0.0 <= summary["dup_rate"] < 1.0
     assert summary["p50_tokens"] <= summary["p95_tokens"]
     assert n_dup_groups >= 0
+
+
+def test_dsir_weights_reference(spark):
+    """DSIR logw against a brute-force python reference (same
+    tokenizer, same md5 bucket hash, add-1 smoothing)."""
+    import math
+
+    import pytest as _pytest
+
+    from lucille_spark.analysis import get_analyzer
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.ops.text import dsir_sample, dsir_weights
+
+    rows = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "der schnelle braune fuchs", "de"),
+        (2, "the lazy dog sleeps all day", "en"),
+        (3, "le renard brun rapide", "fr"),
+        (4, "quick dog quick fox", "en"),
+        (5, "brauner hund schlaeft", "de"),
+        (6, "the dog and the fox", "xx"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    tgt = docs.filter("lang = 'en'")
+    B = 4096
+    tok = get_analyzer("standard")
+
+    def buckets(text):
+        t = tok(text)
+        grams = list(t) + [
+            f"{a} {b}" for a, b in zip(t, t[1:])
+        ]
+        return [token_hash_py(g) % B for g in grams]
+
+    qc, pc = {}, {}
+    for i, text, lang in rows:
+        for b in buckets(text):
+            qc[b] = qc.get(b, 0) + 1
+            if lang == "en":
+                pc[b] = pc.get(b, 0) + 1
+    tq, tp = sum(qc.values()), sum(pc.values())
+    expected = {}
+    for i, text, _lang in rows:
+        lw = 0.0
+        for b in buckets(text):
+            lw += math.log((pc.get(b, 0) + 1.0) / (tp + B)) - math.log(
+                (qc[b] + 1.0) / (tq + B)
+            )
+        expected[i] = lw
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_weights(docs, "doc_id", "text", tgt).collect()
+    }
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i] == _pytest.approx(expected[i], abs=1e-9)
+    # English-looking docs must outweigh the others
+    assert min(expected[0], expected[2], expected[4]) > max(
+        expected[1], expected[3], expected[5]
+    )
+    # Gumbel top-k sample: right size, keys descending, ids valid
+    samp = dsir_sample(
+        docs, "doc_id", "text", tgt, n=3, seed=7
+    ).collect()
+    assert len(samp) == 3
+    keys = [r["key"] for r in samp]
+    assert keys == sorted(keys, reverse=True)
+    assert {r["doc_id"] for r in samp} <= set(expected)
+    # deterministic across invocations
+    samp2 = dsir_sample(
+        docs, "doc_id", "text", tgt, n=3, seed=7
+    ).collect()
+    assert samp == samp2

@@ -293,3 +293,79 @@ def test_searcher_facade(syn_index):
     expected = oracle.search("spark", k=5, synonyms={"spark": ["batch"]})
     assert [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows] \
         == [(d, round(s_, 9)) for d, s_ in expected]
+
+
+# ------------------------------------------- graph path enumeration
+
+def _mk_planner(rules):
+    """Planner over a tiny in-memory dictionary (every lowercase
+    token 'indexed'), for pure-python path-enumeration checks."""
+    from tests.oracle import InMemoryDictionary
+
+    import lucille_spark.plans as P2
+
+    d = InMemoryDictionary(
+        {t: 3 for t in
+         "a b c d e x y z aa bb cc spark batch window stream".split()},
+        {t: 5 for t in
+         "a b c d e x y z aa bb cc spark batch window stream".split()},
+    )
+    pl = P2.Planner(d, n_docs=10)
+    return pl.with_synonyms(rules)
+
+
+def test_syn_paths_invariants():
+    """Identity path first; paths deduplicated; cap respected; every
+    path derivable from the rules by left-to-right rewriting."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest as _p
+
+        _p.skip("hypothesis unavailable")
+
+    vocab = ["a", "b", "c", "d", "e"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        toks=st.lists(st.sampled_from(vocab), min_size=1, max_size=6),
+        data=st.data(),
+    )
+    def run(toks, data):
+        # random rule set: up to 3 rules, keys of 1-2 tokens,
+        # alternatives of 1-2 tokens
+        n_rules = data.draw(st.integers(0, 3))
+        rules = {}
+        for _ in range(n_rules):
+            klen = data.draw(st.integers(1, 2))
+            key = " ".join(
+                data.draw(st.sampled_from(vocab)) for _ in range(klen)
+            )
+            alen = data.draw(st.integers(1, 2))
+            alt = " ".join(
+                data.draw(st.sampled_from(vocab)) for _ in range(alen)
+            )
+            rules.setdefault(key, []).append(alt)
+        pl = _mk_planner(rules)
+        paths = pl._syn_paths(toks)
+        assert paths[0] == tuple(toks)          # identity first
+        assert len(paths) == len(set(paths))    # deduped
+        assert len(paths) <= 32                 # cap
+        assert all(len(p) >= 1 for p in paths)
+
+    run()
+
+
+def test_syn_paths_overlapping_keys():
+    """Two keys sharing a token each produce their own path; the
+    combined rewrite of non-overlapping occurrences also appears."""
+    pl = _mk_planner({"a b": ["x"], "b c": ["y"], "d": ["z"]})
+    paths = pl._syn_paths(["a", "b", "c", "d"])
+    assert ("a", "b", "c", "d") in paths        # identity
+    assert ("x", "c", "d") in paths             # a b -> x
+    assert ("a", "y", "d") in paths             # b c -> y
+    assert ("x", "c", "z") in paths             # both rewrites
+    # the overlapping double-rewrite is impossible: once 'a b' is
+    # consumed, 'b c' can't also fire
+    assert ("x", "y", "d") not in paths
