@@ -117,6 +117,37 @@ def _english_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _gram_index_for(spark: SparkSession, sf_dir: str):
+    """documents index under analyzer='edge_ngram' (Lucene
+    EdgeNGramTokenFilter / ES search_as_you_type: every token also
+    emits its 2..10-char prefixes; query side analyzes standard)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "gram:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"gram_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="edge_ngram"
+        ).build(
+            _docs(spark, sf_dir),
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -954,7 +985,11 @@ _GATE_PRIORITY = [
     # WAND positional kernel stays covered by wand_phrase and the
     # local mirror)
     "ft_proximity",
-    "ft_field", "wand_field",
+    "ft_field",
+    # (wand_field freed its slot for the edge_ngram index family —
+    # the WAND meta-filter path stays covered by the local mirror;
+    # ft_field keeps the semantics in-window)
+    "ft_gram_ix",
     "ft_prefix", "wand_prefix",
     "ft_wildcard",
     # (wand_wildcard freed its slot for the geo family — the WAND
@@ -964,9 +999,11 @@ _GATE_PRIORITY = [
     # family — the PExpand regex path stays covered by ft_wildcard
     # plus the local mirror's full registry run)
     "dd_substring",
-    # (wand_range freed a slot likewise — PRange on the WAND path
-    # stays in the local mirror)
-    "ft_range",
+    # (wand_range freed a slot likewise, and in this session
+    # ft_range freed its slot for the DSIR importance-resampling
+    # family — PRange is the same ordered-dictionary-slice machinery
+    # as ft_prefix and stays in the local mirror)
+    "pipe_dsir_logw",
     "ft_fuzzy",
     "ft_minmatch",
     # (ft_boost freed its slot for the SynonymQuery family — boost
@@ -4028,6 +4065,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["ft_kw_ix"] = ft_kw_ix_q
+
+    # ---- edge_ngram analyzer (search_as_you_type): a PARTIAL query
+    # term is an exact dictionary hit over the gram index; query
+    # side analyzes with the standard rule ---------------------------
+    def ft_gram_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _gram_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("spar batch", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_gram_ix"] = ft_gram_ix_q
+    q["wand_gram_ix"] = lambda s, d: ft_gram_ix_q(s, d, wand=True)
+
+    # ---- Lucene CommonTermsQuery: df split at cutoff, low-df terms
+    # gate, high-df ("common") terms only add score -------------------
+    def ft_common_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import common_terms
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = common_terms(
+            ex, "spark batch dup", cutoff_frequency=0.5, k=10
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_common"] = ft_common_q
+
+    # ---- ES runtime fields: sort the match set by a per-request
+    # computed expression over stored doc values ---------------------
+    def ft_runtime_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {
+                "query": {"match": {"content": "spark"}},
+                "runtime_mappings": {
+                    "weird_len": {
+                        "type": "double",
+                        "script": {
+                            "source": (
+                                "doc['doc_len'].value * params.f + 3"
+                            ),
+                            "params": {"f": 2.0},
+                        },
+                    }
+                },
+                "sort": [{"weird_len": {"order": "desc"}}],
+                "size": 10,
+            },
+        )
+        return out.select(
+            "doc_id", F.round("weird_len", 4).alias("weird_len")
+        )
+
+    q["ft_runtime"] = ft_runtime_q
+
+    # ---- request-body min_score (filter BEFORE the top-k cut) and
+    # track_total_hits (exact hits.total alongside the page) ---------
+    def ft_min_score_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {
+                "query": {"match": {"content": "spark batch"}},
+                "min_score": 0.2,
+                "size": 10,
+            },
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_min_score"] = ft_min_score_q
+
+    def ft_track_total_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {
+                "query": {"match": {"content": "spark"}},
+                "track_total_hits": True,
+                "size": 5,
+            },
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score"), "total"
+        )
+
+    q["ft_track_total"] = ft_track_total_q
 
     # ---- index sorting: early-terminated sort serving ---------------
     def ft_sorted_serve_q(s, d):
@@ -7881,6 +8017,80 @@ ok AS (SELECT DISTINCT parent_id FROM tagged
 SELECT m.doc_id, round(m.s, 4) AS score
 FROM m JOIN ok ON m.doc_id = ok.parent_id
 ORDER BY m.s DESC, m.doc_id LIMIT 10"""
+    )
+
+    # edge_ngram analyzer: the corpus is re-tokenized into edge
+    # grams (analysis.EDGE_NGRAM_TOKENIZE_SQL_DUCKDB — the SAME rule
+    # the builder's pandas kernel applies), then plain BM25 over the
+    # gram dictionary. 'spar' is a PARTIAL term and must be an exact
+    # gram hit (df of 'spar' > df of 'spark'); dl/avgdl are GRAM
+    # counts.
+    from lucille_spark.analysis import EDGE_NGRAM_TOKENIZE_SQL_DUCKDB
+
+    _gram_tok = (
+        "SELECT doc_id, "
+        + EDGE_NGRAM_TOKENIZE_SQL_DUCKDB.format(col="text")
+        + " AS term FROM documents"
+    )
+    o["ft_gram_ix"] = f"""
+WITH gtok AS ({_gram_tok}),
+gdl AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d
+        LEFT JOIN gtok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+gst AS (SELECT (SELECT count(*) FROM documents) AS n,
+        (SELECT avg(dl) FROM gdl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM gtok
+       WHERE term IN ('spar', 'batch') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (gst.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * gdl.dl / gst.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN gdl USING (doc_id)
+       CROSS JOIN gst),
+agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    o["wand_gram_ix"] = o["ft_gram_ix"]
+
+    # CommonTermsQuery: terms whose df <= 0.5*n gate the match set
+    # (OR over the low group); common terms add score on matching
+    # docs only
+    o["ft_common"] = (
+        _cte(["spark", "batch", "dup"])
+        + """, lowd AS (SELECT DISTINCT c.doc_id FROM sc c
+        JOIN dfs USING (term) CROSS JOIN st
+        WHERE dfs.df <= 0.5 * st.n),
+f AS (SELECT c.doc_id, sum(c.s) AS score FROM sc c
+      JOIN lowd USING (doc_id) GROUP BY c.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM f
+ORDER BY score DESC, doc_id LIMIT 10"""
+    )
+
+    # runtime field: weird_len = doc_len * 2 + 3 over the 'spark'
+    # match set, sorted by it (doc_len = standard token count)
+    o["ft_runtime"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT m.doc_id, CAST(round(dl.dl * 2.0 + 3, 4) AS DOUBLE) AS weird_len
+FROM m JOIN dl USING (doc_id)
+ORDER BY weird_len DESC, doc_id LIMIT 10"""
+
+    # min_score: filter the FULL ranking before the top-k cut
+    o["ft_min_score"] = (
+        _cte(["spark", "batch"])
+        + """, f AS (SELECT doc_id, sum(s) AS score FROM sc
+                     GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM f WHERE score >= 0.2
+ORDER BY score DESC, doc_id LIMIT 10"""
+    )
+
+    # track_total_hits: exact match total alongside the page
+    o["ft_track_total"] = (
+        _cte(["spark"])
+        + """, f AS (SELECT doc_id, sum(s) AS score FROM sc
+                     GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score,
+       (SELECT count(*) FROM f) AS total FROM f
+ORDER BY score DESC, doc_id LIMIT 5"""
     )
 
     return o

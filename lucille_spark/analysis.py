@@ -396,6 +396,88 @@ KEYWORD_TOKENIZE_SQL_DUCKDB = (
 )
 
 
+# ------------------------------------------------------------------
+# "edge_ngram" (Lucene EdgeNGramTokenFilter, the ES
+# search_as_you_type / autocomplete index shape): every standard
+# token additionally emits its leading prefixes ("grams") so a
+# PARTIALLY TYPED query term is an exact dictionary hit — no
+# query-time prefix expansion, which is the point at scale: the
+# expansion cost moves to index build (bounded: <= MAX-MIN+1 grams
+# per token) and queries stay single-term lookups.
+# ------------------------------------------------------------------
+# Fixed rule (one deterministic parameterization so all four
+# implementations and the oracle SQL can never drift):
+#   * base tokens = the standard rule (lowercase, runs of [a-z0-9_])
+#   * a token shorter than MIN_GRAM emits itself verbatim (nothing
+#     vanishes from the index — ES keep-original behavior)
+#   * otherwise it emits t[:n] for n in MIN_GRAM..min(len, MAX_GRAM)
+#     (tokens longer than MAX_GRAM are prefix-searchable up to
+#     MAX_GRAM chars only — the edge-gram contract)
+# POSITIONS: grams are position-indexed densely in emission order
+# (like the stop analyzer's dense re-index); phrase/proximity over
+# an edge-gram index is not meaningful and is documented as such.
+# Query-side, the SEARCH analyzer is "standard" (SEARCH_ANALYZERS
+# below) — exactly ES's search_as_you_type, where the query text is
+# NOT re-grammed.
+
+EDGE_MIN_GRAM = 2
+EDGE_MAX_GRAM = 10
+
+
+def edge_ngram_tokenize(text: str) -> List[str]:
+    """Pure-Python edge n-gram analyzer (rule above)."""
+    out: List[str] = []
+    for t in _TOKEN_RE.findall(text.lower()):
+        if len(t) < EDGE_MIN_GRAM:
+            out.append(t)
+        else:
+            out.extend(
+                t[:n]
+                for n in range(
+                    EDGE_MIN_GRAM, min(len(t), EDGE_MAX_GRAM) + 1
+                )
+            )
+    return out
+
+
+def edge_ngram_tokenize_expr(col: str):
+    """Spark Column of array<string>: the edge n-gram analyzer as
+    built-in JVM expressions (flatten/transform/sequence — stays in
+    whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize_expr(col)
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                F.length(t) < EDGE_MIN_GRAM, F.array(t)
+            ).otherwise(
+                F.transform(
+                    F.sequence(
+                        F.lit(EDGE_MIN_GRAM),
+                        F.least(F.length(t), F.lit(EDGE_MAX_GRAM)),
+                    ),
+                    lambda n: t.substr(F.lit(1), n),
+                )
+            ),
+        )
+    )
+
+
+EDGE_NGRAM_TOKENIZE_SQL_DUCKDB = (
+    "unnest(flatten(list_transform(list_filter("
+    "regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), "
+    "t -> t <> ''), t -> CASE WHEN length(t) < "
+    + str(EDGE_MIN_GRAM)
+    + " THEN [t] ELSE list_transform(range("
+    + str(EDGE_MIN_GRAM)
+    + ", least(length(t), "
+    + str(EDGE_MAX_GRAM)
+    + ") + 1), n -> t[1:n]) END)))"
+)
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
@@ -408,7 +490,21 @@ ANALYZERS = {
     "ascii_fold": ascii_fold_tokenize,
     "whitespace": whitespace_tokenize,
     "keyword": keyword_tokenize,
+    "edge_ngram": edge_ngram_tokenize,
 }
+
+# Lucene search_analyzer: analyzers whose QUERY-side analysis
+# differs from the index side. edge_ngram indexes grams but queries
+# with plain standard tokens (ES search_as_you_type) — re-gramming
+# the query would OR together every prefix of every query token.
+SEARCH_ANALYZERS = {"edge_ngram": "standard"}
+
+
+def get_search_analyzer(name: str):
+    """Query-side tokenizer for an index built under `name` (the
+    Lucene search_analyzer; identical to the index analyzer except
+    where SEARCH_ANALYZERS overrides)."""
+    return get_analyzer(SEARCH_ANALYZERS.get(name, name))
 
 
 def get_analyzer(name: str):
@@ -480,6 +576,7 @@ def get_tokenize_expr(name: str):
         "ascii_fold": ascii_fold_tokenize_expr,
         "whitespace": whitespace_tokenize_expr,
         "keyword": keyword_tokenize_expr,
+        "edge_ngram": edge_ngram_tokenize_expr,
     }
     try:
         return exprs[name]
@@ -520,6 +617,29 @@ def pandas_token_lists(series, analyzer: str = "standard"):
         # per-row lambda builds a 1-element list — O(1), no string
         # work, so it stays kernel-cheap)
         return series.fillna("").map(lambda t: [t] if t else [])
+    if analyzer == "edge_ngram":
+        # base tokens stay vectorized (findall); the gram expansion
+        # is a per-list slice comprehension over already-extracted
+        # tokens — pure pointer/slice work inside the Arrow batch,
+        # same order of cost as the findall itself
+        base = series.str.lower().str.findall(_TOKEN_RE)
+        return base.map(
+            lambda toks: [
+                g
+                for t in toks
+                for g in (
+                    [t]
+                    if len(t) < EDGE_MIN_GRAM
+                    else [
+                        t[:n]
+                        for n in range(
+                            EDGE_MIN_GRAM,
+                            min(len(t), EDGE_MAX_GRAM) + 1,
+                        )
+                    ]
+                )
+            ]
+        )
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -551,4 +671,16 @@ def pandas_token_counts(series, analyzer: str = "standard"):
         return series.str.count(_WS_TOKEN_RE)
     if analyzer == "keyword":
         return (series.fillna("") != "").astype("int64")
+    if analyzer == "edge_ngram":
+        # per-token contribution: 1 if len < MIN else
+        # min(len, MAX) - MIN + 1 — summed over the token list
+        base = series.str.lower().str.findall(_TOKEN_RE)
+        return base.map(
+            lambda toks: sum(
+                1
+                if len(t) < EDGE_MIN_GRAM
+                else min(len(t), EDGE_MAX_GRAM) - EDGE_MIN_GRAM + 1
+                for t in toks
+            )
+        ).astype("int64")
     raise ValueError(f"unknown analyzer {analyzer!r}")

@@ -519,6 +519,41 @@ def search_es(
             executor, {"query": dsl, **rest}, k=k, docs=docs
         )
         return _decorate_hits(executor, out, dsl, fspec, hspec)
+    ms = body.get("min_score")
+    tth = bool(body.get("track_total_hits", False))
+    if ms is not None or tth:
+        # `min_score` filters BEFORE the top-k cut (ES semantics —
+        # dropped docs are backfilled by the next-ranked survivors),
+        # so the match set is ranked un-limited and cut after the
+        # filter. `track_total_hits: true` attaches the exact match
+        # total as a `total` column (ES hits.total) — one extra
+        # aggregate branch over the same match set, broadcast onto
+        # the k-row page.
+        others = [
+            kk
+            for kk in ("sort", "collapse", "rescore", "from",
+                       "search_after")
+            if body.get(kk)
+        ]
+        if others:
+            raise UnsupportedDSL(
+                f"min_score/track_total_hits with {others}: "
+                "compose via search_features helpers instead"
+            )
+        from pyspark.sql import functions as F
+
+        m = executor.search(to_ast(dsl), k=None)
+        if ms is not None:
+            m = m.filter(F.col("score") >= float(ms))
+        out = m.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k is not None:
+            out = out.limit(k)
+        if tth:
+            total = m.agg(
+                F.count(F.lit(1)).cast("long").alias("total")
+            )
+            out = out.crossJoin(F.broadcast(total))
+        return out
     frm = int(body.get("from", 0))
     sort = body.get("sort")
     if sort is not None:
@@ -532,6 +567,31 @@ def search_es(
                 if isinstance(sspec, dict)
                 else str(sspec)
             )
+        rtm = body.get("runtime_mappings")
+        if rtm and field in rtm:
+            # ES runtime fields: sort by a per-request COMPUTED
+            # field (painless arithmetic subset over stored doc
+            # values) — match-set-sized meta join, codegen
+            # expression, TakeOrderedAndProject
+            from lucille_spark.search_features import runtime_sort
+
+            if k is None:
+                raise UnsupportedDSL("sort: needs a size/k")
+            if frm:
+                raise UnsupportedDSL(
+                    "runtime-field sort with from: unsupported"
+                )
+            try:
+                return runtime_sort(
+                    executor,
+                    to_ast(dsl),
+                    rtm,
+                    field,
+                    ascending=(order == "asc"),
+                    k=k,
+                )
+            except ValueError as exc:
+                raise UnsupportedDSL(str(exc))
         if field != "_score":
             from lucille_spark.search_features import sort_by
 
@@ -689,6 +749,38 @@ def search_es(
             tie=float(body.get("tie_breaker", 0.0)),
         )
         return executor.search(node, k=k)
+
+    if kind == "common":
+        # Lucene CommonTermsQuery (ES `common`, the pre-BM25
+        # stopword-robust match): df split at cutoff_frequency,
+        # low-df terms gate, high-df terms only add score
+        from lucille_spark.search_features import common_terms
+
+        body = dsl[kind]
+        (field, spec), = body.items()
+        if field != "content":
+            raise UnsupportedDSL(
+                "common: only the content field (build with "
+                "indexed_cols for other text fields)"
+            )
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        mm = spec.get("minimum_should_match")
+        if isinstance(mm, dict):
+            if set(mm) - {"low_freq"}:
+                raise UnsupportedDSL(
+                    "common: only low_freq minimum_should_match"
+                )
+            mm = mm.get("low_freq")
+        return common_terms(
+            executor,
+            spec["query"],
+            cutoff_frequency=float(spec.get("cutoff_frequency", 0.01)),
+            low_freq_operator=spec.get("low_freq_operator", "or"),
+            high_freq_operator=spec.get("high_freq_operator", "or"),
+            minimum_should_match=mm,
+            k=k if k is not None else 10,
+        )
 
     if kind == "ids":
         # ES `ids` query: point lookups by document id, constant

@@ -42,6 +42,7 @@ from lucille_spark.analysis import (
     get_analyzer,
     get_normalizer,
     get_regex_normalizer,
+    get_search_analyzer,
 )
 from lucille_spark.scoring import idf as _idf
 
@@ -364,9 +365,12 @@ class Planner:
         # BM25 normalizes by the field's avgdl (per-field norms).
         self.indexed_fields = dict(indexed_fields or {})
         # query-time analysis MUST match the index-build analyzer
-        # (stats.json records the name; readers pass it through here)
+        # (stats.json records the name; readers pass it through
+        # here) — except where Lucene's search_analyzer differs:
+        # edge_ngram indexes grams but analyzes QUERY text with the
+        # standard rule (ES search_as_you_type)
         self.analyzer = analyzer
-        self.tokenize = get_analyzer(analyzer)
+        self.tokenize = get_search_analyzer(analyzer)
         # query-time synonyms (set via with_synonyms): analyzed
         # single token -> tuple of alternative surface strings.
         # Single-token alternatives blend into ONE PSynonym (Lucene

@@ -3002,3 +3002,176 @@ def sorted_topk(
         return page
     meta = ix.doclens.select("doc_id", *fields)
     return meta.join(F.broadcast(page), "doc_id").orderBy(key)
+
+
+def common_terms(
+    executor,
+    text: str,
+    cutoff_frequency: float = 0.01,
+    low_freq_operator: str = "or",
+    high_freq_operator: str = "or",
+    minimum_should_match: int = None,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene CommonTermsQuery (org.apache.lucene.queries.
+    CommonTermsQuery; ES `common` query): split the analyzed query
+    terms by document frequency at `cutoff_frequency` (a fraction of
+    maxDoc when < 1.0, an absolute df otherwise). LOW-frequency
+    terms drive matching (joined by `low_freq_operator`, with
+    `minimum_should_match` applying to the low group under "or");
+    HIGH-frequency ("common") terms never gate the match set — they
+    only ADD score on documents that already match, which is the
+    point: the stopword-ish terms' huge posting lists are
+    intersected against the low-df candidates instead of unioned
+    into a corpus-sized result. When every term is common, the
+    high group becomes the query under `high_freq_operator`
+    (Lucene's fallback).
+
+    Composition is pure AST — Or((UnaryPlus(low), *high)) is the
+    planner's MUST + scoring-SHOULD shape — so both executors, file
+    pruning and WAND bounds apply unchanged. The df split itself is
+    a driver-side dictionary lookup (term-count-sized, no postings
+    touched). -> (doc_id, score) top-k."""
+    from lucille_spark import ast as A
+    from lucille_spark.analysis import get_search_analyzer
+
+    ix = executor.ix
+    toks = get_search_analyzer(
+        (ix.stats or {}).get("analyzer", "standard")
+    )(str(text))
+    if not toks:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    dfs = ix.dictionary.lookup_df(sorted(set(toks)))
+    n = int(ix.stats["n_docs"])
+    thr = (
+        float(cutoff_frequency) * n
+        if float(cutoff_frequency) < 1.0
+        else float(cutoff_frequency)
+    )
+    low = [t for t in toks if int(dfs.get(t, 0)) <= thr]
+    high = [t for t in toks if int(dfs.get(t, 0)) > thr]
+
+    def _part(terms, op, mm=None):
+        nodes = tuple(A.Term(t) for t in terms)
+        if len(nodes) == 1:
+            return nodes[0]
+        if str(op).lower() == "and":
+            return A.And(nodes)
+        if mm is not None and int(mm) > 1:
+            return A.MinimumMatch(nodes, int(mm))
+        return A.Or(nodes)
+
+    if low and high:
+        q = A.Or(
+            (
+                A.UnaryPlus(
+                    _part(low, low_freq_operator, minimum_should_match)
+                ),
+            )
+            + tuple(A.Term(t) for t in high)
+        )
+    elif low:
+        q = _part(low, low_freq_operator, minimum_should_match)
+    else:
+        q = _part(high, high_freq_operator)
+    return executor.search(q, k=k)
+
+
+# ------------------------------------------------------------------
+# runtime fields (ES `runtime_mappings`): per-request computed
+# fields over stored doc values, via the same painless arithmetic
+# subset script_score translates
+# ------------------------------------------------------------------
+
+def _runtime_cols(ix, mappings: dict):
+    """Translate an ES runtime_mappings section into {name: Column}
+    over the per-doc metadata table (doclens). Each script uses the
+    script_score subset: doc['field'].value refs (stored numeric
+    fields, incl. doc_len), params.*, arithmetic and Math.*.
+    Anything outside raises ValueError — never a raw passthrough."""
+    import re as _re2
+
+    out = {}
+    for name, spec in mappings.items():
+        script = spec.get("script") or {}
+        source = (
+            script.get("source") if isinstance(script, dict) else script
+        )
+        if not source:
+            raise ValueError(f"runtime field {name!r}: needs a script")
+        params = (
+            script.get("params") or {} if isinstance(script, dict) else {}
+        )
+        fields = sorted(set(
+            _re2.findall(r"doc\['([A-Za-z0-9_]+)'\]\.value", source)
+        ))
+        expr = source
+        for f_ in fields:
+            expr = expr.replace(f"doc['{f_}'].value", f"`{f_}`")
+        for pname in sorted(params, key=len, reverse=True):
+            expr = expr.replace(
+                f"params.{pname}", repr(float(params[pname]))
+            )
+        for painless, sqlfn in _SCRIPT_MATH.items():
+            expr = expr.replace(painless, sqlfn)
+        residue = _re2.sub(
+            r"`[A-Za-z0-9_]+`"
+            r"|\b(ln|log10|sqrt|abs|greatest|least|power|exp)\b"
+            r"|\d+(\.\d+)?",
+            "",
+            expr,
+        )
+        if not _re2.fullmatch(r"[\s(),+\-*/%<>=!]*", residue):
+            raise ValueError(
+                f"runtime field {name!r}: unsupported script "
+                f"{source!r} (residue {residue!r})"
+            )
+        missing = [
+            f_ for f_ in fields if f_ not in ix.doclens.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"runtime field {name!r}: not stored: {missing}"
+            )
+        out[name] = (fields, F.expr(expr).cast("double"))
+    return out
+
+
+def runtime_sort(
+    executor,
+    query,
+    mappings: dict,
+    sort_field: str,
+    ascending: bool = True,
+    k: int = 10,
+    fields: tuple = (),
+) -> DataFrame:
+    """Order a query's match set by an ES RUNTIME field — a
+    per-request computed column (runtime_mappings) rather than a
+    stored one. The match set (doc_id, score) joins the per-doc
+    metadata it needs (match-set-sized, never the corpus), the
+    runtime expression is whole-stage codegen, and the ordering is
+    TakeOrderedAndProject — no global sort. Extra runtime `fields`
+    are returned alongside. -> (doc_id, <sort_field>, *fields)."""
+    cols = _runtime_cols(executor.ix, mappings)
+    if sort_field not in cols:
+        raise ValueError(
+            f"sort field {sort_field!r} is not a runtime field; "
+            f"have {sorted(cols)}"
+        )
+    want = [sort_field] + [f_ for f_ in fields if f_ != sort_field]
+    need = sorted(set(
+        sf for name in want for sf in cols[name][0]
+    ))
+    m = executor.search(query, k=None).select("doc_id")
+    meta = executor.ix.doclens.select(
+        "doc_id", *[F.col(c).cast("double").alias(c) for c in need]
+    )
+    j = m.join(meta, "doc_id")
+    out = j.select(
+        "doc_id", *[cols[name][1].alias(name) for name in want]
+    )
+    key = (
+        F.asc(sort_field) if ascending else F.desc(sort_field)
+    )
+    return out.orderBy(key, F.asc("doc_id")).limit(k)

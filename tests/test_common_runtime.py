@@ -1,0 +1,276 @@
+"""CommonTermsQuery, ES runtime fields, and the request-body
+min_score / track_total_hits knobs (search_features.common_terms /
+runtime_sort + esdsl.search_es dispatch)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+
+@pytest.fixture(scope="module")
+def dfex(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = unit_index
+    return DataFrameExecutor(ix), oracle
+
+
+# --------------------------------------------------- CommonTermsQuery
+
+def _per_term_scores(oracle, term):
+    """Independent per-(doc, term) BM25 reference from the oracle."""
+    return {int(d): float(s) for d, s in oracle.search(term, k=None)}
+
+
+def _split(oracle, toks, cutoff):
+    n = oracle.n_docs
+    thr = cutoff * n if cutoff < 1.0 else cutoff
+    dfs = oracle.dictionary.lookup_df(sorted(set(toks)))
+    low = [t for t in toks if dfs.get(t, 0) <= thr]
+    high = [t for t in toks if dfs.get(t, 0) > thr]
+    return low, high
+
+
+def test_common_terms_reference(dfex):
+    """Low-freq terms gate (OR), high-freq terms only add score —
+    brute-force combination of per-term oracle scores."""
+    from lucille_spark.search_features import common_terms
+
+    ex, oracle = dfex
+    text = "spark batch dup"
+    cutoff = 0.5
+    low, high = _split(oracle, ["spark", "batch", "dup"], cutoff)
+    assert low and high, (low, high)  # fixture must split both ways
+
+    per = {t: _per_term_scores(oracle, t) for t in low + high}
+    match = set()
+    for t in low:
+        match |= set(per[t])
+    expected = sorted(
+        (
+            (
+                -round(
+                    sum(per[t].get(d, 0.0) for t in low + high), 9
+                ),
+                d,
+            )
+            for d in match
+        )
+    )[:10]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in common_terms(
+            ex, text, cutoff_frequency=cutoff, k=10
+        ).collect()
+    ]
+    assert got == [(d, -s) for s, d in expected]
+
+
+def test_common_terms_high_only_docs_excluded(dfex):
+    """A doc matching ONLY common terms must not appear when low-df
+    terms exist."""
+    from lucille_spark.search_features import common_terms
+
+    ex, oracle = dfex
+    low, high = _split(oracle, ["spark", "dup"], 0.5)
+    assert low and high
+    per_low = [_per_term_scores(oracle, t) for t in low]
+    out = common_terms(ex, "spark dup", cutoff_frequency=0.5, k=None)
+    for r in out.collect():
+        assert any(int(r["doc_id"]) in p for p in per_low)
+
+
+def test_common_terms_all_high_fallback(dfex):
+    """Every term common -> high group becomes the query under
+    high_freq_operator (Lucene fallback)."""
+    from lucille_spark.search_features import common_terms
+
+    ex, oracle = dfex
+    # near-zero fractional cutoff: thr ~ 0, every indexed term has
+    # df > thr, so everything is "common" (terms must be PRESENT —
+    # an absent term has df 0 and always lands in the low group)
+    low, high = _split(oracle, ["spark", "import"], 1e-9)
+    assert not low
+    got = common_terms(
+        ex, "spark import", cutoff_frequency=1e-9,
+        high_freq_operator="and", k=10,
+    ).collect()
+    ref = ex.search("spark AND import", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in ref
+    ]
+
+
+def test_common_terms_low_freq_and_operator(dfex):
+    from lucille_spark.search_features import common_terms
+
+    ex, oracle = dfex
+    low, high = _split(oracle, ["spark", "batch", "dup"], 0.5)
+    assert len(low) >= 1 and high
+    per = {t: _per_term_scores(oracle, t) for t in low + high}
+    match = set(per[low[0]])
+    for t in low[1:]:
+        match &= set(per[t])
+    expected = sorted(
+        (
+            (-round(sum(per[t].get(d, 0.0) for t in low + high), 9), d)
+            for d in match
+        )
+    )[:10]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in common_terms(
+            ex, "spark batch dup", cutoff_frequency=0.5,
+            low_freq_operator="and", k=10,
+        ).collect()
+    ]
+    assert got == [(d, -s) for s, d in expected]
+
+
+def test_common_dsl_parity(dfex):
+    from lucille_spark.search_features import common_terms
+
+    ex, _ = dfex
+    direct = common_terms(
+        ex, "spark batch dup", cutoff_frequency=0.5, k=10
+    ).collect()
+    via = search_es(
+        ex,
+        {"common": {"content": {
+            "query": "spark batch dup", "cutoff_frequency": 0.5,
+        }}},
+        k=10,
+    ).collect()
+    assert direct == via
+    with pytest.raises(UnsupportedDSL, match="content"):
+        search_es(ex, {"common": {"title": {"query": "x"}}})
+
+
+# ------------------------------------------------------ runtime fields
+
+def test_runtime_sort_reference(dfex):
+    """Sort by a computed doc_len expression == python recomputation
+    over the match set."""
+    from lucille_spark.search_features import runtime_sort
+
+    ex, _ = dfex
+    mappings = {
+        "weird_len": {
+            "type": "double",
+            "script": {
+                "source": "doc['doc_len'].value * params.f + 3",
+                "params": {"f": 2.0},
+            },
+        }
+    }
+    out = runtime_sort(
+        ex, "spark", mappings, "weird_len", ascending=False, k=5
+    ).collect()
+    m = ex.search("spark", k=None).select("doc_id")
+    dl = {
+        int(r["doc_id"]): int(r["doc_len"])
+        for r in ex.ix.doclens.join(m, "doc_id")
+        .select("doc_id", "doc_len")
+        .collect()
+    }
+    expected = sorted(
+        ((-(v * 2.0 + 3), d) for d, v in dl.items())
+    )[:5]
+    assert [(int(r["doc_id"]), float(r["weird_len"])) for r in out] == [
+        (d, -s) for s, d in expected
+    ]
+
+
+def test_runtime_sort_dsl_parity(dfex):
+    from lucille_spark.search_features import runtime_sort
+
+    ex, _ = dfex
+    mappings = {
+        "half_len": {"script": {"source": "doc['doc_len'].value / 2"}}
+    }
+    direct = runtime_sort(
+        ex, "spark", mappings, "half_len", ascending=True, k=5
+    ).collect()
+    via = search_es(
+        ex,
+        {
+            "query": {"match": {"content": "spark"}},
+            "runtime_mappings": mappings,
+            "sort": [{"half_len": {"order": "asc"}}],
+            "size": 5,
+        },
+    ).collect()
+    assert direct == via
+
+
+def test_runtime_field_validation(dfex):
+    from lucille_spark.search_features import runtime_sort
+
+    ex, _ = dfex
+    with pytest.raises(ValueError, match="not stored"):
+        runtime_sort(
+            ex, "spark",
+            {"x": {"script": {"source": "doc['nope'].value + 1"}}},
+            "x",
+        )
+    with pytest.raises(ValueError, match="unsupported script"):
+        runtime_sort(
+            ex, "spark",
+            {"x": {"script": {"source": "import os; 1"}}},
+            "x",
+        )
+    with pytest.raises(ValueError, match="needs a script"):
+        runtime_sort(ex, "spark", {"x": {"type": "double"}}, "x")
+
+
+# ------------------------------------- min_score / track_total_hits
+
+def test_min_score_backfills(dfex):
+    """Filtering happens BEFORE the top-k cut: the page is the top-k
+    of the min_score-filtered ranking, not a filtered page."""
+    ex, _ = dfex
+    full = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in ex.search("spark batch", k=None)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    cut = full[len(full) // 2][1]
+    expected = [(d, s) for d, s in full if s >= cut][:5]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_es(
+            ex,
+            {"query": {"match": {"content": "spark batch"}},
+             "min_score": cut, "size": 5},
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_track_total_hits(dfex):
+    ex, _ = dfex
+    n = ex.search("spark", k=None).count()
+    rows = search_es(
+        ex,
+        {"query": {"match": {"content": "spark"}},
+         "track_total_hits": True, "size": 3},
+    ).collect()
+    assert len(rows) == 3
+    assert all(int(r["total"]) == n for r in rows)
+    # ranking unchanged vs the plain path
+    plain = ex.search("spark", k=3).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+
+
+def test_min_score_with_sort_refused(dfex):
+    ex, _ = dfex
+    with pytest.raises(UnsupportedDSL, match="min_score"):
+        search_es(
+            ex,
+            {"query": {"match": {"content": "spark"}},
+             "min_score": 1.0, "sort": [{"lang": "asc"}], "size": 5},
+        )

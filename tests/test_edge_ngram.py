@@ -1,0 +1,206 @@
+"""edge_ngram analyzer (lucille_spark/analysis.py) — the Lucene
+EdgeNGramTokenFilter / ES search_as_you_type index shape: every
+standard token additionally emits its leading prefixes (fixed
+MIN=2, MAX=10; shorter tokens emit themselves verbatim), and the
+QUERY side analyzes with the standard rule (SEARCH_ANALYZERS), so a
+partially typed term is an exact dictionary hit with no query-time
+prefix expansion.
+
+Covers the rule table, 4-way implementation agreement (python /
+pandas / Spark expr / DuckDB SQL), the search-analyzer override,
+and e2e rank identity on an edge_ngram index through both executors
+(partial query terms match, scores equal the brute-force oracle
+over the grammed corpus)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucille_spark.analysis import (
+    EDGE_MAX_GRAM,
+    EDGE_MIN_GRAM,
+    EDGE_NGRAM_TOKENIZE_SQL_DUCKDB,
+    edge_ngram_tokenize,
+    edge_ngram_tokenize_expr,
+    get_analyzer,
+    get_search_analyzer,
+    pandas_token_counts,
+    pandas_token_lists,
+    tokenize,
+)
+
+CASES = {
+    "spark": ["sp", "spa", "spar", "spark"],
+    "a xy": ["a", "xy"],                      # short tokens verbatim
+    "Spark Batch": ["sp", "spa", "spar", "spark",
+                    "ba", "bat", "batc", "batch"],
+    # > MAX_GRAM chars: prefixes up to 10 only, full token dropped
+    "extraordinarily": [
+        "extraordinarily"[:n] for n in range(2, 11)
+    ],
+    "foo_bar": ["fo", "foo", "foo_", "foo_b", "foo_ba", "foo_bar"],
+    "": [],
+}
+
+
+def test_rule_table():
+    for text, expect in CASES.items():
+        assert edge_ngram_tokenize(text) == expect, text
+    assert get_analyzer("edge_ngram") is edge_ngram_tokenize
+
+
+def test_search_analyzer_override():
+    """Query text is analyzed with the STANDARD rule (ES
+    search_as_you_type): partial term stays one term."""
+    sa = get_search_analyzer("edge_ngram")
+    assert sa is tokenize
+    assert sa("Spar bat") == ["spar", "bat"]
+    # every other analyzer searches with itself
+    assert get_search_analyzer("standard") is tokenize
+
+
+def test_pandas_impls_agree():
+    s = pd.Series(list(CASES))
+    assert pandas_token_lists(s, "edge_ngram").tolist() == list(
+        CASES.values()
+    )
+    assert pandas_token_counts(s, "edge_ngram").tolist() == [
+        len(v) for v in CASES.values()
+    ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    q = "SELECT " + EDGE_NGRAM_TOKENIZE_SQL_DUCKDB.format(col="?") + " AS t"
+    for text, expect in CASES.items():
+        got = [r[0] for r in con.execute(q, [text]).fetchall()]
+        assert got == expect, text
+
+
+def test_spark_expr_agrees(spark):
+    texts = [t for t in CASES if t]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        edge_ngram_tokenize_expr("text").alias("toks")
+    ).collect()
+    assert [list(r["toks"]) for r in rows] == [CASES[t] for t in texts]
+
+
+def test_gram_bounds():
+    """Every gram is a prefix of some standard token, within the
+    length bounds."""
+    text = "some reasonably_long identifiers and x q8"
+    base = tokenize(text)
+    for g in edge_ngram_tokenize(text):
+        assert any(t.startswith(g) for t in base)
+        assert len(g) <= EDGE_MAX_GRAM
+        ok_short = any(t == g and len(t) < EDGE_MIN_GRAM for t in base)
+        assert len(g) >= EDGE_MIN_GRAM or ok_short
+
+
+# ---------------------------------------------------------------- e2e
+
+GRAM_DOCS = [
+    "spark streaming window",
+    "sparse matrix solver",
+    "spatial index query",
+    "batch window trigger",
+    "sphinx documentation build",
+    "a tiny doc",
+    "sp sp sp repeated shorty",
+    "specialized sparkplug spanner",
+]
+
+
+@pytest.fixture(scope="module")
+def gram_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(GRAM_DOCS * 4):
+        rows.append(
+            (
+                f"org/repo{i % 4}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("gramix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="edge_ngram"
+    ).build(docs, out)
+    ix = SparkIndex(spark, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    oracle = OracleIndex(docs_list, analyzer="edge_ngram")
+    return ix, oracle, stats
+
+
+GRAM_QUERIES = [
+    "spar",                   # partial term: exact gram hit
+    "sp",                     # 2-char gram (and a literal token)
+    "spark",
+    "spa AND wind",           # two partials
+    "bat OR sphi",
+    "spar AND NOT sparse",    # NOT with a full >MAX?-no, plain term
+    "marker3",
+]
+
+
+@pytest.mark.parametrize("q", GRAM_QUERIES)
+def test_gram_rank_identity_both_executors(gram_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = gram_index
+    assert stats["analyzer"] == "edge_ngram"
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_partial_matches_more_than_full(gram_index):
+    """'sp' hits every doc with any sp-prefixed token — strictly
+    more docs than the full token 'spark'."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = gram_index
+    ex = DataFrameExecutor(ix)
+    n_partial = ex.search("sp", k=None).count()
+    n_full = ex.search("spark", k=None).count()
+    assert n_partial > n_full > 0
+
+
+def test_dictionary_holds_grams_not_queries(gram_index):
+    """df('spar') counts docs with ANY spar-prefixed token; the
+    query side never re-grams (a 3-token query plans 3 terms)."""
+    ix, oracle, _ = gram_index
+    d = ix.dictionary.lookup_df(["spar", "spark", "sparse"])
+    assert d["spar"] >= d["spark"]
+    assert d["spar"] >= d["sparse"]
