@@ -58,6 +58,64 @@ def _index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _split_index_for(spark: SparkSession, sf_dir: str):
+    """The main documents index re-sharded 4 -> 7 shards via
+    maintenance.split_index (ES _split without re-tokenizing) —
+    queries against it must be rank-identical to the plain index,
+    which the corpus-level oracle SQL checks end to end."""
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.maintenance import split_index
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "split:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    src = _index_for(spark, sf_dir)
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"split_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        split_index(spark, src.dir, out, num_shards=7)
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
+def _reindex_for(spark: SparkSession, sf_dir: str):
+    """Query-restricted ES _reindex of the documents corpus: only
+    docs matching 'spark' survive, stats (n_docs/avgdl/df) are
+    recomputed over the subset — the oracle recomputes BM25 over the
+    same restricted corpus in SQL."""
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.maintenance import reindex
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "reix:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    src = _index_for(spark, sf_dir)
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"reix_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        reindex(
+            _docs(spark, sf_dir),
+            src.dir,
+            out,
+            query="spark",
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _stop_index_for(spark: SparkSession, sf_dir: str):
     """documents index under analyzer='stop' (index-time stopword
     removal; twin of the _STOP_* oracle fragments)."""
@@ -150,6 +208,48 @@ def _gram_index_for(spark: SparkSession, sf_dir: str):
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic crawl-URL table (doc_id, url) over
+    documents — scheme/www/port/tracking-param/fragment variants so
+    canonicalization collapses 6k rows onto 616 keys. Twin of
+    _URLS_SQL below."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http"),
+        F.when(did % 2 == 0, F.lit("s")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (did % 7).cast("string"),
+        F.lit(".Example.com"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        F.lit("/Path/"),
+        (did % 11).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="),
+        (did % 4).cast("string"),
+        F.lit("&a=1"),
+        F.when(did % 6 == 0, F.lit("&gclid=x")).otherwise(F.lit("")),
+        F.lit("#Sec"),
+        (did % 9).cast("string"),
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+_URLS_SQL = """
+urls AS (SELECT doc_id,
+ 'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+ CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+ 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com' ||
+ CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+ '/Path/' || CAST(doc_id % 11 AS VARCHAR) ||
+ CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+ '?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR) || '&a=1' ||
+ CASE WHEN doc_id % 6 = 0 THEN '&gclid=x' ELSE '' END ||
+ '#Sec' || CAST(doc_id % 9 AS VARCHAR) AS url
+ FROM documents)"""
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,7 +1090,12 @@ _GATE_PRIORITY = [
     # the WAND meta-filter path stays covered by the local mirror;
     # ft_field keeps the semantics in-window)
     "ft_gram_ix",
-    "ft_prefix", "wand_prefix",
+    # (ft_prefix freed its slot for the index-admin family — the DF
+    # PExpand prefix path stays covered by ft_wildcard here plus the
+    # local mirror; ft_split is a NEW family: _split/_shrink re-shard
+    # without re-tokenizing, rank-identity checked vs the corpus SQL)
+    "ft_split",
+    "wand_prefix",
     "ft_wildcard",
     # (wand_wildcard freed its slot for the geo family — the WAND
     # PExpand path stays covered by wand_prefix + the local mirror)
@@ -3750,6 +3855,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_bpe_encode"] = tx_bpe_encode_q
 
+    # ---- crawl curation: URL canonicalization / URL-level dedup /
+    # per-host crawl stats (ops/web.py fixed rule; synthetic URL
+    # variants from _urls) --------------------------------------------
+    def tx_url_canon_q(s, d):
+        from lucille_spark.ops.web import canonical_url_expr
+
+        return (
+            _urls(s, d)
+            .select(
+                "doc_id", canonical_url_expr("url").alias("url_canon")
+            )
+            .orderBy("doc_id")
+            .limit(100)
+        )
+
+    q["tx_url_canon"] = tx_url_canon_q
+
+    def tx_url_dedup_q(s, d):
+        from lucille_spark.ops.web import url_dedup
+
+        return url_dedup(_urls(s, d)).orderBy("url_canon").limit(50)
+
+    q["tx_url_dedup"] = tx_url_dedup_q
+
+    def tx_host_stats_q(s, d):
+        from lucille_spark.ops.web import host_stats
+
+        return host_stats(_urls(s, d)).orderBy("host")
+
+    q["tx_host_stats"] = tx_host_stats_q
+
     # ---- ES request body: sort / from-size paging -------------------
     def ft_dsl_sort_q(s, d):
         from lucille_spark.esdsl import search_es
@@ -4080,6 +4216,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_gram_ix"] = ft_gram_ix_q
     q["wand_gram_ix"] = lambda s, d: ft_gram_ix_q(s, d, wand=True)
+
+    # ---- index admin ops: _terms_enum (lexicographic dictionary
+    # walk, range-pushdown on the terms table), _split (re-shard
+    # without re-tokenizing; must be rank-identical to the source,
+    # checked against the corpus-level oracle), query-restricted
+    # _reindex (subset corpus, stats recomputed) ----------------------
+    def ft_terms_enum_q(s, d):
+        from lucille_spark.search_features import terms_enum
+
+        return terms_enum(_index_for(s, d), "s", size=15)
+
+    q["ft_terms_enum"] = ft_terms_enum_q
+
+    def ft_split_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _split_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("spark batch window", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_split"] = ft_split_q
+    q["wand_split"] = lambda s, d: ft_split_q(s, d, wand=True)
+
+    def ft_reindex_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_reindex_for(s, d))
+        out = ex.search("spark AND batch", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_reindex"] = ft_reindex_q
 
     # ---- Lucene CommonTermsQuery: df split at cutoff, low-df terms
     # gate, high-df ("common") terms only add score -------------------
@@ -7731,6 +7900,28 @@ e AS (SELECT doc_id, pos, word, trim({_enc}) AS ps FROM tok)
 SELECT doc_id, pos, word, replace(ps, ' ', '|') AS piece_str,
        len(string_split(ps, ' ')) AS n_pieces FROM e"""
 
+    # crawl curation: the canonicalization rule end to end in SQL
+    # (ops/web.CANONICAL_URL_CTES_DUCKDB is the module's own twin)
+    from lucille_spark.ops.web import CANONICAL_URL_CTES_DUCKDB
+
+    o["tx_url_canon"] = f"""
+WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}
+SELECT doc_id, url_canon FROM canon ORDER BY doc_id LIMIT 100"""
+
+    o["tx_url_dedup"] = f"""
+WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}
+SELECT url_canon, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM canon GROUP BY url_canon HAVING count(*) > 1
+ORDER BY url_canon LIMIT 50"""
+
+    o["tx_host_stats"] = f"""
+WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB},
+h AS (SELECT u4.doc_id, u4.host, c.url_canon
+      FROM u4 JOIN canon c USING (doc_id))
+SELECT host, count(*) AS n_pages,
+       count(DISTINCT url_canon) AS n_canonical
+FROM h GROUP BY host ORDER BY host"""
+
     # ---- ES request body: sort / from-size paging -------------------
     o["ft_dsl_sort"] = f"""
 WITH tok AS ({_TOK}), dl AS ({_DL}),
@@ -8050,6 +8241,48 @@ agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
 SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     o["wand_gram_ix"] = o["ft_gram_ix"]
+
+    # _terms_enum: lexicographic dictionary slice with dfs (the terms
+    # table IS tokenize -> per-term distinct-doc counts)
+    o["ft_terms_enum"] = f"""
+WITH tok AS ({_TOK})
+SELECT term, count(DISTINCT doc_id) AS df FROM tok
+WHERE term LIKE 's%' GROUP BY term ORDER BY term LIMIT 15"""
+
+    # _split: re-sharded index must score identically to the source
+    # corpus — the oracle is the ordinary corpus-level BM25 SQL
+    o["ft_split"] = (
+        _cte(["spark", "batch", "window"])
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+    o["wand_split"] = o["ft_split"]
+
+    # query-restricted _reindex: the surviving corpus is docs
+    # matching 'spark'; n_docs/avgdl/df are RECOMPUTED over that
+    # subset (reindex == fresh build over the match set)
+    o["ft_reindex"] = f"""
+WITH tok0 AS ({_TOK}),
+keep AS (SELECT DISTINCT doc_id FROM tok0 WHERE term = 'spark'),
+tok AS (SELECT t.doc_id, t.term FROM tok0 t JOIN keep USING (doc_id)),
+dl AS (SELECT k.doc_id, count(t.term) AS dl FROM keep k
+       LEFT JOIN tok t ON k.doc_id = t.doc_id GROUP BY k.doc_id),
+st AS (SELECT (SELECT count(*) FROM keep) AS n,
+       (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s) AS sr, count(*) AS m FROM sc
+        GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg WHERE m = 2
+ORDER BY sr DESC, doc_id LIMIT 10"""
 
     # CommonTermsQuery: terms whose df <= 0.5*n gate the match set
     # (OR over the low group); common terms add score on matching

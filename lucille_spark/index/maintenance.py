@@ -292,3 +292,172 @@ def force_merge(
         "flat_files": (flat_before, len(fidx["flat"])),
         "segment_files": (seg_before, len(fidx["segments"])),
     }
+
+
+def split_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    num_shards: int,
+) -> dict:
+    """ES `_split` / `_shrink` for the parquet index: change the
+    shard count WITHOUT re-tokenizing. The expensive part of a build
+    at 100 TB is the corpus scan (analyze + posting construction);
+    this op never touches the corpus — it re-bins the already-built
+    posting rows into `num_shards` doc-range shards (one shuffle of
+    the postings table, zero text processing) and re-runs only the
+    builder's segment-encode + file-index stages over them. The
+    dictionary (df/cf are global, shard-independent), doclens rows,
+    doc ids, deletes/ and all scores are unchanged — a query against
+    the split index is rank-identical to the original, it just runs
+    at the new parallelism. Grow shards when an index becomes hot
+    (more concurrent kernel tasks); shrink to cut per-shard file
+    overhead on a cold one.
+
+    Returns the new stats dict."""
+    import math
+
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError("split writes a NEW index; out_dir must differ")
+    num_shards = int(num_shards)
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    stats = json.loads(
+        fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
+    )
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    # doc ids need not be dense (purged indexes keep original ids):
+    # span over the actual id range, like compaction
+    hi = dl.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    span = max(1, math.ceil((int(hi) + 1) / num_shards))
+    reshard = (F.col("doc_id") / F.lit(span)).cast("int")
+    (
+        dl.withColumn("shard", reshard)
+        .repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "doclens"))
+    )
+    flat = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    (
+        flat.withColumn("shard", reshard)
+        .repartitionByRange(num_shards, "shard", "term", "doc_id")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "postings_flat"))
+    )
+    # dictionary is shard-independent: copy verbatim
+    _copy_tree(
+        spark,
+        os.path.join(index_dir, "terms"),
+        os.path.join(out_dir, "terms"),
+    )
+    deletes_src = os.path.join(index_dir, "deletes")
+    if fsio.exists(deletes_src, spark):
+        _copy_tree(spark, deletes_src, os.path.join(out_dir, "deletes"))
+    stats = dict(stats)
+    stats["num_shards"] = num_shards
+    stats["shard_span"] = span
+    fsio.write_text(
+        os.path.join(out_dir, "stats.json"), json.dumps(stats), spark
+    )
+    man = Manifest.load(os.path.join(out_dir, "manifest.jsonl"), spark)
+    for stage in ("doclens", "postings_flat", "terms", "stats"):
+        man.record(stage, "done", split_from=index_dir)
+    # builder resume path runs ONLY segments + file_index over the
+    # re-binned postings (stages 1-4 are recorded done above)
+    cfg = BuildConfig(
+        num_shards=num_shards,
+        block_size=int(stats["block_size"]),
+        codec=stats.get("codec", "varbyte"),
+        analyzer=stats.get("analyzer", "standard"),
+    )
+    meta_cols = list(stats.get("meta_cols", []))
+    extra = [c for c in meta_cols if c not in ("doc_id", "content")]
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, content string"
+        + "".join(f", {c} string" for c in extra),
+    )
+    return IndexBuilder(cfg).build(
+        empty,
+        out_dir,
+        content_col="content",
+        id_col="doc_id",
+        meta_cols=meta_cols,
+        indexed_cols=sorted(stats.get("indexed_fields", {})),
+        resume=True,
+        meta_types=stats.get("meta_types"),
+    )
+
+
+def reindex(
+    docs: DataFrame,
+    src_index_dir: str,
+    out_dir: str,
+    query=None,
+    config: BuildConfig = None,
+    content_col: str = "content",
+    **build_kwargs,
+) -> dict:
+    """ES `_reindex`: rebuild an index from its SOURCE docs table
+    into `out_dir`, optionally under a new analyzer/codec/sharding
+    (`config`) and optionally restricted to the docs matching a
+    Lucene-syntax `query` against the SOURCE index (ES reindex with
+    a query section). Tombstoned docs are dropped — reindex copies
+    live docs only, like ES.
+
+    The index stores no raw content (doclens keeps content_sha256 +
+    meta), so reindex reads the source TABLE — the same input the
+    original build read; at 100 TB that is one corpus scan, exactly
+    the cost of the original build, never more. Doc identity between
+    source index and new index rides content_sha256: the match set's
+    hashes from the source index select source rows with a broadcast
+    semi-join (match sets are query-sized, the corpus is not).
+
+    `config` defaults to the SOURCE index's analyzer/codec/sharding,
+    so a bare reindex == purge + fresh build. Returns new stats."""
+    spark = docs.sparkSession
+    if os.path.abspath(out_dir) == os.path.abspath(src_index_dir):
+        raise ValueError("reindex writes a NEW index; out_dir must differ")
+    from lucille_spark.index.reader import SparkIndex
+
+    src = SparkIndex(spark, src_index_dir)
+    stats = src.stats
+    cfg = config or BuildConfig(
+        num_shards=int(stats["num_shards"]),
+        block_size=int(stats["block_size"]),
+        codec=stats.get("codec", "varbyte"),
+        analyzer=stats.get("analyzer", "standard"),
+    )
+    keep = None
+    if query is not None:
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        keep = (
+            DataFrameExecutor(src)
+            .search(query, k=None)
+            .select("doc_id")
+        )
+    elif src.deleted_df is not None:
+        # no query: still honor tombstones (live docs only)
+        keep = src.doclens.select("doc_id").join(
+            F.broadcast(src.deleted_df), "doc_id", "left_anti"
+        )
+    if keep is not None:
+        if "content_sha256" not in src.doclens.columns:
+            raise ValueError(
+                "reindex with a query needs content_sha256 in the "
+                "source index's doclens (the default build stores it)"
+            )
+        sel = src.doclens.join(keep, "doc_id").select("content_sha256")
+        docs = docs.join(
+            F.broadcast(sel.distinct()),
+            F.sha2(F.col(content_col), 256)
+            == F.col("content_sha256"),
+            "left_semi",
+        )
+    return IndexBuilder(cfg).build(
+        docs, out_dir, content_col=content_col, **build_kwargs
+    )

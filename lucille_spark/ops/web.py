@@ -1,0 +1,161 @@
+"""Web-crawl curation operators: URL canonicalization, URL-level
+dedup, and per-host crawl stats — the first pass of a CommonCrawl-
+style pretraining pipeline (before text-level dedup), where the
+same page is fetched under scheme/www/port/tracking-param/fragment
+variants and must collapse to ONE canonical key.
+
+Everything is pure Column expressions (regexp + array HOFs, zero
+UDFs, whole-stage codegen) with exact DuckDB SQL twins in
+__spark_entry__.oracle_sql — at 100 TB the canonical key is computed
+inline during the scan and the dedup is one hash aggregation on it.
+
+Fixed canonicalization rule (deterministic, engine-portable):
+  1. strip the '#fragment'
+  2. lowercase the scheme and host (path/query case is preserved —
+     many servers are path-case-sensitive)
+  3. strip a leading 'www.' host label
+  4. strip an explicit default port (':80' for http, ':443' https)
+  5. query string: split on '&', drop tracking params (key starting
+     'utm_', or key in gclid/fbclid/ref), sort the rest bytewise,
+     rejoin; drop the '?' when nothing survives
+  6. strip trailing '/' runs from the path
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking params dropped by rule 5 (regex over 'key=value' pieces)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonical_url_expr(col) -> Column:
+    """Canonical form of a URL column under the module rule. Input
+    may be a column name or Column; malformed URLs (no scheme)
+    canonicalize with an empty scheme rather than erroring — crawl
+    inputs are dirty by construction."""
+    u = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(
+            scheme == "http", F.regexp_replace(host, r":80$", "")
+        )
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q2 = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+
+
+# DuckDB twin of canonical_url_expr: staged CTEs over a relation
+# `urls(doc_id, url)` -> (doc_id, url_canon). Kept next to the Spark
+# expression so the two rules can never drift apart.
+CANONICAL_URL_CTES_DUCKDB = """
+u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+       FROM urls),
+u2 AS (SELECT doc_id,
+       lower(regexp_extract(nofrag,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       regexp_replace(nofrag,
+             '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       FROM u1),
+u3 AS (SELECT doc_id, scheme,
+       regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+             '^www\\.', '') AS hostport,
+       regexp_replace(rest, '^[^/?]+', '') AS pathq
+       FROM u2),
+u4 AS (SELECT doc_id, scheme,
+       CASE WHEN scheme = 'http'
+            THEN regexp_replace(hostport, ':80$', '')
+            WHEN scheme = 'https'
+            THEN regexp_replace(hostport, ':443$', '')
+            ELSE hostport END AS host,
+       regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+             '/+$', '') AS path,
+       CASE WHEN regexp_matches(pathq, '\\?')
+            THEN regexp_extract(pathq, '\\?(.*)$', 1)
+            ELSE '' END AS query
+       FROM u3),
+u5 AS (SELECT doc_id, scheme, host, path,
+       coalesce(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[^=]*|gclid|fbclid|ref)='))), '&'), '') AS q2
+       FROM u4),
+canon AS (SELECT doc_id, scheme || '://' || host || path ||
+       CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
+       FROM u5)"""
+
+
+def host_expr(col) -> Column:
+    """Registrable-host key of a URL column (lowercased, www- and
+    default-port-stripped) — the crawl politeness / domain-mix key."""
+    u = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    return F.regexp_replace(host, r":(80|443)$", "")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup on the canonical key: one hash
+    aggregation over (canonical_url), keeping the smallest id as the
+    canonical fetch (deterministic winner, like dedup.exact_dedup).
+    -> (url_canon, n_dups, keep_id) for keys seen more than once."""
+    return (
+        df.select(
+            canonical_url_expr(url_col).alias("url_canon"),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        .groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def host_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host page counts over the crawl — the domain-mix /
+    politeness table. One aggregation on the host key.
+    -> (host, n_pages, n_canonical)."""
+    return (
+        df.select(
+            host_expr(url_col).alias("host"),
+            canonical_url_expr(url_col).alias("url_canon"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("url_canon").alias("n_canonical"),
+        )
+    )

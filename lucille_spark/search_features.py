@@ -2550,6 +2550,58 @@ def complete(index, prefix: str, n: int = 5) -> DataFrame:
     )
 
 
+def terms_enum(
+    index,
+    string: str = "",
+    field: str = "content",
+    size: int = 10,
+    search_after: "str | None" = None,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """ES `_terms_enum` API: enumerate index terms of a FIELD that
+    start with `string`, in term order, paginated by `search_after`
+    (the last term of the previous page). Unlike `complete` (df-
+    ranked suggestions), this is the raw lexicographic dictionary
+    walk ES uses for low-latency "index-backed autocomplete" over
+    keyword fields.
+
+    Runs on the terms TABLE, not the driver dictionary: the prefix
+    becomes a (>= lo, < hi) range predicate on the `term` column, so
+    the parquet scan prunes by row-group min/max stats — at a 10^9-
+    term dictionary the scan touches the few row groups containing
+    the prefix run, never the table. `case_insensitive=True` matches
+    ES's flag; the analyzer lowercases at build, so it only affects
+    the INPUT casing. Non-default fields read the shared dictionary's
+    "<field>:" prefix rows. -> (term, df) in term order, `size`
+    rows."""
+    s = str(string).lower() if case_insensitive else str(string)
+    pre = s if field == "content" else f"{field}:{s}"
+    t = index.terms_df.select("term", "df")
+    # range predicate (pushdown-friendly), not startswith: lo <= term
+    # < prefix+MAXCHAR, mirroring the driver dictionary's slice walk
+    t = t.filter(F.col("term") >= pre).filter(
+        F.col("term") < pre + "￿"
+    )
+    if search_after is not None:
+        sa = (
+            str(search_after)
+            if field == "content"
+            else f"{field}:{search_after}"
+        )
+        t = t.filter(F.col("term") > sa)
+    if field != "content":
+        t = t.select(
+            F.expr(f"substring(term, {len(field) + 2})").alias("term"),
+            "df",
+        )
+    else:
+        # indexed-field rows share the dictionary under "<field>:tok"
+        # keys; ':' never occurs in an analyzer token, so this residual
+        # (on top of the pushed range) is exact
+        t = t.filter(~F.col("term").contains(":"))
+    return t.orderBy("term").limit(int(size))
+
+
 def phrase_suggest(
     index,
     text: str,

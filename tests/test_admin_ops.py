@@ -1,0 +1,212 @@
+"""Index admin ops: _terms_enum, _split/_shrink re-sharding, and
+_reindex (query-restricted + analyzer change)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------- _terms_enum
+
+def test_terms_enum_prefix_walk(unit_index):
+    from lucille_spark.search_features import terms_enum
+
+    ix, oracle, _ = unit_index
+    got = [
+        (r["term"], int(r["df"]))
+        for r in terms_enum(ix, "s", size=10).collect()
+    ]
+    # oracle: lexicographic dictionary slice with dfs
+    want = sorted(oracle.dictionary.expand_prefix("s"))[:10]
+    dfs = oracle.dictionary.lookup_df(want)
+    assert got == [(t, dfs[t]) for t in want]
+
+
+def test_terms_enum_pagination(unit_index):
+    from lucille_spark.search_features import terms_enum
+
+    ix, oracle, _ = unit_index
+    page1 = [r["term"] for r in terms_enum(ix, "", size=5).collect()]
+    page2 = [
+        r["term"]
+        for r in terms_enum(ix, "", size=5, search_after=page1[-1]).collect()
+    ]
+    allterms = sorted(oracle.dictionary.expand_prefix(""))
+    assert page1 + page2 == allterms[:10]
+    # no overlap, strictly after
+    assert min(page2) > max(page1)
+
+
+def test_terms_enum_case_insensitive(unit_index):
+    from lucille_spark.search_features import terms_enum
+
+    ix, _, _ = unit_index
+    a = [r["term"] for r in terms_enum(ix, "SP", case_insensitive=True).collect()]
+    b = [r["term"] for r in terms_enum(ix, "sp").collect()]
+    assert a == b and a  # non-empty
+
+
+# --------------------------------------------------- _split / _shrink
+
+@pytest.fixture(scope="module")
+def split_pair(spark, unit_index, tmp_path_factory):
+    from lucille_spark.index.maintenance import split_index
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, oracle, _ = unit_index
+    out = str(tmp_path_factory.mktemp("split") / "ix16")
+    stats = split_index(spark, ix.dir, out, num_shards=16)
+    return ix, SparkIndex(spark, out), stats, oracle
+
+
+def test_split_rank_identity_df(split_pair):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, ix16, stats, _ = split_pair
+    assert stats["num_shards"] == 16
+    for q in ["spark", "spark AND batch", '"import spark"', "spar*"]:
+        a = DataFrameExecutor(ix).search(q, k=10).collect()
+        b = DataFrameExecutor(ix16).search(q, k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ], q
+
+
+def test_split_rank_identity_wand(split_pair):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, ix16, _, _ = split_pair
+    for q in ["spark batch", "import AND spark"]:
+        a = WandExecutor(ix).search(q, k=10).collect()
+        b = WandExecutor(ix16).search(q, k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ], q
+
+
+def test_split_preserves_stats_and_dictionary(split_pair):
+    ix, ix16, stats, _ = split_pair
+    assert stats["n_docs"] == ix.stats["n_docs"]
+    assert stats["avg_dl"] == ix.stats["avg_dl"]
+    assert stats["n_terms"] == ix.stats["n_terms"]
+    a = ix.terms_df.orderBy("term").select("term", "df", "cf").collect()
+    b = ix16.terms_df.orderBy("term").select("term", "df", "cf").collect()
+    assert a == b
+
+
+def test_split_fsck_clean(split_pair, spark):
+    from lucille_spark.index.check import check_index
+
+    _, ix16, _, _ = split_pair
+    rep = check_index(spark, ix16.dir)
+    assert not rep["errors"], rep["errors"]
+
+
+def test_shrink_to_one_shard(spark, unit_index, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.maintenance import split_index
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, _, _ = unit_index
+    out = str(tmp_path / "ix1")
+    stats = split_index(spark, ix.dir, out, num_shards=1)
+    assert stats["num_shards"] == 1
+    a = DataFrameExecutor(ix).search("spark batch", k=10).collect()
+    b = DataFrameExecutor(SparkIndex(spark, out)).search(
+        "spark batch", k=10
+    ).collect()
+    assert a == b
+
+
+# ----------------------------------------------------------- _reindex
+
+def test_reindex_plain_equals_fresh_build(spark, unit_corpus, unit_index, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.maintenance import reindex
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, _, _ = unit_index
+    docs = spark.createDataFrame(unit_corpus)
+    out = str(tmp_path / "re")
+    stats = reindex(docs, ix.dir, out)
+    assert stats["n_docs"] == ix.stats["n_docs"]
+    a = DataFrameExecutor(ix).search("spark AND batch", k=10).collect()
+    b = DataFrameExecutor(SparkIndex(spark, out)).search(
+        "spark AND batch", k=10
+    ).collect()
+    assert a == b
+
+
+def test_reindex_with_query_subsets(spark, unit_corpus, unit_index, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.maintenance import reindex
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, _, _ = unit_index
+    docs = spark.createDataFrame(unit_corpus)
+    n_match = DataFrameExecutor(ix).search("spark", k=None).count()
+    out = str(tmp_path / "re_q")
+    stats = reindex(docs, ix.dir, out, query="spark")
+    assert stats["n_docs"] == n_match
+    # every doc in the new index contains 'spark'
+    new_ix = SparkIndex(spark, out)
+    assert (
+        DataFrameExecutor(new_ix).search("spark", k=None).count()
+        == n_match
+    )
+
+
+def test_reindex_new_analyzer(spark, unit_corpus, unit_index, tmp_path):
+    """Reindex under a different analyzer == fresh build with it."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.builder import BuildConfig, IndexBuilder
+    from lucille_spark.index.maintenance import reindex
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, _, _ = unit_index
+    docs = spark.createDataFrame(unit_corpus)
+    out_a = str(tmp_path / "re_stop")
+    cfg = BuildConfig(num_shards=4, block_size=32, analyzer="stop")
+    reindex(docs, ix.dir, out_a, config=cfg)
+    out_b = str(tmp_path / "fresh_stop")
+    IndexBuilder(cfg).build(docs, out_b)
+    a = DataFrameExecutor(SparkIndex(spark, out_a)).search(
+        "spark batch", k=10
+    ).collect()
+    b = DataFrameExecutor(SparkIndex(spark, out_b)).search(
+        "spark batch", k=10
+    ).collect()
+    assert a == b
+
+
+def test_reindex_drops_tombstones(spark, unit_corpus, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.builder import IndexBuilder
+    from lucille_spark.index.maintenance import delete_docs, reindex
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(unit_corpus)
+    src = str(tmp_path / "src")
+    IndexBuilder(num_shards=4, block_size=32).build(docs, src)
+    ix = SparkIndex(spark, src)
+    victims = [
+        r["doc_id"]
+        for r in DataFrameExecutor(ix).search("spark", k=3).collect()
+    ]
+    delete_docs(spark, src, victims)
+    ix.refresh_deletes()
+    out = str(tmp_path / "re_live")
+    stats = reindex(docs, src, out)
+    assert stats["n_docs"] == ix.stats["n_docs"] - len(victims)
+    live = SparkIndex(spark, out)
+    shas = {
+        r["content_sha256"]
+        for r in ix.doclens.filter(
+            F.col("doc_id").isin(victims)
+        ).select("content_sha256").collect()
+    }
+    assert (
+        live.doclens.filter(
+            F.col("content_sha256").isin(list(shas))
+        ).count()
+        == 0
+    )

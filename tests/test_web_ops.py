@@ -1,0 +1,115 @@
+"""URL canonicalization / crawl dedup (ops/web.py fixed rule)."""
+
+import pytest
+
+CASES = [
+    # fragment stripped
+    ("http://a.com/p#frag", "http://a.com/p"),
+    # scheme+host lowercased, path case preserved
+    ("HTTP://A.CoM/Path", "http://a.com/Path"),
+    # www. stripped
+    ("https://www.a.com/x", "https://a.com/x"),
+    # default ports stripped per scheme
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    # non-default port kept
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    # https with :80 is NOT default -> kept
+    ("https://a.com:80/x", "https://a.com:80/x"),
+    # tracking params dropped, remainder sorted
+    ("http://a.com/x?utm_source=t&b=2&a=1", "http://a.com/x?a=1&b=2"),
+    ("http://a.com/x?gclid=1&fbclid=2&ref=3", "http://a.com/x"),
+    # all params dropped -> no '?'
+    ("http://a.com/x?utm_campaign=z", "http://a.com/x"),
+    # trailing slash runs stripped
+    ("http://a.com/x///", "http://a.com/x"),
+    ("http://a.com/", "http://a.com"),
+    # empty path, query only
+    ("http://a.com?b=2&a=1", "http://a.com?a=1&b=2"),
+    # query param values keep case; keys sorted bytewise
+    ("http://a.com/x?B=1&a=2", "http://a.com/x?B=1&a=2"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from lucille_spark.ops.web import canonical_url_expr
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        int(r["i"]): r["c"]
+        for r in df.select(
+            "i", canonical_url_expr("url").alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonical_sql_twin_matches(spark):
+    """The DuckDB CTE twin produces byte-identical canonicals."""
+    duckdb = pytest.importorskip("duckdb")
+    from lucille_spark.ops.web import (
+        CANONICAL_URL_CTES_DUCKDB,
+        canonical_url_expr,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls(doc_id BIGINT, url VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO urls VALUES (?, ?)",
+        [(i, u) for i, (u, _) in enumerate(CASES)],
+    )
+    rows = con.sql(
+        f"WITH {CANONICAL_URL_CTES_DUCKDB.strip()} "
+        "SELECT doc_id, url_canon FROM canon ORDER BY doc_id"
+    ).fetchall()
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "doc_id long, url string"
+    )
+    got = {
+        int(r["doc_id"]): r["c"]
+        for r in df.select(
+            "doc_id", canonical_url_expr("url").alias("c")
+        ).collect()
+    }
+    assert {d: c for d, c in rows} == got
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from lucille_spark.ops.web import url_dedup
+
+    rows = [
+        (7, "http://a.com/x?utm_source=1"),
+        (3, "https://WWW.A.com:443/x#z"),  # different canonical (https)
+        (5, "http://www.a.com:80/x"),
+        (9, "http://a.com/x///"),
+        (1, "http://b.com/only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["url_canon"]: (int(r["n_dups"]), int(r["keep_id"]))
+        for r in url_dedup(df).collect()
+    }
+    assert out == {"http://a.com/x": (3, 5)}
+
+
+def test_host_stats(spark):
+    from lucille_spark.ops.web import host_stats
+
+    rows = [
+        (1, "http://www.a.com/1"),
+        (2, "https://a.com/1"),
+        (3, "http://a.com:80/1?utm_x=1"),
+        (4, "http://b.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["host"]: (int(r["n_pages"]), int(r["n_canonical"]))
+        for r in host_stats(df).collect()
+    }
+    # a.com: 3 pages, canonicals {http://a.com/1, https://a.com/1}
+    assert out == {"a.com": (3, 2), "b.com": (1, 1)}
