@@ -3872,6 +3872,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_url_canon"] = tx_url_canon_q
 
+    # ---- ES highlight with TEXT fragments (plain highlighter):
+    # snippet around the first matched-term occurrence, hit wrapped
+    # in <em> tags, cut from the source table's analyzed tokens -----
+    def ft_highlight_frag_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import highlight_fragments
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = highlight_fragments(
+            ex, _docs(s, d), "spark batch", k=10, frag_tokens=4
+        )
+        return out.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "term",
+            "position",
+            "fragment",
+        )
+
+    q["ft_highlight_frag"] = ft_highlight_frag_q
+
     def tx_url_dedup_q(s, d):
         from lucille_spark.ops.web import url_dedup
 
@@ -7899,6 +7920,36 @@ WITH tok AS (
 e AS (SELECT doc_id, pos, word, trim({_enc}) AS ps FROM tok)
 SELECT doc_id, pos, word, replace(ps, ' ', '|') AS piece_str,
        len(string_split(ps, ' ')) AS n_pieces FROM e"""
+
+    # highlight fragments: top-k + first-hit position + token-slice
+    # snippet, end to end in SQL
+    o["ft_highlight_frag"] = (
+        _cte(["spark", "batch"])
+        + f"""
+, agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id),
+topk AS (SELECT doc_id, round(sr, 4) AS score FROM agg
+         ORDER BY sr DESC, doc_id LIMIT 10),
+pos AS ({_POS}),
+hit AS (SELECT doc_id, p, term FROM (
+        SELECT t.doc_id, p.p, p.term,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY p.p, p.term) AS rn
+        FROM topk t JOIN pos p USING (doc_id)
+        WHERE p.term IN ('spark', 'batch')) WHERE rn = 1),
+arr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9_]+'), t -> t <> '') AS toks FROM documents),
+fr AS (SELECT h.doc_id, t.score, h.term, h.p,
+       greatest(1, h.p + 1 - 4) AS lo,
+       least(len(a.toks), h.p + 1 + 4) AS hi, a.toks AS toks
+       FROM hit h JOIN topk t USING (doc_id)
+       JOIN arr a USING (doc_id))
+SELECT doc_id, score, term, p AS position,
+       array_to_string(list_transform(range(lo, hi + 1),
+         i -> CASE WHEN i = p + 1
+              THEN '<em>' || toks[i] || '</em>' ELSE toks[i] END),
+         ' ') AS fragment
+FROM fr ORDER BY score DESC, doc_id LIMIT 10"""
+    )
 
     # crawl curation: the canonicalization rule end to end in SQL
     # (ops/web.CANONICAL_URL_CTES_DUCKDB is the module's own twin)

@@ -360,7 +360,7 @@ def _offset_rows(df, frm: int, cols, order: str):
     )
 
 
-def _decorate_hits(executor, out, dsl, fspec, hspec):
+def _decorate_hits(executor, out, dsl, fspec, hspec, docs=None):
     """Request-body `fields` (stored-field retrieval from doclens
     meta) and `highlight` (positional, index-side — the offsets a UI
     maps onto its stored copy) applied to a ranked page. Both join
@@ -398,7 +398,48 @@ def _decorate_hits(executor, out, dsl, fspec, hspec):
             # dispatch-only kinds (ids, pinned, ...) carry no scored
             # terms to highlight
             terms = []
-        if terms:
+        if str(hspec.get("type", "")).lower() == "plain":
+            # plain highlighter: actual TEXT fragments cut from the
+            # source table around the first matched-term occurrence
+            # (search_features.highlight_fragments semantics)
+            if docs is None:
+                raise UnsupportedDSL(
+                    "highlight type=plain: pass docs= (the source "
+                    "table — the index stores no raw text)"
+                )
+            if not terms:
+                raise UnsupportedDSL(
+                    "highlight type=plain: the query carries no "
+                    "positional terms"
+                )
+            from lucille_spark.search_features import (
+                _fragments_for_page,
+            )
+
+            src = getattr(ix, "flat_for", None)
+            flat = src(terms) if src else ix.flat
+            posf = (
+                flat.filter(F.col("term").isin(terms))
+                .join(
+                    F.broadcast(out.select("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select("doc_id", "term", "positions")
+            )
+            pre = _aslist(hspec.get("pre_tags") or ["<em>"])[0]
+            post = _aslist(hspec.get("post_tags") or ["</em>"])[0]
+            wtok = int(hspec.get("fragment_tokens", 4))
+            fr = _fragments_for_page(
+                ix, out, posf, docs, wtok, pre, post, "text",
+                "doc_id",
+            )
+            out = out.join(
+                fr.select("doc_id", "term", "position", "fragment"),
+                "doc_id",
+                "left",
+            )
+        elif terms:
             src = getattr(ix, "flat_for", None)
             flat = src(terms) if src else ix.flat
             hp = (
@@ -518,7 +559,9 @@ def search_es(
         out = search_es(
             executor, {"query": dsl, **rest}, k=k, docs=docs
         )
-        return _decorate_hits(executor, out, dsl, fspec, hspec)
+        return _decorate_hits(
+            executor, out, dsl, fspec, hspec, docs=docs
+        )
     ms = body.get("min_score")
     tth = bool(body.get("track_total_hits", False))
     if ms is not None or tth:

@@ -1985,6 +1985,111 @@ def highlight_positions(index, query, doc_ids) -> DataFrame:
     )
 
 
+def highlight_fragments(
+    executor,
+    docs_df: DataFrame,
+    query,
+    k: int = 10,
+    frag_tokens: int = 4,
+    tag_open: str = "<em>",
+    tag_close: str = "</em>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES highlight with actual text FRAGMENTS (the plain
+    highlighter): for each top-k hit, a snippet of the document
+    around the FIRST matched-term occurrence — ±`frag_tokens`
+    analyzed tokens with the hit wrapped in `tag_open`/`tag_close`.
+    The index stores no raw text, so fragments come from the SOURCE
+    table: the k-row hit page broadcasts against `docs_df`, the text
+    is re-analyzed inline with the index's analyzer (codegen HOFs —
+    tokens align with the indexed positions by construction), and
+    the snippet is a slice of that token stream (fragments are over
+    the ANALYZED tokens, i.e. case-folded — the plain highlighter's
+    behavior on a normalized field). Deterministic hit choice: the
+    smallest token position over all matched terms (expansions
+    included). Only the k hit rows of `docs_df` are ever read past
+    the scan — no corpus shuffle. -> (doc_id, score, term,
+    position, fragment) one row per hit."""
+    ix = executor.ix
+    topk = executor.search(query, k=k)
+    ids = [int(r["doc_id"]) for r in topk.select("doc_id").collect()]
+    if not ids:
+        return ix.spark.createDataFrame(
+            [],
+            "doc_id long, score double, term string, position int, "
+            "fragment string",
+        )
+    pos = highlight_positions(ix, query, ids)
+    out = _fragments_for_page(
+        ix, topk, pos, docs_df, frag_tokens, tag_open, tag_close,
+        text_col, id_col,
+    )
+    return out.select(
+        "doc_id", "score", "term", "position", "fragment"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _fragments_for_page(
+    ix,
+    page: DataFrame,
+    pos: DataFrame,
+    docs_df: DataFrame,
+    frag_tokens: int,
+    tag_open: str,
+    tag_close: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared fragment kernel: page (doc_id, score, ...) + per-term
+    positions (doc_id, term, positions) + the source table -> page
+    columns plus (term, position, fragment). Inner-joins the page,
+    so docs matching only non-positional clauses drop out."""
+    from lucille_spark.analysis import get_tokenize_expr
+
+    first = (
+        pos.select(
+            "doc_id",
+            F.explode("positions").alias("p"),
+            F.col("term"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("p", "term")).alias("hit"))
+        .select(
+            "doc_id",
+            F.col("hit.p").cast("int").alias("position"),
+            F.col("hit.term").alias("term"),
+        )
+    )
+    tok_expr = get_tokenize_expr(
+        (ix.stats or {}).get("analyzer", "standard")
+    )
+    docs = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tok_expr(text_col).alias("_toks"),
+    )
+    w = int(frag_tokens)
+    j = page.join(F.broadcast(first), "doc_id").join(docs, "doc_id")
+    start = F.greatest(F.lit(1), F.col("position") + 1 - w)
+    frag = F.slice(
+        F.col("_toks"), start, F.col("position") + 1 + w - start + 1
+    )
+    hit_idx = F.col("position") + 2 - start  # 1-based index in frag
+    marked = F.transform(
+        frag,
+        lambda t, i: F.when(
+            i + 1 == hit_idx,
+            F.concat(F.lit(tag_open), t, F.lit(tag_close)),
+        ).otherwise(t),
+    )
+    return j.select(
+        *page.columns,
+        "term",
+        "position",
+        F.concat_ws(" ", marked).alias("fragment"),
+    )
+
+
 def export_matches(
     executor, query, path: str, with_meta: bool = True
 ) -> int:

@@ -1,0 +1,149 @@
+"""highlight_fragments: ES plain-highlighter snippets around the
+first matched-term occurrence, checked against a pure-Python
+recomputation over the same corpus."""
+
+import re
+
+import pytest
+
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def _py_fragment(text, terms, w=4, to="<em>", tc="</em>"):
+    toks = _TOKEN_RE.findall(text.lower())
+    hits = [(p, t) for p, t in enumerate(toks) if t in terms]
+    if not hits:
+        return None
+    p, term = min(hits)
+    lo = max(0, p - w)
+    hi = min(len(toks), p + w + 1)
+    frag = [
+        (to + t + tc) if i == p else t
+        for i, t in enumerate(toks[lo:hi], start=lo)
+    ]
+    return p, term, " ".join(frag)
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(unit_corpus):
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    return {i: r.content for i, r in enumerate(pdf.itertuples())}
+
+
+def test_fragments_match_python_reference(spark, unit_index, unit_corpus, corpus_docs):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import highlight_fragments
+
+    ix, oracle, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus_docs.items()], "doc_id long, text string"
+    )
+    out = highlight_fragments(
+        ex, docs, "spark batch", k=10, frag_tokens=4
+    ).collect()
+    assert len(out) == 10
+    topk = {int(r["doc_id"]) for r in ex.search("spark batch", k=10).collect()}
+    assert {int(r["doc_id"]) for r in out} == topk
+    for r in out:
+        want = _py_fragment(
+            corpus_docs[int(r["doc_id"])], {"spark", "batch"}
+        )
+        assert want is not None
+        p, term, frag = want
+        assert int(r["position"]) == p
+        assert r["term"] == term
+        assert r["fragment"] == frag
+
+
+def test_fragment_at_doc_start_and_tags(spark, tmp_path):
+    """Hit inside the first `frag_tokens` tokens clamps the window
+    at the document start; custom tags are honored. Positions must
+    come from the SAME text the fragments are cut from, so this
+    builds a tiny dedicated index."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.builder import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import highlight_fragments
+
+    rows = [
+        (0, "spark alpha beta gamma delta"),
+        (1, "alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out_dir = str(tmp_path / "tiny")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out_dir, id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out_dir))
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    out = highlight_fragments(
+        ex, src, "spark", k=1, frag_tokens=2, tag_open="[", tag_close="]"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["fragment"] == "[spark] alpha beta"
+    assert int(out[0]["position"]) == 0
+
+
+def test_expansion_terms_highlight(spark, unit_index, unit_corpus, corpus_docs):
+    """Prefix expansions highlight every matching surface term."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark import plans as P
+    from lucille_spark.search_features import highlight_fragments
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus_docs.items()], "doc_id long, text string"
+    )
+    exp = set(P.collect_terms(ix.plan("spar*")))
+    assert len(exp) >= 1
+    out = highlight_fragments(ex, docs, "spar*", k=5).collect()
+    assert out
+    for r in out:
+        want = _py_fragment(corpus_docs[int(r["doc_id"])], exp)
+        assert want is not None and r["fragment"] == want[2]
+
+
+def test_dsl_plain_highlight_parity(spark, unit_index, unit_corpus, corpus_docs):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import highlight_fragments
+
+    import pytest as _pytest
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus_docs.items()], "doc_id long, text string"
+    )
+    via = search_es(
+        ex,
+        {
+            "query": {"match": {"content": "spark batch"}},
+            "highlight": {
+                "fields": {"content": {}},
+                "type": "plain",
+                "pre_tags": ["<b>"],
+                "post_tags": ["</b>"],
+            },
+            "size": 5,
+        },
+        docs=docs,
+    ).collect()
+    direct = highlight_fragments(
+        ex, docs, "spark batch", k=5, tag_open="<b>", tag_close="</b>"
+    ).collect()
+    assert [(r["doc_id"], r["fragment"]) for r in via] == [
+        (r["doc_id"], r["fragment"]) for r in direct
+    ]
+    with _pytest.raises(UnsupportedDSL, match="docs="):
+        search_es(
+            ex,
+            {
+                "query": {"match": {"content": "spark"}},
+                "highlight": {"type": "plain"},
+            },
+        )
