@@ -3030,6 +3030,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_complete"] = complete_q
 
+    # fuzzy completion (ES completion `fuzzy` option): the typo'd
+    # prefix 'sa' still completes to the s-family terms — terms
+    # whose same-length leading window is within 1 edit, first char
+    # exact; exact-prefix completions outrank fuzzy ones
+    def complete_fuzzy_q(s, d):
+        from lucille_spark.search_features import complete
+
+        return complete(
+            _index_for(s, d), "sa", 10, fuzziness=1
+        )
+
+    q["ft_complete_fuzzy"] = complete_fuzzy_q
+
     def phrase_suggest_q(s, d):
         from lucille_spark.search_features import phrase_suggest
 
@@ -7095,6 +7108,16 @@ WITH tok AS ({_TOK}),
 c AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
       WHERE term LIKE 'sp%' GROUP BY term)
 SELECT term AS suggestion, df FROM c ORDER BY df DESC, term LIMIT 5"""
+
+    o["ft_complete_fuzzy"] = f"""
+WITH tok AS ({_TOK}),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      GROUP BY term),
+c AS (SELECT term, df,
+      levenshtein(substr(term, 1, 2), 'sa') AS ed
+      FROM d WHERE substr(term, 1, 1) = 's')
+SELECT term AS suggestion, df, ed AS edits FROM c WHERE ed <= 1
+ORDER BY (ed > 0), df DESC, term LIMIT 10"""
 
     # ---- phrase suggester 'scon batc': per-slot fuzzy candidates
     # (damerau <= 2, top-5 by df desc/term asc), phrases re-ranked by

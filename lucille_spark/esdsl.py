@@ -2704,7 +2704,22 @@ def suggest_es(index, body: Dict[str, Any]) -> Dict[str, Any]:
                 raise UnsupportedDSL(
                     f"suggest {name}: completion needs a prefix"
                 )
-            out[name] = complete(index, str(prefix), n=size)
+            # ES completion `fuzzy` option: {"fuzzy": {"fuzziness": N,
+            # "prefix_length": M}} or the shorthand "fuzzy": true
+            fz = conf.get("fuzzy")
+            fuzziness, plen = 0, 1
+            if fz:
+                if fz is True:
+                    fuzziness = 1
+                elif isinstance(fz, dict):
+                    fuzziness = int(fz.get("fuzziness", 1))
+                    plen = int(fz.get("prefix_length", 1))
+                else:
+                    fuzziness = int(fz)
+            out[name] = complete(
+                index, str(prefix), n=size, fuzziness=fuzziness,
+                prefix_length=plen,
+            )
             continue
         text = spec.get("text", conf.get("text"))
         if text is None:

@@ -2636,22 +2636,73 @@ def pinned(executor, ids, organic, k: int = 10) -> DataFrame:
 _PIN_BASE = 1.0e9
 
 
-def complete(index, prefix: str, n: int = 5) -> DataFrame:
+def complete(
+    index,
+    prefix: str,
+    n: int = 5,
+    fuzziness: int = 0,
+    prefix_length: int = 1,
+) -> DataFrame:
     """ES completion-suggester analogue over the term dictionary:
     dictionary terms starting with `prefix`, ranked by document
     frequency (desc, term asc) — the "weight" of a dictionary-backed
     completion. Rides the same prefix expansion as Prefix queries
     (ordered dictionary slice / pushdown bounds), so no postings and
-    no corpus scan are touched. -> (suggestion, df) top-n."""
-    cands = index.dictionary.expand_prefix(str(prefix))
+    no corpus scan are touched. -> (suggestion, df) top-n.
+
+    `fuzziness > 0` is the ES completion `fuzzy` option: a term also
+    completes when its SAME-LENGTH leading window is within
+    `fuzziness` plain-Levenshtein edits of the typed prefix, with the
+    first `prefix_length` characters required to match exactly (ES
+    default 1 — which also bounds the candidate set to one leading-
+    character dictionary slice, never the whole dictionary). Exact-
+    prefix completions outrank fuzzy ones (ES behavior), then df
+    desc, term asc. Fuzzy output adds an `edits` column.
+    -> (suggestion, df[, edits]) top-n."""
+    fuzziness = int(fuzziness)
+    prefix = str(prefix)
+    if fuzziness <= 0:
+        cands = index.dictionary.expand_prefix(prefix)
+        if not cands:
+            return index.spark.createDataFrame(
+                [], "suggestion string, df long"
+            )
+        dfs = index.dictionary.lookup_df(cands)
+        ranked = sorted((-int(d), t) for t, d in dfs.items())[:n]
+        return index.spark.createDataFrame(
+            [(t, -nd) for nd, t in ranked], "suggestion string, df long"
+        )
+    import numpy as np
+
+    from lucille_spark.index.reader import _lev, _lev_batch
+
+    pl = max(0, int(prefix_length))
+    cands = np.asarray(
+        index.dictionary.expand_prefix(prefix[:pl]), dtype=object
+    )
+    if cands.size == 0:
+        return index.spark.createDataFrame(
+            [], "suggestion string, df long, edits int"
+        )
+    # leading windows of prefix length (fixed-width astype truncates)
+    wins = cands.astype(f"U{len(prefix)}")
+    keep = _lev_batch(wins, prefix, fuzziness)
+    cands = cands[keep].tolist()
     if not cands:
         return index.spark.createDataFrame(
-            [], "suggestion string, df long"
+            [], "suggestion string, df long, edits int"
         )
-    dfs = index.dictionary.lookup_df(cands)
-    ranked = sorted((-int(d), t) for t, d in dfs.items())[:n]
+    eds = {
+        t: _lev(t[: len(prefix)], prefix)
+        for t in cands
+    }
+    dfs = index.dictionary.lookup_df(sorted(cands))
+    ranked = sorted(
+        (eds[t] > 0, -int(d), t) for t, d in dfs.items()
+    )[:n]
     return index.spark.createDataFrame(
-        [(t, -nd) for nd, t in ranked], "suggestion string, df long"
+        [(t, -nd, int(eds[t])) for _, nd, t in ranked],
+        "suggestion string, df long, edits int",
     )
 
 

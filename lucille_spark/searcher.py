@@ -333,3 +333,27 @@ class Searcher:
         from lucille_spark.esdsl import scroll_es as _sc
 
         return _sc(self._df_ex, body, after=after)
+
+    def terms_enum(
+        self, string: str = "", field: str = "content",
+        size: int = 10, search_after=None,
+        case_insensitive: bool = False,
+    ) -> DataFrame:
+        """ES `_terms_enum`: lexicographic dictionary walk (range
+        pushdown on the terms table, search_after pagination)."""
+        from lucille_spark.search_features import terms_enum
+
+        return terms_enum(
+            self.index, string, field, size, search_after,
+            case_insensitive,
+        )
+
+    def highlight(
+        self, query, docs: DataFrame, k: int = 10, **kw
+    ) -> DataFrame:
+        """ES plain highlighter: text fragments around the first
+        matched-term occurrence per hit (needs the source table —
+        the index stores no raw text)."""
+        from lucille_spark.search_features import highlight_fragments
+
+        return highlight_fragments(self._df_ex, docs, query, k=k, **kw)

@@ -210,3 +210,52 @@ def test_reindex_drops_tombstones(spark, unit_corpus, tmp_path):
         ).count()
         == 0
     )
+
+
+# ------------------------------------------- fuzzy completion
+
+def test_complete_fuzzy_reference(unit_index):
+    """Brute-force recomputation of the fuzzy-completion rule over
+    the oracle dictionary."""
+    from lucille_spark.search_features import complete
+
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ix, oracle, _ = unit_index
+    prefix, fz = "spork", 1
+    allt = oracle.dictionary.expand_prefix("")
+    cand = [
+        t for t in allt
+        if t[:1] == prefix[:1] and _lev(t[: len(prefix)], prefix) <= fz
+    ]
+    dfs = oracle.dictionary.lookup_df(cand)
+    want = sorted(
+        (_lev(t[: len(prefix)], prefix) > 0, -dfs[t], t) for t in cand
+    )[:10]
+    got = [
+        (r["suggestion"], int(r["df"]), int(r["edits"]))
+        for r in complete(ix, prefix, 10, fuzziness=1).collect()
+    ]
+    assert got == [
+        (t, -nd, _lev(t[: len(prefix)], prefix)) for _, nd, t in want
+    ]
+    # exact-prefix completions rank before fuzzy ones
+    exacts = [e for _, _, e in got]
+    assert exacts == sorted(exacts, key=lambda e: e > 0)
+
+
+def test_complete_fuzzy_zero_equals_plain(unit_index):
+    from lucille_spark.search_features import complete
+
+    ix, _, _ = unit_index
+    a = complete(ix, "sp", 5).collect()
+    b = complete(ix, "sp", 5, fuzziness=0).collect()
+    assert a == b
