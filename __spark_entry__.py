@@ -3868,6 +3868,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_bpe_encode"] = tx_bpe_encode_q
 
+    # ---- model-based quality filtering: fastText-style hash-linear
+    # classifier inference (hash -> weight -> mean pool -> sigmoid;
+    # deterministic stand-in weights, trained-model plumbing) --------
+    def tx_clf_q(s, d, bigrams=False):
+        from lucille_spark.ops.text import hash_classifier_score
+
+        out = hash_classifier_score(
+            _docs(s, d), "text", "doc_id", seed=7, bigrams=bigrams
+        )
+        return (
+            out.select(
+                "doc_id",
+                "n_feats",
+                F.round("logit", 4).alias("logit"),
+                F.round("p", 4).alias("p"),
+                "keep",
+            )
+            .orderBy("doc_id")
+            .limit(200)
+        )
+
+    q["tx_clf"] = tx_clf_q
+    q["tx_clf_bigram"] = lambda s, d: tx_clf_q(s, d, bigrams=True)
+
     # ---- crawl curation: URL canonicalization / URL-level dedup /
     # per-host crawl stats (ops/web.py fixed rule; synthetic URL
     # variants from _urls) --------------------------------------------
@@ -7943,6 +7967,42 @@ WITH tok AS (
 e AS (SELECT doc_id, pos, word, trim({_enc}) AS ps FROM tok)
 SELECT doc_id, pos, word, replace(ps, ' ', '|') AS piece_str,
        len(string_split(ps, ' ')) AS n_pieces FROM e"""
+
+    # hash-linear classifier: identical md5 weight math in SQL
+    _W_SQL = (
+        "(((cast(('0x' || substring(md5('7:' || {f}), 1, 8)) as bigint)"
+        " % 2147483647) % 2001 - 1000) / 1000.0)"
+    )
+    o["tx_clf"] = f"""
+WITH tok AS ({_TOK}),
+w AS (SELECT doc_id, {_W_SQL.format(f="term")} AS w FROM tok),
+a AS (SELECT doc_id, avg(w) AS logit, count(*) AS n FROM w
+      GROUP BY doc_id),
+j AS (SELECT d.doc_id, coalesce(a.logit, 0.0) AS logit,
+      coalesce(a.n, 0) AS n_feats
+      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id)
+SELECT doc_id, n_feats, round(logit, 4) AS logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS p,
+       (1.0 / (1.0 + exp(-logit)) >= 0.5) AS keep
+FROM j ORDER BY doc_id LIMIT 200"""
+
+    o["tx_clf_bigram"] = f"""
+WITH arr AS (SELECT doc_id, list_filter(regexp_split_to_array(
+      lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a FROM documents),
+uni AS (SELECT doc_id, unnest(a) AS f FROM arr),
+big AS (SELECT doc_id, unnest(list_transform(range(1, len(a)),
+      i -> a[i] || '_' || a[i + 1])) AS f FROM arr),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+w AS (SELECT doc_id, {_W_SQL.format(f="f")} AS w FROM feats),
+a2 AS (SELECT doc_id, avg(w) AS logit, count(*) AS n FROM w
+       GROUP BY doc_id),
+j AS (SELECT d.doc_id, coalesce(a2.logit, 0.0) AS logit,
+      coalesce(a2.n, 0) AS n_feats
+      FROM documents d LEFT JOIN a2 ON d.doc_id = a2.doc_id)
+SELECT doc_id, n_feats, round(logit, 4) AS logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS p,
+       (1.0 / (1.0 + exp(-logit)) >= 0.5) AS keep
+FROM j ORDER BY doc_id LIMIT 200"""
 
     # highlight fragments: top-k + first-hit position + token-slice
     # snippet, end to end in SQL

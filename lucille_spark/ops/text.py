@@ -1618,3 +1618,66 @@ def dsir_sample(
         .orderBy(F.desc("key"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+def hash_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    bigrams: bool = False,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """fastText-style LINEAR classifier INFERENCE — the shape of the
+    model-based quality filters pretraining pipelines run after the
+    heuristic pass (CCNet's LM filter, RefinedWeb/FineWeb fastText
+    classifiers): logit = mean over features of w[h(feature)],
+    p = sigmoid(logit), keep = p >= threshold. Features are the
+    analyzed unigrams, plus adjacent-pair bigrams when `bigrams`
+    (fastText wordNgrams=2).
+
+    No trained model ships in this sandbox, so the weight table is a
+    deterministic stand-in: w(feature) = ((md5(seed:feature) bucket)
+    % 2001 - 1000) / 1000 in [-1, 1] — exactly the plumbing of the
+    real filter (hash -> weight lookup -> mean pool -> sigmoid); to
+    deploy a trained fastText model, replace the weight expression
+    with a broadcast map-column lookup, everything else unchanged.
+
+    Shape: one explode + ONE per-doc aggregation (partial map-side);
+    bigrams are built by a codegen zip over the token array, never a
+    shuffle. Docs with no features get logit 0 / p 0.5.
+    -> (id_col, n_feats, logit, p, keep)."""
+    toks = tokenize_expr(text_col)
+    if bigrams:
+        n = F.size(toks)
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(toks, bi)
+    else:
+        feats = toks
+    h = F.expr(
+        TOKEN_HASH_SPARK.format(tok=f"concat('{int(seed)}:', f)")
+    )
+    w = (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+    agg = (
+        df.select(F.col(id_col), F.explode(feats).alias("f"))
+        .select(id_col, w.alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.avg("w").alias("logit"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    j = df.select(id_col).join(agg, id_col, "left")
+    logit = F.coalesce(F.col("logit"), F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return j.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        logit.alias("logit"),
+        p.alias("p"),
+        (p >= F.lit(float(threshold))).alias("keep"),
+    )

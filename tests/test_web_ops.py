@@ -113,3 +113,44 @@ def test_host_stats(spark):
     }
     # a.com: 3 pages, canonicals {http://a.com/1, https://a.com/1}
     assert out == {"a.com": (3, 2), "b.com": (1, 1)}
+
+
+# ------------------------------- hash-linear classifier inference
+
+def test_hash_classifier_reference(spark):
+    """Pure-python recomputation of the hash->weight->mean->sigmoid
+    rule, unigram and bigram."""
+    import math
+
+    from lucille_spark.ops.hashing import token_hash_py
+    from lucille_spark.ops.text import hash_classifier_score
+
+    rows = [(0, "alpha beta alpha"), (1, "gamma"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def w(f):
+        return (token_hash_py(f"7:{f}") % 2001 - 1000) / 1000.0
+
+    def expect(toks, bigrams=False):
+        feats = list(toks)
+        if bigrams:
+            feats += [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            return 0, 0.0, 0.5
+        lg = sum(w(f) for f in feats) / len(feats)
+        return len(feats), lg, 1 / (1 + math.exp(-lg))
+
+    for bi in (False, True):
+        got = {
+            int(r["doc_id"]): (
+                int(r["n_feats"]), r["logit"], r["p"], r["keep"]
+            )
+            for r in hash_classifier_score(df, bigrams=bi).collect()
+        }
+        for did, text in rows:
+            n, lg, p = expect(text.split(), bigrams=bi)
+            gn, glg, gp, gk = got[did]
+            assert gn == n
+            assert abs(glg - lg) < 1e-12
+            assert abs(gp - p) < 1e-12
+            assert gk == (p >= 0.5)
