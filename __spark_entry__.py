@@ -3944,6 +3944,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_host_stats"] = tx_host_stats_q
 
+    def tx_blocklist_q(s, d):
+        from lucille_spark.ops.web import blocklist_filter, host_expr
+
+        out = blocklist_filter(
+            _urls(s, d),
+            ["site1.example.com", "site3.example.com"],
+        )
+        return (
+            out.select(host_expr("url").alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("host")
+        )
+
+    q["tx_blocklist"] = tx_blocklist_q
+
     # ---- ES request body: sort / from-size paging -------------------
     def ft_dsl_sort_q(s, d):
         from lucille_spark.esdsl import search_es
@@ -8047,6 +8063,18 @@ WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}
 SELECT url_canon, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM canon GROUP BY url_canon HAVING count(*) > 1
 ORDER BY url_canon LIMIT 50"""
+
+    o["tx_blocklist"] = f"""
+WITH {_URLS_SQL.strip()},
+h AS (SELECT doc_id,
+      regexp_replace(regexp_replace(lower(regexp_extract(
+        regexp_replace(regexp_replace(url, '#.*$', ''),
+          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)),
+        '^www\\.', ''), ':(80|443)$', '') AS host
+      FROM urls)
+SELECT host, count(*) AS n FROM h
+WHERE host NOT IN ('site1.example.com', 'site3.example.com')
+GROUP BY host ORDER BY host"""
 
     o["tx_host_stats"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB},

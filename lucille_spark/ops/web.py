@@ -159,3 +159,34 @@ def host_stats(
             F.countDistinct("url_canon").alias("n_canonical"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_hosts,
+    url_col: str = "url",
+    keep: bool = False,
+) -> DataFrame:
+    """Domain blocklist pass (the crawl-curation step before any
+    text processing): drop rows whose canonical host is on the
+    list. `blocked_hosts` may be a python iterable (becomes an
+    IN-list literal — fine to a few thousand entries) or a DataFrame
+    with a `host` column (broadcast anti-join — the scale path for
+    the millions-of-domains lists real pipelines carry).
+    `keep=True` inverts (allowlist). Rows pass through unchanged."""
+    h = host_expr(url_col)
+    if isinstance(blocked_hosts, DataFrame):
+        b = blocked_hosts.select(F.col("host"))
+        how = "left_semi" if keep else "left_anti"
+        return (
+            df.withColumn("_h", h)
+            .join(
+                F.broadcast(b),
+                F.col("_h") == F.col("host"),
+                how,
+            )
+            .drop("_h")
+        )
+    hosts = sorted({str(x) for x in blocked_hosts})
+    cond = h.isin(hosts)
+    return df.filter(cond if keep else ~cond)

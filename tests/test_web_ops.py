@@ -154,3 +154,25 @@ def test_hash_classifier_reference(spark):
             assert abs(glg - lg) < 1e-12
             assert abs(gp - p) < 1e-12
             assert gk == (p >= 0.5)
+
+
+def test_blocklist_filter_list_and_df(spark):
+    from lucille_spark.ops.web import blocklist_filter
+
+    rows = [
+        (1, "http://www.bad.com/x"),
+        (2, "https://good.com/y"),
+        (3, "http://bad.com:80/z"),
+        (4, "http://other.org/w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in blocklist_filter(df, ["bad.com"]).collect()}
+    assert kept == {2, 4}
+    bdf = spark.createDataFrame([("bad.com",), ("other.org",)], "host string")
+    kept2 = {r["doc_id"] for r in blocklist_filter(df, bdf).collect()}
+    assert kept2 == {2}
+    # allowlist mode
+    kept3 = {
+        r["doc_id"] for r in blocklist_filter(df, bdf, keep=True).collect()
+    }
+    assert kept3 == {1, 3, 4}
