@@ -1603,6 +1603,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_bm25f"] = bm25f_q
 
+    # combined_fields operator=and (through the DSL front door)
+    def bm25f_and_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _field_index_for(s, d)
+        out = search_es(
+            DataFrameExecutor(ix),
+            {"combined_fields": {
+                "query": "spark batch",
+                "fields": ["content", "title^2"],
+                "operator": "and",
+            }},
+            k=10,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_bm25f_and"] = bm25f_and_q
+
     # combined_fields DSL == BM25F (same params as ft_bm25f, so the
     # two gates share one oracle)
     def combined_fields_q(s, d):
@@ -4695,6 +4714,14 @@ agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     o["ft_combined_fields"] = o["ft_bm25f"]
+
+    # combined_fields operator=and: every distinct query term must
+    # match in SOME weighted field — same scores, gated match set
+    o["ft_bm25f_and"] = o["ft_bm25f"].replace(
+        "agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)",
+        "agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id "
+        "HAVING count(*) = 2)",
+    )
 
     # match_bool_prefix 'batch wind': bm25(batch) summed with the
     # constant-1.0 prefix clause; match = either side

@@ -913,11 +913,6 @@ def search_es(
         # engine's BM25F (search_features.bm25f_topk). Field boosts
         # via the "field^2.5" suffix become the BM25F field weights.
         body = dsl[kind]
-        if body.get("operator", "or").lower() != "or":
-            raise UnsupportedDSL(
-                "combined_fields: operator=and not supported "
-                "(BM25F scores the term union)"
-            )
         from lucille_spark.search_features import bm25f_topk
 
         weights = {}
@@ -930,6 +925,7 @@ def search_es(
         return bm25f_topk(
             executor.ix, body["query"], weights,
             k=k if k is not None else 10,
+            operator=body.get("operator", "or"),
         )
 
     if kind == "match_phrase_prefix":

@@ -759,7 +759,10 @@ def best_fields(
     return dis_max(index, alts, tie)
 
 
-def bm25f_topk(index, query_text: str, weights: dict, k: int = 10):
+def bm25f_topk(
+    index, query_text: str, weights: dict, k: int = 10,
+    operator: str = "or",
+):
     """True BM25F (Robertson & Zaragoza's simple BM25F): per query
     term, field tfs merge with field weights BEFORE the saturation
     curve —
@@ -769,7 +772,10 @@ def bm25f_topk(index, query_text: str, weights: dict, k: int = 10):
         score = sum_t idf_u(t) * tf~ / (tf~ + k1*(1-b + b*dl~/avgdl~))
 
     with idf_u over the UNION df (docs containing t in ANY weighted
-    field, computed in-plan). This differs from `multi_field`, which
+    field, computed in-plan). `operator="and"` (ES combined_fields
+    operator) gates the result on EVERY distinct query term matching
+    in at least one field — one extra count in the existing per-doc
+    aggregation, scores unchanged. This differs from `multi_field`, which
     scores each field separately and sums AFTER saturation — BM25F is
     the principled model when a term in both title and body should
     saturate jointly.
@@ -866,7 +872,15 @@ def bm25f_topk(index, query_text: str, weights: dict, k: int = 10):
             ).alias("s"),
         )
     )
-    scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("s").alias("score"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    if str(operator).lower() == "and":
+        # per_term is one row per (doc, distinct term): m == n_terms
+        # iff every query term matched in some weighted field
+        scored = scored.filter(F.col("_m") == len(uniq))
+    scored = scored.drop("_m")
     return (
         _drop_deleted(ix, scored)
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -317,3 +317,35 @@ def test_bm25f_differs_from_multi_field(field_index):
     assert any(
         abs(f_scores[d] - m_scores[d]) > 1e-9 for d in both
     ), "expected joint-saturation to change at least one score"
+
+
+def test_bm25f_operator_and(field_index):
+    """operator=and gates on every distinct term matching in SOME
+    field; scores of surviving docs are identical to operator=or."""
+    from lucille_spark.search_features import bm25f_topk
+
+    ix, oracle = field_index[0], field_index[1]
+    W = {"content": 1.0, "title": 2.0}
+    q = "parser query"
+    ors = {
+        int(r["doc_id"]): r["score"]
+        for r in bm25f_topk(ix, q, W, k=48).collect()
+    }
+    ands = {
+        int(r["doc_id"]): r["score"]
+        for r in bm25f_topk(ix, q, W, k=48, operator="and").collect()
+    }
+    assert set(ands) <= set(ors)
+    for d, s in ands.items():
+        assert s == ors[d]
+    # every AND doc contains BOTH terms in some field; at least one
+    # OR-only doc is missing a term (else the gate is vacuous here)
+    both = set()
+    for d in ors:
+        text = (
+            oracle.docs[d]["content"] + " " + oracle.docs[d].get("title", "")
+        ).lower()
+        if "parser" in text and "query" in text:
+            both.add(d)
+    assert set(ands) == both
+    assert both != set(ors)
