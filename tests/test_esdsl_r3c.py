@@ -1052,22 +1052,33 @@ def test_combined_fields_dispatches_to_bm25f(spark, tmp_path_factory):
     assert direct == via_dsl
 
 
-def test_combined_fields_rejects_and(unit_index):
-    import pytest as _pt
-
-    from lucille_spark.esdsl import UnsupportedDSL, search_es
+def test_combined_fields_operator_and(unit_index):
+    """operator=and is supported (wave 38): the DSL path gates on
+    every term matching in some field — the AND result is the
+    score-identical subset of the OR result."""
+    from lucille_spark.esdsl import search_es
     from lucille_spark.exec_df import DataFrameExecutor
 
     ix, oracle, _ = unit_index
-    with _pt.raises(UnsupportedDSL, match="operator"):
-        search_es(
-            DataFrameExecutor(ix),
-            {"combined_fields": {
-                "query": "cats", "fields": ["content"],
-                "operator": "and",
-            }},
-            k=5,
-        )
+    ex = DataFrameExecutor(ix)
+
+    def run(op):
+        return {
+            int(r["doc_id"]): round(float(r["score"]), 9)
+            for r in search_es(
+                ex,
+                {"combined_fields": {
+                    "query": "cats dogs", "fields": ["content"],
+                    "operator": op,
+                }},
+                k=100,
+            ).collect()
+        }
+
+    ors, ands = run("or"), run("and")
+    assert set(ands) <= set(ors)
+    for d, s in ands.items():
+        assert s == ors[d]
 
 
 def test_new_agg_kinds_shapes(unit_index):
