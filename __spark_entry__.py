@@ -2846,6 +2846,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_spannear_or"] = spannear_or_q
 
+    # span_containing: (spark, batch) unordered within slop=2, with a
+    # 'window' occurrence INSIDE the qualifying window; scored like
+    # the big span_near (tf=1, min big member df)
+    def spancontain_q(s, d):
+        from lucille_spark.search_features import span_containing
+
+        ix = _index_for(s, d)
+        out = span_containing(
+            ix, ["spark", "batch"], "window", slop=2, in_order=False
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_spancontain"] = spancontain_q
+
+    # span_within: 'spark' occurrences inside an unordered
+    # (batch, window) slop-2 span; tf = qualifying occurrences,
+    # scored with spark's stats
+    def spanwithin_q(s, d):
+        from lucille_spark.search_features import span_within
+
+        ix = _index_for(s, d)
+        out = span_within(
+            ix, "spark", ["batch", "window"], slop=2, in_order=False
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_spanwithin"] = spanwithin_q
+
+    # span_multi: spark ordered-before any dictionary completion of
+    # 'bat' (capped 50, lexicographic — the match_phrase_prefix
+    # expansion contract), slop 2, as a SpanOr slot
+    def spanmulti_q(s, d):
+        from lucille_spark.search_features import (
+            span_multi_expand,
+            span_near,
+        )
+
+        ix = _index_for(s, d)
+        exp = span_multi_expand(ix, "bat", 50)
+        out = span_near(
+            ix, ["spark", exp], slop=2, in_order=True
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_spanmulti"] = spanmulti_q
+
     def tophits_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
         from lucille_spark.search_features import top_hits
@@ -6970,6 +7016,72 @@ mdf AS (SELECT least(
     (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch'),
     (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')
   )) AS df),
+sc AS (SELECT m.doc_id,
+       ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * 1.0 /
+       (1.0 + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # span_containing: (spark,batch) unordered slop=2 spans that
+    # contain a 'window' occurrence; scored like the big span_near
+    o["ft_spancontain"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'batch'),
+l AS (SELECT doc_id, p FROM pos WHERE term = 'window'),
+m AS (SELECT DISTINCT a.doc_id FROM a
+      JOIN b ON a.doc_id = b.doc_id AND abs(a.p - b.p) <= 3
+      JOIN l ON l.doc_id = a.doc_id
+      AND l.p >= least(a.p, b.p) AND l.p <= greatest(a.p, b.p)),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'spark'),
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'batch')) AS df),
+sc AS (SELECT m.doc_id,
+       ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * 1.0 /
+       (1.0 + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # span_within: 'spark' occurrences covered by an unordered
+    # (batch,window) slop-2 span; tf = qualifying count, spark stats
+    o["ft_spanwithin"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+i AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'batch'),
+w AS (SELECT doc_id, p FROM pos WHERE term = 'window'),
+ok AS (SELECT DISTINCT i.doc_id, i.p FROM i
+       JOIN b ON b.doc_id = i.doc_id
+       JOIN w ON w.doc_id = i.doc_id AND abs(b.p - w.p) <= 3
+       AND i.p >= least(b.p, w.p) AND i.p <= greatest(b.p, w.p)),
+tfq AS (SELECT doc_id, count(*) AS tf FROM ok GROUP BY doc_id),
+idf AS (SELECT count(DISTINCT doc_id) AS df FROM tok
+        WHERE term = 'spark'),
+sc AS (SELECT tfq.doc_id,
+       ln(1.0 + (st.n - idf.df + 0.5) / (idf.df + 0.5)) * tfq.tf /
+       (tfq.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tfq JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idf)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # span_multi: spark ordered-before any 'bat%' completion within
+    # slop 2 (SpanOr slot: union positions, max member df; capped 50
+    # lexicographic-first like the driver dictionary enum)
+    o["ft_spanmulti"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}), dl AS ({_DL}), st AS ({_ST}),
+exp AS (SELECT DISTINCT term FROM tok WHERE term LIKE 'bat%'
+        ORDER BY term LIMIT 50),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+b AS (SELECT DISTINCT doc_id, p FROM pos
+      WHERE term IN (SELECT term FROM exp)),
+m AS (SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+      AND b.p > a.p AND b.p - a.p <= 3),
+mdf AS (SELECT least(
+  (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'spark'),
+  (SELECT max(df) FROM (
+     SELECT count(DISTINCT doc_id) AS df FROM tok
+     WHERE term IN (SELECT term FROM exp) GROUP BY term))) AS df),
 sc AS (SELECT m.doc_id,
        ln(1.0 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * 1.0 /
        (1.0 + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s

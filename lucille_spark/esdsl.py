@@ -1112,11 +1112,17 @@ def search_es(
             k=k if k is not None else 10,
         )
 
-    if kind in ("span_near", "span_first", "span_not"):
+    if kind in (
+        "span_near", "span_first", "span_not",
+        "span_containing", "span_within",
+    ):
         from lucille_spark.search_features import (
+            span_containing,
             span_first,
+            span_multi_expand,
             span_near,
             span_not,
+            span_within,
         )
 
         def _span_term(clause):
@@ -1149,6 +1155,33 @@ def search_es(
                 post=int(body.get("post", 0)),
                 k=kk,
             )
+        def _near_parts(clause):
+            # a nested span_near body -> (terms, slop, in_order)
+            if set(clause) != {"span_near"}:
+                raise UnsupportedDSL(
+                    "span_containing/span_within: big must be a "
+                    f"span_near of span_terms, got {sorted(clause)}"
+                )
+            b = clause["span_near"]
+            return (
+                [_span_term(c) for c in _aslist(b["clauses"])],
+                int(b.get("slop", 0)),
+                bool(b.get("in_order", True)),
+            )
+
+        if kind == "span_containing":
+            big, slop, order = _near_parts(body["big"])
+            return span_containing(
+                executor.ix, big, _span_term(body["little"]),
+                slop=slop, in_order=order, k=kk,
+            )
+        if kind == "span_within":
+            big, slop, order = _near_parts(body["big"])
+            return span_within(
+                executor.ix, _span_term(body["little"]), big,
+                slop=slop, in_order=order, k=kk,
+            )
+
         def _span_slot(clause):
             # SpanOrQuery inside span_near: a slot of alternatives
             if set(clause) == {"span_or"}:
@@ -1156,11 +1189,36 @@ def search_es(
                     _span_term(c)
                     for c in _aslist(clause["span_or"]["clauses"])
                 ]
+            # SpanMultiTermQueryWrapper: a prefix expanded on the
+            # driver dictionary into a SpanOr slot (capped
+            # lexicographic-first, the match_phrase_prefix contract)
+            if set(clause) == {"span_multi"}:
+                mm = clause["span_multi"]["match"]
+                if set(mm) != {"prefix"}:
+                    raise UnsupportedDSL(
+                        "span_multi: only prefix match is supported"
+                    )
+                field, val, opts = _field_value(mm["prefix"], "value")
+                if field != "content":
+                    raise UnsupportedDSL(
+                        "span: only the content field is "
+                        "positional-indexed"
+                    )
+                return span_multi_expand(
+                    executor.ix, str(val),
+                    int(opts.get("max_expansions", 50)),
+                )
             return _span_term(clause)
 
+        slots = [_span_slot(c) for c in _aslist(body["clauses"])]
+        if any(isinstance(s, list) and not s for s in slots):
+            # a span_multi slot expanded to nothing -> MatchNone
+            return executor.ix.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
         return span_near(
             executor.ix,
-            [_span_slot(c) for c in _aslist(body["clauses"])],
+            slots,
             slop=int(body.get("slop", 0)),
             in_order=bool(body.get("in_order", True)),
             k=kk,

@@ -3397,3 +3397,194 @@ def runtime_sort(
         F.asc(sort_field) if ascending else F.desc(sort_field)
     )
     return out.orderBy(key, F.asc("doc_id")).limit(k)
+
+
+def _span_group(index, terms):
+    """One file-pruned scan of `terms` postings -> one row per doc
+    holding a term->positions map + doc_len. The shared shuffle
+    shape of every positional span operator (same as the phrase
+    path: exec_df.py's single-groupBy contract)."""
+    distinct = sorted(set(terms))
+    src = getattr(index, "flat_for", None)
+    flat = src(distinct) if src else index.flat
+    flat = flat.filter(F.col("term").isin(distinct))
+    return (
+        _drop_deleted(index, flat)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm"),
+            F.max("doc_len").alias("doc_len"),
+        )
+    )
+
+
+def span_containing(
+    index,
+    big,
+    little: str,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene SpanContainingQuery (ES `span_containing`): big spans
+    — a span_near over `big` terms with `slop`/`in_order` — that
+    CONTAIN an occurrence of `little` (least(span) <= p <=
+    greatest(span)). Returns the big spans, so it scores exactly
+    like the big span_near: tf = 1, pseudo-df = min big member df
+    (the PPhrase contract) — `span_containing(big, little)` is the
+    score-identical subset of `span_near(big)` on docs where a
+    little occurrence falls inside a qualifying window.
+
+    Scale: ONE scan of big+little postings, ONE groupBy(doc_id);
+    the containment check is nested array-`exists` HOFs in
+    whole-stage codegen. -> (doc_id, score) top-k."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+
+    quoted = '"' + " ".join(big) + '"'
+    if slop:
+        quoted += f"~{slop}"
+    node = index.plan(quoted)
+    lit_node = index.plan(little)
+    if isinstance(node, P.PMatchNone) or isinstance(
+        lit_node, P.PMatchNone
+    ):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    assert isinstance(node, P.PPhrase), "span_containing: big >= 2 terms"
+    assert isinstance(lit_node, P.PTerm), "span_containing: little = 1 term"
+    m = len(node.terms)
+    max_span = m - 1 + slop
+    g = _span_group(index, list(node.terms) + [lit_node.term])
+    pos = [F.col("pm")[t] for t in node.terms]
+    for t in set(node.terms) | {lit_node.term}:
+        g = g.filter(F.col("pm")[t].isNotNull())
+    lp = F.col("pm")[lit_node.term]
+
+    def window_exists(chosen):
+        i = len(chosen)
+        if i == m:
+            lo, hi = F.least(*chosen), F.greatest(*chosen)
+            ok = (hi - lo) <= F.lit(max_span)
+            if in_order:
+                for a, b in zip(chosen, chosen[1:]):
+                    ok = ok & (a < b)
+            return ok & F.exists(
+                lp, lambda p: (p >= lo) & (p <= hi)
+            )
+        return F.exists(pos[i], lambda p: window_exists(chosen + [p]))
+
+    avgdl = node.avgdl or float(index.stats["avg_dl"])
+    return (
+        g.filter(window_exists([]))
+        .select(
+            "doc_id",
+            _score_col(
+                node.sim, F.lit(1), F.col("doc_len"), node.idf,
+                avgdl, node.tw,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def span_within(
+    index,
+    little: str,
+    big,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene SpanWithinQuery (ES `span_within`): occurrences of
+    `little` that fall INSIDE some qualifying big span (span_near
+    over `big` with `slop`/`in_order`). Returns the little spans, so
+    it scores like the little term with tf = the QUALIFYING
+    occurrence count (the span_first/span_not contract) and the
+    little term's idf/norms.
+
+    Same plan shape as span_containing: one scan, one
+    groupBy(doc_id), nested codegen HOFs. -> (doc_id, score) top-k."""
+    from lucille_spark import plans as P
+    from lucille_spark.exec_df import _score_col
+
+    lit_node = index.plan(little)
+    quoted = '"' + " ".join(big) + '"'
+    if slop:
+        quoted += f"~{slop}"
+    node = index.plan(quoted)
+    if isinstance(node, P.PMatchNone) or isinstance(
+        lit_node, P.PMatchNone
+    ):
+        return index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    assert isinstance(node, P.PPhrase), "span_within: big >= 2 terms"
+    assert isinstance(lit_node, P.PTerm), "span_within: little = 1 term"
+    m = len(node.terms)
+    max_span = m - 1 + slop
+    g = _span_group(index, list(node.terms) + [lit_node.term])
+    pos = [F.col("pm")[t] for t in node.terms]
+    for t in set(node.terms) | {lit_node.term}:
+        g = g.filter(F.col("pm")[t].isNotNull())
+    lp = F.col("pm")[lit_node.term]
+
+    def covers(p, chosen):
+        i = len(chosen)
+        if i == m:
+            lo, hi = F.least(*chosen), F.greatest(*chosen)
+            ok = (hi - lo) <= F.lit(max_span)
+            if in_order:
+                for a, b in zip(chosen, chosen[1:]):
+                    ok = ok & (a < b)
+            return ok & (p >= lo) & (p <= hi)
+        return F.exists(
+            pos[i], lambda q_: covers(p, chosen + [q_])
+        )
+
+    tf = F.size(F.filter(lp, lambda p: covers(p, [])))
+    avgdl = lit_node.avgdl or float(index.stats["avg_dl"])
+    return (
+        g.select("doc_id", tf.alias("_tf"), "doc_len")
+        .filter(F.col("_tf") > 0)
+        .select(
+            "doc_id",
+            _score_col(
+                lit_node.sim, F.col("_tf"), F.col("doc_len"),
+                lit_node.idf, avgdl, lit_node.tw,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def span_multi_expand(
+    index, prefix: str, max_expansions: int = 50
+):
+    """ES `span_multi` (SpanMultiTermQueryWrapper) with a `prefix`
+    match: expand the prefix on the DRIVER dictionary (no postings
+    touched), capped lexicographic-first like Lucene's term enum —
+    the match_phrase_prefix expansion contract. The result is a list
+    of concrete terms to use as a SpanOr slot of `span_near` (slot
+    positions = union, slot df = max member df). Raises if the
+    prefix analyzes away."""
+    from lucille_spark import ast as A
+    from lucille_spark import plans as P
+
+    toks = index.planner.tokenize(prefix)
+    if len(toks) != 1:
+        raise ValueError(
+            f"span_multi prefix {prefix!r} must analyze to one token"
+        )
+    node = index.planner.plan(A.Prefix(toks[0]))
+    if isinstance(node, P.PMatchNone):
+        return []
+    terms = (
+        node.terms if isinstance(node, P.PExpand) else [node.term]
+    )
+    return sorted(terms)[: int(max_expansions)]

@@ -1,0 +1,217 @@
+"""Span-family completion (round-3): span_containing, span_within,
+span_multi (prefix-expansion SpanOr slot). Semantics cross-checked
+against the span_near / term operators they must agree with; the
+DuckDB hash gates ft_spancontain / ft_spanwithin / ft_spanmulti
+verify absolute scores."""
+
+import pytest
+
+
+def _rows(df):
+    return [
+        (int(r["doc_id"]), round(float(r["score"]), 6))
+        for r in df.collect()
+    ]
+
+
+def _ex(ix):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    return DataFrameExecutor(ix)
+
+
+def test_span_containing_subset_of_big_near(spark, unit_index):
+    """Containing = the score-identical subset of span_near(big) on
+    docs where a little occurrence falls inside a window."""
+    from lucille_spark.search_features import span_containing, span_near
+
+    ix, _, _ = unit_index
+    big = dict(_rows(span_near(
+        ix, ["cats", "dogs"], slop=3, in_order=False, k=200
+    )))
+    cont = dict(_rows(span_containing(
+        ix, ["cats", "dogs"], "def", slop=3, in_order=False, k=200
+    )))
+    assert cont, "fixture must produce a containing match"
+    assert set(cont) <= set(big)
+    for d, s in cont.items():
+        assert s == big[d]
+
+
+def test_span_within_tf_bounded_by_term(spark, unit_index):
+    """within's qualifying tf <= the little term's plain tf, so its
+    score never exceeds the term query's (same idf/norms,
+    monotone tf)."""
+    from lucille_spark.search_features import span_within
+
+    ix, oracle, _ = unit_index
+    ex = _ex(ix)
+    w = dict(_rows(span_within(
+        ix, "def", ["cats", "dogs"], slop=3, in_order=False, k=200
+    )))
+    term = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in ex.search("def", k=None).collect()
+    }
+    assert w, "fixture must produce at least one within match"
+    for d, s in w.items():
+        assert d in term
+        assert s <= term[d] + 1e-9
+
+
+def test_span_within_unbounded_slop_equals_term_on_cooccurring(
+    spark, unit_index
+):
+    """With a huge slop every (cats,dogs) doc's windows cover the
+    whole doc, so within == the term query restricted to docs
+    containing all three terms."""
+    from lucille_spark.search_features import span_within
+
+    ix, oracle, _ = unit_index
+    ex = _ex(ix)
+    w = dict(_rows(span_within(
+        ix, "fish", ["cats", "dogs"], slop=10_000, in_order=False,
+        k=500,
+    )))
+    both = {
+        int(r["doc_id"])
+        for r in ex.search("cats AND dogs AND fish", k=None).collect()
+    }
+    term = {
+        int(r["doc_id"]): round(float(r["score"]), 6)
+        for r in ex.search("fish", k=None).collect()
+    }
+    # windows span [min,max] of chosen positions; a fish occurrence
+    # outside every window can only drop tf, never add docs
+    assert set(w) <= both
+    for d, s in w.items():
+        assert s <= term[d] + 1e-9
+
+
+def test_span_multi_single_completion_is_exact_near(spark, unit_index):
+    """A prefix with exactly one dictionary completion makes
+    span_multi score-identical to span_near on the concrete term."""
+    from lucille_spark.search_features import (
+        span_multi_expand,
+        span_near,
+    )
+
+    ix, _, _ = unit_index
+    exp = span_multi_expand(ix, "fish", 50)
+    if exp != ["fish"]:
+        pytest.skip("fixture grew more fish* completions")
+    a = _rows(span_near(ix, ["cats", exp], slop=3, in_order=False))
+    b = _rows(span_near(ix, ["cats", "fish"], slop=3, in_order=False))
+    assert a == b
+
+
+def test_span_multi_expand_caps_lexicographic(spark, unit_index):
+    from lucille_spark.search_features import span_multi_expand
+
+    ix, _, _ = unit_index
+    full = span_multi_expand(ix, "c", 1000)
+    assert full == sorted(full)
+    capped = span_multi_expand(ix, "c", 2)
+    assert capped == full[:2]
+
+
+def test_span_containing_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import span_containing
+
+    ix, _, _ = unit_index
+    dsl = {
+        "span_containing": {
+            "big": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"content": "cats"}},
+                        {"span_term": {"content": "dogs"}},
+                    ],
+                    "slop": 3,
+                    "in_order": False,
+                }
+            },
+            "little": {"span_term": {"content": "fish"}},
+        }
+    }
+    a = _rows(search_es(_ex(ix), dsl, k=10))
+    b = _rows(span_containing(
+        ix, ["cats", "dogs"], "fish", slop=3, in_order=False, k=10
+    ))
+    assert a == b
+
+
+def test_span_within_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import span_within
+
+    ix, _, _ = unit_index
+    dsl = {
+        "span_within": {
+            "big": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"content": "cats"}},
+                        {"span_term": {"content": "dogs"}},
+                    ],
+                    "slop": 3,
+                    "in_order": False,
+                }
+            },
+            "little": {"span_term": {"content": "fish"}},
+        }
+    }
+    a = _rows(search_es(_ex(ix), dsl, k=10))
+    b = _rows(span_within(
+        ix, "fish", ["cats", "dogs"], slop=3, in_order=False, k=10
+    ))
+    assert a == b
+
+
+def test_span_multi_dispatch(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import (
+        span_multi_expand,
+        span_near,
+    )
+
+    ix, _, _ = unit_index
+    dsl = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"content": "cats"}},
+                {"span_multi": {
+                    "match": {"prefix": {"content": {"value": "do"}}}
+                }},
+            ],
+            "slop": 3,
+            "in_order": False,
+        }
+    }
+    a = _rows(search_es(_ex(ix), dsl, k=10))
+    exp = span_multi_expand(ix, "do", 50)
+    b = _rows(span_near(ix, ["cats", exp], slop=3, in_order=False))
+    assert a and a == b
+
+
+def test_span_multi_empty_expansion_matches_none(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ix, _, _ = unit_index
+    dsl = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"content": "cats"}},
+                {"span_multi": {
+                    "match": {
+                        "prefix": {"content": {"value": "zzqqxx"}}
+                    }
+                }},
+            ],
+            "slop": 3,
+        }
+    }
+    out = search_es(_ex(ix), dsl, k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score"]
