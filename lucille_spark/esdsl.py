@@ -1189,23 +1189,33 @@ def search_es(
                     _span_term(c)
                     for c in _aslist(clause["span_or"]["clauses"])
                 ]
-            # SpanMultiTermQueryWrapper: a prefix expanded on the
+            # SpanMultiTermQueryWrapper: a multi-term query
+            # (prefix / wildcard / regexp / fuzzy) expanded on the
             # driver dictionary into a SpanOr slot (capped
             # lexicographic-first, the match_phrase_prefix contract)
             if set(clause) == {"span_multi"}:
                 mm = clause["span_multi"]["match"]
-                if set(mm) != {"prefix"}:
+                if len(mm) != 1 or next(iter(mm)) not in (
+                    "prefix", "wildcard", "regexp", "fuzzy"
+                ):
                     raise UnsupportedDSL(
-                        "span_multi: only prefix match is supported"
+                        "span_multi: match must be one of prefix/"
+                        f"wildcard/regexp/fuzzy, got {sorted(mm)}"
                     )
-                field, val, opts = _field_value(mm["prefix"], "value")
-                if field != "content":
-                    raise UnsupportedDSL(
-                        "span: only the content field is "
-                        "positional-indexed"
-                    )
+                mkind = next(iter(mm))
+                _, _, opts = _field_value(
+                    mm[mkind], "value", "wildcard"
+                )
+                node = to_ast(mm)
+                if isinstance(node, A.Field):
+                    if node.field != "content":
+                        raise UnsupportedDSL(
+                            "span: only the content field is "
+                            "positional-indexed"
+                        )
+                    node = node.q
                 return span_multi_expand(
-                    executor.ix, str(val),
+                    executor.ix, node,
                     int(opts.get("max_expansions", 50)),
                 )
             return _span_term(clause)
@@ -1227,10 +1237,15 @@ def search_es(
     if kind == "intervals":
         # `match` maps exactly onto span_near (max_gaps -> slop,
         # ordered -> in_order); `all_of` is span_near over its
-        # sub-rules where an `any_of` of single-token matches
-        # becomes a SpanOr slot. Deeper nesting / prefix rules
-        # unsupported.
-        from lucille_spark.search_features import span_near
+        # sub-rules where an `any_of` of single-token matches or a
+        # `prefix`/`wildcard`/`fuzzy` rule becomes a SpanOr slot
+        # (dictionary expansion, the span_multi contract). Deeper
+        # nesting unsupported.
+        from lucille_spark import ast as _A
+        from lucille_spark.search_features import (
+            span_multi_expand,
+            span_near,
+        )
 
         field, spec = next(iter(dsl[kind].items()))
         if field != "content":
@@ -1257,6 +1272,27 @@ def search_es(
                         )
                     alts.append(t[0])
                 return [alts]
+            if set(rule) & {"prefix", "wildcard", "fuzzy"}:
+                (rkind,) = rule
+                body = rule[rkind]
+                # intervals rules carry the value under the rule's
+                # own key ({"prefix": {"prefix": "bat"}}) or as a
+                # bare string
+                val = (
+                    body.get(rkind, body.get("value"))
+                    if isinstance(body, dict) else body
+                )
+                if val is None:
+                    raise UnsupportedDSL(
+                        f"intervals {rkind}: missing value"
+                    )
+                node = to_ast({rkind: {"content": {"value": str(val)}}})
+                if isinstance(node, _A.Field):
+                    node = node.q
+                exp = span_multi_expand(executor.ix, node, 50)
+                if not exp:
+                    return [[]]  # resolves to MatchNone below
+                return [exp]
             raise UnsupportedDSL(
                 f"intervals: unsupported rule {sorted(rule)}"
             )
@@ -1275,6 +1311,11 @@ def search_es(
             slots: list = []
             for r in ao["intervals"]:
                 slots.extend(_leaf_slots(r))
+            if any(isinstance(s, list) and not s for s in slots):
+                # an expansion rule matched no dictionary term
+                return executor.ix.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
             return span_near(
                 executor.ix,
                 slots,

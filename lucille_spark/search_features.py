@@ -3564,24 +3564,32 @@ def span_within(
 
 
 def span_multi_expand(
-    index, prefix: str, max_expansions: int = 50
+    index, match, max_expansions: int = 50
 ):
-    """ES `span_multi` (SpanMultiTermQueryWrapper) with a `prefix`
-    match: expand the prefix on the DRIVER dictionary (no postings
-    touched), capped lexicographic-first like Lucene's term enum —
-    the match_phrase_prefix expansion contract. The result is a list
-    of concrete terms to use as a SpanOr slot of `span_near` (slot
-    positions = union, slot df = max member df). Raises if the
-    prefix analyzes away."""
+    """ES `span_multi` (SpanMultiTermQueryWrapper): expand a
+    multi-term query on the DRIVER dictionary (no postings touched),
+    capped lexicographic-first like Lucene's term enum — the
+    match_phrase_prefix expansion contract. `match` is a plain
+    prefix string, or any expanding AST leaf (Prefix / WildCard /
+    TermRegex / Fuzzy — whatever the planner resolves to PExpand).
+    The result is a list of concrete terms to use as a SpanOr slot
+    of `span_near` (slot positions = union, slot df = max member
+    df, the engine's SpanOr convention — Lucene's wrapper rewrites
+    to a constant-score union; ours keeps the span scoring
+    contract instead so a 1-term expansion degenerates to the exact
+    span). Raises if a string prefix analyzes away."""
     from lucille_spark import ast as A
     from lucille_spark import plans as P
 
-    toks = index.planner.tokenize(prefix)
-    if len(toks) != 1:
-        raise ValueError(
-            f"span_multi prefix {prefix!r} must analyze to one token"
-        )
-    node = index.planner.plan(A.Prefix(toks[0]))
+    if isinstance(match, str):
+        toks = index.planner.tokenize(match)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_multi prefix {match!r} must analyze to one "
+                "token"
+            )
+        match = A.Prefix(toks[0])
+    node = index.planner.plan(match)
     if isinstance(node, P.PMatchNone):
         return []
     terms = (

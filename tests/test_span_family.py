@@ -215,3 +215,98 @@ def test_span_multi_empty_expansion_matches_none(spark, unit_index):
     out = search_es(_ex(ix), dsl, k=10)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "score"]
+
+
+def test_span_multi_wildcard_and_fuzzy_kinds(spark, unit_index):
+    """span_multi generalizes past prefix: wildcard / regexp / fuzzy
+    expand on the same driver dictionary (PExpand) and feed the same
+    SpanOr slot."""
+    from lucille_spark import ast as A
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import (
+        span_multi_expand,
+        span_near,
+    )
+
+    ix, _, _ = unit_index
+    # wildcard d?gs should expand to at least 'dogs'
+    exp = span_multi_expand(
+        ix,
+        A.WildCard.of(A.Str("d"), A.SingleChar(), A.Str("gs")),
+    )
+    assert "dogs" in exp
+    dsl = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"content": "cats"}},
+                {"span_multi": {
+                    "match": {
+                        "wildcard": {"content": {"value": "d?gs"}}
+                    }
+                }},
+            ],
+            "slop": 3,
+            "in_order": False,
+        }
+    }
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    a = _rows(search_es(DataFrameExecutor(ix), dsl, k=10))
+    b = _rows(span_near(ix, ["cats", exp], slop=3, in_order=False))
+    assert a and a == b
+
+    # fuzzy expansion contains the exact term
+    fexp = span_multi_expand(ix, A.Fuzzy("dogs", 1))
+    assert "dogs" in fexp
+
+
+def test_intervals_prefix_rule(spark, unit_index):
+    """intervals all_of with a prefix sub-rule == span_near with the
+    dictionary-expanded SpanOr slot."""
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import (
+        span_multi_expand,
+        span_near,
+    )
+
+    ix, _, _ = unit_index
+    dsl = {
+        "intervals": {
+            "content": {
+                "all_of": {
+                    "intervals": [
+                        {"match": {"query": "cats"}},
+                        {"prefix": {"prefix": "do"}},
+                    ],
+                    "max_gaps": 3,
+                    "ordered": False,
+                }
+            }
+        }
+    }
+    a = _rows(search_es(DataFrameExecutor(ix), dsl, k=10))
+    exp = span_multi_expand(ix, "do", 50)
+    b = _rows(span_near(ix, ["cats", exp], slop=3, in_order=False))
+    assert a and a == b
+
+
+def test_intervals_prefix_rule_empty_expansion(spark, unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    dsl = {
+        "intervals": {
+            "content": {
+                "all_of": {
+                    "intervals": [
+                        {"match": {"query": "cats"}},
+                        {"prefix": {"prefix": "zzqqxx"}},
+                    ],
+                }
+            }
+        }
+    }
+    out = search_es(DataFrameExecutor(ix), dsl, k=10)
+    assert out.count() == 0
