@@ -384,6 +384,52 @@ def _codegen_docs(spark: SparkSession, sf_dir: str, limit: int = 100):
     )
 
 
+def _callgraph_docs(spark: SparkSession, sf_dir: str, limit: int = 100):
+    """Deterministic call-graph fixture: one code line per analyzed
+    token — md5(token) % 4 picks def site / bare call / assigned
+    call / plain assignment. The DuckDB oracles rebuild the same
+    lines and run the IDENTICAL RE2 regexes over them."""
+    from lucille_spark.analysis import tokenize_expr
+
+    toks = tokenize_expr("text")
+    # branch on (doc_id, token) — NOT the token alone, else a symbol
+    # is globally always-def or always-call and the graph is empty
+    m4 = lambda t: F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), t
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int") % 4
+
+    def line(t):
+        return (
+            F.when(m4(t) == 0, F.concat(F.lit("def "), t, F.lit("():")))
+            .when(m4(t) == 1, F.concat(F.lit("    "), t, F.lit("()")))
+            .when(
+                m4(t) == 2,
+                F.concat(F.lit("    x = "), t, F.lit("(1)")),
+            )
+            .otherwise(F.concat(F.lit("    "), t, F.lit(" = 1")))
+        )
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < limit)
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.array_join(F.transform(toks, line), "\n").alias("text"),
+        )
+    )
+
+
 def _secret_docs(spark: SparkSession, sf_dir: str, limit: int = 100):
     did = F.col("doc_id").cast("string")
     return (
@@ -2760,6 +2806,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return C.dedup_functions(fns).orderBy("body_hash")
 
     q["code_fn_dups"] = code_fn_dups_q
+
+    # ---- call graph (ops/code.py): def sites -> call sites ->
+    # ambiguity-capped symbol join -> edges -> in-degree -------------
+    def code_defs_q(s, d):
+        from lucille_spark.ops import code as C
+
+        return C.extract_defs(
+            _callgraph_docs(s, d), "doc_id", "text"
+        ).orderBy("doc_id", "line_no")
+
+    q["code_defs"] = code_defs_q
+
+    def code_calls_q(s, d):
+        from lucille_spark.ops import code as C
+
+        return C.extract_calls(
+            _callgraph_docs(s, d), "doc_id", "text"
+        ).orderBy("doc_id", "line_no", "symbol")
+
+    q["code_calls"] = code_calls_q
+
+    def code_edges_q(s, d):
+        from lucille_spark.ops import code as C
+
+        docs = _callgraph_docs(s, d)
+        defs = C.extract_defs(docs, "doc_id", "text")
+        calls = C.extract_calls(docs, "doc_id", "text")
+        return C.call_edges(defs, calls, max_defs_per_symbol=16).orderBy(
+            "caller_doc", "callee_doc", "symbol"
+        )
+
+    q["code_edges"] = code_edges_q
+
+    def code_indegree_q(s, d):
+        from lucille_spark.ops import code as C
+
+        docs = _callgraph_docs(s, d)
+        defs = C.extract_defs(docs, "doc_id", "text")
+        calls = C.extract_calls(docs, "doc_id", "text")
+        e = C.call_edges(defs, calls, max_defs_per_symbol=16)
+        return C.symbol_in_degree(e).orderBy("callee_doc", "symbol")
+
+    q["code_indegree"] = code_indegree_q
 
     # ---- sketches (ops/sketch.py): HLL registers are the exact
     # hash contract; the estimate gate ALSO exercises sketch MERGE
@@ -6886,6 +6975,82 @@ d AS (SELECT h, doc_id, fn_no, fn_name,
       FROM b)
 SELECT h AS body_hash, n_copies, n_docs, doc_id, fn_no, fn_name
 FROM d WHERE rn = 1 AND n_copies >= 2 ORDER BY body_hash"""
+
+    # ---- call graph: rebuild the _callgraph_docs lines and run the
+    # IDENTICAL RE2 regexes (ops/code.py CALL_RE / FN_DEF_RE) ---------
+    from lucille_spark.ops.code import CALL_KEYWORDS as _CG_KW
+
+    _CG_LINES = """
+SELECT doc_id, cast(i as int) AS line_no,
+  CASE (('0x' || substring(md5(cast(doc_id as varchar) || ':' || tok),
+         1, 2))::int % 4)
+    WHEN 0 THEN 'def ' || tok || '():'
+    WHEN 1 THEN '    ' || tok || '()'
+    WHEN 2 THEN '    x = ' || tok || '(1)'
+    ELSE '    ' || tok || ' = 1' END AS line
+FROM (SELECT doc_id, arr[i + 1] AS tok, i FROM
+  (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM
+    (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+       '[^a-z0-9_]+'), x -> x <> '') AS arr
+     FROM documents WHERE doc_id < 100) WHERE len(arr) > 0))"""
+    _CG_DEFS = r"""SELECT doc_id, line_no,
+      regexp_extract(line,
+        '^\s*(?:def|function|func|fn)\s+([A-Za-z_][A-Za-z0-9_]*)',
+        1) AS symbol
+      FROM L
+      WHERE regexp_matches(line, '^\s*(def |function |func |fn )')
+      AND regexp_extract(line,
+        '^\s*(?:def|function|func|fn)\s+([A-Za-z_][A-Za-z0-9_]*)',
+        1) <> ''"""
+    _cg_kw_list = ", ".join(f"'{w}'" for w in _CG_KW)
+    _CG_CALLS = rf"""SELECT doc_id, line_no, symbol FROM
+      (SELECT doc_id, line_no,
+       unnest(regexp_extract_all(line,
+         '([A-Za-z_][A-Za-z0-9_]*)\s*\(', 1)) AS symbol
+       FROM L
+       WHERE NOT regexp_matches(line,
+         '^\s*(def |function |func |fn )'))
+      WHERE symbol NOT IN ({_cg_kw_list})"""
+
+    o["code_defs"] = f"""
+WITH L AS ({_CG_LINES})
+SELECT doc_id, line_no, symbol FROM ({_CG_DEFS})
+ORDER BY doc_id, line_no"""
+
+    o["code_calls"] = f"""
+WITH L AS ({_CG_LINES})
+SELECT doc_id, line_no, symbol FROM ({_CG_CALLS})
+ORDER BY doc_id, line_no, symbol"""
+
+    _CG_EDGES = f"""
+WITH L AS ({_CG_LINES}),
+d AS ({_CG_DEFS}),
+c AS ({_CG_CALLS}),
+ok AS (SELECT symbol FROM
+       (SELECT symbol, count(DISTINCT doc_id) AS nd FROM d
+        GROUP BY symbol) WHERE nd <= 16),
+dd AS (SELECT DISTINCT symbol, doc_id AS callee_doc FROM d
+       WHERE symbol IN (SELECT symbol FROM ok)),
+e AS (SELECT c.doc_id AS caller_doc, dd.callee_doc, c.symbol,
+      count(*) AS n_calls
+      FROM c JOIN dd ON c.symbol = dd.symbol
+      GROUP BY c.doc_id, dd.callee_doc, c.symbol)"""
+
+    o["code_edges"] = (
+        _CG_EDGES
+        + """
+SELECT caller_doc, callee_doc, symbol, n_calls FROM e
+ORDER BY caller_doc, callee_doc, symbol"""
+    )
+
+    o["code_indegree"] = (
+        _CG_EDGES
+        + """
+SELECT callee_doc, symbol,
+       count(DISTINCT caller_doc) AS n_callers,
+       sum(n_calls) AS n_calls
+FROM e GROUP BY callee_doc, symbol ORDER BY callee_doc, symbol"""
+    )
 
     # ---- sketches: identical md5 register math in SQL --------------
     _HLL_REGS = """

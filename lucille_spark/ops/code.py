@@ -572,3 +572,129 @@ def dedup_functions(fns: DataFrame, min_copies: int = 2) -> DataFrame:
             F.col("_c.fn_name").alias("fn_name"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# call-graph extraction
+# ---------------------------------------------------------------------------
+
+# control-flow / binding keywords that look like calls (`if (x)`,
+# `while(...)`) but aren't; fixed list shared verbatim with the
+# DuckDB oracle
+CALL_KEYWORDS = (
+    "if", "elif", "else", "for", "while", "return", "switch",
+    "case", "catch", "try", "except", "with", "assert", "raise",
+    "yield", "lambda", "not", "and", "or", "in", "is", "new", "do",
+)
+
+# an identifier immediately applied: `name(` (whitespace allowed) —
+# RE2-safe (no lookaround) so the oracle runs the identical pattern
+CALL_RE = r"([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+
+def extract_defs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Definition sites: one row per def-shaped line (the
+    extract_functions FN_DEF_RE head) with the defined symbol — the
+    node table of the corpus call graph.
+
+    Scale: split + posexplode + regexp_extract, all whole-stage
+    codegen, ONE scan, zero shuffle; output is def-count-sized.
+    -> (doc_id, line_no, symbol)."""
+    lines = F.split(F.col(text_col), r"\n")
+    ex = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(lines).alias("line_no", "_l"),
+    )
+    return (
+        ex.filter(F.col("_l").rlike(FN_DEF_RE))
+        .select(
+            "doc_id",
+            F.col("line_no").cast("int").alias("line_no"),
+            F.regexp_extract("_l", _FN_NAME_RE, 1).alias("symbol"),
+        )
+        .filter(F.col("symbol") != "")
+    )
+
+
+def extract_calls(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Call sites: every `identifier(` occurrence on a NON-def line
+    (a def head is a declaration, not a call — default-arg calls on
+    def lines are deliberately out of this regex-level scope), minus
+    control-flow keywords (CALL_KEYWORDS). The edge-source table of
+    the corpus call graph.
+
+    Scale: split + posexplode + regexp_extract_all + explode — all
+    codegen, ONE scan, zero shuffle; rows = call sites, never
+    lines x patterns.
+    -> (doc_id, line_no, symbol)."""
+    lines = F.split(F.col(text_col), r"\n")
+    ex = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(lines).alias("line_no", "_l"),
+    ).filter(~F.col("_l").rlike(FN_DEF_RE))
+    return (
+        ex.select(
+            "doc_id",
+            F.col("line_no").cast("int").alias("line_no"),
+            F.explode(
+                F.regexp_extract_all("_l", F.lit(CALL_RE), 1)
+            ).alias("symbol"),
+        )
+        .filter(~F.col("symbol").isin(*CALL_KEYWORDS))
+    )
+
+
+def call_edges(
+    defs: DataFrame,
+    calls: DataFrame,
+    max_defs_per_symbol: int = 64,
+) -> DataFrame:
+    """Cross-file call edges: caller doc -> every doc defining the
+    called symbol, weighted by call-site count. Symbols defined in
+    more than `max_defs_per_symbol` distinct docs are DROPPED, not
+    joined — at corpus scale a name like `main` or `get` is defined
+    everywhere, carries no linkage signal, and would turn the
+    symbol join into a quadratic hot key (the LSH `max_bucket`
+    convention applied to graphs).
+
+    Scale: one symbol-count-sized aggregation for the ambiguity
+    guard (broadcast back as a semi-join), then ONE shuffle join on
+    the now-bounded symbol key, then the edge aggregation; edge
+    fan-out per call site <= max_defs_per_symbol by construction.
+    -> (caller_doc, callee_doc, symbol, n_calls)."""
+    ok = (
+        defs.groupBy("symbol")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") <= int(max_defs_per_symbol))
+        .select("symbol")
+    )
+    dd = (
+        defs.join(F.broadcast(ok), "symbol", "left_semi")
+        .select("symbol", F.col("doc_id").alias("callee_doc"))
+        .distinct()
+    )
+    return (
+        calls.select(F.col("doc_id").alias("caller_doc"), "symbol")
+        .join(dd, "symbol")
+        .groupBy("caller_doc", "callee_doc", "symbol")
+        .agg(F.count(F.lit(1)).alias("n_calls"))
+    )
+
+
+def symbol_in_degree(edges: DataFrame) -> DataFrame:
+    """Per-(callee_doc, symbol) in-degree over call_edges output:
+    how many distinct files call each definition, and how often —
+    the hot-symbol / dead-code signal a code-corpus curation pass
+    ranks by. One hash aggregation over edge-count-sized rows.
+    -> (callee_doc, symbol, n_callers, n_calls)."""
+    return (
+        edges.groupBy("callee_doc", "symbol")
+        .agg(
+            F.countDistinct("caller_doc").alias("n_callers"),
+            F.sum("n_calls").alias("n_calls"),
+        )
+    )

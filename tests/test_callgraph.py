@@ -1,0 +1,108 @@
+"""Call-graph extraction (ops/code.py): def sites, call sites,
+ambiguity-capped edges, in-degree. Absolute values are hash-gated
+vs DuckDB (code_defs / code_calls / code_edges / code_indegree);
+these tests pin the semantic rules on a hand-written file."""
+
+
+SRC = "\n".join([
+    "def alpha():",            # def alpha @0
+    "    beta()",              # call beta @1
+    "    if (x):",             # keyword, not a call @2
+    "    y = gamma(1)",        # call gamma @3
+    "def beta():",             # def beta @4
+    "    alpha(); delta()",    # two calls on one line @5
+    "    return (z)",          # keyword @6
+])
+
+SRC2 = "\n".join([
+    "def gamma():",            # def gamma @0
+    "    alpha()",             # cross-file call @1
+])
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(0, SRC), (1, SRC2)], "doc_id long, text string"
+    )
+
+
+def test_extract_defs(spark):
+    from lucille_spark.ops import code as C
+
+    out = sorted(
+        (r["doc_id"], r["line_no"], r["symbol"])
+        for r in C.extract_defs(_df(spark), "doc_id", "text").collect()
+    )
+    assert out == [(0, 0, "alpha"), (0, 4, "beta"), (1, 0, "gamma")]
+
+
+def test_extract_calls_keywords_and_def_lines(spark):
+    from lucille_spark.ops import code as C
+
+    out = sorted(
+        (r["doc_id"], r["line_no"], r["symbol"])
+        for r in C.extract_calls(_df(spark), "doc_id", "text").collect()
+    )
+    # no 'if'/'return' (keywords), nothing from def lines, both
+    # calls on line 5 captured
+    assert out == [
+        (0, 1, "beta"),
+        (0, 3, "gamma"),
+        (0, 5, "alpha"),
+        (0, 5, "delta"),
+        (1, 1, "alpha"),
+    ]
+
+
+def test_call_edges_and_indegree(spark):
+    from lucille_spark.ops import code as C
+
+    d = _df(spark)
+    defs = C.extract_defs(d, "doc_id", "text")
+    calls = C.extract_calls(d, "doc_id", "text")
+    e = sorted(
+        (r["caller_doc"], r["callee_doc"], r["symbol"], r["n_calls"])
+        for r in C.call_edges(defs, calls).collect()
+    )
+    # delta is called but never defined -> no edge; alpha called from
+    # both files; self-edges (doc calls its own def) are real edges
+    assert e == [
+        (0, 0, "alpha", 1),
+        (0, 0, "beta", 1),
+        (0, 1, "gamma", 1),
+        (1, 0, "alpha", 1),
+    ]
+    deg = sorted(
+        (r["callee_doc"], r["symbol"], r["n_callers"], r["n_calls"])
+        for r in C.symbol_in_degree(
+            C.call_edges(defs, calls)
+        ).collect()
+    )
+    assert deg == [
+        (0, "alpha", 2, 2),
+        (0, "beta", 1, 1),
+        (1, "gamma", 1, 1),
+    ]
+
+
+def test_call_edges_ambiguity_cap(spark):
+    """Symbols defined in more docs than the cap are dropped, not
+    joined — the hot-key guard."""
+    from lucille_spark.ops import code as C
+
+    rows = [(i, "def common():\n    rare()") for i in range(5)]
+    rows.append((99, "def rare():\n    common()"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    defs = C.extract_defs(d, "doc_id", "text")
+    calls = C.extract_calls(d, "doc_id", "text")
+    capped = C.call_edges(defs, calls, max_defs_per_symbol=3)
+    syms = {r["symbol"] for r in capped.collect()}
+    assert syms == {"rare"}  # 'common' defined in 5 docs > cap 3
+    full = C.call_edges(defs, calls, max_defs_per_symbol=100)
+    assert {r["symbol"] for r in full.collect()} == {"rare", "common"}
+    # the capped guard keeps every rare edge intact
+    rare_edges = sorted(
+        (r["caller_doc"], r["callee_doc"])
+        for r in capped.collect()
+    )
+    assert rare_edges == [(i, 99) for i in range(5)]
