@@ -1142,7 +1142,11 @@ _GATE_PRIORITY = [
     # without re-tokenizing, rank-identity checked vs the corpus SQL)
     "ft_split",
     "wand_prefix",
-    "ft_wildcard",
+    # (ft_wildcard freed its slot for the wave-39 call-graph family —
+    # the DF PExpand path stays covered by ft_gram_ix/ft_prefix in
+    # the mirror, the WAND one by wand_prefix below; code_edges
+    # exercises defs+calls+ambiguity guard+symbol join in one gate)
+    "code_edges",
     # (wand_wildcard freed its slot for the geo family — the WAND
     # PExpand path stays covered by wand_prefix + the local mirror)
     "ft_geo_distance",
