@@ -1272,7 +1272,9 @@ def search_es(
                         )
                     alts.append(t[0])
                 return [alts]
-            if set(rule) & {"prefix", "wildcard", "fuzzy"}:
+            if len(rule) == 1 and set(rule) <= {
+                "prefix", "wildcard", "fuzzy"
+            }:
                 (rkind,) = rule
                 body = rule[rkind]
                 # intervals rules carry the value under the rule's
