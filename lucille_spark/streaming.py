@@ -419,6 +419,75 @@ def upsert_batch(
     return {"tombstoned": n_tomb, "batch_id": next_id, "n_docs": n_new}
 
 
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    query,
+    transform,
+    key_cols: Sequence[str],
+    content_col: str = "content",
+    meta_cols: Optional[Sequence[str]] = None,
+    config: Optional[BuildConfig] = None,
+) -> dict:
+    """ES `_update_by_query`: apply `transform` to every SOURCE row
+    whose indexed doc matches the Lucene-syntax `query`, and write
+    the transformed rows back through `upsert_batch` (old revisions
+    tombstoned, new revisions a fresh delta) — the index-level
+    redaction / bulk-retag primitive (PII scrub of every doc
+    matching `email`, license retag of a repo, ...).
+
+    `transform` is a dict {col: Column} applied with withColumn
+    (the "painless script" seat — whole-stage codegen, no UDF), or a
+    callable(DataFrame) -> DataFrame for arbitrary rewrites.
+
+    Scale: the match set resolves on the index (query-sized), its
+    keys broadcast-semi-join the source table (one corpus scan, no
+    shuffle), and the rewrite rides the ordinary zero-shuffle delta
+    ingest; nothing re-tokenizes except the matched rows. Returns
+    the upsert_batch dict + {"matched": n_keys}."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    key_cols = list(key_cols)
+    mi = open_multi(spark, index_dir)
+    missing = [c for c in key_cols if c not in mi.doclens.columns]
+    if missing:
+        raise ValueError(
+            f"index doclens lack key column(s) {missing}; build "
+            "with meta_cols including the update key"
+        )
+    matched = (
+        DataFrameExecutor(mi).search(query, k=None).select("doc_id")
+    )
+    keys = (
+        mi.doclens.join(matched, "doc_id")
+        .select(*key_cols)
+        .distinct()
+        .persist()
+    )
+    n_keys = keys.count()
+    if n_keys == 0:
+        keys.unpersist()
+        return {
+            "matched": 0, "tombstoned": 0,
+            "batch_id": None, "n_docs": 0,
+        }
+    rows = docs.join(F.broadcast(keys), key_cols, "left_semi")
+    if callable(transform):
+        new_rows = transform(rows)
+    else:
+        new_rows = rows
+        for c, col in dict(transform).items():
+            new_rows = new_rows.withColumn(c, col)
+    out = upsert_batch(
+        spark, index_dir, new_rows, key_cols,
+        content_col=content_col, meta_cols=meta_cols, config=config,
+    )
+    keys.unpersist()
+    out["matched"] = n_keys
+    return out
+
+
 def open_alias(
     spark: SparkSession,
     index_dirs: Sequence[str],

@@ -1,0 +1,102 @@
+"""ES _update_by_query over the delta chain: match on the index,
+transform the SOURCE rows, upsert back (tombstone old revisions,
+fresh delta for new ones)."""
+
+from pyspark.sql import functions as F
+
+
+def _search_paths(spark, d, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.streaming import open_multi
+
+    mi = open_multi(spark, d)
+    res = DataFrameExecutor(mi).search(q, k=None, with_meta=True)
+    return {(r.repo, r.path) for r in res.collect()}
+
+
+def test_update_by_query_column_transform(spark, tmp_path):
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.streaming import update_by_query, upsert_batch
+
+    d = str(tmp_path / "ubq")
+    cfg = BuildConfig(num_shards=2)
+    docs = spark.createDataFrame(
+        [
+            ("r1", "a.py", "spark batch join"),
+            ("r1", "b.py", "filter merge sort"),
+            ("r2", "c.py", "spark window agg"),
+        ],
+        "repo string, path string, content string",
+    )
+    upsert_batch(spark, d, docs, ["repo", "path"], config=cfg)
+
+    # redact: every doc matching 'spark' gets the token replaced
+    out = update_by_query(
+        spark, d, docs, "spark",
+        {"content": F.regexp_replace("content", "spark", "redacted")},
+        ["repo", "path"],
+        config=cfg,
+    )
+    assert out["matched"] == 2
+    assert out["tombstoned"] == 2
+    assert out["n_docs"] == 2
+
+    assert _search_paths(spark, d, "spark") == set()
+    assert _search_paths(spark, d, "redacted") == {
+        ("r1", "a.py"), ("r2", "c.py"),
+    }
+    # untouched doc is still there, exactly once
+    assert _search_paths(spark, d, "merge") == {("r1", "b.py")}
+
+
+def test_update_by_query_no_match_is_noop(spark, tmp_path):
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.streaming import update_by_query, upsert_batch
+
+    d = str(tmp_path / "ubq0")
+    cfg = BuildConfig(num_shards=2)
+    docs = spark.createDataFrame(
+        [("r1", "a.py", "spark batch")],
+        "repo string, path string, content string",
+    )
+    upsert_batch(spark, d, docs, ["repo", "path"], config=cfg)
+    out = update_by_query(
+        spark, d, docs, "zzqqxx",
+        {"content": F.lit("never")},
+        ["repo", "path"],
+        config=cfg,
+    )
+    assert out == {
+        "matched": 0, "tombstoned": 0, "batch_id": None, "n_docs": 0,
+    }
+    assert _search_paths(spark, d, "spark") == {("r1", "a.py")}
+
+
+def test_update_by_query_callable_transform(spark, tmp_path):
+    from pyspark.sql import functions as FF
+
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.streaming import update_by_query, upsert_batch
+
+    d = str(tmp_path / "ubqc")
+    cfg = BuildConfig(num_shards=2)
+    docs = spark.createDataFrame(
+        [
+            ("r1", "a.py", "alpha beta"),
+            ("r2", "b.py", "gamma delta"),
+        ],
+        "repo string, path string, content string",
+    )
+    upsert_batch(spark, d, docs, ["repo", "path"], config=cfg)
+    update_by_query(
+        spark, d, docs, "alpha",
+        lambda df: df.withColumn(
+            "content", FF.concat("content", FF.lit(" appended"))
+        ),
+        ["repo", "path"],
+        config=cfg,
+    )
+    assert _search_paths(spark, d, "appended") == {("r1", "a.py")}
+    # second revision only for the matched key
+    assert _search_paths(spark, d, "alpha") == {("r1", "a.py")}
+    assert _search_paths(spark, d, "gamma") == {("r2", "b.py")}
