@@ -445,7 +445,12 @@ def update_by_query(
     keys broadcast-semi-join the source table (one corpus scan, no
     shuffle), and the rewrite rides the ordinary zero-shuffle delta
     ingest; nothing re-tokenizes except the matched rows. Returns
-    the upsert_batch dict + {"matched": n_keys}."""
+    the upsert_batch dict + {"matched": n_keys}.
+
+    The transform MUST NOT rewrite the key columns — upsert
+    tombstones old revisions by the NEW rows' keys, so a key change
+    would leave the old revision live alongside the new one (use
+    delete_by_query + a plain ingest for re-keying)."""
     from lucille_spark.exec_df import DataFrameExecutor
 
     key_cols = list(key_cols)
