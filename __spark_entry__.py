@@ -1175,7 +1175,12 @@ _GATE_PRIORITY = [
     "code_fn_dups",
     "sem_dedup",
     "sim_pq_topk",
-    "sim_srp_ann",
+    # (sim_srp_ann freed its slot for the learned-sparse family —
+    # SRP bucketing stays covered by the local mirror; PQ + IVF keep
+    # two ANN rows in-window. ft_sparse_vec is the ES sparse_vector /
+    # SPLADE serving shape: impact-encoded feature table + sparse
+    # dot-product top-k through the DSL front door.)
+    "ft_sparse_vec",
     "sim_ivf_topk",
     "tx_gopher",
     "pipe_percolate_scored",
@@ -3947,6 +3952,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
     q["sim_knn_dsl"] = sim_knn_dsl_q
+
+    # ---- learned sparse retrieval (ES sparse_vector / SPLADE shape):
+    # deterministic impact encoding of the corpus, then the sparse
+    # dot-product top-k through the DSL front door ------------------
+    def ft_sparse_vec_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.ops.sparse import sparse_encode
+
+        feats = sparse_encode(_docs(s, d))
+        out = search_es(
+            None,
+            {
+                "query": {
+                    "sparse_vector": {
+                        "field": "ml.tokens",
+                        "query_vector": {
+                            "spark": 2.0,
+                            "window": 1.0,
+                            "batch": 1.5,
+                        },
+                    }
+                },
+                "size": 15,
+            },
+            feats=feats,
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["ft_sparse_vec"] = ft_sparse_vec_q
 
     # ---- exact-substring dedup (duplicated w-token window spans) ---
     def dd_substring_q(s, d):
@@ -8179,6 +8215,22 @@ c AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q WHERE e.label = 2)
 SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 15"""
+
+    # ---- learned sparse retrieval: weight = tf * (1 + h(term)/p)
+    # (ops/sparse.SPARSE_WEIGHT_DUCKDB), score = sum qw * weight ----
+    o["ft_sparse_vec"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'window', 'batch')
+       GROUP BY doc_id, term),
+w AS (SELECT doc_id, term,
+      tf * (1.0 + {_HASH} / {float(M31)!r}) AS wt FROM tf),
+qw(term, qw) AS (SELECT * FROM (VALUES
+      ('spark', 2.0), ('window', 1.0), ('batch', 1.5)) v),
+sc AS (SELECT doc_id, sum(wt * qw) AS s
+       FROM w JOIN qw USING (term) GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 15"""
 
     # ---- exact-substring dedup: shared gram CTEs --------------------
     # rolling 8-token windows, md5 gram keys — the SAME window

@@ -472,6 +472,7 @@ def _decorate_hits(executor, out, dsl, fspec, hspec, docs=None):
 
 def search_es(
     executor, dsl: Dict[str, Any], k: int = 10, docs=None, emb=None,
+    feats=None,
 ):
     """Run one ES-DSL request end-to-end. Accepts either a bare
     query clause or the full request body: `size` overrides k,
@@ -544,6 +545,44 @@ def search_es(
         if "size" in body:
             spec.setdefault("k", int(body["size"]))
         return knn_es(emb, spec)
+    if isinstance(dsl, dict) and set(dsl) == {"sparse_vector"}:
+        # ES 8 learned-sparse query over a (id, term, weight) feature
+        # table (pass feats=). `field` names the rank_features field
+        # in ES; here the table IS the field, so it's accepted and
+        # ignored. Model-backed forms (inference_id / query text)
+        # need an inference endpoint this engine doesn't have —
+        # pre-compute the weights and pass query_vector.
+        spec = dict(dsl["sparse_vector"])
+        if feats is None:
+            raise UnsupportedDSL(
+                "sparse_vector: pass feats= (the (id, term, weight) "
+                "feature table; the index stores no learned weights)"
+            )
+        if "inference_id" in spec or "query" in spec:
+            raise UnsupportedDSL(
+                "sparse_vector: no inference endpoint — pre-compute "
+                "token weights (ops.sparse.sparse_query_encode or "
+                "your model) and pass query_vector"
+            )
+        qv = spec.get("query_vector")
+        if not isinstance(qv, dict) or not qv:
+            raise UnsupportedDSL(
+                "sparse_vector: query_vector (a token -> weight map) "
+                "is required"
+            )
+        extra = sorted(kk for kk in body if kk != "size")
+        if extra:
+            raise UnsupportedDSL(
+                f"sparse_vector with {extra}: serve via "
+                "ops.sparse.sparse_topk and post-process"
+            )
+        from lucille_spark.ops.sparse import sparse_topk
+
+        return sparse_topk(
+            feats,
+            {str(t): float(w) for t, w in qv.items()},
+            k=int(body.get("size", k)),
+        )
     if "size" in body:
         k = int(body["size"])
     fspec = body.get("fields")

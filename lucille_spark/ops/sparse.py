@@ -1,0 +1,154 @@
+"""Learned sparse retrieval — the ES `sparse_vector` query /
+`rank_features` field family (SPLADE / ELSER / uniCOIL / DeepImpact
+serving shape).
+
+Data model: a sparse feature TABLE of (id, term, weight) rows — the
+exploded form of ES's map<token, float> `rank_features` field. At
+100 TB the exploded layout is the only sane one: weights ride plain
+parquet columns, `term` dictionary-encodes, an IN-filter on it pushes
+down to the scan (row groups for 5 query tokens are read, not every
+document's map blob), and scoring is one filtered scan + one partial
+aggregation — exactly the postings plan shape the BM25 executors use.
+
+Real deployments fill `weight` from a model; the expansion/inference
+pass (SPLADE, ELSER) runs offline as its own batch job and lands this
+same table. This sandbox has no model, so `sparse_encode` is a
+deterministic IMPACT encoder (uniCOIL/DeepImpact shape: the weight is
+a function of in-document tf and a per-term factor):
+
+    weight(doc, term) = tf * (1 + h(term) / p)
+
+with h the repo's portable md5 hash (ops/hashing.py) and
+p = 2^31 - 1, so the DuckDB oracle reproduces every weight
+bit-for-bit. Swap the encoder output for model output at deployment;
+`sparse_topk` and the DSL dispatch do not change.
+
+Reference scope note: the reference (cozydev-pink/lucille) is a query
+parser/AST library; learned-sparse serving is engine surface beyond
+it, mirroring the ES 8 `sparse_vector` query contract
+(query_vector = pre-computed token weights; inference_id requires a
+model endpoint and is refused loudly).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lucille_spark.analysis import get_analyzer, get_tokenize_expr
+from lucille_spark.ops.hashing import (
+    MERSENNE31,
+    TOKEN_HASH_DUCKDB,
+    TOKEN_HASH_SPARK,
+    token_hash_py,
+)
+
+# DuckDB twin of the impact weight, kept NEXT to the Spark formula so
+# they cannot drift (the ops/web.py convention). `{tf}`/`{term}` are
+# SQL fragments.
+SPARSE_WEIGHT_DUCKDB = (
+    "({tf} * (1.0 + "
+    + TOKEN_HASH_DUCKDB.format(tok="{term}")
+    + f" / {float(MERSENNE31)!r}))"
+)
+
+
+def _impact_weight_col(tf_col, term_col) -> Column:
+    h = F.expr(TOKEN_HASH_SPARK.format(tok=term_col))
+    return tf_col.cast("double") * (
+        F.lit(1.0) + h.cast("double") / F.lit(float(MERSENNE31))
+    )
+
+
+def sparse_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """-> (id_col, term, weight): the deterministic impact encoding
+    of each document under the named analyzer. One explode + one
+    partially-aggregated groupBy (term counts combine map-side; only
+    (doc, distinct-term) rows shuffle — Heaps-law bounded, never the
+    token stream). The weight formula is the module-level contract
+    shared with SPARSE_WEIGHT_DUCKDB."""
+    tok = get_tokenize_expr(analyzer)(text_col)
+    tf = (
+        df.select(id_col, F.explode(tok).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.select(
+        id_col,
+        "term",
+        _impact_weight_col(F.col("tf"), "term").alias("weight"),
+    )
+
+
+def sparse_query_encode(
+    query: str, analyzer: str = "standard"
+) -> Dict[str, float]:
+    """Driver-side twin of sparse_encode for QUERY text (queries are
+    tiny; no job). -> {term: weight} with the identical impact
+    formula, ready for sparse_topk."""
+    toks = get_analyzer(analyzer)(query)
+    tf: Dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    return {
+        t: n * (1.0 + token_hash_py(t) / float(MERSENNE31))
+        for t, n in tf.items()
+    }
+
+
+def sparse_topk(
+    feats: DataFrame,
+    query_weights: Dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `sparse_vector` scoring: score(doc) = sum over the query's
+    tokens of query_weight * stored doc weight (dot product of two
+    sparse vectors; tokens absent from either side contribute 0).
+
+    Plan: IN-filter on `term` (pushes to the parquet scan — only the
+    query tokens' row groups are read), per-row multiply against a
+    literal query-weight map, ONE partial-aggregated groupBy(id),
+    TakeOrderedAndProject. No join, no broadcast, no full-table pass:
+    the same shape that serves BM25, so it survives 100 TB feature
+    tables for the same reasons.
+    -> (id_col, score) top-k, ties broken by id."""
+    if not query_weights:
+        raise ValueError("sparse_topk: empty query_vector")
+    terms = sorted(query_weights)
+    pairs = []
+    for t in terms:
+        pairs.append(F.lit(t))
+        pairs.append(F.lit(float(query_weights[t])))
+    qmap = F.create_map(*pairs)
+    return (
+        feats.filter(F.col("term").isin(terms))
+        .select(
+            id_col,
+            (F.col("weight") * qmap[F.col("term")]).alias("_c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def sparse_search(
+    feats: DataFrame,
+    query: str,
+    k: int = 10,
+    analyzer: str = "standard",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end text convenience: encode the query with the same
+    impact encoder, then sparse_topk."""
+    return sparse_topk(
+        feats, sparse_query_encode(query, analyzer), k=k, id_col=id_col
+    )

@@ -1,0 +1,166 @@
+"""Learned sparse retrieval (ops/sparse.py): impact encoding, dot-
+product top-k, query encoding, and the ES `sparse_vector` DSL kind.
+"""
+
+import math
+
+import pytest
+
+from lucille_spark.analysis import tokenize
+from lucille_spark.ops.hashing import MERSENNE31, token_hash_py
+from lucille_spark.ops.sparse import (
+    sparse_encode,
+    sparse_query_encode,
+    sparse_search,
+    sparse_topk,
+)
+
+DOCS = [
+    (0, "spark spark window batch streaming"),
+    (1, "window slow query window"),
+    (2, "batch batch spark shuffle"),
+    (3, "nothing relevant here"),
+    (4, "spark window spark window spark"),
+]
+
+
+def _ref_weights(text):
+    tf = {}
+    for t in tokenize(text):
+        tf[t] = tf.get(t, 0) + 1
+    return {
+        t: n * (1.0 + token_hash_py(t) / float(MERSENNE31))
+        for t, n in tf.items()
+    }
+
+
+def _ref_topk(qw, k):
+    scores = {}
+    for doc_id, text in DOCS:
+        w = _ref_weights(text)
+        s = sum(qw[t] * w[t] for t in qw if t in w)
+        if s > 0:
+            scores[doc_id] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return sparse_encode(df).cache()
+
+
+def test_encode_matches_python_reference(feats):
+    rows = {
+        (r.doc_id, r.term): r.weight for r in feats.collect()
+    }
+    expect = {}
+    for doc_id, text in DOCS:
+        for t, w in _ref_weights(text).items():
+            expect[(doc_id, t)] = w
+    assert set(rows) == set(expect)
+    for key, w in expect.items():
+        assert math.isclose(rows[key], w, rel_tol=1e-12), key
+
+
+def test_topk_matches_python_reference(feats):
+    qw = {"spark": 2.0, "window": 1.0, "absentterm": 5.0}
+    got = [
+        (r.doc_id, r.score)
+        for r in sparse_topk(feats, qw, k=4).collect()
+    ]
+    ref = _ref_topk(qw, 4)
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, g), (_, e) in zip(got, ref):
+        assert math.isclose(g, e, rel_tol=1e-12)
+
+
+def test_query_encode_is_the_same_impact_formula():
+    qw = sparse_query_encode("spark spark window")
+    assert set(qw) == {"spark", "window"}
+    assert math.isclose(
+        qw["spark"],
+        2 * (1.0 + token_hash_py("spark") / float(MERSENNE31)),
+        rel_tol=1e-12,
+    )
+
+
+def test_sparse_search_end_to_end(feats):
+    out = sparse_search(feats, "spark window", k=3).collect()
+    qw = sparse_query_encode("spark window")
+    ref = _ref_topk(qw, 3)
+    assert [r.doc_id for r in out] == [d for d, _ in ref]
+
+
+def test_no_overlap_returns_empty(feats):
+    assert sparse_topk(feats, {"zzzz": 1.0}, k=5).count() == 0
+
+
+def test_empty_query_vector_raises(feats):
+    with pytest.raises(ValueError):
+        sparse_topk(feats, {}, k=5)
+
+
+def test_dsl_dispatch_parity(feats):
+    from lucille_spark.esdsl import search_es
+
+    qw = {"spark": 2.0, "window": 1.0}
+    via_dsl = search_es(
+        None,
+        {
+            "query": {
+                "sparse_vector": {
+                    "field": "ml.tokens",
+                    "query_vector": qw,
+                }
+            },
+            "size": 4,
+        },
+        feats=feats,
+    ).collect()
+    direct = sparse_topk(feats, qw, k=4).collect()
+    assert [(r.doc_id, r.score) for r in via_dsl] == [
+        (r.doc_id, r.score) for r in direct
+    ]
+
+
+def test_dsl_refusals(feats):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    with pytest.raises(UnsupportedDSL):
+        search_es(None, {"sparse_vector": {"query_vector": {"a": 1.0}}})
+    with pytest.raises(UnsupportedDSL):
+        search_es(
+            None,
+            {"sparse_vector": {"inference_id": "m", "query": "x"}},
+            feats=feats,
+        )
+    with pytest.raises(UnsupportedDSL):
+        search_es(None, {"sparse_vector": {}}, feats=feats)
+    with pytest.raises(UnsupportedDSL):
+        search_es(
+            None,
+            {
+                "query": {"sparse_vector": {"query_vector": {"a": 1.0}}},
+                "sort": [{"doc_id": "asc"}],
+            },
+            feats=feats,
+        )
+
+
+def test_duckdb_weight_twin(feats):
+    """SPARSE_WEIGHT_DUCKDB computes the identical weight for every
+    (doc, term) the Spark encoder emitted."""
+    duckdb = pytest.importorskip("duckdb")
+    from lucille_spark.ops.sparse import SPARSE_WEIGHT_DUCKDB
+
+    con = duckdb.connect()
+    expr = SPARSE_WEIGHT_DUCKDB.format(tf="1", term="?")
+    for r in feats.collect():
+        got = con.execute(
+            f"SELECT {expr}", [r.term]
+        ).fetchone()[0]
+        # tf divides out: weight == tf * unit-weight
+        tf = round(r.weight / got)
+        assert math.isclose(tf * got, r.weight, rel_tol=1e-12)
