@@ -4008,6 +4008,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_substring_pairs"] = dd_substring_pairs_q
 
+    # ---- incremental cross-corpus dedup: bloom over the base half's
+    # sha256 keys, probe a new slice (with 5 injected verbatim
+    # copies), exact verify on the suspects only -------------------
+    def dd_cross_bloom_q(s, d):
+        from lucille_spark.ops.dedup import corpus_keys, dedup_against
+        from lucille_spark.ops.sketch import bloom_build
+
+        docs = _docs(s, d)
+        base = docs.filter(F.col("doc_id") < 250)
+        injected = docs.filter(
+            (F.col("doc_id") >= 5) & (F.col("doc_id") < 10)
+        ).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        new = (
+            docs.filter(F.col("doc_id") >= 250)
+            .select("doc_id", "text")
+            .unionByName(injected)
+        )
+        keys = corpus_keys(base)
+        bloom = bloom_build(keys, "content_sha256")
+        return dedup_against(new, bloom, base_keys=keys)
+
+    q["dd_cross_bloom"] = dd_cross_bloom_q
+
     # ---- hashed linear quality classifier ---------------------------
     def pipe_quality_lr_q(s, d):
         from lucille_spark.ops.text import quality_lr
@@ -8261,6 +8284,44 @@ f AS (SELECT g.doc_id,
 SELECT doc_id, count(*) AS n_windows, count(_dup) AS n_dup,
        round(count(_dup) * 1.0 / count(*), 4) AS dup_ratio
 FROM f GROUP BY doc_id"""
+
+    # ---- incremental cross-corpus bloom dedup: replicate the
+    # seed-31 bloom bit math over the base half's sha256 keys, probe
+    # the new slice (incl. 5 injected verbatim copies), exact-verify
+    # against the base key set ---------------------------------------
+    o["dd_cross_bloom"] = """
+WITH base AS (SELECT DISTINCT sha256(text) AS ch FROM documents
+              WHERE doc_id < 250),
+newd AS (SELECT doc_id, sha256(text) AS ch FROM documents
+         WHERE doc_id >= 250
+         UNION ALL
+         SELECT doc_id + 1000, sha256(text) FROM documents
+         WHERE doc_id >= 5 AND doc_id < 10),
+bh AS (SELECT (cast(('0x' || substring(md5(ch), 1, 8)) as bigint) % 2147483647) AS hv FROM base),
+bset AS (SELECT DISTINCT bit FROM (
+  SELECT ((hv * 1177726415 + 1939546694) % 2147483647) % 8192 AS bit FROM bh
+  UNION SELECT ((hv * 1059401220 + 145337961) % 2147483647) % 8192 AS bit FROM bh
+  UNION SELECT ((hv * 1229477699 + 1444678421) % 2147483647) % 8192 AS bit FROM bh
+  UNION SELECT ((hv * 169129131 + 1014782028) % 2147483647) % 8192 AS bit FROM bh
+  UNION SELECT ((hv * 760611156 + 1454765072) % 2147483647) % 8192 AS bit FROM bh) t),
+vh AS (SELECT value, (cast(('0x' || substring(md5(value), 1, 8)) as bigint) % 2147483647) AS hv
+       FROM (SELECT DISTINCT ch AS value FROM newd) v),
+dcells AS (SELECT DISTINCT value, bit FROM (
+  SELECT value, cast(((hv * 1177726415 + 1939546694) % 2147483647) % 8192 as int) AS bit FROM vh
+  UNION ALL SELECT value, cast(((hv * 1059401220 + 145337961) % 2147483647) % 8192 as int) AS bit FROM vh
+  UNION ALL SELECT value, cast(((hv * 1229477699 + 1444678421) % 2147483647) % 8192 as int) AS bit FROM vh
+  UNION ALL SELECT value, cast(((hv * 169129131 + 1014782028) % 2147483647) % 8192 as int) AS bit FROM vh
+  UNION ALL SELECT value, cast(((hv * 760611156 + 1454765072) % 2147483647) % 8192 as int) AS bit FROM vh) c),
+need AS (SELECT value, count(*) AS need FROM dcells GROUP BY value),
+got AS (SELECT d.value, count(*) AS got FROM dcells d
+        JOIN bset USING (bit) GROUP BY d.value),
+mp AS (SELECT n.value, coalesce(g.got, 0) = n.need AS maybe
+       FROM need n LEFT JOIN got g USING (value))
+SELECT nd.doc_id, nd.ch AS content_sha256, mp.maybe AS maybe_dup,
+       (mp.maybe AND b.ch IS NOT NULL) AS is_dup
+FROM newd nd JOIN mp ON nd.ch = mp.value
+LEFT JOIN base b ON nd.ch = b.ch
+ORDER BY nd.doc_id"""
 
     o["dd_substring_pairs"] = f"""
 WITH {_GRAMS},

@@ -560,3 +560,91 @@ def substring_pairs(
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def corpus_keys(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The base corpus's exact-dedup key set: distinct content
+    sha256 hex digests (one narrow column; the thing an incremental
+    pipeline persists next to the corpus). -> (content_sha256)."""
+    return df.select(
+        F.sha2(F.col(text_col), 256).alias("content_sha256")
+    ).distinct()
+
+
+def dedup_against(
+    new_df: DataFrame,
+    base_bloom: DataFrame,
+    base_keys: DataFrame = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = None,
+    k: int = None,
+    seed: int = 31,
+) -> DataFrame:
+    """Incremental cross-corpus EXACT dedup: flag documents of a new
+    crawl slice that already exist (byte-identical text) in a base
+    corpus — WITHOUT joining the slice against the base.
+
+    The scale contract (the reason this op exists): the base corpus
+    is 100 TB and must not shuffle per slice. It contributes
+    (1) `base_bloom` — a Bloom filter over its content sha256 keys
+        (ops/sketch.bloom_build; <= m rows, built ONCE, mergeable as
+        slices are admitted), broadcast to the probe; and optionally
+    (2) `base_keys` — its distinct sha256 key column (corpus_keys),
+        scanned ONCE per slice and filtered by a BROADCAST of the
+        bloom-suspect keys (a ~1% false-positive-rate-sized set).
+    Bloom misses are definitely new (no false negatives) and never
+    touch the base at all; only suspects get the exact check. With
+    base_keys=None the probe is bloom-only: `is_dup` stays null and
+    `maybe_dup` carries the documented false-positive rate.
+
+    -> (doc_id, content_sha256, maybe_dup, is_dup) one row per new
+    doc; is_dup null when base_keys is None."""
+    from lucille_spark.ops.sketch import BLOOM_K, BLOOM_M, bloom_contains
+
+    m = BLOOM_M if m is None else m
+    k = BLOOM_K if k is None else k
+    keyed = new_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+    probe = bloom_contains(
+        base_bloom, keyed, "content_sha256", m=m, k=k, seed=seed
+    ).select(
+        F.col("value").alias("content_sha256"),
+        F.col("maybe_present").alias("maybe_dup"),
+    )
+    out = keyed.join(F.broadcast(probe), "content_sha256")
+    if base_keys is None:
+        return out.select(
+            "doc_id",
+            "content_sha256",
+            "maybe_dup",
+            F.lit(None).cast("boolean").alias("is_dup"),
+        ).orderBy("doc_id")
+    suspects = (
+        out.filter(F.col("maybe_dup")).select("content_sha256").distinct()
+    )
+    confirmed = (
+        base_keys.select(
+            F.col(base_keys.columns[0]).alias("content_sha256")
+        )
+        .join(F.broadcast(suspects), "content_sha256", "left_semi")
+        .distinct()
+        .withColumn("_in_base", F.lit(True))
+    )
+    return (
+        out.join(F.broadcast(confirmed), "content_sha256", "left")
+        .select(
+            "doc_id",
+            "content_sha256",
+            "maybe_dup",
+            (
+                F.col("maybe_dup")
+                & F.coalesce(F.col("_in_base"), F.lit(False))
+            ).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,66 @@
+"""Incremental cross-corpus dedup (ops/dedup.dedup_against)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucille_spark.ops.dedup import corpus_keys, dedup_against
+from lucille_spark.ops.sketch import bloom_build
+
+BASE = [(i, f"base document number {i} body") for i in range(40)]
+NEW = (
+    [(100 + i, f"fresh document {i} body") for i in range(10)]
+    # verbatim copies of base docs 3 and 7
+    + [(200, BASE[3][1]), (201, BASE[7][1])]
+)
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    base = spark.createDataFrame(BASE, "doc_id long, text string")
+    new = spark.createDataFrame(NEW, "doc_id long, text string")
+    keys = corpus_keys(base).cache()
+    bloom = bloom_build(keys, "content_sha256").cache()
+    return base, new, keys, bloom
+
+
+def test_exact_verify_flags_only_true_dups(parts):
+    _, new, keys, bloom = parts
+    out = dedup_against(new, bloom, base_keys=keys)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {r[0] for r in NEW}
+    assert rows[200].is_dup and rows[201].is_dup
+    for i in range(10):
+        assert rows[100 + i].is_dup is False
+    # no false negatives: every true dup is also a bloom suspect
+    assert rows[200].maybe_dup and rows[201].maybe_dup
+
+
+def test_bloom_only_mode_leaves_is_dup_null(parts):
+    _, new, _, bloom = parts
+    out = dedup_against(new, bloom)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(r.is_dup is None for r in rows.values())
+    assert rows[200].maybe_dup and rows[201].maybe_dup
+
+
+def test_suspects_are_superset_of_dups(parts):
+    _, new, keys, bloom = parts
+    out = dedup_against(new, bloom, base_keys=keys).collect()
+    for r in out:
+        if r.is_dup:
+            assert r.maybe_dup
+
+
+def test_merged_bloom_still_has_no_false_negatives(spark, parts):
+    from lucille_spark.ops.sketch import bloom_merge
+
+    base, new, keys, _ = parts
+    half1 = corpus_keys(base.filter(F.col("doc_id") < 20))
+    half2 = corpus_keys(base.filter(F.col("doc_id") >= 20))
+    merged = bloom_merge(
+        bloom_build(half1, "content_sha256"),
+        bloom_build(half2, "content_sha256"),
+    )
+    out = dedup_against(new, merged, base_keys=keys)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[200].is_dup and rows[201].is_dup
