@@ -2238,6 +2238,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .limit(500)
     )
 
+    # ---- dynamic-batching plan for batch inference: length buckets
+    # [<32, <64, <128, <256, rest], batch=16, deterministic ordering;
+    # + per-batch padding economics -----------------------------------
+    def pipe_length_plan_q(s, d):
+        return text.length_bucket_plan(
+            _docs(s, d), boundaries=[32, 64, 128, 256], batch_size=16
+        ).orderBy("doc_id")
+
+    q["pipe_length_plan"] = pipe_length_plan_q
+
+    def pipe_pad_stats_q(s, d):
+        plan = text.length_bucket_plan(
+            _docs(s, d), boundaries=[32, 64, 128, 256], batch_size=16
+        )
+        return text.batch_pad_stats(plan).select(
+            "bucket", "sub", "batch_id", "n_docs", "max_tokens",
+            "real_tokens", "padded_tokens",
+            F.round("waste_frac", 6).alias("waste_frac"),
+        )
+
+    q["pipe_pad_stats"] = pipe_pad_stats_q
+
     # ---- embedding-cosine near-dup: union a x2-scaled copy (scaling
     # preserves cosine EXACTLY and x2 is float-exact), SRP-bucketed
     # candidate join, exact cosine verify --------------------------
@@ -6649,6 +6671,39 @@ SELECT doc_id, cast(n as int) AS n_tokens, before AS tokens_before,
        before // 512 AS seq_id, before % 512 AS seq_offset,
        (before % 512) + n > 512 AS straddles
 FROM c ORDER BY doc_id LIMIT 500"""
+
+    # ---- dynamic-batching plan: bucket by token length, number
+    # batches within each bucket by doc id (sub_buckets=1 -> sub=0) --
+    _LBP = f"""
+WITH tok AS ({_TOK}),
+tl AS (SELECT d.doc_id, count(t.term) AS n FROM documents d
+       LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+b AS (SELECT doc_id, cast(n as int) AS n_tokens,
+      cast(CASE WHEN n < 32 THEN 0 WHEN n < 64 THEN 1
+                WHEN n < 128 THEN 2 WHEN n < 256 THEN 3
+                ELSE 4 END as int) AS bucket FROM tl),
+p AS (SELECT doc_id, n_tokens, bucket, cast(0 as int) AS sub,
+      cast((row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+            - 1) // 16 as int) AS batch_id FROM b)"""
+
+    o["pipe_length_plan"] = (
+        _LBP + "\nSELECT * FROM p ORDER BY doc_id"
+    )
+
+    o["pipe_pad_stats"] = (
+        _LBP
+        + """
+SELECT bucket, sub, batch_id, count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       cast(sum(n_tokens) as bigint) AS real_tokens,
+       cast(count(*) * max(n_tokens) as bigint) AS padded_tokens,
+       round(CASE WHEN count(*) * max(n_tokens) > 0
+             THEN (count(*) * max(n_tokens) - sum(n_tokens))
+                  / cast(count(*) * max(n_tokens) as double)
+             ELSE 0.0 END, 6) AS waste_frac
+FROM p GROUP BY bucket, sub, batch_id
+ORDER BY bucket, sub, batch_id"""
+    )
 
     # embedding near-dup: same SRP planes as the engine (seed 11,
     # 6 bits); the x2-scaled union copy keeps cosine exact (see

@@ -1681,3 +1681,95 @@ def hash_classifier_score(
         p.alias("p"),
         (p >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def length_bucket_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundaries: List[int] = (32, 64, 128, 256),
+    batch_size: int = 16,
+    sub_buckets: int = 1,
+) -> DataFrame:
+    """Dynamic-batching plan for batch inference / training over a
+    corpus: group documents of similar token length so each batch
+    pads to its own max instead of the corpus max (the standard
+    bucketed-batching recipe; padding waste is the dominant
+    inference cost on mixed-length corpora).
+
+    bucket  = index of the first boundary > n_tokens (the last
+              bucket is unbounded), half-open like ES `range`
+    batch   = row_number within (bucket, sub) ordered by doc id,
+              integer-divided by batch_size — deterministic, so the
+              plan is reproducible run to run
+
+    Scale: token counting is codegen (no shuffle); batch numbering is
+    ONE window per (bucket, sub) partition. With sub_buckets=1 a
+    dominant bucket serializes into one task — at 100 TB set
+    sub_buckets to O(cores) and each bucket splits into `sub`
+    md5-deterministic shards that number independently (batch ids are
+    namespaced by (bucket, sub), so no coordination is needed and the
+    window parallelizes).
+
+    -> (doc_id, n_tokens, bucket, sub, batch_id)."""
+    from pyspark.sql import Window
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    bl = [int(b) for b in boundaries]
+    if bl != sorted(bl) or len(set(bl)) != len(bl):
+        raise ValueError("boundaries must be strictly increasing")
+    n = F.size(tokenize_expr(text_col))
+    bucket = F.lit(len(bl))
+    for i in range(len(bl) - 1, -1, -1):
+        bucket = F.when(n < F.lit(bl[i]), F.lit(i)).otherwise(bucket)
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    if sub_buckets > 1:
+        sub = (
+            F.expr(
+                TOKEN_HASH_SPARK.format(tok="cast(doc_id as string)")
+            )
+            % F.lit(int(sub_buckets))
+        ).cast("int")
+    else:
+        sub = F.lit(0)
+    base = base.withColumn("sub", sub)
+    w = Window.partitionBy("bucket", "sub").orderBy("doc_id")
+    return base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(batch_size)))
+        .cast("int"),
+    )
+
+
+def batch_pad_stats(plan: DataFrame) -> DataFrame:
+    """Per-batch padding economics over a length_bucket_plan:
+    padded_tokens = batch rows x the batch's max length (what the
+    accelerator actually processes), waste = padded - real. One
+    partial-aggregated groupBy over the plan.
+    -> (bucket, sub, batch_id, n_docs, max_tokens, real_tokens,
+        padded_tokens, waste_frac)."""
+    return (
+        plan.groupBy("bucket", "sub", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("real_tokens"),
+        )
+        .withColumn(
+            "padded_tokens", F.col("n_docs") * F.col("max_tokens")
+        )
+        .withColumn(
+            "waste_frac",
+            F.when(
+                F.col("padded_tokens") > 0,
+                (F.col("padded_tokens") - F.col("real_tokens"))
+                / F.col("padded_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("bucket", "sub", "batch_id")
+    )

@@ -1,0 +1,118 @@
+"""Dynamic-batching plan (ops/text.length_bucket_plan +
+batch_pad_stats)."""
+
+import math
+
+import pytest
+
+from lucille_spark.analysis import tokenize
+from lucille_spark.ops.text import batch_pad_stats, length_bucket_plan
+
+DOCS = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 61)]
+BOUNDS = [10, 25, 40]
+BATCH = 4
+
+
+def _ref_plan():
+    rows = []
+    for doc_id, text in DOCS:
+        n = len(tokenize(text))
+        bucket = next(
+            (i for i, b in enumerate(BOUNDS) if n < b), len(BOUNDS)
+        )
+        rows.append((doc_id, n, bucket))
+    out = {}
+    per_bucket = {}
+    for doc_id, n, bucket in sorted(rows):
+        rn = per_bucket.get(bucket, 0)
+        out[doc_id] = (n, bucket, rn // BATCH)
+        per_bucket[bucket] = rn + 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_plan_matches_reference(docs_df):
+    plan = length_bucket_plan(
+        docs_df, boundaries=BOUNDS, batch_size=BATCH
+    ).collect()
+    ref = _ref_plan()
+    assert len(plan) == len(DOCS)
+    for r in plan:
+        n, bucket, batch = ref[r.doc_id]
+        assert (r.n_tokens, r.bucket, r.sub, r.batch_id) == (
+            n, bucket, 0, batch,
+        )
+
+
+def test_batches_respect_size_and_cover_all(docs_df):
+    plan = length_bucket_plan(
+        docs_df, boundaries=BOUNDS, batch_size=BATCH, sub_buckets=4
+    ).collect()
+    assert {r.doc_id for r in plan} == {d for d, _ in DOCS}
+    sizes = {}
+    for r in plan:
+        key = (r.bucket, r.sub, r.batch_id)
+        sizes[key] = sizes.get(key, 0) + 1
+    assert all(s <= BATCH for s in sizes.values())
+    # only the LAST batch of a (bucket, sub) shard may be short
+    for (bucket, sub, batch_id), s in sizes.items():
+        if s < BATCH:
+            assert (bucket, sub, batch_id + 1) not in sizes
+
+
+def test_sub_buckets_deterministic(docs_df):
+    a = length_bucket_plan(
+        docs_df, boundaries=BOUNDS, batch_size=BATCH, sub_buckets=4
+    ).collect()
+    b = length_bucket_plan(
+        docs_df, boundaries=BOUNDS, batch_size=BATCH, sub_buckets=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pad_stats_arithmetic(docs_df):
+    plan = length_bucket_plan(
+        docs_df, boundaries=BOUNDS, batch_size=BATCH
+    )
+    stats = batch_pad_stats(plan).collect()
+    by_batch = {}
+    for r in plan.collect():
+        by_batch.setdefault((r.bucket, r.sub, r.batch_id), []).append(
+            r.n_tokens
+        )
+    assert len(stats) == len(by_batch)
+    for r in stats:
+        lens = by_batch[(r.bucket, r.sub, r.batch_id)]
+        assert r.n_docs == len(lens)
+        assert r.max_tokens == max(lens)
+        assert r.real_tokens == sum(lens)
+        assert r.padded_tokens == len(lens) * max(lens)
+        expect = (r.padded_tokens - r.real_tokens) / r.padded_tokens
+        assert math.isclose(r.waste_frac, expect, rel_tol=1e-9)
+
+
+def test_bucketing_reduces_waste_vs_one_bucket(docs_df):
+    bucketed = batch_pad_stats(
+        length_bucket_plan(docs_df, boundaries=BOUNDS, batch_size=BATCH)
+    ).collect()
+    flat = batch_pad_stats(
+        length_bucket_plan(docs_df, boundaries=[], batch_size=BATCH)
+    ).collect()
+
+    def waste(rows):
+        pad = sum(r.padded_tokens for r in rows)
+        real = sum(r.real_tokens for r in rows)
+        return (pad - real) / pad
+
+    assert waste(bucketed) < waste(flat)
+
+
+def test_validation(docs_df):
+    with pytest.raises(ValueError):
+        length_bucket_plan(docs_df, boundaries=[10, 5])
+    with pytest.raises(ValueError):
+        length_bucket_plan(docs_df, batch_size=0)
