@@ -4006,6 +4006,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_sparse_vec"] = ft_sparse_vec_q
 
+    # ---- late-interaction retrieval (ColBERT MaxSim / ES
+    # rank_vectors): deterministic per-token vectors, score = sum of
+    # per-query-token max dot products ------------------------------
+    def sim_maxsim_q(s, d):
+        from lucille_spark.ops.similarity import (
+            maxsim_search,
+            token_vectors,
+        )
+
+        tv = token_vectors(_docs(s, d), dim=6)
+        out = maxsim_search(tv, "spark window", dim=6, k=15)
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["sim_maxsim"] = sim_maxsim_q
+
     # ---- exact-substring dedup (duplicated w-token window spans) ---
     def dd_substring_q(s, d):
         from lucille_spark.ops.dedup import duplicated_spans
@@ -8293,6 +8310,28 @@ c AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q WHERE e.label = 2)
 SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 15"""
+
+    # ---- late-interaction MaxSim: doc token vectors via the DuckDB
+    # twin of the md5 encoder; query vectors embedded as the SAME
+    # python-computed double literals the engine uses --------------
+    from lucille_spark.ops.similarity import (
+        _token_vec_duckdb,
+        token_vec_py,
+    )
+
+    _qv_lits = [
+        "[" + ", ".join(repr(x) for x in token_vec_py(t, 6)) + "]"
+        for t in ("spark", "window")
+    ]
+    o["sim_maxsim"] = f"""
+WITH tok AS ({_TOK}),
+vec AS (SELECT doc_id, {_token_vec_duckdb(6)} AS v FROM tok),
+d AS (SELECT doc_id,
+      max(list_dot_product(v, {_qv_lits[0]})) AS m0,
+      max(list_dot_product(v, {_qv_lits[1]})) AS m1
+      FROM vec GROUP BY doc_id)
+SELECT doc_id, round(m0 + m1, 6) AS score FROM d
+ORDER BY m0 + m1 DESC, doc_id LIMIT 15"""
 
     # ---- learned sparse retrieval: weight = tf * (1 + h(term)/p)
     # (ops/sparse.SPARSE_WEIGHT_DUCKDB), score = sum qw * weight ----

@@ -767,3 +767,145 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, f"{id_col} long, mmr double, cosine double"
     )
+
+
+# ---------------------------------------------------------------
+# late-interaction retrieval (ColBERT MaxSim / ES `rank_vectors`)
+# ---------------------------------------------------------------
+
+def _token_vec_expr(dim: int, term_sql: str = "term") -> str:
+    """SQL for the deterministic per-token vector: component j =
+    ((h(term:j) % 1000) / 1000) - 0.5 with the repo's portable md5
+    hash — the model stand-in (real ColBERT vectors come from a
+    trained encoder and land in the same exploded table; the serving
+    path below does not change). Twin: TOKEN_VEC_DUCKDB."""
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+
+    h = TOKEN_HASH_SPARK.format(
+        tok=f"concat({term_sql}, ':', cast(j as string))"
+    )
+    # 1000.0D / 0.5D: force DOUBLE literals (a bare 1000.0 is
+    # DECIMAL in Spark SQL, which would silently make the whole
+    # vector decimal and diverge from the DuckDB twin)
+    return (
+        f"transform(sequence(0, {int(dim) - 1}), "
+        f"j -> cast(({h}) % 1000 as double) / 1000.0D - 0.5D)"
+    )
+
+
+def _token_vec_duckdb(dim: int, term_sql: str = "term") -> str:
+    from lucille_spark.ops.hashing import TOKEN_HASH_DUCKDB
+
+    h = TOKEN_HASH_DUCKDB.format(
+        tok=f"({term_sql} || ':' || cast(j as varchar))"
+    )
+    return (
+        f"list_transform(range(0, {int(dim)}), "
+        f"j -> ({h} % 1000) / 1000.0 - 0.5)"
+    )
+
+
+def token_vec_py(term: str, dim: int) -> list:
+    """Python twin of _token_vec_expr (query-side encoding)."""
+    from lucille_spark.ops.hashing import token_hash_py
+
+    return [
+        (token_hash_py(f"{term}:{j}") % 1000) / 1000.0 - 0.5
+        for j in range(int(dim))
+    ]
+
+
+def token_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Per-token vector table (doc_id, pos, term, vec array<double>)
+    — the exploded ColBERT / ES `rank_vectors` layout. At 100 TB the
+    exploded form is the only distributable one: rows partition
+    freely, the groupBy in maxsim_topk partial-aggregates map-side,
+    and nothing ships a whole document's vector list. Vectors here
+    are the deterministic md5 stand-in (_token_vec_expr); a real
+    encoder's output replaces the `vec` column without touching the
+    serving path."""
+    from lucille_spark.analysis import get_tokenize_expr
+
+    tok = get_tokenize_expr(analyzer)(text_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tok).alias("pos", "term"),
+    ).withColumn("vec", F.expr(_token_vec_expr(dim)))
+
+
+def maxsim_topk(
+    tvecs: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Late-interaction scoring (Khattab & Zaharia 2020, ColBERT; the
+    ES 8 `rank_vectors` maxSim functions): score(doc) = sum over the
+    m query-token vectors of the MAX dot product against any of the
+    doc's token vectors.
+
+    Plan: ONE scan of the token-vector table computing all m dots
+    per row (codegen array folds — m is query length, a handful),
+    then ONE partial-aggregated groupBy(doc) taking m maxes, summed.
+    No join, no vector shuffle; cost is linear in table size like
+    brute-force cosine. For a shortlisted serving path, pre-filter
+    `tvecs` by a candidate doc set (SRP/IVF/BM25 first stage) before
+    calling — the standard ColBERT rerank deployment.
+    -> (id_col, score) top-k, ties by id."""
+    qv = [list(map(float, v)) for v in query_vecs]
+    if not qv:
+        raise ValueError("maxsim_topk: no query vectors")
+    dots = []
+    for i, v in enumerate(qv):
+        lit = F.array(*[F.lit(x) for x in v])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dots.append(d.alias(f"_d{i}"))
+    per_doc = (
+        tvecs.select(F.col(id_col).alias("doc_id"), *dots)
+        .groupBy("doc_id")
+        .agg(*[F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(qv))])
+    )
+    score = sum(
+        (F.col(f"_m{i}") for i in range(1, len(qv))),
+        F.col("_m0"),
+    )
+    return (
+        per_doc.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def maxsim_search(
+    tvecs: DataFrame,
+    query: str,
+    dim: int,
+    k: int = 10,
+    analyzer: str = "standard",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text convenience: encode the query's tokens with the same
+    deterministic encoder (one vector per token occurrence, like
+    ColBERT's query grid) and run maxsim_topk."""
+    from lucille_spark.analysis import get_analyzer
+
+    toks = get_analyzer(analyzer)(query)
+    if not toks:
+        raise ValueError("maxsim_search: empty query after analysis")
+    return maxsim_topk(
+        tvecs,
+        [token_vec_py(t, dim) for t in toks],
+        k=k,
+        id_col=id_col,
+    )

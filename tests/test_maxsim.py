@@ -1,0 +1,86 @@
+"""Late-interaction retrieval (ops/similarity: token_vectors,
+maxsim_topk, maxsim_search)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucille_spark.analysis import tokenize
+from lucille_spark.ops.similarity import (
+    maxsim_search,
+    maxsim_topk,
+    token_vec_py,
+    token_vectors,
+)
+
+DOCS = [
+    (0, "spark window batch streaming"),
+    (1, "window slow query"),
+    (2, "batch spark spark shuffle"),
+    (3, "unrelated words entirely"),
+    (4, "spark spark spark"),
+]
+DIM = 6
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _ref_scores(query):
+    qv = [token_vec_py(t, DIM) for t in tokenize(query)]
+    out = {}
+    for doc_id, text in DOCS:
+        vs = [token_vec_py(t, DIM) for t in tokenize(text)]
+        out[doc_id] = sum(max(_dot(q, v) for v in vs) for q in qv)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.fixture(scope="module")
+def tvecs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return token_vectors(df, dim=DIM).cache()
+
+
+def test_encoder_matches_python_twin(tvecs):
+    for r in tvecs.collect():
+        pv = token_vec_py(r.term, DIM)
+        assert all(
+            math.isclose(a, b, rel_tol=1e-15)
+            for a, b in zip(r.vec, pv)
+        )
+
+
+def test_maxsim_matches_reference(tvecs):
+    got = maxsim_search(tvecs, "spark window", dim=DIM, k=5).collect()
+    ref = _ref_scores("spark window")
+    assert [r.doc_id for r in got] == [d for d, _ in ref]
+    for r, (_, s) in zip(got, ref):
+        assert math.isclose(r.score, s, rel_tol=1e-12)
+
+
+def test_repeated_query_token_doubles_its_contribution(tvecs):
+    one = {r.doc_id: r.score for r in
+           maxsim_search(tvecs, "spark", dim=DIM, k=5).collect()}
+    two = {r.doc_id: r.score for r in
+           maxsim_search(tvecs, "spark spark", dim=DIM, k=5).collect()}
+    for d, s in one.items():
+        assert math.isclose(two[d], 2 * s, rel_tol=1e-12)
+
+
+def test_rerank_composition_prefilter(tvecs):
+    """The ColBERT deployment shape: maxsim over a candidate subset
+    equals the full ranking restricted to that subset."""
+    cand = [0, 2, 4]
+    sub = tvecs.filter(F.col("doc_id").isin(cand))
+    got = maxsim_search(sub, "spark window", dim=DIM, k=5).collect()
+    ref = [(d, s) for d, s in _ref_scores("spark window") if d in cand]
+    assert [r.doc_id for r in got] == [d for d, _ in ref]
+
+
+def test_empty_inputs_raise(tvecs):
+    with pytest.raises(ValueError):
+        maxsim_topk(tvecs, [])
+    with pytest.raises(ValueError):
+        maxsim_search(tvecs, "", dim=DIM)
