@@ -1502,6 +1502,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_rank_rrf"] = rank_rrf_q
 
+    # the same fusion once more through the ES 8.14 `retriever` tree
+    # (standard + knn under an rrf retriever) — shares the
+    # ft_hybrid_rrf oracle like ft_rank_rrf does
+    def retriever_rrf_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _index_for(s, d)
+        emb = _emb(s, d)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        ]
+        out = search_es(
+            DataFrameExecutor(ix),
+            {
+                "retriever": {"rrf": {
+                    "retrievers": [
+                        {"standard": {"query": {"match": {
+                            "content": "spark batch"}}}},
+                        {"knn": {"field": "embedding",
+                                 "query_vector": qv}},
+                    ],
+                    "rank_constant": 60,
+                    "rank_window_size": 50,
+                }},
+                "size": 10,
+            },
+            emb=emb,
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["ft_retriever_rrf"] = retriever_rrf_q
+
     # ---- significant terms (ES significant_terms over a sampler
     # agg): JLH-scored terms over-represented in the top-50 'spark'
     # matches vs the dictionary background.
@@ -5334,6 +5371,7 @@ ORDER BY score DESC, doc_id LIMIT 10"""
     )
     # the request-body rank.rrf section is the same fusion
     o["ft_rank_rrf"] = o["ft_hybrid_rrf"]
+    o["ft_retriever_rrf"] = o["ft_hybrid_rrf"]
 
     # significant terms: top-50 'spark' matches as foreground, whole
     # corpus as background, JLH = (fg% - bg%) * fg%/bg%

@@ -486,6 +486,22 @@ def search_es(
     dispatch to their engine helpers; everything else goes through
     to_ast -> the shared planner -> the executor."""
     body: Dict[str, Any] = {}
+    if isinstance(dsl, dict) and "retriever" in dsl:
+        # ES 8.14 retriever tree (standard / knn / rrf) — the
+        # new-style spelling of query + knn + rank sections
+        extra = sorted(kk for kk in dsl if kk not in ("retriever", "size"))
+        if extra:
+            raise UnsupportedDSL(
+                f"retriever with {extra}: post-process the page"
+            )
+        return run_retriever(
+            executor,
+            dsl["retriever"],
+            depth=int(dsl.get("size", k)),
+            emb=emb,
+            docs=docs,
+            feats=feats,
+        )
     if isinstance(dsl, dict) and "query" in dsl:
         body = {kk: v for kk, v in dsl.items() if kk != "query"}
         dsl = dsl["query"]
@@ -3092,3 +3108,94 @@ def knn_query_fusion(
     )
     fused = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
     return fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------------------------------
+# ES 8.14 `retriever` request-body section
+# ------------------------------------------------------------------
+
+def run_retriever(
+    executor, spec, depth: int = 10, emb=None, docs=None, feats=None,
+    id_col: str = "vec_id",
+):
+    """Run one retriever-tree node -> (doc_id, score) top-`depth`.
+
+    standard  -> its `query` clause through search_es
+    knn       -> the vector endpoint (pass emb=), cosine as score
+    rrf       -> reciprocal-rank fusion of its sub-retrievers:
+                 each child runs at rank_window_size depth, rrf(d) =
+                 sum 1/(rank_constant + rank) — the generic N-way
+                 form of search_features.hybrid_rrf, and identical
+                 to it for the standard+knn pair (tested). Children
+                 are page-sized frames, so ranking windows and the
+                 fuse groupBy run on ~N*window rows, never the
+                 corpus. Nested rrf is refused (as in ES).
+    text_similarity_reranker -> refused (needs an inference
+                 endpoint this engine doesn't have)."""
+    from pyspark.sql import Window, functions as F
+
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise UnsupportedDSL(
+            f"retriever: expected one retriever kind, got {spec!r}"
+        )
+    kind, body = next(iter(spec.items()))
+    if kind == "standard":
+        body = dict(body)
+        if set(body) - {"query"}:
+            raise UnsupportedDSL(
+                f"standard retriever: only `query` supported, got "
+                f"{sorted(body)}"
+            )
+        return search_es(
+            executor, {"query": body["query"], "size": depth},
+            docs=docs, feats=feats,
+        )
+    if kind == "knn":
+        if emb is None:
+            raise UnsupportedDSL("knn retriever: pass emb=")
+        b = dict(body)
+        b.setdefault("k", depth)
+        b.pop("num_candidates", None)
+        out = knn_es(emb, b, id_col=id_col)
+        return out.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("cosine").alias("score"),
+        )
+    if kind == "rrf":
+        subs = body.get("retrievers")
+        if not subs or len(subs) < 2:
+            raise UnsupportedDSL("rrf retriever: needs >= 2 retrievers")
+        if any(
+            isinstance(s, dict) and "rrf" in s for s in subs
+        ):
+            raise UnsupportedDSL("rrf retriever: no nested rrf")
+        k0 = float(body.get("rank_constant", 60))
+        window = int(body.get("rank_window_size", 50))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        fused = None
+        for s in subs:
+            page = run_retriever(
+                executor, s, depth=window, emb=emb, docs=docs,
+                feats=feats, id_col=id_col,
+            )
+            c = (
+                page.withColumn("_r", F.row_number().over(w))
+                .select(
+                    "doc_id",
+                    (F.lit(1.0) / (F.lit(k0) + F.col("_r"))).alias("_c"),
+                )
+            )
+            fused = c if fused is None else fused.unionAll(c)
+        return (
+            fused.groupBy("doc_id")
+            .agg(F.sum("_c").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(depth)
+        )
+    if kind == "text_similarity_reranker":
+        raise UnsupportedDSL(
+            "text_similarity_reranker: needs an inference endpoint; "
+            "rerank with search_features.rescore or ops.similarity."
+            "maxsim_topk instead"
+        )
+    raise UnsupportedDSL(f"retriever kind {kind!r}")

@@ -1,0 +1,158 @@
+"""ES 8.14 `retriever` request-body section (esdsl.run_retriever +
+search_es dispatch): standard / knn / rrf trees onto the existing
+helpers."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_unit(spark, unit_index):
+    ix, oracle, _ = unit_index
+    rng = np.random.default_rng(np.random.PCG64(9))
+    ids = oracle.sd.all_ids.tolist()
+    vecs = rng.normal(size=(len(ids), 8)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _ex(unit_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    return DataFrameExecutor(unit_index[0])
+
+
+def test_standard_retriever_equals_query(unit_index):
+    from lucille_spark.esdsl import search_es
+
+    ex = _ex(unit_index)
+    a = search_es(
+        ex,
+        {"retriever": {"standard": {"query": {"match": {
+            "content": "cats dogs"}}}}, "size": 7},
+    ).collect()
+    b = search_es(
+        ex, {"query": {"match": {"content": "cats dogs"}}, "size": 7}
+    ).collect()
+    assert a == b
+
+
+def test_knn_retriever_equals_knn_es(unit_index, emb_unit):
+    from lucille_spark.esdsl import knn_es, search_es
+
+    ex = _ex(unit_index)
+    qv = emb_unit.limit(1).collect()[0]["embedding"]
+    spec = {"field": "embedding", "query_vector": qv}
+    a = search_es(
+        ex, {"retriever": {"knn": spec}, "size": 6}, emb=emb_unit
+    ).collect()
+    b = knn_es(emb_unit, {**spec, "k": 6}).collect()
+    assert [r.doc_id for r in a] == [r.vec_id for r in b]
+    assert [r.score for r in a] == [r.cosine for r in b]
+
+
+def test_rrf_retriever_equals_hybrid_rrf(unit_index, emb_unit):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.search_features import hybrid_rrf
+
+    ex = _ex(unit_index)
+    qv = [float(x) for x in emb_unit.limit(1).collect()[0]["embedding"]]
+    a = search_es(
+        ex,
+        {
+            "retriever": {"rrf": {
+                "retrievers": [
+                    {"standard": {"query": {
+                        "match": {"content": "cats dogs"}}}},
+                    {"knn": {"field": "embedding", "query_vector": qv}},
+                ],
+                "rank_constant": 60,
+                "rank_window_size": 25,
+            }},
+            "size": 10,
+        },
+        emb=emb_unit,
+    ).collect()
+    b = hybrid_rrf(
+        ex, emb_unit, "cats dogs", qv, k=10, k0=60, depth=25
+    ).collect()
+    assert [(r.doc_id, r.score) for r in a] == [
+        (r.doc_id, r.score) for r in b
+    ]
+
+
+def test_rrf_three_way_reference(unit_index, emb_unit):
+    """Generic N-way rrf against a python reference fuse."""
+    from lucille_spark.esdsl import knn_es, search_es
+
+    ex = _ex(unit_index)
+    qv = [float(x) for x in emb_unit.limit(1).collect()[0]["embedding"]]
+    window, k0 = 15, 10.0
+
+    def page_ids(rows, score_col):
+        ranked = sorted(
+            rows, key=lambda r: (-float(r[score_col]), int(r[0]))
+        )
+        return [int(r[0]) for r in ranked]
+
+    lists = [
+        page_ids(
+            search_es(ex, {"query": {"match": {"content": "cats"}},
+                           "size": window}).collect(), "score"),
+        page_ids(
+            search_es(ex, {"query": {"match": {"content": "dogs"}},
+                           "size": window}).collect(), "score"),
+        page_ids(
+            knn_es(emb_unit, {"field": "embedding",
+                              "query_vector": qv, "k": window}
+                   ).collect(), "cosine"),
+    ]
+    ref = {}
+    for lst in lists:
+        for r, d in enumerate(lst, start=1):
+            ref[d] = ref.get(d, 0.0) + 1.0 / (k0 + r)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+
+    got = search_es(
+        ex,
+        {
+            "retriever": {"rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"content": "cats"}}}},
+                    {"standard": {"query": {"match": {"content": "dogs"}}}},
+                    {"knn": {"field": "embedding", "query_vector": qv}},
+                ],
+                "rank_constant": 10,
+                "rank_window_size": window,
+            }},
+            "size": 8,
+        },
+        emb=emb_unit,
+    ).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r.score - s) < 1e-12
+
+
+def test_retriever_refusals(unit_index, emb_unit):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    ex = _ex(unit_index)
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"retriever": {"rrf": {"retrievers": [
+            {"rrf": {"retrievers": []}},
+            {"standard": {"query": {"match": {"content": "x"}}}},
+        ]}}})
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"retriever": {"text_similarity_reranker": {}}})
+    with pytest.raises(UnsupportedDSL):
+        search_es(ex, {"retriever": {"knn": {"field": "embedding",
+                                             "query_vector": [1.0]}}})
+    with pytest.raises(UnsupportedDSL):
+        search_es(
+            ex,
+            {"retriever": {"standard": {"query": {
+                "match": {"content": "x"}}}}, "sort": ["doc_id"]},
+        )
