@@ -702,6 +702,38 @@ def _kw_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _shingle_index_for(spark: SparkSession, sf_dir: str):
+    """documents index under analyzer='shingle' (Lucene
+    ShingleFilter, min=max=2, unigrams kept): adjacent word pairs
+    are single dictionary terms, so a two-word phrase serves as ONE
+    postings lookup."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "shingle:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"shingle_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(
+            num_shards=4, block_size=128, analyzer="shingle"
+        ).build(
+            _docs(spark, sf_dir),
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _sorted_index_for(spark: SparkSession, sf_dir: str):
     """index.sort fixture: documents with doc ids reassigned to the
     global (n_chars, orig_id) rank (BuildConfig index_sort); the
@@ -4583,6 +4615,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_gram_ix"] = ft_gram_ix_q
     q["wand_gram_ix"] = lambda s, d: ft_gram_ix_q(s, d, wand=True)
+
+    # ---- shingle analyzer (fast phrase): adjacent word pairs are
+    # single dictionary terms — 'spark_batch OR batch_window' is two
+    # postings lookups, zero positional work ------------------------
+    def ft_shingle_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _shingle_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("spark_batch OR batch_window", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_shingle_ix"] = ft_shingle_ix_q
+    q["wand_shingle_ix"] = lambda s, d: ft_shingle_ix_q(s, d, wand=True)
 
     # ---- index admin ops: _terms_enum (lexicographic dictionary
     # walk, range-pushdown on the terms table), _split (re-shard
@@ -8956,6 +9003,36 @@ agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
 SELECT doc_id, round(sr, 4) AS score FROM agg
 ORDER BY sr DESC, doc_id LIMIT 10"""
     o["wand_gram_ix"] = o["ft_gram_ix"]
+
+    # shingle index: BM25 over the interleaved unigram+bigram
+    # emission (dl/avgdl are EMISSION counts, 2n-1 per doc) with the
+    # two shingle terms as the query
+    from lucille_spark.analysis import SHINGLE_TOKENIZE_SQL_DUCKDB
+
+    _sh_tok = (
+        "SELECT doc_id, "
+        + SHINGLE_TOKENIZE_SQL_DUCKDB.format(col="text")
+        + " AS term FROM documents"
+    )
+    o["ft_shingle_ix"] = f"""
+WITH stok AS ({_sh_tok}),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d
+        LEFT JOIN stok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+sst AS (SELECT (SELECT count(*) FROM documents) AS n,
+        (SELECT avg(dl) FROM sdl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM stok
+       WHERE term IN ('spark_batch', 'batch_window')
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (sst.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * sdl.dl / sst.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN sdl USING (doc_id)
+       CROSS JOIN sst),
+agg AS (SELECT doc_id, sum(s) AS sr FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    o["wand_shingle_ix"] = o["ft_shingle_ix"]
 
     # _terms_enum: lexicographic dictionary slice with dfs (the terms
     # table IS tokenize -> per-term distinct-doc counts)

@@ -478,6 +478,97 @@ EDGE_NGRAM_TOKENIZE_SQL_DUCKDB = (
 )
 
 
+# ------------------------------------------------------------------
+# "shingle" (Lucene ShingleFilter / ES shingle token filter with
+# min=max=2 and output_unigrams=true): every standard token is
+# emitted, and every ADJACENT PAIR additionally emits the joined
+# bigram "a_b" — the classic fast-phrase trade: a two-word phrase
+# becomes a single-term dictionary lookup (one postings scan, no
+# positional intersection), paid for with a larger dictionary at
+# build time. Shingles use '_' as the separator, which the standard
+# rule treats as a token character, so shingle terms live in the
+# same namespace and can never collide with a real unigram that
+# contains no '_'... unless the source text itself had "a_b" — the
+# same ambiguity Lucene's filler/separator has; documented.
+# ------------------------------------------------------------------
+# Fixed rule (all four impls + the oracle SQL derive from it):
+#   * base tokens = the standard rule (lowercase, runs of [a-z0-9_])
+#   * emission order is interleaved: t0, t0_t1, t1, t1_t2, ..., tn-1
+#     (a 1-token doc emits just the token; empty stays empty)
+# POSITIONS are dense in emission order. A useful consequence
+# (tested): QUOTED PHRASES still match exactly on a shingle index —
+# the phrase text re-analyzes to its own interleaved emission
+# (a, a_b, b, ...), and that sequence appears consecutively in a
+# document's emission iff the underlying words are adjacent (the
+# shingle terms encode adjacency, so no false positives). Proximity
+# windows (~n) are NOT meaningful (token distances are roughly
+# doubled) and are documented as such. The SEARCH analyzer is
+# "shingle" too (symmetric): each single query WORD analyzes to just
+# itself (no pair to shingle with), so plain term queries behave
+# normally, while the fast-phrase lookup is the single term
+# `spark_batch` — one postings scan, no positional work.
+
+SHINGLE_SEP = "_"
+
+
+def shingle_tokenize(text: str) -> List[str]:
+    """Pure-Python shingle analyzer (rule above)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    out: List[str] = []
+    for i, t in enumerate(toks):
+        out.append(t)
+        if i + 1 < len(toks):
+            out.append(t + SHINGLE_SEP + toks[i + 1])
+    return out
+
+
+def shingle_tokenize_expr(col: str):
+    """Spark Column of array<string>: the shingle analyzer as
+    built-in JVM expressions (index-aware transform — stays in
+    whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize_expr(col)
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i < F.size(toks) - 1,
+                F.array(
+                    t,
+                    F.concat(
+                        t,
+                        F.lit(SHINGLE_SEP),
+                        F.element_at(toks, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
+_SHINGLE_BASE_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), "
+    "t -> t <> '')"
+)
+
+SHINGLE_TOKENIZE_SQL_DUCKDB = (
+    "unnest(flatten(list_transform(range(1, len("
+    + _SHINGLE_BASE_SQL
+    + ") + 1), i -> CASE WHEN i < len("
+    + _SHINGLE_BASE_SQL
+    + ") THEN ["
+    + _SHINGLE_BASE_SQL
+    + "[i], "
+    + _SHINGLE_BASE_SQL
+    + f"[i] || '{SHINGLE_SEP}' || "
+    + _SHINGLE_BASE_SQL
+    + "[i + 1]] ELSE ["
+    + _SHINGLE_BASE_SQL
+    + "[i]] END)))"
+)
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
@@ -491,6 +582,7 @@ ANALYZERS = {
     "whitespace": whitespace_tokenize,
     "keyword": keyword_tokenize,
     "edge_ngram": edge_ngram_tokenize,
+    "shingle": shingle_tokenize,
 }
 
 # Lucene search_analyzer: analyzers whose QUERY-side analysis
@@ -577,6 +669,7 @@ def get_tokenize_expr(name: str):
         "whitespace": whitespace_tokenize_expr,
         "keyword": keyword_tokenize_expr,
         "edge_ngram": edge_ngram_tokenize_expr,
+        "shingle": shingle_tokenize_expr,
     }
     try:
         return exprs[name]
@@ -640,6 +733,21 @@ def pandas_token_lists(series, analyzer: str = "standard"):
                 )
             ]
         )
+    if analyzer == "shingle":
+        # base tokens vectorized; the interleave is pointer work
+        # over already-extracted tokens inside the Arrow batch
+        base = series.str.lower().str.findall(_TOKEN_RE)
+        return base.map(
+            lambda toks: [
+                g
+                for i, t in enumerate(toks)
+                for g in (
+                    [t, t + SHINGLE_SEP + toks[i + 1]]
+                    if i + 1 < len(toks)
+                    else [t]
+                )
+            ]
+        )
     raise ValueError(f"unknown analyzer {analyzer!r}")
 
 
@@ -683,4 +791,8 @@ def pandas_token_counts(series, analyzer: str = "standard"):
                 for t in toks
             )
         ).astype("int64")
+    if analyzer == "shingle":
+        # n unigrams + (n - 1) shingles = 2n - 1 (0 stays 0)
+        n = series.str.count(_TOKEN_RE)
+        return (2 * n - 1).clip(lower=0).astype("int64")
     raise ValueError(f"unknown analyzer {analyzer!r}")

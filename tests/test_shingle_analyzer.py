@@ -1,0 +1,204 @@
+"""Shingle analyzer (Lucene ShingleFilter, min=max=2, unigrams
+kept): rule table, 4-way implementation agreement, end-to-end rank
+identity on both executors, the fast-phrase single-term lookup, and
+the quoted-phrase-preservation property of interleaved emission."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucille_spark.analysis import (
+    SHINGLE_TOKENIZE_SQL_DUCKDB,
+    get_analyzer,
+    get_normalizer,
+    pandas_token_counts,
+    pandas_token_lists,
+    shingle_tokenize,
+    shingle_tokenize_expr,
+)
+
+CASES = {
+    "Spark SQL window batch": [
+        "spark", "spark_sql", "sql", "sql_window", "window",
+        "window_batch", "batch",
+    ],
+    "one": ["one"],
+    "": [],
+    "Foo.bar(baz)": ["foo", "foo_bar", "bar", "bar_baz", "baz"],
+    "a a a": ["a", "a_a", "a", "a_a", "a"],
+}
+
+
+def test_rule_table():
+    for text, expect in CASES.items():
+        assert shingle_tokenize(text) == expect, text
+
+
+def test_registry_and_normalize():
+    assert get_analyzer("shingle") is shingle_tokenize
+    assert get_normalizer("shingle")("FooBar") == "foobar"
+
+
+def test_pandas_impls_agree():
+    s = pd.Series(list(CASES))
+    assert pandas_token_lists(s, "shingle").tolist() == list(
+        CASES.values()
+    )
+    assert pandas_token_counts(s, "shingle").tolist() == [
+        len(v) for v in CASES.values()
+    ]
+
+
+def test_duckdb_sql_agrees():
+    con = duckdb.connect()
+    for text, expect in CASES.items():
+        q = (
+            "SELECT "
+            + SHINGLE_TOKENIZE_SQL_DUCKDB.format(col=f"'{text}'")
+            + " AS t"
+        )
+        assert [r[0] for r in con.execute(q).fetchall()] == expect, text
+
+
+def test_spark_expr_agrees(spark):
+    texts = [t for t in CASES if t]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(shingle_tokenize_expr("text").alias("t")).collect()
+    assert [list(r.t) for r in rows] == [CASES[t] for t in texts]
+
+
+# ---------------------------------------------------------------- e2e
+
+DOCS = [
+    "spark batch job runs",            # adjacency: spark->batch
+    "spark runs the batch job",        # both words, NOT adjacent
+    "batch spark reversed order",      # reversed adjacency
+    "window frame spark batch end",    # adjacency mid-doc
+    "unrelated filler text",
+    "spark alone here",
+    "three word run spark batch",      # adjacency at doc END
+    "batch job window frame",
+]
+
+
+@pytest.fixture(scope="module")
+def sh_index(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from tests.oracle import OracleIndex
+
+    rows = []
+    for i, text in enumerate(DOCS * 3):  # 24 docs
+        rows.append(
+            (
+                f"org/repo{i % 3}",
+                f"src/file{i:03d}.txt",
+                f"{i:040x}",
+                "en",
+                text + f" marker{i % 8}",
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    out = str(tmp_path_factory.mktemp("shix") / "ix")
+    stats = IndexBuilder(
+        num_shards=2, block_size=16, analyzer="shingle"
+    ).build(docs, out)
+    docs_list = [
+        {
+            "doc_id": i,
+            "repo": r[0],
+            "path": r[1],
+            "commit": r[2],
+            "lang": r[3],
+            "content": r[4],
+        }
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+        )
+    ]
+    return (
+        SparkIndex(spark, out),
+        OracleIndex(docs_list, analyzer="shingle"),
+        stats,
+    )
+
+
+def test_dictionary_holds_shingles(sh_index):
+    ix, oracle, stats = sh_index
+    assert stats["analyzer"] == "shingle"
+    terms = {r["term"] for r in ix.terms_df.select("term").collect()}
+    assert {"spark", "batch", "spark_batch", "batch_spark"} <= terms
+
+
+QUERIES = [
+    "spark",                  # plain unigram: analyzer emits just it
+    "spark_batch",            # THE fast-phrase single-term lookup
+    "spark AND batch",
+    "spark_batch OR batch_spark",
+    '"spark batch"',          # quoted phrase on the shingle index
+    "spark_b*",               # prefix over the shingle namespace
+    "marker5",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity_both_executors(sh_index, q):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, oracle, stats = sh_index
+    expected = [
+        (int(d), round(float(s), 9)) for d, s in oracle.search(q, k=10)
+    ]
+    assert expected, f"query {q!r} should match planted docs"
+    for ex in (DataFrameExecutor(ix), WandExecutor(ix)):
+        rows = ex.search(q, k=10).collect()
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in rows
+        ]
+        assert got == expected, f"{type(ex).__name__} {q!r}"
+
+
+def test_fast_phrase_matches_only_adjacency(sh_index):
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = sh_index
+    ex = DataFrameExecutor(ix)
+    hits = {r["doc_id"] for r in ex.search("spark_batch", k=None).collect()}
+    adjacent = {
+        d["doc_id"]
+        for d in oracle.docs
+        if "spark batch" in d["content"]
+    }
+    assert hits == adjacent
+    # docs with both words but not adjacent are excluded
+    both = {
+        d["doc_id"]
+        for d in oracle.docs
+        if "spark" in d["content"] and "batch" in d["content"]
+    }
+    assert both - adjacent, "fixture needs non-adjacent both-word docs"
+    assert hits.isdisjoint(both - adjacent)
+
+
+def test_quoted_phrase_preserved_under_interleaving(sh_index):
+    """The emission-sequence property: '\"spark batch\"' on the
+    shingle index matches exactly the adjacency docs (same match set
+    as the fast-phrase term), because the query phrase re-analyzes
+    to (spark, spark_batch, batch) which appears consecutively iff
+    the words are adjacent."""
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, oracle, _ = sh_index
+    ex = DataFrameExecutor(ix)
+    phrase = {
+        r["doc_id"] for r in ex.search('"spark batch"', k=None).collect()
+    }
+    fast = {
+        r["doc_id"] for r in ex.search("spark_batch", k=None).collect()
+    }
+    assert phrase == fast
