@@ -1214,7 +1214,11 @@ _GATE_PRIORITY = [
     # dot-product top-k through the DSL front door.)
     "ft_sparse_vec",
     "sim_ivf_topk",
-    "tx_gopher",
+    # (tx_gopher freed its slot for the shingle-analyzer family —
+    # the text-stats family keeps tx_bigram_ppl in-window and
+    # tx_gopher stays in the local mirror. ft_shingle_ix is the
+    # fast-phrase index: word bigrams as dictionary terms.)
+    "ft_shingle_ix",
     "pipe_percolate_scored",
     "ev_funnel",
     "pipe_pack",
