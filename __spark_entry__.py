@@ -3651,6 +3651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gr_degrees"] = gr_degrees_q
 
+    def gr_hits_q(s, d):
+        from lucille_spark.ops.graph import hits
+
+        n, e = _graph(s, d)
+        return hits(n, e, n_iter=2)
+
+    q["gr_hits"] = gr_hits_q
+
     # ---- histogram agg + positional highlighting -------------------
     def agg_hist_q(s, d):
         from lucille_spark.esdsl import aggs_es
@@ -8047,6 +8055,35 @@ FROM b WHERE w > 0 ORDER BY doc_id"""
     # construction (every node emits 2 edges), so the engine's
     # dangling-mass term is identically zero
     o["gr_pagerank"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\ndeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),\nr0 AS (SELECT node, 0.005::DOUBLE AS rank FROM n),\nc1 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r0 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr1 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c1 c USING (node)),\nc2 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r1 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr2 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c2 c USING (node)),\nc3 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin\n     FROM r2 r JOIN e ON r.node = e.src\n     JOIN deg d ON d.src = e.src GROUP BY e.dst),\nr3 AS (SELECT n.node,\n     0.0007500000000000001::DOUBLE + 0.85::DOUBLE *\n       coalesce(c.cin, 0.0::DOUBLE) AS rank\n     FROM n LEFT JOIN c3 c USING (node))\nSELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node'
+
+    # HITS, 2 iterations unrolled, L1-normalized half-steps (same
+    # fixture graph as gr_pagerank)
+    _HITS_NE = """
+n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+e AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n
+      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n)"""
+    o["gr_hits"] = f"""
+WITH {_HITS_NE},
+h0 AS (SELECT node, 0.005::DOUBLE AS h FROM n),
+a1u AS (SELECT e.dst AS node, sum(h.h) AS a FROM h0 h
+        JOIN e ON h.node = e.src GROUP BY e.dst),
+a1 AS (SELECT n.node, coalesce(u.a, 0.0::DOUBLE) /
+       (SELECT sum(a) FROM a1u) AS a FROM n LEFT JOIN a1u u USING (node)),
+h1u AS (SELECT e.src AS node, sum(a.a) AS h FROM a1 a
+        JOIN e ON a.node = e.dst GROUP BY e.src),
+h1 AS (SELECT n.node, coalesce(u.h, 0.0::DOUBLE) /
+       (SELECT sum(h) FROM h1u) AS h FROM n LEFT JOIN h1u u USING (node)),
+a2u AS (SELECT e.dst AS node, sum(h.h) AS a FROM h1 h
+        JOIN e ON h.node = e.src GROUP BY e.dst),
+a2 AS (SELECT n.node, coalesce(u.a, 0.0::DOUBLE) /
+       (SELECT sum(a) FROM a2u) AS a FROM n LEFT JOIN a2u u USING (node)),
+h2u AS (SELECT e.src AS node, sum(a.a) AS h FROM a2 a
+        JOIN e ON a.node = e.dst GROUP BY e.src),
+h2 AS (SELECT n.node, coalesce(u.h, 0.0::DOUBLE) /
+       (SELECT sum(h) FROM h2u) AS h FROM n LEFT JOIN h2u u USING (node))
+SELECT n.node, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+FROM n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
+ORDER BY n.node"""
 
     o["gr_degrees"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\no AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),\ni AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY dst)\nSELECT coalesce(o.node, i.node) AS node,\n       cast(coalesce(od, 0) as int) AS out_deg,\n       cast(coalesce(idg, 0) as int) AS in_deg\nFROM o FULL OUTER JOIN i USING (node) ORDER BY node'
 

@@ -119,3 +119,87 @@ def pagerank(
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy("node")
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public domain):
+    authority' = sum of hub over in-neighbors, hub' = sum of
+    authority' over out-neighbors, each L1-normalized per half-step
+    (the classic choice is any fixed norm; L1 keeps the oracle SQL
+    exact). The crawl-curation complement to PageRank: authorities
+    are the pages worth keeping, hubs the directory/link pages worth
+    crawling from (and in a call graph: library functions vs
+    orchestrators).
+
+    Scale: one iteration = two (join + partial-agg) shuffles + two
+    1-row totals broadcast back; lineage cut per round
+    (localCheckpoint) like pagerank/connected_components.
+    -> (node, hub double, authority double) round 6, sorted."""
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("empty node set")
+    base = nodes.select(F.col(node_col).cast("long").alias("node"))
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    hub = base.select("node", F.lit(1.0 / n_nodes).alias("h"))
+    auth = None
+    for _ in range(int(n_iter)):
+        a_un = (
+            hub.join(e, hub["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.col("h").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_a"))
+        )
+        a_tot = a_un.agg(
+            F.coalesce(F.sum("_a"), F.lit(1.0)).alias("_t")
+        )
+        auth = (
+            base.join(a_un, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_t")
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_un = (
+            auth.join(e, auth["node"] == e["dst"])
+            .select(F.col("src").alias("node"), F.col("a").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_h"))
+        )
+        h_tot = h_un.agg(
+            F.coalesce(F.sum("_h"), F.lit(1.0)).alias("_t")
+        )
+        hub = (
+            base.join(h_un, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_t")
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        base.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
+        )
+        .orderBy("node")
+    )

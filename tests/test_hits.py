@@ -1,0 +1,66 @@
+"""HITS hubs & authorities (ops/graph.hits)."""
+
+import math
+
+import pytest
+
+
+def _ref_hits(nodes, edges, n_iter):
+    h = {n: 1.0 / len(nodes) for n in nodes}
+    a = {n: 0.0 for n in nodes}
+    for _ in range(n_iter):
+        a = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        t = sum(a.values()) or 1.0
+        a = {n: v / t for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        t = sum(h.values()) or 1.0
+        h = {n: v / t for n, v in h.items()}
+    return h, a
+
+
+def test_hits_matches_python_reference(spark):
+    from lucille_spark.ops.graph import hits
+
+    nodes = list(range(6))
+    # 0 and 1 are hubs pointing at authorities 3, 4, 5; 2 isolated
+    edges = [(0, 3), (0, 4), (0, 5), (1, 3), (1, 4), (5, 3)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(ndf, edf, n_iter=3).collect()}
+    h, a = _ref_hits(nodes, edges, 3)
+    for n in nodes:
+        assert math.isclose(got[n][0], round(h[n], 6), abs_tol=2e-6), n
+        assert math.isclose(got[n][1], round(a[n], 6), abs_tol=2e-6), n
+    # structural expectations: 0 is the top hub; 3 the top authority
+    assert max(got, key=lambda n: got[n][0]) == 0
+    assert max(got, key=lambda n: got[n][1]) == 3
+    # the isolated node carries no mass
+    assert got[2] == (0.0, 0.0)
+
+
+def test_hits_normalized_each_half_step(spark):
+    from lucille_spark.ops.graph import hits
+
+    ndf = spark.createDataFrame([(n,) for n in range(4)], "node long")
+    edf = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rows = hits(ndf, edf, n_iter=2).collect()
+    assert math.isclose(sum(r.hub for r in rows), 1.0, abs_tol=1e-5)
+    assert math.isclose(
+        sum(r.authority for r in rows), 1.0, abs_tol=1e-5
+    )
+
+
+def test_hits_empty_nodes_raise(spark):
+    from lucille_spark.ops.graph import hits
+
+    ndf = spark.createDataFrame([], "node long")
+    edf = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(ndf, edf)
