@@ -193,6 +193,7 @@ class MultiIndex:
         root_dir: Optional[str] = None,
         similarity: str = "bm25",
         doc_offsets: Optional[Sequence[int]] = None,
+        extra_delete_specs: Optional[Sequence] = None,
     ):
         import numpy as np
 
@@ -223,6 +224,16 @@ class MultiIndex:
             if root_dir
             and fsio.exists(os.path.join(root_dir, "deletes"), spark)
             else []
+        ) + (
+            # additional (deletes-path, offset) pairs: the rollover
+            # alias has SEVERAL roots (one per generation), each
+            # carrying generation-local delete ids shifted by that
+            # generation's doc base
+            [
+                (p, off)
+                for p, off in (extra_delete_specs or [])
+                if fsio.exists(p, spark)
+            ]
         )
         self._delete_paths = [p for p, _ in self._delete_specs]
         self._deleted_df = None
@@ -807,3 +818,146 @@ def run_sessionize_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+# ------------------------------------------------------------------
+# ES _rollover / ILM generation management
+# ------------------------------------------------------------------
+
+def _alias_meta_path(alias_dir: str) -> str:
+    return os.path.join(alias_dir, "alias.json")
+
+
+def _load_alias(alias_dir: str, spark=None) -> dict:
+    p = _alias_meta_path(alias_dir)
+    if fsio.exists(p, spark):
+        return json.loads(fsio.read_text(p, spark))
+    return {"generations": []}
+
+
+class RolloverWriter:
+    """ES `_rollover` (ILM hot-phase) over the incremental write
+    path: ingest lands in the CURRENT generation (a normal
+    IncrementalIndexer delta chain under alias_dir/gen_NNNNNN);
+    when the generation's doc count reaches `max_docs` or its delta
+    count reaches `max_deltas`, the next ingest opens a fresh
+    generation. Old generations become immutable — compact or
+    force_merge them independently (each is an ordinary index root)
+    without ever blocking the write path, which is the point of
+    rollover at scale: maintenance cost is bounded by generation
+    size, not corpus size. Age-based rollover belongs to the
+    caller's scheduler (call `rollover()` from it).
+
+    Serving: `open_rollover(spark, alias_dir)` — one MultiIndex over
+    every generation's deltas with doc ids rebased per generation
+    (stats-only prefix sums, no data pass), rank-identical to a
+    single combined build by the alias machinery's existing
+    guarantees. alias.json records the generation list."""
+
+    def __init__(
+        self,
+        alias_dir: str,
+        content_col: str = "content",
+        order_cols: Sequence[str] = ("repo", "path", "commit"),
+        meta_cols: Optional[Sequence[str]] = None,
+        config: Optional[BuildConfig] = None,
+        max_docs: int = 100_000,
+        max_deltas: int = 32,
+    ):
+        self.alias_dir = alias_dir
+        self.content_col = content_col
+        self.order_cols = tuple(order_cols)
+        self.meta_cols = meta_cols
+        self.cfg = config
+        self.max_docs = int(max_docs)
+        self.max_deltas = int(max_deltas)
+
+    # -- generation bookkeeping -------------------------------------
+    def generations(self, spark=None) -> List[str]:
+        meta = _load_alias(self.alias_dir, spark)
+        return [
+            os.path.join(self.alias_dir, g) for g in meta["generations"]
+        ]
+
+    def _save(self, meta: dict, spark=None) -> None:
+        fsio.write_text(
+            _alias_meta_path(self.alias_dir), json.dumps(meta), spark
+        )
+
+    def rollover(self, spark=None) -> str:
+        """Unconditionally open a new generation (the explicit ES
+        `POST _rollover` call). Returns its directory."""
+        meta = _load_alias(self.alias_dir, spark)
+        gen = f"gen_{len(meta['generations']) + 1:06d}"
+        meta["generations"].append(gen)
+        self._save(meta, spark)
+        return os.path.join(self.alias_dir, gen)
+
+    def _current(self, spark=None) -> str:
+        meta = _load_alias(self.alias_dir, spark)
+        if not meta["generations"]:
+            return self.rollover(spark)
+        return os.path.join(self.alias_dir, meta["generations"][-1])
+
+    def _indexer(self, gen_dir: str) -> IncrementalIndexer:
+        return IncrementalIndexer(
+            gen_dir,
+            content_col=self.content_col,
+            order_cols=self.order_cols,
+            meta_cols=self.meta_cols,
+            config=self.cfg,
+        )
+
+    def _should_roll(self, gen_dir: str, spark=None) -> bool:
+        ixr = self._indexer(gen_dir)
+        meta = ixr._load_meta(spark)
+        return (
+            meta["next_doc_id"] >= self.max_docs
+            or len(meta["batches"]) >= self.max_deltas
+        )
+
+    # -- write path ---------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: rolls over BEFORE the write when the
+        current generation is full, so a generation never exceeds
+        max_docs by more than one batch."""
+        spark = batch_df.sparkSession
+        gen = self._current(spark)
+        if self._should_roll(gen, spark):
+            gen = self.rollover(spark)
+        self._indexer(gen).process_batch(batch_df, batch_id)
+
+
+def open_rollover(
+    spark: SparkSession, alias_dir: str, similarity: str = "bm25"
+) -> MultiIndex:
+    """Serve a rollover alias: every generation's deltas in one
+    MultiIndex. Per-generation doc bases are the prefix sums of each
+    generation's ingested doc count (ingest_meta.json reads only);
+    deltas inside a generation already share its local id space, so
+    every delta of generation g shifts by the same base. Generation-
+    root tombstones (delete_docs against a generation) shift with
+    their generation via extra_delete_specs."""
+    gens = RolloverWriter(alias_dir).generations(spark)
+    if not gens:
+        raise ValueError(f"no generations under {alias_dir}")
+    delta_dirs: List[str] = []
+    offs: List[int] = []
+    extra: List[tuple] = []
+    base = 0
+    for g in gens:
+        ixr = IncrementalIndexer(g)
+        meta = ixr._load_meta(spark)
+        deltas = ixr.delta_dirs(spark)
+        for d in deltas:
+            delta_dirs.append(d)
+            offs.append(base)
+        extra.append((os.path.join(g, "deletes"), base))
+        base += int(meta["next_doc_id"])
+    return MultiIndex(
+        spark,
+        delta_dirs,
+        similarity=similarity,
+        doc_offsets=offs,
+        extra_delete_specs=extra,
+    )

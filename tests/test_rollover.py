@@ -1,0 +1,113 @@
+"""ES _rollover / ILM generation management (streaming.RolloverWriter
++ open_rollover)."""
+
+import pytest
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit int, content string"
+    )
+
+
+ROWS = [
+    ("r1", "a", 1, "spark batch join window"),
+    ("r1", "b", 1, "filter merge sort"),
+    ("r2", "c", 1, "spark window agg"),
+    ("r2", "d", 1, "spark spark batch"),
+    ("r3", "e", 1, "window frame rows"),
+    ("r3", "f", 1, "batch window spark filter"),
+]
+
+
+@pytest.fixture(scope="module")
+def rolled(spark, tmp_path_factory):
+    """Three 2-doc batches through a max_docs=3 writer -> 2+
+    generations."""
+    from lucille_spark.streaming import RolloverWriter
+
+    alias_dir = str(tmp_path_factory.mktemp("roll") / "alias")
+    w = RolloverWriter(alias_dir, max_docs=3)
+    for i in range(3):
+        w.process_batch(_batch(spark, ROWS[2 * i:2 * i + 2]), i)
+    return alias_dir, w
+
+
+def test_generations_split_by_max_docs(spark, rolled):
+    alias_dir, w = rolled
+    gens = w.generations(spark)
+    # batch0 (2 docs) -> gen1; gen1 full (>=3? no, 2<3) so batch1
+    # also gen1 (4 docs now); batch2 rolls to gen2
+    assert len(gens) == 2
+    from lucille_spark.streaming import IncrementalIndexer
+
+    n = [
+        IncrementalIndexer(g)._load_meta(spark)["next_doc_id"]
+        for g in gens
+    ]
+    assert n == [4, 2]
+
+
+def test_rollover_alias_ranks_like_one_build(spark, rolled, tmp_path):
+    """MultiIndex over all generations == one combined build (score
+    multiset; the alias rank-identity contract)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.streaming import open_rollover
+
+    alias_dir, _ = rolled
+    mi = open_rollover(spark, alias_dir)
+    out = str(tmp_path / "combined")
+    IndexBuilder(num_shards=2).build(_batch(spark, ROWS), out)
+    single = SparkIndex(spark, out, cache=False)
+    for q in ("spark batch", "window", "spark AND filter"):
+        a = sorted(
+            round(r.score, 6)
+            for r in DataFrameExecutor(mi).search(q, k=10).collect()
+        )
+        b = sorted(
+            round(r.score, 6)
+            for r in DataFrameExecutor(single).search(q, k=10).collect()
+        )
+        assert a == b and a, q
+
+
+def test_rollover_ids_disjoint_across_generations(spark, rolled):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.streaming import open_rollover
+
+    alias_dir, _ = rolled
+    mi = open_rollover(spark, alias_dir)
+    ids = [r.doc_id for r in mi.doclens.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 6
+    assert sorted(ids) == list(range(6))
+    hits = DataFrameExecutor(mi).search("window", k=10).collect()
+    assert {r.doc_id for r in hits} <= set(range(6))
+
+
+def test_explicit_rollover_and_exactly_once(spark, rolled):
+    from lucille_spark.streaming import IncrementalIndexer, open_rollover
+
+    alias_dir, w = rolled
+    before = w.generations(spark)
+    # the streaming replay scenario: after a crash, foreachBatch
+    # re-delivers the LATEST batch id (2). The current generation's
+    # meta already has it -> no-op (exactly-once bookkeeping is per
+    # generation, and the rollover decision is a deterministic
+    # function of the persisted meta, so the replay lands in the
+    # same generation it originally did).
+    w.process_batch(_batch(spark, ROWS[4:6]), 2)
+    assert len(w.generations(spark)) == len(before)
+    n_after = sum(
+        IncrementalIndexer(g)._load_meta(spark)["next_doc_id"]
+        for g in w.generations(spark)
+    )
+    assert n_after == 6
+    # explicit rollover opens an empty generation
+    g3 = w.rollover(spark)
+    assert g3.endswith("gen_000003")
+    assert len(w.generations(spark)) == len(before) + 1
+    # serving skips the empty generation cleanly
+    mi = open_rollover(spark, alias_dir)
+    assert mi.stats["n_docs"] == 6
