@@ -1199,7 +1199,11 @@ _GATE_PRIORITY = [
     "ft_synquery",
     "ft_complex", "wand_complex",
     # one representative per pipeline/feature family (20)
-    "dd_exact",
+    # (dd_exact freed its slot for the incremental cross-corpus
+    # dedup — dd_cross_bloom exercises the same sha256 exact keys
+    # PLUS the bloom probe + suspect-only verify; dd_exact stays in
+    # the local mirror)
+    "dd_cross_bloom",
     "dd_lsh_pairs",
     # (dd_groups freed its slot for the round-3 function-level code
     # dedup — the components/groups flow stays covered by
