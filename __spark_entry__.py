@@ -2183,6 +2183,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_line_dedup"] = line_dedup_q
 
+    # ---- FineWeb-shaped END-TO-END curation: line dedup -> quality
+    # gate (relaxed thresholds for the short synthetic docs) ->
+    # langid allowlist -> exact dedup, one DataFrame program --------
+    def pipe_fineweb_q(s, d):
+        docs = _docs(s, d).select("doc_id", "text")
+        banner = F.lit("\n(c) boilerplate banner line added everywhere")
+        tainted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") < 100, F.concat(F.col("text"), banner)
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        pred = (
+            (F.col("n_words") >= 20)
+            & (F.col("alpha_frac") > 0.8)
+            & (F.col("stop_hits") >= 1)
+        )
+        return text.fineweb_prep(
+            tainted, quality=pred, langs=["en", "de", "es", "fr"]
+        )
+
+    q["pipe_fineweb"] = pipe_fineweb_q
+
     # ---- end-to-end corpus prep (quality -> langid -> exact dedup);
     # doubled input (like dd_exact) so the dedup leg is exercised ----
     def corpus_prep_q(s, d):
@@ -6056,6 +6079,55 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
    AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
    AND stop_hits >= 2) AS passes
 FROM m"""
+
+    # FineWeb-shaped end-to-end curation: the SAME line-dedup /
+    # gopher-metric / langid / sha-dedup formulas as their individual
+    # gates, composed into one statement over the tainted corpus
+    o["pipe_fineweb"] = f"""
+WITH tainted AS (SELECT doc_id, CASE WHEN doc_id < 100 THEN text ||
+    chr(10) || '(c) boilerplate banner line added everywhere'
+    ELSE text END AS text FROM documents),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+      unnest(range(0, len(string_split(text, chr(10))))) AS pos
+      FROM tainted),
+dup AS (SELECT line FROM l WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+          FROM kept GROUP BY doc_id),
+w AS (SELECT doc_id, ct,
+  list_filter(regexp_split_to_array(ct, '\\s+'), x -> x <> '') AS ws
+  FROM clean),
+m2 AS (SELECT doc_id, ct, len(ws) AS n_words,
+  len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+    / greatest(len(ws), 1) AS alpha_frac,
+  len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+      [{_gs}])) AS stop_hits
+  FROM w),
+qd AS (SELECT doc_id, ct, n_words FROM m2
+       WHERE n_words >= 20 AND alpha_frac > 0.8 AND stop_hits >= 1),
+tok2 AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+         lower(ct), '[^a-z0-9_]+'), t -> t <> '')) AS term FROM qd),
+h2 AS (SELECT q.doc_id,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('de')}) THEN t.term END) AS hde,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('en')}) THEN t.term END) AS hen,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('es')}) THEN t.term END) AS hes,
+  count(DISTINCT CASE WHEN t.term IN ({inlist('fr')}) THEN t.term END) AS hfr
+  FROM qd q LEFT JOIN tok2 t USING (doc_id) GROUP BY q.doc_id),
+lang AS (SELECT doc_id, CASE
+  WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+  WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+  WHEN hen >= hes AND hen >= hfr THEN 'en'
+  WHEN hes >= hfr THEN 'es'
+  ELSE 'fr' END AS lang_pred FROM h2),
+flt AS (SELECT q.doc_id, lang.lang_pred, q.n_words, q.ct
+        FROM qd q JOIN lang USING (doc_id)
+        WHERE lang.lang_pred IN ('en', 'de', 'es', 'fr')),
+ded AS (SELECT *, min(doc_id) OVER (PARTITION BY sha256(ct)) AS keeper
+        FROM flt)
+SELECT doc_id, lang_pred, cast(n_words as int) AS n_words,
+       ct AS clean_text
+FROM ded WHERE doc_id = keeper ORDER BY doc_id"""
 
     # winnowing fingerprints: k-gram rolling hash, min per sliding
     # window, distinct — same portable md5 hash both sides. DuckDB

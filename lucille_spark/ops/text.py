@@ -1773,3 +1773,52 @@ def batch_pad_stats(plan: DataFrame) -> DataFrame:
         )
         .orderBy("bucket", "sub", "batch_id")
     )
+
+
+def fineweb_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_max_docs: int = 1,
+    langs: Optional[List[str]] = None,
+    quality=None,
+) -> DataFrame:
+    """FineWeb/RefinedWeb-shaped END-TO-END curation flow, composed
+    entirely of the individually gated operators:
+
+      1. line-level boilerplate dedup (remove_duplicate_lines — the
+         C4/CCNet pass; license banners and chrome vanish)
+      2. Gopher quality gate over the CLEANED text (gopher_quality;
+         `quality` overrides the predicate as a Column over its
+         metric columns — the default is the full `passes` rule,
+         tuned for real web text)
+      3. language id over the cleaned text (+ optional allowlist)
+      4. exact dedup, min-id survivor per sha256(clean_text)
+
+    One DataFrame program: the only shuffles are line-dedup's two
+    groupBys, the per-doc metric aggregation and the final sha
+    groupBy — each partial-aggregated; no step materializes an
+    intermediate corpus. -> (doc_id, lang_pred, n_words,
+    clean_text) survivors, by doc_id."""
+    from lucille_spark.ops.dedup import remove_duplicate_lines
+
+    cleaned = remove_duplicate_lines(
+        df, id_col, text_col, max_docs=line_max_docs
+    )
+    g = gopher_quality(cleaned, "doc_id", "clean_text")
+    cond = F.col("passes") if quality is None else quality
+    good = g.filter(cond).select("doc_id", "n_words")
+    li = language_id(cleaned, "doc_id", "clean_text")
+    j = (
+        cleaned.join(good, "doc_id")
+        .join(li, "doc_id")
+    )
+    if langs is not None:
+        j = j.filter(F.col("lang_pred").isin(list(langs)))
+    keyed = j.withColumn("_sha", F.sha2(F.col("clean_text"), 256))
+    keep = keyed.groupBy("_sha").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        keyed.join(keep, ["_sha", "doc_id"], "left_semi")
+        .select("doc_id", "lang_pred", "n_words", "clean_text")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,70 @@
+"""Composed FineWeb-shaped curation flow (ops/text.fineweb_prep)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+BANNER = "(c) boilerplate banner"
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and that was fine "
+    "to be with all of them have you seen it"
+)
+
+DOCS = [
+    (0, GOOD + "\n" + BANNER),
+    (1, GOOD + " again today\n" + BANNER),
+    (2, "short text"),                      # fails n_words >= 20
+    # exact dup pair: their shared line lives in exactly 2 docs, so
+    # line_max_docs=2 (the realistic C4 setting) keeps it and the
+    # sha-dedup stage is what collapses them
+    (3, GOOD + " third variant here now"),
+    (4, GOOD + " third variant here now"),
+    (5, GOOD + " fifth variant\n" + BANNER),  # banner in 3 docs
+]
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    from lucille_spark.ops.text import fineweb_prep
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pred = (
+        (F.col("n_words") >= 20)
+        & (F.col("alpha_frac") > 0.5)
+        & (F.col("stop_hits") >= 1)
+    )
+    return {
+        r.doc_id: r
+        for r in fineweb_prep(
+            df, quality=pred, langs=["en"], line_max_docs=2
+        ).collect()
+    }
+
+
+def test_banner_lines_removed(out):
+    assert BANNER not in out[0].clean_text
+    assert BANNER not in out[1].clean_text
+    assert out[0].clean_text.startswith("the quick brown fox")
+
+
+def test_quality_gate_drops_short_doc(out):
+    assert 2 not in out
+
+
+def test_exact_dedup_keeps_min_id(out):
+    assert 3 in out and 4 not in out
+
+
+def test_n_words_counted_on_cleaned_text(out):
+    # banner words must not count
+    assert out[0].n_words == len(GOOD.split())
+
+
+def test_lang_allowlist(spark):
+    from lucille_spark.ops.text import fineweb_prep
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pred = F.col("n_words") >= 1
+    survivors = fineweb_prep(
+        df, quality=pred, langs=["fr"], line_max_docs=2
+    ).collect()
+    assert survivors == []
