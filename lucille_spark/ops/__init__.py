@@ -9,9 +9,12 @@ from lucille_spark.ops import (  # noqa: F401
     code,
     dedup,
     events,
+    geo,
     graph,
     multimodal,
     similarity,
     sketch,
+    sparse,
     text,
+    web,
 )
