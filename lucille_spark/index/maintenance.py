@@ -461,3 +461,78 @@ def reindex(
     return IndexBuilder(cfg).build(
         docs, out_dir, content_col=content_col, **build_kwargs
     )
+
+
+def snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    snap_dir: str,
+    verify: bool = True,
+) -> dict:
+    """ES `_snapshot`: a byte-for-byte copy of the whole index tree
+    (dictionary / doclens / postings / segments / stats / manifest /
+    deletes / file-index — and, because it is byte-identical, any
+    doclens_sort_by clustering and row-group layout survive).
+    Writes `snapshot.json` (source dir, source stats, doc counts)
+    LAST so a half-copied snapshot is detectable; `verify=True` runs
+    the full fsck (index/check.check_index) on the COPY before
+    declaring success. No Spark job for the copy itself — Hadoop
+    FileUtil (or shutil locally), so hdfs:// and s3a:// targets work
+    like the manifest I/O does. Returns the snapshot manifest."""
+    if fsio.exists(os.path.join(snap_dir, "snapshot.json"), spark):
+        raise ValueError(f"snapshot target already exists: {snap_dir}")
+    stats = json.loads(
+        fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
+    )
+    _copy_tree(spark, index_dir, snap_dir)
+    if verify:
+        from lucille_spark.index.check import check_index
+
+        report = check_index(spark, snap_dir)
+        if report.get("errors"):
+            raise RuntimeError(
+                f"snapshot fsck failed: {report['errors']}"
+            )
+    manifest = {
+        "source": os.path.abspath(index_dir)
+        if not fsio.is_uri(index_dir)
+        else index_dir,
+        "n_docs": stats.get("n_docs"),
+        "format": stats.get("format"),
+        "analyzer": stats.get("analyzer"),
+        "verified": bool(verify),
+    }
+    fsio.write_text(
+        os.path.join(snap_dir, "snapshot.json"),
+        json.dumps(manifest),
+        spark,
+    )
+    return manifest
+
+
+def restore(
+    spark: SparkSession,
+    snap_dir: str,
+    index_dir: str,
+) -> dict:
+    """Restore a snapshot into a NEW index directory (never in
+    place — the crash-safe convention every other admin op here
+    follows). Refuses a target that already has stats.json and a
+    source without a complete snapshot.json sentinel. Returns the
+    snapshot manifest."""
+    if not fsio.exists(os.path.join(snap_dir, "snapshot.json"), spark):
+        raise ValueError(
+            f"not a completed snapshot (no snapshot.json): {snap_dir}"
+        )
+    if fsio.exists(os.path.join(index_dir, "stats.json"), spark):
+        raise ValueError(f"restore target already exists: {index_dir}")
+    manifest = json.loads(
+        fsio.read_text(os.path.join(snap_dir, "snapshot.json"), spark)
+    )
+    _copy_tree(spark, snap_dir, index_dir)
+    # the sentinel describes the snapshot, not a live index — drop it
+    # from the restored tree (local FS only; on URIs it is harmless)
+    p = os.path.join(index_dir, "snapshot.json")
+    if not fsio.is_uri(p) and os.path.exists(p):
+        os.remove(p)
+    return manifest

@@ -1,0 +1,46 @@
+"""Snapshot/restore (index/maintenance.snapshot + restore)."""
+
+import pytest
+
+
+def test_snapshot_restore_roundtrip(spark, unit_index, tmp_path):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.maintenance import restore, snapshot
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, oracle, _ = unit_index
+    snap = str(tmp_path / "snap")
+    man = snapshot(spark, ix.dir, snap, verify=True)
+    assert man["verified"] and man["n_docs"] == ix.stats["n_docs"]
+
+    dst = str(tmp_path / "restored")
+    man2 = restore(spark, snap, dst)
+    assert man2["n_docs"] == man["n_docs"]
+    rix = SparkIndex(spark, dst, cache=False)
+    a = DataFrameExecutor(ix).search("cats dogs", k=10).collect()
+    b = DataFrameExecutor(rix).search("cats dogs", k=10).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in a] == [
+        (r.doc_id, round(r.score, 9)) for r in b
+    ]
+
+
+def test_snapshot_refuses_existing_target(spark, unit_index, tmp_path):
+    from lucille_spark.index.maintenance import snapshot
+
+    ix, _, _ = unit_index
+    snap = str(tmp_path / "snap2")
+    snapshot(spark, ix.dir, snap, verify=False)
+    with pytest.raises(ValueError):
+        snapshot(spark, ix.dir, snap, verify=False)
+
+
+def test_restore_refusals(spark, unit_index, tmp_path):
+    from lucille_spark.index.maintenance import restore, snapshot
+
+    ix, _, _ = unit_index
+    with pytest.raises(ValueError):
+        restore(spark, str(tmp_path / "nope"), str(tmp_path / "out"))
+    snap = str(tmp_path / "snap3")
+    snapshot(spark, ix.dir, snap, verify=False)
+    with pytest.raises(ValueError):
+        restore(spark, snap, ix.dir)  # live target
