@@ -2846,6 +2846,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_metrics"] = code_metrics_q
 
+    # ---- comment-normalized code + logic-level dedup --------------
+    def code_strip_q(s, d):
+        from lucille_spark.ops import code as C
+
+        return C.strip_comment_lines(
+            _codegen_docs(s, d), "doc_id", "text"
+        ).orderBy("doc_id")
+
+    q["code_strip"] = code_strip_q
+
+    def code_logic_dups_q(s, d):
+        from lucille_spark.ops import code as C
+
+        base = _codegen_docs(s, d)
+        variant = base.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit("\n# extra banner comment")
+            ).alias("text"),
+        )
+        return C.logic_duplicates(
+            base.unionByName(variant), "doc_id", "text"
+        ).orderBy("logic_sha256")
+
+    q["code_logic_dups"] = code_logic_dups_q
+
     def code_secrets_q(s, d):
         from lucille_spark.ops import code as C
 
@@ -7107,6 +7133,40 @@ SELECT doc_id, line_no,
        tok AS module
 FROM tr WHERE m IN (0, 1) AND regexp_matches(tok, '^[a-z_]')
 ORDER BY doc_id, line_no, kind, module"""
+
+    # comment-normalized code + logic dedup: same fixture, the
+    # identical whole-line-comment rule in SQL
+    o["code_strip"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+code AS (SELECT doc_id, array_to_string(list_transform(arr, x ->
+         CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END), chr(10)) AS text
+         FROM t WHERE len(arr) > 0),
+L AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM code),
+k AS (SELECT doc_id, l, list_filter(l, x -> NOT (
+      starts_with(trim(x), '#') OR starts_with(trim(x), '//'))) AS kl
+      FROM L)
+SELECT doc_id, array_to_string(kl, chr(10)) AS clean_code,
+       cast(len(l) - len(kl) as int) AS n_stripped
+FROM k ORDER BY doc_id"""
+
+    o["code_logic_dups"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+code AS (SELECT doc_id, array_to_string(list_transform(arr, x ->
+         CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END), chr(10)) AS text
+         FROM t WHERE len(arr) > 0),
+u AS (SELECT doc_id, text FROM code
+      UNION ALL
+      SELECT doc_id + 1000, text || chr(10) || '# extra banner comment'
+      FROM code),
+L AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM u),
+k AS (SELECT doc_id, list_filter(l, x -> NOT (
+      starts_with(trim(x), '#') OR starts_with(trim(x), '//'))) AS kl
+      FROM L),
+s AS (SELECT doc_id,
+      sha256(array_to_string(kl, chr(10))) AS logic_sha256 FROM k)
+SELECT logic_sha256, count(*) AS n_docs,
+       list(doc_id ORDER BY doc_id) AS doc_ids
+FROM s GROUP BY 1 HAVING count(*) >= 2 ORDER BY logic_sha256"""
 
     o["code_metrics"] = """
 WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),

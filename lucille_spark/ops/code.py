@@ -698,3 +698,53 @@ def symbol_in_degree(edges: DataFrame) -> DataFrame:
             F.sum("n_calls").alias("n_calls"),
         )
     )
+
+
+def strip_comment_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Comment-normalized view of each source file: drop WHOLE-LINE
+    comments (trimmed line starts with '#' or '//' — the identical
+    rule code_metrics counts with, so the two can never disagree)
+    and keep every other line verbatim. The licensing/dedup
+    normalization pass: two files differing only in comment blocks
+    hash equal afterward (pair with sha-groupBy for logic-level
+    dedup). Trailing same-line comments are deliberately NOT
+    touched — '#' inside string literals is indistinguishable
+    without a real parser, and a rule that can corrupt code has no
+    place in a curation pipeline (documented, like the analyzers'
+    fixed rules). One scan, zero shuffle, array HOFs in codegen.
+    -> (doc_id, clean_code, n_stripped int)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: ~(
+            F.trim(x).startswith("#") | F.trim(x).startswith("//")
+        ),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array_join(kept, "\n").alias("clean_code"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_stripped"),
+    )
+
+
+def logic_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the comment-stripped form: groups of files
+    whose CODE is byte-identical though comments/banners differ —
+    the license-header variant problem exact sha dedup misses.
+    -> (logic_sha256, n_docs, doc_ids sorted) with n_docs >= 2."""
+    s = strip_comment_lines(df, id_col, text_col)
+    return (
+        s.select(
+            "doc_id", F.sha2(F.col("clean_code"), 256).alias("logic_sha256")
+        )
+        .groupBy("logic_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
