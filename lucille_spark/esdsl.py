@@ -154,6 +154,11 @@ def to_ast(dsl: Dict[str, Any]) -> A.Query:
     if kind == "match_all":
         return A.WildCard.of(A.ManyChar())
 
+    if kind == "match_none":
+        # NOT(match_all) — the optimizer pass folds it to MatchNone
+        # (plans.simplify), so no scan is ever planned
+        return A.Not(A.WildCard.of(A.ManyChar()))
+
     if kind == "match":
         field, text, spec = _field_value(body, "query")
         toks = _tokens(text)

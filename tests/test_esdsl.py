@@ -421,3 +421,22 @@ def test_aggs_range(spark, unit_index):
         ex, "cats", "doc_len",
         [float("-inf"), 20.0, 40.0, float("inf")]).collect()]
     assert got == want and got
+
+
+def test_match_none_kind(unit_index):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    assert search_es(ex, {"query": {"match_none": {}}}).count() == 0
+    # folds to MatchNone inside booleans too: MUST match_none kills
+    # the whole bool with zero scans
+    out = search_es(
+        ex,
+        {"query": {"bool": {"must": [
+            {"match": {"content": "cats"}},
+            {"match_none": {}},
+        ]}}},
+    )
+    assert out.count() == 0
