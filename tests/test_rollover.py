@@ -111,3 +111,30 @@ def test_explicit_rollover_and_exactly_once(spark, rolled):
     # serving skips the empty generation cleanly
     mi = open_rollover(spark, alias_dir)
     assert mi.stats["n_docs"] == 6
+
+
+def test_generation_local_tombstones(spark, tmp_path):
+    """delete_docs against a GENERATION root excludes that
+    generation's docs from rollover serving — ids shift with the
+    generation's base (extra_delete_specs)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.streaming import RolloverWriter, open_rollover
+
+    alias_dir = str(tmp_path / "alias_del")
+    w = RolloverWriter(alias_dir, max_docs=2)
+    w.process_batch(_batch(spark, ROWS[0:2]), 0)   # gen1: local 0,1
+    w.process_batch(_batch(spark, ROWS[2:4]), 1)   # gen2: local 0,1
+    gens = w.generations(spark)
+    assert len(gens) == 2
+    mi = open_rollover(spark, alias_dir)
+    before = {r.doc_id for r in
+              DataFrameExecutor(mi).search("spark", k=10).collect()}
+    # tombstone gen2's LOCAL doc 1 ('spark spark batch', global 3)
+    delete_docs(spark, gens[1], [1])
+    mi2 = open_rollover(spark, alias_dir)
+    after = {r.doc_id for r in
+             DataFrameExecutor(mi2).search("spark", k=10).collect()}
+    assert after == before - {3}
+    # gen1's local doc 1 (global 1) is untouched
+    assert (1 in before) == (1 in after)
