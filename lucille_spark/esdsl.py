@@ -606,6 +606,32 @@ def search_es(
         )
     if "size" in body:
         k = int(body["size"])
+    src = body.get("_source")
+    if src is not None and "fields" not in body:
+        # `_source` filtering rides the stored-fields machinery (the
+        # index stores meta columns, not raw JSON): a list or
+        # {"includes": [...]} selects columns; excludes need the raw
+        # source document and are refused with a pointer.
+        if isinstance(src, dict):
+            if src.get("excludes"):
+                raise UnsupportedDSL(
+                    "_source.excludes: the index stores selected "
+                    "meta columns, not raw _source — list includes, "
+                    "or fetch from your source table via get_docs"
+                )
+            src = src.get("includes") or []
+        if src is True:
+            raise UnsupportedDSL(
+                "_source: true: list the stored fields you want "
+                "(the index stores meta columns, not raw _source)"
+            )
+        if src is False or src == []:
+            body = {kk: v for kk, v in body.items() if kk != "_source"}
+        else:
+            body = {
+                **{kk: v for kk, v in body.items() if kk != "_source"},
+                "fields": _aslist(src),
+            }
     fspec = body.get("fields")
     hspec = body.get("highlight")
     if fspec is not None or hspec is not None:

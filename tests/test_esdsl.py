@@ -440,3 +440,28 @@ def test_match_none_kind(unit_index):
         ]}}},
     )
     assert out.count() == 0
+
+
+def test_source_section_rides_fields(unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    q = {"match": {"content": "cats"}}
+    a = search_es(ex, {"query": q, "_source": ["lang"], "size": 5})
+    b = search_es(ex, {"query": q, "fields": ["lang"], "size": 5})
+    assert a.collect() == b.collect()
+    c = search_es(
+        ex, {"query": q, "_source": {"includes": ["lang"]}, "size": 5}
+    )
+    assert c.collect() == b.collect()
+    # _source: false == no field retrieval
+    d = search_es(ex, {"query": q, "_source": False, "size": 5})
+    assert d.columns == ["doc_id", "score"]
+    import pytest as _pt
+
+    with _pt.raises(UnsupportedDSL):
+        search_es(ex, {"query": q, "_source": {"excludes": ["lang"]}})
+    with _pt.raises(UnsupportedDSL):
+        search_es(ex, {"query": q, "_source": True})
