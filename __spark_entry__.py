@@ -4140,6 +4140,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_sparse_vec"] = ft_sparse_vec_q
 
+    # batched sparse serving: 3 query vectors, ONE feature-table scan
+    def sparse_batch_q(s, d):
+        from lucille_spark.ops.sparse import (
+            sparse_encode,
+            sparse_topk_many,
+        )
+
+        feats = sparse_encode(_docs(s, d))
+        out = sparse_topk_many(
+            feats,
+            {
+                "q1": {"spark": 2.0, "window": 1.0},
+                "q2": {"batch": 1.0},
+                "q3": {"table": 1.5, "spark": 0.5},
+            },
+            k=10,
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["sparse_batch"] = sparse_batch_q
+
     # ---- late-interaction retrieval (ColBERT MaxSim / ES
     # rank_vectors): deterministic per-token vectors, score = sum of
     # per-query-token max dot products ------------------------------
@@ -8610,6 +8633,26 @@ sc AS (SELECT doc_id, sum(wt * qw) AS s
        FROM w JOIN qw USING (term) GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT 15"""
+
+    # batched sparse serving: same weight formula, a VALUES table of
+    # (query_id, term, qw), one window per query
+    o["sparse_batch"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('batch', 'spark', 'table', 'window')
+       GROUP BY doc_id, term),
+wt AS (SELECT doc_id, term,
+       tf * (1.0 + {_HASH} / {float(M31)!r}) AS wt FROM tf),
+qw(query_id, term, qw) AS (SELECT * FROM (VALUES
+      ('q1', 'spark', 2.0), ('q1', 'window', 1.0),
+      ('q2', 'batch', 1.0),
+      ('q3', 'table', 1.5), ('q3', 'spark', 0.5)) v),
+sc AS (SELECT qw.query_id, wt.doc_id, sum(wt.wt * qw.qw) AS s
+       FROM wt JOIN qw USING (term) GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY s DESC, doc_id) AS rn FROM sc)
+SELECT query_id, doc_id, round(s, 6) AS score FROM r
+WHERE rn <= 10 ORDER BY query_id, s DESC, doc_id"""
 
     # ---- exact-substring dedup: shared gram CTEs --------------------
     # rolling 8-token windows, md5 gram keys — the SAME window

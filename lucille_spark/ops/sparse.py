@@ -152,3 +152,53 @@ def sparse_search(
     return sparse_topk(
         feats, sparse_query_encode(query, analyzer), k=k, id_col=id_col
     )
+
+
+def sparse_topk_many(
+    feats: DataFrame,
+    queries: Dict[str, Dict[str, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batched sparse serving — N query vectors against the feature
+    table in ONE job (the `search_many` shape for the SPLADE path):
+    the union of all query tokens becomes a single pushed IN-filter,
+    per-(query, term) weights ride a broadcast literal table, one
+    partial-aggregated groupBy((query, doc)) sums contributions, and
+    one window per query cuts top-k (window input is the scored
+    match set, already per-query pruned by the join).
+
+    Scale: one feature-table scan regardless of batch size; the
+    per-query weight table is O(sum of query lengths) rows,
+    broadcast. -> (query_id, doc_id, score) top-k per query, ordered
+    by (query_id, score desc, doc_id)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("sparse_topk_many: no queries")
+    rows = []
+    for qid, qw in queries.items():
+        if not qw:
+            raise ValueError(f"sparse_topk_many: empty vector {qid!r}")
+        for t, w in qw.items():
+            rows.append((str(qid), str(t), float(w)))
+    spark = feats.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, _qw double"
+    )
+    all_terms = sorted({t for _, t, _ in rows})
+    scored = (
+        feats.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", F.col(id_col).alias("doc_id"))
+        .agg(F.sum(F.col("weight") * F.col("_qw")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .drop("_r")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

@@ -164,3 +164,32 @@ def test_duckdb_weight_twin(feats):
         # tf divides out: weight == tf * unit-weight
         tf = round(r.weight / got)
         assert math.isclose(tf * got, r.weight, rel_tol=1e-12)
+
+
+def test_batched_equals_per_query(feats):
+    from lucille_spark.ops.sparse import sparse_topk_many
+
+    queries = {
+        "a": {"spark": 2.0, "window": 1.0},
+        "b": {"batch": 1.0},
+        "c": {"slow": 3.0, "spark": 0.5},
+    }
+    batched = sparse_topk_many(feats, queries, k=3).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, qw in queries.items():
+        single = [
+            (r.doc_id, r.score)
+            for r in sparse_topk(feats, qw, k=3).collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_batched_validation(feats):
+    from lucille_spark.ops.sparse import sparse_topk_many
+
+    with pytest.raises(ValueError):
+        sparse_topk_many(feats, {})
+    with pytest.raises(ValueError):
+        sparse_topk_many(feats, {"q": {}})
