@@ -2206,6 +2206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_fineweb"] = pipe_fineweb_q
 
+    # ---- keyword-taxonomy topic tagging (domain-classifier stand-in)
+    def pipe_topic_tag_q(s, d):
+        return text.topic_tag(
+            _docs(s, d),
+            {
+                "streaming": ["spark", "batch", "window", "stream"],
+                "storage": ["table", "join", "filter", "merge"],
+            },
+        )
+
+    q["pipe_topic_tag"] = pipe_topic_tag_q
+
     # ---- end-to-end corpus prep (quality -> langid -> exact dedup);
     # doubled input (like dd_exact) so the dedup leg is exercised ----
     def corpus_prep_q(s, d):
@@ -6832,6 +6844,27 @@ dup AS (SELECT line FROM l WHERE trim(line) <> ''
 kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup))
 SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
 FROM kept GROUP BY doc_id"""
+
+    # keyword-taxonomy topic tagging: distinct terms per doc join a
+    # VALUES keyword table; argmax(score) with min-topic tie-break;
+    # no-hit docs tag 'other'
+    o["pipe_topic_tag"] = f"""
+WITH tok AS ({_TOK}),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+kw(topic, term) AS (SELECT * FROM (VALUES
+  ('streaming', 'spark'), ('streaming', 'batch'),
+  ('streaming', 'window'), ('streaming', 'stream'),
+  ('storage', 'table'), ('storage', 'join'),
+  ('storage', 'filter'), ('storage', 'merge')) v),
+h AS (SELECT dt.doc_id, kw.topic, count(*) AS score
+      FROM dt JOIN kw USING (term) GROUP BY 1, 2),
+ts AS (SELECT doc_id, max(score) AS score FROM h GROUP BY doc_id),
+tg AS (SELECT h.doc_id, h.score, min(h.topic) AS topic
+       FROM h JOIN ts ON h.doc_id = ts.doc_id AND h.score = ts.score
+       GROUP BY h.doc_id, h.score)
+SELECT d.doc_id, coalesce(tg.topic, 'other') AS topic,
+       cast(coalesce(tg.score, 0) as int) AS score
+FROM documents d LEFT JOIN tg USING (doc_id) ORDER BY d.doc_id"""
 
     # corpus prep: same quality/langid formulas as tx_quality /
     # tx_langid over a doubled corpus, filter, dedup by sha256 keep

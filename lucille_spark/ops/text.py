@@ -1822,3 +1822,71 @@ def fineweb_prep(
         .select("doc_id", "lang_pred", "n_words", "clean_text")
         .orderBy("doc_id")
     )
+
+
+def topic_tag(
+    df: DataFrame,
+    taxonomy: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Keyword-taxonomy topic tagging — the cheap, auditable stand-in
+    for a domain classifier in a curation pipeline (tag -> mixture
+    weighting / filtering; swap in model scores later without
+    changing downstream). `taxonomy` = {topic: [keywords]}; a doc's
+    score for a topic = number of DISTINCT taxonomy keywords of that
+    topic present; tag = argmax (ties broken by topic name,
+    no-hits -> 'other').
+
+    Scale: one tokenize/explode scan + a broadcast join against the
+    tiny keyword table + one partial-aggregated groupBy(doc, topic)
+    + one groupBy(doc) argmax via max_by struct — no shuffle bigger
+    than (docs x matched topics). -> (doc_id, topic, score int)."""
+    from lucille_spark.analysis import get_tokenize_expr
+
+    if not taxonomy:
+        raise ValueError("topic_tag: empty taxonomy")
+    rows = []
+    for topic, kws in taxonomy.items():
+        if not kws:
+            raise ValueError(f"topic_tag: empty keyword list {topic!r}")
+        for kw in kws:
+            rows.append((str(topic), str(kw).lower()))
+    spark = df.sparkSession
+    kw_df = spark.createDataFrame(rows, "topic string, term string")
+    toks = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(
+                F.array_distinct(get_tokenize_expr(analyzer)(text_col))
+            ).alias("term"),
+        )
+    )
+    hits = (
+        toks.join(F.broadcast(kw_df), "term")
+        .groupBy("doc_id", "topic")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    # argmax with deterministic ties (score desc, topic asc):
+    # max-score per doc, then min(topic) among the max-score rows —
+    # max(struct(score, topic)) alone would tie-break by GREATEST
+    # topic name
+    top_score = hits.groupBy("doc_id").agg(
+        F.max("score").alias("score")
+    )
+    tagged = (
+        hits.join(top_score, ["doc_id", "score"])
+        .groupBy("doc_id", "score")
+        .agg(F.min("topic").alias("topic"))
+    )
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        base.join(tagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("topic", F.lit("other")).alias("topic"),
+            F.coalesce("score", F.lit(0)).cast("int").alias("score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -68,3 +68,37 @@ def test_lang_allowlist(spark):
         df, quality=pred, langs=["fr"], line_max_docs=2
     ).collect()
     assert survivors == []
+
+
+def test_topic_tag_reference(spark):
+    from lucille_spark.ops.text import topic_tag
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark sql window join"),
+            (1, "cooking recipe flour sugar"),
+            (2, "spark recipe"),        # 1-1 tie -> alphabetical
+            (3, "nothing matches"),
+            (4, "spark spark spark"),   # distinct terms: score 1
+        ],
+        "doc_id long, text string",
+    )
+    tax = {
+        "data": ["spark", "sql", "join"],
+        "food": ["recipe", "flour", "sugar"],
+    }
+    got = {r.doc_id: (r.topic, r.score)
+           for r in topic_tag(docs, tax).collect()}
+    assert got == {
+        0: ("data", 3),
+        1: ("food", 3),
+        2: ("data", 1),
+        3: ("other", 0),
+        4: ("data", 1),
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        topic_tag(docs, {})
+    with _pt.raises(ValueError):
+        topic_tag(docs, {"x": []})
