@@ -214,6 +214,70 @@ def main():
             sorted(bb)[1] * 1000 / 32, 2
         )
 
+    # ---- leg 3: LLM-retrieval serving paths over side tables ------
+    # sparse (SPLADE-shape) serving: encode the sf documents table
+    # once (the offline model-inference stand-in), persist like a
+    # deployment would, then time single-query and batch=32 serving
+    from lucille_spark.ops.sparse import (
+        sparse_encode,
+        sparse_query_encode,
+        sparse_topk,
+        sparse_topk_many,
+    )
+
+    sf_docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    )
+    feats_dir = f"{SCRATCH}/lucille_bench_feats_{CPUS}"
+    if not os.path.exists(feats_dir):
+        sparse_encode(sf_docs).write.mode("overwrite").parquet(feats_dir)
+    feats = spark.read.parquet(feats_dir)
+    feats.cache().count()
+    qw = sparse_query_encode("spark batch window")
+    sparse_topk(feats, qw, k=10).collect()  # warm
+    sreps = []
+    for _ in range(3):
+        t0 = time.time()
+        sparse_topk(feats, qw, k=10).collect()
+        sreps.append(time.time() - t0)
+    out["sparse_query_ms"] = round(sorted(sreps)[1] * 1000, 1)
+    sbatch = {
+        f"s{i}": sparse_query_encode(f"{w} spark")
+        for i, w in enumerate(
+            ["batch", "window", "table", "stream", "scan", "group",
+             "filter", "merge"] * 4
+        )
+    }
+    sparse_topk_many(feats, sbatch, k=10).collect()  # warm
+    sb = []
+    for _ in range(3):
+        t0 = time.time()
+        sparse_topk_many(feats, sbatch, k=10).collect()
+        sb.append(time.time() - t0)
+    out["sparse_batch32_ms_per_query"] = round(
+        sorted(sb)[1] * 1000 / len(sbatch), 2
+    )
+
+    # MaxSim (ColBERT-shape) rerank: token vectors for the sf table,
+    # one rerank pass timed (the deployment prefilters to a
+    # candidate shortlist; this times the full-table worst case)
+    from lucille_spark.ops.similarity import maxsim_search, token_vectors
+
+    tv_dir = f"{SCRATCH}/lucille_bench_tvecs_{CPUS}"
+    if not os.path.exists(tv_dir):
+        token_vectors(sf_docs, dim=16).write.mode("overwrite").parquet(
+            tv_dir
+        )
+    tv = spark.read.parquet(tv_dir).select("doc_id", "vec")
+    tv.cache().count()
+    maxsim_search(tv, "spark batch window", dim=16, k=10).collect()
+    mreps = []
+    for _ in range(3):
+        t0 = time.time()
+        maxsim_search(tv, "spark batch window", dim=16, k=10).collect()
+        mreps.append(time.time() - t0)
+    out["maxsim_query_ms"] = round(sorted(mreps)[1] * 1000, 1)
+
     total = time.time() - t_start
     print(
         json.dumps(
@@ -240,6 +304,9 @@ def main():
                     kk: out[kk]
                     for kk in (
                         "batch32_ms_per_query",
+                        "sparse_query_ms",
+                        "sparse_batch32_ms_per_query",
+                        "maxsim_query_ms",
                         "big_n_docs",
                         "big_batch32_ms_per_query",
                     )
