@@ -4239,6 +4239,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dd_cross_bloom"] = dd_cross_bloom_q
 
+    # ---- incremental cross-corpus NEAR-dup: probe new docs against
+    # the base's persisted LSH bucket table; exact-verify candidates
+    def dd_near_against_q(s, d):
+        from lucille_spark.ops.dedup import (
+            lsh_bucket_table,
+            near_dup_against,
+        )
+
+        docs = _docs(s, d).select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") < 250)
+        injected = docs.filter(
+            (F.col("doc_id") >= 5) & (F.col("doc_id") < 10)
+        ).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zzextra tail marker")
+            ).alias("text"),
+        )
+        new = docs.filter(F.col("doc_id") >= 250).unionByName(injected)
+        buckets = lsh_bucket_table(base, n_perm=4, bands=2)
+        return near_dup_against(
+            new, buckets, base, n_perm=4, bands=2, threshold=0.7
+        )
+
+    q["dd_near_against"] = dd_near_against_q
+
     # ---- hashed linear quality classifier ---------------------------
     def pipe_quality_lr_q(s, d):
         from lucille_spark.ops.text import quality_lr
@@ -5813,6 +5839,57 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND
  ((a.sig0 = b.sig0 AND a.sig1 = b.sig1) OR
   (a.sig2 = b.sig2 AND a.sig3 = b.sig3))"""
+
+    # incremental near-dup probe: same perm params / band keys as
+    # dd_lsh_pairs, base side capped at 50/bucket, exact Jaccard on
+    # candidates only
+    o["dd_near_against"] = f"""
+WITH baseu AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+newu AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+   UNION ALL
+   SELECT doc_id + 1000, text || ' zzextra tail marker'
+   FROM documents WHERE doc_id >= 5 AND doc_id < 10),
+btok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS term FROM baseu),
+ntok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS term FROM newu),
+bth AS (SELECT DISTINCT doc_id, {_HASH} AS h FROM btok),
+nth AS (SELECT DISTINCT doc_id, {_HASH} AS h FROM ntok),
+bsig AS (SELECT doc_id, {sig_exprs} FROM bth GROUP BY doc_id),
+nsig AS (SELECT doc_id, {sig_exprs} FROM nth GROUP BY doc_id),
+bb AS (SELECT doc_id, 0 AS band,
+       cast(sig0 as varchar) || '_' || cast(sig1 as varchar) AS key
+       FROM bsig
+       UNION ALL
+       SELECT doc_id, 1,
+       cast(sig2 as varchar) || '_' || cast(sig3 as varchar) FROM bsig),
+nb AS (SELECT doc_id, 0 AS band,
+       cast(sig0 as varchar) || '_' || cast(sig1 as varchar) AS key
+       FROM nsig
+       UNION ALL
+       SELECT doc_id, 1,
+       cast(sig2 as varchar) || '_' || cast(sig3 as varchar) FROM nsig),
+ok AS (SELECT band, key FROM bb GROUP BY band, key
+       HAVING count(*) <= 50),
+bbf AS (SELECT bb.* FROM bb JOIN ok USING (band, key)),
+cand AS (SELECT DISTINCT nb.doc_id AS new_id, bbf.doc_id AS base_id
+         FROM nb JOIN bbf USING (band, key)),
+ns AS (SELECT DISTINCT doc_id, term FROM ntok
+       WHERE doc_id IN (SELECT new_id FROM cand)),
+bs AS (SELECT DISTINCT doc_id, term FROM btok
+       WHERE doc_id IN (SELECT base_id FROM cand)),
+i AS (SELECT ns.doc_id AS new_id, bs.doc_id AS base_id,
+      count(*) AS inter
+      FROM ns JOIN bs ON ns.term = bs.term
+      WHERE (ns.doc_id, bs.doc_id) IN
+            (SELECT (new_id, base_id) FROM cand)
+      GROUP BY 1, 2),
+nz AS (SELECT doc_id, count(*) AS na FROM ns GROUP BY doc_id),
+bz AS (SELECT doc_id, count(*) AS nbt FROM bs GROUP BY doc_id)
+SELECT i.new_id, i.base_id,
+       round(inter / (nz.na + bz.nbt - inter), 6) AS jaccard
+FROM i JOIN nz ON i.new_id = nz.doc_id
+JOIN bz ON i.base_id = bz.doc_id
+WHERE inter / (nz.na + bz.nbt - inter) >= 0.7
+ORDER BY i.new_id, i.base_id"""
 
     o["dd_jaccard"] = f"""
 WITH tok AS ({_TOK}),

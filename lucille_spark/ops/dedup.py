@@ -648,3 +648,125 @@ def dedup_against(
         )
         .orderBy("doc_id")
     )
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """The persistable LSH side of a corpus: (doc_id, band, key) —
+    `bands` rows per document (the exact band-key construction
+    lsh_candidate_pairs uses). An incremental pipeline writes this
+    table once next to the corpus and probes new slices against it
+    (near_dup_against) without ever re-reading base text except for
+    candidate verification."""
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, seed)
+    rows = n_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[c.cast("string") for c in cols]
+                ).alias("key"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
+def near_dup_against(
+    new_df: DataFrame,
+    base_buckets: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    threshold: float = 0.8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Incremental cross-corpus NEAR-dup — the fuzzy complement to
+    dedup_against: flag new-slice documents whose token-set Jaccard
+    against SOME base document reaches `threshold`, without pairwise
+    work against the base.
+
+    Scale contract: the base contributes (1) its persisted LSH
+    bucket table (lsh_bucket_table; bands rows/doc, built once) and
+    (2) one text scan RESTRICTED to candidate ids (broadcast
+    semi-join). The probe is a (band, key) equi-join — new docs in
+    no shared bucket (the overwhelming majority) never touch base
+    text at all. Buckets larger than `max_bucket` base docs are
+    dropped before the join (the boilerplate-bucket skew guard every
+    LSH path here uses; precompute the sizes at persist time in a
+    real deployment). Ids across the two corpora must be disjoint.
+    -> (new_id, base_id, jaccard) pairs with jaccard >= threshold."""
+    nb = lsh_bucket_table(new_df, id_col, text_col, n_perm, bands, seed)
+    sizes = base_buckets.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ok = sizes.filter(F.col("_n") <= max_bucket).select("band", "key")
+    bb = base_buckets.join(ok, ["band", "key"], "left_semi").select(
+        F.col("doc_id").alias("base_id"), "band", "key"
+    )
+    cand = (
+        nb.join(bb, ["band", "key"])
+        .select(F.col("doc_id").alias("new_id"), "base_id")
+        .distinct()
+    )
+    new_sets = (
+        new_df.join(
+            F.broadcast(cand.select(F.col("new_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).cast("long").alias("new_id"),
+            F.explode(tokenize_expr(text_col)).alias("s"),
+        )
+        .distinct()
+    )
+    base_sets = (
+        base_df.join(
+            F.broadcast(
+                cand.select(F.col("base_id").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).cast("long").alias("base_id"),
+            F.explode(tokenize_expr(text_col)).alias("s"),
+        )
+        .distinct()
+    )
+    inter = (
+        new_sets.join(base_sets, "s")
+        .join(cand, ["new_id", "base_id"], "left_semi")
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    nsz = new_sets.groupBy("new_id").agg(F.count(F.lit(1)).alias("_na"))
+    bsz = base_sets.groupBy("base_id").agg(F.count(F.lit(1)).alias("_nb"))
+    jac = F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+    return (
+        inter.join(nsz, "new_id")
+        .join(bsz, "base_id")
+        .filter(jac >= F.lit(float(threshold)))
+        .select(
+            "new_id", "base_id", F.round(jac, 6).alias("jaccard")
+        )
+        .orderBy("new_id", "base_id")
+    )

@@ -64,3 +64,59 @@ def test_merged_bloom_still_has_no_false_negatives(spark, parts):
     out = dedup_against(new, merged, base_keys=keys)
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[200].is_dup and rows[201].is_dup
+
+
+def test_near_dup_against_probe(spark):
+    from lucille_spark.analysis import tokenize
+    from lucille_spark.ops.dedup import (
+        lsh_bucket_table,
+        near_dup_against,
+    )
+
+    base_rows = [
+        (i, f"alpha beta gamma delta epsilon doc{i} zeta eta theta")
+        for i in range(20)
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            # near-copy of base doc 3 (one token appended)
+            (100, base_rows[3][1] + " extra"),
+            (101, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    buckets = lsh_bucket_table(base, n_perm=4, bands=2)
+    out = near_dup_against(
+        new, buckets, base, n_perm=4, bands=2, threshold=0.6
+    ).collect()
+    hits = {(r.new_id, r.base_id): r.jaccard for r in out}
+    assert (100, 3) in hits
+    a = set(tokenize(base_rows[3][1] + " extra"))
+    b = set(tokenize(base_rows[3][1]))
+    expect = len(a & b) / len(a | b)
+    assert abs(hits[(100, 3)] - round(expect, 6)) < 1e-9
+    assert all(nid != 101 for nid, _ in hits)
+
+
+def test_near_dup_against_hot_bucket_cap(spark):
+    from lucille_spark.ops.dedup import (
+        lsh_bucket_table,
+        near_dup_against,
+    )
+
+    # every base doc identical -> one giant bucket; cap drops it
+    base = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "same boilerplate text everywhere")],
+        "doc_id long, text string",
+    )
+    buckets = lsh_bucket_table(base, n_perm=4, bands=2)
+    out = near_dup_against(
+        new, buckets, base, n_perm=4, bands=2,
+        threshold=0.5, max_bucket=10,
+    ).collect()
+    assert out == []
