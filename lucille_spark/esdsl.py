@@ -477,7 +477,7 @@ def _decorate_hits(executor, out, dsl, fspec, hspec, docs=None):
 
 def search_es(
     executor, dsl: Dict[str, Any], k: int = 10, docs=None, emb=None,
-    feats=None,
+    feats=None, stored=None,
 ):
     """Run one ES-DSL request end-to-end. Accepts either a bare
     query clause or the full request body: `size` overrides k,
@@ -566,6 +566,40 @@ def search_es(
         if "size" in body:
             spec.setdefault("k", int(body["size"]))
         return knn_es(emb, spec)
+    if isinstance(dsl, dict) and set(dsl) == {"percolate"}:
+        # the ES percolate QUERY direction: which stored queries
+        # match this document. `stored` = {query_id: query} (strings,
+        # DSL dicts, or ASTs — percolate_document accepts all three).
+        spec = dict(dsl["percolate"])
+        if stored is None:
+            raise UnsupportedDSL(
+                "percolate: pass stored= (the {query_id: query} "
+                "saved-search registry; the index stores documents, "
+                "not queries)"
+            )
+        docsrc = spec.get("document")
+        if docsrc is None:
+            raise UnsupportedDSL(
+                "percolate: `document` (inline _source) is required "
+                "— id-referenced documents need docs= + get_docs"
+            )
+        from lucille_spark.percolate import percolate_document
+
+        from pyspark.sql import SparkSession
+
+        spark = (
+            executor.ix.spark
+            if executor is not None
+            else SparkSession.getActiveSession()
+        )
+        return percolate_document(
+            spark,
+            stored,
+            docsrc,
+            content_field=str(spec.get("field", "content"))
+            if spec.get("field") not in (None, "query")
+            else "content",
+        )
     if isinstance(dsl, dict) and set(dsl) == {"sparse_vector"}:
         # ES 8 learned-sparse query over a (id, term, weight) feature
         # table (pass feats=). `field` names the rank_features field

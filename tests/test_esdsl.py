@@ -465,3 +465,29 @@ def test_source_section_rides_fields(unit_index):
         search_es(ex, {"query": q, "_source": {"excludes": ["lang"]}})
     with _pt.raises(UnsupportedDSL):
         search_es(ex, {"query": q, "_source": True})
+
+
+def test_percolate_query_kind(spark):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+    from lucille_spark.percolate import percolate_document
+
+    stored = {
+        "a1": "cats AND dogs",
+        "a2": {"match": {"content": "fish"}},
+        "a3": "absentterm",
+    }
+    doc = {"content": "cats dogs fish swim", "lang": "en"}
+    via_dsl = search_es(
+        None,
+        {"query": {"percolate": {"field": "query", "document": doc}}},
+        stored=stored,
+    ).collect()
+    direct = percolate_document(spark, stored, doc).collect()
+    assert via_dsl == direct
+    assert {r.query_id for r in via_dsl} == {"a1", "a2"}
+    import pytest as _pt
+
+    with _pt.raises(UnsupportedDSL):
+        search_es(None, {"percolate": {"document": doc}})
+    with _pt.raises(UnsupportedDSL):
+        search_es(None, {"percolate": {}}, stored=stored)
