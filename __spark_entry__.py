@@ -4475,6 +4475,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_geo_bbox"] = ft_geo_bbox_q
 
+    def ft_agg_geodist_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"rings": {"geo_distance": {
+                "field": "lat",
+                "origin": "40,-74",
+                "ranges": [
+                    {"to": 3000},
+                    {"from": 3000, "to": 8000},
+                    {"from": 8000},
+                ],
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["rings"]
+
+    q["ft_agg_geodist"] = ft_agg_geodist_q
+
     def ft_agg_geotile_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9065,6 +9087,24 @@ f AS (SELECT m.doc_id, m.s FROM m JOIN geo USING (doc_id)
         AND lon >= -120.0 AND lon <= 50.0)
 SELECT doc_id, round(s, 4) AS score FROM f
 ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    o["ft_agg_geodist"] = (
+        _cte(["spark"])
+        + f""",
+geo AS ({_GEO}),
+m AS (SELECT DISTINCT doc_id FROM sc),
+d AS (SELECT geo.doc_id, {_hav(40.0, -74.0)} AS dist
+      FROM geo JOIN m USING (doc_id)),
+b(key, lo, hi) AS (SELECT * FROM (VALUES
+  ('*-3000.0', NULL, 3000.0),
+  ('3000.0-8000.0', 3000.0, 8000.0),
+  ('8000.0-*', 8000.0, NULL)) v)
+SELECT b.key,
+  (SELECT count(*) FROM d
+   WHERE (b.lo IS NULL OR d.dist >= b.lo)
+     AND (b.hi IS NULL OR d.dist < b.hi)) AS doc_count
+FROM b"""
     )
 
     # zoom 2: n=4; x/y mirror ops/geo.geotile_key (floor/ln/tan math,

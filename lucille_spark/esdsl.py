@@ -2227,6 +2227,67 @@ def aggs_es(
                 out[name] = _G.geo_bounds(gmeta, latf, lonf)
             continue
 
+        if kind == "geo_distance":
+            # ES geo_distance agg: half-open [from, to) distance
+            # rings from an origin over the match set, every range a
+            # bucket (empty ones included) in the given order. ONE
+            # partial aggregation (a conditional sum per ring) + a
+            # constant-width explode back to rows.
+            from lucille_spark.ops import geo as _G
+
+            latf, lonf = _geo_cols(executor, body.get("field", "lat"))
+            origin = body["origin"]
+            if isinstance(origin, str):
+                la, lo = [float(x) for x in origin.split(",")]
+            else:
+                la, lo = float(origin["lat"]), float(origin["lon"])
+            ranges = body.get("ranges") or []
+            if not ranges:
+                raise UnsupportedDSL(f"agg {name}: geo_distance "
+                                     "needs ranges")
+            gmeta = executor.ix.doclens.select(
+                "doc_id",
+                F.col(latf).cast("double").alias("_la"),
+                F.col(lonf).cast("double").alias("_lo"),
+            ).join(matches.select("doc_id"), "doc_id", "left_semi")
+            dist = _G.haversine_km(
+                F.col("_la"), F.col("_lo"), F.lit(la), F.lit(lo)
+            )
+            aggs, labels = [], []
+            for i, r in enumerate(ranges):
+                lo_b = r.get("from")
+                hi_b = r.get("to")
+                cond = F.lit(True)
+                if lo_b is not None:
+                    cond = cond & (dist >= F.lit(float(lo_b)))
+                if hi_b is not None:
+                    cond = cond & (dist < F.lit(float(hi_b)))
+                lbl = (
+                    ("*" if lo_b is None else repr(float(lo_b)))
+                    + "-"
+                    + ("*" if hi_b is None else repr(float(hi_b)))
+                )
+                labels.append(lbl)
+                aggs.append(
+                    F.sum(cond.cast("long")).alias(f"_r{i}")
+                )
+            one = gmeta.agg(*aggs)
+            buckets = F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("key"),
+                        F.coalesce(
+                            F.col(f"_r{i}"), F.lit(0).cast("long")
+                        ).alias("doc_count"),
+                    )
+                    for i, lbl in enumerate(labels)
+                ]
+            )
+            out[name] = one.select(
+                F.explode(buckets).alias("_b")
+            ).select("_b.key", "_b.doc_count")
+            continue
+
         if kind == "median_absolute_deviation":
             # exact MAD (ES approximates via TDigest; we compute the
             # exact interpolated median — documented deviation, the

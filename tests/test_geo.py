@@ -224,3 +224,50 @@ def test_geotile_agg_dsl(geo_ix):
         query={"match": {"content": "spark"}},
     )["t"].collect()
     assert len(out) == 1 and out[0]["doc_count"] == 4
+
+
+def test_geo_distance_agg_rings(spark, tmp_path):
+    """geo_distance agg: every ring a bucket (empty included),
+    half-open [from, to), counts over the match set only."""
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.ops.geo import haversine_km
+    import pyspark.sql.functions as F
+
+    rows = []
+    pts = [(0.0, 0.0), (0.0, 10.0), (0.0, 40.0), (50.0, 100.0)]
+    for i, (la, lo) in enumerate(pts):
+        rows.append(
+            ("r", f"p{i}", "c", "en", f"geo spark point {i}",
+             float(la), float(lo))
+        )
+    rows.append(("r", "px", "c", "en", "no match here", 0.0, 0.0))
+    docs = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, lat double, lon double",
+    )
+    out_dir = str(tmp_path / "geoix")
+    IndexBuilder(num_shards=2, block_size=16).build(
+        docs, out_dir, meta_cols=["lat", "lon"]
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out_dir, cache=False))
+    res = aggs_es(
+        ex,
+        {"rings": {"geo_distance": {
+            "field": "lat", "origin": {"lat": 0.0, "lon": 0.0},
+            "ranges": [{"to": 500}, {"from": 500, "to": 2000},
+                       {"from": 2000}],
+        }}},
+        query={"match": {"content": "spark"}},
+    )["rings"].collect()
+    got = {r.key: r.doc_count for r in res}
+    # hand distances: (0,0)=0; (0,10)~1113km; (0,40)~4452; far pt big
+    assert got == {
+        "*-500.0": 1,
+        "500.0-2000.0": 1,
+        "2000.0-*": 2,
+    }
+    assert len(res) == 3  # empty rings would still appear
