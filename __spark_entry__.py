@@ -1412,6 +1412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_spanfirst"] = spanfirst_q
 
+    # ---- SpanPositionRangeQuery: both bounds, [5, 25) ---------------
+    def spanposrange_q(s, d):
+        from lucille_spark.search_features import span_position_range
+
+        out = span_position_range(
+            _index_for(s, d), "spark", start=5, end=25
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_spanposrange"] = spanposrange_q
+
     # ---- ES stats + percentiles aggregations over the match set
     def fstats_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -5438,6 +5451,22 @@ alltf AS (SELECT doc_id, count(*) AS tf FROM tok
 dfs AS (SELECT count(*) AS df FROM alltf),
 qual AS (SELECT doc_id, count(*) AS tf FROM pos
          WHERE term = 'spark' AND p < 10 GROUP BY doc_id),
+sc AS (SELECT q.doc_id,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * q.tf /
+       (q.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM qual q CROSS JOIN dfs JOIN dl USING (doc_id)
+       CROSS JOIN st)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    o["ft_spanposrange"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}), st AS ({_ST}),
+pos AS ({_POS}),
+alltf AS (SELECT doc_id, count(*) AS tf FROM tok
+          WHERE term = 'spark' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM alltf),
+qual AS (SELECT doc_id, count(*) AS tf FROM pos
+         WHERE term = 'spark' AND p >= 5 AND p < 25 GROUP BY doc_id),
 sc AS (SELECT q.doc_id,
        ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * q.tf /
        (q.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s

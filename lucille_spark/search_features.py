@@ -343,6 +343,19 @@ def multi_field(query, fields: dict, default_field: str = "content"):
     return rw(query)
 
 
+def span_position_range(
+    index, term_text: str, start: int, end: int, k: int = 10
+) -> DataFrame:
+    """Lucene SpanPositionRangeQuery: like span_first but with BOTH
+    bounds — qualifying occurrences have position in [start, end).
+    span_first == span_position_range(start=0). Same plan: one
+    file-pruned term-pushed scan, position filter as an array HOF in
+    codegen, tf = qualifying count. -> (doc_id, score) top-k."""
+    if not (0 <= int(start) < int(end)):
+        raise ValueError("span_position_range: need 0 <= start < end")
+    return _span_positions(index, term_text, int(start), int(end), k)
+
+
 def span_first(index, term_text: str, end: int, k: int = 10) -> DataFrame:
     """Lucene SpanFirstQuery: docs where the (analyzed) term occurs
     within the first `end` positions, scored like the term but with
@@ -351,6 +364,12 @@ def span_first(index, term_text: str, end: int, k: int = 10) -> DataFrame:
     is an array HOF over the flat postings' position list, all in
     codegen; the scan is file-pruned and term-pushed like any term
     query. -> (doc_id, score) top-k."""
+    return _span_positions(index, term_text, 0, int(end), k)
+
+
+def _span_positions(
+    index, term_text: str, start: int, end: int, k: int
+) -> DataFrame:
     from lucille_spark import plans as P
     from lucille_spark.exec_df import _score_col
 
@@ -359,12 +378,15 @@ def span_first(index, term_text: str, end: int, k: int = 10) -> DataFrame:
         return index.spark.createDataFrame(
             [], "doc_id long, score double"
         )
-    assert isinstance(node, P.PTerm), "span_first takes a single term"
+    assert isinstance(node, P.PTerm), "span queries take a single term"
     src = getattr(index, "flat_for", None)
     flat = src([node.term]) if src else index.flat
     rows = _drop_deleted(index, flat.filter(F.col("term") == node.term))
     tf2 = F.size(
-        F.filter(F.col("positions"), lambda p: p < F.lit(int(end)))
+        F.filter(
+            F.col("positions"),
+            lambda p: (p >= F.lit(int(start))) & (p < F.lit(int(end))),
+        )
     )
     avgdl = node.avgdl or float(index.stats["avg_dl"])
     return (

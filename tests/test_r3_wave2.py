@@ -744,3 +744,28 @@ def test_match_phrase_prefix_multi_fixed_terms(spark, tmp_path):
         ).collect()
     }
     assert got3 == {0}
+
+
+def test_span_position_range_bounds(spark, unit_index):
+    from lucille_spark.search_features import (
+        span_first,
+        span_position_range,
+    )
+
+    ix, oracle, _ = unit_index
+    # start=0 degenerates to span_first exactly
+    a = span_position_range(ix, "cats", 0, 8, k=20).collect()
+    b = span_first(ix, "cats", 8, k=20).collect()
+    assert a == b
+    # a narrow inner window is a subset of the wide one
+    wide = {r.doc_id for r in
+            span_position_range(ix, "cats", 0, 50, k=None or 100).collect()}
+    narrow = {r.doc_id for r in
+              span_position_range(ix, "cats", 10, 20, k=100).collect()}
+    assert narrow <= wide
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        span_position_range(ix, "cats", 5, 5)
+    with _pt.raises(ValueError):
+        span_position_range(ix, "cats", -1, 5)
