@@ -4510,6 +4510,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_geodist"] = ft_agg_geodist_q
 
+    # date agg kinds — the corpus has no native date meta, so the
+    # bucketing epoch rides ES's runtime-field pattern (a restricted
+    # painless script over stored doc values: doc_id * 7200 = one
+    # synthetic doc every 2 hours).
+    _DT_SCRIPT = {"source": "doc['doc_id'].value * 7200"}
+
+    def ft_agg_datehist_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"by_day": {
+                "date_histogram": {
+                    "script": _DT_SCRIPT, "fixed_interval": "1d",
+                },
+                "aggs": {"per_hour": {"rate": {"unit": "hour"}}},
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["by_day"]
+
+    q["ft_agg_datehist"] = ft_agg_datehist_q
+
+    def ft_agg_datehist_cal_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"by_month": {"date_histogram": {
+                "script": _DT_SCRIPT, "calendar_interval": "month",
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["by_month"]
+
+    q["ft_agg_datehist_cal"] = ft_agg_datehist_cal_q
+
+    def ft_agg_daterange_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"eras": {"date_range": {
+                "script": _DT_SCRIPT,
+                "ranges": [
+                    {"to": 86400 * 30},
+                    {"from": 86400 * 30, "to": 86400 * 180},
+                    {"from": 86400 * 180, "key": "recent"},
+                ],
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["eras"]
+
+    q["ft_agg_daterange"] = ft_agg_daterange_q
+
+    def ft_agg_autodatehist_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"auto": {"auto_date_histogram": {
+                "script": _DT_SCRIPT, "buckets": 8,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["auto"]
+
+    q["ft_agg_autodatehist"] = ft_agg_autodatehist_q
+
     def ft_agg_geotile_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9135,6 +9213,57 @@ SELECT b.key,
      AND (b.hi IS NULL OR d.dist < b.hi)) AS doc_count
 FROM b"""
     )
+
+    # date aggs: epoch = doc_id * 7200 (runtime script), match set =
+    # docs containing 'spark'
+    o["ft_agg_datehist"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT cast(floor(doc_id * 7200.0 / 86400) * 86400 AS bigint) AS key,
+       count(*) AS doc_count,
+       round(count(*) / 24.0, 4) AS per_hour
+FROM m GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_datehist_cal"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT date_trunc('month', DATE '1970-01-01'
+         + CAST(floor(doc_id * 7200.0 / 86400) AS INTEGER)) AS key,
+       count(*) AS doc_count
+FROM m GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_daterange"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+e AS (SELECT doc_id * 7200.0 AS e FROM m),
+b(key, lo, hi) AS (SELECT * FROM (VALUES
+  ('*-2592000.0', NULL, 2592000.0),
+  ('2592000.0-15552000.0', 2592000.0, 15552000.0),
+  ('recent', 15552000.0, NULL)) v)
+SELECT b.key,
+  (SELECT count(*) FROM e
+   WHERE (b.lo IS NULL OR e.e >= b.lo)
+     AND (b.hi IS NULL OR e.e < b.hi)) AS doc_count
+FROM b"""
+
+    _adh_ladder = [
+        1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+        86400, 604800, 2592000, 31536000,
+    ]
+    _adh_case = "CASE " + " ".join(
+        f"WHEN floor(mx / {c}) - floor(mn / {c}) + 1 <= 8 THEN {c}"
+        for c in _adh_ladder[:-1]
+    ) + f" ELSE {_adh_ladder[-1]} END"
+    o["ft_agg_autodatehist"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+e AS (SELECT doc_id * 7200.0 AS e FROM m),
+bounds AS (SELECT min(e) AS mn, max(e) AS mx FROM e),
+iv AS (SELECT {_adh_case} AS s FROM bounds)
+SELECT cast(floor(e.e / iv.s) * iv.s AS bigint) AS key,
+       count(*) AS doc_count,
+       cast(max(iv.s) AS integer) AS interval_s
+FROM e CROSS JOIN iv GROUP BY 1 ORDER BY 1"""
 
     # zoom 2: n=4; x/y mirror ops/geo.geotile_key (floor/ln/tan math,
     # clamped into [0, 3]); our lats never exceed the mercator clamp

@@ -1844,6 +1844,61 @@ def _hist_key(sbody):
     )
 
 
+_DATE_UNIT_S = {
+    "second": 1, "1s": 1, "minute": 60, "1m": 60, "hour": 3600,
+    "1h": 3600, "day": 86400, "1d": 86400, "week": 604800,
+    "1w": 604800,
+}
+
+_DATE_CALENDAR = {"month": "month", "quarter": "quarter",
+                  "year": "year", "1M": "month", "1q": "quarter",
+                  "1y": "year"}
+
+
+def _parse_fixed_interval(s: str) -> int:
+    """ES fixed_interval string ('30s', '90m', '2h', '1d', '7d') ->
+    seconds. Calendar-only units (month and up) are rejected here —
+    they go through `calendar_interval`."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(s).strip())
+    if not m or m.group(2) == "ms":
+        raise UnsupportedDSL(
+            f"unsupported fixed_interval {s!r} (want <n>[smhd])"
+        )
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def _date_epoch_col(executor, name: str, body):
+    """The epoch-seconds Column a date agg buckets on: either a
+    stored numeric field (epoch seconds in doc values) or an ES
+    runtime script (the same restricted painless subset
+    runtime_mappings accepts) computed from stored fields — the
+    documents corpus carries no native date meta, so ES's
+    runtime-field pattern is the date front door.
+    -> (stored field names needed, epoch Column)."""
+    from pyspark.sql import functions as F
+
+    if "script" in body:
+        from lucille_spark.search_features import _runtime_cols
+
+        cols = _runtime_cols(
+            executor.ix, {"_dt": {"script": body["script"]}}
+        )
+        return cols["_dt"]
+    field = body.get("field")
+    if not field:
+        raise UnsupportedDSL(
+            f"agg {name}: date agg needs 'field' or 'script'"
+        )
+    if field not in executor.ix.doclens.columns:
+        raise UnsupportedDSL(
+            f"agg {name}: field {field!r} is not stored"
+        )
+    return [field], F.col(field).cast("double")
+
+
 def _nested_bucket_frames(j, parents, prefix, sub):
     """ES nested BUCKET sub-aggregations, flattened to relations:
     for each bucket sub-agg (terms / histogram) under `prefix`, emit
@@ -2373,6 +2428,181 @@ def aggs_es(
                 ).alias("value"),
                 F.count(F.lit(1)).alias("n"),
             )
+            continue
+
+        if kind in ("date_histogram", "auto_date_histogram"):
+            # ES date_histogram / auto_date_histogram over the match
+            # set. The bucketing column is epoch seconds from a
+            # stored numeric field or a runtime script
+            # (_date_epoch_col). fixed_interval buckets are epoch
+            # floors (timezone-free); calendar_interval month /
+            # quarter / year truncate the epoch-day date (minute /
+            # hour / day / week calendar units are their fixed UTC
+            # widths — documented deviation: no DST-aware calendars).
+            # Scale: one projection + one groupBy over the match
+            # set; auto_ adds one tiny min/max driver agg to pick
+            # the interval from the ES rounding ladder. The only
+            # sub-agg supported is `rate` (bucket-width-normalized
+            # count/sum — needs a fixed interval), computed inside
+            # the same single aggregation.
+            need, epoch = _date_epoch_col(executor, name, body)
+            rate_specs = {
+                sn: ss["rate"]
+                for sn, ss in sub.items()
+                if _agg_kind(ss) == "rate"
+            }
+            bad_sub = [sn for sn in sub if sn not in rate_specs]
+            if bad_sub:
+                raise UnsupportedDSL(
+                    f"agg {name}: only `rate` sub-aggs supported "
+                    f"under a date histogram (got {bad_sub})"
+                )
+            rate_fields = sorted(set(
+                rs["field"] for rs in rate_specs.values()
+                if "field" in rs
+            ))
+            for rf in rate_fields:
+                if rf not in executor.ix.doclens.columns:
+                    raise UnsupportedDSL(
+                        f"agg {name}: rate field {rf!r} not stored"
+                    )
+            meta = executor.ix.doclens.select(
+                "doc_id", *sorted(set(need) | set(rate_fields))
+            )
+            j = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .select(
+                    epoch.alias("_e"),
+                    *[
+                        F.col(rf).cast("double").alias(rf)
+                        for rf in rate_fields
+                    ],
+                )
+            )
+            secs, calendar = None, None
+            if kind == "auto_date_histogram":
+                from lucille_spark.ops.events import AUTO_HIST_LADDER
+                import math as _m
+
+                want_b = int(body.get("buckets", 10))
+                b = j.agg(
+                    F.min("_e").alias("mn"), F.max("_e").alias("mx")
+                ).collect()[0]
+                if b["mn"] is None:
+                    out[name] = j.select(
+                        F.col("_e").cast("long").alias("key"),
+                        F.lit(0).alias("doc_count"),
+                        F.lit(0).alias("interval_s"),
+                    ).limit(0)
+                    continue
+                secs = AUTO_HIST_LADDER[-1]
+                for cand in AUTO_HIST_LADDER:
+                    n_b = (
+                        _m.floor(b["mx"] / cand)
+                        - _m.floor(b["mn"] / cand) + 1
+                    )
+                    if n_b <= want_b:
+                        secs = cand
+                        break
+            elif "fixed_interval" in body:
+                secs = _parse_fixed_interval(body["fixed_interval"])
+            else:
+                cal = str(body.get("calendar_interval", "day"))
+                if cal in _DATE_CALENDAR:
+                    calendar = _DATE_CALENDAR[cal]
+                elif cal in _DATE_UNIT_S:
+                    secs = _DATE_UNIT_S[cal]
+                else:
+                    raise UnsupportedDSL(
+                        f"agg {name}: unsupported calendar_interval "
+                        f"{cal!r}"
+                    )
+            if calendar is None:
+                key = (
+                    F.floor(F.col("_e") / F.lit(secs)) * F.lit(secs)
+                ).cast("long").alias("key")
+            else:
+                if rate_specs:
+                    raise UnsupportedDSL(
+                        f"agg {name}: rate needs a fixed interval"
+                    )
+                day = F.floor(F.col("_e") / F.lit(86400)).cast("int")
+                key = F.trunc(
+                    F.date_add(F.to_date(F.lit("1970-01-01")), day),
+                    calendar,
+                ).alias("key")
+            aggc = [F.count(F.lit(1)).alias("doc_count")]
+            for sn, rs in rate_specs.items():
+                unit = str(rs.get("unit", "day"))
+                if unit not in _DATE_UNIT_S:
+                    raise UnsupportedDSL(
+                        f"agg {name}.{sn}: unsupported rate unit "
+                        f"{unit!r}"
+                    )
+                denom = float(secs) / _DATE_UNIT_S[unit]
+                val = (
+                    F.sum(rs["field"]) if "field" in rs
+                    else F.count(F.lit(1)).cast("double")
+                )
+                aggc.append(
+                    F.round(val / F.lit(denom), 4).alias(sn)
+                )
+            grouped = j.groupBy(key).agg(*aggc)
+            if kind == "auto_date_histogram":
+                grouped = grouped.withColumn(
+                    "interval_s", F.lit(int(secs))
+                )
+            out[name] = grouped.orderBy("key")
+            continue
+
+        if kind == "date_range":
+            # ES date_range: half-open [from, to) epoch-second
+            # ranges over the match set's date column, every range a
+            # bucket in the given order (empty ones included) — ONE
+            # conditional aggregation + a constant-width explode,
+            # same shape as the geo_distance rings.
+            need, epoch = _date_epoch_col(executor, name, body)
+            ranges = body.get("ranges") or []
+            if not ranges:
+                raise UnsupportedDSL(
+                    f"agg {name}: date_range needs ranges"
+                )
+            meta = executor.ix.doclens.select("doc_id", *need)
+            j = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .select(epoch.alias("_e"))
+            )
+            aggc, labels = [], []
+            for i, r in enumerate(ranges):
+                lo_b = r.get("from")
+                hi_b = r.get("to")
+                cond = F.lit(True)
+                if lo_b is not None:
+                    cond = cond & (F.col("_e") >= F.lit(float(lo_b)))
+                if hi_b is not None:
+                    cond = cond & (F.col("_e") < F.lit(float(hi_b)))
+                lbl = r.get("key") or (
+                    ("*" if lo_b is None else repr(float(lo_b)))
+                    + "-"
+                    + ("*" if hi_b is None else repr(float(hi_b)))
+                )
+                labels.append(lbl)
+                aggc.append(F.sum(cond.cast("long")).alias(f"_r{i}"))
+            one = j.agg(*aggc)
+            buckets = F.array(*[
+                F.struct(
+                    F.lit(lbl).alias("key"),
+                    F.coalesce(
+                        F.col(f"_r{i}"), F.lit(0).cast("long")
+                    ).alias("doc_count"),
+                )
+                for i, lbl in enumerate(labels)
+            ])
+            out[name] = one.select(
+                F.explode(buckets).alias("_b")
+            ).select("_b.key", "_b.doc_count")
             continue
 
         if kind == "range":

@@ -1,0 +1,195 @@
+"""DSL date agg kinds (wave 57): date_histogram (fixed + calendar +
+rate sub-agg), date_range, auto_date_histogram — over a stored
+numeric epoch field or an ES runtime script."""
+
+import datetime as dt
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dix(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    # nval doubles as the date source (epoch seconds or, via the
+    # runtime script, epoch days)
+    docs = spark.createDataFrame(
+        [
+            (0, "a a", 10),
+            (1, "a", 20),
+            (2, "a a a", 30),
+            (3, "a", 40),
+            (4, "a", 50),
+            (5, "b", 60),  # doesn't match 'a'
+        ],
+        "doc_id long, text string, nval long",
+    )
+    out = str(tmp_path_factory.mktemp("dateix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["nval"],
+    )
+    return DataFrameExecutor(SparkIndex(spark, out, cache=True))
+
+
+_SCRIPT = {"source": "doc['nval'].value * 86400"}
+
+
+def test_fixed_interval_stored_field(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"h": {"date_histogram": {
+            "field": "nval", "fixed_interval": "30s",
+        }}},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    # matches nval [10,20,30,40,50] -> floor(/30)*30
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (0, 2), (30, 3),
+    ]
+
+
+def test_rate_sub_agg_hand_computed(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"h": {
+            "date_histogram": {
+                "script": _SCRIPT, "fixed_interval": "1d",
+            },
+            "aggs": {"per_hour": {"rate": {"unit": "hour"}}},
+        }},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    assert len(rows) == 5  # every matching doc on its own day
+    for r in rows:
+        assert r["doc_count"] == 1
+        assert r["per_hour"] == pytest.approx(round(1 / 24.0, 4))
+
+
+def test_rate_sum_field(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"h": {
+            "date_histogram": {
+                "field": "nval", "fixed_interval": "30s",
+            },
+            "aggs": {"v": {"rate": {"unit": "second",
+                                    "field": "nval"}}},
+        }},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    # bucket 0: sum(10,20)/30 = 1.0; bucket 30: sum(30,40,50)/30 = 4.0
+    got = {r["key"]: r["v"] for r in rows}
+    assert got == {0: 1.0, 30: 4.0}
+
+
+def test_calendar_month(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"h": {"date_histogram": {
+            "script": _SCRIPT, "calendar_interval": "month",
+        }}},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    # epoch days 10,20,30 -> Jan 1970; 40,50 -> Feb 1970
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (dt.date(1970, 1, 1), 3), (dt.date(1970, 2, 1), 2),
+    ]
+
+
+def test_date_range_includes_empty_bucket(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"r": {"date_range": {
+            "script": _SCRIPT,
+            "ranges": [
+                {"to": 86400 * 25},
+                {"from": 86400 * 25, "to": 86400 * 45},
+                {"from": 86400 * 45, "key": "tail"},
+                {"from": 86400 * 100, "key": "empty"},
+            ],
+        }}},
+        query={"match": {"content": "a"}},
+    )["r"].collect()
+    got = {r["key"]: r["doc_count"] for r in rows}
+    assert got["tail"] == 1
+    assert got["empty"] == 0
+    assert sum(got.values()) == 2 + 2 + 1 + 0
+
+
+def test_auto_date_histogram_ladder(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"a": {"auto_date_histogram": {
+            "script": _SCRIPT, "buckets": 3,
+        }}},
+        query={"match": {"content": "a"}},
+    )["a"].collect()
+    # mn 864000, mx 4320000: 1w gives 7 buckets (>3), 30d gives 2
+    assert all(r["interval_s"] == 2592000 for r in rows)
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (0, 2), (2592000, 3),
+    ]
+
+
+def test_error_paths(dix):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    with pytest.raises(UnsupportedDSL, match="fixed interval"):
+        aggs_es(
+            dix,
+            {"h": {
+                "date_histogram": {
+                    "script": _SCRIPT, "calendar_interval": "month",
+                },
+                "aggs": {"r": {"rate": {"unit": "day"}}},
+            }},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="fixed_interval"):
+        aggs_es(
+            dix,
+            {"h": {"date_histogram": {
+                "field": "nval", "fixed_interval": "5x",
+            }}},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="not stored"):
+        aggs_es(
+            dix,
+            {"h": {"date_histogram": {
+                "field": "missing", "fixed_interval": "1d",
+            }}},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="only `rate`"):
+        aggs_es(
+            dix,
+            {"h": {
+                "date_histogram": {
+                    "field": "nval", "fixed_interval": "1d",
+                },
+                "aggs": {"t": {"terms": {"field": "nval"}}},
+            }},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="ranges"):
+        aggs_es(
+            dix,
+            {"r": {"date_range": {"script": _SCRIPT}}},
+            query={"match": {"content": "a"}},
+        )
