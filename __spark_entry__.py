@@ -4588,6 +4588,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_autodatehist"] = ft_agg_autodatehist_q
 
+    def ft_agg_vwhist_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"v": {"variable_width_histogram": {
+                "field": "doc_len", "buckets": 4,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["v"]
+
+    q["ft_agg_vwhist"] = ft_agg_vwhist_q
+
+    def ft_agg_cattext_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"c": {"categorize_text": {
+                "field": "text", "size": 5, "signature_tokens": 3,
+            }}},
+            query={"match": {"content": "spark"}},
+            docs=_docs(s, d),
+        )
+        return out["c"]
+
+    q["ft_agg_cattext"] = ft_agg_cattext_q
+
+    def ft_agg_freqsets_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"f": {"frequent_item_sets": {
+                "fields": [{"field": "lang"}, {"field": "source"}],
+                "minimum_support": 0.02,
+                "minimum_set_size": 2,
+                "size": 8,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["f"]
+
+    q["ft_agg_freqsets"] = ft_agg_freqsets_q
+
     def ft_agg_geotile_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9264,6 +9316,46 @@ SELECT cast(floor(e.e / iv.s) * iv.s AS bigint) AS key,
        count(*) AS doc_count,
        cast(max(iv.s) AS integer) AS interval_s
 FROM e CROSS JOIN iv GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_vwhist"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+v AS (SELECT dl.doc_id, cast(dl.dl AS double) AS x
+      FROM m JOIN dl USING (doc_id)),
+b AS (SELECT x, ntile(4) OVER (ORDER BY x, doc_id) AS bk FROM v)
+SELECT round(avg(x), 4) AS key, min(x) AS min, max(x) AS max,
+       count(*) AS doc_count
+FROM b GROUP BY bk ORDER BY min"""
+
+    o["ft_agg_cattext"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+alpha AS (SELECT p.doc_id, p.term, p.p FROM pos p JOIN m USING (doc_id)
+          WHERE NOT regexp_matches(p.term, '[0-9]')),
+firsts AS (SELECT doc_id, term, p, row_number()
+           OVER (PARTITION BY doc_id, term ORDER BY p) AS rt
+           FROM alpha),
+ranked AS (SELECT doc_id, term, row_number()
+           OVER (PARTITION BY doc_id ORDER BY p) AS rn
+           FROM firsts WHERE rt = 1),
+sig AS (SELECT doc_id, string_agg(term, ' ' ORDER BY rn) AS key
+        FROM ranked WHERE rn <= 3 GROUP BY doc_id)
+SELECT key, count(*) AS doc_count FROM sig GROUP BY key
+ORDER BY doc_count DESC, key LIMIT 5"""
+
+    o["ft_agg_freqsets"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+meta AS (SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN m USING (doc_id)),
+n AS (SELECT count(*) AS n FROM meta),
+u AS (SELECT 'lang=' || lang || ',source=' || source AS key,
+             count(*) AS doc_count
+      FROM meta GROUP BY lang, source)
+SELECT key, doc_count,
+       round(doc_count / (SELECT n FROM n), 4) AS support
+FROM u WHERE round(doc_count / (SELECT n FROM n), 4) >= 0.02
+ORDER BY doc_count DESC, key LIMIT 8"""
 
     # zoom 2: n=4; x/y mirror ops/geo.geotile_key (floor/ln/tan math,
     # clamped into [0, 3]); our lats never exceed the mercator clamp

@@ -2605,6 +2605,157 @@ def aggs_es(
             ).select("_b.key", "_b.doc_count")
             continue
 
+        if kind == "variable_width_histogram":
+            # ES variable_width_histogram: N variable-width buckets
+            # over the match set's values. ES clusters approximately
+            # and stream-order-dependently; we partition by exact
+            # quantiles (ntile over (value, doc_id)) — deterministic
+            # and cross-engine reproducible (documented deviation).
+            # Scale: the ntile window is a global sort of the MATCH
+            # SET's (value, doc_id) pairs — the same centralization
+            # ES accepts for this agg; never the corpus.
+            from pyspark.sql import Window
+
+            field = body["field"]
+            n_b = int(body.get("buckets", 10))
+            meta = executor.ix.doclens.select(
+                "doc_id", F.col(field).cast("double").alias("_v")
+            )
+            j = matches.select("doc_id").join(meta, "doc_id")
+            w = Window.orderBy(F.asc("_v"), F.asc("doc_id"))
+            out[name] = (
+                j.withColumn("_b", F.ntile(n_b).over(w))
+                .groupBy("_b")
+                .agg(
+                    F.min("_v").alias("min"),
+                    F.round(F.avg("_v"), 4).alias("key"),
+                    F.max("_v").alias("max"),
+                    F.count(F.lit(1)).alias("doc_count"),
+                )
+                .select("key", "min", "max", "doc_count")
+                .orderBy("min")
+            )
+            continue
+
+        if kind == "categorize_text":
+            # ES categorize_text (ML categorization of
+            # semi-structured text), deterministic analogue: a doc's
+            # category is its first `signature_tokens` DISTINCT
+            # digit-free tokens in document order (the analyzer's
+            # own tokens — numbers and ids stripped, like ES's
+            # categorizer). Buckets are the top `size` categories by
+            # doc_count. Needs docs= (the index stores no _source).
+            # Scale: match-set-sized join against docs, vectorized
+            # tokenize expr (no UDF), one groupBy, top-k cut.
+            from lucille_spark.analysis import get_tokenize_expr
+
+            if docs is None:
+                raise UnsupportedDSL(
+                    f"agg {name}: categorize_text needs docs="
+                )
+            field = body.get("field", "text")
+            size = int(body.get("size", 10))
+            sig_k = int(body.get("signature_tokens", 5))
+            tok = get_tokenize_expr(
+                executor.ix.stats.get("analyzer", "standard")
+            )
+            cats = (
+                docs.join(matches.select("doc_id"), "doc_id")
+                .select(
+                    F.array_join(
+                        F.slice(
+                            F.array_distinct(
+                                F.filter(
+                                    tok(field),
+                                    lambda t: ~t.rlike("[0-9]"),
+                                )
+                            ),
+                            1,
+                            sig_k,
+                        ),
+                        " ",
+                    ).alias("key")
+                )
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(F.desc("doc_count"), F.asc("key"))
+                .limit(size)
+            )
+            out[name] = cats
+            continue
+
+        if kind == "frequent_item_sets":
+            # ES frequent_item_sets over single-valued stored
+            # fields: every field-subset of size >= minimum_set_size
+            # whose value combination covers >= minimum_support of
+            # the match set. Exhaustive over <= 4 fields (2^4 - few
+            # combos), each combo ONE partial-agg groupBy of the
+            # match set; the support denominator is one scalar
+            # count. (ES mines multi-valued transactions with
+            # Eclat; single-valued doc fields make the exhaustive
+            # enumeration exact and cheap — documented deviation.)
+            import itertools as _it
+
+            fields = [f["field"] for f in body["fields"]]
+            if not 1 <= len(fields) <= 4:
+                raise UnsupportedDSL(
+                    f"agg {name}: frequent_item_sets supports 1-4 "
+                    "fields"
+                )
+            for f_ in fields:
+                if f_ not in executor.ix.doclens.columns:
+                    raise UnsupportedDSL(
+                        f"agg {name}: field {f_!r} is not stored"
+                    )
+            min_sup = float(body.get("minimum_support", 0.1))
+            min_set = int(body.get("minimum_set_size", 2))
+            size = int(body.get("size", 10))
+            meta = executor.ix.doclens.select("doc_id", *fields)
+            j = matches.select("doc_id").join(meta, "doc_id")
+            j = j.persist()
+            n_m = j.count()
+            if n_m == 0:
+                out[name] = executor.ix.spark.createDataFrame(
+                    [], "key string, doc_count long, support double"
+                )
+                j.unpersist()
+                continue
+            frames = []
+            for r in range(max(1, min_set), len(fields) + 1):
+                for combo in _it.combinations(fields, r):
+                    keyc = F.concat_ws(
+                        ",",
+                        *[
+                            F.concat(F.lit(f_ + "="), F.col(f_))
+                            for f_ in combo
+                        ],
+                    )
+                    frames.append(
+                        j.groupBy(*combo)
+                        .agg(F.count(F.lit(1)).alias("doc_count"))
+                        .select(
+                            keyc.alias("key"),
+                            "doc_count",
+                        )
+                    )
+            allf = frames[0]
+            for fr in frames[1:]:
+                allf = allf.unionAll(fr)
+            out[name] = (
+                allf.withColumn(
+                    "support",
+                    F.round(
+                        F.col("doc_count") / F.lit(float(n_m)), 4
+                    ),
+                )
+                .filter(F.col("support") >= F.lit(min_sup))
+                .orderBy(
+                    F.desc("doc_count"), F.asc("key")
+                )
+                .limit(size)
+            )
+            continue
+
         if kind == "range":
             from lucille_spark.search_features import facet_ranges
 

@@ -1,0 +1,133 @@
+"""Wave-58 agg kinds: variable_width_histogram (quantile-partition
+analogue), categorize_text (token-signature analogue),
+frequent_item_sets (exhaustive over single-valued fields)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fix(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a", "g1", "s1"),
+            (1, "a", "g1", "s1"),
+            (2, "a a a", "g1", "s2"),
+            (3, "a", "g2", "s1"),
+            (4, "a", "g2", "s1"),
+            (5, "b", "g2", "s2"),  # doesn't match 'a'
+        ],
+        "doc_id long, text string, grp string, src string",
+    )
+    out = str(tmp_path_factory.mktemp("fsix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["grp", "src"],
+    )
+    return DataFrameExecutor(SparkIndex(spark, out, cache=True)), docs
+
+
+def test_variable_width_histogram(fix):
+    from lucille_spark.esdsl import aggs_es
+
+    ex, _ = fix
+    rows = aggs_es(
+        ex,
+        {"v": {"variable_width_histogram": {
+            "field": "doc_len", "buckets": 2,
+        }}},
+        query={"match": {"content": "a"}},
+    )["v"].collect()
+    # match dls by doc: [2,1,3,1,1]; ordered (v, doc_id):
+    # (1,1)(1,3)(1,4)(2,0)(3,2) -> ntile(2) = [3 rows | 2 rows]
+    assert [(r["key"], r["min"], r["max"], r["doc_count"])
+            for r in rows] == [
+        (1.0, 1.0, 1.0, 3), (2.5, 2.0, 3.0, 2),
+    ]
+
+
+def test_frequent_item_sets_hand_computed(fix):
+    from lucille_spark.esdsl import aggs_es
+
+    ex, _ = fix
+    rows = aggs_es(
+        ex,
+        {"f": {"frequent_item_sets": {
+            "fields": [{"field": "grp"}, {"field": "src"}],
+            "minimum_support": 0.3,
+            "minimum_set_size": 1,
+            "size": 10,
+        }}},
+        query={"match": {"content": "a"}},
+    )["f"].collect()
+    got = [(r["key"], r["doc_count"], r["support"]) for r in rows]
+    assert got == [
+        ("src=s1", 4, 0.8),
+        ("grp=g1", 3, 0.6),
+        ("grp=g1,src=s1", 2, 0.4),
+        ("grp=g2", 2, 0.4),
+        ("grp=g2,src=s1", 2, 0.4),
+    ]
+
+
+def test_categorize_text(spark, tmp_path_factory):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "error 42 disk full"),
+            (1, "error 17 disk full"),
+            (2, "ok 3 net up"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path_factory.mktemp("catix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    rows = aggs_es(
+        ex,
+        {"c": {"categorize_text": {
+            "field": "text", "signature_tokens": 2,
+        }}},
+        docs=docs,
+    )["c"].collect()
+    # digit tokens stripped; first 2 distinct alpha tokens
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        ("error disk", 2), ("ok net", 1),
+    ]
+
+
+def test_error_paths(fix):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ex, _ = fix
+    with pytest.raises(UnsupportedDSL, match="needs docs"):
+        aggs_es(
+            ex,
+            {"c": {"categorize_text": {"field": "text"}}},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="1-4"):
+        aggs_es(
+            ex,
+            {"f": {"frequent_item_sets": {
+                "fields": [{"field": f} for f in "abcde"],
+            }}},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="not stored"):
+        aggs_es(
+            ex,
+            {"f": {"frequent_item_sets": {
+                "fields": [{"field": "grp"}, {"field": "nope"}],
+            }}},
+            query={"match": {"content": "a"}},
+        )
