@@ -748,3 +748,103 @@ def logic_duplicates(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# The-Stack-shaped end-to-end code curation flow
+# ---------------------------------------------------------------------------
+
+# applied to upper(path) — mirrors propagate_repo_license's rule
+LICENSE_PATH_RE = (
+    r"(^|/)(LICENSE|LICENCE|COPYING|UNLICENSE)([-._][A-Z0-9.-]+)?$"
+)
+
+
+def stack_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    repo_col: str = "repo",
+    path_col: str = "path",
+    text_col: str = "content",
+    quality=None,
+    permissive_only: bool = True,
+) -> DataFrame:
+    """The-Stack/StarCoder-shaped END-TO-END code-corpus curation,
+    composed entirely of the individually gated operators:
+
+      1. repo-level license propagation (propagate_repo_license —
+         a repo's LICENSE file governs all its files); with
+         `permissive_only`, keep permissively licensed repos
+      2. drop the license/readme-shaped files themselves (they are
+         governance, not training code)
+      3. vendored / generated / minified exclusion (flag_vendored)
+      4. secret quarantine (quarantine_secrets — drop any file with
+         a credential hit)
+      5. StarCoder file-metric gate over code_metrics columns
+         (`quality` overrides the predicate as a Column; default is
+         the published rule: max_line_len <= 1000 AND avg_line_len
+         <= 100 AND 0.01 <= comment_ratio <= 0.8)
+      6. LOGIC-level exact dedup: sha256 of the comment-stripped
+         code, min-id survivor (catches license-header variants)
+
+    One DataFrame program; the only shuffles are the tiny per-repo
+    license reduction (license-file rows only, broadcast back), the
+    metric-gate join and the final sha groupBy — every text scan is
+    zero-shuffle codegen. -> (doc_id, repo, path, repo_license,
+    content) survivors, by doc_id."""
+    lic = propagate_repo_license(
+        df, repo_col, path_col, text_col, id_col=id_col
+    )
+    if permissive_only:
+        lic = lic.filter(F.col("repo_permissive"))
+    code = lic.filter(
+        ~F.upper(F.col(path_col)).rlike(LICENSE_PATH_RE)
+    )
+    kept_flags = flag_vendored(
+        code, id_col, path_col, text_col
+    ).filter(F.col("keep")).select("doc_id")
+    code = code.join(
+        kept_flags.withColumnRenamed("doc_id", id_col),
+        id_col,
+        "left_semi",
+    )
+    code = quarantine_secrets(code, id_col, text_col)
+    m = code_metrics(code, id_col, text_col)
+    cond = (
+        (
+            (F.col("max_line_len") <= 1000)
+            & (F.col("avg_line_len") <= 100)
+            & (F.col("comment_ratio") >= 0.01)
+            & (F.col("comment_ratio") <= 0.8)
+        )
+        if quality is None
+        else quality
+    )
+    good = m.filter(cond).select("doc_id")
+    code = code.join(
+        good.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    stripped = strip_comment_lines(code, id_col, text_col).select(
+        "doc_id", F.sha2(F.col("clean_code"), 256).alias("_sha")
+    )
+    keep = stripped.groupBy("_sha").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = stripped.join(
+        keep, ["_sha", "doc_id"], "left_semi"
+    ).select("doc_id")
+    return (
+        code.join(
+            survivors.withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(repo_col).alias("repo"),
+            F.col(path_col).alias("path"),
+            "repo_license",
+            F.col(text_col).alias("content"),
+        )
+        .orderBy("doc_id")
+    )
