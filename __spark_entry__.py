@@ -1248,7 +1248,12 @@ _GATE_PRIORITY = [
     # mirror): the lenient second string grammar, the suggest
     # section + bigram LM, the aggregations DSL, the pipeline
     # perplexity signal
-    "ft_sqs",
+    # (ft_sqs freed its slot for the wave-59 composed code-curation
+    # flow — the lenient grammar is parser-layer, exhaustively
+    # pytest-covered and in the mirror; pipe_stack exercises license
+    # propagation + vendored/secret/metric gates + logic dedup end
+    # to end in ONE hash row)
+    "pipe_stack",
     "ft_phrase_suggest",
     # (ft_agg_extstats freed its slot for the nested-bucket agg —
     # the deepest agg machinery: per-level groupBy + per-parent
