@@ -2252,6 +2252,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- deterministic stratified sampling (training-data mixing):
     # per-language keep rates over the md5 bucket of (doc_id, salt);
     # identical selection in any engine, monotone in the rate --------
+    # training order / shard plan / epoch plan / proportional mix
+    q["pipe_train_order"] = lambda s, d: text.training_order(
+        _docs(s, d).filter(F.col("doc_id") < 400),
+        n_shards=4,
+        seed="shuf1",
+    )
+
+    q["pipe_epoch_plan"] = lambda s, d: text.epoch_plan(
+        _docs(s, d), "lang", {"en": 3, "de": 1}, 1_000_000,
+        token_col="n_chars",
+    )
+
+    q["pipe_mix_order"] = lambda s, d: text.mix_order(
+        _docs(s, d).filter(F.col("doc_id") < 300),
+        "lang",
+        {"en": 2.0, "de": 1.0, "fr": 0.5},
+        seed="mix",
+    )
+
     q["pipe_sample"] = lambda s, d: text.stratified_sample(
         _docs(s, d),
         "lang",
@@ -7266,6 +7285,48 @@ GROUP BY sha256(text)"""
         "(cast(('0x' || substring(md5(concat(cast(doc_id as varchar), "
         f"':mix1')), 1, 8)) as bigint) % {M31}) % 1000000"
     )
+    # deterministic training order: same portable md5 hash, same
+    # per-shard rank windows
+    o["pipe_train_order"] = """
+WITH k AS (SELECT doc_id,
+  (cast(('0x' || substring(md5(doc_id::varchar || ':shuf1'), 1, 8))
+   as bigint) % 2147483647) AS h
+  FROM documents WHERE doc_id < 400)
+SELECT doc_id, cast(h % 4 AS integer) AS shard,
+       row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+         AS pos,
+       h AS ord_key
+FROM k ORDER BY shard, pos"""
+
+    # epoch plan: weights en 3 : de 1 normalized, others 0
+    o["pipe_epoch_plan"] = """
+WITH a AS (SELECT lang AS domain, count(*) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS tokens
+           FROM documents GROUP BY lang)
+SELECT domain, n_docs, tokens,
+  round(CASE domain WHEN 'en' THEN 0.75 WHEN 'de' THEN 0.25
+        ELSE 0.0 END::double, 6) AS weight,
+  round((CASE domain WHEN 'en' THEN 0.75 WHEN 'de' THEN 0.25
+        ELSE 0.0 END::double) * 1000000.0 / tokens, 4) AS epochs
+FROM a ORDER BY domain"""
+
+    # stride-scheduled proportional interleave: rank/rate virtual
+    # finish times
+    o["pipe_mix_order"] = """
+WITH k AS (SELECT doc_id, lang AS domain,
+  (cast(('0x' || substring(md5(doc_id::varchar || ':mix'), 1, 8))
+   as bigint) % 2147483647) AS h
+  FROM documents WHERE doc_id < 300),
+r AS (SELECT doc_id, domain, h,
+  CASE domain WHEN 'en' THEN 2.0 WHEN 'de' THEN 1.0
+       WHEN 'fr' THEN 0.5 ELSE NULL END AS rate
+  FROM k WHERE domain IN ('en', 'de', 'fr')),
+w AS (SELECT doc_id, domain,
+  row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rank,
+  rate FROM r)
+SELECT doc_id, domain, rank, round(rank / rate, 6) AS mix_key
+FROM w ORDER BY mix_key, domain, doc_id"""
+
     o["pipe_sample"] = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang, {_sb} AS b FROM documents)

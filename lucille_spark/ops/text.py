@@ -1890,3 +1890,145 @@ def topic_tag(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# training order: deterministic shuffle, shard assignment, epoch
+# planning, proportional interleaving
+# ---------------------------------------------------------------------------
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuf1",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global pseudo-random TRAINING ORDER + shard
+    assignment — the pre-training "global shuffle" without an RNG:
+    every doc gets the portable md5 key of "<id>:<seed>"; its shard
+    is key mod n_shards and its position within the shard is the
+    key's rank there. Reading shards 0..n-1 sequentially (or
+    interleaved) replays the same shuffled order on every run and
+    every engine; changing `seed` is a fresh epoch-level reshuffle.
+
+    Scale: ONE hash projection (codegen) + per-shard rank windows —
+    at 100 TB pick n_shards so a shard is file-sized (e.g. 1e5) and
+    each window sorts corpus/n_shards rows; there is no global sort
+    and no RNG state. -> (doc_id, shard int, pos long, ord_key)
+    ordered by (shard, pos)."""
+    from pyspark.sql import Window
+
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+
+    h = F.expr(
+        TOKEN_HASH_SPARK.format(
+            tok=f"concat(cast({id_col} as string), ':{seed}')"
+        )
+    )
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return keyed.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).select("doc_id", "shard", "pos", "ord_key").orderBy(
+        "shard", "pos"
+    )
+
+
+def epoch_plan(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    target_tokens: int,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-domain REPEAT FACTORS (epochs) for a token-budgeted
+    training mixture: the run should draw weight_d (normalized) of
+    `target_tokens` from domain d, so each of d's documents is seen
+    epochs_d = weight_d * target / tokens_d times (>1 = upsampled /
+    repeated, <1 = subsampled; pair with stratified_sample for the
+    <1 case and integer repetition + a fractional sample for >1).
+    Domains missing from `weights` get weight 0. ONE partial-agg
+    groupBy over (domain, tokens). -> (domain, n_docs, tokens,
+    weight, epochs) by domain."""
+    tot_w = float(sum(weights.values())) or 1.0
+    wagg = F.lit(0.0)
+    for dname, wv in sorted(weights.items()):
+        wagg = F.when(
+            F.col("domain") == dname, F.lit(float(wv) / tot_w)
+        ).otherwise(wagg)
+    return (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("tokens"),
+        )
+        .withColumn("weight", F.round(wagg, 6))
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("weight")
+                * F.lit(float(target_tokens))
+                / F.col("tokens"),
+                4,
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+def mix_order(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic PROPORTIONAL INTERLEAVING of domains into one
+    training stream (stride scheduling): within each domain docs are
+    ranked by the portable md5 key; the global order key is
+    rank / rate_d, so sorting by it emits domain d at frequency
+    proportional to rate_d with no RNG (the weighted-fair-queueing
+    virtual finish time). Domains absent from `rates` are dropped.
+
+    Scale: per-domain rank windows + the one global sort that IS the
+    requested output order (at write time: sortWithinPartitions
+    after a range partition on mix_key). -> (doc_id, domain, rank,
+    mix_key) ordered by (mix_key, domain, doc_id)."""
+    from pyspark.sql import Window
+
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+
+    h = F.expr(
+        TOKEN_HASH_SPARK.format(
+            tok=f"concat(cast({id_col} as string), ':{seed}')"
+        )
+    )
+    rcol = F.lit(None).cast("double")
+    for dname, rv in sorted(rates.items()):
+        rcol = F.when(
+            F.col("domain") == dname, F.lit(float(rv))
+        ).otherwise(rcol)
+    keyed = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            h.alias("_h"),
+        )
+        .withColumn("_rate", rcol)
+        .filter(F.col("_rate").isNotNull())
+    )
+    w = Window.partitionBy("domain").orderBy("_h", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "mix_key",
+            F.round(F.col("rank") / F.col("_rate"), 6),
+        )
+        .select("doc_id", "domain", "rank", "mix_key")
+        .orderBy("mix_key", "domain", "doc_id")
+    )
