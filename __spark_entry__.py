@@ -3716,6 +3716,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_esdsl"] = esdsl_q
 
+    def template_q(s, d):
+        """_search/template rendering the ft_esdsl body from
+        mustache params (scalar + toJson + inverted section) — must
+        serve identically to the directly-written DSL."""
+        from lucille_spark.esdsl import search_template
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        body = {
+            "source": (
+                '{"query": {"bool": {'
+                '"must": [{"match": {"content": "{{main}}"}},'
+                ' {"bool": {"should": ['
+                '{"match": {"content": "{{alt1}}"}},'
+                '{"match": {"content": "{{alt2}}"}}]}}],'
+                '"must_not": [{"match": {"content": "{{ban}}"}}]'
+                '}}{{^paged}}{{/paged}}}'
+            ),
+            "params": {
+                "main": "table", "alt1": "batch", "alt2": "window",
+                "ban": "stream", "paged": False,
+            },
+        }
+        out = search_template(ex, body, k=10)
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_template"] = template_q
+
     # ---- FILTERED vector search: cosine top-k under a predicate ----
     def cosine_filtered_q(s, d):
         from lucille_spark.ops import similarity as sim
@@ -8588,6 +8618,8 @@ FROM fin ORDER BY q"""
     # ES-DSL front door: the nested bool above is EXACTLY
     # 'table AND (batch OR window) AND NOT stream' -> same oracle
     o["ft_esdsl"] = o["ft_complex"]
+    # the template renders to the identical DSL body
+    o["ft_template"] = o["ft_complex"]
 
     # filtered vector search: same brute cosine, label pre-filter
     o["sim_cosine_filtered"] = """

@@ -3706,3 +3706,101 @@ def run_retriever(
             "maxsim_topk instead"
         )
     raise UnsupportedDSL(f"retriever kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# search templates (_render/template, _search/template)
+# ---------------------------------------------------------------------------
+
+
+def render_template(source, params=None):
+    """ES `_render/template`: substitute `params` into a mustache
+    search template and return the parsed body dict. The supported
+    mustache subset is the part ES's own docs exercise:
+
+      * ``{{#toJson}}name{{/toJson}}`` — JSON-encode the whole param
+        (lists / dicts);
+      * ``{{#name}}...{{/name}}`` / ``{{^name}}...{{/name}}`` —
+        conditional / inverted sections on param truthiness (no
+        iteration — pass lists through toJson instead);
+      * ``{{name}}`` — scalar substitution (strings are inserted
+        JSON-escaped but UNQUOTED, exactly like mustache text
+        substitution into the surrounding template quotes; numbers
+        and booleans insert as JSON).
+
+    Anything else mustache-shaped left after substitution raises
+    ValueError (never a silently mangled query). `source` may be the
+    template string or an already-parsed dict (returned as-is)."""
+    import json as _json
+
+    if isinstance(source, dict):
+        return source
+    params = params or {}
+    s = str(source)
+
+    def _tojson(m):
+        name = m.group(1).strip()
+        if name not in params:
+            raise ValueError(f"template param {name!r} missing")
+        return _json.dumps(params[name])
+
+    s = _re.sub(
+        r"\{\{#toJson\}\}\s*([A-Za-z0-9_.]+)\s*\{\{/toJson\}\}",
+        _tojson,
+        s,
+    )
+
+    # sections: {{#flag}}...{{/flag}} kept iff truthy; {{^flag}}
+    # kept iff falsy/absent. Innermost-first so nesting works.
+    sec = _re.compile(
+        r"\{\{([#^])([A-Za-z0-9_.]+)\}\}((?:(?!\{\{[#^/]).)*?)"
+        r"\{\{/\2\}\}",
+        _re.S,
+    )
+    while True:
+        m = sec.search(s)
+        if not m:
+            break
+        mode, name, body = m.group(1), m.group(2), m.group(3)
+        truthy = bool(params.get(name))
+        keep = truthy if mode == "#" else not truthy
+        s = s[: m.start()] + (body if keep else "") + s[m.end():]
+
+    def _scalar(m):
+        name = m.group(1).strip()
+        if name not in params:
+            raise ValueError(f"template param {name!r} missing")
+        v = params[name]
+        if isinstance(v, str):
+            return _json.dumps(v)[1:-1]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return _json.dumps(v)
+        raise ValueError(
+            f"template param {name!r}: use {{{{#toJson}}}} for "
+            f"{type(v).__name__} values"
+        )
+
+    s = _re.sub(r"\{\{\s*([A-Za-z0-9_.]+)\s*\}\}", _scalar, s)
+    if "{{" in s:
+        raise ValueError(
+            f"unsupported mustache construct left in template: "
+            f"{s[s.index('{{'):s.index('{{') + 40]!r}"
+        )
+    try:
+        return _json.loads(s)
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(
+            f"template did not render to valid JSON: {exc}"
+        ) from None
+
+
+def search_template(executor, body, k: int = 10, **kw):
+    """ES `_search/template`: render `body` ({"source": tmpl,
+    "params": {...}}) and run it through search_es. The rendered
+    body's own `size` wins over `k` via search_es's normal rules."""
+    rendered = render_template(
+        body.get("source"), body.get("params")
+    )
+    return search_es(executor, rendered, k=k, **kw)

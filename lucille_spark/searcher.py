@@ -302,6 +302,21 @@ class Searcher:
 
         return _sg(self.index, body)
 
+    def search_template(self, body: dict, k: int = 10, **kw):
+        """ES `_search/template`: {"source": mustache-template,
+        "params": {...}} rendered (render_template's documented
+        subset) and served through search_es."""
+        from lucille_spark.esdsl import search_template as _st
+
+        return _st(self.executor, body, k=k, **kw)
+
+    def render_template(self, source, params=None) -> dict:
+        """ES `_render/template`: the rendered body dict, without
+        running it."""
+        from lucille_spark.esdsl import render_template as _rt
+
+        return _rt(source, params)
+
     def complete(self, prefix: str, n: int = 5) -> DataFrame:
         from lucille_spark.search_features import complete
 

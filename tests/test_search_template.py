@@ -1,0 +1,82 @@
+"""Search templates (_render/template and _search/template):
+mustache-subset rendering + serving parity with direct DSL."""
+
+import pytest
+
+from lucille_spark.esdsl import render_template
+
+
+def test_scalar_substitution_escapes_strings():
+    out = render_template(
+        '{"query": {"match": {"{{f}}": "{{v}}"}}, "size": {{n}}}',
+        {"f": "content", "v": 'a "quoted" \\ thing', "n": 7},
+    )
+    assert out == {
+        "query": {"match": {"content": 'a "quoted" \\ thing'}},
+        "size": 7,
+    }
+
+
+def test_tojson_and_sections():
+    src = (
+        '{"query": {"terms": {"lang": {{#toJson}}langs{{/toJson}}}}'
+        '{{#paged}}, "from": {{off}}{{/paged}}'
+        '{{^paged}}, "from": 0{{/paged}}}'
+    )
+    on = render_template(src, {"langs": ["en"], "paged": True,
+                               "off": 20})
+    assert on["from"] == 20
+    off = render_template(src, {"langs": ["en", "de"],
+                                "paged": False})
+    assert off["from"] == 0
+    assert off["query"]["terms"]["lang"] == ["en", "de"]
+
+
+def test_booleans_and_dict_passthrough():
+    out = render_template(
+        '{"track_total_hits": {{t}}}', {"t": True}
+    )
+    assert out == {"track_total_hits": True}
+    body = {"query": {"match_all": {}}}
+    assert render_template(body) is body
+
+
+def test_errors():
+    with pytest.raises(ValueError, match="missing"):
+        render_template('{"a": "{{x}}"}', {})
+    with pytest.raises(ValueError, match="toJson"):
+        render_template('{"a": "{{x}}"}', {"x": ["list"]})
+    with pytest.raises(ValueError, match="unsupported mustache"):
+        render_template('{"a": "{{#each}}{{x}}{{/other}}"}',
+                        {"x": 1})
+    with pytest.raises(ValueError, match="valid JSON"):
+        render_template('{"a": {{n}}', {"n": 1})
+
+
+def test_serving_parity(spark, tmp_path_factory):
+    from lucille_spark.esdsl import search_es, search_template
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "b c"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path_factory.mktemp("tplix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    direct = search_es(
+        ex, {"query": {"match": {"content": "a b"}}}, k=4
+    ).collect()
+    templ = search_template(
+        ex,
+        {
+            "source": '{"query": {"match": {"content": "{{q}}"}}}',
+            "params": {"q": "a b"},
+        },
+        k=4,
+    ).collect()
+    assert direct == templ
