@@ -4753,6 +4753,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_vwhist"] = ft_agg_vwhist_q
 
+    def ft_agg_pctbucket_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {
+                "dl": {"histogram": {
+                    "field": "doc_len", "interval": 20,
+                }},
+                "p": {"percentiles_bucket": {
+                    "buckets_path": "dl>_count",
+                    "percents": [50, 90],
+                }},
+            },
+            query={"match": {"content": "spark"}},
+        )
+        return out["p"]
+
+    q["ft_agg_pctbucket"] = ft_agg_pctbucket_q
+
+    def ft_agg_bktcorr_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {
+                "dl": {"histogram": {
+                    "field": "doc_len", "interval": 20,
+                }},
+                "c": {"bucket_correlation": {
+                    "buckets_path": "dl>_count",
+                    "function": {"count_correlation": {"indicator": {
+                        "expectations": [1, 2, 3, 4, 5],
+                    }}},
+                }},
+            },
+            query={"match": {"content": "spark"}},
+        )
+        return out["c"]
+
+    q["ft_agg_bktcorr"] = ft_agg_bktcorr_q
+
     def ft_agg_cattext_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9579,6 +9625,26 @@ SELECT cast(floor(e.e / iv.s) * iv.s AS bigint) AS key,
        count(*) AS doc_count,
        cast(max(iv.s) AS integer) AS interval_s
 FROM e CROSS JOIN iv GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_pctbucket"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+h AS (SELECT floor(dl.dl * 1.0 / 20) * 20 AS key, count(*) AS c
+      FROM m JOIN dl USING (doc_id) GROUP BY 1)
+SELECT round(quantile_cont(c::double, 0.5), 4) AS p50,
+       round(quantile_cont(c::double, 0.9), 4) AS p90
+FROM h"""
+
+    o["ft_agg_bktcorr"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+h AS (SELECT floor(dl.dl * 1.0 / 20) * 20 AS key, count(*) AS c
+      FROM m JOIN dl USING (doc_id) GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY key) AS i FROM h),
+e(i, v) AS (SELECT * FROM (VALUES (1, 1.0), (2, 2.0), (3, 3.0),
+            (4, 4.0), (5, 5.0)) x)
+SELECT round(corr(r.c * 1.0, e.v), 6) AS value, count(*) AS n
+FROM r JOIN e USING (i)"""
 
     o["ft_agg_vwhist"] = f"""
 WITH tok AS ({_TOK}), dl AS ({_DL}),

@@ -1580,7 +1580,7 @@ _PARENT_PIPELINE_KINDS = {
 # bucket frame via buckets_path "agg>metric" (or "agg>_count")
 _SIBLING_PIPELINE_KINDS = {
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-    "stats_bucket",
+    "stats_bucket", "percentiles_bucket", "bucket_correlation",
 }
 
 
@@ -3285,6 +3285,67 @@ def aggs_es(
                 f"agg {name}: {metric!r} is not a metric of {parent!r}"
             )
         c = F.col(col).cast("double")
+        if kind == "percentiles_bucket":
+            # ES percentiles_bucket: exact interpolated percentiles
+            # of a sibling agg's metric across its buckets (the
+            # bucket frame is small — one tiny aggregation).
+            pcts = [
+                float(p) for p in body.get("percents", [1, 5, 25,
+                                                        50, 75, 95,
+                                                        99])
+            ]
+            out[name] = pf.agg(*[
+                F.round(
+                    F.percentile(c, p / 100.0), 4
+                ).alias(f"p{p:g}".replace(".", "_"))
+                for p in pcts
+            ])
+            continue
+        if kind == "bucket_correlation":
+            # ES bucket_correlation (the count_correlation function):
+            # Pearson correlation between the sibling buckets'
+            # metric series and a caller-provided indicator series
+            # of the same length (in bucket order). The bucket frame
+            # is tiny; the zip is a posexplode of the literal array
+            # joined on the bucket row number — no corpus access.
+            from pyspark.sql import Window
+
+            ind = (
+                body.get("function", {})
+                .get("count_correlation", {})
+                .get("indicator", {})
+            )
+            expect = list(ind.get("expectations", []))
+            if not expect:
+                raise UnsupportedDSL(
+                    f"agg {name}: bucket_correlation needs "
+                    "function.count_correlation.indicator."
+                    "expectations"
+                )
+            # expectations align with the parent's key order, so the
+            # parent must be a histogram-family agg (its frame
+            # carries a 'key' column) — deterministic, unlike
+            # relying on incidental row order
+            if "key" not in pf.columns:
+                raise UnsupportedDSL(
+                    f"agg {name}: bucket_correlation needs a "
+                    "histogram-family parent (key-ordered buckets)"
+                )
+            w = Window.orderBy(F.asc("key"))
+            ranked = pf.withColumn("_i", F.row_number().over(w))
+            lit = F.array(*[F.lit(float(v)) for v in expect])
+            exp_df = (
+                ranked.limit(0)
+                .sparkSession.range(1)
+                .select(F.posexplode(lit).alias("_p", "_e"))
+                .select((F.col("_p") + 1).alias("_i"), "_e")
+            )
+            j = ranked.join(exp_df, "_i", "inner")
+            out[name] = j.agg(
+                F.round(F.corr(c, F.col("_e")), 6).alias("value"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            continue
         if kind == "stats_bucket":
             out[name] = pf.agg(
                 F.count(c).alias("n"),

@@ -131,3 +131,45 @@ def test_error_paths(fix):
             }}},
             query={"match": {"content": "a"}},
         )
+
+
+def test_percentiles_bucket_and_correlation(fix):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    ex, _ = fix
+    out = aggs_es(
+        ex,
+        {
+            "h": {"histogram": {"field": "doc_len", "interval": 1}},
+            "p": {"percentiles_bucket": {
+                "buckets_path": "h>_count", "percents": [50],
+            }},
+            "c": {"bucket_correlation": {
+                "buckets_path": "h>_count",
+                "function": {"count_correlation": {"indicator": {
+                    "expectations": [3, 1, 1],
+                }}},
+            }},
+        },
+        query={"match": {"content": "a"}},
+    )
+    # histogram of dls [2,1,3,1,1]: keys 1->3, 2->1, 3->1
+    assert out["p"].collect()[0]["p50"] == 1.0
+    r = out["c"].collect()[0]
+    assert r["n"] == 3
+    assert r["value"] == 1.0  # counts (3,1,1) == expectations
+    # bucket_correlation needs a key-ordered parent
+    with pytest.raises(UnsupportedDSL, match="histogram-family"):
+        aggs_es(
+            ex,
+            {
+                "t": {"terms": {"field": "grp"}},
+                "c": {"bucket_correlation": {
+                    "buckets_path": "t>_count",
+                    "function": {"count_correlation": {"indicator": {
+                        "expectations": [1, 2],
+                    }}},
+                }},
+            },
+            query={"match": {"content": "a"}},
+        )
