@@ -4775,6 +4775,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_pctbucket"] = ft_agg_pctbucket_q
 
+    def ft_agg_movpct_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"dl": {
+                "histogram": {"field": "doc_len", "interval": 10},
+                "aggs": {"mp": {"moving_percentiles": {
+                    "buckets_path": "_count", "window": 3,
+                    "percents": [50, 90],
+                }}},
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["dl"]
+
+    q["ft_agg_movpct"] = ft_agg_movpct_q
+
     def ft_agg_bktcorr_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9625,6 +9645,20 @@ SELECT cast(floor(e.e / iv.s) * iv.s AS bigint) AS key,
        count(*) AS doc_count,
        cast(max(iv.s) AS integer) AS interval_s
 FROM e CROSS JOIN iv GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_movpct"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+h AS (SELECT floor(dl.dl * 1.0 / 10) * 10 AS key, count(*) AS doc_count
+      FROM m JOIN dl USING (doc_id) GROUP BY 1)
+SELECT key, doc_count,
+  round(quantile_cont(doc_count::double, 0.5) OVER
+    (ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+    AS mp_p50,
+  round(quantile_cont(doc_count::double, 0.9) OVER
+    (ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+    AS mp_p90
+FROM h ORDER BY key"""
 
     o["ft_agg_pctbucket"] = f"""
 WITH tok AS ({_TOK}), dl AS ({_DL}),

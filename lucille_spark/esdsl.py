@@ -1573,7 +1573,8 @@ _SUB_BUCKET_KINDS = {"terms", "histogram"}
 # position); the sequential ones require an ordered histogram parent
 _PARENT_PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
-    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
+    "moving_percentiles", "bucket_script", "bucket_selector",
+    "bucket_sort", "normalize",
 }
 
 # sibling pipeline aggs: top-level kinds that reduce another agg's
@@ -1636,7 +1637,7 @@ def _apply_parent_pipelines(frame, key_col: str, sub, aggname: str,
         body = sspec[skind]
         where = f"agg {aggname}.{sname}"
         if skind in ("cumulative_sum", "derivative", "serial_diff",
-                     "moving_fn"):
+                     "moving_fn", "moving_percentiles"):
             if not is_hist:
                 raise UnsupportedDSL(
                     f"{where}: {skind} needs a histogram parent"
@@ -1652,6 +1653,26 @@ def _apply_parent_pipelines(frame, key_col: str, sub, aggname: str,
                     "sibling metric of this bucket agg"
                 )
             src = src.cast("double")
+            if skind == "moving_percentiles":
+                # ES moving_percentiles: exact interpolated
+                # percentiles over the same trailing window
+                # placement as moving_fn (shift=0 -> the window
+                # BEFORE the current bucket); one output column per
+                # percent, TDigest replaced by the exact percentile
+                # (documented deviation, same as the percentiles
+                # agg). Bucket-count-sized window rows.
+                win = int(body["window"])
+                shift = int(body.get("shift", 0))
+                fr = w.rowsBetween(-win + shift, shift - 1)
+                for p in [float(x) for x in
+                          body.get("percents", [50])]:
+                    frame = frame.withColumn(
+                        f"{sname}_p{p:g}".replace(".", "_"),
+                        F.round(
+                            F.percentile(src, p / 100.0).over(fr), 4
+                        ),
+                    )
+                continue
             if skind == "cumulative_sum":
                 col = F.round(
                     F.sum(src).over(

@@ -173,3 +173,24 @@ def test_percentiles_bucket_and_correlation(fix):
             },
             query={"match": {"content": "a"}},
         )
+
+
+def test_moving_percentiles_hand_computed(fix):
+    from lucille_spark.esdsl import aggs_es
+
+    ex, _ = fix
+    rows = aggs_es(
+        ex,
+        {"h": {
+            "histogram": {"field": "doc_len", "interval": 1},
+            "aggs": {"mp": {"moving_percentiles": {
+                "buckets_path": "_count", "window": 2,
+                "percents": [50],
+            }}},
+        }},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    # buckets (key, count): (1,3),(2,1),(3,1); trailing window of 2
+    # BEFORE current: [None], [3], [3,1]
+    got = [(r["key"], r["doc_count"], r["mp_p50"]) for r in rows]
+    assert got == [(1.0, 3, None), (2.0, 1, 3.0), (3.0, 1, 2.0)]
