@@ -4870,6 +4870,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_geotile"] = ft_agg_geotile_q
 
+    def ft_agg_geohash_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        return aggs_es(
+            ex,
+            {"cells": {"geohash_grid": {
+                "field": "loc", "precision": 3, "size": 10,
+            }}},
+            query={"match": {"content": "spark"}},
+        )["cells"]
+
+    q["ft_agg_geohash"] = ft_agg_geohash_q
+
     def ft_geo_centroid_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9739,6 +9754,17 @@ t AS (SELECT doc_id, {_TILE} FROM g)
 SELECT '2/' || x::varchar || '/' || y::varchar AS key,
        count(*) AS doc_count
 FROM t GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"""
+
+    from lucille_spark.ops.geo import geohash_sql as _gh_sql
+
+    o["ft_agg_geohash"] = f"""
+WITH tok AS ({_TOK}),
+geo AS ({_GEO}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+g AS (SELECT geo.doc_id, geo.lat, geo.lon
+      FROM geo JOIN m USING (doc_id))
+SELECT {_gh_sql('lat', 'lon', 3)} AS key, count(*) AS doc_count
+FROM g GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"""
 
     o["ft_geo_centroid"] = f"""
 WITH tok AS ({_TOK}),

@@ -2279,7 +2279,8 @@ def aggs_es(
                 )
             continue
 
-        if kind in ("geotile_grid", "geo_centroid", "geo_bounds"):
+        if kind in ("geotile_grid", "geohash_grid", "geo_centroid",
+                    "geo_bounds"):
             # geo agg kinds over the match set's lat/lon doc values.
             from lucille_spark.ops import geo as _G
 
@@ -2295,6 +2296,14 @@ def aggs_es(
                     latf,
                     lonf,
                     zoom=int(body.get("precision", 7)),
+                    size=int(body.get("size", 10)),
+                )
+            elif kind == "geohash_grid":
+                out[name] = _G.geohash_grid(
+                    gmeta,
+                    latf,
+                    lonf,
+                    precision=int(body.get("precision", 5)),
                     size=int(body.get("size", 10)),
                 )
             elif kind == "geo_centroid":

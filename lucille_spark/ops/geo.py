@@ -230,3 +230,74 @@ def parse_distance_km(s) -> float:
         if t.endswith(suf):
             return float(t[: -len(suf)]) * mult
     return float(t)
+
+
+# ---------------------------------------------------------------------------
+# geohash grid
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat_sql: str, lon_sql: str, precision: int) -> str:
+    """Closed-form geohash encoding as ONE SQL string expression,
+    valid in both Spark SQL and DuckDB (the oracle embeds the same
+    fragment): bit i of the longitude stream is
+    floor((lon+180)/360 * 2^(i+1)) mod 2 (latitude likewise over
+    (lat+90)/180); interleave lon-even/lat-odd; each base32 char
+    packs 5 stream bits. Pure arithmetic + substring — whole-stage
+    codegen, no UDF. Precision capped at 9 (45 bits still exact in
+    doubles); the lon=180 / lat=90 edge wraps to bucket 0, like the
+    canonical implementations that clamp the unit interval."""
+    p = int(precision)
+    if not 1 <= p <= 9:
+        raise ValueError("geohash precision must be in [1, 9]")
+    xs = f"((({lon_sql}) + 180.0) / 360.0)"
+    ys = f"((({lat_sql}) + 90.0) / 180.0)"
+    chars = []
+    for j in range(p):
+        terms = []
+        for t in range(5):
+            k = 5 * j + t
+            frac = xs if k % 2 == 0 else ys
+            idx = k // 2
+            terms.append(
+                f"(cast(floor({frac} * {1 << (idx + 1)}) as bigint)"
+                f" % 2) * {1 << (4 - t)}"
+            )
+        val = " + ".join(terms)
+        chars.append(
+            f"substring('{GEOHASH_ALPHABET}', "
+            f"cast(({val}) as int) + 1, 1)"
+        )
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash_key(lat_col, lon_col, precision: int) -> Column:
+    """The ES geohash_grid bucket key as a Column."""
+    lat_sql = lat_col if isinstance(lat_col, str) else None
+    lon_sql = lon_col if isinstance(lon_col, str) else None
+    if lat_sql is None or lon_sql is None:
+        raise ValueError("geohash_key takes column NAMES (SQL expr)")
+    return F.expr(geohash_sql(lat_sql, lon_sql, precision))
+
+
+def geohash_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 5,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: doc counts per geohash cell,
+    largest buckets first (ties by key asc). One scan + one
+    partial-agg shuffle of <= 32^precision keys (the agg keyspace,
+    not the corpus). -> (key string, doc_count) x size."""
+    return (
+        df.groupBy(
+            geohash_key(lat_col, lon_col, precision).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(int(size))
+    )

@@ -271,3 +271,66 @@ def test_geo_distance_agg_rings(spark, tmp_path):
         "2000.0-*": 2,
     }
     assert len(res) == 3  # empty rings would still appear
+
+
+def test_geohash_known_vector(spark):
+    from lucille_spark.ops.geo import geohash_grid
+
+    df = spark.createDataFrame(
+        [(0, 57.64911, 10.40744), (1, 57.64911, 10.40744),
+         (2, -25.382708, -49.265506)],
+        "doc_id long, lat double, lon double",
+    )
+    rows = geohash_grid(df, "lat", "lon", precision=6).collect()
+    got = {r["key"]: r["doc_count"] for r in rows}
+    # canonical vectors: geohash.org examples
+    assert got == {"u4pruy": 2, "6gkzwg": 1}
+
+
+def test_geohash_matches_reference_bisection(spark):
+    import random
+
+    from lucille_spark.ops.geo import GEOHASH_ALPHABET, geohash_grid
+
+    def ref(lat, lon, p):
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even, out, ch = 0, True, "", 0
+        while len(out) < p:
+            rng = lon_rng if even else lat_rng
+            v = lon if even else lat
+            mid = (rng[0] + rng[1]) / 2
+            if v >= mid:
+                ch = (ch << 1) | 1
+                rng[0] = mid
+            else:
+                ch = ch << 1
+                rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += GEOHASH_ALPHABET[ch]
+                bits, ch = 0, 0
+        return out
+
+    random.seed(11)
+    pts = [(i, random.uniform(-85, 85), random.uniform(-180, 180))
+           for i in range(40)]
+    df = spark.createDataFrame(
+        pts, "doc_id long, lat double, lon double"
+    )
+    rows = geohash_grid(df, "lat", "lon", precision=5,
+                        size=1000).collect()
+    got = {r["key"] for r in rows}
+    exp = {ref(la, lo, 5) for _, la, lo in pts}
+    assert got == exp
+
+
+def test_geohash_precision_bounds():
+    import pytest as _pt
+
+    from lucille_spark.ops.geo import geohash_sql
+
+    with _pt.raises(ValueError):
+        geohash_sql("lat", "lon", 0)
+    with _pt.raises(ValueError):
+        geohash_sql("lat", "lon", 10)
