@@ -3083,6 +3083,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_stack"] = pipe_stack_q
 
+    def code_pathlang_q(s, d):
+        from lucille_spark.ops.code import path_language
+
+        m8 = F.col("doc_id") % 8
+        path = (
+            F.when(m8 == 0, F.lit("src/a.py"))
+            .when(m8 == 1, F.lit("lib/b.RS"))
+            .when(m8 == 2, F.lit("Dockerfile"))
+            .when(m8 == 3, F.lit("x/Makefile"))
+            .when(m8 == 4, F.lit("a.tar.gz"))
+            .when(m8 == 5, F.lit("noext"))
+            .when(m8 == 6, F.lit("w/q.ipynb"))
+            .otherwise(F.lit("d.yml"))
+        )
+        docs = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", path.alias("path"))
+        )
+        return path_language(docs).orderBy("doc_id")
+
+    q["code_pathlang"] = code_pathlang_q
+
+    def code_notebook_q(s, d):
+        """notebook_cells over ipynb JSON synthesized from the
+        documents tokens (one cell per token, md5 parity picks
+        code/markdown) — the oracle builds the IDENTICAL JSON string
+        and extracts with DuckDB's json functions."""
+        from lucille_spark.analysis import tokenize_expr
+        from lucille_spark.ops.code import notebook_cells
+
+        toks = tokenize_expr("text")
+        m2 = lambda t: F.conv(
+            F.substring(F.md5(t), 1, 2), 16, 10
+        ).cast("int") % 2
+
+        def cell(t):
+            return F.concat(
+                F.lit('{"cell_type":"'),
+                F.when(m2(t) == 0, F.lit("code")).otherwise(
+                    F.lit("markdown")
+                ),
+                F.lit('","source":["'),
+                t,
+                F.lit('"]}'),
+            )
+
+        nb = F.concat(
+            F.lit('{"cells":['),
+            F.array_join(F.transform(toks, cell), ","),
+            F.lit("]}"),
+        )
+        docs = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", nb.alias("text"))
+        )
+        return notebook_cells(docs, "doc_id", "text")
+
+    q["code_notebook"] = code_notebook_q
+
     def code_functions_q(s, d):
         from lucille_spark.ops import code as C
 
@@ -7753,6 +7814,33 @@ s AS (SELECT doc_id,
 SELECT logic_sha256, count(*) AS n_docs,
        list(doc_id ORDER BY doc_id) AS doc_ids
 FROM s GROUP BY 1 HAVING count(*) >= 2 ORDER BY logic_sha256"""
+
+    # language from the fixture paths (the extension map itself is
+    # pytest-covered; the gate checks the CASE plumbing end to end)
+    o["code_pathlang"] = """
+SELECT doc_id,
+  CASE doc_id % 8 WHEN 0 THEN 'Python' WHEN 1 THEN 'Rust'
+    WHEN 2 THEN 'Dockerfile' WHEN 3 THEN 'Makefile'
+    WHEN 4 THEN 'other' WHEN 5 THEN 'other'
+    WHEN 6 THEN 'Jupyter' ELSE 'YAML' END AS lang
+FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+
+    o["code_notebook"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+nb AS (SELECT doc_id, '{"cells":[' || array_to_string(list_transform(arr, x ->
+       '{"cell_type":"' || (CASE (('0x' || substring(md5(x), 1, 2))::int % 2)
+         WHEN 0 THEN 'code' ELSE 'markdown' END)
+       || '","source":["' || x || '"]}'), ',') || ']}' AS nbjson
+       FROM t),
+cells AS (SELECT doc_id,
+   unnest(cast(json_extract(nbjson, '$.cells') AS json[])) AS cell,
+   generate_subscripts(cast(json_extract(nbjson, '$.cells') AS json[]), 1) AS i
+   FROM nb)
+SELECT doc_id, cast(i - 1 AS int) AS cell_ix,
+       json_extract_string(cell, '$.cell_type') AS cell_type,
+       array_to_string(cast(json_extract(cell, '$.source') AS varchar[]), '') AS source
+FROM cells WHERE json_extract_string(cell, '$.cell_type') = 'code'
+ORDER BY doc_id, cell_ix"""
 
     # The-Stack-shaped end-to-end flow: same fixture arithmetic, all
     # six stages in one statement (license propagation -> drop

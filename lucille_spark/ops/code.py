@@ -848,3 +848,90 @@ def stack_prep(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# path-based language detection + notebook cell extraction
+# ---------------------------------------------------------------------------
+
+# The Stack derives its `lang` column from the file path; this is
+# that map's common core (extension -> language, plus the
+# extensionless build-file names).
+EXT_LANG = {
+    "py": "Python", "ipynb": "Jupyter", "js": "JavaScript",
+    "jsx": "JavaScript", "ts": "TypeScript", "tsx": "TypeScript",
+    "java": "Java", "go": "Go", "rs": "Rust", "rb": "Ruby",
+    "c": "C", "h": "C", "cpp": "C++", "cc": "C++", "hpp": "C++",
+    "cs": "C#", "php": "PHP", "scala": "Scala", "kt": "Kotlin",
+    "swift": "Swift", "sh": "Shell", "bash": "Shell", "pl": "Perl",
+    "r": "R", "sql": "SQL", "html": "HTML", "css": "CSS",
+    "json": "JSON", "yaml": "YAML", "yml": "YAML",
+    "toml": "TOML", "md": "Markdown", "rst": "Markdown",
+}
+
+NAME_LANG = {
+    "dockerfile": "Dockerfile", "makefile": "Makefile",
+    "cmakelists.txt": "CMake",
+}
+
+
+def path_language(
+    df: DataFrame, id_col: str = "doc_id", path_col: str = "path"
+) -> DataFrame:
+    """Language from the file path (The Stack's `lang` column):
+    special build-file names first, then the lowercased extension,
+    'other' fallback. One CASE chain — zero shuffle, codegen.
+    -> (doc_id, lang)."""
+    base = F.lower(
+        F.element_at(F.split(F.col(path_col), "/"), -1)
+    )
+    ext = F.lower(
+        F.element_at(F.split(F.col(path_col), r"\."), -1)
+    )
+    lang = F.lit(None).cast("string")
+    for name, lg in sorted(NAME_LANG.items()):
+        lang = F.when(base == name, F.lit(lg)).otherwise(lang)
+    extcase = F.lit("other")
+    for e, lg in sorted(EXT_LANG.items()):
+        extcase = F.when(ext == e, F.lit(lg)).otherwise(extcase)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(lang, extcase).alias("lang"),
+    )
+
+
+_NB_SCHEMA = (
+    "cells array<struct<cell_type string, source array<string>>>"
+)
+
+
+def notebook_cells(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "code",
+) -> DataFrame:
+    """Jupyter notebook (.ipynb) cell extraction — the Stack-v2 /
+    StarCoder2 notebooks-to-script pass: parse the JSON, keep
+    `keep`-type cells (code by default; None keeps all), join each
+    cell's source-line array back to one string, preserve the cell
+    index. Malformed JSON parses to NULL and yields no rows
+    (lenient, like the published pipelines that drop unparseable
+    notebooks). from_json + posexplode — one scan, zero shuffle,
+    no UDF. -> (doc_id, cell_ix int, cell_type, source)."""
+    parsed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.from_json(F.col(text_col), _NB_SCHEMA).alias("_nb"),
+    )
+    cells = parsed.select(
+        "doc_id",
+        F.posexplode("_nb.cells").alias("cell_ix", "_c"),
+    ).select(
+        "doc_id",
+        F.col("cell_ix").cast("int").alias("cell_ix"),
+        F.col("_c.cell_type").alias("cell_type"),
+        F.array_join(F.col("_c.source"), "").alias("source"),
+    )
+    if keep is not None:
+        cells = cells.filter(F.col("cell_type") == keep)
+    return cells.orderBy("doc_id", "cell_ix")
