@@ -3777,6 +3777,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_esdsl"] = esdsl_q
 
+    def post_filter_q(s, d):
+        """post_filter on a RUNTIME field (doc_id % 7) plus stored
+        meta term filters, applied to the full match set before the
+        top-k cut."""
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = search_es(
+            ex,
+            {
+                "query": {"match": {"content": "spark"}},
+                "runtime_mappings": {
+                    "rt": {"script": {
+                        "source": "doc['doc_id'].value % 7",
+                    }},
+                },
+                "post_filter": {"bool": {
+                    "must": [
+                        {"range": {"rt": {"gte": 3}}},
+                        {"term": {"lang": "en"}},
+                    ],
+                    "must_not": [{"term": {"source": "src8"}}],
+                }},
+            },
+            k=10,
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_post_filter"] = post_filter_q
+
     def template_q(s, d):
         """_search/template rendering the ft_esdsl body from
         mustache params (scalar + toJson + inverted section) — must
@@ -8789,6 +8822,18 @@ FROM fin ORDER BY q"""
     o["ft_esdsl"] = o["ft_complex"]
     # the template renders to the identical DSL body
     o["ft_template"] = o["ft_complex"]
+
+    o["ft_post_filter"] = (
+        _cte(["spark"])
+        + """,
+total AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+meta AS (SELECT doc_id, lang, source FROM documents)
+SELECT t.doc_id, round(t.score, 4) AS score
+FROM total t JOIN meta USING (doc_id)
+WHERE (doc_id % 7) >= 3 AND lower(lang) = 'en'
+  AND NOT (lower(source) = 'src8')
+ORDER BY t.score DESC, t.doc_id LIMIT 10"""
+    )
 
     # filtered vector search: same brute cosine, label pre-filter
     o["sim_cosine_filtered"] = """

@@ -475,6 +475,77 @@ def _decorate_hits(executor, out, dsl, fspec, hspec, docs=None):
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _post_filter_cond(executor, spec, rtm):
+    """Translate a post_filter clause (term / range / exists / bool
+    of those) into a Column over per-doc metadata, where a field may
+    be STORED (doclens) or a RUNTIME field from runtime_mappings
+    (the painless arithmetic subset -> codegen expression). Returns
+    (stored field names needed, Column). Stored term comparison is
+    case-folded string equality and stored range is numeric — the
+    same semantics the planner's PMetaFilter uses."""
+    from pyspark.sql import functions as F
+
+    from lucille_spark.search_features import _runtime_cols
+
+    cols = _runtime_cols(executor.ix, rtm) if rtm else {}
+    need: set = set()
+
+    def field_col(f):
+        if f in cols:
+            need.update(cols[f][0])
+            return cols[f][1], True
+        if f not in executor.ix.doclens.columns:
+            raise UnsupportedDSL(
+                f"post_filter: field {f!r} is neither stored nor a "
+                "runtime field"
+            )
+        need.add(f)
+        return F.col(f), False
+
+    def leaf(sp):
+        if not isinstance(sp, dict) or len(sp) != 1:
+            raise UnsupportedDSL("post_filter: need one kind per "
+                                 "clause")
+        kind = next(iter(sp))
+        body = sp[kind]
+        if kind == "bool":
+            c = F.lit(True)
+            for cl in _aslist(body.get("must")) + _aslist(
+                body.get("filter")
+            ):
+                c = c & leaf(cl)
+            for cl in _aslist(body.get("must_not")):
+                c = c & ~leaf(cl)
+            return c
+        if kind == "exists":
+            col, _ = field_col(body["field"])
+            return col.isNotNull()
+        if kind == "term":
+            (f, v), = body.items()
+            if isinstance(v, dict):
+                v = v["value"]
+            col, is_rt = field_col(f)
+            if is_rt:
+                return col == F.lit(float(v))
+            return F.lower(col.cast("string")) == str(v).lower()
+        if kind == "range":
+            (f, b), = body.items()
+            col, is_rt = field_col(f)
+            num = col if is_rt else col.cast("double")
+            c = num.isNotNull()
+            for op, fn in (
+                ("gt", num.__gt__), ("gte", num.__ge__),
+                ("lt", num.__lt__), ("lte", num.__le__),
+            ):
+                if op in b:
+                    c = c & fn(F.lit(float(b[op])))
+            return c
+        raise UnsupportedDSL(f"post_filter kind {kind!r}")
+
+    cond = leaf(spec)
+    return sorted(need), cond
+
+
 def search_es(
     executor, dsl: Dict[str, Any], k: int = 10, docs=None, emb=None,
     feats=None, stored=None,
@@ -718,6 +789,41 @@ def search_es(
             out = out.crossJoin(F.broadcast(total))
         return out
     frm = int(body.get("from", 0))
+    pf = body.get("post_filter")
+    if pf is not None:
+        # ES post_filter: filter the HITS after ranking context —
+        # the full match set filters on per-doc metadata (stored or
+        # runtime fields), then the top-k cut. Combining with
+        # sort / rescore / collapse / paging is refused, not
+        # mis-served. Scale: match-set-sized meta join + the same
+        # TakeOrderedAndProject cut as a plain search.
+        clash = [
+            sname
+            for sname in ("sort", "rescore", "collapse",
+                          "search_after")
+            if body.get(sname) is not None
+        ]
+        if clash or frm:
+            raise UnsupportedDSL(
+                f"post_filter with {clash or ['from']}: unsupported"
+            )
+        if k is None:
+            raise UnsupportedDSL("post_filter: needs a size/k")
+        from pyspark.sql import functions as F
+
+        need, cond = _post_filter_cond(
+            executor, pf, body.get("runtime_mappings") or {}
+        )
+        m = executor.search(to_ast(dsl), k=None)
+        if need:
+            meta = executor.ix.doclens.select("doc_id", *need)
+            m = m.join(meta, "doc_id")
+        return (
+            m.filter(cond)
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
     sort = body.get("sort")
     if sort is not None:
         spec = sort[0] if isinstance(sort, list) else sort

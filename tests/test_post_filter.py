@@ -1,0 +1,116 @@
+"""post_filter body section: stored + runtime field predicates
+applied to the full match set before the top-k cut."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pix(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a", "en", 5),
+            (1, "a a", "de", 15),
+            (2, "a", "en", 25),
+            (3, "a a a a", "en", 35),
+            (4, "b", "de", 45),
+        ],
+        "doc_id long, text string, lang string, nval long",
+    )
+    out = str(tmp_path_factory.mktemp("pfix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["lang", "nval"],
+    )
+    return DataFrameExecutor(SparkIndex(spark, out, cache=True))
+
+
+def test_stored_term_and_range(pix):
+    from lucille_spark.esdsl import search_es
+
+    out = search_es(
+        pix,
+        {
+            "query": {"match": {"content": "a"}},
+            "post_filter": {"bool": {
+                "must": [
+                    {"term": {"lang": "EN"}},  # case-folded
+                    {"range": {"nval": {"lt": 30}}},
+                ],
+            }},
+        },
+        k=10,
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+
+
+def test_runtime_field_filter(pix):
+    from lucille_spark.esdsl import search_es
+
+    out = search_es(
+        pix,
+        {
+            "query": {"match": {"content": "a"}},
+            "runtime_mappings": {"rt": {"script": {
+                "source": "doc['nval'].value * 2",
+            }}},
+            "post_filter": {"range": {"rt": {"gte": 30,
+                                             "lte": 50}}},
+        },
+        k=10,
+    ).collect()
+    # nval*2 in [30, 50] -> nval 15, 25 -> docs 1, 2
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_filters_full_match_set_not_page(pix):
+    from lucille_spark.esdsl import search_es
+
+    # k=1 with a filter that excludes the top-scoring doc: the
+    # survivor must still appear (filter-then-cut, not cut-then-
+    # filter)
+    out = search_es(
+        pix,
+        {
+            "query": {"match": {"content": "a"}},
+            "post_filter": {"term": {"lang": "de"}},
+        },
+        k=1,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_errors(pix):
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    with pytest.raises(UnsupportedDSL, match="unsupported"):
+        search_es(
+            pix,
+            {
+                "query": {"match": {"content": "a"}},
+                "post_filter": {"term": {"lang": "en"}},
+                "sort": [{"nval": "asc"}],
+            },
+            k=5,
+        )
+    with pytest.raises(UnsupportedDSL, match="neither stored"):
+        search_es(
+            pix,
+            {
+                "query": {"match": {"content": "a"}},
+                "post_filter": {"term": {"nope": "x"}},
+            },
+            k=5,
+        )
+    with pytest.raises(UnsupportedDSL, match="post_filter kind"):
+        search_es(
+            pix,
+            {
+                "query": {"match": {"content": "a"}},
+                "post_filter": {"prefix": {"lang": "e"}},
+            },
+            k=5,
+        )
