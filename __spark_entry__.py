@@ -4831,6 +4831,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_autodatehist"] = ft_agg_autodatehist_q
 
+    _IP_SCRIPT = {"source": "doc['doc_id'].value * 340007"}
+
+    def ft_agg_iprange_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"r": {"ip_range": {
+                "script": _IP_SCRIPT,
+                "ranges": [
+                    {"to": "59.154.202.0"},  # == 1000000000
+                    {"from": 1000000000, "to": 2000000000},
+                    {"from": 2000000000, "key": "high"},
+                ],
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["r"]
+
+    q["ft_agg_iprange"] = ft_agg_iprange_q
+
+    def ft_agg_ipprefix_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"p": {"ip_prefix": {
+                "script": _IP_SCRIPT, "prefix_length": 6,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["p"]
+
+    q["ft_agg_ipprefix"] = ft_agg_ipprefix_q
+
     def ft_agg_vwhist_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9793,6 +9832,33 @@ SELECT cast(floor(e.e / iv.s) * iv.s AS bigint) AS key,
        count(*) AS doc_count,
        cast(max(iv.s) AS integer) AS interval_s
 FROM e CROSS JOIN iv GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_iprange"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+ip AS (SELECT doc_id * 340007.0 AS ip FROM m),
+b(key, lo, hi) AS (SELECT * FROM (VALUES
+  ('*-59.154.202.0', NULL, 1000000000.0),
+  ('1000000000-2000000000', 1000000000.0, 2000000000.0),
+  ('high', 2000000000.0, NULL)) v)
+SELECT b.key,
+  (SELECT count(*) FROM ip
+   WHERE (b.lo IS NULL OR ip.ip >= b.lo)
+     AND (b.hi IS NULL OR ip.ip < b.hi)) AS doc_count
+FROM b"""
+
+    o["ft_agg_ipprefix"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+ip AS (SELECT doc_id * 340007.0 AS ip FROM m),
+n AS (SELECT cast(floor(ip / 67108864) AS bigint) * 67108864 AS net
+      FROM ip)
+SELECT (cast(floor(net / 16777216.0) AS bigint) % 256)::varchar
+  || '.' || (cast(floor(net / 65536.0) AS bigint) % 256)::varchar
+  || '.' || (cast(floor(net / 256.0) AS bigint) % 256)::varchar
+  || '.' || (net % 256)::varchar || '/6' AS key,
+  count(*) AS doc_count
+FROM n GROUP BY key ORDER BY key"""
 
     o["ft_agg_movpct"] = f"""
 WITH tok AS ({_TOK}), dl AS ({_DL}),

@@ -2741,6 +2741,116 @@ def aggs_es(
             ).select("_b.key", "_b.doc_count")
             continue
 
+        if kind in ("ip_range", "ip_prefix"):
+            # ES ip aggs over a stored dotted-quad string field (or,
+            # like the date aggs, a runtime script yielding the
+            # 32-bit integer form). ip_range buckets are half-open
+            # [from, to) like ES; ip_prefix masks to prefix_length
+            # and emits "a.b.c.d/len" keys. Pure arithmetic
+            # (split + horner / floor-mask) — codegen, exact in
+            # doubles (< 2^32), one conditional agg / one groupBy.
+            if "script" in body:
+                need, ipl = _date_epoch_col(executor, name, body)
+            else:
+                fld = body.get("field")
+                if not fld or fld not in executor.ix.doclens.columns:
+                    raise UnsupportedDSL(
+                        f"agg {name}: ip agg needs a stored 'field' "
+                        "or 'script'"
+                    )
+                need = [fld]
+                parts = F.split(F.col(fld).cast("string"), r"\.")
+                ipl = (
+                    parts[0].cast("double") * 16777216.0
+                    + parts[1].cast("double") * 65536.0
+                    + parts[2].cast("double") * 256.0
+                    + parts[3].cast("double")
+                )
+            meta = executor.ix.doclens.select("doc_id", *need)
+            j = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .select(ipl.alias("_ip"))
+            )
+
+            def _ip2long(v):
+                if isinstance(v, str) and "." in v:
+                    o = [int(x) for x in v.split(".")]
+                    return float(
+                        o[0] * 16777216 + o[1] * 65536
+                        + o[2] * 256 + o[3]
+                    )
+                return float(v)
+
+            if kind == "ip_range":
+                ranges = body.get("ranges") or []
+                if not ranges:
+                    raise UnsupportedDSL(
+                        f"agg {name}: ip_range needs ranges"
+                    )
+                aggc, labels = [], []
+                for i, r in enumerate(ranges):
+                    lo_b = r.get("from")
+                    hi_b = r.get("to")
+                    cond = F.lit(True)
+                    if lo_b is not None:
+                        cond = cond & (
+                            F.col("_ip") >= F.lit(_ip2long(lo_b))
+                        )
+                    if hi_b is not None:
+                        cond = cond & (
+                            F.col("_ip") < F.lit(_ip2long(hi_b))
+                        )
+                    lbl = r.get("key") or (
+                        ("*" if lo_b is None else str(lo_b))
+                        + "-"
+                        + ("*" if hi_b is None else str(hi_b))
+                    )
+                    labels.append(lbl)
+                    aggc.append(
+                        F.sum(cond.cast("long")).alias(f"_r{i}")
+                    )
+                one = j.agg(*aggc)
+                buckets = F.array(*[
+                    F.struct(
+                        F.lit(lbl).alias("key"),
+                        F.coalesce(
+                            F.col(f"_r{i}"), F.lit(0).cast("long")
+                        ).alias("doc_count"),
+                    )
+                    for i, lbl in enumerate(labels)
+                ])
+                out[name] = one.select(
+                    F.explode(buckets).alias("_b")
+                ).select("_b.key", "_b.doc_count")
+                continue
+            plen = int(body.get("prefix_length", 24))
+            if not 0 <= plen <= 32:
+                raise UnsupportedDSL(
+                    f"agg {name}: prefix_length must be in [0, 32]"
+                )
+            block = float(1 << (32 - plen))
+            net = F.floor(F.col("_ip") / F.lit(block)) * F.lit(
+                int(block)
+            )
+            octs = [
+                (F.floor(net / F.lit(d)) % 256).cast("long")
+                for d in (16777216.0, 65536.0, 256.0, 1.0)
+            ]
+            key = F.concat_ws(
+                "",
+                octs[0].cast("string"), F.lit("."),
+                octs[1].cast("string"), F.lit("."),
+                octs[2].cast("string"), F.lit("."),
+                octs[3].cast("string"), F.lit(f"/{plen}"),
+            )
+            out[name] = (
+                j.groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("key")
+            )
+            continue
+
         if kind == "variable_width_histogram":
             # ES variable_width_histogram: N variable-width buckets
             # over the match set's values. ES clusters approximately

@@ -194,3 +194,61 @@ def test_moving_percentiles_hand_computed(fix):
     # BEFORE current: [None], [3], [3,1]
     got = [(r["key"], r["doc_count"], r["mp_p50"]) for r in rows]
     assert got == [(1.0, 3, None), (2.0, 1, 3.0), (3.0, 1, 2.0)]
+
+
+def test_ip_aggs(spark, tmp_path_factory):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "10.0.0.5"),
+            (1, "a", "10.0.0.200"),
+            (2, "a", "10.0.1.5"),
+            (3, "a", "192.168.1.1"),
+            (4, "b", "10.0.0.1"),  # doesn't match 'a'
+        ],
+        "doc_id long, text string, ip string",
+    )
+    out = str(tmp_path_factory.mktemp("ipix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["ip"],
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    r = aggs_es(
+        ex,
+        {"r": {"ip_range": {
+            "field": "ip",
+            "ranges": [
+                {"to": "10.0.0.128"},
+                {"from": "10.0.0.128", "to": "10.0.2.0"},
+                {"from": "192.0.0.0", "key": "private-c"},
+            ],
+        }}},
+        query={"match": {"content": "a"}},
+    )["r"].collect()
+    got = {x["key"]: x["doc_count"] for x in r}
+    assert got == {
+        "*-10.0.0.128": 1,
+        "10.0.0.128-10.0.2.0": 2,
+        "private-c": 1,
+    }
+    p = aggs_es(
+        ex,
+        {"p": {"ip_prefix": {"field": "ip", "prefix_length": 24}}},
+        query={"match": {"content": "a"}},
+    )["p"].collect()
+    got = {x["key"]: x["doc_count"] for x in p}
+    assert got == {
+        "10.0.0.0/24": 2, "10.0.1.0/24": 1, "192.168.1.0/24": 1,
+    }
+    with pytest.raises(UnsupportedDSL, match="prefix_length"):
+        aggs_es(
+            ex,
+            {"p": {"ip_prefix": {"field": "ip",
+                                 "prefix_length": 33}}},
+            query={"match": {"content": "a"}},
+        )
