@@ -3777,6 +3777,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_esdsl"] = esdsl_q
 
+    def gr_explore_q(s, d):
+        """_graph/explore connections: co-occurrence counts among
+        the query's 5 JLH-significant vertices within the top-50
+        sampled page."""
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import graph_explore
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = graph_explore(
+            ex, "spark", _docs(s, d),
+            vertices_k=5, connections_k=10, sample=50,
+        )
+        return out["connections"]
+
+    q["gr_explore"] = gr_explore_q
+
     def post_filter_q(s, d):
         """post_filter on a RUNTIME field (doc_id % 7) plus stored
         meta term filters, applied to the full match set before the
@@ -8861,6 +8877,31 @@ FROM fin ORDER BY q"""
     o["ft_esdsl"] = o["ft_complex"]
     # the template renders to the identical DSL body
     o["ft_template"] = o["ft_complex"]
+
+    o["gr_explore"] = (
+        _cte(["spark"])
+        + """,
+top AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+nfg AS (SELECT count(*) AS nf FROM top),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg_count FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM tok
+       GROUP BY term),
+jo AS (SELECT fg.term, fg.fg_count, bg.bg_count,
+       (fg.fg_count * 1.0 / nfg.nf - bg.bg_count * 1.0 / st.n)
+       * (fg.fg_count * 1.0 / nfg.nf) / (bg.bg_count * 1.0 / st.n)
+       AS score
+       FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN st),
+v AS (SELECT term FROM jo WHERE fg_count >= 2 AND score > 0
+      ORDER BY score DESC, term LIMIT 5),
+pt AS (SELECT DISTINCT t.doc_id, t.term FROM tok t
+       JOIN v USING (term)
+       WHERE t.doc_id IN (SELECT doc_id FROM top)),
+pr AS (SELECT x.term AS a, y.term AS b, count(*) AS n
+       FROM pt x JOIN pt y
+       ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2)
+SELECT a, b, n FROM pr ORDER BY n DESC, a, b LIMIT 10"""
+    )
 
     o["ft_post_filter"] = (
         _cte(["spark"])

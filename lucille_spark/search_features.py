@@ -3618,3 +3618,77 @@ def span_multi_expand(
         node.terms if isinstance(node, P.PExpand) else [node.term]
     )
     return sorted(terms)[: int(max_expansions)]
+
+
+# ------------------------------------------------------------------
+# ES Graph explore API (term co-occurrence graph over a query's
+# significant vocabulary)
+# ------------------------------------------------------------------
+
+def graph_explore(
+    executor,
+    query,
+    docs: DataFrame,
+    vertices_k: int = 5,
+    connections_k: int = 10,
+    sample: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 2,
+) -> dict:
+    """ES `_graph/explore` analogue: VERTICES are the query's
+    JLH-significant terms (exactly `significant_terms` — the same
+    sampler + background-dictionary model), CONNECTIONS are
+    co-occurrence document counts between vertex pairs within the
+    sampled page, canonical (a < b) order, strongest first.
+
+    Scale: sample-bounded end to end — the page's `sample` doc ids
+    broadcast into one re-analysis join (vectorized expr, no UDF);
+    the vertex list is a k-term driver collect broadcast back; the
+    pair fan-out is O(sample x vertices_k^2) worst case (array
+    intersection first, so docs containing no vertex emit nothing).
+    Nothing rescans postings or the corpus.
+    -> {"vertices": (term, fg_count, bg_count, score),
+        "connections": (a, b, n)}."""
+    from lucille_spark.analysis import get_tokenize_expr
+
+    verts = significant_terms(
+        executor, query, docs,
+        k_terms=vertices_k, sample=sample,
+        text_col=text_col, id_col=id_col,
+        min_doc_count=min_doc_count,
+    )
+    vlist = [r["term"] for r in verts.select("term").collect()]
+    ix = executor.ix
+    spark = ix.spark
+    if not vlist:
+        empty = spark.createDataFrame(
+            [], "a string, b string, n long"
+        )
+        return {"vertices": verts, "connections": empty}
+    top = executor.search(query, k=sample).select(id_col)
+    tok = get_tokenize_expr(ix.stats.get("analyzer", "standard"))
+    present = (
+        docs.join(F.broadcast(top), id_col)
+        .select(
+            F.array_intersect(
+                F.array_distinct(tok(text_col)),
+                F.array(*[F.lit(v) for v in vlist]),
+            ).alias("_vs")
+        )
+        .filter(F.size("_vs") >= 2)
+    )
+    pairs = (
+        present.select(
+            F.explode("_vs").alias("a"), F.col("_vs")
+        )
+        .select("a", F.explode("_vs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    conns = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(int(connections_k))
+    )
+    return {"vertices": verts, "connections": conns}

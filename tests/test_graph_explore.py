@@ -1,0 +1,64 @@
+"""graph_explore: ES _graph/explore analogue (significant-term
+vertices + co-occurrence connections over the sampled page)."""
+
+import pytest
+
+
+def test_graph_explore_hand_computed(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import graph_explore
+
+    # 'q' marks the query matches; x/y/z co-occur among them in a
+    # known pattern; 'bg' pads the background so x/y/z stay
+    # significant
+    docs = spark.createDataFrame(
+        [
+            (0, "q x y"),
+            (1, "q x y z"),
+            (2, "q x z"),
+            (3, "q y"),
+            (4, "bg bg bg"),
+            (5, "bg bg"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path_factory.mktemp("gexix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    res = graph_explore(
+        ex, "q", docs, vertices_k=4, connections_k=10, sample=10,
+    )
+    verts = {r["term"] for r in res["vertices"].collect()}
+    # q itself is in every sampled doc AND only there -> significant
+    # too; x, y, z must all be vertices
+    assert {"x", "y", "z"} <= verts
+    conns = {(r["a"], r["b"]): r["n"]
+             for r in res["connections"].collect()}
+    # co-occurrence among matches: xy in docs 0,1; xz in 1,2; yz in 1
+    assert conns[("x", "y")] == 2
+    assert conns[("x", "z")] == 2
+    assert conns[("y", "z")] == 1
+
+
+def test_graph_explore_no_vertices(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import graph_explore
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "other words")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path_factory.mktemp("gex2") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    # min_doc_count=2 unreachable with a 1-doc match set
+    res = graph_explore(ex, "solo", docs, min_doc_count=2)
+    assert res["connections"].count() == 0
