@@ -317,6 +317,39 @@ class Searcher:
 
         return _rt(source, params)
 
+    def graph_explore(self, body: dict, docs) -> dict:
+        """ES `_graph/explore`: {"query": ..., "controls":
+        {"sample_size": n}, "vertices": [{"field": "content",
+        "size": k}], "connections": {"size": m}} -> {"vertices",
+        "connections"} DataFrames. Vertices are JLH-significant
+        terms of the sampled page (this engine's vocabulary IS the
+        content field); needs docs= for the re-analysis, like
+        significant_terms."""
+        from lucille_spark.search_features import graph_explore
+
+        verts = body.get("vertices") or [{}]
+        v0 = verts[0] if isinstance(verts, list) else verts
+        if v0.get("field", "content") != "content":
+            raise ValueError(
+                "graph_explore: only the content vocabulary is a "
+                "vertex field here"
+            )
+        conn = body.get("connections") or {}
+        ctl = body.get("controls") or {}
+        qspec = body.get("query")
+        if isinstance(qspec, dict):
+            from lucille_spark.esdsl import to_ast
+
+            qspec = to_ast(qspec)
+        return graph_explore(
+            self.executor,
+            qspec,
+            docs,
+            vertices_k=int(v0.get("size", 5)),
+            connections_k=int(conn.get("size", 10)),
+            sample=int(ctl.get("sample_size", 200)),
+        )
+
     def complete(self, prefix: str, n: int = 5) -> DataFrame:
         from lucille_spark.search_features import complete
 
