@@ -4810,6 +4810,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_datehist_cal"] = ft_agg_datehist_cal_q
 
+    def ft_agg_datehist_sub_q(s, d):
+        """date_histogram as a FULL parent: metric (avg), rate, and
+        pipeline (cumulative_sum) sub-aggs in one bucket frame."""
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"d": {
+                "date_histogram": {
+                    "script": _DT_SCRIPT, "fixed_interval": "7d",
+                },
+                "aggs": {
+                    "avg_len": {"avg": {"field": "doc_len"}},
+                    "per_day": {"rate": {"unit": "day"}},
+                    "cum": {"cumulative_sum": {
+                        "buckets_path": "_count",
+                    }},
+                },
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["d"]
+
+    q["ft_agg_datehist_sub"] = ft_agg_datehist_sub_q
+
     def ft_agg_daterange_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9840,6 +9867,21 @@ SELECT date_trunc('month', DATE '1970-01-01'
          + CAST(floor(doc_id * 7200.0 / 86400) AS INTEGER)) AS key,
        count(*) AS doc_count
 FROM m GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_datehist_sub"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+r AS (SELECT m.doc_id, m.doc_id * 7200.0 AS e, dl.dl
+      FROM m JOIN dl USING (doc_id)),
+h AS (SELECT cast(floor(e / 604800) * 604800 AS bigint) AS key,
+      count(*) AS doc_count,
+      round(count(*) / 7.0, 4) AS per_day,
+      round(avg(dl::double), 4) AS avg_len
+      FROM r GROUP BY 1)
+SELECT key, doc_count, per_day, avg_len,
+  round(sum(doc_count::double) OVER
+    (ORDER BY key ROWS UNBOUNDED PRECEDING), 4) AS cum
+FROM h ORDER BY key"""
 
     o["ft_agg_daterange"] = f"""
 WITH tok AS ({_TOK}),

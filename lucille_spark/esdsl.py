@@ -2587,12 +2587,21 @@ def aggs_es(
                 for sn, ss in sub.items()
                 if _agg_kind(ss) == "rate"
             }
-            bad_sub = [sn for sn in sub if sn not in rate_specs]
-            if bad_sub:
+            other_subs = {
+                sn: ss for sn, ss in sub.items()
+                if sn not in rate_specs
+            }
+            if other_subs and kind == "auto_date_histogram":
                 raise UnsupportedDSL(
-                    f"agg {name}: only `rate` sub-aggs supported "
-                    f"under a date histogram (got {bad_sub})"
+                    f"agg {name}: sub-aggs under auto_date_histogram "
+                    "not supported (fix the interval instead)"
                 )
+            for sn2, ss2 in other_subs.items():
+                if _agg_kind(ss2) == "top_hits":
+                    raise UnsupportedDSL(
+                        f"agg {name}.{sn2}: top_hits under a date "
+                        "histogram parent not supported"
+                    )
             rate_fields = sorted(set(
                 rs["field"] for rs in rate_specs.values()
                 if "field" in rs
@@ -2602,20 +2611,32 @@ def aggs_es(
                     raise UnsupportedDSL(
                         f"agg {name}: rate field {rf!r} not stored"
                     )
-            meta = executor.ix.doclens.select(
-                "doc_id", *sorted(set(need) | set(rate_fields))
-            )
-            j = (
-                matches.select("doc_id")
-                .join(meta, "doc_id")
-                .select(
-                    epoch.alias("_e"),
-                    *[
-                        F.col(rf).cast("double").alias(rf)
-                        for rf in rate_fields
-                    ],
+            if other_subs:
+                # full-parent path: keep every stored column so
+                # metric / pipeline / nested-bucket sub-aggs see
+                # their fields (same shape as the numeric
+                # histogram's sub-agg path)
+                meta = executor.ix.doclens.drop("shard")
+                j = (
+                    matches.select("doc_id")
+                    .join(meta, "doc_id")
+                    .withColumn("_e", epoch)
                 )
-            )
+            else:
+                meta = executor.ix.doclens.select(
+                    "doc_id", *sorted(set(need) | set(rate_fields))
+                )
+                j = (
+                    matches.select("doc_id")
+                    .join(meta, "doc_id")
+                    .select(
+                        epoch.alias("_e"),
+                        *[
+                            F.col(rf).cast("double").alias(rf)
+                            for rf in rate_fields
+                        ],
+                    )
+                )
             secs, calendar = None, None
             if kind == "auto_date_histogram":
                 from lucille_spark.ops.events import AUTO_HIST_LADDER
@@ -2684,6 +2705,40 @@ def aggs_es(
                 aggc.append(
                     F.round(val / F.lit(denom), 4).alias(sn)
                 )
+            if other_subs:
+                alias = "_dh_bucket"
+                jh = j.withColumn(alias, key)
+                mcols, _ = _metric_cols(name, other_subs)
+                out[name] = _apply_parent_pipelines(
+                    jh.groupBy(F.col(alias).alias("key"))
+                    .agg(*aggc, *mcols)
+                    .orderBy("key"),
+                    "key",
+                    other_subs,
+                    name,
+                    is_hist=True,
+                )
+                bucket_subs = {
+                    sn: ss
+                    for sn, ss in other_subs.items()
+                    if _agg_kind(ss) in _SUB_BUCKET_KINDS
+                }
+                if bucket_subs:
+                    kept_keys = out[name].select(
+                        F.col("key").alias(alias)
+                    )
+                    out.update(
+                        _nested_bucket_frames(
+                            jh.join(
+                                F.broadcast(kept_keys), alias,
+                                "left_semi",
+                            ),
+                            [alias],
+                            name,
+                            bucket_subs,
+                        )
+                    )
+                continue
             grouped = j.groupBy(key).agg(*aggc)
             if kind == "auto_date_histogram":
                 grouped = grouped.withColumn(

@@ -176,14 +176,14 @@ def test_error_paths(dix):
             }}},
             query={"match": {"content": "a"}},
         )
-    with pytest.raises(UnsupportedDSL, match="only `rate`"):
+    with pytest.raises(UnsupportedDSL, match="top_hits"):
         aggs_es(
             dix,
             {"h": {
                 "date_histogram": {
                     "field": "nval", "fixed_interval": "1d",
                 },
-                "aggs": {"t": {"terms": {"field": "nval"}}},
+                "aggs": {"t": {"top_hits": {"size": 2}}},
             }},
             query={"match": {"content": "a"}},
         )
@@ -191,5 +191,45 @@ def test_error_paths(dix):
         aggs_es(
             dix,
             {"r": {"date_range": {"script": _SCRIPT}}},
+            query={"match": {"content": "a"}},
+        )
+
+
+def test_date_histogram_full_parent(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    out = aggs_es(
+        dix,
+        {"d": {
+            "date_histogram": {
+                "field": "nval", "fixed_interval": "30s",
+            },
+            "aggs": {
+                "mx": {"max": {"field": "nval"}},
+                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                "by_dl": {"terms": {"field": "doc_len", "size": 5}},
+            },
+        }},
+        query={"match": {"content": "a"}},
+    )
+    rows = out["d"].collect()
+    # buckets: key 0 (nval 10,20) and 30 (nval 30,40,50)
+    got = [(r["key"], r["doc_count"], r["mx"], r["cum"])
+           for r in rows]
+    assert got == [(0, 2, 20.0, 2.0), (30, 3, 50.0, 5.0)]
+    nested = out["d.by_dl"].collect()
+    assert sum(r["doc_count"] for r in nested) == 5
+
+
+def test_auto_date_histogram_rejects_subs(dix):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    with pytest.raises(UnsupportedDSL, match="auto_date_histogram"):
+        aggs_es(
+            dix,
+            {"d": {
+                "auto_date_histogram": {"script": _SCRIPT},
+                "aggs": {"mx": {"max": {"field": "nval"}}},
+            }},
             query={"match": {"content": "a"}},
         )
