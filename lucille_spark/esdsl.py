@@ -3767,6 +3767,38 @@ def suggest_es(index, body: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def request_es(
+    executor, body: Dict[str, Any], k: int = 10, docs=None, emb=None,
+    feats=None,
+):
+    """One FULL ES `_search` request: query sections AND an `aggs`
+    section in the same body, like the real endpoint. Hits go
+    through search_es (every supported body section); aggregations
+    go through aggs_es under the same query context (the match set
+    is recomputed per frame — aggregation frames are lazy, so
+    nothing executes twice unless both sides are collected).
+    -> {"hits": DataFrame, "aggregations": {name: DataFrame}}
+    (aggregations key absent when the body has no aggs)."""
+    aggs = None
+    if isinstance(body, dict) and ("aggs" in body or
+                                   "aggregations" in body):
+        body = dict(body)
+        aggs = body.pop("aggs", None) or body.pop(
+            "aggregations", None
+        )
+        body.pop("aggregations", None)
+    hits = search_es(
+        executor, body, k=k, docs=docs, emb=emb, feats=feats
+    )
+    out = {"hits": hits}
+    if aggs:
+        q = body.get("query", body) if isinstance(body, dict) else body
+        out["aggregations"] = aggs_es(
+            executor, aggs, query=q, k=k, docs=docs
+        )
+    return out
+
+
 def msearch_es(executor, dsls, k: int = 10):
     """ES `_msearch`: N DSL queries in ONE job through the batched
     serving path (one segment scan + one kernel pass for the whole

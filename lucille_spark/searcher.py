@@ -317,6 +317,14 @@ class Searcher:
 
         return _rt(source, params)
 
+    def request(self, body: dict, k: int = 10, **kw) -> dict:
+        """One full ES `_search` request: query sections + `aggs` in
+        the same body. -> {"hits": DataFrame, "aggregations":
+        {name: DataFrame}}."""
+        from lucille_spark.esdsl import request_es
+
+        return request_es(self.executor, body, k=k, **kw)
+
     def graph_explore(self, body: dict, docs) -> dict:
         """ES `_graph/explore`: {"query": ..., "controls":
         {"sample_size": n}, "vertices": [{"field": "content",

@@ -114,3 +114,35 @@ def test_errors(pix):
             },
             k=5,
         )
+
+
+def test_request_es_combined(pix):
+    from lucille_spark.esdsl import aggs_es, request_es, search_es
+
+    body = {
+        "query": {"match": {"content": "a"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang"}},
+            "st": {"stats": {"field": "nval"}},
+        },
+    }
+    out = request_es(pix, body, k=5)
+    direct_hits = search_es(
+        pix, {"query": {"match": {"content": "a"}}}, k=5
+    ).collect()
+    assert out["hits"].collect() == direct_hits
+    direct_aggs = aggs_es(
+        pix, body["aggs"], query={"match": {"content": "a"}}
+    )
+    for name in ("langs", "st"):
+        assert (out["aggregations"][name].collect()
+                == direct_aggs[name].collect())
+
+
+def test_request_es_no_aggs(pix):
+    from lucille_spark.esdsl import request_es
+
+    out = request_es(pix, {"query": {"match": {"content": "a"}}},
+                     k=3)
+    assert "aggregations" not in out
+    assert out["hits"].count() == 3
