@@ -4375,6 +4375,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_composite"] = ft_composite_q
 
+    def ft_composite_dh_q(s, d):
+        """composite with a date_histogram source (fixed-interval
+        epoch floor over the numeric doc_len meta) paired with a
+        terms source, after-key resumed."""
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"page": {"composite": {
+                "sources": [
+                    {"day": {"date_histogram": {
+                        "field": "doc_len",
+                        "fixed_interval": "30s",
+                    }}},
+                    {"l": {"terms": {"field": "lang"}}},
+                ],
+                "size": 8,
+                "after": {"day": 0, "l": "en"},
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["page"]
+
+    q["ft_composite_dh"] = ft_composite_dh_q
+
     def sim_knn_dsl_q(s, d):
         from lucille_spark.esdsl import knn_es
 
@@ -9459,6 +9486,17 @@ b AS (SELECT d.lang AS l, d.source AS r, count(*) AS doc_count
 SELECT l, r, doc_count FROM b
 WHERE (l > 'de') OR (l = 'de' AND r > 'src5')
 ORDER BY l, r LIMIT 5"""
+
+    o["ft_composite_dh"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+b AS (SELECT cast(floor(dl.dl * 1.0 / 30) * 30 AS bigint) AS day,
+      d.lang AS l, count(*) AS doc_count
+      FROM m JOIN documents d USING (doc_id)
+      JOIN dl USING (doc_id) GROUP BY 1, 2)
+SELECT day, l, doc_count FROM b
+WHERE (day > 0) OR (day = 0 AND l > 'en')
+ORDER BY day, l LIMIT 8"""
 
     # ES 8 knn endpoint: exact filtered cosine (label pre-filter)
     o["sim_knn_dsl"] = """

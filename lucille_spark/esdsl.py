@@ -3197,23 +3197,68 @@ def aggs_es(
             sources = body["sources"]
             size = int(body.get("size", 10))
             after = body.get("after")
-            names, fields = [], []
+            names, keyexprs = [], []
             for s_ in sources:
                 if len(s_) != 1:
                     raise UnsupportedDSL(
                         f"agg {name}: composite source needs one name"
                     )
                 (sname, sspec), = s_.items()
-                if "terms" not in sspec:
+                skind = next(iter(sspec))
+                sbody = sspec[skind]
+                if skind == "terms":
+                    kexpr = F.col(sbody["field"])
+                elif skind == "histogram":
+                    iv = float(sbody["interval"])
+                    kexpr = (
+                        F.floor(
+                            F.col(sbody["field"]).cast("double")
+                            / F.lit(iv)
+                        )
+                        * F.lit(iv)
+                    )
+                elif skind == "date_histogram":
+                    # fixed-interval epoch floor over a stored
+                    # numeric epoch field (calendar intervals keep
+                    # the non-composite date_histogram as their
+                    # front door)
+                    if "fixed_interval" not in sbody:
+                        raise UnsupportedDSL(
+                            f"agg {name}.{sname}: composite "
+                            "date_histogram needs fixed_interval"
+                        )
+                    secs = _parse_fixed_interval(
+                        sbody["fixed_interval"]
+                    )
+                    kexpr = (
+                        F.floor(
+                            F.col(sbody["field"]).cast("double")
+                            / F.lit(secs)
+                        )
+                        * F.lit(secs)
+                    ).cast("long")
+                elif skind == "geotile_grid":
+                    from lucille_spark.ops import geo as _G
+
+                    latf, lonf = _geo_cols(
+                        executor, sbody.get("field", "lat")
+                    )
+                    kexpr = _G.geotile_key(
+                        F.col(latf).cast("double"),
+                        F.col(lonf).cast("double"),
+                        int(sbody.get("precision", 7)),
+                    )
+                else:
                     raise UnsupportedDSL(
-                        f"agg {name}.{sname}: only terms sources"
+                        f"agg {name}.{sname}: composite source kind "
+                        f"{skind!r} not supported"
                     )
                 names.append(sname)
-                fields.append(sspec["terms"]["field"])
+                keyexprs.append(kexpr)
             meta = executor.ix.doclens.drop("shard")
             j = matches.select("doc_id").join(meta, "doc_id")
             keys = [
-                F.col(f).alias(n) for n, f in zip(names, fields)
+                ke.alias(n) for n, ke in zip(names, keyexprs)
             ]
             g = j.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("doc_count")

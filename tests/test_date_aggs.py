@@ -233,3 +233,43 @@ def test_auto_date_histogram_rejects_subs(dix):
             }},
             query={"match": {"content": "a"}},
         )
+
+
+def test_composite_date_histogram_source(dix):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"c": {"composite": {
+            "sources": [
+                {"d": {"date_histogram": {
+                    "field": "nval", "fixed_interval": "30s",
+                }}},
+            ],
+            "size": 10,
+        }}},
+        query={"match": {"content": "a"}},
+    )["c"].collect()
+    assert [(r["d"], r["doc_count"]) for r in rows] == [
+        (0, 2), (30, 3),
+    ]
+    with pytest.raises(UnsupportedDSL, match="fixed_interval"):
+        aggs_es(
+            dix,
+            {"c": {"composite": {
+                "sources": [{"d": {"date_histogram": {
+                    "field": "nval", "calendar_interval": "month",
+                }}}],
+            }}},
+            query={"match": {"content": "a"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="source kind"):
+        aggs_es(
+            dix,
+            {"c": {"composite": {
+                "sources": [{"d": {"rare_terms": {
+                    "field": "nval",
+                }}}],
+            }}},
+            query={"match": {"content": "a"}},
+        )
