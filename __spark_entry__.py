@@ -4956,6 +4956,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_vwhist"] = ft_agg_vwhist_q
 
+    def ft_agg_filters_other_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"f": {"filters": {
+                "filters": {
+                    "b": {"match": {"content": "batch"}},
+                    "w": {"match": {"content": "window"}},
+                },
+                "other_bucket_key": "rest",
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["f"]
+
+    q["ft_agg_filters_other"] = ft_agg_filters_other_q
+
     def ft_agg_pctbucket_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9953,6 +9973,22 @@ SELECT cast(floor(e.e / iv.s) * iv.s AS bigint) AS key,
        count(*) AS doc_count,
        cast(max(iv.s) AS integer) AS interval_s
 FROM e CROSS JOIN iv GROUP BY 1 ORDER BY 1"""
+
+    o["ft_agg_filters_other"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+tb AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch'),
+tw AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+rows_ AS (
+  SELECT 'b' AS bucket, count(*) AS doc_count
+  FROM m JOIN tb USING (doc_id)
+  UNION ALL
+  SELECT 'w', count(*) FROM m JOIN tw USING (doc_id)
+  UNION ALL
+  SELECT 'rest', count(*) FROM m
+  WHERE doc_id NOT IN (SELECT doc_id FROM tb)
+    AND doc_id NOT IN (SELECT doc_id FROM tw))
+SELECT bucket, doc_count FROM rows_ ORDER BY bucket"""
 
     o["ft_agg_iprange"] = f"""
 WITH tok AS ({_TOK}),

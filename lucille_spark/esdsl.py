@@ -3140,15 +3140,31 @@ def aggs_es(
             u = parts[0]
             for p in parts[1:]:
                 u = u.unionByName(p)
+            covered = u.select("doc_id").distinct()
             if query is not None:
                 u = u.join(
                     matches.select("doc_id"), "doc_id", "left_semi"
                 )
-            out[name] = (
-                u.groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("doc_count"))
-                .orderBy("bucket")
+            grouped = u.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("doc_count")
             )
+            if body.get("other_bucket") or body.get(
+                "other_bucket_key"
+            ):
+                # ES other_bucket: query-context docs matching NONE
+                # of the named filters — one anti-join on the
+                # (distinct) covered id set
+                okey = str(body.get("other_bucket_key", "_other_"))
+                other = (
+                    matches.select("doc_id")
+                    .join(covered, "doc_id", "left_anti")
+                    .agg(F.count(F.lit(1)).alias("doc_count"))
+                    .select(
+                        F.lit(okey).alias("bucket"), "doc_count"
+                    )
+                )
+                grouped = grouped.unionByName(other)
+            out[name] = grouped.orderBy("bucket")
             continue
 
         if kind == "adjacency_matrix":

@@ -252,3 +252,22 @@ def test_ip_aggs(spark, tmp_path_factory):
                                  "prefix_length": 33}}},
             query={"match": {"content": "a"}},
         )
+
+
+def test_filters_other_bucket(fix):
+    from lucille_spark.esdsl import aggs_es
+
+    ex, _ = fix
+    rows = aggs_es(
+        ex,
+        {"f": {"filters": {
+            "filters": {
+                "g1": {"term": {"grp": "g1"}},
+            },
+            "other_bucket": True,
+        }}},
+        query={"match": {"content": "a"}},
+    )["f"].collect()
+    got = {r["bucket"]: r["doc_count"] for r in rows}
+    # matches: docs 0-4; grp g1 -> 0,1,2; other -> 3,4
+    assert got == {"g1": 3, "_other_": 2}
