@@ -4864,6 +4864,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_datehist_sub"] = ft_agg_datehist_sub_q
 
+    def ft_agg_datehist_empty_q(s, d):
+        """min_doc_count=0: the full 4h grid between the first and
+        last matching bucket, empty buckets included."""
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"g": {"date_histogram": {
+                "script": _DT_SCRIPT, "fixed_interval": "4h",
+                "min_doc_count": 0,
+            }}},
+            query={"match": {"content": "spark"}},
+        )
+        return out["g"]
+
+    q["ft_agg_datehist_empty"] = ft_agg_datehist_empty_q
+
     def ft_agg_daterange_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -9940,6 +9959,18 @@ SELECT key, doc_count, per_day, avg_len,
   round(sum(doc_count::double) OVER
     (ORDER BY key ROWS UNBOUNDED PRECEDING), 4) AS cum
 FROM h ORDER BY key"""
+
+    o["ft_agg_datehist_empty"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+h AS (SELECT cast(floor(doc_id * 7200.0 / 14400) * 14400 AS bigint)
+        AS key, count(*) AS doc_count
+      FROM m GROUP BY 1),
+b AS (SELECT min(key) AS mn, max(key) AS mx FROM h),
+g AS (SELECT unnest(generate_series(b.mn, b.mx, 14400)) AS key
+      FROM b)
+SELECT g.key, coalesce(h.doc_count, 0) AS doc_count
+FROM g LEFT JOIN h USING (key) ORDER BY g.key"""
 
     o["ft_agg_daterange"] = f"""
 WITH tok AS ({_TOK}),

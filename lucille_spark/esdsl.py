@@ -2740,6 +2740,49 @@ def aggs_es(
                     )
                 continue
             grouped = j.groupBy(key).agg(*aggc)
+            if (
+                kind == "date_histogram"
+                and calendar is None
+                and int(body.get("min_doc_count", 1)) == 0
+            ):
+                # ES min_doc_count=0 (+extended_bounds): emit EMPTY
+                # buckets on the full fixed-interval grid — the
+                # time-series dashboard contract. One tiny min/max
+                # driver agg bounds the grid; the grid is
+                # range/interval rows (the agg keyspace), left-
+                # joined onto the counts.
+                if rate_specs:
+                    raise UnsupportedDSL(
+                        f"agg {name}: min_doc_count=0 with rate "
+                        "sub-aggs not supported"
+                    )
+                eb = body.get("extended_bounds") or {}
+                b = grouped.agg(
+                    F.min("key").alias("mn"), F.max("key").alias("mx")
+                ).collect()[0]
+                if b["mn"] is None and not eb:
+                    out[name] = grouped.orderBy("key")
+                    continue
+                mn = int(eb.get("min", b["mn"] if b["mn"] is not None
+                                 else eb.get("max", 0)))
+                mx = int(eb.get("max", b["mx"] if b["mx"] is not None
+                                 else mn))
+                mn = (mn // secs) * secs
+                mx = (mx // secs) * secs
+                spark = executor.ix.spark
+                grid = spark.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            F.lit(mn), F.lit(mx), F.lit(int(secs))
+                        )
+                    ).alias("key")
+                )
+                grouped = grid.join(grouped, "key", "left").select(
+                    "key",
+                    F.coalesce(
+                        "doc_count", F.lit(0).cast("long")
+                    ).alias("doc_count"),
+                )
             if kind == "auto_date_histogram":
                 grouped = grouped.withColumn(
                     "interval_s", F.lit(int(secs))

@@ -273,3 +273,33 @@ def test_composite_date_histogram_source(dix):
             }}},
             query={"match": {"content": "a"}},
         )
+
+
+def test_min_doc_count_zero_and_extended_bounds(dix):
+    from lucille_spark.esdsl import aggs_es
+
+    rows = aggs_es(
+        dix,
+        {"g": {"date_histogram": {
+            "field": "nval", "fixed_interval": "10s",
+            "min_doc_count": 0,
+        }}},
+        query={"match": {"content": "a"}},
+    )["g"].collect()
+    # nval 10..50 -> keys 10,20,30,40,50, all dense here
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (10, 1), (20, 1), (30, 1), (40, 1), (50, 1),
+    ]
+    rows = aggs_es(
+        dix,
+        {"g": {"date_histogram": {
+            "field": "nval", "fixed_interval": "20s",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": 0, "max": 80},
+        }}},
+        query={"match": {"content": "a"}},
+    )["g"].collect()
+    got = {r["key"]: r["doc_count"] for r in rows}
+    # grid 0..80 by 20; nvals 10,20 -> k0/k20; 30 -> k20; 40,50 ->
+    # k40; empty 60, 80
+    assert got == {0: 1, 20: 2, 40: 2, 60: 0, 80: 0}
