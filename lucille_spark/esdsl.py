@@ -2321,13 +2321,20 @@ def aggs_es(
         if kind == "histogram":
             field = body["field"]
             interval = float(body["interval"])
+            # ES offset: shift the bucket grid by a constant —
+            # floor((v - offset)/interval)*interval + offset
+            offset = float(body.get("offset", 0.0))
             if not sub:
                 meta = executor.ix.doclens.select(
                     "doc_id", F.col(field).cast("double").alias("_v")
                 )
                 bucket = (
-                    F.floor(F.col("_v") / F.lit(interval))
+                    F.floor(
+                        (F.col("_v") - F.lit(offset))
+                        / F.lit(interval)
+                    )
                     * F.lit(interval)
+                    + F.lit(offset)
                 ).alias("key")
                 out[name] = (
                     matches.select("doc_id")
@@ -2676,8 +2683,23 @@ def aggs_es(
                         f"{cal!r}"
                     )
             if calendar is None:
+                # ES offset ("+6h" / "-30m" / seconds): shift the
+                # epoch grid
+                off = 0
+                o_s = body.get("offset")
+                if o_s is not None:
+                    sgn = -1 if str(o_s).startswith("-") else 1
+                    raw = str(o_s).lstrip("+-")
+                    off = sgn * (
+                        int(raw) if raw.isdigit()
+                        else _parse_fixed_interval(raw)
+                    )
                 key = (
-                    F.floor(F.col("_e") / F.lit(secs)) * F.lit(secs)
+                    F.floor(
+                        (F.col("_e") - F.lit(off)) / F.lit(secs)
+                    )
+                    * F.lit(secs)
+                    + F.lit(off)
                 ).cast("long").alias("key")
             else:
                 if rate_specs:
@@ -3585,6 +3607,13 @@ def aggs_es(
             # ES include/exclude: exact-value list or FULLY-ANCHORED
             # regex over the bucket key, applied before grouping
             # (cheaper than post-agg and identical on the key)
+            if "missing" in body:
+                # ES missing: docs without the field land in this
+                # bucket instead of being dropped
+                j = j.withColumn(
+                    field,
+                    F.coalesce(F.col(field), F.lit(body["missing"])),
+                )
             inc, exc = body.get("include"), body.get("exclude")
             if inc is not None:
                 j = j.filter(

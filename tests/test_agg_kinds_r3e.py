@@ -271,3 +271,59 @@ def test_filters_other_bucket(fix):
     got = {r["bucket"]: r["doc_count"] for r in rows}
     # matches: docs 0-4; grp g1 -> 0,1,2; other -> 3,4
     assert got == {"g1": 3, "_other_": 2}
+
+
+def test_histogram_offset_and_date_offset(fix):
+    from lucille_spark.esdsl import aggs_es
+
+    ex, _ = fix
+    rows = aggs_es(
+        ex,
+        {"h": {"histogram": {
+            "field": "doc_len", "interval": 2, "offset": 1,
+        }}},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    # dls [2,1,3,1,1]: grid ...,-1,1,3...: 1 -> [1,3): {1,1,1,2};
+    # 3 -> [3,5): {3}
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (1.0, 4), (3.0, 1),
+    ]
+    rows = aggs_es(
+        ex,
+        {"h": {"date_histogram": {
+            "script": {"source": "doc['doc_len'].value * 3600"},
+            "fixed_interval": "2h", "offset": "+1h",
+        }}},
+        query={"match": {"content": "a"}},
+    )["h"].collect()
+    # epochs h*3600 for dl [2,1,3,1,1]; +1h-shifted 2h grid
+    assert [(r["key"], r["doc_count"]) for r in rows] == [
+        (3600, 4), (10800, 1),
+    ]
+
+
+def test_terms_missing_bucket(spark, tmp_path_factory):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [(0, "a", "x"), (1, "a", None), (2, "a", "x"),
+         (3, "a", None)],
+        "doc_id long, text string, tag string",
+    )
+    out = str(tmp_path_factory.mktemp("missix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["tag"],
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    rows = aggs_es(
+        ex,
+        {"t": {"terms": {"field": "tag", "missing": "N/A"}}},
+        query={"match": {"content": "a"}},
+    )["t"].collect()
+    got = {r["tag"]: r["doc_count"] for r in rows}
+    assert got == {"x": 2, "N/A": 2}
