@@ -1616,6 +1616,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_sigterms"] = sigterms_q
 
+    def sigterms_bgf_q(s, d):
+        """significant_terms with a background_filter: the bg model
+        is the 'table'-matching docs, re-analyzed."""
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import significant_terms
+
+        ix = _index_for(s, d)
+        out = significant_terms(
+            DataFrameExecutor(ix), "spark", _docs(s, d), k_terms=10,
+            sample=50, background_filter="table",
+        )
+        return out.select(
+            "term", "fg_count", "bg_count",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["ft_sigterms_bgf"] = sigterms_bgf_q
+
     q["ft_tfidf"] = lambda s, d: sim_q(s, d, "tfidf", "spark AND batch")
     q["wand_tfidf"] = lambda s, d: sim_q(
         s, d, "tfidf", "spark AND batch", wand=True
@@ -6215,6 +6233,27 @@ jo AS (SELECT fg.term, fg.fg_count, bg.bg_count,
        * (fg.fg_count * 1.0 / nfg.nf) / (bg.bg_count * 1.0 / st.n)
        AS score
        FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN st)
+SELECT term, fg_count, bg_count, round(score, 4) AS score FROM jo
+WHERE fg_count >= 2 AND score > 0
+ORDER BY score DESC, term LIMIT 10"""
+    )
+
+    o["ft_sigterms_bgf"] = (
+        _cte(["spark"])
+        + """,
+top AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+nfg AS (SELECT count(*) AS nf FROM top),
+bset AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+nbg AS (SELECT count(*) AS nb FROM bset),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg_count FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM bset) GROUP BY term),
+jo AS (SELECT fg.term, fg.fg_count, bg.bg_count,
+       (fg.fg_count * 1.0 / nfg.nf - bg.bg_count * 1.0 / nbg.nb)
+       * (fg.fg_count * 1.0 / nfg.nf) / (bg.bg_count * 1.0 / nbg.nb)
+       AS score
+       FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg)
 SELECT term, fg_count, bg_count, round(score, 4) AS score FROM jo
 WHERE fg_count >= 2 AND score > 0
 ORDER BY score DESC, term LIMIT 10"""

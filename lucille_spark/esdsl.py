@@ -3176,6 +3176,7 @@ def aggs_es(
                     f"agg {name}: significant_terms needs a query "
                     "context and docs="
                 )
+            bgf = body.get("background_filter")
             out[name] = significant_terms(
                 executor,
                 to_ast(query if "query" not in query else query["query"]),
@@ -3185,6 +3186,9 @@ def aggs_es(
                     body.get("shard_size", body.get("sample", 200))
                 ),
                 text_col=body.get("field", "text"),
+                background_filter=(
+                    None if bgf is None else to_ast(bgf)
+                ),
             )
             continue
 

@@ -700,6 +700,7 @@ def significant_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_doc_count: int = 2,
+    background_filter=None,
 ) -> DataFrame:
     """Elasticsearch `significant_terms` over a sampler aggregation:
     terms unusually frequent in the top-`sample` matches of `query`
@@ -733,8 +734,38 @@ def significant_terms(
         .groupBy("term")
         .agg(F.count("*").alias("fg_count"))
     )
-    n = float(ix.stats["n_docs"])
-    bg = ix.terms_df.select("term", F.col("df").alias("bg_count"))
+    if background_filter is None:
+        n = float(ix.stats["n_docs"])
+        bg = ix.terms_df.select(
+            "term", F.col("df").alias("bg_count")
+        )
+    else:
+        # ES background_filter: the background model is the
+        # FILTER's match set, re-analyzed like the foreground (ES
+        # recomputes frequencies the same way). Cost is
+        # O(filter-match docs tokenized) — use bounded filters at
+        # corpus scale; the unfiltered path stays on the prebuilt
+        # dictionary df.
+        bgm = executor.search(background_filter, k=None).select(
+            id_col
+        )
+        n = float(bgm.count())
+        if n == 0:
+            return ix.spark.createDataFrame(
+                [],
+                "term string, fg_count long, bg_count long, "
+                "score double",
+            )
+        bg = (
+            docs.join(bgm, id_col)
+            .select(
+                F.explode(
+                    F.array_distinct(tok(text_col))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("bg_count"))
+        )
     fgp = F.col("fg_count") / F.lit(float(n_fg))
     bgp = F.col("bg_count") / F.lit(n)
     return (

@@ -62,3 +62,47 @@ def test_graph_explore_no_vertices(spark, tmp_path_factory):
     # min_doc_count=2 unreachable with a 1-doc match set
     res = graph_explore(ex, "solo", docs, min_doc_count=2)
     assert res["connections"].count() == 0
+
+
+def test_significant_terms_background_filter(spark, tmp_path_factory):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+    from lucille_spark.search_features import significant_terms
+
+    # x appears in every q doc AND every bg doc -> not significant
+    # under background_filter 'bgq'; y appears only in q docs
+    docs = spark.createDataFrame(
+        [
+            (0, "q x y"),
+            (1, "q x y"),
+            (2, "bgq x"),
+            (3, "bgq x"),
+            (4, "bgq x z"),
+            (5, "filler words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path_factory.mktemp("bgfix") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out, cache=True))
+    rows = significant_terms(
+        ex, "q", docs, background_filter="bgq", min_doc_count=2,
+    ).collect()
+    terms = {r["term"] for r in rows}
+    # x: fg 2/2 vs bg 3/3 -> score 0, excluded; y absent from bg
+    # entirely -> inner-join drops it (df=0 background); q absent
+    # from bg too
+    assert "x" not in terms
+    # unfiltered background: x IS significant (bg df 5/6 < fg 2/2)
+    rows2 = significant_terms(
+        ex, "q", docs, min_doc_count=2,
+    ).collect()
+    assert "x" in {r["term"] for r in rows2}
+    # empty background -> empty frame
+    rows3 = significant_terms(
+        ex, "q", docs, background_filter="zzznope",
+    ).collect()
+    assert rows3 == []
