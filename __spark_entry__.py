@@ -2289,6 +2289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seed="mix",
     )
 
+    q["pipe_curriculum"] = lambda s, d: text.curriculum_order(
+        _docs(s, d), "n_chars", bands=4, seed="cur"
+    )
+
     q["pipe_sample"] = lambda s, d: text.stratified_sample(
         _docs(s, d),
         "lang",
@@ -7677,6 +7681,20 @@ GROUP BY sha256(text)"""
         "(cast(('0x' || substring(md5(concat(cast(doc_id as varchar), "
         f"':mix1')), 1, 8)) as bigint) % {M31}) % 1000000"
     )
+    # curriculum: quantile bands over n_chars (band 1 = largest),
+    # md5 shuffle within band
+    o["pipe_curriculum"] = """
+WITH s AS (SELECT doc_id, n_chars::double AS sc FROM documents),
+t AS (SELECT quantile_cont(sc, 0.25) AS t1,
+             quantile_cont(sc, 0.5) AS t2,
+             quantile_cont(sc, 0.75) AS t3 FROM s)
+SELECT doc_id,
+  cast(1 + (sc < t3)::int + (sc < t2)::int + (sc < t1)::int AS int)
+    AS band,
+  (cast(('0x' || substring(md5(doc_id::varchar || ':cur'), 1, 8))
+   as bigint) % 2147483647) AS ord_key
+FROM s CROSS JOIN t ORDER BY band, ord_key, doc_id"""
+
     # deterministic training order: same portable md5 hash, same
     # per-shard rank windows
     o["pipe_train_order"] = """

@@ -2032,3 +2032,57 @@ def mix_order(
         .select("doc_id", "domain", "rank", "mix_key")
         .orderBy("mix_key", "domain", "doc_id")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    seed: str = "cur",
+    descending: bool = True,
+) -> DataFrame:
+    """CURRICULUM ordering for pre-training: band documents by
+    score quantile (band 1 = highest-scoring when `descending` —
+    the "clean data first" schedule), then shuffle deterministically
+    WITHIN each band with the portable md5 key. Reading bands in
+    order replays the same curriculum on every run/engine.
+
+    Thresholds are exact interpolated quantiles — ONE tiny driver
+    agg; banding and hashing are codegen; the output order is
+    (band, ord_key), i.e. per-band shuffles, no RNG, no global
+    sort beyond the requested output order. Ties at a threshold
+    band deterministically (>= goes to the better band).
+    -> (doc_id, band int, ord_key) ordered by (band, ord_key)."""
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+
+    if bands < 2:
+        raise ValueError("curriculum_order: bands must be >= 2")
+    qs = [i / bands for i in range(1, bands)]
+    row = df.agg(
+        *[
+            F.percentile(F.col(score_col).cast("double"), q).alias(
+                f"t{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    thresholds = [float(row[f"t{i}"]) for i in range(len(qs))]
+    sc = F.col(score_col).cast("double")
+    band = F.lit(1)
+    for t in thresholds:
+        worse = (sc < F.lit(t)) if descending else (sc >= F.lit(t))
+        band = band + worse.cast("int")
+    h = F.expr(
+        TOKEN_HASH_SPARK.format(
+            tok=f"concat(cast({id_col} as string), ':{seed}')"
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            band.cast("int").alias("band"),
+            h.alias("ord_key"),
+        )
+        .orderBy("band", "ord_key", "doc_id")
+    )

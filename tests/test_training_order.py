@@ -99,3 +99,30 @@ def test_mix_order_drops_unrated_domains(spark):
     )
     out = mix_order(df, "dom", {"a": 1.0}).collect()
     assert [r["domain"] for r in out] == ["a"]
+
+
+def test_curriculum_order_bands(spark):
+    from lucille_spark.ops.text import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)],
+        "doc_id long, q double",
+    )
+    out = curriculum_order(df, "q", bands=4, seed="s").collect()
+    bands = {r["doc_id"]: r["band"] for r in out}
+    # quartile thresholds of 0..7: 1.75, 3.5, 5.25 -> descending
+    # bands: scores >= 5.25 -> 1; [3.5, 5.25) -> 2; [1.75, 3.5) -> 3
+    assert bands == {7: 1, 6: 1, 5: 2, 4: 2, 3: 3, 2: 3,
+                     1: 4, 0: 4}
+    # within-band order follows the hash, deterministic across runs
+    out2 = curriculum_order(df, "q", bands=4, seed="s").collect()
+    assert out == out2
+    # ascending curriculum flips the bands
+    asc = curriculum_order(
+        df, "q", bands=4, seed="s", descending=False
+    ).collect()
+    assert {r["doc_id"]: r["band"] for r in asc}[0] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curriculum_order(df, "q", bands=1)
