@@ -278,6 +278,37 @@ def main():
         mreps.append(time.time() - t0)
     out["maxsim_query_ms"] = round(sorted(mreps)[1] * 1000, 1)
 
+    # ---- leg 4: analytics dashboard request (query + aggs in ONE
+    # _search body): the ES-migration serving shape for dashboards —
+    # terms facet + histogram + stats computed over the match set
+    from lucille_spark.esdsl import request_es
+    from lucille_spark.exec_df import DataFrameExecutor as _DFE
+
+    dfe_dash = _DFE(ix_cached)
+    dash_body = {
+        "query": {"match": {"content": "spark"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang"}},
+            "dl": {"histogram": {"field": "doc_len",
+                                 "interval": 20}},
+            "st": {"stats": {"field": "doc_len"}},
+        },
+    }
+
+    def _run_dash():
+        r = request_es(dfe_dash, dash_body, k=10)
+        r["hits"].collect()
+        for fr in r["aggregations"].values():
+            fr.collect()
+
+    _run_dash()  # warm
+    dreps = []
+    for _ in range(3):
+        t0 = time.time()
+        _run_dash()
+        dreps.append(time.time() - t0)
+    out["agg_dashboard_ms"] = round(sorted(dreps)[1] * 1000, 1)
+
     total = time.time() - t_start
     print(
         json.dumps(
@@ -307,6 +338,7 @@ def main():
                         "sparse_query_ms",
                         "sparse_batch32_ms_per_query",
                         "maxsim_query_ms",
+                        "agg_dashboard_ms",
                         "big_n_docs",
                         "big_batch32_ms_per_query",
                     )
