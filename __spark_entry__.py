@@ -83,6 +83,38 @@ def _split_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _update_meta_for(spark: SparkSession, sf_dir: str):
+    """Metadata-only reindex of the main index: docs with
+    doc_id % 10 == 1 relabel to lang 'xx' and every doc gains a
+    numeric decade = doc_id % 10 column — postings copied
+    byte-identical, doclens rewritten (maintenance.update_meta)."""
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.maintenance import update_meta
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "umeta:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    src = _index_for(spark, sf_dir)
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"umeta_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        meta = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 1, F.lit("xx")).alias(
+                "lang"
+            ),
+            (F.col("doc_id") % 10).cast("int").alias("decade"),
+        )
+        update_meta(spark, src.dir, out, meta)
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _reindex_for(spark: SparkSession, sf_dir: str):
     """Query-restricted ES _reindex of the documents corpus: only
     docs matching 'spark' survive, stats (n_docs/avgdl/df) are
@@ -1278,6 +1310,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_must_mustnot"] = lambda s, d: _search_df(s, d, "+spark -stream batch")
     q["ft_phrase"] = lambda s, d: _search_df(s, d, '"batch window"')
     q["ft_proximity"] = lambda s, d: _search_df(s, d, '"spark window"~5')
+    def ix_update_meta_q(s, d):
+        """Serving over the metadata-only-reindexed copy: relabeled
+        lang plus the appended numeric decade column (numeric range
+        semantics), rank-identical postings."""
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_update_meta_for(s, d))
+        out = ex.search(
+            "lang:xx AND spark AND decade:[1 TO 1]", k=10
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ix_update_meta"] = ix_update_meta_q
+
     q["ft_field"] = lambda s, d: _search_df(s, d, "lang:de AND spark")
     q["ft_field_prefix"] = lambda s, d: _search_df(s, d, "source:src1*", k=20)
     q["ft_prefix"] = lambda s, d: _search_df(s, d, "sc*")
@@ -6428,6 +6476,14 @@ scp AS (SELECT ph.doc_id,
         FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mdf)
 SELECT doc_id, round(s, 4) AS score FROM scp
 ORDER BY s DESC, doc_id LIMIT 10"""
+
+    o["ix_update_meta"] = (
+        _cte(["spark"])
+        + """
+SELECT doc_id, round(2.0 + s, 4) AS score FROM sc
+WHERE doc_id % 10 = 1
+ORDER BY 2.0 + s DESC, doc_id LIMIT 10"""
+    )
 
     o["ft_field"] = (
         _cte(["spark"])

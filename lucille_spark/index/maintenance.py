@@ -536,3 +536,88 @@ def restore(
     if not fsio.is_uri(p) and os.path.exists(p):
         os.remove(p)
     return manifest
+
+
+def update_meta(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    meta_df,
+    id_col: str = "doc_id",
+) -> dict:
+    """METADATA-ONLY reindex: rewrite doclens with columns joined
+    from `meta_df` on doc_id — postings, dictionary, segments and
+    the file index copy byte-identical; nothing re-tokenizes (the
+    100 TB answer to "metadata churns weekly, content doesn't").
+    Existing meta columns UPDATE where meta_df has a non-null value
+    (coalesce new, old); new columns append (null for unmatched
+    docs) and join stats.json meta_cols/meta_types so term/range
+    filters plan against them immediately.
+
+    Scale: one tree copy + one doclens-sized left join (broadcast
+    when meta_df is small); posting data never moves. Returns the
+    new stats dict."""
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError(
+            "update_meta writes a NEW index; out_dir must differ"
+        )
+    stats = json.loads(
+        fsio.read_text(os.path.join(index_dir, "stats.json"), spark)
+    )
+    new_cols = [c for c in meta_df.columns if c != id_col]
+    if not new_cols:
+        raise ValueError("meta_df needs at least one non-id column")
+    reserved = {"doc_id", "doc_len", "shard"}
+    bad = sorted(reserved & set(new_cols))
+    if bad:
+        raise ValueError(f"meta columns {bad} are reserved")
+    _copy_tree(spark, index_dir, out_dir)
+    num_types = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    by_name = {
+        f.name: f.dataType.simpleString() for f in meta_df.schema
+    }
+    m = meta_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c).cast("string").alias(f"_new_{c}") for c in new_cols],
+    )
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    j = dl.join(F.broadcast(m), "doc_id", "left")
+    keep = []
+    for c in dl.columns:
+        if c in new_cols:
+            keep.append(
+                F.coalesce(F.col(f"_new_{c}"), F.col(c)).alias(c)
+            )
+        else:
+            keep.append(F.col(c))
+    for c in new_cols:
+        if c not in dl.columns:
+            keep.append(F.col(f"_new_{c}").alias(c))
+    (
+        j.select(*keep)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "doclens"))
+    )
+    meta_types = dict(stats.get("meta_types", {}))
+    meta_cols = list(stats.get("meta_cols", []))
+    for c in new_cols:
+        if c not in meta_cols:
+            meta_cols.append(c)
+        if c not in meta_types:
+            t = by_name.get(c, "string").split("(")[0]
+            meta_types[c] = (
+                "num"
+                if t in num_types or t.startswith("decimal")
+                else "str"
+            )
+    stats["meta_cols"] = meta_cols
+    stats["meta_types"] = meta_types
+    fsio.write_text(
+        os.path.join(out_dir, "stats.json"),
+        json.dumps(stats, indent=1),
+        spark,
+    )
+    return stats

@@ -1,0 +1,93 @@
+"""update_meta: metadata-only reindex (doclens rewrite, postings
+copied byte-identical)."""
+
+import pytest
+
+
+def test_update_meta_roundtrip(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import update_meta
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en"),
+            (1, "a", "en"),
+            (2, "a b b", "de"),
+            (3, "b", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    base = tmp_path_factory.mktemp("umix")
+    src = str(base / "src")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, src, content_col="text", id_col="doc_id",
+        meta_cols=["lang"],
+    )
+    # relabel doc 1 -> fr, add a numeric stars column for 0/2
+    meta = spark.createDataFrame(
+        [(1, "fr", None), (0, None, 5), (2, None, 9)],
+        "doc_id long, lang string, stars int",
+    )
+    dst = str(base / "dst")
+    stats = update_meta(spark, src, dst, meta)
+    assert "stars" in stats["meta_cols"]
+    assert stats["meta_types"]["stars"] == "num"
+
+    ex0 = DataFrameExecutor(SparkIndex(spark, src, cache=True))
+    ex1 = DataFrameExecutor(SparkIndex(spark, dst, cache=True))
+    # rank identity on a content query (postings untouched)
+    assert (ex0.search("a AND b", k=10).collect()
+            == ex1.search("a AND b", k=10).collect())
+    # updated meta serves: doc 1 now fr, not en
+    en = [r["doc_id"] for r in
+          ex1.search("a AND lang:en", k=10).collect()]
+    assert 1 not in en and 0 in en
+    fr = [r["doc_id"] for r in
+          ex1.search("a AND lang:fr", k=10).collect()]
+    assert fr == [1]
+    # new numeric column filters with numeric range semantics
+    hi = [r["doc_id"] for r in
+          ex1.search("stars:[6 TO 10]", k=10).collect()]
+    assert hi == [2]
+    # docs without a new value keep NULL (no match)
+    assert 3 not in [r["doc_id"] for r in
+                     ex1.search("stars:[0 TO 10]", k=10).collect()]
+
+    # fsck the rewritten index
+    from lucille_spark.index.check import check_index
+
+    rep = check_index(spark, dst)
+    assert rep["ok"], rep
+
+
+def test_update_meta_guards(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import update_meta
+
+    docs = spark.createDataFrame(
+        [(0, "a")], "doc_id long, text string"
+    )
+    base = tmp_path_factory.mktemp("umg")
+    src = str(base / "src")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, src, content_col="text", id_col="doc_id"
+    )
+    meta = spark.createDataFrame([(0, 1)], "doc_id long, x int")
+    with pytest.raises(ValueError, match="must differ"):
+        update_meta(spark, src, src, meta)
+    with pytest.raises(ValueError, match="non-id"):
+        update_meta(
+            spark, src, str(base / "d1"),
+            meta.select("doc_id"),
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        update_meta(
+            spark, src, str(base / "d2"),
+            spark.createDataFrame(
+                [(0, 3)], "doc_id long, doc_len int"
+            ),
+        )
