@@ -621,3 +621,36 @@ def update_meta(
         spark,
     )
     return stats
+
+
+def disk_usage(spark: SparkSession, index_dir: str) -> dict:
+    """ES `_disk_usage` analogue: bytes per index component plus the
+    heaviest dictionary terms (df as the postings-weight proxy the
+    dictionary already stores — no posting scan). Driver-side file
+    listing only (POSIX paths; use fsio-mounted storage for remote
+    trees); nothing distributed runs."""
+    comps = {}
+    for sub in (
+        "doclens", "postings_flat", "terms", "segments", "deletes",
+        "fileindex",
+    ):
+        p = os.path.join(index_dir, sub)
+        if not os.path.isdir(p):
+            continue
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        comps[sub] = total
+    top = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .select("term", "df")
+        .collect()
+    )
+    return {
+        "components": comps,
+        "total_bytes": sum(comps.values()),
+        "heaviest_terms": [(r["term"], int(r["df"])) for r in top],
+    }

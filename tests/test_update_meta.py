@@ -91,3 +91,23 @@ def test_update_meta_guards(spark, tmp_path_factory):
                 [(0, 3)], "doc_id long, doc_len int"
             ),
         )
+
+
+def test_disk_usage(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import disk_usage
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    )
+    src = str(tmp_path_factory.mktemp("du") / "ix")
+    IndexBuilder(num_shards=1, block_size=8).build(
+        docs, src, content_col="text", id_col="doc_id"
+    )
+    rep = disk_usage(spark, src)
+    assert rep["total_bytes"] > 0
+    assert {"doclens", "postings_flat", "terms"} <= set(
+        rep["components"]
+    )
+    terms = dict(rep["heaviest_terms"])
+    assert terms["b"] == 2 and terms["c"] == 2
