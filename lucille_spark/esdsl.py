@@ -4269,11 +4269,34 @@ def render_template(source, params=None):
     params = params or {}
     s = str(source)
 
+    # validate every mustache construct UPFRONT (against the
+    # template, before any substitution — substituted VALUES are
+    # data and must never be re-scanned, mustache semantics)
+    for tokm in _re.findall(r"\{\{(.*?)\}\}", s, _re.S):
+        tk = tokm.strip()
+        if not _re.fullmatch(
+            r"(#toJson|/toJson|[#^/][A-Za-z0-9_.]+|[A-Za-z0-9_.]+)",
+            tk,
+        ):
+            raise ValueError(
+                f"unsupported mustache construct in template: "
+                f"{{{{{tokm}}}}}"
+            )
+
+    # substituted values go in as inert sentinels and are spliced
+    # back AFTER every structural pass — data is never re-scanned
+    # for mustache syntax (a value containing "{{" is just a value)
+    subs: list = []
+
+    def _guard(text: str) -> str:
+        subs.append(text)
+        return f"\x00{len(subs) - 1}\x00"
+
     def _tojson(m):
         name = m.group(1).strip()
         if name not in params:
             raise ValueError(f"template param {name!r} missing")
-        return _json.dumps(params[name])
+        return _guard(_json.dumps(params[name]))
 
     s = _re.sub(
         r"\{\{#toJson\}\}\s*([A-Za-z0-9_.]+)\s*\{\{/toJson\}\}",
@@ -4303,7 +4326,7 @@ def render_template(source, params=None):
             raise ValueError(f"template param {name!r} missing")
         v = params[name]
         if isinstance(v, str):
-            return _json.dumps(v)[1:-1]
+            return _guard(_json.dumps(v)[1:-1])
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, (int, float)):
@@ -4315,10 +4338,14 @@ def render_template(source, params=None):
 
     s = _re.sub(r"\{\{\s*([A-Za-z0-9_.]+)\s*\}\}", _scalar, s)
     if "{{" in s:
+        # validated upfront, so anything left is STRUCTURALLY
+        # unconsumed — e.g. an unmatched {{#a}}...{{/b}} pair
         raise ValueError(
             f"unsupported mustache construct left in template: "
             f"{s[s.index('{{'):s.index('{{') + 40]!r}"
         )
+    # one pass, replacement values never re-scanned
+    s = _re.sub(r"\x00(\d+)\x00", lambda m: subs[int(m.group(1))], s)
     try:
         return _json.loads(s)
     except Exception as exc:  # noqa: BLE001

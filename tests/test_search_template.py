@@ -80,3 +80,42 @@ def test_serving_parity(spark, tmp_path_factory):
         k=4,
     ).collect()
     assert direct == templ
+
+
+def test_render_fuzz_scalars_roundtrip():
+    """Property: any JSON-safe scalar params substituted into a
+    value position come back exactly under json round-trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.text(max_size=40),
+        # braces in VALUES are data, never re-scanned as mustache
+        st.sampled_from(["{{", "}}", "{{#x}}", "a {{weird}} b",
+                         "\x000\x00"]),
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.booleans(),
+        st.floats(
+            allow_nan=False, allow_infinity=False,
+            min_value=-1e9, max_value=1e9,
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(v=scalars, f=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1,
+        max_size=12,
+    ))
+    def prop(v, f):
+        if isinstance(v, str):
+            src = '{"field": "%s", "value": "{{v}}"}' % f
+        else:
+            src = '{"field": "%s", "value": {{v}}}' % f
+        out = render_template(src, {"v": v})
+        assert out["field"] == f
+        if isinstance(v, float):
+            assert out["value"] == pytest.approx(v)
+        else:
+            assert out["value"] == v
+
+    prop()
