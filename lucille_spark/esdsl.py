@@ -3077,14 +3077,18 @@ def aggs_es(
             min_set = int(body.get("minimum_set_size", 2))
             size = int(body.get("size", 10))
             meta = executor.ix.doclens.select("doc_id", *fields)
-            j = matches.select("doc_id").join(meta, "doc_id")
-            j = j.persist()
+            # materialize once (GC-managed, lineage cut) — every
+            # combo groupBy and the support denominator read it
+            j = (
+                matches.select("doc_id")
+                .join(meta, "doc_id")
+                .localCheckpoint()
+            )
             n_m = j.count()
             if n_m == 0:
                 out[name] = executor.ix.spark.createDataFrame(
                     [], "key string, doc_count long, support double"
                 )
-                j.unpersist()
                 continue
             frames = []
             for r in range(max(1, min_set), len(fields) + 1):
