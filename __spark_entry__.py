@@ -5361,6 +5361,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_codes"] = sim_sq_codes_q
 
+    # ---- binary quantization (BBQ-style hamming rank + re-rank) -----
+    def sim_bq_topk_q(s, d):
+        from lucille_spark.ops.similarity import bq_search
+
+        e = _emb(s, d)
+        qv = e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        out = bq_search(e, qv, k=10, rerank=40)
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["sim_bq_topk"] = sim_bq_topk_q
+
     # ---- ascii_fold analyzer: accented corpus + accented query ------
     def ft_ascii_ix_q(s, d, wand=False):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -10421,6 +10434,33 @@ WITH {_SQ_CTES}
 SELECT vec_id, array_to_string(
   list_transform(codes, c -> CAST(c AS INTEGER)), ',') AS code_str
 FROM enc WHERE vec_id < 5"""
+
+    # ---- binary quantization: identical sign-bit packing (32 bits
+    # per BIGINT word, sign bit never used), hamming = xor+popcount
+    # per word, top-40 cut on (hamming, vec_id), exact-cosine re-rank
+    o["sim_bq_topk"] = """
+WITH bits AS (SELECT vec_id, ((i-1) // 32) AS w,
+       CASE WHEN x > 0 THEN (1::BIGINT << ((i-1) % 32))
+            ELSE 0::BIGINT END AS b
+     FROM (SELECT vec_id, unnest(embedding) AS x,
+           unnest(range(1, len(embedding)+1)) AS i FROM embeddings)),
+words AS (SELECT vec_id, w, sum(b)::BIGINT AS word
+          FROM bits GROUP BY vec_id, w),
+pk AS (SELECT vec_id, list(word ORDER BY w) AS bq
+       FROM words GROUP BY vec_id),
+q AS (SELECT bq AS qbq FROM pk WHERE vec_id = 3),
+h AS (SELECT p.vec_id, list_sum(list_transform(p.bq,
+        (a, i) -> bit_count(xor(a, q.qbq[i])))) AS ham
+      FROM pk p CROSS JOIN q),
+cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 40),
+qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+c AS (SELECT e.vec_id,
+      list_dot_product(e.embedding, qe.qv) /
+      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+       sqrt(list_dot_product(qe.qv, qe.qv))) AS cr
+      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe)
+SELECT vec_id, round(cr, 4) AS cosine FROM c
+ORDER BY cr DESC, vec_id LIMIT 10"""
 
     # ---- ES join fields: twin of _children / _child_index_for -------
     _KIDS = (

@@ -710,6 +710,116 @@ def sq_search(
     )
 
 
+BQ_BITS_PER_WORD = 32  # sign-safe: words stay in [0, 2^32) as BIGINT
+
+
+def bq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "bq",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary quantization: 1 bit per dimension (bit j of word w set
+    iff v[32w+j] > 0), packed 32 bits per BIGINT word so the sign bit
+    is never used and every engine agrees on the integer value. This
+    is the 32x-compression rank stage of ES 8.16's BBQ / FAISS's
+    binary indexes: at 100 TB a 768-dim float32 corpus (3 KB/vec)
+    scans as 96 B/vec, and the distance is pure integer xor+popcount
+    inside whole-stage codegen — no floats touched until re-rank.
+    Training-free and shuffle-free (one projection). Adds
+    `code_col`: array<bigint> of ceil(dim/32) words."""
+    pows = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(BQ_BITS_PER_WORD)]
+    )
+    v = F.col(vec_col)
+    word = lambda w: F.aggregate(  # noqa: E731
+        F.transform(
+            F.slice(v, w * BQ_BITS_PER_WORD + 1, BQ_BITS_PER_WORD),
+            lambda x, j: F.when(x > 0, F.element_at(pows, j + 1))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+    n_words = -(-int(dim) // BQ_BITS_PER_WORD)
+    return df.withColumn(
+        code_col, F.array(*[word(w) for w in range(n_words)])
+    )
+
+
+def bq_query_words(query: Sequence[float]) -> list:
+    """Pack a query vector with the identical rule (driver-side)."""
+    q = [float(x) for x in query]
+    words = []
+    for w in range(0, len(q), BQ_BITS_PER_WORD):
+        acc = 0
+        for j, x in enumerate(q[w : w + BQ_BITS_PER_WORD]):
+            if x > 0:
+                acc |= 1 << j
+        words.append(acc)
+    return words
+
+
+def hamming_topk(
+    df_coded: DataFrame,
+    query_words: Sequence[int],
+    k: int = 10,
+    code_col: str = "bq",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by hamming distance between packed codes: one scan,
+    xor + bit_count per word (all codegen), TakeOrderedAndProject.
+    Ties break on id so the cut is deterministic on any engine /
+    partitioning. -> (id, hamming asc)."""
+    qlit = F.array(*[F.lit(int(w)).cast("long") for w in query_words])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            qlit,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("hamming")
+    return (
+        df_coded.select(F.col(id_col), ham)
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bq_search(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end binary-quantized search: pack corpus + query, rank
+    by hamming, then (optionally) exact-cosine re-rank the top
+    `rerank` candidates against the raw vectors — the standard
+    quantize-then-refine recipe (hamming recall loss concentrates in
+    near-ties; re-ranking a small multiple of k restores ~exact
+    quality at integer-scan cost). With rerank=0 returns the raw
+    hamming ranking (id, hamming); with rerank>0 returns
+    (id, cosine) desc over the re-ranked candidates."""
+    enc = bq_encode(df, vec_col, dim=len(list(query)))
+    qw = bq_query_words(query)
+    if not rerank:
+        return hamming_topk(enc, qw, k=k, id_col=id_col)
+    cand = hamming_topk(
+        enc, qw, k=max(int(rerank), k), id_col=id_col
+    ).select(id_col)
+    return cosine_topk(
+        df.join(F.broadcast(cand), id_col, "left_semi"),
+        vec_col,
+        query,
+        k=k,
+        id_col=id_col,
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     vec_col: str,

@@ -1,0 +1,116 @@
+"""Binary quantization (BBQ-style hamming rank + exact re-rank):
+packing invariants, numpy twin of the hamming ranking, and
+recall@10 of the quantize-then-refine search vs brute cosine."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.exists(os.path.join(SF, "embeddings.parquet")):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def _np_pack(vecs):
+    """numpy twin of bq_encode/bq_query_words (32 bits per word)."""
+    n, d = vecs.shape
+    nw = -(-d // 32)
+    out = np.zeros((n, nw), dtype=np.int64)
+    bits = vecs > 0
+    for j in range(d):
+        out[:, j // 32] |= bits[:, j].astype(np.int64) << (j % 32)
+    return out
+
+
+def test_pack_matches_numpy(emb):
+    from lucille_spark.ops.similarity import bq_encode, bq_query_words
+
+    rows = (
+        bq_encode(emb, "embedding", dim=64)
+        .orderBy("vec_id")
+        .select("vec_id", "bq", "embedding")
+        .collect()
+    )
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = _np_pack(vecs)
+    got = np.array([r["bq"] for r in rows], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+    # query packer agrees with the corpus packer on the same vector
+    assert bq_query_words(rows[0]["embedding"]) == list(want[0])
+    # 32-bit words never touch the BIGINT sign bit
+    assert got.min() >= 0 and got.max() < (1 << 32)
+
+
+def test_hamming_self_is_zero_and_matches_numpy(emb):
+    from lucille_spark.ops.similarity import (
+        bq_encode,
+        bq_query_words,
+        hamming_topk,
+    )
+
+    rows = emb.orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = vecs[5]
+    packed = _np_pack(vecs)
+    qw = np.array(bq_query_words(q), dtype=np.int64)
+    ham = np.array(
+        [sum(bin(int(a) ^ int(b)).count("1") for a, b in zip(row, qw))
+         for row in packed]
+    )
+    order = np.lexsort((ids, ham))[:10]
+    want = [(int(ids[i]), int(ham[i])) for i in order]
+
+    enc = bq_encode(emb, "embedding", dim=64)
+    got = [
+        (r["vec_id"], r["hamming"])
+        for r in hamming_topk(enc, list(qw), k=10).collect()
+    ]
+    assert got == want
+    assert got[0] == (int(ids[5]), 0)  # self at hamming 0
+
+
+def test_bq_search_recall(emb):
+    """Re-ranked BQ search recall@10 vs brute cosine >= 0.8 averaged
+    over 5 queries (1-bit codes at dim 64 on ISOTROPIC random
+    vectors — the worst case for sign codes; re-rank pool 100 of
+    500). Real embedding corpora are anisotropic and do better at
+    much smaller pools."""
+    from lucille_spark.ops.similarity import bq_search, cosine_topk
+
+    rows = emb.orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    recalls = []
+    for qi in (0, 7, 19, 31, 43):
+        q = vecs[qi]
+        sims = (vecs @ q) / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(q)
+        )
+        truth = set(
+            ids[np.lexsort((ids, -sims))[:10]].tolist()
+        )
+        got = {
+            r["vec_id"]
+            for r in bq_search(emb, q, k=10, rerank=100).collect()
+        }
+        recalls.append(len(got & truth) / 10.0)
+    assert float(np.mean(recalls)) >= 0.8, recalls
+
+
+def test_bq_search_rerank0_returns_hamming(emb):
+    from lucille_spark.ops.similarity import bq_search
+
+    q = emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"]
+    out = bq_search(emb, q, k=5, rerank=0)
+    assert out.columns == ["vec_id", "hamming"]
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 2 and rows[0]["hamming"] == 0
