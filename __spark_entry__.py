@@ -1645,6 +1645,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_retriever_rrf"] = retriever_rrf_q
 
+    # ES 8.16 linear retriever: weighted minmax-normalized fusion of
+    # the same lexical + knn pair (weights 2.0 / 1.0, window 50)
+    def retriever_linear_q(s, d):
+        from lucille_spark.esdsl import search_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ix = _index_for(s, d)
+        emb = _emb(s, d)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        ]
+        out = search_es(
+            DataFrameExecutor(ix),
+            {
+                "retriever": {"linear": {
+                    "retrievers": [
+                        {"retriever": {"standard": {"query": {"match": {
+                            "content": "spark batch"}}}},
+                         "weight": 2.0, "normalizer": "minmax"},
+                        {"retriever": {"knn": {"field": "embedding",
+                                               "query_vector": qv}},
+                         "weight": 1.0, "normalizer": "minmax"},
+                    ],
+                    "rank_window_size": 50,
+                }},
+                "size": 10,
+            },
+            emb=emb,
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["ft_retriever_linear"] = retriever_linear_q
+
     # ---- significant terms (ES significant_terms over a sampler
     # agg): JLH-scored terms over-represented in the top-50 'spark'
     # matches vs the dictionary background.
@@ -6281,6 +6318,38 @@ ORDER BY score DESC, doc_id LIMIT 10"""
     # the request-body rank.rrf section is the same fusion
     o["ft_rank_rrf"] = o["ft_hybrid_rrf"]
     o["ft_retriever_rrf"] = o["ft_hybrid_rrf"]
+
+    # linear retriever: per-child minmax over the top-50 window
+    # ((s-min)/(max-min); degenerate window -> 1.0), weights 2.0
+    # lexical / 1.0 vector, missing child contributes 0
+    o["ft_retriever_linear"] = (
+        _cte(["spark", "batch"])
+        + """,
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+lex AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id)
+        AS r FROM agg QUALIFY r <= 50),
+lexn AS (SELECT doc_id,
+  CASE WHEN max(s) OVER () > min(s) OVER ()
+       THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+       ELSE 1.0 END AS ns FROM lex),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (SELECT e.vec_id AS doc_id,
+        list_dot_product(e.embedding, q.qe) /
+        (sqrt(list_dot_product(e.embedding, e.embedding)) *
+         sqrt(list_dot_product(q.qe, q.qe))) AS cr
+        FROM embeddings e CROSS JOIN qv q),
+vec AS (SELECT doc_id, cr, row_number() OVER (ORDER BY cr DESC, doc_id)
+        AS r FROM cos QUALIFY r <= 50),
+vecn AS (SELECT doc_id,
+  CASE WHEN max(cr) OVER () > min(cr) OVER ()
+       THEN (cr - min(cr) OVER ()) / (max(cr) OVER () - min(cr) OVER ())
+       ELSE 1.0 END AS ns FROM vec),
+u AS (SELECT doc_id, 2.0 * ns AS c FROM lexn
+      UNION ALL SELECT doc_id, 1.0 * ns FROM vecn),
+f AS (SELECT doc_id, sum(c) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM f
+ORDER BY score DESC, doc_id LIMIT 10"""
+    )
 
     # significant terms: top-50 'spark' matches as foreground, whole
     # corpus as background, JLH = (fg% - bg%) * fg%/bg%

@@ -4172,6 +4172,10 @@ def run_retriever(
                  are page-sized frames, so ranking windows and the
                  fuse groupBy run on ~N*window rows, never the
                  corpus. Nested rrf is refused (as in ES).
+    linear    -> ES 8.16 weighted score fusion: sum of
+                 weight_i * normalizer_i(score) per child window
+                 (normalizers none / minmax / l2_norm, computed on
+                 the page frame only)
     text_similarity_reranker -> refused (needs an inference
                  endpoint this engine doesn't have)."""
     from pyspark.sql import Window, functions as F
@@ -4226,6 +4230,82 @@ def run_retriever(
                     "doc_id",
                     (F.lit(1.0) / (F.lit(k0) + F.col("_r"))).alias("_c"),
                 )
+            )
+            fused = c if fused is None else fused.unionAll(c)
+        return (
+            fused.groupBy("doc_id")
+            .agg(F.sum("_c").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(depth)
+        )
+    if kind == "linear":
+        # ES 8.16 linear retriever: score(d) = sum_i weight_i *
+        # normalizer_i(score_i(d)) over each child's rank window;
+        # docs missing from a child contribute 0 there. Normalizers
+        # run over the child's PAGE (<= window rows, a one-row stats
+        # frame cross-joined back), never the corpus:
+        #   none    identity
+        #   minmax  (s - min)/(max - min); degenerate window
+        #           (max == min) normalizes every member to 1.0 —
+        #           membership itself still carries signal
+        #   l2_norm s / sqrt(sum s^2); all-zero window stays 0
+        subs = body.get("retrievers")
+        if not subs:
+            raise UnsupportedDSL(
+                "linear retriever: needs `retrievers`"
+            )
+        window = int(body.get("rank_window_size", 50))
+        fused = None
+        for s in subs:
+            if not isinstance(s, dict) or "retriever" not in s:
+                raise UnsupportedDSL(
+                    "linear retriever: each entry is "
+                    "{retriever, weight?, normalizer?}"
+                )
+            wgt = float(s.get("weight", 1.0))
+            norm = s.get("normalizer", "none")
+            page = run_retriever(
+                executor, s["retriever"], depth=window, emb=emb,
+                docs=docs, feats=feats, id_col=id_col,
+            )
+            if norm == "none":
+                scored = page.select("doc_id", F.col("score").alias("_s"))
+            elif norm == "minmax":
+                st = page.agg(
+                    F.min("score").alias("_mn"),
+                    F.max("score").alias("_mx"),
+                )
+                scored = page.crossJoin(F.broadcast(st)).select(
+                    "doc_id",
+                    F.when(
+                        F.col("_mx") > F.col("_mn"),
+                        (F.col("score") - F.col("_mn"))
+                        / (F.col("_mx") - F.col("_mn")),
+                    )
+                    .otherwise(F.lit(1.0))
+                    .alias("_s"),
+                )
+            elif norm == "l2_norm":
+                st = page.agg(
+                    F.sqrt(F.sum(F.col("score") * F.col("score"))).alias(
+                        "_l2"
+                    )
+                )
+                scored = page.crossJoin(F.broadcast(st)).select(
+                    "doc_id",
+                    F.when(
+                        F.col("_l2") > 0, F.col("score") / F.col("_l2")
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("_s"),
+                )
+            else:
+                raise UnsupportedDSL(
+                    f"linear retriever normalizer {norm!r}: use "
+                    "none | minmax | l2_norm"
+                )
+            c = scored.select(
+                "doc_id", (F.col("_s") * F.lit(wgt)).alias("_c")
             )
             fused = c if fused is None else fused.unionAll(c)
         return (

@@ -156,3 +156,118 @@ def test_retriever_refusals(unit_index, emb_unit):
             {"retriever": {"standard": {"query": {
                 "match": {"content": "x"}}}}, "sort": ["doc_id"]},
         )
+
+
+def test_linear_single_child_none_is_identity(unit_index):
+    """One child, weight 1, normalizer none == the child's page."""
+    from lucille_spark.esdsl import search_es
+
+    ex = _ex(unit_index)
+    a = search_es(
+        ex,
+        {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {
+                "content": "cats dogs"}}}}},
+        ], "rank_window_size": 7}}, "size": 7},
+    ).collect()
+    b = search_es(
+        ex, {"query": {"match": {"content": "cats dogs"}}, "size": 7}
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in a] == [
+        (r.doc_id, round(r.score, 9)) for r in b
+    ]
+
+
+def test_linear_minmax_hand_computed(unit_index, emb_unit):
+    """Two-child weighted minmax fusion vs a driver-side replica of
+    the exact same windows."""
+    from lucille_spark.esdsl import knn_es, search_es
+
+    ex = _ex(unit_index)
+    qv = [float(x) for x in emb_unit.limit(1).collect()[0]["embedding"]]
+    lex = search_es(
+        ex, {"query": {"match": {"content": "cats dogs"}}, "size": 25}
+    ).collect()
+    vec = knn_es(emb_unit, {"field": "embedding", "query_vector": qv,
+                            "k": 25}).collect()
+
+    def minmax(rows, sk):
+        vals = [getattr(r, sk) for r in rows]
+        mn, mx = min(vals), max(vals)
+        return {
+            r[0]: ((getattr(r, sk) - mn) / (mx - mn) if mx > mn else 1.0)
+            for r in rows
+        }
+
+    ln, vn = minmax(lex, "score"), minmax(vec, "cosine")
+    want = {}
+    for d, s in ln.items():
+        want[d] = want.get(d, 0.0) + 2.0 * s
+    for d, s in vn.items():
+        want[d] = want.get(d, 0.0) + 0.5 * s
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:10]
+
+    got = search_es(
+        ex,
+        {
+            "retriever": {"linear": {"retrievers": [
+                {"retriever": {"standard": {"query": {"match": {
+                    "content": "cats dogs"}}}},
+                 "weight": 2.0, "normalizer": "minmax"},
+                {"retriever": {"knn": {"field": "embedding",
+                                       "query_vector": qv}},
+                 "weight": 0.5, "normalizer": "minmax"},
+            ], "rank_window_size": 25}},
+            "size": 10,
+        },
+        emb=emb_unit,
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in top
+    ]
+
+
+def test_linear_l2_norm_hand_computed(unit_index):
+    import math
+
+    from lucille_spark.esdsl import search_es
+
+    ex = _ex(unit_index)
+    page = search_es(
+        ex, {"query": {"match": {"content": "cats"}}, "size": 25}
+    ).collect()
+    l2 = math.sqrt(sum(r.score * r.score for r in page))
+    want = sorted(
+        ((r.doc_id, 3.0 * r.score / l2) for r in page),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    got = search_es(
+        ex,
+        {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {
+                "content": "cats"}}}},
+             "weight": 3.0, "normalizer": "l2_norm"},
+        ], "rank_window_size": 25}}, "size": 5},
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+
+
+def test_linear_refusals(unit_index):
+    import pytest as _pt
+
+    from lucille_spark.esdsl import UnsupportedDSL, search_es
+
+    ex = _ex(unit_index)
+    with _pt.raises(UnsupportedDSL):
+        search_es(ex, {"retriever": {"linear": {}}})
+    with _pt.raises(UnsupportedDSL):
+        search_es(ex, {"retriever": {"linear": {"retrievers": [
+            {"standard": {"query": {"match": {"content": "x"}}}},
+        ]}}})  # entries must be {retriever: ...}, bare spec refused
+    with _pt.raises(UnsupportedDSL):
+        search_es(ex, {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {
+                "content": "x"}}}}, "normalizer": "softmax"},
+        ]}}})
