@@ -4407,6 +4407,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_alias"] = ft_alias_q
 
+    # indices_boost over the same two alias parts (lo-half x1.5,
+    # hi-half x0.75), applied BEFORE the top-k cut — both executors
+    def _indices_boost_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _alias_index_for(s, d)
+        n = _docs(s, d).count()
+        half = n // 2
+        boosts = [(0, half, 1.5), (half, n, 0.75)]
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("batch AND window", k=10, doc_boosts=boosts)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_indices_boost"] = _indices_boost_q
+    q["wand_indices_boost"] = lambda s, d: _indices_boost_q(
+        s, d, wand=True
+    )
+
     def wand_alias_q(s, d):
         from lucille_spark.exec_wand import WandExecutor
 
@@ -9659,6 +9678,21 @@ SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     )
     o["wand_alias"] = o["ft_alias"]
+
+    # indices_boost: whole-corpus AND scores x1.5 for the lo half /
+    # x0.75 for the hi half of the doc-id space, boosted BEFORE the
+    # top-10 cut
+    o["ft_indices_boost"] = (
+        _cte(["batch", "window"])
+        + """, agg AS (SELECT doc_id, sum(s) AS s FROM sc
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+b AS (SELECT doc_id, s * (CASE WHEN doc_id <
+        (SELECT count(*) // 2 FROM documents)
+      THEN 1.5 ELSE 0.75 END) AS s FROM agg)
+SELECT doc_id, round(s, 4) AS score FROM b
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+    o["wand_indices_boost"] = o["ft_indices_boost"]
 
     # two fixed terms ('spark','batch' adjacent) + 'win%' completion
     # one position later; tf = distinct qualifying starts

@@ -63,6 +63,18 @@ def _score_col(
     return (w if isinstance(w, Column) else F.lit(float(w))) * shape
 
 
+def _boost_case(doc_boosts):
+    """CASE multiplier over disjoint (lo, hi, factor) doc-id ranges;
+    ids outside every range keep factor 1.0."""
+    b = F.lit(1.0)
+    for lo, hi, f in doc_boosts:
+        b = F.when(
+            (F.col("doc_id") >= int(lo)) & (F.col("doc_id") < int(hi)),
+            F.lit(float(f)),
+        ).otherwise(b)
+    return b
+
+
 class DataFrameExecutor:
     def __init__(self, index: SparkIndex):
         self.ix = index
@@ -75,13 +87,22 @@ class DataFrameExecutor:
         k: Optional[int] = 10,
         with_meta: bool = False,
         synonyms=None,
+        doc_boosts=None,
     ) -> DataFrame:
         """-> DataFrame(doc_id, score) in (score desc, doc_id asc)
         order, limited to k (None = all matches). `synonyms` maps a
         query term to alternatives blended with Lucene SynonymQuery
-        stats (plans.Planner.with_synonyms)."""
+        stats (plans.Planner.with_synonyms). `doc_boosts` is a list
+        of (lo, hi, factor) doc-id ranges whose scores multiply by
+        `factor` BEFORE the top-k cut — the ES `indices_boost`
+        primitive (alias parts occupy disjoint id ranges); applied
+        as one CASE column, no extra pass."""
         node = self.ix.plan(query, synonyms=synonyms)
         df = self.evaluate(node)
+        if doc_boosts:
+            df = df.withColumn(
+                "score", F.col("score") * _boost_case(doc_boosts)
+            )
         # tombstoned docs (index.maintenance.delete_docs) are excluded
         # from results; scores/stats stay as built until purge. The
         # delete set is small by contract -> broadcast anti-join, no

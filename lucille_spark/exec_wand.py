@@ -104,8 +104,15 @@ class WandExecutor:
 
     def search(
         self, query, k: int = 10, with_meta: bool = False,
-        synonyms=None,
+        synonyms=None, doc_boosts=None,
     ) -> DataFrame:
+        """`doc_boosts`: (lo, hi, factor) doc-id ranges multiplying
+        scores before the global top-k cut (ES `indices_boost`).
+        Applied to the per-shard kernel output, which is EXACT as
+        long as each range covers whole shards (alias parts do:
+        every shard belongs to one part): a constant positive factor
+        never reorders a shard's local top-k, so the boosted global
+        winners are all still present at the merge."""
         if k is None:
             # the WAND kernel is inherently top-k; UNBOUNDED match
             # sets (delete_by_query, constant_score/boosting legs,
@@ -116,7 +123,8 @@ class WandExecutor:
             from lucille_spark.exec_df import DataFrameExecutor
 
             return DataFrameExecutor(self.ix).search(
-                query, k=None, with_meta=with_meta, synonyms=synonyms
+                query, k=None, with_meta=with_meta, synonyms=synonyms,
+                doc_boosts=doc_boosts,
             )
         ix = self.ix
         node = ix.plan(query, synonyms=synonyms)
@@ -173,6 +181,12 @@ class WandExecutor:
         else:
             local = segs.groupBy("shard").applyInPandas(
                 kernel, schema=schema
+            )
+        if doc_boosts:
+            from lucille_spark.exec_df import _boost_case
+
+            local = local.withColumn(
+                "score", F.col("score") * _boost_case(doc_boosts)
             )
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if with_meta and not meta_out:

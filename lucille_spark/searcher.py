@@ -100,11 +100,48 @@ class Searcher:
     # -- core ------------------------------------------------------
     def search(
         self, query, k: int = 10, with_meta: bool = False,
-        synonyms=None,
+        synonyms=None, indices_boost=None,
     ):
+        """`indices_boost` (alias serving only): the ES request-body
+        section — {index_dir: factor} or a positional [factor, ...]
+        over the alias parts; each part's scores multiply by its
+        factor BEFORE the top-k cut. Resolved to doc-id ranges via
+        the alias's part table, then applied inside the executor."""
         return self.executor.search(
-            query, k=k, with_meta=with_meta, synonyms=synonyms
+            query, k=k, with_meta=with_meta, synonyms=synonyms,
+            doc_boosts=self._resolve_indices_boost(indices_boost),
         )
+
+    def _resolve_indices_boost(self, indices_boost):
+        if not indices_boost:
+            return None
+        ranges = getattr(self.index, "part_ranges", None)
+        if not ranges:
+            raise ValueError(
+                "indices_boost needs alias serving: open this "
+                "Searcher over a LIST of index dirs"
+            )
+        if isinstance(indices_boost, dict):
+            unknown = set(indices_boost) - {d for d, _, _ in ranges}
+            if unknown:
+                raise ValueError(
+                    f"indices_boost: unknown index dirs {sorted(unknown)}"
+                )
+            return [
+                (lo, hi, float(indices_boost[d]))
+                for d, lo, hi in ranges
+                if d in indices_boost
+            ]
+        factors = list(indices_boost)
+        if len(factors) != len(ranges):
+            raise ValueError(
+                f"indices_boost: {len(factors)} factors for "
+                f"{len(ranges)} alias parts"
+            )
+        return [
+            (lo, hi, float(f))
+            for (d, lo, hi), f in zip(ranges, factors)
+        ]
 
     def search_many(self, queries, k: int = 10, **kw) -> DataFrame:
         return self.executor.search_many(queries, k=k, **kw)

@@ -256,6 +256,16 @@ class MultiIndex:
             "meta_cols": stats[0].get("meta_cols", []),
             "n_terms": None,
         }
+        # per-part doc-id ranges under the open_alias rebasing
+        # contract (part i serves [off_i, off_i + n_docs_i)); only
+        # meaningful when offsets are real rebases of local ids —
+        # i.e. always through open_alias, which is what
+        # Searcher(indices_boost=...) resolves against
+        self.part_dirs = list(delta_dirs)
+        self.part_ranges = [
+            (d, off, off + int(s["n_docs"]))
+            for d, off, s in zip(delta_dirs, offs, stats)
+        ]
         offsets = [i * _SHARD_STRIDE for i in range(len(delta_dirs))]
         self.flat = _union_parquet(
             spark,

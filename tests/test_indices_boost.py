@@ -1,0 +1,95 @@
+"""ES `indices_boost` over alias serving: per-part score
+multipliers applied BEFORE the top-k cut, exact on both executors,
+resolved from dir->factor or positional factors by the Searcher."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def alias_dirs(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+
+    tmp = tmp_path_factory.mktemp("ixboost")
+    rows_a = [
+        ("r1", "a", 1, "spark batch join window"),
+        ("r1", "b", 1, "filter merge sort spark"),
+        ("r1", "c", 1, "spark batch batch"),
+    ]
+    rows_b = [
+        ("r2", "d", 1, "spark window agg"),
+        ("r2", "e", 1, "spark spark batch"),
+        ("r2", "f", 1, "batch only here"),
+    ]
+    dirs = []
+    for name, rows in (("pa", rows_a), ("pb", rows_b)):
+        out = str(tmp / name)
+        docs = spark.createDataFrame(
+            rows, "repo string, path string, commit int, content string"
+        )
+        IndexBuilder(num_shards=2, block_size=32).build(docs, out)
+        dirs.append(out)
+    return dirs
+
+
+def _boosted_reference(searcher, q, factors):
+    """Unbounded un-boosted match set, boosted driver-side."""
+    ranges = searcher.index.part_ranges
+    rows = searcher.search(q, k=None).collect()
+    out = []
+    for r in rows:
+        f = 1.0
+        for (_, lo, hi), fac in zip(ranges, factors):
+            if lo <= r.doc_id < hi:
+                f = fac
+        out.append((r.doc_id, r.score * f))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return [(d, round(s, 9)) for d, s in out]
+
+
+@pytest.mark.parametrize("executor", ["df", "wand"])
+def test_boost_exact_before_cut(spark, alias_dirs, executor):
+    from lucille_spark.searcher import Searcher
+
+    s = Searcher(spark, alias_dirs, executor=executor)
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in s.search(
+            "spark OR batch", k=4, indices_boost=[0.25, 4.0]
+        ).collect()
+    ]
+    want = _boosted_reference(s, "spark OR batch", [0.25, 4.0])[:4]
+    assert got == want
+    # the boost must be able to REORDER across parts (not a no-op):
+    # with factor 4 on part b, a part-b doc must lead
+    ranges = s.index.part_ranges
+    assert ranges[1][1] <= got[0][0] < ranges[1][2]
+
+
+def test_dict_form_and_partial(spark, alias_dirs):
+    from lucille_spark.searcher import Searcher
+
+    s = Searcher(spark, alias_dirs, executor="df")
+    a = [
+        (r.doc_id, round(r.score, 9))
+        for r in s.search(
+            "spark", k=6, indices_boost={alias_dirs[1]: 3.0}
+        ).collect()
+    ]
+    b = _boosted_reference(s, "spark", [1.0, 3.0])[:6]
+    assert a == b
+
+
+def test_refusals(spark, alias_dirs):
+    from lucille_spark.searcher import Searcher
+
+    s = Searcher(spark, alias_dirs, executor="df")
+    with pytest.raises(ValueError, match="factors for"):
+        s.search("spark", indices_boost=[1.0])
+    with pytest.raises(ValueError, match="unknown index dirs"):
+        s.search("spark", indices_boost={"/nope": 2.0})
+    single = Searcher(spark, alias_dirs[0], cache=False)
+    with pytest.raises(ValueError, match="alias serving"):
+        single.search("spark", indices_boost=[2.0])
+    # no boost given -> plain path untouched
+    assert single.search("spark", k=2).count() == 2
