@@ -4374,6 +4374,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_include"] = agg_include_q
 
+    # sharded terms-agg approximation: per-shard top-3 sources over
+    # the 'spark' match set, merged with per-term error bounds
+    def agg_terms_sharded_q(s, d):
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        return aggs_es(
+            ex,
+            {"s": {"terms": {
+                "field": "source", "size": 5, "shard_size": 3,
+                "show_term_doc_count_error": True,
+            }}},
+            query={"match": {"content": "spark"}},
+        )["s"]
+
+    q["ft_terms_sharded"] = agg_terms_sharded_q
+
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -9612,6 +9630,35 @@ c AS (SELECT d.lang, count(*) AS doc_count
       GROUP BY d.lang)
 SELECT lang, doc_count FROM c WHERE doc_count >= 2
 ORDER BY doc_count DESC, lang LIMIT 10"""
+
+    # sharded terms approximation: shard = doc_id // ceil(n/4) (the
+    # builder's doc-range sharding), per-shard top-3 by (count desc,
+    # key), error(t) = total of last-rank counts minus the lasts of
+    # shards that DID return t; a shard with <= 3 terms contributes 0
+    o["ft_terms_sharded"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+nd AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS span
+       FROM documents),
+sp AS (SELECT CAST(m.doc_id // nd.span AS INT) AS shard, d.source
+       FROM m JOIN documents d USING (doc_id) CROSS JOIN nd),
+per AS (SELECT shard, source, count(*) AS c
+        FROM sp GROUP BY shard, source),
+rk AS (SELECT shard, source, c,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY c DESC, source) AS r,
+       count(*) OVER (PARTITION BY shard) AS ntot FROM per),
+lasts AS (SELECT shard,
+          coalesce(max(CASE WHEN r = 3 AND ntot > 3 THEN c END), 0)
+          AS lastc FROM rk GROUP BY shard),
+tot AS (SELECT CAST(sum(lastc) AS BIGINT) AS te FROM lasts),
+kept AS (SELECT * FROM rk WHERE r <= 3),
+mg AS (SELECT kept.source, CAST(sum(kept.c) AS BIGINT) AS doc_count,
+       CAST((SELECT te FROM tot) - sum(l.lastc) AS BIGINT)
+         AS doc_count_error_upper_bound
+       FROM kept JOIN lasts l USING (shard) GROUP BY kept.source)
+SELECT source, doc_count, doc_count_error_upper_bound FROM mg
+ORDER BY doc_count DESC, source LIMIT 5"""
 
     # cumulative_sum + derivative pipeline aggs over day buckets
     o["ev_pipeline"] = """

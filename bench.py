@@ -182,6 +182,25 @@ def main():
     batch32_sec = sorted(b32)[1]
     out["batch32_ms_per_query"] = round(batch32_sec * 1000 / 32, 2)
 
+    # batch=256 (VERDICT r2 #7): the WAND path is the documented big-
+    # batch serving shape — ONE union predicate + one kernel pass, so
+    # driver-side plan construction stays O(1) in batch size (the DF
+    # twin unions N full plans and is documented as not-the-batch-
+    # path). 2 reps, report effective per-query ms.
+    batch256 = _mixed_batch(
+        ["spark", "batch", "window", "table", "stream", "scan",
+         "group", "filter", "merge", "index", "query", "partition",
+         "join", "sort", "cache", "shuffle"],
+        256,
+    )
+    wde_c.search_many(batch256, k=10).collect()  # warm
+    b256 = []
+    for _ in range(2):
+        t0 = time.time()
+        wde_c.search_many(batch256, k=10).collect()
+        b256.append(time.time() - t0)
+    out["batch256_ms_per_query"] = round(min(b256) * 1000 / 256, 2)
+
     # optional: batch=32 at a 640k-doc corpus (BENCH_BIG=1) — the
     # serving story at 8x the default bench corpus; results recorded
     # in BENCH/BASELINE.md
@@ -335,6 +354,7 @@ def main():
                     kk: out[kk]
                     for kk in (
                         "batch32_ms_per_query",
+                        "batch256_ms_per_query",
                         "sparse_query_ms",
                         "sparse_batch32_ms_per_query",
                         "maxsim_query_ms",

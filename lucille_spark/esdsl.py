@@ -2110,6 +2110,88 @@ def _nested_bucket_frames(j, parents, prefix, sub):
     return out
 
 
+def _terms_sharded(executor, matches, body, size):
+    """ES terms agg DISTRIBUTED approximation (`shard_size` +
+    `show_term_doc_count_error`): each shard contributes only its
+    local top-`shard_size` terms; the merge sums the contributed
+    counts and bounds what a missing shard could have hidden —
+    doc_count_error_upper_bound(t) = sum over shards that did NOT
+    return t of that shard's LAST returned count (0 for a shard
+    that returned its complete term list, as in ES). This is the
+    honest 1000-executor contract for top-N over unbounded key
+    cardinality: per-shard state is shard_size rows, the merge is
+    n_shards x shard_size rows, and the error column tells the user
+    exactly how approximate the cut is. Shards are the index's real
+    doc-range shards (builder: shard = doc_id // span).
+    -> (field, doc_count desc, doc_count_error_upper_bound),
+    top `size`. Default shard_size = size * 1.5 + 10 (ES)."""
+    from pyspark.sql import Window, functions as F
+
+    field = body["field"]
+    shard_size = int(body.get("shard_size", size * 1.5 + 10))
+    meta = executor.ix.doclens.select("doc_id", "shard", field)
+    j = matches.select("doc_id").join(meta, "doc_id")
+    if "missing" in body:
+        j = j.withColumn(
+            field, F.coalesce(F.col(field), F.lit(body["missing"]))
+        )
+    inc, exc = body.get("include"), body.get("exclude")
+    if inc is not None:
+        j = j.filter(
+            F.col(field).isin([str(x) for x in inc])
+            if isinstance(inc, (list, tuple))
+            else F.col(field).rlike(f"^(?:{inc})$")
+        )
+    if exc is not None:
+        j = j.filter(
+            ~F.col(field).isin([str(x) for x in exc])
+            if isinstance(exc, (list, tuple))
+            else ~F.col(field).rlike(f"^(?:{exc})$")
+        )
+    per = j.groupBy("shard", field).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("_c"), F.asc(field)
+    )
+    ranked = per.withColumn("_r", F.row_number().over(w))
+    kept = ranked.filter(F.col("_r") <= shard_size)
+    # per-shard error floor: the count at rank shard_size, or 0 when
+    # the shard returned every term it had (n_terms <= shard_size)
+    lasts_rows = (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(
+                F.when(F.col("_r") == shard_size, F.col("_c"))
+            ).alias("_last"),
+        )
+        .collect()
+    )  # bounded by shard count, never data size
+    lasts = {
+        r["shard"]: (int(r["_last"]) if r["_n"] > shard_size else 0)
+        for r in lasts_rows
+    }
+    total_err = sum(lasts.values())
+    spark = executor.ix.spark
+    lf = spark.createDataFrame(
+        [(int(s), int(v)) for s, v in lasts.items()],
+        "shard int, _last long",
+    )
+    return (
+        kept.join(F.broadcast(lf), "shard")
+        .groupBy(field)
+        .agg(
+            F.sum("_c").alias("doc_count"),
+            (F.lit(int(total_err)) - F.sum("_last")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+        .orderBy(F.desc("doc_count"), F.asc(field))
+        .limit(size)
+    )
+
+
 def aggs_es(
     executor, aggs: Dict[str, Any], query=None, k: int = 10, docs=None,
     _matches=None,
@@ -3601,6 +3683,27 @@ def aggs_es(
         if kind == "terms":
             field = body["field"]
             size = int(body.get("size", 10))
+            if "shard_size" in body or body.get(
+                "show_term_doc_count_error"
+            ):
+                if sub:
+                    raise UnsupportedDSL(
+                        f"agg {name}: shard_size/"
+                        "show_term_doc_count_error with sub-aggs is "
+                        "not supported — run the exact terms agg "
+                        "(drop shard_size) or aggregate the "
+                        "sub-metric separately"
+                    )
+                for bad in ("order", "min_doc_count"):
+                    if bad in body:
+                        raise UnsupportedDSL(
+                            f"agg {name}: {bad} with the sharded "
+                            "approximation is not supported"
+                        )
+                out[name] = _terms_sharded(
+                    executor, matches, body, size
+                )
+                continue
             th_spec = None
             for sname, sspec in sub.items():
                 skind = _agg_kind(sspec)

@@ -1,0 +1,97 @@
+"""Sharded terms-agg approximation (`shard_size` +
+`show_term_doc_count_error`): hand-computed error bounds on a
+corpus engineered so shard-local top-N genuinely misses counts, the
+true-count soundness invariant, and refusals."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def six(spark, tmp_path_factory):
+    """12 docs, 2 shards (span 6: ids 0-5 / 6-11); every doc matches
+    'x'. Category layout per shard (category: count):
+      shard 0: p:3 q:2 r:1      shard 1: q:3 r:2 p:1
+    With shard_size=2, shard 0 returns p:3 q:2 (drops r:1, last=2),
+    shard 1 returns q:3 r:2 (drops p:1, last=2)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    cats = ["p", "p", "p", "q", "q", "r", "q", "q", "q", "r", "r", "p"]
+    docs = spark.createDataFrame(
+        [(i, "x word", c) for i, c in enumerate(cats)],
+        "doc_id long, text string, cat string",
+    )
+    out = str(tmp_path_factory.mktemp("shix") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, out, content_col="text", id_col="doc_id",
+        meta_cols=["cat"],
+    )
+    return DataFrameExecutor(SparkIndex(spark, out, cache=True))
+
+
+def _run(six, **body):
+    from lucille_spark.esdsl import aggs_es
+
+    return aggs_es(
+        six,
+        {"t": {"terms": {"field": "cat", **body}}},
+        query={"match": {"content": "x"}},
+    )["t"].collect()
+
+
+def test_hand_computed_counts_and_errors(six):
+    rows = _run(six, size=3, shard_size=2,
+                show_term_doc_count_error=True)
+    got = {
+        r["cat"]: (r["doc_count"], r["doc_count_error_upper_bound"])
+        for r in rows
+    }
+    # merged visible counts: q = 2+3 = 5 (seen by both, error 0);
+    # p = 3 (missing from shard 1, error = shard 1's last = 2);
+    # r = 2 (missing from shard 0, error = shard 0's last = 2)
+    assert got == {"q": (5, 0), "p": (3, 2), "r": (2, 2)}
+    # order: doc_count desc, key asc
+    assert [r["cat"] for r in rows] == ["q", "p", "r"]
+
+
+def test_soundness_true_count_within_bound(six):
+    """visible <= true <= visible + error for every returned term."""
+    rows = _run(six, size=3, shard_size=2,
+                show_term_doc_count_error=True)
+    true = {"p": 4, "q": 5, "r": 3}
+    for r in rows:
+        lo = r["doc_count"]
+        hi = r["doc_count"] + r["doc_count_error_upper_bound"]
+        assert lo <= true[r["cat"]] <= hi
+
+
+def test_large_shard_size_is_exact(six):
+    """shard_size >= per-shard cardinality -> exact counts, error 0
+    (every shard returned its complete list)."""
+    rows = _run(six, size=3, shard_size=10,
+                show_term_doc_count_error=True)
+    got = {
+        r["cat"]: (r["doc_count"], r["doc_count_error_upper_bound"])
+        for r in rows
+    }
+    assert got == {"p": (4, 0), "q": (5, 0), "r": (3, 0)}
+
+
+def test_refusals(six):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+
+    with pytest.raises(UnsupportedDSL, match="sub-aggs"):
+        aggs_es(
+            six,
+            {"t": {"terms": {"field": "cat", "shard_size": 2},
+                   "aggs": {"m": {"avg": {"field": "doc_len"}}}}},
+            query={"match": {"content": "x"}},
+        )
+    with pytest.raises(UnsupportedDSL, match="order"):
+        aggs_es(
+            six,
+            {"t": {"terms": {"field": "cat", "shard_size": 2,
+                             "order": {"_key": "asc"}}}},
+            query={"match": {"content": "x"}},
+        )
