@@ -2479,6 +2479,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_funnel"] = lambda s, d: ev.funnel(
         _events(s, d), ["view", "click", "purchase"]
     )
+    # EQL `sequence by user_id with maxspan=1d [view][click][purchase]`:
+    # every anchored in-order chain, earliest-completion witness,
+    # ONE shuffle (shared user-sorted window frames)
+    q["ev_eql_seq"] = lambda s, d: ev.eql_sequence(
+        _events(s, d), ["view", "click", "purchase"], 86400.0
+    )
     q["ev_props"] = lambda s, d: ev.props_stats(_events(s, d))
     q["ev_retention"] = lambda s, d: ev.retention(
         _events(s, d), period_seconds=7 * 86400
@@ -6303,6 +6309,27 @@ GROUP BY f.cohort, act.p - f.cohort
 ORDER BY cohort, period_n"""
 
     # funnel view -> click -> purchase: chained earliest-match minima
+    o["ev_eql_seq"] = """
+WITH base AS (
+  SELECT user_id, event_id AS id, event_type AS t, epoch(ts) AS e
+  FROM events
+), l3 AS (
+  SELECT *, CASE WHEN t = 'purchase' THEN e END AS c3 FROM base
+), m3 AS (
+  SELECT *, min(c3) OVER (PARTITION BY user_id ORDER BY e, id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a3 FROM l3
+), l2 AS (
+  SELECT *, CASE WHEN t = 'click' THEN a3 END AS c2 FROM m3
+), m2 AS (
+  SELECT *, min(c2) OVER (PARTITION BY user_id ORDER BY e, id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a2 FROM l2
+)
+SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
+       round(a2, 3) AS end_ts, round(a2 - e, 3) AS span_s
+FROM m2
+WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
+ORDER BY user_id, start_id"""
+
     o["ev_funnel"] = """
 WITH ev AS (SELECT user_id, event_type, epoch(ts) AS e FROM events),
 s1 AS (SELECT user_id, min(e) AS t1 FROM ev

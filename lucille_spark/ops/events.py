@@ -237,6 +237,80 @@ def funnel(
     ).orderBy("user_id")
 
 
+def eql_sequence(
+    df: DataFrame,
+    steps: "list[str]",
+    maxspan_s: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """EQL ``sequence by <user> with maxspan=<t> [s1] [s2] ... [sn]``
+    (Elastic EQL): per user, every step-1 event from which the
+    remaining steps can be completed strictly-in-order within
+    `maxspan_s` of the step-1 event. Each match reports the
+    EARLIEST-completion witness (the minimum achievable end
+    timestamp over all valid chains from that anchor) — a sequence
+    within maxspan exists from an anchor iff its earliest completion
+    does, so the filter is exact and the witness deterministic.
+
+    Plan: backward induction with min-over-following window frames.
+    c_n(row) = ts where type = s_n; then for k = n-1 .. 1,
+    c_k(row) = min(c_{k+1}) OVER (PARTITION BY user ORDER BY ts, id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) at type-s_k
+    rows (the earliest completion of steps k+1..n strictly after
+    this row). ONE shuffle (the user partition); the n-1 window
+    passes share its sort and run in whole-stage codegen — no
+    self-joins, no per-anchor scans, state O(1) per row. Ordered-
+    sequence matching over 100 TB of logs at the cost of one
+    sessionize.
+
+    "Strictly after" breaks timestamp ties by `id_col` (an event
+    with equal ts but larger id counts as after).
+    -> (user_id, start_id, start_ts, end_ts, span_s), one row per
+    matching anchor.
+    """
+    if len(steps) < 2:
+        raise ValueError("eql_sequence needs >= 2 steps")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+        _epoch_s(F.col(ts_col)).alias("_e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_e", "_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = base.withColumn(
+        "_c", F.when(F.col("_t") == steps[-1], F.col("_e"))
+    )
+    for step in reversed(steps[:-1]):
+        d = d.withColumn(
+            "_c",
+            F.when(F.col("_t") == step, F.min("_c").over(w)),
+        )
+    return (
+        d.filter(
+            (F.col("_t") == steps[0])
+            & F.col("_c").isNotNull()
+            & (F.col("_c") - F.col("_e") <= F.lit(float(maxspan_s)))
+        )
+        .select(
+            "user_id",
+            F.col("_id").alias("start_id"),
+            F.round("_e", 3).alias("start_ts"),
+            F.round("_c", 3).alias("end_ts"),
+            F.round(F.col("_c") - F.col("_e"), 3).alias("span_s"),
+        )
+        .orderBy("user_id", "start_id")
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

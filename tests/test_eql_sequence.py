@@ -1,0 +1,118 @@
+"""EQL `sequence by user with maxspan` — earliest-completion
+semantics, strict ordering, maxspan filter, tie-breaking."""
+
+from lucille_spark.ops.events import eql_sequence
+
+import pytest
+
+
+def _ev(spark, rows):
+    # rows: (event_id, ts_str, user_id, event_type)
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id",
+        "cast(ts as timestamp) ts",
+        "user_id",
+        "event_type",
+    )
+
+
+def test_basic_chain_and_maxspan(spark):
+    df = _ev(
+        spark,
+        [
+            # user 1: view@0s, click@10s, purchase@30s -> span 30
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:10", 1, "click"),
+            (3, "2024-01-01 00:00:30", 1, "purchase"),
+            # user 2: click BEFORE view -> no ordered chain
+            (4, "2024-01-01 00:00:00", 2, "click"),
+            (5, "2024-01-01 00:00:10", 2, "view"),
+            (6, "2024-01-01 00:00:20", 2, "purchase"),
+            # user 3: full chain but span 120 > maxspan 60
+            (7, "2024-01-01 00:00:00", 3, "view"),
+            (8, "2024-01-01 00:01:00", 3, "click"),
+            (9, "2024-01-01 00:02:00", 3, "purchase"),
+        ],
+    )
+    out = eql_sequence(df, ["view", "click", "purchase"], 60.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.start_id, r.span_s) == (1, 1, 30.0)
+
+
+def test_earliest_completion_witness(spark):
+    # Two purchases after the click: the EARLIEST one is the witness.
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:05", 1, "click"),
+            (3, "2024-01-01 00:00:08", 1, "purchase"),
+            (4, "2024-01-01 00:00:50", 1, "purchase"),
+        ],
+    )
+    out = eql_sequence(df, ["view", "click", "purchase"], 600.0).collect()
+    assert len(out) == 1
+    assert out[0].end_ts - out[0].start_ts == pytest.approx(8.0)
+
+
+def test_every_anchor_reported(spark):
+    # Two views both complete within maxspan -> two rows.
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:02", 1, "view"),
+            (3, "2024-01-01 00:00:05", 1, "click"),
+            (4, "2024-01-01 00:00:09", 1, "purchase"),
+        ],
+    )
+    out = eql_sequence(df, ["view", "click", "purchase"], 600.0).collect()
+    assert [(r.start_id, r.span_s) for r in out] == [(1, 9.0), (2, 7.0)]
+
+
+def test_strictly_after_tie_broken_by_id(spark):
+    # click shares the view's timestamp: larger id counts as after,
+    # smaller id does not.
+    df = _ev(
+        spark,
+        [
+            (5, "2024-01-01 00:00:00", 1, "view"),
+            (6, "2024-01-01 00:00:00", 1, "click"),  # after (id 6 > 5)
+            (7, "2024-01-01 00:00:10", 1, "purchase"),
+            (9, "2024-01-01 00:01:00", 2, "view"),
+            (8, "2024-01-01 00:01:00", 2, "click"),  # NOT after (8 < 9)
+            (10, "2024-01-01 00:01:10", 2, "purchase"),
+        ],
+    )
+    out = eql_sequence(df, ["view", "click", "purchase"], 600.0).collect()
+    assert [r.user_id for r in out] == [1]
+
+
+def test_two_step_and_bad_args(spark):
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "error"),
+            (2, "2024-01-01 00:00:03", 1, "error"),
+            (3, "2024-01-01 00:00:04", 1, "signup"),
+        ],
+    )
+    out = eql_sequence(df, ["error", "signup"], 10.0).collect()
+    assert [(r.start_id, r.span_s) for r in out] == [(1, 4.0), (2, 1.0)]
+    with pytest.raises(ValueError):
+        eql_sequence(df, ["error"], 10.0)
+
+
+def test_one_shuffle_plan(spark):
+    df = _ev(spark, [(1, "2024-01-01 00:00:00", 1, "view")])
+    plan = eql_sequence(
+        df, ["view", "click", "purchase"], 60.0
+    )._jdf.queryExecution().executedPlan().toString()
+    # exactly one Exchange before the final ordering: the user
+    # hash partition shared by every window pass
+    body = plan.split("TakeOrderedAndProject")[-1]
+    n_exchanges = body.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
