@@ -1191,10 +1191,13 @@ _GATE_PRIORITY = [
     "ft_or", "ft_forcemerge",
     "ft_not",
     "ft_phrase", "wand_phrase",
-    # (wand_proximity freed its slot for wave-13/14 families — the
-    # WAND positional kernel stays covered by wand_phrase and the
-    # local mirror)
-    "ft_proximity",
+    # (wand_proximity freed its slot for wave-13/14 families, and
+    # ft_proximity freed its slot for the EQL sequence family — the
+    # ordered-within-span positional path stays covered by
+    # ft_phrase/wand_phrase/ft_spannear in-window plus the local
+    # mirror; ev_eql_seq is the backward-induction ordered-sequence
+    # shape, a new window-function semantic)
+    "ev_eql_seq",
     "ft_field",
     # (wand_field freed its slot for the edge_ngram index family —
     # the WAND meta-filter path stays covered by the local mirror;
@@ -2485,6 +2488,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_eql_seq"] = lambda s, d: ev.eql_sequence(
         _events(s, d), ["view", "click", "purchase"], 86400.0
     )
+    # EQL `until`: an error event expires every in-progress sequence
+    # for its user — completion must land strictly before it
+    q["ev_eql_until"] = lambda s, d: ev.eql_sequence(
+        _events(s, d), ["view", "click", "purchase"], 86400.0,
+        until="error",
+    )
+    # first-order Markov transition matrix (what-happens-next table)
+    q["ev_transitions"] = lambda s, d: ev.transition_matrix(_events(s, d))
+    # TSDB downsampling: hourly (bucket, series) rollup rows with
+    # count/sum/min/max/last — `last` ties broken by event_id inside
+    # ONE aggregation (lexicographic struct max)
+    q["ev_downsample"] = lambda s, d: ev.downsample(_events(s, d), 3600.0)
     q["ev_props"] = lambda s, d: ev.props_stats(_events(s, d))
     q["ev_retention"] = lambda s, d: ev.retention(
         _events(s, d), period_seconds=7 * 86400
@@ -4108,6 +4123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits(n, e, n_iter=2)
 
     q["gr_hits"] = gr_hits_q
+
+    def gr_triangles_q(s, d):
+        from lucille_spark.ops.graph import triangles
+
+        _, e = _graph(s, d)
+        return triangles(e)
+
+    q["gr_triangles"] = gr_triangles_q
 
     # ---- histogram agg + positional highlighting -------------------
     def agg_hist_q(s, d):
@@ -6329,6 +6352,64 @@ SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
 FROM m2
 WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
 ORDER BY user_id, start_id"""
+
+    # EQL until: the same induction plus the first-until-after-anchor
+    # bound (completion strictly before it)
+    o["ev_eql_until"] = """
+WITH base AS (
+  SELECT user_id, event_id AS id, event_type AS t, epoch(ts) AS e
+  FROM events
+), l3 AS (
+  SELECT *, CASE WHEN t = 'purchase' THEN e END AS c3 FROM base
+), m3 AS (
+  SELECT *, min(c3) OVER (PARTITION BY user_id ORDER BY e, id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a3 FROM l3
+), l2 AS (
+  SELECT *, CASE WHEN t = 'click' THEN a3 END AS c2 FROM m3
+), m2 AS (
+  SELECT *, min(c2) OVER (PARTITION BY user_id ORDER BY e, id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a2,
+    min(CASE WHEN t = 'error' THEN e END) OVER (
+      PARTITION BY user_id ORDER BY e, id
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS u FROM l2
+)
+SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
+       round(a2, 3) AS end_ts, round(a2 - e, 3) AS span_s
+FROM m2
+WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
+  AND (u IS NULL OR a2 < u)
+ORDER BY user_id, start_id"""
+
+    # Markov transition matrix: lead() pairs inside the user-sorted
+    # window, conditional p normalized over the tiny pair table
+    o["ev_transitions"] = """
+WITH b AS (
+  SELECT user_id, event_id AS id, event_type AS t, epoch(ts) AS e
+  FROM events
+), p AS (
+  SELECT t AS ft, lead(t) OVER (
+    PARTITION BY user_id ORDER BY e, id) AS tt FROM b
+), c AS (
+  SELECT ft, tt, count(*) AS n FROM p WHERE tt IS NOT NULL
+  GROUP BY ft, tt
+)
+SELECT ft AS from_type, tt AS to_type, n,
+       round(n / sum(n) OVER (PARTITION BY ft), 6) AS p
+FROM c ORDER BY from_type, to_type"""
+
+    # hourly TSDB rollup; `last` = lexicographic struct max over
+    # (epoch, id, value), the same one-aggregation trick as Spark
+    o["ev_downsample"] = """
+WITH b AS (
+  SELECT floor(epoch(ts) / 3600.0) * 3600.0 AS bucket_start,
+         event_type AS series, value::DOUBLE AS v,
+         epoch(ts) AS e, event_id AS id
+  FROM events
+)
+SELECT bucket_start, series, count(*) AS n,
+       round(sum(v), 4) AS v_sum, min(v) AS v_min, max(v) AS v_max,
+       (max(struct_pack(e := e, id := id, v := v))).v AS v_last
+FROM b GROUP BY bucket_start, series ORDER BY bucket_start, series"""
 
     o["ev_funnel"] = """
 WITH ev AS (SELECT user_id, event_type, epoch(ts) AS e FROM events),
@@ -9445,6 +9526,27 @@ FROM n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
 ORDER BY n.node"""
 
     o["gr_degrees"] = '\nWITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),\ne AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n\n      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),\no AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),\ni AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY dst)\nSELECT coalesce(o.node, i.node) AS node,\n       cast(coalesce(od, 0) as int) AS out_deg,\n       cast(coalesce(idg, 0) as int) AS in_deg\nFROM o FULL OUTER JOIN i USING (node) ORDER BY node'
+
+    # per-vertex triangle counts on the same fixture graph:
+    # id-canonical undirected edges, wedges closed by a third edge
+    # (orientation-invariant, so the oracle skips the degree trick)
+    o["gr_triangles"] = """
+WITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+e0 AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n
+       UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, cast(count(*) AS int) AS n_triangles
+FROM corners GROUP BY node ORDER BY node"""
 
     # histogram agg over doc_len of the 'spark' match set
     o["ft_agg_histogram"] = f"""

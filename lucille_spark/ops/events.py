@@ -239,32 +239,46 @@ def funnel(
 
 def eql_sequence(
     df: DataFrame,
-    steps: "list[str]",
+    steps: "list",
     maxspan_s: float,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    until=None,
 ) -> DataFrame:
-    """EQL ``sequence by <user> with maxspan=<t> [s1] [s2] ... [sn]``
-    (Elastic EQL): per user, every step-1 event from which the
-    remaining steps can be completed strictly-in-order within
-    `maxspan_s` of the step-1 event. Each match reports the
+    """EQL ``sequence by <user> with maxspan=<t> [s1] [s2] ... [sn]
+    until [u]`` (Elastic EQL): per user, every step-1 event from
+    which the remaining steps can be completed strictly-in-order
+    within `maxspan_s` of the step-1 event. Each match reports the
     EARLIEST-completion witness (the minimum achievable end
     timestamp over all valid chains from that anchor) — a sequence
     within maxspan exists from an anchor iff its earliest completion
     does, so the filter is exact and the witness deterministic.
 
+    Each step is an event-type string (``type == s``) or a boolean
+    Column over the input row (EQL's ``[category where cond]``);
+    `until`, if given, takes the same forms. An `until` event
+    expires every in-progress sequence for its key (EQL's state
+    machine): an anchor matches iff its earliest completion lands
+    STRICTLY BEFORE the first until event after the anchor — any
+    chain straddling an until event completes after it and is
+    correctly rejected, and the earliest completion is the
+    monotone witness for both the maxspan and the until bound.
+    (Until comparisons are by timestamp: an until event at exactly
+    the completion timestamp kills the sequence.)
+
     Plan: backward induction with min-over-following window frames.
-    c_n(row) = ts where type = s_n; then for k = n-1 .. 1,
+    c_n(row) = ts where step-n matches; then for k = n-1 .. 1,
     c_k(row) = min(c_{k+1}) OVER (PARTITION BY user ORDER BY ts, id
-    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) at type-s_k
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) at step-k
     rows (the earliest completion of steps k+1..n strictly after
-    this row). ONE shuffle (the user partition); the n-1 window
-    passes share its sort and run in whole-stage codegen — no
-    self-joins, no per-anchor scans, state O(1) per row. Ordered-
-    sequence matching over 100 TB of logs at the cost of one
-    sessionize.
+    this row); the until bound is one more min-over-following of
+    until timestamps. ONE shuffle (the user partition); the n
+    window passes share its sort and run in whole-stage codegen —
+    no self-joins, no per-anchor scans, state O(1) per row.
+    Ordered-sequence matching over 100 TB of logs at the cost of
+    one sessionize.
 
     "Strictly after" breaks timestamp ties by `id_col` (an event
     with equal ts but larger id counts as after).
@@ -273,13 +287,21 @@ def eql_sequence(
     """
     if len(steps) < 2:
         raise ValueError("eql_sequence needs >= 2 steps")
-    from pyspark.sql import Window
+    from pyspark.sql import Column, Window
 
+    def cond(spec) -> Column:
+        if isinstance(spec, Column):
+            return spec
+        return F.col(type_col) == spec
+
+    marks = [cond(s).alias(f"_m{i}") for i, s in enumerate(steps)]
+    if until is not None:
+        marks.append(cond(until).alias("_mu"))
     base = df.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("_id"),
-        F.col(type_col).alias("_t"),
         _epoch_s(F.col(ts_col)).alias("_e"),
+        *marks,
     )
     w = (
         Window.partitionBy("user_id")
@@ -287,19 +309,23 @@ def eql_sequence(
         .rowsBetween(1, Window.unboundedFollowing)
     )
     d = base.withColumn(
-        "_c", F.when(F.col("_t") == steps[-1], F.col("_e"))
+        "_c", F.when(F.col(f"_m{len(steps) - 1}"), F.col("_e"))
     )
-    for step in reversed(steps[:-1]):
+    for k in range(len(steps) - 2, -1, -1):
         d = d.withColumn(
-            "_c",
-            F.when(F.col("_t") == step, F.min("_c").over(w)),
+            "_c", F.when(F.col(f"_m{k}"), F.min("_c").over(w))
         )
+    keep = (
+        F.col("_m0")
+        & F.col("_c").isNotNull()
+        & (F.col("_c") - F.col("_e") <= F.lit(float(maxspan_s)))
+    )
+    if until is not None:
+        nxt_u = F.min(F.when(F.col("_mu"), F.col("_e"))).over(w)
+        d = d.withColumn("_u", nxt_u)
+        keep = keep & (F.col("_u").isNull() | (F.col("_c") < F.col("_u")))
     return (
-        d.filter(
-            (F.col("_t") == steps[0])
-            & F.col("_c").isNotNull()
-            & (F.col("_c") - F.col("_e") <= F.lit(float(maxspan_s)))
-        )
+        d.filter(keep)
         .select(
             "user_id",
             F.col("_id").alias("start_id"),
@@ -308,6 +334,98 @@ def eql_sequence(
             F.round(F.col("_c") - F.col("_e"), 3).alias("span_s"),
         )
         .orderBy("user_id", "start_id")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every consecutive pair of events of the same user (ordered by
+    ts, id), count (from_type -> to_type) and the conditional
+    probability p = n / sum(n over from_type). The
+    what-happens-next table behind next-action prediction and
+    funnel discovery.
+
+    Plan: lead() inside the user-sorted window (the sessionize
+    shuffle), then a partial-aggregated groupBy on the (from, to)
+    pair — the shuffle after the window is O(|types|^2) rows, and
+    the probability normalization is a window over that tiny pair
+    table, not the events. -> (from_type, to_type, n, p).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("_e", "_id")
+    pairs = (
+        df.select(
+            F.col(user_col).alias("user_id"),
+            F.col(id_col).alias("_id"),
+            F.col(type_col).alias("from_type"),
+            _epoch_s(F.col(ts_col)).alias("_e"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+def downsample(
+    df: DataFrame,
+    interval_s: float,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series DOWNSAMPLING (ES downsample / TSDB rollup): one
+    row per (fixed-interval bucket, series) carrying count / sum /
+    min / max / last-value — the mergeable rollup a metrics store
+    serves dashboards from once raw events age out. `last` is the
+    value of the latest event in the bucket (ties by `id_col`),
+    taken inside the SAME aggregation as a lexicographic max over
+    a (ts, id, value) struct — no second window pass, no join.
+
+    One partial-aggregated groupBy: each task emits one row per
+    (bucket, series) before the shuffle, so shuffled rows are
+    O(buckets x series), never O(events). Rollup outputs for
+    adjacent time slices merge by re-aggregating the same columns
+    (sum/min/max/count combine; last re-maxes the struct) — the
+    month-to-date rollup is a re-run over rollup rows.
+    -> (bucket_start, <type>, n, v_sum, v_min, v_max, v_last).
+    """
+    e = _epoch_s(F.col(ts_col))
+    bucket = (
+        F.floor(e / F.lit(float(interval_s))) * F.lit(float(interval_s))
+    ).alias("bucket_start")
+    return (
+        df.select(
+            bucket,
+            F.col(type_col).alias("series"),
+            F.col(value_col).cast("double").alias("_v"),
+            e.alias("_e"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("bucket_start", "series")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_v"), 4).alias("v_sum"),
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+            F.max(F.struct("_e", "_id", "_v"))["_v"].alias("v_last"),
+        )
+        .orderBy("bucket_start", "series")
     )
 
 

@@ -121,6 +121,84 @@ def pagerank(
     ).orderBy("node")
 
 
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over the UNDIRECTED graph induced
+    by the edge list (direction and duplicates dropped, self-loops
+    ignored) — the local clustering signal: link-farm rings and
+    mutual-citation cliques are triangle-dense, genuine hub pages
+    are not (web-spam curation), and in near-dup graphs triangle
+    support separates true clusters from chance LSH collisions.
+
+    Degree-ordered wedge enumeration (the standard distributed
+    algorithm): orient every undirected edge from the (degree, id)-
+    SMALLER endpoint to the larger, enumerate wedges by joining the
+    oriented list with itself on the wedge center, and close each
+    wedge against the oriented edge set with a semi-join. Because
+    both wedge legs leave the lower-degree endpoint, a vertex of
+    degree d_i contributes at most C(d'_i, 2) wedges where d' is
+    its ORIENTED out-degree <= sqrt(2m) — total wedge work is
+    O(m^1.5) regardless of hot vertices (a 10^8-follower account
+    never becomes a wedge center), vs O(sum d_i^2) unoriented.
+    Three shuffles: dedup, wedge join, close semi-join.
+    -> (node, n_triangles int) for nodes in >=1 triangle, sorted.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # orient by (degree, id): lo -> hi
+    o = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("_d", "_da")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("_d", "_db")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    l = o.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    r = o.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    wedges = l.join(r, "c").filter(F.col("x") < F.col("y"))
+    # wedge endpoints are id-canonical (x < y), so closing against
+    # the id-canonical undirected set is a pure EQUI semi-join
+    # (closing against the degree-oriented list would need an OR
+    # condition = no hash join)
+    closed = wedges.join(
+        und,
+        (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]),
+        "left_semi",
+    )
+    per_corner = closed.select(
+        F.explode(F.array("c", "x", "y")).alias("node")
+    )
+    return (
+        per_corner.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
 def hits(
     nodes: DataFrame,
     edges: DataFrame,

@@ -106,6 +106,79 @@ def test_two_step_and_bad_args(spark):
         eql_sequence(df, ["error"], 10.0)
 
 
+def test_until_kills_straddling_sequences(spark):
+    df = _ev(
+        spark,
+        [
+            # user 1: view, click, UNTIL, purchase -> killed
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:10", 1, "click"),
+            (3, "2024-01-01 00:00:20", 1, "logout"),
+            (4, "2024-01-01 00:00:30", 1, "purchase"),
+            # user 2: full chain BEFORE the until -> survives
+            (5, "2024-01-01 00:00:00", 2, "view"),
+            (6, "2024-01-01 00:00:10", 2, "click"),
+            (7, "2024-01-01 00:00:20", 2, "purchase"),
+            (8, "2024-01-01 00:00:30", 2, "logout"),
+            # user 3: until BETWEEN anchor and step 2, but a second
+            # full chain completes before any later until -> only
+            # the post-until anchor (id 11) survives
+            (9, "2024-01-01 00:00:00", 3, "view"),
+            (10, "2024-01-01 00:00:05", 3, "logout"),
+            (11, "2024-01-01 00:00:10", 3, "view"),
+            (12, "2024-01-01 00:00:15", 3, "click"),
+            (13, "2024-01-01 00:00:20", 3, "purchase"),
+        ],
+    )
+    out = eql_sequence(
+        df, ["view", "click", "purchase"], 600.0, until="logout"
+    ).collect()
+    assert [(r.user_id, r.start_id) for r in out] == [(2, 5), (3, 11)]
+
+
+def test_until_at_completion_timestamp_kills(spark):
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:10", 1, "click"),
+            (3, "2024-01-01 00:00:20", 1, "purchase"),
+            (4, "2024-01-01 00:00:20", 1, "logout"),  # same ts
+        ],
+    )
+    out = eql_sequence(
+        df, ["view", "click", "purchase"], 600.0, until="logout"
+    ).collect()
+    assert out == []
+
+
+def test_column_predicate_steps(spark):
+    from pyspark.sql import functions as F
+
+    # steps as arbitrary boolean Columns over the input row:
+    # "an event with odd id" -> "a purchase"
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (4, "2024-01-01 00:00:05", 1, "click"),
+            (6, "2024-01-01 00:00:10", 1, "purchase"),
+            (2, "2024-01-01 00:00:00", 2, "view"),
+            (3, "2024-01-01 00:00:05", 2, "click"),
+            (5, "2024-01-01 00:00:10", 2, "purchase"),
+        ],
+    )
+    out = eql_sequence(
+        df,
+        [F.col("event_id") % 2 == 1, F.col("event_type") == "purchase"],
+        600.0,
+    ).collect()
+    # user 1: only odd id is 1 (view) -> chain 1 -> 6
+    # user 2: odd anchors 3 and 5; 5 is the purchase itself (no
+    # later purchase), 3 -> 5 completes
+    assert [(r.user_id, r.start_id) for r in out] == [(1, 1), (2, 3)]
+
+
 def test_one_shuffle_plan(spark):
     df = _ev(spark, [(1, "2024-01-01 00:00:00", 1, "view")])
     plan = eql_sequence(

@@ -1,0 +1,50 @@
+"""Degree-ordered triangle counting: known graphs, direction/dup
+invariance, hot-vertex orientation bound."""
+
+from lucille_spark.ops.graph import triangles
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_k4_every_vertex_in_three(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = triangles(_edges(spark, k4)).collect()
+    assert [(r.node, r.n_triangles) for r in out] == [
+        (0, 3), (1, 3), (2, 3), (3, 3),
+    ]
+
+
+def test_square_has_no_triangles_pendant_excluded(spark):
+    # 4-cycle + pendant vertex: zero triangles anywhere
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4)]
+    assert triangles(_edges(spark, sq)).collect() == []
+
+
+def test_direction_and_duplicates_ignored(spark):
+    # one triangle given as mixed directions + dup + self-loop
+    e = [(1, 2), (2, 1), (3, 2), (1, 3), (1, 1), (2, 3)]
+    out = triangles(_edges(spark, e)).collect()
+    assert [(r.node, r.n_triangles) for r in out] == [
+        (1, 1), (2, 1), (3, 1),
+    ]
+
+
+def test_star_plus_one_closure(spark):
+    # hot hub 0 connected to 1..9; only the 1-2 edge closes a
+    # triangle -> exactly {0,1,2} each in one triangle (the
+    # orientation makes the hub a wedge endpoint, never a center,
+    # but counts stay exact)
+    e = [(0, i) for i in range(1, 10)] + [(1, 2)]
+    out = triangles(_edges(spark, e)).collect()
+    assert [(r.node, r.n_triangles) for r in out] == [
+        (0, 1), (1, 1), (2, 1),
+    ]
+
+
+def test_two_overlapping_triangles(spark):
+    # triangles {1,2,3} and {2,3,4} share edge 2-3
+    e = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    out = {r.node: r.n_triangles for r in triangles(_edges(spark, e)).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
