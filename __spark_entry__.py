@@ -1704,6 +1704,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_sigterms"] = sigterms_q
 
+    def sigterms_h_q(s, d, heuristic):
+        """significant_terms with an ES NXY significance heuristic
+        (chi_square / mutual_information) instead of JLH."""
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import significant_terms
+
+        ix = _index_for(s, d)
+        out = significant_terms(
+            DataFrameExecutor(ix), "spark", _docs(s, d), k_terms=10,
+            sample=50, heuristic=heuristic,
+        )
+        return out.select(
+            "term", "fg_count", "bg_count",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["ft_sigterms_chi2"] = lambda s, d: sigterms_h_q(s, d, "chi_square")
+    q["ft_sigterms_mi"] = lambda s, d: sigterms_h_q(
+        s, d, "mutual_information"
+    )
+
     def sigterms_bgf_q(s, d):
         """significant_terms with a background_filter: the bg model
         is the 'table'-matching docs, re-analyzed."""
@@ -4229,6 +4250,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_agg_metric"] = agg_metric_q
 
+    def agg_randsampler_q(s, d):
+        """random_sampler agg: sum + avg of doc_len over the
+        deterministic md5(seed:doc)/2^32 < p sample of the 'spark'
+        match set (raw sampled values, documented deviation from
+        ES's 1/p rescale)."""
+        from lucille_spark.esdsl import aggs_es
+        from lucille_spark.exec_df import DataFrameExecutor
+
+        ex = DataFrameExecutor(_index_for(s, d))
+        out = aggs_es(
+            ex,
+            {"s": {
+                "random_sampler": {"probability": 0.4, "seed": 7},
+                "aggs": {"m": {"sum": {"field": "doc_len"}},
+                         "a": {"avg": {"field": "doc_len"}}},
+            }},
+            query={"match": {"content": "spark"}},
+        )
+        return out["s.m"].crossJoin(out["s.a"])
+
+    q["ft_agg_randsampler"] = agg_randsampler_q
+
     def agg_multiterms_q(s, d):
         from lucille_spark.esdsl import aggs_es
         from lucille_spark.exec_df import DataFrameExecutor
@@ -5477,6 +5520,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_bq_topk"] = sim_bq_topk_q
 
+    def sim_knn_rescore_q(s, d):
+        """ES 8.18 knn rescore_vector: BBQ hamming first stage with
+        k * oversample candidates, exact-cosine re-rank — the DSL
+        route onto the same quantize-then-refine plan as
+        sim_bq_topk (k=10, oversample=4 == rerank=40)."""
+        from lucille_spark.esdsl import knn_es
+
+        e = _emb(s, d)
+        qv = e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        out = knn_es(
+            e,
+            {"field": "embedding", "query_vector": qv, "k": 10,
+             "rescore_vector": {"oversample": 4}},
+        )
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["sim_knn_rescore"] = sim_knn_rescore_q
+
     # ---- ascii_fold analyzer: accented corpus + accented query ------
     def ft_ascii_ix_q(s, d, wand=False):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -6515,6 +6578,54 @@ jo AS (SELECT fg.term, fg.fg_count, bg.bg_count,
 SELECT term, fg_count, bg_count, round(score, 4) AS score FROM jo
 WHERE fg_count >= 2 AND score > 0
 ORDER BY score DESC, term LIMIT 10"""
+    )
+
+    # NXY heuristics on the same sampled tables: contingency cells
+    # with background_is_superset subtraction — N11=fg, N10=bg-fg,
+    # N01=nf-fg, N00=(n-nf)-(bg-fg); zero marginals score 0
+    _NXY_CELLS = """
+top AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+nfg AS (SELECT count(*) AS nf FROM top),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg_count FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM tok
+       GROUP BY term),
+cells AS (SELECT fg.term, fg.fg_count, bg.bg_count,
+       fg.fg_count * 1.0 AS n11,
+       (bg.bg_count - fg.fg_count) * 1.0 AS n10,
+       (nfg.nf - fg.fg_count) * 1.0 AS n01,
+       (st.n - nfg.nf - bg.bg_count + fg.fg_count) * 1.0 AS n00,
+       st.n * 1.0 AS nn
+       FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN st
+       WHERE fg.fg_count >= 2)"""
+
+    o["ft_sigterms_chi2"] = (
+        _cte(["spark"])
+        + ","
+        + _NXY_CELLS
+        + """,
+sc2 AS (SELECT term, fg_count, bg_count,
+  CASE WHEN (n11+n10)*(n01+n00)*(n11+n01)*(n10+n00) > 0
+    THEN nn * ((n11*n00 - n01*n10) * (n11*n00 - n01*n10))
+         / ((n11+n10)*(n01+n00)*(n11+n01)*(n10+n00))
+    ELSE 0.0 END AS raw FROM cells)
+SELECT term, fg_count, bg_count, round(raw, 4) AS score
+FROM sc2 ORDER BY raw DESC, term LIMIT 10"""
+    )
+
+    o["ft_sigterms_mi"] = (
+        _cte(["spark"])
+        + ","
+        + _NXY_CELLS
+        + """,
+sc2 AS (SELECT term, fg_count, bg_count,
+    (CASE WHEN n11 > 0 THEN n11/nn * log2(nn*n11/((n11+n10)*(n11+n01))) ELSE 0 END)
+  + (CASE WHEN n10 > 0 THEN n10/nn * log2(nn*n10/((n11+n10)*(n10+n00))) ELSE 0 END)
+  + (CASE WHEN n01 > 0 THEN n01/nn * log2(nn*n01/((n01+n00)*(n11+n01))) ELSE 0 END)
+  + (CASE WHEN n00 > 0 THEN n00/nn * log2(nn*n00/((n01+n00)*(n10+n00))) ELSE 0 END)
+  AS raw FROM cells)
+SELECT term, fg_count, bg_count, round(raw, 4) AS score
+FROM sc2 ORDER BY raw DESC, term LIMIT 10"""
     )
 
     o["ft_sigterms_bgf"] = (
@@ -9621,6 +9732,21 @@ SELECT
   (SELECT count(*) FROM m JOIN documents d USING (doc_id)
    WHERE d.lang IS NULL) AS missing_count"""
 
+    # random_sampler: the md5(seed:doc)/2^32 uniform (the ft_random
+    # twin) gates the match set at p=0.4; metrics over the raw sample
+    o["ft_agg_randsampler"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+samp AS (SELECT doc_id FROM m
+  WHERE cast(('0x' || substring(
+    md5('7:' || cast(doc_id as varchar)), 1, 8)) as bigint)
+    / 4294967296.0 < 0.4)
+SELECT
+  (SELECT round(sum(dl.dl)::DOUBLE, 4) FROM samp JOIN dl USING (doc_id))
+    AS sum,
+  (SELECT round(avg(dl.dl * 1.0), 4) FROM samp JOIN dl USING (doc_id))
+    AS avg"""
+
     # multi_terms (lang, source) buckets of the 'spark' match set,
     # ES bucket order: doc_count desc, keys asc
     o["ft_agg_multiterms"] = f"""
@@ -10740,6 +10866,11 @@ c AS (SELECT e.vec_id,
       FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe)
 SELECT vec_id, round(cr, 4) AS cosine FROM c
 ORDER BY cr DESC, vec_id LIMIT 10"""
+
+    # knn rescore_vector (k=10, oversample=4) rides the identical
+    # quantize-then-refine plan: same pack + hamming pool-40 +
+    # exact re-rank as sim_bq_topk
+    o["sim_knn_rescore"] = o["sim_bq_topk"]
 
     # ---- ES join fields: twin of _children / _child_index_for -------
     _KIDS = (

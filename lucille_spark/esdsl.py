@@ -2268,11 +2268,68 @@ def aggs_es(
         if _matches is not None and kind in (
             "range", "significant_terms", "significant_text",
             "global", "sampler", "diversified_sampler",
+            "random_sampler",
         ):
             raise UnsupportedDSL(
                 f"agg {name}: {kind} not supported inside a sampler "
                 "context (it would escape the sample)"
             )
+
+        if kind == "random_sampler":
+            # ES 8.2 random_sampler: run the sub-aggs over a
+            # deterministic uniform sample of the match set.
+            # ES hashes each doc against the seed; we use the same
+            # md5(seed:doc_id) uniform as random_score, so the
+            # sample is reproducible AND replicable in plain SQL.
+            # NOTE (documented deviation): ES rescales sampled
+            # doc_counts back to the full population (doc_count/p);
+            # we return the RAW sampled counts — the caller knows p
+            # and can rescale, and raw counts keep every downstream
+            # sub-agg exact over the sample instead of fractional.
+            # Scale: the filter is one codegen predicate on the
+            # match set — sub-aggs then touch ~p of the matches.
+            if query is None:
+                raise UnsupportedDSL(
+                    f"agg {name}: random_sampler needs a query "
+                    "context"
+                )
+            p = float(body["probability"])
+            if not (0.0 < p <= 1.0):
+                raise UnsupportedDSL(
+                    f"agg {name}: probability must be in (0, 1]"
+                )
+            seed = int(body.get("seed", 0))
+            # the exact random_score uniform (md5(seed:doc)/2^32) —
+            # its DuckDB twin is already gate-proven (ft_random)
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(str(seed)), F.lit(":"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(float(1 << 32))
+            )
+            sampled = matches.filter(u < F.lit(p))
+            if not sub:
+                raise UnsupportedDSL(
+                    f"agg {name}: random_sampler needs sub-aggs"
+                )
+            inner = aggs_es(
+                executor, sub, query=query, k=k, docs=docs,
+                _matches=sampled,
+            )
+            for iname, idf in inner.items():
+                out[f"{name}.{iname}"] = idf
+            continue
 
         if kind in ("sampler", "diversified_sampler"):
             # ES sampler: restrict the match set to the top
@@ -3263,6 +3320,32 @@ def aggs_es(
                     "context and docs="
                 )
             bgf = body.get("background_filter")
+            # ES significance heuristic: exactly one of the
+            # heuristic keys may appear in the agg body
+            heuristic, include_neg = "jlh", True
+            for h in (
+                "chi_square", "mutual_information", "percentage",
+                "jlh",
+            ):
+                if h in body:
+                    heuristic = h
+                    include_neg = bool(
+                        body[h].get("include_negatives", True)
+                    )
+                    if body[h].get("background_is_superset") is False:
+                        raise UnsupportedDSL(
+                            f"agg {name}: background_is_superset="
+                            "false is not supported (the background "
+                            "model is always the full corpus or the "
+                            "background_filter's match set)"
+                        )
+                    break
+            if "gnd" in body:
+                raise UnsupportedDSL(
+                    f"agg {name}: the gnd heuristic is not "
+                    "implemented — use jlh / chi_square / "
+                    "mutual_information / percentage"
+                )
             out[name] = significant_terms(
                 executor,
                 to_ast(query if "query" not in query else query["query"]),
@@ -3275,6 +3358,8 @@ def aggs_es(
                 background_filter=(
                     None if bgf is None else to_ast(bgf)
                 ),
+                heuristic=heuristic,
+                include_negatives=include_neg,
             )
             continue
 
@@ -4210,6 +4295,27 @@ def knn_es(df, body, id_col: str = "vec_id"):
     qv = [float(x) for x in body["query_vector"]]
     k = int(body.get("k", 10))
     flt = body.get("filter")
+    rv = body.get("rescore_vector")
+    if rv is not None:
+        # ES 8.18 rescore_vector: first-stage rank over the
+        # QUANTIZED vectors (BBQ hamming — 32x smaller scan), pool
+        # of k * oversample candidates, exact-cosine re-rank of the
+        # pool back to k. The serving shape for quantized indexes:
+        # floats are touched for oversample*k rows, never the
+        # corpus.
+        from lucille_spark.ops.similarity import bq_search
+
+        over = float(rv.get("oversample", 3.0))
+        if over < 1.0:
+            raise UnsupportedDSL(
+                "knn: rescore_vector.oversample must be >= 1"
+            )
+        if flt is not None:
+            df = df.filter(_filter_column(flt))
+        return bq_search(
+            df, qv, vec_col=field, k=k,
+            rerank=int(round(k * over)), id_col=id_col,
+        )
     if flt is not None:
         return cosine_topk_where(
             df, field, qv, _filter_column(flt), k=k, id_col=id_col

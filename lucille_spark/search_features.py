@@ -701,14 +701,32 @@ def significant_terms(
     id_col: str = "doc_id",
     min_doc_count: int = 2,
     background_filter=None,
+    heuristic: str = "jlh",
+    include_negatives: bool = True,
 ) -> DataFrame:
     """Elasticsearch `significant_terms` over a sampler aggregation:
     terms unusually frequent in the top-`sample` matches of `query`
-    relative to the whole corpus, scored with ES's default JLH
-    heuristic — (fg% - bg%) * fg%/bg%, fg% = share of sampled
-    matching docs containing the term, bg% = df/N from the
-    dictionary. -> (term, fg_count, bg_count, score) in
-    (score desc, term asc) order, positive-signal terms only.
+    relative to the whole corpus, scored with a pluggable ES
+    significance `heuristic`:
+
+    * ``jlh`` (ES default) — (fg% - bg%) * fg%/bg%, fg% = share of
+      sampled matching docs containing the term, bg% = df/N from
+      the dictionary; positive-signal terms only.
+    * ``chi_square`` / ``mutual_information`` — ES's
+      NXYSignificanceHeuristic 2x2 contingency table between term
+      presence and subset membership with background_is_superset
+      semantics (the background cells subtract the foreground:
+      N11 = fg, N10 = bg - fg, N01 = nf - fg,
+      N00 = (N - nf) - (bg - fg)): chi2 = N*(N11*N00 - N01*N10)^2
+      / (N1_*N0_*N_1*N_0); MI = sum of Nxy/N * log2(N*Nxy /
+      (Nx_*N_y)) over the four cells (empty cells contribute 0).
+      With ``include_negatives=False``, terms whose foreground rate
+      is below their background rate are dropped (ES's flag).
+    * ``percentage`` — fg_count / bg_count (no background
+      subtraction, matching ES PercentageScore).
+
+    -> (term, fg_count, bg_count, score) in (score desc, term asc)
+    order.
 
     Scale shape (the ES 'sampler' pattern, deliberately): the
     foreground is the top-k PAGE, not the full match set — its
@@ -768,14 +786,59 @@ def significant_terms(
         )
     fgp = F.col("fg_count") / F.lit(float(n_fg))
     bgp = F.col("bg_count") / F.lit(n)
-    return (
-        fg.join(bg, "term")
-        .filter(F.col("fg_count") >= min_doc_count)
-        .withColumn("score", (fgp - bgp) * fgp / bgp)
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("term"))
-        .limit(k_terms)
+    joined = fg.join(bg, "term").filter(
+        F.col("fg_count") >= min_doc_count
     )
+    if heuristic == "jlh":
+        scored = joined.withColumn(
+            "score", (fgp - bgp) * fgp / bgp
+        ).filter(F.col("score") > 0)
+    elif heuristic == "percentage":
+        scored = joined.withColumn(
+            "score", F.col("fg_count") / F.col("bg_count")
+        )
+    elif heuristic in ("chi_square", "mutual_information"):
+        n11 = F.col("fg_count").cast("double")
+        n10 = (F.col("bg_count") - F.col("fg_count")).cast("double")
+        n01 = F.lit(float(n_fg)) - n11
+        n00 = F.lit(n - float(n_fg)) - n10
+        nn = F.lit(n)
+        n1_, n0_ = n11 + n10, n01 + n00
+        n_1, n_0 = n11 + n01, n10 + n00
+        if heuristic == "chi_square":
+            # a zero marginal (term in every doc / no doc, or an
+            # empty complement) carries no signal: score 0 rather
+            # than a division by zero
+            den = n1_ * n0_ * n_1 * n_0
+            score = F.when(
+                den > 0,
+                nn * F.pow(n11 * n00 - n01 * n10, F.lit(2.0)) / den,
+            ).otherwise(F.lit(0.0))
+        else:
+
+            def mi_cell(nxy, nx, ny):
+                return F.when(
+                    nxy > 0,
+                    nxy / nn * F.log2(nn * nxy / (nx * ny)),
+                ).otherwise(F.lit(0.0))
+
+            score = (
+                mi_cell(n11, n1_, n_1)
+                + mi_cell(n10, n1_, n_0)
+                + mi_cell(n01, n0_, n_1)
+                + mi_cell(n00, n0_, n_0)
+            )
+        scored = joined.withColumn("score", score)
+        if not include_negatives:
+            scored = scored.filter(n11 / n_1 >= n10 / n_0)
+    else:
+        raise ValueError(
+            f"unknown significance heuristic {heuristic!r} (use "
+            "jlh / chi_square / mutual_information / percentage)"
+        )
+    return scored.orderBy(
+        F.desc("score"), F.asc("term")
+    ).limit(k_terms)
 
 
 def dis_max(index, queries, tie: float = 0.0):

@@ -1,0 +1,131 @@
+"""random_sampler agg (deterministic md5 uniform sample of the match
+set) + knn rescore_vector (BBQ hamming first stage, oversampled
+exact re-rank)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], int(i % 3))
+        for i in range(80)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, emb array<double>, label int"
+    )
+
+
+def _uniform(seed, doc_id):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(1 << 32)
+
+
+def test_random_sampler_deterministic_subset(spark, unit_index):
+    from lucille_spark.esdsl import aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    q = {"match": {"content": "cats"}}
+    full = {r.doc_id for r in ex.search("cats", k=None).collect()}
+    # the sampled ids are exactly the md5-uniform subset: check via
+    # a sum metric computed over that exact subset
+    expected = {d for d in full if _uniform(3, d) < 0.5}
+    assert 0 < len(expected) < len(full)
+    exp_sum = sum(
+        r.doc_len
+        for r in ix.doclens.filter(
+            F.col("doc_id").isin(list(expected))
+        ).collect()
+    )
+    out = aggs_es(
+        ex,
+        {"s": {
+            "random_sampler": {"probability": 0.5, "seed": 3},
+            "aggs": {"m": {"sum": {"field": "doc_len"}}},
+        }},
+        query=q,
+    )["s.m"].collect()
+    assert float(out[0]["sum"]) == pytest.approx(float(exp_sum))
+
+
+def test_random_sampler_refusals(spark, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    q = {"match": {"content": "cats"}}
+    with pytest.raises(UnsupportedDSL, match="probability"):
+        aggs_es(
+            ex,
+            {"s": {"random_sampler": {"probability": 1.5},
+                   "aggs": {"m": {"max": {"field": "doc_len"}}}}},
+            query=q,
+        )
+    with pytest.raises(UnsupportedDSL, match="sub-aggs"):
+        aggs_es(
+            ex,
+            {"s": {"random_sampler": {"probability": 0.5}}},
+            query=q,
+        )
+
+
+def test_rescore_vector_matches_bq_search(spark, emb_df):
+    from lucille_spark.esdsl import knn_es
+    from lucille_spark.ops.similarity import bq_search
+
+    qv = emb_df.filter("vec_id = 0").collect()[0].emb
+    a = [
+        tuple(r)
+        for r in knn_es(
+            emb_df,
+            {"field": "emb", "query_vector": qv, "k": 5,
+             "rescore_vector": {"oversample": 4}},
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in bq_search(
+            emb_df, qv, vec_col="emb", k=5, rerank=20
+        ).collect()
+    ]
+    assert a == b
+    assert a[0][0] == 0  # the query's own vector wins
+
+
+def test_rescore_vector_filter_composes(spark, emb_df):
+    from lucille_spark.esdsl import knn_es
+
+    qv = emb_df.filter("vec_id = 0").collect()[0].emb
+    out = knn_es(
+        emb_df,
+        {"field": "emb", "query_vector": qv, "k": 5,
+         "filter": {"term": {"label": {"value": 1}}},
+         "rescore_vector": {"oversample": 3}},
+    ).collect()
+    assert len(out) == 5
+    ids = [r[0] for r in out]
+    labels = {
+        r.label
+        for r in emb_df.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert labels == {1}
+
+
+def test_rescore_vector_bad_oversample(spark, emb_df):
+    from lucille_spark.esdsl import UnsupportedDSL, knn_es
+
+    with pytest.raises(UnsupportedDSL, match="oversample"):
+        knn_es(
+            emb_df,
+            {"field": "emb", "query_vector": [0.0] * 16, "k": 3,
+             "rescore_vector": {"oversample": 0.5}},
+        )

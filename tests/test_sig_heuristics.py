@@ -1,0 +1,181 @@
+"""significant_terms pluggable significance heuristics (ES
+chi_square / mutual_information / percentage next to the default
+JLH): brute-force references over the oracle docs, the
+include_negatives flag, DSL dispatch, gnd refusal."""
+
+import math
+from collections import Counter
+
+import pytest
+
+
+def _tables(oracle, query, sample, min_doc_count=2):
+    """(term, fg, bg) triples the heuristics score, same sampling as
+    significant_terms."""
+    from lucille_spark.analysis import get_analyzer
+
+    tok = get_analyzer("standard")
+    top = [d for d, _ in oracle.search(query, k=sample)]
+    n_fg = len(top)
+    n = oracle.n_docs
+    by_id = {d["doc_id"]: d for d in oracle.docs}
+    fg = Counter()
+    for doc_id in top:
+        fg.update(set(tok(by_id[doc_id]["content"])))
+    bg = {t: p.ids.size for t, p in oracle.sd.postings.items()}
+    rows = [
+        (t, f, bg[t])
+        for t, f in fg.items()
+        if f >= min_doc_count and t in bg
+    ]
+    return rows, n_fg, n
+
+
+def _nxy(f, b, n_fg, n):
+    n11 = float(f)
+    n10 = float(b - f)
+    n01 = float(n_fg - f)
+    n00 = float((n - n_fg) - (b - f))
+    return n11, n10, n01, n00
+
+
+def _chi2(f, b, n_fg, n):
+    n11, n10, n01, n00 = _nxy(f, b, n_fg, n)
+    num = n * (n11 * n00 - n01 * n10) ** 2
+    den = (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+    return num / den if den > 0 else 0.0
+
+
+def _mi(f, b, n_fg, n):
+    n11, n10, n01, n00 = _nxy(f, b, n_fg, n)
+    nn = float(n)
+
+    def cell(nxy, nx, ny):
+        if nxy <= 0:
+            return 0.0
+        return nxy / nn * math.log2(nn * nxy / (nx * ny))
+
+    n1_, n0_ = n11 + n10, n01 + n00
+    n_1, n_0 = n11 + n01, n10 + n00
+    return (
+        cell(n11, n1_, n_1) + cell(n10, n1_, n_0)
+        + cell(n01, n0_, n_1) + cell(n00, n0_, n_0)
+    )
+
+
+def _run(ix, spark, unit_corpus, heuristic, **kw):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.search_features import significant_terms
+
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    docs = spark.createDataFrame(
+        pdf.reset_index().rename(columns={"index": "doc_id"})
+    )
+    return significant_terms(
+        DataFrameExecutor(ix), "cats AND dogs", docs,
+        k_terms=10, sample=20, text_col="content",
+        heuristic=heuristic, **kw,
+    ).collect()
+
+
+@pytest.mark.parametrize(
+    "heuristic,fn",
+    [("chi_square", _chi2), ("mutual_information", _mi)],
+)
+def test_nxy_heuristics_match_reference(
+    spark, unit_corpus, unit_index, heuristic, fn
+):
+    ix, oracle, _ = unit_index
+    rows, n_fg, n = _tables(oracle, "cats AND dogs", sample=20)
+    exp = sorted(
+        ((t, f, b, fn(f, b, n_fg, n)) for t, f, b in rows),
+        key=lambda r: (-r[3], r[0]),
+    )[:10]
+    got = _run(ix, spark, unit_corpus, heuristic)
+    got_rows = [
+        (r["term"], int(r["fg_count"]), int(r["bg_count"]),
+         round(float(r["score"]), 9))
+        for r in got
+    ]
+    assert got_rows == [(t, f, b, round(s, 9)) for t, f, b, s in exp]
+
+
+def test_percentage_matches_reference(spark, unit_corpus, unit_index):
+    ix, oracle, _ = unit_index
+    rows, n_fg, n = _tables(oracle, "cats AND dogs", sample=20)
+    exp = sorted(
+        ((t, f, b, f / b) for t, f, b in rows),
+        key=lambda r: (-r[3], r[0]),
+    )[:10]
+    got = _run(ix, spark, unit_corpus, "percentage")
+    got_rows = [
+        (r["term"], int(r["fg_count"]), int(r["bg_count"]),
+         round(float(r["score"]), 9))
+        for r in got
+    ]
+    assert got_rows == [(t, f, b, round(s, 9)) for t, f, b, s in exp]
+
+
+def test_include_negatives_false_drops_underrepresented(
+    spark, unit_corpus, unit_index
+):
+    ix, oracle, _ = unit_index
+    rows, n_fg, n = _tables(oracle, "cats AND dogs", sample=20)
+    got = _run(
+        ix, spark, unit_corpus, "chi_square", include_negatives=False
+    )
+    for r in got:
+        f, b = int(r["fg_count"]), int(r["bg_count"])
+        n11, n10, n01, n00 = _nxy(f, b, n_fg, n)
+        assert n11 / (n11 + n01) >= n10 / (n10 + n00)
+
+
+def test_unknown_heuristic_raises(spark, unit_corpus, unit_index):
+    ix, _, _ = unit_index
+    with pytest.raises(ValueError, match="heuristic"):
+        _run(ix, spark, unit_corpus, "gnd")
+
+
+def test_dsl_dispatch_and_gnd_refusal(spark, unit_corpus, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, aggs_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ix, _, _ = unit_index
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    docs = spark.createDataFrame(
+        pdf.reset_index().rename(columns={"index": "doc_id"})
+    )
+    ex = DataFrameExecutor(ix)
+    q = {"match": {"content": {"query": "cats dogs", "operator": "and"}}}
+    via_dsl = aggs_es(
+        ex,
+        {"sig": {"significant_terms": {
+            "field": "content", "sample": 20, "size": 10,
+            "chi_square": {},
+        }}},
+        query=q, docs=docs,
+    )["sig"].collect()
+    direct = _run(ix, spark, unit_corpus, "chi_square")
+    assert [tuple(r) for r in via_dsl] == [tuple(r) for r in direct]
+
+    with pytest.raises(UnsupportedDSL, match="gnd"):
+        aggs_es(
+            ex,
+            {"sig": {"significant_terms": {
+                "field": "content", "gnd": {},
+            }}},
+            query=q, docs=docs,
+        )
+    with pytest.raises(UnsupportedDSL, match="background_is_superset"):
+        aggs_es(
+            ex,
+            {"sig": {"significant_terms": {
+                "field": "content",
+                "chi_square": {"background_is_superset": False},
+            }}},
+            query=q, docs=docs,
+        )
