@@ -2099,6 +2099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_bigram_ppl"] = lambda s, d: text.bigram_lm_ppl(
         _docs(s, d), "doc_id", "text"
     )
+    # CCNet head/middle/tail perplexity buckets at exact 1/3-2/3
+    # corpus quantiles over the gated bigram-LM signal
+    q["pipe_ccnet"] = lambda s, d: text.ccnet_buckets(
+        _docs(s, d), "doc_id", "text"
+    )
 
     # ---- search-UI features: facets over the FULL match set and
     # keyword-in-context snippets for the top-k page ----------------
@@ -2671,6 +2676,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- end-to-end fuzzy-dedup decision: keep = smallest id of
     # each transitive near-dup group --------------------------------
     q["dd_groups"] = lambda s, d: dedup.dedup_groups(
+        _docs(s, d).filter(F.col("doc_id") < 100),
+        "doc_id",
+        "text",
+        n_perm=8,
+        bands=4,
+        threshold=0.6,
+        max_bucket=10**9,
+    )
+    # soft dedup: keep everything, weight 1/|near-dup group| (same
+    # components as dd_groups, one extra component-size agg)
+    q["dd_soft_weights"] = lambda s, d: dedup.dedup_weights(
         _docs(s, d).filter(F.col("doc_id") < 100),
         "doc_id",
         "text",
@@ -4706,6 +4722,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_maxsim"] = sim_maxsim_q
+
+    # ---- ES text_similarity_reranker retriever: BM25 first stage
+    # (rank_window_size=50), ColBERT MaxSim rerank of the page via
+    # the token-vector table (the model seam) -----------------------
+    def ft_reranker_q(s, d):
+        from lucille_spark.esdsl import run_retriever
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.ops.similarity import token_vectors
+
+        ix = _index_for(s, d)
+        tv = token_vectors(_docs(s, d), dim=6)
+        out = run_retriever(
+            DataFrameExecutor(ix),
+            {"text_similarity_reranker": {
+                "retriever": {"standard": {
+                    "query": {"match": {"content": "spark"}}}},
+                "inference_text": "spark window",
+                "rank_window_size": 50,
+            }},
+            depth=15,
+            tvecs=tv,
+        )
+        return out.select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["ft_reranker"] = ft_reranker_q
 
     # ---- exact-substring dedup (duplicated w-token window spans) ---
     def dd_substring_q(s, d):
@@ -7204,6 +7247,20 @@ SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
        coalesce(c.component, d.doc_id) = d.doc_id AS keep
 FROM d LEFT JOIN c ON d.doc_id = c.node"""
 
+    # soft dedup: same components, weight = 1/|group|
+    o["dd_soft_weights"] = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+c AS ({o["dd_components"]}),
+g AS (SELECT d.doc_id,
+      coalesce(c.component, d.doc_id) AS component
+      FROM d LEFT JOIN c ON d.doc_id = c.node),
+s AS (SELECT component, count(*) AS group_size FROM g
+      GROUP BY component)
+SELECT g.doc_id, g.component,
+       cast(s.group_size as int) AS group_size,
+       round(1.0::DOUBLE / s.group_size, 6) AS weight
+FROM g JOIN s USING (component) ORDER BY g.doc_id"""
+
     # SRP-LSH ANN: seeded hyperplanes + the query's multi-probe bucket
     # set embedded as literals (identical to ops/similarity.py)
     import numpy as _np
@@ -7519,6 +7576,34 @@ SELECT doc_id, cast(n_bigrams as bigint) AS n_bigrams,
        round(alp, 4) AS avg_logprob,
        round(exp(-alp), 4) AS ppl
 FROM sc"""
+
+    # CCNet buckets: the same ppl signal cut at exact interpolated
+    # 1/3 and 2/3 quantiles (quantile_cont == Spark percentile)
+    o["pipe_ccnet"] = f"""
+WITH pos AS ({_POS}),
+bi AS (SELECT a.doc_id, a.term AS a, b.term AS b
+       FROM pos a JOIN pos b
+         ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+dbf AS (SELECT doc_id, a, b, count(*) AS tf FROM bi
+        GROUP BY doc_id, a, b),
+cab AS (SELECT a, b, sum(tf) AS c_ab FROM dbf GROUP BY a, b),
+uni AS (SELECT term, count(*) AS c_a FROM pos GROUP BY term),
+v AS (SELECT count(*) AS v FROM uni),
+p AS (SELECT cab.a, cab.b,
+      (cab.c_ab + 0.5) / (uni.c_a + 0.5 * v.v) AS p
+      FROM cab JOIN uni ON uni.term = cab.a CROSS JOIN v),
+sc AS (SELECT dbf.doc_id,
+       sum(dbf.tf * ln(p.p)) / sum(dbf.tf) AS alp
+       FROM dbf JOIN p ON p.a = dbf.a AND p.b = dbf.b
+       GROUP BY dbf.doc_id),
+r AS (SELECT doc_id, round(exp(-alp), 4) AS ppl FROM sc),
+c AS (SELECT quantile_cont(ppl, {1.0 / 3.0!r}) AS h,
+             quantile_cont(ppl, {2.0 / 3.0!r}) AS t FROM r)
+SELECT doc_id, ppl,
+       CASE WHEN ppl <= c.h THEN 'head'
+            WHEN ppl <= c.t THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r CROSS JOIN c ORDER BY doc_id"""
 
     # field collapse: within-group ranks by (score desc, doc_id),
     # groups ranked by their head doc, top-3 groups x top-2 docs
@@ -10100,6 +10185,22 @@ d AS (SELECT doc_id,
       FROM vec GROUP BY doc_id)
 SELECT doc_id, round(m0 + m1, 6) AS score FROM d
 ORDER BY m0 + m1 DESC, doc_id LIMIT 15"""
+
+    # text_similarity_reranker: MaxSim restricted to the BM25
+    # top-50 page of 'spark' (the rank_window_size candidates)
+    o["ft_reranker"] = (
+        _cte(["spark"])
+        + f""",
+top AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+vec AS (SELECT doc_id, {_token_vec_duckdb(6)} AS v FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM top)),
+d AS (SELECT doc_id,
+      max(list_dot_product(v, {_qv_lits[0]})) AS m0,
+      max(list_dot_product(v, {_qv_lits[1]})) AS m1
+      FROM vec GROUP BY doc_id)
+SELECT doc_id, round(m0 + m1, 6) AS score FROM d
+ORDER BY m0 + m1 DESC, doc_id LIMIT 15"""
+    )
 
     # ---- learned sparse retrieval: weight = tf * (1 + h(term)/p)
     # (ops/sparse.SPARSE_WEIGHT_DUCKDB), score = sum qw * weight ----

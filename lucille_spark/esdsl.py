@@ -548,7 +548,7 @@ def _post_filter_cond(executor, spec, rtm):
 
 def search_es(
     executor, dsl: Dict[str, Any], k: int = 10, docs=None, emb=None,
-    feats=None, stored=None,
+    feats=None, stored=None, tvecs=None,
 ):
     """Run one ES-DSL request end-to-end. Accepts either a bare
     query clause or the full request body: `size` overrides k,
@@ -577,6 +577,7 @@ def search_es(
             emb=emb,
             docs=docs,
             feats=feats,
+            tvecs=tvecs,
         )
     if isinstance(dsl, dict) and "query" in dsl:
         body = {kk: v for kk, v in dsl.items() if kk != "query"}
@@ -4367,7 +4368,7 @@ def knn_query_fusion(
 
 def run_retriever(
     executor, spec, depth: int = 10, emb=None, docs=None, feats=None,
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", tvecs=None,
 ):
     """Run one retriever-tree node -> (doc_id, score) top-`depth`.
 
@@ -4385,8 +4386,16 @@ def run_retriever(
                  weight_i * normalizer_i(score) per child window
                  (normalizers none / minmax / l2_norm, computed on
                  the page frame only)
-    text_similarity_reranker -> refused (needs an inference
-                 endpoint this engine doesn't have)."""
+    text_similarity_reranker -> late-interaction (ColBERT
+                 MaxSim) rerank of the child retriever's
+                 rank_window_size page against `tvecs=`, the
+                 token-vector table (ops.similarity.token_vectors —
+                 the same deterministic-encoder seam the sparse /
+                 multimodal ops use; a real cross-encoder or ColBERT
+                 model's vectors drop into the same exploded
+                 layout). Only the candidate page's token vectors
+                 are scored (broadcast semi-join), so rerank cost is
+                 O(window x doc tokens), never the corpus."""
     from pyspark.sql import Window, functions as F
 
     if not isinstance(spec, dict) or len(spec) != 1:
@@ -4431,7 +4440,7 @@ def run_retriever(
         for s in subs:
             page = run_retriever(
                 executor, s, depth=window, emb=emb, docs=docs,
-                feats=feats, id_col=id_col,
+                feats=feats, id_col=id_col, tvecs=tvecs,
             )
             c = (
                 page.withColumn("_r", F.row_number().over(w))
@@ -4524,10 +4533,37 @@ def run_retriever(
             .limit(depth)
         )
     if kind == "text_similarity_reranker":
-        raise UnsupportedDSL(
-            "text_similarity_reranker: needs an inference endpoint; "
-            "rerank with search_features.rescore or ops.similarity."
-            "maxsim_topk instead"
+        if tvecs is None:
+            raise UnsupportedDSL(
+                "text_similarity_reranker: pass tvecs= (the "
+                "token-vector table from ops.similarity."
+                "token_vectors; a served model's vectors use the "
+                "same exploded (id, pos, term, vec) layout)"
+            )
+        if "retriever" not in body:
+            raise UnsupportedDSL(
+                "text_similarity_reranker: needs a child retriever"
+            )
+        qtext = body.get("inference_text")
+        if not qtext:
+            raise UnsupportedDSL(
+                "text_similarity_reranker: needs inference_text"
+            )
+        window = int(body.get("rank_window_size", 10))
+        from lucille_spark.ops.similarity import maxsim_search
+
+        cands = run_retriever(
+            executor, body["retriever"], depth=window, emb=emb,
+            docs=docs, feats=feats, id_col=id_col, tvecs=tvecs,
+        ).select("doc_id")
+        dim_row = tvecs.select(F.size("vec").alias("_d")).first()
+        if dim_row is None:
+            raise UnsupportedDSL(
+                "text_similarity_reranker: empty tvecs table"
+            )
+        sub = tvecs.join(F.broadcast(cands), "doc_id", "left_semi")
+        return maxsim_search(
+            sub, str(qtext), int(dim_row["_d"]), k=depth
         )
     raise UnsupportedDSL(f"retriever kind {kind!r}")
 

@@ -770,3 +770,40 @@ def near_dup_against(
         )
         .orderBy("new_id", "base_id")
     )
+
+
+def dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, keep every
+    doc and weight it by 1/|group| — the loss-weighting alternative
+    to hard dedup (total gradient mass per distinct content stays
+    constant, but no information is discarded; the survivor-choice
+    bias of keep-smallest-id disappears). Same MinHash -> LSH ->
+    verify -> connected-components machinery as dedup_groups, plus
+    one component-sized groupBy for the sizes.
+    -> (id_col, component, group_size int, weight) per doc."""
+    g = dedup_groups(
+        df, id_col, text_col, n_perm, bands, threshold, max_bucket
+    ).select(id_col, "component")
+    sizes = g.groupBy("component").agg(
+        F.count(F.lit(1)).cast("int").alias("group_size")
+    )
+    return (
+        g.join(sizes, "component")
+        .select(
+            id_col,
+            "component",
+            "group_size",
+            F.round(F.lit(1.0) / F.col("group_size"), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -2086,3 +2086,42 @@ def curriculum_order(
         )
         .orderBy("band", "ord_key", "doc_id")
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    head: float = 1.0 / 3.0,
+    tail: float = 2.0 / 3.0,
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): rank every
+    doc by LM perplexity over the corpus and split at exact corpus
+    quantiles into `head` (most fluent — the slice CCNet keeps for
+    pretraining), `middle`, and `tail` (likely boilerplate / token
+    soup). Rides the gated bigram_lm_ppl signal; swap in an
+    external-LM perplexity column at deployment and the bucketing
+    is unchanged.
+
+    Thresholds are two exact interpolated percentiles from ONE
+    driver-side aggregate over the (already tiny) per-doc ppl
+    column — the curriculum_order convention — then the labeling is
+    a codegen CASE, zero extra shuffles beyond bigram_lm_ppl's.
+    -> (doc_id, ppl, bucket) ordered by doc_id."""
+    ppl = bigram_lm_ppl(df, id_col, text_col, alpha).select(
+        "doc_id", "ppl"
+    )
+    cuts = ppl.agg(
+        F.expr(f"percentile(ppl, {float(head)!r})").alias("h"),
+        F.expr(f"percentile(ppl, {float(tail)!r})").alias("t"),
+    ).first()
+    h, t = float(cuts["h"]), float(cuts["t"])
+    return ppl.select(
+        "doc_id",
+        "ppl",
+        F.when(F.col("ppl") <= h, F.lit("head"))
+        .when(F.col("ppl") <= t, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    ).orderBy("doc_id")

@@ -1,0 +1,145 @@
+"""text_similarity_reranker retriever (MaxSim late-interaction over
+the child page), CCNet perplexity buckets, soft-dedup weights."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, unit_corpus):
+    pdf = unit_corpus.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True
+    )
+    return spark.createDataFrame(
+        pdf.reset_index().rename(columns={"index": "doc_id"})
+    )
+
+
+def test_reranker_equals_maxsim_over_child_page(
+    spark, unit_corpus, unit_index
+):
+    from lucille_spark.esdsl import run_retriever
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.ops.similarity import maxsim_search, token_vectors
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    docs = _docs_df(spark, unit_corpus)
+    tv = token_vectors(docs, text_col="content", dim=6)
+    got = run_retriever(
+        ex,
+        {"text_similarity_reranker": {
+            "retriever": {"standard": {
+                "query": {"match": {"content": "cats"}}}},
+            "inference_text": "cats dogs",
+            "rank_window_size": 8,
+        }},
+        depth=5,
+        tvecs=tv,
+    ).collect()
+
+    page = ex.search("cats", k=8).select("doc_id")
+    sub = tv.join(page, "doc_id", "left_semi")
+    exp = maxsim_search(sub, "cats dogs", dim=6, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # reranked ids are a subset of the first-stage page
+    page_ids = {r.doc_id for r in page.collect()}
+    assert {r.doc_id for r in got} <= page_ids
+
+
+def test_reranker_refusals(spark, unit_corpus, unit_index):
+    from lucille_spark.esdsl import UnsupportedDSL, run_retriever
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.ops.similarity import token_vectors
+
+    ix, _, _ = unit_index
+    ex = DataFrameExecutor(ix)
+    body = {"text_similarity_reranker": {
+        "retriever": {"standard": {
+            "query": {"match": {"content": "cats"}}}},
+        "inference_text": "cats",
+    }}
+    with pytest.raises(UnsupportedDSL, match="tvecs"):
+        run_retriever(ex, body, depth=5)
+    tv = token_vectors(
+        _docs_df(spark, unit_corpus), text_col="content", dim=6
+    )
+    with pytest.raises(UnsupportedDSL, match="inference_text"):
+        run_retriever(
+            ex,
+            {"text_similarity_reranker": {
+                "retriever": {"standard": {
+                    "query": {"match": {"content": "cats"}}}},
+            }},
+            depth=5, tvecs=tv,
+        )
+    with pytest.raises(UnsupportedDSL, match="child retriever"):
+        run_retriever(
+            ex,
+            {"text_similarity_reranker": {"inference_text": "x"}},
+            depth=5, tvecs=tv,
+        )
+
+
+def test_ccnet_buckets_thresholds(spark):
+    from lucille_spark.ops.text import bigram_lm_ppl, ccnet_buckets
+
+    rows = [
+        (i, ("the cat sat on the mat " * (1 + i % 4))
+            + f"xq{i} zz{i * 7} " * (i % 3))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ccnet_buckets(df, "doc_id", "text").collect()
+    ppls = sorted(float(r.ppl) for r in out)
+    import numpy as np
+
+    h = float(np.percentile(ppls, 100.0 / 3.0, method="linear"))
+    t = float(np.percentile(ppls, 200.0 / 3.0, method="linear"))
+    for r in out:
+        exp = (
+            "head" if r.ppl <= h else "middle" if r.ppl <= t else "tail"
+        )
+        assert r.bucket == exp, (r.doc_id, r.ppl, r.bucket, exp)
+    # bucketing is a partition of the scored docs and monotone in ppl
+    n_scored = bigram_lm_ppl(df, "doc_id", "text").count()
+    assert len(out) == n_scored
+    max_head = max(r.ppl for r in out if r.bucket == "head")
+    min_tail = min(r.ppl for r in out if r.bucket == "tail")
+    assert max_head <= min_tail
+
+
+def test_dedup_weights_sum_to_one_per_group(spark):
+    from lucille_spark.ops.dedup import dedup_groups, dedup_weights
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (0, base), (1, base + "extra tail words here"),
+        (2, base.replace("quick", "speedy")),
+        (3, "completely different content about spark engines and "
+            "distributed query planning at scale"),
+        (4, "another unique document talking about window functions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n_perm=8, bands=4, threshold=0.5, max_bucket=10**9)
+    w = dedup_weights(df, "doc_id", "text", **kw).collect()
+    g = dedup_groups(df, "doc_id", "text", **kw).collect()
+    # same components as dedup_groups
+    assert {(r.doc_id, r.component) for r in w} == {
+        (r.doc_id, r.component) for r in g
+    }
+    # every doc kept; per-group weights sum to ~1
+    assert len(w) == 5
+    from collections import defaultdict
+
+    by_comp = defaultdict(list)
+    for r in w:
+        by_comp[r.component].append(r)
+    for comp, members in by_comp.items():
+        assert all(m.group_size == len(members) for m in members)
+        assert sum(m.weight for m in members) == pytest.approx(
+            1.0, abs=1e-4
+        )
+    # the near-dup trio groups together, singletons weigh 1.0
+    comps = {r.doc_id: r.component for r in w}
+    assert comps[0] == comps[1] == comps[2]
+    assert {r.weight for r in w if r.doc_id in (3, 4)} == {1.0}
