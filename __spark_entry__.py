@@ -2526,6 +2526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count/sum/min/max/last — `last` ties broken by event_id inside
     # ONE aggregation (lexicographic struct max)
     q["ev_downsample"] = lambda s, d: ev.downsample(_events(s, d), 3600.0)
+    # top 3-step in-session event paths (rides sessionize's shuffle)
+    q["ev_paths"] = lambda s, d: ev.session_paths(
+        _events(s, d), k_steps=3, top=50
+    )
     q["ev_props"] = lambda s, d: ev.props_stats(_events(s, d))
     q["ev_retention"] = lambda s, d: ev.retention(
         _events(s, d), period_seconds=7 * 86400
@@ -4918,6 +4922,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_url_canon"] = tx_url_canon_q
 
+    # ---- robots.txt evaluation (RFC 9309 subset): per-host robots
+    # bodies (3 md5-chosen deterministic templates), URL frontier
+    # derived from documents, longest-match precedence -------------
+    def tx_robots_q(s, d):
+        from lucille_spark.ops.web import robots_allowed, robots_rules
+
+        docs = _docs(s, d)
+        tpl0 = "User-agent: *\nDisallow: /docs\nAllow: /docs/pub*\n"
+        tpl1 = (
+            "User-agent: bot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /tmp/*.html$\n"
+        )
+        tpl2 = "User-agent: *\nDisallow: /\nAllow: /open*\n"
+        pick = (
+            F.conv(F.substring(F.md5("source"), 1, 8), 16, 10)
+            .cast("long") % 3
+        )
+        robots = docs.select("source").distinct().select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.when(pick == 0, F.lit(tpl0))
+            .when(pick == 1, F.lit(tpl1))
+            .otherwise(F.lit(tpl2))
+            .alias("robots_txt"),
+        )
+        path = (
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("/docs/pub"), F.col("doc_id")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.lit("/docs/int"), F.col("doc_id")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(
+                    F.lit("/tmp/p"), F.col("doc_id"), F.lit(".html")
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.concat(F.lit("/open/x"), F.col("doc_id")),
+            )
+            .otherwise(F.lit("/"))
+        )
+        urls = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com"), path,
+            ).alias("url")
+        )
+        return robots_allowed(urls, robots_rules(robots))
+
+    q["tx_robots"] = tx_robots_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -6516,6 +6577,25 @@ SELECT bucket_start, series, count(*) AS n,
        round(sum(v), 4) AS v_sum, min(v) AS v_min, max(v) AS v_max,
        (max(struct_pack(e := e, id := id, v := v))).v AS v_last
 FROM b GROUP BY bucket_start, series ORDER BY bucket_start, series"""
+
+    # top 3-step in-session paths: the sessionize window induction
+    # (gap 30m, (ts, id) order) + two lead()s in the session window
+    o["ev_paths"] = """
+WITH b AS (SELECT user_id, event_id AS id, event_type AS t,
+           epoch(ts) AS e FROM events),
+s AS (SELECT *, CASE WHEN lag(e) OVER w IS NULL
+        OR e - lag(e) OVER w > 1800.0 THEN 1 ELSE 0 END AS nw
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY e, id)),
+sn AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY e, id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS session_n FROM s),
+p AS (SELECT t || '>' || lead(t, 1) OVER w2 || '>' ||
+             lead(t, 2) OVER w2 AS path,
+             lead(t, 2) OVER w2 IS NOT NULL AS fl
+      FROM sn WINDOW w2 AS
+        (PARTITION BY user_id, session_n ORDER BY e, id))
+SELECT path, count(*) AS n FROM p WHERE fl
+GROUP BY path ORDER BY n DESC, path LIMIT 50"""
 
     o["ev_funnel"] = """
 WITH ev AS (SELECT user_id, event_type, epoch(ts) AS e FROM events),
@@ -10457,6 +10537,41 @@ FROM fr ORDER BY score DESC, doc_id LIMIT 10"""
     # crawl curation: the canonicalization rule end to end in SQL
     # (ops/web.CANONICAL_URL_CTES_DUCKDB is the module's own twin)
     from lucille_spark.ops.web import CANONICAL_URL_CTES_DUCKDB
+
+    # robots.txt evaluation: the module's drift-proof DuckDB twin
+    # (ops/web.ROBOTS_CTES_DUCKDB) over the same md5-chosen
+    # per-host templates and doc-derived URL frontier
+    from lucille_spark.ops.web import ROBOTS_CTES_DUCKDB
+
+    _RTPL0 = "User-agent: *\nDisallow: /docs\nAllow: /docs/pub*\n"
+    _RTPL1 = (
+        "User-agent: bot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /tmp/*.html$\n"
+    )
+    _RTPL2 = "User-agent: *\nDisallow: /\nAllow: /open*\n"
+
+    def _sqlq(x: str) -> str:
+        return "'" + x.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    o["tx_robots"] = f"""
+WITH robots AS (
+  SELECT source || '.example.com' AS host,
+    CASE cast(('0x' || substring(md5(source), 1, 8)) as bigint) % 3
+      WHEN 0 THEN {_sqlq(_RTPL0)}
+      WHEN 1 THEN {_sqlq(_RTPL1)}
+      ELSE {_sqlq(_RTPL2)} END AS robots_txt
+  FROM (SELECT DISTINCT source FROM documents)),
+crawl_urls AS (
+  SELECT 'https://' || source || '.example.com' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '/docs/pub' || doc_id
+      WHEN 1 THEN '/docs/int' || doc_id
+      WHEN 2 THEN '/tmp/p' || doc_id || '.html'
+      WHEN 3 THEN '/open/x' || doc_id
+      ELSE '/' END AS url
+  FROM documents),
+{ROBOTS_CTES_DUCKDB}
+SELECT * FROM verdict ORDER BY url"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

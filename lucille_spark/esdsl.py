@@ -4297,6 +4297,7 @@ def knn_es(df, body, id_col: str = "vec_id"):
     k = int(body.get("k", 10))
     flt = body.get("filter")
     rv = body.get("rescore_vector")
+    min_sim = body.get("similarity")
     if rv is not None:
         # ES 8.18 rescore_vector: first-stage rank over the
         # QUANTIZED vectors (BBQ hamming — 32x smaller scan), pool
@@ -4318,10 +4319,19 @@ def knn_es(df, body, id_col: str = "vec_id"):
             rerank=int(round(k * over)), id_col=id_col,
         )
     if flt is not None:
-        return cosine_topk_where(
+        out = cosine_topk_where(
             df, field, qv, _filter_column(flt), k=k, id_col=id_col
         )
-    return cosine_topk(df, field, qv, k=k, id_col=id_col)
+    else:
+        out = cosine_topk(df, field, qv, k=k, id_col=id_col)
+    if min_sim is not None:
+        # ES knn `similarity`: the minimum cosine for a vector to
+        # count as a match at all (applied to the k candidates —
+        # exact search makes the num_candidates distinction moot)
+        from pyspark.sql import functions as _F
+
+        out = out.filter(_F.col("cosine") >= float(min_sim))
+    return out
 
 
 def knn_query_fusion(

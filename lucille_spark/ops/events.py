@@ -652,3 +652,45 @@ def auto_date_histogram(
     return out.withColumn("interval_s", F.lit(int(iv))).orderBy(
         "bucket_epoch"
     )
+
+
+def session_paths(
+    df: DataFrame,
+    k_steps: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Top-N most common k-step event paths WITHIN sessions (the
+    "what do users actually do" table: every run of `k_steps`
+    consecutive events inside one session becomes a '>'-joined path
+    string, counted corpus-wide). Rides sessionize's one
+    user-partitioned shuffle; the path windows are k-1 lead() calls
+    in the SAME session-sorted window pass, and the count is one
+    partial-aggregated groupBy on path strings — shuffle
+    O(distinct paths), never O(events).
+    -> (path, n) by (n desc, path asc), top `top` rows."""
+    if k_steps < 2:
+        raise ValueError("session_paths needs k_steps >= 2")
+    from pyspark.sql import Window
+
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    w = Window.partitionBy("session_id").orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, k_steps)
+    ]
+    paths = s.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(top)
+    )

@@ -190,3 +190,222 @@ def blocklist_filter(
     hosts = sorted({str(x) for x in blocked_hosts})
     cond = h.isin(hosts)
     return df.filter(cond if keep else ~cond)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation (crawl politeness at corpus scale)
+# ---------------------------------------------------------------------------
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into an (host, allow,
+    pattern, prec) rule table for one user agent — the REP grammar
+    (RFC 9309 / the Google spec) restricted to what group matching
+    needs: a group is a run of consecutive ``User-agent:`` lines
+    followed by its directives; a group applies when ANY of its
+    agent lines equals `agent`; ``Allow:``/``Disallow:`` values keep
+    case; comments (#...) strip; an EMPTY Disallow value means
+    "allow everything" and contributes no rule. `prec` =
+    pattern length (the spec's most-specific-match precedence key).
+
+    Plan: split to lines + posexplode, ONE host-partitioned window
+    pass assigns group ids (a group starts at a user-agent line
+    whose predecessor is not one) and marks relevant groups —
+    robots tables are per-host-tiny, so this is one small shuffle
+    regardless of how many URLs will be checked against it."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias(
+            "pos", "_raw"
+        ),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("_raw", r"#.*$", "")).alias("line"),
+    )
+    is_ua = F.col("line").rlike(r"(?i)^user-agent\s*:")
+    val = F.trim(F.regexp_replace("line", r"(?i)^[a-z-]+\s*:", ""))
+    w = Window.partitionBy("host").orderBy("pos")
+    marked = lines.withColumn("_ua", is_ua).withColumn(
+        "_start",
+        (
+            F.col("_ua")
+            & ~F.coalesce(F.lag("_ua").over(w), F.lit(False))
+        ).cast("int"),
+    )
+    grouped = marked.withColumn(
+        "blk",
+        F.sum("_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_val", val)
+    gw = Window.partitionBy("host", "blk")
+    relevant = grouped.withColumn(
+        "_rel",
+        F.max(
+            F.when(F.col("_ua") & (F.col("_val") == agent), True)
+        ).over(gw),
+    )
+    return (
+        relevant.filter(
+            F.col("_rel")
+            & F.col("line").rlike(r"(?i)^(allow|disallow)\s*:")
+            & (F.col("_val") != "")
+        )
+        .select(
+            "host",
+            F.col("line").rlike(r"(?i)^allow\s*:").alias("allow"),
+            F.col("_val").alias("pattern"),
+            F.length("_val").cast("int").alias("prec"),
+        )
+    )
+
+
+def _pattern_regex(pattern) -> Column:
+    """Anchored regex for a robots path pattern: literal except '*'
+    (any run) and a TRAILING '$' (end anchor). Built with string
+    ops only so the identical construction runs in the SQL twin."""
+    p = F.col(pattern) if isinstance(pattern, str) else pattern
+    anchored = p.endswith("$")
+    base = F.when(anchored, F.expr(
+        "substring(pattern, 1, length(pattern) - 1)"
+    )).otherwise(p)
+    esc = F.regexp_replace(base, r"([.+?(){}\[\]|^$\\])", r"\\$1")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), body,
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate a URL list against a robots_rules table: per URL,
+    the matching rule with the LONGEST pattern wins; Allow beats
+    Disallow on equal length (the spec's tie rule); no matching
+    rule (or no rules for the host) means allowed. Matching runs
+    on the URL's path+query with '*' wildcards and the '$' end
+    anchor; patterns are anchored at the path start.
+
+    Plan: rules broadcast (robots tables are KBs per host while the
+    URL side is the 100 TB frontier), one codegen regex match, one
+    per-URL window for the most-specific rule. Ties beyond
+    (length, allow) break by pattern text for full determinism.
+    -> (url, host, allowed, rule) with rule = winning pattern."""
+    from pyspark.sql import Window
+
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        host_expr(url_col).alias("host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.regexp_replace(
+                        F.regexp_replace(url_col, r"#.*$", ""),
+                        _SCHEME_RE,
+                        "",
+                    ),
+                    r"^[^/]*(/.*)$",
+                    1,
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    r = rules.select(
+        "host", "allow", "pattern", "prec",
+        _pattern_regex("pattern").alias("_rx"),
+    )
+    m = u.join(F.broadcast(r), "host", "left").withColumn(
+        "_hit",
+        F.col("pattern").isNotNull()
+        & F.expr("path rlike _rx"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("_hit"),
+        F.desc("prec"),
+        F.desc("allow"),
+        F.asc("pattern"),
+    )
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "url",
+            "host",
+            F.when(F.col("_hit"), F.col("allow"))
+            .otherwise(F.lit(True))
+            .alias("allowed"),
+            F.when(F.col("_hit"), F.col("pattern")).alias("rule"),
+        )
+    )
+    return best.orderBy("url")
+
+
+# DuckDB twin of robots_rules + robots_allowed over relations
+# `robots(host, robots_txt)` and `crawl_urls(url)` -> final SELECT
+# (url, host, allowed, rule). Kept next to the Spark expressions so
+# the two rule sets cannot drift.
+ROBOTS_CTES_DUCKDB = r"""
+rl AS (SELECT host, i - 1 AS pos,
+       trim(regexp_replace(ln, '#.*$', '')) AS line
+       FROM (SELECT host, unnest(string_split(robots_txt, chr(10))) AS ln,
+             unnest(range(1, len(string_split(robots_txt, chr(10))) + 1)) AS i
+             FROM robots)),
+mk AS (SELECT host, pos, line,
+       regexp_matches(line, '(?i)^user-agent\s*:') AS ua,
+       trim(regexp_replace(line, '(?i)^[a-z-]+\s*:', '')) AS val
+       FROM rl),
+st AS (SELECT *, CASE WHEN ua AND NOT coalesce(
+         lag(ua) OVER (PARTITION BY host ORDER BY pos), false)
+       THEN 1 ELSE 0 END AS strt FROM mk),
+bk AS (SELECT *, sum(strt) OVER (PARTITION BY host ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+       FROM st),
+rel AS (SELECT *, max(CASE WHEN ua AND val = '*' THEN true END)
+        OVER (PARTITION BY host, blk) AS relv FROM bk),
+rules AS (SELECT host,
+        regexp_matches(line, '(?i)^allow\s*:') AS allow,
+        val AS pattern, len(val)::INT AS prec
+        FROM rel WHERE relv
+          AND regexp_matches(line, '(?i)^(allow|disallow)\s*:')
+          AND val <> ''),
+rx AS (SELECT *, '^' || replace(regexp_replace(
+         CASE WHEN pattern LIKE '%$'
+              THEN substring(pattern, 1, len(pattern) - 1)
+              ELSE pattern END,
+         '([.+?(){}\[\]|^$\\])', '\\\1', 'g'), '*', '.*')
+       || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rgx
+       FROM rules),
+uu AS (SELECT url,
+       regexp_replace(regexp_replace(lower(regexp_extract(
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+           '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)),
+         '^www\.', ''), ':(80|443)$', '') AS host,
+       coalesce(nullif(regexp_extract(regexp_replace(
+         regexp_replace(url, '#.*$', ''),
+         '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/]*(/.*)$', 1),
+         ''), '/') AS path
+       FROM crawl_urls),
+mm AS (SELECT uu.url, uu.host, uu.path, rx.allow, rx.pattern,
+       rx.prec,
+       rx.pattern IS NOT NULL AND regexp_matches(uu.path, rx.rgx)
+         AS hit
+       FROM uu LEFT JOIN rx ON uu.host = rx.host),
+bst AS (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY hit DESC, prec DESC, allow DESC, pattern)
+        AS rn FROM mm),
+verdict AS (SELECT url, host,
+        CASE WHEN hit THEN allow ELSE true END AS allowed,
+        CASE WHEN hit THEN pattern END AS rule
+        FROM bst WHERE rn = 1)"""

@@ -1,0 +1,189 @@
+"""robots.txt parse + evaluate (RFC 9309 subset), session path
+mining, knn `similarity` cutoff."""
+
+import pytest
+from pyspark.sql import functions as F
+
+ROBOTS_A = """# site a
+User-agent: googlebot
+Disallow: /secret
+
+User-agent: *
+Allow: /docs/pub*
+Disallow: /docs
+Disallow: /tmp/*.html$
+Disallow:
+"""
+
+ROBOTS_B = """User-agent: fetcher
+User-agent: *
+Disallow: /
+Allow: /open
+"""
+
+
+def _robots(spark):
+    return spark.createDataFrame(
+        [("a.example.com", ROBOTS_A), ("b.example.com", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+
+
+def test_robots_rules_parse(spark):
+    from lucille_spark.ops.web import robots_rules
+
+    rules = robots_rules(_robots(spark)).collect()
+    got = {(r.host, r.allow, r.pattern) for r in rules}
+    assert got == {
+        # the googlebot group is ignored; the empty Disallow adds
+        # no rule; the comment strips
+        ("a.example.com", True, "/docs/pub*"),
+        ("a.example.com", False, "/docs"),
+        ("a.example.com", False, "/tmp/*.html$"),
+        # group with two agent lines, one of them '*'
+        ("b.example.com", False, "/"),
+        ("b.example.com", True, "/open"),
+    }
+    assert all(r.prec == len(r.pattern) for r in rules)
+
+
+def test_robots_allowed_precedence(spark):
+    from lucille_spark.ops.web import robots_allowed, robots_rules
+
+    rules = robots_rules(_robots(spark))
+    urls = spark.createDataFrame(
+        [
+            # allow /docs/pub* (len 10) beats disallow /docs (5)
+            ("https://a.example.com/docs/pub/x.html",),
+            # /docs disallowed
+            ("https://a.example.com/docs/internal",),
+            # $ anchor: .html at the END is blocked...
+            ("https://a.example.com/tmp/page.html",),
+            # ...but .html?x=1 is NOT (anchor fails) -> no rule hits
+            ("https://a.example.com/tmp/page.html?x=1",),
+            # /secret only blocked for googlebot, not '*'
+            ("https://a.example.com/secret/f",),
+            # host b: / blocks everything except /open (longer)
+            ("https://b.example.com/anything",),
+            ("https://b.example.com/open/data",),
+            # unknown host -> allowed
+            ("https://c.example.com/x",),
+            # www + port normalization joins the rules host
+            ("https://www.a.example.com:443/docs/zz",),
+        ],
+        "url string",
+    )
+    out = {r.url: (r.allowed, r.rule) for r in robots_allowed(
+        urls, rules
+    ).collect()}
+    assert out["https://a.example.com/docs/pub/x.html"] == (
+        True, "/docs/pub*",
+    )
+    assert out["https://a.example.com/docs/internal"] == (
+        False, "/docs",
+    )
+    assert out["https://a.example.com/tmp/page.html"] == (
+        False, "/tmp/*.html$",
+    )
+    assert out["https://a.example.com/tmp/page.html?x=1"][0] is True
+    assert out["https://a.example.com/secret/f"][0] is True
+    assert out["https://b.example.com/anything"] == (False, "/")
+    assert out["https://b.example.com/open/data"] == (True, "/open")
+    assert out["https://c.example.com/x"] == (True, None)
+    assert out["https://www.a.example.com:443/docs/zz"] == (
+        False, "/docs",
+    )
+
+
+def test_robots_duckdb_twin_identity(spark):
+    import duckdb
+
+    from lucille_spark.ops.web import (
+        ROBOTS_CTES_DUCKDB,
+        robots_allowed,
+        robots_rules,
+    )
+
+    urls = [
+        "https://a.example.com/docs/pub1",
+        "https://a.example.com/docs/x",
+        "https://a.example.com/tmp/a.html",
+        "https://a.example.com/tmp/a.html#frag",
+        "https://b.example.com/open",
+        "https://b.example.com/",
+        "https://nope.example.com/y",
+    ]
+    udf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(
+        tuple(r)
+        for r in robots_allowed(udf, robots_rules(_robots(spark))).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE robots AS SELECT * FROM (VALUES (?, ?), (?, ?))"
+        " t(host, robots_txt)",
+        ["a.example.com", ROBOTS_A, "b.example.com", ROBOTS_B],
+    )
+    con.execute(
+        "CREATE TABLE crawl_urls AS SELECT unnest(?) AS url", [urls]
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {ROBOTS_CTES_DUCKDB} SELECT * FROM verdict"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_session_paths(spark):
+    from lucille_spark.ops.events import session_paths
+
+    rows = [
+        # user 1, one session: a b c b c  -> a>b>c, b>c>b, c>b>c
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "c"),
+        (4, "2024-01-01 00:03:00", 1, "b"),
+        (5, "2024-01-01 00:04:00", 1, "c"),
+        # user 1, NEW session (gap > 30m): a b c again
+        (6, "2024-01-01 02:00:00", 1, "a"),
+        (7, "2024-01-01 02:01:00", 1, "b"),
+        (8, "2024-01-01 02:02:00", 1, "c"),
+        # user 2: a b (too short for k=3)
+        (9, "2024-01-01 00:00:00", 2, "a"),
+        (10, "2024-01-01 00:01:00", 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = [(r.path, r.n) for r in session_paths(df, k_steps=3).collect()]
+    assert out == [("a>b>c", 2), ("b>c>b", 1), ("c>b>c", 1)]
+    with pytest.raises(ValueError):
+        session_paths(df, k_steps=1)
+
+
+def test_knn_similarity_cutoff(spark):
+    import numpy as np
+
+    from lucille_spark.esdsl import knn_es
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    qv = rows[0][1]
+    full = knn_es(
+        df, {"field": "emb", "query_vector": qv, "k": 10}
+    ).collect()
+    cut = sorted(r.cosine for r in full)[5]
+    got = knn_es(
+        df,
+        {"field": "emb", "query_vector": qv, "k": 10,
+         "similarity": cut},
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        tuple(r) for r in full if r.cosine >= cut
+    ]
+    assert 0 < len(got) < len(full)
