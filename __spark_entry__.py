@@ -2104,6 +2104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_ccnet"] = lambda s, d: text.ccnet_buckets(
         _docs(s, d), "doc_id", "text"
     )
+    # Cavnar-Trenkle trigram language ID: profiles trained on the
+    # corpus's own lang labels, every doc classified by
+    # out-of-place rank distance (k=60 keeps the oracle's windows
+    # cheap at sf0.01)
+    q["tx_trigram_langid"] = lambda s, d: text.trigram_langid(
+        _docs(s, d), "doc_id", "text", k_profile=60
+    )
 
     # ---- search-UI features: facets over the FULL match set and
     # keyword-in-context snippets for the top-k page ----------------
@@ -3063,6 +3070,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["code_metrics"] = code_metrics_q
+
+    def code_complexity_q(s, d):
+        """Approximate cyclomatic complexity over a fixture whose
+        md5-chosen lines actually carry branches, loops,
+        short-circuits and comment-line decoys."""
+        from lucille_spark.analysis import tokenize_expr
+        from lucille_spark.ops import code as C
+
+        toks = tokenize_expr("text")
+
+        def line(t):
+            m = F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast(
+                "int"
+            ) % 6
+            return (
+                F.when(m == 0, F.concat(F.lit("if "), t, F.lit(" > 0:")))
+                .when(m == 1, F.concat(F.lit("for i in "), t, F.lit(":")))
+                .when(
+                    m == 2,
+                    F.concat(F.lit("y = a && "), t, F.lit(" || b")),
+                )
+                .when(m == 3, F.concat(F.lit("# if while "), t))
+                .when(m == 4, F.concat(F.lit("    "), t, F.lit(" = 1")))
+                .otherwise(
+                    F.concat(F.lit("while "), t, F.lit(" != 0:"))
+                )
+            )
+
+        docs = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .filter(F.size(toks) > 0)
+            .select(
+                "doc_id",
+                F.array_join(F.transform(toks, line), "\n").alias(
+                    "text"
+                ),
+            )
+        )
+        return C.complexity_stats(docs, "doc_id", "text")
+
+    q["code_complexity"] = code_complexity_q
 
     # ---- comment-normalized code + logic-level dedup --------------
     def code_strip_q(s, d):
@@ -7685,6 +7734,37 @@ SELECT doc_id, ppl,
             ELSE 'tail' END AS bucket
 FROM r CROSS JOIN c ORDER BY doc_id"""
 
+    # Cavnar-Trenkle trigram langid: profiles (top-60 grams per lang
+    # label), out-of-place distance with penalty 60, argmin by
+    # (dist, lang) struct min — all rank ties break on gram bytes
+    o["tx_trigram_langid"] = """
+WITH n AS (SELECT doc_id, lang,
+       ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+       || ' ' AS norm FROM documents),
+g AS (SELECT doc_id, lang,
+       unnest(list_transform(
+         range(1, greatest(length(norm) - 2, 0) + 1),
+         i -> substring(norm, i::INT, 3))) AS gram FROM n),
+lp AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+lr AS (SELECT lang, gram, row_number() OVER
+         (PARTITION BY lang ORDER BY c DESC, gram) AS pr FROM lp),
+prof AS (SELECT * FROM lr WHERE pr <= 60),
+dp AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+dr AS (SELECT doc_id, gram, row_number() OVER
+         (PARTITION BY doc_id ORDER BY c DESC, gram) AS dr FROM dp),
+dtop AS (SELECT * FROM dr WHERE dr <= 60),
+langs AS (SELECT DISTINCT lang FROM prof),
+dist AS (SELECT d.doc_id, l.lang,
+         sum(coalesce(abs(d.dr - p.pr), 60)) AS dist
+         FROM dtop d CROSS JOIN langs l
+         LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+         GROUP BY 1, 2),
+best AS (SELECT doc_id,
+         min(struct_pack(d := dist, l := lang)) AS b
+         FROM dist GROUP BY doc_id)
+SELECT doc_id, (b).l AS lang_pred, (b).d::BIGINT AS dist
+FROM best ORDER BY doc_id"""
+
     # field collapse: within-group ranks by (score desc, doc_id),
     # groups ranked by their head doc, top-3 groups x top-2 docs
     o["ft_collapse"] = (
@@ -8737,6 +8817,38 @@ SELECT doc_id,
   cast(len(list_filter(l, x -> regexp_matches(x,
     '^\\s*(def |function |func |fn )'))) as int) AS n_def
 FROM s ORDER BY doc_id"""
+
+    # approximate cyclomatic complexity over the md5-branch fixture:
+    # comment lines strip (the decoy '# if while' lines), decisions
+    # = word-boundary keywords + && + ||
+    o["code_complexity"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+code AS (SELECT doc_id, array_to_string(list_transform(arr, x ->
+   CASE (('0x' || substring(md5(x), 1, 2))::int % 6)
+     WHEN 0 THEN 'if ' || x || ' > 0:'
+     WHEN 1 THEN 'for i in ' || x || ':'
+     WHEN 2 THEN 'y = a && ' || x || ' || b'
+     WHEN 3 THEN '# if while ' || x
+     WHEN 4 THEN '    ' || x || ' = 1'
+     ELSE 'while ' || x || ' != 0:' END), chr(10)) AS text
+   FROM t WHERE len(arr) > 0),
+L AS (SELECT doc_id, list_filter(string_split(text, chr(10)),
+      x -> trim(x) <> '' AND NOT starts_with(trim(x), '#')
+           AND NOT starts_with(trim(x), '//')) AS l FROM code),
+b AS (SELECT doc_id, array_to_string(l, chr(10)) AS body,
+      len(l) AS nl FROM L),
+c AS (SELECT doc_id, nl,
+      len(regexp_extract_all(body,
+        '\\b(if|elif|else if|for|while|case|when|catch|except)\\b'))
+      + len(regexp_extract_all(body, '&&'))
+      + len(regexp_extract_all(body, '\\|\\|')) AS nd
+      FROM b)
+SELECT doc_id, cast(nl as int) AS n_code_lines,
+       cast(nd as int) AS n_decisions,
+       cast(nd + 1 as int) AS complexity,
+       round(CASE WHEN nl > 0 THEN nd * 100.0::DOUBLE / nl
+             ELSE 0.0 END, 4) AS decisions_per_100loc
+FROM c ORDER BY doc_id"""
 
     o["code_secrets"] = """
 WITH s AS (SELECT doc_id, text ||

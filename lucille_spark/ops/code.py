@@ -935,3 +935,53 @@ def notebook_cells(
     if keep is not None:
         cells = cells.filter(F.col("cell_type") == keep)
     return cells.orderBy("doc_id", "cell_ix")
+
+
+# decision points counted by the cyclomatic estimate: branch/loop
+# keywords at word boundaries plus short-circuit operators and the
+# ternary '?' (the language-agnostic McCabe approximation)
+DECISION_KEYWORD_RE = (
+    r"\b(if|elif|else if|for|while|case|when|catch|except)\b"
+)
+
+
+def complexity_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Approximate McCabe (cyclomatic) complexity per FILE: 1 + the
+    number of decision points — branch/loop keywords at word
+    boundaries plus `&&` / `||` short-circuits — counted over the
+    comment-stripped lines (the same whole-line comment rule
+    code_metrics uses, so string-literal false positives are the
+    documented approximation, as in every regex-level linter).
+    Normalized per 100 code lines so files of different size
+    compare. One scan, zero shuffle, all regexp_count in codegen.
+    -> (doc_id, n_code_lines, n_decisions, complexity,
+    decisions_per_100loc)."""
+    lines = F.split(F.col(text_col), r"\n")
+    code_lines = F.filter(
+        lines,
+        lambda ln: (F.trim(ln) != "")
+        & ~(
+            F.trim(ln).startswith("#") | F.trim(ln).startswith("//")
+        ),
+    )
+    body = F.concat_ws("\n", code_lines)
+    n_dec = (
+        F.regexp_count(body, F.lit(DECISION_KEYWORD_RE))
+        + F.regexp_count(body, F.lit(r"&&"))
+        + F.regexp_count(body, F.lit(r"\|\|"))
+    )
+    n_lines = F.size(code_lines)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_lines.cast("int").alias("n_code_lines"),
+        n_dec.cast("int").alias("n_decisions"),
+        (n_dec + 1).cast("int").alias("complexity"),
+        F.round(
+            F.when(
+                n_lines > 0, n_dec * 100.0 / n_lines
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("decisions_per_100loc"),
+    ).orderBy("doc_id")

@@ -2125,3 +2125,102 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     ).orderBy("doc_id")
+
+
+def trigram_langid(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "lang",
+    k_profile: int = 100,
+    penalty: "int | None" = None,
+) -> DataFrame:
+    """Cavnar-Trenkle (1994) n-gram language ID, the classifier the
+    stopword heuristic (`language_id`) graduates to: TRAIN per-label
+    char-trigram rank profiles from the corpus's own `label_col`
+    (top `k_profile` trigrams by frequency, rank-ordered), then
+    CLASSIFY every doc by out-of-place distance — sum over the
+    doc's top trigrams of |doc_rank - profile_rank|, missing
+    trigrams costing `penalty` (default k_profile). Deterministic:
+    all rank ties break on the gram bytes.
+
+    The train-on-labels / classify-everything shape: at 100 TB the
+    profiles come from a labeled slice and are a ~langs x k_profile
+    broadcast table; classification is one gram explode + one
+    broadcast join + one (doc, lang) partial agg — no shuffle of
+    the text. -> (doc_id, lang_pred, dist) ordered by doc_id."""
+    from pyspark.sql import Window
+
+    pen = int(penalty if penalty is not None else k_profile)
+    # normalization (inlined twice in the expr): lowercase,
+    # non-letter runs -> single spaces, one pad space each side —
+    # the Cavnar-Trenkle word-boundary convention at doc level
+    grams = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(label_col).alias("_lang"),
+        F.explode(
+            # the length-3 filter voids the two junk entries Spark's
+            # DESCENDING sequence(1, 0) emits on texts whose
+            # normalized form is shorter than one trigram — such
+            # docs produce no grams and drop out (the bigram_lm_ppl
+            # convention for no-evidence docs)
+            F.expr(
+                f"filter(transform(sequence(1, greatest(length(' ' || "
+                f"trim(regexp_replace(lower({text_col}), '[^a-z]+', ' '))"
+                f" || ' ') - 2, 0)), i -> substring(' ' || "
+                f"trim(regexp_replace(lower({text_col}), '[^a-z]+', ' '))"
+                f" || ' ', i, 3)), g -> length(g) = 3)"
+            )
+        ).alias("gram"),
+    )
+    # language profiles: top-k grams per label, rank-ordered
+    lw = Window.partitionBy("_lang").orderBy(
+        F.desc("_c"), F.asc("gram")
+    )
+    profiles = (
+        grams.groupBy("_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_pr", F.row_number().over(lw))
+        .filter(F.col("_pr") <= k_profile)
+        .select(
+            F.col("_lang").alias("lang"), "gram",
+            F.col("_pr").alias("prof_rank"),
+        )
+    )
+    langs = profiles.select("lang").distinct()
+    # doc profiles: top-k grams per doc
+    dw = Window.partitionBy("doc_id").orderBy(
+        F.desc("_c"), F.asc("gram")
+    )
+    dprof = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_dr", F.row_number().over(dw))
+        .filter(F.col("_dr") <= k_profile)
+        .select("doc_id", "gram", F.col("_dr").alias("doc_rank"))
+    )
+    # out-of-place distance per (doc, lang); missing gram -> penalty
+    dist = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("doc_rank") - F.col("prof_rank")),
+                    F.lit(pen),
+                )
+            ).alias("dist")
+        )
+    )
+    best = F.min(F.struct("dist", "lang")).alias("_b")
+    return (
+        dist.groupBy("doc_id")
+        .agg(best)
+        .select(
+            "doc_id",
+            F.col("_b.lang").alias("lang_pred"),
+            F.col("_b.dist").cast("long").alias("dist"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,117 @@
+"""Cavnar-Trenkle trigram language ID (python-reference exact match)
++ per-file cyclomatic complexity estimate + EQL `runs` via repeated
+steps."""
+
+import re
+from collections import Counter
+
+import pytest
+
+
+def _ct_reference(rows, k=20, penalty=None):
+    """Exact python Cavnar-Trenkle with the module's conventions."""
+    pen = penalty if penalty is not None else k
+
+    def grams(text):
+        norm = " " + re.sub(r"[^a-z]+", " ", text.lower()).strip() + " "
+        return [norm[i:i + 3] for i in range(len(norm) - 2)]
+
+    def ranked(counter):
+        top = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {g: r + 1 for r, (g, _) in enumerate(top)}
+
+    by_lang = {}
+    for _id, lang, text in rows:
+        by_lang.setdefault(lang, Counter()).update(grams(text))
+    profiles = {lang: ranked(c) for lang, c in by_lang.items()}
+    out = {}
+    for _id, _lang, text in rows:
+        dp = ranked(Counter(grams(text)))
+        best = None
+        for lang, prof in sorted(profiles.items()):
+            d = sum(
+                abs(dr - prof[g]) if g in prof else pen
+                for g, dr in dp.items()
+            )
+            if best is None or (d, lang) < best:
+                best = (d, lang)
+        out[_id] = (best[1], best[0])
+    return out
+
+
+def test_trigram_langid_matches_reference_and_labels(spark):
+    from lucille_spark.ops.text import trigram_langid
+
+    a_words = ["alpha", "beta", "gamma", "delta", "omega"]
+    b_words = ["zulu", "yankee", "xray", "quebec", "victor"]
+    rows = []
+    for i in range(12):
+        w = a_words if i % 2 == 0 else b_words
+        lang = "aa" if i % 2 == 0 else "bb"
+        text = " ".join(w[(i + j) % 5] for j in range(30))
+        rows.append((i, lang, text))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    got = {
+        r.doc_id: (r.lang_pred, r.dist)
+        for r in trigram_langid(
+            df, "doc_id", "text", k_profile=20
+        ).collect()
+    }
+    exp = _ct_reference(rows, k=20)
+    assert got == exp
+    # and the classifier recovers the labels on this separable corpus
+    for i, lang, _ in rows:
+        assert got[i][0] == lang
+
+
+def test_complexity_stats(spark):
+    from lucille_spark.ops.code import complexity_stats
+
+    src = (
+        "# a comment with if and while in it\n"
+        "def f(x):\n"
+        "    if x > 0 and x < 9:\n"          # if (1)
+        "        for i in range(x):\n"        # for (1)
+        "            y = a && b || c\n"       # && + || (2)
+        "    elif x < 0:\n"                   # elif (1)
+        "        while x:\n"                  # while (1)
+        "            x -= 1\n"
+        "\n"
+        "// another comment: case when\n"
+    )
+    df = spark.createDataFrame(
+        [(1, src), (2, "x = 1\n")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in complexity_stats(df, "doc_id", "text").collect()}
+    r = out[1]
+    assert r.n_decisions == 6
+    assert r.complexity == 7
+    assert r.n_code_lines == 7
+    assert r.decisions_per_100loc == pytest.approx(600.0 / 7, abs=1e-3)
+    assert (out[2].n_decisions, out[2].complexity) == (0, 1)
+
+
+def test_eql_runs_via_repeated_steps(spark):
+    """EQL `[x] with runs=2` == listing the step twice: the
+    backward induction handles repeated step types natively."""
+    from lucille_spark.ops.events import eql_sequence
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "fail"),
+        (2, "2024-01-01 00:00:05", 1, "fail"),
+        (3, "2024-01-01 00:00:09", 1, "login"),
+        # user 2: only one fail -> no match
+        (4, "2024-01-01 00:00:00", 2, "fail"),
+        (5, "2024-01-01 00:00:05", 2, "login"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type"
+    )
+    out = eql_sequence(df, ["fail", "fail", "login"], 60.0).collect()
+    assert [(r.user_id, r.start_id, r.span_s) for r in out] == [
+        (1, 1, 9.0)
+    ]
