@@ -363,6 +363,40 @@ def _code_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+def _pattern_index_for(spark: SparkSession, sf_dir: str):
+    """pattern-analyzer fixture: documents indexed under
+    analyzer='pattern:[^a-zA-Z]+' (letter runs only — digits and
+    underscores SPLIT, unlike the standard rule), the parameterized
+    Lucene/ES PatternAnalyzer. The oracle recomputes BM25 from the
+    identical split rule (analysis.pattern_tokenize_sql_duckdb)."""
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.builder import INDEX_FORMAT
+    from lucille_spark.index.reader import SparkIndex
+
+    key = "pattern:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"pattern_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        IndexBuilder(
+            num_shards=4, block_size=128,
+            analyzer="pattern:[^a-zA-Z]+",
+        ).build(
+            _docs(spark, sf_dir),
+            out,
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=["lang", "source"],
+        )
+    ix = SparkIndex(spark, out, cache=True)
+    _IX_CACHE[key] = ix
+    return ix
+
+
 def _search_code(spark, sf_dir, q, k=10, wand=False):
     from lucille_spark.exec_df import DataFrameExecutor
     from lucille_spark.exec_wand import WandExecutor
@@ -5732,6 +5766,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["ft_ws_ix"] = ft_ws_ix_q
+
+    # ---- pattern analyzer (parameterized): letters-only splits ----
+    def ft_pattern_ix_q(s, d, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        ix = _pattern_index_for(s, d)
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("spark", k=10)
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["ft_pattern_ix"] = ft_pattern_ix_q
+    q["wand_pattern_ix"] = lambda s, d: ft_pattern_ix_q(s, d, wand=True)
     q["wand_ws_ix"] = lambda s, d: ft_ws_ix_q(s, d, wand=True)
 
     # ---- force_merge: compacted index scores == SQL ----------------
@@ -6011,6 +6060,35 @@ def oracle_sql() -> dict[str, str]:
     # bijection and the stats equal the plain corpus
     o["ft_ws_ix"] = topk_term("spark")
     o["wand_ws_ix"] = o["ft_ws_ix"]
+
+    # pattern analyzer: BM25 recomputed from scratch over the
+    # letters-only split rule (digits/underscores split, tokens
+    # lowercased AFTER the raw-text split — the PatternAnalyzer
+    # order)
+    from lucille_spark.analysis import pattern_tokenize_sql_duckdb
+
+    _PTOK = (
+        "SELECT doc_id, "
+        + pattern_tokenize_sql_duckdb("[^a-zA-Z]+").format(col="text")
+        + " AS term FROM documents"
+    )
+    o["ft_pattern_ix"] = f"""
+WITH ptok AS ({_PTOK}),
+pdl AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d
+        LEFT JOIN ptok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+pst AS (SELECT (SELECT count(*) FROM documents) AS n,
+        (SELECT avg(dl) FROM pdl) AS avgdl),
+tf AS (SELECT doc_id, count(*) AS tf FROM ptok
+       WHERE term = 'spark' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + (pst.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * pdl.dl / pst.avgdl)) AS s
+       FROM tf CROSS JOIN df CROSS JOIN pst
+       JOIN pdl ON pdl.doc_id = tf.doc_id)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10"""
+    o["wand_pattern_ix"] = o["ft_pattern_ix"]
 
     # force-merged index must rank identically to SQL (scores are
     # untouched by compaction)

@@ -569,6 +569,60 @@ SHINGLE_TOKENIZE_SQL_DUCKDB = (
 )
 
 
+# ------------------------------------------------------------------
+# "pattern:<regex>" (Lucene/ES PatternAnalyzer, split mode): split
+# the RAW text on the regex, drop empties, lowercase the surviving
+# tokens. PARAMETERIZED — the full name including its pattern (e.g.
+# "pattern:[^a-z]+") is what stats.json records, and every registry
+# function resolves the prefix back to a concrete tokenizer. The
+# pattern must stay inside the Python-re ∩ Java-regex ∩ RE2 common
+# subset (character classes, +*?, alternation — the same dialect
+# deviation TermRegex documents).
+# ------------------------------------------------------------------
+
+PATTERN_ANALYZER_PREFIX = "pattern:"
+
+
+def _pattern_of(name: str) -> str:
+    rx = name[len(PATTERN_ANALYZER_PREFIX):]
+    if not rx:
+        raise ValueError("pattern analyzer needs a non-empty regex")
+    return rx
+
+
+def make_pattern_tokenize(rx: str):
+    crx = re.compile(rx)
+
+    def pattern_tokenize(text: str) -> List[str]:
+        return [t.lower() for t in crx.split(text or "") if t]
+
+    return pattern_tokenize
+
+
+def make_pattern_tokenize_expr(rx: str):
+    def pattern_tokenize_expr(col):
+        from pyspark.sql import functions as F
+
+        c = F.col(col) if isinstance(col, str) else col
+        return F.transform(
+            F.filter(
+                F.split(F.coalesce(c, F.lit("")), rx),
+                lambda t: t != "",
+            ),
+            lambda t: F.lower(t),
+        )
+
+    return pattern_tokenize_expr
+
+
+def pattern_tokenize_sql_duckdb(rx: str) -> str:
+    esc = rx.replace("'", "''")
+    return (
+        "unnest(list_transform(list_filter(regexp_split_to_array("
+        "{col}, '" + esc + "'), t -> t <> ''), t -> lower(t)))"
+    )
+
+
 # analyzer registry: the single source of truth for both the
 # driver-side (query analysis, oracles) and the vectorized kernel
 # paths. stats.json records the name; readers resolve through here.
@@ -600,6 +654,8 @@ def get_search_analyzer(name: str):
 
 
 def get_analyzer(name: str):
+    if name.startswith(PATTERN_ANALYZER_PREFIX):
+        return make_pattern_tokenize(_pattern_of(name))
     try:
         return ANALYZERS[name]
     except KeyError:
@@ -633,6 +689,8 @@ NORMALIZERS = {
 
 
 def get_normalizer(name: str):
+    if name.startswith(PATTERN_ANALYZER_PREFIX):
+        return str.lower  # pattern analyzer lowercases its tokens
     if name not in ANALYZERS:
         raise ValueError(
             f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}"
@@ -646,6 +704,8 @@ def get_regex_normalizer(name: str):
     (whitespace/keyword). ascii_fold keeps lowercase-only — folding
     inside character classes would corrupt patterns, and Lucene's
     RegexpQuery doesn't normalize either."""
+    if name.startswith(PATTERN_ANALYZER_PREFIX):
+        return str.lower
     if name not in ANALYZERS:
         raise ValueError(
             f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}"
@@ -671,6 +731,8 @@ def get_tokenize_expr(name: str):
         "edge_ngram": edge_ngram_tokenize_expr,
         "shingle": shingle_tokenize_expr,
     }
+    if name.startswith(PATTERN_ANALYZER_PREFIX):
+        return make_pattern_tokenize_expr(_pattern_of(name))
     try:
         return exprs[name]
     except KeyError:
@@ -682,6 +744,14 @@ def get_tokenize_expr(name: str):
 def pandas_token_lists(series, analyzer: str = "standard"):
     """Vectorized pandas token lists under the named analyzer — the
     index-build kernel path (Arrow-batched; no per-row Python)."""
+    if analyzer.startswith(PATTERN_ANALYZER_PREFIX):
+        rx = _pattern_of(analyzer)
+        lists = series.fillna("").str.split(rx, regex=True)
+        # lowercase + empty-drop is pointer work over the already-
+        # split Arrow batch (same cost class as the shingle path)
+        return lists.map(
+            lambda toks: [t.lower() for t in toks if t]
+        )
     if analyzer == "standard":
         return series.str.lower().str.findall(_TOKEN_RE)
     if analyzer == "code":
@@ -754,6 +824,14 @@ def pandas_token_lists(series, analyzer: str = "standard"):
 def pandas_token_counts(series, analyzer: str = "standard"):
     """Vectorized token counts under the named analyzer (doclens
     kernel; avoids materializing the token lists)."""
+    if analyzer.startswith(PATTERN_ANALYZER_PREFIX):
+        rx = _pattern_of(analyzer)
+        return (
+            series.fillna("")
+            .str.split(rx, regex=True)
+            .map(lambda toks: sum(1 for t in toks if t))
+            .astype("int64")
+        )
     if analyzer == "standard":
         return series.str.count(_TOKEN_RE)
     if analyzer == "code":

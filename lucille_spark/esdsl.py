@@ -4693,6 +4693,17 @@ def render_template(source, params=None):
         ) from None
 
 
+def msearch_template_es(executor, bodies, k: int = 10):
+    """ES `_msearch/template`: N template bodies ({source, params})
+    rendered driver-side, then served through msearch_es's ONE-job
+    batched path. -> (query_id 'q0'.., doc_id, score)."""
+    rendered = [
+        render_template(b.get("source"), b.get("params"))
+        for b in bodies
+    ]
+    return msearch_es(executor, rendered, k=k)
+
+
 def search_template(executor, body, k: int = 10, **kw):
     """ES `_search/template`: render `body` ({"source": tmpl,
     "params": {...}}) and run it through search_es. The rendered

@@ -328,6 +328,48 @@ def percolate(
     return src.mapInPandas(kernel, schema=schema)
 
 
+def percolate_documents(
+    spark,
+    queries,
+    documents,
+    content_field: str = "content",
+    analyzer: str = "standard",
+    with_scores: bool = True,
+):
+    """ES percolate with a `documents` ARRAY: N payload docs against
+    the stored-query set in ONE batch-percolator pass (doc_id = the
+    0-based position in `documents`, matching ES's _percolator_
+    document_slot). Each doc is a content string or an ES
+    _source-style dict like percolate_document's."""
+    docs = []
+    for slot, document in enumerate(documents):
+        if isinstance(document, str):
+            document = {content_field: document}
+        d = dict(document)
+        if content_field not in d:
+            raise ValueError(
+                f"document {slot} has no {content_field!r} field"
+            )
+        docs.append((slot, str(d.pop(content_field)), d))
+    meta = sorted({m for _, _, d in docs for m in d})
+    schema = "doc_id long, content string" + "".join(
+        f", {m} string" for m in meta
+    )
+    rows = [
+        (slot, content,
+         *[None if d.get(m) is None else str(d[m]) for m in meta])
+        for slot, content, d in docs
+    ]
+    docs_df = spark.createDataFrame(rows, schema)
+    return percolate(
+        docs_df,
+        queries,
+        analyzer=analyzer,
+        meta_cols=meta,
+        with_scores=with_scores,
+    )
+
+
 def percolate_document(
     spark,
     queries: Dict[str, Union[str, dict, "ast.Query"]],

@@ -1,0 +1,230 @@
+"""Wave 90: parameterized pattern analyzer (Lucene/ES
+PatternAnalyzer, split mode), ES _msearch/template, and the
+percolate `documents` array (multi-doc slots).
+
+The pattern analyzer's four implementations (python, pandas kernel,
+Spark expression, DuckDB SQL) must tokenize identically, and an
+index built under `pattern:<rx>` must score like a standard-analyzer
+oracle over the same token streams.
+"""
+
+import pytest
+
+TEXTS = [
+    "Spark3 runs fast_jobs on data2024 lakes",
+    "snake_case andCamelCase mix 42 ways",
+    "",
+    "   ",
+    "UPPER lower 123 ___ tail",
+    None,
+    "one1two2three3",
+]
+
+RX = "[^a-zA-Z]+"  # letters only: digits and underscores SPLIT
+
+
+def _py_tokens():
+    from lucille_spark.analysis import make_pattern_tokenize
+
+    tok = make_pattern_tokenize(RX)
+    return [tok(t or "") for t in TEXTS]
+
+
+def test_python_rule():
+    toks = _py_tokens()
+    # digits and underscores split (unlike the standard analyzer)
+    assert toks[0] == ["spark", "runs", "fast", "jobs", "on",
+                       "data", "lakes"]
+    assert toks[1] == ["snake", "case", "andcamelcase", "mix",
+                       "ways"]
+    assert toks[2] == [] and toks[3] == [] and toks[5] == []
+    assert toks[6] == ["one", "two", "three"]
+
+
+def test_pandas_kernel_parity():
+    import pandas as pd
+
+    from lucille_spark.analysis import (
+        pandas_token_counts,
+        pandas_token_lists,
+    )
+
+    s = pd.Series(TEXTS)
+    lists = pandas_token_lists(s, "pattern:" + RX)
+    assert [list(x) for x in lists] == _py_tokens()
+    counts = pandas_token_counts(s, "pattern:" + RX)
+    assert list(counts) == [len(t) for t in _py_tokens()]
+
+
+def test_spark_expr_parity(spark):
+    from lucille_spark.analysis import get_tokenize_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "i long, t string"
+    )
+    expr = get_tokenize_expr("pattern:" + RX)
+    rows = df.select("i", expr("t").alias("toks")).collect()
+    got = [r["toks"] for r in sorted(rows, key=lambda r: r["i"])]
+    assert got == _py_tokens()
+
+
+def test_duckdb_parity():
+    import duckdb
+
+    from lucille_spark.analysis import pattern_tokenize_sql_duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, "
+            + ("NULL" if x is None else "'" + x.replace("'", "''") + "'")
+            + ")"
+            for i, x in enumerate(TEXTS)
+        )
+        + ") v(i, txt)"
+    )
+    frag = pattern_tokenize_sql_duckdb(RX).format(col="coalesce(txt,'')")
+    rows = con.execute(
+        f"SELECT i, {frag} AS term FROM t ORDER BY i"
+    ).fetchall()
+    got = {}
+    for i, term in rows:
+        got.setdefault(i, []).append(term)
+    want = {i: t for i, t in enumerate(_py_tokens()) if t}
+    assert got == want
+
+
+def test_registry_dispatch_and_errors():
+    from lucille_spark.analysis import (
+        get_analyzer,
+        get_normalizer,
+        get_regex_normalizer,
+    )
+
+    assert get_analyzer("pattern:" + RX)("a1b") == ["a", "b"]
+    assert get_normalizer("pattern:" + RX)("ABC") == "abc"
+    assert get_regex_normalizer("pattern:" + RX)("A.B") == "a.b"
+    with pytest.raises(ValueError, match="non-empty"):
+        get_analyzer("pattern:")
+
+
+def test_index_build_and_search(spark, tmp_path_factory):
+    """Index under pattern:[^a-zA-Z]+ ranks by the split-rule token
+    stream: 'data2024' matches the term query `data` (the standard
+    analyzer would keep it whole and miss)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "data2024 lake data_feed"),
+            (1, "pure data rows"),
+            (2, "nothing relevant here"),
+            (3, "big_data and data9data"),
+        ],
+        "doc_id long, content string",
+    )
+    out = str(tmp_path_factory.mktemp("pattix") / "ix")
+    IndexBuilder(
+        num_shards=2, block_size=4, analyzer="pattern:" + RX
+    ).build(docs, out, id_col="doc_id")
+    ix = SparkIndex(spark, out)
+    got_df = {
+        r["doc_id"]: r["score"]
+        for r in DataFrameExecutor(ix).search("data", k=10).collect()
+    }
+    got_w = {
+        r["doc_id"]: r["score"]
+        for r in WandExecutor(ix).search("data", k=10).collect()
+    }
+    assert set(got_df) == {0, 1, 3}
+    assert got_df.keys() == got_w.keys()
+    for d in got_df:
+        assert got_df[d] == pytest.approx(got_w[d], rel=1e-6)
+    # tf: doc 0 has data x2 (data2024, data_feed), doc 3 has x3
+    # (big_data, data9data -> data twice); doc 3 outranks doc 0
+    # under equal-ish doclens
+    assert got_df[3] > got_df[1]
+
+
+def test_msearch_template_parity(spark, tmp_path_factory):
+    from lucille_spark.esdsl import (
+        msearch_template_es,
+        search_template,
+    )
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.reader import SparkIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark window join"),
+            (1, "spark batch stream"),
+            (2, "window functions sql"),
+            (3, "join orders lineitem"),
+        ],
+        "doc_id long, content string",
+    )
+    out = str(tmp_path_factory.mktemp("mst") / "ix")
+    IndexBuilder(num_shards=2, block_size=4).build(
+        docs, out, id_col="doc_id"
+    )
+    ex = DataFrameExecutor(SparkIndex(spark, out))
+    src = '{"query": {"match": {"content": "{{q}}"}}}'
+    bodies = [
+        {"source": src, "params": {"q": "spark"}},
+        {"source": src, "params": {"q": "window join"}},
+    ]
+    got = msearch_template_es(ex, bodies, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for i, b in enumerate(bodies):
+        solo = {
+            r["doc_id"]: r["score"]
+            for r in search_template(ex, b, k=5).collect()
+        }
+        assert by_q[f"q{i}"].keys() == solo.keys()
+        for d, s in solo.items():
+            assert by_q[f"q{i}"][d] == pytest.approx(s, rel=1e-6)
+
+
+def test_percolate_documents_slots(spark):
+    from lucille_spark.percolate import (
+        percolate_document,
+        percolate_documents,
+    )
+
+    queries = {
+        "q_spark": "spark AND batch",
+        "q_phrase": '"window join"',
+        "q_meta": "lang:en AND spark",
+    }
+    documents = [
+        "spark batch pipeline",
+        {"content": "window join at scale", "lang": "fr"},
+        {"content": "spark rows", "lang": "en"},
+    ]
+    out = percolate_documents(spark, queries, documents).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["query_id"])
+    assert got == {
+        0: {"q_spark"},
+        1: {"q_phrase"},
+        2: {"q_meta"},
+    }
+    # slot results equal the single-doc endpoint per document
+    for slot, document in enumerate(documents):
+        solo = {
+            r["query_id"]
+            for r in percolate_document(
+                spark, queries, document
+            ).collect()
+        }
+        assert solo == got.get(slot, set())
+    with pytest.raises(ValueError, match="no 'content'"):
+        percolate_documents(spark, queries, [{"lang": "en"}])
