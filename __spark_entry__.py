@@ -1043,6 +1043,67 @@ def _search_del(spark, sf_dir, q, k=10, wand=False, purged=False):
 
 
 # --------------------------------------------------------------------
+# point-in-time fixture: an INCREMENTAL index where batch 0 = docs
+# with src doc_id % 3 != 2 (ids remapped to the rank over src id),
+# then — after the PIT moment — batch 1 (the rest) and root
+# tombstones (new-space id % 5 == 1) land. The PIT view must score
+# exactly the batch-0 world (its own n/avgdl/df, no tombstones); the
+# live view scores the merged world with tombstones filtered but
+# stats AS BUILT (live-docs semantics). streaming.open_pit pins the
+# delta list + delete part-files; reopening from a completed fixture
+# reconstructs the identical pinned view via
+# MultiIndex(pinned_delete_files=[]).
+# --------------------------------------------------------------------
+
+_PIT_PRED_SQL = "doc_id % 3 <> 2"  # batch-0 membership on SOURCE ids
+
+
+def _pit_views_for(spark: SparkSession, sf_dir: str):
+    from lucille_spark.index.builder import INDEX_FORMAT, BuildConfig
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.streaming import (
+        IncrementalIndexer, MultiIndex, open_multi, open_pit,
+    )
+
+    key = "pit:" + os.path.abspath(sf_dir)
+    if key in _IX_CACHE:
+        return _IX_CACHE[key]
+    out = os.path.join(
+        "/tmp/lucille_entry_ix",
+        f"pit_v{INDEX_FORMAT}_"
+        + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    done_flag = os.path.join(out, "_fixture_done")
+    ixr = IncrementalIndexer(
+        out,
+        content_col="text",
+        order_cols=("src_id",),
+        config=BuildConfig(num_shards=2, block_size=128),
+    )
+    if not os.path.exists(done_flag):
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("src_id"), "text"
+        )
+        ixr.process_batch(docs.filter(F.col("src_id") % 3 != 2), 0)
+        pit = open_pit(spark, out)  # the PIT moment
+        ixr.process_batch(docs.filter(F.col("src_id") % 3 == 2), 1)
+        n_total = docs.count()
+        delete_docs(
+            spark, out, [i for i in range(n_total) if i % 5 == 1]
+        )
+        with open(done_flag, "w") as f:
+            f.write(pit.id)
+        pit_view = pit.index
+    else:
+        pit_view = MultiIndex(
+            spark, ixr.delta_dirs(spark)[:1], pinned_delete_files=[]
+        )
+    views = (pit_view, open_multi(spark, out))
+    _IX_CACHE[key] = views
+    return views
+
+
+# --------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------
 
@@ -1222,7 +1283,11 @@ _GATE_PRIORITY = [
     # — the kernel's AND/OR/NOT paths stay covered by wand_complex
     # here plus the full local mirror)
     "ft_and", "ft_scriptscore",
-    "ft_or", "ft_forcemerge",
+    # (ft_forcemerge freed its slot for point-in-time reads — the
+    # compaction rank-identity stays in the local mirror + pytest;
+    # ft_pit exercises streaming ingest, the pinned-snapshot view
+    # AND tombstone semantics in one hash row)
+    "ft_or", "ft_pit",
     "ft_not",
     "ft_phrase", "wand_phrase",
     # (wand_proximity freed its slot for wave-13/14 families, and
@@ -2006,6 +2071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_purged"] = lambda s, d: _search_del(
         s, d, "spark OR batch", wand=True, purged=True
     )
+
+    # ---- point-in-time reads over the incremental index: the PIT
+    # view scores the batch-0 world (ignores later deltas AND later
+    # tombstones); the live view scores the merged world minus
+    # tombstones with as-built stats.
+    def pit_q(s, d, live=False, wand=False):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.exec_wand import WandExecutor
+
+        pit_view, live_view = _pit_views_for(s, d)
+        ix = live_view if live else pit_view
+        ex = WandExecutor(ix) if wand else DataFrameExecutor(ix)
+        out = ex.search("spark AND batch", k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_pit"] = pit_q
+    q["wand_pit"] = lambda s, d: pit_q(s, d, wand=True)
+    q["ft_pit_live"] = lambda s, d: pit_q(s, d, live=True)
 
     # ---- query-time synonym expansion (query-expansion OR
     # semantics — the rewrite is exactly equivalent to typing the
@@ -6935,6 +7018,65 @@ WHERE m = 2 AND {_DEL_PRED_SQL}
 ORDER BY sr DESC, doc_id LIMIT 10"""
     )
     o["wand_deleted"] = o["ft_deleted"]
+
+    # point-in-time: the PIT world is batch 0 only — docs with
+    # src % 3 != 2, ids remapped to the rank over src id; n/avgdl/df
+    # all recomputed over that subset; later tombstones invisible
+    _PIT_DOCS = (
+        "SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, "
+        f"text FROM documents WHERE {_PIT_PRED_SQL}"
+    )
+
+    def _pit_cte(terms, docs_sql):
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+WITH pdocs AS ({docs_sql}),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS term FROM pdocs),
+dl AS (SELECT d.doc_id, count(t.term) AS dl FROM pdocs d
+       LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+st AS (SELECT (SELECT count(*) FROM pdocs) AS n,
+       (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term,
+       ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf /
+       (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN st)
+"""
+
+    o["ft_pit"] = (
+        _pit_cte(["spark", "batch"], _PIT_DOCS)
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr, count(*) AS m FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg WHERE m = 2
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
+    o["wand_pit"] = o["ft_pit"]
+
+    # live view: both batches mapped into the stream's id space
+    # (batch 0 = rank over src among %3<>2; batch 1 = n0 + rank among
+    # the rest), stats AS BUILT over the merged corpus, tombstones
+    # (new-space id % 5 == 1) filtered from results only
+    _PIT_LIVE_DOCS = f"""
+SELECT CASE WHEN {_PIT_PRED_SQL}
+       THEN row_number() OVER (PARTITION BY {_PIT_PRED_SQL}
+            ORDER BY doc_id) - 1
+       ELSE (SELECT count(*) FROM documents WHERE {_PIT_PRED_SQL})
+            + row_number() OVER (PARTITION BY {_PIT_PRED_SQL}
+              ORDER BY doc_id) - 1 END AS doc_id, text
+FROM documents"""
+
+    o["ft_pit_live"] = (
+        _pit_cte(["spark", "batch"], _PIT_LIVE_DOCS)
+        + """
+, agg AS (SELECT doc_id, sum(s) AS sr, count(*) AS m FROM sc GROUP BY doc_id)
+SELECT doc_id, round(sr, 4) AS score FROM agg
+WHERE m = 2 AND doc_id % 5 <> 1
+ORDER BY sr DESC, doc_id LIMIT 10"""
+    )
 
     # purged index: full recompute over the REMAINING corpus — every
     # CTE's `documents` source is replaced by the filtered subquery,

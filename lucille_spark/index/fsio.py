@@ -52,6 +52,33 @@ def read_text(path: str, spark=None) -> str:
         stream.close()
 
 
+def list_files(path: str, spark=None, suffix: str = ".parquet"):
+    """Sorted list of regular files directly under `path` ending in
+    `suffix` (non-recursive; absent dir -> []). Used to PIN a
+    directory's contents at a point in time (ES PIT): parquet dirs
+    like deletes/ only ever gain part files, so the pinned list is a
+    stable snapshot no matter what lands later."""
+    if not is_uri(path) or spark is None:
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(suffix)
+            and os.path.isfile(os.path.join(path, f))
+        )
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        if st.isFile():
+            name = st.getPath().toString()
+            if name.endswith(suffix):
+                out.append(name)
+    return sorted(out)
+
+
 def write_text(path: str, text: str, spark=None) -> None:
     """Create/overwrite `path` with `text` (parents created)."""
     if not is_uri(path) or spark is None:

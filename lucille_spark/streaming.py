@@ -194,6 +194,7 @@ class MultiIndex:
         similarity: str = "bm25",
         doc_offsets: Optional[Sequence[int]] = None,
         extra_delete_specs: Optional[Sequence] = None,
+        pinned_delete_files: Optional[Sequence] = None,
     ):
         import numpy as np
 
@@ -213,28 +214,20 @@ class MultiIndex:
         # (path, doc-offset) pairs: per-delta deletes carry LOCAL ids
         # when the parts were built independently (alias mode), so
         # they shift with their part; root deletes are global.
-        self._delete_specs = [
-            (p, off)
-            for p, off in zip(
-                [os.path.join(d, "deletes") for d in delta_dirs], offs
-            )
-            if fsio.exists(p, spark)
-        ] + (
-            [(os.path.join(root_dir, "deletes"), 0)]
-            if root_dir
-            and fsio.exists(os.path.join(root_dir, "deletes"), spark)
-            else []
-        ) + (
-            # additional (deletes-path, offset) pairs: the rollover
-            # alias has SEVERAL roots (one per generation), each
-            # carrying generation-local delete ids shifted by that
-            # generation's doc base
-            [
-                (p, off)
-                for p, off in (extra_delete_specs or [])
-                if fsio.exists(p, spark)
+        # pinned_delete_files (PIT mode): explicit (files, offset)
+        # pairs REPLACE directory discovery — the view reads exactly
+        # the delete part-files that existed at open time, so
+        # tombstones appended later never leak in.
+        if pinned_delete_files is not None:
+            self._delete_specs = [
+                (tuple(files), off)
+                for files, off in pinned_delete_files
+                if files
             ]
-        )
+        else:
+            self._delete_specs = self._discover_delete_specs(
+                spark, delta_dirs, offs, root_dir, extra_delete_specs
+            )
         self._delete_paths = [p for p, _ in self._delete_specs]
         self._deleted_df = None
         self._deleted_ids = None
@@ -312,6 +305,33 @@ class MultiIndex:
         )
         self._parse, self._ast = parse, ast
 
+    @staticmethod
+    def _discover_delete_specs(
+        spark, delta_dirs, offs, root_dir, extra_delete_specs
+    ):
+        return [
+            (p, off)
+            for p, off in zip(
+                [os.path.join(d, "deletes") for d in delta_dirs], offs
+            )
+            if fsio.exists(p, spark)
+        ] + (
+            [(os.path.join(root_dir, "deletes"), 0)]
+            if root_dir
+            and fsio.exists(os.path.join(root_dir, "deletes"), spark)
+            else []
+        ) + (
+            # additional (deletes-path, offset) pairs: the rollover
+            # alias has SEVERAL roots (one per generation), each
+            # carrying generation-local delete ids shifted by that
+            # generation's doc base
+            [
+                (p, off)
+                for p, off in (extra_delete_specs or [])
+                if fsio.exists(p, spark)
+            ]
+        )
+
     def plan(self, query, similarity=None, synonyms=None):
         if isinstance(query, str):
             query = self._parse(query)
@@ -327,7 +347,10 @@ class MultiIndex:
         if self._deleted_df is None and self._delete_specs:
             parts = []
             for p, off in self._delete_specs:
-                d = self.spark.read.parquet(p).select("doc_id")
+                # a spec path may be one directory (live view) or a
+                # pinned tuple of part files (PIT view)
+                paths = list(p) if isinstance(p, (list, tuple)) else [p]
+                d = self.spark.read.parquet(*paths).select("doc_id")
                 if off:
                     d = d.select(
                         (F.col("doc_id") + F.lit(int(off)))
@@ -380,6 +403,56 @@ def open_multi(
         root_dir=index_dir,
         similarity=similarity,
     )
+
+
+class PointInTime:
+    """ES point-in-time (PIT) reader over an incremental index: a
+    FROZEN view pinned at open — the delta list AND the exact delete
+    part-files that existed then. Deltas ingested later, upserts, and
+    tombstones appended later are all invisible; paging with
+    search_after through a PIT is therefore consistent under
+    concurrent writes, which is the entire point of ES's
+    `POST /index/_pit` (the non-PIT view re-resolves per request).
+
+    Purely driver-side metadata — nothing is copied or locked. Like
+    ES, a PIT survives only as long as the underlying files do:
+    compaction/purge that REMOVES delta dirs invalidates it
+    (`keep_alive` is advisory metadata for the caller's reaper, not
+    enforcement — same contract as an ES keep-alive extension).
+    """
+
+    def __init__(self, spark, index_dir, similarity="bm25"):
+        import hashlib as _h
+
+        ixr = IncrementalIndexer(index_dir)
+        deltas = ixr.delta_dirs(spark)
+        pinned = [
+            (fsio.list_files(os.path.join(d, "deletes"), spark), 0)
+            for d in deltas
+        ] + [(fsio.list_files(os.path.join(index_dir, "deletes"), spark), 0)]
+        self.index_dir = index_dir
+        self.delta_dirs = list(deltas)
+        self.pinned_delete_files = [
+            (tuple(files), off) for files, off in pinned if files
+        ]
+        self.id = _h.md5(
+            repr((self.delta_dirs, self.pinned_delete_files)).encode()
+        ).hexdigest()
+        self.index = MultiIndex(
+            spark,
+            deltas,
+            similarity=similarity,
+            pinned_delete_files=self.pinned_delete_files,
+        )
+
+
+def open_pit(
+    spark: SparkSession, index_dir: str, similarity: str = "bm25"
+) -> PointInTime:
+    """Open a point-in-time view (see PointInTime). Serve it through
+    either executor: `DataFrameExecutor(pit.index)` /
+    `WandExecutor(pit.index)`."""
+    return PointInTime(spark, index_dir, similarity=similarity)
 
 
 def upsert_batch(

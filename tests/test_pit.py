@@ -1,0 +1,98 @@
+"""Point-in-time (PIT) reads over the incremental index: a PIT
+pins the delta list AND the delete part-file set at open, so
+searches (and search_after paging) through it are consistent while
+batches land and tombstones accumulate — ES `POST /index/_pit`
+semantics (reference: lucille has no server; the PIT contract here
+follows the ES API the esdsl front door mirrors)."""
+
+import os
+
+import pytest
+
+from lucille_spark.fixtures import DOCS_SCHEMA, generate_pdf
+
+
+def _ranked(rows):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def stream_ix(spark, tmp_path_factory):
+    from lucille_spark.index.builder import BuildConfig
+    from lucille_spark.streaming import IncrementalIndexer
+
+    root = tmp_path_factory.mktemp("pit")
+    in_dir = str(root / "incoming")
+    ix_dir = str(root / "ix")
+    os.makedirs(in_dir)
+    pdf = generate_pdf(120, seed=17)
+    ixr = IncrementalIndexer(
+        ix_dir, config=BuildConfig(num_shards=2, block_size=32)
+    )
+    spark.createDataFrame(pdf.iloc[:70]).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    ixr.start(spark, in_dir, DOCS_SCHEMA, available_now=True
+              ).awaitTermination(120)
+    return ixr, ix_dir, in_dir, pdf
+
+
+def test_pit_frozen_under_ingest_and_delete(spark, stream_ix):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.streaming import open_multi, open_pit
+
+    ixr, ix_dir, in_dir, pdf = stream_ix
+    pit = open_pit(spark, ix_dir)
+    q = "import AND parser"
+    before = _ranked(DataFrameExecutor(pit.index).search(q, k=10).collect())
+    assert before, "fixture query must match"
+
+    # mutate: second batch + tombstone some of the first batch's hits
+    spark.createDataFrame(pdf.iloc[70:]).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    ixr.start(spark, in_dir, DOCS_SCHEMA, available_now=True
+              ).awaitTermination(120)
+    delete_docs(spark, ix_dir, [d for d, _ in before[:3]])
+
+    # the PIT view is bitwise-stable through both executors
+    after = _ranked(DataFrameExecutor(pit.index).search(q, k=10).collect())
+    assert after == before
+    wand = _ranked(WandExecutor(pit.index).search(q, k=10).collect())
+    assert wand == before
+
+    # a PIT opened NOW sees the new world: the tombstoned ids are
+    # gone and the second batch is searchable
+    live = open_multi(spark, ix_dir)
+    live_rows = _ranked(
+        DataFrameExecutor(live).search(q, k=200).collect()
+    )
+    live_ids = {d for d, _ in live_rows}
+    assert not live_ids & {d for d, _ in before[:3]}
+    assert live.stats["n_docs"] == 120 and pit.index.stats["n_docs"] == 70
+
+
+def test_pit_paging_consistent_under_writes(spark, stream_ix):
+    """Two PITs opened at the same state have the same id; paging
+    page2 through an old PIT after a write equals paging without the
+    write (the ES consistency claim, stated as rank equality)."""
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.streaming import open_pit
+
+    _, ix_dir, _, _ = stream_ix
+    pit1 = open_pit(spark, ix_dir)
+    pit2 = open_pit(spark, ix_dir)
+    assert pit1.id == pit2.id
+
+    q = "cats dogs"
+    full = _ranked(DataFrameExecutor(pit1.index).search(q, k=10).collect())
+    page1 = full[:5]
+    delete_docs(spark, ix_dir, [full[0][0]])  # concurrent write
+    again = _ranked(DataFrameExecutor(pit1.index).search(q, k=10).collect())
+    assert again[:5] == page1 and again == full
+    # and the state change gives a NEW pit a different identity
+    pit3 = open_pit(spark, ix_dir)
+    assert pit3.id != pit1.id
