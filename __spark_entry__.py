@@ -4339,6 +4339,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gr_triangles"] = gr_triangles_q
 
+    def gr_linkpred_q(s, d):
+        from lucille_spark.ops.graph import link_prediction
+
+        _, e = _graph(s, d)
+        out = link_prediction(e, top_n=None).select(
+            "src", "dst", "common_neighbors",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+            F.round("resource_allocation", 6).alias(
+                "resource_allocation"
+            ),
+            "pref_attachment",
+        )
+        # cutoff on the ROUNDED score so the top-25 SET is stable
+        # across engines (float sum order)
+        return out.orderBy(
+            F.desc("adamic_adar"), "src", "dst"
+        ).limit(25)
+
+    q["gr_linkpred"] = gr_linkpred_q
+
     # ---- histogram agg + positional highlighting -------------------
     def agg_hist_q(s, d):
         from lucille_spark.esdsl import aggs_es
@@ -10155,6 +10176,36 @@ und AS (
 )
 SELECT node, cast(count(*) AS int) AS n_triangles
 FROM corners GROUP BY node ORDER BY node"""
+
+    # link prediction over the same fixture graph: classical
+    # neighborhood scores for non-adjacent pairs; top-25 by the
+    # ROUNDED adamic_adar (stable cutoff across engines) then pair
+    o["gr_linkpred"] = """
+WITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+e0 AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n
+       UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+adj AS (SELECT a AS c, b AS x FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+w AS (SELECT l.x AS x, r.x AS y, d.deg AS deg
+      FROM adj l JOIN adj r ON l.c = r.c
+      JOIN deg d ON d.c = l.c WHERE l.x < r.x),
+p AS (SELECT x, y, count(*) AS cn, sum(1.0 / ln(deg)) AS aa,
+      sum(1.0 / deg) AS ra FROM w GROUP BY x, y),
+np AS (SELECT p.* FROM p ANTI JOIN und
+       ON p.x = und.a AND p.y = und.b),
+sc AS (SELECT np.x AS src, np.y AS dst,
+       cast(cn AS int) AS common_neighbors,
+       round(cn * 1.0 / (dx.deg + dy.deg - cn), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar,
+       round(ra, 6) AS resource_allocation,
+       cast(dx.deg AS bigint) * dy.deg AS pref_attachment
+       FROM np JOIN deg dx ON dx.c = np.x JOIN deg dy ON dy.c = np.y)
+SELECT * FROM sc ORDER BY adamic_adar DESC, src, dst LIMIT 25"""
 
     # histogram agg over doc_len of the 'spark' match set
     o["ft_agg_histogram"] = f"""

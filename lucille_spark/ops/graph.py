@@ -281,3 +281,91 @@ def hits(
         )
         .orderBy("node")
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_n: "int | None" = 50,
+    max_center_degree: int = 10_000,
+) -> DataFrame:
+    """Neighborhood link prediction over the UNDIRECTED graph induced
+    by the edge list: for every non-adjacent pair with >=1 common
+    neighbor, the five classical scores (Liben-Nowell & Kleinberg
+    2003) — common_neighbors, jaccard, adamic_adar
+    (sum 1/ln deg(c)), resource_allocation (sum 1/deg(c)),
+    pref_attachment (deg(x)*deg(y)). Web-pipeline uses: crawl
+    frontier expansion (which un-fetched link is likeliest real),
+    citation/suggestion features, and near-dup graph densification.
+
+    Plan: dedup -> adjacency self-join on the wedge CENTER -> one
+    (x, y) aggregation -> degree joins -> anti-join out existing
+    edges. Work is sum_c deg(c)^2, so centers with degree >
+    `max_center_degree` are EXCLUDED from wedge enumeration — the
+    documented hub cap (same policy as dedup's max_bucket): a
+    10^6-degree hub contributes <=1/ln(10^4) per pair to AA and ~0
+    to RA while generating 10^12 wedges, so dropping it changes
+    rankings negligibly and bounds the shuffle. Set it to cover the
+    fixture when exactness is required (tests/oracles do).
+
+    -> (src, dst, common_neighbors, jaccard, adamic_adar,
+        resource_allocation, pref_attachment) — src < dst, top_n by
+    adamic_adar desc then (src, dst).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # full adjacency (both directions) + true undirected degrees
+    adj = und.select(
+        F.col("a").alias("c"), F.col("b").alias("x")
+    ).unionAll(und.select(F.col("b").alias("c"), F.col("a").alias("x")))
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(
+        deg.filter(F.col("deg") <= max_center_degree), "c"
+    )
+    l = centers.select("c", F.col("x"), F.col("deg"))
+    r = centers.select("c", F.col("x").alias("y"))
+    pairs = (
+        l.join(r, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("common_neighbors"),
+            F.sum(1.0 / F.log("deg")).alias("adamic_adar"),
+            F.sum(1.0 / F.col("deg")).alias("resource_allocation"),
+        )
+    )
+    # only NON-adjacent pairs are predictions
+    pairs = pairs.join(
+        und,
+        (pairs["x"] == und["a"]) & (pairs["y"] == und["b"]),
+        "left_anti",
+    )
+    dx = deg.select(F.col("c").alias("x"), F.col("deg").alias("_dx"))
+    dy = deg.select(F.col("c").alias("y"), F.col("deg").alias("_dy"))
+    out = (
+        pairs.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("src"),
+            F.col("y").alias("dst"),
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("_dx") + F.col("_dy") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            "adamic_adar",
+            "resource_allocation",
+            (F.col("_dx").cast("long") * F.col("_dy")).alias(
+                "pref_attachment"
+            ),
+        )
+    )
+    out = out.orderBy(F.desc("adamic_adar"), "src", "dst")
+    return out.limit(top_n) if top_n is not None else out

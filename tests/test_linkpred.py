@@ -1,0 +1,79 @@
+"""link_prediction: hand-computed Liben-Nowell/Kleinberg scores on
+tiny graphs (path, square, hub), plus the hub-cap policy."""
+
+import math
+
+import pytest
+
+
+def _rows(df):
+    return {
+        (r["src"], r["dst"]): r.asDict() for r in df.collect()
+    }
+
+
+def test_path_graph_scores(spark):
+    from lucille_spark.ops.graph import link_prediction
+
+    # P4: 1-2-3-4. Non-adjacent pairs with a common neighbor:
+    # (1,3) via 2, (2,4) via 3. deg: 1:1, 2:2, 3:2, 4:1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = _rows(link_prediction(e, top_n=None))
+    assert set(got) == {(1, 3), (2, 4)}
+    r = got[(1, 3)]
+    assert r["common_neighbors"] == 1
+    assert r["jaccard"] == pytest.approx(1 / (1 + 2 - 1))
+    assert r["adamic_adar"] == pytest.approx(1 / math.log(2))
+    assert r["resource_allocation"] == pytest.approx(0.5)
+    assert r["pref_attachment"] == 2
+
+
+def test_square_two_common_neighbors(spark):
+    from lucille_spark.ops.graph import link_prediction
+
+    # C4: 1-2-3-4-1. Diagonals (1,3) and (2,4) each have TWO common
+    # neighbors; all degrees are 2.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = _rows(link_prediction(e, top_n=None))
+    assert set(got) == {(1, 3), (2, 4)}
+    r = got[(2, 4)]
+    assert r["common_neighbors"] == 2
+    assert r["jaccard"] == pytest.approx(2 / (2 + 2 - 2))
+    assert r["adamic_adar"] == pytest.approx(2 / math.log(2))
+    assert r["resource_allocation"] == pytest.approx(1.0)
+
+
+def test_existing_edges_excluded_and_direction_ignored(spark):
+    from lucille_spark.ops.graph import link_prediction
+
+    # triangle + pendant: 1-2, 2-3, 3-1 (one edge reversed +
+    # duplicated), 3-4. Triangle pairs are adjacent -> excluded;
+    # (1,4) and (2,4) predicted via 3; (1,2) NOT predicted.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 1), (3, 4)],
+        "src long, dst long",
+    )
+    got = _rows(link_prediction(e, top_n=None))
+    assert set(got) == {(1, 4), (2, 4)}
+    assert got[(1, 4)]["adamic_adar"] == pytest.approx(
+        1 / math.log(3)
+    )
+
+
+def test_hub_cap_drops_high_degree_centers(spark):
+    from lucille_spark.ops.graph import link_prediction
+
+    # star: hub 0 adjacent to 1..4 (deg 4). With the cap below 4 the
+    # hub can't be a wedge center -> no predictions at all.
+    e = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3, 4)], "src long, dst long"
+    )
+    assert link_prediction(e, top_n=None).count() == 6  # C(4,2)
+    assert (
+        link_prediction(e, top_n=None, max_center_degree=3).count()
+        == 0
+    )
