@@ -1850,6 +1850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_lmd"] = lambda s, d: sim_q(
         s, d, "lmd", "spark batch", wand=True
     )
+    q["ft_lmjm"] = lambda s, d: sim_q(s, d, "lmjm", "spark batch")
+    q["wand_lmjm"] = lambda s, d: sim_q(
+        s, d, "lmjm", "spark batch", wand=True
+    )
 
     # ---- percolator (reverse search): stored queries matched against
     # the documents table; zero-shuffle mapInPandas over doc batches.
@@ -6506,6 +6510,25 @@ agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score FROM agg
 ORDER BY s DESC, doc_id LIMIT 10"""
     o["wand_lmd"] = o["ft_lmd"]
+
+    # LM Jelinek-Mercer (lambda=0.1, Lucene LMJelinekMercer):
+    # score = ln(1 + ((1-l)/l) * (tf/dl) * total/cf)
+    o["ft_lmjm"] = f"""
+WITH tok AS ({_TOK}), dl AS ({_DL}),
+total AS (SELECT count(*) AS tt FROM tok),
+cfs AS (SELECT term, count(*) AS cf FROM tok
+        WHERE term IN ('spark', 'batch') GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'batch') GROUP BY doc_id, term),
+sc AS (SELECT tf.doc_id,
+       ln(1.0 + 9.0 * (tf.tf * 1.0 / dl.dl) * total.tt / cfs.cf)
+       AS s
+       FROM tf JOIN cfs USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN total),
+agg AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score FROM agg
+ORDER BY s DESC, doc_id LIMIT 10"""
+    o["wand_lmjm"] = o["ft_lmjm"]
 
     # HashingTF: v[h(tok) % 32] = count, csv over the fixed dim
     _HT = "(cast(('0x' || substring(md5(term), 1, 8)) as bigint) % " + str(

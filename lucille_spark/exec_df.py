@@ -56,6 +56,9 @@ def _score_col(
         twc = tw if isinstance(tw, Column) else F.lit(float(tw))
         raw = F.log1p(tff * twc) + F.log(F.lit(MU) / (dld + F.lit(MU)))
         shape = F.greatest(raw, F.lit(0.0))
+    elif sim == "lmjm":
+        twc = tw if isinstance(tw, Column) else F.lit(float(tw))
+        shape = F.log1p(twc * tff / F.greatest(dld, F.lit(1.0)))
     else:
         raise ValueError(f"unknown similarity {sim!r}")
     if not isinstance(w, Column) and float(w) == 1.0:

@@ -477,6 +477,13 @@ class Planner:
         if sim == "tfidf":
             w = 1.0 + math.log(self.n_docs / (df + 1.0))
             return w * w, 0.0
+        if sim == "lmjm":
+            # W carries boosts only; tw = ((1-l)/l) / p(t|C)
+            from lucille_spark.scoring import LAMBDA_JM
+
+            return 1.0, (
+                (1.0 - LAMBDA_JM) / LAMBDA_JM
+            ) * (total or self.total_tokens) / float(cf)
         # lmd: W carries boosts only; tw = 1 / (mu * p(t|C))
         from lucille_spark.scoring import MU
 
@@ -491,7 +498,7 @@ class Planner:
         self, terms: Sequence[str], sim: Optional[str] = None
     ) -> Dict[str, int]:
         """cf lookup, only performed when the similarity needs it."""
-        if (sim or self.similarity) != "lmd":
+        if (sim or self.similarity) not in ("lmd", "lmjm"):
             return {}
         return self.dict.lookup_cf(terms)
 
@@ -771,8 +778,10 @@ class Planner:
         pre = field + ":"
         adl = self.indexed_fields[field]
         sim = self._field_sim(field)
-        # lmd over a field normalizes by the FIELD's collection size
-        ftotal = adl * self.n_docs if sim == "lmd" else None
+        # LMs over a field normalize by the FIELD's collection size
+        ftotal = (
+            adl * self.n_docs if sim in ("lmd", "lmjm") else None
+        )
         rec = lambda c: self._plan_indexed(field, c)  # noqa: E731
 
         def phrase(toks: List[str], slop: int) -> PNode:

@@ -82,8 +82,17 @@ BM25_SQL = (
 #                                                     clamp keeps it an upper bound)
 
 MU = 2000.0
+#   lmjm  (LM Jelinek-Mercer, Zhai & Lafferty; Lucene
+#         LMJelinekMercerSimilarity, lambda = 0.1 — the ES default
+#         for short queries):
+#                    W = 1   shape = ln(1 + tw * tf / dl)
+#                    tw = ((1-lambda)/lambda) * total_tokens / cf
+#         Always >= 0 for tf >= 1 (no clamp needed). Upper bound:
+#         dl >= tf for every posting, so tf/dl <= 1 and
+#         ub = W * ln(1 + tw) regardless of max_tf.
+LAMBDA_JM = 0.1
 
-SIMILARITIES = ("bm25", "tfidf", "lmd")
+SIMILARITIES = ("bm25", "tfidf", "lmd", "lmjm")
 
 
 def tfidf_np(tf: np.ndarray, dl: np.ndarray, w: float) -> np.ndarray:
@@ -101,6 +110,15 @@ def lmd_np(
     return w * np.maximum(raw, 0.0)
 
 
+def lmjm_np(
+    tf: np.ndarray, dl: np.ndarray, w: float, tw: float
+) -> np.ndarray:
+    return w * np.log1p(
+        tw * tf.astype(np.float64)
+        / np.maximum(dl.astype(np.float64), 1.0)
+    )
+
+
 def term_score_np(
     sim: str,
     tf: np.ndarray,
@@ -115,6 +133,8 @@ def term_score_np(
         return tfidf_np(tf, dl, w)
     if sim == "lmd":
         return lmd_np(tf, dl, w, tw)
+    if sim == "lmjm":
+        return lmjm_np(tf, dl, w, tw)
     raise ValueError(f"unknown similarity {sim!r}")
 
 
@@ -127,4 +147,7 @@ def term_upper_bound(
         return w * math.sqrt(float(max_tf))
     if sim == "lmd":
         return w * math.log1p(float(max_tf) * tw)
+    if sim == "lmjm":
+        # dl >= tf, so tf/dl <= 1 for every posting in the block
+        return w * math.log1p(tw)
     raise ValueError(f"unknown similarity {sim!r}")

@@ -8,7 +8,7 @@ import pytest
 from tests.test_indexed_fields import BODIES, TITLES
 
 
-@pytest.fixture(scope="module", params=["tfidf", "lmd"])
+@pytest.fixture(scope="module", params=["tfidf", "lmd", "lmjm"])
 def fsim(request, spark, tmp_path_factory):
     from lucille_spark.index import IndexBuilder
     from lucille_spark.index.reader import SparkIndex

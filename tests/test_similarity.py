@@ -29,7 +29,7 @@ QUERIES = [
     "the cat AND ocean AND ocean2 OR fish",
 ]
 
-SIMS = ["tfidf", "lmd"]
+SIMS = ["tfidf", "lmd", "lmjm"]
 
 
 def _ranked(rows, round_to=9):
@@ -130,6 +130,26 @@ def test_lmd_hand_computed(unit_index):
             MU / (dl + MU)
         )
         expected[int(d)] = max(0.0, raw)
+    got = dict(oracle.search("cats", k=None))
+    assert got == pytest.approx(expected)
+
+
+def test_lmjm_hand_computed(unit_index):
+    """lmjm score == ln(1 + ((1-l)/l) * (tf/dl) * total/cf),
+    l = 0.1 (Lucene LMJelinekMercerSimilarity)."""
+    from lucille_spark.scoring import LAMBDA_JM
+    from tests.oracle import OracleIndex
+
+    _, oracle_bm, _ = unit_index
+    oracle = OracleIndex(list(oracle_bm.docs), similarity="lmjm")
+    p = oracle.sd.postings["cats"]
+    total = float(oracle.sd.all_dls.sum())
+    cf = float(p.tfs.sum())
+    lam = (1.0 - LAMBDA_JM) / LAMBDA_JM
+    expected = {
+        int(d): math.log1p(lam * (tf / dl) * total / cf)
+        for d, tf, dl in zip(p.ids, p.tfs, p.dls)
+    }
     got = dict(oracle.search("cats", k=None))
     assert got == pytest.approx(expected)
 
