@@ -5170,6 +5170,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_robots"] = tx_robots_q
 
+    # ---- HTML extraction: deterministic synthetic HTML page per
+    # document (title/style/script/comment decoys, three link
+    # kinds); title/text/links via the fixed module rule, plus the
+    # resolved link-edge table. Twin SQL built from the SAME regex
+    # constants via ops.web.html_sql.
+    def _html_pages(s, d):
+        docs = _docs(s, d)
+        did = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit(" &amp; co</title><style>p{color:red}</style>"
+                  '</head><body><script type="t">var a="<p>";'
+                  "</script><h1>"),
+            F.col("source"), F.lit("</h1><p>"),
+            F.substring("text", 1, 120),
+            F.lit('</p><a href="/d/'),
+            ((F.col("doc_id") * 7) % 997).cast("string"),
+            F.lit('">n</a>'),
+            F.lit("<a href='https://"), F.col("source"),
+            F.lit(".example.com/p"), did, F.lit("'>e</a>"),
+            F.lit('<a href="#top">t</a><!-- hidden -->'
+                  "</body></html>"),
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/d/"), did,
+        )
+        return docs.select(
+            "doc_id", url.alias("url"), html.alias("html")
+        )
+
+    def web_html_q(s, d):
+        from lucille_spark.ops.web import html_extract
+
+        out = html_extract(_html_pages(s, d), "html")
+        return out.select(
+            "doc_id", "title", "text",
+            F.array_join("links", "|").alias("links"),
+        ).orderBy("doc_id")
+
+    q["web_html"] = web_html_q
+
+    def web_link_edges_q(s, d):
+        from lucille_spark.ops.web import html_link_edges
+
+        out = html_link_edges(_html_pages(s, d), "url", "html")
+        return out.select(
+            "src_url", "dst_url", "dst_host"
+        ).orderBy("src_url", "dst_url")
+
+    q["web_link_edges"] = web_link_edges_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -10978,6 +11030,58 @@ crawl_urls AS (
   FROM documents),
 {ROBOTS_CTES_DUCKDB}
 SELECT * FROM verdict ORDER BY url"""
+
+    from lucille_spark.ops.web import html_sql
+
+    _HTML_PAGES_SQL = """pages AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/d/' ||
+      cast(doc_id AS varchar) AS url,
+    '<html><head><title>Doc ' || cast(doc_id AS varchar) ||
+    ' &amp; co</title><style>p{color:red}</style></head><body>' ||
+    '<script type="t">var a="<p>";</script><h1>' || source ||
+    '</h1><p>' || substring(text, 1, 120) ||
+    '</p><a href="/d/' || cast((doc_id * 7) % 997 AS varchar) ||
+    '">n</a><a href=''https://' || source || '.example.com/p' ||
+    cast(doc_id AS varchar) || '''>e</a>' ||
+    '<a href="#top">t</a><!-- hidden --></body></html>' AS html
+  FROM documents)"""
+
+    o["web_html"] = f"""
+WITH {_HTML_PAGES_SQL}
+SELECT doc_id, {html_sql('title', 'html')} AS title,
+  {html_sql('text', 'html')} AS text,
+  coalesce(array_to_string({html_sql('links', 'html')}, '|'), '')
+    AS links
+FROM pages ORDER BY doc_id"""
+
+    o["web_link_edges"] = f"""
+WITH {_HTML_PAGES_SQL},
+hrefs AS (
+  SELECT url AS src_url, unnest({html_sql('links', 'html')})
+    AS href FROM pages),
+res AS (
+  SELECT src_url,
+    CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+         WHEN href LIKE '//%' THEN
+           lower(regexp_extract(src_url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || href
+         WHEN href LIKE '/%' THEN
+           lower(regexp_extract(src_url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+           lower(regexp_extract(regexp_replace(src_url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]+)', 1))
+           || href
+         ELSE NULL END AS dst_url
+  FROM hrefs),
+ded AS (SELECT DISTINCT src_url, dst_url FROM res
+        WHERE dst_url IS NOT NULL)
+SELECT src_url, dst_url,
+  regexp_replace(regexp_replace(lower(regexp_extract(
+    regexp_replace(regexp_replace(dst_url, '#.*$', ''),
+      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)),
+    '^www\\.', ''), ':(80|443)$', '') AS dst_host
+FROM ded ORDER BY src_url, dst_url"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

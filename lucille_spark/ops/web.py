@@ -409,3 +409,183 @@ verdict AS (SELECT url, host,
         CASE WHEN hit THEN allow ELSE true END AS allowed,
         CASE WHEN hit THEN pattern END AS rule
         FROM bst WHERE rn = 1)"""
+
+
+# ------------------------------------------------- HTML extraction
+#
+# Boilerplate-stripping text extraction for a crawled-HTML corpus —
+# the step between the fetch and every text-quality/dedup operator
+# (trafilatura/jusText's job, reduced to a fixed deterministic rule
+# so the DuckDB oracle can replicate it exactly):
+#
+#   text : drop <script>/<style> blocks and <!-- comments -->, strip
+#          every remaining tag, decode the fixed entity set below,
+#          squeeze whitespace. (No numeric &#NNN; decoding, no
+#          main-content heuristics — a swap-in seam for a smarter
+#          extractor; the Spark-side plumbing is what's load-bearing.)
+#   title: first <title> element, same decode + squeeze.
+#   links: href attribute values of <a> tags (double- then single-
+#          quoted, in document order), resolved against the page URL:
+#          absolute http(s) kept, '//host/x' gets the page scheme,
+#          '/x' gets the page scheme+host; '#', 'mailto:',
+#          'javascript:' and relative paths drop (frontier-grade
+#          links only).
+#
+# All of it is Column expressions (Java regex on Spark, RE2 on
+# DuckDB — patterns below are written in the common subset: inline
+# (?is) flags, lazy quantifiers, NO backreferences), so extraction
+# fuses into the scan with zero UDFs and zero shuffles at 100 TB.
+
+_HTML_DROP = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]*>",
+)
+_HTML_TITLE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+_HREF_DQ = r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'
+_HREF_SQ = r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"
+# decode order matters: &amp; LAST so "&amp;lt;" -> "&lt;" (the
+# standard single-pass decode), never "<".
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _decode_squeeze(c: Column) -> Column:
+    for pat, rep in _HTML_ENTITIES:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_text_expr(col) -> Column:
+    """Extracted page text of an HTML column (module rule above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _HTML_DROP:
+        c = F.regexp_replace(c, pat, " ")
+    return _decode_squeeze(c)
+
+
+def html_title_expr(col) -> Column:
+    """First <title> element's decoded text ('' when absent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _decode_squeeze(F.regexp_extract(c, _HTML_TITLE, 1))
+
+
+def html_links_expr(col) -> Column:
+    """href values of <a> tags, document order (double-quoted hrefs
+    first, then single-quoted — fixed, engine-portable). Script,
+    style and comment blocks are stripped FIRST so commented-out or
+    script-emitted anchors never reach the frontier."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _HTML_DROP[:3]:
+        c = F.regexp_replace(c, pat, " ")
+    return F.concat(
+        F.regexp_extract_all(c, F.lit(_HREF_DQ), 1),
+        F.regexp_extract_all(c, F.lit(_HREF_SQ), 1),
+    )
+
+
+def resolve_link_expr(base_url, href) -> Column:
+    """One href resolved against its page URL per the module rule;
+    NULL for dropped kinds (fragments, mailto:, javascript:,
+    page-relative paths)."""
+    h = F.col(href) if isinstance(href, str) else href
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    scheme = F.lower(F.regexp_extract(b, _SCHEME_RE, 1))
+    hostp = F.lower(
+        F.regexp_extract(
+            F.regexp_replace(b, _SCHEME_RE, ""), r"^([^/?#]+)", 1
+        )
+    )
+    return (
+        F.when(h.rlike(r"(?i)^https?://"), h)
+        .when(
+            h.startswith("//"),
+            F.concat(scheme, F.lit(":"), h),
+        )
+        .when(
+            h.startswith("/"),
+            F.concat(scheme, F.lit("://"), hostp, h),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", keep: "list[str] | None" = None
+) -> DataFrame:
+    """(keep... , title, text, links) for an HTML corpus — one
+    zero-shuffle projection; `keep` defaults to every other column."""
+    keep = [c for c in df.columns if c != html_col] if keep is None else keep
+    return df.select(
+        *keep,
+        html_title_expr(html_col).alias("title"),
+        html_text_expr(html_col).alias("text"),
+        html_links_expr(html_col).alias("links"),
+    )
+
+
+def html_link_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Frontier/link-graph edges (src_url, dst_url, src_host,
+    dst_host) from an HTML corpus: extract hrefs, resolve against
+    the page URL, drop unresolvable kinds, dedup. Feeds
+    `url_dedup` (frontier) and `ops.graph.pagerank` (host graph).
+    One explode + one dedup shuffle; the HTML never shuffles."""
+    e = (
+        df.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(html_links_expr(html_col)).alias("_href"),
+        )
+        .select(
+            "src_url",
+            resolve_link_expr("src_url", "_href").alias("dst_url"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+        .distinct()
+    )
+    return e.select(
+        "src_url",
+        "dst_url",
+        host_expr("src_url").alias("src_host"),
+        host_expr("dst_url").alias("dst_host"),
+    )
+
+
+# DuckDB twin SQL generators (same regex constants — drift-proof).
+# Each takes a column expression string and returns a SQL snippet.
+def html_sql(kind: str, col: str) -> str:
+    """DuckDB expression replicating html_{text,title,links}_expr
+    or resolve (kind='resolve' takes col='base, href')."""
+    def dec(e: str) -> str:
+        for pat, rep in _HTML_ENTITIES:
+            e = (
+                "regexp_replace(%s, '%s', '%s', 'g')"
+                % (e, pat, rep.replace("'", "''"))
+            )
+        return "trim(regexp_replace(%s, '\\s+', ' ', 'g'))" % e
+
+    if kind == "text":
+        e = col
+        for pat in _HTML_DROP:
+            e = "regexp_replace(%s, '%s', ' ', 'g')" % (e, pat)
+        return dec(e)
+    if kind == "title":
+        return dec(
+            "regexp_extract(%s, '%s', 1)" % (col, _HTML_TITLE)
+        )
+    if kind == "links":
+        e = col
+        for pat in _HTML_DROP[:3]:
+            e = "regexp_replace(%s, '%s', ' ', 'g')" % (e, pat)
+        return (
+            "list_concat(regexp_extract_all(%s, '%s', 1), "
+            "regexp_extract_all(%s, '%s', 1))"
+            % (e, _HREF_DQ.replace("'", "''"),
+               e, _HREF_SQ.replace("'", "''"))
+        )
+    raise ValueError(f"unknown html_sql kind {kind!r}")

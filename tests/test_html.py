@@ -1,0 +1,120 @@
+"""HTML extraction rule tests (ops/web.py module rule): tag/script/
+style/comment stripping, single-pass entity decode, href harvesting
+and link resolution — plus the Spark-vs-DuckDB twin identity that
+keeps the oracle honest."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.ops.web import (
+    html_extract,
+    html_link_edges,
+    html_sql,
+)
+
+PAGES = [
+    # (url, html, want_title, want_text, want_links_resolved)
+    (
+        "https://www.Ex.com:443/a/b",
+        '<html><head><title> A &amp;lt; B </title></head>'
+        "<body><p>x<b>y</b>z</p>"
+        '<a href="/r">r</a><a href="//cdn.ex.com/c">c</a>'
+        "<a href='HTTPS://other.com/d'>d</a>"
+        '<a href="rel/e">e</a><a href="#f">f</a>'
+        '<a href="mailto:a@b">m</a><a href="javascript:x()">j</a>'
+        "</body></html>",
+        "A &lt; B",  # single-pass decode: &amp;lt; -> &lt;
+        "A &lt; B x y z r c d e f m j",
+        [
+            # root-relative resolves against the page's LITERAL
+            # (lowercased) host — www/port stripping is
+            # canonicalization's job, not resolution's
+            "https://www.ex.com:443/r",
+            "https://cdn.ex.com/c",
+            "HTTPS://other.com/d",
+        ],
+    ),
+    (
+        "http://h.org",
+        "<body><script>if (a<b) {alert('<p>')}</script>"
+        "<style media='x'>p > a {}</style>"
+        "<!-- <a href=\"/no\">hidden</a> -->no title&nbsp;here"
+        "</body>",
+        "",
+        "no title here",
+        [],
+    ),
+]
+
+
+def test_rule_table(spark):
+    df = spark.createDataFrame(
+        [(u, h) for u, h, *_ in PAGES], "url string, html string"
+    )
+    got = html_extract(df, "html").orderBy("url").collect()
+    by_url = {r.url: r for r in got}
+    for u, _, title, text, _ in PAGES:
+        assert by_url[u].title == title, u
+        assert by_url[u].text == text, u
+
+
+def test_link_edges_resolution(spark):
+    df = spark.createDataFrame(
+        [(u, h) for u, h, *_ in PAGES], "url string, html string"
+    )
+    got = html_link_edges(df, "url", "html").collect()
+    want = sorted(
+        (u, d) for u, _, _, _, links in PAGES for d in links
+    )
+    assert sorted((r.src_url, r.dst_url) for r in got) == want
+    hosts = {r.dst_url: r.dst_host for r in got}
+    # host key is lowercased + www/default-port stripped
+    assert hosts["https://www.ex.com:443/r"] == "ex.com"
+    assert hosts["HTTPS://other.com/d"] == "other.com"
+
+
+def test_duckdb_twin_identity(spark):
+    """html_sql() must compute byte-identical title/text/links."""
+    df = spark.createDataFrame(
+        [(u, h) for u, h, *_ in PAGES], "url string, html string"
+    )
+    sp = (
+        html_extract(df, "html")
+        .select(
+            "url", "title", "text",
+            F.array_join("links", "|").alias("links"),
+        )
+        .orderBy("url")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p(url VARCHAR, html VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO p VALUES (?, ?)",
+        [(u, h) for u, h, *_ in PAGES],
+    )
+    dk = con.execute(
+        f"SELECT url, {html_sql('title', 'html')},"
+        f" {html_sql('text', 'html')},"
+        # DuckDB: array_to_string([]) is NULL, Spark array_join ''
+        f" coalesce(array_to_string({html_sql('links', 'html')},"
+        " '|'), '')"
+        " FROM p ORDER BY url"
+    ).fetchall()
+    assert [tuple(r) for r in sp] == [tuple(r) for r in dk]
+
+
+def test_html_extract_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(u, h) for u, h, *_ in PAGES], "url string, html string"
+    )
+    plan = (
+        html_extract(df, "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
