@@ -238,6 +238,14 @@ def _gram_index_for(spark: SparkSession, sf_dir: str):
     return ix
 
 
+# irregular pentagon over the synthetic geo-point space; shared by
+# the ft_geo_polygon Spark query and its polygon_sql oracle twin
+_POLY = [
+    (80.0, -170.0), (70.0, 160.0), (-60.0, 100.0),
+    (-80.0, -120.0), (20.0, -175.0),
+]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -5336,6 +5344,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["ft_geo_bbox"] = ft_geo_bbox_q
+
+    def ft_geo_polygon_q(s, d):
+        from lucille_spark.exec_df import DataFrameExecutor
+        from lucille_spark.search_features import geo_polygon_search
+
+        ex = DataFrameExecutor(_geo_index_for(s, d))
+        out = geo_polygon_search(ex, "spark batch", _POLY, k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_geo_polygon"] = ft_geo_polygon_q
 
     def ft_agg_geodist_q(s, d):
         from lucille_spark.esdsl import aggs_es
@@ -11162,6 +11180,19 @@ m AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
 f AS (SELECT m.doc_id, m.s FROM m JOIN geo USING (doc_id)
       WHERE lat <= 60.0 AND lat >= -10.0
         AND lon >= -120.0 AND lon <= 50.0)
+SELECT doc_id, round(s, 4) AS score FROM f
+ORDER BY s DESC, doc_id LIMIT 10"""
+    )
+
+    from lucille_spark.ops.geo import polygon_sql
+
+    o["ft_geo_polygon"] = (
+        _cte(["spark", "batch"])
+        + f""",
+geo AS ({_GEO}),
+m AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id),
+f AS (SELECT m.doc_id, m.s FROM m JOIN geo USING (doc_id)
+      WHERE {polygon_sql('lat', 'lon', _POLY)})
 SELECT doc_id, round(s, 4) AS score FROM f
 ORDER BY s DESC, doc_id LIMIT 10"""
     )

@@ -1650,6 +1650,27 @@ def search_es(
             k=k if k is not None else 10,
         )
 
+    if kind == "geo_polygon":
+        # {"geo_polygon": {"<geo field>": {"points": [{lat, lon},
+        # ...]}}} — legacy-ES polygon filter; points may also be
+        # (lat, lon) pairs.
+        from lucille_spark.search_features import geo_polygon_search
+
+        body = dsl[kind]
+        field = next(f for f in body if f not in ("boost", "_name"))
+        latf, lonf = _geo_cols(executor, field)
+        pts = body[field].get("points")
+        if not pts:
+            raise UnsupportedDSL("geo_polygon: need points")
+        return geo_polygon_search(
+            executor,
+            to_ast({"match_all": {}}),
+            pts,
+            lat_field=latf,
+            lon_field=lonf,
+            k=k if k is not None else 10,
+        )
+
     return executor.search(to_ast(dsl), k=k)
 
 

@@ -215,6 +215,70 @@ def geo_bounds(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
     )
 
 
+def _poly_edges(vertices):
+    """-> [(yi, xi, yj, slope)] for the ray-cast test, one entry per
+    NON-horizontal edge, slopes precomputed in Python so both
+    engines evaluate the identical double literal. Vertices are
+    (lat, lon) pairs (an ES points list of {lat, lon} dicts is
+    accepted); the ring closes itself."""
+    vs = [
+        (float(v["lat"]), float(v["lon"]))
+        if isinstance(v, dict)
+        else (float(v[0]), float(v[1]))
+        for v in vertices
+    ]
+    if len(vs) >= 2 and vs[0] == vs[-1]:
+        vs = vs[:-1]  # explicit closing point (GeoJSON style)
+    if len(vs) < 3:
+        raise ValueError("geo_polygon: need >= 3 distinct vertices")
+    edges = []
+    for i in range(len(vs)):
+        yi, xi = vs[i]
+        yj, xj = vs[i - 1]
+        if yj == yi:
+            continue  # horizontal edge never crosses the cast ray
+        edges.append((yi, xi, yj, (xj - xi) / (yj - yi)))
+    return edges
+
+
+def point_in_polygon(lat_col, lon_col, vertices) -> Column:
+    """Even-odd ray-cast point-in-polygon predicate (the classic
+    crossing-number test, cast toward lon = -inf): pure codegen
+    comparisons/arithmetic over the two doc-value doubles — K-1
+    fused terms for a K-gon, no UDF, no shuffle, and the same
+    closed form replicates in the DuckDB twin
+    (``polygon_sql``). Points exactly on an edge follow the strict
+    '<' rule (deterministic, engine-identical)."""
+    py, px = _col(lat_col), _col(lon_col)
+    cnt = F.lit(0)
+    for yi, xi, yj, slope in _poly_edges(vertices):
+        straddles = (F.lit(yi) > py) != (F.lit(yj) > py)
+        crosses = px < (py - F.lit(yi)) * F.lit(slope) + F.lit(xi)
+        cnt = cnt + F.when(straddles & crosses, 1).otherwise(0)
+    return cnt % 2 == 1
+
+
+def polygon_sql(lat_sql: str, lon_sql: str, vertices) -> str:
+    """DuckDB twin of ``point_in_polygon`` (same edges, same
+    Python-precomputed slopes -> bit-identical doubles)."""
+    terms = [
+        "(CASE WHEN (({yi} > {y}) <> ({yj} > {y})) AND "
+        "({x} < ({y} - {yi}) * {m} + {xi}) THEN 1 ELSE 0 END)".format(
+            y=lat_sql, x=lon_sql, yi=repr(yi), yj=repr(yj),
+            xi=repr(xi), m=repr(slope),
+        )
+        for yi, xi, yj, slope in _poly_edges(vertices)
+    ]
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def geo_polygon(
+    df: DataFrame, lat_col, lon_col, vertices
+) -> DataFrame:
+    """ES ``geo_polygon`` query as a row filter."""
+    return df.filter(point_in_polygon(lat_col, lon_col, vertices))
+
+
 def parse_distance_km(s) -> float:
     """ES distance-unit strings -> km ('200km', '50mi', '1000m',
     bare number = km)."""

@@ -3070,6 +3070,36 @@ def geo_bbox_search(
     )
 
 
+def geo_polygon_search(
+    executor,
+    query,
+    vertices,
+    lat_field: str = "lat",
+    lon_field: str = "lon",
+    k: int = 10,
+) -> DataFrame:
+    """ES geo_polygon filter over the match set: ray-cast
+    point-in-polygon (ops/geo.point_in_polygon) AND the scored
+    query, ranked by relevance. The polygon test is a fused codegen
+    column program on the doclens meta scan. -> (doc_id, score)."""
+    from lucille_spark.ops import geo as G
+
+    matches = executor.search(query, k=None).select("doc_id", "score")
+    meta = executor.ix.doclens.select(
+        "doc_id",
+        F.col(lat_field).cast("double").alias(lat_field),
+        F.col(lon_field).cast("double").alias(lon_field),
+    )
+    inside = G.geo_polygon(
+        meta, lat_field, lon_field, vertices
+    ).select("doc_id")
+    return (
+        matches.join(inside, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # ES join fields (parent-child) and nested objects
 # ---------------------------------------------------------------------------

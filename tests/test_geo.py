@@ -334,3 +334,111 @@ def test_geohash_precision_bounds():
         geohash_sql("lat", "lon", 0)
     with _pt.raises(ValueError):
         geohash_sql("lat", "lon", 10)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+def _pip_ref(lat, lon, verts):
+    """Independent pure-python even-odd ray cast (standard pnpoly)."""
+    inside = False
+    n = len(verts)
+    for i in range(n):
+        yi, xi = verts[i]
+        yj, xj = verts[i - 1]
+        if (yi > lat) != (yj > lat) and lon < (xj - xi) * (
+            lat - yi
+        ) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+def test_point_in_polygon_matches_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    verts = [(60.0, -100.0), (70.0, 80.0), (-20.0, 120.0),
+             (-65.0, -40.0), (5.0, -160.0)]
+    rows = [
+        (i, rng.uniform(-85, 85), rng.uniform(-180, 180))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = {
+        r["id"]
+        for r in df.filter(
+            G.point_in_polygon("lat", "lon", verts)
+        ).collect()
+    }
+    want = {i for i, la, lo in rows if _pip_ref(la, lo, verts)}
+    assert got == want
+    assert 0 < len(want) < len(rows)  # non-degenerate fixture
+
+
+def test_polygon_sql_twin_identity(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    verts = [(50.0, -150.0), (80.0, 30.0), (-10.0, 170.0),
+             (-75.0, -5.0)]
+    rows = [
+        (i, rng.uniform(-85, 85), rng.uniform(-180, 180))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = sorted(
+        r["id"]
+        for r in df.filter(
+            G.point_in_polygon("lat", "lon", verts)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+    dk = [
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM p WHERE "
+            + G.polygon_sql("lat", "lon", verts)
+            + " ORDER BY id"
+        ).fetchall()
+    ]
+    assert got == dk
+
+
+def test_polygon_validation_and_closing_ring():
+    with pytest.raises(ValueError):
+        G._poly_edges([(0, 0), (1, 1)])
+    # GeoJSON-style explicit closing vertex is accepted
+    a = G._poly_edges([(0, 0), (10, 0), (5, 8)])
+    b = G._poly_edges([(0, 0), (10, 0), (5, 8), (0, 0)])
+    assert a == b
+    # ES dict points work
+    c = G._poly_edges(
+        [{"lat": 0, "lon": 0}, {"lat": 10, "lon": 0},
+         {"lat": 5, "lon": 8}]
+    )
+    assert a == c
+
+
+def test_geo_polygon_dsl_dispatch(geo_ix):
+    from lucille_spark.esdsl import search_es
+    from lucille_spark.exec_df import DataFrameExecutor
+
+    ex = DataFrameExecutor(geo_ix)
+    # polygon around the north atlantic: NYC + London + null island
+    out = search_es(
+        ex,
+        {"geo_polygon": {"loc": {"points": [
+            {"lat": 60.0, "lon": -90.0},
+            {"lat": 60.0, "lon": 10.0},
+            {"lat": -5.0, "lon": 10.0},
+            {"lat": -5.0, "lon": -90.0},
+        ]}}},
+        k=10,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 4]
