@@ -4372,6 +4372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gr_linkpred"] = gr_linkpred_q
 
+    def gr_lpa_q(s, d):
+        from lucille_spark.ops.graph import label_propagation
+
+        n, e = _graph(s, d)
+        return label_propagation(n, e, n_iter=2)
+
+    q["gr_lpa"] = gr_lpa_q
+
     # ---- histogram agg + positional highlighting -------------------
     def agg_hist_q(s, d):
         from lucille_spark.esdsl import aggs_es
@@ -10299,6 +10307,41 @@ sc AS (SELECT np.x AS src, np.y AS dst,
        cast(dx.deg AS bigint) * dy.deg AS pref_attachment
        FROM np JOIN deg dx ON dx.c = np.x JOIN deg dy ON dy.c = np.y)
 SELECT * FROM sc ORDER BY adamic_adar DESC, src, dst LIMIT 25"""
+
+    # label propagation, 2 deterministic rounds unrolled (most
+    # frequent neighbor label, ties to the smallest label, isolated
+    # nodes keep theirs) over the same fixture graph
+    o["gr_lpa"] = """
+WITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+e0 AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n
+       UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT node, node AS label FROM n),
+nb1 AS (SELECT adj.a AS node, l.label
+        FROM adj JOIN l0 l ON adj.b = l.node),
+c1 AS (SELECT node, label, count(*) AS cnt FROM nb1
+       GROUP BY node, label),
+b1 AS (SELECT node, label FROM
+       (SELECT node, label, row_number() OVER
+          (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c1) WHERE rn = 1),
+l1 AS (SELECT l.node, coalesce(b.label, l.label) AS label
+       FROM l0 l LEFT JOIN b1 b USING (node)),
+nb2 AS (SELECT adj.a AS node, l.label
+        FROM adj JOIN l1 l ON adj.b = l.node),
+c2 AS (SELECT node, label, count(*) AS cnt FROM nb2
+       GROUP BY node, label),
+b2 AS (SELECT node, label FROM
+       (SELECT node, label, row_number() OVER
+          (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c2) WHERE rn = 1),
+l2 AS (SELECT l.node, coalesce(b.label, l.label) AS label
+       FROM l1 l LEFT JOIN b2 b USING (node))
+SELECT node, label FROM l2 ORDER BY node"""
 
     # histogram agg over doc_len of the 'spark' match set
     o["ft_agg_histogram"] = f"""

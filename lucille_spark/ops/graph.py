@@ -369,3 +369,67 @@ def link_prediction(
     )
     out = out.orderBy(F.desc("adamic_adar"), "src", "dst")
     return out.limit(top_n) if top_n is not None else out
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the UNDIRECTED graph, made fully
+    deterministic: every node starts labeled with its own id; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label; isolated nodes
+    keep their label. Fixed `n_iter` rounds unrolled into one
+    declarative plan (the web-curation companion to `pagerank` —
+    site clusters / link farms fall out as label groups; synchronous
+    LPA can oscillate on bipartite structure, which fixed rounds +
+    deterministic ties make reproducible rather than run-dependent).
+
+    Per round: one neighbor-label shuffle O(|E|) + one (node, label)
+    count + one per-node window — the same cost envelope as a
+    pagerank round, no quadratic work anywhere.
+
+    -> (node, label) sorted by node; communities = groupBy(label)."""
+    from pyspark.sql import Window
+
+    base = nodes.select(F.col(node_col).cast("long").alias("node"))
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = base.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.desc("_cnt"), F.asc("label")
+    )
+    for _ in range(int(n_iter)):
+        nb = adj.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        best = (
+            nb.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("_new", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.orderBy("node")

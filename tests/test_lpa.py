@@ -1,0 +1,54 @@
+"""Label propagation (ops/graph.label_propagation): convergence on
+a planted two-clique graph, deterministic tie-breaks, isolated-node
+behavior, and direction-insensitivity of the undirected adjacency."""
+
+from lucille_spark.ops.graph import label_propagation
+
+
+def _run(spark, edges, nodes, n_iter=3):
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.label
+        for r in label_propagation(n, e, n_iter=n_iter).collect()
+    }
+
+
+def test_two_cliques_converge_to_min_labels(spark):
+    # cliques {0,1,2,3} and {10,11,12,13} joined by one bridge 3-10
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    got = _run(spark, edges, list(range(4)) + list(range(10, 14)))
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[11], got[12], got[13]} == {10}
+
+
+def test_isolated_node_keeps_own_label(spark):
+    got = _run(spark, [(0, 1)], [0, 1, 99])
+    assert got[99] == 99
+
+
+def test_deterministic_and_direction_insensitive(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (5, 6)]
+    a = _run(spark, edges, [0, 1, 2, 5, 6])
+    b = _run(spark, [(d, s) for s, d in edges], [0, 1, 2, 5, 6])
+    assert a == b
+    # triangle adopts the minimum id
+    assert a[0] == a[1] == a[2] == 0
+    # the isolated PAIR oscillates under synchronous updates (the
+    # documented bipartite case): labels swap each round, so after
+    # an odd round count each holds the other's — deterministically
+    assert (a[5], a[6]) == (6, 5)
+    even = _run(
+        spark, [(0, 1), (1, 2), (2, 0), (5, 6)],
+        [0, 1, 2, 5, 6], n_iter=2,
+    )
+    assert (even[5], even[6]) == (5, 6)
+
+
+def test_tie_breaks_to_smallest_label(spark):
+    # node 2 sees labels {0, 1} once each after round 1 - must pick 0
+    got = _run(spark, [(0, 2), (1, 2)], [0, 1, 2], n_iter=1)
+    assert got[2] == 0
