@@ -3579,6 +3579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sk_hll_est"] = sk_hll_est_q
 
+    def sk_hll_intersect_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        docs = _docs(s, d)
+        a = SK.hll_sketch(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id"
+        )
+        b = SK.hll_sketch(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id"
+        )
+        return SK.hll_intersect_estimate(a, b)
+
+    q["sk_hll_intersect"] = sk_hll_intersect_q
+
     def sk_cms_q(s, d):
         from lucille_spark.analysis import tokenize_expr
         from lucille_spark.ops import sketch as SK
@@ -9452,6 +9466,58 @@ SELECT n_set AS n_buckets_set, round(raw, 2) AS raw_estimate,
         THEN 256 * ln(256 * 1.0 / zeros) ELSE raw END, 2)
     AS estimate
 FROM est"""
+    )
+
+    # inclusion-exclusion intersection over two filtered slices
+    # (multiples of 3 vs evens; true overlap = multiples of 6) —
+    # same register/estimate algebra as sk_hll_est, three times
+    def _hll_regs_where(tag: str, where: str) -> str:
+        return f"""
+hx{tag} AS (SELECT md5(cast(doc_id as varchar)) AS h
+            FROM documents WHERE {where}),
+r{tag} AS (SELECT ('0x' || substring(h, 1, 2))::int AS bucket,
+       substring(h, 3, 15) AS h60 FROM hx{tag}),
+z{tag} AS (SELECT bucket, h60,
+       length(regexp_extract(h60, '^(0*)', 1)) AS zr FROM r{tag}),
+rho{tag} AS (SELECT bucket,
+  CASE WHEN zr >= 15 THEN 61 ELSE zr * 4 +
+    CASE substring(h60 || 'f', zr + 1, 1)
+      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      ELSE 0 END + 1 END AS rho FROM z{tag}),
+regs{tag} AS (SELECT bucket, cast(max(rho) as int) AS max_rho
+         FROM rho{tag} GROUP BY bucket)"""
+
+    def _hll_est_sql(tag: str) -> str:
+        return f"""
+agg{tag} AS (SELECT cast(count(*) as int) AS n_set,
+        sum(cast((1::BIGINT << (61 - max_rho)) as hugeint)) AS ss
+        FROM regs{tag}),
+e{tag} AS (SELECT round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+        THEN 256 * ln(256 * 1.0 / zeros) ELSE raw END, 2) AS est
+        FROM (SELECT
+        1.0854228543761655e+23 / cast(ss + (256 - n_set)::hugeint *
+                     (1::BIGINT << 61)::hugeint as double) AS raw,
+        256 - n_set AS zeros FROM agg{tag}))"""
+
+    o["sk_hll_intersect"] = (
+        "WITH "
+        + _hll_regs_where("a", "doc_id % 3 = 0").lstrip()
+        + ","
+        + _hll_regs_where("b", "doc_id % 2 = 0")
+        + """,
+regsu AS (SELECT bucket, cast(max(max_rho) as int) AS max_rho
+          FROM (SELECT * FROM regsa UNION ALL SELECT * FROM regsb)
+          GROUP BY bucket),"""
+        + _hll_est_sql("a")
+        + ","
+        + _hll_est_sql("b")
+        + ","
+        + _hll_est_sql("u")
+        + """
+SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+  round(ea.est + eb.est - eu.est, 2) AS est_intersection
+FROM ea, eb, eu"""
     )
 
     # ---- Count-Min: same (a, b) universal-hash family --------------

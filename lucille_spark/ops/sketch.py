@@ -419,6 +419,35 @@ def hist_quantiles(
     ).orderBy("q")
 
 
+def hll_intersect_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set-intersection cardinality from two register tables by
+    inclusion-exclusion: |A ∩ B| ~= est(A) + est(B) - est(A u B),
+    with the union estimated from the register-wise max (exact HLL
+    union). The practical sketch-algebra answer to "how many users /
+    URLs / terms do two 100 TB slices share" without re-reading
+    either slice. Caveat (standard): the absolute error tracks the
+    UNION's size, so tiny overlaps of huge sets drown in noise —
+    callers needing small-overlap precision should bucket first.
+    -> one row (est_a, est_b, est_union, est_intersection), all
+    rounded to 2 like hll_estimate."""
+    ea = hll_estimate(a).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(b).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b)).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                2,
+            ).alias("est_intersection"),
+        )
+    )
+
+
 def hll_sketch_by(df: DataFrame, col: str, by) -> DataFrame:
     """Grouped register tables: one HLL per key tuple (e.g. one per
     day / partition / tenant). Same md5 bucket/rho math as

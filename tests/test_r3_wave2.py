@@ -122,6 +122,28 @@ def test_hll_merge_equals_union(spark):
     assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
 
 
+def test_hll_intersect_inclusion_exclusion(spark):
+    from lucille_spark.ops.sketch import (
+        hll_error_bound,
+        hll_intersect_estimate,
+        hll_sketch,
+    )
+
+    df = spark.range(6000).select(F.col("id").alias("v"))
+    a = hll_sketch(df.filter("v < 4000"), "v")       # |A| = 4000
+    b = hll_sketch(df.filter("v >= 2000"), "v")      # |B| = 4000
+    row = hll_intersect_estimate(a, b).collect()[0]
+    # true overlap 2000; I-E error budget ~3 set estimates deep,
+    # each O(sigma * union) — allow 5 sigma of the UNION size
+    tol = 5 * hll_error_bound() * 6000
+    assert abs(row["est_intersection"] - 2000) < tol
+    assert abs(row["est_union"] - 6000) < 5 * hll_error_bound() * 6000
+    # identity: est_int == est_a + est_b - est_union exactly
+    assert row["est_intersection"] == pytest.approx(
+        round(row["est_a"] + row["est_b"] - row["est_union"], 2)
+    )
+
+
 def test_hll_insensitive_to_duplicates(spark):
     from lucille_spark.ops.sketch import hll_sketch
 
