@@ -2627,6 +2627,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_cluster_terms"] = pipe_cluster_terms_q
 
+    def tx_keyterms_q(s, d):
+        from lucille_spark.ops.text import keyterms
+
+        return keyterms(_docs(s, d), n=3)
+
+    q["tx_keyterms"] = tx_keyterms_q
+
     # ---- event-log operators (ops/events.py) over the events table:
     # ES date_histogram (fixed_interval, timezone-free), gap-based
     # sessionization, and per-session rollups ----------------------
@@ -6709,6 +6716,23 @@ rk AS (SELECT *, cast(row_number() OVER (PARTITION BY cluster
 SELECT cluster, rank, term, n FROM rk WHERE rank <= 3
 ORDER BY cluster, rank"""
     )
+
+    # per-doc TF-IDF keyterms: tf * (ln((N+1)/(df+1)) + 1), top-3
+    # by unrounded score then term
+    o["tx_keyterms"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+       tf.tf * (ln((nn.n + 1.0) / (dfs.df + 1.0)) + 1.0) AS s
+       FROM tf JOIN dfs USING (term) CROSS JOIN nn),
+rk AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+       ORDER BY s DESC, term) as int) AS rank FROM sc)
+SELECT doc_id, rank, term, cast(tf as int) AS tf,
+  round(s, 6) AS score
+FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""
 
     # event-log operators: fixed-interval histogram (epoch-floor,
     # timezone-free), 30-min-gap sessionization, session rollups

@@ -1309,6 +1309,53 @@ def cluster_documents(
     )
 
 
+def keyterms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF keyterm extraction — the tagging /
+    related-terms / index-time MLT feature: tf = in-doc count under
+    the shared analyzer, idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    always positive), score = tf * idf; top-n per doc by (score
+    desc, term asc).
+
+    Plan: one (doc, term) tf aggregation, a term-df aggregation
+    over it (dictionary-sized — Heaps' law keeps this sublinear in
+    the corpus), a term-keyed join back, one per-doc window. Text
+    shuffles once as (doc, term, tf) triples; raw documents never
+    move twice. -> (doc_id, rank, term, tf, score round 6)."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))
+    ) + F.lit(1.0)
+    scored = tf.join(dfs, "term").withColumn("_s", F.col("tf") * idf)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_s"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+        .select(
+            "doc_id", "rank", "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.round("_s", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def cluster_top_terms(
     df: DataFrame,
     clusters: DataFrame,

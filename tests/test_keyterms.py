@@ -1,0 +1,58 @@
+"""keyterms (ops/text.py): hand-computed TF-IDF on a tiny corpus,
+rank/tie semantics, and the n cutoff."""
+
+import math
+
+import pytest
+
+from lucille_spark.ops.text import keyterms
+
+DOCS = [
+    (0, "apple apple banana"),
+    (1, "apple cherry"),
+    (2, "banana cherry cherry date"),
+]
+
+
+@pytest.fixture(scope="module")
+def kt(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return keyterms(df, n=2).collect()
+
+
+def _idf(df_t, n=3):
+    return math.log((n + 1) / (df_t + 1)) + 1.0
+
+
+def test_hand_computed_scores(kt):
+    got = {(r.doc_id, r.term): (r.tf, r.score) for r in kt}
+    # doc 0: apple tf=2 df=2, banana tf=1 df=2
+    assert got[(0, "apple")] == (2, round(2 * _idf(2), 6))
+    assert got[(0, "banana")] == (1, round(1 * _idf(2), 6))
+    # doc 2: cherry tf=2 beats date tf=1 (rarer but tf wins here)
+    assert got[(2, "cherry")][0] == 2
+    assert (2, "date") in got and got[(2, "date")][0] == 1
+    # banana (df=2) fell out of doc 2's top-2
+    assert (2, "banana") not in got
+
+
+def test_rank_order_and_ties(kt):
+    by_doc = {}
+    for r in kt:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    for rows in by_doc.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # scores non-increasing with rank
+        assert all(
+            rows[i][2] >= rows[i + 1][2] for i in range(len(rows) - 1)
+        )
+    # doc 1 tie: apple and cherry both tf=1 df=2 - term asc breaks it
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["apple", "cherry"]
+
+
+def test_n_cutoff(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert all(
+        r.rank == 1 for r in keyterms(df, n=1).collect()
+    )
