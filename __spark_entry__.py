@@ -2627,6 +2627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_cluster_terms"] = pipe_cluster_terms_q
 
+    def lay_zvalue_q(s, d):
+        from lucille_spark.ops.layout import with_zvalue
+
+        docs = _docs(s, d).select("doc_id", "n_chars")
+        out = with_zvalue(
+            docs, ["doc_id", "n_chars"], bits=8,
+            ranges=[(0.0, 1000.0), (0.0, 5000.0)],
+        )
+        return out.select("doc_id", "zvalue").orderBy("doc_id")
+
+    q["lay_zvalue"] = lay_zvalue_q
+
     def tx_keyterms_q(s, d):
         from lucille_spark.ops.text import keyterms
 
@@ -6716,6 +6728,16 @@ rk AS (SELECT *, cast(row_number() OVER (PARTITION BY cluster
 SELECT cluster, rank, term, n FROM rk WHERE rank <= 3
 ORDER BY cluster, rank"""
     )
+
+    # Morton key with the same fixed scaling anchors as the Spark
+    # side (zvalue_sql shares the interleave constants)
+    from lucille_spark.ops.layout import zvalue_sql
+
+    o["lay_zvalue"] = f"""
+SELECT doc_id,
+  {zvalue_sql(['doc_id', 'n_chars'],
+              [(0.0, 1000.0), (0.0, 5000.0)], 8)} AS zvalue
+FROM documents ORDER BY doc_id"""
 
     # per-doc TF-IDF keyterms: tf * (ln((N+1)/(df+1)) + 1), top-3
     # by unrounded score then term

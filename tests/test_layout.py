@@ -1,0 +1,144 @@
+"""Z-order layout (ops/layout.py): Morton interleave vs a pure-
+python reference, DuckDB twin identity, the locality property that
+justifies the whole exercise, and zonemap tightness of files
+written via zorder_write."""
+
+import glob
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.ops import layout as L
+
+
+def _morton_ref(vals, bits):
+    z = 0
+    k = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * k + i)
+    return z
+
+
+def test_zvalue_matches_reference(spark):
+    rng = random.Random(3)
+    rows = [
+        (i, rng.randrange(256), rng.randrange(256))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id",
+            L.zvalue_expr([F.col("x"), F.col("y")], 8).alias("z"),
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == _morton_ref([x, y], 8)
+
+
+def test_scaling_clamps_and_constant_columns(spark):
+    df = spark.createDataFrame(
+        [(0, -5.0, 7.0), (1, 50.0, 7.0), (2, 500.0, 7.0)],
+        "id long, x double, c double",
+    )
+    out = {
+        r.id: r.zvalue
+        for r in L.with_zvalue(
+            df, ["x", "c"], bits=4, ranges=[(0.0, 100.0), (7.0, 7.0)]
+        ).collect()
+    }
+    # x scales to 0 / 7 / 15 (clamped); constant column contributes 0
+    assert out[0] == _morton_ref([0, 0], 4)
+    assert out[1] == _morton_ref([7, 0], 4)
+    assert out[2] == _morton_ref([15, 0], 4)
+
+
+def test_duckdb_twin_identity(spark):
+    rng = random.Random(9)
+    rows = [
+        (i, rng.uniform(-3.0, 900.0), rng.uniform(2.0, 44.0))
+        for i in range(300)
+    ]
+    ranges = [(-3.0, 900.0), (2.0, 44.0)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    got = sorted(
+        (r.id, r.zvalue)
+        for r in L.with_zvalue(
+            df, ["a", "b"], bits=8, ranges=ranges
+        ).select("id", "zvalue").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, a DOUBLE, b DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    dk = con.execute(
+        f"SELECT id, {L.zvalue_sql(['a', 'b'], ranges, 8)} FROM t"
+        " ORDER BY id"
+    ).fetchall()
+    assert got == [tuple(r) for r in dk]
+
+
+def test_z_sort_has_better_2d_locality_than_1d_sort():
+    # the property zonemaps see: cut the order into file-sized
+    # chunks; a z-sorted chunk is a compact 2-D block (both spans
+    # small), an x-sorted chunk is a full-height column stripe
+    # (y-span = the whole domain)
+    pts = [(x, y) for x in range(32) for y in range(32)]
+
+    def chunk_span(order, n_chunks=32):
+        sz = len(order) // n_chunks
+        tot = 0.0
+        for i in range(n_chunks):
+            ch = order[i * sz:(i + 1) * sz]
+            xs = [p[0] for p in ch]
+            ys = [p[1] for p in ch]
+            tot += (max(xs) - min(xs)) + (max(ys) - min(ys))
+        return tot / n_chunks
+
+    z_sorted = sorted(pts, key=lambda p: _morton_ref([p[0], p[1]], 5))
+    x_sorted = sorted(pts)
+    # z chunks are 8x4 blocks (span ~= 10); x chunks are 1x32
+    # stripes (span ~= 31)
+    assert chunk_span(z_sorted) < chunk_span(x_sorted) / 2
+
+
+def test_zorder_write_tightens_both_zonemaps(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = random.Random(17)
+    rows = [
+        (rng.randrange(1024), rng.randrange(1024))
+        for _ in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "zz")
+    L.zorder_write(df, out, ["x", "y"], bits=10, num_files=16)
+    spans = []
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo_x = hi_x = lo_y = hi_y = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if name == "x":
+                    lo_x = st.min if lo_x is None else min(lo_x, st.min)
+                    hi_x = st.max if hi_x is None else max(hi_x, st.max)
+                elif name == "y":
+                    lo_y = st.min if lo_y is None else min(lo_y, st.min)
+                    hi_y = st.max if hi_y is None else max(hi_y, st.max)
+        spans.append(((hi_x - lo_x), (hi_y - lo_y)))
+    # every file must be tight in BOTH dimensions simultaneously —
+    # the thing a 1-D sort cannot do (x-sort gives y-span ~1023)
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x < 700 and avg_y < 700
+    # round-trip intact
+    assert spark.read.parquet(out).count() == len(rows)
