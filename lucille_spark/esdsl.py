@@ -4043,6 +4043,100 @@ def validate_es(index, query) -> Dict[str, Any]:
         return {"valid": False, "error": f"{type(e).__name__}: {e}"}
 
 
+def _plan_tree(pnode) -> Dict[str, Any]:
+    """Recursive plan dump for profile_es: node type + the scoring-
+    relevant scalars (term/idf/expansion sizes), children nested."""
+    import dataclasses
+
+    out: Dict[str, Any] = {"type": type(pnode).__name__}
+    if not dataclasses.is_dataclass(pnode):
+        return out
+    kids = []
+    for f in dataclasses.fields(pnode):
+        v = getattr(pnode, f.name)
+        if dataclasses.is_dataclass(v) and hasattr(v, "__class__"):
+            kids.append(_plan_tree(v))
+        elif isinstance(v, (list, tuple)) and v and all(
+            dataclasses.is_dataclass(x) for x in v
+        ):
+            if f.name == "terms" or f.name == "source":
+                out[f.name] = list(v)
+            else:
+                kids.extend(_plan_tree(x) for x in v)
+        elif f.name == "terms" and isinstance(v, (list, tuple)):
+            out["n_terms"] = len(v)
+            out["terms"] = list(v)[:8]
+        elif isinstance(v, (str, int, float, bool)) and f.name not in (
+            "sim",
+        ):
+            out[f.name] = v
+    if kids:
+        out["children"] = kids
+    return out
+
+
+def profile_es(
+    index, query, k: int = 10, executor: str = "wand"
+) -> Dict[str, Any]:
+    """ES `"profile": true` — execute the query and report the
+    phase breakdown: parse/plan/execute wall times, the resolved
+    physical plan tree (with per-term idf and expansion sizes), the
+    WAND block-pruning counters (decoded vs total posting blocks)
+    and the dictionary-scan counters (rows the expansion prefilter
+    touched vs dictionary size) for THIS query. Accepts a DSL dict
+    or a Lucene string. The result page itself is under "hits"
+    (collected — profiling is a diagnostic call, not a serving
+    path)."""
+    import time as _time
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.reader import (
+        dict_scan_stats,
+        reset_dict_scan_stats,
+    )
+    from lucille_spark.parser import parse
+    from lucille_spark.printer import print_query
+
+    ix = getattr(index, "ix", index)
+    t0 = _time.monotonic()
+    node = (
+        to_ast(query) if isinstance(query, dict) else parse(str(query))
+    )
+    t1 = _time.monotonic()
+    reset_dict_scan_stats()
+    pnode = ix.plan(node)
+    t2 = _time.monotonic()
+    blocks = {"total_blocks": 0, "decoded_blocks": 0}
+    if executor == "wand":
+        ex = WandExecutor(ix)
+        # worker-side block counters flow back via accumulators
+        # (module counters never leave the python workers)
+        sc = ix.doclens.sparkSession.sparkContext
+        ex.profile_acc = (sc.accumulator(0), sc.accumulator(0))
+    else:
+        ex = DataFrameExecutor(ix)
+    rows = ex.search(node, k=k).collect()
+    t3 = _time.monotonic()
+    if executor == "wand":
+        blocks = {
+            "total_blocks": int(ex.profile_acc[0].value),
+            "decoded_blocks": int(ex.profile_acc[1].value),
+        }
+    return {
+        "query": print_query(node),
+        "executor": executor,
+        "parse_ms": round((t1 - t0) * 1e3, 3),
+        "plan_ms": round((t2 - t1) * 1e3, 3),
+        "exec_ms": round((t3 - t2) * 1e3, 3),
+        "took_ms": round((t3 - t0) * 1e3, 3),
+        "plan": _plan_tree(pnode),
+        "wand_blocks": blocks,
+        "dictionary": dict_scan_stats(),
+        "hits": [tuple(r) for r in rows],
+    }
+
+
 def suggest_es(index, body: Dict[str, Any]) -> Dict[str, Any]:
     """The ES `suggest` request-body section: named suggesters over
     the index — `term` (did-you-mean per word, fuzzy dictionary

@@ -164,6 +164,7 @@ class WandExecutor:
         kernel = _make_kernel(
             node, avgdl, k, self.prune, need_uni, meta_cols, decode,
             deleted, meta_out,
+            stats_acc=getattr(self, "profile_acc", None),
         )
         if need_uni:
             # cogroup segments with the shard's doclens slice so the
@@ -566,6 +567,7 @@ def _make_kernel(
     decode=varbyte_decode,
     deleted=None,  # None | sorted np.ndarray | "dl" sentinel
     meta_out: "Optional[List[str]]" = None,
+    stats_acc=None,  # (total_blocks, decoded_blocks) accumulators
 ):
     flat = _flat_terms(node) if prune else None
     want_pos = P.needs_positions(node)
@@ -600,11 +602,29 @@ def _make_kernel(
 
         groups = dict(tuple(seg_pdf.groupby("term", sort=True)))
 
+        # profiling: ship this worker's block counters to the driver
+        # (the module counters are worker-local; accumulators are the
+        # only channel back — captured in the kernel closure)
+        if stats_acc is not None:
+            _snap = dict(_PRUNE_STATS)
+
         if flat is not None and len(groups) > 1:
             ids, scores = _eval_flat_pruned(
                 flat, groups, sd, k, decode, dead
             )
+            if stats_acc is not None:
+                stats_acc[0].add(
+                    _PRUNE_STATS["total_blocks"] - _snap["total_blocks"]
+                )
+                stats_acc[1].add(
+                    _PRUNE_STATS["decoded_blocks"]
+                    - _snap["decoded_blocks"]
+                )
         else:
+            if stats_acc is not None:
+                nb = sum(len(r) for r in groups.values())
+                stats_acc[0].add(nb)
+                stats_acc[1].add(nb)  # exhaustive path decodes all
             for term, rows in groups.items():
                 # a term may arrive as several disjoint doc-range
                 # runs (file/split boundaries at build); ordering by

@@ -332,6 +332,15 @@ class Searcher:
 
         return explain_search(self.index, query)
 
+    def profile(self, query, k: int = 10) -> dict:
+        """ES `"profile": true` — phase timings, resolved plan
+        tree, block-prune and dictionary-scan counters (esdsl
+        .profile_es) on this Searcher's executor kind."""
+        from lucille_spark.esdsl import profile_es
+
+        kind = "wand" if self.executor is self._wand_ex else "df"
+        return profile_es(self.index, query, k=k, executor=kind)
+
     def suggest_es(self, body: dict) -> dict:
         """The ES `suggest` request-body section: named
         term / phrase / completion suggesters -> {name: DataFrame}."""

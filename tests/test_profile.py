@@ -1,0 +1,79 @@
+"""profile_es (ES "profile": true): phase timings, plan tree shape,
+prune/dictionary counters, and agreement of the profiled hits with a
+plain search on both executors."""
+
+import pytest
+
+from lucille_spark.esdsl import profile_es
+
+
+@pytest.fixture(scope="module")
+def ix(unit_index):
+    return unit_index[0]
+
+
+@pytest.mark.parametrize("ex", ["wand", "df"])
+def test_profile_hits_match_plain_search(ix, ex):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+
+    p = profile_es(ix, "cat AND ocean", k=5, executor=ex)
+    plain = (
+        WandExecutor(ix) if ex == "wand" else DataFrameExecutor(ix)
+    ).search("cat AND ocean", k=5).collect()
+    assert p["hits"] == [tuple(r) for r in plain]
+    assert p["executor"] == ex
+    assert p["took_ms"] >= p["exec_ms"] > 0
+
+
+def test_profile_plan_tree_and_counters(ix):
+    p = profile_es(ix, "cat AND oce*", k=5, executor="wand")
+    assert p["query"] == "cat AND oce*"
+    tree = p["plan"]
+    # boolean root with a scored term and an expansion underneath
+    types = set()
+
+    def walk(n):
+        types.add(n["type"])
+        for c in n.get("children", []):
+            walk(c)
+
+    walk(tree)
+    assert "PTerm" in types and "PExpand" in types
+    # the wand kernel ran: block counters populated for this query
+    assert p["wand_blocks"]["total_blocks"] > 0
+    assert (
+        0
+        < p["wand_blocks"]["decoded_blocks"]
+        <= p["wand_blocks"]["total_blocks"]
+    )
+    # dictionary-scan counters populate on the NO-literal pattern
+    # path (the n-gram prefilter) — a prefix like oce* goes through
+    # the sorted-slice fast path and touches no counter
+    p2 = profile_es(ix, "*ce*", k=5, executor="wand")
+    assert p2["dictionary"]["total_terms"] > 0
+    assert (
+        p2["dictionary"]["scanned_terms"]
+        <= p2["dictionary"]["total_terms"]
+    )
+
+
+def test_profile_accepts_dsl_dict(ix):
+    p = profile_es(
+        ix,
+        {"match": {"content": {"query": "cat ocean"}}},
+        k=3,
+        executor="df",
+    )
+    assert len(p["hits"]) <= 3
+    assert p["plan"]["type"] in ("PBool", "POr", "PSynonym", "PSum")
+
+
+def test_searcher_profile_facade(spark, unit_index, tmp_path):
+    from lucille_spark.searcher import Searcher
+
+    ix = unit_index[0]
+    s = Searcher(spark, ix.dir, cache=False)
+    p = s.profile("cat", k=3)
+    assert p["executor"] == "wand"
+    assert p["hits"]
