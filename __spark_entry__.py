@@ -5271,6 +5271,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_link_edges"] = web_link_edges_q
 
+    def web_anchors_q(s, d):
+        from lucille_spark.ops.web import (
+            anchor_summary,
+            host_expr,
+            html_anchor_edges,
+        )
+
+        e = html_anchor_edges(_html_pages(s, d), "url", "html")
+        e = e.select(
+            host_expr("dst_url").alias("dst_host"), "anchor"
+        )
+        return anchor_summary(e, by="dst_host", n=3)
+
+    q["web_anchors"] = web_anchors_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -11227,6 +11242,39 @@ SELECT doc_id, {html_sql('title', 'html')} AS title,
   coalesce(array_to_string({html_sql('links', 'html')}, '|'), '')
     AS links
 FROM pages ORDER BY doc_id"""
+
+    o["web_anchors"] = f"""
+WITH {_HTML_PAGES_SQL},
+els AS (SELECT url AS src_url,
+        unnest({html_sql('anchor_els', 'html')}) AS el FROM pages),
+ext AS (SELECT src_url,
+        {html_sql('anchor_href', 'el')} AS href,
+        {html_sql('anchor_text', 'el')} AS anchor FROM els),
+res AS (SELECT
+    CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+         WHEN href LIKE '//%' THEN
+           lower(regexp_extract(src_url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || href
+         WHEN href LIKE '/%' THEN
+           lower(regexp_extract(src_url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+           lower(regexp_extract(regexp_replace(src_url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]+)', 1))
+           || href
+         ELSE NULL END AS dst_url, anchor
+  FROM ext),
+hosted AS (SELECT
+  regexp_replace(regexp_replace(lower(regexp_extract(
+    regexp_replace(regexp_replace(dst_url, '#.*$', ''),
+      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)),
+    '^www\\.', ''), ':(80|443)$', '') AS dst_host, anchor
+  FROM res WHERE dst_url IS NOT NULL),
+cnt AS (SELECT dst_host, anchor, count(*) AS n_mentions
+        FROM hosted GROUP BY dst_host, anchor),
+rk AS (SELECT *, cast(row_number() OVER (PARTITION BY dst_host
+       ORDER BY n_mentions DESC, anchor) as int) AS rank FROM cnt)
+SELECT dst_host, rank, anchor, n_mentions FROM rk
+WHERE rank <= 3 ORDER BY dst_host, rank"""
 
     o["web_link_edges"] = f"""
 WITH {_HTML_PAGES_SQL},

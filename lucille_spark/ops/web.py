@@ -443,6 +443,8 @@ _HTML_DROP = (
     r"(?s)<[^>]*>",
 )
 _HTML_TITLE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+_ANCHOR_EL = r"(?is)<a\b[^>]*>.*?</a\s*>"
+_ANCHOR_INNER = r"(?s)<a[^>]*>(.*)</a\s*>"
 _HREF_DQ = r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'
 _HREF_SQ = r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"
 # decode order matters: &amp; LAST so "&amp;lt;" -> "&lt;" (the
@@ -528,6 +530,72 @@ def html_extract(
     )
 
 
+def html_anchor_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """ANCHOR-TEXT edges — the classic off-page ranking signal (the
+    text other pages use to link to a target describes it better
+    than the target does): one row per resolvable <a> element,
+    (src_url, dst_url, anchor) with anchor = the element's inner
+    markup tag-stripped + entity-decoded + squeezed ('' for image
+    links etc.). Same comment/script pre-strip, same resolution
+    rule, and the same zero-UDF scan shape as html_link_edges —
+    duplicates are KEPT (each mention is a vote; aggregate with
+    anchor_summary)."""
+    c = F.col(html_col)
+    for pat in _HTML_DROP[:3]:
+        c = F.regexp_replace(c, pat, " ")
+    el = df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(c, F.lit(_ANCHOR_EL), 0)
+        ).alias("_el"),
+    )
+    href = F.coalesce(
+        F.nullif(F.regexp_extract("_el", _HREF_DQ, 1), F.lit("")),
+        F.regexp_extract("_el", _HREF_SQ, 1),
+    )
+    anchor = _decode_squeeze(
+        F.regexp_replace(
+            F.regexp_extract("_el", _ANCHOR_INNER, 1),
+            r"(?s)<[^>]*>",
+            " ",
+        )
+    )
+    return (
+        el.select(
+            "src_url",
+            resolve_link_expr("src_url", href).alias("dst_url"),
+            anchor.alias("anchor"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+
+
+def anchor_summary(
+    edges: DataFrame, by: str = "dst_url", n: int = 3
+) -> DataFrame:
+    """Top-n anchor strings per link target (count desc, anchor asc)
+    — the aggregated anchor-text signal to index alongside the
+    target's own content (or feed `documents` as an extra indexed
+    field). One (target, anchor) count + one per-target window.
+    -> (by, rank, anchor, n_mentions)."""
+    from pyspark.sql import Window
+
+    cnt = edges.groupBy(by, "anchor").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.desc("n_mentions"), F.asc("anchor")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+        .select(by, "rank", "anchor", "n_mentions")
+        .orderBy(by, "rank")
+    )
+
+
 def html_link_edges(
     df: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
@@ -577,6 +645,27 @@ def html_sql(kind: str, col: str) -> str:
     if kind == "title":
         return dec(
             "regexp_extract(%s, '%s', 1)" % (col, _HTML_TITLE)
+        )
+    if kind == "anchor_els":
+        e = col
+        for pat in _HTML_DROP[:3]:
+            e = "regexp_replace(%s, '%s', ' ', 'g')" % (e, pat)
+        return "regexp_extract_all(%s, '%s', 0)" % (
+            e, _ANCHOR_EL.replace("'", "''"),
+        )
+    if kind == "anchor_text":
+        # `col` here is ONE element string (post-unnest)
+        return dec(
+            "regexp_replace(regexp_extract(%s, '%s', 1), "
+            "'(?s)<[^>]*>', ' ', 'g')"
+            % (col, _ANCHOR_INNER.replace("'", "''"))
+        )
+    if kind == "anchor_href":
+        return (
+            "coalesce(nullif(regexp_extract(%s, '%s', 1), ''), "
+            "regexp_extract(%s, '%s', 1))"
+            % (col, _HREF_DQ.replace("'", "''"),
+               col, _HREF_SQ.replace("'", "''"))
         )
     if kind == "links":
         e = col

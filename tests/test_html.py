@@ -118,3 +118,32 @@ def test_html_extract_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_anchor_edges_and_summary(spark):
+    from lucille_spark.ops.web import anchor_summary, html_anchor_edges
+
+    pages = [
+        ("https://a.com/1",
+         '<a href="/t">Best <b>Guide</b></a>'
+         '<a href="/t">Best Guide</a>'
+         "<a href='https://b.com/x'>B &amp; Co</a>"
+         '<a name="no-href">skip</a>'
+         '<!-- <a href="/ghost">ghost</a> -->'
+         '<a href="#frag">frag</a>'),
+        ("https://c.com/2", '<a href="https://a.com/t">Other name</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    edges = html_anchor_edges(df).collect()
+    got = sorted((r.src_url, r.dst_url, r.anchor) for r in edges)
+    assert got == [
+        ("https://a.com/1", "https://a.com/t", "Best Guide"),
+        ("https://a.com/1", "https://a.com/t", "Best Guide"),
+        ("https://a.com/1", "https://b.com/x", "B & Co"),
+        ("https://c.com/2", "https://a.com/t", "Other name"),
+    ]
+    top = anchor_summary(html_anchor_edges(df), n=2).collect()
+    by = {(r.dst_url, r.rank): (r.anchor, r.n_mentions) for r in top}
+    # duplicates are votes: "Best Guide" x2 outranks "Other name"
+    assert by[("https://a.com/t", 1)] == ("Best Guide", 2)
+    assert by[("https://a.com/t", 2)] == ("Other name", 1)
