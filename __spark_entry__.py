@@ -2552,6 +2552,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         salt="mix1",
     ).select("doc_id", "lang")
 
+    def pipe_weighted_sample_q(s, d):
+        from lucille_spark.ops.text import weighted_sample
+
+        out = weighted_sample(
+            _docs(s, d), "n_chars", k=50, salt="ws1"
+        )
+        return out.select(
+            "doc_id", F.round("_ws_key", 6).alias("ws_key")
+        )
+
+    q["pipe_weighted_sample"] = pipe_weighted_sample_q
+
     # ---- temperature-flattened domain mixing (GPT-3/PaLM recipe):
     # rates p_d ∝ n_d^0.5 derived from the corpus itself, selection
     # via the same md5-bucket filter -------------------------------
@@ -8798,6 +8810,20 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang, {_sb} AS b FROM documents)
 WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
   WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000 ELSE 0 END"""
+
+    # A-ES weighted sample: key = u^(1/w), u = (md5-bucket + .5)/1e6
+    # with salt 'ws1', w = n_chars; global top-50 by key
+    _ws = (
+        "(cast(('0x' || substring(md5(concat(cast(doc_id as varchar), "
+        f"':ws1')), 1, 8)) as bigint) % {M31}) % 1000000"
+    )
+    o["pipe_weighted_sample"] = f"""
+WITH keyed AS (SELECT doc_id,
+  pow((cast({_ws} as double) + 0.5) / 1000000.0,
+      1.0 / cast(n_chars as double)) AS k
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, round(k, 6) AS ws_key FROM keyed
+ORDER BY k DESC, doc_id LIMIT 50"""
 
     # domain mixing: the rate DERIVATION replicated in SQL —
     # p_d ∝ n_d^alpha, T = min_d n_d/p_d, rate = min(1, T*p_d/n_d) —

@@ -628,6 +628,44 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass (Efraimidis &
+    Spirakis 2006, the A-ES scheme): every row gets key = u^(1/w)
+    with u a DETERMINISTIC md5-uniform in (0,1) derived from
+    (id, salt); the global top-k keys are an exact weighted sample
+    — P(row in sample) follows its weight share, no RNG state, no
+    sequential pass. The quality-weighted / domain-weighted subset
+    selector for training mixes (weights from quality_lr scores,
+    dedup_weights, domain temperatures...).
+
+    Plan: one scan computing the key + TakeOrderedAndProject(k) —
+    no corpus shuffle; per-partition top-k then a k-row merge. Rows
+    with weight <= 0 are excluded (their inclusion probability is
+    0). Re-runs reproduce the identical sample (the stratified_
+    sample determinism contract). -> input rows + `_ws_key`,
+    top-k by key desc (ties by id asc for full determinism).
+    """
+    hexpr = TOKEN_HASH_SPARK.format(
+        tok=f"concat(cast({id_col} as string), ':{salt}')"
+    )
+    u = (
+        (F.expr(hexpr) % SAMPLE_BUCKETS).cast("double") + F.lit(0.5)
+    ) / F.lit(float(SAMPLE_BUCKETS))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_ws_key", key)
+        .orderBy(F.desc("_ws_key"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
 def hashing_tf(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,43 @@
+"""weighted_sample (ops/text.py, Efraimidis-Spirakis A-ES):
+determinism, zero-weight exclusion, and the statistical contract
+that inclusion follows weight share (across salts, since one salt
+is deterministic by design)."""
+
+from lucille_spark.ops.text import weighted_sample
+
+
+def test_deterministic_and_k(spark):
+    df = spark.range(500).selectExpr(
+        "id as doc_id", "1.0 + (id % 7) as w"
+    )
+    a = [r.doc_id for r in weighted_sample(df, "w", 40).collect()]
+    b = [r.doc_id for r in weighted_sample(df, "w", 40).collect()]
+    assert a == b and len(a) == 40
+    assert len(set(a)) == 40  # without replacement
+
+
+def test_nonpositive_weights_excluded(spark):
+    df = spark.range(100).selectExpr(
+        "id as doc_id",
+        "case when id < 90 then 0.0 else 5.0 end as w",
+    )
+    got = {r.doc_id for r in weighted_sample(df, "w", 50).collect()}
+    assert got == set(range(90, 100))
+
+
+def test_heavier_rows_sampled_more_often(spark):
+    # ids 0..99 weight 9, ids 100..199 weight 1 -> heavy class holds
+    # a 90% weight share; over 20 independent salts the heavy class
+    # must dominate the samples
+    df = spark.range(200).selectExpr(
+        "id as doc_id", "case when id < 100 then 9.0 else 1.0 end as w"
+    )
+    heavy = total = 0
+    for s in range(20):
+        rows = weighted_sample(df, "w", 20, salt=f"s{s}").collect()
+        heavy += sum(1 for r in rows if r.doc_id < 100)
+        total += len(rows)
+    assert total == 400
+    # expectation ~0.84 of draws heavy (k=20 of 200 skews slightly
+    # below the 0.9 weight share); 0.7 is a >5-sigma floor
+    assert heavy / total > 0.7
