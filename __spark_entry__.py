@@ -3624,6 +3624,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sk_hll_intersect"] = sk_hll_intersect_q
 
+    def sk_kmv_est_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        return SK.kmv_estimate(SK.kmv_sketch(_docs(s, d), "doc_id"))
+
+    q["sk_kmv_est"] = sk_kmv_est_q
+
+    def sk_kmv_jaccard_q(s, d):
+        from lucille_spark.ops import sketch as SK
+
+        docs = _docs(s, d)
+        a = SK.kmv_sketch(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id"
+        )
+        b = SK.kmv_sketch(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id"
+        )
+        return SK.kmv_jaccard(a, b)
+
+    q["sk_kmv_jaccard"] = sk_kmv_jaccard_q
+
     def sk_cms_q(s, d):
         from lucille_spark.analysis import tokenize_expr
         from lucille_spark.ops import sketch as SK
@@ -9606,6 +9627,40 @@ SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
   round(ea.est + eb.est - eu.est, 2) AS est_intersection
 FROM ea, eb, eu"""
     )
+
+    # KMV: k smallest md5-hash fractions; (k-1)/h_k estimate, exact
+    # below k; Jaccard = both-members fraction of the union sketch
+    _KMV_HV = (
+        "(cast(cast(('0x' || substring(md5(cast({c} as varchar)), 1, "
+        "15)) as bigint) as double) + 1.0) / 1152921504606846976.0"
+    )
+
+    def _kmv_sk_sql(tag: str, where: str) -> str:
+        return f"""
+hv{tag} AS (SELECT DISTINCT {_KMV_HV.format(c='doc_id')} AS hv
+            FROM documents WHERE {where}),
+sk{tag} AS (SELECT hv FROM hv{tag} ORDER BY hv LIMIT 256)"""
+
+    o["sk_kmv_est"] = f"""
+WITH {_kmv_sk_sql('a', 'true').lstrip()},
+agg AS (SELECT cast(count(*) as int) AS n_kept, max(hv) AS hk
+        FROM ska)
+SELECT n_kept, round(CASE WHEN n_kept < 256
+  THEN cast(n_kept as double) ELSE 255.0 / hk END, 2) AS estimate
+FROM agg"""
+
+    o["sk_kmv_jaccard"] = f"""
+WITH {_kmv_sk_sql('a', 'doc_id % 3 = 0').lstrip()},
+{_kmv_sk_sql('b', 'doc_id % 2 = 0').strip()},
+u AS (SELECT hv FROM (SELECT DISTINCT hv FROM
+      (SELECT hv FROM ska UNION ALL SELECT hv FROM skb))
+      ORDER BY hv LIMIT 256),
+nb AS (SELECT count(*) AS n FROM u
+       WHERE hv IN (SELECT hv FROM ska)
+         AND hv IN (SELECT hv FROM skb))
+SELECT cast((SELECT count(*) FROM u) as int) AS n_union_kept,
+  round(nb.n * 1.0 / (SELECT count(*) FROM u), 4) AS jaccard
+FROM nb"""
 
     # ---- Count-Min: same (a, b) universal-hash family --------------
     _CMS_TOK = (

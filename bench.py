@@ -328,6 +328,36 @@ def main():
         dreps.append(time.time() - t0)
     out["agg_dashboard_ms"] = round(sorted(dreps)[1] * 1000, 1)
 
+    # ---- leg 5: pipeline throughput — the MinHash near-dup flow
+    # (signatures + LSH banding + candidate Jaccard verify) over the
+    # sf documents table: the data-curation counterpart to the
+    # serving legs
+    from lucille_spark.ops.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_sf = sf_docs.count()
+
+    def _run_dedup():
+        sig = minhash_signatures(sf_docs, "doc_id", "text")
+        cand = lsh_candidate_pairs(sig)
+        return jaccard_pairs(
+            sf_docs, "doc_id", "text", pairs=cand, threshold=0.5
+        ).count()
+
+    _run_dedup()  # warm
+    t0 = time.time()
+    n_pairs = _run_dedup()
+    dsec = time.time() - t0
+    out["dedup_docs_per_sec"] = round(n_sf / dsec, 1)
+    # the synthetic docs share one small vocabulary, so the LSH
+    # candidate density (and thus verify cost) is far ABOVE a real
+    # crawl's — report the verified-pair count so the rate reads in
+    # context
+    out["dedup_pairs_verified"] = int(n_pairs)
+
     total = time.time() - t_start
     print(
         json.dumps(
@@ -359,6 +389,8 @@ def main():
                         "sparse_batch32_ms_per_query",
                         "maxsim_query_ms",
                         "agg_dashboard_ms",
+                        "dedup_docs_per_sec",
+                        "dedup_pairs_verified",
                         "big_n_docs",
                         "big_batch32_ms_per_query",
                     )

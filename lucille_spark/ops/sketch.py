@@ -499,3 +499,88 @@ def hll_estimate_by(sketch: DataFrame, by) -> DataFrame:
         F.round(raw, 2).alias("raw_estimate"),
         F.round(corrected, 2).alias("estimate"),
     ).orderBy(*by)
+
+
+# ------------------------------------------------- KMV (k minimum values)
+#
+# The OTHER classic distinct sketch (Bar-Yossef et al. 2002;
+# DataSketches' theta family): keep the k SMALLEST hash values of
+# the distinct set. Union = k smallest of the concatenation;
+# cardinality = (k-1)/h_k (the k-th smallest hash as a fraction of
+# the hash space); and — the reason to have it NEXT TO HyperLogLog —
+# set INTERSECTIONS are well-conditioned: Jaccard is estimated
+# DIRECTLY as the overlap fraction of the union sketch's members,
+# so small overlaps of large sets don't drown in the union-sized
+# noise the HLL inclusion-exclusion estimate carries.
+#
+# Hash: the shared portable md5 scheme — first 15 hex chars as a
+# 60-bit integer, normalized to (0,1] as (v+1)/2^60 (exact in
+# doubles: v < 2^60 and 53-bit mantissa rounding is identical in
+# Spark and DuckDB). A sketch is just a DataFrame of `hv` doubles
+# (<= k rows), so it stores/merges like any other slice table.
+
+KMV_K = 256
+_KMV_SPACE = float(1 << 60)
+
+
+def _kmv_hash_expr(col) -> "F.Column":
+    v = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    return (v + F.lit(1.0)) / F.lit(_KMV_SPACE)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """k smallest distinct hash values -> (hv double) sorted asc.
+    One distinct + TakeOrdered(k) per slice; <= k rows leave."""
+    return (
+        df.select(_kmv_hash_expr(col).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(int(k))
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketch: k smallest of the member union (dedup first —
+    the same value hashes identically in every slice)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hv").limit(int(k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """-> one row (n_kept int, estimate double round 2). With fewer
+    than k values the set fit entirely in the sketch and the count
+    is EXACT; otherwise (k-1)/h_k."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("hv").alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_hk"))
+    return agg.select("n_kept", F.round(est, 2).alias("estimate"))
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Jaccard estimate: among the union sketch's members, the
+    fraction present in BOTH input sketches (each member is a
+    uniform sample point of A u B). -> one row (n_union_kept int,
+    jaccard double round 4). Error ~ 1/sqrt(k), INDEPENDENT of how
+    small the overlap is relative to the union."""
+    u = kmv_merge(a, b, k=k)
+    both = u.join(a, "hv", "left_semi").join(b, "hv", "left_semi")
+    return u.agg(
+        F.count(F.lit(1)).cast("int").alias("n_union_kept")
+    ).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("_nb"))
+    ).select(
+        "n_union_kept",
+        F.round(
+            F.col("_nb") / F.col("n_union_kept"), 4
+        ).alias("jaccard"),
+    )

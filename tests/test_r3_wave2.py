@@ -791,3 +791,41 @@ def test_span_position_range_bounds(spark, unit_index):
         span_position_range(ix, "cats", 5, 5)
     with _pt.raises(ValueError):
         span_position_range(ix, "cats", -1, 5)
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from lucille_spark.ops.sketch import kmv_estimate, kmv_sketch
+
+    small = spark.range(100).selectExpr("id as v")
+    r = kmv_estimate(kmv_sketch(small, "v")).collect()[0]
+    assert (r.n_kept, r.estimate) == (100, 100.0)
+
+    big = spark.range(5000).selectExpr("id as v")
+    r = kmv_estimate(kmv_sketch(big, "v")).collect()[0]
+    assert r.n_kept == 256
+    # std error ~ 1/sqrt(k-2) ~ 6.3%; 5 sigma
+    assert abs(r.estimate - 5000) / 5000 < 0.32
+
+
+def test_kmv_merge_equals_whole(spark):
+    from lucille_spark.ops.sketch import kmv_merge, kmv_sketch
+
+    df = spark.range(3000).selectExpr("id as v")
+    whole = [r.hv for r in kmv_sketch(df, "v").collect()]
+    a = kmv_sketch(df.filter("v % 2 = 0"), "v")
+    b = kmv_sketch(df.filter("v % 2 = 1"), "v")
+    merged = [r.hv for r in kmv_merge(a, b).collect()]
+    assert merged == whole
+
+
+def test_kmv_jaccard_tracks_truth(spark):
+    from lucille_spark.ops.sketch import kmv_jaccard, kmv_sketch
+
+    df = spark.range(6000).selectExpr("id as v")
+    a = kmv_sketch(df.filter("v < 4000"), "v")
+    b = kmv_sketch(df.filter("v >= 2000"), "v")
+    r = kmv_jaccard(a, b).collect()[0]
+    # true J = 2000/6000 = 1/3; binomial std err ~ sqrt(J(1-J)/k)
+    # ~ 0.029; 5 sigma
+    assert abs(r.jaccard - 1 / 3) < 0.15
+    assert r.n_union_kept == 256
