@@ -2681,6 +2681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_eql_seq"] = lambda s, d: ev.eql_sequence(
         _events(s, d), ["view", "click", "purchase"], 86400.0
     )
+    # ES 8.8 missing events: view -> purchase with NO error strictly
+    # between (segment-id evaluation, no joins)
+    q["ev_eql_missing"] = lambda s, d: ev.eql_sequence(
+        _events(s, d),
+        ["view", {"missing": "error"}, "purchase"],
+        86400.0,
+    )
     # EQL `until`: an error event expires every in-progress sequence
     # for its user — completion must land strictly before it
     q["ev_eql_until"] = lambda s, d: ev.eql_sequence(
@@ -6952,6 +6959,31 @@ WITH base AS (
   SELECT *, CASE WHEN t = 'click' THEN a3 END AS c2 FROM m3
 ), m2 AS (
   SELECT *, min(c2) OVER (PARTITION BY user_id ORDER BY e, id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a2 FROM l2
+)
+SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
+       round(a2, 3) AS end_ts, round(a2 - e, 3) AS span_s
+FROM m2
+WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
+ORDER BY user_id, start_id"""
+
+    # EQL missing events: the 2-step induction where the step-1 ->
+    # step-2 min runs inside (user, error-segment) — segment id =
+    # INCLUSIVE running count of 'error' events, so a candidate
+    # purchase in the anchor's segment has no error strictly between
+    o["ev_eql_missing"] = """
+WITH base AS (
+  SELECT user_id, event_id AS id, event_type AS t, epoch(ts) AS e
+  FROM events
+), seg AS (
+  SELECT *, sum(CASE WHEN t = 'error' THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY e, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+  FROM base
+), l2 AS (
+  SELECT *, CASE WHEN t = 'purchase' THEN e END AS c2 FROM seg
+), m2 AS (
+  SELECT *, min(c2) OVER (PARTITION BY user_id, s0 ORDER BY e, id
     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a2 FROM l2
 )
 SELECT user_id, id AS start_id, round(e, 3) AS start_ts,

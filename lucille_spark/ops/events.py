@@ -256,8 +256,12 @@ def eql_sequence(
     within maxspan exists from an anchor iff its earliest completion
     does, so the filter is exact and the witness deterministic.
 
-    Each step is an event-type string (``type == s``) or a boolean
-    Column over the input row (EQL's ``[category where cond]``);
+    Each step is an event-type string (``type == s``), a boolean
+    Column over the input row (EQL's ``[category where cond]``), or
+    ``{"missing": spec}`` — ES 8.8's missing-events ``![...]``: no
+    such event strictly between the adjacent matched steps (see the
+    inline note for the segment-id evaluation — no joins, one extra
+    cumulative-sum window per missing step);
     `until`, if given, takes the same forms. An `until` event
     expires every in-progress sequence for its key (EQL's state
     machine): an anchor matches iff its earliest completion lands
@@ -285,8 +289,6 @@ def eql_sequence(
     -> (user_id, start_id, start_ts, end_ts, span_s), one row per
     matching anchor.
     """
-    if len(steps) < 2:
-        raise ValueError("eql_sequence needs >= 2 steps")
     from pyspark.sql import Column, Window
 
     def cond(spec) -> Column:
@@ -294,7 +296,43 @@ def eql_sequence(
             return spec
         return F.col(type_col) == spec
 
+    # ES 8.8 MISSING events: a step given as {"missing": spec} is a
+    # NEGATIVE constraint between its adjacent positive steps — "no
+    # such event strictly between the two matched events". Evaluated
+    # without joins: the forbidden type's INCLUSIVE running count
+    # per user is a segment id; a step-k event can only chain to a
+    # step-(k+1) event in the SAME segment (any forbidden event
+    # between them would have bumped it), so the backward-induction
+    # min just partitions by (user, segment) for that gap. First and
+    # last steps must be positive; consecutive missing steps refuse
+    # (collapse them into one OR condition instead).
+    pos_specs: list = []
+    neg_between: dict = {}  # pos index k -> forbidden cond (k..k+1)
+    for s in steps:
+        if isinstance(s, dict) and set(s) == {"missing"}:
+            if not pos_specs:
+                raise ValueError(
+                    "eql_sequence: a missing step cannot lead"
+                )
+            k = len(pos_specs) - 1
+            if k in neg_between:
+                raise ValueError(
+                    "eql_sequence: consecutive missing steps — "
+                    "combine them into one condition"
+                )
+            neg_between[k] = cond(s["missing"])
+        else:
+            pos_specs.append(s)
+    if isinstance(steps[-1], dict) and set(steps[-1]) == {"missing"}:
+        raise ValueError("eql_sequence: a missing step cannot trail")
+    steps = pos_specs
+    if len(steps) < 2:
+        raise ValueError("eql_sequence needs >= 2 positive steps")
+
     marks = [cond(s).alias(f"_m{i}") for i, s in enumerate(steps)]
+    marks += [
+        c.alias(f"_g{k}") for k, c in sorted(neg_between.items())
+    ]
     if until is not None:
         marks.append(cond(until).alias("_mu"))
     base = df.select(
@@ -308,12 +346,33 @@ def eql_sequence(
         .orderBy("_e", "_id")
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    d = base.withColumn(
+    d = base
+    wseg = (
+        Window.partitionBy("user_id")
+        .orderBy("_e", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for k in neg_between:
+        d = d.withColumn(
+            f"_s{k}",
+            F.sum(
+                F.when(F.col(f"_g{k}"), 1).otherwise(0)
+            ).over(wseg),
+        )
+    d = d.withColumn(
         "_c", F.when(F.col(f"_m{len(steps) - 1}"), F.col("_e"))
     )
     for k in range(len(steps) - 2, -1, -1):
+        if k in neg_between:
+            wk = (
+                Window.partitionBy("user_id", f"_s{k}")
+                .orderBy("_e", "_id")
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+        else:
+            wk = w
         d = d.withColumn(
-            "_c", F.when(F.col(f"_m{k}"), F.min("_c").over(w))
+            "_c", F.when(F.col(f"_m{k}"), F.min("_c").over(wk))
         )
     keep = (
         F.col("_m0")

@@ -189,3 +189,84 @@ def test_one_shuffle_plan(spark):
     body = plan.split("TakeOrderedAndProject")[-1]
     n_exchanges = body.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+# ------------------------------------------------- missing events
+
+
+def test_missing_step_blocks_intervening_event(spark):
+    df = _ev(
+        spark,
+        [
+            # user 1: view -> purchase with NO error between: match
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:20", 1, "purchase"),
+            # user 2: error strictly between view and purchase: no
+            (3, "2024-01-01 00:00:00", 2, "view"),
+            (4, "2024-01-01 00:00:10", 2, "error"),
+            (5, "2024-01-01 00:00:20", 2, "purchase"),
+        ],
+    )
+    out = eql_sequence(
+        df, ["view", {"missing": "error"}, "purchase"], 600.0
+    ).collect()
+    assert [(r.user_id, r.start_id) for r in out] == [(1, 1)]
+
+
+def test_missing_step_later_clean_gap_still_matches(spark):
+    # error sits between view and the FIRST purchase, but a later
+    # view starts a clean chain — only that anchor matches
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:05", 1, "error"),
+            (3, "2024-01-01 00:00:10", 1, "purchase"),
+            (4, "2024-01-01 00:00:15", 1, "view"),
+            (5, "2024-01-01 00:00:25", 1, "purchase"),
+        ],
+    )
+    out = eql_sequence(
+        df, ["view", {"missing": "error"}, "purchase"], 600.0
+    ).collect()
+    assert [(r.user_id, r.start_id, r.span_s) for r in out] == [
+        (1, 4, 10.0)
+    ]
+
+
+def test_missing_between_later_steps_and_column_cond(spark):
+    from pyspark.sql import functions as F
+
+    # [view] [click] ![error] [purchase]: error between view and
+    # click is FINE; error between click and purchase kills it
+    rows_ok = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "error"),
+        (3, "2024-01-01 00:00:05", 1, "click"),
+        (4, "2024-01-01 00:00:09", 1, "purchase"),
+    ]
+    rows_bad = [
+        (5, "2024-01-01 00:00:00", 2, "view"),
+        (6, "2024-01-01 00:00:05", 2, "click"),
+        (7, "2024-01-01 00:00:07", 2, "error"),
+        (8, "2024-01-01 00:00:09", 2, "purchase"),
+    ]
+    df = _ev(spark, rows_ok + rows_bad)
+    out = eql_sequence(
+        df,
+        ["view", "click", {"missing": F.col("event_type") == "error"},
+         "purchase"],
+        600.0,
+    ).collect()
+    assert [(r.user_id, r.start_id) for r in out] == [(1, 1)]
+
+
+def test_missing_validation(spark):
+    df = _ev(spark, [(1, "2024-01-01 00:00:00", 1, "view")])
+    for bad in (
+        [{"missing": "error"}, "view", "purchase"],
+        ["view", {"missing": "error"}],
+        ["view", {"missing": "a"}, {"missing": "b"}, "purchase"],
+    ):
+        with pytest.raises(ValueError):
+            eql_sequence(df, bad, 60.0)
