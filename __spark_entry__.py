@@ -2681,6 +2681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_eql_seq"] = lambda s, d: ev.eql_sequence(
         _events(s, d), ["view", "click", "purchase"], 86400.0
     )
+    # EQL sample: key-join with no ordering/maxspan; earliest
+    # witness per step, keys having every step
+    q["ev_eql_sample"] = lambda s, d: ev.eql_sample(
+        _events(s, d), ["signup", "purchase", "error"]
+    )
     # ES 8.8 missing events: view -> purchase with NO error strictly
     # between (segment-id evaluation, no joins)
     q["ev_eql_missing"] = lambda s, d: ev.eql_sequence(
@@ -6966,6 +6971,27 @@ SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
 FROM m2
 WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
 ORDER BY user_id, start_id"""
+
+    # EQL sample: per-key earliest witness per step (arg-min), keys
+    # that have every step
+    o["ev_eql_sample"] = """
+WITH base AS (
+  SELECT user_id, event_id AS id, event_type AS t, epoch(ts) AS e
+  FROM events
+),
+s0 AS (SELECT user_id, id, e, row_number() OVER (PARTITION BY user_id
+       ORDER BY e, id) AS rn FROM base WHERE t = 'signup'),
+s1 AS (SELECT user_id, id, e, row_number() OVER (PARTITION BY user_id
+       ORDER BY e, id) AS rn FROM base WHERE t = 'purchase'),
+s2 AS (SELECT user_id, id, e, row_number() OVER (PARTITION BY user_id
+       ORDER BY e, id) AS rn FROM base WHERE t = 'error')
+SELECT s0.user_id,
+  s0.id AS s0_id, round(s0.e, 3) AS s0_ts,
+  s1.id AS s1_id, round(s1.e, 3) AS s1_ts,
+  s2.id AS s2_id, round(s2.e, 3) AS s2_ts
+FROM s0 JOIN s1 ON s0.user_id = s1.user_id AND s1.rn = 1
+JOIN s2 ON s0.user_id = s2.user_id AND s2.rn = 1
+WHERE s0.rn = 1 ORDER BY s0.user_id"""
 
     # EQL missing events: the 2-step induction where the step-1 ->
     # step-2 min runs inside (user, error-segment) — segment id =

@@ -396,6 +396,68 @@ def eql_sequence(
     )
 
 
+def eql_sample(
+    df: DataFrame,
+    steps: "list",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """EQL ``sample by <key> [s1] [s2] ... [sn]`` (Elastic EQL's
+    third query kind next to plain queries and sequences): join
+    events by key with NO temporal ordering and NO maxspan — a key
+    matches iff it has at least one event per step, and the sample
+    reports one witness event per step. ES returns up to
+    max_samples_per_key arbitrary samples; here the witness is the
+    EARLIEST (ts, id) event per step — deterministic, so the result
+    is engine-reproducible (the one-sample case, which is the ES
+    default of 1).
+
+    Each step is an event-type string or a boolean Column (an event
+    may satisfy several steps — steps are matched independently,
+    per ES).
+
+    Plan: one conditional arg-min aggregation per key (min over a
+    (ts, id, ...) struct per step — map-side combine, ONE shuffle,
+    no windows, no joins). -> (user_id, s{i}_id, s{i}_ts per step),
+    keys having every step, sorted by user_id."""
+    if not steps:
+        raise ValueError("eql_sample needs >= 1 step")
+    from pyspark.sql import Column
+
+    def cond(spec) -> Column:
+        if isinstance(spec, Column):
+            return spec
+        return F.col(type_col) == spec
+
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("_id"),
+        _epoch_s(F.col(ts_col)).alias("_e"),
+        *[cond(s).alias(f"_m{i}") for i, s in enumerate(steps)],
+    )
+    aggs = []
+    for i in range(len(steps)):
+        w = F.min(
+            F.when(
+                F.col(f"_m{i}"), F.struct(F.col("_e"), F.col("_id"))
+            )
+        ).alias(f"_w{i}")
+        aggs.append(w)
+    g = base.groupBy("user_id").agg(*aggs)
+    keep = None
+    cols = [F.col("user_id")]
+    for i in range(len(steps)):
+        nn = F.col(f"_w{i}").isNotNull()
+        keep = nn if keep is None else (keep & nn)
+        cols.append(F.col(f"_w{i}._id").alias(f"s{i}_id"))
+        cols.append(
+            F.round(F.col(f"_w{i}._e"), 3).alias(f"s{i}_ts")
+        )
+    return g.filter(keep).select(*cols).orderBy("user_id")
+
+
 def transition_matrix(
     df: DataFrame,
     user_col: str = "user_id",

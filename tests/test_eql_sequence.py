@@ -270,3 +270,47 @@ def test_missing_validation(spark):
     ):
         with pytest.raises(ValueError):
             eql_sequence(df, bad, 60.0)
+
+
+# ------------------------------------------------- sample (no order)
+
+
+def test_sample_ignores_order_and_reports_earliest(spark):
+    from lucille_spark.ops.events import eql_sample
+
+    df = _ev(
+        spark,
+        [
+            # user 1: purchase BEFORE view — sample still matches
+            (1, "2024-01-01 00:00:00", 1, "purchase"),
+            (2, "2024-01-01 00:00:10", 1, "view"),
+            (3, "2024-01-01 00:00:20", 1, "view"),
+            # user 2: only views — no sample
+            (4, "2024-01-01 00:00:00", 2, "view"),
+        ],
+    )
+    out = eql_sample(df, ["view", "purchase"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # earliest witness per step: view id=2 (not 3), purchase id=1
+    assert (r.user_id, r.s0_id, r.s1_id) == (1, 2, 1)
+
+
+def test_sample_column_steps_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from lucille_spark.ops.events import eql_sample
+
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:00:10", 1, "error"),
+        ],
+    )
+    out = eql_sample(
+        df, ["view", F.col("event_type").isin("error", "crash")]
+    ).collect()
+    assert [(r.user_id, r.s1_id) for r in out] == [(1, 2)]
+    with pytest.raises(ValueError):
+        eql_sample(df, [])
