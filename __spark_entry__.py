@@ -1295,8 +1295,15 @@ _GATE_PRIORITY = [
     # compaction rank-identity stays in the local mirror + pytest;
     # ft_pit exercises streaming ingest, the pinned-snapshot view
     # AND tombstone semantics in one hash row)
-    "ft_or", "ft_pit",
-    "ft_not",
+    # (ft_or and ft_not freed their slots for the wave-90 HTML
+    # extraction and z-order layout families — OR scoring, the
+    # boolean sum and the non-scoring NOT all sit inside
+    # ft_complex's "table AND (batch OR window) AND NOT stream" in
+    # this window, and the pure-complement query stays in the local
+    # mirror. web_html hash-matches title/text/links extraction;
+    # lay_zvalue hash-matches the Morton interleave.)
+    "web_html", "ft_pit",
+    "lay_zvalue",
     "ft_phrase", "wand_phrase",
     # (wand_proximity freed its slot for wave-13/14 families, and
     # ft_proximity freed its slot for the EQL sequence family — the
