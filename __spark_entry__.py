@@ -2693,6 +2693,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_eql_sample"] = lambda s, d: ev.eql_sample(
         _events(s, d), ["signup", "purchase", "error"]
     )
+    # the EQL TEXT front door: the full string grammar compiled onto
+    # the same induction — must hash-match the ev_eql_missing oracle
+    def ev_eql_text_q(s, d):
+        from lucille_spark.eql import eql_search
+
+        return eql_search(
+            _events(s, d),
+            "sequence by user_id with maxspan=1d "
+            "[view] ![error] [purchase]",
+        )
+
+    q["ev_eql_text"] = ev_eql_text_q
+
     # ES 8.8 missing events: view -> purchase with NO error strictly
     # between (segment-id evaluation, no joins)
     q["ev_eql_missing"] = lambda s, d: ev.eql_sequence(
@@ -7024,6 +7037,9 @@ SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
 FROM m2
 WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
 ORDER BY user_id, start_id"""
+
+    # the text grammar compiles to the identical plan
+    o["ev_eql_text"] = o["ev_eql_missing"]
 
     # EQL until: the same induction plus the first-until-after-anchor
     # bound (completion strictly before it)

@@ -1,0 +1,389 @@
+"""EQL text front door: parse Elastic EQL query strings onto the
+gate-proven event operators (ops/events.py), the way esdsl.py puts
+the ES JSON DSL onto the search engine.
+
+Supported grammar (the working subset of Elastic's EQL — anything
+else raises ``EQLError`` with the offending construct named):
+
+    query      := simple | sequence | sample
+    simple     := category 'where' cond pipes?
+    sequence   := 'sequence' ('by' field (',' field)*)?
+                  ('with' 'maxspan' '=' duration)?
+                  step+ ('until' step)? pipes?
+    step       := '[' category 'where' cond ']'
+                | '[' category ']'           (cond defaults to true)
+                | '!' '[' ... ']'            (ES 8.8 missing events)
+    sample     := 'sample' 'by' field step+ pipes?
+    pipes      := ('|' pipe)*
+    pipe       := 'head' INT | 'tail' INT | 'count'
+                | 'unique' field (',' field)*
+    cond       := or-expression over comparisons:
+                  ==  !=  <  <=  >  >=  'in' '(' literal, ... ')'
+                  'like' STRING   (wildcard *, ? — Lucene-style)
+                  'and' 'or' 'not' parentheses
+    category   := identifier matched against the event-type column,
+                  or 'any'
+    field      := identifier (event column), or 'props.<key>' for
+                  the JSON props column
+    duration   := INT ('ms'|'s'|'m'|'h'|'d')
+
+Categories compile to ``type_col == category`` AND'd with the where
+condition; ``any`` drops the category test (Elastic semantics).
+Sequences accept only ONE `by` field here (the engine keys on one
+column — pass a composite column upstream for multi-key).
+
+Numbers compare numerically (props values cast to double), strings
+lexically. `like` compiles to an anchored regex the same way the
+search DSL's wildcard does.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class EQLError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<op><=|>=|==|!=|<|>|\||\[|\]|\(|\)|,|=|!)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(text: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise EQLError(f"EQL: cannot tokenize at {text[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("string", "number", "op", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+# ------------------------------------------------------------ parser
+
+_DUR = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+@dataclass
+class _P:
+    toks: List[Tuple[str, str]]
+    i: int = 0
+
+    def peek(self) -> Tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> Tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        k, v = self.next()
+        if v != val:
+            raise EQLError(f"EQL: expected {val!r}, got {v or k!r}")
+
+    def word(self, what: str) -> str:
+        k, v = self.next()
+        if k != "word":
+            raise EQLError(f"EQL: expected {what}, got {v or k!r}")
+        return v
+
+
+def _field_col(name: str, props_col: str = "props") -> Column:
+    if name.startswith("props."):
+        return F.get_json_object(
+            F.col(props_col), "$." + name[len("props."):]
+        )
+    return F.col(name)
+
+
+def _parse_literal(p: _P) -> Any:
+    k, v = p.next()
+    if k == "string":
+        return v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    if k == "number":
+        return float(v) if "." in v else int(v)
+    if k == "word" and v in ("true", "false"):
+        return v == "true"
+    if k == "word" and v == "null":
+        return None
+    raise EQLError(f"EQL: expected literal, got {v or k!r}")
+
+
+def _wild_rx(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _parse_cmp(p: _P) -> Column:
+    k, v = p.peek()
+    if v == "(":
+        p.next()
+        c = _parse_or(p)
+        p.expect(")")
+        return c
+    if k == "word" and v == "not":
+        p.next()
+        return ~_parse_cmp(p)
+    if k == "word" and v in ("true", "false"):
+        p.next()
+        return F.lit(v == "true")
+    if k != "word":
+        raise EQLError(f"EQL: expected field, got {v or k!r}")
+    p.next()
+    lhs = _field_col(v)
+    k2, op = p.next()
+    if op == "in":
+        p.expect("(")
+        vals = [_parse_literal(p)]
+        while p.peek()[1] == ",":
+            p.next()
+            vals.append(_parse_literal(p))
+        p.expect(")")
+        if any(isinstance(x, (int, float)) for x in vals):
+            return lhs.cast("double").isin(
+                [float(x) for x in vals]
+            )
+        return lhs.isin(vals)
+    if op == "like":
+        pat = _parse_literal(p)
+        if not isinstance(pat, str):
+            raise EQLError("EQL: like needs a string pattern")
+        return lhs.rlike(_wild_rx(pat))
+    if op not in ("==", "!=", "<", "<=", ">", ">="):
+        raise EQLError(f"EQL: unsupported operator {op!r}")
+    rhs = _parse_literal(p)
+    if isinstance(rhs, bool):
+        lhs = lhs.cast("boolean")
+    elif isinstance(rhs, (int, float)):
+        lhs, rhs = lhs.cast("double"), float(rhs)
+    if rhs is None:
+        if op == "==":
+            return lhs.isNull()
+        if op == "!=":
+            return lhs.isNotNull()
+        raise EQLError("EQL: null only supports == / !=")
+    return {
+        "==": lhs == rhs,
+        "!=": lhs != rhs,
+        "<": lhs < rhs,
+        "<=": lhs <= rhs,
+        ">": lhs > rhs,
+        ">=": lhs >= rhs,
+    }[op]
+
+
+def _parse_and(p: _P) -> Column:
+    c = _parse_cmp(p)
+    while p.peek() == ("word", "and"):
+        p.next()
+        c = c & _parse_cmp(p)
+    return c
+
+
+def _parse_or(p: _P) -> Column:
+    c = _parse_and(p)
+    while p.peek() == ("word", "or"):
+        p.next()
+        c = c | _parse_and(p)
+    return c
+
+
+def _category_cond(cat: str, type_col: str, where) -> Column:
+    base = F.lit(True) if cat == "any" else (F.col(type_col) == cat)
+    return base if where is None else (base & where)
+
+
+def _parse_step(p: _P, type_col: str):
+    """-> (cond Column, missing bool)."""
+    missing = False
+    if p.peek()[1] == "!":
+        p.next()
+        missing = True
+    p.expect("[")
+    cat = p.word("event category")
+    where = None
+    if p.peek() == ("word", "where"):
+        p.next()
+        where = _parse_or(p)
+    p.expect("]")
+    return _category_cond(cat, type_col, where), missing
+
+
+def _parse_pipes(p: _P) -> List[Tuple[str, Any]]:
+    pipes: List[Tuple[str, Any]] = []
+    while p.peek()[1] == "|":
+        p.next()
+        name = p.word("pipe")
+        if name in ("head", "tail"):
+            k, v = p.next()
+            if k != "number" or "." in v:
+                raise EQLError(f"EQL: {name} needs an integer")
+            pipes.append((name, int(v)))
+        elif name == "count":
+            pipes.append(("count", None))
+        elif name == "unique":
+            fields = [p.word("field")]
+            while p.peek()[1] == ",":
+                p.next()
+                fields.append(p.word("field"))
+            pipes.append(("unique", fields))
+        else:
+            raise EQLError(f"EQL: unsupported pipe {name!r}")
+    if p.peek()[0] != "eof":
+        k, v = p.peek()
+        raise EQLError(f"EQL: trailing input at {v or k!r}")
+    return pipes
+
+
+def _apply_pipes(out: DataFrame, pipes, order_cols) -> DataFrame:
+    for name, arg in pipes:
+        if name == "count":
+            out = out.agg(F.count(F.lit(1)).alias("count"))
+        elif name == "head":
+            out = out.limit(arg)
+        elif name == "tail":
+            # deterministic tail: reverse the result order, take
+            # arg, restore order
+            rev = out.orderBy(
+                *[F.desc(c) for c in order_cols]
+            ).limit(arg)
+            out = rev.orderBy(*order_cols)
+        elif name == "unique":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*arg).orderBy(*order_cols)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .orderBy(*order_cols)
+            )
+    return out
+
+
+# ------------------------------------------------------------ facade
+
+
+def eql_search(
+    df: DataFrame,
+    query: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Run one EQL text query against an event DataFrame. Dispatch:
+    plain queries filter + order by (ts, id); `sequence` compiles
+    onto ops.events.eql_sequence (maxspan / missing steps / until
+    included); `sample` onto ops.events.eql_sample. Pipes apply to
+    the result frame (head/tail/count/unique) with deterministic
+    order."""
+    from lucille_spark.ops.events import eql_sample, eql_sequence
+
+    p = _P(_lex(query))
+    k, v = p.peek()
+    if (k, v) == ("word", "sequence"):
+        p.next()
+        by = user_col
+        if p.peek() == ("word", "by"):
+            p.next()
+            by = p.word("by field")
+            if p.peek()[1] == ",":
+                raise EQLError(
+                    "EQL: one sequence key supported — pass a "
+                    "composite column upstream for multi-key"
+                )
+        maxspan = float("inf")
+        if p.peek() == ("word", "with"):
+            p.next()
+            if p.word("with clause") != "maxspan":
+                raise EQLError("EQL: only 'with maxspan=' supported")
+            p.expect("=")
+            k2, num = p.next()
+            if k2 != "number":
+                raise EQLError("EQL: maxspan needs a number")
+            k3, unit = p.peek()
+            if k3 == "word" and unit in _DUR:
+                p.next()
+                maxspan = float(num) * _DUR[unit]
+            else:
+                maxspan = float(num)
+        steps: list = []
+        until = None
+        while p.peek()[1] in ("[", "!"):
+            c, missing = _parse_step(p, type_col)
+            steps.append({"missing": c} if missing else c)
+        if p.peek() == ("word", "until"):
+            p.next()
+            until, miss_u = _parse_step(p, type_col)
+            if miss_u:
+                raise EQLError("EQL: until cannot be a missing step")
+        pipes = _parse_pipes(p)
+        if maxspan == float("inf"):
+            # the induction needs a bound; EQL without maxspan means
+            # unbounded — use a span larger than any event horizon
+            maxspan = 4e17
+        out = eql_sequence(
+            df, steps, maxspan, user_col=by, ts_col=ts_col,
+            type_col=type_col, id_col=id_col, until=until,
+        )
+        return _apply_pipes(out, pipes, ["user_id", "start_id"])
+    if (k, v) == ("word", "sample"):
+        p.next()
+        if p.next() != ("word", "by"):
+            raise EQLError("EQL: sample needs 'by <field>'")
+        by = p.word("by field")
+        steps = []
+        while p.peek()[1] == "[":
+            c, missing = _parse_step(p, type_col)
+            if missing:
+                raise EQLError("EQL: sample has no missing steps")
+            steps.append(c)
+        pipes = _parse_pipes(p)
+        out = eql_sample(
+            df, steps, user_col=by, ts_col=ts_col,
+            type_col=type_col, id_col=id_col,
+        )
+        return _apply_pipes(out, pipes, ["user_id"])
+    # plain query: category where cond
+    cat = p.word("event category")
+    where = None
+    if p.peek() == ("word", "where"):
+        p.next()
+        where = _parse_or(p)
+    pipes = _parse_pipes(p)
+    out = df.filter(_category_cond(cat, type_col, where)).orderBy(
+        ts_col, id_col
+    )
+    return _apply_pipes(out, pipes, [ts_col, id_col])

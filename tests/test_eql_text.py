@@ -1,0 +1,123 @@
+"""EQL text front door (lucille_spark/eql.py): grammar dispatch onto
+the gated event operators, condition compilation (incl. props.*
+JSON fields), pipes, and loud refusals."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.eql import EQLError, eql_search
+from tests.test_eql_sequence import _ev
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:00:10", 1, "click"),
+        (3, "2024-01-01 00:00:30", 1, "purchase"),
+        (4, "2024-01-01 00:00:00", 2, "view"),
+        (5, "2024-01-01 00:00:10", 2, "error"),
+        (6, "2024-01-01 00:00:20", 2, "purchase"),
+        (7, "2024-01-01 00:00:00", 3, "purchase"),
+    ]
+    df = _ev(spark, rows)
+    return df.withColumn(
+        "props",
+        F.concat(F.lit('{"k": '), F.col("event_id") * 10, F.lit("}")),
+    )
+
+
+def test_plain_query_and_pipes(events):
+    out = eql_search(events, 'view where user_id == 1').collect()
+    assert [r.event_id for r in out] == [1]
+    out = eql_search(events, "any where true | head 3").collect()
+    assert [r.event_id for r in out] == [1, 4, 7]
+    out = eql_search(events, "any where true | tail 2").collect()
+    # deterministic tail of the (ts, id) order
+    # full order: [1,4,7, 2,5, 6, 3] (ties on ts=0s and ts=10s)
+    assert [r.event_id for r in out] == [6, 3]
+    out = eql_search(events, "purchase | count").collect()
+    assert out[0]["count"] == 3
+    out = eql_search(
+        events, "any where true | unique user_id"
+    ).collect()
+    assert [r.event_id for r in out] == [1, 4, 7]
+
+
+def test_condition_operators(events):
+    assert [
+        r.event_id
+        for r in eql_search(
+            events, 'any where props.k >= 40 and props.k < 70'
+        ).collect()
+    ] == [4, 5, 6]
+    assert [
+        r.event_id
+        for r in eql_search(
+            events,
+            'any where event_type in ("click", "error") '
+            "or event_id == 7",
+        ).collect()
+    ] == [7, 2, 5]  # (ts, id) order: 7@0s, then 2 and 5 @10s
+    assert [
+        r.event_id
+        for r in eql_search(
+            events, 'any where event_type like "c*ck"'
+        ).collect()
+    ] == [2]
+    assert [
+        r.event_id
+        for r in eql_search(
+            events, "any where not (event_id < 6)"
+        ).collect()
+    ] == [7, 6]  # 7@0s before 6@20s
+
+
+def test_sequence_matches_direct_call(events):
+    from lucille_spark.ops.events import eql_sequence
+
+    got = eql_search(
+        events,
+        "sequence by user_id with maxspan=1d "
+        "[view] ![error] [purchase] | head 10",
+    ).collect()
+    want = eql_sequence(
+        events,
+        ["view", {"missing": "error"}, "purchase"],
+        86400.0,
+    ).collect()
+    assert got == want
+    assert [r.user_id for r in got] == [1]
+
+
+def test_sequence_until_and_where(events):
+    got = eql_search(
+        events,
+        "sequence by user_id with maxspan=60s "
+        "[view where props.k < 100] [purchase] until [error]",
+    ).collect()
+    # user 2's until (error) kills its chain; user 1 survives
+    assert [r.user_id for r in got] == [1]
+
+
+def test_sample_dispatch(events):
+    got = eql_search(
+        events, "sample by user_id [view] [purchase]"
+    ).collect()
+    assert [(r.user_id, r.s0_id, r.s1_id) for r in got] == [
+        (1, 1, 3),
+        (2, 4, 6),
+    ]
+
+
+def test_refusals(events):
+    for bad in (
+        "sequence by a, b [x] [y]",          # multi-key
+        "any where f ~= 3",                  # unknown operator
+        "view | explode x",                  # unknown pipe
+        "sample by u ![x] [y]",              # missing in sample
+        "sequence [a] [b] until ![c]",       # missing until
+        "view where",                        # dangling where
+    ):
+        with pytest.raises(EQLError):
+            eql_search(events, bad).collect()
