@@ -10,9 +10,10 @@ else raises ``EQLError`` with the offending construct named):
     sequence   := 'sequence' ('by' field (',' field)*)?
                   ('with' 'maxspan' '=' duration)?
                   step+ ('until' step)? pipes?
-    step       := '[' category 'where' cond ']'
+    step       := '[' category 'where' cond ']' ('with' 'runs' '=' INT)?
                 | '[' category ']'           (cond defaults to true)
                 | '!' '[' ... ']'            (ES 8.8 missing events)
+                  (`with runs=N` repeats the step N times, per EQL)
     sample     := 'sample' 'by' field step+ pipes?
     pipes      := ('|' pipe)*
     pipe       := 'head' INT | 'tail' INT | 'count'
@@ -225,7 +226,7 @@ def _category_cond(cat: str, type_col: str, where) -> Column:
 
 
 def _parse_step(p: _P, type_col: str):
-    """-> (cond Column, missing bool)."""
+    """-> (cond Column, missing bool, runs int)."""
     missing = False
     if p.peek()[1] == "!":
         p.next()
@@ -237,7 +238,22 @@ def _parse_step(p: _P, type_col: str):
         p.next()
         where = _parse_or(p)
     p.expect("]")
-    return _category_cond(cat, type_col, where), missing
+    runs = 1
+    if p.peek() == ("word", "with"):
+        save = p.i
+        p.next()
+        if p.peek() == ("word", "runs"):
+            p.next()
+            p.expect("=")
+            k, v = p.next()
+            if k != "number" or "." in v or int(v) < 1:
+                raise EQLError("EQL: runs needs a positive integer")
+            runs = int(v)
+            if missing:
+                raise EQLError("EQL: runs on a missing step")
+        else:
+            p.i = save  # the sequence-level 'with maxspan'
+    return _category_cond(cat, type_col, where), missing, runs
 
 
 def _parse_pipes(p: _P) -> List[Tuple[str, Any]]:
@@ -342,13 +358,18 @@ def eql_search(
         steps: list = []
         until = None
         while p.peek()[1] in ("[", "!"):
-            c, missing = _parse_step(p, type_col)
-            steps.append({"missing": c} if missing else c)
+            c, missing, runs = _parse_step(p, type_col)
+            if missing:
+                steps.append({"missing": c})
+            else:
+                steps.extend([c] * runs)
         if p.peek() == ("word", "until"):
             p.next()
-            until, miss_u = _parse_step(p, type_col)
-            if miss_u:
-                raise EQLError("EQL: until cannot be a missing step")
+            until, miss_u, runs_u = _parse_step(p, type_col)
+            if miss_u or runs_u != 1:
+                raise EQLError(
+                    "EQL: until cannot be missing or have runs"
+                )
         pipes = _parse_pipes(p)
         if maxspan == float("inf"):
             # the induction needs a bound; EQL without maxspan means
@@ -366,9 +387,11 @@ def eql_search(
         by = p.word("by field")
         steps = []
         while p.peek()[1] == "[":
-            c, missing = _parse_step(p, type_col)
-            if missing:
-                raise EQLError("EQL: sample has no missing steps")
+            c, missing, runs = _parse_step(p, type_col)
+            if missing or runs != 1:
+                raise EQLError(
+                    "EQL: sample has no missing steps or runs"
+                )
             steps.append(c)
         pipes = _parse_pipes(p)
         out = eql_sample(

@@ -97,6 +97,40 @@ class Searcher:
         self.batch_window_s = 0.02
         self.max_batch = 64
 
+        # request cache (see enable_request_cache)
+        self._rcache: "Optional[dict]" = None
+        self._rcache_max = 0
+        self._rcache_hits = 0
+        self._rcache_misses = 0
+
+    # -- request cache ---------------------------------------------
+    def enable_request_cache(self, max_entries: int = 128) -> None:
+        """ES-style request cache: memoize COLLECTED result pages of
+        plain string searches keyed on (query, k, with_meta,
+        executor kind). A hit rebuilds a local DataFrame from the
+        cached rows — zero Spark jobs. LRU-bounded. An index built
+        to a directory is immutable, so entries never go stale for
+        a fixed Searcher; after maintenance (deletes, upserts,
+        compaction) open a new Searcher or call
+        clear_request_cache() — same contract as ES's cache
+        invalidation on refresh."""
+        from collections import OrderedDict
+
+        self._rcache = OrderedDict()
+        self._rcache_max = int(max_entries)
+
+    def clear_request_cache(self) -> None:
+        if self._rcache is not None:
+            self._rcache.clear()
+
+    def request_cache_stats(self) -> dict:
+        return {
+            "enabled": self._rcache is not None,
+            "entries": len(self._rcache or ()),
+            "hits": self._rcache_hits,
+            "misses": self._rcache_misses,
+        }
+
     # -- core ------------------------------------------------------
     def search(
         self, query, k: int = 10, with_meta: bool = False,
@@ -107,10 +141,35 @@ class Searcher:
         over the alias parts; each part's scores multiply by its
         factor BEFORE the top-k cut. Resolved to doc-id ranges via
         the alias's part table, then applied inside the executor."""
-        return self.executor.search(
+        cacheable = (
+            self._rcache is not None
+            and isinstance(query, str)
+            and synonyms is None
+            and indices_boost is None
+        )
+        if cacheable:
+            kind = "wand" if self.executor is self._wand_ex else "df"
+            key = (query, k, with_meta, kind)
+            hit = self._rcache.get(key)
+            if hit is not None:
+                self._rcache_hits += 1
+                self._rcache.move_to_end(key)
+                schema, rows = hit
+                spark = self.index.doclens.sparkSession
+                return spark.createDataFrame(rows, schema)
+            self._rcache_misses += 1
+        out = self.executor.search(
             query, k=k, with_meta=with_meta, synonyms=synonyms,
             doc_boosts=self._resolve_indices_boost(indices_boost),
         )
+        if cacheable:
+            rows = out.collect()
+            self._rcache[key] = (out.schema, rows)
+            while len(self._rcache) > self._rcache_max:
+                self._rcache.popitem(last=False)
+            spark = self.index.doclens.sparkSession
+            return spark.createDataFrame(rows, out.schema)
+        return out
 
     def _resolve_indices_boost(self, indices_boost):
         if not indices_boost:

@@ -35,12 +35,17 @@ def main():
     )
     ap.add_argument("--meta", action="store_true")
     ap.add_argument(
-        "--similarity", choices=["bm25", "tfidf", "lmd"],
+        "--similarity", choices=["bm25", "tfidf", "lmd", "lmjm"],
         default="bm25", help="ranking formula (read-time choice)",
     )
     ap.add_argument(
         "--count", action="store_true",
         help="print the match count instead of a result page",
+    )
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="print the ES-style profile JSON (phase timings, plan "
+        "tree, block-prune + dictionary counters) instead of rows",
     )
     args = ap.parse_args()
 
@@ -57,6 +62,23 @@ def main():
         if args.executor == "df"
         else WandExecutor(ix)
     )
+    if args.profile:
+        if not args.query:
+            ap.error("--profile requires --query")
+        import json
+
+        from lucille_spark.esdsl import profile_es
+
+        print(
+            json.dumps(
+                profile_es(
+                    ix, args.query, k=args.k, executor=args.executor
+                ),
+                indent=2,
+                default=str,
+            )
+        )
+        return
     if args.count:
         if not args.query:
             ap.error("--count requires --query")

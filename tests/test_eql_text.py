@@ -110,6 +110,25 @@ def test_sample_dispatch(events):
     ]
 
 
+def test_runs_repeats_steps(events):
+    from lucille_spark.ops.events import eql_sequence
+
+    got = eql_search(
+        events,
+        "sequence by user_id with maxspan=1d "
+        "[view] with runs=1 [purchase]",
+    ).collect()
+    want = eql_sequence(events, ["view", "purchase"], 86400.0).collect()
+    assert got == want
+    # runs=2 on view: needs TWO views before a purchase — nobody has
+    got2 = eql_search(
+        events,
+        "sequence by user_id with maxspan=1d "
+        "[view] with runs=2 [purchase]",
+    ).collect()
+    assert got2 == []
+
+
 def test_refusals(events):
     for bad in (
         "sequence by a, b [x] [y]",          # multi-key

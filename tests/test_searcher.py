@@ -80,3 +80,43 @@ def test_facade_wave14_endpoints(searcher):
                        {"match": {"content": "dogs"}}], k=3)
     got = {r.query_id for r in ms.collect()}
     assert got == {"q0", "q1"}
+
+
+def test_request_cache_hits_and_identity(spark, unit_index):
+    from lucille_spark.searcher import Searcher
+
+    ix = unit_index[0]
+    s = Searcher(spark, ix.dir, cache=False)
+    s.enable_request_cache(max_entries=2)
+    a = s.search("cat AND ocean", k=5).collect()
+    b = s.search("cat AND ocean", k=5).collect()
+    assert a == b
+    st = s.request_cache_stats()
+    assert (st["hits"], st["misses"]) == (1, 1)
+    # different k is a different entry
+    s.search("cat AND ocean", k=3).collect()
+    assert s.request_cache_stats()["misses"] == 2
+    # LRU bound of 2: a third distinct key evicts the oldest
+    s.search("fish", k=5).collect()
+    assert s.request_cache_stats()["entries"] == 2
+    # empty result pages cache fine
+    s.enable_request_cache()
+    e1 = s.search("zzzznothing", k=5).collect()
+    e2 = s.search("zzzznothing", k=5).collect()
+    assert e1 == e2 == []
+    # clear drops entries
+    s.clear_request_cache()
+    assert s.request_cache_stats()["entries"] == 0
+
+
+def test_request_cache_skips_parameterized_calls(spark, unit_index):
+    from lucille_spark.searcher import Searcher
+
+    ix = unit_index[0]
+    s = Searcher(spark, ix.dir, cache=False)
+    s.enable_request_cache()
+    s.search("cat", k=5, synonyms={"cat": ("feline",)}).collect()
+    # synonym calls bypass the cache entirely
+    assert s.request_cache_stats() == {
+        "enabled": True, "entries": 0, "hits": 0, "misses": 0,
+    }
