@@ -1019,3 +1019,80 @@ def maxsim_search(
         k=k,
         id_col=id_col,
     )
+
+
+# ------------------------------------------------- model persistence
+#
+# Trainers above return plain numpy arrays (IVF centroid matrix, PQ
+# codebook tensor, PCA mean+components, SQ min/max). The deployment
+# shape at 100 TB is train-on-sample ONCE, then reuse the frozen
+# arrays across every slice/day/cluster — so the arrays need a
+# cluster-safe, engine-neutral home. `save_ann_model` writes each
+# array as rows (name, i, vec array<double>) in one parquet table
+# (2-D arrays row-wise, 1-D as a single row, 3-D flattened to
+# (name#k, i, vec)) plus a stats-style JSON (fsio — works on
+# hdfs:///s3:// URIs like every other index artifact) recording
+# shapes and free-form params. Round-trip is exact: float64 in,
+# float64 out.
+
+def save_ann_model(
+    spark, path: str, arrays: "dict", params: "dict | None" = None
+) -> None:
+    """Persist a dict of numpy arrays (1-, 2- or 3-D float) +
+    params JSON under `path` (local or Hadoop URI)."""
+    import json as _json
+    import os as _os
+
+    from lucille_spark.index import fsio
+
+    rows, shapes = [], {}
+    for name, arr in arrays.items():
+        a = np.asarray(arr, dtype=np.float64)
+        shapes[name] = list(a.shape)
+        flat2d = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a[None, :]
+        for i, row in enumerate(flat2d):
+            rows.append((name, i, [float(x) for x in row]))
+    df = spark.createDataFrame(
+        rows, "name string, i int, vec array<double>"
+    )
+    df.repartition(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "arrays")
+    )
+    fsio.write_text(
+        _os.path.join(path, "model.json"),
+        _json.dumps(
+            {"shapes": shapes, "params": params or {}}, indent=1
+        ),
+        spark,
+    )
+
+
+def load_ann_model(spark, path: str) -> "tuple[dict, dict]":
+    """-> (arrays, params): exact float64 round-trip of
+    save_ann_model."""
+    import json as _json
+    import os as _os
+
+    from lucille_spark.index import fsio
+
+    meta = _json.loads(
+        fsio.read_text(_os.path.join(path, "model.json"), spark)
+    )
+    rows = (
+        spark.read.parquet(_os.path.join(path, "arrays"))
+        .orderBy("name", "i")
+        .collect()
+    )
+    by_name: dict = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append(
+            np.asarray(r["vec"], dtype=np.float64)
+        )
+    arrays = {}
+    for name, shape in meta["shapes"].items():
+        stacked = np.vstack(by_name[name])
+        arrays[name] = (
+            stacked.reshape(shape) if len(shape) != 1
+            else stacked[0]
+        )
+    return arrays, meta["params"]

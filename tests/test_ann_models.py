@@ -1,0 +1,53 @@
+"""save_ann_model / load_ann_model: exact float64 round-trip of the
+trainer artifacts (IVF centroids, PQ codebooks, PCA, SQ anchors) and
+serving identity with loaded vs fresh arrays."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.ops.similarity import (
+    ivf_assign,
+    ivf_train,
+    load_ann_model,
+    save_ann_model,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_roundtrip_exact(spark, tmp_path, vecs):
+    cents = ivf_train(vecs, "embedding", n_cells=4, iters=2)
+    arrays = {
+        "centroids": cents,                      # 2-D
+        "mins": np.arange(8, dtype=np.float64),  # 1-D
+        "codebooks": np.arange(24.0).reshape(2, 3, 4),  # 3-D
+    }
+    p = str(tmp_path / "model")
+    save_ann_model(spark, p, arrays, {"kind": "ivf", "n_cells": 4})
+    back, params = load_ann_model(spark, p)
+    assert params == {"kind": "ivf", "n_cells": 4}
+    for k, a in arrays.items():
+        assert back[k].shape == np.asarray(a).shape
+        assert np.array_equal(back[k], np.asarray(a, dtype=np.float64))
+
+
+def test_loaded_model_serves_identically(spark, tmp_path, vecs):
+    cents = ivf_train(vecs, "embedding", n_cells=4, iters=2)
+    p = str(tmp_path / "m2")
+    save_ann_model(spark, p, {"centroids": cents}, {})
+    loaded, _ = load_ann_model(spark, p)
+    a = ivf_assign(vecs, "embedding", cents).collect()
+    b = ivf_assign(vecs, "embedding", loaded["centroids"]).collect()
+    assert a == b
