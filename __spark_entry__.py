@@ -2658,6 +2658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lay_zvalue"] = lay_zvalue_q
 
+    def tx_corpus_stats_q(s, d):
+        from lucille_spark.ops.text import corpus_stats
+
+        return corpus_stats(_docs(s, d))
+
+    q["tx_corpus_stats"] = tx_corpus_stats_q
+
     def tx_keyterms_q(s, d):
         from lucille_spark.ops.text import keyterms
 
@@ -6818,6 +6825,25 @@ SELECT doc_id,
   {zvalue_sql(['doc_id', 'n_chars'],
               [(0.0, 1000.0), (0.0, 5000.0)], 8)} AS zvalue
 FROM documents ORDER BY doc_id"""
+
+    # corpus diagnostics: totals + closed-form Zipf least squares
+    # over the top-100 (count desc, term) ranks
+    o["tx_corpus_stats"] = f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+tot AS (SELECT sum(n) AS n_tokens, count(*) AS vocab,
+        sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax FROM tf),
+rk AS (SELECT ln(cast(row_number() OVER (ORDER BY n DESC, term)
+         as double)) AS x, ln(cast(n as double)) AS y
+       FROM tf ORDER BY n DESC, term LIMIT 100),
+fit AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+        sum(x * y) AS sxy, sum(x * x) AS sxx FROM rk)
+SELECT cast(n_tokens as bigint) AS n_tokens,
+  cast(vocab as bigint) AS vocab, cast(hapax as bigint) AS hapax,
+  round(vocab * 1.0 / n_tokens, 6) AS ttr,
+  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+    AS zipf_slope
+FROM tot CROSS JOIN fit"""
 
     # per-doc TF-IDF keyterms: tf * (ln((N+1)/(df+1)) + 1), top-3
     # by unrounded score then term

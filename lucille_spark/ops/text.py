@@ -628,6 +628,67 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    zipf_top: int = 100,
+) -> DataFrame:
+    """One-row corpus diagnostics under the shared analyzer:
+    n_tokens, vocab size, hapax count (frequency-1 terms — a high
+    hapax share flags OCR noise / boilerplate explosions),
+    type-token ratio, and the ZIPF SLOPE — the closed-form
+    least-squares slope of ln(freq) on ln(rank) over the top
+    `zipf_top` ranks (ties broken by term for a deterministic
+    ranking). Natural text sits near -1; |slope| far off flags
+    synthetic/templated corpora (this fixture corpus shows exactly
+    that). One token aggregation + a vocab-sized agg; the slope fit
+    aggregates `zipf_top` rows. -> one row, rounded."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.explode(tokenize_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = tf.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+            "hapax"
+        ),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    top = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= zipf_top)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    fit = top.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+    )
+    slope = (
+        F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / (
+        F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return totals.crossJoin(fit).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.round(
+            F.col("vocab") / F.col("n_tokens").cast("double"), 6
+        ).alias("ttr"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

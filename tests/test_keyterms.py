@@ -56,3 +56,28 @@ def test_n_cutoff(spark):
     assert all(
         r.rank == 1 for r in keyterms(df, n=1).collect()
     )
+
+
+def test_corpus_stats_hand_computed(spark):
+    import math
+
+    from lucille_spark.ops.text import corpus_stats
+
+    # freq: a x4, b x2, c x1, d x1 -> 8 tokens, vocab 4, hapax 2
+    df = spark.createDataFrame(
+        [(0, "a a a a b b c"), (1, "d")],
+        "doc_id long, text string",
+    )
+    r = corpus_stats(df, zipf_top=4).collect()[0]
+    assert (r.n_tokens, r.vocab, r.hapax) == (8, 4, 2)
+    assert r.ttr == 0.5
+    # closed-form least squares over (ln rank, ln freq); ranks tie-
+    # broken by term: a(4), b(2), c(1), d(1)
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(v) for v in (4, 2, 1, 1)]
+    k = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert r.zipf_slope == round(want, 6)
