@@ -4485,6 +4485,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gr_lpa"] = gr_lpa_q
 
+    def gr_trustrank_q(s, d):
+        from lucille_spark.ops.graph import trustrank
+
+        n, e = _graph(s, d)
+        seeds = n.filter(F.col("node") < 10)
+        return trustrank(n, e, seeds, n_iter=2)
+
+    q["gr_trustrank"] = gr_trustrank_q
+
+    def gr_bfs_q(s, d):
+        from lucille_spark.ops.graph import bfs_distances
+
+        n, e = _graph(s, d)
+        seeds = n.filter(F.col("node") < 10)
+        return bfs_distances(n, e, seeds, n_iter=3)
+
+    q["gr_bfs"] = gr_bfs_q
+
     # ---- histogram agg + positional highlighting -------------------
     def agg_hist_q(s, d):
         from lucille_spark.esdsl import aggs_es
@@ -10657,6 +10675,58 @@ b2 AS (SELECT node, label FROM
 l2 AS (SELECT l.node, coalesce(b.label, l.label) AS label
        FROM l1 l LEFT JOIN b2 b USING (node))
 SELECT node, label FROM l2 ORDER BY node"""
+
+    # TrustRank, 2 iterations unrolled: teleport only to seeds
+    # (node < 10); the fixture graph has no dangling nodes (every
+    # node emits 2 edges), so the dangling term is exactly 0
+    o["gr_trustrank"] = """
+WITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+e AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n
+      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CASE WHEN node < 10 THEN 1.0 / 10 ELSE 0.0 END
+       AS rank FROM n),
+c1 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin
+       FROM r0 r JOIN e ON r.node = e.src
+       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r1 AS (SELECT n.node,
+       (CASE WHEN n.node < 10 THEN (1.0 - 0.85) / 10 ELSE 0.0 END)
+       + 0.85 * coalesce(c.cin, 0.0) AS rank
+       FROM n LEFT JOIN c1 c USING (node)),
+c2 AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS cin
+       FROM r1 r JOIN e ON r.node = e.src
+       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r2 AS (SELECT n.node,
+       (CASE WHEN n.node < 10 THEN (1.0 - 0.85) / 10 ELSE 0.0 END)
+       + 0.85 * coalesce(c.cin, 0.0) AS rank
+       FROM n LEFT JOIN c2 c USING (node))
+SELECT node, round(rank, 6) AS trust FROM r2 ORDER BY node"""
+
+    # directed BFS from the same seeds, 3 rounds unrolled
+    o["gr_bfs"] = """
+WITH n AS (SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+e AS (SELECT node AS src, (node * node + 1) % 200 AS dst FROM n
+      UNION ALL SELECT node, (node * 3 + 7) % 200 FROM n),
+d0 AS (SELECT node, CASE WHEN node < 10 THEN 0 END AS dist FROM n),
+x1 AS (SELECT e.dst AS node, min(d.dist + 1) AS nd FROM d0 d
+       JOIN e ON d.node = e.src WHERE d.dist IS NOT NULL
+       GROUP BY e.dst),
+d1 AS (SELECT n.node, least(coalesce(d.dist, x.nd),
+         coalesce(x.nd, d.dist)) AS dist
+       FROM n LEFT JOIN d0 d USING (node) LEFT JOIN x1 x USING (node)),
+x2 AS (SELECT e.dst AS node, min(d.dist + 1) AS nd FROM d1 d
+       JOIN e ON d.node = e.src WHERE d.dist IS NOT NULL
+       GROUP BY e.dst),
+d2 AS (SELECT n.node, least(coalesce(d.dist, x.nd),
+         coalesce(x.nd, d.dist)) AS dist
+       FROM n LEFT JOIN d1 d USING (node) LEFT JOIN x2 x USING (node)),
+x3 AS (SELECT e.dst AS node, min(d.dist + 1) AS nd FROM d2 d
+       JOIN e ON d.node = e.src WHERE d.dist IS NOT NULL
+       GROUP BY e.dst),
+d3 AS (SELECT n.node, least(coalesce(d.dist, x.nd),
+         coalesce(x.nd, d.dist)) AS dist
+       FROM n LEFT JOIN d2 d USING (node) LEFT JOIN x3 x USING (node))
+SELECT node, cast(dist as int) AS dist FROM d3 ORDER BY node"""
 
     # histogram agg over doc_len of the 'spark' match set
     o["ft_agg_histogram"] = f"""

@@ -433,3 +433,149 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.orderBy("node")
+
+
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen 2004): PageRank
+    whose teleport (and dangling mass) goes ONLY to a trusted seed
+    set instead of uniformly everywhere — trust flows out of
+    hand-vetted hosts, so pages unreachable from any seed score ~0
+    and spam networks can't manufacture rank among themselves. The
+    standard crawl-curation companion to pagerank: rank by
+    trustrank/pagerank ratio to surface link spam.
+
+    Same plan shape and cost as `pagerank` (one contribution
+    shuffle + tiny dangling agg per round, localCheckpoint per
+    round); the seed set broadcasts. -> (node, trust double round
+    6) sorted by node; non-seed-reachable nodes get exactly 0."""
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: empty seed set")
+    base = nodes.select(F.col(node_col).cast("long").alias("node"))
+    sd = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node")
+    ).distinct()
+    is_seed = F.col("_s").isNotNull()
+    based = base.join(
+        F.broadcast(sd.withColumn("_s", F.lit(1))), "node", "left"
+    )
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    d = float(damping)
+    ranks = based.select(
+        "node",
+        F.when(is_seed, F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+        "_s",
+    )
+    for _ in range(int(n_iter)):
+        r = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select(ranks["node"].alias("node"), "rank", "_s", "_deg")
+        dangling = (
+            r.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
+        )
+        contrib = (
+            r.filter(F.col("_deg").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            based.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.when(
+                        is_seed,
+                        F.lit((1.0 - d) / n_seeds)
+                        + F.lit(d) * F.col("_m") / F.lit(float(n_seeds)),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+                "_s",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("trust")
+    ).orderBy("node")
+
+
+def bfs_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed BFS hop distance from a seed set, `n_iter` rounds
+    unrolled (distances > n_iter report NULL): crawl depth from the
+    seed list, spam-distance features, and the "how far is this
+    page from anything trusted" signal next to `trustrank`.
+
+    Per round: one join of the current frontier's distances onto
+    edge heads + a min aggregation — O(|E|) per round like one
+    pagerank iteration, localCheckpoint caps lineage.
+    -> (node, dist int nullable) sorted by node."""
+    base = nodes.select(F.col(node_col).cast("long").alias("node"))
+    sd = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node")
+    ).distinct().withColumn("_d0", F.lit(0))
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    dist = base.join(F.broadcast(sd), "node", "left").select(
+        "node", F.col("_d0").alias("dist")
+    )
+    for _ in range(int(n_iter)):
+        nxt = (
+            dist.filter(F.col("dist").isNotNull())
+            .join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("_nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        dist = (
+            dist.join(nxt, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(1 << 30)),
+                    F.coalesce("_nd", F.lit(1 << 30)),
+                ).alias("_m"),
+            )
+            .select(
+                "node",
+                F.when(
+                    F.col("_m") < F.lit(1 << 30), F.col("_m")
+                ).cast("int").alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return dist.orderBy("node")

@@ -52,3 +52,70 @@ def test_tie_breaks_to_smallest_label(spark):
     # node 2 sees labels {0, 1} once each after round 1 - must pick 0
     got = _run(spark, [(0, 2), (1, 2)], [0, 1, 2], n_iter=1)
     assert got[2] == 0
+
+
+# -------------------------------------------- trustrank / bfs
+
+
+def test_trustrank_zero_off_seed_component(spark):
+    from lucille_spark.ops.graph import trustrank
+
+    n = spark.createDataFrame(
+        [(x,) for x in range(6)], "node long"
+    )
+    # two components: 0->1->2 (seeded at 0) and 3->4->5 (unseeded)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = n.filter("node = 0")
+    got = {
+        r.node: r.trust
+        for r in trustrank(n, e, seeds, n_iter=3).collect()
+    }
+    assert got[3] == got[4] == got[5] == 0.0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    # trust decays along the chain from the seed
+    assert got[0] > got[1] > got[2]
+
+
+def test_trustrank_dangling_mass_returns_to_seeds(spark):
+    from lucille_spark.ops.graph import trustrank
+
+    # 0 -> 1, and 1 is DANGLING: its mass must teleport back to the
+    # seed, not spread uniformly
+    n = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {
+        r.node: r.trust
+        for r in trustrank(
+            n, e, n.filter("node = 0"), n_iter=2
+        ).collect()
+    }
+    assert got[2] == 0.0  # unreachable, despite dangling mass
+    assert got[0] > 0
+
+
+def test_bfs_distances_rounds_and_unreachable(spark):
+    from lucille_spark.ops.graph import bfs_distances
+
+    n = spark.createDataFrame([(x,) for x in range(5)], "node long")
+    # chain 0->1->2->3, isolated 4; DIRECTED (no backward dist)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(
+            n, e, n.filter("node = 0"), n_iter=2
+        ).collect()
+    }
+    # only 2 rounds: node 3 (dist 3) not yet reached
+    assert (got[0], got[1], got[2]) == (0, 1, 2)
+    assert got[3] is None and got[4] is None
+    got3 = {
+        r.node: r.dist
+        for r in bfs_distances(
+            n, e, n.filter("node = 0"), n_iter=3
+        ).collect()
+    }
+    assert got3[3] == 3
