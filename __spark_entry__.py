@@ -5376,6 +5376,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_anchors"] = web_anchors_q
 
+    def web_sitemap_q(s, d):
+        from lucille_spark.ops.web import sitemap_entries
+
+        docs = _docs(s, d)
+        did = F.col("doc_id").cast("string")
+        loc = F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/d/"), did,
+        )
+        lm = F.concat(
+            F.lit("2024-01-0"),
+            ((F.col("doc_id") % 9) + 1).cast("string"),
+        )
+        idx = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>https://"), F.col("source"),
+                F.lit(".example.com/maps/"), did,
+                F.lit(".xml</loc></sitemap>"),
+            ),
+        ).otherwise(F.lit(""))
+        xml = F.concat(
+            F.lit("<urlset><url><loc> "), loc,
+            F.lit(" </loc><lastmod>"), lm,
+            F.lit("</lastmod></url><!-- <url><loc>x</loc></url> -->"),
+            idx, F.lit("</urlset>"),
+        )
+        pages = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/sitemap"), did, F.lit(".xml"),
+            ).alias("url"),
+            xml.alias("xml"),
+        )
+        return sitemap_entries(pages).orderBy("src", "loc")
+
+    q["web_sitemap"] = web_sitemap_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -11533,6 +11571,27 @@ rk AS (SELECT *, cast(row_number() OVER (PARTITION BY dst_host
        ORDER BY n_mentions DESC, anchor) as int) AS rank FROM cnt)
 SELECT dst_host, rank, anchor, n_mentions FROM rk
 WHERE rank <= 3 ORDER BY dst_host, rank"""
+
+    # sitemap parse oracle: the fixture is deterministic, so the
+    # expected rows derive DIRECTLY from the generator (mm_features
+    # style) — any parse defect (trim, entity, comment, index
+    # classification) breaks the hash
+    o["web_sitemap"] = """
+WITH g AS (SELECT doc_id, source,
+  'https://' || source || '.example.com/sitemap' ||
+    cast(doc_id as varchar) || '.xml' AS src,
+  'https://' || source || '.example.com/d/' ||
+    cast(doc_id as varchar) AS loc,
+  '2024-01-0' || cast((doc_id % 9) + 1 as varchar) AS lastmod
+  FROM documents)
+SELECT src, loc, lastmod, false AS is_index FROM g
+UNION ALL
+SELECT src,
+  'https://' || source || '.example.com/maps/' ||
+    cast(doc_id as varchar) || '.xml' AS loc,
+  NULL AS lastmod, true AS is_index
+FROM g WHERE doc_id % 5 = 0
+ORDER BY src, loc"""
 
     o["web_link_edges"] = f"""
 WITH {_HTML_PAGES_SQL},

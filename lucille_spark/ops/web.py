@@ -678,3 +678,47 @@ def html_sql(kind: str, col: str) -> str:
                e, _HREF_SQ.replace("'", "''"))
         )
     raise ValueError(f"unknown html_sql kind {kind!r}")
+
+
+# ------------------------------------------------- sitemaps
+
+_SM_URL_EL = r"(?is)<url\s*>.*?</url\s*>"
+_SM_SMAP_EL = r"(?is)<sitemap\s*>.*?</sitemap\s*>"
+_SM_LOC = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+_SM_LASTMOD = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "xml", url_col: str = "url"
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol) at corpus scale:
+    one row per <url> entry with its <loc> (entity-decoded — the
+    protocol requires &amp;-escaping) and optional <lastmod>, plus
+    `is_index` marking <sitemapindex> child sitemaps (their <loc>s
+    are FURTHER sitemaps to fetch — the caller loops fetch->parse
+    until no index rows remain, the standard two-level recursion).
+    Same zero-UDF regex-program shape as the HTML extractors;
+    comments are stripped first. -> (src url, loc, lastmod nullable,
+    is_index bool), loc != ''."""
+    c = F.regexp_replace(F.col(xml_col), r"(?s)<!--.*?-->", " ")
+    urls = df.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.concat(
+                F.regexp_extract_all(c, F.lit(_SM_URL_EL), 0),
+                F.regexp_extract_all(c, F.lit(_SM_SMAP_EL), 0),
+            )
+        ).alias("_el"),
+    )
+    loc = _decode_squeeze(F.regexp_extract("_el", _SM_LOC, 1))
+    lastmod = F.nullif(
+        F.regexp_extract("_el", _SM_LASTMOD, 1), F.lit("")
+    )
+    return urls.select(
+        "src",
+        loc.alias("loc"),
+        lastmod.alias("lastmod"),
+        F.lower(F.col("_el")).startswith("<sitemap").alias(
+            "is_index"
+        ),
+    ).filter(F.col("loc") != "")

@@ -147,3 +147,39 @@ def test_anchor_edges_and_summary(spark):
     # duplicates are votes: "Best Guide" x2 outranks "Other name"
     assert by[("https://a.com/t", 1)] == ("Best Guide", 2)
     assert by[("https://a.com/t", 2)] == ("Other name", 1)
+
+
+def test_sitemap_entries(spark):
+    from lucille_spark.ops.web import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://ex.com/a?x=1&amp;y=2 </loc>"
+        "<lastmod>2024-01-05</lastmod></url>"
+        "<!-- <url><loc>https://ex.com/ghost</loc></url> -->"
+        "<url><loc>https://ex.com/b</loc></url>"
+        "<url><priority>0.5</priority></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://ex.com/maps/1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://ex.com/sitemap.xml", xml),
+         ("https://ex.com/index.xml", idx)],
+        "url string, xml string",
+    )
+    rows = sorted(
+        (r.src, r.loc, r.lastmod, r.is_index)
+        for r in sitemap_entries(df).collect()
+    )
+    assert rows == [
+        ("https://ex.com/index.xml", "https://ex.com/maps/1.xml",
+         None, True),
+        ("https://ex.com/sitemap.xml", "https://ex.com/a?x=1&y=2",
+         "2024-01-05", False),
+        ("https://ex.com/sitemap.xml", "https://ex.com/b", None,
+         False),
+    ]
