@@ -2658,6 +2658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lay_zvalue"] = lay_zvalue_q
 
+    def tx_collocations_q(s, d):
+        from lucille_spark.ops.text import collocations
+
+        return collocations(_docs(s, d), min_count=5, n=50)
+
+    q["tx_collocations"] = tx_collocations_q
+
     def tx_corpus_stats_q(s, d):
         from lucille_spark.ops.text import corpus_stats
 
@@ -6881,6 +6888,25 @@ SELECT doc_id,
   {zvalue_sql(['doc_id', 'n_chars'],
               [(0.0, 1000.0), (0.0, 5000.0)], 8)} AS zvalue
 FROM documents ORDER BY doc_id"""
+
+    # PMI collocations over adjacent-token pairs; rank by the
+    # UNROUNDED pmi then pair (Spark orders before rounding)
+    o["tx_collocations"] = f"""
+WITH tok AS ({_TOK}),
+pos AS ({_POS}),
+bi AS (SELECT l.term AS a, r.term AS b
+       FROM pos l JOIN pos r
+       ON l.doc_id = r.doc_id AND r.p = l.p + 1),
+pairs AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+tot AS (SELECT sum(c_ab) AS n FROM pairs),
+uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+sc AS (SELECT p.a, p.b, p.c_ab,
+       ln(tot.n * 1.0 * p.c_ab / (ua.c * 1.0 * ub.c)) AS pmi
+       FROM pairs p JOIN uni ua ON ua.term = p.a
+       JOIN uni ub ON ub.term = p.b CROSS JOIN tot
+       WHERE p.c_ab >= 5)
+SELECT a, b, cast(c_ab as bigint) AS c_ab, round(pmi, 6) AS pmi
+FROM sc ORDER BY pmi DESC, a, b LIMIT 50"""
 
     # corpus diagnostics: totals + closed-form Zipf least squares
     # over the top-100 (count desc, term) ranks

@@ -1297,6 +1297,72 @@ def quality_lr(
     )
 
 
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    n: int = 50,
+) -> DataFrame:
+    """Collocation extraction (Church & Hanks 1990 PMI over adjacent
+    token pairs): the phrase-detection pass that feeds tokenizer
+    merges, word2vec-style phrase joining, and boilerplate spotting.
+    PMI = ln(N * c(ab) / (c(a) * c(b))) with N = total bigram count;
+    pairs below `min_count` drop (PMI's low-count pathology), top-n
+    by (PMI desc, a, b).
+
+    Scale: same in-row bigram zip as bigram_lm_ppl (no position
+    join); pair + unigram counts aggregate map-side; the ranking is
+    over the Heaps-bounded pair table. -> (a, b, c_ab, pmi round
+    6)."""
+    toks = df.select(tokenize_expr(text_col).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1), "
+                "(x, i) -> struct(x AS a, element_at(_t, i + 2) AS b))"
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+    pairs = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = pairs.agg(F.sum("c_ab").alias("_n"))
+    # unigram counts in CONTEXT position terms: use token counts
+    # (the standard corpus-frequency denominator)
+    uni = df.select(
+        F.explode(tokenize_expr(text_col)).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    out = (
+        pairs.filter(F.col("c_ab") >= min_count)
+        .join(
+            uni.select(
+                F.col("term").alias("a"), F.col("c").alias("_ca")
+            ),
+            "a",
+        )
+        .join(
+            uni.select(
+                F.col("term").alias("b"), F.col("c").alias("_cb")
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", F.col("c_ab").cast("long").alias("c_ab"),
+            F.log(
+                F.col("_n").cast("double") * F.col("c_ab")
+                / (F.col("_ca").cast("double") * F.col("_cb"))
+            ).alias("_pmi"),
+        )
+    )
+    return (
+        out.orderBy(F.desc("_pmi"), "a", "b")
+        .limit(int(n))
+        .select("a", "b", "c_ab", F.round("_pmi", 6).alias("pmi"))
+    )
+
+
 def bigram_lm_ppl(
     df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
 ) -> DataFrame:

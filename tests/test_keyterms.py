@@ -81,3 +81,31 @@ def test_corpus_stats_hand_computed(spark):
     sxx = sum(a * a for a in xs)
     want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
     assert r.zipf_slope == round(want, 6)
+
+
+def test_collocations_hand_computed(spark):
+    import math
+
+    from lucille_spark.ops.text import collocations
+
+    # "x y" appears 6 times; x and y appear ONLY together ->
+    # strongest PMI; "a b" 5 times but a,b also appear alone
+    df = spark.createDataFrame(
+        [
+            (0, "x y x y x y a b a b"),
+            (1, "x y x y x y a b a b a b a a b b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations(df, min_count=5, n=10).collect()
+    got = {(r.a, r.b): (r.c_ab, r.pmi) for r in rows}
+    # corpus: doc0 tokens 10 -> 9 bigrams, doc1 16 -> 15, N = 24
+    n_bi = 24.0
+    cx = cy = 6.0
+    c_xy = 6.0
+    want_xy = round(math.log(n_bi * c_xy / (cx * cy)), 6)
+    assert got[("x", "y")] == (6, want_xy)
+    assert ("a", "b") in got
+    assert got[("x", "y")][1] > got[("a", "b")][1]
+    # min_count: "y x" occurs 4 times (2 + 2) -> excluded
+    assert ("y", "x") not in got
