@@ -141,8 +141,10 @@ class Searcher:
         over the alias parts; each part's scores multiply by its
         factor BEFORE the top-k cut. Resolved to doc-id ranges via
         the alias's part table, then applied inside the executor."""
+        # getattr: tests (and embedders) may bind a bare
+        # Searcher.__new__ to an open index without running __init__
         cacheable = (
-            self._rcache is not None
+            getattr(self, "_rcache", None) is not None
             and isinstance(query, str)
             and synonyms is None
             and indices_boost is None
