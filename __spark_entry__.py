@@ -2665,6 +2665,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_collocations"] = tx_collocations_q
 
+    def tx_phrase_join_q(s, d):
+        from lucille_spark.ops.text import phrase_join
+
+        out = phrase_join(
+            _docs(s, d),
+            [("table", "scan"), ("group", "query"),
+             ("row", "data")],
+        )
+        return out.select(
+            "doc_id",
+            F.concat_ws(" ", "tokens_joined").alias("joined"),
+        ).orderBy("doc_id")
+
+    q["tx_phrase_join"] = tx_phrase_join_q
+
     def tx_corpus_stats_q(s, d):
         from lucille_spark.ops.text import corpus_stats
 
@@ -6888,6 +6903,35 @@ SELECT doc_id,
   {zvalue_sql(['doc_id', 'n_chars'],
               [(0.0, 1000.0), (0.0, 5000.0)], 8)} AS zvalue
 FROM documents ORDER BY doc_id"""
+
+    # greedy non-chaining phrase join == closed-form windows: within
+    # each run of CONSECUTIVE match positions, the odd run offsets
+    # apply (join), their successors are consumed
+    o["tx_phrase_join"] = f"""
+WITH tok AS ({_TOK}), pos AS ({_POS}),
+m AS (SELECT p1.doc_id, p1.p, p1.term AS a, p2.term AS b
+      FROM pos p1 JOIN pos p2
+      ON p1.doc_id = p2.doc_id AND p2.p = p1.p + 1
+      WHERE p1.term || chr(0) || p2.term IN
+        ('table' || chr(0) || 'scan',
+         'group' || chr(0) || 'query',
+         'row' || chr(0) || 'data')),
+r AS (SELECT *, p - row_number() OVER (PARTITION BY doc_id
+      ORDER BY p) AS g FROM m),
+ap AS (SELECT doc_id, p, a, b FROM
+       (SELECT *, row_number() OVER (PARTITION BY doc_id, g
+        ORDER BY p) AS rn FROM r) WHERE rn % 2 = 1),
+outp AS (
+  SELECT doc_id, p, a || '_' || b AS t FROM ap
+  UNION ALL
+  SELECT pos.doc_id, pos.p, pos.term FROM pos
+  LEFT JOIN ap a1 ON a1.doc_id = pos.doc_id AND a1.p = pos.p
+  LEFT JOIN ap a2 ON a2.doc_id = pos.doc_id AND a2.p = pos.p - 1
+  WHERE a1.p IS NULL AND a2.p IS NULL)
+SELECT d.doc_id,
+  coalesce(string_agg(o.t, ' ' ORDER BY o.p), '') AS joined
+FROM documents d LEFT JOIN outp o USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
 
     # PMI collocations over adjacent-token pairs; rank by the
     # UNROUNDED pmi then pair (Spark orders before rounding)

@@ -1363,6 +1363,59 @@ def collocations(
     )
 
 
+def phrase_join(
+    df: DataFrame,
+    pairs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "_",
+    out_col: str = "tokens_joined",
+) -> DataFrame:
+    """The word2vec/fastText PHRASES pass: rewrite each document's
+    token stream joining adjacent (a, b) pairs from `pairs` (e.g.
+    the top `collocations`) into single "a_b" tokens — greedy
+    left-to-right, ONE pass, and deliberately NON-CHAINING: a token
+    produced by a join never participates in another join in the
+    same pass (run another pass for trigrams, like word2vec does).
+    That rule is what makes the result expressible BOTH as a codegen
+    array fold here and as a closed-form windows program in SQL
+    (overlapping matches resolve to the odd positions of each
+    consecutive-match run), so the gate can hash it.
+
+    Scale: zero shuffles — the fold runs inside the scan projection;
+    the pair set is a literal IN (collocation lists are tiny).
+    -> df + `out_col` array<string>."""
+    keys = sorted({a + "\x00" + b for a, b in pairs})
+    if not keys:
+        raise ValueError("phrase_join: empty pair list")
+    toks = tokenize_expr(text_col)
+    mark = "\x01"  # freshly joined sentinel: blocks chaining
+    folded = F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & ~F.element_at(acc, -1).startswith(mark)
+            & F.concat(
+                F.element_at(acc, -1), F.lit("\x00"), x
+            ).isin(keys),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.concat(
+                        F.lit(mark), F.element_at(acc, -1),
+                        F.lit(joiner), x,
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+        lambda acc: F.transform(
+            acc, lambda t: F.regexp_replace(t, "^" + mark, "")
+        ),
+    )
+    return df.withColumn(out_col, folded)
+
+
 def bigram_lm_ppl(
     df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
 ) -> DataFrame:

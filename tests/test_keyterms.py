@@ -109,3 +109,28 @@ def test_collocations_hand_computed(spark):
     assert got[("x", "y")][1] > got[("a", "b")][1]
     # min_count: "y x" occurs 4 times (2 + 2) -> excluded
     assert ("y", "x") not in got
+
+
+def test_phrase_join_greedy_non_chaining(spark):
+    from lucille_spark.ops.text import phrase_join
+
+    df = spark.createDataFrame(
+        [
+            (0, "new york city is big"),
+            (1, "a a a a"),          # overlap run: greedy odd joins
+            (2, "x new york york city"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.tokens_joined
+        for r in phrase_join(
+            df, [("new", "york"), ("york", "city"), ("a", "a")]
+        ).collect()
+    }
+    # greedy left: new+york joins; joined token can't chain to city
+    assert out[0] == ["new_york", "city", "is", "big"]
+    # run of 3 overlapping (a,a) matches: positions 0-1 join, 2-3 join
+    assert out[1] == ["a_a", "a_a"]
+    # 'york city' still joins when 'new york' consumed the first york
+    assert out[2] == ["x", "new_york", "york_city"]
