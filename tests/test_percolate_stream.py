@@ -1,0 +1,54 @@
+"""Streaming percolation — the ES alerting shape: stored queries
+evaluated against every arriving micro-batch via foreachBatch.
+percolate() is a stateless zero-shuffle mapInPandas, so it drops
+into Structured Streaming unchanged; this proves the composition
+end-to-end (availableNow) and the stream/batch result identity."""
+
+from lucille_spark.percolate import percolate
+
+QUERIES = {
+    "q_spark": "spark AND batch",
+    "q_phrase": '"stream window"',
+    "q_neg": "cat AND NOT spark",
+}
+
+DOCS = [
+    (0, "spark batch job done"),
+    (1, "the stream window closed"),
+    (2, "cat on the mat"),
+    (3, "cat spark hybrid"),
+    (4, "nothing relevant"),
+]
+
+
+def test_stream_percolation_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch_df = spark.createDataFrame(
+        DOCS, "doc_id long, content string"
+    )
+    batch_df.write.mode("overwrite").parquet(src)
+
+    want = sorted(
+        (r.doc_id, r.query_id)
+        for r in percolate(batch_df, QUERIES).collect()
+    )
+    assert want == [
+        (0, "q_spark"), (1, "q_phrase"), (2, "q_neg"),
+    ]
+
+    stream = spark.readStream.schema(
+        "doc_id long, content string"
+    ).parquet(src)
+    hits = []
+
+    def sink(bdf, _bid):
+        hits.extend(percolate(bdf, QUERIES).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.doc_id, r.query_id) for r in hits) == want
