@@ -5436,6 +5436,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_sitemap"] = web_sitemap_q
 
+    # re-crawl delta over two deterministic snapshots of the
+    # documents corpus: %7==0 gone, %7==1 one-token churn, %7==2
+    # rewritten, ids 1000+ new
+    def _crawl_snaps(s, d):
+        docs = _docs(s, d)
+        did = F.col("doc_id").cast("string")
+        url = F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/d/"), did,
+        )
+        old = docs.select(url.alias("url"), "text")
+        mod7 = F.col("doc_id") % 7
+        newt = (
+            F.when(mod7 == 1, F.concat("text", F.lit(" updatedtoken")))
+            .when(
+                mod7 == 2,
+                F.concat(
+                    F.substring("text", 50, 100000),
+                    F.lit(" entirely different rewrite"),
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+        fresh = docs.filter(F.col("doc_id") < 20).select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/n/"), did,
+            ).alias("url"),
+            F.concat(F.lit("fresh page "), did).alias("text"),
+        )
+        new = (
+            docs.filter(mod7 != 0)
+            .select(url.alias("url"), newt.alias("text"))
+            .unionAll(fresh)
+        )
+        return old, new
+
+    def web_crawl_delta_q(s, d):
+        from lucille_spark.ops.web import crawl_delta
+
+        old, new = _crawl_snaps(s, d)
+        return crawl_delta(old, new)
+
+    q["web_crawl_delta"] = web_crawl_delta_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -11662,6 +11707,57 @@ SELECT src,
   NULL AS lastmod, true AS is_index
 FROM g WHERE doc_id % 5 = 0
 ORDER BY src, loc"""
+
+    # re-crawl delta: canonical keys are already-canonical URLs, so
+    # the oracle rebuilds both snapshots, fingerprints each side
+    # (sha256 + the dd_simhash vote math on 16 bits) and classifies
+    # with the same thresholds
+    _CD_FP = """
+  SELECT k, sha256(t) AS sha,
+    coalesce((SELECT cast(sum(CASE WHEN vote > 0
+        THEN (cast(1 as bigint) << b) ELSE 0 END) as bigint)
+      FROM (SELECT b, sum(CASE WHEN (h >> b) & 1 = 1
+                   THEN 1 ELSE -1 END) AS vote
+            FROM (SELECT unnest(range(0, 16)) AS b) bb
+            CROSS JOIN (SELECT (cast(('0x' || substring(md5(tok),
+                  1, 8)) as bigint) % 2147483647) AS h
+              FROM (SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(s.t),
+                    '[^a-z0-9_]+'), x -> x <> '')) AS tok)) hh
+            GROUP BY b)), 0) AS simhash
+  FROM {src} s"""
+
+    o["web_crawl_delta"] = f"""
+WITH o1 AS (SELECT 'https://' || source || '.example.com/d/' ||
+    cast(doc_id as varchar) AS k, text AS t FROM documents),
+n1 AS (
+  SELECT 'https://' || source || '.example.com/d/' ||
+    cast(doc_id as varchar) AS k,
+    CASE WHEN doc_id % 7 = 1 THEN text || ' updatedtoken'
+         WHEN doc_id % 7 = 2 THEN substring(text, 50) ||
+           ' entirely different rewrite'
+         ELSE text END AS t
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/n/' ||
+    cast(doc_id as varchar), 'fresh page ' ||
+    cast(doc_id as varchar)
+  FROM documents WHERE doc_id < 20),
+fa AS ({_CD_FP.format(src='o1')}),
+fb AS ({_CD_FP.format(src='n1')}),
+j AS (SELECT coalesce(fa.k, fb.k) AS url_canon,
+      fa.sha AS sa, fb.sha AS sb,
+      fa.simhash AS ha, fb.simhash AS hb
+      FROM fa FULL OUTER JOIN fb ON fa.k = fb.k)
+SELECT url_canon,
+  CASE WHEN sa IS NULL THEN 'new'
+       WHEN sb IS NULL THEN 'gone'
+       WHEN sa = sb THEN 'unchanged'
+       WHEN bit_count(xor(ha, hb)) <= 3 THEN 'touched'
+       ELSE 'changed' END AS status,
+  CASE WHEN sa IS NOT NULL AND sb IS NOT NULL
+       THEN cast(bit_count(xor(ha, hb)) as int) END AS hamming
+FROM j ORDER BY url_canon"""
 
     o["web_link_edges"] = f"""
 WITH {_HTML_PAGES_SQL},

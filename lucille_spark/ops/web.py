@@ -722,3 +722,123 @@ def sitemap_entries(
             "is_index"
         ),
     ).filter(F.col("loc") != "")
+
+
+# ------------------------------------------------- re-crawl deltas
+
+def _snapshot_fingerprints(
+    df: DataFrame, url_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Per CANONICAL URL: deterministic representative row (min by
+    raw url), its content sha256 and SimHash (same vote math as
+    dedup.simhash, keyed by the canonical string)."""
+    from lucille_spark.ops.hashing import TOKEN_HASH_SPARK
+    from lucille_spark.ops.text import tokenize_expr
+
+    rep = (
+        df.select(
+            canonical_url_expr(url_col).alias("url_canon"),
+            F.struct(
+                F.col(url_col).alias("u"),
+                F.col(text_col).alias("t"),
+            ).alias("_r"),
+        )
+        .groupBy("url_canon")
+        .agg(F.min("_r").alias("_r"))
+        .select("url_canon", F.col("_r.t").alias("_text"))
+    )
+    sha = rep.select(
+        "url_canon", F.sha2(F.col("_text"), 256).alias("sha")
+    )
+    th = rep.select(
+        "url_canon",
+        F.explode(tokenize_expr("_text")).alias("tok"),
+    ).select(
+        "url_canon",
+        F.expr(TOKEN_HASH_SPARK.format(tok="tok")).alias("h"),
+    )
+    bit = th.select(
+        "url_canon",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).select(
+        "url_canon", "b",
+        (F.expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).alias(
+            "v"
+        ),
+    )
+    sh = (
+        bit.groupBy("url_canon", "b")
+        .agg(F.sum("v").alias("vote"))
+        .groupBy("url_canon")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0,
+                    F.expr(
+                        "shiftleft(cast(1 as bigint), cast(b as int))"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+    # empty-token docs have no simhash rows: coalesce to 0
+    return sha.join(sh, "url_canon", "left").select(
+        "url_canon", "sha",
+        F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+    )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    near_bits: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Re-crawl change detection per canonical URL — the scheduling
+    signal for incremental crawling (re-fetch cadence, index
+    upserts, trap detection):
+
+      new       only in the new snapshot
+      gone      only in the old one
+      unchanged identical content sha256
+      touched   sha differs but SimHash hamming <= `near_bits`
+                (dates/counters/boilerplate churn — usually NOT
+                worth a re-index)
+      changed   content actually moved
+
+    Two extraction passes + ONE full-outer join on the canonical
+    key; fingerprints are per-URL scalars so the join is key-sized.
+    -> (url_canon, status, hamming nullable) sorted by url_canon."""
+    a = _snapshot_fingerprints(old, url_col, text_col, bits)
+    b = _snapshot_fingerprints(new, url_col, text_col, bits)
+    j = a.select(
+        "url_canon", F.col("sha").alias("_sa"),
+        F.col("simhash").alias("_ha"),
+    ).join(
+        b.select(
+            "url_canon", F.col("sha").alias("_sb"),
+            F.col("simhash").alias("_hb"),
+        ),
+        "url_canon",
+        "full_outer",
+    )
+    ham = F.bit_count(
+        F.col("_ha").bitwiseXOR(F.col("_hb"))
+    ).cast("int")
+    status = (
+        F.when(F.col("_sa").isNull(), F.lit("new"))
+        .when(F.col("_sb").isNull(), F.lit("gone"))
+        .when(F.col("_sa") == F.col("_sb"), F.lit("unchanged"))
+        .when(ham <= F.lit(int(near_bits)), F.lit("touched"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "url_canon",
+        status.alias("status"),
+        F.when(
+            F.col("_sa").isNotNull() & F.col("_sb").isNotNull(), ham
+        ).alias("hamming"),
+    ).orderBy("url_canon")

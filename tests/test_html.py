@@ -183,3 +183,42 @@ def test_sitemap_entries(spark):
         ("https://ex.com/sitemap.xml", "https://ex.com/b", None,
          False),
     ]
+
+
+def test_crawl_delta_classification(spark):
+    from lucille_spark.ops.web import crawl_delta
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    old = spark.createDataFrame(
+        [
+            ("https://a.com/same", base),
+            ("https://a.com/touch", base + "posted 2024"),
+            ("https://a.com/change", base),
+            ("https://a.com/gone", "bye"),
+            # two variants of ONE canonical page collapse first
+            ("https://www.a.com/same#frag", base),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.com/same", base),
+            # small churn: one token differs -> 'touched'
+            ("https://a.com/touch", base + "posted 2025"),
+            # full rewrite -> 'changed'
+            ("https://a.com/change", "completely different page "
+             "about trains and stations and schedules"),
+            ("https://a.com/new", "hello world"),
+        ],
+        "url string, text string",
+    )
+    got = {
+        r.url_canon.rsplit("/", 1)[-1]: (r.status, r.hamming)
+        for r in crawl_delta(old, new).collect()
+    }
+    assert got["same"] == ("unchanged", 0)
+    assert got["touch"][0] == "touched" and got["touch"][1] <= 3
+    assert got["change"][0] == "changed" and got["change"][1] > 3
+    assert got["gone"] == ("gone", None)
+    assert got["new"] == ("new", None)
+    assert len(got) == 5
