@@ -5481,6 +5481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_crawl_delta"] = web_crawl_delta_q
 
+    def web_traps_q(s, d):
+        from lucille_spark.ops.web import url_traps
+
+        return url_traps(_urls(s, d), max_fanout=3)
+
+    q["web_traps"] = web_traps_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -11796,6 +11803,33 @@ WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}
 SELECT url_canon, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM canon GROUP BY url_canon HAVING count(*) > 1
 ORDER BY url_canon LIMIT 50"""
+
+    # crawl-trap report over the URL-variant fixture: template chain
+    # (=V / H / N) + host + canonical-distinct counts
+    o["web_traps"] = f"""
+WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB},
+tm AS (SELECT doc_id,
+  regexp_replace(regexp_replace(lower(regexp_extract(
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)),
+    '^www\\.', ''), ':(80|443)$', '') AS host,
+  CASE WHEN t3 = '' THEN '/' ELSE t3 END AS template
+  FROM (SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(url,
+        '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        '^[^/?]+', ''),
+      '=[^&#]*', '=V', 'g'),
+      '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+      '[0-9]+', 'N', 'g') AS t3, url
+    FROM urls) u2),
+agg AS (SELECT tm.host, tm.template,
+        count(DISTINCT c.url_canon) AS n_urls
+        FROM tm JOIN canon c ON c.doc_id = tm.doc_id
+        GROUP BY tm.host, tm.template)
+SELECT host, template, cast(n_urls as bigint) AS n_urls,
+  n_urls > 3 AS trapped
+FROM agg ORDER BY n_urls DESC, host, template"""
 
     o["tx_blocklist"] = f"""
 WITH {_URLS_SQL.strip()},

@@ -842,3 +842,51 @@ def crawl_delta(
             F.col("_sa").isNotNull() & F.col("_sb").isNotNull(), ham
         ).alias("hamming"),
     ).orderBy("url_canon")
+
+
+# ------------------------------------------------- URL templates / traps
+
+def url_template_expr(col) -> Column:
+    """Structural template of a URL's path+query: digit runs -> 'N',
+    long (>= 8) hex runs -> 'H', the values of query params -> 'V'
+    (keys kept). Collapses calendar pages, session ids, content
+    hashes and pagination onto one key — the unit of crawl-trap
+    accounting."""
+    u = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    t = F.regexp_replace(pathq, r"=[^&#]*", "=V")
+    t = F.regexp_replace(t, r"[0-9a-fA-F]{8,}", "H")
+    t = F.regexp_replace(t, r"[0-9]+", "N")
+    return F.when(t == "", F.lit("/")).otherwise(t)
+
+
+def url_traps(
+    df: DataFrame,
+    url_col: str = "url",
+    max_fanout: int = 100,
+) -> DataFrame:
+    """Crawl-trap report: per (host, template), how many DISTINCT
+    canonical URLs instantiate the template; rows above `max_fanout`
+    are flagged (calendar traps, faceted-search explosions, session
+    ids — the URL spaces a frontier must cap). One aggregation on
+    the (host, template) key; feed the flagged templates back into
+    `blocklist_filter`-style frontier pruning.
+    -> (host, template, n_urls, trapped bool) sorted by n_urls desc,
+    host, template."""
+    keyed = df.select(
+        host_expr(url_col).alias("host"),
+        url_template_expr(url_col).alias("template"),
+        canonical_url_expr(url_col).alias("_c"),
+    )
+    return (
+        keyed.groupBy("host", "template")
+        .agg(F.countDistinct("_c").alias("n_urls"))
+        .select(
+            "host", "template",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            (F.col("n_urls") > max_fanout).alias("trapped"),
+        )
+        .orderBy(F.desc("n_urls"), "host", "template")
+    )

@@ -222,3 +222,32 @@ def test_crawl_delta_classification(spark):
     assert got["gone"] == ("gone", None)
     assert got["new"] == ("new", None)
     assert len(got) == 5
+
+
+def test_url_templates_and_traps(spark):
+    from lucille_spark.ops.web import url_template_expr, url_traps
+
+    urls = [
+        "https://a.com/2024/01/05/post",
+        "https://a.com/2023/12/31/post",
+        "https://a.com/item?id=77&sort=asc",
+        "https://a.com/item?id=9&sort=desc",
+        "https://a.com/s/deadbeef12345678",
+        "https://b.com/about",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    t = {
+        u: r.t
+        for u, r in zip(
+            urls,
+            df.select(url_template_expr("url").alias("t")).collect(),
+        )
+    }
+    assert t[urls[0]] == t[urls[1]] == "/N/N/N/post"
+    assert t[urls[2]] == t[urls[3]] == "/item?id=V&sort=V"
+    assert t[urls[4]] == "/s/H"
+    assert t[urls[5]] == "/about"
+    rows = url_traps(df, max_fanout=1).collect()
+    by = {(r.host, r.template): (r.n_urls, r.trapped) for r in rows}
+    assert by[("a.com", "/N/N/N/post")] == (2, True)
+    assert by[("b.com", "/about")] == (1, False)
