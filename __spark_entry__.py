@@ -5488,6 +5488,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_traps"] = web_traps_q
 
+    def dd_simhash_pairs_q(s, d):
+        from lucille_spark.ops.dedup import simhash_pairs
+
+        return simhash_pairs(
+            _docs(s, d), bits=32, max_hamming=3, bands=4
+        )
+
+    q["dd_simhash_pairs"] = dd_simhash_pairs_q
+
     # ---- ES highlight with TEXT fragments (plain highlighter):
     # snippet around the first matched-term occurrence, hit wrapped
     # in <em> tags, cut from the source table's analyzed tokens -----
@@ -7911,6 +7920,33 @@ SELECT doc_id,
   cast(sum(CASE WHEN vote > 0 THEN (cast(1 as bigint) << b) ELSE 0 END)
        as bigint) AS simhash
 FROM v GROUP BY doc_id"""
+
+    # SimHash near-dup pairs (Manku et al.): 32-bit fingerprints,
+    # 4 bands of 8 bits, pigeonhole candidates, exact hamming <= 3
+    o["dd_simhash_pairs"] = f"""
+WITH tok AS ({_TOK}),
+th AS (SELECT doc_id, {_HASH} AS h FROM tok),
+bb AS (SELECT unnest(range(0, 32)) AS b),
+v AS (SELECT doc_id, b,
+      sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN bb GROUP BY doc_id, b),
+sh AS (SELECT doc_id,
+  cast(sum(CASE WHEN vote > 0 THEN (cast(1 as bigint) << b)
+       ELSE 0 END) as bigint) AS s
+  FROM v GROUP BY doc_id),
+bnd AS (SELECT doc_id, s, band, (s >> (band * 8)) & 255 AS key
+        FROM sh CROSS JOIN
+        (SELECT unnest(range(0, 4)) AS band) bands),
+ok AS (SELECT band, key FROM bnd GROUP BY band, key
+       HAVING count(*) <= 200),
+bn2 AS (SELECT bnd.* FROM bnd JOIN ok USING (band, key)),
+p AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      cast(bit_count(xor(l.s, r.s)) as int) AS hamming
+      FROM bn2 l JOIN bn2 r
+      ON l.band = r.band AND l.key = r.key
+      AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+ORDER BY doc_a, doc_b"""
 
     # ---- text analysis ---------------------------------------------
     o["tx_token_stats"] = f"""

@@ -807,3 +807,78 @@ def dedup_weights(
         )
         .orderBy(id_col)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """SimHash near-dup PAIRS — the Manku/Jain/Sarma (WWW'07, the
+    Google web-crawl design) shape: by pigeonhole, two fingerprints
+    within `max_hamming` (< bands) differ in at most bands-1 bands,
+    so they AGREE on at least one — candidates = docs sharing any
+    (band_index, band_value) key, verified by exact hamming. All
+    bit arithmetic, one band explode + one equi-join on the band
+    key, pairwise work only inside buckets (capped at `max_bucket`
+    docs, the same skew guard as every LSH path here — requires
+    max_hamming < bands for the pigeonhole guarantee).
+    -> (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <=
+    max_hamming, sorted."""
+    if max_hamming >= bands:
+        raise ValueError("simhash_pairs: need max_hamming < bands")
+    if bits % bands != 0:
+        raise ValueError("simhash_pairs: bands must divide bits")
+    width = bits // bands
+    sh = simhash(df, id_col, text_col, bits=bits)
+    mask = (1 << width) - 1
+    bnd = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {i * width}) "
+                            f"& {mask}"
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("_b.band").alias("band"), F.col("_b.key").alias("key"),
+    )
+    sizes = bnd.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ok = sizes.filter(F.col("_n") <= max_bucket).select("band", "key")
+    bnd = bnd.join(ok, ["band", "key"], "left_semi")
+    l = bnd.select(
+        "band", "key", F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("_sa"),
+    )
+    r = bnd.select(
+        "band", "key", F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("_sb"),
+    )
+    pairs = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(
+                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.orderBy("doc_a", "doc_b")

@@ -134,3 +134,42 @@ def test_phrase_join_greedy_non_chaining(spark):
     assert out[1] == ["a_a", "a_a"]
     # 'york city' still joins when 'new york' consumed the first york
     assert out[2] == ["x", "new_york", "york_city"]
+
+
+def test_simhash_pairs_pigeonhole_completeness(spark):
+    from lucille_spark.ops.dedup import simhash, simhash_pairs
+
+    import itertools
+
+    import pytest as _pt
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [
+        (0, base),
+        (1, base + "extra"),            # near-identical
+        (2, base.replace("alpha", "x")),
+        (3, "totally unrelated words about trains and rivers"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(
+            df, bits=32, max_hamming=6, bands=8
+        ).collect()
+    }
+    # ground truth by brute force over the fingerprints
+    sh = {
+        r.doc_id: r.simhash
+        for r in simhash(df, "doc_id", "text", bits=32).collect()
+    }
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 6
+    }
+    # pigeonhole (max_hamming < bands) makes the banding COMPLETE:
+    # every true near-pair is found, none invented
+    assert got == want
+    assert (0, 1) in got
+    with _pt.raises(ValueError):
+        simhash_pairs(df, max_hamming=4, bands=4)
