@@ -101,12 +101,23 @@ def zorder_write(
     bits: int = 8,
     num_files: int = 32,
     mode: str = "overwrite",
+    ranges: "Sequence[Tuple[float, float]] | None" = None,
 ) -> None:
     """Write df z-clustered on `cols`: one range-exchange on the
     Morton key, in-partition sort, drop the key, write parquet.
     Selective predicates on ANY of `cols` then prune most files via
-    footer min-max stats."""
-    z = with_zvalue(df, cols, bits)
+    footer min-max stats.
+
+    The scaling anchors (cols/bits/min-max) persist to
+    `_zorder.json` next to the files, so INCREMENTAL writers reload
+    them (`zorder_anchors`) and scale identically — append batches
+    z-cluster into the same key space instead of each inventing its
+    own."""
+    import json as _json
+    import os as _os
+
+    rngs = list(ranges) if ranges is not None else column_ranges(df, cols)
+    z = with_zvalue(df, cols, bits, ranges=rngs)
     (
         z.repartitionByRange(int(num_files), "zvalue")
         .sortWithinPartitions("zvalue")
@@ -114,6 +125,35 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+    from lucille_spark.index import fsio
+
+    fsio.write_text(
+        _os.path.join(path, "_zorder.json"),
+        _json.dumps(
+            {
+                "cols": list(cols),
+                "bits": int(bits),
+                "ranges": [[lo, hi] for lo, hi in rngs],
+            },
+            indent=1,
+        ),
+        df.sparkSession,
+    )
+
+
+def zorder_anchors(spark, path: str) -> dict:
+    """Load a dataset's persisted z-order spec ({cols, bits,
+    ranges}) for an identical-key-space incremental write."""
+    import json as _json
+    import os as _os
+
+    from lucille_spark.index import fsio
+
+    meta = _json.loads(
+        fsio.read_text(_os.path.join(path, "_zorder.json"), spark)
+    )
+    meta["ranges"] = [tuple(r) for r in meta["ranges"]]
+    return meta
 
 
 def zvalue_sql(

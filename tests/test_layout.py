@@ -142,3 +142,34 @@ def test_zorder_write_tightens_both_zonemaps(spark, tmp_path):
     assert avg_x < 700 and avg_y < 700
     # round-trip intact
     assert spark.read.parquet(out).count() == len(rows)
+
+
+def test_zorder_anchors_roundtrip_and_incremental(spark, tmp_path):
+    from lucille_spark.ops.layout import (
+        with_zvalue,
+        zorder_anchors,
+        zorder_write,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id as x", "(id * 7) % 1000 as y"
+    )
+    out = str(tmp_path / "zz2")
+    zorder_write(df, out, ["x", "y"], bits=8, num_files=4)
+    spec = zorder_anchors(spark, out)
+    assert spec["cols"] == ["x", "y"] and spec["bits"] == 8
+    assert spec["ranges"] == [(0.0, 999.0), (0.0, 999.0)]
+    # an appender reusing the anchors produces keys in the SAME
+    # space as computing with the original ranges
+    inc = spark.range(50).selectExpr(
+        "id + 2000 as x", "id as y"  # x out of range: clamps
+    )
+    a = with_zvalue(
+        inc, spec["cols"], spec["bits"], ranges=spec["ranges"]
+    ).select("x", "zvalue").collect()
+    b = with_zvalue(
+        inc, ["x", "y"], 8, ranges=[(0.0, 999.0), (0.0, 999.0)]
+    ).select("x", "zvalue").collect()
+    assert a == b
+    # parquet reader ignores the sidecar
+    assert spark.read.parquet(out).count() == 1000
