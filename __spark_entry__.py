@@ -1378,7 +1378,12 @@ _GATE_PRIORITY = [
     "mm_features",
     "ft_bm25f",
     "ft_rm3",
-    "ft_dismax",
+    # (ft_dismax freed its slot for the trigram content index — the
+    # per-clause max is a one-expression scoring combiner covered by
+    # the local mirror; code_grep_ix is a NEW family: Cox/Zoekt
+    # required-literal trigram pruning proven row-identical to the
+    # full-scan grep)
+    "code_grep_ix",
     "ix_dictionary",
     "ft_code",
     "ft_ifield_mix",
@@ -4126,6 +4131,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "line_no")
 
     q["code_grep"] = code_grep_q
+
+    # ---- trigram-indexed grep (Cox codesearch / Zoekt): required-
+    # literal analysis -> posting intersection -> exact verify; the
+    # result must equal the full scan row for row -------------------
+    def code_grep_ix_q(s, d):
+        from lucille_spark.ops.code import grep_indexed
+
+        return grep_indexed(
+            _codegen_docs(s, d), "doc_id", "text",
+            r"^# TODO refactor s\w+",
+        ).orderBy("doc_id", "line_no")
+
+    q["code_grep_ix"] = code_grep_ix_q
 
     # ---- ES cardinality agg: HLL over the match set's source field -
     def cardinality_q(s, d):
@@ -10430,6 +10448,19 @@ tr AS (SELECT doc_id, cast(i as int) AS line_no, arr[i + 1] AS x
 ln AS (SELECT doc_id, line_no, CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END AS line FROM tr)
 SELECT doc_id, line_no, line FROM ln
 WHERE regexp_matches(line, '^# TODO refactor s')
+ORDER BY doc_id, line_no"""
+
+    # ---- trigram-indexed grep: the indexed path must return the
+    # SAME rows as this full scan (soundness is the whole contract) -
+    o["code_grep_ix"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+ex AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM t
+       WHERE len(arr) > 0),
+tr AS (SELECT doc_id, cast(i as int) AS line_no, arr[i + 1] AS x
+       FROM ex),
+ln AS (SELECT doc_id, line_no, CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END AS line FROM tr)
+SELECT doc_id, line_no, line FROM ln
+WHERE regexp_matches(line, '^# TODO refactor s\\w+')
 ORDER BY doc_id, line_no"""
 
     # ---- ES cardinality agg: identical HLL register math over the

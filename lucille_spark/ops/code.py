@@ -985,3 +985,331 @@ def complexity_stats(
             4,
         ).alias("decisions_per_100loc"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# trigram content index (Google Code Search / Zoekt design)
+# ---------------------------------------------------------------------------
+#
+# `grep` above is the honest full scan; this is the indexed fast
+# path: the Russ Cox codesearch design (swtch.com/~rsc/regexp/
+# regexp4.html, the engine behind Google Code Search and Zoekt). A
+# one-time pass extracts every distinct character TRIGRAM per file
+# into a (gram, doc_id) posting table; at query time a conservative
+# analyzer pulls the regex's REQUIRED literal substrings, turns them
+# into an AND-of-trigrams query (OR across top-level alternation
+# branches), intersects posting lists down to a candidate doc set,
+# and re-runs the exact line-level regex over candidates only.
+#
+# Soundness invariant (property-tested): the candidate set is always
+# a SUPERSET of the matching docs, so indexed results == full-scan
+# results for every pattern; patterns with no required >=3-char
+# literal fall back to the full scan rather than risk a miss.
+#
+# Scale: the gram dictionary is bounded (<= |charset|^3, in practice
+# tens of thousands), postings are two narrow columns written
+# range-partitioned + sorted by gram so a query's `gram IN (...)`
+# prunes to a handful of parquet row groups. The only per-query
+# shuffle is the groupBy(doc_id) count over the SELECTED grams'
+# postings; `max_grams` + the build-time gram frequency table keep
+# that bounded by letting the driver pick the rarest grams (Zoekt's
+# frequency trick) — any subset of required grams is still sound.
+
+_GRAM_N = 3
+
+
+def _skip_class(pattern: str, i: int) -> int:
+    """Index just past a [...] character class starting at i."""
+    n = len(pattern)
+    i += 1
+    if i < n and pattern[i] == "^":
+        i += 1
+    if i < n and pattern[i] == "]":  # literal ] as first member
+        i += 1
+    while i < n and pattern[i] != "]":
+        i += 2 if pattern[i] == "\\" else 1
+    return min(i + 1, n)
+
+
+def _split_alternation(pattern: str):
+    """Top-level `|` branches (class/escape/group aware)."""
+    parts, cur, depth, i, n = [], [], 0, 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            cur.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c == "[":
+            j = _skip_class(pattern, i)
+            cur.append(pattern[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        if c == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _quant(pattern: str, i: int):
+    """Parse a quantifier at i -> (next_i, min_reps, max_reps) or
+    (i, 1, 1) when there is none. max_reps None == unbounded."""
+    n = len(pattern)
+    if i >= n:
+        return i, 1, 1
+    c = pattern[i]
+    if c == "?":
+        return i + 1, 0, 1
+    if c == "*":
+        return i + 1, 0, None
+    if c == "+":
+        return i + 1, 1, None
+    if c == "{":
+        j = pattern.find("}", i)
+        if j < 0:
+            return i, 1, 1  # literal brace, Java/RE2 tolerate it
+        body = pattern[i + 1 : j]
+        parts = body.split(",")
+        try:
+            lo = int(parts[0]) if parts[0] else 0
+            hi = (
+                lo
+                if len(parts) == 1
+                else (int(parts[1]) if parts[1] else None)
+            )
+        except ValueError:
+            return i, 1, 1
+        return j + 1, lo, hi
+    return i, 1, 1
+
+
+def _literal_runs(branch: str):
+    """Maximal REQUIRED literal substrings of one alternation-free
+    branch. Conservative by construction: groups, classes, dots,
+    anchors and escape classes just break the current run (requiring
+    LESS keeps the candidate set a superset)."""
+    runs, cur = [], []
+    i, n = 0, len(branch)
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        c = branch[i]
+        if c == "(":
+            # skip the whole group (nested-aware), then its quantifier
+            depth, i = 1, i + 1
+            while i < n and depth:
+                if branch[i] == "\\":
+                    i += 2
+                    continue
+                if branch[i] == "[":
+                    i = _skip_class(branch, i)
+                    continue
+                if branch[i] == "(":
+                    depth += 1
+                elif branch[i] == ")":
+                    depth -= 1
+                i += 1
+            i, _, _ = _quant(branch, i)
+            flush()
+            continue
+        if c == "[":
+            i = _skip_class(branch, i)
+            i, _, _ = _quant(branch, i)
+            flush()
+            continue
+        if c in ".^$)":
+            i, _, _ = _quant(branch, i + 1)
+            flush()
+            continue
+        if c == "\\":
+            if i + 1 >= n:
+                break
+            nxt = branch[i + 1]
+            if nxt.isalnum():  # \d \w \b \n ...: escape class, break
+                i, _, _ = _quant(branch, i + 2)
+                flush()
+                continue
+            ch, i = nxt, i + 2  # escaped punctuation: literal char
+        else:
+            ch, i = c, i + 1
+        i, lo, hi = _quant(branch, i)
+        reps = min(lo, 8)  # a{50} contributes 8 copies, still sound
+        cur.extend(ch * reps)
+        if hi != lo:
+            # char may repeat/vanish: adjacency to what FOLLOWS is
+            # only guaranteed from the char itself (if lo>=1)
+            flush()
+            if lo >= 1:
+                # the char itself repeats, so it IS adjacent to
+                # whatever follows: seed the next run with it
+                cur.append(ch)
+    flush()
+    return runs
+
+
+def trigram_query(pattern: str):
+    """Compile a regex into [[grams ANDed] ORed across branches], or
+    None when no branch has a required >=3-char literal (then only
+    the full scan is sound)."""
+    branches = []
+    for branch in _split_alternation(pattern):
+        grams = sorted(
+            {
+                run[i : i + _GRAM_N]
+                for run in _literal_runs(branch)
+                if len(run) >= _GRAM_N
+                for i in range(len(run) - _GRAM_N + 1)
+            }
+        )
+        if not grams:
+            return None
+        branches.append(grams)
+    return branches
+
+
+def trigram_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Distinct character trigrams per doc -> (gram, doc_id). Pure
+    codegen (sequence/transform/array_distinct/explode), one scan,
+    zero shuffle. Docs shorter than 3 chars emit no postings — they
+    can never contain a >=3-char literal, so dropping them is sound."""
+    t = F.col(text_col)
+    grams = F.when(
+        F.length(t) >= _GRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (_GRAM_N - 1)),
+                lambda i: t.substr(i, F.lit(_GRAM_N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(grams).alias("gram"),
+    ).select("gram", "doc_id")
+
+
+def gram_counts(postings: DataFrame) -> DataFrame:
+    """Per-gram posting sizes -> (gram, n_docs). Built once at index
+    time; lets the query side keep only the RAREST required grams
+    (any subset of an AND is still a sound prefilter)."""
+    return postings.groupBy("gram").agg(
+        F.count("doc_id").alias("n_docs")
+    )
+
+
+def build_grep_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    shards: int = 32,
+) -> None:
+    """Materialize the trigram index: postings range-partitioned and
+    sorted by gram (parquet min/max prunes a query's `gram IN`
+    filter to a few row groups) plus the gram-frequency side table."""
+    p = trigram_postings(df, id_col, text_col)
+    (
+        p.repartitionByRange(shards, "gram")
+        .sortWithinPartitions("gram", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir.rstrip("/") + "/postings")
+    )
+    spark = df.sparkSession
+    (
+        gram_counts(
+            spark.read.parquet(out_dir.rstrip("/") + "/postings")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out_dir.rstrip("/") + "/gram_counts")
+    )
+
+
+def load_grep_index(spark, index_dir: str):
+    """-> (postings_df, gram_counts_df)."""
+    base = index_dir.rstrip("/")
+    return (
+        spark.read.parquet(base + "/postings"),
+        spark.read.parquet(base + "/gram_counts"),
+    )
+
+
+def trigram_candidates(
+    postings: DataFrame,
+    branches,
+    counts: DataFrame = None,
+    max_grams: int = 16,
+) -> DataFrame:
+    """Candidate doc_ids for a compiled trigram query. Per branch:
+    intersect the (optionally rarest-only) grams' posting lists via
+    one groupBy(doc_id) count; OR = union-distinct across branches."""
+    if counts is not None:
+        wanted = sorted({g for b in branches for g in b})
+        freq = {
+            r["gram"]: r["n_docs"]
+            for r in counts.filter(
+                F.col("gram").isin(wanted)
+            ).collect()
+        }
+        branches = [
+            sorted(
+                sorted(b, key=lambda g: (freq.get(g, 0), g))[
+                    :max_grams
+                ]
+            )
+            for b in branches
+        ]
+    out = None
+    for grams in branches:
+        c = (
+            postings.filter(F.col("gram").isin(list(grams)))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("_ng"))
+            .filter(F.col("_ng") == len(grams))
+            .select("doc_id")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out if len(branches) == 1 else out.distinct()
+
+
+def grep_indexed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    postings: DataFrame = None,
+    counts: DataFrame = None,
+    max_grams: int = 16,
+) -> DataFrame:
+    """Indexed distributed grep: trigram-prune to candidate docs,
+    then run the exact line-level regex over candidates only. Always
+    returns exactly what `grep` returns; falls back to the full scan
+    when the pattern has no required literal. -> (doc_id, line_no,
+    line)."""
+    branches = trigram_query(pattern)
+    if branches is None:
+        return grep(df, id_col, text_col, pattern)
+    if postings is None:
+        postings = trigram_postings(df, id_col, text_col)
+    cands = trigram_candidates(
+        postings, branches, counts=counts, max_grams=max_grams
+    )
+    pruned = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("__grep_text"),
+    ).join(cands, "doc_id", "left_semi")
+    return grep(pruned, "doc_id", "__grep_text", pattern)

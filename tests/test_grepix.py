@@ -1,0 +1,175 @@
+"""Trigram content index (Cox codesearch / Zoekt design): the
+required-literal analyzer, candidate soundness (indexed == full
+scan for EVERY pattern), pruning effectiveness, and the on-disk
+index round trip."""
+
+import re
+
+import pytest
+
+from lucille_spark.ops import code as C
+
+
+# ---------------------------------------------------------------------------
+# required-literal extraction
+# ---------------------------------------------------------------------------
+
+
+def test_pure_literal():
+    assert C._literal_runs("hello world") == ["hello world"]
+    assert C.trigram_query("hello") == [["ell", "hel", "llo"]]
+
+
+def test_optional_char_breaks_run():
+    assert C._literal_runs("ab?c") == ["a", "c"]
+    assert C._literal_runs("foo?bar") == ["fo", "bar"]
+    assert C._literal_runs("foo*bar") == ["fo", "bar"]
+
+
+def test_plus_keeps_char_and_reseeds():
+    # ab+c matches "abc", "abbc": required substrings "ab" and "bc"
+    assert C._literal_runs("ab+c") == ["ab", "bc"]
+    assert C._literal_runs("foo+bar") == ["foo", "obar"]
+
+
+def test_brace_quantifiers():
+    assert C._literal_runs("a{3}b") == ["aaab"]
+    assert C._literal_runs("a{2,}b") == ["aa", "ab"]
+    assert C._literal_runs("a{0,2}b") == ["b"]
+    assert C._literal_runs("a{50}b")[0].startswith("aaaaaaaa")
+
+
+def test_escapes():
+    assert C._literal_runs(r"hello\.world") == ["hello.world"]
+    assert C._literal_runs(r"\d+foo") == ["foo"]
+    assert C._literal_runs(r"foo\wbar") == ["foo", "bar"]
+
+
+def test_groups_and_classes_break():
+    assert C._literal_runs("(foo|bar)baz") == ["baz"]
+    assert C._literal_runs("[abc]def") == ["def"]
+    assert C._literal_runs("pre(mid)+post") == ["pre", "post"]
+
+
+def test_anchors_and_dot():
+    assert C._literal_runs("^# TODO") == ["# TODO"]
+    assert C._literal_runs("f.o") == ["f", "o"]
+    assert C.trigram_query("f.o") is None
+
+
+def test_alternation():
+    assert C.trigram_query("foo|bar") == [["foo"], ["bar"]]
+    assert C.trigram_query("foo|ab") is None  # one weak branch
+    assert C.trigram_query("import (numpy|scipy)") == [
+        ["imp", "mpo", "ort", "por", "rt "]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# soundness: indexed results == full-scan results, all pattern shapes
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (0, "import numpy\nfrom os import path\n# TODO refactor spark"),
+    (1, "def main():\n    x_var = 1\n    return x_var"),
+    (2, "require('react')\nimport scipy\n// comment"),
+    (3, "ab\nabc\nabbc\nabbbc"),
+    (4, "hello.world\nhello-world\nhelloXworld"),
+    (5, ""),
+    (6, "ab"),  # shorter than one gram: never a candidate
+    (7, "# TODO refactor stats\nimport numpy.linalg"),
+]
+
+PATTERNS = [
+    r"import numpy",
+    r"^# TODO refactor s\w+",
+    r"ab+c",
+    r"hello\.world",
+    r"hello[.-]world",
+    r"(numpy|scipy)",
+    r"import (numpy|scipy)",
+    r"numpy|react",
+    r"x_var = \d",
+    r"f.o",  # no required literal -> full-scan fallback
+    r"return x_var$",
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["line_no"], r["line"]) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_indexed_equals_full_scan(spark, docs_df, pattern):
+    full = _rows(C.grep(docs_df, "doc_id", "text", pattern))
+    fast = _rows(C.grep_indexed(docs_df, "doc_id", "text", pattern))
+    assert fast == full
+    # cross-check against Python re line by line
+    expect = sorted(
+        (d, i, ln)
+        for d, t in DOCS
+        for i, ln in enumerate(t.split("\n"))
+        if re.search(pattern, ln)
+    )
+    assert full == expect
+
+
+def test_candidates_are_supersets_and_prune(spark, docs_df):
+    postings = C.trigram_postings(docs_df, "doc_id", "text")
+    q = C.trigram_query(r"import numpy")
+    cands = {
+        r["doc_id"] for r in C.trigram_candidates(postings, q).collect()
+    }
+    assert cands == {0, 7}  # exact here; and strictly < all docs
+    assert len(cands) < len(DOCS)
+
+
+def test_rarest_gram_selection_sound(spark, docs_df):
+    postings = C.trigram_postings(docs_df, "doc_id", "text")
+    counts = C.gram_counts(postings)
+    q = C.trigram_query(r"# TODO refactor")
+    pruned = {
+        r["doc_id"]
+        for r in C.trigram_candidates(
+            postings, q, counts=counts, max_grams=3
+        ).collect()
+    }
+    full = {
+        r["doc_id"] for r in C.trigram_candidates(postings, q).collect()
+    }
+    assert pruned >= full  # subset of grams -> superset of candidates
+    assert {0, 7} <= pruned
+
+
+def test_disk_round_trip(spark, docs_df, tmp_path):
+    out = str(tmp_path / "gix")
+    C.build_grep_index(docs_df, "doc_id", "text", out, shards=4)
+    postings, counts = C.load_grep_index(spark, out)
+    got = _rows(
+        C.grep_indexed(
+            docs_df,
+            "doc_id",
+            "text",
+            r"import numpy",
+            postings=postings,
+            counts=counts,
+            max_grams=4,
+        )
+    )
+    assert got == _rows(C.grep(docs_df, "doc_id", "text", r"import numpy"))
+    # frequency table covers every posting gram exactly once
+    assert counts.count() == postings.select("gram").distinct().count()
+
+
+def test_short_doc_never_candidate(spark, docs_df):
+    postings = C.trigram_postings(docs_df, "doc_id", "text")
+    assert (
+        postings.filter(postings.doc_id.isin([5, 6])).count() == 0
+    )
