@@ -5401,6 +5401,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_link_edges"] = web_link_edges_q
 
+    # ---- redirect-chain resolution: pointer jumping over a
+    # functional redirect map synthesized from doc ids (ids % 3 != 0
+    # redirect, so chains terminate at %3==0 sinks or cycle) --------
+    def web_redirects_q(s, d):
+        from lucille_spark.ops.web import resolve_redirects
+
+        n = (
+            _docs(s, d)
+            .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 != 0))
+            .select(
+                F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+                .alias("src"),
+                F.concat(
+                    F.lit("u"),
+                    ((F.col("doc_id") * 3 + 7) % 200).cast("string"),
+                ).alias("dst"),
+            )
+        )
+        return resolve_redirects(n, max_rounds=5)
+
+    q["web_redirects"] = web_redirects_q
+
+    # ---- host-level link graph (domain-graph collapse): synthetic
+    # cross-host edge list with self-loops and empty hosts mixed in
+    # so the filter + weight aggregation both carry the hash --------
+    def web_hostgraph_q(s, d):
+        from lucille_spark.ops.web import host_graph
+
+        i = F.col("doc_id")
+        e = (
+            _docs(s, d)
+            .filter(i < 500)
+            .select(
+                F.concat(
+                    F.lit("h"), (i % 7).cast("string"),
+                    F.lit(".example.com"),
+                ).alias("src_host"),
+                F.when(i % 13 == 0, F.lit("")).otherwise(
+                    F.concat(
+                        F.lit("h"), ((i * 5 + 1) % 9).cast("string"),
+                        F.lit(".example.com"),
+                    )
+                ).alias("dst_host"),
+            )
+        )
+        return host_graph(e)
+
+    q["web_hostgraph"] = web_hostgraph_q
+
     def web_anchors_q(s, d):
         from lucille_spark.ops.web import (
             anchor_summary,
@@ -11860,6 +11909,36 @@ SELECT src_url, dst_url,
       '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)),
     '^www\\.', ''), ':(80|443)$', '') AS dst_host
 FROM ded ORDER BY src_url, dst_url"""
+
+    # ---- redirect resolution: the SAME pointer-jumping doubling
+    # (f1 = f0(f0), f2 = f1(f1), ...) unrolled to 5 rounds ----------
+    _rr_steps = "\n".join(
+        f"f{i} AS (SELECT a.url, coalesce(b.target, a.target) AS target\n"
+        f"  FROM f{i-1} a LEFT JOIN f{i-1} b ON a.target = b.url),"
+        for i in range(1, 6)
+    )
+    o["web_redirects"] = f"""
+WITH n AS (SELECT doc_id AS id FROM documents
+           WHERE doc_id < 200 AND doc_id % 3 <> 0),
+f0 AS (SELECT 'u' || id AS url,
+              'u' || ((id * 3 + 7) % 200) AS target FROM n),
+{_rr_steps}
+srcs AS (SELECT DISTINCT url FROM f0)
+SELECT a.url, a.target, s.url IS NULL AS resolved
+FROM f5 a LEFT JOIN srcs s ON a.target = s.url
+ORDER BY a.url"""
+
+    # ---- host-graph collapse over the synthetic cross-host edges --
+    o["web_hostgraph"] = """
+WITH e AS (SELECT
+  'h' || (doc_id % 7) || '.example.com' AS src_host,
+  CASE WHEN doc_id % 13 = 0 THEN ''
+       ELSE 'h' || ((doc_id * 5 + 1) % 9) || '.example.com'
+  END AS dst_host
+  FROM documents WHERE doc_id < 500)
+SELECT src_host, dst_host, cast(count(*) as int) AS n_links
+FROM e WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
+GROUP BY src_host, dst_host ORDER BY src_host, dst_host"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

@@ -890,3 +890,114 @@ def url_traps(
         )
         .orderBy(F.desc("n_urls"), "host", "template")
     )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (pointer jumping) and the host-level graph
+# ---------------------------------------------------------------------------
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Resolve every redirect source to its FINAL target by pointer
+    jumping: each round composes the map with itself (f <- f(f(x))),
+    so chains up to 2^max_rounds hops collapse in max_rounds
+    self-joins — the O(log chain) trick connected-components uses,
+    applied to the crawl's 301/rel=canonical map.
+
+    A source whose final target is itself still a redirect source —
+    a cycle, or a chain longer than 2^max_rounds — comes back
+    `resolved = false` (the honest answer: following it further
+    cannot terminate, and a crawler must drop it). Duplicate
+    sources keep the lexicographically smallest target so the map
+    is a deterministic function.
+
+    Scale: each round is one equi-join of two 2-column tables,
+    shuffled on the join key; rounds are localCheckpointed so the
+    unrolled lineage stays flat. -> (url, target, resolved bool)
+    sorted by url."""
+    f = (
+        redirects.select(
+            F.col(src_col).alias("url"), F.col(dst_col).alias("target")
+        )
+        .groupBy("url")
+        .agg(F.min("target").alias("target"))
+    )
+    srcs = f.select(F.col("url").alias("_s")).distinct()
+    for _ in range(int(max_rounds)):
+        g = f.select(
+            F.col("url").alias("_u"), F.col("target").alias("_t")
+        )
+        f = (
+            f.join(g, f["target"] == g["_u"], "left")
+            .select(
+                "url",
+                F.coalesce(g["_t"], f["target"]).alias("target"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        f.join(srcs, f["target"] == srcs["_s"], "left")
+        .select(
+            "url", "target", F.col("_s").isNull().alias("resolved")
+        )
+        .orderBy("url")
+    )
+
+
+def apply_redirects(
+    df: DataFrame,
+    url_col: str,
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Rewrite a URL column to final redirect targets (resolved
+    chains only — cycles keep the original URL, matching what a
+    crawler stores when a redirect loop is detected). One broadcast-
+    able left join against the resolved map."""
+    m = (
+        resolve_redirects(
+            redirects, src_col, dst_col, max_rounds=max_rounds
+        )
+        .filter("resolved")
+        .select(
+            F.col("url").alias("_ru"), F.col("target").alias("_rt")
+        )
+    )
+    return (
+        df.join(m, df[url_col] == m["_ru"], "left")
+        .withColumn(url_col, F.coalesce("_rt", url_col))
+        .drop("_ru", "_rt")
+    )
+
+
+def host_graph(
+    edges: DataFrame,
+    src_host: str = "src_host",
+    dst_host: str = "dst_host",
+) -> DataFrame:
+    """Collapse a URL-level link graph to the host (domain) graph —
+    the input to domain authority ranking (ops.graph.pagerank /
+    trustrank) and per-domain sampling weights. Self-loops (intra-
+    site navigation) are dropped; edge weight = number of distinct
+    URL-level links. One aggregation on the (src, dst) host pair.
+    -> (src_host, dst_host, n_links int) sorted by hosts."""
+    return (
+        edges.filter(
+            (F.col(src_host) != F.col(dst_host))
+            & (F.col(src_host) != "")
+            & (F.col(dst_host) != "")
+        )
+        .groupBy(
+            F.col(src_host).alias("src_host"),
+            F.col(dst_host).alias("dst_host"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )

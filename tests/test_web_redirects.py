@@ -1,0 +1,79 @@
+"""Redirect-chain resolution (pointer jumping) and host-graph
+collapse: chain/cycle/too-long semantics, deterministic duplicate
+handling, URL rewriting, and the self-loop/weight rules."""
+
+import pytest
+
+from lucille_spark.ops import web as W
+
+
+@pytest.fixture(scope="module")
+def chains(spark):
+    # a->b->c->d (d is a sink), x<->y (2-cycle), lone->d
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"),
+         ("lone", "d")],
+        ["src", "dst"],
+    )
+
+
+def _m(df):
+    return {
+        r["url"]: (r["target"], r["resolved"]) for r in df.collect()
+    }
+
+
+def test_chain_resolves_to_sink(spark, chains):
+    m = _m(W.resolve_redirects(chains))
+    assert m["a"] == ("d", True)
+    assert m["b"] == ("d", True)
+    assert m["c"] == ("d", True)
+    assert m["lone"] == ("d", True)
+
+
+def test_cycle_flagged_unresolved(spark, chains):
+    m = _m(W.resolve_redirects(chains))
+    assert m["x"][1] is False
+    assert m["y"][1] is False
+    assert m["x"][0] in ("x", "y")
+
+
+def test_long_chain_within_doubling_budget(spark):
+    # 30-hop chain: 5 doubling rounds cover 2^5 = 32 hops
+    edges = [(f"n{i}", f"n{i+1}") for i in range(30)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    m = _m(W.resolve_redirects(df, max_rounds=5))
+    assert all(v == ("n30", True) for v in m.values())
+    # 2 rounds only cover 4 hops: the head of the chain cannot reach
+    # the sink and must come back unresolved, never wrong-resolved
+    m2 = _m(W.resolve_redirects(df, max_rounds=2))
+    assert m2["n0"][1] is False
+    assert m2["n29"] == ("n30", True)
+
+
+def test_duplicate_source_takes_min_target(spark):
+    df = spark.createDataFrame(
+        [("a", "z2"), ("a", "z1")], ["src", "dst"]
+    )
+    assert _m(W.resolve_redirects(df)) == {"a": ("z1", True)}
+
+
+def test_apply_redirects_rewrites_resolved_only(spark, chains):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "x"), (3, "unrelated")], ["id", "url"]
+    )
+    out = {
+        r["id"]: r["url"]
+        for r in W.apply_redirects(docs, "url", chains).collect()
+    }
+    assert out == {1: "d", 2: "x", 3: "unrelated"}
+
+
+def test_host_graph_rules(spark):
+    e = spark.createDataFrame(
+        [("a.com", "b.com"), ("a.com", "b.com"), ("a.com", "a.com"),
+         ("", "b.com"), ("c.com", "")],
+        ["src_host", "dst_host"],
+    )
+    rows = [tuple(r) for r in W.host_graph(e).collect()]
+    assert rows == [("a.com", "b.com", 2)]
