@@ -5450,6 +5450,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_hostgraph"] = web_hostgraph_q
 
+    # ---- politeness fetch schedule: per-host serialization with a
+    # robots Crawl-delay override table -----------------------------
+    def web_schedule_q(s, d):
+        from lucille_spark.ops.web import fetch_schedule
+
+        i = F.col("doc_id")
+        frontier = (
+            _docs(s, d)
+            .filter(i < 300)
+            .select(
+                F.concat(
+                    F.lit("https://h"), (i % 5).cast("string"),
+                    F.lit(".example.com/p/"), i.cast("string"),
+                ).alias("url"),
+                (i % 17).cast("double").alias("pri"),
+            )
+        )
+        delays = s.createDataFrame(
+            [("h0.example.com", 2.5), ("h3.example.com", 0.5)],
+            ["host", "delay_s"],
+        )
+        return fetch_schedule(
+            frontier, priority_col="pri", crawl_delay_s=1.0,
+            delays=delays,
+        )
+
+    q["web_schedule"] = web_schedule_q
+
+    # ---- adaptive revisit cadence from change history -------------
+    def web_revisit_q(s, d):
+        from lucille_spark.ops.web import revisit_intervals
+
+        i = F.col("doc_id")
+        k = F.col("snap")
+        hist = (
+            _docs(s, d)
+            .filter(i < 200)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(5))
+                ).alias("snap"),
+            )
+            .select(
+                F.concat(F.lit("u"), i.cast("string")).alias("url"),
+                k.alias("snapshot"),
+                # deterministic change pattern: md5(doc:snap) % 3 == 0
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    i.cast("string"),
+                                    k.cast("string"),
+                                )
+                            ),
+                            1,
+                            2,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 3
+                    == 0
+                ).alias("changed"),
+            )
+        )
+        return revisit_intervals(hist, base_s=3600.0, min_s=1800.0,
+                                 max_s=86400.0)
+
+    q["web_revisit"] = web_revisit_q
+
     def web_anchors_q(s, d):
         from lucille_spark.ops.web import (
             anchor_summary,
@@ -11939,6 +12012,47 @@ WITH e AS (SELECT
 SELECT src_host, dst_host, cast(count(*) as int) AS n_links
 FROM e WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
 GROUP BY src_host, dst_host ORDER BY src_host, dst_host"""
+
+    # ---- politeness fetch schedule: same per-host serialization ---
+    o["web_schedule"] = """
+WITH f AS (SELECT
+    'https://h' || (doc_id % 5) || '.example.com/p/' || doc_id AS url,
+    'h' || (doc_id % 5) || '.example.com' AS host,
+    (doc_id % 17) * 1.0 AS pri
+  FROM documents WHERE doc_id < 300),
+s AS (SELECT url, host,
+        row_number() OVER (PARTITION BY host
+                           ORDER BY pri DESC, url ASC) - 1 AS slot
+      FROM f),
+d AS (SELECT host, delay_s::DOUBLE AS delay_s
+      FROM (VALUES ('h0.example.com', 2.5),
+                   ('h3.example.com', 0.5)) AS t(host, delay_s))
+SELECT s.url, s.host, cast(slot as int) AS slot,
+       round(slot * coalesce(d.delay_s, 1.0::DOUBLE), 4) AS fetch_at_s
+FROM s LEFT JOIN d USING (host)
+ORDER BY host, slot"""
+
+    # ---- adaptive revisit cadence: same backoff formula -----------
+    o["web_revisit"] = """
+WITH h AS (SELECT 'u' || doc_id AS url, s.snap AS snapshot,
+    (('0x' || substring(md5(doc_id || ':' || s.snap), 1, 2))::int % 3) = 0
+      AS changed
+  FROM documents, (SELECT unnest(range(0, 6)) AS snap) s
+  WHERE doc_id < 200),
+lc AS (SELECT url, max(CASE WHEN changed THEN snapshot END) AS last_chg
+       FROM h GROUP BY url),
+g AS (SELECT h.url, count(*) AS n_obs,
+        sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed,
+        sum(CASE WHEN lc.last_chg IS NULL OR h.snapshot > lc.last_chg
+            THEN 1 ELSE 0 END) AS streak
+      FROM h JOIN lc USING (url) GROUP BY h.url)
+SELECT url, cast(n_obs as int) AS n_obs,
+  cast(n_changed as int) AS n_changed,
+  cast(streak as int) AS streak,
+  round(n_changed * 1.0 / n_obs, 4) AS lambda_rate,
+  round(least(greatest(3600.0 * power(2.0, least(streak, 30)), 1800.0),
+              86400.0), 4) AS next_interval_s
+FROM g ORDER BY url"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

@@ -1001,3 +1001,147 @@ def host_graph(
         .agg(F.count(F.lit(1)).cast("int").alias("n_links"))
         .orderBy("src_host", "dst_host")
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl scheduling: politeness serialization and revisit cadence
+# ---------------------------------------------------------------------------
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    url_col: str = "url",
+    priority_col: str = None,
+    crawl_delay_s: float = 1.0,
+    delays: DataFrame = None,
+) -> DataFrame:
+    """Politeness-aware fetch plan: a crawler may hit one host only
+    every crawl_delay seconds, so within each host the frontier is
+    served highest-priority-first and the i-th URL of a host is due
+    at i * delay. Per-host delays (robots.txt Crawl-delay, via
+    `robots_rules`) override the default through the optional
+    `delays` (host, delay_s) table — a broadcast-sized dim join.
+
+    Scale: ONE window partitioned by host (the natural crawl
+    sharding key — each politeness queue lives on one executor);
+    no global sort, no driver state. Hot hosts skew the window the
+    same way they skew a real crawler: the schedule itself is the
+    evidence you must cap per-host depth (`url_traps`).
+    -> (url, host, slot int, fetch_at_s double) sorted by host,
+    slot."""
+    from pyspark.sql import Window
+
+    pri = (
+        F.col(priority_col)
+        if priority_col
+        else F.lit(0.0)
+    )
+    f = frontier.select(
+        F.col(url_col).alias("url"),
+        host_expr(url_col).alias("host"),
+        pri.cast("double").alias("_pri"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("_pri"), F.asc("url")
+    )
+    out = f.withColumn("slot", F.row_number().over(w) - F.lit(1))
+    if delays is not None:
+        d = delays.select(
+            F.col("host").alias("_dh"),
+            F.col("delay_s").cast("double").alias("_ds"),
+        )
+        out = out.join(
+            F.broadcast(d), out["host"] == d["_dh"], "left"
+        ).withColumn(
+            "_delay", F.coalesce("_ds", F.lit(float(crawl_delay_s)))
+        )
+    else:
+        out = out.withColumn("_delay", F.lit(float(crawl_delay_s)))
+    return out.select(
+        "url",
+        "host",
+        F.col("slot").cast("int").alias("slot"),
+        F.round(F.col("slot") * F.col("_delay"), 4).alias(
+            "fetch_at_s"
+        ),
+    ).orderBy("host", "slot")
+
+
+def revisit_intervals(
+    history: DataFrame,
+    url_col: str = "url",
+    snap_col: str = "snapshot",
+    changed_col: str = "changed",
+    base_s: float = 86400.0,
+    min_s: float = 3600.0,
+    max_s: float = 86400.0 * 30,
+) -> DataFrame:
+    """Adaptive re-crawl cadence from observed change history (the
+    Cho & Garcia-Molina incremental-crawler policy family, in its
+    standard exponential-backoff form): a URL that changed in its
+    LATEST observed snapshot is refetched at `base_s`; every
+    consecutive unchanged observation since the last change doubles
+    the interval, clamped to [min_s, max_s]. The change-rate
+    estimate lambda = changes/observations rides along for
+    schedulers that want a continuous score instead of the backoff.
+
+    Input: one row per (url, snapshot, changed bool) — exactly what
+    `crawl_delta` emits per snapshot pair (changed = status IN
+    ('changed','touched','new')). ONE shuffle on url: the
+    last-change window and the groupBy share the same partitioning,
+    and the streak counts observations after the last change so
+    sparse / non-consecutive snapshot ids stay correct.
+    -> (url, n_obs int, n_changed int, streak int, lambda_rate
+    double, next_interval_s double) sorted by url."""
+    h = history.select(
+        F.col(url_col).alias("url"),
+        F.col(snap_col).cast("long").alias("_snap"),
+        F.col(changed_col).cast("boolean").alias("_chg"),
+    )
+    from pyspark.sql import Window
+
+    g = (
+        h.withColumn(
+            "_last_chg",
+            F.max(F.when(F.col("_chg"), F.col("_snap"))).over(
+                Window.partitionBy("url")
+            ),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_obs"),
+            F.sum(F.when(F.col("_chg"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_changed"),
+            # observations strictly after the last change — robust
+            # to sparse/non-consecutive snapshot ids
+            F.sum(
+                F.when(
+                    F.col("_last_chg").isNull()
+                    | (F.col("_snap") > F.col("_last_chg")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("_streak"),
+        )
+    )
+    streak = F.col("_streak")
+    interval = F.least(
+        F.greatest(
+            F.lit(float(base_s))
+            * F.pow(F.lit(2.0), F.least(streak, F.lit(30))),
+            F.lit(float(min_s)),
+        ),
+        F.lit(float(max_s)),
+    )
+    return g.select(
+        "url",
+        "n_obs",
+        "n_changed",
+        streak.cast("int").alias("streak"),
+        F.round(
+            F.col("n_changed") / F.col("n_obs"), 4
+        ).alias("lambda_rate"),
+        F.round(interval, 4).alias("next_interval_s"),
+    ).orderBy("url")

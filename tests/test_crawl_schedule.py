@@ -1,0 +1,89 @@
+"""Politeness fetch scheduling and adaptive revisit cadence."""
+
+import pytest
+
+from lucille_spark.ops import web as W
+
+
+def test_fetch_schedule_per_host_serialization(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.com/1", 5.0),
+            ("https://a.com/2", 9.0),
+            ("https://b.com/1", 1.0),
+        ],
+        ["url", "pri"],
+    )
+    rows = {
+        r["url"]: (r["host"], r["slot"], r["fetch_at_s"])
+        for r in W.fetch_schedule(
+            frontier, priority_col="pri", crawl_delay_s=2.0
+        ).collect()
+    }
+    # higher priority fetched first within the host
+    assert rows["https://a.com/2"] == ("a.com", 0, 0.0)
+    assert rows["https://a.com/1"] == ("a.com", 1, 2.0)
+    assert rows["https://b.com/1"] == ("b.com", 0, 0.0)
+
+
+def test_fetch_schedule_robots_delay_override(spark):
+    frontier = spark.createDataFrame(
+        [("https://slow.com/%d" % i, 0.0) for i in range(3)],
+        ["url", "pri"],
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 10.0)], ["host", "delay_s"]
+    )
+    out = W.fetch_schedule(
+        frontier, priority_col="pri", delays=delays
+    ).collect()
+    assert [r["fetch_at_s"] for r in out] == [0.0, 10.0, 20.0]
+
+
+def _revisit(spark, history):
+    df = spark.createDataFrame(
+        history, ["url", "snapshot", "changed"]
+    )
+    return {
+        r["url"]: r.asDict()
+        for r in W.revisit_intervals(
+            df, base_s=100.0, min_s=10.0, max_s=10000.0
+        ).collect()
+    }
+
+
+def test_revisit_backoff_doubles_on_unchanged(spark):
+    # changed at snap 0, unchanged 1..3 -> streak 3 -> 100 * 2^3
+    m = _revisit(
+        spark,
+        [("u", 0, True), ("u", 1, False), ("u", 2, False),
+         ("u", 3, False)],
+    )["u"]
+    assert m["streak"] == 3
+    assert m["next_interval_s"] == 800.0
+    assert m["lambda_rate"] == 0.25
+
+
+def test_revisit_recent_change_resets(spark):
+    m = _revisit(
+        spark, [("u", 0, False), ("u", 1, False), ("u", 2, True)]
+    )["u"]
+    assert m["streak"] == 0
+    assert m["next_interval_s"] == 100.0
+
+
+def test_revisit_never_changed_and_clamp(spark):
+    hist = [("u", i, False) for i in range(12)]
+    m = _revisit(spark, hist)["u"]
+    assert m["streak"] == 12
+    assert m["next_interval_s"] == 10000.0  # clamped at max_s
+    assert m["lambda_rate"] == 0.0
+
+
+def test_revisit_sparse_snapshot_ids(spark):
+    # non-consecutive ids: streak counts OBSERVATIONS, not id gaps
+    m = _revisit(
+        spark, [("u", 10, True), ("u", 50, False), ("u", 900, False)]
+    )["u"]
+    assert m["streak"] == 2
+    assert m["next_interval_s"] == 400.0
