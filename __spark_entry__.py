@@ -4145,6 +4145,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_grep_ix"] = code_grep_ix_q
 
+    # ---- batched multi-pattern grep: N regexes, one postings pass -
+    def code_grep_many_q(s, d):
+        from lucille_spark.ops.code import grep_many
+
+        return grep_many(
+            _codegen_docs(s, d), "doc_id", "text",
+            {
+                "todo": r"^# TODO refactor s\w+",
+                "imp": r"^import s",
+                "var": r"a_var = 1",
+            },
+        )
+
+    q["code_grep_many"] = code_grep_many_q
+
     # ---- ES cardinality agg: HLL over the match set's source field -
     def cardinality_q(s, d):
         from lucille_spark.exec_df import DataFrameExecutor
@@ -10584,6 +10599,24 @@ ln AS (SELECT doc_id, line_no, CASE (('0x' || substring(md5(x), 1, 2))::int % 5)
 SELECT doc_id, line_no, line FROM ln
 WHERE regexp_matches(line, '^# TODO refactor s\\w+')
 ORDER BY doc_id, line_no"""
+
+    # ---- batched multi-pattern grep: union of the per-pattern
+    # full scans, tagged by pattern id -------------------------------
+    o["code_grep_many"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr FROM documents WHERE doc_id < 100),
+ex AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM t
+       WHERE len(arr) > 0),
+tr AS (SELECT doc_id, cast(i as int) AS line_no, arr[i + 1] AS x
+       FROM ex),
+ln AS (SELECT doc_id, line_no, CASE (('0x' || substring(md5(x), 1, 2))::int % 5) WHEN 0 THEN 'import ' || x WHEN 1 THEN 'from ' || x || ' import util' WHEN 2 THEN '# TODO refactor ' || x WHEN 3 THEN '    ' || x || '_var = 1' ELSE 'def ' || x || '():' END AS line FROM tr),
+pats AS (SELECT * FROM (VALUES
+  ('todo', '^# TODO refactor s\\w+'),
+  ('imp', '^import s'),
+  ('var', 'a_var = 1')) AS p(pattern_id, pat))
+SELECT pattern_id, doc_id, line_no, line
+FROM ln CROSS JOIN pats
+WHERE regexp_matches(line, pat)
+ORDER BY pattern_id, doc_id, line_no"""
 
     # ---- ES cardinality agg: identical HLL register math over the
     # source values of the 'spark' match set --------------------------

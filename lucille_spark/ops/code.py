@@ -1313,3 +1313,79 @@ def grep_indexed(
         F.col(text_col).alias("__grep_text"),
     ).join(cands, "doc_id", "left_semi")
     return grep(pruned, "doc_id", "__grep_text", pattern)
+
+
+def grep_many(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict,
+    postings: DataFrame = None,
+) -> DataFrame:
+    """Batched indexed grep: run N regexes in ONE pass — the
+    serving shape for code-search traffic (same reasoning as the
+    WAND executor's search_many: per-query fixed cost dominates at
+    interactive latency, so amortize it across the batch).
+
+    One postings⋈needs join + one groupBy((pattern, branch, doc))
+    count computes EVERY pattern's candidate set together; matching
+    docs' lines are exploded once and verified with the pattern
+    regex evaluated per candidate pair via regexp_like(line, pat)
+    — still JVM-side codegen, no Python. Patterns without a
+    required literal fall back to the full scan, unioned in.
+    -> (pattern_id, doc_id, line_no, line)."""
+    spark = df.sparkSession
+    needs_rows, fallback_ids = [], []
+    for pid, pattern in patterns.items():
+        branches = trigram_query(pattern)
+        if branches is None:
+            fallback_ids.append(pid)
+            continue
+        for bi, grams in enumerate(branches):
+            needs_rows.extend(
+                (pid, bi, g, len(grams)) for g in grams
+            )
+    out = None
+    if needs_rows:
+        if postings is None:
+            postings = trigram_postings(df, id_col, text_col)
+        needs = spark.createDataFrame(
+            needs_rows, ["pattern_id", "_branch", "gram", "_need"]
+        )
+        cands = (
+            postings.join(F.broadcast(needs), "gram")
+            .groupBy("pattern_id", "_branch", "doc_id", "_need")
+            .agg(F.count_distinct("gram").alias("_got"))
+            .filter(F.col("_got") == F.col("_need"))
+            .select("pattern_id", "doc_id")
+            .distinct()
+        )
+        pats = spark.createDataFrame(
+            [(p, patterns[p]) for p in patterns if p not in fallback_ids],
+            ["pattern_id", "_pat"],
+        )
+        lines = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias(
+                "line_no", "line"
+            ),
+        ).join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
+        out = (
+            cands.join(F.broadcast(pats), "pattern_id")
+            .join(lines, "doc_id")
+            .filter(F.expr("regexp_like(line, _pat)"))
+            .select(
+                "pattern_id",
+                "doc_id",
+                F.col("line_no").cast("int").alias("line_no"),
+                "line",
+            )
+        )
+    for pid in fallback_ids:
+        full = grep(df, id_col, text_col, patterns[pid]).select(
+            F.lit(pid).alias("pattern_id"), "doc_id", "line_no", "line"
+        )
+        out = full if out is None else out.unionByName(full)
+    if out is None:
+        raise ValueError("empty pattern dict")
+    return out.orderBy("pattern_id", "doc_id", "line_no")

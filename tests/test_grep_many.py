@@ -1,0 +1,62 @@
+"""Batched multi-pattern indexed grep: one postings pass for N
+regexes, per-pattern results identical to single-pattern grep."""
+
+import pytest
+
+from lucille_spark.ops import code as C
+
+DOCS = [
+    (0, "import numpy\nfrom os import path\n# TODO refactor spark"),
+    (1, "def main():\n    x_var = 1\n    return x_var"),
+    (2, "require('react')\nimport scipy\n// comment"),
+    (3, "ab\nabc\nabbc\nabbbc"),
+    (4, "hello.world\nimport numpy.linalg"),
+]
+
+PATTERNS = {
+    "np": r"import numpy",
+    "todo": r"^# TODO refactor s\w+",
+    "abc": r"ab+c",
+    "alt": r"numpy|react",
+    "dot": r"f.o",  # no literal: full-scan fallback inside the batch
+}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_batch_equals_singles(spark, docs_df):
+    got = sorted(
+        tuple(r)
+        for r in C.grep_many(
+            docs_df, "doc_id", "text", PATTERNS
+        ).collect()
+    )
+    want = sorted(
+        (pid, r["doc_id"], r["line_no"], r["line"])
+        for pid, pat in PATTERNS.items()
+        for r in C.grep(docs_df, "doc_id", "text", pat).collect()
+    )
+    assert got == want
+    assert any(pid == "dot" for pid, *_ in got)  # fallback ran
+
+
+def test_all_fallback_batch(spark, docs_df):
+    got = sorted(
+        tuple(r)
+        for r in C.grep_many(
+            docs_df, "doc_id", "text", {"d": r"f.o"}
+        ).collect()
+    )
+    want = sorted(
+        ("d", r["doc_id"], r["line_no"], r["line"])
+        for r in C.grep(docs_df, "doc_id", "text", r"f.o").collect()
+    )
+    assert got == want
+
+
+def test_empty_patterns_raises(spark, docs_df):
+    with pytest.raises(ValueError):
+        C.grep_many(docs_df, "doc_id", "text", {})
