@@ -358,6 +358,48 @@ def main():
     # context
     out["dedup_pairs_verified"] = int(n_pairs)
 
+    # ---- leg 7: trigram-indexed grep vs full-scan grep ------------
+    # (Cox/Zoekt code search: posting intersection prunes the scan
+    # to candidate docs, exact regex verifies — same rows, less IO)
+    from lucille_spark.ops.code import grep, grep_indexed, trigram_postings
+
+    sf_docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    t0 = time.time()
+    postings = trigram_postings(sf_docs, "doc_id", "text").persist()
+    n_postings = postings.count()
+    out["grep_ix_build_sec"] = round(time.time() - t0, 3)
+    # NOTE: the synthetic corpus shares a ~50-word vocabulary, so
+    # trigram selectivity here is PESSIMAL (most docs contain most
+    # grams) — the leg proves identical results + bounded overhead;
+    # candidate fraction is the number to watch (on real code a
+    # literal's grams select a tiny slice; here they barely filter)
+    from lucille_spark.ops.code import trigram_candidates, trigram_query
+
+    pat = r"window stream spark fast"  # literal: full trigram path
+    grep(sf_docs, "doc_id", "text", pat).count()  # warm scan
+    n_cand = trigram_candidates(
+        postings, trigram_query(pat)
+    ).count()
+    greps, gixs = [], []
+    for _ in range(3):
+        t0 = time.time()
+        n_full = grep(sf_docs, "doc_id", "text", pat).count()
+        greps.append(time.time() - t0)
+        t0 = time.time()
+        n_fast = grep_indexed(
+            sf_docs, "doc_id", "text", pat, postings=postings
+        ).count()
+        gixs.append(time.time() - t0)
+    assert n_full == n_fast, (n_full, n_fast)
+    postings.unpersist()
+    out["grep_scan_ms"] = round(sorted(greps)[1] * 1000, 1)
+    out["grep_indexed_ms"] = round(sorted(gixs)[1] * 1000, 1)
+    out["grep_matches"] = int(n_full)
+    out["grep_candidates"] = int(n_cand)
+    out["grep_corpus_docs"] = int(sf_docs.count())
+
     total = time.time() - t_start
     print(
         json.dumps(
@@ -391,6 +433,12 @@ def main():
                         "agg_dashboard_ms",
                         "dedup_docs_per_sec",
                         "dedup_pairs_verified",
+                        "grep_ix_build_sec",
+                        "grep_scan_ms",
+                        "grep_indexed_ms",
+                        "grep_matches",
+                        "grep_candidates",
+                        "grep_corpus_docs",
                         "big_n_docs",
                         "big_batch32_ms_per_query",
                     )
