@@ -1253,10 +1253,17 @@ def trigram_candidates(
     branches,
     counts: DataFrame = None,
     max_grams: int = 16,
+    assume_distinct: bool = True,
 ) -> DataFrame:
     """Candidate doc_ids for a compiled trigram query. Per branch:
     intersect the (optionally rarest-only) grams' posting lists via
-    one groupBy(doc_id) count; OR = union-distinct across branches."""
+    one groupBy(doc_id) count; OR = union-distinct across branches.
+
+    assume_distinct: trigram_postings/build_grep_index emit one row
+    per (gram, doc) by construction, so a plain count suffices (ONE
+    Exchange). Pass False for hand-merged posting unions that may
+    carry duplicates — count_distinct then costs a second dedup
+    aggregate."""
     if counts is not None:
         wanted = sorted({g for b in branches for g in b})
         freq = {
@@ -1278,7 +1285,13 @@ def trigram_candidates(
         c = (
             postings.filter(F.col("gram").isin(list(grams)))
             .groupBy("doc_id")
-            .agg(F.count_distinct("gram").alias("_ng"))
+            .agg(
+                (
+                    F.count("gram")
+                    if assume_distinct
+                    else F.count_distinct("gram")
+                ).alias("_ng")
+            )
             .filter(F.col("_ng") == len(grams))
             .select("doc_id")
         )
@@ -1355,7 +1368,9 @@ def grep_many(
         cands = (
             postings.join(F.broadcast(needs), "gram")
             .groupBy("pattern_id", "_branch", "doc_id", "_need")
-            .agg(F.count_distinct("gram").alias("_got"))
+            # needs rows are unique per (pattern, branch, gram) and
+            # postings are per-doc distinct -> plain count is exact
+            .agg(F.count("gram").alias("_got"))
             .filter(F.col("_got") == F.col("_need"))
             .select("pattern_id", "doc_id")
             .distinct()
