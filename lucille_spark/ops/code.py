@@ -1159,10 +1159,24 @@ def _literal_runs(branch: str):
     return runs
 
 
+import re as _re
+
+# inline flag groups that turn on case-insensitive matching —
+# (?i), (?iu), (?i:...), (?m-i)... — make case-sensitive postings
+# unsound (the text may match in a case whose grams were never
+# indexed), so their presence forces the full-scan fallback
+_CASE_FLAG_RE = _re.compile(r"\(\?[a-zA-Z]*i[a-zA-Z-]*[):]")
+
+
 def trigram_query(pattern: str):
     """Compile a regex into [[grams ANDed] ORed across branches], or
     None when no branch has a required >=3-char literal (then only
-    the full scan is sound)."""
+    the full scan is sound). Patterns carrying an inline
+    case-insensitive flag also return None: the postings are
+    case-sensitive, so any pruning could miss differently-cased
+    matches."""
+    if _CASE_FLAG_RE.search(pattern):
+        return None
     branches = []
     for branch in _split_alternation(pattern):
         grams = sorted(
@@ -1404,3 +1418,81 @@ def grep_many(
     if out is None:
         raise ValueError("empty pattern dict")
     return out.orderBy("pattern_id", "doc_id", "line_no")
+
+
+def append_grep_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    shards: int = 8,
+) -> None:
+    """Incremental trigram-index append (the streaming-ingest path:
+    new crawl/commit batches land as ADDITIONAL posting files, no
+    rewrite of existing ones). Each appended file is internally
+    gram-sorted so row-group pruning holds per file; the gram
+    frequency table is recomputed from the full postings dir —
+    gram-dictionary-sized, so the refresh costs one small scan.
+    Caller contract: the batch's doc ids are NEW (same rule as every
+    append-only posting store — dedup upstream or ids collide)."""
+    base = index_dir.rstrip("/")
+    p = trigram_postings(df, id_col, text_col)
+    (
+        p.repartitionByRange(shards, "gram")
+        .sortWithinPartitions("gram", "doc_id")
+        .write.mode("append")
+        .parquet(base + "/postings")
+    )
+    spark = df.sparkSession
+    (
+        gram_counts(spark.read.parquet(base + "/postings"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(base + "/gram_counts")
+    )
+
+
+class GrepIndex:
+    """Front door for trigram code search: load the on-disk index
+    once, serve single patterns and batches with rarest-gram
+    selection wired in.
+
+        gix = GrepIndex(spark, "/data/grep_ix")
+        gix.grep(docs, "doc_id", "text", r"def handle_\w+")
+        gix.grep_many(docs, "doc_id", "text", {"a": ..., "b": ...})
+    """
+
+    def __init__(self, spark, index_dir: str):
+        self.index_dir = index_dir.rstrip("/")
+        self.postings, self.counts = load_grep_index(
+            spark, self.index_dir
+        )
+
+    def grep(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        pattern: str,
+        max_grams: int = 16,
+    ) -> DataFrame:
+        return grep_indexed(
+            docs,
+            id_col,
+            text_col,
+            pattern,
+            postings=self.postings,
+            counts=self.counts,
+            max_grams=max_grams,
+        )
+
+    def grep_many(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        patterns: dict,
+    ) -> DataFrame:
+        return grep_many(
+            docs, id_col, text_col, patterns, postings=self.postings
+        )

@@ -173,3 +173,41 @@ def test_short_doc_never_candidate(spark, docs_df):
     assert (
         postings.filter(postings.doc_id.isin([5, 6])).count() == 0
     )
+
+
+def test_inline_case_flag_forces_full_scan():
+    # (?i) makes case-sensitive postings unsound -> no pruning
+    assert C.trigram_query(r"(?i)foo") is None
+    assert C.trigram_query(r"(?iu)foo") is None
+    assert C.trigram_query(r"bar(?i:foo)") is None
+    # non-flag special groups still prune on surrounding literals
+    assert C.trigram_query(r"(?:xx)hello") == [["ell", "hel", "llo"]]
+
+
+def test_case_flag_results_still_correct(spark, docs_df):
+    got = _rows(
+        C.grep_indexed(docs_df, "doc_id", "text", r"(?i)IMPORT NUMPY")
+    )
+    want = _rows(C.grep(docs_df, "doc_id", "text", r"(?i)IMPORT NUMPY"))
+    assert got == want and len(got) > 0
+
+
+def test_append_and_facade(spark, docs_df, tmp_path):
+    out = str(tmp_path / "gix_inc")
+    base = docs_df.filter("doc_id <= 4")
+    delta = docs_df.filter("doc_id > 4")
+    C.build_grep_index(base, "doc_id", "text", out, shards=2)
+    C.append_grep_index(delta, "doc_id", "text", out, shards=2)
+    gix = C.GrepIndex(spark, out)
+    got = _rows(gix.grep(docs_df, "doc_id", "text", r"import numpy"))
+    assert got == _rows(C.grep(docs_df, "doc_id", "text", r"import numpy"))
+    assert 7 in {d for d, *_ in got}  # delta doc is served
+    # counts refreshed over the full dir
+    assert (
+        gix.counts.count()
+        == gix.postings.select("gram").distinct().count()
+    )
+    many = gix.grep_many(
+        docs_df, "doc_id", "text", {"n": r"import numpy"}
+    )
+    assert _rows(many.drop("pattern_id")) == got
