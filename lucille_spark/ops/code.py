@@ -1059,6 +1059,15 @@ def _split_alternation(pattern: str):
     return parts
 
 
+def _skip_quant_modifier(pattern: str, i: int) -> int:
+    """A quantifier may carry a lazy (?) or possessive (+) modifier
+    in Java regex — consume it so it is never mistaken for a
+    literal char (repetition COUNTS are unaffected)."""
+    if i < len(pattern) and pattern[i] in "?+":
+        return i + 1
+    return i
+
+
 def _quant(pattern: str, i: int):
     """Parse a quantifier at i -> (next_i, min_reps, max_reps) or
     (i, 1, 1) when there is none. max_reps None == unbounded."""
@@ -1067,11 +1076,11 @@ def _quant(pattern: str, i: int):
         return i, 1, 1
     c = pattern[i]
     if c == "?":
-        return i + 1, 0, 1
+        return _skip_quant_modifier(pattern, i + 1), 0, 1
     if c == "*":
-        return i + 1, 0, None
+        return _skip_quant_modifier(pattern, i + 1), 0, None
     if c == "+":
-        return i + 1, 1, None
+        return _skip_quant_modifier(pattern, i + 1), 1, None
     if c == "{":
         j = pattern.find("}", i)
         if j < 0:
@@ -1087,7 +1096,7 @@ def _quant(pattern: str, i: int):
             )
         except ValueError:
             return i, 1, 1
-        return j + 1, lo, hi
+        return _skip_quant_modifier(pattern, j + 1), lo, hi
     return i, 1, 1
 
 

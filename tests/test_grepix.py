@@ -211,3 +211,19 @@ def test_append_and_facade(spark, docs_df, tmp_path):
         docs_df, "doc_id", "text", {"n": r"import numpy"}
     )
     assert _rows(many.drop("pattern_id")) == got
+
+
+def test_lazy_and_possessive_quantifier_modifiers():
+    # the trailing ?/+ of *?, *+, +?, {m,n}? must never leak into a
+    # literal run (they would demand a '?'/'+' char the text lacks)
+    assert C._literal_runs(r"ab*?cde") == ["a", "cde"]
+    assert C._literal_runs(r"ab*+cde") == ["a", "cde"]
+    assert C._literal_runs(r"ab+?cde") == ["ab", "bcde"]
+    assert C._literal_runs(r"a{2,3}?bc") == ["aa", "abc"]
+
+
+def test_lazy_quantifier_results_match_full_scan(spark, docs_df):
+    pat = r"im\w*?port numpy"
+    got = _rows(C.grep_indexed(docs_df, "doc_id", "text", pat))
+    assert got == _rows(C.grep(docs_df, "doc_id", "text", pat))
+    assert len(got) > 0
