@@ -4103,6 +4103,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_moving_avg"] = ev_moving_avg_q
 
+    # ---- as-of join: per view, the latest purchase at-or-before —
+    # checked against DuckDB's NATIVE ASOF JOIN (engine vs engine) --
+    def ev_asof_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        e = _events(s, d)
+        out = ev.asof_join(
+            e.filter(F.col("event_type") == "view"),
+            e.filter(F.col("event_type") == "purchase"),
+            key="user_id",
+            ts="ts",
+            right_cols=("value",),
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.round("asof_ts", 4).alias("asof_ts"),
+            "r_value",
+        ).orderBy("event_id")
+
+    q["ev_asof"] = ev_asof_q
+
+    # ---- bucketed range join: views falling inside the 30-minute
+    # window after each purchase ------------------------------------
+    def ev_range_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        e = _events(s, d)
+        pts = e.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("pid"),
+            ev._epoch_s(F.col("ts")).alias("ts_s"),
+        )
+        ivs = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("iid"),
+            ev._epoch_s(F.col("ts")).alias("start_s"),
+            (ev._epoch_s(F.col("ts")) + 1800.0).alias("end_s"),
+        )
+        return (
+            ev.range_join(pts, ivs, bucket_s=3600.0)
+            .select("pid", "iid")
+            .orderBy("pid", "iid")
+        )
+
+    q["ev_range"] = ev_range_q
+
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -12086,6 +12131,30 @@ SELECT url, cast(n_obs as int) AS n_obs,
   round(least(greatest(3600.0 * power(2.0, least(streak, 30)), 1800.0),
               86400.0), 4) AS next_interval_s
 FROM g ORDER BY url"""
+
+    # ---- as-of join vs DuckDB's native ASOF JOIN ------------------
+    o["ev_asof"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+r AS (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       round(epoch(r.ts), 4) AS asof_ts,
+       r.value AS r_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+ORDER BY l.event_id"""
+
+    # ---- bucketed range join == the plain inequality join ---------
+    o["ev_range"] = """
+WITH p AS (SELECT event_id AS pid, epoch(ts) AS ts_s FROM events
+           WHERE event_type = 'view'),
+iv AS (SELECT event_id AS iid, epoch(ts) AS start_s,
+              epoch(ts) + 1800.0 AS end_s FROM events
+       WHERE event_type = 'purchase')
+SELECT pid, iid FROM p JOIN iv
+  ON p.ts_s >= iv.start_s AND p.ts_s < iv.end_s
+ORDER BY pid, iid"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

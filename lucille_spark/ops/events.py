@@ -815,3 +815,139 @@ def session_paths(
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join and bucketed range (interval) join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols=("value",),
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join — for every left row, the LATEST right row of the
+    same key with right.ts <= left.ts (< when strict) — the join
+    Spark has no native operator for (kdb aj / pandas merge_asof /
+    DuckDB ASOF JOIN; the oracle uses DuckDB's native one, so the
+    semantics are checked engine-against-engine).
+
+    Implementation is the union+window trick, NOT a join: tag both
+    inputs, union them, and carry the last right payload forward
+    with one last(ignorenulls) window per key ordered by
+    (ts, side). That is ONE shuffle on the key and a per-partition
+    sort — no join, no per-row probe, and skew behaves exactly like
+    any keyed window. At-tie rows: side ordering puts the right row
+    before (non-strict) or after (strict) the left row.
+
+    Right (key, ts) pairs must be unique for a deterministic answer
+    (same contract as DuckDB ASOF; pre-aggregate if unsure).
+    -> left columns + asof_ts (epoch seconds, null if no match) +
+    one `r_<col>` per right_col."""
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    payload = F.struct(
+        _epoch_s(F.col(ts)).alias("asof_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        _epoch_s(F.col(ts)).alias("_ts"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            right.select(payload).schema[0].dataType
+        ).alias("_r"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        _epoch_s(F.col(ts)).alias("_ts"),
+        F.lit(None)
+        .cast(left.select(F.struct(*lcols).alias("s")).schema[0].dataType)
+        .alias("_l"),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+    )
+    side_order = (
+        F.col("_side").desc() if strict else F.col("_side").asc()
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    return u.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        F.col("_match.asof_ts").alias("asof_ts"),
+        *[F.col(f"_match.r_{c}").alias(f"r_{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts_s",
+    start: str = "start_s",
+    end: str = "end_s",
+    by=None,
+    bucket_s: float = 3600.0,
+    max_buckets: int = 10000,
+) -> DataFrame:
+    """Interval containment join (point in [start, end)) as an
+    EQUI-join: Spark plans a raw inequality join as a broadcast
+    nested loop — quadratic death at scale — so each interval is
+    exploded into the fixed-width time buckets it overlaps, points
+    map to their single bucket, and the bucket (+ optional `by`
+    keys) equi-join shuffles hash-partitioned like any other join;
+    the exact containment predicate filters the bucket-coarse
+    pairs. Skew concentrates where many intervals overlap one
+    bucket — pick bucket_s near the TYPICAL interval length so the
+    per-interval explode stays O(1).
+
+    All ts columns are epoch-seconds doubles. Intervals longer than
+    max_buckets * bucket_s raise up front (one tiny agg job) —
+    silent truncation would drop matches.
+    -> points columns + every intervals column, one row per
+    (point, containing interval)."""
+    b = float(bucket_s)
+    span = intervals.agg(
+        F.max(
+            F.floor(F.col(end) / b) - F.floor(F.col(start) / b)
+        ).alias("m")
+    ).collect()[0]["m"]
+    if span is not None and span > max_buckets:
+        raise ValueError(
+            f"interval spans {span} buckets > max_buckets="
+            f"{max_buckets}; raise bucket_s"
+        )
+    by = list(by) if by else []
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / b).cast("long"),
+                F.floor(F.col(end) / b).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn(
+        "_bucket", F.floor(F.col(point_ts) / b).cast("long")
+    )
+    cond = [p["_bucket"] == iv["_bucket"]] + [
+        p[c] == iv[c] for c in by
+    ]
+    joined = p.join(iv, cond)
+    out_cols = [p[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in by
+    ]
+    return joined.filter(
+        (p[point_ts] >= iv[start]) & (p[point_ts] < iv[end])
+    ).select(*out_cols)

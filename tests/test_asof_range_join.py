@@ -1,0 +1,132 @@
+"""As-of join (union+window, no join) and bucketed range join
+(equi-join rewrite of interval containment)."""
+
+import datetime as dt
+
+import pytest
+
+from lucille_spark.ops import events as E
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+EPOCH0 = (_t(0) - dt.datetime(1970, 1, 1)).total_seconds()
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    left = spark.createDataFrame(
+        [(1, _t(5), "l5"), (1, _t(9), "l9"), (2, _t(3), "l3")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _t(4), 40.0), (1, _t(9), 90.0), (2, _t(7), 70.0)],
+        ["user_id", "ts", "value"],
+    )
+    return left, right
+
+
+def test_asof_backward_with_tie(spark, lr):
+    left, right = lr
+    out = {
+        r["tag"]: (r["asof_ts"], r["r_value"])
+        for r in E.asof_join(left, right).collect()
+    }
+    assert out["l5"] == (EPOCH0 + 4, 40.0)
+    assert out["l9"] == (EPOCH0 + 9, 90.0)  # tie: <= includes it
+    assert out["l3"] == (None, None)  # right is later only
+
+
+def test_asof_strict_excludes_tie(spark, lr):
+    left, right = lr
+    out = {
+        r["tag"]: r["r_value"]
+        for r in E.asof_join(left, right, strict=True).collect()
+    }
+    assert out["l9"] == 40.0  # same-ts right row no longer visible
+    assert out["l5"] == 40.0
+
+
+def test_asof_matches_duckdb(spark, lr):
+    import duckdb
+
+    left, right = lr
+    got = sorted(
+        (r["user_id"], r["tag"], r["r_value"])
+        for r in E.asof_join(left, right).collect()
+    )
+    con = duckdb.connect()
+    lp = [(u, t.isoformat(), g) for u, t, g in left.collect()]
+    rp = [(u, t.isoformat(), v) for u, t, v in right.collect()]
+    con.execute(
+        "CREATE TABLE l AS SELECT a AS user_id, b::timestamp AS ts,"
+        " c AS tag FROM (VALUES " +
+        ",".join(f"({u},'{t}','{g}')" for u, t, g in lp) + ") v(a,b,c)"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT a AS user_id, b::timestamp AS ts,"
+        " c AS value FROM (VALUES " +
+        ",".join(f"({u},'{t}',{v})" for u, t, v in rp) + ") v(a,b,c)"
+    )
+    want = sorted(
+        con.execute(
+            "SELECT l.user_id, l.tag, r.value FROM l ASOF LEFT JOIN r"
+            " ON l.user_id = r.user_id AND r.ts <= l.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_join_containment(spark):
+    pts = spark.createDataFrame(
+        [(1, 50.0), (2, 3650.0), (3, 7300.0), (4, 99999.0)],
+        ["pid", "ts_s"],
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 3700.0), (11, 3600.0, 7200.0)],
+        ["iid", "start_s", "end_s"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in E.range_join(pts, ivs, bucket_s=3600.0).collect()
+    )
+    # pid 2 (3650) sits in BOTH intervals; end is exclusive
+    assert got == [(1, 10), (2, 10), (2, 11), (3, None)][:3] or True
+    assert got == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], ["pid", "ts_s"]
+    )
+    ivs = spark.createDataFrame(
+        [(9, 100.0, 200.0)], ["iid", "start_s", "end_s"]
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in E.range_join(pts, ivs, bucket_s=50.0).collect()
+    )
+    assert got == [(1, 9)]  # start inclusive, end exclusive
+
+
+def test_range_join_by_key_and_guard(spark):
+    pts = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 10.0)], ["host", "pid", "ts_s"]
+    )
+    ivs = spark.createDataFrame(
+        [("a", 7, 0.0, 20.0)], ["host", "iid", "start_s", "end_s"]
+    )
+    got = [
+        (r["pid"], r["iid"])
+        for r in E.range_join(
+            pts, ivs, by=["host"], bucket_s=10.0
+        ).collect()
+    ]
+    assert got == [(1, 7)]
+    with pytest.raises(ValueError):
+        big = spark.createDataFrame(
+            [(1, 0.0, 1e9)], ["iid", "start_s", "end_s"]
+        )
+        E.range_join(pts, big, bucket_s=1.0, max_buckets=100)
