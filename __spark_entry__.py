@@ -4148,6 +4148,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_range"] = ev_range_q
 
+    # ---- SCD type-2 validity intervals from the purchase log ------
+    def ev_scd2_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        e = _events(s, d)
+        out = ev.scd2(
+            e.filter(F.col("event_type") == "purchase"),
+            "user_id",
+            cols=("value",),
+        )
+        return out.select(
+            "key",
+            "value",
+            F.round("valid_from_s", 4).alias("valid_from_s"),
+            F.round("valid_to_s", 4).alias("valid_to_s"),
+        ).orderBy("key", "valid_from_s", "value")
+
+    q["ev_scd2"] = ev_scd2_q
+
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -12155,6 +12174,15 @@ iv AS (SELECT event_id AS iid, epoch(ts) AS start_s,
 SELECT pid, iid FROM p JOIN iv
   ON p.ts_s >= iv.start_s AND p.ts_s < iv.end_s
 ORDER BY pid, iid"""
+
+    # ---- SCD2 interval construction: identical lead() window ------
+    o["ev_scd2"] = """
+WITH h AS (SELECT user_id AS key, epoch(ts) AS f, value FROM events
+           WHERE event_type = 'purchase')
+SELECT key, value, round(f, 4) AS valid_from_s,
+  round(lead(f) OVER (PARTITION BY key ORDER BY f ASC, value ASC), 4)
+    AS valid_to_s
+FROM h ORDER BY key, valid_from_s, value"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

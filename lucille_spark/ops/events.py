@@ -951,3 +951,42 @@ def range_join(
     return joined.filter(
         (p[point_ts] >= iv[start]) & (p[point_ts] < iv[end])
     ).select(*out_cols)
+
+
+def scd2(
+    history: DataFrame,
+    key: str,
+    ts: str = "ts",
+    cols=("value",),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log (one row
+    per key mutation) into validity intervals — (key, attrs,
+    valid_from_s, valid_to_s) with valid_to open (null) on the
+    current row. The standard warehouse construction: ONE lead()
+    window per key, no joins; feed the result straight into
+    `range_join(..., by=[key])` (point-in-time enrichment) — or use
+    `asof_join` directly on the raw log.
+
+    Ties on (key, ts) are broken by the full attr tuple so the
+    interval chain is deterministic; zero-length intervals (two
+    changes in the same second) survive with valid_from ==
+    valid_to, matching the half-open [from, to) containment rule
+    (they match nothing, which is the honest answer for a value
+    that never served reads)."""
+    from pyspark.sql import Window
+
+    e = history.select(
+        F.col(key).alias("key"),
+        _epoch_s(F.col(ts)).alias("valid_from_s"),
+        *[F.col(c) for c in cols],
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("valid_from_s").asc(),
+        *[F.col(c).asc() for c in cols],
+    )
+    return e.select(
+        "key",
+        *cols,
+        "valid_from_s",
+        F.lead("valid_from_s").over(w).alias("valid_to_s"),
+    )

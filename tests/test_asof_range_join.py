@@ -130,3 +130,49 @@ def test_range_join_by_key_and_guard(spark):
             [(1, 0.0, 1e9)], ["iid", "start_s", "end_s"]
         )
         E.range_join(pts, big, bucket_s=1.0, max_buckets=100)
+
+
+def test_scd2_intervals(spark):
+    log = spark.createDataFrame(
+        [(1, _t(0), "a"), (1, _t(10), "b"), (2, _t(5), "x")],
+        ["k", "ts", "v"],
+    )
+    rows = sorted(
+        (r["key"], r["v"], r["valid_from_s"] - EPOCH0,
+         None if r["valid_to_s"] is None else r["valid_to_s"] - EPOCH0)
+        for r in E.scd2(log, "k", cols=("v",)).collect()
+    )
+    assert rows == [
+        (1, "a", 0.0, 10.0),
+        (1, "b", 10.0, None),
+        (2, "x", 5.0, None),
+    ]
+
+
+def test_scd2_feeds_range_join(spark):
+    log = spark.createDataFrame(
+        [(1, _t(0), "old"), (1, _t(100), "new")], ["k", "ts", "v"]
+    )
+    from pyspark.sql import functions as F
+
+    dims = (
+        E.scd2(log, "k", cols=("v",))
+        .withColumnRenamed("key", "k")
+        .withColumn(
+            "valid_to_s",
+            # close the open interval for the finite-bucket join
+            F.coalesce("valid_to_s", F.lit(EPOCH0 + 1000.0)),
+        )
+    )
+    pts = spark.createDataFrame(
+        [(1, 1, EPOCH0 + 50.0), (2, 1, EPOCH0 + 150.0)],
+        ["pid", "k", "ts_s"],
+    )
+    got = sorted(
+        (r["pid"], r["v"])
+        for r in E.range_join(
+            pts, dims, start="valid_from_s", end="valid_to_s",
+            by=["k"], bucket_s=100.0,
+        ).collect()
+    )
+    assert got == [(1, "old"), (2, "new")]
