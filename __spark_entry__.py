@@ -4167,6 +4167,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_scd2"] = ev_scd2_q
 
+    # ---- skew toolkit: salted join == plain join, row for row -----
+    def _skewed_events(s, d):
+        return _events(s, d).select(
+            "event_id",
+            F.when(F.col("user_id") < 40, F.lit(0))
+            .otherwise(F.col("user_id") % 7)
+            .cast("long")
+            .alias("k"),
+        )
+
+    def join_salted_q(s, d):
+        from lucille_spark.ops.skew import salted_join
+
+        r = s.range(7).select(
+            F.col("id").cast("long").alias("k"),
+            F.concat(F.lit("dim"), F.col("id")).alias("label"),
+        )
+        return (
+            salted_join(
+                _skewed_events(s, d), r, "k", "event_id", salt=8
+            )
+            .select("event_id", "k", "label")
+            .orderBy("event_id")
+        )
+
+    q["join_salted"] = join_salted_q
+
+    def join_skew_stats_q(s, d):
+        from lucille_spark.ops.skew import skew_stats
+
+        return skew_stats(_skewed_events(s, d), "k", top=5)
+
+    q["join_skew_stats"] = join_skew_stats_q
+
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -12183,6 +12217,26 @@ SELECT key, value, round(f, 4) AS valid_from_s,
   round(lead(f) OVER (PARTITION BY key ORDER BY f ASC, value ASC), 4)
     AS valid_to_s
 FROM h ORDER BY key, valid_from_s, value"""
+
+    # ---- skew toolkit: the salted join must equal the plain join --
+    o["join_salted"] = """
+WITH l AS (SELECT event_id,
+    CASE WHEN user_id < 40 THEN 0 ELSE user_id % 7 END AS k
+  FROM events),
+r AS (SELECT i AS k, 'dim' || i AS label
+      FROM (SELECT unnest(range(0, 7)) AS i))
+SELECT event_id, l.k, label FROM l JOIN r ON l.k = r.k
+ORDER BY event_id"""
+
+    o["join_skew_stats"] = """
+WITH l AS (SELECT
+    CASE WHEN user_id < 40 THEN 0 ELSE user_id % 7 END AS k
+  FROM events),
+t AS (SELECT count(*) * 1.0 AS total FROM l),
+g AS (SELECT k AS key, count(*) AS n_rows FROM l GROUP BY k)
+SELECT key, n_rows, round(n_rows / total, 6) AS share
+FROM g CROSS JOIN t
+ORDER BY n_rows DESC, key ASC LIMIT 5"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

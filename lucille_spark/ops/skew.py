@@ -1,0 +1,88 @@
+"""Explicit skew handling for keyed joins: diagnosis + salting.
+
+AQE's skew-join split handles many cases at runtime, but it only
+fires on sort-merge joins past size thresholds, and a planner you
+can't rely on is not a strategy at 100 TB. These operators make the
+classic mitigation explicit and deterministic:
+
+* `skew_stats` — the diagnosis: per-key frequency of the top keys
+  plus a concentration summary (what fraction of rows the hottest
+  keys carry). One aggregation; run it BEFORE choosing a strategy.
+* `salted_join` — the fix for a skewed probe side joining a
+  non-broadcastable build side: the probe key is split into `salt`
+  sub-keys via a DETERMINISTIC hash of a caller-named unique column
+  (md5, no RNG — reruns and resumes agree), the build side is
+  replicated `salt` times, and the equi-join runs on (key, salt) so
+  one hot key spreads over `salt` reducers. Row-for-row identical
+  to the plain join (gated against DuckDB's).
+
+Replication multiplies the build side by `salt`: the technique pays
+when probe skew dominates build size, the usual crawl/event shape
+(one hot host, millions of rows). Broadcast beats salting whenever
+the build side fits — check `skew_stats` first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_stats(
+    df: DataFrame, key: str, top: int = 20
+) -> DataFrame:
+    """Per-key row counts for the `top` hottest keys, with each
+    key's share of the table — the number that decides broadcast vs
+    salt vs nothing. One partial-agg shuffle on the key (the
+    aggregation itself is skew-tolerant: partial counts combine
+    map-side). -> (key, n_rows, share) by n_rows desc."""
+    total = df.count()
+    return (
+        df.groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top)
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_col: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: left rows get a deterministic salt from
+    md5(salt_col) (any unique-ish column — an id, a URL; NOT the
+    join key), right rows are replicated across all `salt` values,
+    and the join key becomes (key, salt). Result is row-for-row the
+    plain `left.join(right, key, how)`.
+
+    how: 'inner' or 'left' (the shapes where salting is sound
+    row-for-row; a right/full join would multiply unmatched right
+    rows by `salt` — use the other side as probe instead)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' — flip the "
+            "inputs for the symmetric cases"
+        )
+    s = F.conv(
+        F.substring(F.md5(F.col(salt_col).cast("string")), 1, 4),
+        16,
+        10,
+    ).cast("int") % F.lit(int(salt))
+    l = left.withColumn("_salt", s)
+    r = right.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))),
+    )
+    out = l.join(r, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -1,0 +1,95 @@
+"""Skew toolkit: salted join equivalence and skew diagnosis."""
+
+import pytest
+
+from lucille_spark.ops import skew as S
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    left = spark.createDataFrame(
+        [(i, 1 if i < 90 else i % 5) for i in range(100)],
+        ["row_id", "k"],
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], ["k", "label"]
+    )
+    return left, right
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_equals_plain(spark, skewed):
+    left, right = skewed
+    got = _rows(
+        S.salted_join(left, right, "k", "row_id", salt=4)
+        .select("row_id", "k", "label")
+    )
+    want = _rows(left.join(right, "k").select("row_id", "k", "label"))
+    assert got == want and len(got) == 100
+
+
+def test_salted_left_keeps_unmatched(spark, skewed):
+    left, right = skewed
+    small = right.filter("k = 1")
+    got = _rows(
+        S.salted_join(left, small, "k", "row_id", salt=4, how="left")
+        .select("row_id", "label")
+    )
+    want = _rows(
+        left.join(small, "k", "left").select("row_id", "label")
+    )
+    assert got == want
+    # rows 90..99 with i % 5 != 1 (eight of them) have no dim row
+    assert sum(1 for _, lab in got if lab is None) == 8
+
+
+def test_salt_actually_spreads(spark, skewed):
+    left, _ = skewed
+    s = (
+        S.salted_join(
+            left,
+            spark.createDataFrame([(1, "d")], ["k", "label"]),
+            "k",
+            "row_id",
+            salt=4,
+        )
+        is not None
+    )
+    assert s
+    # the hot key's rows land on >1 salt value
+    from pyspark.sql import functions as F
+
+    salts = (
+        left.filter("k = 1")
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("row_id").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 4
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_rejects_unsound_how(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError):
+        S.salted_join(left, right, "k", "row_id", how="full")
+
+
+def test_skew_stats(spark, skewed):
+    left, _ = skewed
+    rows = S.skew_stats(left, "k", top=2).collect()
+    assert rows[0]["key"] == 1 and rows[0]["n_rows"] == 92
+    assert abs(rows[0]["share"] - 0.92) < 1e-9
