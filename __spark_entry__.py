@@ -4201,6 +4201,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_skew_stats"] = join_skew_stats_q
 
+    # ---- gap filling: sparse daily series densified + linearly
+    # interpolated --------------------------------------------------
+    def ev_fill_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        e = _events(s, d)
+        sparse = (
+            e.filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 48)
+            )
+            .groupBy(
+                F.floor(ev._epoch_s(F.col("ts")) / 86400.0)
+                .cast("long")
+                .alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return ev.fill_gaps(sparse)
+
+    q["ev_fill"] = ev_fill_q
+
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -12237,6 +12259,37 @@ g AS (SELECT k AS key, count(*) AS n_rows FROM l GROUP BY k)
 SELECT key, n_rows, round(n_rows / total, 6) AS share
 FROM g CROSS JOIN t
 ORDER BY n_rows DESC, key ASC LIMIT 5"""
+
+    # ---- gap filling: identical ignore-nulls carry + interpolation
+    o["ev_fill"] = """
+WITH b AS (SELECT floor(epoch(ts) / 86400.0)::bigint AS d,
+                  count(*) AS n
+           FROM events
+           WHERE event_type = 'purchase' AND value > 48 GROUP BY 1),
+ext AS (SELECT min(d) AS mn, max(d) AS mx FROM b),
+dense AS (SELECT unnest(range(mn, mx + 1)) AS d FROM ext),
+j AS (SELECT dense.d, b.n * 1.0 AS v FROM dense
+      LEFT JOIN b ON dense.d = b.d),
+f AS (SELECT d, v,
+  last_value(v IGNORE NULLS) OVER
+    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS pv,
+  last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS pb,
+  first_value(v IGNORE NULLS) OVER
+    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    AS nv,
+  first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    AS nb
+  FROM j)
+SELECT d AS bucket,
+  round(CASE WHEN v IS NOT NULL THEN v
+        ELSE pv + (nv - pv) * (d - pb) * 1.0 / (nb - pb) END, 4)
+    AS value,
+  v IS NULL AS interpolated
+FROM f ORDER BY bucket"""
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

@@ -990,3 +990,88 @@ def scd2(
         "valid_from_s",
         F.lead("valid_from_s").over(w).alias("valid_to_s"),
     )
+
+
+def fill_gaps(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "n",
+    step: int = 1,
+    by=None,
+) -> DataFrame:
+    """Densify a bucketed series and linearly interpolate the holes —
+    the resample/interpolate step every monitoring and training-
+    mixture pipeline needs after `date_histogram` (missing buckets
+    mean NO events, but a ratio or rate chart wants a value there).
+
+    Per group: generate the full bucket range min..max (one tiny
+    agg + sequence explode), left-join the observed values, then
+    carry (prev bucket, prev value) forward and (next bucket, next
+    value) backward with ignorenulls windows and interpolate
+    value = pv + (nv - pv) * (b - pb) / (nb - pb). Observed rows
+    keep their exact value; leading/trailing gaps stay null (no
+    extrapolation — the honest answer at the edges).
+
+    Scale: everything shuffles ONCE on the group key (or a single
+    partition when by=None — then the series length is the bound:
+    use a `by` split for very long ungrouped series).
+    -> (*by, bucket, value double, interpolated bool)."""
+    from pyspark.sql import Window
+
+    by = list(by) if by else []
+    gb = df.groupBy(*by) if by else df.groupBy()
+    ext = gb.agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    dense = ext.select(
+        *by,
+        F.explode(
+            F.sequence("_mn", "_mx", F.lit(int(step)))
+        ).alias("bucket"),
+    )
+    obs = df.select(
+        *by,
+        F.col(bucket_col).alias("bucket"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    j = dense.join(obs, by + ["bucket"], "left")
+    w = (
+        Window.partitionBy(*by)
+        if by
+        else Window.partitionBy(F.lit(1))
+    )
+    wb = w.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = w.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    has = F.col("_v").isNotNull()
+    marked = (
+        j.withColumn("_pv", F.last("_v", ignorenulls=True).over(wb))
+        .withColumn(
+            "_pb",
+            F.last(
+                F.when(has, F.col("bucket")), ignorenulls=True
+            ).over(wb),
+        )
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(wf))
+        .withColumn(
+            "_nb",
+            F.first(
+                F.when(has, F.col("bucket")), ignorenulls=True
+            ).over(wf),
+        )
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (F.col("bucket") - F.col("_pb"))
+        / (F.col("_nb") - F.col("_pb"))
+    )
+    return marked.select(
+        *by,
+        "bucket",
+        F.round(
+            F.when(has, F.col("_v")).otherwise(interp), 4
+        ).alias("value"),
+        (~has).alias("interpolated"),
+    ).orderBy(*by, "bucket")

@@ -176,3 +176,33 @@ def test_scd2_feeds_range_join(spark):
         ).collect()
     )
     assert got == [(1, "old"), (2, "new")]
+
+
+def test_fill_gaps_linear(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0), (3, 40.0), (6, 70.0)], ["bucket", "n"]
+    )
+    rows = {
+        r["bucket"]: (r["value"], r["interpolated"])
+        for r in E.fill_gaps(df).collect()
+    }
+    assert rows[0] == (10.0, False)
+    assert rows[1] == (20.0, True)
+    assert rows[2] == (30.0, True)
+    assert rows[4] == (50.0, True)
+    assert rows[6] == (70.0, False)
+    assert len(rows) == 7
+
+
+def test_fill_gaps_grouped_and_edges(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 2, 3.0), ("b", 5, 9.0)],
+        ["g", "bucket", "n"],
+    )
+    rows = {
+        (r["g"], r["bucket"]): r["value"]
+        for r in E.fill_gaps(df, by=["g"]).collect()
+    }
+    assert rows[("a", 1)] == 2.0
+    assert rows[("b", 5)] == 9.0
+    assert len(rows) == 4  # b has a single-point range
