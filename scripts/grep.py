@@ -1,0 +1,110 @@
+"""CLI: trigram-indexed distributed grep over a parquet code corpus.
+
+Build the index once:
+    spark-submit --py-files lucille_spark.zip scripts/grep.py \
+        --docs /data/files.parquet --id-col doc_id --text-col content \
+        --build-index /data/grep_ix
+
+Search (uses the index when given, full scan otherwise):
+    ... scripts/grep.py --docs /data/files.parquet \
+        --index /data/grep_ix --pattern 'def handle_\\w+' [--limit 50]
+
+Batch (one postings pass for the whole file; one pattern per line):
+    ... scripts/grep.py --docs /data/files.parquet \
+        --index /data/grep_ix --batch patterns.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="parquet path")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--build-index", help="write the trigram index here and exit"
+    )
+    ap.add_argument("--index", help="existing trigram index dir")
+    ap.add_argument("--pattern")
+    ap.add_argument("--batch", help="file with one pattern per line")
+    ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("lucille-grep")
+    if args.master:
+        b = b.master(args.master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from lucille_spark.ops.code import (
+        GrepIndex,
+        build_grep_index,
+        grep,
+        grep_many,
+    )
+
+    docs = spark.read.parquet(args.docs)
+
+    if args.build_index:
+        t0 = time.time()
+        build_grep_index(
+            docs, args.id_col, args.text_col, args.build_index
+        )
+        print(
+            f"built {args.build_index} in {time.time() - t0:.1f}s"
+        )
+        return
+
+    if not (args.pattern or args.batch):
+        ap.error("need --pattern or --batch (or --build-index)")
+
+    gix = GrepIndex(spark, args.index) if args.index else None
+    t0 = time.time()
+    if args.batch:
+        with open(args.batch) as fh:
+            pats = {
+                f"p{i}": line.rstrip("\n")
+                for i, line in enumerate(fh)
+                if line.strip()
+            }
+        out = (
+            gix.grep_many(docs, args.id_col, args.text_col, pats)
+            if gix
+            else grep_many(docs, args.id_col, args.text_col, pats)
+        )
+        rows = out.limit(args.limit).collect()
+        for r in rows:
+            print(
+                f"{r['pattern_id']}\t{r['doc_id']}:{r['line_no']}:"
+                f"{r['line']}"
+            )
+    else:
+        out = (
+            gix.grep(docs, args.id_col, args.text_col, args.pattern)
+            if gix
+            else grep(docs, args.id_col, args.text_col, args.pattern)
+        )
+        for r in out.limit(args.limit).collect():
+            print(f"{r['doc_id']}:{r['line_no']}:{r['line']}")
+    print(
+        f"# {time.time() - t0:.2f}s"
+        + (" (indexed)" if gix else " (full scan)"),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
