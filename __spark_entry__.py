@@ -1373,7 +1373,11 @@ _GATE_PRIORITY = [
     # fast-phrase index: word bigrams as dictionary terms.)
     "ft_shingle_ix",
     "pipe_percolate_scored",
-    "ev_funnel",
+    # (ev_funnel freed its slot for the as-of join — the funnel's
+    # backward-induction machinery stays represented in-window by
+    # ev_eql_seq and in the mirror; ev_asof is a NEW family checked
+    # engine-vs-engine against DuckDB's native ASOF JOIN)
+    "ev_asof",
     "pipe_pack",
     "mm_features",
     "ft_bm25f",
