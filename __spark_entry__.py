@@ -4227,6 +4227,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_fill"] = ev_fill_q
 
+    # ---- registrable-domain (eTLD+1) stats over synthetic URLs ----
+    def _mixed_urls(s, d):
+        i = F.col("doc_id")
+        host = (
+            F.when(
+                i % 4 == 0,
+                F.concat(
+                    F.lit("a"), (i % 5).cast("string"),
+                    F.lit(".ex"), (i % 3).cast("string"),
+                    F.lit(".co.uk"),
+                ),
+            )
+            .when(
+                i % 4 == 1,
+                F.concat(
+                    F.lit("b"), (i % 7).cast("string"),
+                    F.lit(".site.com"),
+                ),
+            )
+            .when(
+                i % 4 == 2,
+                F.concat(
+                    F.lit("shop"), (i % 3).cast("string"),
+                    F.lit(".com.au"),
+                ),
+            )
+            .otherwise(F.lit("single"))
+        )
+        return (
+            _docs(s, d)
+            .filter(i < 400)
+            .select(
+                F.concat(F.lit("https://"), host, F.lit("/p")).alias(
+                    "url"
+                )
+            )
+        )
+
+    def web_domains_q(s, d):
+        from lucille_spark.ops.web import domain_stats
+
+        return domain_stats(_mixed_urls(s, d))
+
+    q["web_domains"] = web_domains_q
+
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -12294,6 +12339,31 @@ SELECT d AS bucket,
     AS value,
   v IS NULL AS interpolated
 FROM f ORDER BY bucket"""
+
+    # ---- registrable-domain stats: same suffix rule, same list ----
+    from lucille_spark.ops.web import MULTI_LABEL_SUFFIXES
+
+    _sfx_in = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    o["web_domains"] = f"""
+WITH u AS (SELECT CASE
+    WHEN doc_id % 4 = 0 THEN
+      'a' || (doc_id % 5) || '.ex' || (doc_id % 3) || '.co.uk'
+    WHEN doc_id % 4 = 1 THEN 'b' || (doc_id % 7) || '.site.com'
+    WHEN doc_id % 4 = 2 THEN 'shop' || (doc_id % 3) || '.com.au'
+    ELSE 'single' END AS host
+  FROM documents WHERE doc_id < 400),
+p AS (SELECT host, string_split(host, '.') AS parts,
+             len(string_split(host, '.')) AS n FROM u),
+d AS (SELECT host,
+  CASE WHEN n >= 3 AND parts[n-1] || '.' || parts[n] IN ({_sfx_in})
+       THEN parts[n-2] || '.' || parts[n-1] || '.' || parts[n]
+       WHEN n >= 2 THEN parts[n-1] || '.' || parts[n]
+       ELSE host END AS domain
+  FROM p)
+SELECT domain, count(*) AS n_pages,
+       count(DISTINCT host) AS n_hosts
+FROM d GROUP BY domain ORDER BY n_pages DESC, domain ASC"""
+
 
     o["tx_url_canon"] = f"""
 WITH {_URLS_SQL.strip()},{CANONICAL_URL_CTES_DUCKDB}

@@ -1145,3 +1145,79 @@ def revisit_intervals(
         ).alias("lambda_rate"),
         F.round(interval, 4).alias("next_interval_s"),
     ).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# registrable domain (eTLD+1)
+# ---------------------------------------------------------------------------
+
+# The high-traffic two-label public suffixes (the Public Suffix List
+# is thousands of entries and changes monthly — ship the head that
+# covers the bulk of real crawl traffic and take the rest via the
+# `extra_suffixes` parameter; unknown multi-label suffixes degrade
+# to last-two-labels, the same fallback curl and many crawlers use).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "gob.mx", "com.ar", "com.tr", "com.sg", "com.hk",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "co.za", "org.za", "com.tw", "org.tw",
+)
+
+
+def registrable_domain_expr(
+    host_col, extra_suffixes=()
+) -> Column:
+    """Registrable domain (eTLD+1) of a HOST column: the grouping
+    key that domain mixing, crawl budgets and per-site dedup should
+    use — `a.blogs.example.co.uk` and `b.example.co.uk` are the
+    same SITE (example.co.uk), which raw-host grouping misses.
+    Pure codegen: split + a literal IN over the suffix table; hosts
+    with a known two-label suffix keep three labels, everything
+    else keeps two, single labels pass through."""
+    h = (
+        F.col(host_col) if isinstance(host_col, str) else host_col
+    )
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    suffixes = list(MULTI_LABEL_SUFFIXES) + list(extra_suffixes)
+    return (
+        F.when((n >= 3) & last2.isin(suffixes), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-registrable-domain page counts and distinct-host counts
+    from a URL column — the table a domain-mixing temperature or a
+    crawl budget reads. One aggregation on the derived key.
+    -> (domain, n_pages, n_hosts) by n_pages desc, domain."""
+    h = host_expr(url_col)
+    return (
+        df.select(
+            registrable_domain_expr(h).alias("domain"),
+            h.alias("_h"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("_h").alias("n_hosts"),
+        )
+        .orderBy(F.desc("n_pages"), F.asc("domain"))
+    )

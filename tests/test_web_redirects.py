@@ -77,3 +77,44 @@ def test_host_graph_rules(spark):
     )
     rows = [tuple(r) for r in W.host_graph(e).collect()]
     assert rows == [("a.com", "b.com", 2)]
+
+
+def test_registrable_domain(spark):
+    hosts = [
+        ("a.blogs.example.co.uk", "example.co.uk"),
+        ("b.example.co.uk", "example.co.uk"),
+        ("x.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("deep.sub.site.org", "site.org"),
+        ("localhost", "localhost"),
+        ("shop.com.au", "shop.com.au"),  # 2-label suffix keeps 3
+    ]
+    df = spark.createDataFrame(hosts, ["host", "want"])
+    out = df.select(
+        "want",
+        W.registrable_domain_expr("host").alias("got"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], r
+
+
+def test_registrable_domain_extra_suffix(spark):
+    df = spark.createDataFrame(
+        [("a.b.custom.tld",)], ["host"]
+    )
+    got = df.select(
+        W.registrable_domain_expr(
+            "host", extra_suffixes=("custom.tld",)
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert got == "b.custom.tld"
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [("https://a.ex.co.uk/1",), ("https://b.ex.co.uk/2",),
+         ("https://ex.com/3",)],
+        ["url"],
+    )
+    rows = [tuple(r) for r in W.domain_stats(df).collect()]
+    assert rows == [("ex.co.uk", 2, 2), ("ex.com", 1, 1)]
