@@ -358,6 +358,45 @@ def main():
     # context
     out["dedup_pairs_verified"] = int(n_pairs)
 
+    # ---- leg 6b: embedded serving (LocalSearcher, zero Spark jobs
+    # per query — the per-executor sidecar / edge shape) ------------
+    from lucille_spark.local_serve import LocalSearcher
+
+    ls = LocalSearcher(spark, entry_ix_dir)
+    ls.search("spark", k=10)  # warm (plan cache, postings decode)
+    lreps = {}
+    for name, q, _path in QUERIES:
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            ls.search(q, k=10)
+            reps.append(time.time() - t0)
+        lreps[name] = sorted(reps)[2]
+    out["local_p95_ms"] = round(
+        sorted(lreps.values())[int(0.95 * (len(lreps) - 1))] * 1000,
+        2,
+    )
+    out["local_median_ms"] = round(
+        sorted(lreps.values())[len(lreps) // 2] * 1000, 2
+    )
+    hot = LocalSearcher(spark, entry_ix_dir, predecode=True)
+    hot.search("spark", k=10)
+    hreps = {}
+    for name, q, _path in QUERIES:
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            hot.search(q, k=10)
+            reps.append(time.time() - t0)
+        hreps[name] = sorted(reps)[2]
+    out["local_hot_p95_ms"] = round(
+        sorted(hreps.values())[int(0.95 * (len(hreps) - 1))] * 1000,
+        2,
+    )
+    out["local_hot_median_ms"] = round(
+        sorted(hreps.values())[len(hreps) // 2] * 1000, 2
+    )
+
     # ---- leg 7: trigram-indexed grep vs full-scan grep ------------
     # (Cox/Zoekt code search: posting intersection prunes the scan
     # to candidate docs, exact regex verifies — same rows, less IO)
@@ -439,6 +478,10 @@ def main():
                         "grep_matches",
                         "grep_candidates",
                         "grep_corpus_docs",
+                        "local_p95_ms",
+                        "local_median_ms",
+                        "local_hot_p95_ms",
+                        "local_hot_median_ms",
                         "big_n_docs",
                         "big_batch32_ms_per_query",
                     )

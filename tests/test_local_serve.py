@@ -1,0 +1,91 @@
+"""Embedded serving (LocalSearcher): zero-Spark-job queries must be
+rank-identical to the distributed WAND executor on every query
+shape — same plan, same kernel, so equality is the contract."""
+
+import pytest
+
+from lucille_spark.local_serve import LocalSearcher
+
+SHAPES = [
+    "spark",
+    "def AND parser AND query",
+    "spark window table",
+    '"def parser"',
+    "parser AND (query OR class) AND NOT stream",
+    "par*",
+    "parsr~1",
+    "lang:py AND spark",
+    "pa?ser",
+    "[parser TO query]",
+]
+
+
+@pytest.fixture(scope="module")
+def local(spark, unit_index):
+    ix, _, _ = unit_index
+    return LocalSearcher(spark, ix.dir)
+
+
+@pytest.mark.parametrize("q", SHAPES)
+def test_rank_identical_to_wand(spark, unit_index, local, q):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, _, _ = unit_index
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in WandExecutor(ix).search(q, k=10).collect()
+    ]
+    got = [
+        (int(r.doc_id), round(float(r.score), 6))
+        for r in local.search(q, k=10).itertuples()
+    ]
+    assert got == want, q
+
+
+def test_no_spark_jobs_per_query(spark, local):
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    local.search("spark AND batch", k=5)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # embedded: zero jobs submitted
+
+
+def test_search_many_shape(spark, local):
+    out = local.search_many(["spark", "parser"], k=3)
+    assert list(out.columns) == ["query_id", "doc_id", "score"]
+    assert set(out["query_id"]) == {"q0", "q1"}
+    assert len(out) == 6
+
+
+def test_tombstones_respected(spark, unit_index, tmp_path):
+    import shutil
+
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+
+    ix, _, _ = unit_index
+    dup = str(tmp_path / "ixdel")
+    shutil.copytree(ix.dir, dup)
+    ix2 = SparkIndex(spark, dup)
+    top = LocalSearcher(spark, dup).search("spark", k=3)
+    victim = int(top.iloc[0]["doc_id"])
+    delete_docs(spark, dup, [victim])
+    after = LocalSearcher(spark, dup).search("spark", k=3)
+    assert victim not in set(after["doc_id"].astype(int))
+
+
+@pytest.mark.parametrize("q", SHAPES)
+def test_predecode_rank_identical(spark, unit_index, q):
+    from lucille_spark.exec_wand import WandExecutor
+
+    ix, _, _ = unit_index
+    hot = LocalSearcher(spark, ix.dir, predecode=True)
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in WandExecutor(ix).search(q, k=10).collect()
+    ]
+    got = [
+        (int(r.doc_id), round(float(r.score), 6))
+        for r in hot.search(q, k=10).itertuples()
+    ]
+    assert got == want, q
