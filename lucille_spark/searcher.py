@@ -103,6 +103,28 @@ class Searcher:
         self._rcache_hits = 0
         self._rcache_misses = 0
 
+    def embedded(self, predecode: bool = True):
+        """-> a LocalSearcher over the same index dir and similarity:
+        the zero-Spark-jobs serving path (local_serve) for when this
+        process should answer single queries at millisecond latency
+        — a sidecar next to the batched submit() front door. Single
+        physical indexes only (alias sets stay on the batched path)."""
+        from lucille_spark.local_serve import LocalSearcher
+
+        if not isinstance(getattr(self.index, "dir", None), str):
+            raise ValueError(
+                "embedded() serves a single physical index; alias "
+                "sets stay on the batched search_many path"
+            )
+        return LocalSearcher(
+            self.index.spark,
+            self.index.dir,
+            similarity=getattr(
+                self.index.planner, "similarity", "bm25"
+            ),
+            predecode=predecode,
+        )
+
     # -- request cache ---------------------------------------------
     def enable_request_cache(self, max_entries: int = 128) -> None:
         """ES-style request cache: memoize COLLECTED result pages of

@@ -89,3 +89,20 @@ def test_predecode_rank_identical(spark, unit_index, q):
         for r in hot.search(q, k=10).itertuples()
     ]
     assert got == want, q
+
+
+def test_searcher_embedded_front_door(spark, unit_index):
+    from lucille_spark.searcher import Searcher
+
+    ix, _, _ = unit_index
+    s = Searcher(spark, ix.dir, cache=False)
+    hot = s.embedded()
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search("spark window", k=5).collect()
+    ]
+    got = [
+        (int(r.doc_id), round(float(r.score), 6))
+        for r in hot.search("spark window", k=5).itertuples()
+    ]
+    assert got == want
