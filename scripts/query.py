@@ -39,6 +39,12 @@ def main():
         default="bm25", help="ranking formula (read-time choice)",
     )
     ap.add_argument(
+        "--embedded", action="store_true",
+        help="serve through local_serve.LocalSearcher (zero Spark "
+        "jobs per query; predecoded postings) — the sidecar shape "
+        "for --batch loops and latency probes",
+    )
+    ap.add_argument(
         "--count", action="store_true",
         help="print the match count instead of a result page",
     )
@@ -87,6 +93,32 @@ def main():
         cex = DataFrameExecutor(ix)  # count evaluates, never ranks
         n = match_count(cex, args.query).collect()[0]["n"]
         print(n)
+        return
+    if args.embedded:
+        from lucille_spark.local_serve import LocalSearcher
+
+        ls = LocalSearcher(
+            spark, args.index, similarity=args.similarity,
+            predecode=True,
+        )
+        if args.batch:
+            with open(args.batch) as f:
+                qs = {f"q{i}": ln.strip() for i, ln in enumerate(f)
+                      if ln.strip()}
+        elif args.query:
+            qs = {"q0": args.query}
+        else:
+            ap.error("--embedded needs --query or --batch")
+        t0 = time.time()
+        out = ls.search_many(qs, k=args.k)
+        secs = time.time() - t0
+        for r in out.itertuples(index=False):
+            print(tuple(r))
+        print(
+            f"# {len(out)} rows for {len(qs)} queries in {secs:.3f}s "
+            f"({secs * 1000 / max(len(qs), 1):.2f} ms/query, "
+            "0 Spark jobs)"
+        )
         return
     if args.batch:
         with open(args.batch) as f:
