@@ -4129,6 +4129,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ev_asof"] = ev_asof_q
 
+    # ---- forward as-of: per view, the EARLIEST purchase at-or-
+    # after — again vs DuckDB's native ASOF (r.ts >= l.ts) ----------
+    def ev_asof_fwd_q(s, d):
+        from lucille_spark.ops import events as ev
+
+        e = _events(s, d)
+        out = ev.asof_join(
+            e.filter(F.col("event_type") == "view"),
+            e.filter(F.col("event_type") == "purchase"),
+            key="user_id",
+            ts="ts",
+            right_cols=("value",),
+            direction="forward",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.round("asof_ts", 4).alias("asof_ts"),
+            "r_value",
+        ).orderBy("event_id")
+
+    q["ev_asof_fwd"] = ev_asof_fwd_q
+
     # ---- bucketed range join: views falling inside the 30-minute
     # window after each purchase ------------------------------------
     def ev_range_q(s, d):
@@ -12267,6 +12290,19 @@ SELECT l.event_id, l.user_id,
        r.value AS r_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND r.ts <= l.ts
+ORDER BY l.event_id"""
+
+    # ---- forward as-of vs DuckDB's native ASOF JOIN ---------------
+    o["ev_asof_fwd"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+r AS (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       round(epoch(r.ts), 4) AS asof_ts,
+       r.value AS r_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.ts >= l.ts
 ORDER BY l.event_id"""
 
     # ---- bucketed range join == the plain inequality join ---------

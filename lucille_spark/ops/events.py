@@ -829,25 +829,38 @@ def asof_join(
     ts: str = "ts",
     right_cols=("value",),
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: float = None,
 ) -> DataFrame:
-    """As-of join — for every left row, the LATEST right row of the
-    same key with right.ts <= left.ts (< when strict) — the join
-    Spark has no native operator for (kdb aj / pandas merge_asof /
-    DuckDB ASOF JOIN; the oracle uses DuckDB's native one, so the
+    """As-of join — for every left row, the nearest right row of the
+    same key at-or-before it (`backward`, the default: right.ts <=
+    left.ts, < when strict), at-or-after it (`forward`), or closest
+    on either side (`nearest`, ties broken toward the earlier row —
+    pandas merge_asof's rule) — the join Spark has no native
+    operator for (kdb aj / pandas merge_asof / DuckDB ASOF JOIN;
+    the backward oracle uses DuckDB's native one, so those
     semantics are checked engine-against-engine).
+
+    `tolerance` (seconds) drops matches farther than that from the
+    left timestamp, exactly like merge_asof's tolerance.
 
     Implementation is the union+window trick, NOT a join: tag both
     inputs, union them, and carry the last right payload forward
-    with one last(ignorenulls) window per key ordered by
-    (ts, side). That is ONE shuffle on the key and a per-partition
-    sort — no join, no per-row probe, and skew behaves exactly like
-    any keyed window. At-tie rows: side ordering puts the right row
-    before (non-strict) or after (strict) the left row.
+    (and/or the first one backward) with one ignorenulls window per
+    direction per key ordered by (ts, side). That is ONE shuffle on
+    the key and a per-partition sort — no join, no per-row probe,
+    and skew behaves exactly like any keyed window. At-tie rows:
+    side ordering puts the right row before (non-strict) or after
+    (strict) the left row.
 
     Right (key, ts) pairs must be unique for a deterministic answer
     (same contract as DuckDB ASOF; pre-aggregate if unsure).
     -> left columns + asof_ts (epoch seconds, null if no match) +
     one `r_<col>` per right_col."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be backward / forward / nearest"
+        )
     from pyspark.sql import Window
 
     lcols = [c for c in left.columns]
@@ -873,17 +886,61 @@ def asof_join(
         F.lit(0).alias("_side"),
         payload.alias("_r"),
     )
-    side_order = (
-        F.col("_side").desc() if strict else F.col("_side").asc()
-    )
-    w = (
+    if direction == "nearest" and strict:
+        raise ValueError(
+            "strict nearest is unsupported (no single tie rule); "
+            "use tolerance with backward/forward instead"
+        )
+    # tie handling via side ordering, per direction: the backward
+    # carry must see a same-ts right row BEFORE the left row to
+    # include it (<=), the forward carry must see it AFTER (>=);
+    # strict inverts each. Both windows share the key partitioning
+    # (one shuffle), each with its own in-partition sort.
+    sb = F.col("_side").desc() if strict else F.col("_side").asc()
+    sf = F.col("_side").asc() if strict else F.col("_side").desc()
+    wb = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), side_order)
+        .orderBy(F.col("_ts").asc(), sb)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = l.unionByName(r).withColumn(
-        "_match", F.last("_r", ignorenulls=True).over(w)
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), sf)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    u = l.unionByName(r)
+    if direction in ("backward", "nearest"):
+        u = u.withColumn(
+            "_mb", F.last("_r", ignorenulls=True).over(wb)
+        )
+    if direction in ("forward", "nearest"):
+        u = u.withColumn(
+            "_mf", F.first("_r", ignorenulls=True).over(wf)
+        )
+    if direction == "backward":
+        match = F.col("_mb")
+    elif direction == "forward":
+        match = F.col("_mf")
+    else:
+        db = F.abs(F.col("_ts") - F.col("_mb.asof_ts"))
+        df_ = F.abs(F.col("_mf.asof_ts") - F.col("_ts"))
+        # nearest: earlier row wins ties (merge_asof's rule)
+        match = (
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(df_ < db, F.col("_mf"))
+            .otherwise(F.col("_mb"))
+        )
+    u = u.withColumn("_match", match)
+    if tolerance is not None:
+        u = u.withColumn(
+            "_match",
+            F.when(
+                F.abs(F.col("_match.asof_ts") - F.col("_ts"))
+                <= F.lit(float(tolerance)),
+                F.col("_match"),
+            ),
+        )
     return u.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         F.col("_match.asof_ts").alias("asof_ts"),

@@ -206,3 +206,58 @@ def test_fill_gaps_grouped_and_edges(spark):
     assert rows[("a", 1)] == 2.0
     assert rows[("b", 5)] == 9.0
     assert len(rows) == 4  # b has a single-point range
+
+
+def test_asof_forward(spark, lr):
+    left, right = lr
+    out = {
+        r["tag"]: (r["asof_ts"], r["r_value"])
+        for r in E.asof_join(left, right, direction="forward").collect()
+    }
+    # l5 (ts=5): next purchase at-or-after is ts=9
+    assert out["l5"] == (EPOCH0 + 9, 90.0)
+    assert out["l9"] == (EPOCH0 + 9, 90.0)  # tie included
+    assert out["l3"] == (EPOCH0 + 7, 70.0)
+
+
+def test_asof_forward_strict_tie(spark, lr):
+    left, right = lr
+    out = {
+        r["tag"]: r["asof_ts"]
+        for r in E.asof_join(
+            left, right, direction="forward", strict=True
+        ).collect()
+    }
+    assert out["l9"] is None  # same-ts right excluded, nothing later
+
+
+def test_asof_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, _t(10), "a"), (1, _t(20), "b")], ["user_id", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, _t(8), 1.0), (1, _t(21), 2.0)], ["user_id", "ts", "value"]
+    )
+    out = {
+        r["tag"]: r["r_value"]
+        for r in E.asof_join(left, right, direction="nearest").collect()
+    }
+    assert out["a"] == 1.0  # |10-8|=2 < |21-10|=11
+    assert out["b"] == 2.0  # |21-20|=1 < |20-8|=12
+    with pytest.raises(ValueError):
+        E.asof_join(left, right, direction="nearest", strict=True)
+
+
+def test_asof_tolerance(spark, lr):
+    left, right = lr
+    out = {
+        r["tag"]: r["r_value"]
+        for r in E.asof_join(left, right, tolerance=1.0).collect()
+    }
+    assert out["l5"] == 40.0  # |5-4| = 1 <= 1
+    assert out["l9"] == 90.0  # exact
+    m2 = {
+        r["tag"]: r["r_value"]
+        for r in E.asof_join(left, right, tolerance=0.5).collect()
+    }
+    assert m2["l5"] is None  # 1 s away > 0.5 tolerance
