@@ -1055,6 +1055,7 @@ def fill_gaps(
     value_col: str = "n",
     step: int = 1,
     by=None,
+    method: str = "linear",
 ) -> DataFrame:
     """Densify a bucketed series and linearly interpolate the holes —
     the resample/interpolate step every monitoring and training-
@@ -1068,6 +1069,11 @@ def fill_gaps(
     value = pv + (nv - pv) * (b - pb) / (nb - pb). Observed rows
     keep their exact value; leading/trailing gaps stay null (no
     extrapolation — the honest answer at the edges).
+
+    method: "linear" (default), "ffill" (last observation carried
+    forward — SCD-style state series), or "zero" (missing bucket =
+    0 — the RIGHT semantics for event-count series, where an empty
+    bucket means nothing happened, not unknown).
 
     Scale: everything shuffles ONCE on the group key (or a single
     partition when by=None — then the series length is the bound:
@@ -1120,10 +1126,17 @@ def fill_gaps(
             ).over(wf),
         )
     )
-    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
-        (F.col("bucket") - F.col("_pb"))
-        / (F.col("_nb") - F.col("_pb"))
-    )
+    if method == "linear":
+        interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+            (F.col("bucket") - F.col("_pb"))
+            / (F.col("_nb") - F.col("_pb"))
+        )
+    elif method == "ffill":
+        interp = F.col("_pv")
+    elif method == "zero":
+        interp = F.lit(0.0)
+    else:
+        raise ValueError("method must be linear / ffill / zero")
     return marked.select(
         *by,
         "bucket",

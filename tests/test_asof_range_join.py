@@ -261,3 +261,21 @@ def test_asof_tolerance(spark, lr):
         for r in E.asof_join(left, right, tolerance=0.5).collect()
     }
     assert m2["l5"] is None  # 1 s away > 0.5 tolerance
+
+
+def test_fill_gaps_methods(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0), (3, 40.0)], ["bucket", "n"]
+    )
+    ff = {
+        r["bucket"]: r["value"]
+        for r in E.fill_gaps(df, method="ffill").collect()
+    }
+    assert ff[1] == 10.0 and ff[2] == 10.0 and ff[3] == 40.0
+    z = {
+        r["bucket"]: r["value"]
+        for r in E.fill_gaps(df, method="zero").collect()
+    }
+    assert z[1] == 0.0 and z[2] == 0.0 and z[0] == 10.0
+    with pytest.raises(ValueError):
+        E.fill_gaps(df, method="spline").collect()
