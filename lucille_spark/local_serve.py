@@ -107,6 +107,53 @@ class LocalSearcher:
     def n_docs(self) -> int:
         return len(self.dl_pdf)
 
+    def refresh_deletes(self) -> None:
+        """Make tombstones written since open visible WITHOUT a
+        reload (the NRT-delete story for a long-lived sidecar):
+        re-read the delete set and, in predecoded mode, mask the
+        newly dead ids out of the resident arrays in place — no
+        re-decode, no Spark scan of postings."""
+        import numpy as np
+
+        from lucille_spark.exec_wand import _in_sorted
+
+        self.ix.refresh_deletes()
+        new = self.ix.deleted_ids
+        if new is None or (
+            self.deleted is not None
+            and new.size == self.deleted.size
+        ):
+            self.deleted = new
+            return
+        fresh = (
+            new
+            if self.deleted is None
+            else np.setdiff1d(new, self.deleted)
+        )
+        self.deleted = new
+        if self._sd is None or fresh.size == 0:
+            return
+        sd = self._sd
+        if sd.all_ids.size:
+            live = ~_in_sorted(sd.all_ids, fresh)
+            sd.all_ids = sd.all_ids[live]
+            sd.all_dls = sd.all_dls[live]
+            for c in list(sd.meta):
+                sd.meta[c] = sd.meta[c][live]
+        for term, p in sd.postings.items():
+            if not p.ids.size:
+                continue
+            live = ~_in_sorted(p.ids, fresh)
+            if live.all():
+                continue
+            p.ids = p.ids[live]
+            p.tfs = p.tfs[live]
+            p.dls = p.dls[live]
+            if p.positions is not None:
+                p.positions = [
+                    pos for pos, m in zip(p.positions, live) if m
+                ]
+
     def search(
         self,
         query,

@@ -106,3 +106,39 @@ def test_searcher_embedded_front_door(spark, unit_index):
         for r in hot.search("spark window", k=5).itertuples()
     ]
     assert got == want
+
+
+def test_refresh_deletes_hot(spark, unit_index, tmp_path):
+    import shutil
+
+    from lucille_spark.index.maintenance import delete_docs
+
+    ix, _, _ = unit_index
+    dup = str(tmp_path / "ixhot")
+    shutil.copytree(ix.dir, dup)
+    hot = LocalSearcher(spark, dup, predecode=True)
+    top = hot.search("spark", k=3)
+    victim = int(top.iloc[0]["doc_id"])
+    delete_docs(spark, dup, [victim])
+    # not yet visible (resident arrays), then visible after refresh
+    assert victim in set(
+        hot.search("spark", k=3)["doc_id"].astype(int)
+    )
+    hot.refresh_deletes()
+    after = hot.search("spark", k=3)
+    assert victim not in set(after["doc_id"].astype(int))
+    # and the refreshed embedded ranks still match the cluster path
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.reader import SparkIndex
+
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in WandExecutor(SparkIndex(spark, dup))
+        .search("spark", k=3)
+        .collect()
+    ]
+    got = [
+        (int(r.doc_id), round(float(r.score), 6))
+        for r in after.itertuples()
+    ]
+    assert got == want
