@@ -4295,6 +4295,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domains"] = web_domains_q
 
+    # ---- sentence segmentation over a sentence-ified token fixture
+    def tx_sentences_q(s, d):
+        from lucille_spark.analysis import tokenize_expr
+        from lucille_spark.ops.text import sentences
+
+        toks = tokenize_expr("text")
+        fixture = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 100)
+            .filter(F.size(toks) > 0)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.array_join(
+                        F.transform(toks, F.initcap), ". "
+                    ),
+                    F.lit("."),
+                ).alias("text"),
+            )
+        )
+        return sentences(fixture, "doc_id", "text").orderBy(
+            "doc_id", "sent_no"
+        )
+
+    q["tx_sentences"] = tx_sentences_q
+
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
@@ -12399,6 +12425,24 @@ d AS (SELECT host,
 SELECT domain, count(*) AS n_pages,
        count(DISTINCT host) AS n_hosts
 FROM d GROUP BY domain ORDER BY n_pages DESC, domain ASC"""
+
+    # ---- sentence segmentation: identical sentinel rule -----------
+    o["tx_sentences"] = """
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+           FROM documents WHERE doc_id < 100),
+f AS (SELECT doc_id,
+        array_to_string(list_transform(arr,
+          x -> upper(substring(x, 1, 1)) || substring(x, 2)), '. ')
+        || '.' AS text
+      FROM t WHERE len(arr) > 0),
+m AS (SELECT doc_id,
+        regexp_replace(text, '([.!?][''")]*) +([A-Z0-9])',
+                       '\\1' || chr(1) || '\\2', 'g') AS mt
+      FROM f),
+x AS (SELECT doc_id, string_split(mt, chr(1)) AS parts FROM m),
+e AS (SELECT doc_id, unnest(range(0, len(parts))) AS i, parts FROM x)
+SELECT doc_id, cast(i as int) AS sent_no, trim(parts[i + 1]) AS sentence
+FROM e ORDER BY doc_id, sent_no"""
 
 
     o["tx_url_canon"] = f"""

@@ -2489,3 +2489,42 @@ def trigram_langid(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation (regex-level, RE2-portable)
+# ---------------------------------------------------------------------------
+
+# boundary = terminator (+ closing quotes/parens) + spaces + a
+# capital/digit sentence opener. Deliberately RE2-compatible (no
+# lookarounds) so the DuckDB twin runs the IDENTICAL rule: the
+# replacement inserts a \x01 sentinel between the two capture
+# groups and the split happens on the sentinel. The capital-opener
+# requirement doubles as the abbreviation guard ("e.g. foo" and
+# "Mr. smith" stay joined; "Mr. Smith" splits — the documented
+# regex-level approximation every fast segmenter makes).
+SENT_BOUNDARY_RE = "([.!?]['\")]*) +([A-Z0-9])"
+
+
+def sentences(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Sentence segmentation -> (doc_id, sent_no int 0-based,
+    sentence). One scan, zero shuffle: a global regexp_replace
+    inserting sentinels + one split + posexplode, all codegen.
+    The chunking/RAG preps (pipe_chunks) cut on token windows;
+    this is the linguistic-boundary alternative feeding
+    sentence-aware packing and per-sentence quality signals."""
+    marked = F.regexp_replace(
+        F.col(text_col), SENT_BOUNDARY_RE, "$1\x01$2"
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(marked, "\x01")).alias(
+            "sent_no", "sentence"
+        ),
+    ).select(
+        "doc_id",
+        F.col("sent_no").cast("int").alias("sent_no"),
+        F.trim(F.col("sentence")).alias("sentence"),
+    )

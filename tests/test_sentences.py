@@ -1,0 +1,34 @@
+"""Regex-level sentence segmentation."""
+
+import pytest
+
+from lucille_spark.ops import text as T
+
+
+def test_sentences(spark):
+    df = spark.createDataFrame(
+        [(0, 'Hello world. Next one! e.g. not split. '
+             'Final "Q." end. Yes')],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (r["sent_no"], r["sentence"])
+        for r in T.sentences(df, "doc_id", "text").collect()
+    ]
+    assert rows == [
+        (0, "Hello world."),
+        (1, "Next one! e.g. not split."),
+        (2, 'Final "Q." end.'),
+        (3, "Yes"),
+    ]
+
+
+def test_sentences_no_boundary(spark):
+    df = spark.createDataFrame(
+        [(0, "no terminators at all"), (1, "")], ["doc_id", "text"]
+    )
+    rows = [
+        (r["doc_id"], r["sent_no"], r["sentence"])
+        for r in T.sentences(df, "doc_id", "text").collect()
+    ]
+    assert rows == [(0, 0, "no terminators at all"), (1, 0, "")]
