@@ -5582,6 +5582,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tx_robots"] = tx_robots_q
 
+    # ---- sitemap discovery from robots.txt (group-independent) ----
+    def web_robots_sm_q(s, d):
+        from lucille_spark.ops.web import robots_sitemaps
+
+        docs = _docs(s, d)
+        k = (
+            F.conv(F.substring(F.md5("source"), 1, 2), 16, 10)
+            .cast("int") % 3
+        )
+        body = F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: https://"),
+            F.col("source"),
+            F.lit(".example.com/sm"), k.cast("string"),
+            F.lit(".xml  # c\nsitemap:https://"),
+            F.col("source"),
+            F.lit(".example.com/alt.xml"),
+        )
+        robots = docs.select("source").distinct().select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            body.alias("robots_txt"),
+        )
+        return robots_sitemaps(robots)
+
+    q["web_robots_sm"] = web_robots_sm_q
+
     # ---- HTML extraction: deterministic synthetic HTML page per
     # document (title/style/script/comment decoys, three link
     # kinds); title/text/links via the fixed module rule, plus the
@@ -12443,6 +12470,27 @@ x AS (SELECT doc_id, string_split(mt, chr(1)) AS parts FROM m),
 e AS (SELECT doc_id, unnest(range(0, len(parts))) AS i, parts FROM x)
 SELECT doc_id, cast(i as int) AS sent_no, trim(parts[i + 1]) AS sentence
 FROM e ORDER BY doc_id, sent_no"""
+
+    # ---- robots.txt Sitemap discovery: identical extraction -------
+    o["web_robots_sm"] = """
+WITH s AS (SELECT DISTINCT source FROM documents),
+r AS (SELECT source || '.example.com' AS host,
+  'User-agent: *' || chr(10) || 'Disallow: /x' || chr(10) ||
+  'Sitemap: https://' || source || '.example.com/sm' ||
+  (('0x' || substring(md5(source), 1, 2))::int % 3) ||
+  '.xml  # c' || chr(10) ||
+  'sitemap:https://' || source || '.example.com/alt.xml' AS txt
+  FROM s),
+x AS (SELECT host, string_split(txt, chr(10)) AS ls FROM r),
+l AS (SELECT host,
+        trim(regexp_replace(unnest(ls), '#.*$', '')) AS line
+      FROM x),
+m AS (SELECT host,
+        trim(regexp_replace(line, '(?i)^sitemap\\s*:\\s*', ''))
+          AS sitemap_url
+      FROM l WHERE regexp_matches(line, '(?i)^sitemap\\s*:'))
+SELECT DISTINCT host, sitemap_url FROM m
+WHERE sitemap_url <> '' ORDER BY host, sitemap_url"""
 
 
     o["tx_url_canon"] = f"""

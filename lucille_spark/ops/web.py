@@ -1221,3 +1221,33 @@ def domain_stats(
         )
         .orderBy(F.desc("n_pages"), F.asc("domain"))
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery from robots.txt: `Sitemap:` directives are
+    GROUP-INDEPENDENT (RFC 9309 — they apply regardless of any
+    User-agent group), so this is one comment-stripped line explode
+    + a case-insensitive prefix match, no group machinery. The
+    output feeds `sitemap_entries` to seed the frontier.
+    -> (host, sitemap_url) distinct, sorted."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("_raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("_raw", r"#.*$", "")).alias("line"),
+    )
+    url = F.trim(
+        F.regexp_replace("line", r"(?i)^sitemap\s*:\s*", "")
+    )
+    return (
+        lines.filter(F.col("line").rlike(r"(?i)^sitemap\s*:"))
+        .select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+        .orderBy("host", "sitemap_url")
+    )

@@ -118,3 +118,19 @@ def test_domain_stats(spark):
     )
     rows = [tuple(r) for r in W.domain_stats(df).collect()]
     assert rows == [("ex.co.uk", 2, 2), ("ex.com", 1, 1)]
+
+
+def test_robots_sitemaps(spark):
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://a.com/sm.xml  # comment\n"
+        "sitemap:https://a.com/sm2.xml\n"
+        "Sitemap: https://a.com/sm.xml\n"  # duplicate
+        "NotASitemap: https://a.com/no.xml\n"
+    )
+    df = spark.createDataFrame([("a.com", txt)], ["host", "robots_txt"])
+    rows = [tuple(r) for r in W.robots_sitemaps(df).collect()]
+    assert rows == [
+        ("a.com", "https://a.com/sm.xml"),
+        ("a.com", "https://a.com/sm2.xml"),
+    ]
