@@ -1170,11 +1170,12 @@ def _literal_runs(branch: str):
 
 import re as _re
 
-# inline flag groups that turn on case-insensitive matching —
-# (?i), (?iu), (?i:...), (?m-i)... — make case-sensitive postings
-# unsound (the text may match in a case whose grams were never
-# indexed), so their presence forces the full-scan fallback
-_CASE_FLAG_RE = _re.compile(r"\(\?[a-zA-Z]*i[a-zA-Z-]*[):]")
+# inline flag groups that change what literals mean — i (case
+# insensitivity: case-sensitive postings could miss differently
+# cased matches) and x (COMMENTS mode: whitespace in the pattern is
+# not literal text) — make literal-based pruning unsound, so their
+# presence forces the full-scan fallback
+_CASE_FLAG_RE = _re.compile(r"\(\?[a-zA-Z]*[ix][a-zA-Z-]*[):]")
 
 
 def trigram_query(pattern: str):
@@ -1357,6 +1358,8 @@ def grep_many(
     text_col: str,
     patterns: dict,
     postings: DataFrame = None,
+    counts: DataFrame = None,
+    max_grams: int = 16,
 ) -> DataFrame:
     """Batched indexed grep: run N regexes in ONE pass — the
     serving shape for code-search traffic (same reasoning as the
@@ -1371,16 +1374,44 @@ def grep_many(
     required literal fall back to the full scan, unioned in.
     -> (pattern_id, doc_id, line_no, line)."""
     spark = df.sparkSession
-    needs_rows, fallback_ids = [], []
+    compiled, fallback_ids = {}, []
     for pid, pattern in patterns.items():
         branches = trigram_query(pattern)
         if branches is None:
             fallback_ids.append(pid)
-            continue
-        for bi, grams in enumerate(branches):
-            needs_rows.extend(
-                (pid, bi, g, len(grams)) for g in grams
-            )
+        else:
+            compiled[pid] = branches
+    if counts is not None and compiled:
+        # Zoekt's frequency trick for the batch too: keep only each
+        # branch's rarest grams (any subset of an AND stays sound),
+        # so one ubiquitous literal cannot drag a corpus-sized
+        # posting list through the join
+        wanted = sorted(
+            {g for bs in compiled.values() for b in bs for g in b}
+        )
+        freq = {
+            r["gram"]: r["n_docs"]
+            for r in counts.filter(
+                F.col("gram").isin(wanted)
+            ).collect()
+        }
+        compiled = {
+            pid: [
+                sorted(
+                    sorted(b, key=lambda g: (freq.get(g, 0), g))[
+                        :max_grams
+                    ]
+                )
+                for b in bs
+            ]
+            for pid, bs in compiled.items()
+        }
+    needs_rows = [
+        (pid, bi, g, len(grams))
+        for pid, bs in compiled.items()
+        for bi, grams in enumerate(bs)
+        for g in grams
+    ]
     out = None
     if needs_rows:
         if postings is None:
@@ -1503,5 +1534,10 @@ class GrepIndex:
         patterns: dict,
     ) -> DataFrame:
         return grep_many(
-            docs, id_col, text_col, patterns, postings=self.postings
+            docs,
+            id_col,
+            text_col,
+            patterns,
+            postings=self.postings,
+            counts=self.counts,
         )

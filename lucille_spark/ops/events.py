@@ -884,7 +884,11 @@ def asof_join(
         .cast(left.select(F.struct(*lcols).alias("s")).schema[0].dataType)
         .alias("_l"),
         F.lit(0).alias("_side"),
-        payload.alias("_r"),
+        # a right row with a NULL timestamp is no match for anyone
+        # (DuckDB ASOF / merge_asof semantics) — never carry it
+        F.when(
+            _epoch_s(F.col(ts)).isNotNull(), payload
+        ).alias("_r"),
     )
     if direction == "nearest" and strict:
         raise ValueError(

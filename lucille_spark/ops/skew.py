@@ -36,18 +36,25 @@ def skew_stats(
     salt vs nothing. One partial-agg shuffle on the key (the
     aggregation itself is skew-tolerant: partial counts combine
     map-side). -> (key, n_rows, share) by n_rows desc."""
-    total = df.count()
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    # total from the aggregate itself (key-cardinality-sized), so
+    # the input is scanned exactly once
+    g = g.withColumn(
+        "_total", F.sum("n_rows").over(Window.partitionBy())
+    )
     return (
-        df.groupBy(F.col(key).alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy(F.desc("n_rows"), F.asc("key"))
+        g.orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top)
         .select(
             "key",
             "n_rows",
-            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias(
-                "share"
-            ),
+            F.round(
+                F.col("n_rows") / F.col("_total").cast("double"), 6
+            ).alias("share"),
         )
     )
 
@@ -74,11 +81,17 @@ def salted_join(
             "salted_join supports how='inner'/'left' — flip the "
             "inputs for the symmetric cases"
         )
-    s = F.conv(
-        F.substring(F.md5(F.col(salt_col).cast("string")), 1, 4),
-        16,
-        10,
-    ).cast("int") % F.lit(int(salt))
+    # coalesce: a NULL salt_col must still land on SOME salt value,
+    # or its rows silently vanish from the join
+    s = F.coalesce(
+        F.conv(
+            F.substring(F.md5(F.col(salt_col).cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % F.lit(int(salt)),
+        F.lit(0),
+    )
     l = left.withColumn("_salt", s)
     r = right.withColumn(
         "_salt",

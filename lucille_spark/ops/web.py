@@ -221,7 +221,7 @@ def robots_rules(
 
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias(
+        F.posexplode(F.split(F.col(txt_col), "\r?\n")).alias(
             "pos", "_raw"
         ),
     ).select(
@@ -1236,7 +1236,7 @@ def robots_sitemaps(
     -> (host, sitemap_url) distinct, sorted."""
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(txt_col), "\n")).alias("_raw"),
+        F.explode(F.split(F.col(txt_col), "\r?\n")).alias("_raw"),
     ).select(
         "host",
         F.trim(F.regexp_replace("_raw", r"#.*$", "")).alias("line"),

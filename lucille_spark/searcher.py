@@ -122,6 +122,9 @@ class Searcher:
             similarity=getattr(
                 self.index.planner, "similarity", "bm25"
             ),
+            field_similarity=getattr(
+                self.index.planner, "field_similarity", None
+            ),
             predecode=predecode,
         )
 

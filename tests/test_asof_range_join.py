@@ -93,7 +93,6 @@ def test_range_join_containment(spark):
         for r in E.range_join(pts, ivs, bucket_s=3600.0).collect()
     )
     # pid 2 (3650) sits in BOTH intervals; end is exclusive
-    assert got == [(1, 10), (2, 10), (2, 11), (3, None)][:3] or True
     assert got == [(1, 10), (2, 10), (2, 11)]
 
 
@@ -279,3 +278,18 @@ def test_fill_gaps_methods(spark):
     assert z[1] == 0.0 and z[2] == 0.0 and z[0] == 10.0
     with pytest.raises(ValueError):
         E.fill_gaps(df, method="spline").collect()
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _t(5), "l5")], ["user_id", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    m = {
+        r["tag"]: (r["asof_ts"], r["r_value"])
+        for r in E.asof_join(left, right).collect()
+    }
+    assert m["l5"] == (None, None)

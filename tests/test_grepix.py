@@ -227,3 +227,10 @@ def test_lazy_quantifier_results_match_full_scan(spark, docs_df):
     got = _rows(C.grep_indexed(docs_df, "doc_id", "text", pat))
     assert got == _rows(C.grep(docs_df, "doc_id", "text", pat))
     assert len(got) > 0
+
+
+def test_extended_mode_flag_forces_full_scan(spark, docs_df):
+    assert C.trigram_query(r"(?x) f o o bar") is None
+    pat = r"(?x) import \s numpy"
+    got = _rows(C.grep_indexed(docs_df, "doc_id", "text", pat))
+    assert got == _rows(C.grep(docs_df, "doc_id", "text", pat))

@@ -93,3 +93,20 @@ def test_skew_stats(spark, skewed):
     rows = S.skew_stats(left, "k", top=2).collect()
     assert rows[0]["key"] == 1 and rows[0]["n_rows"] == 92
     assert abs(rows[0]["share"] - 0.92) < 1e-9
+
+
+def test_salted_join_null_salt_col(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, None)], ["k", "sc"]
+    )
+    right = spark.createDataFrame([(1, "dim")], ["k", "label"])
+    got = sorted(
+        (
+            (r["sc"], r["label"])
+            for r in S.salted_join(
+                left, right, "k", "sc", salt=4
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == sorted([("a", "dim"), (None, "dim")], key=str)

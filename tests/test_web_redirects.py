@@ -134,3 +134,10 @@ def test_robots_sitemaps(spark):
         ("a.com", "https://a.com/sm.xml"),
         ("a.com", "https://a.com/sm2.xml"),
     ]
+
+
+def test_robots_sitemaps_crlf(spark):
+    txt = "User-agent: *\r\nSitemap: https://a.com/sm.xml\r\n"
+    df = spark.createDataFrame([("a.com", txt)], ["host", "robots_txt"])
+    rows = [tuple(r) for r in W.robots_sitemaps(df).collect()]
+    assert rows == [("a.com", "https://a.com/sm.xml")]
