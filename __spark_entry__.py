@@ -1286,7 +1286,27 @@ def _title_term_sc(term: str) -> str:
 # (scripts/check_correctness.py — 145+ entries).
 _GATE_PRIORITY = [
     # both executors x every distinctive query shape (30)
-    "ft_term", "wand_term",
+    # (round-4 rotation — VERDICT r3 ask #6: ten slots whose kernel
+    # shapes are covered by in-window twins freed for ten families
+    # the driver has never verified. Out: ft_term (term scoring
+    # covered by wand_term + ft_and/ft_complex), ft_fuzzy +
+    # ft_shingle_ix (dictionary-expansion / index-analyzer shapes
+    # covered by wand_prefix + ft_gram_ix), ft_minmatch +
+    # ft_synquery (boolean/blended scoring covered by ft_complex +
+    # ft_bm25f), code_fn_dups (dedup flow covered by dd_lsh_pairs),
+    # sim_ivf_topk (ANN covered by sim_pq_topk), code_secrets
+    # (regex scan covered by code_grep_ix), ft_rm3 (multi-pass
+    # scoring covered by ft_bm25f/ft_phrase_suggest), pipe_dsir_logw
+    # (pipeline flows covered by pipe_stack/pipe_pack). All ten stay
+    # in the full local mirror. In: web_redirects, web_schedule,
+    # gr_trustrank, sk_kmv_jaccard, ev_scd2, ev_fill, pipe_fineweb,
+    # ft_terms_sharded, ft_search_after, ix_update_meta.)
+    "wand_term",
+    "web_redirects", "web_schedule",
+    "gr_trustrank", "sk_kmv_jaccard",
+    "ev_scd2", "ev_fill",
+    "pipe_fineweb", "ft_terms_sharded",
+    "ft_search_after", "ix_update_meta",
     # (wand_and / wand_or freed their slots for the newest families
     # — the kernel's AND/OR/NOT paths stay covered by wand_complex
     # here plus the full local mirror)
@@ -1339,13 +1359,9 @@ _GATE_PRIORITY = [
     # ft_range freed its slot for the DSIR importance-resampling
     # family — PRange is the same ordered-dictionary-slice machinery
     # as ft_prefix and stays in the local mirror)
-    "pipe_dsir_logw",
-    "ft_fuzzy",
-    "ft_minmatch",
     # (ft_boost freed its slot for the SynonymQuery family — boost
     # is a scalar multiply exercised by the mirror + pytest; blended
     # synonym stats are a new scoring semantic)
-    "ft_synquery",
     "ft_complex", "wand_complex",
     # one representative per pipeline/feature family (20)
     # (dd_exact freed its slot for the incremental cross-corpus
@@ -1357,7 +1373,6 @@ _GATE_PRIORITY = [
     # (dd_groups freed its slot for the round-3 function-level code
     # dedup — the components/groups flow stays covered by
     # dd_lsh_pairs here plus dd_components/dd_groups in the mirror)
-    "code_fn_dups",
     "sem_dedup",
     "sim_pq_topk",
     # (sim_srp_ann freed its slot for the learned-sparse family —
@@ -1366,12 +1381,10 @@ _GATE_PRIORITY = [
     # SPLADE serving shape: impact-encoded feature table + sparse
     # dot-product top-k through the DSL front door.)
     "ft_sparse_vec",
-    "sim_ivf_topk",
     # (tx_gopher freed its slot for the shingle-analyzer family —
     # the text-stats family keeps tx_bigram_ppl in-window and
     # tx_gopher stays in the local mirror. ft_shingle_ix is the
     # fast-phrase index: word bigrams as dictionary terms.)
-    "ft_shingle_ix",
     "pipe_percolate_scored",
     # (ev_funnel freed its slot for the as-of join — the funnel's
     # backward-induction machinery stays represented in-window by
@@ -1381,7 +1394,6 @@ _GATE_PRIORITY = [
     "pipe_pack",
     "mm_features",
     "ft_bm25f",
-    "ft_rm3",
     # (ft_dismax freed its slot for the trigram content index — the
     # per-clause max is a one-expression scoring combiner covered by
     # the local mirror; code_grep_ix is a NEW family: Cox/Zoekt
@@ -1394,7 +1406,6 @@ _GATE_PRIORITY = [
     # round-3 families: code-corpus ops, sketches, span queries (the
     # wand_not/wand_minmatch/wand_boost slots — kernel shapes already
     # covered by wand_and_not/wand_complex — made room)
-    "code_secrets",
     "sk_hll",
     "ft_spannear",
     # (wand_regex / wand_fuzzy freed 2 more slots — the PExpand
@@ -2065,8 +2076,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the salted two-phase dictionary aggregation.
     def top_terms(s, d):
         ix = _index_for(s, d)
+        # explicit BIGINT on both sides: DuckDB's sum() yields HUGEINT
+        # and r3's driver hash normalized it differently than the
+        # engine columns (zero exact value diffs — adjudicated).
         return (
-            ix.terms_df.select("term", "df", "cf")
+            ix.terms_df.select(
+                "term",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"),
+            )
             .orderBy(F.desc("df"), "term")
             .limit(20)
         )
@@ -2711,51 +2729,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_histogram"] = lambda s, d: ev.date_histogram(
         _events(s, d), by="event_type", fixed_seconds=3600
     )
+    def _ms(df, **renames):
+        """Gate-projection canonicalizer: epoch-seconds doubles ->
+        epoch-millis BIGINT. round(x, k) on doubles at ~1.7e9
+        magnitude is one ulp apart between Spark and DuckDB (the r3
+        ev_asof driver hash-miss); integer millis are exact on both
+        engines. renames: old_col=new_col."""
+        out = df
+        for c, new in renames.items():
+            out = out.withColumn(
+                c, F.round(F.col(c) * 1000).cast("long")
+            ).withColumnRenamed(c, new)
+        return out
+
     q["ev_sessions"] = lambda s, d: ev.sessionize(
         _events(s, d), gap_minutes=30.0
     ).select("event_id", "user_id", "session_n").orderBy("event_id")
     q["ev_session_stats"] = lambda s, d: ev.session_stats(
         _events(s, d), gap_minutes=30.0
     )
-    q["ev_funnel"] = lambda s, d: ev.funnel(
-        _events(s, d), ["view", "click", "purchase"]
+    q["ev_funnel"] = lambda s, d: _ms(
+        ev.funnel(_events(s, d), ["view", "click", "purchase"]),
+        t_first="t_first_ms",
+        t_last="t_last_ms",
     )
     # EQL `sequence by user_id with maxspan=1d [view][click][purchase]`:
     # every anchored in-order chain, earliest-completion witness,
     # ONE shuffle (shared user-sorted window frames)
-    q["ev_eql_seq"] = lambda s, d: ev.eql_sequence(
-        _events(s, d), ["view", "click", "purchase"], 86400.0
+    q["ev_eql_seq"] = lambda s, d: _ms(
+        ev.eql_sequence(
+            _events(s, d), ["view", "click", "purchase"], 86400.0
+        ),
+        start_ts="start_ms",
+        end_ts="end_ms",
     )
     # EQL sample: key-join with no ordering/maxspan; earliest
     # witness per step, keys having every step
-    q["ev_eql_sample"] = lambda s, d: ev.eql_sample(
-        _events(s, d), ["signup", "purchase", "error"]
+    q["ev_eql_sample"] = lambda s, d: _ms(
+        ev.eql_sample(_events(s, d), ["signup", "purchase", "error"]),
+        s0_ts="s0_ms",
+        s1_ts="s1_ms",
+        s2_ts="s2_ms",
     )
     # the EQL TEXT front door: the full string grammar compiled onto
     # the same induction — must hash-match the ev_eql_missing oracle
     def ev_eql_text_q(s, d):
         from lucille_spark.eql import eql_search
 
-        return eql_search(
-            _events(s, d),
-            "sequence by user_id with maxspan=1d "
-            "[view] ![error] [purchase]",
+        return _ms(
+            eql_search(
+                _events(s, d),
+                "sequence by user_id with maxspan=1d "
+                "[view] ![error] [purchase]",
+            ),
+            start_ts="start_ms",
+            end_ts="end_ms",
         )
 
     q["ev_eql_text"] = ev_eql_text_q
 
     # ES 8.8 missing events: view -> purchase with NO error strictly
     # between (segment-id evaluation, no joins)
-    q["ev_eql_missing"] = lambda s, d: ev.eql_sequence(
-        _events(s, d),
-        ["view", {"missing": "error"}, "purchase"],
-        86400.0,
+    q["ev_eql_missing"] = lambda s, d: _ms(
+        ev.eql_sequence(
+            _events(s, d),
+            ["view", {"missing": "error"}, "purchase"],
+            86400.0,
+        ),
+        start_ts="start_ms",
+        end_ts="end_ms",
     )
     # EQL `until`: an error event expires every in-progress sequence
     # for its user — completion must land strictly before it
-    q["ev_eql_until"] = lambda s, d: ev.eql_sequence(
-        _events(s, d), ["view", "click", "purchase"], 86400.0,
-        until="error",
+    q["ev_eql_until"] = lambda s, d: _ms(
+        ev.eql_sequence(
+            _events(s, d), ["view", "click", "purchase"], 86400.0,
+            until="error",
+        ),
+        start_ts="start_ms",
+        end_ts="end_ms",
     )
     # first-order Markov transition matrix (what-happens-next table)
     q["ev_transitions"] = lambda s, d: ev.transition_matrix(_events(s, d))
@@ -4120,10 +4172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts="ts",
             right_cols=("value",),
         )
+        # epoch MILLISECONDS as BIGINT: round(x, 4) at ~1.7e9 double
+        # magnitude is beyond double precision and Spark/DuckDB land
+        # one ulp apart on a handful of rows (r3 driver hash-miss,
+        # adjudicated as a projection artifact). Integer millis are
+        # exact on both engines.
         return out.select(
             "event_id",
             "user_id",
-            F.round("asof_ts", 4).alias("asof_ts"),
+            F.round(F.col("asof_ts") * 1000).cast("long").alias("asof_ms"),
             "r_value",
         ).orderBy("event_id")
 
@@ -4143,10 +4200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             right_cols=("value",),
             direction="forward",
         )
+        # same epoch-millis BIGINT projection as ev_asof (see above)
         return out.select(
             "event_id",
             "user_id",
-            F.round("asof_ts", 4).alias("asof_ts"),
+            F.round(F.col("asof_ts") * 1000).cast("long").alias("asof_ms"),
             "r_value",
         ).orderBy("event_id")
 
@@ -4185,12 +4243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
             cols=("value",),
         )
+        # epoch-millis BIGINT canonical form (see _ms) — round(x, 4)
+        # at 1.7e9 double magnitude is hash-fragile across engines
         return out.select(
             "key",
             "value",
-            F.round("valid_from_s", 4).alias("valid_from_s"),
-            F.round("valid_to_s", 4).alias("valid_to_s"),
-        ).orderBy("key", "valid_from_s", "value")
+            F.round(F.col("valid_from_s") * 1000)
+            .cast("long")
+            .alias("valid_from_ms"),
+            F.round(F.col("valid_to_s") * 1000)
+            .cast("long")
+            .alias("valid_to_ms"),
+        ).orderBy("key", "valid_from_ms", "value")
 
     q["ev_scd2"] = ev_scd2_q
 
@@ -7151,7 +7215,8 @@ ORDER BY s DESC, doc_id LIMIT 10"""
     o["ix_dictionary"] = f"""
 WITH tok AS ({_TOK}),
 tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(c) AS cf FROM tf GROUP BY term
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf
+FROM tf GROUP BY term
 ORDER BY df DESC, term LIMIT 20"""
 
     # numeric meta (points): pure filter = constant score over the
@@ -7469,13 +7534,15 @@ s AS (SELECT event_id, user_id, event_type, e,
     o["ev_sessions"] = (
         "WITH " + _SESS
         + """
-SELECT event_id, user_id, session_n FROM s ORDER BY event_id"""
+SELECT event_id, user_id, CAST(session_n AS BIGINT) AS session_n
+FROM s ORDER BY event_id"""
     )
 
     o["ev_session_stats"] = (
         "WITH " + _SESS
         + """
-SELECT user_id, session_n, count(*) AS n_events,
+SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       count(*) AS n_events,
        round(max(e) - min(e), 3) AS duration_s,
        count(DISTINCT event_type) AS n_types
 FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n"""
@@ -7599,8 +7666,10 @@ WITH base AS (
   SELECT *, min(c2) OVER (PARTITION BY user_id ORDER BY e, id
     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a2 FROM l2
 )
-SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
-       round(a2, 3) AS end_ts, round(a2 - e, 3) AS span_s
+SELECT user_id, id AS start_id,
+       CAST(round(e * 1000) AS BIGINT) AS start_ms,
+       CAST(round(a2 * 1000) AS BIGINT) AS end_ms,
+       round(a2 - e, 3) AS span_s
 FROM m2
 WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
 ORDER BY user_id, start_id"""
@@ -7619,9 +7688,9 @@ s1 AS (SELECT user_id, id, e, row_number() OVER (PARTITION BY user_id
 s2 AS (SELECT user_id, id, e, row_number() OVER (PARTITION BY user_id
        ORDER BY e, id) AS rn FROM base WHERE t = 'error')
 SELECT s0.user_id,
-  s0.id AS s0_id, round(s0.e, 3) AS s0_ts,
-  s1.id AS s1_id, round(s1.e, 3) AS s1_ts,
-  s2.id AS s2_id, round(s2.e, 3) AS s2_ts
+  s0.id AS s0_id, CAST(round(s0.e * 1000) AS BIGINT) AS s0_ms,
+  s1.id AS s1_id, CAST(round(s1.e * 1000) AS BIGINT) AS s1_ms,
+  s2.id AS s2_id, CAST(round(s2.e * 1000) AS BIGINT) AS s2_ms
 FROM s0 JOIN s1 ON s0.user_id = s1.user_id AND s1.rn = 1
 JOIN s2 ON s0.user_id = s2.user_id AND s2.rn = 1
 WHERE s0.rn = 1 ORDER BY s0.user_id"""
@@ -7645,8 +7714,10 @@ WITH base AS (
   SELECT *, min(c2) OVER (PARTITION BY user_id, s0 ORDER BY e, id
     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS a2 FROM l2
 )
-SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
-       round(a2, 3) AS end_ts, round(a2 - e, 3) AS span_s
+SELECT user_id, id AS start_id,
+       CAST(round(e * 1000) AS BIGINT) AS start_ms,
+       CAST(round(a2 * 1000) AS BIGINT) AS end_ms,
+       round(a2 - e, 3) AS span_s
 FROM m2
 WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
 ORDER BY user_id, start_id"""
@@ -7674,8 +7745,10 @@ WITH base AS (
       PARTITION BY user_id ORDER BY e, id
       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS u FROM l2
 )
-SELECT user_id, id AS start_id, round(e, 3) AS start_ts,
-       round(a2, 3) AS end_ts, round(a2 - e, 3) AS span_s
+SELECT user_id, id AS start_id,
+       CAST(round(e * 1000) AS BIGINT) AS start_ms,
+       CAST(round(a2 * 1000) AS BIGINT) AS end_ms,
+       round(a2 - e, 3) AS span_s
 FROM m2
 WHERE t = 'view' AND a2 IS NOT NULL AND a2 - e <= 86400.0
   AND (u IS NULL OR a2 < u)
@@ -7742,8 +7815,8 @@ s3 AS (SELECT ev.user_id, min(e) AS t3 FROM ev JOIN s2 USING (user_id)
 SELECT s1.user_id,
        CASE WHEN t3 IS NOT NULL THEN 3
             WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed,
-       round(t1, 3) AS t_first,
-       round(coalesce(t3, t2, t1), 3) AS t_last
+       CAST(round(t1 * 1000) AS BIGINT) AS t_first_ms,
+       CAST(round(coalesce(t3, t2, t1) * 1000) AS BIGINT) AS t_last_ms
 FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
 LEFT JOIN s3 ON s1.user_id = s3.user_id
 ORDER BY s1.user_id"""
@@ -8432,7 +8505,7 @@ qv AS (SELECT d.doc_id, tc.n, {_rep_q} AS q
         _rep_ctes
         + """SELECT l.lang_pred,
   cast(least(floor(qv.q * 10), 9) AS int) AS q_decile,
-  count(*) AS n_docs, sum(qv.n) AS n_tokens
+  count(*) AS n_docs, CAST(sum(qv.n) AS BIGINT) AS n_tokens
 FROM qv JOIN l USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
     )
@@ -8443,7 +8516,7 @@ SELECT (SELECT count(*) FROM qv) AS n_docs,
   (SELECT count(DISTINCT s) FROM sh) AS n_unique,
   round(1.0 - (SELECT count(DISTINCT s) FROM sh) * 1.0
         / (SELECT count(*) FROM qv), 6) AS dup_rate,
-  (SELECT sum(n) FROM qv) AS total_tokens,
+  (SELECT CAST(sum(n) AS BIGINT) FROM qv) AS total_tokens,
   (SELECT round(avg(q), 6) FROM qv) AS avg_quality,
   (SELECT round(quantile_cont(n, 0.5), 4) FROM qv) AS p50_tokens,
   (SELECT round(quantile_cont(n, 0.95), 4) FROM qv) AS p95_tokens"""
@@ -10254,7 +10327,7 @@ ORDER BY caller_doc, callee_doc, symbol"""
         + """
 SELECT callee_doc, symbol,
        count(DISTINCT caller_doc) AS n_callers,
-       sum(n_calls) AS n_calls
+       CAST(sum(n_calls) AS BIGINT) AS n_calls
 FROM e GROUP BY callee_doc, symbol ORDER BY callee_doc, symbol"""
     )
 
@@ -11976,7 +12049,7 @@ ch AS (SELECT word, freq,
                       i -> [word[i:i], word[i+1:i+1]]) AS prs
        FROM wf WHERE length(word) >= 2),
 p AS (SELECT freq, unnest(prs) AS pr FROM ch)
-SELECT pr[1] AS a, pr[2] AS b, sum(freq) AS cnt FROM p
+SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM p
 GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 30"""
 
     # greedy-left merge application == non-overlapping left-to-right
@@ -12339,7 +12412,7 @@ WITH l AS (SELECT event_id, user_id, ts FROM events
 r AS (SELECT user_id, ts, value FROM events
       WHERE event_type = 'purchase')
 SELECT l.event_id, l.user_id,
-       round(epoch(r.ts), 4) AS asof_ts,
+       CAST(round(epoch(r.ts) * 1000) AS BIGINT) AS asof_ms,
        r.value AS r_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND r.ts <= l.ts
@@ -12352,7 +12425,7 @@ WITH l AS (SELECT event_id, user_id, ts FROM events
 r AS (SELECT user_id, ts, value FROM events
       WHERE event_type = 'purchase')
 SELECT l.event_id, l.user_id,
-       round(epoch(r.ts), 4) AS asof_ts,
+       CAST(round(epoch(r.ts) * 1000) AS BIGINT) AS asof_ms,
        r.value AS r_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND r.ts >= l.ts
@@ -12373,10 +12446,11 @@ ORDER BY pid, iid"""
     o["ev_scd2"] = """
 WITH h AS (SELECT user_id AS key, epoch(ts) AS f, value FROM events
            WHERE event_type = 'purchase')
-SELECT key, value, round(f, 4) AS valid_from_s,
-  round(lead(f) OVER (PARTITION BY key ORDER BY f ASC, value ASC), 4)
-    AS valid_to_s
-FROM h ORDER BY key, valid_from_s, value"""
+SELECT key, value,
+  CAST(round(f * 1000) AS BIGINT) AS valid_from_ms,
+  CAST(round(lead(f) OVER (PARTITION BY key ORDER BY f ASC, value ASC)
+             * 1000) AS BIGINT) AS valid_to_ms
+FROM h ORDER BY key, valid_from_ms, value"""
 
     # ---- skew toolkit: the salted join must equal the plain join --
     o["join_salted"] = """

@@ -1,0 +1,115 @@
+"""Hash-fragility linter over every oracle_sql() projection.
+
+Round 3 burned two driver gate slots on ORACLE artifacts, not engine
+errors (VERDICT r3 "What's wrong" #1-2):
+
+  1. round(x, k) on doubles of large magnitude — at |x| ~ 1.7e9 with 4
+     decimals the value needs ~14 significant digits and Spark's and
+     DuckDB's round() land one ulp apart on a few rows, so an
+     order-insensitive value hash misses even though the engine
+     answers are identical.
+  2. DuckDB typed-aggregate widths — sum(BIGINT) yields HUGEINT and
+     count(*) semantics differ in width, which a hasher may normalize
+     differently from Spark's BIGINT even with zero value diffs.
+
+This linter EXECUTES every oracle at sf0.01 and flags, per column:
+
+  * HUGEINT / INT128 / UINT128 / DECIMAL result types (class 2): the
+    projection must CAST to BIGINT/DOUBLE so both engines agree on a
+    canonical width.
+  * FLOAT/DOUBLE columns that carry FRACTIONAL values at magnitude
+    >= 1e6 (class 1): round-to-k-decimals is beyond reliable double
+    precision there; the projection should emit an integer canonical
+    form (e.g. epoch millis as BIGINT) or text.
+
+Usage: python scripts/lint_oracles.py [sf_dir]
+Exit status 1 if any flag fires — run it in CI next to the mirror.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# DuckDB types whose hash canonicalization differs from Spark's
+FRAGILE_TYPES = ("HUGEINT", "INT128", "UINT128", "DECIMAL")
+
+# |value| above this with a fractional part => round() is past the
+# precision a double can hold reliably for digit-exact cross-engine
+# comparison (the ev_asof failure was at 1.7e9 with 4 decimals).
+MAG_LIMIT = 1e6
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    flags: list[str] = []
+    n_err = 0
+
+    for name, sql in sorted(oracles.items()):
+        try:
+            res = con.sql(sql)
+            cols = res.columns
+            types = [str(t).upper() for t in res.types]
+            rows = res.fetchall()
+        except Exception as e:  # an oracle that doesn't run is a flag
+            flags.append(f"{name}: oracle failed to execute: {e}")
+            n_err += 1
+            continue
+
+        for i, (c, ty) in enumerate(zip(cols, types)):
+            if any(ft in ty for ft in FRAGILE_TYPES):
+                flags.append(
+                    f"{name}.{c}: fragile result type {ty} — CAST to "
+                    f"BIGINT/DOUBLE in the projection"
+                )
+                continue
+            if "DOUBLE" in ty or "FLOAT" in ty:
+                worst = 0.0
+                fractional_at_mag = False
+                for r in rows:
+                    v = r[i]
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        continue
+                    a = abs(float(v))
+                    worst = max(worst, a)
+                    if a >= MAG_LIMIT and float(v) != int(v):
+                        fractional_at_mag = True
+                if fractional_at_mag:
+                    flags.append(
+                        f"{name}.{c}: fractional double at magnitude "
+                        f"{worst:.3g} — beyond stable round() precision; "
+                        f"emit an integer canonical form (e.g. millis "
+                        f"as BIGINT) or text"
+                    )
+
+    if flags:
+        print(f"{len(flags)} flag(s):")
+        for f in flags:
+            print("  FLAG", f)
+        return 1
+    print(f"0 flags over {len(oracles)} oracles ({n_err} exec errors)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
