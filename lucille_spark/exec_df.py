@@ -18,6 +18,7 @@ expressions, no UDFs anywhere in this module).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -79,9 +80,13 @@ def _boost_case(doc_boosts):
 
 
 class DataFrameExecutor:
+    #: bounded LRU of built (unresolved) plans — see search()
+    PLAN_CACHE_MAX = 64
+
     def __init__(self, index: SparkIndex):
         self.ix = index
         self.avgdl = float(index.stats["avg_dl"])
+        self._plan_cache: "OrderedDict" = OrderedDict()
 
     # ------------------------------------------------------------ api
     def search(
@@ -99,7 +104,26 @@ class DataFrameExecutor:
         of (lo, hi, factor) doc-id ranges whose scores multiply by
         `factor` BEFORE the top-k cut — the ES `indices_boost`
         primitive (alias parts occupy disjoint id ranges); applied
-        as one CASE column, no extra pass."""
+        as one CASE column, no extra pass.
+
+        Repeated string queries hit a bounded plan cache: building a
+        boolean plan costs hundreds of py4j round trips (~0.2-0.35 s
+        driver-side — roughly the execution time of the job itself),
+        and the built DataFrame is immutable, so re-collecting it is
+        exactly re-running the query (Lucene QueryCache idea, one
+        level up). Keyed on (query, k, with_meta) plus the index's
+        plan_version, which refresh_deletes() bumps — a cached plan
+        never serves a stale tombstone set."""
+        cache_key = None
+        if isinstance(query, str) and synonyms is None and not doc_boosts:
+            cache_key = (
+                query, k, with_meta,
+                getattr(self.ix, "plan_version", 0),
+            )
+            hit = self._plan_cache.get(cache_key)
+            if hit is not None:
+                self._plan_cache.move_to_end(cache_key)
+                return hit
         node = self.ix.plan(query, synonyms=synonyms)
         df = self.evaluate(node)
         if doc_boosts:
@@ -128,6 +152,10 @@ class DataFrameExecutor:
                 "doc_id", "score",
                 *[c for c in meta.columns if c != "doc_id"],
             ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if cache_key is not None:
+            self._plan_cache[cache_key] = df
+            if len(self._plan_cache) > self.PLAN_CACHE_MAX:
+                self._plan_cache.popitem(last=False)
         return df
 
     def search_many(

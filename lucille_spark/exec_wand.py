@@ -36,6 +36,7 @@ tests (tests/test_engine_wand.py).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -98,9 +99,14 @@ def _local_deleted(deleted, dl_pdf) -> Optional[np.ndarray]:
 
 
 class WandExecutor:
+    #: bounded LRU of built plans, keyed like exec_df's (plan build
+    #: is hundreds of py4j round trips; the DataFrame is immutable)
+    PLAN_CACHE_MAX = 64
+
     def __init__(self, index: SparkIndex, prune: bool = True):
         self.ix = index
         self.prune = prune
+        self._plan_cache: "OrderedDict" = OrderedDict()
 
     def search(
         self, query, k: int = 10, with_meta: bool = False,
@@ -126,6 +132,21 @@ class WandExecutor:
                 query, k=None, with_meta=with_meta, synonyms=synonyms,
                 doc_boosts=doc_boosts,
             )
+        cache_key = None
+        if (
+            isinstance(query, str)
+            and synonyms is None
+            and not doc_boosts
+            and getattr(self, "profile_acc", None) is None
+        ):
+            cache_key = (
+                query, k, with_meta,
+                getattr(self.ix, "plan_version", 0),
+            )
+            hit = self._plan_cache.get(cache_key)
+            if hit is not None:
+                self._plan_cache.move_to_end(cache_key)
+                return hit
         ix = self.ix
         node = ix.plan(query, synonyms=synonyms)
         terms = P.collect_terms(node)
@@ -200,6 +221,10 @@ class WandExecutor:
                 "doc_id", "score",
                 *[c for c in meta.columns if c != "doc_id"],
             ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if cache_key is not None:
+            self._plan_cache[cache_key] = out
+            if len(self._plan_cache) > self.PLAN_CACHE_MAX:
+                self._plan_cache.popitem(last=False)
         return out
 
 

@@ -480,6 +480,8 @@ class SparkIndex:
         self._deleted_ids = None
         self._deleted_n = None
         self._deletes_checked = False
+        # bumped by refresh_deletes(); executor plan caches key on it
+        self.plan_version = 0
         fidx_path = os.path.join(index_dir, "file_index.json")
         self._fidx = None
         if fsio.exists(fidx_path, spark):
@@ -586,11 +588,13 @@ class SparkIndex:
 
     def refresh_deletes(self) -> None:
         """Re-read the tombstone set (after delete_docs on a live
-        reader)."""
+        reader). Bumps `plan_version` so executor-level plan caches
+        drop plans that baked the old delete set."""
         self._deleted_df = None
         self._deleted_ids = None
         self._deleted_n = None
         self._deletes_checked = False
+        self.plan_version = getattr(self, "plan_version", 0) + 1
 
     # -- file-level term pruning -----------------------------------
     # The posting files are term-SORTED and split into term-contiguous

@@ -1429,20 +1429,29 @@ def grep_many(
             .select("pattern_id", "doc_id")
             .distinct()
         )
-        pats = spark.createDataFrame(
-            [(p, patterns[p]) for p in patterns if p not in fallback_ids],
-            ["pattern_id", "_pat"],
-        )
         lines = df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), r"\n")).alias(
                 "line_no", "line"
             ),
         ).join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
+        # verify with LITERAL rlike patterns in one disjunction over
+        # the single shared candidate-lines pass: a non-literal
+        # regexp_like(line, _pat) column recompiles the regex per
+        # row (and needs Spark >= 3.4); a literal rlike compiles
+        # once per task, and the per-pattern pattern_id guard keeps
+        # each branch scoped to its own candidates.
+        verify = None
+        for pid in patterns:
+            if pid in fallback_ids:
+                continue
+            cond = (F.col("pattern_id") == F.lit(pid)) & F.col(
+                "line"
+            ).rlike(patterns[pid])
+            verify = cond if verify is None else (verify | cond)
         out = (
-            cands.join(F.broadcast(pats), "pattern_id")
-            .join(lines, "doc_id")
-            .filter(F.expr("regexp_like(line, _pat)"))
+            cands.join(lines, "doc_id")
+            .filter(verify)
             .select(
                 "pattern_id",
                 "doc_id",

@@ -990,8 +990,15 @@ def range_join(
             f"{max_buckets}; raise bucket_s"
         )
     by = list(by) if by else []
+    # collision-free working column (a user column named _bucket
+    # would be shadowed and the output schema would drift from the
+    # plain inequality join this function is equivalent to)
+    bname = "_bucket"
+    taken = set(points.columns) | set(intervals.columns)
+    while bname in taken:
+        bname = "_" + bname
     iv = intervals.withColumn(
-        "_bucket",
+        bname,
         F.explode(
             F.sequence(
                 F.floor(F.col(start) / b).cast("long"),
@@ -1000,9 +1007,9 @@ def range_join(
         ),
     )
     p = points.withColumn(
-        "_bucket", F.floor(F.col(point_ts) / b).cast("long")
+        bname, F.floor(F.col(point_ts) / b).cast("long")
     )
-    cond = [p["_bucket"] == iv["_bucket"]] + [
+    cond = [p[bname] == iv[bname]] + [
         p[c] == iv[c] for c in by
     ]
     joined = p.join(iv, cond)
@@ -1101,6 +1108,16 @@ def fill_gaps(
         F.col(bucket_col).alias("bucket"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    if int(step) != 1:
+        # an observed bucket off the min + k*step grid would
+        # otherwise vanish from the left join — its neighbors would
+        # interpolate as if it never existed. Union the observed
+        # buckets into the spine so every observation survives;
+        # dropDuplicates rides the same by-key shuffle as the join.
+        dense = (
+            dense.unionByName(obs.select(*by, "bucket"))
+            .dropDuplicates(by + ["bucket"])
+        )
     j = dense.join(obs, by + ["bucket"], "left")
     w = (
         Window.partitionBy(*by)

@@ -36,19 +36,21 @@ def skew_stats(
     salt vs nothing. One partial-agg shuffle on the key (the
     aggregation itself is skew-tolerant: partial counts combine
     map-side). -> (key, n_rows, share) by n_rows desc."""
-    from pyspark.sql import Window
-
     g = df.groupBy(F.col(key).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    # total from the aggregate itself (key-cardinality-sized), so
-    # the input is scanned exactly once
-    g = g.withColumn(
-        "_total", F.sum("n_rows").over(Window.partitionBy())
-    )
+    # global total as a SCALAR aggregate cross-joined back, not an
+    # unpartitioned window: a window over partitionBy() would move
+    # EVERY distinct key's row into one task — a single-task
+    # bottleneck/OOM at very high key cardinality, ironic for a
+    # skew-diagnosis tool. The scalar agg combines one partial row
+    # per partition, and Catalyst's ReuseExchange shares the
+    # groupBy shuffle between the two branches of the self-join.
+    total = g.agg(F.sum("n_rows").alias("_total"))
     return (
         g.orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top)
+        .crossJoin(F.broadcast(total))
         .select(
             "key",
             "n_rows",
@@ -81,6 +83,14 @@ def salted_join(
             "salted_join supports how='inner'/'left' — flip the "
             "inputs for the symmetric cases"
         )
+    # collision-free working column: a user column literally named
+    # _salt would otherwise be silently overwritten on the left and
+    # shadowed-then-dropped on the right, changing the output schema
+    # vs the plain join this function promises
+    salt_name = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt_name in taken:
+        salt_name = "_" + salt_name
     # coalesce: a NULL salt_col must still land on SOME salt value,
     # or its rows silently vanish from the join
     s = F.coalesce(
@@ -92,10 +102,10 @@ def salted_join(
         % F.lit(int(salt)),
         F.lit(0),
     )
-    l = left.withColumn("_salt", s)
+    l = left.withColumn(salt_name, s)
     r = right.withColumn(
-        "_salt",
+        salt_name,
         F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))),
     )
-    out = l.join(r, [key, "_salt"], how)
-    return out.drop("_salt")
+    out = l.join(r, [key, salt_name], how)
+    return out.drop(salt_name)

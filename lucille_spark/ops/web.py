@@ -902,6 +902,7 @@ def resolve_redirects(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 5,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Resolve every redirect source to its FINAL target by pointer
     jumping: each round composes the map with itself (f <- f(f(x))),
@@ -917,9 +918,25 @@ def resolve_redirects(
     is a deterministic function.
 
     Scale: each round is one equi-join of two 2-column tables,
-    shuffled on the join key; rounds are localCheckpointed so the
-    unrolled lineage stays flat. -> (url, target, resolved bool)
+    shuffled on the join key; rounds are checkpointed so the
+    unrolled lineage stays flat. Fault-tolerance tradeoff: the
+    default localCheckpoint() is EAGER (building the plan runs
+    max_rounds jobs at call time) and pins round results in
+    non-replicated executor block storage — losing an executor
+    mid-pipeline fails the downstream query instead of recomputing.
+    That is the right price for an interactive session; for a
+    long-running production flow pass reliable_checkpoint=True to
+    use checkpoint() into the SparkContext checkpoint dir
+    (spark.sparkContext.setCheckpointDir(...) first), which
+    survives executor loss. -> (url, target, resolved bool)
     sorted by url."""
+
+    def _ckpt(df):
+        return (
+            df.checkpoint() if reliable_checkpoint
+            else df.localCheckpoint()
+        )
+
     f = (
         redirects.select(
             F.col(src_col).alias("url"), F.col(dst_col).alias("target")
@@ -932,13 +949,12 @@ def resolve_redirects(
         g = f.select(
             F.col("url").alias("_u"), F.col("target").alias("_t")
         )
-        f = (
+        f = _ckpt(
             f.join(g, f["target"] == g["_u"], "left")
             .select(
                 "url",
                 F.coalesce(g["_t"], f["target"]).alias("target"),
             )
-            .localCheckpoint()
         )
     return (
         f.join(srcs, f["target"] == srcs["_s"], "left")

@@ -1,0 +1,132 @@
+"""Embedded-serving capacity evidence (VERDICT r3 ask #7).
+
+LocalSearcher is the serving story: the same numpy kernel as the
+distributed WAND path (rank-identical by construction, 23 parity
+pytests) run driver-side with ZERO Spark jobs per query. This script
+publishes the capacity numbers a deployment sizing decision needs:
+
+  * resident memory before/after index load and after predecode
+  * predecode wall time (the warm-up cost of the hot path)
+  * hot-path latency (median / p95 over the bench query set)
+  * NRT tombstone refresh latency (refresh_deletes after a delete)
+
+at a configurable corpus size (default 640k docs — 8x the bench
+corpus, built once and cached in scratch).
+
+Usage: python scripts/serving_capacity.py [n_docs]
+Appends one JSON line to BENCH/serving_capacity.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+QUERIES = [
+    "spark",
+    "batch AND window AND spark",
+    "spark batch window",
+    '"batch window"',
+    "table AND (batch OR window) AND NOT stream",
+    "sc*",
+    "tble~1",
+    "dup",
+]
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 640_000
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", f"{SCRATCH}/spark_local")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucille_spark.fixtures import generate_docs
+    from lucille_spark.index import IndexBuilder
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.local_serve import LocalSearcher
+
+    ix_dir = f"{SCRATCH}/lucille_cap_ix_{n_docs}"
+    if not os.path.exists(os.path.join(ix_dir, "stats.json")):
+        docs = generate_docs(
+            spark, n_docs, partitions=64, with_ids=True
+        ).persist()
+        docs.count()
+        IndexBuilder(num_shards=8, block_size=128).build(
+            docs, ix_dir, id_col="doc_id", assume_partitioned=True,
+            resume=False,
+        )
+        docs.unpersist()
+
+    out = {"n_docs": n_docs}
+    rss0 = _rss_mb()
+
+    # cold object: postings stay on disk until predecode
+    t0 = time.time()
+    ls = LocalSearcher(spark, ix_dir)
+    ls.search("spark", k=10)
+    out["load_first_query_sec"] = round(time.time() - t0, 3)
+    out["rss_after_load_mb"] = round(_rss_mb() - rss0, 1)
+
+    # hot object: full predecode, then the bench query set
+    t0 = time.time()
+    hot = LocalSearcher(spark, ix_dir, predecode=True)
+    hot.search("spark", k=10)
+    out["predecode_sec"] = round(time.time() - t0, 3)
+    out["rss_after_predecode_mb"] = round(_rss_mb() - rss0, 1)
+
+    lat = []
+    for q in QUERIES:
+        for _ in range(5):
+            t0 = time.time()
+            hot.search(q, k=10)
+            lat.append(time.time() - t0)
+    lat.sort()
+    out["hot_median_ms"] = round(lat[len(lat) // 2] * 1000, 2)
+    out["hot_p95_ms"] = round(
+        lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1000, 2
+    )
+
+    # NRT delete refresh: tombstone 10 docs, measure refresh +
+    # first post-refresh query (the serving-visible staleness window)
+    work = f"{SCRATCH}/lucille_cap_del_{n_docs}"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(ix_dir, work)
+    delete_docs(spark, work, list(range(10)))
+    nrt = LocalSearcher(spark, work, predecode=True)
+    nrt.search("spark", k=10)
+    t0 = time.time()
+    nrt.refresh_deletes()
+    nrt.search("spark", k=10)
+    out["nrt_refresh_ms"] = round((time.time() - t0) * 1000, 2)
+    shutil.rmtree(work, ignore_errors=True)
+
+    os.makedirs("BENCH", exist_ok=True)
+    out["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open("BENCH/serving_capacity.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

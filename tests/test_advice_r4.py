@@ -1,0 +1,156 @@
+"""Round-4 regression tests for the advisor's findings (ADVICE.md r3):
+
+1. fill_gaps with step > 1 must not drop observed rows whose bucket
+   is off the min + k*step grid — the observed buckets union into
+   the dense spine before the join.
+2. skew_stats computes the global total with a scalar agg +
+   broadcast cross-join, not a window over an empty partitionBy()
+   (which funneled every distinct key into one task); results are
+   unchanged.
+3. salted_join must tolerate inputs that already carry a `_salt`
+   column (collision-free temp name), same for range_join's
+   `_bucket`.
+4. resolve_redirects offers a reliable-checkpoint option for
+   long-running pipelines (executor-loss tolerant) that returns the
+   same answers as the local path.
+5. grep_many verifies with literal per-pattern rlike (no per-row
+   regex recompile, no Spark >= 3.4 regexp_like dependency);
+   results unchanged.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.ops import events as ev
+from lucille_spark.ops import skew as S
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---- 1: fill_gaps off-grid observation survives -------------------
+
+
+def test_fill_gaps_step_keeps_off_grid_rows(spark):
+    # grid from min=0 with step=2 -> spine {0,2,4,6}; bucket 3 is
+    # off-grid and previously vanished (neighbors interpolated as if
+    # it never existed)
+    df = spark.createDataFrame(
+        [(0, 10.0), (3, 99.0), (6, 40.0)], ["bucket", "n"]
+    )
+    out = ev.fill_gaps(df, step=2)
+    vals = {r["bucket"]: r for r in out.collect()}
+    assert 3 in vals, "off-grid observation was dropped"
+    assert vals[3]["value"] == 99.0
+    assert not vals[3]["interpolated"]
+    # neighbors interpolate against the REAL observation at 3
+    assert vals[2]["interpolated"]
+    assert abs(vals[2]["value"] - (10.0 + (99.0 - 10.0) * 2 / 3)) < 1e-3
+    assert vals[4]["interpolated"]
+    assert abs(vals[4]["value"] - (99.0 + (40.0 - 99.0) * 1 / 3)) < 1e-3
+
+
+def test_fill_gaps_step_one_unchanged(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (2, 3.0)], ["bucket", "n"]
+    )
+    out = {r["bucket"]: r["value"] for r in ev.fill_gaps(df).collect()}
+    assert out == {0: 1.0, 1: 2.0, 2: 3.0}
+
+
+# ---- 2: skew_stats — same numbers, no unpartitioned window --------
+
+
+def test_skew_stats_values_and_plan(spark):
+    df = spark.createDataFrame(
+        [(i, 0 if i < 60 else i % 4) for i in range(100)],
+        ["row_id", "k"],
+    )
+    got = {
+        r["key"]: (r["n_rows"], r["share"])
+        for r in S.skew_stats(df, "k", top=2).collect()
+    }
+    assert got[0][0] == 60 + 10  # i%4==0 adds 10 rows (60,64,...96)
+    assert abs(got[0][1] - 0.70) < 1e-6
+    plan = S.skew_stats(df, "k", top=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "unpartitioned window is back"
+
+
+# ---- 3: working-column collisions ---------------------------------
+
+
+def test_salted_join_with_existing_salt_column(spark):
+    left = spark.createDataFrame(
+        [(i, i % 3, f"L{i}") for i in range(30)],
+        ["row_id", "k", "_salt"],
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(3)], ["k", "label"]
+    )
+    got = S.salted_join(left, right, "k", "row_id", salt=4)
+    # the user's _salt column survives untouched
+    assert "_salt" in got.columns
+    want = left.join(right, "k")
+    assert _rows(got.select("row_id", "_salt", "label")) == _rows(
+        want.select("row_id", "_salt", "label")
+    )
+
+
+def test_range_join_with_existing_bucket_column(spark):
+    pts = spark.createDataFrame(
+        [(1, 100.0, "keep1"), (2, 5000.0, "keep2")],
+        ["pid", "ts_s", "_bucket"],
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 200.0)], ["iid", "start_s", "end_s"]
+    )
+    out = ev.range_join(pts, ivs, bucket_s=60.0)
+    assert _rows(out.select("pid", "iid", "_bucket")) == [
+        (1, 10, "keep1")
+    ]
+
+
+# ---- 4: reliable checkpoint path ----------------------------------
+
+
+def test_resolve_redirects_reliable_checkpoint(spark, tmp_path):
+    from lucille_spark.ops.web import resolve_redirects
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    red = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+        ["src", "dst"],
+    )
+    local = _rows(resolve_redirects(red))
+    reliable = _rows(resolve_redirects(red, reliable_checkpoint=True))
+    assert local == reliable
+    m = {u: (t, ok) for u, t, ok in reliable}
+    assert m["a"] == ("d", True)
+    assert m["x"][1] is False  # cycle stays unresolved
+
+
+# ---- 5: grep_many literal verification ----------------------------
+
+
+def test_grep_many_no_nonliteral_regex(spark):
+    from lucille_spark.ops.code import grep, grep_many
+
+    docs = spark.createDataFrame(
+        [
+            (0, "def alpha():\n    return beta(1)\n"),
+            (1, "class Beta:\n    alpha = 2\nbeta(3)\n"),
+            (2, "nothing to see here\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    pats = {"p0": r"beta\(\d\)", "p1": "alpha"}
+    got = grep_many(docs, "doc_id", "text", pats)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_like" not in plan.lower(), "non-literal regex is back"
+    rows = _rows(got.select("pattern_id", "doc_id", "line_no"))
+    want = []
+    for pid, pat in pats.items():
+        for r in grep(docs, "doc_id", "text", pat).collect():
+            want.append((pid, r["doc_id"], r["line_no"]))
+    assert rows == sorted(want)

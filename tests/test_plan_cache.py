@@ -1,0 +1,82 @@
+"""Executor plan cache: repeated string queries reuse the built
+DataFrame (plan construction is hundreds of py4j round trips — about
+as expensive as running the query); refresh_deletes() must invalidate
+so a cached plan never serves a stale tombstone set."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ix_dir(spark, tmp_path_factory):
+    from lucille_spark.index import IndexBuilder
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark batch window"),
+            (1, "spark stream table"),
+            (2, "batch window table"),
+            (3, "spark spark batch"),
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path_factory.mktemp("pc") / "ix")
+    IndexBuilder(num_shards=2, block_size=8).build(
+        docs, d, content_col="text", id_col="doc_id"
+    )
+    return d
+
+
+@pytest.mark.parametrize("which", ["df", "wand"])
+def test_plan_cache_hit_and_identity(spark, ix_dir, which):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.reader import SparkIndex
+
+    ex = (DataFrameExecutor if which == "df" else WandExecutor)(
+        SparkIndex(spark, ix_dir)
+    )
+    a = ex.search("spark AND batch", k=10)
+    b = ex.search("spark AND batch", k=10)
+    assert a is b, "second identical query must hit the plan cache"
+    # different k / query miss
+    assert ex.search("spark AND batch", k=5) is not a
+    assert ex.search("spark OR batch", k=10) is not a
+    # cached plan still returns correct rows on every collect
+    r1 = [tuple(r) for r in a.collect()]
+    r2 = [tuple(r) for r in b.collect()]
+    assert r1 == r2 and len(r1) > 0
+
+
+@pytest.mark.parametrize("which", ["df", "wand"])
+def test_plan_cache_invalidated_by_delete_refresh(
+    spark, ix_dir, tmp_path, which
+):
+    import shutil
+
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.exec_wand import WandExecutor
+    from lucille_spark.index.maintenance import delete_docs
+    from lucille_spark.index.reader import SparkIndex
+
+    d = str(tmp_path / "ix")
+    shutil.copytree(ix_dir, d)
+    ix = SparkIndex(spark, d)
+    ex = (DataFrameExecutor if which == "df" else WandExecutor)(ix)
+    before = {r["doc_id"] for r in ex.search("spark", k=10).collect()}
+    assert 0 in before
+    delete_docs(spark, d, [0])
+    ix.refresh_deletes()
+    out = ex.search("spark", k=10)
+    after = {r["doc_id"] for r in out.collect()}
+    assert 0 not in after, "cached plan served a stale tombstone set"
+    assert after == before - {0}
+
+
+def test_plan_cache_bounded(spark, ix_dir):
+    from lucille_spark.exec_df import DataFrameExecutor
+    from lucille_spark.index.reader import SparkIndex
+
+    ex = DataFrameExecutor(SparkIndex(spark, ix_dir))
+    for i in range(ex.PLAN_CACHE_MAX + 10):
+        ex.search("spark", k=i + 1)
+    assert len(ex._plan_cache) == ex.PLAN_CACHE_MAX
