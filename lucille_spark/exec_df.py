@@ -180,8 +180,15 @@ class DataFrameExecutor:
         out = None
         for qid, q in queries.items():
             kq = int((ks or {}).get(qid, k))
-            node = self.ix.plan(q, similarity=sims.get(qid))
-            one = self.search(node, k=kq).select(
+            if isinstance(q, str) and qid not in sims:
+                # string + default similarity rides search()'s plan
+                # cache — repeated batches (Searcher.submit micro-
+                # batching) skip the per-query plan construction
+                one = self.search(q, k=kq)
+            else:
+                node = self.ix.plan(q, similarity=sims.get(qid))
+                one = self.search(node, k=kq)
+            one = one.select(
                 F.lit(qid).alias("query_id"), "doc_id", "score"
             )
             out = one if out is None else out.unionAll(one)
