@@ -58,6 +58,9 @@ def skew_stats(
                 F.col("n_rows") / F.col("_total").cast("double"), 6
             ).alias("share"),
         )
+        # join output order is not contractual — re-assert the
+        # documented n_rows-desc presentation after the cross join
+        .orderBy(F.desc("n_rows"), F.asc("key"))
     )
 
 
