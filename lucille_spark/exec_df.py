@@ -373,10 +373,14 @@ class DataFrameExecutor:
         def _map(d: dict, cast: str):
             if not d:
                 return F.lit(None).cast(cast)
-            kv = []
-            for k, v in d.items():
-                kv.extend([F.lit(k), F.lit(v)])
-            return F.create_map(*kv)[F.col("term")].cast(cast)
+            # two array literals + map_from_arrays = 3 py4j calls,
+            # vs create_map over 2n F.lit columns (2n+1 calls) —
+            # driver-side plan construction is the cold-query cost
+            ks = list(d)
+            vs = [d[k] for k in ks]
+            return F.map_from_arrays(F.lit(ks), F.lit(vs))[
+                F.col("term")
+            ].cast(cast)
 
         w = {
             t: idf[t] * (m_cnt.get(t, 0) + s_cnt.get(t, 0)) for t in idf
