@@ -35,6 +35,28 @@ class Posting:
     tfs: np.ndarray            # int64 aligned
     dls: np.ndarray            # int64 aligned (doc length)
     positions: Optional[list] = None  # list of int64 arrays, aligned
+    # CSR alternative to `positions` (one flat array + row bounds):
+    # doc i's positions are pos_flat[pos_bounds[i]:pos_bounds[i+1]].
+    # Predecoded resident postings use this shape — one array object
+    # instead of millions of tiny per-doc arrays (memory + decode
+    # speed); transient per-query postings keep the list shape.
+    pos_flat: Optional[np.ndarray] = None
+    pos_bounds: Optional[np.ndarray] = None
+    # single-entry memo for the term score array: resident postings
+    # (LocalSearcher predecode) answer repeated queries, and a term's
+    # (sim, idf, avgdl, tw) is fixed per index, so the vectorized
+    # BM25 over a big posting list computes once, not per query
+    score_memo: Optional[tuple] = None
+
+    def has_positions(self) -> bool:
+        return self.positions is not None or self.pos_flat is not None
+
+    def pos(self, i: int) -> np.ndarray:
+        """Positions of the i-th posting (either representation)."""
+        if self.pos_flat is not None:
+            b = self.pos_bounds
+            return self.pos_flat[b[i]:b[i + 1]]
+        return self.positions[i]
 
 
 @dataclass
@@ -46,6 +68,13 @@ class ShardData:
     all_ids: Optional[np.ndarray] = None   # shard universe (sorted)
     all_dls: Optional[np.ndarray] = None
     meta: Dict[str, np.ndarray] = field(default_factory=dict)
+    # lazy-positions hook: when a phrase needs positions a posting
+    # doesn't carry, the evaluator calls pos_loader(term) -> Posting
+    # (or None). Lets a resident ShardData (LocalSearcher predecode)
+    # defer the positions decode — the bulk of warm-up time and
+    # memory — to the first phrase query that touches each term,
+    # WITHOUT a correctness cliff if callers bypass the searcher.
+    pos_loader: Optional[object] = None
 
 
 _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -71,11 +100,17 @@ def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         p = sd.postings.get(node.term)
         if p is None or p.ids.size == 0:
             return _EMPTY
-        return p.ids, term_score_np(
+        key = (node.sim, node.idf, node.avgdl, node.tw)
+        memo = p.score_memo
+        if memo is not None and memo[0] == key:
+            return p.ids, memo[1]
+        sc = term_score_np(
             node.sim, p.tfs, p.dls, node.idf,
             sd.avgdl if node.avgdl is None else node.avgdl,
             node.tw,
         )
+        p.score_memo = (key, sc)
+        return p.ids, sc
     if isinstance(node, P.PExpand):
         arrs = [
             sd.postings[t].ids
@@ -84,7 +119,7 @@ def evaluate(node: P.PNode, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         ]
         if not arrs:
             return _EMPTY
-        ids = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        ids = arrs[0] if len(arrs) == 1 else _union_sorted(arrs)
         return ids, np.ones(ids.size, dtype=np.float64)
     if isinstance(node, P.PPhrase):
         return _eval_phrase(node, sd)
@@ -113,6 +148,30 @@ def _universe(sd: ShardData) -> np.ndarray:
     return sd.all_ids
 
 
+def _span_ok(lo: int, hi: int, total: int) -> bool:
+    """Dense-scatter guard: doc ids within one shard are assigned
+    contiguously (builder), so the id span is ~shard size and a
+    span-length accumulator is small. If ids were sparse (span much
+    larger than the number of postings), fall back to sort-based
+    set ops rather than allocate a huge array."""
+    return (hi - lo + 1) <= max(4 * total, 1 << 16)
+
+
+def _union_sorted(arrs: List[np.ndarray]) -> np.ndarray:
+    """Union of sorted unique int64 arrays. Dense id ranges use a
+    presence scatter (O(n), the common shard shape); sparse ranges
+    fall back to np.unique."""
+    lo = min(int(a[0]) for a in arrs)
+    hi = max(int(a[-1]) for a in arrs)
+    total = sum(a.size for a in arrs)
+    if _span_ok(lo, hi, total):
+        pres = np.zeros(hi - lo + 1, dtype=bool)
+        for a in arrs:
+            pres[a - lo] = True
+        return np.flatnonzero(pres) + lo
+    return np.unique(np.concatenate(arrs))
+
+
 def _eval_bool(node: P.PBool, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
     must = [evaluate(c, sd) for c in node.must]
     should = [evaluate(c, sd) for c in node.should]
@@ -130,9 +189,27 @@ def _eval_bool(node: P.PBool, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
         if not should:
             return _EMPTY
         need = max(node.min_should, 1)
-        cat = np.concatenate([s[0] for s in should])
-        if cat.size == 0:
+        nz = [s for s in should if s[0].size]
+        if not nz:
             return _EMPTY
+        lo = min(int(s[0][0]) for s in nz)
+        hi = max(int(s[0][-1]) for s in nz)
+        total = sum(s[0].size for s in nz)
+        if _span_ok(lo, hi, total):
+            # dense scatter: per doc the child scores add in the
+            # same (child) order as the gather loop below, so the
+            # float result is bitwise identical — just O(n) instead
+            # of sort-based unique + per-child searchsorted
+            acc = np.zeros(hi - lo + 1, dtype=np.float64)
+            cnt = np.zeros(hi - lo + 1, dtype=np.int32)
+            for s_ids, s_sc in nz:
+                off = s_ids - lo
+                acc[off] += s_sc
+                cnt[off] += 1
+            m = np.flatnonzero(cnt >= need)
+            ids, scores = m + lo, acc[m]
+            return _apply_must_not(node, sd, ids, scores)
+        cat = np.concatenate([s[0] for s in should])
         uniq, counts = np.unique(cat, return_counts=True)
         ids = uniq[counts >= need]
 
@@ -148,6 +225,12 @@ def _eval_bool(node: P.PBool, sd: ShardData) -> Tuple[np.ndarray, np.ndarray]:
             pos = np.searchsorted(c_ids, ids[mask])
             scores[mask] += c_sc[pos]
 
+    return _apply_must_not(node, sd, ids, scores)
+
+
+def _apply_must_not(
+    node: P.PBool, sd: ShardData, ids: np.ndarray, scores: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
     for mn in node.must_not:
         n_ids, _ = evaluate(mn, sd)
         if n_ids.size:
@@ -211,7 +294,11 @@ def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray
     ps = []
     for t in node.terms:
         p = sd.postings.get(t)
-        if p is None or p.ids.size == 0 or p.positions is None:
+        if p is None or p.ids.size == 0:
+            return _EMPTY
+        if not p.has_positions() and sd.pos_loader is not None:
+            p = sd.pos_loader(t) or p
+        if not p.has_positions():
             return _EMPTY
         ps.append(p)
     ids = ps[0].ids
@@ -227,7 +314,7 @@ def _eval_phrase(node: P.PPhrase, sd: ShardData) -> Tuple[np.ndarray, np.ndarray
     out_tf: List[int] = []
     out_dl: List[int] = []
     for row, doc in enumerate(ids):
-        pos_lists = [ps[k].positions[idx[k][row]] for k in range(m)]
+        pos_lists = [ps[k].pos(idx[k][row]) for k in range(m)]
         if node.slop == 0:
             starts = pos_lists[0]
             for k in range(1, m):
@@ -340,8 +427,25 @@ def _eval_meta(node: P.PMetaFilter, sd: ShardData) -> Tuple[np.ndarray, np.ndarr
 def top_k(
     ids: np.ndarray, scores: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(score desc, doc_id asc) top-k."""
-    if ids.size == 0:
+    """(score desc, doc_id asc) top-k. For k << n this is O(n)
+    selection (np.partition on the score) + a lexsort of only the
+    selected candidates — a full lexsort of a 500k-doc match set
+    costs ~60 ms, the selection ~5 ms, same result. Boundary ties
+    (score == k-th largest) break by smallest doc_id, selected with
+    a second partition on the ids, so no input ordering is assumed."""
+    n = ids.size
+    if n == 0:
         return ids, scores
-    order = np.lexsort((ids, -scores))[:k]
-    return ids[order], scores[order]
+    if k >= n or n <= 4096:
+        order = np.lexsort((ids, -scores))[:k]
+        return ids[order], scores[order]
+    kth = np.partition(scores, n - k)[n - k]  # k-th largest score
+    gt = np.flatnonzero(scores > kth)
+    need = k - gt.size  # >= 1: at most k-1 scores exceed the k-th
+    eq = np.flatnonzero(scores == kth)
+    if eq.size > need:
+        eq = eq[np.argpartition(ids[eq], need - 1)[:need]]
+    idx = np.concatenate((gt, eq))
+    order = np.lexsort((ids[idx], -scores[idx]))[:k]
+    idx = idx[order]
+    return ids[idx], scores[idx]

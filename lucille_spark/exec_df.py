@@ -125,6 +125,55 @@ class DataFrameExecutor:
                 self._plan_cache.move_to_end(cache_key)
                 return hit
         node = self.ix.plan(query, synonyms=synonyms)
+        df = self._try_sql(node, k, with_meta, doc_boosts)
+        if df is None:
+            df = self._column_search(node, k, with_meta, doc_boosts)
+        if cache_key is not None:
+            self._plan_cache[cache_key] = df
+            if len(self._plan_cache) > self.PLAN_CACHE_MAX:
+                self._plan_cache.popitem(last=False)
+        return df
+
+    def _try_sql(self, node, k, with_meta, doc_boosts):
+        """Cold-path fast lane: render the WHOLE plan as one SQL
+        string and call spark.sql once (sqlgen.py) — identical
+        logical plan and bit-identical scores to _column_search, but
+        O(1) py4j round trips instead of one per operator (~660 for
+        a nested boolean query, ~300-400 ms of driver latency).
+        Returns None when a node has no SQL rendering (custom
+        physical trees) — the Column path is the fallback and the
+        semantic reference."""
+        from lucille_spark import sqlgen
+        from lucille_spark.pushdown import file_prune_bounds
+
+        ix = self.ix
+        if not hasattr(ix, "view_of"):
+            return None  # index-like test double without view support
+        try:
+            exact, intervals = file_prune_bounds(node)
+            flat_view = ix.view_of(self._flat(exact, intervals), "flat")
+            doclens_view = ix.view_of(ix.doclens, "doclens")
+            dd = getattr(ix, "deleted_df", None)
+            deletes_view = (
+                ix.view_of(dd, "deletes") if dd is not None else None
+            )
+            meta_cols = None
+            if with_meta:
+                meta_cols = [
+                    c for c in ix.doclens.columns
+                    if c not in ("doc_id", "shard", "doc_len")
+                ]
+            sql = sqlgen.compile_search(
+                node, flat_view, doclens_view, self.avgdl, k,
+                deletes_view, doc_boosts, meta_cols,
+            )
+            return ix.spark.sql(sql)
+        except sqlgen.SqlUnsupported:
+            return None
+
+    def _column_search(self, node, k, with_meta, doc_boosts):
+        """Column-object plan construction (the original path; the
+        SQL lane mirrors THIS expression for expression)."""
         df = self.evaluate(node)
         if doc_boosts:
             df = df.withColumn(
@@ -152,10 +201,6 @@ class DataFrameExecutor:
                 "doc_id", "score",
                 *[c for c in meta.columns if c != "doc_id"],
             ).orderBy(F.desc("score"), F.asc("doc_id"))
-        if cache_key is not None:
-            self._plan_cache[cache_key] = df
-            if len(self._plan_cache) > self.PLAN_CACHE_MAX:
-                self._plan_cache.popitem(last=False)
         return df
 
     def search_many(

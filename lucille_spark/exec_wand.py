@@ -381,11 +381,9 @@ def _make_batch_kernel(
                 sd.all_dls = sd.all_dls[live]
                 for c in list(sd.meta):
                     sd.meta[c] = sd.meta[c][live]
-        for term, rows in seg_pdf.groupby("term", sort=True):
-            rows = rows.sort_values(["doc_id_base", "block_id"])
-            sd.postings[str(term)] = _build_posting(
-                rows, str(term) in pos_terms, decode, dead
-            )
+        sd.postings.update(
+            build_postings_bulk(seg_pdf, pos_terms, decode, dead)
+        )
         frames = []
         for qid, node in nodes.items():
             ids, scores = evaluate(node, sd)
@@ -542,6 +540,159 @@ def _build_posting(
     )
 
 
+def _csr_take(
+    flat: np.ndarray, bounds: np.ndarray, take: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Row-gather on a CSR (flat, bounds) pair: keep rows `take` (an
+    int index array, in output order) -> (new_flat, new_bounds with
+    new_bounds[0] == 0). Fully vectorized."""
+    lens = (bounds[1:] - bounds[:-1])[take]
+    starts = bounds[:-1][take]
+    nb = np.zeros(take.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=nb[1:])
+    total = int(nb[-1])
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), nb
+    idx = np.repeat(starts - nb[:-1], lens) + np.arange(
+        total, dtype=np.int64
+    )
+    return flat[idx], nb
+
+
+def build_postings_bulk(
+    seg_pdf: pd.DataFrame,
+    pos_terms,  # bool (all/none) | set of terms wanting positions
+    decode=varbyte_decode,
+    deleted: Optional[np.ndarray] = None,
+) -> "Dict[str, Posting]":
+    """Decode EVERY term's posting blocks in one vectorized pass.
+
+    Varbyte is self-delimiting, so the concatenation of N block
+    buffers decodes exactly like N separate decodes — one
+    np.frombuffer + one vectorized decode for ALL blocks replaces
+    the per-block Python loop (the loop dominated LocalSearcher
+    predecode at 640k docs: ~750k blocks x per-call overhead).
+    Per-block value counts come from counting terminal bytes (high
+    bit clear) per block byte-range; per-block doc-id bases and
+    per-doc position deltas are restored with segmented cumsums.
+    Positions land in CSR shape (Posting.pos_flat/pos_bounds): one
+    array object per term instead of one tiny array per doc.
+
+    Non-varbyte codecs (bitpack blocks carry headers and are not
+    concatenation-safe) fall back to the per-term loop."""
+    out: Dict[str, Posting] = {}
+    if len(seg_pdf) == 0:
+        return out
+    if decode is not varbyte_decode:
+        for term, rows in seg_pdf.groupby("term", sort=True):
+            want = (
+                pos_terms
+                if isinstance(pos_terms, bool)
+                else str(term) in pos_terms
+            )
+            rows = rows.sort_values(["doc_id_base", "block_id"])
+            out[str(term)] = _build_posting(rows, want, decode, deleted)
+        return out
+    if isinstance(pos_terms, bool):
+        parts = [(seg_pdf, pos_terms)]
+    else:
+        m = seg_pdf["term"].astype(str).isin(pos_terms)
+        parts = [(seg_pdf[m], True), (seg_pdf[~m], False)]
+    for part, want in parts:
+        if len(part):
+            _bulk_varbyte_into(part, want, deleted, out)
+    return out
+
+
+def _bulk_varbyte_into(
+    df: pd.DataFrame,
+    want_positions: bool,
+    deleted: Optional[np.ndarray],
+    out: "Dict[str, Posting]",
+) -> None:
+    df = df.sort_values(
+        ["term", "doc_id_base", "block_id"], kind="mergesort"
+    )
+    terms = df["term"].to_numpy(dtype=object)
+    bases = df["doc_id_base"].to_numpy(dtype=np.int64)
+
+    def _join(col: str):
+        bufs = df[col].to_numpy()
+        nb = len(bufs)
+        lens = np.fromiter(
+            (len(x) for x in bufs), dtype=np.int64, count=nb
+        )
+        offs = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return b"".join(bufs), offs
+
+    joined, offs = _join("ids_delta")
+    b8 = np.frombuffer(joined, dtype=np.uint8)
+    ends = np.flatnonzero((b8 & np.uint8(0x80)) == 0)
+    counts = np.diff(np.searchsorted(ends, offs))  # values per block
+    gaps = varbyte_decode(joined).astype(np.int64)
+    vstarts = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=vstarts[1:])
+    cs = np.cumsum(gaps)
+    cs0 = np.concatenate((np.zeros(1, dtype=np.int64), cs))
+    carry = cs0[vstarts[:-1]]
+    ids_all = np.repeat(bases, counts) + cs - np.repeat(carry, counts)
+    tfs_all = varbyte_decode(_join("tfs")[0]).astype(np.int64)
+    dls_all = varbyte_decode(_join("dls")[0]).astype(np.int64)
+
+    pos_flat = None
+    pb = None
+    if want_positions and df["pos_counts"].notna().all():
+        pcounts = varbyte_decode(_join("pos_counts")[0]).astype(np.int64)
+        pdeltas = varbyte_decode(_join("positions")[0]).astype(np.int64)
+        pb = np.zeros(pcounts.size + 1, dtype=np.int64)
+        np.cumsum(pcounts, out=pb[1:])
+        pcs = np.cumsum(pdeltas)
+        pcs0 = np.concatenate((np.zeros(1, dtype=np.int64), pcs))
+        carry2 = pcs0[pb[:-1]]
+        pos_flat = pcs - np.repeat(carry2, pcounts)
+
+    # per-term block ranges -> per-term posting ranges
+    tchange = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    bb = np.concatenate(
+        (
+            np.zeros(1, dtype=np.int64),
+            tchange,
+            np.array([terms.size], dtype=np.int64),
+        )
+    )
+    for i in range(bb.size - 1):
+        blo, bhi = int(bb[i]), int(bb[i + 1])
+        a, b = int(vstarts[blo]), int(vstarts[bhi])
+        t_ids = ids_all[a:b]
+        t_tfs = tfs_all[a:b]
+        t_dls = dls_all[a:b]
+        t_pf = pos_flat
+        t_pb = pb[a : b + 1] if pb is not None else None
+        if t_ids.size > 1 and (np.diff(t_ids) <= 0).any():
+            # runs from different build partitions may interleave
+            order = np.argsort(t_ids, kind="mergesort")
+            t_ids, t_tfs, t_dls = t_ids[order], t_tfs[order], t_dls[order]
+            if t_pf is not None:
+                t_pf, t_pb = _csr_take(t_pf, t_pb, order)
+        if deleted is not None and t_ids.size:
+            live = ~_in_sorted(t_ids, deleted)
+            if not live.all():
+                keep = np.flatnonzero(live)
+                t_ids, t_tfs, t_dls = (
+                    t_ids[keep], t_tfs[keep], t_dls[keep],
+                )
+                if t_pf is not None:
+                    t_pf, t_pb = _csr_take(t_pf, t_pb, keep)
+        out[str(terms[blo])] = Posting(
+            ids=t_ids,
+            tfs=t_tfs,
+            dls=t_dls,
+            pos_flat=t_pf,
+            pos_bounds=t_pb,
+        )
+
+
 def _weighted_term(c: P.PNode, factor: float = 1.0):
     """Unwrap PBoost chains around a PTerm into an equivalent PTerm
     with idf scaled by the boost product — BM25 is linear in idf, so
@@ -660,14 +811,13 @@ def _make_kernel(
                 nb = sum(len(r) for r in groups.values())
                 stats_acc[0].add(nb)
                 stats_acc[1].add(nb)  # exhaustive path decodes all
-            for term, rows in groups.items():
-                # a term may arrive as several disjoint doc-range
-                # runs (file/split boundaries at build); ordering by
-                # doc_id_base restores ascending ids
-                rows = rows.sort_values(["doc_id_base", "block_id"])
-                sd.postings[str(term)] = _build_posting(
-                    rows, want_pos, decode, dead
-                )
+            # one vectorized decode for every term's blocks (a term
+            # may arrive as several disjoint doc-range runs from
+            # different build partitions; the bulk builder restores
+            # ascending ids per term)
+            sd.postings.update(
+                build_postings_bulk(seg_pdf, bool(want_pos), decode, dead)
+            )
             ids, scores = evaluate(node, sd)
         ids, scores = top_k(ids, scores, k)
         out = pd.DataFrame({"doc_id": ids, "score": scores})

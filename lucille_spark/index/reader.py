@@ -482,6 +482,9 @@ class SparkIndex:
         self._deletes_checked = False
         # bumped by refresh_deletes(); executor plan caches key on it
         self.plan_version = 0
+        from collections import OrderedDict
+
+        self._pruned_cache: "OrderedDict" = OrderedDict()
         fidx_path = os.path.join(index_dir, "file_index.json")
         self._fidx = None
         if fsio.exists(fidx_path, spark):
@@ -522,9 +525,15 @@ class SparkIndex:
 
     @property
     def segments(self) -> DataFrame:
-        if self._cached_segments is not None:
-            return self._cached_segments
-        return self.spark.read.parquet(self.segments_path)
+        if self._cached_segments is None:
+            # build the (immutable) DataFrame once — a fresh
+            # spark.read.parquet costs a ~90 ms driver-side listing +
+            # schema-inference JVM call per access, which dominated
+            # cold single-query latency on the WAND path
+            self._cached_segments = self.spark.read.parquet(
+                self.segments_path
+            )
+        return self._cached_segments
 
     # -- tombstone deletes -------------------------------------------
     # `deletes/` (written by index.maintenance.delete_docs) holds
@@ -589,11 +598,22 @@ class SparkIndex:
     def refresh_deletes(self) -> None:
         """Re-read the tombstone set (after delete_docs on a live
         reader). Bumps `plan_version` so executor-level plan caches
-        drop plans that baked the old delete set."""
+        drop plans that baked the old delete set.
+
+        Invalidation contract: `plan_version` is the ONE token a
+        live reader exposes for "cached plans over this index are
+        stale". Logical deletes are the only in-place mutation a
+        live reader supports — physical maintenance (purge_deletes,
+        force_merge, split/reindex) writes a NEW index directory
+        (maintenance.py raises if out_dir == index_dir), so a live
+        reader can never silently observe rewritten postings; it
+        keeps serving its own directory until reopened on the new
+        one. tests/test_plan_cache covers the delete path."""
         self._deleted_df = None
         self._deleted_ids = None
         self._deleted_n = None
         self._deletes_checked = False
+        self._pruned_cache.clear()
         self.plan_version = getattr(self, "plan_version", 0) + 1
 
     # -- file-level term pruning -----------------------------------
@@ -604,6 +624,15 @@ class SparkIndex:
     # irrelevant files. With cache=True the tables are pinned in
     # memory, which supersedes file pruning (a fresh per-file read
     # would bypass the cache), so pruning is skipped.
+
+    #: bounded cache of per-file-set pruned DataFrames. Building a
+    #: DataFrame from a file list costs a driver-side JVM call that
+    #: lists the files and infers the schema (~90 ms measured — the
+    #: single largest piece of cold single-query latency on the WAND
+    #: path). The schema is already known (it's `full.schema`) and
+    #: the same file subset recurs across queries (hot terms live in
+    #: the same shard files), so cache the immutable DataFrame.
+    PRUNED_CACHE_MAX = 64
 
     def _pruned(
         self, full: DataFrame, key: str, base_path: str, exact, intervals
@@ -616,14 +645,40 @@ class SparkIndex:
             return full
         if not sel:
             return self.spark.createDataFrame([], full.schema)
-        return (
-            self.spark.read.option("basePath", base_path).parquet(*sel)
+        ck = (key, tuple(sel))
+        hit = self._pruned_cache.get(ck)
+        if hit is not None:
+            self._pruned_cache.move_to_end(ck)
+            return hit
+        df = (
+            self.spark.read.schema(full.schema)
+            .option("basePath", base_path)
+            .parquet(*sel)
         )
+        self._pruned_cache[ck] = df
+        if len(self._pruned_cache) > self.PRUNED_CACHE_MAX:
+            self._pruned_cache.popitem(last=False)
+        return df
 
     def flat_for(self, exact, intervals=()) -> DataFrame:
         return self._pruned(
             self.flat, "flat", self._flat_path, exact, intervals
         )
+
+    _VIEW_SEQ = [0]  # process-wide unique temp-view names
+
+    def view_of(self, df: DataFrame, tag: str) -> str:
+        """Temp-view name for `df`, registering once (the SQL-compiled
+        query path references tables by view name; registration is one
+        py4j call, memoized on the DataFrame object so the per-file-set
+        pruned frames from _pruned's LRU re-use their view)."""
+        name = getattr(df, "_lucille_view", None)
+        if name is None:
+            SparkIndex._VIEW_SEQ[0] += 1
+            name = f"lucille_{tag}_{SparkIndex._VIEW_SEQ[0]}"
+            df.createOrReplaceTempView(name)
+            df._lucille_view = name
+        return name
 
     def segments_for(self, exact, intervals=()) -> DataFrame:
         return self._pruned(

@@ -45,12 +45,15 @@ class LocalSearcher:
         field_similarity=None,
         predecode: bool = False,
     ):
-        """predecode=True decodes EVERY posting list (with
-        positions) once at open into one resident ShardData;
-        queries then skip slicing and block decode entirely and go
-        straight to the shared evaluator — lowest latency, highest
-        memory (decoded int64 arrays instead of compressed blocks).
-        False keeps blocks compressed and decodes per query."""
+        """predecode=True decodes every posting list's ids/tf/dl
+        once at open into one resident ShardData; POSITIONS decode
+        lazily per term on the first phrase query that needs them
+        (memoized — see ShardData.pos_loader). Positions are the
+        bulk of both warm-up time and resident memory, and most
+        serving queries never touch them, so lazy is the default
+        hot mode. predecode="full" decodes positions eagerly too
+        (zero first-phrase jitter, highest memory). False keeps
+        blocks compressed and decodes per query."""
         from lucille_spark.index.reader import SparkIndex
 
         self.ix = SparkIndex(
@@ -76,13 +79,17 @@ class LocalSearcher:
         # in-process: always pass the tombstone ARRAY (the shipping
         # threshold exec_wand guards against does not apply here)
         self.deleted = self.ix.deleted_ids
-        self._sd = self._predecode() if predecode else None
+        self._sd = (
+            self._predecode(full=(predecode == "full"))
+            if predecode
+            else None
+        )
 
-    def _predecode(self):
+    def _predecode(self, full: bool = False):
         import numpy as np
 
         from lucille_spark.eval_local import ShardData
-        from lucille_spark.exec_wand import _build_posting, _in_sorted
+        from lucille_spark.exec_wand import build_postings_bulk, _in_sorted
 
         sd = ShardData(avgdl=self.avgdl)
         dl = self.dl_pdf
@@ -97,12 +104,38 @@ class LocalSearcher:
             sd.all_dls = sd.all_dls[live]
             for c in list(sd.meta):
                 sd.meta[c] = sd.meta[c][live]
-        for term, rows in self.seg_pdf.groupby("term", sort=True):
-            rows = rows.sort_values(["doc_id_base", "block_id"])
-            sd.postings[str(term)] = _build_posting(
-                rows, True, self.decode, self.deleted
-            )
+        # one vectorized decode of every block (varbyte concatenation
+        # is decode-exact); positions land CSR — at 640k docs this
+        # replaced a 128 s per-block Python loop with ~15 s of
+        # whole-array numpy (lazy positions; ~35 s "full") and cut
+        # resident positions from millions of tiny arrays to one
+        # array + bounds per term
+        sd.postings = build_postings_bulk(
+            self.seg_pdf, bool(full), self.decode, self.deleted
+        )
+        if not full:
+            sd.pos_loader = self._load_positions
         return sd
+
+    def _load_positions(self, term: str):
+        """ShardData.pos_loader hook: decode ONE term's positions on
+        first phrase use and swap the enriched Posting in (memoized
+        by being stored back into sd.postings)."""
+        from lucille_spark.exec_wand import build_postings_bulk
+
+        rows = self.seg_pdf[self.seg_pdf["term"] == term]
+        if not len(rows):
+            return None
+        p = build_postings_bulk(
+            rows, True, self.decode, self.deleted
+        ).get(str(term))
+        if p is None:
+            return None
+        old = self._sd.postings.get(term)
+        if old is not None:
+            p.score_memo = old.score_memo
+        self._sd.postings[term] = p
+        return p
 
     def n_docs(self) -> int:
         return len(self.dl_pdf)
@@ -140,15 +173,23 @@ class LocalSearcher:
             sd.all_dls = sd.all_dls[live]
             for c in list(sd.meta):
                 sd.meta[c] = sd.meta[c][live]
+        from lucille_spark.exec_wand import _csr_take
+
         for term, p in sd.postings.items():
             if not p.ids.size:
                 continue
             live = ~_in_sorted(p.ids, fresh)
             if live.all():
                 continue
+            if p.pos_flat is not None:
+                keep = np.flatnonzero(live)
+                p.pos_flat, p.pos_bounds = _csr_take(
+                    p.pos_flat, p.pos_bounds, keep
+                )
             p.ids = p.ids[live]
             p.tfs = p.tfs[live]
             p.dls = p.dls[live]
+            p.score_memo = None  # tf/dl arrays changed
             if p.positions is not None:
                 p.positions = [
                     pos for pos, m in zip(p.positions, live) if m

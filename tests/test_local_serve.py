@@ -108,6 +108,65 @@ def test_searcher_embedded_front_door(spark, unit_index):
     assert got == want
 
 
+@pytest.mark.parametrize("q", ['"def parser"', "spark", "par*"])
+def test_predecode_full_matches_lazy(spark, unit_index, q):
+    """predecode='full' (eager positions) and predecode=True (lazy
+    positions via ShardData.pos_loader) must agree exactly."""
+    ix, _, _ = unit_index
+    lazy = LocalSearcher(spark, ix.dir, predecode=True)
+    full = LocalSearcher(spark, ix.dir, predecode="full")
+    a = [
+        (int(r.doc_id), float(r.score))
+        for r in lazy.search(q, k=10).itertuples()
+    ]
+    b = [
+        (int(r.doc_id), float(r.score))
+        for r in full.search(q, k=10).itertuples()
+    ]
+    assert a == b, q
+    # lazy mode actually deferred: positions only on phrase terms
+    n_pos = sum(
+        1 for p in lazy._sd.postings.values() if p.has_positions()
+    )
+    assert n_pos <= (2 if q.startswith('"') else 0)
+
+
+@pytest.mark.parametrize("order", ["refresh_first", "phrase_first"])
+def test_lazy_positions_vs_refresh_deletes(
+    spark, unit_index, tmp_path, order
+):
+    """Tombstones must be honored by lazily-loaded positions in both
+    orderings: posting loaded after refresh (masks with the current
+    delete set) and loaded before refresh (masked in place)."""
+    import shutil
+
+    from lucille_spark.index.maintenance import delete_docs
+
+    ix, _, _ = unit_index
+    dup = str(tmp_path / f"ixlazy_{order}")
+    shutil.copytree(ix.dir, dup)
+    hot = LocalSearcher(spark, dup, predecode=True)
+    q = '"def parser"'
+    if order == "phrase_first":
+        hot.search(q, k=5)  # forces the lazy positions load
+    base = hot.search(q, k=5)
+    assert len(base), "fixture phrase must match"
+    victim = int(base.iloc[0]["doc_id"])
+    delete_docs(spark, dup, [victim])
+    hot.refresh_deletes()
+    after = hot.search(q, k=5)
+    assert victim not in set(after["doc_id"].astype(int))
+    # parity with a cold searcher over the same tombstoned index
+    cold = LocalSearcher(spark, dup).search(q, k=5)
+    assert [
+        (int(r.doc_id), round(float(r.score), 9))
+        for r in after.itertuples()
+    ] == [
+        (int(r.doc_id), round(float(r.score), 9))
+        for r in cold.itertuples()
+    ]
+
+
 def test_refresh_deletes_hot(spark, unit_index, tmp_path):
     import shutil
 

@@ -1,0 +1,116 @@
+"""SQL-compiled query lane (sqlgen.py) vs the Column-object lane:
+bit-identical results on every query shape, including the features
+the gates exercise (deletes, boosts, meta join, k=None).
+
+The SQL lane is the cold-path fast lane DataFrameExecutor.search
+prefers; _column_search is the semantic reference it must mirror
+expression for expression."""
+
+import pytest
+
+from lucille_spark.exec_df import DataFrameExecutor
+from lucille_spark.index import IndexBuilder
+from lucille_spark.index.reader import SparkIndex
+
+QUERIES = [
+    "spark",
+    "batch AND window AND spark",
+    "spark batch window",
+    '"batch window"',
+    '"batch window"~2',
+    "table AND (batch OR window) AND NOT stream",
+    "sc*",
+    "tble~1",
+    "ba?ch",
+    "[batch TO spark]",
+    "spark^2.5 OR batch",
+    "(spark OR batch OR window)@2",
+    "lang:py AND spark",
+    "+spark -batch window",
+]
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    from lucille_spark.fixtures import generate_docs
+
+    out = str(tmp_path_factory.mktemp("sqlgen") / "ix")
+    docs = generate_docs(spark, 600, partitions=4, with_ids=True)
+    IndexBuilder(num_shards=2, block_size=32).build(
+        docs, out, id_col="doc_id", assume_partitioned=True
+    )
+    return SparkIndex(spark, out)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_sql_lane_used_and_identical(ix):
+    ex = DataFrameExecutor(ix)
+    for q in QUERIES:
+        node = ix.plan(q)
+        sql_df = ex._try_sql(node, 10, False, None)
+        assert sql_df is not None, f"SQL lane skipped for {q!r}"
+        col_df = ex._column_search(node, 10, False, None)
+        a, b = _rows(sql_df), _rows(col_df)
+        assert [x[0] for x in a] == [x[0] for x in b], q
+        # scores must be BIT-identical (same expression tree)
+        assert [x[1] for x in a] == [x[1] for x in b], q
+
+
+def test_sql_lane_meta_and_unbounded(ix):
+    ex = DataFrameExecutor(ix)
+    node = ix.plan("spark batch")
+    a = ex._try_sql(node, 5, True, None)
+    b = ex._column_search(node, 5, True, None)
+    assert a is not None
+    assert a.columns == b.columns
+    assert [tuple(r) for r in a.collect()] == [
+        tuple(r) for r in b.collect()
+    ]
+    # unbounded (k=None) match set
+    a = ex._try_sql(node, None, False, None)
+    b = ex._column_search(node, None, False, None)
+    ra, rb = _rows(a), _rows(b)
+    assert ra == rb and len(ra) > 5
+
+
+def test_sql_lane_boosts_and_deletes(ix, spark, tmp_path):  # noqa: F811
+    import shutil
+
+    from lucille_spark.index.maintenance import delete_docs
+
+    work = str(tmp_path / "ixdel")
+    shutil.copytree(ix.dir, work)
+    ex0 = DataFrameExecutor(ix)
+    node = ix.plan("spark batch window")
+    boosts = [(0, 100, 1.5), (100, 200, 0.5)]
+    a = ex0._try_sql(node, 10, False, boosts)
+    b = ex0._column_search(node, 10, False, boosts)
+    assert _rows(a) == _rows(b)
+
+    top = _rows(ex0.search("spark", k=3))
+    victims = [d for d, _ in top[:2]]
+    delete_docs(spark, work, victims)
+    ix2 = SparkIndex(spark, work)
+    ex2 = DataFrameExecutor(ix2)
+    node2 = ix2.plan("spark")
+    a = ex2._try_sql(node2, 10, False, None)
+    b = ex2._column_search(node2, 10, False, None)
+    assert a is not None
+    ra = _rows(a)
+    assert ra == _rows(b)
+    assert not (set(victims) & {d for d, _ in ra})
+
+
+def test_sql_escaping_hostile_terms(ix):
+    """Terms with quotes/backslashes must render into valid SQL
+    (code corpora contain both)."""
+    from lucille_spark import plans as P
+    from lucille_spark.sqlgen import SqlCompiler
+
+    c = SqlCompiler("vflat", "vdl", 10.0)
+    node = P.PTerm(term="it's\\a\"q\n", idf=1.0, sim="bm25")
+    sql = c.node(node)
+    assert "\\'" in sql and "\\\\" in sql and "\\u000A" in sql
