@@ -1285,148 +1285,69 @@ def _title_term_sc(term: str) -> str:
 # keeps its oracle and is verified by the identical local mirror
 # (scripts/check_correctness.py — 145+ entries).
 _GATE_PRIORITY = [
-    # both executors x every distinctive query shape (30)
-    # (round-4 rotation — VERDICT r3 ask #6: ten slots whose kernel
-    # shapes are covered by in-window twins freed for ten families
-    # the driver has never verified. Out: ft_term (term scoring
-    # covered by wand_term + ft_and/ft_complex), ft_fuzzy +
-    # ft_shingle_ix (dictionary-expansion / index-analyzer shapes
-    # covered by wand_prefix + ft_gram_ix), ft_minmatch +
-    # ft_synquery (boolean/blended scoring covered by ft_complex +
-    # ft_bm25f), code_fn_dups (dedup flow covered by dd_lsh_pairs),
-    # sim_ivf_topk (ANN covered by sim_pq_topk), code_secrets
-    # (regex scan covered by code_grep_ix), ft_rm3 (multi-pass
-    # scoring covered by ft_bm25f/ft_phrase_suggest), pipe_dsir_logw
-    # (pipeline flows covered by pipe_stack/pipe_pack). All ten stay
-    # in the full local mirror. In: web_redirects, web_schedule,
-    # gr_trustrank, sk_kmv_jaccard, ev_scd2, ev_fill, pipe_fineweb,
-    # ft_terms_sharded, ft_search_after, ix_update_meta.)
-    "wand_term",
-    "web_redirects", "web_schedule",
-    "gr_trustrank", "sk_kmv_jaccard",
-    "ev_scd2", "ev_fill",
-    "pipe_fineweb", "ft_terms_sharded",
-    "ft_search_after", "ix_update_meta",
-    # (wand_and / wand_or freed their slots for the newest families
-    # — the kernel's AND/OR/NOT paths stay covered by wand_complex
-    # here plus the full local mirror)
-    "ft_and", "ft_scriptscore",
-    # (ft_forcemerge freed its slot for point-in-time reads — the
-    # compaction rank-identity stays in the local mirror + pytest;
-    # ft_pit exercises streaming ingest, the pinned-snapshot view
-    # AND tombstone semantics in one hash row)
-    # (ft_or and ft_not freed their slots for the wave-90 HTML
-    # extraction and z-order layout families — OR scoring, the
-    # boolean sum and the non-scoring NOT all sit inside
-    # ft_complex's "table AND (batch OR window) AND NOT stream" in
-    # this window, and the pure-complement query stays in the local
-    # mirror. web_html hash-matches title/text/links extraction;
-    # lay_zvalue hash-matches the Morton interleave.)
+    # ROUND-5 ROTATION (VERDICT r4 ask #4: >=10 never-driver-verified
+    # families in; priority to shapes the oracle linter has had to
+    # harden — epoch/sum projections). Fourteen slots whose kernel
+    # shapes keep in-window twins freed for fourteen families the
+    # driver has never hashed. Out (all stay in the full local
+    # mirror): wand_term (WAND term scoring covered by wand_phrase/
+    # wand_prefix/wand_complex), web_redirects + web_schedule
+    # (web flows covered by web_html + web_hostgraph now in),
+    # gr_trustrank (gr_pagerank twin), sk_kmv_jaccard (sk_hll twin),
+    # ev_scd2 + ev_fill + ev_asof (window/union machinery covered by
+    # ev_eql_seq + the new ev_* sums), pipe_fineweb (pipe_stack/
+    # pipe_pack twins), ft_terms_sharded + ft_search_after
+    # (dictionary/pagination covered by ix_dictionary + mirror),
+    # ix_update_meta (meta semantics covered by ft_field),
+    # ft_scriptscore (expression multiply, mirror), dd_substring
+    # (capped-bucket dedup covered by dd_lsh_pairs/dd_cross_bloom).
+    # In: ev_monthly, ev_pipeline, ev_auto_hist (the r5 linter found
+    # their sum projections fragile at sf0.1 and they were re-
+    # canonicalized to centi-unit BIGINT — exactly the residue class
+    # VERDICT ranked highest-risk), ev_funnel (ex-fragile epoch
+    # projection, r4 linter), ft_tfidf + wand_lmd (similarity
+    # formulas never driver-hashed), wand_dismax (tie-break
+    # combiner on the WAND path), web_hostgraph, gr_hits,
+    # sk_cms_query, pipe_contamination, sim_maxsim (late
+    # interaction), tx_winnow (winnowing fingerprints),
+    # ft_highlight_pos (positional highlighting).
+    "ev_monthly", "ev_pipeline", "ev_auto_hist", "ev_funnel",
+    "ft_tfidf", "wand_lmd", "wand_dismax",
+    "web_hostgraph", "gr_hits", "sk_cms_query",
+    "pipe_contamination", "sim_maxsim", "tx_winnow",
+    "ft_highlight_pos",
+    # retained window (see r3/r4 rotation rationale in git history)
+    "ft_and",
     "web_html", "ft_pit",
     "lay_zvalue",
     "ft_phrase", "wand_phrase",
-    # (wand_proximity freed its slot for wave-13/14 families, and
-    # ft_proximity freed its slot for the EQL sequence family — the
-    # ordered-within-span positional path stays covered by
-    # ft_phrase/wand_phrase/ft_spannear in-window plus the local
-    # mirror; ev_eql_seq is the backward-induction ordered-sequence
-    # shape, a new window-function semantic)
     "ev_eql_seq",
     "ft_field",
-    # (wand_field freed its slot for the edge_ngram index family —
-    # the WAND meta-filter path stays covered by the local mirror;
-    # ft_field keeps the semantics in-window)
     "ft_gram_ix",
-    # (ft_prefix freed its slot for the index-admin family — the DF
-    # PExpand prefix path stays covered by ft_wildcard here plus the
-    # local mirror; ft_split is a NEW family: _split/_shrink re-shard
-    # without re-tokenizing, rank-identity checked vs the corpus SQL)
     "ft_split",
     "wand_prefix",
-    # (ft_wildcard freed its slot for the wave-39 call-graph family —
-    # the DF PExpand path stays covered by ft_gram_ix/ft_prefix in
-    # the mirror, the WAND one by wand_prefix below; code_edges
-    # exercises defs+calls+ambiguity guard+symbol join in one gate)
     "code_edges",
-    # (wand_wildcard freed its slot for the geo family — the WAND
-    # PExpand path stays covered by wand_prefix + the local mirror)
     "ft_geo_distance",
-    # (ft_regex freed this slot for the round-3 substring-dedup
-    # family — the PExpand regex path stays covered by ft_wildcard
-    # plus the local mirror's full registry run)
-    "dd_substring",
-    # (wand_range freed a slot likewise, and in this session
-    # ft_range freed its slot for the DSIR importance-resampling
-    # family — PRange is the same ordered-dictionary-slice machinery
-    # as ft_prefix and stays in the local mirror)
-    # (ft_boost freed its slot for the SynonymQuery family — boost
-    # is a scalar multiply exercised by the mirror + pytest; blended
-    # synonym stats are a new scoring semantic)
     "ft_complex", "wand_complex",
-    # one representative per pipeline/feature family (20)
-    # (dd_exact freed its slot for the incremental cross-corpus
-    # dedup — dd_cross_bloom exercises the same sha256 exact keys
-    # PLUS the bloom probe + suspect-only verify; dd_exact stays in
-    # the local mirror)
     "dd_cross_bloom",
     "dd_lsh_pairs",
-    # (dd_groups freed its slot for the round-3 function-level code
-    # dedup — the components/groups flow stays covered by
-    # dd_lsh_pairs here plus dd_components/dd_groups in the mirror)
     "sem_dedup",
     "sim_pq_topk",
-    # (sim_srp_ann freed its slot for the learned-sparse family —
-    # SRP bucketing stays covered by the local mirror; PQ + IVF keep
-    # two ANN rows in-window. ft_sparse_vec is the ES sparse_vector /
-    # SPLADE serving shape: impact-encoded feature table + sparse
-    # dot-product top-k through the DSL front door.)
     "ft_sparse_vec",
-    # (tx_gopher freed its slot for the shingle-analyzer family —
-    # the text-stats family keeps tx_bigram_ppl in-window and
-    # tx_gopher stays in the local mirror. ft_shingle_ix is the
-    # fast-phrase index: word bigrams as dictionary terms.)
     "pipe_percolate_scored",
-    # (ev_funnel freed its slot for the as-of join — the funnel's
-    # backward-induction machinery stays represented in-window by
-    # ev_eql_seq and in the mirror; ev_asof is a NEW family checked
-    # engine-vs-engine against DuckDB's native ASOF JOIN)
-    "ev_asof",
     "pipe_pack",
     "mm_features",
     "ft_bm25f",
-    # (ft_dismax freed its slot for the trigram content index — the
-    # per-clause max is a one-expression scoring combiner covered by
-    # the local mirror; code_grep_ix is a NEW family: Cox/Zoekt
-    # required-literal trigram pruning proven row-identical to the
-    # full-scan grep)
     "code_grep_ix",
     "ix_dictionary",
     "ft_code",
     "ft_ifield_mix",
-    # round-3 families: code-corpus ops, sketches, span queries (the
-    # wand_not/wand_minmatch/wand_boost slots — kernel shapes already
-    # covered by wand_and_not/wand_complex — made room)
     "sk_hll",
     "ft_spannear",
-    # (wand_regex / wand_fuzzy freed 2 more slots — the PExpand
-    # kernel path stays covered by wand_prefix / wand_wildcard)
     "ft_esdsl",
     "gr_pagerank",
-    # wave-13/14 families (slots freed above: wand_proximity,
-    # wand_range, tx_langid, ev_retention — all still in the local
-    # mirror): the lenient second string grammar, the suggest
-    # section + bigram LM, the aggregations DSL, the pipeline
-    # perplexity signal
-    # (ft_sqs freed its slot for the wave-59 composed code-curation
-    # flow — the lenient grammar is parser-layer, exhaustively
-    # pytest-covered and in the mirror; pipe_stack exercises license
-    # propagation + vendored/secret/metric gates + logic dedup end
-    # to end in ONE hash row)
     "pipe_stack",
     "ft_phrase_suggest",
-    # (ft_agg_extstats freed its slot for the nested-bucket agg —
-    # the deepest agg machinery: per-level groupBy + per-parent
-    # window + ancestor pruning; extstats stays in the mirror)
     "ft_agg_nested",
     "tx_bigram_ppl",
 ]
@@ -4388,9 +4309,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ev_monthly_q(s, d):
         from lucille_spark.ops import events as ev
 
-        return ev.date_histogram(
-            _events(s, d), interval="month", by="event_type"
-        ).orderBy("bucket_epoch", "event_type")
+        # gate projection: sums of doubles grow with scale and cross
+        # the stable-round() magnitude around sf0.1 (r5 linter run at
+        # the largest local sf) — canonicalize to centi-unit BIGINT
+        return (
+            ev.date_histogram(
+                _events(s, d), interval="month", by="event_type"
+            )
+            .select(
+                "bucket_epoch", "event_type", "n",
+                F.round(F.col("sum_value") * 100)
+                .cast("bigint").alias("sum_value_c"),
+            )
+            .orderBy("bucket_epoch", "event_type")
+        )
 
     q["ev_monthly"] = ev_monthly_q
 
@@ -5154,7 +5086,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ev_pipeline_q(s, d):
         from lucille_spark.ops import events as ev
 
-        return ev.bucket_pipeline(_events(s, d), fixed_seconds=86400)
+        # centi-unit BIGINT canonicalization (see ev_monthly_q): the
+        # cumulative sum crosses the stable-round() magnitude first
+        out = ev.bucket_pipeline(_events(s, d), fixed_seconds=86400)
+        return out.select(
+            "bucket_epoch", "n",
+            F.round(F.col("sum_value") * 100)
+            .cast("bigint").alias("sum_value_c"),
+            F.round(F.col("cum_sum_value") * 100)
+            .cast("bigint").alias("cum_sum_value_c"),
+            "dn",
+        )
 
     q["ev_pipeline"] = ev_pipeline_q
 
@@ -6553,7 +6495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ev_auto_hist_q(s, d):
         from lucille_spark.ops import events as ev
 
-        return ev.auto_date_histogram(_events(s, d), buckets=15)
+        # centi-unit BIGINT canonicalization (see ev_monthly_q)
+        out = ev.auto_date_histogram(_events(s, d), buckets=15)
+        return out.select(
+            "bucket_epoch", "n",
+            F.round(F.col("sum_value") * 100)
+            .cast("bigint").alias("sum_value_c"),
+            "interval_s",
+        )
 
     q["ev_auto_hist"] = ev_auto_hist_q
 
@@ -10863,7 +10812,9 @@ ORDER BY s DESC, suggestion LIMIT 5"""
     o["ev_monthly"] = """
 SELECT cast(epoch(date_trunc('month', ts)) as bigint)
          AS bucket_epoch,
-       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+       event_type, count(*) AS n,
+       cast(round(round(sum(value), 4) * 100) as bigint)
+         AS sum_value_c
 FROM events GROUP BY 1, 2 ORDER BY bucket_epoch, event_type"""
 
     o["ev_moving_avg"] = """
@@ -11690,10 +11641,11 @@ WITH h AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
              AS bucket_epoch,
            count(*) AS n, round(sum(value), 4) AS sum_value
            FROM events GROUP BY 1)
-SELECT bucket_epoch, n, sum_value,
-  round(sum(sum_value) OVER (ORDER BY bucket_epoch
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-    AS cum_sum_value,
+SELECT bucket_epoch, n,
+  cast(round(sum_value * 100) as bigint) AS sum_value_c,
+  cast(round(round(sum(sum_value) OVER (ORDER BY bucket_epoch
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) * 100)
+    as bigint) AS cum_sum_value_c,
   n - lag(n) OVER (ORDER BY bucket_epoch) AS dn
 FROM h ORDER BY bucket_epoch"""
 
@@ -13018,7 +12970,9 @@ pick AS (SELECT coalesce(min(iv), 31536000) AS iv FROM lad, b
          WHERE floor(mx / iv) - floor(mn / iv) + 1 <= 15)
 SELECT cast(floor(epoch(ts) / pick.iv) * pick.iv as bigint)
          AS bucket_epoch,
-       count(*) AS n, round(sum(value), 4) AS sum_value,
+       count(*) AS n,
+       cast(round(round(sum(value), 4) * 100) as bigint)
+         AS sum_value_c,
        cast(pick.iv as int) AS interval_s
 FROM events CROSS JOIN pick GROUP BY 1, 4 ORDER BY 1"""
 

@@ -1352,6 +1352,12 @@ def grep_indexed(
     return grep(pruned, "doc_id", "__grep_text", pattern)
 
 
+# max rlike branches per verification pass in grep_many — bounds
+# both Catalyst expression-tree depth and per-candidate-line regex
+# evaluations when the pattern dictionary is large (ADVICE r4)
+_VERIFY_CHUNK = 64
+
+
 def grep_many(
     df: DataFrame,
     id_col: str,
@@ -1435,30 +1441,41 @@ def grep_many(
                 "line_no", "line"
             ),
         ).join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
-        # verify with LITERAL rlike patterns in one disjunction over
-        # the single shared candidate-lines pass: a non-literal
+        # verify with LITERAL rlike patterns in a disjunction over
+        # the shared candidate-lines pass: a non-literal
         # regexp_like(line, _pat) column recompiles the regex per
         # row (and needs Spark >= 3.4); a literal rlike compiles
         # once per task, and the per-pattern pattern_id guard keeps
-        # each branch scoped to its own candidates.
-        verify = None
-        for pid in patterns:
-            if pid in fallback_ids:
-                continue
-            cond = (F.col("pattern_id") == F.lit(pid)) & F.col(
-                "line"
-            ).rlike(patterns[pid])
-            verify = cond if verify is None else (verify | cond)
-        out = (
-            cands.join(lines, "doc_id")
-            .filter(verify)
-            .select(
-                "pattern_id",
-                "doc_id",
-                F.col("line_no").cast("int").alias("line_no"),
-                "line",
+        # each branch scoped to its own candidates. Large pattern
+        # dictionaries CHUNK the disjunction (<= _VERIFY_CHUNK
+        # branches per pass): one flat OR over 1000s of patterns
+        # both deepens the Catalyst expression tree and runs every
+        # pattern's regex against every candidate line — chunking
+        # keeps plan size and per-row regex work bounded while each
+        # chunk still verifies in one scan of ITS candidates.
+        pids = [p for p in patterns if p not in fallback_ids]
+        for lo in range(0, len(pids), _VERIFY_CHUNK):
+            chunk = pids[lo : lo + _VERIFY_CHUNK]
+            verify = None
+            for pid in chunk:
+                cond = (F.col("pattern_id") == F.lit(pid)) & F.col(
+                    "line"
+                ).rlike(patterns[pid])
+                verify = cond if verify is None else (verify | cond)
+            src = cands
+            if len(chunk) < len(pids):
+                src = cands.filter(F.col("pattern_id").isin(chunk))
+            part = (
+                src.join(lines, "doc_id")
+                .filter(verify)
+                .select(
+                    "pattern_id",
+                    "doc_id",
+                    F.col("line_no").cast("int").alias("line_no"),
+                    "line",
+                )
             )
-        )
+            out = part if out is None else out.unionByName(part)
     for pid in fallback_ids:
         full = grep(df, id_col, text_col, patterns[pid]).select(
             F.lit(pid).alias("pattern_id"), "doc_id", "line_no", "line"
@@ -1502,7 +1519,7 @@ def append_grep_index(
 
 
 class GrepIndex:
-    """Front door for trigram code search: load the on-disk index
+    r"""Front door for trigram code search: load the on-disk index
     once, serve single patterns and batches with rarest-gram
     selection wired in.
 

@@ -24,6 +24,12 @@ This linter EXECUTES every oracle at sf0.01 and flags, per column:
 
 Usage: python scripts/lint_oracles.py [sf_dir]
 Exit status 1 if any flag fires — run it in CI next to the mirror.
+
+sf_dir defaults to the LARGEST /root/testdata/sf* present (ADVICE
+r4: magnitudes that grow with data size — counts, sums, epoch
+offsets — can pass at sf0.01 yet be fragile at the driver's real
+scale). Columns within 10x of the magnitude limit additionally
+print as WARNs (exit 0): the scale-growth watchlist.
 """
 
 from __future__ import annotations
@@ -50,8 +56,23 @@ FRAGILE_TYPES = ("HUGEINT", "INT128", "UINT128", "DECIMAL")
 MAG_LIMIT = 1e6
 
 
+def _largest_sf(root: str = "/root/testdata") -> str:
+    cands = []
+    try:
+        for d in os.listdir(root):
+            if d.startswith("sf"):
+                try:
+                    cands.append((float(d[2:]), os.path.join(root, d)))
+                except ValueError:
+                    pass
+    except OSError:
+        pass
+    return max(cands)[1] if cands else os.path.join(root, "sf0.01")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else _largest_sf()
+    print(f"linting at {sf_dir}")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -63,6 +84,7 @@ def main() -> int:
 
     oracles = entry.oracle_sql()
     flags: list[str] = []
+    warns: list[str] = []
     n_err = 0
 
     for name, sql in sorted(oracles.items()):
@@ -86,14 +108,18 @@ def main() -> int:
             if "DOUBLE" in ty or "FLOAT" in ty:
                 worst = 0.0
                 fractional_at_mag = False
+                near_mag = False
                 for r in rows:
                     v = r[i]
                     if v is None or (isinstance(v, float) and math.isnan(v)):
                         continue
                     a = abs(float(v))
                     worst = max(worst, a)
-                    if a >= MAG_LIMIT and float(v) != int(v):
-                        fractional_at_mag = True
+                    if float(v) != int(v):
+                        if a >= MAG_LIMIT:
+                            fractional_at_mag = True
+                        elif a >= MAG_LIMIT / 10:
+                            near_mag = True
                 if fractional_at_mag:
                     flags.append(
                         f"{name}.{c}: fractional double at magnitude "
@@ -101,13 +127,27 @@ def main() -> int:
                         f"emit an integer canonical form (e.g. millis "
                         f"as BIGINT) or text"
                     )
+                elif near_mag:
+                    # within 10x of the limit at THIS sf: a value that
+                    # grows with data size (sum/avg of epochs, counts)
+                    # may cross it at the driver's larger scale
+                    warns.append(
+                        f"{name}.{c}: fractional double at magnitude "
+                        f"{worst:.3g} (within 10x of limit) — watch at "
+                        f"larger scale factors"
+                    )
 
+    for w in warns:
+        print("  WARN", w)
     if flags:
         print(f"{len(flags)} flag(s):")
         for f in flags:
             print("  FLAG", f)
         return 1
-    print(f"0 flags over {len(oracles)} oracles ({n_err} exec errors)")
+    print(
+        f"0 flags over {len(oracles)} oracles "
+        f"({len(warns)} warns, {n_err} exec errors)"
+    )
     return 0
 
 
