@@ -136,6 +136,18 @@ def main():
         )
     def run_queries(ix):
         dfe, wde = DataFrameExecutor(ix), WandExecutor(ix)
+        # serving-startup step (r5): executor warmup pays the
+        # PROCESS one-time costs (codegen compilation, the Python
+        # worker pool spawn for applyInPandas, file-index listing)
+        # once, at open — its cost is reported separately below as
+        # process_warmup_sec, NOT hidden. The first_query legs then
+        # measure what a warmed serving process charges the first
+        # occurrence of each query: plan construction (a plan-cache
+        # miss) + that query's first execution.
+        t0 = time.time()
+        dfe.warmup()
+        wde.warmup()
+        warmup_sec = time.time() - t0
         qtimes = {}
         lat = []
         firsts = []
@@ -161,17 +173,18 @@ def main():
             lat[min(int(len(lat) * 0.95), len(lat) - 1)],
             firsts[len(firsts) // 2],
             firsts[min(int(len(firsts) * 0.95), len(firsts) - 1)],
+            warmup_sec,
         )
 
     # headline protocol (cold tables, same as r1): every query pays
     # the parquet scan
-    qtimes, p95, first_p50, first_p95 = run_queries(
+    qtimes, p95, first_p50, first_p95, warmup_sec = run_queries(
         SparkIndex(spark, entry_ix_dir)
     )
     # serving mode: posting tables pinned in the in-memory columnar
     # cache — the deployment shape for a query-serving cluster
     ix_cached = SparkIndex(spark, entry_ix_dir, cache=True)
-    qtimes_c, p95_c, _, _ = run_queries(ix_cached)
+    qtimes_c, p95_c, _, _, _ = run_queries(ix_cached)
 
     # batched serving: all wand-able query strings in ONE job through
     # search_many — the high-QPS shape; report effective per-query ms
@@ -547,6 +560,7 @@ def main():
                 "p95_query_ms_cached": round(p95_c * 1000, 1),
                 "first_query_ms_p50": round(first_p50 * 1000, 1),
                 "first_query_ms_p95": round(first_p95 * 1000, 1),
+                "process_warmup_sec": round(warmup_sec, 3),
                 "queries_cached": qtimes_c,
                 "batch_n_queries": len(batch),
                 "batch_sec": round(batch_sec, 4),

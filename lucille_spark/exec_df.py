@@ -89,6 +89,29 @@ class DataFrameExecutor:
         self._plan_cache: "OrderedDict" = OrderedDict()
 
     # ------------------------------------------------------------ api
+    def warmup(self) -> None:
+        """Pay the PROCESS-level one-time costs at startup instead of
+        on the first user query: whole-stage-codegen compilation for
+        the scan/filter/aggregate/TakeOrdered shapes, the parquet
+        file-index listing, and broadcast machinery. Standard serving
+        practice (warm pools); per-QUERY cold cost (plan construction
+        + that query's scan) is unaffected and still measured by the
+        bench's first_query legs. No-op on any failure — warmup must
+        never break opening an index."""
+        try:
+            ts = self.ix.sample_terms(2)
+            if not ts:
+                return
+            t1, t2 = ts[0], ts[-1]
+            # bool + fused terms scan + aggregate + TakeOrdered
+            self._column_search(
+                self.ix.plan(f"{t1} AND {t2}"), 1, False, None
+            ).collect()
+            # SQL-lane parse/analyze + phrase (positions + HOFs)
+            self.search(f'"{t1} {t2}"', k=1).collect()
+        except Exception:
+            pass
+
     def search(
         self,
         query,
@@ -214,11 +237,13 @@ class DataFrameExecutor:
         `ks` / `similarities` override k / the ranking formula per
         query id. -> (query_id, doc_id, score).
 
-        Scale note: this path builds N full plans driver-side, so
-        py4j plan construction is O(batch x clauses) and dominates
-        past batch ~100-200 — WandExecutor.search_many (ONE union
-        predicate + one kernel pass) is the batch path at scale; this
-        twin exists for rank-identity checks and small batches."""
+        Scale note: this path builds N per-query plans driver-side.
+        Since the SQL lane (sqlgen.py) each plan is ~2 py4j calls,
+        but the union tagging still costs O(batch) driver calls and
+        the JVM analyzes N subtrees — WandExecutor.search_many (ONE
+        union predicate + one kernel pass, O(expansions) plan cost)
+        remains the batch path at scale; this twin exists for
+        rank-identity checks and small batches."""
         if not isinstance(queries, dict):
             queries = {f"q{i}": q for i, q in enumerate(queries)}
         sims = similarities or {}

@@ -108,6 +108,29 @@ class WandExecutor:
         self.prune = prune
         self._plan_cache: "OrderedDict" = OrderedDict()
 
+    def warmup(self) -> None:
+        """Pay process one-time costs at startup (twin of
+        exec_df.DataFrameExecutor.warmup): the first applyInPandas
+        job spawns the reusable Python worker pool and compiles the
+        cogroup/groupBy-apply machinery — ~2 s measured on the first
+        user query if not pre-paid here. No-op on failure."""
+        try:
+            ts = self.ix.sample_terms(2)
+            if not ts:
+                return
+            t1, t2 = ts[0], ts[-1]
+            # pass plan NODES: node queries skip the string-keyed
+            # plan cache, so warmup leaves it untouched. Two shapes
+            # compile the two distinct kernels: the plain groupBy-
+            # apply (term/OR union predicate) and the cogroup path
+            # (NOT needs the doc universe -> segments x doclens).
+            self.search(self.ix.plan(f"{t1} OR {t2}"), k=1).collect()
+            self.search(
+                self.ix.plan(f"{t1} AND NOT {t2}"), k=1
+            ).collect()
+        except Exception:
+            pass
+
     def search(
         self, query, k: int = 10, with_meta: bool = False,
         synonyms=None, doc_boosts=None,

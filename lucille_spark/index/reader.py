@@ -703,6 +703,22 @@ class SparkIndex:
             planner = planner.with_synonyms(synonyms)
         return planner.plan(query)
 
+    def sample_terms(self, n: int = 2) -> List[str]:
+        """A few plain (letters/digits only) dictionary terms — used
+        by executor warmup() to compile representative plans against
+        real postings without quoting/escaping concerns."""
+        import re as _re
+
+        if isinstance(self.dictionary, DriverDictionary):
+            pool = self.dictionary.terms[: 200]
+        else:
+            pool = [
+                r["term"]
+                for r in self.terms_df.select("term").limit(200).collect()
+            ]
+        out = [t for t in pool if _re.fullmatch(r"[a-z0-9]+", str(t))]
+        return [str(t) for t in out[:n]]
+
     def term_ids(self, terms: Sequence[str]) -> Dict[str, int]:
         if isinstance(self.dictionary, DriverDictionary):
             return self.dictionary.term_id_map(terms)

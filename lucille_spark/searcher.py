@@ -60,7 +60,13 @@ class Searcher:
         field_similarity: Optional[Dict[str, str]] = None,
         cache: bool = True,
         prune: bool = True,
+        warm: bool = False,
     ) -> None:
+        """`warm=True` runs the executors' warmup() at construction:
+        pays whole-stage-codegen compilation and the Python-worker
+        pool spawn once at serving startup instead of on the first
+        user query (~1-2 s; the standard serving-process warm-pool
+        step)."""
         if executor not in ("wand", "df"):
             raise ValueError("executor must be 'wand' or 'df'")
         if isinstance(index_dir, (list, tuple)):
@@ -88,6 +94,9 @@ class Searcher:
         self.executor = (
             self._wand_ex if executor == "wand" else self._df_ex
         )
+        if warm:
+            self._df_ex.warmup()
+            self._wand_ex.warmup()
 
         # micro-batching state (see submit)
         self._mb_lock = threading.Lock()

@@ -88,7 +88,10 @@ def main() -> None:
     out["load_first_query_sec"] = round(time.time() - t0, 3)
     out["rss_after_load_mb"] = round(_rss_mb() - rss0, 1)
 
-    # hot object: full predecode, then the bench query set
+    # hot object: predecode (r5 default = eager ids/tf/dl, LAZY
+    # positions — see LocalSearcher docstring), then the bench set.
+    # The first phrase rep pays its terms' lazy positions decode;
+    # the 5-rep protocol surfaces that in max, steady-state in p95.
     t0 = time.time()
     hot = LocalSearcher(spark, ix_dir, predecode=True)
     hot.search("spark", k=10)
@@ -106,6 +109,16 @@ def main() -> None:
     out["hot_p95_ms"] = round(
         lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1000, 2
     )
+    out["hot_max_ms"] = round(lat[-1] * 1000, 2)
+
+    # eager-positions variant (predecode="full"): zero first-phrase
+    # jitter, highest memory — published next to lazy for sizing
+    t0 = time.time()
+    full = LocalSearcher(spark, ix_dir, predecode="full")
+    full.search("spark", k=10)
+    out["predecode_full_sec"] = round(time.time() - t0, 3)
+    out["rss_after_full_mb"] = round(_rss_mb() - rss0, 1)
+    del full
 
     # NRT delete refresh: tombstone 10 docs, measure refresh +
     # first post-refresh query (the serving-visible staleness window)
