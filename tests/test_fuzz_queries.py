@@ -3,9 +3,14 @@ query strings must be rank-identical between both executors and the
 numpy oracle. Deterministic (seeded) so failures reproduce; the
 generator covers nesting shapes the hand-written suites don't."""
 
+import os
 import random
 
 import pytest
+
+# fresh-seed runs: LUCILLE_FUZZ_SEED=<n> python -m pytest
+# tests/test_fuzz_queries.py — same harness, new query corpus
+_SEED = int(os.environ.get("LUCILLE_FUZZ_SEED", "7"))
 
 VOCAB = [
     "cats", "dogs", "derp", "lerp", "slerp", "the", "cat", "jumped",
@@ -56,7 +61,7 @@ def _ranked(rows, round_to=9):
     return [(int(d), round(float(s), round_to)) for d, s in rows]
 
 
-@pytest.mark.parametrize("q", _queries(7, 30))
+@pytest.mark.parametrize("q", _queries(_SEED, 30))
 def test_fuzz_rank_identity_df(unit_index, q):
     from lucille_spark.exec_df import DataFrameExecutor
 
@@ -67,7 +72,7 @@ def test_fuzz_rank_identity_df(unit_index, q):
     assert got == expected, q
 
 
-@pytest.mark.parametrize("q", _queries(23, 12))
+@pytest.mark.parametrize("q", _queries(_SEED + 16, 12))
 def test_fuzz_rank_identity_wand(unit_index, q):
     from lucille_spark.exec_wand import WandExecutor
 

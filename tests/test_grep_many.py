@@ -60,3 +60,25 @@ def test_all_fallback_batch(spark, docs_df):
 def test_empty_patterns_raises(spark, docs_df):
     with pytest.raises(ValueError):
         C.grep_many(docs_df, "doc_id", "text", {})
+
+
+def test_chunked_verify_large_pattern_dict(spark, docs_df):
+    """>_VERIFY_CHUNK patterns exercises the chunked rlike
+    disjunction (ADVICE r4): per-pattern results must still equal
+    single-pattern grep exactly."""
+    suffixes = ["", r"\.linalg"]
+    pats = {
+        f"p{i}": r"import numpy" + suffixes[i % 2]
+        for i in range(C._VERIFY_CHUNK + 6)
+    }
+    pats["abc"] = r"ab+c"
+    got = sorted(
+        tuple(r)
+        for r in C.grep_many(docs_df, "doc_id", "text", pats).collect()
+    )
+    want = sorted(
+        (pid, r["doc_id"], r["line_no"], r["line"])
+        for pid, pat in pats.items()
+        for r in C.grep(docs_df, "doc_id", "text", pat).collect()
+    )
+    assert got == want
