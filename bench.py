@@ -607,9 +607,37 @@ def main():
                     )
                     if kk in out
                 },
+                **_scaling_summary(),
             }
         )
     )
+
+
+def _scaling_summary() -> dict:
+    """Surface the most recent scripts/scaling.py row (the north
+    rule's N -> 4N two-parallelism evidence) in the bench JSON so
+    one line carries throughput AND scaling. The row is produced by
+    a separate dedicated run (~35 min; see BENCH/scaling.jsonl for
+    the full history including sub-0.8 outliers) — this is a
+    pointer to that recorded evidence, not a fresh measurement."""
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH", "scaling.jsonl",
+        )
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+        r = rows[-1]
+        return {
+            "scaling_cores_small": r["cores_small"],
+            "scaling_cores_big": r["cores_big"],
+            "scaling_files_per_sec_small": r["files_per_sec_small"],
+            "scaling_files_per_sec_big": r["files_per_sec_big"],
+            "scaling_efficiency_Nto4N": r["efficiency_Nto4N"],
+            "scaling_row_ts": r.get("ts"),
+        }
+    except Exception:
+        return {}
 
 
 def _mixed_batch(vocab, n):
