@@ -145,8 +145,12 @@ def main():
         # occurrence of each query: plan construction (a plan-cache
         # miss) + that query's first execution.
         t0 = time.time()
+        import threading
+
+        wt = threading.Thread(target=wde.warmup)
+        wt.start()
         dfe.warmup()
-        wde.warmup()
+        wt.join()
         warmup_sec = time.time() - t0
         qtimes = {}
         lat = []
