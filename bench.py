@@ -631,6 +631,9 @@ def _scaling_summary() -> dict:
         )
         with open(path) as f:
             rows = [json.loads(ln) for ln in f if ln.strip()]
+        # build-path rows only (the north-rule metric); the file also
+        # holds supplementary query-path rows with a different shape
+        rows = [r for r in rows if "efficiency_Nto4N" in r]
         r = rows[-1]
         return {
             "scaling_cores_small": r["cores_small"],
