@@ -104,6 +104,20 @@ def test_sql_lane_boosts_and_deletes(ix, spark, tmp_path):  # noqa: F811
     assert not (set(victims) & {d for d, _ in ra})
 
 
+@pytest.mark.parametrize("sim", ["tfidf", "lmd", "lmjm"])
+def test_sql_lane_similarities(spark, ix, sim):
+    """The SQL renderings of the non-BM25 scoring formulas must be
+    bit-identical to the Column expressions too."""
+    ix2 = SparkIndex(spark, ix.dir, similarity=sim)
+    ex = DataFrameExecutor(ix2)
+    for q in ["spark", "spark batch window", "batch AND window"]:
+        node = ix2.plan(q)
+        a = ex._try_sql(node, 10, False, None)
+        assert a is not None, (sim, q)
+        b = ex._column_search(node, 10, False, None)
+        assert _rows(a) == _rows(b), (sim, q)
+
+
 def test_sql_escaping_hostile_terms(ix):
     """Terms with quotes/backslashes must render into valid SQL
     (code corpora contain both)."""
