@@ -374,7 +374,7 @@ def main():
     # ---- leg 4: analytics dashboard request (query + aggs in ONE
     # _search body): the ES-migration serving shape for dashboards —
     # terms facet + histogram + stats computed over the match set
-    from lucille_spark.esdsl import request_es
+    from lucille_spark.esdsl import materialize_es, request_es
     from lucille_spark.exec_df import DataFrameExecutor as _DFE
 
     dfe_dash = _DFE(ix_cached)
@@ -389,10 +389,9 @@ def main():
     }
 
     def _run_dash():
-        r = request_es(dfe_dash, dash_body, k=10)
-        r["hits"].collect()
-        for fr in r["aggregations"].values():
-            fr.collect()
+        # materialize_es submits hits + every agg frame concurrently
+        # (one response, parallel jobs — the endpoint shape)
+        materialize_es(request_es(dfe_dash, dash_body, k=10))
 
     _run_dash()  # warm
     dreps = []

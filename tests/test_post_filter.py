@@ -146,3 +146,23 @@ def test_request_es_no_aggs(pix):
                      k=3)
     assert "aggregations" not in out
     assert out["hits"].count() == 3
+
+
+def test_materialize_es_concurrent_equals_sequential(pix):
+    from lucille_spark.esdsl import materialize_es, request_es
+
+    body = {
+        "query": {"match": {"content": "a"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang"}},
+            "st": {"stats": {"field": "nval"}},
+        },
+    }
+    r = request_es(pix, body, k=5)
+    seq_hits = r["hits"].collect()
+    seq_aggs = {n: df.collect() for n, df in r["aggregations"].items()}
+    got = materialize_es(request_es(pix, body, k=5))
+    assert got["hits"] == seq_hits
+    assert set(got["aggregations"]) == set(seq_aggs)
+    for n in seq_aggs:
+        assert got["aggregations"][n] == seq_aggs[n]
